@@ -1,13 +1,284 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Etl, Observability}
+import graft.validation.Validator
+
+/** Driver contract: one `queries` entry + one `oracleSql` entry per
+  * implemented operator from SURVEY.md §2. Column names are aliased
+  * identically on both sides (the driver's compare sorts columns by name
+  * before hashing). All aggregated doubles go through exact decimal sums —
+  * see graft.operators.Etl.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_wip_agg")(spark, "/root/testdata/sf0.001")
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 — daily-partitioned extract with projection pushdown
+    "q_extract_daily" -> ((s, dir) =>
+      Etl.extractDaily(Tables.events(s, dir), col("ts"), "2024-01-02",
+        Seq("event_id", "user_id", "event_type", "value"))),
+
+    // §2.2 — constant-filtered dimension extract (cfg_item_master analog)
+    "q_item_master" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#1")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")),
+
+    // §2.3 — WIP aggregation (transform_aps_wip_logic)
+    "q_wip_agg" -> ((s, dir) =>
+      Etl.wipAggregate(Tables.orders(s, dir),
+        statusCol = "o_orderstatus", activeStatuses = Seq("O", "F"),
+        groupCols = Seq("o_orderpriority"),
+        qtyCol = "o_totalprice", lotIdCol = "o_custkey",
+        snapshotDate = "2024-06-30")),
+
+    // §2.4 — tenant-custom WIP with conditional priority count (project_01)
+    "q_wip_priority" -> ((s, dir) =>
+      Etl.wipWithPriority(Tables.orders(s, dir),
+        statusCol = "o_orderstatus", activeStatuses = Seq("O", "F"),
+        groupCols = Seq("o_orderstatus"),
+        qtyCol = "o_totalprice", lotIdCol = "o_custkey",
+        priorityCol = "o_orderpriority", highPriority = "1-URGENT",
+        snapshotDate = "2024-06-30")),
+
+    // §2.5 — cycle time: fact-fact join + day delta + multi-agg
+    "q_cycle_time" -> ((s, dir) =>
+      Etl.cycleTime(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        completedStatus = "F", groupCol = "o_orderpriority")),
+
+    // §2.6 — utilization pivot (transform_equipment_utilization_logic)
+    "q_equip_util" -> ((s, dir) =>
+      Etl.utilizationPivot(Tables.events(s, dir),
+        entityCol = "user_id", eventTypeCol = "event_type", valueCol = "value",
+        eventTypes = eventTypes, runType = "click",
+        minutesPerDay = 1440, snapshotDate = "2024-01-31")),
+
+    // §2.7 — upsert / merge (trino.upsert_dataframe)
+    "q_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      val updates = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      Etl.upsert(base, updates, Seq("o_orderkey"))
+    }),
+
+    // §2.8 — validation rule engine, single-pass report
+    "q_validate" -> ((s, dir) =>
+      Validator(Tables.orders(s, dir))
+        .checkNotNull("o_custkey")
+        .checkRange("o_totalprice", minVal = Some(0.0))
+        .checkValuesIn("o_orderstatus", Seq("O", "F", "P"))
+        .checkUnique("o_orderkey")
+        .checkRegex("o_orderpriority", "^[1-5]-")
+        .report()),
+
+    // §2.9 — apply_schema casts
+    "q_schema_apply" -> ((s, dir) =>
+      Etl.applySchema(Tables.events(s, dir), Seq(
+        "event_id" -> "long", "user_id" -> "int", "event_type" -> "string",
+        "value" -> "double", "ts" -> "date", "props" -> "string"))),
+
+    // §2.10 — event sessionization (RunAnalyzer.get_step_durations)
+    "q_run_durations" -> ((s, dir) =>
+      Observability.eventDurations(Tables.events(s, dir), "user_id")),
+
+    // §2.11 — per-step duration stats (trino_observability_ddl q2)
+    "q_step_stats" -> ((s, dir) =>
+      Observability.stepStats(
+        Observability.eventDurations(Tables.events(s, dir), "user_id"))),
+
+    // §2.12 — partition discovery (s3.list_partitions)
+    "q_partition_listing" -> ((s, dir) =>
+      Etl.partitionListing(Tables.events(s, dir), col("ts"))),
+
+    // §2.13 — star-schema analytics, broadcast dims
+    "q_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).where(year(col("o_orderdate")) === 1996)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("order_count"))
+    }),
+
+    // §2.14 — wide aggregation scan (TPC-H Q1 shape)
+    "q_pricing_summary" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_shipdate") <= lit("2000-12-01"))
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(3,2)")
+      val tax = col("l_tax").cast("decimal(3,2)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("sum_disc_price"),
+          sum(price * (lit(1).cast("decimal(3,2)") - disc) * (lit(1).cast("decimal(3,2)") + tax))
+            .cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(col("l_quantity")))
+            .as("avg_qty"),
+          (sum(price).cast("double") / count(col("l_extendedprice"))).as("avg_price"),
+          (sum(disc).cast("double") / count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_extract_daily" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-02'""".stripMargin,
+
+    "q_item_master" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part WHERE p_brand = 'Brand#1'""".stripMargin,
+
+    "q_wip_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+        |  count(DISTINCT o_custkey) AS lot_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_qty_per_lot,
+        |  '2024-06-30' AS snapshot_date
+        |FROM orders WHERE o_orderstatus IN ('O','F')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_wip_priority" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+        |  count(DISTINCT o_custkey) AS lot_count,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_qty_per_lot,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS high_priority_count,
+        |  '2024-06-30' AS snapshot_date
+        |FROM orders WHERE o_orderstatus IN ('O','F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_cycle_time" ->
+      """SELECT o_orderpriority,
+        |  avg(cycle_days) AS avg_cycle_days,
+        |  min(cycle_days) AS min_cycle_days,
+        |  max(cycle_days) AS max_cycle_days,
+        |  count(*) AS lot_count
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS cycle_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_equip_util" -> {
+      val sums = eventTypes.map(t =>
+        s"  coalesce(CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS $t").mkString(",\n")
+      s"""SELECT user_id,
+         |$sums,
+         |  round(coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) / 1440 * 100, 2) AS utilization_rate,
+         |  '2024-01-31' AS snapshot_date
+         |FROM events GROUP BY user_id""".stripMargin
+    },
+
+    "q_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |  FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |UNION ALL
+        |SELECT * FROM updates""".stripMargin,
+
+    "q_validate" ->
+      """SELECT count(*) AS total_rows,
+        |  count(*) - count(o_custkey) AS not_null_o_custkey,
+        |  count(*) FILTER (WHERE o_totalprice < 0) AS range_o_totalprice,
+        |  count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P')) AS values_in_o_orderstatus,
+        |  count(o_orderkey) - count(DISTINCT o_orderkey) AS unique_o_orderkey,
+        |  count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS regex_o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "q_schema_apply" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS INTEGER) AS user_id,
+        |  CAST(event_type AS VARCHAR) AS event_type, CAST(value AS DOUBLE) AS value,
+        |  CAST(ts AS DATE) AS ts, CAST(props AS VARCHAR) AS props
+        |FROM events""".stripMargin,
+
+    "q_run_durations" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, start_us,
+        |    lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id) AS end_us,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY start_us, event_id) AS next_event_type
+        |  FROM e)
+        |SELECT user_id, event_id, event_type, start_us, end_us, next_event_type,
+        |  end_us - start_us AS duration_us
+        |FROM w WHERE end_us IS NOT NULL""".stripMargin,
+
+    "q_step_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS start_us
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, start_us,
+        |    lead(start_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id) AS end_us
+        |  FROM e)
+        |SELECT event_type,
+        |  avg(end_us - start_us) AS avg_duration_us,
+        |  max(end_us - start_us) AS max_duration_us,
+        |  count(*) AS run_count
+        |FROM w WHERE end_us IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    "q_partition_listing" ->
+      """SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y%m%d') AS partition_date
+        |FROM events""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT o_orderkey) AS order_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over a scale-factor directory of parquet files.
+  *
+  * Spark-first analog of the reference's storage resources
+  * (reference: etl/resources/s3.py:60 hive-style
+  * `stage/job_name=X/date=YYYYMMDD/` layout; etl/resources/rdb.py source
+  * tables). At cluster scale each table is a partitioned parquet/lakehouse
+  * dataset; locally each is a single file. All readers go through here so
+  * schema pruning and partition filters stay at the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** The events stream table carries nanosecond timestamps, which Spark's
+    * parquet reader rejects by default. Read them as raw nanos
+    * (legacy.parquet.nanosAsLong) and surface a proper TimestampType `ts`
+    * truncated to micros — integer DIV, since ~1.7e18 ns exceeds double's
+    * exact range.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

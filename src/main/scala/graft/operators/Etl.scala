@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core ETL operators re-expressed Spark-first.
+  *
+  * Determinism note: every aggregated double is first cast to an exact
+  * DECIMAL so the fold is order-independent, then the final value is cast
+  * back to double. Plain `sum(double)` differs in the last ulp between a
+  * 32-way parallel fold and the single-threaded oracle — a hash-compare
+  * killer at any scale.
+  */
+object Etl {
+
+  /** Exact sum of a 2-decimal monetary double column, returned as double. */
+  def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Order-stable mean: exact decimal sum divided by count, in doubles. */
+  def moneyAvg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(c)
+
+  /** Daily-partition extract: projected scan filtered to one partition day.
+    * Reference: etl/resources/rdb.py:78 (`WHERE DATE(col) = :partition_date`)
+    * + etl/common/assets/extract.py query templates. Both the date filter and
+    * the projection reach the parquet scan (PushedFilters / ReadSchema), so at
+    * 100 TB this prunes to a single date partition.
+    */
+  def extractDaily(src: DataFrame, dateCol: Column, day: String, cols: Seq[String]): DataFrame =
+    src.where(to_date(dateCol) === lit(day)).select(cols.map(col): _*)
+
+  /** WIP aggregation: keep active-status rows, aggregate quantity per group.
+    * Reference: etl/common/assets/transfer.py:14 (transform_aps_wip_logic):
+    * status-IN filter -> groupBy -> sum/nunique/mean -> snapshot_date.
+    * One shuffle; partial aggregation is map-side except countDistinct which
+    * Spark plans as a two-phase expand — acceptable, keys are low-cardinality.
+    */
+  def wipAggregate(
+      lots: DataFrame,
+      statusCol: String,
+      activeStatuses: Seq[String],
+      groupCols: Seq[String],
+      qtyCol: String,
+      lotIdCol: String,
+      snapshotDate: String): DataFrame =
+    lots
+      .where(col(statusCol).isin(activeStatuses: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        moneySum(col(qtyCol)).as("wip_qty"),
+        countDistinct(col(lotIdCol)).as("lot_count"),
+        moneyAvg(col(qtyCol)).as("avg_qty_per_lot"))
+      .withColumn("snapshot_date", lit(snapshotDate))
+
+  /** Tenant-custom WIP variant with a conditional "high priority" count.
+    * Reference: etl/tenants/project_01/assets/transfer.py:14. The reference
+    * runs a second groupBy + merge; here it is one extra aggregate in the
+    * same single-shuffle pass.
+    */
+  def wipWithPriority(
+      lots: DataFrame,
+      statusCol: String,
+      activeStatuses: Seq[String],
+      groupCols: Seq[String],
+      qtyCol: String,
+      lotIdCol: String,
+      priorityCol: String,
+      highPriority: String,
+      snapshotDate: String): DataFrame =
+    lots
+      .where(col(statusCol).isin(activeStatuses: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        moneySum(col(qtyCol)).as("wip_qty"),
+        countDistinct(col(lotIdCol)).as("lot_count"),
+        moneyAvg(col(qtyCol)).as("avg_qty_per_lot"),
+        count(when(col(priorityCol) === highPriority, lit(1))).as("high_priority_count"))
+      .withColumn("snapshot_date", lit(snapshotDate))
+
+  /** Cycle time: join fact-to-fact, day delta, min/avg/max per group.
+    * Reference: etl/common/assets/transfer.py:68 (transform_cycle_time_logic)
+    * — there the delta is minutes between two timestamps of one table; our
+    * star schema splits start (order date) and end (ship date) across
+    * orders/lineitem, so this also exercises the large-large shuffle join the
+    * reference never had to plan. Both sides shuffle on the order key; dims
+    * are not involved. Integer day deltas keep avg exact.
+    */
+  def cycleTime(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      completedStatus: String,
+      groupCol: String): DataFrame =
+    lineitem
+      .join(orders.where(col("o_orderstatus") === completedStatus),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("cycle_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        avg(col("cycle_days")).as("avg_cycle_days"),
+        min(col("cycle_days")).as("min_cycle_days"),
+        max(col("cycle_days")).as("max_cycle_days"),
+        count(lit(1)).as("lot_count"))
+
+  /** Utilization pivot: per-entity event-type totals as columns + rate.
+    * Reference: etl/common/assets/transfer.py:129
+    * (transform_equipment_utilization_logic): groupBy sum -> pandas pivot ->
+    * fillna(0) -> RUN/(24*60)*100. Pivot values are passed explicitly so
+    * Spark skips the extra distinct job and the output schema is static —
+    * mandatory at scale and for a stable oracle.
+    */
+  def utilizationPivot(
+      events: DataFrame,
+      entityCol: String,
+      eventTypeCol: String,
+      valueCol: String,
+      eventTypes: Seq[String],
+      runType: String,
+      minutesPerDay: Int,
+      snapshotDate: String): DataFrame = {
+    val pivoted = events
+      .groupBy(col(entityCol))
+      .pivot(eventTypeCol, eventTypes)
+      .agg(moneySum(col(valueCol)))
+      .na.fill(0.0, eventTypes)
+    pivoted
+      .withColumn("utilization_rate",
+        round(col(runType) / minutesPerDay * 100, 2))
+      .withColumn("snapshot_date", lit(snapshotDate))
+  }
+
+  /** Upsert (merge): delete-by-key + insert, as one distributed plan.
+    * Reference: etl/resources/trino.py:165 (upsert_dataframe) issues one
+    * DELETE per row then batched INSERTs — O(rows) round-trips. Here:
+    * target ⟕̸ updates (left-anti on keys) ∪ updates. At 100 TB the anti
+    * join shuffles on the key (or broadcasts when updates are small) and the
+    * writer lands it with dynamic partition overwrite.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+
+  /** apply_schema: cast columns to a target schema, preserving order.
+    * Reference: etl/utils/parquet.py:145. `types` maps column -> Spark DDL
+    * type string; unmapped columns pass through.
+    */
+  def applySchema(df: DataFrame, types: Seq[(String, String)]): DataFrame =
+    df.select(types.map { case (c, t) => col(c).cast(t).as(c) }: _*)
+
+  /** Schema drift report between two frames (added/removed/type-changed).
+    * Reference: etl/utils/parquet.py:110 (detect_schema_drift).
+    */
+  def schemaDrift(current: DataFrame, next: DataFrame): Map[String, Seq[String]] = {
+    val cur = current.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val nxt = next.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    Map(
+      "added" -> (nxt.keySet -- cur.keySet).toSeq.sorted,
+      "removed" -> (cur.keySet -- nxt.keySet).toSeq.sorted,
+      "type_changed" -> (cur.keySet & nxt.keySet).toSeq.sorted
+        .filter(k => cur(k) != nxt(k)).map(k => s"$k: ${cur(k)} -> ${nxt(k)}"))
+  }
+
+  /** Partition discovery: distinct partition days of a fact table.
+    * Reference: etl/resources/s3.py:334 (list_partitions, date=YYYYMMDD).
+    */
+  def partitionListing(src: DataFrame, dateCol: Column): DataFrame =
+    src.select(date_format(to_date(dateCol), "yyyyMMdd").as("partition_date"))
+      .distinct()
+}
