@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Etl, Observability}
+import graft.operators.{Dedup, Etl, Observability, Similarity, TextAnalysis}
 import graft.validation.Validator
 
 /** Driver contract: one `queries` entry + one `oracleSql` entry per
@@ -19,6 +19,15 @@ object SparkEntry {
     queries("q_wip_agg")(spark, "/root/testdata/sf0.001")
 
   private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  private val stopwords = Seq("the", "a", "data", "value")
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "fr" -> Seq("table", "row"),
+    "es" -> Seq("data", "value"),
+    "de" -> Seq("join", "group"),
+    "zh" -> Seq("spark", "stream"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 — daily-partitioned extract with projection pushdown
@@ -138,7 +147,80 @@ object SparkEntry {
           (sum(price).cast("double") / count(col("l_extendedprice"))).as("avg_price"),
           (sum(disc).cast("double") / count(col("l_discount"))).as("avg_disc"),
           count(lit(1)).as("count_order"))
-    })
+    }),
+
+    // §2.15 — exact dedup (hash-groupBy) over corpus with planted copies
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 0))),
+
+    // §2.16 — MinHash + LSH near-dup pairs (rows-only check)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDups(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        k = 64, bands = 16, minSim = 0.5)),
+
+    // §2.17 — SimHash near-dup pairs (rows-only check)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        maxHamming = 3)),
+
+    // §2.18 — exact n-gram Jaccard over bucketed candidates
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        minJaccard = 0.5, maxLenDiff = 40)),
+
+    // §2.19 — embedding-cosine near-dup pairs (label-bucketed)
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.unionByName(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+      Similarity.nearDupPairs(corpus, minCosine = 0.95)
+    }),
+
+    // §2.20 — brute-force cosine top-k ANN baseline
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, k = 5)
+    }),
+
+    // §2.21 — LSH sign-bucketed ANN (scale path)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e.where(col("vec_id") < 8), e, k = 5, nPlanes = 8, dim = 64)
+    }),
+
+    // §2.22 — heuristic language ID
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir), langMarkers)),
+
+    // §2.23 — text quality metrics
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(Tables.documents(s, dir), stopwords)),
+
+    // §2.24 — document fingerprint (min-md5 shingle)
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    // §2.25 — windowed top-k per group
+    "q_doc_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+    }),
+
+    // §2.26 — multimodal binary-column plumbing
+    "q_multimodal_meta" -> ((s, dir) =>
+      TextAnalysis.binaryMeta(Tables.documents(s, dir), chunkBytes = 256))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -279,6 +361,137 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0)
+        |SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM corpus GROUP BY md5(text)""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1)), lang, source
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |sh AS (
+        |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS len,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni,
+        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) AS jaccard
+        |FROM sh x JOIN sh y
+        |  ON x.source = y.source AND x.lang = y.lang AND x.doc_id < y.doc_id
+        |  AND abs(x.len - y.len) <= 40
+        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) >= 0.5""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) AS sim_r
+        |FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_ann_lsh" -> annLshOracle,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('table','row'))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('data','value'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('join','group'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('spark','stream'))) AS BIGINT) AS score_zh
+        |  FROM t),
+        |g AS (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS mx FROM s)
+        |SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+        |  CASE WHEN score_en = mx THEN 'en' WHEN score_fr = mx THEN 'fr'
+        |       WHEN score_es = mx THEN 'es' WHEN score_de = mx THEN 'de'
+        |       WHEN score_zh = mx THEN 'zh' ELSE 'und' END AS predicted_lang,
+        |  lang,
+        |  (CASE WHEN score_en = mx THEN 'en' WHEN score_fr = mx THEN 'fr'
+        |        WHEN score_es = mx THEN 'es' WHEN score_de = mx THEN 'de'
+        |        WHEN score_zh = mx THEN 'zh' ELSE 'und' END) = lang AS is_match
+        |FROM g""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) / CAST(len(toks) AS BIGINT) AS avg_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','data','value'))) AS BIGINT) AS stopword_count,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','data','value'))) AS BIGINT) / CAST(len(toks) AS BIGINT) AS stopword_ratio,
+        |  (len(toks) >= 20 AND CAST(len(list_filter(toks, x -> x IN ('the','a','data','value'))) AS BIGINT) / CAST(len(toks) AS BIGINT) < 0.3) AS is_quality
+        |FROM t""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(range(1, len(toks) - 1),
+        |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])), 'min') AS fingerprint,
+        |  CAST(len(toks) - 2 AS BIGINT) AS n_shingles
+        |FROM t""".stripMargin,
+
+    "q_doc_topk" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin
   )
+
+  /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so
+    * DuckDB computes the identical sign buckets.
+    */
+  private def annLshOracle: String = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val bucketExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM b WHERE vec_id < 8),
+       |sims AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.bucket,
+       |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+       |  FROM b c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, bucket, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, bucket, rank, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 }

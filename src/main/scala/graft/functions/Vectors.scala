@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns using codegen-friendly
+  * higher-order functions — no UDFs, no driver-side collection.
+  *
+  * Elements are cast to double and folded sequentially (left fold), so the
+  * result is deterministic for a given array — required for oracle-exact
+  * comparisons and stable ranking.
+  */
+object Vectors {
+
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(aRaw: Column, bRaw: Column): Column = {
+    val a = asDouble(aRaw)
+    val b = asDouble(bRaw)
+    dot(a, b) / (norm(a) * norm(b))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.tokens
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale posture: candidate generation is always bucketed (LSH bands /
+  * simhash chunks / metadata buckets) so pair enumeration happens only
+  * inside buckets — never an O(n²) corpus cross join. Text is projected to
+  * (id, signature) before any shuffle; raw documents never travel.
+  */
+object Dedup {
+
+  /** Plant deterministic near-duplicates: every `every`-th doc is re-added
+    * under `idOffset` + its id, with `truncateChars` chars cut from the tail
+    * (0 = exact copy). Gives dedup queries known-positive pairs on the
+    * synthetic corpus.
+    */
+  def withPlantedDups(docs: DataFrame, every: Int, idOffset: Long, truncateChars: Int): DataFrame = {
+    val base = docs.select("doc_id", "text", "lang", "source")
+    val copies = base
+      .where(col("doc_id") % every === 0)
+      .select(
+        (col("doc_id") + idOffset).as("doc_id"),
+        (if (truncateChars == 0) col("text")
+         else expr(s"substring(text, 1, greatest(length(text) - $truncateChars, 1))")).as("text"),
+        col("lang"), col("source"))
+    base.unionByName(copies)
+  }
+
+  /** Exact dedup: hash-groupBy on content. One shuffle on the md5 key. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*x + b within long
+
+  /** Deterministic (a, b) permutation coefficients — fixed seed, no runtime
+    * randomness so signatures are reproducible across runs and executors.
+    */
+  private def coefs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Token-3-gram shingle hashes (xxhash64 of the three tokens). */
+  def shingleHashes(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2), i =>
+      xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
+  /** MinHash signatures: k permutations h(x) = (a*(x mod p) + b) mod p,
+    * each taking the min over the document's shingle set. Pure column
+    * expressions — evaluated once per document at scan time.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", shingleHashes(col("toks")))
+      .select(col("doc_id"), array(coefs(k).map { case (a, b) =>
+        array_min(transform(col("sh"), x =>
+          pmod(pmod(x, lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
+      }: _*).as("sig"))
+
+  /** LSH banding: candidate pairs share at least one (band, band-hash)
+    * bucket. bands*rowsPerBand must equal the signature length. The
+    * self-join shuffles on the band hash, so work is proportional to bucket
+    * sizes, not corpus².
+    */
+  def minhashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), explode(array((0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((0 until rowsPerBand).map(r => element_at(col("sig"), j * rowsPerBand + r + 1)): _*)
+          .as("bh"))
+    }: _*)).as("b")).select(col("doc_id"), col("b.band"), col("b.bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash near-dup pipeline: signatures -> LSH candidates ->
+    * estimated similarity (fraction of equal signature components) ->
+    * threshold filter.
+    */
+  def minhashNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
+    val sigs = minhashSignatures(docs, k)
+    val cands = minhashCandidates(sigs, bands, k / bands)
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / k)
+      .where(col("est_sim") >= minSim)
+      .select("doc_a", "doc_b", "est_sim")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: bit i is set when more than half
+    * the token hashes have bit i set. Expression-only (no UDF).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+          |  acc + IF(2 * size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) > size(hs),
+          |           shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
+
+  /** SimHash near-dups: band the 64 bits into 4 16-bit chunks; a pair must
+    * agree on at least one chunk (guarantees recall for hamming<=3 with
+    * pigeonhole at 4 chunks), then verify hamming via bit_count(xor).
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { j =>
+      struct(lit(j).as("chunk"),
+        (shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L))).as("cv"))
+    }: _*)).as("c")).select(col("doc_id"), col("simhash"), col("c.chunk"), col("c.cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact token-3-gram Jaccard over bucketed candidate pairs. Buckets =
+    * (source, lang) plus a length band — the standard cheap blocking keys —
+    * so the pair join never goes quadratic in the corpus.
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, maxLenDiff: Int): DataFrame = {
+    val withShingles = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        array_distinct(TextAnalysis.md5Shingles(col("toks"), 3)).as("sh"))
+    withShingles.as("x").join(withShingles.as("y"),
+        col("x.source") === col("y.source") && col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          abs(col("x.len") - col("y.len")) <= maxLenDiff)
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))).cast("long"))
+      .withColumn("uni", size(array_union(col("x.sh"), col("y.sh"))).cast("long"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("inter"), col("uni"), col("jaccard"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set and
+  * stream the candidate corpus once; one shuffle for the per-query top-k
+  * window. Scale path: LSH sign-bucketing restricts candidates to one
+  * hyperplane bucket, turning the scan into a bucket-join.
+  */
+object Similarity {
+
+  /** Brute-force top-k: every query vector against every candidate.
+    * Queries are broadcast (they are few); candidates stream. Ranking is
+    * deterministic: similarity desc, then neighbor id asc.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Vectors.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Embedding near-dup pairs: bucket by a cheap key (here the label
+    * column — in production a coarse quantization), pair within bucket,
+    * keep cosine >= threshold.
+    */
+  def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim", Vectors.cosine(col("x.embedding"), col("y.embedding")))
+      .where(col("sim") >= minCosine)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (i, j) derives from
+    * a fixed LCG walk — reproducible across runs/executors, no RNG state.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 42L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      // top 32 bits -> [-1, 1)
+      (state >>> 32).toDouble / Int.MaxValue.toDouble - 1.0
+    }
+    Seq.fill(nPlanes)(Seq.fill(dim)(next()))
+  }
+
+  /** Sign-LSH bucket id: bit p is set when dot(embedding, plane_p) > 0.
+    * Expression-only; the plane matrix is inlined as literals.
+    */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(Vectors.dot(Vectors.asDouble(emb), planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: queries join candidates only within their sign
+    * bucket. Trades recall for a corpus-scan-free candidate set — at 100 TB
+    * the bucket column is precomputed and the join is bucket-partitioned.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Vectors.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+}

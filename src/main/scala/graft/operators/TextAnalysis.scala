@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization stats, quality scoring, heuristic language ID, document
+  * fingerprinting. Everything is column expressions over built-in
+  * functions — fully distributed, no UDFs, no collect.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-document quality metrics: token count, char stats, stopword ratio,
+    * and a quality flag. One narrow projection — runs at scan speed.
+    */
+  def qualityMetrics(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars_nospace",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("avg_token_len", col("n_chars_nospace") / col("n_tokens"))
+      .withColumn("stopword_count",
+        expr(s"size(filter(toks, x -> x IN ($stopList)))").cast("long"))
+      .withColumn("stopword_ratio", col("stopword_count") / col("n_tokens"))
+      .withColumn("is_quality",
+        col("n_tokens") >= 20 && col("stopword_ratio") < 0.3)
+      .select("doc_id", "n_tokens", "n_chars_nospace", "avg_token_len",
+        "stopword_count", "stopword_ratio", "is_quality")
+  }
+
+  /** Heuristic language ID: score each language by marker-token hits, pick
+    * the argmax with a fixed preference order on ties. `markers` maps
+    * language code -> marker words; scoring order is the given seq order.
+    */
+  def languageId(docs: DataFrame, markers: Seq[(String, Seq[String])]): DataFrame = {
+    val withScores = markers.foldLeft(docs.withColumn("toks", tokens(col("text")))) {
+      case (df, (langCode, words)) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"score_$langCode",
+          expr(s"size(filter(toks, x -> x IN ($list)))").cast("long"))
+    }
+    // argmax with deterministic tie-break: first language in `markers` order
+    // whose score equals the max wins.
+    val maxScore = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+    val predicted = markers.foldRight(lit("und")) { case ((l, _), elseCol) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(elseCol)
+    }
+    withScores
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+      .select(Seq(col("doc_id")) ++
+        markers.map { case (l, _) => col(s"score_$l") } ++
+        Seq(col("predicted_lang"), col("lang"), col("is_match")): _*)
+  }
+
+  /** Token n-gram shingles as space-joined strings, hashed with md5 —
+    * md5 is available verbatim in the oracle engine, keeping the
+    * fingerprint portable.
+    */
+  def md5Shingles(toks: Column, n: Int): Column = {
+    require(n == 3, "portable oracle written for n=3")
+    transform(sequence(lit(1), size(toks) - 2), i =>
+      md5(concat(element_at(toks, i), lit(" "),
+        element_at(toks, i + 1), lit(" "),
+        element_at(toks, i + 2))))
+  }
+
+  /** Document fingerprint: minimum md5 over token 3-gram shingles
+    * (winnowing-style representative hash) + shingle count.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .withColumn("shingles", md5Shingles(col("toks"), 3))
+      .select(
+        col("doc_id"),
+        array_min(col("shingles")).as("fingerprint"),
+        size(col("shingles")).cast("long").as("n_shingles"))
+
+  /** Multimodal plumbing: treat the payload as opaque bytes with typed
+    * metadata — byte length, fixed-size chunk count, content hash. The same
+    * schema/partitioning carries image/audio blobs at scale; here the text
+    * column stands in as the binary payload.
+    */
+  def binaryMeta(docs: DataFrame, chunkBytes: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      expr(s"CAST((octet_length(CAST(text AS BINARY)) + ${chunkBytes - 1}) DIV $chunkBytes AS BIGINT)")
+        .as("n_chunks"),
+      md5(col("text")).as("content_hash"))
+}
