@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+    "eta", "theta", "iota", "kappa")
+
+  private val otherWords = Seq("rho", "sigma", "tau", "phi", "chi", "psi",
+    "omega", "mu", "nu", "xi")
+
+  /** Deterministic pseudo-doc of n tokens over the given vocab. */
+  private def doc(vocab: Seq[String], seed: Int, n: Int): String =
+    (0 until n).map(i => vocab((seed * 31 + i * 7) % vocab.size)).mkString(" ")
+
+  private def docs = Seq(
+    (1L, doc(words, 1, 50), "en", "s0"),
+    (2L, doc(otherWords, 1, 50), "en", "s0"),      // disjoint vocab: no overlap
+    (3L, doc(words, 1, 50), "en", "s0"),           // exact copy of 1
+    (4L, doc(words, 1, 50) + " tail extra", "en", "s0") // near copy of 1
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exactDedup groups identical content") {
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.map(_.getAs[Long]("dup_count")).sum == 4)
+    val dupGroup = out.find(_.getAs[Long]("dup_count") == 2).get
+    assert(dupGroup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("minhash est_sim is 1.0 for identical docs and high for near-copies") {
+    val out = Dedup.minhashNearDups(docs, k = 64, bands = 16, minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 3L)) == 1.0)
+    assert(out.getOrElse((1L, 4L), 0.0) > 0.7)
+    assert(!out.contains((1L, 2L))) // different content, no candidate
+  }
+
+  test("simhash hamming is 0 for identical docs") {
+    val out = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 3L)) == 0L)
+  }
+
+  test("ngramJaccardPairs verifies exact overlap within buckets") {
+    val out = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxLenDiff = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(out((1L, 3L)) == 1.0)
+    assert(out((1L, 4L)) > 0.8 && out((1L, 4L)) < 1.0)
+  }
+
+  test("signatures are reproducible across evaluations") {
+    val a = Dedup.minhashSignatures(docs, 16).orderBy("doc_id")
+      .select(to_json(struct(col("sig")))).as[String].collect().toSeq
+    val b = Dedup.minhashSignatures(docs, 16).orderBy("doc_id")
+      .select(to_json(struct(col("sig")))).as[String].collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Etl
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lots = Seq(
+    // lot_id, step, product, qty, status, priority
+    ("L1", "ETCH", "P1", 10.0, "IN_PROGRESS", "HIGH"),
+    ("L2", "ETCH", "P1", 20.0, "COMPLETED", "LOW"),
+    ("L3", "ETCH", "P2", 5.0, "HOLD", "HIGH"),
+    ("L4", "DIFF", "P1", 7.0, "COMPLETED", "HIGH"),
+    ("L2", "ETCH", "P1", 30.0, "IN_PROGRESS", "LOW")
+  ).toDF("lot_id", "process_step", "product_code", "quantity", "status", "priority")
+
+  test("wipAggregate filters inactive lots and aggregates per group") {
+    val out = Etl.wipAggregate(lots, "status", Seq("IN_PROGRESS", "COMPLETED"),
+      Seq("process_step", "product_code"), "quantity", "lot_id", "2024-01-01")
+      .orderBy("process_step").collect()
+    assert(out.length == 2)
+    val etch = out.find(_.getString(0) == "ETCH").get
+    assert(etch.getDouble(2) == 60.0)     // wip_qty: 10+20+30 (HOLD excluded)
+    assert(etch.getLong(3) == 2)          // distinct lots L1, L2
+    assert(math.abs(etch.getDouble(4) - 20.0) < 1e-12)
+  }
+
+  test("wipWithPriority counts high-priority lots in the same pass") {
+    val out = Etl.wipWithPriority(lots, "status", Seq("IN_PROGRESS", "COMPLETED"),
+      Seq("process_step"), "quantity", "lot_id", "priority", "HIGH", "2024-01-01")
+      .where($"process_step" === "ETCH").collect()
+    assert(out.head.getAs[Long]("high_priority_count") == 1)
+  }
+
+  test("upsert replaces keyed rows and keeps the rest") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val updates = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    val out = Etl.upsert(target, updates, Seq("k")).orderBy("k")
+      .as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "a"), (2, "B"), (3, "c"), (4, "D")))
+  }
+
+  test("utilizationPivot emits static columns with explicit pivot values") {
+    val ev = Seq(("E1", "RUN", 720.0), ("E1", "IDLE", 720.0), ("E2", "RUN", 1440.0))
+      .toDF("equipment_id", "event_type", "duration_minutes")
+    val out = Etl.utilizationPivot(ev, "equipment_id", "event_type",
+      "duration_minutes", Seq("RUN", "IDLE", "DOWN"), "RUN", 1440, "2024-01-01")
+    assert(out.columns.toSeq ==
+      Seq("equipment_id", "RUN", "IDLE", "DOWN", "utilization_rate", "snapshot_date"))
+    val m = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("E1").getDouble(4) == 50.0)
+    assert(m("E2").getDouble(4) == 100.0)
+    assert(m("E2").getDouble(2) == 0.0)   // fillna on missing IDLE
+  }
+
+  test("applySchema casts and preserves column order") {
+    val df = Seq(("1", "2.5")).toDF("a", "b")
+    val out = Etl.applySchema(df, Seq("a" -> "long", "b" -> "double"))
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("a", "bigint"), ("b", "double")))
+    assert(out.head() == Row(1L, 2.5))
+  }
+
+  test("schemaDrift reports added/removed/type changes") {
+    val cur = Seq((1, "x")).toDF("a", "b")
+    val nxt = Seq((1L, 2.0)).toDF("a", "c")
+    val drift = Etl.schemaDrift(cur, nxt)
+    assert(drift("added") == Seq("c"))
+    assert(drift("removed") == Seq("b"))
+    assert(drift("type_changed") == Seq("a: int -> bigint"))
+  }
+
+  test("moneySum is exact under parallel fold") {
+    val df = (1 to 10000).map(i => i / 100.0).toDF("x").repartition(16)
+    val got = df.agg(Etl.moneySum($"x")).head().getDouble(0)
+    assert(got == 500050.0)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+
+import graft.streaming.EventStream
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyTypeCounts aggregates watermarked tumbling windows") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.hourlyTypeCounts(input.toDF(), watermark = "10 minutes")
+
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("hourly")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+      EventStream.Event(2, ts("2024-01-01 00:20:00"), 1, "click", 3.0),
+      EventStream.Event(3, ts("2024-01-01 00:30:00"), 2, "view", 1.0))
+    query.processAllAvailable()
+    // event far enough ahead to advance the watermark past the 00:00 window
+    input.addData(EventStream.Event(4, ts("2024-01-01 03:00:00"), 1, "click", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("hourly")
+      .collect().map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type")) -> (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toMap
+    assert(rows(("2024-01-01 00:00:00.0", "click")) == ((2L, 5.0)))
+    assert(rows(("2024-01-01 00:00:00.0", "view")) == ((1L, 1.0)))
+  }
+
+  test("sessionize tracks per-user state across a microbatch") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.sessionize(input.toDF(), gapMs = 0)
+
+    val chk = Files.createTempDirectory("graft-stream2").toString
+    val query = out.writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 00:00:45"), 7, "view", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val r = spark.table("sessions").where($"user_id" === 7).head()
+    assert(r.getAs[Long]("n_events") == 2)
+    assert(r.getAs[Long]("duration_us") == 45000000L)
+    assert(!r.getAs[Boolean]("closed"))
+  }
+}

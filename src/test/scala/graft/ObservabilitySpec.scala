@@ -1,0 +1,34 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Observability
+
+class ObservabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 10L, "START", 0.0, ""),
+    (2L, ts("2024-01-01 00:00:30"), 10L, "SUCCESS", 0.0, ""),
+    (3L, ts("2024-01-01 00:01:00"), 10L, "START", 0.0, ""),
+    (4L, ts("2024-01-01 00:02:00"), 10L, "FAILURE", 0.0, ""),
+    (5L, ts("2024-01-01 00:00:10"), 20L, "START", 0.0, "")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("eventDurations pairs each event with its successor per entity") {
+    val out = Observability.eventDurations(events, "user_id")
+      .orderBy("user_id", "event_id").collect()
+    assert(out.length == 3) // last event per user has no successor
+    assert(out(0).getAs[Long]("duration_us") == 30000000L)
+    assert(out(0).getAs[String]("next_event_type") == "SUCCESS")
+    assert(out(2).getAs[Long]("duration_us") == 60000000L)
+  }
+
+  test("stepStats aggregates durations per type") {
+    val stats = Observability.stepStats(Observability.eventDurations(events, "user_id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("run_count")).toMap
+    assert(stats("START") == 2) // START->SUCCESS and SUCCESS->START pairs keyed by first event
+  }
+}

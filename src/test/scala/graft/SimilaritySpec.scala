@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.0f, 1.0f, 0.0f), 0),
+    (2L, Array(1.0f, 1.0f, 0.0f), 0),
+    (3L, Array(1.0f, 0.0f, 0.0f), 1) // identical direction to 0
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine matches hand computation") {
+    val sims = vecs.as("x").crossJoin(vecs.as("y"))
+      .select(col("x.vec_id"), col("y.vec_id"),
+        Vectors.cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((0L, 1L)) == 0.0)
+    assert(math.abs(sims((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(sims((0L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by similarity desc with id tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 2L, 1L))
+    assert(out.head.getAs[Double]("sim_r") == 1.0)
+  }
+
+  test("lsh buckets identical-direction vectors together") {
+    val planes = Similarity.hyperplanes(8, 3)
+    val buckets = vecs
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(3L))
+  }
+
+  test("hyperplanes are deterministic") {
+    assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat", "en", "s0", 22L),
+    (2L, "uno dos tres", "es", "s0", 12L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("qualityMetrics computes token and stopword stats") {
+    val r = TextAnalysis.qualityMetrics(docs, Seq("the", "on"))
+      .where($"doc_id" === 1).head()
+    assert(r.getAs[Long]("n_tokens") == 6)
+    assert(r.getAs[Long]("stopword_count") == 3)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 0.5) < 1e-12)
+    assert(!r.getAs[Boolean]("is_quality")) // < 20 tokens
+  }
+
+  test("languageId picks argmax with deterministic tie-break") {
+    val markers = Seq("en" -> Seq("the", "cat"), "es" -> Seq("uno", "dos"))
+    val out = TextAnalysis.languageId(docs, markers)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+  }
+
+  test("fingerprint is stable and counts shingles") {
+    val a = TextAnalysis.fingerprint(docs).orderBy("doc_id").collect()
+    val b = TextAnalysis.fingerprint(docs).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.head.getAs[Long]("n_shingles") == 4) // 6 tokens -> 4 trigrams
+  }
+
+  test("binaryMeta reports bytes, chunks, and hash") {
+    val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
+    assert(r.getAs[Long]("n_bytes") == 22)
+    assert(r.getAs[Long]("n_chunks") == 3) // ceil(22/8)
+    assert(r.getAs[String]("content_hash").length == 32)
+  }
+}

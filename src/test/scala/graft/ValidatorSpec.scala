@@ -1,0 +1,38 @@
+package graft
+
+import graft.validation.Validator
+
+class ValidatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all rules evaluate in one pass with correct failed counts") {
+    val df = Seq(
+      (Some(1), 10.0, "OK", "A-1"),
+      (Some(1), -5.0, "OK", "B-2"),   // dup key, below range
+      (None, 20.0, "BAD", "C-3"),     // null key, bad status
+      (Some(3), 999.0, "OK", "nope")  // above range, regex fail
+    ).toDF("k", "qty", "status", "code")
+
+    val r = Validator(df)
+      .checkNotNull("k")
+      .checkUnique("k")
+      .checkRange("qty", minVal = Some(0.0), maxVal = Some(100.0))
+      .checkValuesIn("status", Seq("OK"))
+      .checkRegex("code", "^[A-Z]-[0-9]$")
+      .report().head()
+
+    assert(r.getAs[Long]("total_rows") == 4)
+    assert(r.getAs[Long]("not_null_k") == 1)
+    assert(r.getAs[Long]("unique_k") == 1)
+    assert(r.getAs[Long]("range_qty") == 2)
+    assert(r.getAs[Long]("values_in_status") == 1)
+    assert(r.getAs[Long]("regex_code") == 1)
+  }
+
+  test("clean data reports zeros") {
+    val df = Seq((1, "x")).toDF("k", "s")
+    val r = Validator(df).checkNotNull("k").checkUnique("k").report().head()
+    assert(r.getAs[Long]("not_null_k") == 0)
+    assert(r.getAs[Long]("unique_k") == 0)
+  }
+}
