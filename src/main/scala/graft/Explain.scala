@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted plan and timed runs for selected queries.
+  * Usage: Explain <sfDir> <queryName> [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"\n===== $name =====")
+      df.explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

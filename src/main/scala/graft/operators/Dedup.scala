@@ -62,10 +62,11 @@ object Dedup {
     docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
-      .withColumn("sh", shingleHashes(col("toks")))
+      // reduce mod p once, and dedupe, before the k permutation passes
+      .withColumn("sh", array_distinct(transform(shingleHashes(col("toks")),
+        x => pmod(x, lit(MinhashPrime)))))
       .select(col("doc_id"), array(coefs(k).map { case (a, b) =>
-        array_min(transform(col("sh"), x =>
-          pmod(pmod(x, lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
+        array_min(transform(col("sh"), x => pmod(x * a + b, lit(MinhashPrime))))
       }: _*).as("sig"))
 
   /** LSH banding: candidate pairs share at least one (band, band-hash)
@@ -146,12 +147,15 @@ object Dedup {
     * so the pair join never goes quadratic in the corpus.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, maxLenDiff: Int): DataFrame = {
+    // 64-bit shingle hashes, not md5 strings: long set-ops are far cheaper
+    // than 32-char string compares in the pair stage, and |set| arithmetic
+    // is hash-representation independent (collisions are ~n²/2^64).
     val withShingles = docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("len"),
-        array_distinct(TextAnalysis.md5Shingles(col("toks"), 3)).as("sh"))
+        array_distinct(shingleHashes(col("toks"))).as("sh"))
     withShingles.as("x").join(withShingles.as("y"),
         col("x.source") === col("y.source") && col("x.lang") === col("y.lang") &&
           col("x.doc_id") < col("y.doc_id") &&

@@ -19,14 +19,22 @@ object Similarity {
     * Queries are broadcast (they are few); candidates stream. Ranking is
     * deterministic: similarity desc, then neighbor id asc.
     */
+  /** Project to (id, double-embedding, norm) once so the pair stage only
+    * pays one dot product per pair instead of three.
+    */
+  private def withNorm(df: DataFrame, idAs: String, embAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), Vectors.asDouble(col("embedding")).as(embAs),
+      Vectors.norm(Vectors.asDouble(col("embedding"))).as(s"${embAs}_norm"))
+
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = withNorm(queries, "query_id", "q_emb")
+    val c = withNorm(candidates, "neighbor_id", "c_emb")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", Vectors.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        Vectors.dot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -38,10 +46,13 @@ object Similarity {
     * keep cosine >= threshold.
     */
   def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val e = embeddings.select(col("vec_id"), col("label"),
+      Vectors.asDouble(col("embedding")).as("emb"),
+      Vectors.norm(Vectors.asDouble(col("embedding"))).as("nrm"))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("sim", Vectors.cosine(col("x.embedding"), col("y.embedding")))
+      .withColumn("sim",
+        Vectors.dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
       .where(col("sim") >= minCosine)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(col("sim"), 4).as("sim_r"))
@@ -78,15 +89,16 @@ object Similarity {
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    val c = candidates.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+    val q = withNorm(queries, "query_id", "q_emb")
+      .withColumn("bucket", lshBucket(col("q_emb"), planes))
+    val c = withNorm(candidates, "neighbor_id", "c_emb")
+      .withColumn("bucket", lshBucket(col("c_emb"), planes))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", Vectors.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim",
+        Vectors.dot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
