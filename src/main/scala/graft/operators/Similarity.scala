@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftnative.FloatVecDot.fdot
 import graft.functions.Vectors
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -19,12 +20,12 @@ object Similarity {
     * Queries are broadcast (they are few); candidates stream. Ranking is
     * deterministic: similarity desc, then neighbor id asc.
     */
-  /** Project to (id, double-embedding, norm) once so the pair stage only
-    * pays one dot product per pair instead of three.
+  /** Project to (id, embedding, norm) once so the pair stage only pays one
+    * codegen'd dot product per pair instead of three.
     */
   private def withNorm(df: DataFrame, idAs: String, embAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs), Vectors.asDouble(col("embedding")).as(embAs),
-      Vectors.norm(Vectors.asDouble(col("embedding"))).as(s"${embAs}_norm"))
+    df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      sqrt(fdot(col("embedding"), col("embedding"))).as(s"${embAs}_norm"))
 
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = withNorm(queries, "query_id", "q_emb")
@@ -34,7 +35,7 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        Vectors.dot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
+        fdot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -46,13 +47,12 @@ object Similarity {
     * keep cosine >= threshold.
     */
   def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
-      Vectors.asDouble(col("embedding")).as("emb"),
-      Vectors.norm(Vectors.asDouble(col("embedding"))).as("nrm"))
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding").as("emb"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim",
-        Vectors.dot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
+        fdot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
       .where(col("sim") >= minCosine)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(col("sim"), 4).as("sim_r"))
@@ -98,7 +98,7 @@ object Similarity {
     c.join(broadcast(q), "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        Vectors.dot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
+        fdot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
