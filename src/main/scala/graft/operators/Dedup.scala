@@ -55,19 +55,20 @@ object Dedup {
       xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
 
   /** MinHash signatures: k permutations h(x) = (a*(x mod p) + b) mod p,
-    * each taking the min over the document's shingle set. Pure column
-    * expressions — evaluated once per document at scan time.
+    * each taking the min over the document's shingle set, computed by the
+    * native codegen'd MinhashSig expression (a k-by-n primitive loop nest
+    * instead of k interpreted array passes).
     */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame =
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val cs = coefs(k)
     docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
-      // reduce mod p once, and dedupe, before the k permutation passes
-      .withColumn("sh", array_distinct(transform(shingleHashes(col("toks")),
-        x => pmod(x, lit(MinhashPrime)))))
-      .select(col("doc_id"), array(coefs(k).map { case (a, b) =>
-        array_min(transform(col("sh"), x => pmod(x * a + b, lit(MinhashPrime))))
-      }: _*).as("sig"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftnative.MinhashSig.minhashSig(
+          array_distinct(shingleHashes(col("toks"))),
+          cs.map(_._1), cs.map(_._2), MinhashPrime).as("sig"))
+  }
 
   /** LSH banding: candidate pairs share at least one (band, band-hash)
     * bucket. bands*rowsPerBand must equal the signature length. The
