@@ -220,7 +220,22 @@ object SparkEntry {
 
     // §2.26 — multimodal binary-column plumbing
     "q_multimodal_meta" -> ((s, dir) =>
-      TextAnalysis.binaryMeta(Tables.documents(s, dir), chunkBytes = 256))
+      TextAnalysis.binaryMeta(Tables.documents(s, dir), chunkBytes = 256)),
+
+    // §2.27 — SQL model chain (dbt-factory analog); Catalyst sees through
+    // the model boundary, so the status filter pushes into the scan.
+    "q_sql_model" -> ((s, dir) =>
+      graft.pipeline.SqlModels.run(s,
+        Map("orders" -> Tables.orders(s, dir)),
+        Seq(
+          graft.pipeline.SqlModels.Model("stg_orders",
+            "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice " +
+              "FROM orders WHERE o_orderstatus IN ('O','F')"),
+          graft.pipeline.SqlModels.Model("fct_priority_revenue",
+            "SELECT o_orderpriority, " +
+              "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
+              "count(*) AS n_orders FROM stg_orders GROUP BY o_orderpriority",
+            deps = Seq("stg_orders"))))("fct_priority_revenue"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -469,7 +484,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
         |  md5(text) AS content_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_sql_model" ->
+      """WITH stg_orders AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderstatus IN ('O','F'))
+        |SELECT o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM stg_orders GROUP BY o_orderpriority""".stripMargin
   )
 
   /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so

@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions as SQL functions, so
+  * `spark.sql("SELECT fvec_dot(a, b) ...")` works alongside the Column API.
+  *
+  * Use either via `spark.sql.extensions=org.apache.spark.sql.graftnative.
+  * GraftExtensions` at session build, or `GraftExtensions.register(spark)`
+  * on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))),
+    (FunctionIdentifier("fvec_cosine"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_cosine"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (children(0), children(1))
+        Divide(FloatVecDot(a, b),
+          Multiply(Sqrt(FloatVecDot(a, a)), Sqrt(FloatVecDot(b, b))))
+      }))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

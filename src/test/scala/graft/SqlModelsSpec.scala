@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.graftnative.GraftExtensions
+
+import graft.pipeline.SqlModels
+import graft.pipeline.SqlModels.Model
+
+class SqlModelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("models run in dependency order and compose lazily") {
+    val src = Seq((1, "A", 10.0), (2, "B", 20.0), (3, "A", 30.0)).toDF("id", "grp", "amt")
+    val out = SqlModels.run(spark, Map("src" -> src), Seq(
+      Model("agg", "SELECT grp, sum(amt) AS total FROM stg GROUP BY grp", deps = Seq("stg")),
+      Model("stg", "SELECT * FROM src WHERE amt > 15")))
+    val rows = out("agg").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows == Map("A" -> 30.0, "B" -> 20.0))
+  }
+
+  test("dependency cycles are rejected") {
+    intercept[IllegalArgumentException] {
+      SqlModels.run(spark, Map.empty, Seq(
+        Model("a", "SELECT * FROM b", deps = Seq("b")),
+        Model("b", "SELECT * FROM a", deps = Seq("a"))))
+    }
+  }
+
+  test("GraftExtensions exposes fvec_dot / fvec_cosine in SQL") {
+    GraftExtensions.register(spark)
+    Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("v")
+    val r = spark.sql("SELECT fvec_dot(a, b) AS d, fvec_cosine(a, a) AS c FROM v").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+}
