@@ -52,6 +52,31 @@ final class Validator private (df: DataFrame, rules: Vector[(String, Column)]) {
   def checkCustom(name: String, failed: Column): Validator =
     add(s"custom_$name", count(when(failed, lit(1))))
 
+  /** Declared-type check (schema-level, no scan cost): 0 if the column's
+    * Spark type matches the expected DDL string, else 1.
+    * Reference: validation.py:115 check_type.
+    */
+  def checkType(c: String, expectedDdl: String): Validator = {
+    val actual = df.schema.find(_.name == c).map(_.dataType.simpleString)
+    val ok = actual.contains(
+      org.apache.spark.sql.types.DataType.fromDDL(expectedDdl).simpleString)
+    add(s"type_$c", lit(if (ok) 0L else 1L))
+  }
+
+  /** Row-count bounds: failed count is 1 when outside [min, max].
+    * Reference: validation.py:200 check_row_count.
+    */
+  def checkRowCount(minCount: Option[Long] = None, maxCount: Option[Long] = None): Validator = {
+    val n = count(lit(1))
+    val bad = (minCount.map(n < _), maxCount.map(n > _)) match {
+      case (Some(lo), Some(hi)) => lo || hi
+      case (Some(lo), None)     => lo
+      case (None, Some(hi))     => hi
+      case _                    => lit(false)
+    }
+    add("row_count", when(bad, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Single-pass report: total_rows + per-rule failed counts. */
   def report(): DataFrame = {
     val aggs = count(lit(1)).cast("long").as("total_rows") +: rules.map(_._2)
