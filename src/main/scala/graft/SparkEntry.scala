@@ -30,9 +30,10 @@ object SparkEntry {
     "zh" -> Seq("spark", "stream"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 — daily-partitioned extract with projection pushdown
+    // §2.1 — daily-partitioned extract; the date filter is rewritten to a
+    // raw-nanos range so it pushes down to the parquet scan
     "q_extract_daily" -> ((s, dir) =>
-      Etl.extractDaily(Tables.events(s, dir), col("ts"), "2024-01-02",
+      Etl.extractDailyNs(Tables.eventsRaw(s, dir), "ts", "2024-01-02",
         Seq("event_id", "user_id", "event_type", "value"))),
 
     // §2.2 — constant-filtered dimension extract (cfg_item_master analog)

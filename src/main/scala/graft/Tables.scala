@@ -32,11 +32,19 @@ object Tables {
     * truncated to micros — integer DIV, since ~1.7e18 ns exceeds double's
     * exact range.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsRaw(s, d)
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
+
+  /** Events with `ts` as the raw int64 nanos the parquet stores. Filters on
+    * this column push down to the scan (the converted TimestampType column
+    * is computed, so predicates on it cannot) — use for partition-style
+    * date filters, then convert.
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

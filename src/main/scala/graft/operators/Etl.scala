@@ -30,6 +30,19 @@ object Etl {
   def extractDaily(src: DataFrame, dateCol: Column, day: String, cols: Seq[String]): DataFrame =
     src.where(to_date(dateCol) === lit(day)).select(cols.map(col): _*)
 
+  /** Daily extract over a raw int64-nanos timestamp column: the day is
+    * rewritten to a [start, end) range on the stored long, which reaches the
+    * parquet scan as a pushed filter + row-group stats prune. `to_date` on a
+    * computed timestamp cannot push down; this form is what a 100 TB
+    * time-partitioned scan needs.
+    */
+  def extractDailyNs(src: DataFrame, tsNsCol: String, day: String, cols: Seq[String]): DataFrame = {
+    val startNs = java.time.LocalDate.parse(day).toEpochDay * 86400L * 1000000000L
+    val endNs = startNs + 86400L * 1000000000L
+    src.where(col(tsNsCol) >= startNs && col(tsNsCol) < endNs)
+      .select(cols.map(col): _*)
+  }
+
   /** WIP aggregation: keep active-status rows, aggregate quantity per group.
     * Reference: etl/common/assets/transfer.py:14 (transform_aps_wip_logic):
     * status-IN filter -> groupBy -> sum/nunique/mean -> snapshot_date.
