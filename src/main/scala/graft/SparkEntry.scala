@@ -236,7 +236,33 @@ object SparkEntry {
             "SELECT o_orderpriority, " +
               "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, " +
               "count(*) AS n_orders FROM stg_orders GROUP BY o_orderpriority",
-            deps = Seq("stg_orders"))))("fct_priority_revenue"))
+            deps = Seq("stg_orders"))))("fct_priority_revenue")),
+
+    // §2.28 — batch dual of the streaming hourly window aggregation
+    "q_event_windows" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("date").as("window_day"),
+          hour(date_trunc("hour", col("ts"))).as("window_hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Etl.moneySum(col("value")).as("sum_value"))),
+
+    // §2.29 — exact percentiles of event value per type
+    "q_event_percentiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+    // §2.30 — salted two-phase aggregation (skewed-key pattern); result is
+    // identical to a direct groupBy, which is exactly what the oracle checks
+    "q_salted_agg" -> ((s, dir) =>
+      Etl.saltedSumCount(Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        key = "event_type", valueCol = "value", salt = 16))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -494,7 +520,28 @@ object SparkEntry {
         |SELECT o_orderpriority,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
-        |FROM stg_orders GROUP BY o_orderpriority""".stripMargin
+        |FROM stg_orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS window_day,
+        |  CAST(hour(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS INTEGER) AS window_hour,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_event_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(value) AS n_rows
+        |FROM events GROUP BY event_type""".stripMargin
   )
 
   /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so

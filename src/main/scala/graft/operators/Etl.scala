@@ -179,4 +179,23 @@ object Etl {
   def partitionListing(src: DataFrame, dateCol: Column): DataFrame =
     src.select(date_format(to_date(dateCol), "yyyyMMdd").as("partition_date"))
       .distinct()
+
+  /** Salted two-phase aggregation for skewed group keys: explode each key
+    * into `salt` shards, partially aggregate, then merge. Same result as a
+    * direct groupBy; the first shuffle spreads a hot key over `salt`
+    * reducers instead of one. Use when a handful of keys dominate (the
+    * classic 100 TB failure mode); AQE skew handling covers joins, this
+    * covers aggregations.
+    */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String, salt: Int): DataFrame =
+    df
+      .withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
+      .groupBy(col(key), col("_salt"))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,2)")).as("_psum"),
+        count(col(valueCol)).as("_pcnt"))
+      .groupBy(col(key))
+      .agg(
+        sum(col("_psum")).cast("double").as("sum_value"),
+        sum(col("_pcnt")).as("n_rows"))
 }
