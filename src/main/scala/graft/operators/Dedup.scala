@@ -161,21 +161,24 @@ object Dedup {
     * so the pair join never goes quadratic in the corpus.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, maxLenDiff: Int): DataFrame = {
-    // 64-bit shingle hashes, not md5 strings: long set-ops are far cheaper
-    // than 32-char string compares in the pair stage, and |set| arithmetic
-    // is hash-representation independent (collisions are ~n²/2^64).
+    // 64-bit shingle hashes (not md5 strings), sorted + distinct ONCE per
+    // document, so each candidate pair costs one allocation-free native
+    // merge (SortedIntersectCount) instead of two hash-set builds. |set|
+    // arithmetic is hash-representation independent (collisions ~n²/2^64).
+    import org.apache.spark.sql.graftnative.SortedIntersectCount.sortedIntersectCount
     val withShingles = docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("len"),
-        array_distinct(shingleHashes(col("toks"))).as("sh"))
+        array_sort(array_distinct(shingleHashes(col("toks")))).as("sh"))
     withShingles.as("x").join(withShingles.as("y"),
         col("x.source") === col("y.source") && col("x.lang") === col("y.lang") &&
           col("x.doc_id") < col("y.doc_id") &&
           abs(col("x.len") - col("y.len")) <= maxLenDiff)
-      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))).cast("long"))
-      .withColumn("uni", size(array_union(col("x.sh"), col("y.sh"))).cast("long"))
+      .withColumn("inter", sortedIntersectCount(col("x.sh"), col("y.sh")))
+      .withColumn("uni",
+        size(col("x.sh")).cast("long") + size(col("y.sh")).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter") / col("uni"))
       .where(col("jaccard") >= minJaccard)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
