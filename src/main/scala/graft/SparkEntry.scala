@@ -262,7 +262,22 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) =>
       Etl.saltedSumCount(Tables.events(s, dir)
           .select(col("event_id"), col("event_type"), col("value")),
-        key = "event_type", valueCol = "value", salt = 16))
+        key = "event_type", valueCol = "value", salt = 16)),
+
+    // §2.31 — failure listing (RunAnalyzer.get_failures analog)
+    "q_run_failures" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))),
+
+    // §2.32 — JSON metadata extraction from the props column
+    // (materialization-metadata analog)
+    "q_props_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+        .where(col("prop_k") % 10 === 0))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -541,7 +556,17 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(value) AS n_rows
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_run_failures" ->
+      """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |FROM events WHERE event_type = 'error'""".stripMargin,
+
+    "q_props_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0""".stripMargin
   )
 
   /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so
