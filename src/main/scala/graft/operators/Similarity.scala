@@ -72,15 +72,11 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit p is set when dot(embedding, plane_p) > 0.
-    * Expression-only; the plane matrix is inlined as literals.
+    * Native codegen expression; the plane matrix rides as a reference
+    * object rather than (planes x dim) column literals.
     */
-  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(Vectors.dot(Vectors.asDouble(emb), planeCol) > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftnative.FloatVecLshBucket.lshBucket(emb, planes)
 
   /** LSH-bucketed ANN: queries join candidates only within their sign
     * bucket. Trades recall for a corpus-scan-free candidate set — at 100 TB
