@@ -118,9 +118,10 @@ object Etl {
   /** Utilization pivot: per-entity event-type totals as columns + rate.
     * Reference: etl/common/assets/transfer.py:129
     * (transform_equipment_utilization_logic): groupBy sum -> pandas pivot ->
-    * fillna(0) -> RUN/(24*60)*100. Pivot values are passed explicitly so
-    * Spark skips the extra distinct job and the output schema is static —
-    * mandatory at scale and for a stable oracle.
+    * fillna(0) -> RUN/(24*60)*100. Written as one conditional aggregation
+    * per pivot value rather than `.pivot(...)`: the explicit value list
+    * keeps the schema static, and the single groupBy is ONE shuffle with
+    * map-side partial aggregation (Spark's pivot operator plans two).
     */
   def utilizationPivot(
       events: DataFrame,
@@ -131,12 +132,12 @@ object Etl {
       runType: String,
       minutesPerDay: Int,
       snapshotDate: String): DataFrame = {
-    val pivoted = events
+    val sums = eventTypes.map { t =>
+      coalesce(moneySum(when(col(eventTypeCol) === t, col(valueCol))), lit(0.0)).as(t)
+    }
+    events
       .groupBy(col(entityCol))
-      .pivot(eventTypeCol, eventTypes)
-      .agg(moneySum(col(valueCol)))
-      .na.fill(0.0, eventTypes)
-    pivoted
+      .agg(sums.head, sums.tail: _*)
       .withColumn("utilization_rate",
         round(col(runType) / minutesPerDay * 100, 2))
       .withColumn("snapshot_date", lit(snapshotDate))
