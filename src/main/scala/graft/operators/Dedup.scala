@@ -111,27 +111,11 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: bit i is set when more than half
     * the token hashes have bit i set. Expression-only (no UDF).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    // SWAR bit counting: one aggregate pass per group of 4 bits, packing the
-    // 4 per-bit counts into 16-bit lanes of one long accumulator. 16 passes
-    // over the token hashes instead of 64 — the lambda-dispatch cost of
-    // interpreted higher-order functions dominates, so fewer passes win.
-    def lane(h: Column, bit: Int, k: Int): Column =
-      shiftleft(shiftright(h, bit).bitwiseAND(lit(1L)), 16 * k)
-    val withAcc = (0 until 16).foldLeft(
-      docs
-        .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
-        .withColumn("n", size(col("hs")).cast("long"))) { (df, g) =>
-      df.withColumn(s"acc_$g",
-        aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + lane(h, 4 * g, 0) + lane(h, 4 * g + 1, 1) +
-            lane(h, 4 * g + 2, 2) + lane(h, 4 * g + 3, 3)))
-    }
-    val bits = for { g <- 0 until 16; k <- 0 until 4 } yield
-      when(shiftright(col(s"acc_$g"), 16 * k).bitwiseAND(lit(0xFFFFL)) * 2 > col("n"),
-        lit(1L << (4 * g + k))).otherwise(lit(0L))
-    withAcc.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hs", expr("transform(split(text, ' '), t -> xxhash64(t))"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftnative.Simhash64.simhash64(col("hs")).as("simhash"))
 
   /** SimHash near-dups: band the 64 bits into 4 16-bit chunks; a pair must
     * agree on at least one chunk (guarantees recall for hamming<=3 with
