@@ -277,7 +277,18 @@ object SparkEntry {
       Tables.events(s, dir)
         .select(col("event_id"), col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
-        .where(col("prop_k") % 10 === 0))
+        .where(col("prop_k") % 10 === 0)),
+
+    // §2.33 — token counting: whitespace + BPE-ish pre-tokenizer regex
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+            .as("bpe_tokens"),
+          (length(col("text")).cast("long") /
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+            .as("chars_per_token")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -566,7 +577,14 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events
-        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0""".stripMargin
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS chars_per_token
+        |FROM documents""".stripMargin
   )
 
   /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so

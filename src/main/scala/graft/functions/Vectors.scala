@@ -26,4 +26,12 @@ object Vectors {
     val b = asDouble(bRaw)
     dot(a, b) / (norm(a) * norm(b))
   }
+
+  /** L2-normalize against a precomputed norm column (pass
+    * `sqrt(fdot(a, a))` computed once per row — recomputing the norm inside
+    * the element lambda would be O(d²)). Normalized vectors make cosine a
+    * bare dot product.
+    */
+  def l2Normalize(aRaw: Column, precomputedNorm: Column): Column =
+    transform(asDouble(aRaw), x => x / precomputedNorm)
 }

@@ -43,4 +43,14 @@ class SimilaritySpec extends SparkSpec {
   test("hyperplanes are deterministic") {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
   }
+
+  test("l2Normalize yields unit vectors") {
+    import org.apache.spark.sql.graftnative.FloatVecDot.fdot
+    val out = vecs
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+      .select(Vectors.l2Normalize(col("embedding"), col("nrm")).as("u"))
+      .selectExpr("aggregate(u, 0D, (acc, x) -> acc + x * x) AS sq")
+      .collect().map(_.getDouble(0))
+    out.foreach(sq => assert(math.abs(sq - 1.0) < 1e-12))
+  }
 }
