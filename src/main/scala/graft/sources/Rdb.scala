@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC source/sink — the Spark analog of the reference's RDB extract and
+  * Trino load resources.
+  *
+  * Extract (reference: etl/resources/rdb.py:64 execute_query /
+  * :78 execute_query_with_date_filter): `spark.read.jdbc` with the query
+  * pushed down as a dbtable subquery; at scale add partitionColumn bounds
+  * so the read parallelizes across executors.
+  *
+  * Load (reference: etl/resources/trino.py:104 insert_dataframe /
+  * :165 upsert_dataframe): the reference deletes row-by-row then inserts in
+  * batches — O(rows) statements. Here upsert is set-based: stage the
+  * updates to a temp table with the parallel JDBC writer, then one
+  * DELETE-matching-keys + one INSERT-SELECT inside a transaction.
+  */
+object Rdb {
+
+  /** Run a projected/filtered query against the RDB, as a subquery pushed
+    * to the database.
+    */
+  def readQuery(spark: SparkSession, url: String, query: String,
+      props: Properties = new Properties()): DataFrame =
+    spark.read.jdbc(url, s"($query) graft_sub", props)
+
+  /** Daily-partition extract (reference: rdb.py:78): date filter appended
+    * and evaluated in the database, not after transfer.
+    */
+  def readQueryWithDateFilter(spark: SparkSession, url: String, query: String,
+      dateExpr: String, day: String, props: Properties = new Properties()): DataFrame =
+    readQuery(spark, url, s"SELECT * FROM ($query) q WHERE $dateExpr = '$day'", props)
+
+  /** Parallel append (reference: trino.py:104 insert_dataframe). */
+  def insert(df: DataFrame, url: String, table: String,
+      props: Properties = new Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** Set-based upsert (reference: trino.py:165 upsert_dataframe): stage →
+    * DELETE matching keys → INSERT SELECT, transactionally. Returns
+    * (deleted, inserted) like the reference.
+    */
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+      props: Properties = new Properties()): (Int, Int) = {
+    val staging = s"${table}_graft_staging"
+    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    val cols = df.columns
+    var conn: Connection = null
+    try {
+      conn = DriverManager.getConnection(url, props)
+      conn.setAutoCommit(false)
+      // no alias on the DELETE target: not all dialects (e.g. Derby) allow it
+      val keyMatch = keys.map(k => s"$table.$k = s.$k").mkString(" AND ")
+      val deleted = conn.createStatement().executeUpdate(
+        s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)")
+      val inserted = conn.createStatement().executeUpdate(
+        s"INSERT INTO $table (${cols.mkString(", ")}) " +
+          s"SELECT ${cols.mkString(", ")} FROM $staging")
+      conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      conn.commit()
+      (deleted, inserted)
+    } finally {
+      if (conn != null) conn.close()
+    }
+  }
+}
