@@ -47,19 +47,31 @@ object Rdb {
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
       props: Properties = new Properties()): (Int, Int) = {
     val staging = s"${table}_graft_staging"
-    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    // Spark's default JDBC mapping turns StringType into CLOB on some
+    // dialects (Derby), which is not comparable in the key-match below —
+    // pin string columns to VARCHAR in the staging DDL.
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(1024)").mkString(", ")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (stringCols.nonEmpty) writer.option("createTableColumnTypes", stringCols)
+     else writer).jdbc(url, staging, props)
     val cols = df.columns
     var conn: Connection = null
     try {
       conn = DriverManager.getConnection(url, props)
       conn.setAutoCommit(false)
-      // no alias on the DELETE target: not all dialects (e.g. Derby) allow it
-      val keyMatch = keys.map(k => s"$table.$k = s.$k").mkString(" AND ")
+      // Staging columns were created by Spark's JDBC writer, which quotes
+      // identifiers (exact DataFrame case); quote them here too. The target
+      // table is the user's — leave its identifiers unquoted. No alias on
+      // the DELETE target: not all dialects (e.g. Derby) allow one.
+      def q(c: String) = "\"" + c + "\""
+      val keyMatch = keys.map(k => s"$table.$k = s.${q(k)}").mkString(" AND ")
       val deleted = conn.createStatement().executeUpdate(
         s"DELETE FROM $table WHERE EXISTS (SELECT 1 FROM $staging s WHERE $keyMatch)")
       val inserted = conn.createStatement().executeUpdate(
         s"INSERT INTO $table (${cols.mkString(", ")}) " +
-          s"SELECT ${cols.mkString(", ")} FROM $staging")
+          s"SELECT ${cols.map(q).mkString(", ")} FROM $staging")
       conn.createStatement().executeUpdate(s"DROP TABLE $staging")
       conn.commit()
       (deleted, inserted)
