@@ -49,10 +49,9 @@ object Dedup {
     Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Token-3-gram shingle hashes (xxhash64 of the three tokens). */
+  /** Sorted distinct token-3-gram shingle hashes (native expression). */
   def shingleHashes(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 2), i =>
-      xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    org.apache.spark.sql.graftnative.ShingleHashes.shingleHashes(toks, 3)
 
   /** MinHash signatures: k permutations h(x) = (a*(x mod p) + b) mod p,
     * each taking the min over the document's shingle set, computed by the
@@ -66,7 +65,7 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"),
         org.apache.spark.sql.graftnative.MinhashSig.minhashSig(
-          array_distinct(shingleHashes(col("toks"))),
+          shingleHashes(col("toks")),
           cs.map(_._1), cs.map(_._2), MinhashPrime).as("sig"))
   }
 
@@ -155,7 +154,7 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("len"),
-        array_sort(array_distinct(shingleHashes(col("toks")))).as("sh"))
+        shingleHashes(col("toks")).as("sh"))
     withShingles.as("x").join(withShingles.as("y"),
         col("x.source") === col("y.source") && col("x.lang") === col("y.lang") &&
           col("x.doc_id") < col("y.doc_id") &&
