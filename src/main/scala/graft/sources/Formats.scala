@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** File-format readers/writers beyond parquet. All readers take an explicit
+  * DDL schema: schema inference is a full extra pass over the data — never
+  * acceptable at 100 TB, and implicit types drift between runs.
+  */
+object Formats {
+
+  def readCsv(spark: SparkSession, path: String, ddlSchema: String,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(ddlSchema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  /** JSON Lines: one object per line — the splittable streaming-friendly
+    * JSON layout.
+    */
+  def readJsonl(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
+    spark.read.schema(ddlSchema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

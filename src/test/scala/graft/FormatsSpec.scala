@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.sources.Formats
+import graft.streaming.EventStream
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv round-trips with explicit schema") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/data"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    Formats.writeCsv(df, dir)
+    val back = Formats.readCsv(spark, dir, "id LONG, name STRING, score DOUBLE")
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("jsonl round-trips with explicit schema") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/data"
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    Formats.writeJsonl(df, dir)
+    val back = Formats.readJsonl(spark, dir, "id LONG, v STRING")
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("file-source stream over a parquet landing directory aggregates end-to-end") {
+    val landing = Files.createTempDirectory("graft-landing").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 00:05:00"), 1L, "click", 2.0, ""),
+      (2L, ts("2024-01-01 00:25:00"), 1L, "click", 3.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(landing)
+
+    val chk = Files.createTempDirectory("graft-chk").toString
+    val query = EventStream.hourlyTypeCounts(
+        EventStream.readEvents(spark, landing), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("append").option("checkpointLocation", chk).start()
+    query.processAllAvailable()
+
+    // second landing batch advances the watermark past the first window
+    Seq((3L, ts("2024-01-01 03:00:00"), 1L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(landing)
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("file_hourly").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+    assert(rows("click") == 2L)
+  }
+}
