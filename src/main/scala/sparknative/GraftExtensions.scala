@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def literalInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
@@ -30,7 +35,17 @@ object GraftExtensions {
         val (a, b) = (children(0), children(1))
         Divide(FloatVecDot(a, b),
           Multiply(Sqrt(FloatVecDot(a, a)), Sqrt(FloatVecDot(b, b))))
-      }))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children(0))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children(0), literalInt(children(1), "shingle width"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

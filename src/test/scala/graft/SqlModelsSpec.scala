@@ -25,11 +25,19 @@ class SqlModelsSpec extends SparkSpec {
     }
   }
 
-  test("GraftExtensions exposes fvec_dot / fvec_cosine in SQL") {
+  test("GraftExtensions exposes native functions in SQL") {
     GraftExtensions.register(spark)
     Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("v")
     val r = spark.sql("SELECT fvec_dot(a, b) AS d, fvec_cosine(a, a) AS c FROM v").head()
     assert(r.getDouble(0) == 11.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+
+    val s = spark.sql(
+      """SELECT simhash64(transform(split('a b a', ' '), t -> xxhash64(t))) AS sh,
+        |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
+        |  size(shingle_hashes(split('a b c d', ' '), 3)) AS ns""".stripMargin).head()
+    assert(s.getLong(1) == 2L)
+    assert(s.getLong(0) != 0L)
+    assert(s.getInt(2) == 2)
   }
 }
