@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale stress harness: multiplies the documents / embeddings corpora
+  * 10x (id-offset copies) and times the heavy candidate-pair operators.
+  * The copies are exact duplicates, which is the dedup worst case: every
+  * LSH bucket holds all replicas, so the pair stage processes C(10,2)=45
+  * verified pairs per original document.
+  *
+  * Usage: Stress <sfDir> [factor]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // Materialize the multiplied corpora once so operator timings don't
+    // include a `factor`-way union of re-scans of the same file.
+    def times(base: DataFrame, idCol: String, offset: Long, path: String): DataFrame = {
+      (0 until factor).map { k =>
+        base.withColumn(idCol, col(idCol) + lit(k * offset))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    val docs = times(Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source"), "doc_id", 10000000L,
+      "/tmp/graft_stress_docs")
+    val embs = times(Tables.embeddings(spark, sfDir), "vec_id", 10000000L,
+      "/tmp/graft_stress_embs")
+    println(s"docs=${docs.count()} embeddings=${embs.count()}")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    time("minhash_neardups") {
+      Dedup.minhashNearDups(docs, k = 64, bands = 16, minSim = 0.5)
+    }
+    // The staged pipeline a real 100 TB run uses: collapse exact duplicates
+    // first (hash groupBy), MATERIALIZE the representatives (stage
+    // boundary — the self-joins downstream would otherwise recompute the
+    // aggregation per branch), then near-dedup only the representatives.
+    // With heavy replication this removes the C(cluster, 2) LSH pair
+    // explosion.
+    time("minhash_after_exact") {
+      docs
+        .withColumn("text_hash", md5(col("text")))
+        .groupBy("text_hash")
+        .agg(min(col("doc_id")).as("doc_id"),
+          first(col("text")).as("text"),
+          first(col("lang")).as("lang"),
+          first(col("source")).as("source"))
+        .drop("text_hash")
+        .write.mode("overwrite").parquet("/tmp/graft_stress_reps")
+      val reps = spark.read.parquet("/tmp/graft_stress_reps")
+      Dedup.minhashNearDups(reps, k = 64, bands = 16, minSim = 0.5)
+    }
+    time("simhash_neardups") {
+      Dedup.simhashNearDups(docs, maxHamming = 3)
+    }
+    time("ngram_jaccard") {
+      Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxLenDiff = 40)
+    }
+    time("exact_dedup") {
+      Dedup.exactDedup(docs)
+    }
+    time("ann_brute_topk") {
+      Similarity.bruteForceTopK(embs.where(col("vec_id") < 8), embs, k = 5)
+    }
+    time("ann_lsh_topk") {
+      Similarity.lshTopK(embs.where(col("vec_id") < 8), embs, k = 5, nPlanes = 8, dim = 64)
+    }
+    spark.stop()
+  }
+}
