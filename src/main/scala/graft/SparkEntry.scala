@@ -279,6 +279,18 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
         .where(col("prop_k") % 10 === 0)),
 
+    // §2.34 — as-of join: each error event attributed to the latest
+    // preceding click of the same user (point-in-time semantics)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("err_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+          col("value").as("click_value"))
+      graft.operators.AsOf.asofJoin(errors, clicks, Seq("user_id"), "err_us", "click_us")
+    }),
+
     // §2.33 — token counting: whitespace + BPE-ish pre-tokenizer regex
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -578,6 +590,17 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH errors AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS err_us
+        |  FROM events WHERE event_type = 'error'),
+        |clicks AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.user_id, e.event_id, e.err_us, c.click_us, c.click_value
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.err_us >= c.click_us""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
