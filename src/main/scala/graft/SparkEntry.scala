@@ -279,6 +279,20 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
         .where(col("prop_k") % 10 === 0)),
 
+    // §2.35 — bucketed range join: lineitem quantities matched to part-size
+    // intervals via an equi-join on domain buckets (no nested-loop join)
+    "q_range_join" -> ((s, dir) => {
+      val points = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+      val intervals = Tables.part(s, dir).select(col("p_brand"),
+        (col("p_size") - 2).cast("double").as("lo"),
+        (col("p_size") + 2).cast("double").as("hi"))
+      graft.operators.RangeJoin.bucketed(points, intervals,
+          "l_quantity", "lo", "hi", bucketWidth = 5.0)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_matches"),
+          Etl.moneySum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // §2.34 — as-of join: each error event attributed to the latest
     // preceding click of the same user (point-in-time semantics)
     "q_asof_join" -> ((s, dir) => {
@@ -590,6 +604,14 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p_brand, count(*) AS n_matches,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM part JOIN lineitem
+        |  ON l_quantity >= CAST(p_size - 2 AS DOUBLE)
+        | AND l_quantity <= CAST(p_size + 2 AS DOUBLE)
+        |GROUP BY p_brand""".stripMargin,
 
     "q_asof_join" ->
       """WITH errors AS (
