@@ -1,0 +1,84 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOf, Etl, RangeJoin}
+
+/** Randomized equivalence properties (fixed seeds): each optimized /
+  * restructured operator must agree with a naive reference formulation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SortedIntersectCount agrees with array_intersect on random sets") {
+    val rnd = new Random(7)
+    val rows = Seq.fill(60) {
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        org.apache.spark.sql.graftnative.SortedIntersectCount
+          .sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+  }
+
+  test("saltedSumCount agrees with direct aggregation on random data") {
+    val rnd = new Random(11)
+    val df = Seq.fill(500)((s"k${rnd.nextInt(5)}", rnd.nextInt(10000) / 100.0))
+      .toDF("key", "v")
+    val salted = Etl.saltedSumCount(df, "key", "v", salt = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val direct = df.groupBy("key")
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("s"), count(col("v")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("asofJoin agrees with a naive max-filter formulation on random data") {
+    val rnd = new Random(13)
+    val left = Seq.tabulate(80)(i => (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(1000).toLong))
+    val right = Seq.tabulate(60)(i => (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, s"v$i"))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, ts)
+    val l = left.toDF("k", "id", "lts")
+    val r = right.toDF("k", "rts", "v")
+
+    val fast = AsOf.asofJoin(l, r, Seq("k"), "lts", "rts")
+      .collect().map(x => (x.getLong(1), Option(x.get(3)))).toMap
+
+    val naive = left.map { case (k, id, lts) =>
+      val cand = right.filter(rr => rr._1 == k && rr._2 <= lts)
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._2))
+    }.toMap
+    assert(fast == naive)
+  }
+
+  test("bucketed range join agrees with a naive inequality join") {
+    val rnd = new Random(17)
+    val points = Seq.tabulate(100)(i => (i.toLong, rnd.nextInt(200) / 2.0)).toDF("id", "x")
+    val intervals = Seq.tabulate(30) { i =>
+      val lo = rnd.nextInt(180) / 2.0
+      (s"i$i", lo, lo + rnd.nextInt(30) / 2.0)
+    }.toDF("name", "lo", "hi")
+    val fast = RangeJoin.bucketed(points, intervals, "x", "lo", "hi", bucketWidth = 7.0)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    val naive = points.join(intervals, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(fast == naive)
+  }
+
+  test("native minhash signatures are stable across partitionings") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(30)(s"w${(i * 7 + 3) % 11}").mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    def sigs(parts: Int) =
+      graft.operators.Dedup.minhashSignatures(docs.repartition(parts), 32)
+        .orderBy("doc_id").select(to_json(struct(col("sig")))).as[String].collect().toSeq
+    assert(sigs(1) == sigs(8))
+  }
+}
