@@ -34,6 +34,19 @@ object Pipeline {
   def readDaily(spark: SparkSession, root: String, stage: String, job: String, day: String): DataFrame =
     spark.read.parquet(s"$root/$stage/job_name=$job/date=${day.replace("-", "")}")
 
+  /** Non-partitioned master data lands under `latest/` (reference:
+    * s3.py:118 _build_tenant_s3_path with partition_date=None — e.g. the
+    * cfg_item_master sync).
+    */
+  def writeLatest(df: DataFrame, root: String, stage: String, job: String): String = {
+    val path = s"$root/$stage/job_name=$job/latest"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
+  def readLatest(spark: SparkSession, root: String, stage: String, job: String): DataFrame =
+    spark.read.parquet(s"$root/$stage/job_name=$job/latest")
+
   /** Partition inventory for a job (reference: s3.list_partitions). */
   def listDaily(root: String, stage: String, job: String): Seq[String] = {
     val dir = new java.io.File(s"$root/$stage/job_name=$job")

@@ -17,6 +17,14 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.listDaily(root, "transform", "wip") == Seq("20240102", "20240103"))
   }
 
+  test("writeLatest/readLatest round-trip non-partitioned master data") {
+    val root = Files.createTempDirectory("graft-latest").toString
+    val df = Seq((1, "m")).toDF("k", "v")
+    val path = Pipeline.writeLatest(df, root, "extract", "item_master")
+    assert(path.endsWith("extract/job_name=item_master/latest"))
+    assert(Pipeline.readLatest(spark, root, "extract", "item_master").count() == 1)
+  }
+
   test("upsertTable merges on keys across writes") {
     val root = Files.createTempDirectory("graft-upsert").toString + "/table"
     Pipeline.upsertTable(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
