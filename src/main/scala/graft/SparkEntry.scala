@@ -282,13 +282,19 @@ object SparkEntry {
     // §2.35 — bucketed range join: lineitem quantities matched to part-size
     // intervals via an equi-join on domain buckets (no nested-loop join)
     "q_range_join" -> ((s, dir) => {
+      // Selective interval set: one brand, +-1 around each size. Wide
+      // intervals over this tiny 1..50 domain would make the TRUE result a
+      // near cross join — selectivity is a property of the query, bucketing
+      // only removes the nested loop.
       val points = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
-      val intervals = Tables.part(s, dir).select(col("p_brand"),
-        (col("p_size") - 2).cast("double").as("lo"),
-        (col("p_size") + 2).cast("double").as("hi"))
+      val intervals = Tables.part(s, dir)
+        .where(col("p_brand") === "Brand#1")
+        .select(col("p_size"),
+          (col("p_size") - 1).cast("double").as("lo"),
+          (col("p_size") + 1).cast("double").as("hi"))
       graft.operators.RangeJoin.bucketed(points, intervals,
-          "l_quantity", "lo", "hi", bucketWidth = 5.0)
-        .groupBy(col("p_brand"))
+          "l_quantity", "lo", "hi", bucketWidth = 2.0)
+        .groupBy(col("p_size"))
         .agg(count(lit(1)).as("n_matches"),
           Etl.moneySum(col("l_quantity")).as("sum_qty"))
     }),
@@ -606,12 +612,13 @@ object SparkEntry {
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0""".stripMargin,
 
     "q_range_join" ->
-      """SELECT p_brand, count(*) AS n_matches,
+      """SELECT p_size, count(*) AS n_matches,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM part JOIN lineitem
-        |  ON l_quantity >= CAST(p_size - 2 AS DOUBLE)
-        | AND l_quantity <= CAST(p_size + 2 AS DOUBLE)
-        |GROUP BY p_brand""".stripMargin,
+        |  ON l_quantity >= CAST(p_size - 1 AS DOUBLE)
+        | AND l_quantity <= CAST(p_size + 1 AS DOUBLE)
+        |WHERE p_brand = 'Brand#1'
+        |GROUP BY p_size""".stripMargin,
 
     "q_asof_join" ->
       """WITH errors AS (
