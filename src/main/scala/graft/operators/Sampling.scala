@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines. Everything is keyed on a content/id hash — no RNG state, so
+  * results are identical across runs, executors, and retries (rerunning a
+  * failed partition yields the same sample), and a document always lands
+  * in the same split even as the corpus grows.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform hash bucket in [0, 1) for a key column. */
+  def hashFraction(key: Column): Column =
+    pmod(xxhash64(key), lit(Buckets)).cast("double") / Buckets
+
+  /** Keep ~fraction of rows, selected by key hash. */
+  def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame =
+    df.where(hashFraction(col(key)) < fraction)
+
+  /** Deterministic train/validation/test split: returns one DataFrame per
+    * weight, partitioning the hash space proportionally. Weights need not
+    * sum to 1 (they are normalized).
+    */
+  def split(df: DataFrame, key: String, weights: Seq[Double]): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "positive weights")
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _ / total)
+    val frac = hashFraction(col(key))
+    bounds.sliding(2).map { case Seq(lo, hi) =>
+      df.where(frac >= lo && frac < (if (hi >= 1.0) 1.01 else hi))
+    }.toSeq
+  }
+
+  /** Stratified sample: per-stratum fractions, still hash-deterministic.
+    * Strata absent from `fractions` are dropped (sampleBy semantics).
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, key: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(-1.0)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.where(hashFraction(col(key)) < frac)
+  }
+}

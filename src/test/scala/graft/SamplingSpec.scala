@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (1L to 2000L).toDF("id")
+
+  test("hashSample is deterministic and close to the target fraction") {
+    val a = Sampling.hashSample(ids, "id", 0.3).as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.3).as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
+  test("split partitions rows disjointly and exhaustively") {
+    val parts = Sampling.split(ids, "id", Seq(0.8, 0.1, 0.1))
+      .map(_.as[Long].collect().toSet)
+    assert(parts.map(_.size).sum == 2000)
+    assert(parts.combinations(2).forall { case Seq(x, y) => (x & y).isEmpty })
+    assert(math.abs(parts.head.size / 2000.0 - 0.8) < 0.05)
+  }
+
+  test("smaller samples nest inside larger ones (same hash space)") {
+    val small = Sampling.hashSample(ids, "id", 0.1).as[Long].collect().toSet
+    val large = Sampling.hashSample(ids, "id", 0.5).as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratifiedSample applies per-stratum fractions and drops others") {
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = Sampling.stratifiedSample(df, "stratum", "id",
+      Map("s0" -> 0.5, "s1" -> 0.1))
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("s2"))
+    assert(math.abs(counts("s0") / 1000.0 - 0.5) < 0.1)
+    assert(math.abs(counts("s1") / 1000.0 - 0.1) < 0.08)
+  }
+}
