@@ -34,4 +34,19 @@ object Vectors {
     */
   def l2Normalize(aRaw: Column, precomputedNorm: Column): Column =
     transform(asDouble(aRaw), x => x / precomputedNorm)
+
+  /** Per-vector symmetric int8 quantization scale: max|x| / 127. Compute as
+    * its own column, then pass to [[quantize]] — same O(d²) caveat as the
+    * norm. 4x smaller storage/shuffle for ANN candidate sets.
+    */
+  def int8Scale(aRaw: Column): Column =
+    array_max(transform(aRaw, x => abs(x.cast("double")))) / 127.0
+
+  /** Quantize to `array<tinyint>` against a precomputed scale column. */
+  def quantize(aRaw: Column, scale: Column): Column =
+    transform(aRaw, x => round(x.cast("double") / scale).cast("tinyint"))
+
+  /** Dequantize back to doubles (error <= scale/2 per component). */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -39,6 +39,13 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension table (broadcast — re-read per microbatch if the dim is a
+    * file source, so slowly-changing dims refresh for free).
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   case class SessionSummary(user_id: Long, n_events: Long, duration_us: Long, closed: Boolean)

@@ -43,6 +43,29 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(("2024-01-01 00:00:00.0", "view")) == ((1L, 1.0)))
   }
 
+  test("enriched joins the stream against a broadcast static dimension") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val out = EventStream.enriched(input.toDF(), dim, "user_id")
+
+    val chk = Files.createTempDirectory("graft-stream3").toString
+    val query = out.writeStream
+      .format("memory").queryName("enriched_events")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      EventStream.Event(2, ts("2024-01-01 00:00:10"), 9, "click", 1.0)) // no dim row
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("enriched_events")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(rows == Map(1L -> "gold")) // inner join drops user 9
+  }
+
   test("sessionize tracks per-user state across a microbatch") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]

@@ -44,6 +44,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 8) == Similarity.hyperplanes(4, 8))
   }
 
+  test("int8 quantization round-trips within scale/2 per component") {
+    val out = vecs
+      .withColumn("scale", Vectors.int8Scale(col("embedding")))
+      .withColumn("q", Vectors.quantize(col("embedding"), col("scale")))
+      .withColumn("back", Vectors.dequantize(col("q"), col("scale")))
+      .select("embedding", "back", "scale")
+      .collect()
+    out.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val back = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("l2Normalize yields unit vectors") {
     import org.apache.spark.sql.graftnative.FloatVecDot.fdot
     val out = vecs
