@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Etl
+import graft.pipeline.Pipeline
+import graft.validation.Validator
+
+/** End-to-end replay of the reference's daily run on graft:
+  * extract (daily filter) -> transform (WIP aggregation) -> staged daily
+  * write -> upsert into the serving table -> validation report. One spec,
+  * the whole `extract_lot_history -> transform_aps_wip -> load_aps_wip`
+  * asset chain (reference: the etl/assets modules), minus the orchestrator.
+  */
+class DailyPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("daily extract -> transform -> load -> validate chain") {
+    val root = Files.createTempDirectory("graft-daily").toString
+    val sfDir = "/root/testdata/sf0.001"
+
+    // extract: one "day" of the fact table (status-bearing orders stand in
+    // for lot_history), staged like the reference's extract asset
+    val extracted = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")) === 1997)
+    Pipeline.writeDaily(extracted, root, "extract", "lot_history", "1997-12-31")
+
+    // transform: WIP aggregation over the staged extract
+    val staged = Pipeline.readDaily(spark, root, "extract", "lot_history", "1997-12-31")
+    val wip = Etl.wipAggregate(staged,
+      statusCol = "o_orderstatus", activeStatuses = Seq("O", "F"),
+      groupCols = Seq("o_orderpriority"),
+      qtyCol = "o_totalprice", lotIdCol = "o_custkey",
+      snapshotDate = "1997-12-31")
+    Pipeline.writeDaily(wip, root, "transform", "aps_wip", "1997-12-31")
+
+    // load: upsert into the serving table, twice (idempotent merge)
+    val serving = s"$root/serving/aps_wip"
+    val out = Pipeline.readDaily(spark, root, "transform", "aps_wip", "1997-12-31")
+    Pipeline.upsertTable(spark, serving, out, Seq("o_orderpriority", "snapshot_date"))
+    Pipeline.upsertTable(spark, serving, out, Seq("o_orderpriority", "snapshot_date"))
+    val loaded = spark.read.parquet(serving)
+    assert(loaded.count() == wip.count()) // re-run did not duplicate
+
+    // validate: the reference's post-transform checks, one pass
+    val report = Validator(loaded)
+      .checkNotNull("o_orderpriority")
+      .checkNotNull("wip_qty")
+      .checkRange("wip_qty", minVal = Some(0.0))
+      .checkUnique("o_orderpriority")
+      .report().head()
+    assert(report.getAs[Long]("not_null_o_orderpriority") == 0)
+    assert(report.getAs[Long]("range_wip_qty") == 0)
+    assert(report.getAs[Long]("unique_o_orderpriority") == 0)
+
+    // partition inventory matches what was written
+    assert(Pipeline.listDaily(root, "extract", "lot_history") == Seq("19971231"))
+  }
+}
