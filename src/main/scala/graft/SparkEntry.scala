@@ -198,6 +198,15 @@ object SparkEntry {
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, k = 5, nPlanes = 8, dim = 64)
     }),
 
+    // §2.21b — IVF ANN: deterministic coarse k-means cells, nprobe search
+    // (rows-only: iterative k-means is not oracle-SQL-expressible)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = graft.operators.Ivf.train(e, k = 16, iters = 2)
+      graft.operators.Ivf.search(e.where(col("vec_id") < 8), e, centroids,
+        nprobe = 2, topK = 5)
+    }),
+
     // §2.22 — heuristic language ID
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), langMarkers)),

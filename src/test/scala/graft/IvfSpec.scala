@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Ivf
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three well-separated clusters along coordinate axes + deterministic
+    * jitter.
+    */
+  private def clustered = (0 until 30).map { i =>
+    val axis = i % 3
+    val base = Array.fill(8)(0.01f * ((i * 7) % 5))
+    base(axis) = 10.0f
+    (i.toLong, base, axis)
+  }.toSeq.toDF("vec_id", "embedding", "true_cluster")
+
+  test("train + assign groups separated clusters into consistent cells") {
+    val centroids = Ivf.train(clustered, k = 3, iters = 2)
+    assert(centroids.count() == 3)
+    val cells = Ivf.assign(clustered, centroids)
+      .select("true_cluster", "cell_id")
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    // every member of a true cluster lands in the same cell
+    val byTrue = cells.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byTrue.values.forall(_.size == 1), s"mixed cells: $byTrue")
+    // and distinct clusters use distinct cells
+    assert(byTrue.values.flatten.toSet.size == 3)
+  }
+
+  test("search returns an identical twin as the top neighbor") {
+    val twin = Seq((100L, Array(10.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "true_cluster")
+    val corpus = clustered.unionByName(twin)
+    val centroids = Ivf.train(corpus, k = 3, iters = 2)
+    val out = Ivf.search(
+      corpus.where($"vec_id" === 100L), corpus, centroids, nprobe = 1, topK = 3)
+      .orderBy("rank").collect()
+    // vec 0 has embedding (10, jitter...) in the same axis-0 cell
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") == 0L ||
+      out.head.getAs[Double]("sim_r") > 0.99)
+  }
+
+  test("training is deterministic") {
+    val a = Ivf.train(clustered, 3, 2).orderBy("cell_id")
+      .collect().map(_.getSeq[Float](1)).toSeq
+    val b = Ivf.train(clustered, 3, 2).orderBy("cell_id")
+      .collect().map(_.getSeq[Float](1)).toSeq
+    assert(a == b)
+  }
+}
