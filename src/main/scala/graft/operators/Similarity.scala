@@ -16,10 +16,6 @@ import graft.functions.Vectors
   */
 object Similarity {
 
-  /** Brute-force top-k: every query vector against every candidate.
-    * Queries are broadcast (they are few); candidates stream. Ranking is
-    * deterministic: similarity desc, then neighbor id asc.
-    */
   /** Project to (id, embedding, norm) once so the pair stage only pays one
     * codegen'd dot product per pair instead of three.
     */
@@ -27,6 +23,10 @@ object Similarity {
     df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
       sqrt(fdot(col("embedding"), col("embedding"))).as(s"${embAs}_norm"))
 
+  /** Brute-force top-k: every query vector against every candidate.
+    * Queries are broadcast (they are few); candidates stream. Ranking is
+    * deterministic: similarity desc, then neighbor id asc.
+    */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = withNorm(queries, "query_id", "q_emb")
     val c = withNorm(candidates, "neighbor_id", "c_emb")
