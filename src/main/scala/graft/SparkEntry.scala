@@ -219,6 +219,13 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
+    // §2.24b — polynomial rolling hash fingerprint (Rabin-Karp primitive)
+    "q_rolling_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("roll_hash"),
+          length(col("text")).cast("long").as("n_chars_text"))),
+
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -571,6 +578,14 @@ object SparkEntry {
         |    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])), 'min') AS fingerprint,
         |  CAST(len(toks) - 2 AS BIGINT) AS n_shingles
         |FROM t""".stripMargin,
+
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 257 + c) % 1000000007) AS roll_hash,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text
+        |FROM documents""".stripMargin,
 
     "q_doc_topk" ->
       """SELECT doc_id, lang, n_chars, rk FROM (

@@ -83,6 +83,17 @@ object TextAnalysis {
         array_min(col("shingles")).as("fingerprint"),
         size(col("shingles")).cast("long").as("n_shingles"))
 
+  /** Polynomial rolling hash of the whole document (base-257 fold mod
+    * 1e9+7): the Rabin-Karp primitive used for content-defined chunk
+    * boundaries and cheap change detection. Left fold in both engines, so
+    * the oracle matches bit-for-bit.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 257 + c) % 1000000007L)
+
   /** Multimodal plumbing: treat the payload as opaque bytes with typed
     * metadata — byte length, fixed-size chunk count, content hash. The same
     * schema/partitioning carries image/audio blobs at scale; here the text
