@@ -202,7 +202,10 @@ object SparkEntry {
     // (rows-only: iterative k-means is not oracle-SQL-expressible)
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val centroids = graft.operators.Ivf.train(e, k = 16, iters = 2)
+      // train the coarse quantizer on a deterministic 1/5 sample — at scale
+      // the quantizer never sees the full corpus
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
       graft.operators.Ivf.search(e.where(col("vec_id") < 8), e, centroids,
         nprobe = 2, topK = 5)
     }),
