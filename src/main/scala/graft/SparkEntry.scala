@@ -229,6 +229,23 @@ object SparkEntry {
           TextAnalysis.rollingHash(col("text")).as("roll_hash"),
           length(col("text")).cast("long").as("n_chars_text"))),
 
+    // §2.24c — sub-document dedup via content-defined chunking: chunk
+    // hashes shared by 2+ documents (rows-only: the CDC boundary algorithm
+    // is a native expression, not oracle-SQL-expressible)
+    "q_cdc_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.ContentChunkHashes.contentChunkHashes
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+      corpus
+        .select(col("doc_id"),
+          explode(contentChunkHashes(col("text"), window = 8, maskBits = 5))
+            .as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+    }),
+
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window

@@ -1,0 +1,84 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking: split a document at positions where a
+  * Rabin-Karp rolling hash over the trailing `window` bytes hits a mask,
+  * and return one 64-bit FNV-1a hash per chunk.
+  *
+  * Because boundaries depend only on local content, inserting or deleting
+  * a span shifts at most the neighboring chunks — the property that makes
+  * sub-document dedup and delta storage work where fixed-size chunking
+  * degrades. Average chunk size ~= 2^maskBits bytes.
+  */
+case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(window >= 2 && maskBits >= 1 && maskBits <= 30, "window>=2, 1<=maskBits<=30")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val Base = 257L
+  private val Mod = 1000000007L
+  private lazy val mask = (1L << maskBits) - 1
+  // base^window mod p, to roll the oldest byte out
+  private lazy val basePow: Long = {
+    var r = 1L
+    (0 until window).foreach(_ => r = r * Base % Mod)
+    r
+  }
+
+  def computeChunks(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var roll = 0L
+    var chunkHash = -3750763034362895579L // FNV-1a 64 offset basis
+    var chunkLen = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      roll = (roll * Base + b) % Mod
+      if (i >= window) {
+        val old = bytes(i - window) & 0xFF
+        roll = ((roll - old * basePow % Mod) + Mod) % Mod
+      }
+      chunkHash = (chunkHash ^ b) * 1099511628211L // FNV-1a prime
+      chunkLen += 1
+      // boundary: rolling hash hits the mask once the window is full
+      if (i >= window - 1 && (roll & mask) == 0) {
+        out += chunkHash
+        chunkHash = -3750763034362895579L
+        chunkLen = 0
+      }
+      i += 1
+    }
+    if (chunkLen > 0) out += chunkHash
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeChunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chunker", this, classOf[ContentChunkHashes].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $ref.computeChunks($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ContentChunkHashes =
+    copy(child = newChild)
+}
+
+object ContentChunkHashes {
+  def contentChunkHashes(text: Column, window: Int, maskBits: Int): Column =
+    ExpressionUtils.column(ContentChunkHashes(
+      ExpressionUtils.expression(text), window, maskBits))
+}
