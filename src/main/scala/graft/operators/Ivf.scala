@@ -18,13 +18,16 @@ import org.apache.spark.sql.graftnative.FloatVecDot.fdot
   */
 object Ivf {
 
-  /** Squared L2 distance between a float-embedding column and a double-array
-    * centroid column, via the codegen'd dot products:
-    * |a-c|^2 = a.a - 2 a.c + c.c. Centroid arrays are cast to float for
-    * fdot; quantization cells are unaffected by the float rounding.
+  /** |a-c|^2 = a.a - 2 a.c + c.c with the self-dots hoisted: `a2`/`c2` are
+    * precomputed columns, so each (vector, centroid) pair costs ONE dot
+    * product instead of three.
     */
-  private def sqDist(emb: Column, cen: Column): Column =
-    fdot(emb, emb) - lit(2.0) * fdot(emb, cen) + fdot(cen, cen)
+  private def sqDist(emb: Column, cen: Column, a2: Column, c2: Column): Column =
+    a2 - lit(2.0) * fdot(emb, cen) + c2
+
+  /** Centroids with their precomputed self-dot. */
+  private def withC2(centroids: DataFrame): DataFrame =
+    centroids.withColumn("c2", fdot(col("centroid"), col("centroid")))
 
   /** Train a deterministic coarse quantizer; returns (cell_id, centroid)
     * rows, centroid as array<float>.
@@ -68,8 +71,10 @@ object Ivf {
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cell_id"))
-    embeddings.crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col("embedding"), col("centroid")))
+    embeddings
+      .withColumn("a2", fdot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(withC2(centroids)))
+      .withColumn("d", sqDist(col("embedding"), col("centroid"), col("a2"), col("c2")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(embeddings.columns.map(col) :+ col("cell_id"): _*)
@@ -78,8 +83,10 @@ object Ivf {
   /** Probe assignment: each query mapped to its `nprobe` nearest cells. */
   private def probes(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("d"), col("cell_id"))
-    queries.crossJoin(broadcast(centroids))
-      .withColumn("d", sqDist(col("q_emb"), col("centroid")))
+    queries
+      .withColumn("a2", fdot(col("q_emb"), col("q_emb")))
+      .crossJoin(broadcast(withC2(centroids)))
+      .withColumn("d", sqDist(col("q_emb"), col("centroid"), col("a2"), col("c2")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell_id"))
@@ -91,14 +98,16 @@ object Ivf {
     val q = probes(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       centroids, nprobe)
+      .withColumn("q_norm", sqrt(fdot(col("q_emb"), col("q_emb"))))
     val c = assign(candidates, centroids)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cell_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cell_id"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("c_norm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     c.join(broadcast(q), "cell_id")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", fdot(col("q_emb"), col("c_emb")) /
-        (sqrt(fdot(col("q_emb"), col("q_emb"))) * sqrt(fdot(col("c_emb"), col("c_emb")))))
+      .withColumn("sim",
+        fdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("cell_id"), col("rank"),
