@@ -198,8 +198,9 @@ object SparkEntry {
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, k = 5, nPlanes = 8, dim = 64)
     }),
 
-    // §2.21b — IVF ANN: deterministic coarse k-means cells, nprobe search
-    // (rows-only: iterative k-means is not oracle-SQL-expressible)
+    // §2.21b — IVF ANN: deterministic coarse k-means cells, nprobe search.
+    // Cell assignment is a native no-shuffle projection (NearestCells);
+    // the oracle unrolls the same deterministic training into DuckDB SQL.
     "q_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // train the coarse quantizer on a deterministic 1/5 sample — at scale
@@ -558,6 +559,8 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracle,
 
+    "q_ann_ivf" -> annIvfOracle,
+
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -688,6 +691,76 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS chars_per_token
         |FROM documents""".stripMargin
   )
+
+  /** q_ann_ivf oracle: the deterministic IVF pipeline — first-16 seeding by
+    * ascending vec_id, two Lloyd iterations with exact-decimal means, then
+    * nprobe=2 / top-5 search — unrolled into DuckDB SQL. Distances replay
+    * the native NearestCells fold exactly: ascending-index double
+    * accumulation of (e[i]-c[i])^2 with lower-cell-id tie-break, so cell
+    * assignments agree across engines; the centroid mean goes
+    * float -> decimal(20,10) -> exact sum -> double / count -> float on
+    * both sides, so iterations stay bit-reproducible.
+    */
+  private def annIvfOracle: String = {
+    def dist(e: String, c: String): String = {
+      val diff = s"(CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $diff * $diff)), (acc, x) -> acc + x)"
+    }
+    // one Lloyd iteration: assign to nearest of c$it, then exact-mean
+    // per (cell, dimension); empty cells keep their previous centroid
+    val lloyd = (0 until 2).map { it =>
+      s"""a${it + 1} AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT t.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${dist("t.e", "c.c")} ASC, c.cell_id ASC) AS rn
+         |    FROM train t CROSS JOIN c$it c) WHERE rn = 1),
+         |m${it + 1} AS (
+         |  SELECT a.cell_id, r.i AS pos,
+         |    CAST(CAST(sum(CAST(t.e[CAST(r.i AS INTEGER)] AS DECIMAL(20,10))) AS DOUBLE)
+         |      / count(*) AS FLOAT) AS m
+         |  FROM a${it + 1} a JOIN train t USING (vec_id)
+         |  CROSS JOIN range(1, 65) r(i)
+         |  GROUP BY a.cell_id, r.i),
+         |c${it + 1} AS (
+         |  SELECT o.cell_id, coalesce(n.c, o.c) AS c
+         |  FROM c$it o LEFT JOIN (
+         |    SELECT cell_id, list(m ORDER BY pos ASC) AS c
+         |    FROM m${it + 1} GROUP BY cell_id) n ON o.cell_id = n.cell_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH train AS (
+       |  SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id % 5 = 0),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell_id, e AS c
+       |  FROM (SELECT vec_id, e FROM train ORDER BY vec_id ASC LIMIT 16)),
+       |$lloyd,
+       |probe AS (
+       |  SELECT query_id, q_emb, cell_id FROM (
+       |    SELECT t.vec_id AS query_id, t.embedding AS q_emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${dist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) t
+       |    CROSS JOIN c2 c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT neighbor_id, c_emb, cell_id FROM (
+       |    SELECT t.vec_id AS neighbor_id, t.embedding AS c_emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${dist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM embeddings t CROSS JOIN c2 c) WHERE rn = 1),
+       |sims AS (
+       |  SELECT p.query_id, c.neighbor_id, c.cell_id,
+       |    list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])) AS sim
+       |  FROM cand c JOIN probe p USING (cell_id)
+       |  WHERE c.neighbor_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, cell_id, rank, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so
     * DuckDB computes the identical sign buckets.

@@ -71,8 +71,13 @@ object Multimodal {
   def chunked(df: DataFrame, payloadCol: String, chunkBytes: Int): DataFrame =
     df
       .withColumn("n_bytes", length(col(payloadCol)).cast("long"))
-      .withColumn("chunk_idx", explode(sequence(lit(0),
-        ((col("n_bytes") + chunkBytes - 1) / chunkBytes).cast("int") - 1)))
+      // Empty payloads produce zero chunk rows: sequence(0, -1) would walk
+      // backwards (default step -1) and emit phantom chunks, so gate the
+      // sequence behind n_bytes > 0 — explode drops the NULL branch.
+      .withColumn("chunk_idx", explode(when(col("n_bytes") > 0,
+        sequence(lit(0),
+          ((col("n_bytes") + chunkBytes - 1) / chunkBytes).cast("int") - 1,
+          lit(1)))))
       .withColumn("chunk",
         expr(s"substring($payloadCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
 

@@ -85,14 +85,13 @@ object TextAnalysis {
 
   /** Polynomial rolling hash of the whole document (base-257 fold mod
     * 1e9+7): the Rabin-Karp primitive used for content-defined chunk
-    * boundaries and cheap change detection. Left fold in both engines, so
-    * the oracle matches bit-for-bit.
+    * boundaries and cheap change detection. Native codegen'd loop
+    * (graftnative.RollingHash) — bit-identical to the left fold the oracle
+    * computes, without the per-character interpreted lambda the HOF
+    * formulation paid.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, c) => (acc * 257 + c) % 1000000007L)
+    org.apache.spark.sql.graftnative.RollingHash.rollingHash(text)
 
   /** Multimodal plumbing: treat the payload as opaque bytes with typed
     * metadata — byte length, fixed-size chunk count, content hash. The same

@@ -30,10 +30,57 @@ object Rdb {
 
   /** Daily-partition extract (reference: rdb.py:78): date filter appended
     * and evaluated in the database, not after transfer.
+    *
+    * Spark's JDBC reader cannot bind parameters into a dbtable subquery, so
+    * instead of interpolating caller strings the day is parsed with
+    * `LocalDate.parse` (throws on anything that is not a date) and the
+    * literal is rebuilt from the parsed value, and the date expression is
+    * restricted to a (possibly qualified) column identifier — the
+    * injection-safe equivalent of rdb.py's bound `:partition_date`.
     */
   def readQueryWithDateFilter(spark: SparkSession, url: String, query: String,
-      dateExpr: String, day: String, props: Properties = new Properties()): DataFrame =
-    readQuery(spark, url, s"SELECT * FROM ($query) q WHERE $dateExpr = '$day'", props)
+      dateExpr: String, day: String, props: Properties = new Properties()): DataFrame = {
+    val parsedDay = java.time.LocalDate.parse(day)
+    require(dateExpr.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"dateExpr must be a column identifier, got: $dateExpr")
+    readQuery(spark, url,
+      s"SELECT * FROM ($query) q WHERE $dateExpr = '$parsedDay'", props)
+  }
+
+  /** Table existence check (reference: etl/resources/trino.py:235
+    * table_exists): driver metadata lookup, no query shipped.
+    */
+  def tableExists(url: String, table: String,
+      props: Properties = new Properties()): Boolean = {
+    var conn: Connection = null
+    try {
+      conn = DriverManager.getConnection(url, props)
+      // JDBC metadata stores case-normalized identifiers; check both the
+      // given spelling and the dialect-default upper case.
+      val meta = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
+        val rs = meta.getTables(null, null, t, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+    } finally if (conn != null) conn.close()
+  }
+
+  /** Truncate (reference: etl/resources/trino.py:227 truncate_table) with
+    * DELETE fallback for dialects without TRUNCATE.
+    */
+  def truncate(url: String, table: String,
+      props: Properties = new Properties()): Unit = {
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"table must be an identifier, got: $table")
+    var conn: Connection = null
+    try {
+      conn = DriverManager.getConnection(url, props)
+      try { conn.createStatement().executeUpdate(s"TRUNCATE TABLE $table"); () }
+      catch { case _: java.sql.SQLException =>
+        conn.createStatement().executeUpdate(s"DELETE FROM $table"); ()
+      }
+    } finally if (conn != null) conn.close()
+  }
 
   /** Parallel append (reference: trino.py:104 insert_dataframe). */
   def insert(df: DataFrame, url: String, table: String,

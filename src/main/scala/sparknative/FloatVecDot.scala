@@ -29,10 +29,16 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Mismatched vector lengths yield NULL (like aggregate(zip_with(...)),
+  // whose null padding nulls the whole fold) — never a silently truncated
+  // plausible-but-wrong similarity.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -48,12 +54,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.ExplainMode
+
 import graft.operators.Ivf
 
 class IvfSpec extends SparkSpec {
@@ -17,7 +19,7 @@ class IvfSpec extends SparkSpec {
 
   test("train + assign groups separated clusters into consistent cells") {
     val centroids = Ivf.train(clustered, k = 3, iters = 2)
-    assert(centroids.count() == 3)
+    assert(centroids.size == 3)
     val cells = Ivf.assign(clustered, centroids)
       .select("true_cluster", "cell_id")
       .collect().map(r => r.getInt(0) -> r.getInt(1))
@@ -26,6 +28,13 @@ class IvfSpec extends SparkSpec {
     assert(byTrue.values.forall(_.size == 1), s"mixed cells: $byTrue")
     // and distinct clusters use distinct cells
     assert(byTrue.values.flatten.toSet.size == 3)
+  }
+
+  test("assign is a pure projection: no Exchange between scan and cell id") {
+    val centroids = Ivf.train(clustered, k = 3, iters = 2)
+    val plan = Ivf.assign(clustered, centroids).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"cell assignment shuffled:\n$plan")
   }
 
   test("search returns an identical twin as the top neighbor") {
@@ -43,10 +52,19 @@ class IvfSpec extends SparkSpec {
   }
 
   test("training is deterministic") {
-    val a = Ivf.train(clustered, 3, 2).orderBy("cell_id")
-      .collect().map(_.getSeq[Float](1)).toSeq
-    val b = Ivf.train(clustered, 3, 2).orderBy("cell_id")
-      .collect().map(_.getSeq[Float](1)).toSeq
+    val a = Ivf.train(clustered, 3, 2)
+    val b = Ivf.train(clustered, 3, 2)
     assert(a == b)
+  }
+
+  test("nearestCells orders by distance with cell-id tie-break") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    // centroids 1 and 2 are identical: the tie must resolve to cell 1
+    val cents = Seq(Seq(0.0f, 0.0f), Seq(5.0f, 0.0f), Seq(5.0f, 0.0f))
+    val out = Seq((1L, Array(4.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(nearestCells(col("embedding"), cents, 3).as("cells"))
+      .collect().head.getSeq[Int](0)
+    assert(out == Seq(1, 2, 0))
   }
 }

@@ -33,4 +33,9 @@ class MultimodalSpec extends SparkSpec {
     val sampled = Multimodal.sampleChunks(chunks, stride = 2)
     assert(sampled.where($"media_id" === 1).count() == 2) // idx 0 and 2
   }
+
+  test("chunked emits zero rows for an empty payload (no phantom chunks)") {
+    val df = Seq(MediaRow(3L, "image", Array.empty[Byte])).toDS().toDF()
+    assert(Multimodal.chunked(df, "payload", chunkBytes = 32).count() == 0)
+  }
 }

@@ -29,6 +29,26 @@ class RdbSpec extends SparkSpec {
     assert(day.select("lot_id").as[String].collect().sorted.toSeq == Seq("L2", "L3"))
   }
 
+  test("date-filter extract rejects non-date days and non-identifier exprs") {
+    intercept[java.time.format.DateTimeParseException] {
+      Rdb.readQueryWithDateFilter(spark, url,
+        "SELECT 1 FROM lot_history", "created_at", "2024-01-02' OR '1'='1")
+    }
+    intercept[IllegalArgumentException] {
+      Rdb.readQueryWithDateFilter(spark, url,
+        "SELECT 1 FROM lot_history", "created_at = created_at OR 1=1 --", "2024-01-02")
+    }
+  }
+
+  test("tableExists and truncate (trino.py:227,:235 parity)") {
+    exec("CREATE TABLE load_target (k INT)")
+    exec("INSERT INTO load_target VALUES (1), (2)")
+    assert(Rdb.tableExists(url, "load_target"))
+    assert(!Rdb.tableExists(url, "no_such_table"))
+    Rdb.truncate(url, "load_target")
+    assert(Rdb.readQuery(spark, url, "SELECT k FROM load_target").count() == 0)
+  }
+
   test("insert appends and upsert replaces keyed rows set-based") {
     exec("CREATE TABLE aps_wip (step VARCHAR(10), qty INT)")
     Rdb.insert(Seq(("ETCH", 10), ("DIFF", 20)).toDF("step", "qty"), url, "aps_wip")

@@ -70,4 +70,12 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     out.foreach(sq => assert(math.abs(sq - 1.0) < 1e-12))
   }
+
+  test("fdot returns NULL on mismatched vector lengths, not a truncated dot") {
+    import org.apache.spark.sql.graftnative.FloatVecDot.fdot
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b")
+    val r = df.select(fdot(col("a"), col("b")).as("d")).collect().head
+    assert(r.isNullAt(0))
+  }
 }

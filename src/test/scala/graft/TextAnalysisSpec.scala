@@ -34,6 +34,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.head.getAs[Long]("n_shingles") == 4) // 6 tokens -> 4 trigrams
   }
 
+  test("native rollingHash matches the interpreted HOF fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("", "a", "hello world", "the quick brown fox 0123",
+      "x" * 500).toDF("text")
+    val hof = aggregate(
+      transform(split($"text", ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * 257 + c) % 1000000007L)
+    val out = texts.select(
+      TextAnalysis.rollingHash($"text").as("native"), hof.as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("binaryMeta reports bytes, chunks, and hash") {
     val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
     assert(r.getAs[Long]("n_bytes") == 22)
