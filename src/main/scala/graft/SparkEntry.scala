@@ -98,6 +98,15 @@ object SparkEntry {
         "event_id" -> "long", "user_id" -> "int", "event_type" -> "string",
         "value" -> "double", "ts" -> "date", "props" -> "string"))),
 
+    // §2.9b — schema validation report (parquet.py:80 validate_schema):
+    // expected-vs-actual with ok / type_mismatch / missing / extra rows.
+    // The expected schema plants one mismatch, one missing, one extra.
+    "q_schema_validate" -> ((s, dir) =>
+      graft.validation.SchemaCheck.validateSchema(Tables.events(s, dir), Seq(
+        "event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "int",
+        "event_type" -> "string", "value" -> "double",
+        "quality_flag" -> "string"))),
+
     // §2.10 — event sessionization (RunAnalyzer.get_step_durations)
     "q_run_durations" -> ((s, dir) =>
       Observability.eventDurations(Tables.events(s, dir), "user_id")),
@@ -107,9 +116,36 @@ object SparkEntry {
       Observability.stepStats(
         Observability.eventDurations(Tables.events(s, dir), "user_id"))),
 
+    // §2.10b — status-matched step durations: START armed, closed by the
+    // next SUCCESS/FAILURE of the same entity, with a status column
+    // (observability.py:113-159 pairing semantics)
+    "q_step_durations_status" -> ((s, dir) =>
+      Observability.stepDurationsStatus(Tables.events(s, dir), "user_id",
+        startType = "click", successType = "purchase", failureType = "error")),
+
+    // §2.10c — materializations listing with asset key + flattened
+    // metadata (observability.py:74-111)
+    "q_materializations" -> ((s, dir) =>
+      Observability.materializations(Tables.events(s, dir), matType = "signup")),
+
     // §2.12 — partition discovery (s3.list_partitions)
     "q_partition_listing" -> ((s, dir) =>
       Etl.partitionListing(Tables.events(s, dir), col("ts"))),
+
+    // §2.12b — hive-partitioned daily storage round-trip with partition
+    // pruning: write events partitioned by date=yyyyMMdd, read ONE day back
+    // through a partition filter (directories for other days are never
+    // scanned — asserted in PipelineSpec), aggregate it. The single most
+    // common access pattern in the reference (every daily job).
+    "q_hive_pruned" -> ((s, dir) => {
+      val root = "/tmp/graft_hive_" + dir.replaceAll("[^0-9A-Za-z]", "_")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      graft.pipeline.Pipeline.writeDailyAll(ev, root, "stage", "events_daily", col("ts"))
+      graft.pipeline.Pipeline.readDay(s, root, "stage", "events_daily", "2024-01-02")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Etl.moneySum(col("value")).as("sum_value"))
+    }),
 
     // §2.13 — star-schema analytics, broadcast dims
     "q_star_join" -> ((s, dir) => {
@@ -163,6 +199,22 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         k = 64, bands = 16, minSim = 0.5)),
 
+    // §2.16b — staged dedup pipeline: exact-dup collapse -> materialized
+    // representatives -> MinHash near-dup, the mandatory ordering at scale
+    // (rows-only: MinHash is not oracle-SQL-expressible). Planted EXACT
+    // copies are collapsed by stage 1, so only the truncated near-dups
+    // survive to the LSH stage.
+    "q_dedup_staged" -> ((s, dir) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+        .unionByName(Dedup.withPlantedDups(Tables.documents(s, dir), every = 10,
+          idOffset = 2000000L, truncateChars = 0)
+          .where(col("doc_id") >= 2000000L))
+      Dedup.stagedNearDups(corpus,
+        "/tmp/graft_staged_" + dir.replaceAll("[^0-9A-Za-z]", "_"),
+        k = 64, bands = 16, minSim = 0.5)
+    }),
+
     // §2.17 — SimHash near-dup pairs (rows-only check)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDups(
@@ -177,13 +229,17 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         minJaccard = 0.5, maxLenDiff = 40)),
 
-    // §2.19 — embedding-cosine near-dup pairs (label-bucketed)
+    // §2.19 — embedding-cosine near-dup pairs, blocked by IVF quantizer
+    // cell (multi-probe). The oracle is blocking-free all-pairs truth, so
+    // the hash check also certifies the blocking lost no pair.
     "q_embed_neardup" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val corpus = e.unionByName(
         e.where(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
-      Similarity.nearDupPairs(corpus, minCosine = 0.95)
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      Similarity.nearDupPairs(corpus, minCosine = 0.95, centroids, nprobe = 2)
     }),
 
     // §2.20 — brute-force cosine top-k ANN baseline
@@ -412,7 +468,7 @@ object SparkEntry {
         s"  coalesce(CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS $t").mkString(",\n")
       s"""SELECT user_id,
          |$sums,
-         |  round(coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) / 1440 * 100, 2) AS utilization_rate,
+         |  floor(coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) / 1440 * 100 * 100 + 0.5) / 100 AS utilization_rate,
          |  '2024-01-31' AS snapshot_date
          |FROM events GROUP BY user_id""".stripMargin
     },
@@ -475,9 +531,52 @@ object SparkEntry {
         |FROM w WHERE end_us IS NOT NULL
         |GROUP BY event_type""".stripMargin,
 
+    // the events schema is fixed by the generator, so the expected report
+    // is enumerable — a broken validator shows up as a wrong literal
+    "q_schema_validate" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'bigint', 'bigint', 'ok'),
+        |  ('ts', 'timestamp', 'timestamp', 'ok'),
+        |  ('user_id', 'int', 'bigint', 'type_mismatch'),
+        |  ('event_type', 'string', 'string', 'ok'),
+        |  ('value', 'double', 'double', 'ok'),
+        |  ('quality_flag', 'string', NULL, 'missing'),
+        |  ('props', NULL, 'string', 'extra')
+        |) t(column_name, expected_type, actual_type, status)""".stripMargin,
+
+    "q_step_durations_status" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS end_us
+        |  FROM events WHERE event_type IN ('click','purchase','error')),
+        |w AS (
+        |  SELECT user_id, event_id, event_type, end_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN end_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY end_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS start_us
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 'success' ELSE 'failure' END AS status,
+        |  start_us, end_us, end_us - start_us AS duration_us
+        |FROM w WHERE event_type IN ('purchase','error')""".stripMargin,
+
+    "q_materializations" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  'stage.user_' || user_id AS asset_key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS meta_k,
+        |  value AS meta_value
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
+
     "q_partition_listing" ->
       """SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y%m%d') AS partition_date
         |FROM events""".stripMargin,
+
+    "q_hive_pruned" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE strftime(CAST(ts AS DATE), '%Y%m%d') = '20240102'
+        |GROUP BY event_type""".stripMargin,
 
     "q_star_join" ->
       """SELECT r_name, n_name,
@@ -534,14 +633,16 @@ object SparkEntry {
         |  AND abs(x.len - y.len) <= 40
         |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) >= 0.5""".stripMargin,
 
+    // blocking-free ground truth: every pair, no bucket key — the Spark
+    // side must find exactly these through its cell blocking
     "q_embed_neardup" ->
       """WITH corpus AS (
-        |  SELECT vec_id, embedding, label FROM embeddings
+        |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 50 = 0)
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
         |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) AS sim_r
-        |FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id
+        |FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
 
     "q_ann_topk" ->

@@ -52,24 +52,13 @@ object Stress {
     time("minhash_neardups") {
       Dedup.minhashNearDups(docs, k = 64, bands = 16, minSim = 0.5)
     }
-    // The staged pipeline a real 100 TB run uses: collapse exact duplicates
-    // first (hash groupBy), MATERIALIZE the representatives (stage
-    // boundary — the self-joins downstream would otherwise recompute the
-    // aggregation per branch), then near-dedup only the representatives.
-    // With heavy replication this removes the C(cluster, 2) LSH pair
-    // explosion.
-    time("minhash_after_exact") {
-      docs
-        .withColumn("text_hash", md5(col("text")))
-        .groupBy("text_hash")
-        .agg(min(col("doc_id")).as("doc_id"),
-          first(col("text")).as("text"),
-          first(col("lang")).as("lang"),
-          first(col("source")).as("source"))
-        .drop("text_hash")
-        .write.mode("overwrite").parquet("/tmp/graft_stress_reps")
-      val reps = spark.read.parquet("/tmp/graft_stress_reps")
-      Dedup.minhashNearDups(reps, k = 64, bands = 16, minSim = 0.5)
+    // The staged pipeline a real 100 TB run uses (now the registered
+    // q_dedup_staged operator): collapse exact duplicates, materialize
+    // representatives, then near-dedup only those — removes the
+    // C(cluster, 2) LSH pair explosion under heavy replication.
+    time("minhash_staged") {
+      Dedup.stagedNearDups(docs, "/tmp/graft_stress_reps",
+        k = 64, bands = 16, minSim = 0.5)
     }
     time("simhash_neardups") {
       Dedup.simhashNearDups(docs, maxHamming = 3)

@@ -105,6 +105,33 @@ object Dedup {
       .select("doc_a", "doc_b", "est_sim")
   }
 
+  /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact
+    * duplicates first (one cheap hash shuffle), MATERIALIZE the
+    * representatives (a stage boundary: the LSH self-join downstream would
+    * otherwise recompute the aggregation once per join branch), then
+    * MinHash-near-dedup only the representatives. Exact-duplicate clusters
+    * are the LSH worst case — every replica lands in every band bucket of
+    * its cluster and the pair stage degenerates to C(replicas, 2) per
+    * document; collapsing them first makes the pair stage see each
+    * distinct text once. The Stress harness measures this directly (10x
+    * replicated corpus: staged beats raw minhash by the replica factor).
+    */
+  def stagedNearDups(docs: DataFrame, stagePath: String,
+      k: Int, bands: Int, minSim: Double): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("doc_id"),
+        // grouped by content hash, so these are constant within a group
+        first(col("text")).as("text"),
+        first(col("lang")).as("lang"),
+        first(col("source")).as("source"))
+      .drop("text_hash")
+      .write.mode("overwrite").parquet(stagePath)
+    minhashNearDups(spark.read.parquet(stagePath), k, bands, minSim)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: bit i is set when more than half

@@ -21,6 +21,17 @@ object Etl {
   def moneyAvg(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double") / count(c)
 
+  /** Round to 2 decimals as `floor(x*100 + 0.5) / 100` — pure IEEE double
+    * ops, so every engine computes the identical result. Spark's round()
+    * goes through the double's SHORTEST decimal string (BigDecimal.valueOf)
+    * and rounds exact ties like 32.675 UP, while engines that round the
+    * binary value (32.67499999999999715...) round DOWN — a hash-compare
+    * killer whenever the true value lands exactly on a .xx5 boundary,
+    * which money/1440-style rates do regularly.
+    */
+  def round2Stable(c: Column): Column =
+    floor(c * 100 + 0.5).cast("double") / 100
+
   /** Daily-partition extract: projected scan filtered to one partition day.
     * Reference: etl/resources/rdb.py:78 (`WHERE DATE(col) = :partition_date`)
     * + etl/common/assets/extract.py query templates. Both the date filter and
@@ -139,7 +150,7 @@ object Etl {
       .groupBy(col(entityCol))
       .agg(sums.head, sums.tail: _*)
       .withColumn("utilization_rate",
-        round(col(runType) / minutesPerDay * 100, 2))
+        round2Stable(col(runType) / minutesPerDay * 100))
       .withColumn("snapshot_date", lit(snapshotDate))
   }
 

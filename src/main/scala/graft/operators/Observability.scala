@@ -31,6 +31,50 @@ object Observability {
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
+  /** Status-matched step durations — the reference's exact pairing
+    * semantics (etl/utils/observability.py:113-159): a START event arms
+    * the step; the next SUCCESS/FAILURE event of the same entity closes it
+    * with `status` = success/failure, `start` = the latest strictly
+    * preceding START (NULL start -> NULL duration, emitted anyway, exactly
+    * like the reference's `starts.get(step_key)` miss). The driver-side
+    * dict scan becomes one window over (entity, time) — a single shuffle
+    * partitioned by entity.
+    */
+  def stepDurationsStatus(events: DataFrame, entityCol: String,
+      startType: String, successType: String, failureType: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col("end_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .where(col("event_type").isin(startType, successType, failureType))
+      .select(col(entityCol), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("end_us"))
+      .withColumn("start_us",
+        last(when(col("event_type") === startType, col("end_us")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type").isin(successType, failureType))
+      .select(col(entityCol), col("event_id"),
+        when(col("event_type") === successType, lit("success"))
+          .otherwise(lit("failure")).as("status"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+  }
+
+  /** Materializations listing (etl/utils/observability.py:74-111): filter
+    * the event log to materialization events, build the dotted asset key,
+    * and flatten the metadata map into typed columns — the reference's
+    * `{**metadata}` row splat.
+    */
+  def materializations(events: DataFrame, matType: String): DataFrame =
+    events
+      .where(col("event_type") === matType)
+      .select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        concat(lit("stage.user_"), col("user_id")).as("asset_key"),
+        get_json_object(col("props"), "$.k").cast("long").as("meta_k"),
+        col("value").as("meta_value"))
+
   /** Per-step duration stats (avg/max/count), the reference's
     * "performance bottleneck" query (docs/trino_observability_ddl.sql q2).
     * avg over exact integral micros stays deterministic.

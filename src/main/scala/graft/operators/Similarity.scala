@@ -42,20 +42,29 @@ object Similarity {
         round(col("sim"), 4).as("sim_r"))
   }
 
-  /** Embedding near-dup pairs: bucket by a cheap key (here the label
-    * column — in production a coarse quantization), pair within bucket,
-    * keep cosine >= threshold.
+  /** Embedding near-dup pairs, blocked by coarse-quantizer cell: each
+    * vector is assigned to its `nprobe` nearest IVF cells (multi-probe for
+    * recall across cell boundaries) and pairs are enumerated only within a
+    * shared cell. Unlike blocking on a data column (label, source, ...),
+    * cell cardinality is controlled by `k` — no data-dependent hot bucket
+    * can go quadratic, and at 100 TB the cell id is a precomputed
+    * scan-speed column and the self-join shuffles on it.
     */
-  def nearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding").as("emb"),
-      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+  def nearDupPairs(embeddings: DataFrame, minCosine: Double,
+      centroids: Seq[Seq[Float]], nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+      explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell_id"))
     e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+        col("x.cell_id") === col("y.cell_id") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("sim",
         fdot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
       .where(col("sim") >= minCosine)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         round(col("sim"), 4).as("sim_r"))
+      // a pair sharing more than one probed cell surfaces once
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Deterministic pseudo-random hyperplanes: component (i, j) derives from

@@ -34,6 +34,30 @@ object Pipeline {
   def readDaily(spark: SparkSession, root: String, stage: String, job: String, day: String): DataFrame =
     spark.read.parquet(s"$root/$stage/job_name=$job/date=${day.replace("-", "")}")
 
+  /** Write a multi-day dataset as one hive-partitioned table,
+    * `<root>/<stage>/job_name=<job>/date=<yyyyMMdd>/...`, deriving the
+    * partition value from `dateCol`. The int-typed `date` column is a real
+    * partition key: readers that filter on it scan only that directory
+    * (see readDay), the access pattern of every daily job in the
+    * reference (s3.py:60 layout + per-day reads).
+    */
+  def writeDailyAll(df: DataFrame, root: String, stage: String, job: String,
+      dateCol: org.apache.spark.sql.Column): String = {
+    val path = s"$root/$stage/job_name=$job"
+    df.withColumn("date", date_format(to_date(dateCol), "yyyyMMdd").cast("int"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(path)
+    path
+  }
+
+  /** Partition-pruned read of one day from a writeDailyAll layout: the
+    * `date` filter is a PartitionFilter on the scan — directories for
+    * other days are never listed into tasks, let alone read.
+    */
+  def readDay(spark: SparkSession, root: String, stage: String, job: String,
+      day: String): DataFrame =
+    spark.read.parquet(s"$root/$stage/job_name=$job")
+      .where(col("date") === day.replace("-", "").toInt)
+
   /** Non-partitioned master data lands under `latest/` (reference:
     * s3.py:118 _build_tenant_s3_path with partition_date=None — e.g. the
     * cfg_item_master sync).

@@ -52,6 +52,17 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) > 0.8 && out((1L, 4L)) < 1.0)
   }
 
+  test("stagedNearDups collapses exact replicas before the LSH pair stage") {
+    // 5 exact replicas of doc 1 + one near-dup: raw minhash would emit
+    // C(6,2)-ish pairs; staged emits exactly the representative near-dup
+    val replicas = (10L to 14L).map(i => (i, doc(words, 1, 50), "en", "s0"))
+    val corpus = docs.unionByName(replicas.toDF("doc_id", "text", "lang", "source"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-staged").toString + "/reps"
+    val out = Dedup.stagedNearDups(corpus, tmp, k = 64, bands = 16, minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 4L)), s"got ${out.toSeq}")
+  }
+
   test("signatures are reproducible across evaluations") {
     val a = Dedup.minhashSignatures(docs, 16).orderBy("doc_id")
       .select(to_json(struct(col("sig")))).as[String].collect().toSeq

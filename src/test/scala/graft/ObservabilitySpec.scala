@@ -26,6 +26,29 @@ class ObservabilitySpec extends SparkSpec {
     assert(out(2).getAs[Long]("duration_us") == 60000000L)
   }
 
+  test("stepDurationsStatus pairs START with the next SUCCESS/FAILURE and tags status") {
+    val out = Observability.stepDurationsStatus(events, "user_id",
+      startType = "START", successType = "SUCCESS", failureType = "FAILURE")
+      .orderBy("event_id").collect()
+    assert(out.length == 2)
+    // event 2: SUCCESS closing the START at t=0
+    assert(out(0).getAs[Long]("event_id") == 2L)
+    assert(out(0).getAs[String]("status") == "success")
+    assert(out(0).getAs[Long]("duration_us") == 30000000L)
+    // event 4: FAILURE closing the re-armed START at t=60s
+    assert(out(1).getAs[String]("status") == "failure")
+    assert(out(1).getAs[Long]("duration_us") == 60000000L)
+  }
+
+  test("stepDurationsStatus emits a NULL-start row when no START precedes") {
+    val orphan = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "SUCCESS", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Observability.stepDurationsStatus(orphan, "user_id",
+      "START", "SUCCESS", "FAILURE").collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("start_us")))
+  }
+
   test("stepStats aggregates durations per type") {
     val stats = Observability.stepStats(Observability.eventDurations(events, "user_id"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("run_count")).toMap

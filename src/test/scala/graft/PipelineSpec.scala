@@ -17,6 +17,32 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.listDaily(root, "transform", "wip") == Seq("20240102", "20240103"))
   }
 
+  test("writeDailyAll + readDay prunes to one partition directory") {
+    import org.apache.spark.sql.execution.ExplainMode
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-pruned").toString
+    val df = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0)
+    ).toDF("id", "day", "value")
+    Pipeline.writeDailyAll(df.repartition(1), root, "stage", "j", col("day"))
+    val read = Pipeline.readDay(spark, root, "stage", "j", "2024-01-01")
+    assert(read.count() == 2)
+    // the filter must reach the scan as a PartitionFilter...
+    val plan = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("20240101"),
+      s"no partition filter in plan:\n$plan")
+    // ...and the executed scan must have listed ONE file (one file per
+    // day was written; inputFiles would show the whole unfiltered
+    // relation, so read the scan node's own metrics)
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value == 1,
+      s"scanned ${scan.metrics("numFiles").value} files, expected 1")
+  }
+
   test("writeLatest/readLatest round-trip non-partitioned master data") {
     val root = Files.createTempDirectory("graft-latest").toString
     val df = Seq((1, "m")).toDF("k", "v")

@@ -71,6 +71,20 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(sq => assert(math.abs(sq - 1.0) < 1e-12))
   }
 
+  test("cell-blocked nearDupPairs finds planted duplicates") {
+    // three separated clusters; vec 100 duplicates vec 0's direction
+    val corpus = ((0 until 30).map { i =>
+      val base = Array.fill(6)(0.01f * (i % 3))
+      base(i % 3) = 8.0f
+      (i.toLong, base)
+    } :+ (100L, Array(8.0f, 0.0f, 0.0f, 0.01f * 0, 0f, 0f).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.train(corpus, k = 3, iters = 2)
+    val pairs = Similarity.nearDupPairs(corpus, minCosine = 0.999, centroids, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 100L)), s"missing planted pair in ${pairs.toSeq}")
+  }
+
   test("fdot returns NULL on mismatched vector lengths, not a truncated dot") {
     import org.apache.spark.sql.graftnative.FloatVecDot.fdot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.validation.Validator
+import graft.validation.{SchemaCheck, Validator}
 
 class ValidatorSpec extends SparkSpec {
   import spark.implicits._
@@ -34,5 +34,19 @@ class ValidatorSpec extends SparkSpec {
     val r = Validator(df).checkNotNull("k").checkUnique("k").report().head()
     assert(r.getAs[Long]("not_null_k") == 0)
     assert(r.getAs[Long]("unique_k") == 0)
+  }
+
+  test("validateSchema reports ok / type_mismatch / missing / extra") {
+    val df = Seq((1L, "a", 0.5)).toDF("id", "name", "score")
+    val rep = SchemaCheck.validateSchema(df, Seq(
+      "id" -> "bigint", "name" -> "int", "absent" -> "string"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rep == Map("id" -> "ok", "name" -> "type_mismatch",
+      "absent" -> "missing", "score" -> "extra"))
+  }
+
+  test("inferSchema reads the column -> type map off the frame") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    assert(SchemaCheck.inferSchema(df) == Seq("id" -> "bigint", "name" -> "string"))
   }
 }
