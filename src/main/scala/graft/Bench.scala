@@ -8,12 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * optimized away (a plain count() would skip column evaluation).
   *
   * Noise robustness: each query runs `SPARK_GRAFT_BENCH_ITERS` times
-  * (default 3) and the reported time is the MEDIAN iteration. A single
+  * (default 3) and the reported time is the MINIMUM iteration. A single
   * timed pass is at the mercy of host contention, JIT warm-up, and GC
   * pauses — the r1 driver run showed trivial projections 10-20x slower
-  * than heavy aggregations purely from measurement noise. The median of
-  * three survives one bad iteration per query; `value` stays the sum of
-  * per-query medians so the JSON shape is unchanged.
+  * than heavy aggregations purely from measurement noise. Iterations are
+  * INTERLEAVED (round-robin over all queries, repeated), because on a
+  * shared host contention arrives in multi-minute bursts: back-to-back
+  * iterations of one query all land inside the same burst and even their
+  * median lies, while interleaving spaces a query's samples minutes apart
+  * so the min picks up whichever pass ran clean. `value` stays the sum of
+  * per-query minima; the JSON shape is unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,9 +47,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until iters).map(_ => once(name, fn)).sorted
-      name -> times(times.length / 2)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (0 until iters).flatMap { _ =>
+      ordered.map { case (name, fn) => name -> once(name, fn) }
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> samples.collect { case (`name`, t) => t }.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

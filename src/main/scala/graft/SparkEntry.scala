@@ -199,6 +199,16 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         k = 64, bands = 16, minSim = 0.5)),
 
+    // §2.16c — PORTABLE MinHash near-dup: engine-agnostic shingle ids
+    // (base-257 fold) + raw signature-slice band keys, so the full LSH
+    // pipeline INCLUDING est_sim hash-checks against DuckDB. The
+    // xxhash-based q_dedup_minhash stays the throughput path.
+    "q_dedup_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashPortableNearDups(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        k = 64, bands = 16, minSim = 0.5)),
+
     // §2.16b — staged dedup pipeline: exact-dup collapse -> materialized
     // representatives -> MinHash near-dup, the mandatory ordering at scale
     // (rows-only: MinHash is not oracle-SQL-expressible). Planted EXACT
@@ -662,6 +672,8 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
 
+    "q_dedup_minhash_portable" -> minhashPortableOracle,
+
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -792,6 +804,48 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS chars_per_token
         |FROM documents""".stripMargin
   )
+
+  /** q_dedup_minhash_portable oracle: the identical minhash pipeline in
+    * DuckDB — shingle ids via the base-257 rolling fold, the 64 (a, b)
+    * permutation literals inlined from Dedup.portableCoefs, band keys as
+    * signature slices, est_sim as the fraction of equal components.
+    */
+  private def minhashPortableOracle: String = {
+    val k = 64; val bands = 16; val r = k / bands; val p = 2147483647L
+    val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 257 + c) % 1000000007)"
+    val sigEntries = Dedup.portableCoefs(k).map { case (a, b) =>
+      s"list_min(list_transform(ids, x -> ($a * (x % $p) + $b) % $p))"
+    }.mkString(",\n    ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |    s -> $fold)) AS ids
+       |  FROM t),
+       |sig AS (SELECT doc_id, [$sigEntries] AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sig, b.band, sig[b.band*$r+1 : b.band*$r+$r] AS bv
+       |  FROM sig, range(0, $bands) b(band)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.sig AS sig_a, y.sig AS sig_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
+       |FROM cand
+       |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
 
   /** q_ann_ivf oracle: the deterministic IVF pipeline — first-16 seeding by
     * ascending vec_id, two Lloyd iterations with exact-decimal means, then

@@ -41,6 +41,12 @@ object Tables {
     * this column push down to the scan (the converted TimestampType column
     * is computed, so predicates on it cannot) — use for partition-style
     * date filters, then convert.
+    *
+    * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` on the
+    * session (idempotent; any later nanos-timestamp parquet read in this
+    * session also gets LongType instead of an error). The repo's own mains
+    * set it at session build; this remains as a net for externally built
+    * sessions (the driver constructs its own for the entry smoke check).
     */
   def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

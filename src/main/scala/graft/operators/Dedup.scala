@@ -105,6 +105,67 @@ object Dedup {
       .select("doc_a", "doc_b", "est_sim")
   }
 
+  /** Deterministic LCG-derived (a, b) permutation coefficients for the
+    * PORTABLE minhash variant — public so the verification oracle can
+    * inline the identical literals into its SQL.
+    */
+  def portableCoefs(k: Int): Seq[(Long, Long)] = {
+    var state = 7L
+    def next(bound: Long): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      java.lang.Math.floorMod(state >>> 33, bound)
+    }
+    Seq.fill(k)((1L + next(MinhashPrime - 1), next(MinhashPrime)))
+  }
+
+  /** Portable MinHash near-dup: the same signatures -> LSH bands ->
+    * est_sim pipeline as minhashNearDups, but every hash is an
+    * engine-agnostic construction — shingle ids are the base-257
+    * rolling-hash fold of the shingle STRING (the q_rolling_hash
+    * primitive, native on the Spark side) and band keys are raw signature
+    * slices — so pairs AND est_sim are hash-checkable in a second engine.
+    * The xxhash-based minhashNearDups stays the throughput path; this
+    * variant is the cross-engine correctness witness for the algorithm.
+    */
+  def minhashPortableNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val cs = portableCoefs(k)
+    val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
+      concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1), lit(" "),
+        element_at(col("toks"), i + 2)))
+    // shingle ids are portable (per-shingle native rolling fold); the
+    // k-by-n permutation loop reuses the native MinhashSig codegen — the
+    // formula (a*(x mod p)+b) mod p is identical to the SQL the oracle
+    // runs, only the shingle hash differs from the throughput variant
+    val sigs = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .withColumn("ids", array_distinct(transform(shingleStrs, s => rollingHash(s))))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftnative.MinhashSig.minhashSig(
+          col("ids"), cs.map(_._1), cs.map(_._2), MinhashPrime).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), slice(col("sig"), j * r + 1, r).as("bv"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bv"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / k)
+      .where(col("est_sim") >= minSim)
+      .select("doc_a", "doc_b", "est_sim")
+  }
+
   /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact
     * duplicates first (one cheap hash shuffle), MATERIALIZE the
     * representatives (a stage boundary: the LSH self-join downstream would
