@@ -264,6 +264,15 @@ object SparkEntry {
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, k = 5, nPlanes = 8, dim = 64)
     }),
 
+    // §2.21c — int8-quantized ANN: 4x-smaller candidate codes ranked by
+    // exact integer dot, fp32 touched only for the k*prefilter survivors,
+    // exact re-rank. The oracle is the BRUTE-FORCE result: the check
+    // enforces that the quantized prefilter lost no true top-k member.
+    "q_ann_int8" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.int8TopK(e.where(col("vec_id") < 8), e, k = 5, prefilter = 4)
+    }),
+
     // §2.21b — IVF ANN: deterministic coarse k-means cells, nprobe search.
     // Cell assignment is a native no-shuffle projection (NearestCells);
     // the oracle unrolls the same deterministic training into DuckDB SQL.
@@ -312,6 +321,14 @@ object SparkEntry {
           min(col("doc_id")).as("first_doc"))
         .where(col("n_docs") >= 2)
     }),
+
+    // §2.24d — end-to-end training-corpus preparation: quality gate ->
+    // language gate -> exact dedup -> token accounting -> deterministic
+    // portable split, as ONE declarative plan (single shuffle)
+    "q_corpus_prep" -> ((s, dir) =>
+      graft.pipeline.CorpusPrep.prepare(Tables.documents(s, dir),
+        stopwords, langMarkers, minTokens = 20, maxStopwordRatio = 0.3,
+        trainPct = 90, valPct = 5)),
 
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
@@ -668,6 +685,20 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // identical to q_ann_topk's oracle: the int8 prefilter must be lossless
+    "q_ann_int8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
@@ -722,6 +753,46 @@ object SparkEntry {
         |    (acc, c) -> (acc * 257 + c) % 1000000007) AS roll_hash,
         |  CAST(length(text) AS BIGINT) AS n_chars_text
         |FROM documents""".stripMargin,
+
+    "q_corpus_prep" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT *, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','data','value'))) AS DOUBLE)
+        |      / len(toks) AS stopword_ratio
+        |  FROM t WHERE len(toks) >= 20),
+        |l AS (
+        |  SELECT *,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('table','row'))) AS BIGINT) AS score_fr,
+        |    CAST(len(list_filter(toks, x -> x IN ('data','value'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('join','group'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('spark','stream'))) AS BIGINT) AS score_zh
+        |  FROM q WHERE stopword_ratio < 0.3),
+        |p AS (
+        |  SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS mx
+        |  FROM l),
+        |f AS (
+        |  SELECT * FROM p
+        |  WHERE (CASE WHEN score_en = mx THEN 'en' WHEN score_fr = mx THEN 'fr'
+        |              WHEN score_es = mx THEN 'es' WHEN score_de = mx THEN 'de'
+        |              WHEN score_zh = mx THEN 'zh' ELSE 'und' END) = lang),
+        |d AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM f),
+        |k AS (
+        |  SELECT *,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS bucket
+        |  FROM d WHERE doc_id = keep_id)
+        |SELECT doc_id, lang, source, n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM k""".stripMargin,
 
     "q_doc_topk" ->
       """SELECT doc_id, lang, n_chars, rk FROM (

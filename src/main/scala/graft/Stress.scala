@@ -76,6 +76,21 @@ object Stress {
     time("ann_lsh_topk") {
       Similarity.lshTopK(embs.where(col("vec_id") < 8), embs, k = 5, nPlanes = 8, dim = 64)
     }
+    time("ann_int8_topk") {
+      Similarity.int8TopK(embs.where(col("vec_id") < 8), embs, k = 5, prefilter = 4)
+    }
+    // quantizer trained once on a 1/5 sample, reused by IVF search and
+    // cell-blocked near-dup — the production shape (train rarely, assign
+    // everywhere)
+    val centroids = graft.operators.Ivf.train(
+      embs.where(col("vec_id") % 5 === 0), k = 64, iters = 2)
+    time("ann_ivf_topk") {
+      graft.operators.Ivf.search(embs.where(col("vec_id") < 8), embs, centroids,
+        nprobe = 2, topK = 5)
+    }
+    time("embed_neardup_cells") {
+      Similarity.nearDupPairs(embs, minCosine = 0.95, centroids, nprobe = 2)
+    }
     spark.stop()
   }
 }

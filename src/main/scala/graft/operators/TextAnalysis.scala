@@ -33,6 +33,23 @@ object TextAnalysis {
         "stopword_count", "stopword_ratio", "is_quality")
   }
 
+  /** Marker-hit score for one language over a token-array column. */
+  def langScore(toks: Column, words: Seq[String]): Column = {
+    val set = typedLit(words)
+    size(filter(toks, x => array_contains(set, x))).cast("long")
+  }
+
+  /** Predicted language: argmax of marker scores with a deterministic
+    * tie-break — the first language in `markers` order whose score equals
+    * the max wins ("und" only if markers is empty).
+    */
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), elseCol) =>
+      when(s === maxScore, lit(l)).otherwise(elseCol)
+    }
+  }
+
   /** Heuristic language ID: score each language by marker-token hits, pick
     * the argmax with a fixed preference order on ties. `markers` maps
     * language code -> marker words; scoring order is the given seq order.
@@ -40,18 +57,11 @@ object TextAnalysis {
   def languageId(docs: DataFrame, markers: Seq[(String, Seq[String])]): DataFrame = {
     val withScores = markers.foldLeft(docs.withColumn("toks", tokens(col("text")))) {
       case (df, (langCode, words)) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        df.withColumn(s"score_$langCode",
-          expr(s"size(filter(toks, x -> x IN ($list)))").cast("long"))
+        df.withColumn(s"score_$langCode", langScore(col("toks"), words))
     }
-    // argmax with deterministic tie-break: first language in `markers` order
-    // whose score equals the max wins.
-    val maxScore = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
-    val predicted = markers.foldRight(lit("und")) { case ((l, _), elseCol) =>
-      when(col(s"score_$l") === maxScore, lit(l)).otherwise(elseCol)
-    }
+    val scoreCols = markers.map { case (l, _) => l -> col(s"score_$l") }
     withScores
-      .withColumn("predicted_lang", predicted)
+      .withColumn("predicted_lang", predictedLang(scoreCols))
       .withColumn("is_match", col("predicted_lang") === col("lang"))
       .select(Seq(col("doc_id")) ++
         markers.map { case (l, _) => col(s"score_$l") } ++

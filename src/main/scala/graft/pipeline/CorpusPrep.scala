@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** End-to-end training-corpus preparation — the composed pipeline a
+  * 100 TB pretraining-data job runs, as ONE declarative plan:
+  *
+  *   quality gate -> language gate -> exact dedup (keep lowest id per
+  *   content hash) -> token accounting -> deterministic train/val/test
+  *   split.
+  *
+  * Everything is column expressions over one scan plus a single shuffle
+  * (the dedup window on the content hash); the split is keyed on a
+  * portable content-independent hash of the document id, so a document
+  * keeps its split across reruns and corpus growth, and the whole
+  * pipeline — being deterministic and engine-agnostic — verifies
+  * hash-exact against the DuckDB oracle, stage for stage.
+  */
+object CorpusPrep {
+
+  /** Split bucket in [0, 100): base-257 rolling fold of the id's decimal
+    * string, mod 100 — the portable analog of Sampling.hashFraction
+    * (xxhash64 stays the throughput path; this one is replayable in any
+    * engine).
+    */
+  def portableBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(id.cast("string")),
+      lit(100L))
+
+  def prepare(docs: DataFrame, stopwords: Seq[String],
+      markers: Seq[(String, Seq[String])], minTokens: Int,
+      maxStopwordRatio: Double, trainPct: Int, valPct: Int): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // quality gate
+      .where(col("n_tokens") >= minTokens)
+      .withColumn("stopword_ratio",
+        TextAnalysis.langScore(col("toks"), stopwords).cast("double") / col("n_tokens"))
+      .where(col("stopword_ratio") < maxStopwordRatio)
+      // language gate: heuristic ID must agree with the claimed language
+      .withColumn("predicted_lang", TextAnalysis.predictedLang(
+        markers.map { case (l, ws) => l -> TextAnalysis.langScore(col("toks"), ws) }))
+      .where(col("predicted_lang") === col("lang"))
+      // exact dedup: keep the lowest doc_id per content hash (one shuffle)
+      .withColumn("text_hash", md5(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keep_id"))
+      // token accounting for the trained-on corpus
+      .withColumn("bpe_tokens",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      // deterministic split
+      .withColumn("bucket", portableBucket(col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("bpe_tokens"), col("split"))
+  }
+}

@@ -39,6 +39,20 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same content key
+    * inside the watermark horizon — the continuous dual of
+    * Dedup.exactDedup, and the standard front gate of a streaming
+    * ingestion pipeline (at-least-once sources re-deliver). State is one
+    * entry per distinct key within the watermark and is evicted as the
+    * watermark advances — bounded, unlike an unwatermarked dropDuplicates.
+    * `keyCols` should be the content identity (id, or a content hash for
+    * near-the-source text dedup).
+    */
+  def dedupStream(events: DataFrame, watermark: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (broadcast — re-read per microbatch if the dim is a
     * file source, so slowly-changing dims refresh for free).

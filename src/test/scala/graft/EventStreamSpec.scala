@@ -43,6 +43,32 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(("2024-01-01 00:00:00.0", "view")) == ((1L, 1.0)))
   }
 
+  test("dedupStream drops re-delivered events within the watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.dedupStream(input.toDF(), "10 minutes", Seq("event_id"))
+
+    val chk = Files.createTempDirectory("graft-dedup-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("deduped")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+      EventStream.Event(1, ts("2024-01-01 00:10:00"), 1, "click", 2.0), // same-batch dup
+      EventStream.Event(2, ts("2024-01-01 00:11:00"), 1, "view", 1.0))
+    query.processAllAvailable()
+    // re-delivery in a later microbatch, still inside the watermark
+    input.addData(EventStream.Event(1, ts("2024-01-01 00:12:00"), 1, "click", 2.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("enriched joins the stream against a broadcast static dimension") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]

@@ -71,6 +71,18 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(sq => assert(math.abs(sq - 1.0) < 1e-12))
   }
 
+  test("int8TopK equals bruteForceTopK: the quantized prefilter is lossless") {
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 16 + d + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim_r"))).toSet
+    val brute = key(Similarity.bruteForceTopK(corpus.where($"vec_id" < 3), corpus, k = 5))
+    val int8 = key(Similarity.int8TopK(corpus.where($"vec_id" < 3), corpus, k = 5, prefilter = 4))
+    assert(int8 == brute)
+  }
+
   test("cell-blocked nearDupPairs finds planted duplicates") {
     // three separated clusters; vec 100 duplicates vec 0's direction
     val corpus = ((0 until 30).map { i =>
