@@ -232,6 +232,17 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         maxHamming = 3)),
 
+    // §2.18b — transitive dup clusters: connected components (hash-min to
+    // fixpoint) over the verified jaccard pair graph; cluster_id = the
+    // component's canonical (minimum) doc id
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(
+          Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+            idOffset = 1000000L, truncateChars = 30),
+          minJaccard = 0.5, maxLenDiff = 40)
+          .select(col("doc_a"), col("doc_b")))),
+
     // §2.18 — exact n-gram Jaccard over bucketed candidates
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -329,6 +340,22 @@ object SparkEntry {
       graft.pipeline.CorpusPrep.prepare(Tables.documents(s, dir),
         stopwords, langMarkers, minTokens = 20, maxStopwordRatio = 0.3,
         trainPct = 90, valPct = 5)),
+
+    // §2.24e — corpus vocabulary top-k (explode -> two-level agg with
+    // map-side partials; global top-k via TakeOrdered, not a full sort)
+    "q_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, dir), k = 100)),
+
+    // §2.24f — per-document top TF-IDF terms (tf agg + broadcast df join
+    // + per-doc window)
+    "q_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), perDoc = 3)),
+
+    // §2.24g — fixed-size token windows with stride (context-window
+    // chunking for sequence training)
+    "q_token_windows" -> ((s, dir) =>
+      TextAnalysis.tokenWindows(Tables.documents(s, dir),
+        windowTokens = 64, stride = 32)),
 
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
@@ -640,25 +667,23 @@ object SparkEntry {
         |SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM corpus GROUP BY md5(text)""".stripMargin,
 
-    "q_ngram_jaccard" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text, lang, source FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1)), lang, source
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |sh AS (
-        |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS len,
-        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
-        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3)
-        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
-        |  CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni,
-        |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) AS jaccard
-        |FROM sh x JOIN sh y
-        |  ON x.source = y.source AND x.lang = y.lang AND x.doc_id < y.doc_id
-        |  AND abs(x.len - y.len) <= 40
-        |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) >= 0.5""".stripMargin,
+    "q_ngram_jaccard" -> s"WITH $ngramJaccardCtes\n$ngramJaccardPairSelect",
+
+    // connected components as a recursive reachability closure: cluster_id
+    // of a node = min node id reachable in the undirected pair graph
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramJaccardCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM ($ngramJaccardPairSelect) p),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
 
     // blocking-free ground truth: every pair, no bucket key — the Spark
     // side must find exactly these through its cell blocking
@@ -794,6 +819,51 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM k""".stripMargin,
 
+    "q_vocab_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.token, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |  GROUP BY doc_id, t.token),
+        |v AS (
+        |  SELECT token, sum(tf) AS term_count, count(*) AS doc_freq FROM tf
+        |  GROUP BY token)
+        |SELECT token, CAST(term_count AS BIGINT) AS term_count, doc_freq,
+        |  CAST(row_number() OVER (ORDER BY term_count DESC, token ASC) AS BIGINT) AS rk
+        |FROM v ORDER BY term_count DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.token, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+        |  GROUP BY doc_id, t.token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk,
+        |    round(tfidf, 4) AS tfidf_r
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, rk, tfidf_r FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "q_token_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n_tokens, i.win_idx
+        |  FROM t, unnest(range(0, CAST(floor((n_tokens - 64) / 32) AS BIGINT) + 1)) AS i(win_idx)
+        |  WHERE n_tokens >= 64)
+        |SELECT w.doc_id, CAST(w.win_idx AS BIGINT) AS win_idx,
+        |  md5(array_to_string(t.toks[w.win_idx*32+1 : w.win_idx*32+64], ' ')) AS win_hash,
+        |  CAST(64 AS BIGINT) AS win_tokens
+        |FROM w JOIN t ON w.doc_id = t.doc_id""".stripMargin,
+
     "q_doc_topk" ->
       """SELECT doc_id, lang, n_chars, rk FROM (
         |  SELECT doc_id, lang, n_chars,
@@ -875,6 +945,32 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS chars_per_token
         |FROM documents""".stripMargin
   )
+
+  /** Shared CTEs for the jaccard-pair oracles: planted-dup corpus + per-doc
+    * distinct md5 shingle sets.
+    */
+  private val ngramJaccardCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1)), lang, source
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |sh AS (
+      |  SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS len,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+      |  FROM corpus WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  /** Verified jaccard pairs over the shared CTEs (blocked join + filter). */
+  private val ngramJaccardPairSelect: String =
+    """SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |  CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+      |  CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni,
+      |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) AS jaccard
+      |FROM sh x JOIN sh y
+      |  ON x.source = y.source AND x.lang = y.lang AND x.doc_id < y.doc_id
+      |  AND abs(x.len - y.len) <= 40
+      |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) >= 0.5""".stripMargin
 
   /** q_dedup_minhash_portable oracle: the identical minhash pipeline in
     * DuckDB — shingle ids via the base-257 rolling fold, the 64 (a, b)

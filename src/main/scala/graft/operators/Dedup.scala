@@ -225,6 +225,54 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ------------------------------------------- dup clusters (connected comp.)
+
+  /** Connected components over the near-dup pair graph: every document in
+    * a component gets `cluster_id` = the component's minimum doc id (its
+    * canonical representative). Pair emission (minhash/simhash/jaccard)
+    * only certifies EDGES; choosing one keeper per transitive group needs
+    * components — a is a near-dup of b, b of c, so a and c must share a
+    * cluster even though no a-c pair was emitted.
+    *
+    * Algorithm: hash-min label propagation to a fixpoint — each round
+    * every node takes the min label among itself and its neighbors; rounds
+    * are whole-graph joins (BSP), converging in O(component diameter)
+    * rounds. Near-dup components are shallow (dup clusters, short
+    * truncation chains), so diameter is small; for adversarial long-chain
+    * graphs swap in the large-star/small-star variant (O(log n) rounds) —
+    * the join shape is the same. Each round localCheckpoints to cut the
+    * lineage (iterative joins otherwise re-execute the whole history).
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("neighbor_label"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+        .where(col("label") =!= col("old_label"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact token-3-gram Jaccard over bucketed candidate pairs. Buckets =

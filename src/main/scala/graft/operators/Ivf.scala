@@ -36,20 +36,24 @@ object Ivf {
     (0 until iters).foreach { _ =>
       // per-cell, per-dimension exact mean: float -> decimal(20,10) is a
       // deterministic rounding, the decimal sum is order-independent, and
-      // only then does the value return to float via one double division
-      val next = assign(e, centroids)
+      // only then does the value return to float via one double division.
+      // ONE shuffle per iteration; the k*dim mean cells are assembled
+      // into centroid vectors on the driver (they're headed there anyway)
+      // instead of a second groupBy + collect_list pass.
+      val means = assign(e, centroids)
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell_id"), col("pos"))
         .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
           count(lit(1))).cast("float").as("m"))
-        .groupBy(col("cell_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell_id"), expr("transform(pm, x -> x.m)").as("centroid"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(2))
         .toMap
       // empty cells keep their previous centroid
-      centroids = centroids.indices.map(i => next.getOrElse(i, centroids(i)))
+      centroids = centroids.indices.map { c =>
+        if (means.contains((c, 0)))
+          centroids(c).indices.map(p => means((c, p)))
+        else centroids(c)
+      }
     }
     centroids
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -102,6 +103,72 @@ object TextAnalysis {
     */
   def rollingHash(text: Column): Column =
     org.apache.spark.sql.graftnative.RollingHash.rollingHash(text)
+
+  /** Corpus vocabulary: token -> total occurrences + document frequency,
+    * top `k` by count. The explode -> groupBy pair is the canonical heavy
+    * text shuffle; Spark plans it with map-side partial aggregation, so
+    * the exchange carries one partial count per (partition, token), not
+    * one row per token occurrence.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame = {
+    val agg = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("term_count"), count(lit(1)).as("doc_freq"))
+    // global top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    // partial top-k, no all-to-one sort shuffle of the whole vocabulary);
+    // the rank window then runs over k rows only
+    val w = Window.orderBy(col("term_count").desc, col("token").asc)
+    agg
+      .orderBy(col("term_count").desc, col("token").asc).limit(k)
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  /** Per-document top TF-IDF terms: tf * ln(N / df), top `perDoc` terms
+    * per document. Two aggregations (term frequency, document frequency)
+    * + one broadcast join of the tiny df table + one per-doc window. The
+    * corpus size N rides along as a broadcast 1-row aggregate — no
+    * driver-side count() action in the plan.
+    */
+  def tfIdfTopTerms(docs: DataFrame, perDoc: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= perDoc)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"),
+        round(col("tfidf"), 4).as("tfidf_r"))
+  }
+
+  /** Fixed-size token windows with stride — context-window chunking for
+    * sequence training. One explode over per-row window indices; window
+    * text is reduced to (hash, token count) so whole chunks never travel
+    * unless the caller asks for them.
+    */
+  def tokenWindows(docs: DataFrame, windowTokens: Int, stride: Int): DataFrame =
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") >= windowTokens)
+      .withColumn("win_idx", explode(sequence(lit(0),
+        floor((col("n_tokens") - windowTokens) / stride).cast("int"), lit(1))))
+      .withColumn("win_toks",
+        slice(col("toks"), col("win_idx") * stride + 1, lit(windowTokens)))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        md5(array_join(col("win_toks"), " ")).as("win_hash"),
+        lit(windowTokens).cast("long").as("win_tokens"))
 
   /** Multimodal plumbing: treat the payload as opaque bytes with typed
     * metadata — byte length, fixed-size chunk count, content hash. The same

@@ -47,13 +47,17 @@ object CorpusPrep {
       .withColumn("predicted_lang", TextAnalysis.predictedLang(
         markers.map { case (l, ws) => l -> TextAnalysis.langScore(col("toks"), ws) }))
       .where(col("predicted_lang") === col("lang"))
-      // exact dedup: keep the lowest doc_id per content hash (one shuffle)
-      .withColumn("text_hash", md5(col("text")))
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .where(col("doc_id") === col("keep_id"))
-      // token accounting for the trained-on corpus
+      // token accounting BEFORE the dedup shuffle, so text and the token
+      // array can be projected away and the exchange carries a few ints
+      // per row instead of whole documents
       .withColumn("bpe_tokens",
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .withColumn("text_hash", md5(col("text")))
+      .select("doc_id", "lang", "source", "n_tokens", "bpe_tokens", "text_hash")
+      // exact dedup: keep the lowest doc_id per content hash (the ONE
+      // shuffle in the pipeline, over slim rows)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keep_id"))
       // deterministic split
       .withColumn("bucket", portableBucket(col("doc_id")))
       .withColumn("split",

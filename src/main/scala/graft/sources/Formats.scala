@@ -19,6 +19,16 @@ object Formats {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 
+  /** ORC: the other columnar lake format Spark supports natively —
+    * predicate pushdown and column pruning work the same as parquet, so a
+    * reference user on an ORC lake switches by changing this one call.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** JSON Lines: one object per line — the splittable streaming-friendly
     * JSON layout.
     */

@@ -63,6 +63,14 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L)), s"got ${out.toSeq}")
   }
 
+  test("dupClusters unions transitive pairs into min-id components") {
+    // chain 1-2-3 (no direct 1-3 edge) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("signatures are reproducible across evaluations") {
     val a = Dedup.minhashSignatures(docs, 16).orderBy("doc_id")
       .select(to_json(struct(col("sig")))).as[String].collect().toSeq

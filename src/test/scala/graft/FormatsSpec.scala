@@ -27,6 +27,20 @@ class FormatsSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("orc round-trips with pushdown-capable columnar layout") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/data"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "score")
+    Formats.writeOrc(df, dir)
+    val back = Formats.readOrc(spark, dir).where($"id" >= 2)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "b", 2.5), (3L, "c", 3.5)))
+    // the filter reaches the ORC scan as a pushed filter
+    val plan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(id,2)"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("file-source stream over a parquet landing directory aggregates end-to-end") {
     val landing = Files.createTempDirectory("graft-landing").toString
     def ts(s: String) = Timestamp.valueOf(s)

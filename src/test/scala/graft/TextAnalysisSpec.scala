@@ -46,6 +46,23 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("vocabTopK ranks tokens by total count with doc frequency") {
+    val out = TextAnalysis.vocabTopK(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("term_count"),
+        r.getAs[Long]("doc_freq"), r.getAs[Long]("rk")))
+    assert(out.length == 3)
+    assert(out.map(_._4).toSeq == Seq(1L, 2L, 3L))
+    // "the" appears most often across the fixture docs
+    assert(out.head._1 == "the")
+  }
+
+  test("tokenWindows emits strided fixed-size windows") {
+    val d = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val wins = TextAnalysis.tokenWindows(d, windowTokens = 4, stride = 2)
+      .collect().map(r => r.getAs[Long]("win_idx")).sorted
+    assert(wins.toSeq == Seq(0L, 1L, 2L, 3L)) // starts 1,3,5,7 (len 4 each)
+  }
+
   test("binaryMeta reports bytes, chunks, and hash") {
     val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
     assert(r.getAs[Long]("n_bytes") == 22)
