@@ -111,6 +111,12 @@ object SparkEntry {
     "q_run_durations" -> ((s, dir) =>
       Observability.eventDurations(Tables.events(s, dir), "user_id")),
 
+    // §2.10d — gap-based sessionization via native session_window (the
+    // scalable one-shuffle form; identical call works in streaming). The
+    // oracle rebuilds sessions with the lag/cumsum gap-split idiom.
+    "q_sessions" -> ((s, dir) =>
+      Observability.gapSessions(Tables.events(s, dir), "user_id", "30 minutes")),
+
     // §2.11 — per-step duration stats (trino_observability_ddl q2)
     "q_step_stats" -> ((s, dir) =>
       Observability.stepStats(
@@ -568,6 +574,24 @@ object SparkEntry {
         |SELECT user_id, event_id, event_type, start_us, end_us, next_event_type,
         |  end_us - start_us AS duration_us
         |FROM w WHERE end_us IS NOT NULL""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS first_us, max(us) AS last_us,
+        |  count(*) AS n_events, max(us) - min(us) AS span_us
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
 
     "q_step_stats" ->
       """WITH e AS (

@@ -75,6 +75,24 @@ object Observability {
         get_json_object(col("props"), "$.k").cast("long").as("meta_k"),
         col("value").as("meta_value"))
 
+  /** Gap-based sessions via Spark's native session_window: consecutive
+    * events of an entity belong to one session while the gap stays under
+    * `gap` (e.g. "30 minutes"). This is the scalable form of
+    * sessionization — one shuffle on the entity key, windows merged by
+    * the operator — and the same call works unchanged in Structured
+    * Streaming with a watermark. Emits exact integer-microsecond session
+    * bounds (first/last event) rather than the window's padded end.
+    */
+  def gapSessions(events: DataFrame, entityCol: String, gap: String): DataFrame =
+    events
+      .groupBy(col(entityCol), session_window(col("ts"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col(entityCol), col("first_us"), col("last_us"),
+        col("n_events"), (col("last_us") - col("first_us")).as("span_us"))
+
   /** Per-step duration stats (avg/max/count), the reference's
     * "performance bottleneck" query (docs/trino_observability_ddl.sql q2).
     * avg over exact integral micros stays deterministic.

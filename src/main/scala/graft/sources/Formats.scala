@@ -29,6 +29,18 @@ object Formats {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Binary-file source: each matching file becomes one row of
+    * (path, modificationTime, length, content BINARY) — the ingestion
+    * path for raw multimodal payloads (images/audio/frames) into the
+    * opaque-binary column model that Multimodal.extractFeatures and
+    * chunked() process downstream. `pathGlob` filters at LISTING time
+    * (e.g. "*.png"), before any bytes are read.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+
   /** JSON Lines: one object per line — the splittable streaming-friendly
     * JSON layout.
     */

@@ -41,6 +41,29 @@ class FormatsSpec extends SparkSpec {
       s"filter not pushed to ORC scan:\n$plan")
   }
 
+  test("binaryFile source lands payload files as opaque binary rows") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.png"), Array[Byte](5, 6))
+    Files.write(dir.resolve("skip.txt"), Array[Byte](9))
+    val rows = Formats.readBinaryFiles(spark, dir.toString, "*.png")
+      .selectExpr("path", "length", "content")
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(("a.png", 4L, Seq[Byte](1, 2, 3, 4)),
+      ("b.png", 2L, Seq[Byte](5, 6))))
+    // feeds straight into the multimodal batch-decode operator
+    import graft.operators.Multimodal
+    val feats = Multimodal.extractFeatures(
+      Formats.readBinaryFiles(spark, dir.toString, "*.png")
+        .selectExpr("CAST(length AS LONG) AS media_id", "'image' AS kind",
+          "content AS payload")
+        .as[Multimodal.MediaRow], featureDim = 4)
+      .collect()
+    assert(feats.length == 2 && feats.forall(_.feature.length == 4))
+  }
+
   test("file-source stream over a parquet landing directory aggregates end-to-end") {
     val landing = Files.createTempDirectory("graft-landing").toString
     def ts(s: String) = Timestamp.valueOf(s)

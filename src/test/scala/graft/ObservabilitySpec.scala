@@ -49,6 +49,21 @@ class ObservabilitySpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("start_us")))
   }
 
+  test("gapSessions splits on gaps >= the threshold and merges within") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "A", 0.0, ""),
+      (2L, ts("2024-01-01 00:10:00"), 10L, "A", 0.0, ""), // same session
+      (3L, ts("2024-01-01 01:00:00"), 10L, "A", 0.0, ""), // 50 min gap -> new
+      (4L, ts("2024-01-01 00:00:00"), 20L, "A", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Observability.gapSessions(ev, "user_id", "30 minutes")
+      .orderBy("user_id", "first_us").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Long]("span_us") == 600000000L)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
   test("stepStats aggregates durations per type") {
     val stats = Observability.stepStats(Observability.eventDurations(events, "user_id"))
       .collect().map(r => r.getString(0) -> r.getAs[Long]("run_count")).toMap
