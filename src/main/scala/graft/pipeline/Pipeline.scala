@@ -49,6 +49,23 @@ object Pipeline {
     path
   }
 
+  /** Idempotent re-run of a subset of days into an EXISTING writeDailyAll
+    * table: dynamic partition overwrite replaces exactly the `date=`
+    * directories present in `df` and leaves every other day untouched —
+    * the distributed form of the reference's per-day delete-then-insert,
+    * without rewriting the table. (Plain Overwrite mode would truncate
+    * ALL days first.)
+    */
+  def overwriteDays(df: DataFrame, root: String, stage: String, job: String,
+      dateCol: org.apache.spark.sql.Column): String = {
+    val path = s"$root/$stage/job_name=$job"
+    df.withColumn("date", date_format(to_date(dateCol), "yyyyMMdd").cast("int"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).partitionBy("date").parquet(path)
+    path
+  }
+
   /** Partition-pruned read of one day from a writeDailyAll layout: the
     * `date` filter is a PartitionFilter on the scan — directories for
     * other days are never listed into tasks, let alone read.

@@ -43,6 +43,21 @@ class PipelineSpec extends SparkSpec {
       s"scanned ${scan.metrics("numFiles").value} files, expected 1")
   }
 
+  test("overwriteDays replaces only the re-run day (dynamic partition overwrite)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-dyn").toString
+    val df = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0)
+    ).toDF("id", "day", "value")
+    Pipeline.writeDailyAll(df, root, "stage", "j", col("day"))
+    // re-run day 2 with corrected rows; day 1 must survive untouched
+    val rerun = Seq((20L, "2024-01-02", 9.0)).toDF("id", "day", "value")
+    Pipeline.overwriteDays(rerun, root, "stage", "j", col("day"))
+    val all = spark.read.parquet(s"$root/stage/job_name=j")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == Seq(1L, 20L))
+  }
+
   test("writeLatest/readLatest round-trip non-partitioned master data") {
     val root = Files.createTempDirectory("graft-latest").toString
     val df = Seq((1, "m")).toDF("k", "v")
