@@ -45,7 +45,17 @@ object GraftExtensions {
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) =>
-        ShingleHashes(children(0), literalInt(children(1), "shingle width"))))
+        ShingleHashes(children(0), literalInt(children(1), "shingle width"))),
+    (FunctionIdentifier("bvec_dot"),
+      new ExpressionInfo(classOf[ByteVecDot].getName, "bvec_dot"),
+      (children: Seq[Expression]) => ByteVecDot(children(0), children(1))),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children(0))),
+    (FunctionIdentifier("content_chunk_hashes"),
+      new ExpressionInfo(classOf[ContentChunkHashes].getName, "content_chunk_hashes"),
+      (children: Seq[Expression]) => ContentChunkHashes(children(0),
+        literalInt(children(1), "window"), literalInt(children(2), "maskBits"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

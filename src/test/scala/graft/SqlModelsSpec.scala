@@ -39,5 +39,14 @@ class SqlModelsSpec extends SparkSpec {
     assert(s.getLong(1) == 2L)
     assert(s.getLong(0) != 0L)
     assert(s.getInt(2) == 2)
+
+    val t = spark.sql(
+      """SELECT rolling_hash('abc') AS rh,
+        |  bvec_dot(CAST(array(1, 2) AS ARRAY<TINYINT>), CAST(array(3, 4) AS ARRAY<TINYINT>)) AS bd,
+        |  size(content_chunk_hashes('the quick brown fox jumps over it', 8, 2)) AS nc""".stripMargin).head()
+    // ((0*257+97)*257+98)*257+99 mod 1e9+7
+    assert(t.getLong(0) == ((97L * 257 + 98) * 257 + 99) % 1000000007L)
+    assert(t.getLong(1) == 11L)
+    assert(t.getInt(2) >= 1)
   }
 }
