@@ -60,6 +60,45 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), key)
 
+  /** Stream-stream interval join: attribute each error event to click
+    * events of the same user within the trailing `lookback` — the
+    * streaming dual of the batch as-of join (AsOf.asofJoin). Both sides
+    * carry watermarks so the join state is bounded: a click can be
+    * dropped once it is older than lookback + watermark, which is what
+    * makes this runnable forever. Expects frames with columns
+    * (user_id, ts, ...); pass pre-projected error/click streams.
+    */
+  def attributeToRecent(errors: DataFrame, clicks: DataFrame,
+      watermark: String, lookback: String): DataFrame = {
+    val e = errors.withWatermark("err_ts", watermark)
+    val c = clicks.withWatermark("click_ts", watermark)
+    e.join(c,
+      expr(s"""
+        |err_user = click_user AND
+        |click_ts <= err_ts AND
+        |click_ts >= err_ts - INTERVAL $lookback
+        |""".stripMargin))
+  }
+
+  /** Continuous JDBC upsert sink: lands every micro-batch into an RDB
+    * table with the set-based upsert (stage -> DELETE matching keys ->
+    * INSERT SELECT). foreachBatch gives exactly-once-per-epoch batch
+    * semantics; keyed upsert makes replayed epochs idempotent — the
+    * streaming version of the reference's Trino load.
+    */
+  def upsertSink(events: DataFrame, url: String, table: String,
+      keys: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Rdb.upsert(batch.toDF(), url, table, keys)
+          ()
+        }
+      }
+      .start()
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   case class SessionSummary(user_id: Long, n_events: Long, duration_us: Long, closed: Boolean)

@@ -92,6 +92,54 @@ class EventStreamSpec extends SparkSpec {
     assert(rows == Map(1L -> "gold")) // inner join drops user 9
   }
 
+  test("stream-stream interval join attributes errors to recent clicks") {
+    implicit val sq = spark.sqlContext
+    val errIn = MemoryStream[(Long, Timestamp)]
+    val clickIn = MemoryStream[(Long, Timestamp, Double)]
+    val out = EventStream.attributeToRecent(
+      errIn.toDF().toDF("err_user", "err_ts"),
+      clickIn.toDF().toDF("click_user", "click_ts", "click_value"),
+      watermark = "10 minutes", lookback = "30 MINUTES")
+
+    val chk = Files.createTempDirectory("graft-ssj").toString
+    val q = out.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").option("checkpointLocation", chk).start()
+
+    clickIn.addData((1L, ts("2024-01-01 00:00:00"), 5.0),
+      (1L, ts("2024-01-01 01:00:00"), 7.0))
+    errIn.addData((1L, ts("2024-01-01 00:10:00"))) // within 30m of click#1 only
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("attributed")
+      .collect().map(r => (r.getAs[Long]("err_user"), r.getAs[Double]("click_value")))
+    assert(rows.toSeq == Seq((1L, 5.0)))
+  }
+
+  test("foreachBatch upsert sink lands microbatches into the RDB idempotently") {
+    implicit val sq = spark.sqlContext
+    val url = s"jdbc:derby:memory:graftstream_${System.identityHashCode(this)};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      "CREATE TABLE sink_target (event_id BIGINT, value DOUBLE)")
+    conn.close()
+
+    val input = MemoryStream[(Long, Double)]
+    val chk = Files.createTempDirectory("graft-sink").toString
+    val q = EventStream.upsertSink(input.toDF().toDF("event_id", "value"),
+      url, "sink_target", keys = Seq("event_id"), checkpoint = chk)
+    input.addData((1L, 1.0), (2L, 2.0))
+    q.processAllAvailable()
+    input.addData((2L, 9.0), (3L, 3.0)) // re-keyed row must replace, not append
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = graft.sources.Rdb.readQuery(spark, url,
+      "SELECT event_id, value FROM sink_target")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 1.0, 2L -> 9.0, 3L -> 3.0))
+  }
+
   test("sessionize tracks per-user state across a microbatch") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
