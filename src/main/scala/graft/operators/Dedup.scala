@@ -92,7 +92,13 @@ object Dedup {
     * threshold filter.
     */
   def minhashNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, k)
+    // materialize signatures once: the banding self-join references them
+    // twice and the est_sim stage twice more — without a stage boundary
+    // Spark recomputes tokenize+shingle+minhash per reference. The
+    // signature table is (id, k longs), tiny next to the corpus; at
+    // cluster scale this is a persisted/bucketed table (see
+    // stagedNearDups for the explicit parquet form).
+    val sigs = minhashSignatures(docs, k).localCheckpoint()
     val cands = minhashCandidates(sigs, bands, k / bands)
     cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -258,16 +264,15 @@ object Dedup {
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("neighbor_label"))
+      // carry the old label through the checkpoint so convergence is a
+      // scan of the materialized round, not another join job
       val updated = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
-        .where(col("label") =!= col("old_label"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("label") =!= col("old_label")).isEmpty
+      labels = updated.select(col("doc_id"), col("label"))
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))

@@ -58,4 +58,34 @@ class DailyPipelineSpec extends SparkSpec {
     // partition inventory matches what was written
     assert(Pipeline.listDaily(root, "extract", "lot_history") == Seq("19971231"))
   }
+
+  test("training-data chain: corpus prep -> train split -> sequence packing") {
+    import graft.operators.Packing
+    val sfDir = "/root/testdata/sf0.001"
+    val prepped = graft.pipeline.CorpusPrep.prepare(
+      Tables.documents(spark, sfDir),
+      stopwords = Seq("the", "a", "data", "value"),
+      markers = Seq("en" -> Seq("the", "a"), "fr" -> Seq("table", "row"),
+        "es" -> Seq("data", "value"), "de" -> Seq("join", "group"),
+        "zh" -> Seq("spark", "stream")),
+      minTokens = 20, maxStopwordRatio = 0.3, trainPct = 90, valPct = 5)
+    val train = prepped.where($"split" === "train")
+      .select($"doc_id", $"n_tokens").as[Packing.DocTokens]
+    val nTrain = train.count()
+    assert(nTrain > 0)
+    val bins = Packing.packGreedy(train, maxTokens = 512).collect()
+    // every training document lands in exactly one bin, none oversized
+    assert(bins.map(_.n_docs.toLong).sum == nTrain)
+    bins.foreach(b => assert(b.total_tokens <= 512 || b.n_docs == 1))
+    // the split is content-stable: re-running prep yields the same split
+    val again = graft.pipeline.CorpusPrep.prepare(
+      Tables.documents(spark, sfDir),
+      stopwords = Seq("the", "a", "data", "value"),
+      markers = Seq("en" -> Seq("the", "a"), "fr" -> Seq("table", "row"),
+        "es" -> Seq("data", "value"), "de" -> Seq("join", "group"),
+        "zh" -> Seq("spark", "stream")),
+      minTokens = 20, maxStopwordRatio = 0.3, trainPct = 90, valPct = 5)
+      .where($"split" === "train").count()
+    assert(again == nTrain)
+  }
 }
