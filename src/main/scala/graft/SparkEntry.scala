@@ -391,6 +391,27 @@ object SparkEntry {
               "count(*) AS n_orders FROM stg_orders GROUP BY o_orderpriority",
             deps = Seq("stg_orders"))))("fct_priority_revenue")),
 
+    // §2.27b — the reference's actual dbt models (stg_cfg_item_master ->
+    // tfm_item_master_enriched: scoped cleanse with coalesce defaults,
+    // then CASE priority buckets + manufactured flag + load stamp), run
+    // through the same model-chain engine
+    "q_item_enriched" -> ((s, dir) =>
+      graft.pipeline.SqlModels.run(s,
+        Map("part" -> Tables.part(s, dir)),
+        Seq(
+          graft.pipeline.SqlModels.Model("stg_item_master",
+            "SELECT p_partkey AS item_id, coalesce(p_type, 'UNKNOWN') AS item_type, " +
+              "coalesce(p_name, '') AS item_name, coalesce(p_size, 0) AS item_priority " +
+              "FROM part WHERE p_brand = 'Brand#2'"),
+          graft.pipeline.SqlModels.Model("tfm_item_master_enriched",
+            "SELECT *, " +
+              "CASE WHEN item_priority >= 8 THEN 'HIGH' " +
+              "     WHEN item_priority >= 4 THEN 'MEDIUM' ELSE 'LOW' END AS priority_category, " +
+              "(item_type IS NOT NULL AND item_type <> '') AS is_manufactured, " +
+              "DATE '2024-06-30' AS loaded_at " +
+              "FROM stg_item_master",
+            deps = Seq("stg_item_master"))))("tfm_item_master_enriched")),
+
     // §2.28 — batch dual of the streaming hourly window aggregation
     "q_event_windows" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -910,6 +931,17 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_orders
         |FROM stg_orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_item_enriched" ->
+      """SELECT p_partkey AS item_id,
+        |  coalesce(p_type, 'UNKNOWN') AS item_type,
+        |  coalesce(p_name, '') AS item_name,
+        |  coalesce(p_size, 0) AS item_priority,
+        |  CASE WHEN coalesce(p_size, 0) >= 8 THEN 'HIGH'
+        |       WHEN coalesce(p_size, 0) >= 4 THEN 'MEDIUM' ELSE 'LOW' END AS priority_category,
+        |  (coalesce(p_type, 'UNKNOWN') IS NOT NULL AND coalesce(p_type, 'UNKNOWN') <> '') AS is_manufactured,
+        |  DATE '2024-06-30' AS loaded_at
+        |FROM part WHERE p_brand = 'Brand#2'""".stripMargin,
 
     "q_event_windows" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS DATE) AS window_day,

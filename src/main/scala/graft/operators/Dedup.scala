@@ -250,7 +250,11 @@ object Dedup {
     * lineage (iterative joins otherwise re-execute the whole history).
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // materialize the edge list BEFORE symmetrizing: the union references
+    // it twice, which would otherwise run the (expensive) upstream
+    // pair-generation query twice
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()

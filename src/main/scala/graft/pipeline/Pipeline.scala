@@ -88,6 +88,41 @@ object Pipeline {
   def readLatest(spark: SparkSession, root: String, stage: String, job: String): DataFrame =
     spark.read.parquet(s"$root/$stage/job_name=$job/latest")
 
+  /** Tenant-scoped layout (reference: s3.py:118 _build_tenant_s3_path):
+    * `<root>/tenants/<tenant>/<stage>/job_name=<job>/...` — the
+    * multi-tenant prefix dimension over the same daily contract.
+    */
+  def writeDailyForTenant(df: DataFrame, root: String, tenant: String,
+      stage: String, job: String, day: String): String =
+    writeDaily(df, s"$root/tenants/$tenant", stage, job, day)
+
+  def readDailyForTenant(spark: SparkSession, root: String, tenant: String,
+      stage: String, job: String, day: String): DataFrame =
+    readDaily(spark, s"$root/tenants/$tenant", stage, job, day)
+
+  def listTenantDaily(root: String, tenant: String, stage: String, job: String): Seq[String] =
+    listDaily(s"$root/tenants/$tenant", stage, job)
+
+  /** Partition existence check (reference: s3.py:305 check_exists). */
+  def existsDaily(root: String, stage: String, job: String, day: String): Boolean =
+    new java.io.File(
+      s"$root/$stage/job_name=$job/date=${day.replace("-", "")}").exists()
+
+  /** Drop one day's data (reference: s3.py:323 delete_parquet) — the
+    * manual-repair escape hatch; routine re-runs should use
+    * writeDaily/overwriteDays, which replace atomically.
+    */
+  def deleteDaily(root: String, stage: String, job: String, day: String): Boolean = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(s"$root/$stage/job_name=$job/date=${day.replace("-", "")}")
+    val existed = dir.exists()
+    if (existed) rm(dir)
+    existed
+  }
+
   /** Partition inventory for a job (reference: s3.list_partitions). */
   def listDaily(root: String, stage: String, job: String): Seq[String] = {
     val dir = new java.io.File(s"$root/$stage/job_name=$job")

@@ -66,6 +66,24 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.readLatest(spark, root, "extract", "item_master").count() == 1)
   }
 
+  test("tenant-scoped daily writes, existence check, and delete") {
+    val root = Files.createTempDirectory("graft-tenant").toString
+    val df = Seq((1, "a")).toDF("k", "v")
+    Pipeline.writeDailyForTenant(df, root, "project_01", "transform", "wip", "2024-01-02")
+    Pipeline.writeDailyForTenant(df, root, "project_02", "transform", "wip", "2024-01-02")
+    assert(Pipeline.listTenantDaily(root, "project_01", "transform", "wip") == Seq("20240102"))
+    assert(Pipeline.readDailyForTenant(spark, root, "project_02", "transform", "wip",
+      "2024-01-02").count() == 1)
+    // exists + delete on the tenant-scoped root
+    val t1 = s"$root/tenants/project_01"
+    assert(Pipeline.existsDaily(t1, "transform", "wip", "2024-01-02"))
+    assert(Pipeline.deleteDaily(t1, "transform", "wip", "2024-01-02"))
+    assert(!Pipeline.existsDaily(t1, "transform", "wip", "2024-01-02"))
+    assert(!Pipeline.deleteDaily(t1, "transform", "wip", "2024-01-02"))
+    // the other tenant's data is untouched
+    assert(Pipeline.listTenantDaily(root, "project_02", "transform", "wip") == Seq("20240102"))
+  }
+
   test("upsertTable merges on keys across writes") {
     val root = Files.createTempDirectory("graft-upsert").toString + "/table"
     Pipeline.upsertTable(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
