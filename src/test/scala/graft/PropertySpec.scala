@@ -72,6 +72,45 @@ class PropertySpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("NearestCells agrees with a brute-force argmin on random vectors") {
+    val rnd = new Random(19)
+    val dim = 12
+    val cents: Seq[Seq[Float]] =
+      Seq.fill(9)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val vecs = Seq.fill(120)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val fast = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        org.apache.spark.sql.graftnative.NearestCells
+          .nearestCells(col("embedding"), cents, 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val naive = cents.zipWithIndex.map { case (c, ci) =>
+        val d = v.zip(c).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+        (d, ci)
+      }.sortBy(identity).take(3).map(_._2)
+      assert(fast(id) == naive, s"vec $id: ${fast(id)} vs $naive")
+    }
+  }
+
+  test("ByteVecDot agrees with an integer dot on random int8 codes") {
+    val rnd = new Random(23)
+    // Seq[Byte] (not Array[Byte], which Spark encodes as BINARY) so the
+    // column type is array<tinyint>
+    val rows = Seq.fill(80) {
+      val n = 1 + rnd.nextInt(30)
+      (Seq.fill(n)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(n)((rnd.nextInt(255) - 127).toByte))
+    }
+    val fast = rows.toDF("a", "b")
+      .select(org.apache.spark.sql.graftnative.ByteVecDot.bdot(col("a"), col("b")))
+      .collect().map(_.getLong(0))
+    rows.zip(fast).foreach { case ((a, b), got) =>
+      val want = a.zip(b).map { case (x, y) => x.toLong * y.toLong }.sum
+      assert(got == want)
+    }
+  }
+
   test("native minhash signatures are stable across partitionings") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, Seq.fill(30)(s"w${(i * 7 + 3) % 11}").mkString(" "), "en", "s"))
