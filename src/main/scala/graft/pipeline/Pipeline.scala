@@ -123,6 +123,27 @@ object Pipeline {
     existed
   }
 
+  /** Compact one day's partition to `targetFiles` files — the maintenance
+    * pass behind every streaming/micro-batch writer, whose small files
+    * otherwise degrade scan parallelism bookkeeping and open-file cost at
+    * scale. Rewrites via a staging directory + atomic-ish swap so a
+    * failed compaction never leaves the day truncated.
+    */
+  def compactDaily(spark: SparkSession, root: String, stage: String, job: String,
+      day: String, targetFiles: Int): Unit = {
+    val path = s"$root/$stage/job_name=$job/date=${day.replace("-", "")}"
+    val tmp = path + "__compact"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+    ()
+  }
+
   /** Partition inventory for a job (reference: s3.list_partitions). */
   def listDaily(root: String, stage: String, job: String): Seq[String] = {
     val dir = new java.io.File(s"$root/$stage/job_name=$job")

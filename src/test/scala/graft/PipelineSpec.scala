@@ -66,6 +66,20 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.readLatest(spark, root, "extract", "item_master").count() == 1)
   }
 
+  test("compactDaily collapses a fragmented day to the target file count") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(8)
+    Pipeline.writeDaily(df, root, "stage", "j", "2024-01-02")
+    val dayDir = new java.io.File(s"$root/stage/job_name=j/date=20240102")
+    def parquetFiles = dayDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 8)
+    Pipeline.compactDaily(spark, root, "stage", "j", "2024-01-02", targetFiles = 1)
+    assert(parquetFiles == 1)
+    val back = Pipeline.readDaily(spark, root, "stage", "j", "2024-01-02")
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).head.getLong(0) == 5050L)
+  }
+
   test("tenant-scoped daily writes, existence check, and delete") {
     val root = Files.createTempDirectory("graft-tenant").toString
     val df = Seq((1, "a")).toDF("k", "v")
