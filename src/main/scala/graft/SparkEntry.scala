@@ -249,6 +249,14 @@ object SparkEntry {
           minJaccard = 0.5, maxLenDiff = 40)
           .select(col("doc_a"), col("doc_b")))),
 
+    // §2.17b — PORTABLE SimHash near-dup: 60-bit two-base rolling-fold
+    // token hashes, so signature + banding + hamming hash-check in DuckDB
+    "q_dedup_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPortableNearDups(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        maxHamming = 3)),
+
     // §2.18 — exact n-gram Jaccard over bucketed candidates
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -775,6 +783,8 @@ object SparkEntry {
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
 
+    "q_dedup_simhash_portable" -> simhashPortableOracle,
+
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -1068,6 +1078,50 @@ object SparkEntry {
        |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
        |FROM cand
        |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
+
+  /** q_dedup_simhash_portable oracle: the identical SimHash pipeline in
+    * DuckDB — 60-bit token hashes from two rolling folds (bases 257/131),
+    * per-bit majority votes (bit set iff 2*votes > n, the Simhash64
+    * rule), 4x16-bit chunk banding, bit_count(xor) hamming verify.
+    */
+  private def simhashPortableOracle: String = {
+    def fold(base: Int) =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split(tkn, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(acc, c) -> (acc * $base + c) % 1000000007)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |hs AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |    tkn -> ${fold(257)} * (CAST(1 AS BIGINT) << 30) + ${fold(131)}) AS hs
+       |  FROM corpus),
+       |bits AS (
+       |  -- token hashes are 60-bit composites, so bits 60..63 never have a
+       |  -- vote and stay 0 on both engines; folding 0..59 avoids the
+       |  -- signed-bigint 1<<63 overflow
+       |  SELECT doc_id, list_transform(range(0, 60), j ->
+       |    CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> j) & 1)) > len(hs)
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM hs),
+       |sig AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 61), i -> bits[i] * (CAST(1 AS BIGINT) << (i - 1)))),
+       |    (acc, x) -> acc + x) AS simhash
+       |  FROM bits),
+       |chunked AS (
+       |  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 16)) & 65535 AS cv
+       |  FROM sig, range(0, 4) c(chunk)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sh_a, y.simhash AS sh_b
+       |  FROM chunked x JOIN chunked y
+       |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
   }
 
   /** q_ann_ivf oracle: the deterministic IVF pipeline — first-16 seeding by

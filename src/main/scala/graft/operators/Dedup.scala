@@ -210,12 +210,12 @@ object Dedup {
       .select(col("doc_id"),
         org.apache.spark.sql.graftnative.Simhash64.simhash64(col("hs")).as("simhash"))
 
-  /** SimHash near-dups: band the 64 bits into 4 16-bit chunks; a pair must
-    * agree on at least one chunk (guarantees recall for hamming<=3 with
-    * pigeonhole at 4 chunks), then verify hamming via bit_count(xor).
+  /** Chunk-banded near-dup pairs over a (doc_id, simhash) frame: band the
+    * 64 bits into 4 16-bit chunks; a pair must agree on at least one chunk
+    * (pigeonhole guarantees recall for hamming <= 3 at 4 chunks), then
+    * verify hamming via bit_count(xor).
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs)
+  private def simhashPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = sh.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { j =>
       struct(lit(j).as("chunk"),
         (shiftright(col("simhash"), j * 16).bitwiseAND(lit(65535L))).as("cv"))
@@ -229,6 +229,27 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** SimHash near-dups over xxhash64 token hashes (throughput path). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairs(simhash(docs), maxHamming)
+
+  /** Portable SimHash near-dups: token hashes are two rolling folds with
+    * different bases composed into a 60-bit value
+    * (`fold257 * 2^30 + fold131`), so the signature, the chunk banding,
+    * AND the hamming verification replay exactly in a second engine —
+    * the cross-engine witness for the SimHash pipeline, like
+    * minhashPortableNearDups for MinHash.
+    */
+  def simhashPortableNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHashBase
+    val sh = docs
+      .withColumn("hs", transform(tokens(col("text")),
+        t => rollingHashBase(t, 257L) * lit(1L << 30) + rollingHashBase(t, 131L)))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftnative.Simhash64.simhash64(col("hs")).as("simhash"))
+    simhashPairs(sh, maxHamming)
   }
 
   // ------------------------------------------- dup clusters (connected comp.)

@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the HOF version was the slowest real query in the r1 bench by an order
   * of magnitude per byte processed.
   */
-case class RollingHash(child: Expression)
+case class RollingHash(child: Expression, base: Long = 257L)
     extends UnaryExpression with ExpectsInputTypes {
+
+  require(base >= 2 && base < (1L << 31), "2 <= base < 2^31")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -30,7 +32,7 @@ case class RollingHash(child: Expression)
     var i = 0
     while (i < n) {
       val cp = str.codePointAt(i)
-      acc = (acc * 257L + cp) % 1000000007L
+      acc = (acc * base + cp) % 1000000007L
       i += Character.charCount(cp)
     }
     acc
@@ -51,4 +53,10 @@ case class RollingHash(child: Expression)
 object RollingHash {
   def rollingHash(text: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(text)))
+
+  /** Fold with a caller-chosen base — two folds with different bases
+    * compose into a wider portable hash (see Dedup.simhashPortable).
+    */
+  def rollingHashBase(text: Column, base: Long): Column =
+    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(text), base))
 }

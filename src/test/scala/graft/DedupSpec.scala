@@ -45,6 +45,12 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == 0L)
   }
 
+  test("portable simhash finds identical docs at hamming 0") {
+    val out = Dedup.simhashPortableNearDups(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 3L)) == 0L)
+  }
+
   test("ngramJaccardPairs verifies exact overlap within buckets") {
     val out = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxLenDiff = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
