@@ -371,6 +371,23 @@ object SparkEntry {
       TextAnalysis.tokenWindows(Tables.documents(s, dir),
         windowTokens = 64, stride = 32)),
 
+    // §2.24c2 — PORTABLE sub-document CDC dedup: identical content-defined
+    // boundaries, chunk digests as mod-1e9+7 folds instead of FNV-1a, so
+    // the whole chunker replays in DuckDB (struct-accumulator fold)
+    "q_cdc_dedup_portable" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.ContentChunkHashes.contentChunkHashesPortable
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+      corpus
+        .select(col("doc_id"),
+          explode(contentChunkHashesPortable(col("text"), window = 8, maskBits = 5))
+            .as("chunk_hash"))
+        .groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") >= 2)
+    }),
+
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -785,6 +802,8 @@ object SparkEntry {
 
     "q_dedup_simhash_portable" -> simhashPortableOracle,
 
+    "q_cdc_dedup_portable" -> cdcPortableOracle,
+
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, lang,
@@ -1078,6 +1097,49 @@ object SparkEntry {
        |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
        |FROM cand
        |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
+
+  /** q_cdc_dedup_portable oracle: the content-defined chunker replayed in
+    * DuckDB. The sequential Rabin roll at position i IS the polynomial
+    * hash of the trailing `window` characters (the subtraction step keeps
+    * exactly the window), so boundaries are computable per-position
+    * with a short inner fold; a windowed boundary count then assigns each
+    * character to its chunk, and each chunk's digest is the ordered
+    * mod-fold of its characters — no sequential whole-document state
+    * needed, which also sidesteps DuckDB's non-accumulating list-in-
+    * struct list_reduce.
+    */
+  private def cdcPortableOracle: String = {
+    val window = 8
+    val p = 1000000007L
+    val mask = (1L << 5) - 1
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |chs AS (SELECT doc_id, string_split(text, '') AS cs FROM corpus),
+       |pos AS (
+       |  SELECT doc_id, i.i AS i, CAST(ascii(cs[i.i]) AS BIGINT) AS b,
+       |    CASE WHEN i.i >= $window THEN
+       |      (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |         list_transform(range(greatest(i.i - $window + 1, 1), i.i + 1),
+       |           j -> CAST(ascii(cs[j]) AS BIGINT))),
+       |         (acc, c) -> (acc * 257 + c) % $p) & $mask) = 0
+       |    ELSE false END AS is_boundary
+       |  FROM chs, unnest(range(1, len(cs) + 1)) AS i(i)),
+       |ck AS (
+       |  SELECT doc_id, i, b,
+       |    count(*) FILTER (WHERE is_boundary) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chunk_idx
+       |  FROM pos),
+       |dig AS (
+       |  SELECT doc_id, chunk_idx,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(b ORDER BY i ASC)),
+       |      (acc, c) -> (acc * 257 + c) % $p) AS chunk_hash
+       |  FROM ck GROUP BY doc_id, chunk_idx)
+       |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+       |FROM dig GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2""".stripMargin
   }
 
   /** q_dedup_simhash_portable oracle: the identical SimHash pipeline in

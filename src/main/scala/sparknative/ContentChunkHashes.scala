@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * sub-document dedup and delta storage work where fixed-size chunking
   * degrades. Average chunk size ~= 2^maskBits bytes.
   */
-case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
+case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int,
+    portableHash: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(window >= 2 && maskBits >= 1 && maskBits <= 30, "window>=2, 1<=maskBits<=30")
@@ -35,12 +36,19 @@ case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
     r
   }
 
+  /** Boundary detection is identical in both modes; the per-chunk digest
+    * is FNV-1a 64 by default (wraparound 64-bit multiply — fast, but only
+    * computable in engines with modular int64 semantics) or, with
+    * `portableHash`, the same base-257 mod-1e9+7 fold as the boundary
+    * hash, replayable in any engine.
+    */
   def computeChunks(s: UTF8String): GenericArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
+    val fnvInit = -3750763034362895579L // FNV-1a 64 offset basis
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var roll = 0L
-    var chunkHash = -3750763034362895579L // FNV-1a 64 offset basis
+    var chunkHash = if (portableHash) 0L else fnvInit
     var chunkLen = 0
     var i = 0
     while (i < n) {
@@ -50,12 +58,14 @@ case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int)
         val old = bytes(i - window) & 0xFF
         roll = ((roll - old * basePow % Mod) + Mod) % Mod
       }
-      chunkHash = (chunkHash ^ b) * 1099511628211L // FNV-1a prime
+      chunkHash =
+        if (portableHash) (chunkHash * Base + b) % Mod
+        else (chunkHash ^ b) * 1099511628211L // FNV-1a prime
       chunkLen += 1
       // boundary: rolling hash hits the mask once the window is full
       if (i >= window - 1 && (roll & mask) == 0) {
         out += chunkHash
-        chunkHash = -3750763034362895579L
+        chunkHash = if (portableHash) 0L else fnvInit
         chunkLen = 0
       }
       i += 1
@@ -81,4 +91,9 @@ object ContentChunkHashes {
   def contentChunkHashes(text: Column, window: Int, maskBits: Int): Column =
     ExpressionUtils.column(ContentChunkHashes(
       ExpressionUtils.expression(text), window, maskBits))
+
+  /** Engine-portable chunk digests (mod-1e9+7 fold), same boundaries. */
+  def contentChunkHashesPortable(text: Column, window: Int, maskBits: Int): Column =
+    ExpressionUtils.column(ContentChunkHashes(
+      ExpressionUtils.expression(text), window, maskBits, portableHash = true))
 }

@@ -34,4 +34,16 @@ class CdcChunkSpec extends SparkSpec {
     val m = chunksOf(1L -> base, 2L -> base)
     assert(m(1L) == m(2L))
   }
+
+  test("portable digests share the FNV variant's boundaries exactly") {
+    import org.apache.spark.sql.functions.size
+    import org.apache.spark.sql.graftnative.ContentChunkHashes.contentChunkHashesPortable
+    val edited = base.substring(0, 50) + "XX" + base.substring(50)
+    val both = Seq(1L -> base, 2L -> edited).toDF("id", "text")
+      .select(col("id"),
+        size(contentChunkHashes(col("text"), 8, 5)).as("n_fnv"),
+        size(contentChunkHashesPortable(col("text"), 8, 5)).as("n_portable"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2)))
+  }
 }
