@@ -388,6 +388,19 @@ object SparkEntry {
         .where(col("n_docs") >= 2)
     }),
 
+    // §2.24i — PII-style pattern redaction over a corpus with planted
+    // contact strings: every doc gets one email + one phone appended, the
+    // redactor must scrub both and count them
+    "q_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .withColumn("text", concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@example.com or 555-"),
+          (col("doc_id") % 10000).cast("string")))
+      TextAnalysis.redact(planted, Seq(
+        "<EMAIL>" -> "[a-z0-9]+@[a-z0-9]+\\.[a-z]+",
+        "<PHONE>" -> "555-[0-9]+"))
+    }),
+
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -892,6 +905,20 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM k""".stripMargin,
+
+    "q_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@example.com or 555-' || (doc_id % 10000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g') AS clean_text,
+        |  CAST(length(regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]+', '<PHONE>', 'g')) AS BIGINT) AS clean_chars,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS "n_<EMAIL>",
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]+')) AS BIGINT) AS "n_<PHONE>"
+        |FROM planted""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH tf AS (

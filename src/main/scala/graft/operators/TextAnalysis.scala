@@ -170,6 +170,25 @@ object TextAnalysis {
         md5(array_join(col("win_toks"), " ")).as("win_hash"),
         lit(windowTokens).cast("long").as("win_tokens"))
 
+  /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
+    * strings before training. `patterns` maps placeholder -> regex; each
+    * match is replaced by the placeholder and counted. Pure column
+    * expressions (regexp_replace / regexp_count), scan speed; the regexes
+    * here stick to the portable subset (char classes, +, {m,n}) that
+    * evaluates identically across engines.
+    */
+  def redact(docs: DataFrame, patterns: Seq[(String, String)]): DataFrame = {
+    val redacted = patterns.foldLeft(col("text")) { case (c, (ph, re)) =>
+      regexp_replace(c, re, ph)
+    }
+    val counts = patterns.map { case (ph, re) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$ph")
+    }
+    docs.select(
+      Seq(col("doc_id"), redacted.as("clean_text"),
+        length(redacted).cast("long").as("clean_chars")) ++ counts: _*)
+  }
+
   /** Multimodal plumbing: treat the payload as opaque bytes with typed
     * metadata — byte length, fixed-size chunk count, content hash. The same
     * schema/partitioning carries image/audio blobs at scale; here the text

@@ -63,6 +63,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wins.toSeq == Seq(0L, 1L, 2L, 3L)) // starts 1,3,5,7 (len 4 each)
   }
 
+  test("redact scrubs planted contact strings and counts matches") {
+    val d = Seq((1L, "mail me at bob1@mail.com or call 555-0199 twice 555-1"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redact(d, Seq(
+      "<EMAIL>" -> "[a-z0-9]+@[a-z0-9]+\\.[a-z]+",
+      "<PHONE>" -> "555-[0-9]+")).head()
+    assert(r.getAs[String]("clean_text") ==
+      "mail me at <EMAIL> or call <PHONE> twice <PHONE>")
+    assert(r.getAs[Long]("n_<EMAIL>") == 1L)
+    assert(r.getAs[Long]("n_<PHONE>") == 2L)
+  }
+
   test("binaryMeta reports bytes, chunks, and hash") {
     val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
     assert(r.getAs[Long]("n_bytes") == 22)
