@@ -401,6 +401,16 @@ object SparkEntry {
         "<PHONE>" -> "555-[0-9]+"))
     }),
 
+    // §2.24j — portable stratified resampling to a target language mix;
+    // per-language counts certify both the bucket rule and the rates
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.portableStratifiedSample(
+        Tables.documents(s, dir), "lang", "doc_id",
+        Seq("en" -> 50, "fr" -> 100, "es" -> 25), defaultPct = 10)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -905,6 +915,20 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM k""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100
+        |                         WHEN 'es' THEN 25 ELSE 10 END
+        |GROUP BY lang""".stripMargin,
 
     "q_redact" ->
       """WITH planted AS (

@@ -45,4 +45,19 @@ object Sampling {
     }
     df.where(hashFraction(col(key)) < frac)
   }
+
+  /** Engine-portable stratified sample: per-stratum keep-percentages over
+    * the base-257 id-fold bucket (the same portable hash the corpus-prep
+    * split uses), so the sampled set is reproducible in any engine —
+    * resampling a corpus to a target language/source mix with an
+    * auditable membership rule. `pcts` are integer percents; strata not
+    * listed keep `defaultPct`.
+    */
+  def portableStratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      pcts: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    val pct = pcts.foldRight(lit(defaultPct)) { case ((stratum, p), elseCol) =>
+      when(col(stratumCol) === stratum, lit(p)).otherwise(elseCol)
+    }
+    df.where(graft.pipeline.CorpusPrep.portableBucket(col(idCol)) < pct)
+  }
 }
