@@ -38,13 +38,18 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // a failed iteration must not win the min with its time-to-failure;
+    // only successful passes count, and a query with zero successes
+    // reports its (slowest) failure time so the total stays honest
+    def once(name: String, fn: (SparkSession, String) => DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -52,7 +57,9 @@ object Bench {
       ordered.map { case (name, fn) => name -> once(name, fn) }
     }
     val results = ordered.map { case (name, _) =>
-      name -> samples.collect { case (`name`, t) => t }.min
+      val mine = samples.collect { case (`name`, s) => s }
+      val good = mine.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else mine.map(_._1).max)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

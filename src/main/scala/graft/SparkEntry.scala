@@ -920,7 +920,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+        |      list_transform(string_split('strat:' || CAST(doc_id AS VARCHAR), ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |      (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS bucket
         |  FROM documents)

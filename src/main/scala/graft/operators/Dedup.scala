@@ -91,14 +91,20 @@ object Dedup {
     * estimated similarity (fraction of equal signature components) ->
     * threshold filter.
     */
-  def minhashNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
-    // materialize signatures once: the banding self-join references them
-    // twice and the est_sim stage twice more — without a stage boundary
-    // Spark recomputes tokenize+shingle+minhash per reference. The
-    // signature table is (id, k longs), tiny next to the corpus; at
-    // cluster scale this is a persisted/bucketed table (see
-    // stagedNearDups for the explicit parquet form).
-    val sigs = minhashSignatures(docs, k).localCheckpoint()
+  def minhashNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame =
+    bandedNearDups(minhashSignatures(docs, k), k, bands, minSim)
+
+  /** Shared LSH tail for any (doc_id, sig) signature table: materialize
+    * signatures once (the banding self-join references them twice and the
+    * est_sim stage twice more — without a stage boundary Spark recomputes
+    * the whole signature pipeline per reference; the table is (id, k
+    * longs), tiny next to the corpus, and at cluster scale a
+    * persisted/bucketed table — see stagedNearDups for the explicit
+    * parquet form), band, self-join, estimate similarity, filter.
+    */
+  private def bandedNearDups(signatures: DataFrame, k: Int, bands: Int,
+      minSim: Double): DataFrame = {
+    val sigs = signatures.localCheckpoint()
     val cands = minhashCandidates(sigs, bands, k / bands)
     cands
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -125,18 +131,18 @@ object Dedup {
   }
 
   /** Portable MinHash near-dup: the same signatures -> LSH bands ->
-    * est_sim pipeline as minhashNearDups, but every hash is an
+    * est_sim pipeline as minhashNearDups, but SIGNATURES are an
     * engine-agnostic construction — shingle ids are the base-257
     * rolling-hash fold of the shingle STRING (the q_rolling_hash
-    * primitive, native on the Spark side) and band keys are raw signature
-    * slices — so pairs AND est_sim are hash-checkable in a second engine.
-    * The xxhash-based minhashNearDups stays the throughput path; this
-    * variant is the cross-engine correctness witness for the algorithm.
+    * primitive, native on the Spark side). Band bucketing may use any
+    * internal hash (the oracle buckets by raw signature slices instead):
+    * bucket keys only select candidates, and the portable est_sim filter
+    * decides the output, so pairs AND est_sim hash-check in a second
+    * engine. The xxhash-based minhashNearDups stays the throughput path.
     */
   def minhashPortableNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
     import org.apache.spark.sql.graftnative.RollingHash.rollingHash
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     val cs = portableCoefs(k)
     val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
       concat(element_at(col("toks"), i), lit(" "),
@@ -153,23 +159,7 @@ object Dedup {
       .select(col("doc_id"),
         org.apache.spark.sql.graftnative.MinhashSig.minhashSig(
           col("ids"), cs.map(_._1), cs.map(_._2), MinhashPrime).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), slice(col("sig"), j * r + 1, r).as("bv"))
-      }: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band"), col("b.bv"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-      .withColumn("est_sim",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / k)
-      .where(col("est_sim") >= minSim)
-      .select("doc_a", "doc_b", "est_sim")
+    bandedNearDups(sigs, k, bands, minSim)
   }
 
   /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact
@@ -189,11 +179,15 @@ object Dedup {
     docs
       .withColumn("text_hash", md5(col("text")))
       .groupBy("text_hash")
+      // the representative is the min-id row IN FULL: text is constant
+      // within a content-hash group, but lang/source need not be
+      // (identical text from two sources), so min_by pins the metadata to
+      // the kept doc_id — deterministic across runs and layouts, unlike
+      // first()
       .agg(min(col("doc_id")).as("doc_id"),
-        // grouped by content hash, so these are constant within a group
-        first(col("text")).as("text"),
-        first(col("lang")).as("lang"),
-        first(col("source")).as("source"))
+        min_by(col("text"), col("doc_id")).as("text"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("source"), col("doc_id")).as("source"))
       .drop("text_hash")
       .write.mode("overwrite").parquet(stagePath)
     minhashNearDups(spark.read.parquet(stagePath), k, bands, minSim)
@@ -300,6 +294,12 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("label"))
       iter += 1
     }
+    // silently returning a non-fixpoint would hand back components that
+    // are still split — multiple "canonical" docs per true cluster
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxIters rounds — component " +
+          s"diameter exceeds maxIters; raise it or use a star-contraction variant")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -58,6 +58,9 @@ object Sampling {
     val pct = pcts.foldRight(lit(defaultPct)) { case ((stratum, p), elseCol) =>
       when(col(stratumCol) === stratum, lit(p)).otherwise(elseCol)
     }
-    df.where(graft.pipeline.CorpusPrep.portableBucket(col(idCol)) < pct)
+    // salted fold: an unsalted bucket would be the same stream the
+    // corpus-prep train/val/test split uses, making every sample at
+    // pct <= trainPct a strict subset of the training split
+    df.where(graft.pipeline.CorpusPrep.portableBucket(col(idCol), "strat") < pct)
   }
 }

@@ -26,10 +26,20 @@ object CorpusPrep {
     * string, mod 100 — the portable analog of Sampling.hashFraction
     * (xxhash64 stays the throughput path; this one is replayable in any
     * engine).
+    *
+    * `salt` selects an independent bucket stream: folds of "salt:id" and
+    * "othersalt:id" are uncorrelated, so a sample drawn with one salt is
+    * NOT nested inside a split drawn with another. Never reuse one salt
+    * for two purposes — `bucket(id) < 25` is by construction a subset of
+    * `bucket(id) < 90` from the same stream.
     */
-  def portableBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(id.cast("string")),
-      lit(100L))
+  def portableBucket(id: org.apache.spark.sql.Column,
+      salt: String = ""): org.apache.spark.sql.Column = {
+    val key =
+      if (salt.isEmpty) id.cast("string")
+      else concat(lit(s"$salt:"), id.cast("string"))
+    pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(key), lit(100L))
+  }
 
   def prepare(docs: DataFrame, stopwords: Seq[String],
       markers: Seq[(String, Seq[String])], minTokens: Int,

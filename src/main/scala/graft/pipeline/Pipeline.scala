@@ -18,6 +18,11 @@ object Pipeline {
   /** A named stage: DataFrame in, DataFrame out. Compose with `andThen`. */
   type Stage = DataFrame => DataFrame
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Write one daily partition idempotently, hive-layout
     * `<root>/<stage>/job_name=<job>/date=<yyyyMMdd>/` (reference:
     * etl/resources/s3.py:60 _build_s3_path). Re-running a day replaces
@@ -113,21 +118,20 @@ object Pipeline {
     * writeDaily/overwriteDays, which replace atomically.
     */
   def deleteDaily(root: String, stage: String, job: String, day: String): Boolean = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
     val dir = new java.io.File(s"$root/$stage/job_name=$job/date=${day.replace("-", "")}")
     val existed = dir.exists()
-    if (existed) rm(dir)
+    if (existed) rmTree(dir)
     existed
   }
 
   /** Compact one day's partition to `targetFiles` files — the maintenance
     * pass behind every streaming/micro-batch writer, whose small files
     * otherwise degrade scan parallelism bookkeeping and open-file cost at
-    * scale. Rewrites via a staging directory + atomic-ish swap so a
-    * failed compaction never leaves the day truncated.
+    * scale. The rewrite lands in a staging directory first, so a failure
+    * BEFORE the swap leaves the day intact; the delete+rename swap itself
+    * is not atomic on a plain filesystem (a lakehouse table format is the
+    * real answer at scale), so a failed rename raises instead of
+    * returning success over a truncated day.
     */
   def compactDaily(spark: SparkSession, root: String, stage: String, job: String,
       day: String, targetFiles: Int): Unit = {
@@ -135,13 +139,10 @@ object Pipeline {
     val tmp = path + "__compact"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(path))
-    new java.io.File(tmp).renameTo(new java.io.File(path))
-    ()
+    rmTree(new java.io.File(path))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(path)))
+      throw new java.io.IOException(
+        s"compaction swap failed: $tmp could not replace $path — recover from $tmp")
   }
 
   /** Partition inventory for a job (reference: s3.list_partitions). */
@@ -167,14 +168,9 @@ object Pipeline {
     val tmp = tablePath + "__staged"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dst = new java.io.File(tablePath)
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(dst)
-    }
-    new java.io.File(tmp).renameTo(dst)
-    ()
+    if (dst.exists()) rmTree(dst)
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(
+        s"upsert swap failed: $tmp could not replace $tablePath — recover from $tmp")
   }
 }

@@ -55,13 +55,25 @@ object Rdb {
     var conn: Connection = null
     try {
       conn = DriverManager.getConnection(url, props)
-      // JDBC metadata stores case-normalized identifiers; check both the
-      // given spelling and the dialect-default upper case.
       val meta = conn.getMetaData
-      Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
-        val rs = meta.getTables(null, null, t, Array("TABLE"))
-        try rs.next() finally rs.close()
+      // getTables takes PATTERNS (_ and % are wildcards, and not every
+      // driver honors the declared escape string — Derby doesn't), so
+      // list and compare EXACT names case-insensitively instead of
+      // pattern-matching; a dot-qualified name is checked against the
+      // schema column
+      val (schema, bare) = table.split('.') match {
+        case Array(s, t) => (Some(s), t)
+        case _           => (None, table)
       }
+      val rs = meta.getTables(null, null, null, Array("TABLE"))
+      try {
+        var found = false
+        while (!found && rs.next()) {
+          found = bare.equalsIgnoreCase(rs.getString("TABLE_NAME")) &&
+            schema.forall(_.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
+        }
+        found
+      } finally rs.close()
     } finally if (conn != null) conn.close()
   }
 

@@ -36,26 +36,45 @@ case class ContentChunkHashes(child: Expression, window: Int, maskBits: Int,
     r
   }
 
-  /** Boundary detection is identical in both modes; the per-chunk digest
-    * is FNV-1a 64 by default (wraparound 64-bit multiply — fast, but only
-    * computable in engines with modular int64 semantics) or, with
-    * `portableHash`, the same base-257 mod-1e9+7 fold as the boundary
-    * hash, replayable in any engine.
+  /** The state machine is identical in both modes (window roll, masked
+    * boundary, per-chunk digest, trailing emission); the SYMBOL STREAM and
+    * digest differ. Default: UTF-8 bytes with FNV-1a 64 digests
+    * (wraparound 64-bit multiply — fast, but only computable in engines
+    * with modular int64 semantics). `portableHash`: Unicode CODE POINTS
+    * with the same base-257 mod-1e9+7 fold as the boundary hash — exactly
+    * what a SQL engine folding per-character replays, on non-ASCII text
+    * too. Identical on ASCII except for digest values.
     */
   def computeChunks(s: UTF8String): GenericArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length
     val fnvInit = -3750763034362895579L // FNV-1a 64 offset basis
+    val syms: Array[Int] =
+      if (portableHash) {
+        val str = s.toString
+        val arr = new Array[Int](str.codePointCount(0, str.length))
+        var i = 0; var j = 0
+        while (i < str.length) {
+          val cp = str.codePointAt(i)
+          arr(j) = cp; j += 1; i += Character.charCount(cp)
+        }
+        arr
+      } else {
+        val bytes = s.getBytes
+        val arr = new Array[Int](bytes.length)
+        var i = 0
+        while (i < bytes.length) { arr(i) = bytes(i) & 0xFF; i += 1 }
+        arr
+      }
+    val n = syms.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var roll = 0L
     var chunkHash = if (portableHash) 0L else fnvInit
     var chunkLen = 0
     var i = 0
     while (i < n) {
-      val b = bytes(i) & 0xFF
+      val b = syms(i)
       roll = (roll * Base + b) % Mod
       if (i >= window) {
-        val old = bytes(i - window) & 0xFF
+        val old = syms(i - window)
         roll = ((roll - old * basePow % Mod) + Mod) % Mod
       }
       chunkHash =

@@ -27,22 +27,30 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], n: Int)
 
   require(centroids.nonEmpty && n >= 1 && n <= centroids.size,
     "need 1 <= n <= number of centroids")
+  require(centroids.forall(_.size == centroids.head.size),
+    "centroids must share one dimensionality")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // A vector whose dimensionality differs from the centroids' yields NULL
+  // (consistent with FloatVecDot): a corrupt/truncated embedding must not
+  // get a plausible-but-wrong cell from a partial distance.
+  override def nullable: Boolean = true
 
   private lazy val cents: Array[Array[Float]] = centroids.map(_.toArray).toArray
 
   def compute(emb: ArrayData): GenericArrayData = {
     val k = cents.length
     val dim = emb.numElements()
+    if (dim != cents(0).length) return null
     val bestD = new Array[Double](n)
     val bestC = new Array[Int](n)
     var filled = 0
     var c = 0
     while (c < k) {
       val cen = cents(c)
-      val m = math.min(dim, cen.length)
+      val m = dim
       var d = 0.0
       var i = 0
       while (i < m) {
@@ -75,7 +83,11 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], n: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
-    nullSafeCodeGen(ctx, ev, emb => s"${ev.value} = $ref.compute($emb);")
+    nullSafeCodeGen(ctx, ev, emb =>
+      s"""
+         |${ev.value} = $ref.compute($emb);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =

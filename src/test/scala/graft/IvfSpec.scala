@@ -57,6 +57,16 @@ class IvfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("nearestCells yields NULL for a vector of the wrong dimensionality") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    val cents = Seq(Seq(0.0f, 0.0f), Seq(5.0f, 0.0f))
+    val r = Seq((1L, Array(4.0f, 0.0f, 9.0f))).toDF("vec_id", "embedding")
+      .select(nearestCells(col("embedding"), cents, 1).as("cells"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("nearestCells orders by distance with cell-id tie-break") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftnative.NearestCells.nearestCells

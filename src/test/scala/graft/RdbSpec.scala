@@ -43,8 +43,12 @@ class RdbSpec extends SparkSpec {
   test("tableExists and truncate (trino.py:227,:235 parity)") {
     exec("CREATE TABLE load_target (k INT)")
     exec("INSERT INTO load_target VALUES (1), (2)")
+    exec("CREATE TABLE loadxtarget (k INT)")
     assert(Rdb.tableExists(url, "load_target"))
     assert(!Rdb.tableExists(url, "no_such_table"))
+    // _ must be escaped as a literal, not act as a single-char wildcard:
+    // an unescaped "loadxtarge_" pattern would match loadxtarget
+    assert(!Rdb.tableExists(url, "loadxtarge_"))
     Rdb.truncate(url, "load_target")
     assert(Rdb.readQuery(spark, url, "SELECT k FROM load_target").count() == 0)
   }
