@@ -277,6 +277,32 @@ object SparkEntry {
       Similarity.nearDupPairs(corpus, minCosine = 0.95, centroids, nprobe = 2)
     }),
 
+    // §2.19b — per-label centroid embeddings (classifier prototypes):
+    // exact-decimal means, reproducible across layouts. The array column
+    // itself is not hashed portably by the driver, so the query emits the
+    // centroid's rounded first component + norm alongside the counts.
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.groupCentroids(Tables.embeddings(s, dir), "label")
+        .select(col("label"), col("n_vectors"),
+          round(element_at(col("centroid"), 1).cast("double"), 6).as("c0_r"),
+          round(sqrt(org.apache.spark.sql.graftnative.FloatVecDot.fdot(
+            col("centroid"), col("centroid"))), 6).as("norm_r"))),
+
+    // §2.19c — embedding-column quality gate: NULL / wrong-dim /
+    // non-finite / zero-norm counts per label, one aggregate scan
+    "q_embed_quality" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      // plant defects deterministically: one NULL, one truncated, one
+      // zeroed vector
+      val corrupted = e.select(col("vec_id"), col("label"),
+        when(col("vec_id") === 3, lit(null).cast("array<float>"))
+          .when(col("vec_id") === 7, slice(col("embedding"), 1, 10))
+          .when(col("vec_id") === 11,
+            expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.embeddingQuality(corrupted, "label", dim = 64)
+    }),
+
     // §2.20 — brute-force cosine top-k ANN baseline
     "q_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -789,6 +815,42 @@ object SparkEntry {
         |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 4) AS sim_r
         |FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
         |WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) >= 0.95""".stripMargin,
+
+    "q_label_centroids" ->
+      """WITH m AS (
+        |  SELECT label, r.i AS pos,
+        |    CAST(CAST(sum(CAST(embedding[CAST(r.i AS INTEGER)] AS DECIMAL(20,10))) AS DOUBLE)
+        |      / count(*) AS FLOAT) AS m,
+        |    count(*) AS n
+        |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |  GROUP BY label, r.i),
+        |c AS (
+        |  SELECT label, list(CAST(m AS DOUBLE) ORDER BY pos ASC) AS centroid,
+        |    min(n) AS n_vectors
+        |  FROM m GROUP BY label)
+        |SELECT label, n_vectors,
+        |  round(centroid[1], 6) AS c0_r,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(centroid, x -> x * x)), (acc, x) -> acc + x)), 6) AS norm_r
+        |FROM c""".stripMargin,
+
+    "q_embed_quality" ->
+      """WITH corrupted AS (
+        |  SELECT vec_id, label,
+        |    CASE WHEN vec_id = 3 THEN NULL
+        |         WHEN vec_id = 7 THEN embedding[1:10]
+        |         WHEN vec_id = 11 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |         ELSE embedding END AS embedding
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_rows,
+        |  count(*) FILTER (WHERE embedding IS NULL) AS n_null,
+        |  count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) <> 64) AS n_wrong_dim,
+        |  count(*) FILTER (WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0) AS n_nonfinite,
+        |  count(*) FILTER (WHERE embedding IS NOT NULL AND
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |      (acc, x) -> acc + x) = 0) AS n_zero_norm
+        |FROM corrupted GROUP BY label""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

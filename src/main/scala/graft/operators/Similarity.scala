@@ -116,6 +116,44 @@ object Similarity {
         round(col("sim"), 4).as("sim_r"))
   }
 
+  /** Per-group centroid (mean) embeddings — classifier prototypes /
+    * cluster summaries. posexplode -> (group, dim) exact-decimal mean ->
+    * regroup: ONE shuffle whose rows are (group, dim, partial) — dim
+    * floats per input row never travel twice — and the decimal sums make
+    * the centroids bit-reproducible across layouts (same recipe as IVF
+    * training).
+    */
+  def groupCentroids(embeddings: DataFrame, groupCol: String): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
+        count(lit(1))).cast("float").as("m"),
+        count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+        min(col("n")).as("n_vectors"))
+      .select(col(groupCol), expr("transform(pm, x -> x.m)").as("centroid"),
+        col("n_vectors"))
+
+  /** Embedding-column quality report: per-group counts of NULL vectors,
+    * wrong-dimensionality vectors, vectors containing NaN/Inf, and
+    * zero-norm vectors — the validation gate an embedding pipeline runs
+    * before any similarity math consumes the column. One aggregate scan.
+    */
+  def embeddingQuality(embeddings: DataFrame, groupCol: String, dim: Int): DataFrame =
+    embeddings
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("embedding").isNull, 1)).as("n_null"),
+        count(when(col("embedding").isNotNull && size(col("embedding")) =!= dim, 1))
+          .as("n_wrong_dim"),
+        count(when(exists(col("embedding"), v => isnan(v) || v === Float.PositiveInfinity ||
+          v === Float.NegativeInfinity), 1)).as("n_nonfinite"),
+        count(when(fdot(col("embedding"), col("embedding")) === 0.0, 1)).as("n_zero_norm"))
+
   /** Deterministic pseudo-random hyperplanes: component (i, j) derives from
     * a fixed LCG walk — reproducible across runs/executors, no RNG state.
     */
