@@ -437,6 +437,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
+    // §2.24k — per-language corpus statistics report: doc counts, exact
+    // token-count percentiles, exact mean chars — the summary a corpus
+    // curation run publishes after every build
+    "q_corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, 0.5)").as("tokens_p50"),
+          expr("percentile(n_tokens, 0.95)").as("tokens_p95"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))),
+
     // §2.25 — windowed top-k per group
     "q_doc_topk" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1005,6 +1021,18 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS "n_<EMAIL>",
         |  CAST(len(regexp_extract_all(text, '555-[0-9]+')) AS BIGINT) AS "n_<PHONE>"
         |FROM planted""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_tokens, 0.5) AS tokens_p50,
+        |  quantile_cont(n_tokens, 0.95) AS tokens_p95,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM t GROUP BY lang""".stripMargin,
 
     "q_vocab_topk" ->
       """WITH tf AS (
