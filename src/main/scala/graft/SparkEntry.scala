@@ -590,7 +590,26 @@ object SparkEntry {
             .as("bpe_tokens"),
           (length(col("text")).cast("long") /
             regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
-            .as("chars_per_token")))
+            .as("chars_per_token"))),
+
+    // §2.24l — benchmark decontamination: 8-token-gram overlap between the
+    // corpus and a benchmark set leaked from it (first 40 tokens of every
+    // 20th doc). Benchmark grams broadcast — the corpus side's only
+    // exchange is the final per-doc count.
+    "q_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.operators.Contamination.decontaminate(docs, bench, n = 8)
+    }),
+
+    // §2.24m — cross-document duplicated-span report (substring-dedup
+    // signal) over a corpus with planted near-copies.
+    "q_dup_spans" -> ((s, dir) =>
+      graft.operators.Contamination.dupSpans(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30), n = 8))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1169,7 +1188,63 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
         |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS chars_per_token
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
+        |  FROM tok WHERE len(toks) >= 8),
+        |bt AS (
+        |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
+        |  FROM bt WHERE len(btoks) >= 8),
+        |ex AS (
+        |  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, unnest(hashes) AS h
+        |  FROM corpus)
+        |SELECT e.doc_id, e.n_grams, count(*) AS n_hit,
+        |  floor(count(*) * 10000.0 / e.n_grams + 0.5) / 10000.0 AS hit_ratio
+        |FROM ex e JOIN bench b ON e.h = b.h
+        |GROUP BY e.doc_id, e.n_grams""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |g AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(toks[u.i:u.i+7], ' '), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS h
+        |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT g.doc_id, g.pos, (d.h IS NOT NULL) AS isdup
+        |      FROM g LEFT JOIN d ON g.h = d.h),
+        |r AS (SELECT doc_id, isdup,
+        |        lag(isdup, 1, false) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |      FROM f)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  count(*) FILTER (WHERE isdup) AS n_dup_windows,
+        |  count(*) FILTER (WHERE isdup AND NOT prev) AS n_spans,
+        |  floor(count(*) FILTER (WHERE isdup) * 10000.0 / count(*) + 0.5) / 10000.0 AS dup_ratio
+        |FROM r GROUP BY doc_id
+        |HAVING count(*) FILTER (WHERE isdup) > 0""".stripMargin
   )
 
   /** Shared CTEs for the jaccard-pair oracles: planted-dup corpus + per-doc

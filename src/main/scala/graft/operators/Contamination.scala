@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.RollingHash
+
+/** Training-data contamination analysis: token n-gram overlap against a
+  * held-out benchmark set, and cross-document duplicated-span detection
+  * (the substring-dedup signal of Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better").
+  *
+  * Both operators key every n-token window by the portable polynomial fold
+  * (base-257 mod 1e9+7, native `RollingHash`) so the whole pipeline is
+  * replayable in ANSI SQL for the DuckDB oracle, and so raw text never
+  * travels through a shuffle — windows are reduced to (doc_id, pos, int64)
+  * before any exchange.
+  *
+  * 100 TB posture:
+  *  - decontaminate: the benchmark gram set is small by nature (benchmarks
+  *    are fixed corpora), so it is BROADCAST and the corpus side never
+  *    shuffles its grams — the only exchange is the final per-doc count.
+  *  - dupSpans: two keyed shuffles (gram-frequency groupBy, per-doc span
+  *    window) over slim (doc_id, pos, hash) rows; both partial-aggregate.
+  */
+object Contamination {
+
+  /** Positions 1..len-n+1 of `toks`, each mapped to the portable hash of
+    * the space-rejoined n-token window. Callers must pre-filter
+    * size(toks) >= n: Spark's `sequence` walks BACKWARDS when stop < start
+    * and would emit phantom positions.
+    */
+  private def gramHashes(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => RollingHash.rollingHash(array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Benchmark decontamination report: for every corpus document sharing at
+    * least one distinct n-gram with the benchmark set, the count of
+    * overlapping grams and the contamination ratio.
+    *
+    * Output: (doc_id, n_grams, n_hit, hit_ratio) — hit_ratio stable-rounded
+    * to 4 decimals with the floor(x*1e4+0.5) identity (pure IEEE, identical
+    * in every engine; `round()` tie behavior is not portable).
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def distinctGrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= n)
+        .select(col("doc_id"), array_distinct(gramHashes(col("toks"), n)).as("hashes"))
+
+    val benchGrams = distinctGrams(benchmark)
+      .select(explode(col("hashes")).as("h")).distinct()
+
+    distinctGrams(corpus)
+      .select(col("doc_id"), size(col("hashes")).cast("long").as("n_grams"),
+        explode(col("hashes")).as("h"))
+      .join(broadcast(benchGrams), "h")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (floor(col("n_hit") * 10000.0 / col("n_grams") + 0.5) / 10000.0)
+          .as("hit_ratio"))
+  }
+
+  /** Cross-document duplicated-span report: an n-token window is "dup" when
+    * its hash occurs in >= 2 distinct documents; a span is a maximal run of
+    * consecutive dup positions. Output per document with at least one dup
+    * window: (doc_id, n_windows, n_dup_windows, n_spans, dup_ratio).
+    */
+  def dupSpans(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"), lit(true).as("isdup"))
+
+    val flagged = grams.join(dupHashes, Seq("h"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("isdup"), lit(false)).as("isdup"))
+
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("prev", lag(col("isdup"), 1, false).over(byPos))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("isdup"), 1)).as("n_dup_windows"),
+        count(when(col("isdup") && !col("prev"), 1)).as("n_spans"))
+      .where(col("n_dup_windows") > 0)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("n_spans"),
+        (floor(col("n_dup_windows") * 10000.0 / col("n_windows") + 0.5) / 10000.0)
+          .as("dup_ratio"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Contamination
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12-token docs; doc 2 shares its first 8 tokens with doc 1 (one shared
+  // 3-gram run), doc 3 is disjoint vocabulary.
+  private def docs = Seq(
+    (1L, "a b c d e f g h i j k l"),
+    (2L, "a b c d e f g h x y z w"),
+    (3L, "p q r s t u v w2 p2 q2 r2 s2")
+  ).toDF("doc_id", "text")
+
+  test("decontaminate counts overlapping distinct n-grams against a broadcast benchmark") {
+    // benchmark = doc 1's full text; n=3 -> doc 1 has 10 trigrams, doc 2
+    // shares exactly the 6 trigrams inside "a b c d e f g h".
+    val bench = docs.where($"doc_id" === 1)
+    val out = Contamination.decontaminate(docs, bench, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    assert(out(1L) == ((10L, 10L)))
+    assert(out(2L) == ((10L, 6L)))
+    assert(!out.contains(3L))
+  }
+
+  test("decontaminate hit_ratio uses the stable floor rounding") {
+    val bench = docs.where($"doc_id" === 1)
+    val r = Contamination.decontaminate(docs, bench, n = 3)
+      .where($"doc_id" === 2).head()
+    assert(math.abs(r.getAs[Double]("hit_ratio") - 0.6) < 1e-12)
+  }
+
+  test("dupSpans finds one maximal run of shared windows") {
+    val out = Contamination.dupSpans(docs, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_spans"))).toMap
+    // docs 1 and 2 share trigram positions 1..6; doc 3 has none.
+    assert(out(1L) == ((10L, 6L, 1L)))
+    assert(out(2L) == ((10L, 6L, 1L)))
+    assert(!out.contains(3L))
+  }
+
+  test("dupSpans counts split runs as separate spans") {
+    // doc 5 repeats doc 4's tokens at the start AND end with a unique gap.
+    val d2 = Seq(
+      (4L, "a b c d m1 m2 m3 w x y z q"),
+      (5L, "a b c d g1 g2 g3 w x y z q")
+    ).toDF("doc_id", "text")
+    val out = Contamination.dupSpans(d2, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_spans"))).toMap
+    // shared trigrams: positions 1,2 ("a b c","b c d") and 8,9,10
+    // ("w x y","x y z","y z q") -> 5 dup windows in 2 spans, each doc.
+    assert(out(4L) == ((5L, 2L)))
+    assert(out(5L) == ((5L, 2L)))
+  }
+
+  test("docs shorter than n produce no windows") {
+    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
+    assert(Contamination.dupSpans(tiny, n = 3).count() == 0)
+    assert(Contamination.decontaminate(tiny, tiny, n = 3).count() == 0)
+  }
+}
