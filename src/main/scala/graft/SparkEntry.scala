@@ -609,7 +609,43 @@ object SparkEntry {
     "q_dup_spans" -> ((s, dir) =>
       graft.operators.Contamination.dupSpans(
         Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
-          idOffset = 1000000L, truncateChars = 30), n = 8))
+          idOffset = 1000000L, truncateChars = 30), n = 8)),
+
+    // §2.24n — per-source quality-quantile gate: keep docs at/above their
+    // source's median token count. Tiny per-group quantile broadcast back
+    // onto the scan — the corpus never shuffles.
+    "q_quality_gate" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.quantileGate(scored, "source", "n_tokens", 0.5)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cut").as("src_p50"))
+    }),
+
+    // §2.7b — SCD2 dimension build: compact each customer's order-status
+    // change log into validity intervals (valid_from/valid_to/version/
+    // is_current). One shuffle shared by both windows.
+    "q_scd2" -> ((s, dir) =>
+      Etl.scd2(Tables.orders(s, dir), key = "o_custkey",
+        attr = "o_orderstatus", ts = "o_orderdate", tie = "o_orderkey")),
+
+    // §2.7c — incremental aggregate maintenance: 9 days of prior state
+    // merged with day 10's delta; the oracle recomputes from scratch over
+    // the union of both windows, proving merge == recompute bit-for-bit
+    // (exact-decimal mergeable state). Both extracts push raw-ns ranges
+    // to the scan.
+    "q_incr_merge" -> ((s, dir) => {
+      val ev = Tables.eventsRaw(s, dir)
+      def dayRangeNs(from: String, untilExcl: String) = {
+        val lo = java.time.LocalDate.parse(from).toEpochDay * 86400L * 1000000000L
+        val hi = java.time.LocalDate.parse(untilExcl).toEpochDay * 86400L * 1000000000L
+        ev.where(col("ts") >= lo && col("ts") < hi)
+      }
+      val state = Etl.aggState(dayRangeNs("2024-01-01", "2024-01-10"), "user_id", "value")
+      val delta = Etl.aggState(dayRangeNs("2024-01-10", "2024-01-11"), "user_id", "value")
+      Etl.mergeAggStates(Seq(state, delta))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1244,7 +1280,43 @@ object SparkEntry {
         |  count(*) FILTER (WHERE isdup AND NOT prev) AS n_spans,
         |  floor(count(*) FILTER (WHERE isdup) * 10000.0 / count(*) + 0.5) / 10000.0 AS dup_ratio
         |FROM r GROUP BY doc_id
-        |HAVING count(*) FILTER (WHERE isdup) > 0""".stripMargin
+        |HAVING count(*) FILTER (WHERE isdup) > 0""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, quantile_cont(n_tokens, 0.5) AS src_p50
+        |  FROM s GROUP BY source)
+        |SELECT s.doc_id, s.source, s.n_tokens, st.src_p50
+        |FROM s JOIN st USING (source)
+        |WHERE s.n_tokens >= st.src_p50""".stripMargin,
+
+    "q_scd2" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (
+        |  SELECT * FROM c
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus AS status,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  CAST(lead(o_orderdate) OVER w2 AS DATE) AS valid_to,
+        |  CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |  (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_incr_merge" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
+        |GROUP BY user_id""".stripMargin
   )
 
   /** Shared CTEs for the jaccard-pair oracles: planted-dup corpus + per-doc

@@ -54,6 +54,57 @@ object Etl {
       .select(cols.map(col): _*)
   }
 
+  /** Slowly-changing-dimension type 2 build: compact an ordered change log
+    * into validity intervals. Rows where the tracked attribute differs from
+    * its predecessor (per key, ordered by ts with an id tie-break) open a
+    * new version; `valid_to` is the next version's start, NULL on the
+    * current row. Reference analog: the upsert load (trino.py:165) keeps
+    * only latest state — SCD2 is the standard warehouse extension when
+    * history must be queryable.
+    *
+    * One shuffle: both windows and the change filter share the same
+    * (key, ts, tie) partitioning+ordering, so Spark plans a single exchange
+    * and sort reused across them.
+    */
+  def scd2(changes: DataFrame, key: String, attr: String, ts: String,
+      tie: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    changes
+      .withColumn("prev_attr", lag(col(attr), 1).over(w))
+      .where(col("prev_attr").isNull || col("prev_attr") =!= col(attr))
+      .withColumn("valid_from", to_date(col(ts)))
+      .withColumn("valid_to", to_date(lead(col(ts), 1).over(w)))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", lead(col(ts), 1).over(w).isNull)
+      .select(col(key), col(attr).as("status"), col("valid_from"),
+        col("valid_to"), col("version"), col("is_current"))
+  }
+
+  /** Re-aggregable per-key state: count + exact-decimal sum. The decimal
+    * sum makes the state MERGEABLE without drift: merging partials in any
+    * order yields the identical bits, so an incrementally-maintained
+    * aggregate equals a from-scratch recompute (the hash-compare proof is
+    * q_incr_merge's oracle, which recomputes directly).
+    */
+  def aggState(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n_events"),
+      sum(col(valueCol).cast("decimal(20,6)")).as("total_dec"))
+
+  /** Merge partial aggregate states (same schema as `aggState` output) into
+    * the final per-key aggregate. Incremental daily maintenance: only the
+    * new day's delta is scanned; the merge shuffles state rows (one per
+    * key), not events.
+    */
+  def mergeAggStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col(states.head.columns.head))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("total_dec")).as("total_dec"))
+      .select(col(states.head.columns.head), col("n_events"),
+        col("total_dec").cast("double").as("total_value"))
+
   /** WIP aggregation: keep active-status rows, aggregate quantity per group.
     * Reference: etl/common/assets/transfer.py:14 (transform_aps_wip_logic):
     * status-IN filter -> groupBy -> sum/nunique/mean -> snapshot_date.

@@ -13,6 +13,21 @@ object Sampling {
 
   private val Buckets = 1000000L
 
+  /** Per-group quality-quantile gate: keep rows whose score is at or above
+    * their group's exact q-quantile. Two-phase plan built for scale: the
+    * per-group quantiles are a tiny aggregate (one row per group) that is
+    * BROADCAST back onto the scan — the big side never shuffles. Exact
+    * `percentile` matches DuckDB's quantile_cont interpolation bit-for-bit
+    * (both do linear interpolation at (n-1)*q over doubles).
+    */
+  def quantileGate(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double): DataFrame = {
+    val cuts = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, $q)").as("cut"))
+    df.join(broadcast(cuts), groupCol)
+      .where(col(scoreCol) >= col("cut"))
+  }
+
   /** Uniform hash bucket in [0, 1) for a key column. */
   def hashFraction(key: Column): Column =
     pmod(xxhash64(key), lit(Buckets)).cast("double") / Buckets

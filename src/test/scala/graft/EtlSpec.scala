@@ -78,4 +78,39 @@ class EtlSpec extends SparkSpec {
     val got = df.agg(Etl.moneySum($"x")).head().getDouble(0)
     assert(got == 500050.0)
   }
+
+  test("scd2 compacts a change log into validity intervals") {
+    val log = Seq(
+      (1L, "A", "2024-01-01 00:00:00", 10L),
+      (1L, "A", "2024-01-02 00:00:00", 11L), // no change -> absorbed
+      (1L, "B", "2024-01-03 00:00:00", 12L),
+      (1L, "A", "2024-01-05 00:00:00", 13L), // back to A = NEW version
+      (2L, "X", "2024-01-01 00:00:00", 20L)
+    ).toDF("k", "attr", "ts_s", "id")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val out = Etl.scd2(log, "k", "attr", "ts", "id")
+      .orderBy("k", "version").collect()
+    assert(out.length == 4)
+    val v = out.map(r => (r.getAs[Long]("k"), r.getAs[String]("status"),
+      r.getAs[Long]("version"), r.getAs[Boolean]("is_current")))
+    assert(v.toSeq == Seq((1L, "A", 1L, false), (1L, "B", 2L, false),
+      (1L, "A", 3L, true), (2L, "X", 1L, true)))
+    // valid_to of version n = valid_from of version n+1
+    assert(out(0).getAs[java.sql.Date]("valid_to").toString == "2024-01-03")
+    assert(out(1).getAs[java.sql.Date]("valid_to").toString == "2024-01-05")
+    assert(out(2).getAs[java.sql.Date]("valid_to") == null)
+  }
+
+  test("merged aggState equals a from-scratch recompute, bit for bit") {
+    val all = (1 to 5000).map(i => (i % 7L, i / 3.0)).toDF("k", "value")
+    val part1 = all.where($"value" < 500)
+    val part2 = all.where($"value" >= 500)
+    val merged = Etl.mergeAggStates(Seq(
+      Etl.aggState(part1, "k", "value"), Etl.aggState(part2, "k", "value")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Etl.mergeAggStates(Seq(Etl.aggState(all, "k", "value")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged == direct)
+    assert(merged.values.map(_._1).sum == 5000L)
+  }
 }

@@ -38,4 +38,13 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("s0") / 1000.0 - 0.5) < 0.1)
     assert(math.abs(counts("s1") / 1000.0 - 0.1) < 0.08)
   }
+
+  test("quantileGate keeps rows at or above their group's quantile") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 20L)).toDF("g", "score")
+    val out = Sampling.quantileGate(df, "g", "score", 0.5)
+      .select("g", "score").as[(String, Long)].collect().toSet
+    // group a: p50 = 2.5 -> keeps 3,4; group b: p50 = 15 -> keeps 20
+    assert(out == Set(("a", 3L), ("a", 4L), ("b", 20L)))
+  }
 }
