@@ -337,6 +337,18 @@ object SparkEntry {
         nprobe = 2, topK = 5)
     }),
 
+    // §2.21d — product-quantization ANN: 4 subspace codebooks (trained on
+    // the same deterministic 1/5 sample), corpus compressed to 4 int codes
+    // per vector (16x scan-bandwidth cut at dim 64), ADC search = 4 table
+    // lookups + 3 adds per pair. Only exchange: the final top-k window.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val codebooks = graft.operators.Pq.train(
+        e.where(col("vec_id") % 5 === 0), dim = 64, m = 4, k = 16, iters = 2)
+      graft.operators.Pq.search(e.where(col("vec_id") < 8), e, codebooks,
+        dim = 64, topK = 5)
+    }),
+
     // §2.22 — heuristic language ID
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(Tables.documents(s, dir), langMarkers)),
@@ -953,6 +965,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_pq" -> annPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
 
@@ -1541,6 +1554,83 @@ object SparkEntry {
        |      ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
        |  FROM sims)
        |SELECT query_id, neighbor_id, cell_id, rank, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** q_ann_pq oracle: replays the FULL product-quantization pipeline in
+    * SQL — per-subspace 2-iteration Lloyd training (same unroll as the IVF
+    * oracle, over the subvector slice), corpus encoding (per-subspace
+    * argmin with id tie-break), query LUTs, and the left-associated ADC
+    * sum — then ranks. Every arithmetic step uses the identical fold order
+    * as the native expressions.
+    */
+  private def annPqOracle: String = {
+    val m = 4; val sub = 16; val k = 16
+    def dist(e: String, c: String): String = {
+      val diff = s"(CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${sub + 1}), i -> $diff * $diff)), (acc, x) -> acc + x)"
+    }
+    def subCtes(s: Int): String = {
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      val lloyd = (0 until 2).map { it =>
+        s"""a${it + 1}_$s AS (
+           |  SELECT vec_id, cell_id FROM (
+           |    SELECT t.vec_id, c.cell_id,
+           |      row_number() OVER (PARTITION BY t.vec_id
+           |        ORDER BY ${dist("t.e", "c.c")} ASC, c.cell_id ASC) AS rn
+           |    FROM train_$s t CROSS JOIN c${it}_$s c) WHERE rn = 1),
+           |m${it + 1}_$s AS (
+           |  SELECT a.cell_id, r.i AS pos,
+           |    CAST(CAST(sum(CAST(t.e[CAST(r.i AS INTEGER)] AS DECIMAL(20,10))) AS DOUBLE)
+           |      / count(*) AS FLOAT) AS m
+           |  FROM a${it + 1}_$s a JOIN train_$s t USING (vec_id)
+           |  CROSS JOIN range(1, ${sub + 1}) r(i)
+           |  GROUP BY a.cell_id, r.i),
+           |c${it + 1}_$s AS (
+           |  SELECT o.cell_id, coalesce(n.c, o.c) AS c
+           |  FROM c${it}_$s o LEFT JOIN (
+           |    SELECT cell_id, list(m ORDER BY pos ASC) AS c
+           |    FROM m${it + 1}_$s GROUP BY cell_id) n ON o.cell_id = n.cell_id)""".stripMargin
+      }.mkString(",\n")
+      s"""train_$s AS (
+         |  SELECT vec_id, embedding[$lo:$hi] AS e FROM embeddings WHERE vec_id % 5 = 0),
+         |c0_$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell_id, e AS c
+         |  FROM (SELECT vec_id, e FROM train_$s ORDER BY vec_id ASC LIMIT $k)),
+         |$lloyd,
+         |codes_$s AS (
+         |  SELECT vec_id, cell_id AS code FROM (
+         |    SELECT t.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${dist("t.e", "c.c")} ASC, c.cell_id ASC) AS rn
+         |    FROM (SELECT vec_id, embedding[$lo:$hi] AS e FROM embeddings) t
+         |    CROSS JOIN c2_$s c) WHERE rn = 1),
+         |qd_$s AS (
+         |  SELECT q.vec_id AS query_id, c.cell_id, ${dist("q.e", "c.c")} AS d
+         |  FROM (SELECT vec_id, embedding[$lo:$hi] AS e FROM embeddings WHERE vec_id < 8) q
+         |  CROSS JOIN c2_$s c),
+         |ds_$s AS (
+         |  SELECT qd.query_id, co.vec_id, qd.d
+         |  FROM codes_$s co JOIN qd_$s qd ON co.code = qd.cell_id)""".stripMargin
+    }
+    val all = (0 until m).map(subCtes).mkString(",\n")
+    s"""WITH $all,
+       |adc AS (
+       |  SELECT d0.query_id, d0.vec_id AS neighbor_id,
+       |    d0.d + d1.d + d2.d + d3.d AS adc
+       |  FROM ds_0 d0
+       |  JOIN ds_1 d1 ON d0.query_id = d1.query_id AND d0.vec_id = d1.vec_id
+       |  JOIN ds_2 d2 ON d0.query_id = d2.query_id AND d0.vec_id = d2.vec_id
+       |  JOIN ds_3 d3 ON d0.query_id = d3.query_id AND d0.vec_id = d3.vec_id
+       |  WHERE d0.query_id <> d0.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rank,
+       |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_r
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 

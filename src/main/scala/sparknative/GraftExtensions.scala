@@ -49,6 +49,9 @@ object GraftExtensions {
     (FunctionIdentifier("bvec_dot"),
       new ExpressionInfo(classOf[ByteVecDot].getName, "bvec_dot"),
       (children: Seq[Expression]) => ByteVecDot(children(0), children(1))),
+    (FunctionIdentifier("fvec_sqdist"),
+      new ExpressionInfo(classOf[FloatVecSqDist].getName, "fvec_sqdist"),
+      (children: Seq[Expression]) => FloatVecSqDist(children(0), children(1))),
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHash(children(0))),
