@@ -44,17 +44,24 @@ object Contamination {
     * in every engine; `round()` tie behavior is not portable).
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    // explode_outer, NOT explode: inner explode triggers
+    // InferFiltersFromGenerate, whose `size(arr) > 0 AND isnotnull(arr)`
+    // constraint gets substituted through the projection into the scan
+    // filter as the FULL gram-hash expression — hashing every document 3x
+    // (measured 4x wall-time at 30x replication). Outer explode is exempt
+    // from that rule and identical here: the size(toks) >= n filter
+    // guarantees non-empty arrays.
     def distinctGrams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), split(col("text"), " ").as("toks"))
         .where(size(col("toks")) >= n)
         .select(col("doc_id"), array_distinct(gramHashes(col("toks"), n)).as("hashes"))
 
     val benchGrams = distinctGrams(benchmark)
-      .select(explode(col("hashes")).as("h")).distinct()
+      .select(explode_outer(col("hashes")).as("h")).distinct()
 
     distinctGrams(corpus)
       .select(col("doc_id"), size(col("hashes")).cast("long").as("n_grams"),
-        explode(col("hashes")).as("h"))
+        explode_outer(col("hashes")).as("h"))
       .join(broadcast(benchGrams), "h")
       .groupBy(col("doc_id"), col("n_grams"))
       .agg(count(lit(1)).as("n_hit"))
@@ -69,11 +76,14 @@ object Contamination {
     * window: (doc_id, n_windows, n_dup_windows, n_spans, dup_ratio).
     */
   def dupSpans(docs: DataFrame, n: Int): DataFrame = {
+    // posexplode_outer for the same InferFiltersFromGenerate reason as in
+    // decontaminate: the inner form re-evaluates the gram pipeline inside
+    // an inferred scan filter.
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),
-        posexplode(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
+        posexplode_outer(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
 
     val dupHashes = grams.groupBy(col("h"))
