@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through unprefixed: Bench/Verify emit a
+// machine-parsed JSON line, and sbt's default LoggedOutput wraps every
+// line in "[info] ", which breaks a strict json.loads on the line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
