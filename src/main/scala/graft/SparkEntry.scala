@@ -277,6 +277,20 @@ object SparkEntry {
       Similarity.nearDupPairs(corpus, minCosine = 0.95, centroids, nprobe = 2)
     }),
 
+    // §2.19d — semantic dedup (SemDeDup): cell-blocked drop-list keeping
+    // the lowest-id representative per near-duplicate group. Same planted
+    // corpus and quantizer as q_embed_neardup; the oracle replays the
+    // entire pipeline (training unrolled) in SQL.
+    "q_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.unionByName(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      Similarity.semDedup(corpus, centroids, minCosine = 0.95)
+    }),
+
     // §2.19b — per-label centroid embeddings (classifier prototypes):
     // exact-decimal means, reproducible across layouts. The array column
     // itself is not hashed portably by the driver, so the query emits the
@@ -439,6 +453,25 @@ object SparkEntry {
         "<PHONE>" -> "555-[0-9]+"))
     }),
 
+    // §2.24o — Gopher-style repetition filter over a corpus with planted
+    // repetitive docs: every 25th doc gets its first-10-token prefix
+    // appended 5 times; the dup-3-gram fraction must flag exactly the
+    // degenerate docs (plus any genuinely repetitive natural ones).
+    "q_rep_filter" -> ((s, dir) => {
+      val prefix = array_join(slice(split(col("text"), " "), 1, 10), " ")
+      val planted = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" "),
+            array_join(array_repeat(prefix, 5), " ")))
+          .otherwise(col("text")))
+      TextAnalysis.repetitionMetrics(planted, n = 3, dupFracCut = 0.1)
+    }),
+
+    // §2.24p — tokenizer-id mapping: frequency-ranked top-20 vocabulary
+    // (broadcast), id sequence per document carried as one md5, OOV -> 0.
+    "q_token_ids" -> ((s, dir) =>
+      TextAnalysis.tokenIds(Tables.documents(s, dir), vocabSize = 20)),
+
     // §2.24j — portable stratified resampling to a target language mix;
     // per-language counts certify both the bucket rule and the rates
     "q_stratified_sample" -> ((s, dir) =>
@@ -448,6 +481,21 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
+
+    // §2.24q — token-budget downsampling: resample three sources to fixed
+    // token budgets (the rest to a default), membership decided by the
+    // portable basis-point id fold. Summary certifies totals, keep rates,
+    // and the kept token mass per source.
+    "q_token_budget" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetKeep(scored, "source", "n_tokens",
+        "doc_id", Seq("src0" -> 400L, "src1" -> 700L, "src2" -> 100000L),
+        defaultBudget = 250L)
+        .groupBy(col("source"), col("total_tokens"), col("budget"), col("keep_bp"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    }),
 
     // §2.24k — per-language corpus statistics report: doc counts, exact
     // token-count percentiles, exact mean chars — the summary a corpus
@@ -965,6 +1013,7 @@ object SparkEntry {
     "q_ann_lsh" -> annLshOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+    "q_semdedup" -> semDedupOracle,
     "q_ann_pq" -> annPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
@@ -1089,6 +1138,79 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS "n_<EMAIL>",
         |  CAST(len(regexp_extract_all(text, '555-[0-9]+')) AS BIGINT) AS "n_<PHONE>"
         |FROM planted""".stripMargin,
+
+    "q_rep_filter" ->
+      """WITH pre AS (
+        |  SELECT doc_id, text,
+        |    array_to_string((string_split(text, ' '))[1:10], ' ') AS pfx
+        |  FROM documents),
+        |planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 25 = 0
+        |    THEN text || ' ' || pfx || ' ' || pfx || ' ' || pfx || ' ' || pfx || ' ' || pfx
+        |    ELSE text END AS text
+        |  FROM pre),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM planted),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[u.i:u.i+2], ' ') AS gram
+        |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+        |d AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |    CAST(max(cnt) AS BIGINT) AS top_gram_cnt,
+        |    CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_gram_cnt
+        |  FROM pg GROUP BY doc_id)
+        |SELECT doc_id, n_grams, top_gram_cnt, dup_gram_cnt,
+        |  floor(CAST(top_gram_cnt AS DOUBLE) / n_grams * 10000.0 + 0.5) / 10000.0 AS top_frac,
+        |  floor(CAST(dup_gram_cnt AS DOUBLE) / n_grams * 10000.0 + 0.5) / 10000.0 AS dup_frac,
+        |  (CAST(dup_gram_cnt AS DOUBLE) / n_grams > 0.1) AS is_repetitive
+        |FROM d""".stripMargin,
+
+    "q_token_ids" ->
+      """WITH tok AS (
+        |  SELECT d.doc_id, u.i AS pos, d.toks[CAST(u.i AS INTEGER)] AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d,
+        |       unnest(range(1, len(d.toks) + 1)) AS u(i)),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS token_id
+        |  FROM c QUALIFY token_id <= 20),
+        |j AS (SELECT t.doc_id, t.pos, v.token_id FROM tok t LEFT JOIN vocab v USING (token)),
+        |d2 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (WHERE token_id IS NULL) AS BIGINT) AS n_oov,
+        |    md5(array_to_string(list(CAST(coalesce(token_id, 0) AS VARCHAR) ORDER BY pos ASC), ' ')) AS ids_hash
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS oov_rate,
+        |  ids_hash
+        |FROM d2""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700
+        |         WHEN 'src2' THEN 100000 ELSE 250 END AS BIGINT) AS budget
+        |  FROM s GROUP BY source),
+        |r2 AS (
+        |  SELECT source, total_tokens, budget,
+        |    CAST(floor(least(1.0, CAST(budget AS DOUBLE) / total_tokens) * 10000.0 + 0.5) AS BIGINT) AS keep_bp
+        |  FROM r),
+        |k AS (
+        |  SELECT s.source, s.n_tokens, r2.total_tokens, r2.budget, r2.keep_bp
+        |  FROM s JOIN r2 USING (source)
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('budget:' || CAST(s.doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 10000 < r2.keep_bp)
+        |SELECT source, total_tokens, budget, keep_bp,
+        |  count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source, total_tokens, budget, keep_bp""".stripMargin,
 
     "q_corpus_stats" ->
       """WITH t AS (
@@ -1496,12 +1618,20 @@ object SparkEntry {
     * float -> decimal(20,10) -> exact sum -> double / count -> float on
     * both sides, so iterations stay bit-reproducible.
     */
-  private def annIvfOracle: String = {
-    def dist(e: String, c: String): String = {
-      val diff = s"(CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(1, 65), i -> $diff * $diff)), (acc, x) -> acc + x)"
-    }
+  /** Squared-L2 fold shared by the IVF-family oracles: ascending-index
+    * double accumulation of (e[i]-c[i])^2, replaying NearestCells exactly.
+    */
+  private def ivfDist(e: String, c: String): String = {
+    val diff = s"(CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), i -> $diff * $diff)), (acc, x) -> acc + x)"
+  }
+
+  /** Shared CTE block unrolling the deterministic IVF training (first-16
+    * seeding by ascending vec_id + two exact-decimal Lloyd iterations)
+    * into DuckDB SQL; yields `c2` as the trained centroid table.
+    */
+  private def ivfTrainCtes: String = {
     // one Lloyd iteration: assign to nearest of c$it, then exact-mean
     // per (cell, dimension); empty cells keep their previous centroid
     val lloyd = (0 until 2).map { it =>
@@ -1509,7 +1639,7 @@ object SparkEntry {
          |  SELECT vec_id, cell_id FROM (
          |    SELECT t.vec_id, c.cell_id,
          |      row_number() OVER (PARTITION BY t.vec_id
-         |        ORDER BY ${dist("t.e", "c.c")} ASC, c.cell_id ASC) AS rn
+         |        ORDER BY ${ivfDist("t.e", "c.c")} ASC, c.cell_id ASC) AS rn
          |    FROM train t CROSS JOIN c$it c) WHERE rn = 1),
          |m${it + 1} AS (
          |  SELECT a.cell_id, r.i AS pos,
@@ -1524,12 +1654,42 @@ object SparkEntry {
          |    SELECT cell_id, list(m ORDER BY pos ASC) AS c
          |    FROM m${it + 1} GROUP BY cell_id) n ON o.cell_id = n.cell_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH train AS (
+    s"""train AS (
        |  SELECT vec_id, embedding AS e FROM embeddings WHERE vec_id % 5 = 0),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cell_id, e AS c
        |  FROM (SELECT vec_id, e FROM train ORDER BY vec_id ASC LIMIT 16)),
-       |$lloyd,
+       |$lloyd""".stripMargin
+  }
+
+  /** q_semdedup oracle: replays training (ivfTrainCtes), nearest-cell
+    * assignment of the planted corpus, and the lowest-id-representative
+    * drop rule, blocking-faithful (pairs only within a shared cell).
+    */
+  private def semDedupOracle: String =
+    s"""WITH $ivfTrainCtes,
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT vec_id, emb, cell_id FROM (
+       |    SELECT t.vec_id, t.embedding AS emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM corpus t CROSS JOIN c2 c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT y.vec_id AS vec_id, y.cell_id AS cell_id, x.vec_id AS xid,
+       |    list_cosine_similarity(CAST(x.emb AS DOUBLE[]), CAST(y.emb AS DOUBLE[])) AS sim
+       |  FROM cand x JOIN cand y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+       |SELECT vec_id, cell_id, min(xid) AS dup_of,
+       |  CAST(count(*) AS BIGINT) AS n_dups, round(max(sim), 4) AS best_sim_r
+       |FROM pairs WHERE sim >= 0.95
+       |GROUP BY vec_id, cell_id""".stripMargin
+
+  private def annIvfOracle: String = {
+    def dist(e: String, c: String): String = ivfDist(e, c)
+    s"""WITH $ivfTrainCtes,
        |probe AS (
        |  SELECT query_id, q_emb, cell_id FROM (
        |    SELECT t.vec_id AS query_id, t.embedding AS q_emb, c.cell_id,

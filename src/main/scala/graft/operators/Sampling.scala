@@ -61,6 +61,33 @@ object Sampling {
     df.where(hashFraction(col(key)) < frac)
   }
 
+  /** Token-budget downsampling: resample each group (source/domain) to a
+    * target TOKEN budget, not a row count — the knob a training-data mix
+    * actually turns (DoReMi-style static domain weights). Per-group token
+    * totals are a tiny aggregate; the keep-rate (budget/total, capped at
+    * 1) is broadcast back onto the scan and membership is decided by the
+    * portable base-257 id fold in basis points — deterministic, engine-
+    * replayable, stable under retries and corpus growth. The corpus never
+    * shuffles: one pass for totals, one filtered pass for the sample.
+    */
+  def tokenBudgetKeep(df: DataFrame, groupCol: String, tokenCol: String,
+      idCol: String, budgets: Seq[(String, Long)], defaultBudget: Long): DataFrame = {
+    val budget = budgets.foldRight(lit(defaultBudget)) { case ((g, b), elseCol) =>
+      when(col(groupCol) === g, lit(b)).otherwise(elseCol)
+    }
+    val rates = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("total_tokens"))
+      .withColumn("budget", budget)
+      .withColumn("keep_bp",
+        floor(least(lit(1.0), col("budget").cast("double") / col("total_tokens"))
+          * 10000.0 + 0.5).cast("long"))
+    val bucket = pmod(
+      org.apache.spark.sql.graftnative.RollingHash.rollingHash(
+        concat(lit("budget:"), col(idCol).cast("string"))),
+      lit(10000L))
+    df.join(broadcast(rates), groupCol).where(bucket < col("keep_bp"))
+  }
+
   /** Engine-portable stratified sample: per-stratum keep-percentages over
     * the base-257 id-fold bucket (the same portable hash the corpus-prep
     * split uses), so the sampled set is reproducible in any engine —

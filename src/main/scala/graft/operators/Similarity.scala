@@ -67,6 +67,35 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): assign every
+    * embedding to its nearest coarse-quantizer cell (native no-shuffle
+    * NearestCells projection), then WITHIN each cell drop any vector that
+    * has cosine >= `minCosine` with a lower-id vector — one deterministic
+    * representative (the lowest id) survives per near-duplicate group.
+    * Returns the DROP list: each dropped vector with its cell, its lowest
+    * duplicate partner, how many kept-or-dropped partners flagged it, and
+    * its best similarity. Unlike pair emission, output is at most one row
+    * per dropped vector, so replica clusters cost O(cluster) rows here vs
+    * O(cluster^2) pairs in nearDupPairs — this is the operator a corpus
+    * run calls; the pair listing is the diagnostic.
+    */
+  def semDedup(embeddings: DataFrame, centroids: Seq[Seq[Float]],
+      minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+      element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell_id"))
+    e.as("x").join(e.as("y"),
+        col("x.cell_id") === col("y.cell_id") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("sim",
+        fdot(col("x.emb"), col("y.emb")) / (col("x.nrm") * col("y.nrm")))
+      .where(col("sim") >= minCosine)
+      .groupBy(col("y.vec_id").as("vec_id"), col("y.cell_id").as("cell_id"))
+      .agg(min(col("x.vec_id")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        round(max(col("sim")), 4).as("best_sim_r"))
+  }
+
   /** Int8-quantized ANN: candidates travel as `array<tinyint>` codes + one
     * scale + one norm per vector (4x smaller than fp32 — at 100 TB that is
     * the scan, the shuffle, AND the broadcast), the top `k * prefilter`

@@ -170,6 +170,75 @@ object TextAnalysis {
         md5(array_join(col("win_toks"), " ")).as("win_hash"),
         lit(windowTokens).cast("long").as("win_tokens"))
 
+  /** Repetition quality metrics (Gopher-style, Rae et al. 2021 §A1.1):
+    * per-document token n-gram repetition — the fraction of n-gram
+    * occurrences belonging to the single most frequent n-gram and the
+    * fraction belonging to any n-gram that occurs more than once. Highly
+    * repetitive documents (boilerplate, keyword stuffing, degenerate
+    * generations) are flagged. Plan: one explode over gram positions,
+    * then (doc, gram) partial-agg -> per-doc agg — two shuffles both
+    * keyed on doc_id+gram / doc_id, linear in corpus token count. Uses
+    * `explode_outer` so InferFiltersFromGenerate cannot clone the gram
+    * pipeline into the scan filter (the q_decontam lesson).
+    */
+  def repetitionMetrics(docs: DataFrame, n: Int, dupFracCut: Double): DataFrame = {
+    require(n >= 2, "n-gram repetition needs n >= 2")
+    val gramAt = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*)
+    val grams = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode_outer(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          gramAt)).as("gram"))
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    grams
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_gram_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_gram_cnt"))
+      .select(col("doc_id"), col("n_grams"), col("top_gram_cnt"), col("dup_gram_cnt"),
+        r4(col("top_gram_cnt").cast("double") / col("n_grams")).as("top_frac"),
+        r4(col("dup_gram_cnt").cast("double") / col("n_grams")).as("dup_frac"),
+        (col("dup_gram_cnt").cast("double") / col("n_grams") > dupFracCut)
+          .as("is_repetitive"))
+  }
+
+  /** Tokenizer-id mapping: build a frequency-ranked vocabulary of the top
+    * `vocabSize` tokens (count desc, token asc — fully deterministic),
+    * broadcast it, and map every document to its id sequence. Out-of-vocab
+    * tokens map to id 0. The id sequence travels as one md5, not as the
+    * sequence itself — per-doc output is O(1) regardless of doc length.
+    * Vocab selection is TakeOrdered (per-partition partial top-k, no
+    * full-vocab sort shuffle); the corpus-side map is a broadcast join.
+    */
+  def tokenIds(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), row_number().over(w).cast("long").as("token_id"))
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          s => coalesce(s.getField("token_id"), lit(0L)).cast("string")), " "))
+          .as("ids_hash"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"),
+        col("ids_hash"))
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column

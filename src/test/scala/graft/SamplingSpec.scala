@@ -39,6 +39,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("s1") / 1000.0 - 0.1) < 0.08)
   }
 
+  test("tokenBudgetKeep caps each group near its token budget, deterministically") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "big" else "small", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    // big: 5000 tokens total, budget 1000 -> keep ~20%; small: unlimited
+    val out = Sampling.tokenBudgetKeep(df, "source", "n_tokens", "doc_id",
+      Seq("big" -> 1000L), defaultBudget = 1000000L)
+    val again = Sampling.tokenBudgetKeep(df, "source", "n_tokens", "doc_id",
+      Seq("big" -> 1000L), defaultBudget = 1000000L)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 500L) // budget >= total keeps everything
+    val keptBigTokens = kept("big") * 10L
+    assert(keptBigTokens > 500 && keptBigTokens < 1600,
+      s"kept $keptBigTokens tokens for a 1000-token budget")
+  }
+
   test("quantileGate keeps rows at or above their group's quantile") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 20L)).toDF("g", "score")

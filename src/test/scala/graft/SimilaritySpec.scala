@@ -97,6 +97,23 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)), s"missing planted pair in ${pairs.toSeq}")
   }
 
+  test("semDedup keeps the lowest-id representative per near-dup group") {
+    val corpus = Seq(
+      (1L, Array(8.0f, 0.0f, 0.0f)),
+      (2L, Array(8.0f, 0.0f, 0.0f)),  // duplicate of 1
+      (5L, Array(8.0f, 0.01f, 0.0f)), // near-dup of 1 and 2
+      (9L, Array(0.0f, 8.0f, 0.0f))   // distinct direction, own cell
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(8.0f, 0.0f, 0.0f), Seq(0.0f, 8.0f, 0.0f))
+    val out = Similarity.semDedup(corpus, centroids, minCosine = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[Long]("n_dups"))).toMap
+    // 2 and 5 are dropped against representative 1; 9 survives alone
+    assert(out.keySet == Set(2L, 5L))
+    assert(out(2L) == (1L, 1L))
+    assert(out(5L) == (1L, 2L)) // flagged by both 1 and 2
+  }
+
   test("fdot returns NULL on mismatched vector lengths, not a truncated dot") {
     import org.apache.spark.sql.graftnative.FloatVecDot.fdot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)))

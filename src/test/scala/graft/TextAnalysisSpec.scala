@@ -75,6 +75,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_<PHONE>") == 2L)
   }
 
+  test("repetitionMetrics flags gram repetition, not natural text") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),        // 7 trigrams, all repeated
+      (2L, "one two three four five")   // 3 trigrams, all unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(d, n = 3, dupFracCut = 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") == 7)
+    assert(out(1L).getAs[Long]("top_gram_cnt") == 3)   // "a b c" x3
+    assert(out(1L).getAs[Double]("dup_frac") == 1.0)
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    assert(out(2L).getAs[Long]("dup_gram_cnt") == 0)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+  }
+
+  test("tokenIds maps by frequency rank with OOV -> 0 and stable hash") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val d = Seq((1L, "the cat the"), (2L, "dog the")).toDF("doc_id", "text")
+    // counts: the=3, cat=1, dog=1; vocabSize=2 -> the->1, cat->2 (count
+    // desc, token asc); dog is OOV -> 0
+    val out = TextAnalysis.tokenIds(d, vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_oov") == 0)
+    assert(out(1L).getAs[String]("ids_hash") == md5hex("1 2 1"))
+    assert(out(2L).getAs[Long]("n_oov") == 1)
+    assert(out(2L).getAs[Double]("oov_rate") == 0.5)
+    assert(out(2L).getAs[String]("ids_hash") == md5hex("0 1"))
+  }
+
   test("binaryMeta reports bytes, chunks, and hash") {
     val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
     assert(r.getAs[Long]("n_bytes") == 22)
