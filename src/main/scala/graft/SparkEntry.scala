@@ -482,6 +482,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
+    // §2.24r — training-mix plan: apportion a 20k-token global budget by
+    // per-source integer weights; epochs_bp > 10000 marks sources that
+    // must oversample to hit their target.
+    "q_mix_plan" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixPlan(scored, "source", "n_tokens",
+        Seq("src0" -> 8, "src1" -> 4, "src2" -> 2), defaultWeight = 1,
+        totalBudget = 20000L)
+    }),
+
+    // §2.24s — corpus snapshot delta: today vs a prior snapshot missing
+    // 10% of docs (added), with 1/17 of shared texts altered (changed)
+    // and a band of retired ids (deleted). Slim (id, md5) projection
+    // before the full-outer join.
+    "q_corpus_delta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val today = docs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val prior = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [stale]")))
+            .otherwise(col("text"))).as("content_hash"))
+        .unionByName(docs.where(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            md5(col("text")).as("content_hash")))
+      Etl.snapshotDelta(today, prior, "doc_id", "content_hash")
+    }),
+
+    // §2.21e — IVF quantizer health: per-cell population + mean squared
+    // distance (inertia), exact integer accumulation in micro-units.
+    "q_ivf_stats" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      graft.operators.Ivf.cellStats(e, centroids)
+    }),
+
     // §2.24q — token-budget downsampling: resample three sources to fixed
     // token budgets (the rest to a default), membership decided by the
     // portable basis-point id fold. Summary certifies totals, keep rates,
@@ -1014,6 +1052,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_ivf_stats" -> ivfStatsOracle,
     "q_ann_pq" -> annPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
@@ -1186,6 +1225,39 @@ object SparkEntry {
         |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS oov_rate,
         |  ids_hash
         |FROM d2""".stripMargin,
+
+    "q_mix_plan" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+        |         WHEN 'src2' THEN 2 ELSE 1 END AS BIGINT) AS weight
+        |  FROM s GROUP BY source),
+        |w AS (SELECT CAST(sum(weight) AS BIGINT) AS weight_sum FROM t)
+        |SELECT source, weight, total_tokens,
+        |  CAST(floor(20000 * weight / weight_sum) AS BIGINT) AS target_tokens,
+        |  CAST(floor(CAST(CAST(floor(20000 * weight / weight_sum) AS BIGINT) AS DOUBLE)
+        |    / total_tokens * 10000.0 + 0.5) AS BIGINT) AS epochs_bp
+        |FROM t CROSS JOIN w""".stripMargin,
+
+    "q_corpus_delta" ->
+      """WITH today AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |prior AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [stale]' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, md5(text) FROM documents WHERE doc_id % 100 = 0),
+        |j AS (
+        |  SELECT coalesce(t.doc_id, p.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'added'
+        |         WHEN t.doc_id IS NULL THEN 'deleted'
+        |         WHEN t.h <> p.h THEN 'changed' END AS change
+        |  FROM today t FULL OUTER JOIN prior p ON t.doc_id = p.doc_id)
+        |SELECT doc_id, change FROM j WHERE change IS NOT NULL""".stripMargin,
 
     "q_token_budget" ->
       """WITH s AS (
@@ -1686,6 +1758,26 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_dups, round(max(sim), 4) AS best_sim_r
        |FROM pairs WHERE sim >= 0.95
        |GROUP BY vec_id, cell_id""".stripMargin
+
+  /** q_ivf_stats oracle: replays training, single-cell assignment, and the
+    * micro-unit distance quantization; the sum is exact integer math on
+    * both engines.
+    */
+  private def ivfStatsOracle: String =
+    s"""WITH $ivfTrainCtes,
+       |cand AS (
+       |  SELECT vec_id, emb, cell_id FROM (
+       |    SELECT t.vec_id, t.embedding AS emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM embeddings t CROSS JOIN c2 c) WHERE rn = 1),
+       |d AS (
+       |  SELECT ca.cell_id,
+       |    CAST(floor(${ivfDist("ca.emb", "c.c")} * 1000000.0 + 0.5) AS BIGINT) AS sqd_u
+       |  FROM cand ca JOIN c2 c USING (cell_id))
+       |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  floor(CAST(sum(sqd_u) AS DOUBLE) / count(*) / 100.0 + 0.5) / 10000.0 AS mean_sqd_r
+       |FROM d GROUP BY cell_id""".stripMargin
 
   private def annIvfOracle: String = {
     def dist(e: String, c: String): String = ivfDist(e, c)

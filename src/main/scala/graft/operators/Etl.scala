@@ -261,4 +261,25 @@ object Etl {
       .agg(
         sum(col("_psum")).cast("double").as("sum_value"),
         sum(col("_pcnt")).as("n_rows"))
+
+  /** Snapshot delta: compare today's corpus against the prior snapshot by
+    * (id, content hash) and emit only what moved — added / deleted /
+    * changed. The incremental-crawl primitive: at 100 TB you re-process
+    * the delta, not the corpus. Both sides project to (id, hash) BEFORE
+    * the full-outer join, so the shuffle carries two slim columns, never
+    * the payload; with both snapshots bucketed by id the join is
+    * co-located and shuffle-free. Unchanged rows (the overwhelming
+    * majority) are dropped before anything else happens.
+    */
+  def snapshotDelta(today: DataFrame, prior: DataFrame, idCol: String,
+      hashCol: String): DataFrame =
+    today.select(col(idCol), col(hashCol).as("h_today"))
+      .join(prior.select(col(idCol), col(hashCol).as("h_prior")),
+        Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("h_prior").isNull, "added")
+          .when(col("h_today").isNull, "deleted")
+          .when(col("h_today") =!= col("h_prior"), "changed"))
+      .where(col("change").isNotNull)
+      .select(col(idCol), col("change"))
 }

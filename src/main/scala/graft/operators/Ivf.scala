@@ -58,6 +58,38 @@ object Ivf {
     centroids
   }
 
+  /** Quantizer health report: per-cell population and mean squared L2
+    * distance to the centroid (the k-means inertia, per cell) — the
+    * monitoring signal that tells a production run when the coarse
+    * quantizer has drifted from the corpus and needs retraining. Cell
+    * assignment is the native no-shuffle projection; the k-row centroid
+    * table re-joins as a broadcast; per-row distances are quantized to
+    * micro-units (floor(d*1e6+0.5), a deterministic per-row op) so the
+    * sum is exact integer arithmetic — reproducible across partition
+    * layouts with no double-accumulation order dependence. Only the
+    * 4-dp MEAN is emitted: trained centroid floats can differ in the
+    * last ulp across engines (decimal->double conversion rounding), so
+    * a raw micro-unit sum is not an engine-portable value, while the
+    * per-cell mean absorbs ulp-level per-row flips.
+    */
+  def cellStats(embeddings: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+    import org.apache.spark.sql.graftnative.FloatVecSqDist.fsq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toDF("cell_id", "centroid")
+    assign(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .join(broadcast(cents), "cell_id")
+      .select(col("cell_id"),
+        floor(fsq(col("embedding"), col("centroid")) * 1000000.0 + 0.5)
+          .cast("long").as("sqd_u"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("sqd_u")).as("sum_sqd_u"))
+      .select(col("cell_id"), col("n_vectors"),
+        (floor(col("sum_sqd_u").cast("double") / col("n_vectors") / 100.0 + 0.5) / 10000.0)
+          .as("mean_sqd_r"))
+  }
+
   /** Nearest cell per vector — a native projection, zero shuffle. */
   def assign(embeddings: DataFrame, centroids: Seq[Seq[Float]]): DataFrame =
     embeddings.withColumn("cell_id", nearestCell(col("embedding"), centroids))

@@ -88,6 +88,35 @@ object Sampling {
     df.join(broadcast(rates), groupCol).where(bucket < col("keep_bp"))
   }
 
+  /** Training-mix plan: apportion a global token budget across groups by
+    * integer weights and report, per group, its target token mass and the
+    * oversampling factor ("epochs", in basis points) needed to hit it —
+    * the static domain-reweighting table (DoReMi-style) a training run
+    * consumes. All arithmetic on the k-row totals frame is integer or
+    * single-division double, so the plan is engine-portable. Two tiny
+    * aggregates + one broadcast; the corpus is scanned once.
+    */
+  def mixPlan(df: DataFrame, groupCol: String, tokenCol: String,
+      weights: Seq[(String, Int)], defaultWeight: Int,
+      totalBudget: Long): DataFrame = {
+    val weight = weights.foldRight(lit(defaultWeight)) { case ((g, wt), e) =>
+      when(col(groupCol) === g, lit(wt)).otherwise(e)
+    }
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("total_tokens"))
+      .withColumn("weight", weight.cast("long"))
+    val wsum = totals.agg(sum(col("weight")).as("weight_sum"))
+    totals.crossJoin(broadcast(wsum))
+      .withColumn("target_tokens",
+        floor((lit(totalBudget) * col("weight")).divide(col("weight_sum")))
+          .cast("long"))
+      .withColumn("epochs_bp",
+        floor(col("target_tokens").cast("double") / col("total_tokens")
+          * 10000.0 + 0.5).cast("long"))
+      .select(col(groupCol), col("weight"), col("total_tokens"),
+        col("target_tokens"), col("epochs_bp"))
+  }
+
   /** Engine-portable stratified sample: per-stratum keep-percentages over
     * the base-257 id-fold bucket (the same portable hash the corpus-prep
     * split uses), so the sampled set is reproducible in any engine —

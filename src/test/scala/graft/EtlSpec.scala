@@ -113,4 +113,15 @@ class EtlSpec extends SparkSpec {
     assert(merged == direct)
     assert(merged.values.map(_._1).sum == 5000L)
   }
+
+  test("snapshotDelta classifies added/deleted/changed and drops unchanged") {
+    import org.apache.spark.sql.functions.md5
+    val today = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "text").select($"id", md5($"text").as("h"))
+    val prior = Seq((2L, "b"), (3L, "OLD"), (4L, "gone"))
+      .toDF("id", "text").select($"id", md5($"text").as("h"))
+    val out = Etl.snapshotDelta(today, prior, "id", "h")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "added", 3L -> "changed", 4L -> "deleted"))
+  }
 }

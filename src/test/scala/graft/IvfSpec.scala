@@ -67,6 +67,20 @@ class IvfSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("cellStats reports per-cell population and mean inertia") {
+    val cents = Seq(Seq(0.0f, 0.0f), Seq(10.0f, 0.0f))
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),   // cell 0, d^2 = 0
+      (2L, Array(1.0f, 0.0f)),   // cell 0, d^2 = 1
+      (3L, Array(10.0f, 2.0f))   // cell 1, d^2 = 4
+    ).toDF("vec_id", "embedding")
+    val out = Ivf.cellStats(vecs, cents).collect()
+      .map(r => r.getAs[Int]("cell_id") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_sqd_r"))).toMap
+    assert(out(0) == (2L, 0.5))
+    assert(out(1) == (1L, 4.0))
+  }
+
   test("nearestCells orders by distance with cell-id tie-break") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftnative.NearestCells.nearestCells

@@ -57,6 +57,19 @@ class SamplingSpec extends SparkSpec {
       s"kept $keptBigTokens tokens for a 1000-token budget")
   }
 
+  test("mixPlan apportions the budget by weight and reports epochs") {
+    val df = Seq(("a", 100L), ("a", 100L), ("b", 50L))
+      .toDF("source", "n_tokens")
+    // totals: a=200, b=50; weights a=3, b=1 -> targets 750, 250
+    val out = Sampling.mixPlan(df, "source", "n_tokens",
+      Seq("a" -> 3), defaultWeight = 1, totalBudget = 1000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("epochs_bp"))).toMap
+    assert(out("a") == (200L, 750L, 37500L)) // 3.75 epochs
+    assert(out("b") == (50L, 250L, 50000L))  // 5 epochs
+  }
+
   test("quantileGate keeps rows at or above their group's quantile") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 20L)).toDF("g", "score")
