@@ -472,6 +472,11 @@ object SparkEntry {
     "q_token_ids" -> ((s, dir) =>
       TextAnalysis.tokenIds(Tables.documents(s, dir), vocabSize = 20)),
 
+    // §2.24t — corpus-LM fluency score: self-trained token-bigram model,
+    // mean log-probability per doc (micro-unit exact accumulation).
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))),
+
     // §2.24j — portable stratified resampling to a target language mix;
     // per-language counts certify both the bucket rule and the rates
     "q_stratified_sample" -> ((s, dir) =>
@@ -1225,6 +1230,25 @@ object SparkEntry {
         |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS oov_rate,
         |  ids_hash
         |FROM d2""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram
+        |  FROM tok, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT bigram, count(*) AS c2 FROM bi GROUP BY bigram),
+        |c1 AS (
+        |  SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
+        |  FROM c2 GROUP BY string_split(bigram, ' ')[1]),
+        |model AS (
+        |  SELECT bigram,
+        |    CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000.0 + 0.5) AS BIGINT) AS logp_u
+        |  FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(CAST(sum(m.logp_u) AS DOUBLE) / count(*) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS mean_logp_r
+        |FROM bi b JOIN model m USING (bigram)
+        |GROUP BY b.doc_id""".stripMargin,
 
     "q_mix_plan" ->
       """WITH s AS (

@@ -100,6 +100,13 @@ object Stress {
     time("embed_neardup_cells") {
       Similarity.nearDupPairs(embs, minCosine = 0.95, centroids, nprobe = 2)
     }
+    // Same replicated corpus, drop-list semantics: semDedup emits at most
+    // one row per dropped vector, so replica clusters cost O(cluster)
+    // instead of nearDupPairs' O(cluster^2) pair output — the registered
+    // cure for the pair-explosion worst case above.
+    time("semdedup_droplist") {
+      Similarity.semDedup(embs, centroids, minCosine = 0.95)
+    }
     // PQ: codebooks trained once on the 1/5 sample (train rarely, encode
     // everywhere); the timed search scans 4-int codes, not 64 floats.
     val codebooks = graft.operators.Pq.train(

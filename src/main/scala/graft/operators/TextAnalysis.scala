@@ -239,6 +239,44 @@ object TextAnalysis {
         col("ids_hash"))
   }
 
+  /** Corpus-LM fluency score (CCNet-style quality signal): train a token
+    * bigram model ON the corpus itself (P(w2|w1) = c(w1 w2)/c(w1 ·)) and
+    * score each document by its mean bigram log-probability — documents
+    * whose transitions are unusual for the corpus (noise, wrong language,
+    * shuffled text) score low. Per-bigram log-probs are quantized to
+    * micro-units and summed as exact integers (order-independent across
+    * partition layouts); only the 4-dp mean is emitted because last-ulp
+    * libm `ln` differences across engines make raw sums non-portable
+    * (same rule as Ivf.cellStats). Plan: gram explode -> bigram count agg
+    * -> slim (bigram, logp) join back -> per-doc agg; the corpus text
+    * never travels, only (doc_id, bigram) pairs.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode_outer(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)))).as("bigram"))
+    val c2 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = c2.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(c1, "w1")
+      .select(col("bigram"),
+        floor(log(col("c2").cast("double") / col("c1")) * 1000000.0 + 0.5)
+          .cast("long").as("logp_u"))
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    bi.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp_u")).as("sum_u"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("sum_u").cast("double") / col("n_bigrams") / 1000000.0)
+          .as("mean_logp_r"))
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column

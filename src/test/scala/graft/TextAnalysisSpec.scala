@@ -106,6 +106,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[String]("ids_hash") == md5hex("0 1"))
   }
 
+  test("lmScore means the corpus-bigram log-probs per document") {
+    val d = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    // c2: "a b"=2, "b a"=1, "a c"=1; c1: a=3, b=1
+    // logp_u: "a b" -> floor(ln(2/3)*1e6+.5) = -405465, "b a" -> 0,
+    //         "a c" -> floor(ln(1/3)*1e6+.5) = -1098612
+    val out = TextAnalysis.lmScore(d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_logp_r"))).toMap
+    assert(out(1L) == (3L, -0.5014)) // (-405465 + 0 - 1098612)/3 rounded
+    assert(out(2L) == (1L, -0.4055))
+  }
+
   test("binaryMeta reports bytes, chunks, and hash") {
     val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
     assert(r.getAs[Long]("n_bytes") == 22)
