@@ -107,6 +107,20 @@ object Stress {
     time("semdedup_droplist") {
       Similarity.semDedup(embs, centroids, minCosine = 0.95)
     }
+    // Staged semantic dedup, mirroring minhash_staged: collapse bitwise-
+    // identical embeddings to their lowest-id representative FIRST (one
+    // hash shuffle), then run the quadratic-candidate stage on reps only.
+    time("semdedup_staged") {
+      val reps = embs
+        .select(col("vec_id"), col("embedding"),
+          md5(to_json(col("embedding"))).as("emb_hash"))
+        .groupBy(col("emb_hash"))
+        .agg(min_by(struct(col("vec_id"), col("embedding")), col("vec_id")).as("rep"))
+        .select(col("rep.vec_id").as("vec_id"), col("rep.embedding").as("embedding"))
+      reps.write.mode("overwrite").parquet("/tmp/graft_stress_embreps")
+      Similarity.semDedup(spark.read.parquet("/tmp/graft_stress_embreps"),
+        centroids, minCosine = 0.95)
+    }
     // PQ: codebooks trained once on the 1/5 sample (train rarely, encode
     // everywhere); the timed search scans 4-int codes, not 64 floats.
     val codebooks = graft.operators.Pq.train(
