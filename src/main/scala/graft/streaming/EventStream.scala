@@ -99,6 +99,62 @@ object EventStream {
       }
       .start()
 
+  case class Vec(vec_id: Long, embedding: Array[Float])
+  case class CellState(repIds: List[Long], repEmbs: List[Array[Float]])
+  case class DedupDecision(vec_id: Long, cell_id: Int, kept: Boolean, dup_of: Long)
+
+  /** Streaming semantic dedup — the online dual of Similarity.semDedup:
+    * each arriving vector is assigned to its nearest quantizer cell (the
+    * same native no-shuffle projection as batch), and per-cell state
+    * holds the representatives admitted so far; a vector within
+    * `minCosine` of an existing representative is emitted as a drop
+    * (dup_of = the representative), otherwise it is admitted. State per
+    * cell is capped at `maxRepsPerCell` representatives (vectors beyond
+    * a full cap are admitted unchecked, keeping state bounded — the
+    * documented recall trade every online dedup makes). Within a
+    * micro-batch arrival order is normalized to ascending vec_id, so a
+    * replay of the same batch makes identical decisions.
+    */
+  def semDedupStream(vectors: DataFrame, centroids: Seq[Seq[Float]],
+      minCosine: Double, maxRepsPerCell: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell_id"))
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[CellState, DedupDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cell, rows, state: GroupState[CellState]) =>
+          val st = state.getOption.getOrElse(CellState(Nil, Nil))
+          var ids = st.repIds
+          var embs = st.repEmbs
+          val out = rows.toSeq.sortBy(_._1).map { case (vecId, emb, _) =>
+            val hit = ids.iterator.zip(embs.iterator)
+              .find { case (_, e) => cosine(e, emb) >= minCosine }
+            hit match {
+              case Some((repId, _)) =>
+                DedupDecision(vecId, cell, kept = false, dup_of = repId)
+              case None =>
+                if (ids.size < maxRepsPerCell) { ids :+= vecId; embs :+= emb }
+                DedupDecision(vecId, cell, kept = true, dup_of = -1L)
+            }
+          }
+          state.update(CellState(ids, embs))
+          out.iterator
+      }.toDF()
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   case class SessionSummary(user_id: Long, n_events: Long, duration_us: Long, closed: Boolean)

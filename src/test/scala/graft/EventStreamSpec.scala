@@ -163,4 +163,39 @@ class EventStreamSpec extends SparkSpec {
     assert(r.getAs[Long]("duration_us") == 45000000L)
     assert(!r.getAs[Boolean]("closed"))
   }
+
+  test("semDedupStream admits representatives and drops near-dups across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Vec]
+    val centroids = Seq(Seq(8.0f, 0.0f), Seq(0.0f, 8.0f))
+    val out = EventStream.semDedupStream(input.toDF(), centroids,
+      minCosine = 0.999, maxRepsPerCell = 16)
+
+    val chk = Files.createTempDirectory("graft-stream3").toString
+    val query = out.writeStream
+      .format("memory").queryName("semdedup")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    input.addData(
+      EventStream.Vec(1, Array(8.0f, 0.0f)),   // admitted, cell 0
+      EventStream.Vec(2, Array(8.0f, 0.0f)),   // dup of 1 (same batch)
+      EventStream.Vec(3, Array(0.0f, 8.0f)))   // admitted, cell 1
+    query.processAllAvailable()
+    input.addData(
+      EventStream.Vec(4, Array(8.0f, 0.001f)), // dup of 1 (later batch, state)
+      EventStream.Vec(5, Array(0.0f, 9.0f)))   // dup of 3
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("semdedup").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"), r.getAs[Long]("dup_of"))).toMap
+    assert(rows(1L) == ((true, -1L)))
+    assert(rows(2L) == ((false, 1L)))
+    assert(rows(3L) == ((true, -1L)))
+    assert(rows(4L) == ((false, 1L)))
+    assert(rows(5L) == ((false, 3L)))
+  }
 }
