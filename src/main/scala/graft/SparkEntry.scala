@@ -477,6 +477,21 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
 
+    // §2.24u — the MODERN corpus pipeline as one plan: length gate ->
+    // repetition gate -> decontamination gate -> exact dedup ->
+    // token-budget resample; per-source survivor summary. Same benchmark
+    // construction as q_decontam, same budgets as q_token_budget.
+    "q_corpus_prep2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.pipeline.CorpusPrep.prepareModern(docs, bench, minTokens = 20,
+        maxDupFrac = 0.1, maxHitRatio = 0.2,
+        budgets = Seq("src0" -> 400L, "src1" -> 700L, "src2" -> 100000L),
+        defaultBudget = 250L)
+    }),
+
     // §2.24j — portable stratified resampling to a target language mix;
     // per-language counts certify both the bucket rule and the rates
     "q_stratified_sample" -> ((s, dir) =>
@@ -1230,6 +1245,81 @@ object SparkEntry {
         |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS oov_rate,
         |  ids_hash
         |FROM d2""".stripMargin,
+
+    "q_corpus_prep2" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+        |    md5(text) AS text_hash
+        |  FROM documents),
+        |rep AS (
+        |  SELECT doc_id,
+        |    (CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
+        |      / sum(cnt) > 0.1) AS is_rep
+        |  FROM (
+        |    SELECT doc_id, array_to_string(toks[u.i:u.i+2], ' ') AS gram,
+        |      count(*) AS cnt
+        |    FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)
+        |    WHERE len(toks) >= 3
+        |    GROUP BY doc_id, gram)
+        |  GROUP BY doc_id),
+        |corpusg AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
+        |  FROM tok WHERE len(toks) >= 8),
+        |bt AS (
+        |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
+        |  FROM bt WHERE len(btoks) >= 8),
+        |ex AS (
+        |  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, unnest(hashes) AS h
+        |  FROM corpusg),
+        |hit AS (
+        |  SELECT e.doc_id,
+        |    floor(count(*) * 10000.0 / e.n_grams + 0.5) / 10000.0 AS hit_ratio
+        |  FROM ex e JOIN bench b ON e.h = b.h
+        |  GROUP BY e.doc_id, e.n_grams),
+        |s1 AS (
+        |  SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |    t.text_hash
+        |  FROM tok t
+        |  LEFT JOIN rep r ON t.doc_id = r.doc_id
+        |  LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |  WHERE len(t.toks) >= 20
+        |    AND NOT coalesce(r.is_rep, false)
+        |    AND coalesce(h.hit_ratio, 0.0) <= 0.2),
+        |ded AS (
+        |  SELECT * FROM (
+        |    SELECT s1.*, min(doc_id) OVER (PARTITION BY text_hash) AS keep_id
+        |    FROM s1)
+        |  WHERE doc_id = keep_id),
+        |rates AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0, CAST(b AS DOUBLE) / tt) * 10000.0 + 0.5) AS BIGINT) AS keep_bp
+        |  FROM (
+        |    SELECT source,
+        |      sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tt,
+        |      CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 700
+        |        WHEN 'src2' THEN 100000 ELSE 250 END AS b
+        |    FROM documents GROUP BY source)),
+        |kept AS (
+        |  SELECT d.source, r.keep_bp, d.n_tokens
+        |  FROM ded d JOIN rates r USING (source)
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('budget:' || CAST(d.doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 10000 < r.keep_bp)
+        |SELECT source, keep_bp, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+        |FROM kept GROUP BY source, keep_bp""".stripMargin,
 
     "q_lm_score" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

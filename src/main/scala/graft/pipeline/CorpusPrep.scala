@@ -77,4 +77,59 @@ object CorpusPrep {
       .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
         col("bpe_tokens"), col("split"))
   }
+
+  /** The modern pretraining-data pipeline, composed as one declarative
+    * plan: length gate -> repetition gate (Gopher dup-3-gram fraction)
+    * -> benchmark-decontamination gate (8-gram overlap vs a broadcast
+    * benchmark set) -> exact dedup (lowest id per content hash) ->
+    * token-budget resample per source. The gram stages run over the
+    * corpus once each and join back to the slim (doc_id, source, lang,
+    * n_tokens) spine on doc_id; budget keep-rates are computed from the
+    * RAW per-source token mass (a slim second scan — at 100 TB you want
+    * rate stability across gate tweaks, and it avoids recomputing the
+    * gram subtrees for the totals). Returns the per-source survivor
+    * summary.
+    */
+  def prepareModern(docs: DataFrame, benchmark: DataFrame, minTokens: Int,
+      maxDupFrac: Double, maxHitRatio: Double,
+      budgets: Seq[(String, Long)], defaultBudget: Long): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    val spine = docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") >= minTokens)
+      .withColumn("text_hash", md5(col("text")))
+      .select("doc_id", "lang", "source", "n_tokens", "text_hash")
+    val rep = TextAnalysis.repetitionMetrics(docs, n = 3, dupFracCut = maxDupFrac)
+      .select(col("doc_id"), col("is_repetitive"))
+    val cont = graft.operators.Contamination.decontaminate(docs, benchmark, n = 8)
+      .select(col("doc_id"), col("hit_ratio"))
+    val survivors = spine
+      .join(rep, Seq("doc_id"), "left")
+      .where(!coalesce(col("is_repetitive"), lit(false)))
+      .join(cont, Seq("doc_id"), "left")
+      .where(coalesce(col("hit_ratio"), lit(0.0)) <= maxHitRatio)
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keep_id"))
+    val budget = budgets.foldRight(lit(defaultBudget)) { case ((g, b), e) =>
+      when(col("source") === g, lit(b)).otherwise(e)
+    }
+    val rates = docs
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("total_tokens"))
+      .withColumn("budget", budget)
+      .withColumn("keep_bp",
+        floor(least(lit(1.0), col("budget").cast("double") / col("total_tokens"))
+          * 10000.0 + 0.5).cast("long"))
+      .select(col("source"), col("keep_bp"))
+    val bucket = pmod(
+      org.apache.spark.sql.graftnative.RollingHash.rollingHash(
+        concat(lit("budget:"), col("doc_id").cast("string"))),
+      lit(10000L))
+    survivors
+      .join(broadcast(rates), "source")
+      .where(bucket < col("keep_bp"))
+      .groupBy(col("source"), col("keep_bp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens_kept"))
+  }
 }

@@ -88,4 +88,26 @@ class DailyPipelineSpec extends SparkSpec {
       .where($"split" === "train").count()
     assert(again == nTrain)
   }
+
+  test("prepareModern gates repetitive, contaminated, and duplicate docs") {
+    import org.apache.spark.sql.functions._
+    val clean = (1 to 23).map(i => s"w$i").mkString(" ")
+    val benchText = (1 to 25).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean, "en", "s0"),                               // clean
+      (2L, clean, "en", "s0"),                               // exact dup of 1
+      (3L, ("rep loop " * 20).trim, "en", "s0"),             // repetitive
+      (4L, "short doc", "en", "s0"),                         // length-gated
+      (20L, benchText, "en", "s1")                           // bench source (doc_id % 20 == 0)
+    ).toDF("doc_id", "text", "lang", "source")
+    val bench = docs.where($"doc_id" % 20 === 0)
+      .select($"doc_id", array_join(slice(split($"text", " "), 1, 40), " ").as("text"))
+    val out = graft.pipeline.CorpusPrep.prepareModern(docs, bench,
+      minTokens = 20, maxDupFrac = 0.1, maxHitRatio = 0.2,
+      budgets = Seq(), defaultBudget = 1000000L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    // doc 1 survives; 2 (dup), 3 (repetitive), 4 (short) are gated;
+    // doc 20 is the benchmark itself -> fully contaminated -> gated
+    assert(out == Map("s0" -> 1L))
+  }
 }
