@@ -86,8 +86,17 @@ object Contamination {
         posexplode_outer(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
 
-    val dupHashes = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // dup detection needs "h in >= 2 distinct docs": dedup the hashes
+    // PER DOC map-side (array_distinct before the explode) so a plain
+    // count equals the distinct-doc count — one exchange instead of the
+    // two a countDistinct plans, and the explode emits each (doc, h)
+    // once instead of once per position.
+    val dupHashes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
       .select(col("h"), lit(true).as("isdup"))
 
