@@ -722,6 +722,18 @@ object SparkEntry {
       graft.operators.Contamination.decontaminate(docs, bench, n = 8)
     }),
 
+    // §2.24l2 — scan-shaped decontamination: the benchmark gram set rides
+    // as a broadcast literal and the overlap is a pure projection
+    // (array_intersect), no join/agg/state — the form a streaming ingest
+    // gate uses; emits every doc including clean ones.
+    "q_decontam_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.operators.Contamination.decontaminateStream(docs, bench, n = 8)
+    }),
+
     // §2.24m — cross-document duplicated-span report (substring-dedup
     // signal) over a corpus with planted near-copies.
     "q_dup_spans" -> ((s, dir) =>
@@ -1574,6 +1586,37 @@ object SparkEntry {
         |  floor(count(*) * 10000.0 / e.n_grams + 0.5) / 10000.0 AS hit_ratio
         |FROM ex e JOIN bench b ON e.h = b.h
         |GROUP BY e.doc_id, e.n_grams""".stripMargin,
+
+    "q_decontam_scan" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
+        |  FROM tok WHERE len(toks) >= 8),
+        |bt AS (
+        |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
+        |  FROM bt WHERE len(btoks) >= 8),
+        |ex AS (
+        |  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, unnest(hashes) AS h
+        |  FROM corpus),
+        |hits AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ex e JOIN bench b ON e.h = b.h GROUP BY e.doc_id)
+        |SELECT c.doc_id, CAST(len(c.hashes) AS BIGINT) AS n_grams,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  floor(coalesce(h.n_hit, 0) * 10000.0 / CAST(len(c.hashes) AS BIGINT) + 0.5) / 10000.0 AS hit_ratio
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "q_dup_spans" ->
       """WITH base AS (

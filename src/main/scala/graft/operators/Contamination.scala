@@ -70,6 +70,36 @@ object Contamination {
           .as("hit_ratio"))
   }
 
+  /** Streaming-shaped decontamination: the benchmark's distinct gram
+    * hashes are collected ONCE at plan-build time (benchmark suites are
+    * tiny next to the corpus — this is the broadcast a production run
+    * ships to every executor) and the per-document overlap becomes a pure
+    * projection: array_intersect against the literal set, no join, no
+    * aggregation, no state. Because it is stateless it runs unchanged
+    * over a batch frame or a readStream source — the streaming dual of
+    * `decontaminate`, gating documents at ingest time. Emits every doc
+    * (n_hit = 0 for clean ones), unlike the batch report which only
+    * lists contaminated docs.
+    */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val benchHashes: Array[Long] = benchmark
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
+      .distinct().collect().map(_.getLong(0))
+    val benchLit = typedLit(benchHashes.sorted.toSeq)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        array_distinct(gramHashes(col("toks"), n)).as("hashes"))
+      .select(col("doc_id"),
+        size(col("hashes")).cast("long").as("n_grams"),
+        size(array_intersect(col("hashes"), benchLit)).cast("long").as("n_hit"))
+      .withColumn("hit_ratio",
+        floor(col("n_hit") * 10000.0 / col("n_grams") + 0.5) / 10000.0)
+  }
+
   /** Cross-document duplicated-span report: an n-token window is "dup" when
     * its hash occurs in >= 2 distinct documents; a span is a maximal run of
     * consecutive dup positions. Output per document with at least one dup

@@ -63,4 +63,51 @@ class ContaminationSpec extends SparkSpec {
     assert(Contamination.dupSpans(tiny, n = 3).count() == 0)
     assert(Contamination.decontaminate(tiny, tiny, n = 3).count() == 0)
   }
+
+  test("decontaminateStream matches the join-based report on contaminated docs") {
+    val docs = Seq(
+      (1L, "the bench sentence one two three four five plus trailing words"),
+      (2L, "completely different clean tokens nothing shared here at all ok"),
+      (3L, "x the bench sentence one two three four five y z")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the bench sentence one two three four five"))
+      .toDF("doc_id", "text")
+    val scan = Contamination.decontaminateStream(docs, bench, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("hit_ratio"))).toMap
+    val joined = Contamination.decontaminate(docs, bench, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("hit_ratio"))).toMap
+    // every contaminated doc agrees with the join-based report; the scan
+    // form additionally lists clean docs with zero hits
+    joined.foreach { case (id, v) => assert(scan(id) == v) }
+    assert(scan(2L)._2 == 0L)
+  }
+
+  test("decontaminateStream runs as a structured stream") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val bench = Seq((100L, "the bench sentence one two three four five"))
+      .toDF("doc_id", "text")
+    val out = Contamination.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), bench, n = 8)
+    val chk = java.nio.file.Files.createTempDirectory("graft-decontam").toString
+    val query = out.writeStream
+      .format("memory").queryName("decontam_scan")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(
+      (1L, "the bench sentence one two three four five plus trailing words"),
+      (2L, "completely different clean tokens nothing shared here at all ok"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("decontam_scan").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(rows(1L) > 0L)
+    assert(rows(2L) == 0L)
+  }
 }
