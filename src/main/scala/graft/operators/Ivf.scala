@@ -123,4 +123,49 @@ object Ivf {
       .select(col("query_id"), col("neighbor_id"), col("cell_id"), col("rank"),
         round(col("sim"), 4).as("sim_r"))
   }
+
+  /** Materialize the IVF index as a hive layout partitioned BY CELL:
+    * `path/cell_id=<c>/...` — on a data lake this IS the inverted file.
+    * A search that probes `nprobe` cells reads only those directories
+    * (partition pruning), so search I/O is corpus_bytes * nprobe / k
+    * regardless of corpus size — the property that makes IVF an index
+    * rather than a scan. Norms are precomputed into the index so search
+    * pays no per-candidate sqrt.
+    */
+  def buildIndex(embeddings: DataFrame, centroids: Seq[Seq[Float]],
+      path: String): Unit =
+    assign(embeddings.select(col("vec_id"), col("embedding")), centroids)
+      .withColumn("norm", sqrt(fdot(col("embedding"), col("embedding"))))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(path)
+
+  /** Search a materialized index: the query set's probed cells become an
+    * IN filter on the partition column (queries are few — the cell list
+    * is tiny), Spark prunes the unprobed directories at planning time,
+    * and only then does the per-(query, cell) join run. Results are
+    * identical to `search` over the full corpus.
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, centroids: Seq[Seq[Float]],
+      nprobe: Int, topK: Int): DataFrame = {
+    val q = probes(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      centroids, nprobe)
+      .withColumn("q_norm", sqrt(fdot(col("q_emb"), col("q_emb"))))
+    val probedCells: Seq[Int] =
+      q.select(col("cell_id")).distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .where(col("cell_id").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("cell_id").cast("int").as("cell_id"), col("norm").as("c_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "cell_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        fdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("cell_id"), col("rank"),
+        round(col("sim"), 4).as("sim_r"))
+  }
 }

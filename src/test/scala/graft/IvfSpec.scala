@@ -81,6 +81,37 @@ class IvfSpec extends SparkSpec {
     assert(out(1) == (1L, 4.0))
   }
 
+  test("materialized index search equals direct search and prunes unprobed cells") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = Ivf.train(e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Ivf.buildIndex(e, centroids, path)
+    val queries = e.where(col("vec_id") < 8)
+    val direct = Ivf.search(queries, e, centroids, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val indexed = Ivf.searchIndex(spark, path, queries, centroids, nprobe = 2, topK = 5)
+    assert(indexed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      == direct)
+    // the probed-cell filter must prune at the partition level: the scan
+    // reads fewer files than cells in the index. AQE wraps the executed
+    // plan in adaptive stages that hide the scan node from collect, so
+    // assert on a non-adaptive run of the same query.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val flat = try {
+      val again = Ivf.searchIndex(spark, path, queries, centroids, nprobe = 2, topK = 5)
+      again.collect()
+      again
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val scan = flat.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val totalCells = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cell_id="))
+    assert(scan.metrics("numFiles").value < totalCells,
+      s"scanned ${scan.metrics("numFiles").value} files out of $totalCells cells — no pruning")
+  }
+
   test("nearestCells orders by distance with cell-id tie-break") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftnative.NearestCells.nearestCells
