@@ -120,4 +120,52 @@ class PropertySpec extends SparkSpec {
         .orderBy("doc_id").select(to_json(struct(col("sig")))).as[String].collect().toSeq
     assert(sigs(1) == sigs(8))
   }
+
+  test("repetitionMetrics agrees with an in-memory model on random docs") {
+    val rnd = new Random(17)
+    val docs = Seq.tabulate(40) { i =>
+      val n = 3 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(s"t${rnd.nextInt(6)}").mkString(" "))
+    }
+    val out = graft.operators.TextAnalysis
+      .repetitionMetrics(docs.toDF("doc_id", "text"), n = 3, dupFracCut = 0.1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("top_gram_cnt"),
+          r.getAs[Long]("dup_gram_cnt"))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expected = (grams.size.toLong, counts.values.max,
+        counts.values.filter(_ > 1).sum)
+      assert(out(id) == expected, s"doc $id: ${out(id)} != $expected")
+    }
+  }
+
+  test("semDedup drop rule: dup_of is always a lower id in the same cell") {
+    val rnd = new Random(19)
+    val vecs = Seq.tabulate(120) { i =>
+      // clustered directions with small jitter -> plenty of near-dups
+      val base = Array.fill(8)(0.0f)
+      base(i % 4) = 4.0f
+      base((i + 1) % 8) = rnd.nextFloat() * 0.3f
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.train(df, k = 4, iters = 2)
+    val dropped = graft.operators.Similarity.semDedup(df, centroids, minCosine = 0.98)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("n_dups")))
+    assert(dropped.nonEmpty)
+    dropped.foreach { case (v, dupOf, nDups) =>
+      assert(dupOf < v, s"dup_of $dupOf not lower than $v")
+      assert(nDups >= 1)
+    }
+    // determinism across partition layouts
+    val again = graft.operators.Similarity
+      .semDedup(df.repartition(7), centroids, minCosine = 0.98)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Long]("n_dups"))).toSet
+    assert(again == dropped.toSet)
+  }
 }
