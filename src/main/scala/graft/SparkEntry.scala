@@ -317,6 +317,21 @@ object SparkEntry {
       Similarity.embeddingQuality(corrupted, "label", dim = 64)
     }),
 
+    // §2.19e — STAGED semantic dedup: exact-collapse on the embedding
+    // value, then the cell-blocked drop rule on representatives only —
+    // the §4.1-mandated ordering as a registered query, with a reason
+    // column separating exact from semantic drops.
+    "q_semdedup_staged" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.unionByName(
+        e.where(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+        .select(col("vec_id"), col("embedding"))
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      Similarity.semDedupStaged(corpus, centroids, minCosine = 0.95)
+    }),
+
     // §2.20 — brute-force cosine top-k ANN baseline
     "q_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1084,6 +1099,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_staged" -> semDedupStagedOracle,
     "q_ivf_stats" -> ivfStatsOracle,
     "q_ann_pq" -> annPqOracle,
 
@@ -1935,6 +1951,42 @@ object SparkEntry {
        |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors,
        |  floor(CAST(sum(sqd_u) AS DOUBLE) / count(*) / 100.0 + 0.5) / 10000.0 AS mean_sqd_r
        |FROM d GROUP BY cell_id""".stripMargin
+
+  /** q_semdedup_staged oracle: exact-collapse via a min-over-window on the
+    * embedding value, then the semantic drop rule replayed on
+    * representatives (same training unroll as semDedupOracle).
+    */
+  private def semDedupStagedOracle: String =
+    s"""WITH $ivfTrainCtes,
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       |we AS (
+       |  SELECT vec_id, embedding,
+       |    min(vec_id) OVER (PARTITION BY embedding) AS rep_id
+       |  FROM corpus),
+       |exact AS (
+       |  SELECT vec_id, rep_id AS dup_of, 'exact' AS reason
+       |  FROM we WHERE vec_id <> rep_id),
+       |reps AS (
+       |  SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding),
+       |cand AS (
+       |  SELECT vec_id, emb, cell_id FROM (
+       |    SELECT t.vec_id, t.embedding AS emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM reps t CROSS JOIN c2 c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT y.vec_id AS vec_id, x.vec_id AS xid,
+       |    list_cosine_similarity(CAST(x.emb AS DOUBLE[]), CAST(y.emb AS DOUBLE[])) AS sim
+       |  FROM cand x JOIN cand y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+       |sem AS (
+       |  SELECT vec_id, min(xid) AS dup_of, 'semantic' AS reason
+       |  FROM pairs WHERE sim >= 0.95 GROUP BY vec_id)
+       |SELECT vec_id, dup_of, reason FROM exact
+       |UNION ALL
+       |SELECT vec_id, dup_of, reason FROM sem""".stripMargin
 
   private def annIvfOracle: String = {
     def dist(e: String, c: String): String = ivfDist(e, c)

@@ -108,17 +108,11 @@ object Stress {
       Similarity.semDedup(embs, centroids, minCosine = 0.95)
     }
     // Staged semantic dedup, mirroring minhash_staged: collapse bitwise-
-    // identical embeddings to their lowest-id representative FIRST (one
-    // hash shuffle), then run the quadratic-candidate stage on reps only.
+    // identical embeddings to their lowest-id representative FIRST, then
+    // run the quadratic-candidate stage on reps only (the registered
+    // q_semdedup_staged operator).
     time("semdedup_staged") {
-      val reps = embs
-        .select(col("vec_id"), col("embedding"),
-          md5(to_json(col("embedding"))).as("emb_hash"))
-        .groupBy(col("emb_hash"))
-        .agg(min_by(struct(col("vec_id"), col("embedding")), col("vec_id")).as("rep"))
-        .select(col("rep.vec_id").as("vec_id"), col("rep.embedding").as("embedding"))
-      reps.write.mode("overwrite").parquet("/tmp/graft_stress_embreps")
-      Similarity.semDedup(spark.read.parquet("/tmp/graft_stress_embreps"),
+      Similarity.semDedupStaged(embs.select(col("vec_id"), col("embedding")),
         centroids, minCosine = 0.95)
     }
     // PQ: codebooks trained once on the 1/5 sample (train rarely, encode

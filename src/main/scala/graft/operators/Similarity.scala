@@ -96,6 +96,33 @@ object Similarity {
         round(max(col("sim")), 4).as("best_sim_r"))
   }
 
+  /** Staged semantic dedup — the §4.1-mandated ordering as one operator:
+    * (1) collapse BITWISE-identical embeddings to their lowest-id
+    * representative (groupBy on the embedding value itself — one slim
+    * shuffle; replica clusters never reach the candidate join), then
+    * (2) run the cell-blocked semantic drop rule on representatives
+    * only. Returns the combined drop list with a `reason` column:
+    * 'exact' rows collapsed in stage 1, 'semantic' rows dropped in
+    * stage 2. At 100x replication this runs ~5x faster than the raw
+    * drop-list and ~20x faster than pair emission (§4.1).
+    */
+  def semDedupStaged(embeddings: DataFrame, centroids: Seq[Seq[Float]],
+      minCosine: Double): DataFrame = {
+    // min-over-window, not collect_list: a hot content replicated
+    // millions of times must not accumulate into one in-memory array
+    val w = Window.partitionBy(col("embedding"))
+    val exactDrops = embeddings
+      .withColumn("rep_id", min(col("vec_id")).over(w))
+      .where(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"), col("rep_id").as("dup_of"), lit("exact").as("reason"))
+    val reps = embeddings.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val semanticDrops = semDedup(reps, centroids, minCosine)
+      .select(col("vec_id"), col("dup_of"), lit("semantic").as("reason"))
+    exactDrops.unionByName(semanticDrops)
+  }
+
   /** Int8-quantized ANN: candidates travel as `array<tinyint>` codes + one
     * scale + one norm per vector (4x smaller than fp32 — at 100 TB that is
     * the scan, the shuffle, AND the broadcast), the top `k * prefilter`

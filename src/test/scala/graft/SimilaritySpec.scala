@@ -114,6 +114,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out(5L) == (1L, 2L)) // flagged by both 1 and 2
   }
 
+  test("semDedupStaged splits exact and semantic drops") {
+    val corpus = Seq(
+      (1L, Array(8.0f, 0.0f, 0.0f)),
+      (2L, Array(8.0f, 0.0f, 0.0f)),  // bitwise dup of 1 -> exact
+      (5L, Array(8.0f, 0.01f, 0.0f)), // near-dup of 1 -> semantic
+      (9L, Array(0.0f, 8.0f, 0.0f))   // survives in its own cell
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(8.0f, 0.0f, 0.0f), Seq(0.0f, 8.0f, 0.0f))
+    val out = Similarity.semDedupStaged(corpus, centroids, minCosine = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("dup_of"), r.getAs[String]("reason"))).toMap
+    assert(out == Map(2L -> ((1L, "exact")), 5L -> ((1L, "semantic"))))
+  }
+
   test("fdot returns NULL on mismatched vector lengths, not a truncated dot") {
     import org.apache.spark.sql.graftnative.FloatVecDot.fdot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)))
