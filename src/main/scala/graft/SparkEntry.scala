@@ -517,6 +517,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
+    // §2.24t — per-domain document cap: at most 30 docs per source by
+    // (n_chars DESC, doc_id) priority, skew-safe two-phase top-N
+    "q_domain_cap" -> ((s, dir) =>
+      graft.operators.Sampling.domainCap(Tables.documents(s, dir), cap = 30)),
+
+    // §2.24u — corpus-level boilerplate line removal: lines in > 10
+    // distinct docs (the planted promo banners) are dropped from every
+    // doc; footer classes are rare enough to survive at oracle scale
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(Dedup.withBoilerplate(Tables.documents(s, dir)),
+        maxDocs = 10)),
+
     // §2.24r — training-mix plan: apportion a 20k-token global budget by
     // per-source integer weights; epochs_bp > 10000 marks sources that
     // must oversample to hit their target.
@@ -1211,6 +1223,38 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100
         |                         WHEN 'es' THEN 25 ELSE 10 END
         |GROUP BY lang""".stripMargin,
+
+    // cap result is plan-independent: the two-phase Spark top-N equals one
+    // global row_number because the per-domain priority order is total
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM documents) r
+        |WHERE rank <= 30""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    'promo banner ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || text
+        |      || chr(10) || 'footer contact ' || CAST(doc_id % 97 AS VARCHAR) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, t.i AS idx, s[CAST(t.i AS INTEGER)] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS s FROM corpus),
+        |       unnest(range(1, len(s)+1)) AS t(i)),
+        |boiler AS (
+        |  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) > 10),
+        |flagged AS (
+        |  SELECT l.doc_id, l.idx, l.line, b.line IS NOT NULL AS is_b
+        |  FROM lines l LEFT JOIN boiler b ON l.line = b.line)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+        |    chr(10) ORDER BY idx), '') AS clean_text,
+        |  count(*) FILTER (WHERE is_b) AS n_dropped,
+        |  count(*) AS n_lines
+        |FROM flagged GROUP BY doc_id""".stripMargin,
 
     "q_redact" ->
       """WITH planted AS (

@@ -37,6 +37,53 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Plant deterministic boilerplate lines around each doc's text: a header
+    * shared by every 7th-class doc (high-frequency — removable) and a footer
+    * shared only within a 97-class (low-frequency at test scale — kept).
+    * Gives lineDedup known positives and negatives on the synthetic corpus,
+    * whose texts contain no newlines of their own.
+    */
+  def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(lit("promo banner "), col("doc_id") % 7),
+        col("text"),
+        concat(lit("footer contact "), col("doc_id") % 97)).as("text"),
+      col("lang"), col("source"))
+
+  /** Corpus-level boilerplate line removal (the C4/RefinedWeb rule): a line
+    * occurring in more than `maxDocs` DISTINCT documents is boilerplate
+    * (nav menus, cookie banners, signatures) and is dropped from every
+    * document; surviving lines are reassembled in original order.
+    *
+    * Scale posture: two shuffles — (1) exploded lines aggregate to
+    * per-line distinct-doc counts with map-side partials, (2) re-assembly
+    * groupBy doc_id. The boilerplate set is JOINED back, never collected:
+    * its cardinality is bounded by total_lines / maxDocs, and AQE
+    * broadcasts it while small. A doc's lines are the only raw text that
+    * travels, and only to its own reducer.
+    */
+  def lineDedup(docs: DataFrame, maxDocs: Int): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") > maxDocs)
+      .select(col("line"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_boiler").isNull, struct(col("idx"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("clean_text"),
+        count(when(col("is_boiler").isNotNull, lit(1))).as("n_dropped"),
+        count(lit(1)).as("n_lines"))
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   private val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*x + b within long

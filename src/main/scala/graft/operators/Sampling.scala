@@ -117,6 +117,33 @@ object Sampling {
         col("target_tokens"), col("epochs_bp"))
   }
 
+  /** Per-domain document cap: keep at most `cap` docs per source, by the
+    * deterministic priority (n_chars DESC, doc_id ASC) — the "max N pages
+    * per domain" rule every web-corpus pipeline applies so one crawler-happy
+    * domain cannot dominate the training mix.
+    *
+    * Skew-safe two-phase top-N: phase 1 ranks within (source,
+    * input-partition), so a mega-domain's rows spread over all reducers and
+    * at most cap x num_partitions rows per domain survive; phase 2 ranks
+    * that bounded set globally per source. The result equals a single
+    * global row_number (the priority order is total, and any doc in a
+    * domain's global top-cap is in the top-cap of every subset containing
+    * it), but no reducer ever sees a whole hot domain.
+    */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = Seq(col("n_chars").desc, col("doc_id").asc)
+    val local = Window.partitionBy(col("source"), col("part")).orderBy(pri: _*)
+    val global = Window.partitionBy(col("source")).orderBy(pri: _*)
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .where(col("lr") <= cap)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+  }
+
   /** Engine-portable stratified sample: per-stratum keep-percentages over
     * the base-257 id-fold bucket (the same portable hash the corpus-prep
     * split uses), so the sampled set is reproducible in any engine —

@@ -77,6 +77,32 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("lineDedup drops corpus-frequent lines, keeps rare ones, preserves order") {
+    // 20 docs share a banner + footer; each has a unique middle line.
+    // One doc also repeats the banner internally (both copies must go).
+    val rows = (1L to 20L).map { i =>
+      val mid = s"unique content $i"
+      val text =
+        if (i == 7L) s"BANNER\n$mid\nBANNER\nrare footer"
+        else s"BANNER\n$mid\nrare footer"
+      (i, text)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, maxDocs = 10)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 20)
+    // "rare footer" occurs in 20 docs > 10 too — also boilerplate here
+    assert(out(3L) == (("unique content 3", 2L, 3L)))
+    assert(out(7L) == (("unique content 7", 3L, 4L)))
+  }
+
+  test("lineDedup below threshold keeps everything verbatim") {
+    val df = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, maxDocs = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a\nb", 2L -> "a\nc"))
+  }
+
   test("signatures are reproducible across evaluations") {
     val a = Dedup.minhashSignatures(docs, 16).orderBy("doc_id")
       .select(to_json(struct(col("sig")))).as[String].collect().toSeq

@@ -57,6 +57,37 @@ class SamplingSpec extends SparkSpec {
       s"kept $keptBigTokens tokens for a 1000-token budget")
   }
 
+  test("domainCap keeps exactly cap docs per domain, by priority, at any partitioning") {
+    val df = (1L to 900L)
+      .map(i => (i, s"d${i % 3}", (i * 7) % 101)) // 300 docs x 3 domains
+      .toDF("doc_id", "source", "n_chars")
+    val expected = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).values
+      .flatMap(rows => rows.sortBy { case (id, _, n) => (-n, id) }.take(25))
+      .map(_._1).toSet
+    for (parts <- Seq(1, 5, 32)) {
+      val out = Sampling.domainCap(df.repartition(parts), cap = 25)
+      val got = out.select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"parts=$parts")
+      val ranks = out.groupBy("source")
+        .agg(org.apache.spark.sql.functions.max("rank")).collect()
+      assert(ranks.forall(_.getLong(1) == 25L))
+    }
+  }
+
+  test("domainCap survives a single dominant domain without a global sort") {
+    val skew = (1L to 5000L).map(i => (i, "mega", i % 997))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Sampling.domainCap(skew.repartition(16), cap = 10)
+    assert(out.count() == 10)
+    // top-10 by (n_chars desc, doc_id asc): n_chars=996 at doc_ids 996k+...
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    val want = (1L to 5000L).map(i => (i, i % 997))
+      .sortBy { case (id, n) => (-n, id) }.take(10).map(_._1).toSet
+    assert(ids == want)
+  }
+
   test("mixPlan apportions the budget by weight and reports epochs") {
     val df = Seq(("a", 100L), ("a", 100L), ("b", 50L))
       .toDF("source", "n_tokens")
