@@ -153,6 +153,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), Etl.moneySum(col("value")).as("sum_value"))
     }),
 
+    // §2.37b — co-located fact-fact join over bucketed tables: the
+    // bucketing shuffle is paid once at write, the join itself plans
+    // with no exchange on either big side (spec-asserted)
+    "q_bucketed_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val root = s"/tmp/graft_bkt_$tag"
+      graft.pipeline.Pipeline.writeBucketed(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        s"graft_bkt_li_$tag", root, buckets = 8, key = "l_orderkey")
+      graft.pipeline.Pipeline.writeBucketed(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        s"graft_bkt_ord_$tag", root, buckets = 8, key = "o_orderkey")
+      graft.pipeline.Pipeline.bucketedJoinAgg(s,
+        s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
+    }),
+
     // §2.13 — star-schema analytics, broadcast dims
     "q_star_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1223,6 +1240,15 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100
         |                         WHEN 'es' THEN 25 ELSE 10 END
         |GROUP BY lang""".stripMargin,
+
+    // bucketing changes layout, not results: the oracle is the plain join
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // cap result is plan-independent: the two-phase Spark top-N equals one
     // global row_number because the per-domain priority order is total

@@ -158,6 +158,38 @@ object Pipeline {
     * keys collide with `updates` are replaced, others kept. The scalable
     * form of trino.upsert_dataframe (reference: etl/resources/trino.py:165).
     */
+  /** Materialize a DataFrame as a bucketed, bucket-sorted external table:
+    * the persistent co-location contract. The bucketing shuffle is paid
+    * ONCE at write; every later equi-join or aggregation on `key` between
+    * co-bucketed tables plans with NO shuffle exchange on the big sides —
+    * at 100 TB this is what makes a recurring fact-fact join (lineitem x
+    * orders every day) affordable. Bucket count must match across the
+    * tables that will join.
+    */
+  def writeBucketed(df: DataFrame, table: String, root: String,
+      buckets: Int, key: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", s"$root/$table")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Co-located fact-fact join over two bucketed tables. The MERGE hint
+    * pins a sort-merge join (a broadcast would mask the co-location), and
+    * because both scans are pre-bucketed on their join keys the only
+    * exchange in the whole plan is the final small aggregation.
+    */
+  def bucketedJoinAgg(spark: SparkSession, liTable: String, ordTable: String): DataFrame = {
+    val li = spark.table(liTable).hint("merge")
+    val ord = spark.table(ordTable)
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc = col("l_discount").cast("decimal(3,2)")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(price * (lit(1).cast("decimal(3,2)") - disc)).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   def upsertTable(spark: SparkSession, tablePath: String, updates: DataFrame, keys: Seq[String]): Unit = {
     val merged =
       if (new java.io.File(tablePath).exists()) {

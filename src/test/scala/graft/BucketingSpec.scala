@@ -7,6 +7,15 @@ package graft
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("registered q_bucketed_join: only exchange in the plan is the final agg") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (final agg), got $exchanges:\n$plan")
+    assert(df.count() == 5) // one row per order priority
+  }
+
   test("join of co-bucketed tables plans without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
