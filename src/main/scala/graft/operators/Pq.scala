@@ -31,16 +31,47 @@ object Pq {
 
   /** Train `m` per-subspace codebooks of `k` centroids each over
     * dim-`dim` embeddings. Driver memory is m*k*(dim/m) floats — tiny.
+    *
+    * All subspaces train JOINTLY: one seeding collect (the k lowest
+    * vec_ids, sliced on the driver) and ONE Spark job per Lloyd
+    * iteration covering every subspace — not m independent Ivf.train
+    * loops (m * (iters+1) sequential jobs, all scheduler overhead at
+    * bench scale and m redundant corpus scans per iteration at 100 TB).
+    * The arithmetic is bit-identical to per-subspace Ivf.train: same
+    * first-k seeding, same native argmin assignment over each slice,
+    * same float -> decimal(20,10) exact order-independent mean.
     */
   def train(embeddings: DataFrame, dim: Int, m: Int, k: Int, iters: Int): Seq[Seq[Seq[Float]]] = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).map { s =>
-      Ivf.train(
-        embeddings.select(col("vec_id"),
-          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
-        k, iters)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val seeds = e.orderBy("vec_id").limit(k).collect().map(_.getSeq[Float](1))
+    var codebooks: IndexedSeq[IndexedSeq[Seq[Float]]] =
+      (0 until m).map(s => seeds.map(v => v.slice(s * sub, (s + 1) * sub)).toIndexedSeq)
+    (0 until iters).foreach { _ =>
+      val subCols = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          nearestCell(slice(col("embedding"), s * sub + 1, sub), codebooks(s)).as("cell"),
+          slice(col("embedding"), s * sub + 1, sub).as("v"))
+      }
+      val means = e.select(explode(array(subCols: _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.cell").as("cell"),
+          posexplode(col("x.v")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") /
+          count(lit(1))).cast("float").as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getFloat(3))
+        .toMap
+      codebooks = (0 until m).map { s =>
+        codebooks(s).indices.map { c =>
+          if (means.contains((s, c, 0)))
+            (0 until sub).map(p => means((s, c, p))): Seq[Float]
+          else codebooks(s)(c)
+        }.toIndexedSeq
+      }
     }
+    codebooks
   }
 
   /** PQ codes: one nearest-codebook-entry id per subspace — `m` native
