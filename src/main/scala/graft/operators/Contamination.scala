@@ -82,22 +82,36 @@ object Contamination {
     * lists contaminated docs.
     */
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    val (nGrams, nHit) = hitStats(col("text"), benchmark, n)
+    docs
+      .select(col("doc_id"), nGrams.as("n_grams"), nHit.as("n_hit"))
+      .where(col("n_grams").isNotNull)
+      .withColumn("hit_ratio",
+        floor(col("n_hit") * 10000.0 / col("n_grams") + 0.5) / 10000.0)
+  }
+
+  /** Per-ROW contamination columns (distinct-gram count, benchmark-hit
+    * count) against a benchmark gram set collected once at plan-build
+    * time — the projection-only primitive behind decontaminateStream,
+    * exposed so composed pipelines (CorpusPrep.prepareModern) can fuse
+    * the contamination gate into an existing corpus scan instead of
+    * paying a second scan + gram shuffle + join. Both columns are null
+    * when the doc has fewer than n space-split tokens (callers decide:
+    * filter, or coalesce to "clean").
+    */
+  def hitStats(textCol: org.apache.spark.sql.Column, benchmark: DataFrame,
+      n: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val benchHashes: Array[Long] = benchmark
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
       .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
       .distinct().collect().map(_.getLong(0))
     val benchLit = typedLit(benchHashes.sorted.toSeq)
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        array_distinct(gramHashes(col("toks"), n)).as("hashes"))
-      .select(col("doc_id"),
-        size(col("hashes")).cast("long").as("n_grams"),
-        size(array_intersect(col("hashes"), benchLit)).cast("long").as("n_hit"))
-      .withColumn("hit_ratio",
-        floor(col("n_hit") * 10000.0 / col("n_grams") + 0.5) / 10000.0)
+    val stoks = split(textCol, " ")
+    val hashes = array_distinct(gramHashes(stoks, n))
+    val ok = size(stoks) >= n
+    (when(ok, size(hashes).cast("long")),
+      when(ok, size(array_intersect(hashes, benchLit)).cast("long")))
   }
 
   /** Cross-document duplicated-span report: an n-token window is "dup" when

@@ -183,27 +183,24 @@ object TextAnalysis {
     */
   def repetitionMetrics(docs: DataFrame, n: Int, dupFracCut: Double): DataFrame = {
     require(n >= 2, "n-gram repetition needs n >= 2")
-    val gramAt = (i: Column) =>
-      concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j)): _*)
-    val grams = docs
+    // one-pass native run-length stats over sorted window hashes: a pure
+    // projection, where the explode -> groupBy(doc_id, gram) formulation
+    // shuffled every gram of the corpus twice to count within-doc
+    // duplicates. Same values (equal grams hash equal; 64-bit collisions
+    // ~m²/2⁶⁵ per doc, the SortedIntersectCount identity).
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= n)
+      .withColumn("st",
+        org.apache.spark.sql.graftnative.GramRunStats.gramRunStats(col("toks"), n))
       .select(col("doc_id"),
-        explode_outer(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          gramAt)).as("gram"))
-    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
-    grams
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).as("n_grams"),
-        max(col("cnt")).as("top_gram_cnt"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_gram_cnt"))
-      .select(col("doc_id"), col("n_grams"), col("top_gram_cnt"), col("dup_gram_cnt"),
-        r4(col("top_gram_cnt").cast("double") / col("n_grams")).as("top_frac"),
-        r4(col("dup_gram_cnt").cast("double") / col("n_grams")).as("dup_frac"),
-        (col("dup_gram_cnt").cast("double") / col("n_grams") > dupFracCut)
+        col("st.n_grams").as("n_grams"),
+        col("st.top_gram_cnt").as("top_gram_cnt"),
+        col("st.dup_gram_cnt").as("dup_gram_cnt"),
+        r4(col("st.top_gram_cnt").cast("double") / col("st.n_grams")).as("top_frac"),
+        r4(col("st.dup_gram_cnt").cast("double") / col("st.n_grams")).as("dup_frac"),
+        (col("st.dup_gram_cnt").cast("double") / col("st.n_grams") > dupFracCut)
           .as("is_repetitive"))
   }
 

@@ -79,36 +79,41 @@ object CorpusPrep {
   }
 
   /** The modern pretraining-data pipeline, composed as one declarative
-    * plan: length gate -> repetition gate (Gopher dup-3-gram fraction)
-    * -> benchmark-decontamination gate (8-gram overlap vs a broadcast
-    * benchmark set) -> exact dedup (lowest id per content hash) ->
-    * token-budget resample per source. The gram stages run over the
-    * corpus once each and join back to the slim (doc_id, source, lang,
-    * n_tokens) spine on doc_id; budget keep-rates are computed from the
-    * RAW per-source token mass (a slim second scan — at 100 TB you want
-    * rate stability across gate tweaks, and it avoids recomputing the
-    * gram subtrees for the totals). Returns the per-source survivor
-    * summary.
+    * plan: length gate -> repetition gate (Gopher dup-3-gram fraction,
+    * the native one-pass GramRunStats projection) -> benchmark-
+    * decontamination gate (8-gram overlap vs the benchmark gram set
+    * collected once and shipped as a literal) -> exact dedup (lowest id
+    * per content hash) -> token-budget resample per source.
+    *
+    * Every gate is a COLUMN on one corpus scan — no per-gate scan, no
+    * gram shuffle, no join-back; the only exchange over the corpus is
+    * the slim dedup window on the content hash. Budget keep-rates come
+    * from the RAW per-source token mass (a slim second scan — at 100 TB
+    * you want rate stability across gate tweaks). Returns the
+    * per-source survivor summary.
     */
   def prepareModern(docs: DataFrame, benchmark: DataFrame, minTokens: Int,
       maxDupFrac: Double, maxHitRatio: Double,
       budgets: Seq[(String, Long)], defaultBudget: Long): DataFrame = {
     val w = Window.partitionBy(col("text_hash"))
-    val spine = docs
+    val (nG, nH) = graft.operators.Contamination.hitStats(col("text"), benchmark, n = 8)
+    val survivors = docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .where(col("n_tokens") >= minTokens)
+      // repetition gate inline: same unrounded dup-fraction comparison as
+      // repetitionMetrics; docs with < 3 tokens count as non-repetitive
+      .withColumn("st",
+        org.apache.spark.sql.graftnative.GramRunStats.gramRunStats(col("toks"), 3))
+      .where(!coalesce(
+        col("st.dup_gram_cnt").cast("double") / col("st.n_grams") > maxDupFrac,
+        lit(false)))
+      // contamination gate inline: same 4-dp stable-rounded hit ratio as
+      // decontaminate; docs with < 8 space-split tokens count as clean
+      .where(coalesce(floor(nH * 10000.0 / nG + 0.5) / 10000.0, lit(0.0))
+        <= maxHitRatio)
       .withColumn("text_hash", md5(col("text")))
       .select("doc_id", "lang", "source", "n_tokens", "text_hash")
-    val rep = TextAnalysis.repetitionMetrics(docs, n = 3, dupFracCut = maxDupFrac)
-      .select(col("doc_id"), col("is_repetitive"))
-    val cont = graft.operators.Contamination.decontaminate(docs, benchmark, n = 8)
-      .select(col("doc_id"), col("hit_ratio"))
-    val survivors = spine
-      .join(rep, Seq("doc_id"), "left")
-      .where(!coalesce(col("is_repetitive"), lit(false)))
-      .join(cont, Seq("doc_id"), "left")
-      .where(coalesce(col("hit_ratio"), lit(0.0)) <= maxHitRatio)
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .where(col("doc_id") === col("keep_id"))
     val budget = budgets.foldRight(lit(defaultBudget)) { case ((g, b), e) =>
