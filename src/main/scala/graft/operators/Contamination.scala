@@ -26,14 +26,15 @@ import org.apache.spark.sql.graftnative.RollingHash
 object Contamination {
 
   /** Positions 1..len-n+1 of `toks`, each mapped to the portable hash of
-    * the space-rejoined n-token window. Callers must pre-filter
-    * size(toks) >= n: Spark's `sequence` walks BACKWARDS when stop < start
-    * and would emit phantom positions.
+    * the space-rejoined n-token window — the native one-pass GramHashes
+    * expression (bit-identical to the interpreted
+    * `transform(sequence(...), i -> RollingHash(array_join(slice(...))))`
+    * formulation, which paid a slice + join allocation and a lambda
+    * dispatch PER WINDOW). Callers must pre-filter size(toks) >= n (the
+    * expression yields null below n tokens).
     */
   private def gramHashes(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => RollingHash.rollingHash(array_join(slice(toks, i, lit(n)), " ")))
+    org.apache.spark.sql.graftnative.GramHashes.gramHashes(toks, n)
 
   /** Benchmark decontamination report: for every corpus document sharing at
     * least one distinct n-gram with the benchmark set, the count of
@@ -106,12 +107,13 @@ object Contamination {
       .where(size(col("toks")) >= n)
       .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
       .distinct().collect().map(_.getLong(0))
-    val benchLit = typedLit(benchHashes.sorted.toSeq)
-    val stoks = split(textCol, " ")
-    val hashes = array_distinct(gramHashes(stoks, n))
-    val ok = size(stoks) >= n
-    (when(ok, size(hashes).cast("long")),
-      when(ok, size(array_intersect(hashes, benchLit)).cast("long")))
+    // NOT array_intersect(hashes, lit(bench)): ArrayIntersect rebuilds a
+    // hash set of the k-element literal on EVERY row. GramSetStats hashes
+    // the row's windows once and binary-searches one sorted copy of the
+    // benchmark set shared across the whole scan.
+    val st = org.apache.spark.sql.graftnative.GramSetStats
+      .gramSetStats(split(textCol, " "), n, benchHashes)
+    (st.getField("n_grams"), st.getField("n_hit"))
   }
 
   /** Cross-document duplicated-span report: an n-token window is "dup" when

@@ -111,6 +111,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native GramHashes matches the interpreted HOF fold on random docs") {
+    val rnd = new Random(23)
+    val words = Seq("a", "bb", "ccc", "", "d e", "é", "日本", "x9", "zz")
+    val docs = Seq.tabulate(60) { i =>
+      val n = rnd.nextInt(14) // includes docs shorter than the window
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    for (n <- Seq(2, 3, 8)) {
+      val native = docs
+        .select(col("doc_id"),
+          org.apache.spark.sql.graftnative.GramHashes.gramHashes(toks, n).as("h"))
+        .orderBy("doc_id").select(to_json(struct(col("h")))).as[String].collect().toSeq
+      val hof = docs
+        .select(col("doc_id"),
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)),
+              i => org.apache.spark.sql.graftnative.RollingHash
+                .rollingHash(array_join(slice(toks, i, lit(n)), " ")))).as("h"))
+        .orderBy("doc_id").select(to_json(struct(col("h")))).as[String].collect().toSeq
+      assert(native == hof, s"n=$n")
+    }
+  }
+
   test("native minhash signatures are stable across partitionings") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, Seq.fill(30)(s"w${(i * 7 + 3) % 11}").mkString(" "), "en", "s"))
