@@ -136,6 +136,29 @@ object Stress {
     time("dup_spans") {
       graft.operators.Contamination.dupSpans(docs, n = 8)
     }
+    // r4 curation additions. line_dedup's worst case IS replication:
+    // every line of every doc is boilerplate (occurs in `factor` docs
+    // when factor > maxDocs), so the frequent-line set is maximal.
+    time("line_dedup") {
+      Dedup.lineDedup(Dedup.withBoilerplate(docs), maxDocs = 10)
+    }
+    // domain_cap under replication: `factor`x the rows per source, same
+    // source cardinality — the hot-domain shape the two-phase top-N is
+    // built for.
+    time("domain_cap") {
+      graft.operators.Sampling.domainCap(
+        docs.withColumn("n_chars", length(col("text")).cast("long")), cap = 30)
+    }
+    // The fused modern pipeline: every gate inline on one scan.
+    time("corpus_prep2") {
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.pipeline.CorpusPrep.prepareModern(docs, bench, minTokens = 20,
+        maxDupFrac = 0.1, maxHitRatio = 0.2,
+        budgets = Seq("src0" -> 400L, "src1" -> 700L, "src2" -> 100000L),
+        defaultBudget = 250L)
+    }
     spark.stop()
   }
 }
