@@ -785,6 +785,14 @@ object SparkEntry {
         Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
           idOffset = 1000000L, truncateChars = 30), n = 8)),
 
+    // §2.24x — duplicated-span REMOVAL, keep-first: a cross-doc 8-gram
+    // survives only in its lowest doc_id; planted truncated copies lose
+    // the shared text, originals keep theirs verbatim
+    "q_span_scrub" -> ((s, dir) =>
+      graft.operators.Contamination.scrubDupSpans(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30), n = 8)),
+
     // §2.24n — per-source quality-quantile gate: keep docs at/above their
     // source's median token count. Tiny per-group quantile broadcast back
     // onto the scan — the corpus never shuffles.
@@ -1731,6 +1739,48 @@ object SparkEntry {
         |  floor(count(*) FILTER (WHERE isdup) * 10000.0 / count(*) + 0.5) / 10000.0 AS dup_ratio
         |FROM r GROUP BY doc_id
         |HAVING count(*) FILTER (WHERE isdup) > 0""".stripMargin,
+
+    // keep-first scrub: reconstruction filters 1-based token positions
+    // against the doc's sorted dup-window starts (nested-lambda closure)
+    "q_span_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |g AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(toks[u.i:u.i+7], ' '), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS h
+        |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (
+        |  SELECT h, min(doc_id) AS keep_doc
+        |  FROM (SELECT DISTINCT h, doc_id FROM g) dg
+        |  GROUP BY h HAVING count(*) >= 2),
+        |dp AS (
+        |  SELECT g.doc_id, list(g.pos ORDER BY g.pos) AS dups
+        |  FROM g JOIN d ON g.h = d.h
+        |  WHERE g.doc_id <> d.keep_doc
+        |  GROUP BY g.doc_id),
+        |s AS (
+        |  SELECT t.doc_id, t.toks, COALESCE(dp.dups, []) AS dups
+        |  FROM tok t LEFT JOIN dp ON t.doc_id = dp.doc_id),
+        |k AS (
+        |  SELECT doc_id, toks, dups,
+        |    list_filter(range(1, len(toks) + 1),
+        |      i -> len(list_filter(dups, w -> w >= i - 7 AND w <= i)) = 0) AS keep_pos
+        |  FROM s)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(
+        |    list_transform(keep_pos, i -> toks[CAST(i AS INTEGER)]), ' '), '')
+        |    AS clean_text,
+        |  CAST(len(keep_pos) AS BIGINT) AS n_kept,
+        |  CAST(len(toks) - len(keep_pos) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
 
     "q_quality_gate" ->
       """WITH s AS (

@@ -116,6 +116,54 @@ object Contamination {
     (st.getField("n_grams"), st.getField("n_hit"))
   }
 
+  /** Duplicated-span REMOVAL with keep-first semantics (the actionable
+    * half of Lee et al.'s substring dedup): an n-token window whose hash
+    * occurs in >= 2 distinct documents survives only in the lowest
+    * doc_id containing it; every token covered by a scrubbed window is
+    * dropped and the document re-joined. Emits every document:
+    * (doc_id, clean_text, n_kept, n_removed).
+    *
+    * 100 TB posture: gram work is the native scan-speed projection; the
+    * frequency pass and the per-doc start-list aggregate shuffle slim
+    * (doc_id, pos, int64) rows; raw text travels exactly once, into the
+    * final doc_id-keyed join with its own start list; reconstruction is
+    * the one-sweep native ScrubTokens — no exploded-token shuffle.
+    */
+  def scrubDupSpans(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode_outer(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+
+    // per-doc distinct map-side (array_distinct before explode), so count
+    // = distinct-doc count and min = lowest doc containing the hash
+    val dupHashes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"), col("keep_doc"))
+
+    val dupStarts = grams.join(dupHashes, Seq("h"))
+      .where(col("doc_id") =!= col("keep_doc"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("dup_starts"))
+
+    val scrubbed = org.apache.spark.sql.graftnative.ScrubTokens.scrubTokens(
+      split(col("text"), " "),
+      coalesce(col("dup_starts"), typedLit(Array.empty[Int])), n)
+    docs.select(col("doc_id"), col("text"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), scrubbed.as("s"))
+      .select(col("doc_id"), col("s.clean_text").as("clean_text"),
+        col("s.n_kept").as("n_kept"), col("s.n_removed").as("n_removed"))
+  }
+
   /** Cross-document duplicated-span report: an n-token window is "dup" when
     * its hash occurs in >= 2 distinct documents; a span is a maximal run of
     * consecutive dup positions. Output per document with at least one dup

@@ -64,6 +64,27 @@ class ContaminationSpec extends SparkSpec {
     assert(Contamination.decontaminate(tiny, tiny, n = 3).count() == 0)
   }
 
+  test("scrubDupSpans removes shared spans keep-first, rebuilds text in order") {
+    val out = Contamination.scrubDupSpans(docs, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"))).toMap
+    assert(out.size == 3)
+    // doc 1 is the lowest id containing the shared trigrams: untouched
+    assert(out(1L) == (("a b c d e f g h i j k l", 12L, 0L)))
+    // doc 2: dup window starts 1..6 cover tokens 1..8 ("a".."h")
+    assert(out(2L) == (("x y z w", 4L, 8L)))
+    // doc 3 shares nothing
+    assert(out(3L) == (("p q r s t u v w2 p2 q2 r2 s2", 12L, 0L)))
+  }
+
+  test("scrubDupSpans keeps short docs (< n tokens) verbatim") {
+    val d = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Contamination.scrubDupSpans(d, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a b", 2L -> "a b"))
+  }
+
   test("decontaminateStream matches the join-based report on contaminated docs") {
     val docs = Seq(
       (1L, "the bench sentence one two three four five plus trailing words"),
