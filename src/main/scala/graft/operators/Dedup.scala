@@ -317,28 +317,36 @@ object Dedup {
     // pair-generation query twice
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    val nodes = edges.select(col("src"))
+      .unionByName(edges.select(col("dst").as("src"))).distinct()
+      .localCheckpoint()
+    // self-edge folded into the adjacency, so one join + one groupBy IS
+    // the full hash-min step: label'(x) = min over {x} ∪ neighbors(x)
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(nodes.withColumn("dst", col("src")))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    var labels = nodes.select(col("src").as("doc_id"), col("src").as("label"))
       .localCheckpoint()
+    // labels only DECREASE under hash-min and at least one strictly
+    // decreases every non-converged round, so the label sum is a
+    // convergence certificate — a one-column aggregate of the freshly
+    // materialized round instead of an old-vs-new join
+    def sumLabels(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labelSum = sumLabels(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = sym
+      val updated = sym
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("neighbor_label"))
-      // carry the old label through the checkpoint so convergence is a
-      // scan of the materialized round, not another join job
-      val updated = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = updated.where(col("label") =!= col("old_label")).isEmpty
-      labels = updated.select(col("doc_id"), col("label"))
+      val newSum = sumLabels(updated)
+      converged = newSum.compareTo(labelSum) == 0
+      labelSum = newSum
+      labels = updated
       iter += 1
     }
     // silently returning a non-fixpoint would hand back components that
