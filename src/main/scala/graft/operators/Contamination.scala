@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftnative.RollingHash
 
@@ -20,8 +19,9 @@ import org.apache.spark.sql.graftnative.RollingHash
   *  - decontaminate: the benchmark gram set is small by nature (benchmarks
   *    are fixed corpora), so it is BROADCAST and the corpus side never
   *    shuffles its grams — the only exchange is the final per-doc count.
-  *  - dupSpans: two keyed shuffles (gram-frequency groupBy, per-doc span
-  *    window) over slim (doc_id, pos, hash) rows; both partial-aggregate.
+  *  - dupSpans: two keyed shuffles (gram-frequency groupBy, per-doc
+  *    dup-position aggregate) over slim (doc_id, pos, hash) rows; both
+  *    partial-aggregate, and the per-doc pass sees dup positions only.
   */
 object Contamination {
 
@@ -168,6 +168,14 @@ object Contamination {
     * its hash occurs in >= 2 distinct documents; a span is a maximal run of
     * consecutive dup positions. Output per document with at least one dup
     * window: (doc_id, n_windows, n_dup_windows, n_spans, dup_ratio).
+    *
+    * Span counting aggregates ONLY the dup positions: the dup-hash join is
+    * inner, so clean windows (the overwhelming majority of a real corpus)
+    * never reach the per-doc aggregate, and the maximal-run count is a
+    * per-doc fold over that small sorted list. The earlier formulation
+    * lag-windowed EVERY position (a full-corpus sort exchange) to learn
+    * what the sorted dup list already says. `n_windows` rides along on the
+    * gram rows as size(toks)-n+1 — recomputed from the doc, not counted.
     */
   def dupSpans(docs: DataFrame, n: Int): DataFrame = {
     // posexplode_outer for the same InferFiltersFromGenerate reason as in
@@ -176,9 +184,9 @@ object Contamination {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
-      .select(col("doc_id"),
+      .select(col("doc_id"), (size(col("toks")) - n + 1).cast("long").as("n_windows"),
         posexplode_outer(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+      .select(col("doc_id"), col("n_windows"), (col("pos0") + 1).as("pos"), col("h"))
 
     // dup detection needs "h in >= 2 distinct docs": dedup the hashes
     // PER DOC map-side (array_distinct before the explode) so a plain
@@ -192,23 +200,24 @@ object Contamination {
       .groupBy(col("h"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
-      .select(col("h"), lit(true).as("isdup"))
+      .select(col("h"))
 
-    val flagged = grams.join(dupHashes, Seq("h"), "left")
-      .select(col("doc_id"), col("pos"),
-        coalesce(col("isdup"), lit(false)).as("isdup"))
-
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    flagged
-      .withColumn("prev", lag(col("isdup"), 1, false).over(byPos))
+    val perDoc = grams.join(dupHashes, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_windows"),
-        count(when(col("isdup"), 1)).as("n_dup_windows"),
-        count(when(col("isdup") && !col("prev"), 1)).as("n_spans"))
-      .where(col("n_dup_windows") > 0)
-      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"), col("n_spans"),
-        (floor(col("n_dup_windows") * 10000.0 / col("n_windows") + 0.5) / 10000.0)
-          .as("dup_ratio"))
+      .agg(first(col("n_windows")).as("n_windows"),
+        sort_array(collect_list(col("pos").cast("int"))).as("dup_pos"))
+
+    // runs in the sorted dup list: 1 + count of gaps (next != prev+1);
+    // the HOF runs over dup positions only, not the whole document
+    val arr = col("dup_pos")
+    val nSpans = (size(filter(
+      zip_with(slice(arr, lit(2), size(arr) - 1), slice(arr, lit(1), size(arr) - 1),
+        (cur, prev) => cur =!= prev + 1),
+      x => x)) + 1).cast("long")
+
+    perDoc.select(col("doc_id"), col("n_windows"),
+      size(arr).cast("long").as("n_dup_windows"), nSpans.as("n_spans"),
+      (floor(size(arr) * 10000.0 / col("n_windows") + 0.5) / 10000.0)
+        .as("dup_ratio"))
   }
 }

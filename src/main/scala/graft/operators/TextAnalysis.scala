@@ -119,8 +119,12 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("term_count"), count(lit(1)).as("doc_freq"))
     // global top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
     // partial top-k, no all-to-one sort shuffle of the whole vocabulary);
-    // the rank window then runs over k rows only
-    val w = Window.orderBy(col("term_count").desc, col("token").asc)
+    // the rank window then runs over k rows only. The constant partition
+    // key routes those k rows to one partition WITHOUT tripping WindowExec's
+    // unpartitioned-window warning — the volume is already bounded by the
+    // limit, not by the window.
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("term_count").desc, col("token").asc)
     agg
       .orderBy(col("term_count").desc, col("token").asc).limit(k)
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -216,7 +220,10 @@ object TextAnalysis {
     val toks = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    // constant partition key: rank runs over the vocabSize rows the limit
+    // kept, and the explicit (constant) partitioning avoids the
+    // unpartitioned-WindowExec warning on a volume that is bounded anyway
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token").asc)
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
       .select(col("token"), row_number().over(w).cast("long").as("token_id"))
