@@ -778,6 +778,20 @@ object SparkEntry {
       graft.operators.Contamination.decontaminateStream(docs, bench, n = 8)
     }),
 
+    // §2.24l3 — Bloom-filter decontamination: the benchmark grams fold
+    // into a fixed 64 Kibit filter (4 probes/gram) probed by a pure
+    // projection — the broadcast stays m/8 bytes no matter how many
+    // benchmarks are unioned in, with zero false negatives. n_hit counts
+    // POSSIBLE hits; the oracle replays the probe arithmetic bit-exactly.
+    "q_decontam_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.operators.Contamination.decontaminateBloom(docs, bench, n = 8,
+        mBits = 65536, kProbes = 4)
+    }),
+
     // §2.24m — cross-document duplicated-span report (substring-dedup
     // signal) over a corpus with planted near-copies.
     "q_dup_spans" -> ((s, dir) =>
@@ -1711,6 +1725,46 @@ object SparkEntry {
         |  coalesce(h.n_hit, 0) AS n_hit,
         |  floor(coalesce(h.n_hit, 0) * 10000.0 / CAST(len(c.hashes) AS BIGINT) + 0.5) / 10000.0 AS hit_ratio
         |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // replays the Bloom probe arithmetic exactly: bit_i(h) =
+    // (h % 65536 + i * (1 + (h // 65536) % 65535)) % 65536, a gram
+    // maybe-hits when all 4 probe bits are in the benchmark's bit set
+    "q_decontam_bloom" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
+        |  FROM tok WHERE len(toks) >= 8),
+        |bt AS (
+        |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
+        |  FROM bt WHERE len(btoks) >= 8),
+        |bits AS (
+        |  SELECT DISTINCT (h % 65536 + i * (1 + (h // 65536) % 65535)) % 65536 AS b
+        |  FROM bench, range(0, 4) AS t(i)),
+        |ex AS (
+        |  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, unnest(hashes) AS h
+        |  FROM corpus),
+        |probe AS (
+        |  SELECT e.doc_id, e.n_grams, e.h,
+        |    bool_and((e.h % 65536 + i * (1 + (e.h // 65536) % 65535)) % 65536
+        |      IN (SELECT b FROM bits)) AS maybe
+        |  FROM ex e, range(0, 4) AS t(i)
+        |  GROUP BY e.doc_id, e.n_grams, e.h)
+        |SELECT doc_id, n_grams,
+        |  CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_hit,
+        |  floor(CAST(count(*) FILTER (WHERE maybe) AS BIGINT) * 10000.0 / n_grams + 0.5) / 10000.0 AS hit_ratio
+        |FROM probe GROUP BY doc_id, n_grams""".stripMargin,
 
     "q_dup_spans" ->
       """WITH base AS (

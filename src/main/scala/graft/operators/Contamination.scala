@@ -102,18 +102,58 @@ object Contamination {
     */
   def hitStats(textCol: org.apache.spark.sql.Column, benchmark: DataFrame,
       n: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val benchHashes: Array[Long] = benchmark
-      .select(split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= n)
-      .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
-      .distinct().collect().map(_.getLong(0))
     // NOT array_intersect(hashes, lit(bench)): ArrayIntersect rebuilds a
     // hash set of the k-element literal on EVERY row. GramSetStats hashes
     // the row's windows once and binary-searches one sorted copy of the
     // benchmark set shared across the whole scan.
     val st = org.apache.spark.sql.graftnative.GramSetStats
-      .gramSetStats(split(textCol, " "), n, benchHashes)
+      .gramSetStats(split(textCol, " "), n, benchGramHashes(benchmark, n))
     (st.getField("n_grams"), st.getField("n_hit"))
+  }
+
+  /** The benchmark's distinct gram hashes, collected once at plan-build
+    * time — the broadcast payload of the scan-shaped decontamination
+    * variants.
+    */
+  private def benchGramHashes(benchmark: DataFrame, n: Int): Array[Long] =
+    benchmark
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
+      .distinct().collect().map(_.getLong(0))
+
+  /** Bloom-filter decontamination: the benchmark gram set is folded into an
+    * m-bit Bloom filter (k probes per gram, GramBloomStats' double-hash
+    * arithmetic) and every document is gated by a pure projection that
+    * probes the filter per distinct window hash.
+    *
+    * This is the 100 TB shape of `decontaminateStream`: the exact sorted
+    * set grows with the benchmark union (8 bytes per distinct gram — a
+    * multi-benchmark suite of 10^8 grams is an 800 MB broadcast), while
+    * the Bloom filter is m/8 bytes FOREVER (m=2^20 -> 128 KiB) at a
+    * false-positive rate of ~(1-e^(-kn/m))^k and zero false negatives —
+    * flagged docs go to the exact recheck, clean docs (the overwhelming
+    * majority) are certified clean by the filter alone. Emits every doc
+    * with >= n tokens: (doc_id, n_grams, n_hit, hit_ratio), where n_hit
+    * counts POSSIBLE hits (distinct grams whose k bits are all set).
+    */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame, n: Int,
+      mBits: Int, kProbes: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.GramBloomStats
+    val words = new Array[Long](mBits / 64)
+    benchGramHashes(benchmark, n).foreach { h =>
+      GramBloomStats.bitPositions(h, mBits, kProbes).foreach { b =>
+        words(b >>> 6) |= 1L << (b & 63)
+      }
+    }
+    val st = GramBloomStats.gramBloomStats(
+      split(col("text"), " "), n, mBits, kProbes, words)
+    docs
+      .select(col("doc_id"), st.getField("n_grams").as("n_grams"),
+        st.getField("n_hit").as("n_hit"))
+      .where(col("n_grams").isNotNull)
+      .withColumn("hit_ratio",
+        floor(col("n_hit") * 10000.0 / col("n_grams") + 0.5) / 10000.0)
   }
 
   /** Duplicated-span REMOVAL with keep-first semantics (the actionable

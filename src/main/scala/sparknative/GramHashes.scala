@@ -165,3 +165,93 @@ object GramSetStats {
     ExpressionUtils.column(GramSetStats(ExpressionUtils.expression(tokens), n, sorted))
   }
 }
+
+/** Whole-row BLOOM-FILTER contamination stats: distinct window-hash count
+  * and how many distincts possibly-hit an m-bit Bloom filter of the
+  * benchmark gram set (k probes per hash via double hashing). The filter
+  * is a plan-constant long[] of m/64 words — at 100 TB this is what an
+  * exact sorted set (GramSetStats) cannot stay: a benchmark union of
+  * millions of grams still broadcasts as m/8 bytes, at the price of a
+  * bounded false-positive rate and zero false negatives.
+  *
+  * Probe arithmetic is pure integer math on the portable gram hash so a
+  * SQL oracle can replay it exactly:
+  *   h1 = h % m,  h2 = 1 + (h div m) % (m-1),  bit_i = (h1 + i*h2) % m.
+  * h2 >= 1 keeps the probe stride nonzero; a coinciding probe pair is
+  * harmless (it re-tests the same bit).
+  */
+case class GramBloomStats(child: Expression, n: Int, m: Int, k: Int, words: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, "window width must be >= 1")
+  require(m >= 64 && (m & (m - 1)) == 0, "bloom bit count must be a power of two >= 64")
+  require(k >= 1, "probe count must be >= 1")
+  require(words.length == m / 64, s"words must hold m/64 = ${m / 64} longs")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_hit", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  private def maybeHit(h: Long): Boolean = {
+    val h1 = h % m
+    val h2 = 1L + (h / m) % (m - 1)
+    var i = 0
+    while (i < k) {
+      val b = ((h1 + i * h2) % m).toInt
+      if ((words(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = GramHashCore.windowHashes(input.asInstanceOf[ArrayData], n)
+    if (hs == null) return null
+    java.util.Arrays.sort(hs)
+    var d = 0L
+    var hits = 0L
+    var i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) {
+        d += 1
+        if (maybeHit(hs(i))) hits += 1
+      }
+      i += 1
+    }
+    InternalRow(d, hits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBloomStats", this, classOf[GramBloomStats].getName)
+    nullSafeCodeGen(ctx, ev, toks => {
+      s"""
+         |Object r = $ref.compute($toks);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """.stripMargin
+    })
+  }
+
+  def compute(toks: ArrayData): AnyRef = nullSafeEval(toks).asInstanceOf[AnyRef]
+
+  override protected def withNewChildInternal(newChild: Expression): GramBloomStats =
+    copy(child = newChild)
+}
+
+object GramBloomStats {
+  /** The k probe bit positions of gram hash `h` — shared by the filter
+    * builder (Contamination.bloomStats) and the probe expression so the
+    * two can never drift.
+    */
+  def bitPositions(h: Long, m: Int, k: Int): Array[Int] = {
+    val h1 = h % m
+    val h2 = 1L + (h / m) % (m - 1)
+    Array.tabulate(k)(i => ((h1 + i * h2) % m).toInt)
+  }
+
+  def gramBloomStats(tokens: Column, n: Int, m: Int, k: Int, words: Array[Long]): Column =
+    ExpressionUtils.column(
+      GramBloomStats(ExpressionUtils.expression(tokens), n, m, k, words.clone()))
+}

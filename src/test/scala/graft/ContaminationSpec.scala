@@ -131,4 +131,30 @@ class ContaminationSpec extends SparkSpec {
     assert(rows(1L) > 0L)
     assert(rows(2L) == 0L)
   }
+
+  test("decontaminateBloom never misses an exact hit and matches exact counts on a sparse filter") {
+    val bench = docs.where($"doc_id" === 1)
+    val exact = Contamination.decontaminateStream(docs, bench, n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    val bloom = Contamination.decontaminateBloom(docs, bench, n = 3,
+      mBits = 65536, kProbes = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (ng, nh)) =>
+      assert(bloom(id)._1 == ng)
+      // zero false negatives always; at 10 grams x 4 probes in 2^16 bits
+      // the false-positive probability is ~(40/65536)^4 ~ 1e-13, so the
+      // counts must be exactly the exact-set counts here
+      assert(bloom(id)._2 == nh)
+    }
+  }
+
+  test("bloom probe positions are deterministic and within the filter") {
+    import org.apache.spark.sql.graftnative.GramBloomStats
+    val ps = GramBloomStats.bitPositions(123456789L, 65536, 4)
+    assert(ps.sameElements(GramBloomStats.bitPositions(123456789L, 65536, 4)))
+    assert(ps.forall(p => p >= 0 && p < 65536))
+  }
 }
