@@ -534,6 +534,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))),
 
+    // §2.24j2 — deterministic training-shard plan: 16 hash shards, salted
+    // in-shard shuffle order, per-shard doc/token/char mass + an
+    // order-sensitive doc_id fingerprint a resumed writer verifies
+    "q_shard_plan" -> ((s, dir) =>
+      graft.operators.Sampling.shardPlan(Tables.documents(s, dir), nShards = 16)),
+
     // §2.24t — per-domain document cap: at most 30 docs per source by
     // (n_chars DESC, doc_id) priority, skew-safe two-phase top-N
     "q_domain_cap" -> ((s, dir) =>
@@ -1262,6 +1268,26 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100
         |                         WHEN 'es' THEN 25 ELSE 10 END
         |GROUP BY lang""".stripMargin,
+
+    // replays both salted folds; the fingerprint hashes doc_ids in
+    // (order-fold, doc_id) order exactly as the Spark struct sort does
+    "q_shard_plan" ->
+      """WITH h AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('shard:' || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 16 AS shard,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('order:' || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS ord
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY ord, doc_id)) AS order_fp
+        |FROM h GROUP BY shard""".stripMargin,
 
     // bucketing changes layout, not results: the oracle is the plain join
     "q_bucketed_join" ->

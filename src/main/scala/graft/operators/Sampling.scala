@@ -144,6 +144,43 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
   }
 
+  /** Deterministic shard plan — the write side of training-shard
+    * production. Every doc lands in shard pmod(fold("shard:" + doc_id),
+    * nShards) and is ordered within its shard by a second salted fold:
+    * a deterministic "global shuffle" with no RNG state, so a retried or
+    * resumed writer reproduces byte-identical shards. The manifest row per
+    * shard carries the doc/token/char mass (shard-balance audit) and an
+    * order-sensitive fingerprint (md5 over the ordered doc_id sequence)
+    * that a resumed run checks before appending.
+    *
+    * 100 TB posture: one groupBy on the shard key (the same exchange the
+    * physical write's repartition(shard) pays anyway); the fingerprint
+    * concatenates ids, not text, so the aggregate state per shard is
+    * O(docs-per-shard * ~10 bytes). The actual write is
+    * `repartition(nShards, shard).sortWithinPartitions(ord)` — this plan
+    * is its audit twin.
+    */
+  def shardPlan(docs: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val shard = pmod(
+      rollingHash(concat(lit("shard:"), col("doc_id").cast("string"))),
+      lit(nShards.toLong))
+    val ord = rollingHash(concat(lit("order:"), col("doc_id").cast("string")))
+    docs
+      .select(col("doc_id"), shard.as("shard"), ord.as("ord"),
+        size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")), " ")).as("order_fp"))
+  }
+
   /** Engine-portable stratified sample: per-stratum keep-percentages over
     * the base-257 id-fold bucket (the same portable hash the corpus-prep
     * split uses), so the sampled set is reproducible in any engine —

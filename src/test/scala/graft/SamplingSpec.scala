@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Sampling
+import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -99,6 +100,45 @@ class SamplingSpec extends SparkSpec {
           r.getAs[Long]("epochs_bp"))).toMap
     assert(out("a") == (200L, 750L, 37500L)) // 3.75 epochs
     assert(out("b") == (50L, 250L, 50000L))  // 5 epochs
+  }
+
+  test("shardPlan conserves corpus mass and is partitioning-invariant") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"tok${i} tok${i + 1} tok${i + 2}", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val plan = Sampling.shardPlan(docs, nShards = 8).collect()
+    assert(plan.map(_.getAs[Long]("shard")).toSet.subsetOf((0L until 8L).toSet))
+    assert(plan.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(plan.map(_.getAs[Long]("n_tokens")).sum == 600L)
+    // identical manifest (incl. the order fingerprint) from a different
+    // physical partitioning — nothing about the plan depends on layout
+    val again = Sampling.shardPlan(docs.repartition(7), nShards = 8)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[String]("order_fp")).toMap
+    plan.foreach(r =>
+      assert(again(r.getAs[Long]("shard")) == r.getAs[String]("order_fp")))
+  }
+
+  test("shardPlan fingerprint matches the physical sharded write order") {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val docs = (0L until 60L).map(i => (i, s"w$i", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val fp = Sampling.shardPlan(docs, nShards = 4)
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[String]("order_fp")).toMap
+    // the write path shardPlan audits: repartition on the same shard key,
+    // sort within partitions by the same salted order fold
+    val shard = pmod(rollingHash(concat(lit("shard:"), $"doc_id".cast("string"))), lit(4L))
+    val ord = rollingHash(concat(lit("order:"), $"doc_id".cast("string")))
+    val written = docs
+      .withColumn("shard", shard).withColumn("ord", ord)
+      .repartition(4, col("shard")).sortWithinPartitions(col("ord"), col("doc_id"))
+    val byShard = written.select("shard", "doc_id").collect()
+      .groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (s, rows) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seq = rows.map(_.getAs[Long]("doc_id")).mkString(" ")
+      val hex = md.digest(seq.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(fp(s) == hex)
+    }
   }
 
   test("quantileGate keeps rows at or above their group's quantile") {
