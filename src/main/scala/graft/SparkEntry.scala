@@ -444,6 +444,13 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), k = 100)),
 
+    // §2.24e2 — count-min sketch heavy hitters: a 3x2048 fixed-size
+    // counter sketch over the token stream, certified against exact
+    // counts for the true top-20 (cms_est >= true_count, one-sided)
+    "q_cms_topk" -> ((s, dir) =>
+      graft.operators.Approx.cmsTopK(Tables.documents(s, dir),
+        d = 3, w = 2048, k = 20)),
+
     // §2.24f — per-document top TF-IDF terms (tf agg + broadcast df join
     // + per-doc window)
     "q_tfidf" -> ((s, dir) =>
@@ -1567,6 +1574,33 @@ object SparkEntry {
         |SELECT token, CAST(term_count AS BIGINT) AS term_count, doc_freq,
         |  CAST(row_number() OVER (ORDER BY term_count DESC, token ASC) AS BIGINT) AS rk
         |FROM v ORDER BY term_count DESC, token ASC LIMIT 100""".stripMargin,
+
+    // replays the salted-fold bucket arithmetic of every sketch cell
+    "q_cms_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS true_count FROM tok GROUP BY token),
+        |cells AS (
+        |  SELECT i AS r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('cms' || CAST(i AS VARCHAR) || ':' || token, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2048 AS b,
+        |    CAST(sum(true_count) AS BIGINT) AS v
+        |  FROM cnt CROSS JOIN range(0, 3) AS t(i)
+        |  GROUP BY r, b),
+        |est AS (
+        |  SELECT c.token, CAST(c.true_count AS BIGINT) AS true_count,
+        |    min(cl.v) AS cms_est
+        |  FROM cnt c CROSS JOIN range(0, 3) AS t(i) JOIN cells cl
+        |    ON cl.r = i AND cl.b =
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split('cms' || CAST(i AS VARCHAR) || ':' || c.token, ''),
+        |          c2 -> CAST(ascii(c2) AS BIGINT))),
+        |        (acc, c2) -> (acc * 257 + c2) % 1000000007) % 2048
+        |  GROUP BY c.token, c.true_count)
+        |SELECT token, true_count, cms_est FROM est
+        |ORDER BY true_count DESC, token ASC LIMIT 20""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (
