@@ -563,6 +563,12 @@ object SparkEntry {
     "q_shard_plan" -> ((s, dir) =>
       graft.operators.Sampling.shardPlan(Tables.documents(s, dir), nShards = 16)),
 
+    // §2.24j3 — reproducible per-source eval slice: 5 docs per source in
+    // salted-hash order, skew-safe two-phase rank
+    "q_group_sample" -> ((s, dir) =>
+      graft.operators.Sampling.groupSample(
+        Tables.documents(s, dir), "source", k = 5)),
+
     // §2.24t — per-domain document cap: at most 30 docs per source by
     // (n_chars DESC, doc_id) priority, skew-safe two-phase top-N
     "q_domain_cap" -> ((s, dir) =>
@@ -1291,6 +1297,21 @@ object SparkEntry {
         |WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100
         |                         WHEN 'es' THEN 25 ELSE 10 END
         |GROUP BY lang""".stripMargin,
+
+    // two-phase Spark rank equals the single global rank (total order)
+    "q_group_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('gsample:' || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS ord
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY ord, doc_id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // replays both salted folds; the fingerprint hashes doc_ids in
     // (order-fold, doc_id) order exactly as the Spark struct sort does

@@ -181,6 +181,35 @@ object Sampling {
           s => s.getField("doc_id").cast("string")), " ")).as("order_fp"))
   }
 
+  /** Deterministic per-group k-sample: exactly min(k, |group|) docs per
+    * group, chosen by the salted portable fold (hash order ~ uniform
+    * random, but reproducible across runs, engines, and corpus
+    * repartitioning) — how an eval slice or human-review batch is pulled
+    * from each domain without RNG state.
+    *
+    * Skew-safe like domainCap: phase 1 ranks within (group,
+    * input-partition) so a dominant group spreads over all reducers;
+    * phase 2 ranks the <= k * num_partitions survivors globally. The
+    * (fold, doc_id) priority is total, so the result equals a single
+    * global rank.
+    */
+  def groupSample(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val ord = rollingHash(concat(lit("gsample:"), col("doc_id").cast("string")))
+    val pri = Seq(col("ord").asc, col("doc_id").asc)
+    val local = Window.partitionBy(col(groupCol), col("part")).orderBy(pri: _*)
+    val global = Window.partitionBy(col(groupCol)).orderBy(pri: _*)
+    docs.select(col("doc_id"), col(groupCol))
+      .withColumn("ord", ord)
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .where(col("lr") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col(groupCol), col("rank"))
+  }
+
   /** Engine-portable stratified sample: per-stratum keep-percentages over
     * the base-257 id-fold bucket (the same portable hash the corpus-prep
     * split uses), so the sampled set is reproducible in any engine —

@@ -141,6 +141,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("groupSample takes exactly k per group, invariant to partitioning") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val a = Sampling.groupSample(docs, "source", k = 7).collect()
+    assert(a.groupBy(_.getAs[String]("source")).forall(_._2.length == 7))
+    val b = Sampling.groupSample(docs.repartition(11), "source", k = 7)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toSet
+    assert(b == a.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toSet)
+    // a small group yields its whole membership
+    val tiny = Sampling.groupSample(docs.where($"doc_id" < 4), "source", k = 7)
+    assert(tiny.count() == 4)
+  }
+
   test("quantileGate keeps rows at or above their group's quantile") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 20L)).toDF("g", "score")
