@@ -149,6 +149,27 @@ object Stress {
       graft.operators.Sampling.domainCap(
         docs.withColumn("n_chars", length(col("text")).cast("long")), cap = 30)
     }
+    // Bloom decontam: pure projection against the fixed 8 KiB filter —
+    // must scale exactly like the corpus scan, independent of benchmark
+    // size (that's the point of the structure).
+    time("decontam_bloom") {
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.operators.Contamination.decontaminateBloom(docs, bench, n = 8,
+        mBits = 65536, kProbes = 4)
+    }
+    // CMS: the sketch stays d x w rows no matter the corpus factor; the
+    // replication multiplies counts, not cells.
+    time("cms_topk") {
+      graft.operators.Approx.cmsTopK(docs, d = 3, w = 2048, k = 20)
+    }
+    // Shard plan: one shard-keyed exchange of slim rows; replication
+    // grows every shard uniformly (hash balance is the audit output).
+    time("shard_plan") {
+      graft.operators.Sampling.shardPlan(
+        docs.withColumn("n_chars", length(col("text")).cast("long")), nShards = 16)
+    }
     // The fused modern pipeline: every gate inline on one scan.
     time("corpus_prep2") {
       val bench = docs.where(col("doc_id") % 20 === 0)
