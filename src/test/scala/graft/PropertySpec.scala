@@ -192,4 +192,38 @@ class PropertySpec extends SparkSpec {
         r.getAs[Long]("n_dups"))).toSet
     assert(again == dropped.toSet)
   }
+
+  test("bloom decontam dominates the exact gate on random corpora (no false negatives)") {
+    val rnd = new Random(17)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    def sentence(len: Int) = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq.tabulate(80)(i => (i.toLong, sentence(6 + rnd.nextInt(20))))
+      .toDF("doc_id", "text")
+    val bench = Seq.tabulate(10)(i => (1000L + i, sentence(12))).toDF("doc_id", "text")
+    val exact = graft.operators.Contamination.decontaminateStream(docs, bench, n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    val bloom = graft.operators.Contamination.decontaminateBloom(docs, bench, n = 4,
+      mBits = 4096, kProbes = 3) // small filter: false positives likely
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (ng, nh)) =>
+      assert(bloom(id)._1 == ng)
+      assert(bloom(id)._2 >= nh, s"doc $id: bloom ${bloom(id)._2} < exact $nh")
+    }
+  }
+
+  test("cms estimates dominate true counts on random corpora at any width") {
+    val rnd = new Random(19)
+    for (w <- Seq(4, 64, 2048)) {
+      val docs = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(15)(s"t${rnd.nextInt(25)}").mkString(" ")))
+        .toDF("doc_id", "text")
+      graft.operators.Approx.cmsTopK(docs, d = 3, w = w, k = 25)
+        .collect().foreach { r =>
+          assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_count"))
+        }
+    }
+  }
 }
