@@ -371,6 +371,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, k = 5)
     }),
 
+    // §2.21g — hard-negative mining: top-5 most-similar DIFFERENT-label
+    // candidates per query (contrastive-training negatives); ANN-scan
+    // plan with a label filter on the candidate side
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e.where(col("vec_id") < 8), e, k = 5)
+    }),
+
     // §2.21 — LSH sign-bucketed ANN (scale path)
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1153,6 +1161,21 @@ object SparkEntry {
         |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
         |      (acc, x) -> acc + x) = 0) AS n_zero_norm
         |FROM corrupted GROUP BY label""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        |  FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings c, q
+        |  WHERE c.vec_id <> q.query_id AND c.label <> q.q_label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

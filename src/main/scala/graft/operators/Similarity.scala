@@ -42,6 +42,35 @@ object Similarity {
         round(col("sim"), 4).as("sim_r"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the top-k most-similar candidates with a DIFFERENT
+    * label — maximally confusable non-matches, the negatives that carry
+    * the gradient signal. Same plan shape as bruteForceTopK (broadcast
+    * queries, streaming candidates, one per-query top-k window); the
+    * label inequality is a scan-side filter, so mining costs exactly
+    * what the ANN scan costs. At 100 TB swap the candidate stream for
+    * the IVF/PQ candidate generation the other q_ann_* variants use —
+    * the per-query ranking stage is unchanged.
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = candidates.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("label").as("c_label"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("c_norm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("c_label"))
+      .withColumn("sim", fdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+
   /** Embedding near-dup pairs, blocked by coarse-quantizer cell: each
     * vector is assigned to its `nprobe` nearest IVF cells (multi-probe for
     * recall across cell boundaries) and pairs are enumerated only within a

@@ -83,6 +83,15 @@ class SimilaritySpec extends SparkSpec {
     assert(int8 == brute)
   }
 
+  test("hardNegatives ranks only different-label candidates") {
+    // query 0 (label 0): same-label 1,2 are excluded; only vec 3
+    // (label 1, identical direction) qualifies
+    val out = Similarity.hardNegatives(vecs.where($"vec_id" === 0), vecs, k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("sim_r")))
+    assert(out.toSeq == Seq((3L, 1L, 1.0)))
+  }
+
   test("cell-blocked nearDupPairs finds planted duplicates") {
     // three separated clusters; vec 100 duplicates vec 0's direction
     val corpus = ((0 until 30).map { i =>
