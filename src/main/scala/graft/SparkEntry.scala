@@ -504,6 +504,19 @@ object SparkEntry {
     }),
 
     // §2.24i — PII-style pattern redaction over a corpus with planted
+    // §2.24y — text normalization over planted irregularities: every 3rd
+    // doc gets mixed case, a tab, a control char, and double spaces
+    // appended; the cleanup must lowercase, strip, collapse, and flag
+    // exactly those docs as changed
+    "q_normalize" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("  NOISY\tTail  end ")))
+            .otherwise(col("text")))
+      TextAnalysis.normalizeText(planted)
+    }),
+
     // contact strings: every doc gets one email + one phone appended, the
     // redactor must scrub both and count them
     "q_redact" -> ((s, dir) => {
@@ -1396,6 +1409,24 @@ object SparkEntry {
         |  count(*) FILTER (WHERE is_b) AS n_dropped,
         |  count(*) AS n_lines
         |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    "q_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || '  NOISY' || chr(9) || 'Tail' || chr(1) || '  end '
+        |      ELSE text END AS text
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, text,
+        |    lower(trim(regexp_replace(
+        |      regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_text
+        |  FROM planted)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+        |  text <> clean_text AS changed
+        |FROM norm""".stripMargin,
 
     "q_redact" ->
       """WITH planted AS (

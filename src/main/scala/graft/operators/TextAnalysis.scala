@@ -300,6 +300,23 @@ object TextAnalysis {
         length(redacted).cast("long").as("clean_chars")) ++ counts: _*)
   }
 
+  /** Text normalization — the pre-tokenization cleanup every corpus pass
+    * starts with: strip ASCII control characters to spaces, collapse
+    * space runs, trim, lowercase. Pure column expressions at scan speed;
+    * the per-doc before/after char counts and `changed` flag are the
+    * audit a pipeline keeps of how much the cleanup touched. Regexes stay
+    * in the portable subset (hex char class, ' +') so every engine
+    * normalizes identically.
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val stripped = regexp_replace(col("text"), "[\\x00-\\x1f]", " ")
+    val norm = lower(trim(regexp_replace(stripped, " +", " ")))
+    docs.select(col("doc_id"), norm.as("clean_text"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      length(norm).cast("long").as("n_chars_clean"),
+      (col("text") =!= norm).as("changed"))
+  }
+
   /** Multimodal plumbing: treat the payload as opaque bytes with typed
     * metadata — byte length, fixed-size chunk count, content hash. The same
     * schema/partitioning carries image/audio blobs at scale; here the text

@@ -75,6 +75,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_<PHONE>") == 2L)
   }
 
+  test("normalizeText strips controls, collapses spaces, lowercases, flags changes") {
+    val d = Seq(
+      (1L, "Already MESSY  text\t here "),
+      (2L, "clean text stays put")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "already messy text here")
+    assert(out(1L).getAs[Boolean]("changed"))
+    assert(out(2L).getAs[String]("clean_text") == "clean text stays put")
+    assert(!out(2L).getAs[Boolean]("changed"))
+    assert(out(1L).getAs[Long]("n_chars_clean") == 23L)
+  }
+
   test("repetitionMetrics flags gram repetition, not natural text") {
     val d = Seq(
       (1L, "a b c a b c a b c"),        // 7 trigrams, all repeated
