@@ -729,6 +729,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           Etl.moneySum(col("value")).as("sum_value"))),
 
+    // §2.28b — cohort retention triangle: distinct users per
+    // (first-seen day, day offset); exact integer counts
+    "q_cohort_retention" -> ((s, dir) =>
+      Observability.cohortRetention(Tables.events(s, dir))),
+
     // §2.29 — exact percentiles of event value per type
     "q_event_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1766,6 +1771,18 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH activity AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM activity a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_event_percentiles" ->
       """SELECT event_type,

@@ -104,4 +104,28 @@ object Observability {
         avg(col("duration_us")).as("avg_duration_us"),
         max(col("duration_us")).as("max_duration_us"),
         count(lit(1)).as("run_count"))
+
+  /** Cohort retention: users bucketed by first-seen day, distinct
+    * returning users per (cohort_day, day offset) — the classic activity
+    * triangle. All integer counts, so the result is engine-exact.
+    *
+    * 100 TB posture: the (user, day) activity set is deduped map-side
+    * BEFORE any join (one row per user-day, not per event), first-seen
+    * days are a user-keyed aggregate that joins back on the same
+    * user_id hash partitioning (no extra exchange under AQE), and the
+    * final (cohort, offset) aggregate is tiny. countDistinct is safe
+    * here because its group space (days x offsets) is bounded, unlike a
+    * per-user expand.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -69,4 +69,21 @@ class ObservabilitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("run_count")).toMap
     assert(stats("START") == 2) // START->SUCCESS and SUCCESS->START pairs keyed by first event
   }
+
+  test("cohortRetention buckets users by first-seen day and counts returns") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // u1 first on day 1, returns day 2 twice (counted once) and day 4;
+    // u2 first on day 2 only
+    val ev = Seq(
+      (1L, ts(1, 9)), (1L, ts(2, 9)), (1L, ts(2, 11)), (1L, ts(4, 9)),
+      (2L, ts(2, 10))
+    ).toDF("user_id", "ts")
+    val out = Observability.cohortRetention(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out == Map(
+      ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L, ("2024-01-02", 0L) -> 1L))
+  }
 }
