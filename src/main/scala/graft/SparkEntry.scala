@@ -734,6 +734,12 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       Observability.cohortRetention(Tables.events(s, dir))),
 
+    // §2.28c — strict-order funnel on first occurrences
+    // (view -> click -> purchase): one row per step with reach counts
+    "q_funnel" -> ((s, dir) =>
+      Observability.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))),
+
     // §2.29 — exact percentiles of event value per type
     "q_event_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1771,6 +1777,26 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t3
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id,
+        |    CASE WHEN t1 IS NULL THEN 0
+        |         WHEN t2 IS NULL OR t2 < t1 THEN 1
+        |         WHEN t3 IS NULL OR t3 < t2 THEN 2
+        |         ELSE 3 END AS depth
+        |  FROM f)
+        |SELECT CAST(s.i AS BIGINT) AS step_idx,
+        |  CASE s.i WHEN 1 THEN 'view' WHEN 2 THEN 'click' ELSE 'purchase' END AS step,
+        |  count(*) AS n_users
+        |FROM d JOIN range(1, 4) AS s(i) ON d.depth >= s.i
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH activity AS (

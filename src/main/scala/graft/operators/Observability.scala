@@ -105,6 +105,41 @@ object Observability {
         max(col("duration_us")).as("max_duration_us"),
         count(lit(1)).as("run_count"))
 
+  /** Strict-order funnel over first occurrences: a user completes step i
+    * when their first step-i event is at or after their first step-(i-1)
+    * event and every earlier step completed. Output: one row per step
+    * with the count of users who reached it.
+    *
+    * One user-keyed aggregate computes every step's first timestamp in a
+    * single pass (min-when per step, map-side combinable); the depth
+    * fold and the step explode are per-user projections; the final
+    * aggregate has |steps| groups. Nothing in the plan is per-event
+    * after the first aggregate — funnel cost = one shuffle of one row
+    * per user.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val aggs = steps.map(st =>
+      min(when(col("event_type") === st, unix_micros(col("ts")))).as(s"t_$st"))
+    val firsts = events.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+    val depth = steps.zipWithIndex.foldLeft(lit(0)) { case (acc, (st, i)) =>
+      val ok =
+        if (i == 0) col(s"t_$st").isNotNull
+        else col(s"t_$st").isNotNull &&
+          col(s"t_$st") >= col(s"t_${steps(i - 1)}") && acc === lit(i)
+      when(ok, lit(i + 1)).otherwise(acc)
+    }
+    firsts
+      .select(depth.as("depth"))
+      .where(col("depth") >= 1)
+      .select(explode(sequence(lit(1), col("depth"))).as("step_idx"))
+      .groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("step_idx").cast("long").as("step_idx"),
+        element_at(typedLit(steps), col("step_idx")).as("step"),
+        col("n_users"))
+  }
+
   /** Cohort retention: users bucketed by first-seen day, distinct
     * returning users per (cohort_day, day offset) — the classic activity
     * triangle. All integer counts, so the result is engine-exact.

@@ -70,6 +70,26 @@ class ObservabilitySpec extends SparkSpec {
     assert(stats("START") == 2) // START->SUCCESS and SUCCESS->START pairs keyed by first event
   }
 
+  test("funnel counts strict-order first-occurrence reach per step") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val ev = Seq(
+      // u1 completes all 3 in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2: purchase BEFORE first click -> depth 2 blocked? no: first
+      // click (5) >= first view (4); first purchase (4) < first click -> depth 2
+      (2L, "view", ts(4)), (2L, "purchase", ts(4)), (2L, "click", ts(5)),
+      // u3 views only
+      (3L, "view", ts(6)),
+      // u4 clicks without ever viewing -> depth 0
+      (4L, "click", ts(7))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Observability.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("step_idx") ->
+        (r.getAs[String]("step"), r.getAs[Long]("n_users"))).toMap
+    assert(out == Map(1L -> ("view", 3L), 2L -> ("click", 2L), 3L -> ("purchase", 1L)))
+  }
+
   test("cohortRetention buckets users by first-seen day and counts returns") {
     import java.sql.Timestamp
     def ts(day: Int, h: Int) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
