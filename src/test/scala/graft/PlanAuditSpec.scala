@@ -16,4 +16,18 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a cartesian product:\n$plan")
     }
   }
+
+  test("no registered query plans an unpartitioned window over unbounded input") {
+    // a Window with an empty partitionSpec funnels the whole input through
+    // one task — acceptable only on limit-bounded inputs, which the
+    // registry expresses with an explicit constant partition key instead
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val offenders = fn(spark, dir).queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty, s"$name plans an unpartitioned Window")
+    }
+  }
 }
