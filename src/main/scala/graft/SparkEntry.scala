@@ -371,6 +371,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, k = 5)
     }),
 
+    // §2.21h — JL sign random projection: 64 -> 8 dims as 8 native fdot
+    // columns against plan-literal sign vectors derived from the portable
+    // fold; scan-speed, zero shuffle, engine-replayable
+    "q_jl_project" -> ((s, dir) => {
+      val r4 = (c: org.apache.spark.sql.Column) => floor(c * 10000.0 + 0.5) / 10000.0
+      Tables.embeddings(s, dir).select(
+        col("vec_id") +:
+          graft.functions.Vectors.jlProject(col("embedding"), dim = 64, k = 8)
+            .zipWithIndex.map { case (c, j) => r4(c).as(s"r_$j") }: _*)
+    }),
+
     // §2.21g — hard-negative mining: top-5 most-similar DIFFERENT-label
     // candidates per query (contrastive-training negatives); ANN-scan
     // plan with a label filter on the candidate side
@@ -1229,6 +1240,7 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_lsh" -> annLshOracle,
+    "q_jl_project" -> jlOracle,
 
     "q_ann_ivf" -> annIvfOracle,
     "q_semdedup" -> semDedupOracle,
@@ -2393,6 +2405,25 @@ object SparkEntry {
     * sum — then ranks. Every arithmetic step uses the identical fold order
     * as the native expressions.
     */
+  /** q_jl_project oracle: rebuilds each sign vector from the same
+    * "jl:j:i" fold parity and replays fdot's ascending left fold from an
+    * explicit 0.0 seed (identical IEEE sequence to the native loop).
+    */
+  private def jlOracle: String = {
+    val comps = (0 until 8).map { j =>
+      s"""  floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(range(1, 65), i ->
+         |      CAST(embedding[i] AS DOUBLE) *
+         |      (CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split('jl:$j:' || CAST(i - 1 AS VARCHAR), ''),
+         |            c -> CAST(ascii(c) AS BIGINT))),
+         |          (acc, c) -> (acc * 257 + c) % 1000000007) % 2 = 0
+         |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+         |    (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS r_$j""".stripMargin
+    }.mkString(",\n")
+    s"SELECT vec_id,\n$comps\nFROM embeddings"
+  }
+
   private def annPqOracle: String = {
     val m = 4; val sub = 16; val k = 16
     def dist(e: String, c: String): String = {

@@ -49,4 +49,38 @@ object Vectors {
   /** Dequantize back to doubles (error <= scale/2 per component). */
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
+
+  /** The portable base-257 mod 1e9+7 code-point fold, evaluated on the
+    * driver — used to derive deterministic pseudo-random structure (the
+    * JL sign matrix) that a SQL oracle can rebuild from the same string.
+    */
+  def portableFold(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 257L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Johnson-Lindenstrauss sign random projection: reduce dim-`dim`
+    * embeddings to `k` components, r_j = <emb, sign_j> where
+    * sign_j[i] = +-1 from the parity of fold("jl:j:i") — a deterministic,
+    * engine-replayable stand-in for the Gaussian matrix (Achlioptas'
+    * database-friendly variant). Each component is one native fdot
+    * against a plan-literal sign vector: k codegen'd scan-speed columns,
+    * zero shuffle, and distances are preserved within (1 +- eps) for
+    * eps ~ sqrt(ln n / k) — the cheap pre-filter/storage cut in front of
+    * exact reranking.
+    */
+  def jlProject(emb: Column, dim: Int, k: Int): Seq[Column] = {
+    import org.apache.spark.sql.graftnative.FloatVecDot.fdot
+    (0 until k).map { j =>
+      val signs = Array.tabulate(dim)(i =>
+        if (portableFold(s"jl:$j:$i") % 2 == 0L) 1.0f else -1.0f)
+      fdot(emb, typedLit(signs)).as(s"r_$j")
+    }
+  }
 }

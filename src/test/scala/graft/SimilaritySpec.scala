@@ -83,6 +83,34 @@ class SimilaritySpec extends SparkSpec {
     assert(int8 == brute)
   }
 
+  test("jlProject is deterministic across partitionings and roughly norm-preserving") {
+    val rnd = new scala.util.Random(23)
+    val dim = 64; val k = 16
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val proj = vecs.select(col("vec_id") +:
+      Vectors.jlProject(col("embedding"), dim, k): _*)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until k).map(j => r.getAs[Double](s"r_$j")).toArray).toMap
+    val again = vecs.repartition(7).select(col("vec_id") +:
+      Vectors.jlProject(col("embedding"), dim, k): _*)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (0 until k).map(j => r.getAs[Double](s"r_$j")).toArray).toMap
+    proj.foreach { case (id, v) => assert(v.sameElements(again(id))) }
+    // JL guarantee (sign matrix, E[|Rx|^2 / k] = |x|^2): scaled projected
+    // norms track original norms within a loose factor at k=16
+    val orig = vecs.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").map(x => x * x).sum.toDouble).toMap
+    var ratioSum = 0.0
+    proj.foreach { case (id, v) =>
+      val pn = v.map(x => x * x).sum / k
+      ratioSum += pn / orig(id)
+    }
+    val meanRatio = ratioSum / proj.size
+    assert(meanRatio > 0.7 && meanRatio < 1.3, s"mean norm ratio $meanRatio")
+  }
+
   test("hardNegatives ranks only different-label candidates") {
     // query 0 (label 0): same-label 1,2 are excluded; only vec 3
     // (label 1, identical direction) qualifies
