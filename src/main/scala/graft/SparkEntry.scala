@@ -382,6 +382,15 @@ object SparkEntry {
             .zipWithIndex.map { case (c, j) => r4(c).as(s"r_$j") }: _*)
     }),
 
+    // §2.21i — JL-prefiltered ANN: approximate L2 in the 8-dim projected
+    // space prunes to k*4 survivors, exact cosine reranks — the
+    // dim-reduction analog of the int8 prefilter
+    "q_ann_jl" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.jlTopK(e.where(col("vec_id") < 8), e, k = 5,
+        prefilter = 4, dim = 64, kProj = 8)
+    }),
+
     // §2.21g — hard-negative mining: top-5 most-similar DIFFERENT-label
     // candidates per query (contrastive-training negatives); ANN-scan
     // plan with a label filter on the candidate side
@@ -1241,6 +1250,7 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracle,
     "q_jl_project" -> jlOracle,
+    "q_ann_jl" -> annJlOracle,
 
     "q_ann_ivf" -> annIvfOracle,
     "q_semdedup" -> semDedupOracle,
@@ -2405,23 +2415,63 @@ object SparkEntry {
     * sum — then ranks. Every arithmetic step uses the identical fold order
     * as the native expressions.
     */
-  /** q_jl_project oracle: rebuilds each sign vector from the same
-    * "jl:j:i" fold parity and replays fdot's ascending left fold from an
-    * explicit 0.0 seed (identical IEEE sequence to the native loop).
+  /** The JL component r_j as DuckDB SQL: rebuilds the sign vector from
+    * the same "jl:j:i" fold parity and replays fdot's ascending left
+    * fold from an explicit 0.0 seed (identical IEEE sequence to the
+    * native loop). `emb` is the embedding column reference.
     */
+  private def jlCompSql(j: Int, emb: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, 65), i ->
+       |      CAST($emb[i] AS DOUBLE) *
+       |      (CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split('jl:$j:' || CAST(i - 1 AS VARCHAR), ''),
+       |            c -> CAST(ascii(c) AS BIGINT))),
+       |          (acc, c) -> (acc * 257 + c) % 1000000007) % 2 = 0
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+       |    (a, b) -> a + b)""".stripMargin
+
   private def jlOracle: String = {
-    val comps = (0 until 8).map { j =>
-      s"""  floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |    list_transform(range(1, 65), i ->
-         |      CAST(embedding[i] AS DOUBLE) *
-         |      (CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |          list_transform(string_split('jl:$j:' || CAST(i - 1 AS VARCHAR), ''),
-         |            c -> CAST(ascii(c) AS BIGINT))),
-         |          (acc, c) -> (acc * 257 + c) % 1000000007) % 2 = 0
-         |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
-         |    (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS r_$j""".stripMargin
-    }.mkString(",\n")
+    val comps = (0 until 8).map(j =>
+      s"  floor(${jlCompSql(j, "embedding")} * 10000.0 + 0.5) / 10000.0 AS r_$j")
+      .mkString(",\n")
     s"SELECT vec_id,\n$comps\nFROM embeddings"
+  }
+
+  /** q_ann_jl oracle: phase 1 ranks by the ascending-j squared-distance
+    * sum over UNROUNDED components (identical IEEE order to the flat
+    * Spark sum), phase 2 replays the exact cosine rerank on survivors.
+    */
+  private def annJlOracle: String = {
+    val comps = (0 until 8).map(j => s"  ${jlCompSql(j, "embedding")} AS r_$j")
+      .mkString(",\n")
+    val ad = (0 until 8).map(j => s"(q.r_$j - c.r_$j) * (q.r_$j - c.r_$j)")
+      .mkString(" + ")
+    s"""WITH p AS (SELECT vec_id,
+       |$comps
+       |FROM embeddings),
+       |q AS (SELECT * FROM p WHERE vec_id < 8),
+       |approx AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $ad AS ad
+       |  FROM p c, q WHERE c.vec_id <> q.vec_id),
+       |surv AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ad ASC, neighbor_id ASC) AS rank8
+       |    FROM approx) WHERE rank8 <= 20),
+       |sims AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ce.embedding AS DOUBLE[])) AS sim
+       |  FROM surv s
+       |  JOIN embeddings qe ON qe.vec_id = s.query_id
+       |  JOIN embeddings ce ON ce.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   private def annPqOracle: String = {

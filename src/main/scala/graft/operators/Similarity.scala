@@ -201,6 +201,51 @@ object Similarity {
         round(col("sim"), 4).as("sim_r"))
   }
 
+  /** JL-prefiltered ANN: candidates are pruned by squared L2 distance in
+    * the 8-dim sign-projected space (Vectors.jlProject — scan-speed
+    * native columns), and only the k*prefilter survivors touch fp32
+    * again for the exact cosine rerank. Same two-phase plan as int8TopK
+    * but the approximate pass reads 8 doubles instead of 64 floats —
+    * the JL distance guarantee bounds the recall loss, and both phases
+    * replay exactly in the SQL oracle (deterministic sign matrix,
+    * ascending-j distance sum).
+    */
+  def jlTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      prefilter: Int, dim: Int, kProj: Int): DataFrame = {
+    import graft.functions.Vectors
+    def projected(df: DataFrame, idAs: String, pfx: String): DataFrame =
+      df.select(col("vec_id").as(idAs) +:
+        Vectors.jlProject(col("embedding"), dim, kProj)
+          .zipWithIndex.map { case (c, j) => c.as(s"${pfx}_r_$j") }: _*)
+    val qp = projected(queries, "query_id", "q")
+    val cp = projected(candidates, "neighbor_id", "c")
+    // flat codegen'd ascending-j sum, no array/HOF round trip
+    val approxDist = (0 until kProj).map { j =>
+      val d = col(s"q_r_$j") - col(s"c_r_$j"); d * d
+    }.reduce(_ + _)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad").asc, col("neighbor_id").asc)
+    val survivors = cp.crossJoin(broadcast(qp))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("ad", approxDist)
+      .withColumn("rank8", row_number().over(wApprox))
+      .where(col("rank8") <= k * prefilter)
+      .select(col("query_id"), col("neighbor_id"))
+    val qf = withNorm(queries, "query_id", "q_emb")
+    val cf = withNorm(candidates, "neighbor_id", "c_emb")
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    survivors
+      .join(cf, "neighbor_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("sim",
+        fdot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+
   /** Per-group centroid (mean) embeddings — classifier prototypes /
     * cluster summaries. posexplode -> (group, dim) exact-decimal mean ->
     * regroup: ONE shuffle whose rows are (group, dim, partial) — dim

@@ -111,6 +111,31 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRatio > 0.7 && meanRatio < 1.3, s"mean norm ratio $meanRatio")
   }
 
+  test("jlTopK recovers brute-force neighbors when true neighbors exist") {
+    val rnd = new scala.util.Random(29)
+    val dim = 64
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    // plant 3 genuine near-neighbors per query (small perturbations):
+    // the regime ANN serves — neighbors well-separated from the bulk
+    val planted = for { q <- 0 until 3; c <- 0 until 3 } yield
+      (100L + q * 10 + c,
+        base(q)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val jl = Similarity.jlTopK(q, vecs, k = 3, prefilter = 5, dim = dim, kProj = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(jl == brute)
+    (0 until 3).foreach { qi =>
+      val got = (1 to 3).map(r => jl((qi.toLong, r.toLong))).toSet
+      assert(got == Set(100L + qi * 10, 101L + qi * 10, 102L + qi * 10))
+    }
+  }
+
   test("hardNegatives ranks only different-label candidates") {
     // query 0 (label 0): same-label 1,2 are excluded; only vec 3
     // (label 1, identical direction) qualifies
