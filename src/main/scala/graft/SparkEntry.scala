@@ -760,6 +760,20 @@ object SparkEntry {
       Observability.funnel(Tables.events(s, dir),
         Seq("view", "click", "purchase"))),
 
+    // §2.43b — approx-distinct audit: HLL++ (rsd 0.05) certified within
+    // 15% of the exact per-type distinct-user count. The approx value
+    // itself is engine-specific state, so the registered columns are the
+    // exact count and the tolerance verdict — the contract a 100 TB run
+    // relies on when it swaps countDistinct for the sketch.
+    "q_approx_audit" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"),
+          approx_count_distinct(col("user_id"), 0.05).as("hll"))
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("hll") - col("exact_distinct")).cast("double") /
+            col("exact_distinct") <= 0.15).as("within_tolerance"))),
+
     // §2.29 — exact percentiles of event value per type
     "q_event_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -1799,6 +1813,12 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // the oracle asserts the tolerance verdict, not the sketch value
+    "q_approx_audit" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |  true AS within_tolerance
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_funnel" ->
       """WITH f AS (
