@@ -524,6 +524,30 @@ object SparkEntry {
     }),
 
     // §2.24i — PII-style pattern redaction over a corpus with planted
+    // §2.24z — per-source data card: doc/token mass, short-doc,
+    // repetitive, and benchmark-contaminated counts — every gate rides
+    // the SAME single scan as native projections (GramRunStats +
+    // GramSetStats), one tiny per-source aggregate, zero joins
+    "q_data_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      val (_, nHit) = graft.operators.Contamination.hitStats(col("text"), bench, 8)
+      val toks = split(col("text"), " ")
+      val rep = org.apache.spark.sql.graftnative.GramRunStats.gramRunStats(toks, 3)
+      docs
+        .select(col("source"), size(toks).cast("long").as("n_toks"),
+          rep.as("st"), nHit.as("n_hit"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          count(when(col("n_toks") < 20, 1)).as("n_short"),
+          count(when(col("st.dup_gram_cnt").cast("double") / col("st.n_grams") > 0.1, 1))
+            .as("n_repetitive"),
+          count(when(col("n_hit") > 0, 1)).as("n_contaminated"))
+    }),
+
     // §2.24y — text normalization over planted irregularities: every 3rd
     // doc gets mixed case, a tab, a control char, and double spaces
     // appended; the cleanup must lowercase, strip, collapse, and flag
@@ -1456,6 +1480,48 @@ object SparkEntry {
         |  count(*) FILTER (WHERE is_b) AS n_dropped,
         |  count(*) AS n_lines
         |FROM flagged GROUP BY doc_id""".stripMargin,
+
+    // composes the rep-filter and decontam oracle fragments, then
+    // aggregates per source — the per-doc gate semantics are identical
+    "q_data_card" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(toks[u.i:u.i+2], ' ') AS gram
+        |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+        |rep AS (
+        |  SELECT doc_id FROM pg GROUP BY doc_id
+        |  HAVING CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
+        |    / sum(cnt) > 0.1),
+        |corpus AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
+        |  FROM tok WHERE len(toks) >= 8),
+        |bt AS (
+        |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
+        |               c -> CAST(ascii(c) AS BIGINT))),
+        |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
+        |  FROM bt WHERE len(btoks) >= 8),
+        |hits AS (
+        |  SELECT DISTINCT e.doc_id
+        |  FROM (SELECT doc_id, unnest(hashes) AS h FROM corpus) e
+        |  JOIN bench b ON e.h = b.h)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        |  count(*) FILTER (WHERE len(toks) < 20) AS n_short,
+        |  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM rep)) AS n_repetitive,
+        |  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hits)) AS n_contaminated
+        |FROM tok GROUP BY source""".stripMargin,
 
     "q_normalize" ->
       """WITH planted AS (
