@@ -317,9 +317,12 @@ object Dedup {
     // pair-generation query twice
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    // nodes stays LAZY over the checkpointed edges: its distinct is
+    // recomputed once inside each consumer's materialization (sym, the
+    // label init) instead of adding another blocking job to the fixpoint
+    // loop's critical path.
     val nodes = edges.select(col("src"))
       .unionByName(edges.select(col("dst").as("src"))).distinct()
-      .localCheckpoint()
     // self-edge folded into the adjacency, so one join + one groupBy IS
     // the full hash-min step: label'(x) = min over {x} ∪ neighbors(x)
     val sym = edges
