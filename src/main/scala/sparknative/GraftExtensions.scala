@@ -58,7 +58,11 @@ object GraftExtensions {
     (FunctionIdentifier("content_chunk_hashes"),
       new ExpressionInfo(classOf[ContentChunkHashes].getName, "content_chunk_hashes"),
       (children: Seq[Expression]) => ContentChunkHashes(children(0),
-        literalInt(children(1), "window"), literalInt(children(2), "maskBits"))))
+        literalInt(children(1), "window"), literalInt(children(2), "maskBits"))),
+    (FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (children: Seq[Expression]) =>
+        GramHashes(children(0), literalInt(children(1), "window width"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -48,5 +48,11 @@ class SqlModelsSpec extends SparkSpec {
     assert(t.getLong(0) == ((97L * 257 + 98) * 257 + 99) % 1000000007L)
     assert(t.getLong(1) == 11L)
     assert(t.getInt(2) >= 1)
+
+    // gram_hashes(toks, n): windows of 'a b'/'b c' = rolling_hash of each
+    val u = spark.sql(
+      "SELECT gram_hashes(split('a b c', ' '), 2) AS gh, rolling_hash('a b') AS h1").head()
+    assert(u.getSeq[Long](0).head == u.getLong(1))
+    assert(u.getSeq[Long](0).size == 2)
   }
 }
