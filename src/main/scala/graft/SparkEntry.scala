@@ -524,6 +524,17 @@ object SparkEntry {
     }),
 
     // §2.24i — PII-style pattern redaction over a corpus with planted
+    // §2.16c — cross-corpus near-dup: document-level train/eval leak
+    // check (the minhash analog of decontam); eval = truncated copies of
+    // every 20th doc, so each must pair with its origin
+    "q_cross_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val eval = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text"))
+      Dedup.crossCorpusNearDups(docs, eval, k = 64, bands = 16, minSim = 0.5)
+    }),
+
     // §2.24z — per-source data card: doc/token mass, short-doc,
     // repetitive, and benchmark-contaminated counts — every gate rides
     // the SAME single scan as native projections (GramRunStats +
@@ -1297,6 +1308,7 @@ object SparkEntry {
     "q_ann_pq" -> annPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
+    "q_cross_dedup" -> crossDedupOracle,
 
     "q_dedup_simhash_portable" -> simhashPortableOracle,
 
@@ -2206,6 +2218,48 @@ object SparkEntry {
     * permutation literals inlined from Dedup.portableCoefs, band keys as
     * signature slices, est_sim as the fraction of equal components.
     */
+  /** q_cross_dedup oracle: portable signatures on both sides, banding by
+    * raw signature slices, candidates require one side from each corpus.
+    */
+  private def crossDedupOracle: String = {
+    val k = 64; val bands = 16; val r = k / bands; val p = 2147483647L
+    val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 257 + c) % 1000000007)"
+    val sigEntries = Dedup.portableCoefs(k).map { case (a, b) =>
+      s"list_min(list_transform(ids, x -> ($a * (x % $p) + $b) % $p))"
+    }.mkString(",\n    ")
+    def side(name: String, src: String): String =
+      s"""t_$name AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |sh_$name AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+         |    s -> $fold)) AS ids
+         |  FROM t_$name),
+         |sig_$name AS (SELECT doc_id, [$sigEntries] AS sig FROM sh_$name),
+         |banded_$name AS (
+         |  SELECT doc_id, sig, b.band, sig[b.band*$r+1 : b.band*$r+$r] AS bv
+         |  FROM sig_$name, range(0, $bands) b(band))""".stripMargin
+    s"""WITH c0 AS (SELECT doc_id, text FROM documents),
+       |e0 AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    substring(text, 1, greatest(length(text) - 30, 1)) AS text
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |${side("c", "c0")},
+       |${side("e", "e0")},
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS eval_id,
+       |    x.sig AS sig_a, y.sig AS sig_b
+       |  FROM banded_c x JOIN banded_e y ON x.band = y.band AND x.bv = y.bv)
+       |SELECT corpus_id, eval_id,
+       |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
+       |FROM cand
+       |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
+
   private def minhashPortableOracle: String = {
     val k = 64; val bands = 16; val r = k / bands; val p = 2147483647L
     val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

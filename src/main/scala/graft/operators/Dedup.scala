@@ -187,26 +187,67 @@ object Dedup {
     * decides the output, so pairs AND est_sim hash-check in a second
     * engine. The xxhash-based minhashNearDups stays the throughput path.
     */
-  def minhashPortableNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
+  def minhashPortableNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame =
+    bandedNearDups(portableSignatures(docs, k), k, bands, minSim)
+
+  /** Engine-portable signatures: shingle ids are the base-257 rolling
+    * fold of the shingle STRING (native on the Spark side), and the
+    * k-by-n permutation loop reuses the native MinhashSig codegen — the
+    * formula (a*(x mod p)+b) mod p is identical to the SQL an oracle
+    * runs.
+    */
+  def portableSignatures(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftnative.RollingHash.rollingHash
-    require(k % bands == 0, "bands must divide k")
     val cs = portableCoefs(k)
     val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
       concat(element_at(col("toks"), i), lit(" "),
         element_at(col("toks"), i + 1), lit(" "),
         element_at(col("toks"), i + 2)))
-    // shingle ids are portable (per-shingle native rolling fold); the
-    // k-by-n permutation loop reuses the native MinhashSig codegen — the
-    // formula (a*(x mod p)+b) mod p is identical to the SQL the oracle
-    // runs, only the shingle hash differs from the throughput variant
-    val sigs = docs
+    docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .withColumn("ids", array_distinct(transform(shingleStrs, s => rollingHash(s))))
       .select(col("doc_id"),
         org.apache.spark.sql.graftnative.MinhashSig.minhashSig(
           col("ids"), cs.map(_._1), cs.map(_._2), MinhashPrime).as("sig"))
-    bandedNearDups(sigs, k, bands, minSim)
+  }
+
+  /** Cross-corpus near-dup: every (corpus doc, eval doc) pair whose
+    * estimated Jaccard clears `minSim` — the DOCUMENT-level leak check
+    * between a training corpus and a held-out set (the minhash analog of
+    * the n-gram decontam gates, catching whole-document paraphrase-level
+    * overlap that per-gram hits understate). Both sides band on the same
+    * signature slices; candidates require one side from each corpus, so
+    * within-corpus duplicates never reach the verify stage. Same
+    * portable construction as minhashPortableNearDups -> fully
+    * oracle-replayable.
+    */
+  def crossCorpusNearDups(corpus: DataFrame, evalSet: DataFrame,
+      k: Int, bands: Int, minSim: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigC = portableSignatures(corpus, k).localCheckpoint()
+    val sigE = portableSignatures(evalSet, k).localCheckpoint()
+    def banded(sigs: DataFrame, idAs: String): DataFrame =
+      sigs.select(col("doc_id").as(idAs),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64((0 until r).map(x => element_at(col("sig"), j * r + x + 1)): _*)
+              .as("bh"))
+        }: _*)).as("b"))
+        .select(col(idAs), col("b.band"), col("b.bh"))
+    val cands = banded(sigC, "corpus_id")
+      .join(banded(sigE, "eval_id"), Seq("band", "bh"))
+      .select(col("corpus_id"), col("eval_id")).distinct()
+    cands
+      .join(sigC.select(col("doc_id").as("corpus_id"), col("sig").as("sig_a")), "corpus_id")
+      .join(sigE.select(col("doc_id").as("eval_id"), col("sig").as("sig_b")), "eval_id")
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / k)
+      .where(col("est_sim") >= minSim)
+      .select("corpus_id", "eval_id", "est_sim")
   }
 
   /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact

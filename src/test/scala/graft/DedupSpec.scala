@@ -110,4 +110,20 @@ class DedupSpec extends SparkSpec {
       .select(to_json(struct(col("sig")))).as[String].collect().toSeq
     assert(a == b)
   }
+
+  test("crossCorpusNearDups pairs eval leaks with their corpus origins only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "unrelated totally different words nothing shared here at all x")
+    ).toDF("doc_id", "text")
+    // eval doc 100 is a near-copy of corpus doc 1; 101 is novel
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (101L, "completely novel evaluation content with fresh tokens only y z")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDups(corpus, evalSet, k = 64, bands = 16, minSim = 0.5)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("eval_id")))
+    assert(pairs.toSeq == Seq((1L, 100L)))
+  }
 }
