@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Contamination
+import graft.operators.{Contamination, TextAnalysis}
 
 class ContaminationSpec extends SparkSpec {
   import spark.implicits._
@@ -149,6 +149,34 @@ class ContaminationSpec extends SparkSpec {
       // counts must be exactly the exact-set counts here
       assert(bloom(id)._2 == nh)
     }
+  }
+
+  test("scan-shaped gates (bloom, normalize) run unchanged as structured streams") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq((100L, "the bench sentence one two three four five"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val gated = Contamination.decontaminateBloom(
+      input.toDF().toDF("doc_id", "text"), bench, n = 8, mBits = 4096, kProbes = 3)
+    val normed = TextAnalysis.normalizeText(input.toDF().toDF("doc_id", "text"))
+    val chk1 = java.nio.file.Files.createTempDirectory("graft-bloomstream").toString
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-normstream").toString
+    val q1 = gated.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").option("checkpointLocation", chk1).start()
+    val q2 = normed.writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").option("checkpointLocation", chk2).start()
+    input.addData(
+      (1L, "the bench sentence one two three four five plus trailing words"),
+      (2L, "clean  MIXED case tokens nothing shared here at all okay fine"))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val hits = spark.table("bloom_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+    assert(hits(1L) > 0L && hits(2L) == 0L)
+    val clean = spark.table("norm_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(clean(2L) == "clean mixed case tokens nothing shared here at all okay fine")
   }
 
   test("bloom probe positions are deterministic and within the filter") {
