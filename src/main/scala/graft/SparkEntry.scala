@@ -382,6 +382,15 @@ object SparkEntry {
             .zipWithIndex.map { case (c, j) => r4(c).as(s"r_$j") }: _*)
     }),
 
+    // §2.21b2 — multi-probe sign-LSH: queries also probe all Hamming-1
+    // buckets (9 probe rows per query, candidate side untouched) — the
+    // recall fix for near-boundary vectors
+    "q_ann_lsh_mp" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshMultiProbeTopK(e.where(col("vec_id") < 8), e, k = 5,
+        nPlanes = 8, dim = 64)
+    }),
+
     // §2.21i — JL-prefiltered ANN: approximate L2 in the 8-dim projected
     // space prunes to k*4 survivors, exact cosine reranks — the
     // dim-reduction analog of the int8 prefilter
@@ -1298,6 +1307,7 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_lsh_mp" -> annLshMpOracle,
     "q_jl_project" -> jlOracle,
     "q_ann_jl" -> annJlOracle,
 
@@ -2258,6 +2268,32 @@ object SparkEntry {
        |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
        |FROM cand
        |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
+
+  /** q_ann_lsh_mp oracle: same inlined hyperplanes as annLshOracle, with
+    * the query side expanded over the Hamming-1 probe masks.
+    */
+  private def annLshMpOracle: String = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val bucketExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val masks = (0L +: (0 until 8).map(p => 1L << p)).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, xor(bucket, m.m) AS bucket
+       |  FROM b, unnest(CAST($masks AS BIGINT[])) AS m(m) WHERE vec_id < 8),
+       |sims AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+       |  FROM b c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   private def minhashPortableOracle: String = {

@@ -308,6 +308,37 @@ object Similarity {
     * bucket. Trades recall for a corpus-scan-free candidate set — at 100 TB
     * the bucket column is precomputed and the join is bucket-partitioned.
     */
+  /** Multi-probe sign-LSH top-k: each query probes its own bucket AND
+    * every bucket at Hamming distance 1 (one flipped hyperplane sign) —
+    * the standard recall fix for near-boundary vectors, at the cost of
+    * (nPlanes+1) probe rows per QUERY only; the candidate side is
+    * untouched, so the big side still joins on its single precomputed
+    * bucket. A pair can match on at most one probe (the candidate holds
+    * exactly one bucket and the probe set is distinct), so no dedup
+    * stage is needed before ranking.
+    */
+  def lshMultiProbeTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val masks = lit(0L) +: (0 until nPlanes).map(p => lit(1L << p))
+    val q = withNorm(queries, "query_id", "q_emb")
+      .withColumn("bucket0", lshBucket(col("q_emb"), planes))
+      .select(col("query_id"), col("q_emb"), col("q_emb_norm"),
+        explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*)).as("bucket"))
+    val c = withNorm(candidates, "neighbor_id", "c_emb")
+      .withColumn("bucket", lshBucket(col("c_emb"), planes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        fdot(col("q_emb"), col("c_emb")) / (col("q_emb_norm") * col("c_emb_norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim_r"))
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       nPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)

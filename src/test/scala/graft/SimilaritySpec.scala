@@ -136,6 +136,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall is a superset of single-bucket LSH recall") {
+    val rnd = new scala.util.Random(31)
+    val dim = 64
+    val vecs = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // candidate SETS (pre-rank) widen under multi-probe; compare with a
+    // rank cap high enough that ranking never truncates either side
+    val single = pairs(Similarity.lshTopK(q, vecs, k = 1000, nPlanes = 8, dim = dim)
+      .select("query_id", "neighbor_id"))
+    val multi = pairs(Similarity.lshMultiProbeTopK(q, vecs, k = 1000, nPlanes = 8, dim = dim))
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+  }
+
   test("hardNegatives ranks only different-label candidates") {
     // query 0 (label 0): same-label 1,2 are excluded; only vec 3
     // (label 1, identical direction) qualifies
