@@ -440,6 +440,20 @@ object SparkEntry {
     // the same deterministic 1/5 sample), corpus compressed to 4 int codes
     // per vector (16x scan-bandwidth cut at dim 64), ADC search = 4 table
     // lookups + 3 adds per pair. Only exchange: the final top-k window.
+    // §2.21j — IVF-PQ: coarse cells prune candidates to nprobe buckets,
+    // PQ ADC ranks survivors — both quantizer applications are native
+    // scan-speed projections; the composed architecture of a production
+    // vector store, and the search shape over the materialized cell-
+    // partitioned index layout
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val sample = e.where(col("vec_id") % 5 === 0)
+      val coarse = graft.operators.Ivf.train(sample, k = 16, iters = 2)
+      val codebooks = graft.operators.Pq.train(sample, dim = 64, m = 4, k = 16, iters = 2)
+      graft.operators.Pq.searchIvfPq(e.where(col("vec_id") < 8), e,
+        coarse, codebooks, dim = 64, nprobe = 2, topK = 5)
+    }),
+
     "q_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val codebooks = graft.operators.Pq.train(
@@ -1316,6 +1330,7 @@ object SparkEntry {
     "q_semdedup_staged" -> semDedupStagedOracle,
     "q_ivf_stats" -> ivfStatsOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
     "q_cross_dedup" -> crossDedupOracle,
@@ -2651,13 +2666,40 @@ object SparkEntry {
   }
 
   private def annPqOracle: String = {
-    val m = 4; val sub = 16; val k = 16
-    def dist(e: String, c: String): String = {
-      val diff = s"(CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(1, ${sub + 1}), i -> $diff * $diff)), (acc, x) -> acc + x)"
-    }
-    def subCtes(s: Int): String = {
+    val m = 4
+    val all = (0 until m).map(pqSubCtes).mkString(",\n")
+    s"""WITH $all,
+       |adc AS (
+       |  SELECT d0.query_id, d0.vec_id AS neighbor_id,
+       |    d0.d + d1.d + d2.d + d3.d AS adc
+       |  FROM ds_0 d0
+       |  JOIN ds_1 d1 ON d0.query_id = d1.query_id AND d0.vec_id = d1.vec_id
+       |  JOIN ds_2 d2 ON d0.query_id = d2.query_id AND d0.vec_id = d2.vec_id
+       |  JOIN ds_3 d3 ON d0.query_id = d3.query_id AND d0.vec_id = d3.vec_id
+       |  WHERE d0.query_id <> d0.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rank,
+       |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_r
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  private def pqDist(sub: Int)(e: String, c: String): String = {
+    val diff = s"(CAST($e[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${sub + 1}), i -> $diff * $diff)), (acc, x) -> acc + x)"
+  }
+
+  /** Per-subspace PQ training + code + query-distance CTEs (train_s,
+    * c0_s..c2_s, codes_s, qd_s, ds_s) — shared by the PQ and IVF-PQ
+    * oracles.
+    */
+  private def pqSubCtes(s: Int): String = {
+      val sub = 16; val k = 16
+      def dist(e: String, c: String): String = pqDist(sub)(e, c)
       val lo = s * sub + 1; val hi = (s + 1) * sub
       val lloyd = (0 until 2).map { it =>
         s"""a${it + 1}_$s AS (
@@ -2699,22 +2741,46 @@ object SparkEntry {
          |ds_$s AS (
          |  SELECT qd.query_id, co.vec_id, qd.d
          |  FROM codes_$s co JOIN qd_$s qd ON co.code = qd.cell_id)""".stripMargin
-    }
-    val all = (0 until m).map(subCtes).mkString(",\n")
-    s"""WITH $all,
+  }
+
+  /** q_ann_ivfpq oracle: the IVF training/probe/assignment CTEs compose
+    * with the PQ per-subspace CTEs (disjoint names), and the ADC ranking
+    * runs only over pairs whose candidate cell is probed by the query.
+    */
+  private def annIvfPqOracle: String = {
+    val all = (0 until 4).map(pqSubCtes).mkString(",\n")
+    s"""WITH $ivfTrainCtes,
+       |$all,
+       |probe AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT t.vec_id AS query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) t
+       |    CROSS JOIN c2 c) WHERE rn <= 2),
+       |cellof AS (
+       |  SELECT neighbor_id, cell_id FROM (
+       |    SELECT t.vec_id AS neighbor_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM embeddings t CROSS JOIN c2 c) WHERE rn = 1),
+       |keep AS (
+       |  SELECT p.query_id, c.neighbor_id
+       |  FROM cellof c JOIN probe p USING (cell_id)
+       |  WHERE c.neighbor_id <> p.query_id),
        |adc AS (
        |  SELECT d0.query_id, d0.vec_id AS neighbor_id,
        |    d0.d + d1.d + d2.d + d3.d AS adc
        |  FROM ds_0 d0
        |  JOIN ds_1 d1 ON d0.query_id = d1.query_id AND d0.vec_id = d1.vec_id
        |  JOIN ds_2 d2 ON d0.query_id = d2.query_id AND d0.vec_id = d2.vec_id
-       |  JOIN ds_3 d3 ON d0.query_id = d3.query_id AND d0.vec_id = d3.vec_id
-       |  WHERE d0.query_id <> d0.vec_id),
+       |  JOIN ds_3 d3 ON d0.query_id = d3.query_id AND d0.vec_id = d3.vec_id),
        |ranked AS (
-       |  SELECT query_id, neighbor_id, adc,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc ASC, neighbor_id ASC) AS BIGINT) AS rank
-       |  FROM adc)
+       |  SELECT k.query_id, k.neighbor_id, a.adc,
+       |    CAST(row_number() OVER (PARTITION BY k.query_id
+       |      ORDER BY a.adc ASC, k.neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM keep k JOIN adc a
+       |    ON k.query_id = a.query_id AND k.neighbor_id = a.neighbor_id)
        |SELECT query_id, neighbor_id, rank,
        |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc_r
        |FROM ranked WHERE rank <= 5""".stripMargin

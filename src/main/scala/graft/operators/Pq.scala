@@ -86,6 +86,52 @@ object Pq {
     embeddings.select(col("vec_id") +: codes: _*)
   }
 
+  /** IVF-PQ search — the architecture production vector stores compose:
+    * an IVF coarse quantizer prunes candidates to the query's `nprobe`
+    * cells, and PQ ADC ranks only those survivors. Candidate-side cost
+    * per vector is one coarse argmin + m code argmins, ALL scan-speed
+    * native projections; the join is a bucket equi-join on cell_id with
+    * the (query x probe-cell, LUT) side broadcast. At 100 TB the encoded
+    * corpus (cell_id + m codes per vector) is also the materialized-index
+    * layout (see Ivf.searchIndex), making this the partition-pruned read
+    * path. A pair can match at most one probe (a candidate holds exactly
+    * one cell).
+    */
+  def searchIvfPq(queries: DataFrame, candidates: DataFrame,
+      coarse: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
+      dim: Int, nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    val m = codebooks.size
+    val sub = dim / m
+    val lutCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      array(cb.map(cent =>
+        fsq(slice(col("q_emb"), s * sub + 1, sub), typedLit(cent))): _*)
+        .as(s"lut_$s")
+    }
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(nearestCells(col("q_emb"), coarse, nprobe)).as("cell_id"))
+      .select(col("query_id") +: col("cell_id") +: lutCols: _*)
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCell(slice(col("embedding"), s * sub + 1, sub), cb).as(s"code_$s")
+    }
+    val c = candidates.select(col("vec_id").as("neighbor_id") +:
+      nearestCell(col("embedding"), coarse).as("cell_id") +: codes: _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"lut_$s"), col(s"code_$s") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    c.join(broadcast(q), "cell_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (floor(col("adc") * 10000.0 + 0.5) / 10000.0).as("adc_r"))
+  }
+
   /** ADC top-k search: queries carry per-subspace LUTs (distance to every
     * codebook entry), candidates carry codes; approximate distance is m
     * lookups + adds, ranked per query with an id tie-break.

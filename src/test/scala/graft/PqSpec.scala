@@ -57,4 +57,21 @@ class PqSpec extends SparkSpec {
       .orderBy("rank").collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("IVF-PQ search only ranks candidates in probed cells") {
+    import graft.operators.Ivf
+    val cb = Pq.train(corpus, dim = 4, m = 2, k = 2, iters = 1)
+    val coarse = Ivf.train(corpus, k = 2, iters = 2)
+    val queries = corpus.where($"vec_id" === 0)
+    // nprobe=1: only vector 0's own cell {0, 1, 4} is scanned; the
+    // opposite cluster never reaches the ranking stage
+    val out = Pq.searchIvfPq(queries, corpus, coarse, cb,
+      dim = 4, nprobe = 1, topK = 4).collect()
+    val ids = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids == Set(1L, 4L))
+    // nprobe=2 probes both cells and recovers the full candidate set
+    val wide = Pq.searchIvfPq(queries, corpus, coarse, cb,
+      dim = 4, nprobe = 2, topK = 4).collect()
+    assert(wide.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L, 4L))
+  }
 }
