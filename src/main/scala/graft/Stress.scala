@@ -123,6 +123,29 @@ object Stress {
       graft.operators.Pq.search(embs.where(col("vec_id") < 8), embs, codebooks,
         dim = 64, topK = 5)
     }
+    // IVF-PQ: coarse pruning should keep the ranked set bounded by the
+    // probed cells' population — flat-ish like IVF, cheaper per pair.
+    time("ann_ivfpq_topk") {
+      graft.operators.Pq.searchIvfPq(embs.where(col("vec_id") < 8), embs,
+        centroids, codebooks, dim = 64, nprobe = 2, topK = 5)
+    }
+    time("ann_lsh_multiprobe") {
+      Similarity.lshMultiProbeTopK(embs.where(col("vec_id") < 8), embs,
+        k = 5, nPlanes = 8, dim = 64)
+    }
+    time("ann_jl_topk") {
+      Similarity.jlTopK(embs.where(col("vec_id") < 8), embs, k = 5,
+        prefilter = 4, dim = 64, kProj = 8)
+    }
+    // Cross-corpus leak check: eval side stays fixed-size while the
+    // corpus replicates — candidate volume grows with the corpus' bucket
+    // occupancy only.
+    time("cross_dedup") {
+      val evalSet = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text"))
+      Dedup.crossCorpusNearDups(docs, evalSet, k = 64, bands = 16, minSim = 0.5)
+    }
     // Contamination ops on the replicated corpus: every doc has `factor`
     // replicas, so EVERY window is cross-doc duplicated — dup_spans' worst
     // case, but output stays one row per doc (span-compressed), unlike the
