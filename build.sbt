@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench runs 95 queries x 3 iterations in one JVM; each query's
+  // whole-stage-codegen classes and the interpreted HOF eval paths all
+  // compete for the JIT code cache. At the JDK 17 default (240 MB) the
+  // cache fills mid-bench, the JIT stops compiling, and late queries run
+  // interpreted at 3-5x their warm cost (the r4 across-the-board bench
+  // regression). 512 MB keeps everything compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

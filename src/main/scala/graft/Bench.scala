@@ -65,6 +65,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2 KB of output; with 95+ queries the
+    // line above overflows that window and its head (metric/value) is cut off
+    // (BENCH_r03/r04 both came back parsed:null). Emit a compact total-only
+    // line LAST so it always lands inside the tail; the full per-query line
+    // stays for humans and for BASELINE.md bookkeeping.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -356,8 +356,22 @@ object Dedup {
     // materialize the edge list BEFORE symmetrizing: the union references
     // it twice, which would otherwise run the (expensive) upstream
     // pair-generation query twice
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val raw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    // Size the loop's layout to the GRAPH, not the session default: the
+    // near-dup pair graph is orders of magnitude smaller than the corpus
+    // (hundreds of edges at sf0.1; still only ~1e9 at 100 TB), and every
+    // BSP round pays per-task scheduling overhead on each partition
+    // regardless of rows. ~100k edges per partition keeps small graphs
+    // single-task per round while scaling the partition count linearly
+    // with a 100 TB-sized pair graph (capped at the session setting). The
+    // count is free — raw is already materialized.
+    val nEdges = raw.count()
+    val sessionP = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val p = math.max(1L, math.min(sessionP.toLong, nEdges / 100000L + 1L)).toInt
+    val edges =
+      if (p < raw.rdd.getNumPartitions) raw.coalesce(p).localCheckpoint()
+      else raw
     // nodes stays LAZY over the checkpointed edges: its distinct is
     // recomputed once inside each consumer's materialization (sym, the
     // label init) instead of adding another blocking job to the fixpoint
@@ -414,14 +428,35 @@ object Dedup {
     // merge (SortedIntersectCount) instead of two hash-set builds. |set|
     // arithmetic is hash-representation independent (collisions ~n²/2^64).
     import org.apache.spark.sql.graftnative.SortedIntersectCount.sortedIntersectCount
+    // Materialized once: both self-join sides consume the shingled
+    // projection, and without the stage boundary each side re-scans the
+    // corpus and recomputes split+hash+sort per doc (the same
+    // double-compute stagedNearDups cuts). The checkpointed frame is the
+    // slim (id, keys, len, hashes) projection — text never materializes.
     val withShingles = docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("len"),
         shingleHashes(col("toks")).as("sh"))
-    withShingles.as("x").join(withShingles.as("y"),
+      .localCheckpoint()
+    // The length band is part of the JOIN KEY, not just a post-join filter:
+    // two docs within maxLenDiff chars are at most one band apart, so
+    // exploding x's band±1 against y's own band finds every qualifying
+    // pair exactly once (y.band equals exactly one element of x's list)
+    // while shrinking each equi-join bucket from a whole (source, lang)
+    // group to a length slice of it — the difference between n² and
+    // n²/bands per group when a group is millions of docs at 100 TB. The
+    // abs(len diff) predicate still runs, so the output is unchanged.
+    val x = withShingles
+      .withColumn("band", explode(array(
+        floor(col("len") / maxLenDiff) - 1,
+        floor(col("len") / maxLenDiff),
+        floor(col("len") / maxLenDiff) + 1)))
+    val y = withShingles.withColumn("band", floor(col("len") / maxLenDiff))
+    x.as("x").join(y.as("y"),
         col("x.source") === col("y.source") && col("x.lang") === col("y.lang") &&
+          col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id") &&
           abs(col("x.len") - col("y.len")) <= maxLenDiff)
       .withColumn("inter", sortedIntersectCount(col("x.sh"), col("y.sh")))

@@ -51,6 +51,36 @@ object TextAnalysis {
     }
   }
 
+  /** One-pass predicted language: a single `aggregate` fold over the token
+    * array counts hits for EVERY language's marker set simultaneously, and
+    * the finish lambda picks the argmax (first language in `markers` order
+    * wins ties — same tie-break as predictedLang).
+    *
+    * Why this exists: `predictedLang(markers.map(langScore(...)))` is
+    * correct but each langScore reference re-derives its input — when
+    * Catalyst collapses the projection into a Filter, the nested CASE WHEN
+    * evaluates `greatest(5 scores)` per branch, ~30 `split(text)` +
+    * array-filter evaluations per row, all interpreted (higher-order
+    * functions don't codegen). This form walks the token array ONCE: the
+    * accumulator and element are lambda-bound variables, referenced
+    * cheaply, and the marker sets ride along as one 2-D array literal.
+    * Same values, ~10x less work per row in a filter context.
+    */
+  def predictedLangOnePass(toks: Column,
+      markers: Seq[(String, Seq[String])]): Column = {
+    if (markers.isEmpty) lit("und")
+    else {
+      val langs = typedLit(markers.map(_._1))
+      val sets = typedLit(markers.map(_._2))
+      aggregate(
+        toks,
+        typedLit(Seq.fill(markers.size)(0L)),
+        (acc, x) => zip_with(acc, sets, (cnt, set) =>
+          cnt + when(array_contains(set, x), 1L).otherwise(0L)),
+        acc => element_at(langs, array_position(acc, array_max(acc)).cast("int")))
+    }
+  }
+
   /** Heuristic language ID: score each language by marker-token hits, pick
     * the argmax with a fixed preference order on ties. `markers` maps
     * language code -> marker words; scoring order is the given seq order.

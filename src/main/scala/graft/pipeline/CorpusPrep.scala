@@ -53,9 +53,13 @@ object CorpusPrep {
       .withColumn("stopword_ratio",
         TextAnalysis.langScore(col("toks"), stopwords).cast("double") / col("n_tokens"))
       .where(col("stopword_ratio") < maxStopwordRatio)
-      // language gate: heuristic ID must agree with the claimed language
-      .withColumn("predicted_lang", TextAnalysis.predictedLang(
-        markers.map { case (l, ws) => l -> TextAnalysis.langScore(col("toks"), ws) }))
+      // language gate: heuristic ID must agree with the claimed language.
+      // One-pass argmax: the unrolled predictedLang(langScore...) form
+      // collapses into the Filter as ~30 split(text) re-evaluations per
+      // row (this was the r4 bench's slowest query); the single aggregate
+      // fold walks the token array once. Same values, same oracle.
+      .withColumn("predicted_lang",
+        TextAnalysis.predictedLangOnePass(col("toks"), markers))
       .where(col("predicted_lang") === col("lang"))
       // token accounting BEFORE the dedup shuffle, so text and the token
       // array can be projected away and the exchange carries a few ints
