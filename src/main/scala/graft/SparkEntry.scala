@@ -152,11 +152,17 @@ object SparkEntry {
       // the date-partitioned layout is written by the daily pipeline job,
       // once; the query under measurement is the partition-pruned read.
       // One write per JVM (fresh on every new process) keeps repeat
-      // iterations billing only the read they model.
-      if (writtenRoots.add(root)) {
+      // iterations billing only the read they model. The root is marked
+      // written only AFTER the write returns: marking first would make a
+      // failed/partial write permanently skip the retry and every later
+      // read hit a broken layout. (Concurrent first calls may both write
+      // — mode("overwrite") makes that safe, if wasteful; the mains run
+      // queries sequentially.)
+      if (!writtenRoots.contains(root)) {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
         graft.pipeline.Pipeline.writeDailyAll(ev, root, "stage", "events_daily", col("ts"))
+        writtenRoots.add(root)
       }
       graft.pipeline.Pipeline.readDay(s, root, "stage", "events_daily", "2024-01-02")
         .groupBy(col("event_type"))
@@ -172,8 +178,11 @@ object SparkEntry {
       // bucket ONCE per session: bucketing trades one layout write for
       // every later exchange-free join — re-bucketing per read would bill
       // that amortized cost to each query, which is not the access
-      // pattern the layout exists for
-      if (!s.catalog.tableExists(s"graft_bkt_li_$tag")) {
+      // pattern the layout exists for. BOTH tables must exist to skip:
+      // checking only lineitem would, after a crash between the two
+      // writes, skip the orders write forever and fail every later join.
+      if (!s.catalog.tableExists(s"graft_bkt_li_$tag") ||
+          !s.catalog.tableExists(s"graft_bkt_ord_$tag")) {
         graft.pipeline.Pipeline.writeBucketed(
           Tables.lineitem(s, dir)
             .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
@@ -546,7 +555,6 @@ object SparkEntry {
         .where(col("n_docs") >= 2)
     }),
 
-    // §2.24i — PII-style pattern redaction over a corpus with planted
     // §2.16c — cross-corpus near-dup: document-level train/eval leak
     // check (the minhash analog of decontam); eval = truncated copies of
     // every 20th doc, so each must pair with its origin
@@ -595,6 +603,7 @@ object SparkEntry {
       TextAnalysis.normalizeText(planted)
     }),
 
+    // §2.24i — PII-style pattern redaction over a corpus with planted
     // contact strings: every doc gets one email + one phone appended, the
     // redactor must scrub both and count them
     "q_redact" -> ((s, dir) => {

@@ -144,6 +144,12 @@ object Observability {
     * returning users per (cohort_day, day offset) — the classic activity
     * triangle. All integer counts, so the result is engine-exact.
     *
+    * Timezone: `ts.cast("date")` derives the day in the SESSION timezone
+    * (this repo's mains pin spark.sql.session.timeZone=UTC, matching the
+    * naive-timestamp oracle). An externally built session in another zone
+    * shifts cohort days — set the session zone to UTC, or swap in
+    * to_date(from_utc_timestamp(ts, zone)) to pin a zone explicitly.
+    *
     * 100 TB posture: the (user, day) activity set is deduped map-side
     * BEFORE any join (one row per user-day, not per event), first-seen
     * days are a user-keyed aggregate that joins back on the same
