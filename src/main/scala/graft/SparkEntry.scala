@@ -635,6 +635,33 @@ object SparkEntry {
     "q_token_ids" -> ((s, dir) =>
       TextAnalysis.tokenIds(Tables.documents(s, dir), vocabSize = 20)),
 
+    // §2.24p2 — corpus-trained BPE subword tokenizer (Sennrich et al.):
+    // 12 merges learned driver-side on the bounded word vocabulary,
+    // applied as a codegen'd replace chain; per-doc subword counts plus a
+    // full-segmentation md5 witness. Training is replayed stage-by-stage
+    // in the oracle SQL (Bpe.oracleSql), like the IVF/PQ unrollings.
+    "q_token_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Bpe.tokenCounts(docs,
+        graft.operators.Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12))
+    }),
+
+    // §2.24q2 — token budget denominated in BPE subwords (the unit a real
+    // pretraining budget is set in, unlike q_token_budget's whitespace
+    // proxy); same portable basis-point membership fold.
+    "q_bpe_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.trainMerges(docs, vocabSize = 1000,
+        numMerges = 12)
+      val scored = docs.select(col("doc_id"), col("source"),
+        graft.operators.Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+      graft.operators.Sampling.tokenBudgetKeep(scored, "source", "n_tokens",
+        "doc_id", Seq("src0" -> 2000L, "src1" -> 3000L, "src2" -> 500000L),
+        defaultBudget = 1200L)
+        .groupBy(col("source"), col("total_tokens"), col("budget"), col("keep_bp"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+    }),
+
     // §2.24t — corpus-LM fluency score: self-trained token-bigram model,
     // mean log-probability per doc (micro-unit exact accumulation).
     "q_lm_score" -> ((s, dir) =>
@@ -1648,6 +1675,15 @@ object SparkEntry {
         |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS oov_rate,
         |  ids_hash
         |FROM d2""".stripMargin,
+
+    // BPE training replayed in SQL: the 12 merge stages unrolled as
+    // materialized CTEs (pair count -> argmax -> vocab rewrite), then the
+    // learned replace chain applied per token — generated by Bpe.oracleSql
+    "q_token_bpe" -> graft.operators.Bpe.oracleSql(1000, 12),
+
+    "q_bpe_budget" -> graft.operators.Bpe.budgetOracleSql(1000, 12,
+      """CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 3000
+        |         WHEN 'src2' THEN 500000 ELSE 1200 END""".stripMargin),
 
     "q_corpus_prep2" ->
       """WITH tok AS (

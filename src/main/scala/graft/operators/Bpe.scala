@@ -1,0 +1,244 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer trained on the corpus itself (Sennrich et
+  * al. 2016): learn `numMerges` merge rules from the most frequent words,
+  * then segment every document into subword units. This is the unit real
+  * token budgets, packing, and mix plans are denominated in — the
+  * frequency-rank mapping in TextAnalysis.tokenIds covers whole words
+  * only.
+  *
+  * Spark-first shape:
+  *   - TRAIN on the bounded word vocabulary: one distinct-word count agg
+  *     (TakeOrdered top-V — per-partition partial top-k, no full sort),
+  *     collected to the driver (bounded pull: V words x avg word length;
+  *     at V=1000 that is a few KB — same documented-ceiling pattern as
+  *     the IVF centroid and PQ codebook pulls). The merge loop itself is
+  *     a driver-side fold over <=V weighted words — sub-millisecond next
+  *     to one corpus scan, and NEVER touches the corpus.
+  *   - APPLY as a chain of `replace` column expressions baked from the
+  *     learned merge table (merge table broadcast as literals, the same
+  *     pattern as Ivf.NearestCells) — whole-stage-codegen'd string ops,
+  *     one corpus scan, no shuffle, no UDF.
+  *
+  * Portability: a word travels as a separator-delimited symbol string
+  * ("\u001f" between symbols, sentinels at both ends), so one merge rule
+  * application IS one plain left-to-right non-overlapping string replace
+  * — identical semantics in java.lang.String.replace, Spark's `replace`,
+  * and the oracle engine's `replace`. Training tie-breaks (count desc,
+  * pair string asc) compare ASCII+0x1f strings, where Java UTF-16 order
+  * and bytewise UTF-8 order agree. The oracle replays TRAINING AND
+  * APPLICATION exactly: oracleSql unrolls the K merge stages as
+  * materialized CTEs (pair count -> argmax -> vocab rewrite), like the
+  * IVF/PQ training unrollings.
+  *
+  * Scale: training cost is one (word, count) aggregate over the corpus —
+  * the explode/groupBy pair Spark plans with map-side partials — plus a
+  * driver loop on V rows; application is scan-speed. At 100 TB nothing
+  * here shuffles the corpus.
+  */
+object Bpe {
+
+  /** Symbol separator inside a word's working string: 0x1f (ASCII unit
+    * separator) — never in the corpus (documents are printable ASCII; a
+    * corpus that could contain it should normalize first, §2.24y).
+    */
+  val Sep = "\u001f"
+
+  /** Sentinel merge for exhausted pair pools (tiny corpora can run out of
+    * pairs before numMerges): 0x1e can never appear inside a symbol, so
+    * replacing "\u001f\u001e\u001f" is a no-op on every word string. Both
+    * engines pad with the same sentinel, keeping the K replace stages
+    * structurally identical.
+    */
+  val NoMerge = "\u001e"
+
+  private def wordString(w: String): String =
+    Sep + w.toCharArray.map(_.toString).mkString(Sep) + Sep
+
+  /** Train `numMerges` merges on the top `vocabSize` corpus words (count
+    * desc, word asc — fully deterministic). Returns merge pair strings
+    * "a\u001fb" in learned order, padded with [[NoMerge]] if the pair
+    * pool empties.
+    */
+  def trainMerges(docs: DataFrame, vocabSize: Int, numMerges: Int): Seq[String] = {
+    val vocab: Seq[(String, Long)] = docs
+      .select(explode(filter(split(col("text"), " "), t => t =!= lit("")))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabSize)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    var words = vocab.map { case (w, c) => (wordString(w), c) }
+    (0 until numMerges).map { _ =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, c) =>
+        // strip the leading sentinel; Java split drops the trailing empty
+        val syms = w.split(Sep).drop(1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = syms(i) + Sep + syms(i + 1)
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) NoMerge
+      else {
+        // argmax, ties to the smallest pair string — same total order as
+        // the oracle's ORDER BY c DESC, pr ASC (ASCII: UTF-16 == bytewise)
+        val best = counts.toSeq.minBy { case (p, c) => (-c, p) }._1
+        words = words.map { case (w, c) =>
+          (w.replace(Sep + best + Sep, Sep + best.replace(Sep, "") + Sep), c)
+        }
+        best
+      }
+    }
+  }
+
+  /** The trained merge chain applied to every whitespace token of `text`:
+    * an array of separator-delimited merged-symbol strings, one per
+    * non-empty token. Pure codegen'd string expressions.
+    */
+  def encode(text: Column, merges: Seq[String]): Column = {
+    val toks = filter(split(text, " "), t => t =!= lit(""))
+    transform(toks, t => {
+      val w0 = concat(lit(Sep), array_join(split(t, ""), Sep), lit(Sep))
+      merges.foldLeft(w0) { (w, m) =>
+        replace(w, lit(Sep + m + Sep), lit(Sep + m.replace(Sep, "") + Sep))
+      }
+    })
+  }
+
+  /** BPE token count of one document: symbols per word = separators - 1,
+    * summed over words. Long-typed, engine-exact.
+    */
+  def tokenCount(text: Column, merges: Seq[String]): Column =
+    coalesce(
+      aggregate(encode(text, merges), lit(0L), (acc, w) =>
+        acc + (length(w) - length(replace(w, lit(Sep), lit(""))) - 1)
+          .cast("long")),
+      lit(0L))
+
+  /** Per-document BPE accounting: whitespace token count, BPE token count,
+    * and an md5 witness of the full segmentation (the exact symbol
+    * sequence, not just its size — two different segmentations with equal
+    * counts can't pass).
+    */
+  def tokenCounts(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val ws = encode(col("text"), merges)
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(
+          aggregate(col("ws"), lit(0L), (acc, w) =>
+            acc + (length(w) - length(replace(w, lit(Sep), lit(""))) - 1)
+              .cast("long")),
+          lit(0L)).as("n_bpe_tokens"),
+        md5(array_join(col("ws"), " ")).as("bpe_hash"))
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** The K training stages unrolled as materialized CTEs plus the apply
+    * chain — MATERIALIZED matters: w_i is referenced twice (by m_{i+1}
+    * and w_{i+1}), so an inlining engine would otherwise expand the chain
+    * 2^K times. Returns the CTE prefix ending after `mm` (the 1-row merge
+    * table) and the per-token apply expression over a lambda var `t`.
+    */
+  private def oracleStages(vocabSize: Int, numMerges: Int): (String, String) = {
+    val sep = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(toks) AS word FROM tok) GROUP BY word
+         |  ORDER BY cnt DESC, word ASC LIMIT $vocabSize),
+         |w0 AS MATERIALIZED (
+         |  SELECT $sep || array_to_string(string_split(word, ''), $sep) || $sep AS w,
+         |    cnt FROM vocab)""".stripMargin)
+    (1 to numMerges).foreach { i =>
+      sb.append(
+        s""",
+           |m$i AS MATERIALIZED (
+           |  SELECT pr, SUM(cnt) AS c FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+           |      j -> syms[j] || $sep || syms[j + 1])) AS pr, cnt
+           |    FROM (SELECT list_slice(string_split(w, $sep), 2,
+           |            len(string_split(w, $sep)) - 1) AS syms, cnt FROM w${i - 1}))
+           |  GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1),
+           |w$i AS MATERIALIZED (
+           |  SELECT replace(w,
+           |    $sep || (SELECT coalesce(min(pr), chr(30)) FROM m$i) || $sep,
+           |    $sep || (SELECT coalesce(min(replace(pr, $sep, '')), chr(30)) FROM m$i) || $sep)
+           |    AS w, cnt
+           |  FROM w${i - 1})""".stripMargin)
+    }
+    val mmCols = (1 to numMerges).map { i =>
+      s"(SELECT coalesce(min(pr), chr(30)) FROM m$i) AS p$i, " +
+        s"(SELECT coalesce(min(replace(pr, $sep, '')), chr(30)) FROM m$i) AS r$i"
+    }.mkString(",\n  ")
+    sb.append(s",\nmm AS MATERIALIZED (SELECT\n  $mmCols)")
+    val applied = (1 to numMerges).foldLeft(
+      s"$sep || array_to_string(string_split(t, ''), $sep) || $sep") { (e, i) =>
+      s"replace($e, $sep || p$i || $sep, $sep || r$i || $sep)"
+    }
+    (sb.toString, applied)
+  }
+
+  /** Full oracle for [[tokenCounts]]: per-doc (n_tokens, n_bpe_tokens,
+    * bpe_hash) with training replayed in SQL.
+    */
+  def oracleSql(vocabSize: Int, numMerges: Int): String = {
+    val (prefix, applied) = oracleStages(vocabSize, numMerges)
+    s"""$prefix,
+       |app AS (
+       |  SELECT doc_id, list_transform(toks, t -> $applied) AS ws
+       |  FROM tok CROSS JOIN mm)
+       |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(ws, w ->
+       |    len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(ws, ' ')) AS bpe_hash
+       |FROM app""".stripMargin
+  }
+
+  /** Oracle for the BPE-denominated token budget (mirrors the
+    * q_token_budget oracle with n_tokens swapped for the BPE count).
+    */
+  def budgetOracleSql(vocabSize: Int, numMerges: Int,
+      budgetCase: String): String = {
+    val (prefix, applied) = oracleStages(vocabSize, numMerges)
+    s"""$prefix,
+       |s AS (
+       |  SELECT doc_id, source,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_transform(toks, t -> $applied),
+       |      w -> len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT)
+       |      AS n_tokens
+       |  FROM tok CROSS JOIN mm),
+       |r AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST($budgetCase AS BIGINT) AS budget
+       |  FROM s GROUP BY source),
+       |r2 AS (
+       |  SELECT source, total_tokens, budget,
+       |    CAST(floor(least(1.0, CAST(budget AS DOUBLE) / total_tokens) * 10000.0 + 0.5) AS BIGINT) AS keep_bp
+       |  FROM r),
+       |k AS (
+       |  SELECT s.source, s.n_tokens, r2.total_tokens, r2.budget, r2.keep_bp
+       |  FROM s JOIN r2 USING (source)
+       |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split('budget:' || CAST(s.doc_id AS VARCHAR), ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 257 + c) % 1000000007) % 10000 < r2.keep_bp)
+       |SELECT source, total_tokens, budget, keep_bp,
+       |  count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |FROM k GROUP BY source, total_tokens, budget, keep_bp""".stripMargin
+  }
+}

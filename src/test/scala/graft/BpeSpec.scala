@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Bpe, Packing}
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = Bpe.Sep
+
+  // "low low lower lowest" classic BPE example: 'lo' wins round 1 (4 hits),
+  // 'low' round 2, then 'low' as a full word ('low' + trailing context is
+  // word-internal only here, so round 3 merges 'w' into 'low'... verified
+  // against a hand trace below).
+  private def corpus = Seq(
+    (1L, "low low low lower lower lowest"),
+    (2L, "low lower newest newest newest")
+  ).toDF("doc_id", "text")
+
+  test("trainMerges learns the expected first merges, deterministically") {
+    val m1 = Bpe.trainMerges(corpus, vocabSize = 100, numMerges = 4)
+    val m2 = Bpe.trainMerges(corpus, vocabSize = 100, numMerges = 4)
+    assert(m1 == m2)
+    // hand trace: pairs of {low:4, lower:3, newest:3, lowest:1}
+    // round 1: l+o = 4+3+1 = 8, o+w = 8, w+e = 3+3+1, e+r = 3+3(wrong: lower
+    // only)... argmax ties l+o / o+w at 8 -> 'l'+'o' wins on pair asc.
+    assert(m1.head == s"l${S}o")
+    // round 2: lo+w now 8 -> merges to 'low'
+    assert(m1(1) == s"lo${S}w")
+  }
+
+  test("encode applies merges left-to-right, non-overlapping") {
+    val merges = Bpe.trainMerges(corpus, vocabSize = 100, numMerges = 4)
+    val out = corpus.select(col("doc_id"),
+      Bpe.encode(col("text"), merges).as("ws")).orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+    // every word string keeps its sentinels and has symbols - 1 separators
+    out.foreach { case (_, ws) =>
+      ws.foreach { w =>
+        assert(w.startsWith(S) && w.endsWith(S))
+        assert(!w.contains(S + S)) // no empty symbols
+      }
+    }
+    // 'low' is fully merged into one symbol after round 2
+    val low = out.head._2.head
+    assert(low == s"${S}low${S}")
+  }
+
+  test("pair-pool exhaustion pads with the no-op sentinel") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // 'ab' has one pair; after merging it there is nothing left
+    val merges = Bpe.trainMerges(tiny, vocabSize = 10, numMerges = 5)
+    assert(merges.head == s"a${S}b")
+    assert(merges.tail.forall(_ == Bpe.NoMerge))
+    // the sentinel merge is a no-op on encode
+    val counts = Bpe.tokenCounts(tiny, merges).collect().head
+    assert(counts.getAs[Long]("n_tokens") == 2L)
+    assert(counts.getAs[Long]("n_bpe_tokens") == 2L) // one symbol per word
+  }
+
+  test("tokenCounts: empty tokens are dropped, counts are exact") {
+    val df = Seq((1L, "aa  aa a"), (2L, "")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, vocabSize = 10, numMerges = 1)
+    assert(merges.head == s"a${S}a")
+    val rows = Bpe.tokenCounts(df, merges).orderBy("doc_id").collect()
+    // doc 1: tokens [aa, aa, a] (double space dropped) -> 1+1+1 symbols
+    assert(rows(0).getAs[Long]("n_tokens") == 3L)
+    assert(rows(0).getAs[Long]("n_bpe_tokens") == 3L)
+    // doc 2: split("") yields one empty token, filtered -> zero of each
+    assert(rows(1).getAs[Long]("n_tokens") == 0L)
+    assert(rows(1).getAs[Long]("n_bpe_tokens") == 0L)
+  }
+
+  test("packing consumes BPE counts: bins respect the subword budget") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12)
+    val scored = docs.select(col("doc_id").as("doc_id"),
+      Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+      .as[Packing.DocTokens]
+    val maxTokens = 512L
+    val bins = Packing.packGreedy(
+      scored.sortWithinPartitions(col("n_tokens").desc), maxTokens).collect()
+    val totalDocs = docs.count()
+    assert(bins.map(_.n_docs.toLong).sum == totalDocs)
+    // a bin only exceeds the budget when a single oversized doc owns it
+    bins.filter(_.total_tokens > maxTokens).foreach(b => assert(b.n_docs == 1))
+    // packing in subword units is denser than one doc per bin
+    assert(bins.length < totalDocs)
+  }
+}
