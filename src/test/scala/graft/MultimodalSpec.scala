@@ -23,6 +23,41 @@ class MultimodalSpec extends SparkSpec {
     assert(again(2L) == out(2L).feature.toSeq)
   }
 
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode through javax.imageio: true dims + histogram") {
+    val black = png(8, 5)((_, _) => 0x000000)
+    val white = png(3, 4)((_, _) => 0xFFFFFF)
+    val half = png(6, 2)((x, _) => if (x < 3) 0x000000 else 0xFFFFFF)
+    val ds = Seq(
+      MediaRow(10L, "image", black),
+      MediaRow(11L, "image", white),
+      MediaRow(12L, "image", half)).toDS()
+    val out = Multimodal.extractFeatures(ds, featureDim = 4)
+      .collect().map(f => f.media_id -> f).toMap
+    // decoded raster dimensions, not stub arithmetic on byte length
+    assert(out(10L).width == 8 && out(10L).height == 5)
+    assert(out(11L).width == 3 && out(11L).height == 4)
+    // luminance mass lands in the right bins and normalizes to 1
+    assert(out(10L).feature.toSeq == Seq(1f, 0f, 0f, 0f))
+    assert(out(11L).feature.toSeq == Seq(0f, 0f, 0f, 1f))
+    assert(out(12L).feature.toSeq == Seq(0.5f, 0f, 0f, 0.5f))
+  }
+
+  test("unrecognized payloads fall back to the deterministic stub") {
+    val junk = Array.tabulate(100)(_.toByte) // no codec signature
+    val ds = Seq(MediaRow(20L, "video", junk)).toDS()
+    val f = Multimodal.extractFeatures(ds, featureDim = 8).collect().head
+    assert(f.width == 1 + 100 % 640) // stub arithmetic, row not dropped
+  }
+
   test("chunked splits payloads and sampleChunks strides them") {
     val df = media.toDF().withColumnRenamed("payload", "payload")
     val chunks = Multimodal.chunked(df, "payload", chunkBytes = 32)
