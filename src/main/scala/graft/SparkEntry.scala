@@ -994,6 +994,16 @@ object SparkEntry {
         Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
           idOffset = 1000000L, truncateChars = 30), n = 8)),
 
+    // §2.24m2 — MAXIMAL duplicated spans with exact extents (the
+    // suffix-array union output of Lee et al.'s exact substring dedup):
+    // one row per maximal cross-doc duplicated substring occurrence with
+    // its start and arbitrary token length, from runs of consecutive
+    // duplicated windows — same linear shuffles as q_dup_spans
+    "q_max_dup_spans" -> ((s, dir) =>
+      graft.operators.Contamination.maxDupSpans(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30), n = 8)),
+
     // §2.24x — duplicated-span REMOVAL, keep-first: a cross-doc 8-gram
     // survives only in its lowest doc_id; planted truncated copies lose
     // the shared text, originals keep theirs verbatim
@@ -2177,6 +2187,38 @@ object SparkEntry {
         |  floor(count(*) FILTER (WHERE isdup) * 10000.0 / count(*) + 0.5) / 10000.0 AS dup_ratio
         |FROM r GROUP BY doc_id
         |HAVING count(*) FILTER (WHERE isdup) > 0""".stripMargin,
+
+    // maximal spans: dup-window runs regrouped by a cumulative
+    // span-start counter, one output row per (doc, run)
+    "q_max_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |g AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(toks[u.i:u.i+7], ' '), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS h
+        |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT g.doc_id, g.pos, (d.h IS NOT NULL) AS isdup
+        |      FROM g LEFT JOIN d ON g.h = d.h),
+        |r AS (SELECT doc_id, pos, isdup,
+        |        lag(isdup, 1, false) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |      FROM f),
+        |s AS (SELECT doc_id, pos,
+        |        SUM(CASE WHEN prev THEN 0 ELSE 1 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |      FROM r WHERE isdup)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(count(*) AS BIGINT) AS span_windows,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM s GROUP BY doc_id, grp""".stripMargin,
 
     // keep-first scrub: reconstruction filters 1-based token positions
     // against the doc's sorted dup-window starts (nested-lambda closure)

@@ -159,6 +159,13 @@ object Stress {
     time("dup_spans") {
       graft.operators.Contamination.dupSpans(docs, n = 8)
     }
+    // Maximal-span extents under full replication: every doc is one
+    // all-duplicated run, so output is exactly one span row per doc —
+    // linear in the corpus at any factor (the span compression that the
+    // per-pair suffix-array report lacks).
+    time("max_dup_spans") {
+      graft.operators.Contamination.maxDupSpans(docs, n = 8)
+    }
     // r4 curation additions. line_dedup's worst case IS replication:
     // every line of every doc is boilerplate (occurs in `factor` docs
     // when factor > maxDocs), so the frequent-line set is maximal.

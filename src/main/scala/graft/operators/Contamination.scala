@@ -260,4 +260,55 @@ object Contamination {
       (floor(size(arr) * 10000.0 / col("n_windows") + 0.5) / 10000.0)
         .as("dup_ratio"))
   }
+
+  /** MAXIMAL duplicated spans with exact extents — the suffix-array
+    * output of Lee et al.'s exact substring dedup in its union form: one
+    * row per maximal cross-document duplicated substring occurrence,
+    * with its start position and its token length (ARBITRARY length >= n,
+    * not the fixed window size; a 37-token shared prefix reports as one
+    * 37-token span). A maximal duplicated substring of length m covers
+    * exactly the m-n+1 consecutive duplicated n-gram windows, so maximal
+    * runs in the per-doc sorted dup-position list ARE the maximal spans —
+    * no suffix sorting, no pairwise extension: the same two linear
+    * shuffles as dupSpans (gram hash count + slim join back), then a
+    * per-doc HOF fold over dup positions only. Output is one row per
+    * span — linear in duplicated content, where the true per-pair
+    * suffix-array report goes quadratic on replica clusters.
+    */
+  def maxDupSpans(docs: DataFrame, n: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode_outer(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val dupHashes = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(explode_outer(array_distinct(gramHashes(col("toks"), n))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("h"))
+    val perDoc = grams.join(dupHashes, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("dup_pos"))
+    // run boundaries in the sorted dup list: index i starts a run when
+    // arr(i) != arr(i-1)+1, ends one when arr(i+1) != arr(i)+1; the k-th
+    // start pairs with the k-th end (runs are disjoint and ordered)
+    val arr = col("dup_pos")
+    val idx = sequence(lit(1), size(arr))
+    val starts = filter(idx, i =>
+      (i === 1) || (element_at(arr, i) =!= element_at(arr, i - 1) + 1))
+    val ends = filter(idx, i =>
+      (i === size(arr)) || (element_at(arr, i + 1) =!= element_at(arr, i) + 1))
+    perDoc
+      .select(col("doc_id"),
+        explode(zip_with(starts, ends, (si, ei) => struct(
+          element_at(arr, si).cast("long").as("span_start"),
+          (ei - si + 1).cast("long").as("span_windows"),
+          (ei - si + n).cast("long").as("span_tokens")))).as("sp"))
+      .select(col("doc_id"), col("sp.span_start"), col("sp.span_windows"),
+        col("sp.span_tokens"))
+  }
 }
