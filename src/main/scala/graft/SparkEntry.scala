@@ -653,8 +653,12 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val merges = graft.operators.Bpe.trainMerges(docs, vocabSize = 1000,
         numMerges = 12)
+      // tokenBudgetKeep consumes its input twice (source totals, then the
+      // keep filter); materialize the slim 3-column scored projection so
+      // the 12-stage BPE replace chain runs over the corpus ONCE
       val scored = docs.select(col("doc_id"), col("source"),
         graft.operators.Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+        .localCheckpoint()
       graft.operators.Sampling.tokenBudgetKeep(scored, "source", "n_tokens",
         "doc_id", Seq("src0" -> 2000L, "src1" -> 3000L, "src2" -> 500000L),
         defaultBudget = 1200L)
