@@ -166,6 +166,14 @@ object Stress {
     time("max_dup_spans") {
       graft.operators.Contamination.maxDupSpans(docs, n = 8)
     }
+    // BPE under replication: training cost is ONE (word, count) aggregate
+    // whose group space (the vocabulary) doesn't grow with replicas, and
+    // application is a scan-speed replace chain — both must scale like a
+    // plain corpus scan.
+    time("token_bpe") {
+      graft.operators.Bpe.tokenCounts(docs,
+        graft.operators.Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12))
+    }
     // r4 curation additions. line_dedup's worst case IS replication:
     // every line of every doc is boilerplate (occurs in `factor` docs
     // when factor > maxDocs), so the frequent-line set is maximal.

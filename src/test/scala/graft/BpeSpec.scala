@@ -71,6 +71,33 @@ class BpeSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_bpe_tokens") == 0L)
   }
 
+  test("trained merges apply unchanged to a structured stream") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // train offline on the static corpus, tokenize documents as they
+    // arrive — the production split: training is a batch job, application
+    // is a pure projection that streaming executes as-is
+    val merges = Bpe.trainMerges(corpus, vocabSize = 100, numMerges = 4)
+    val input = MemoryStream[(Long, String)]
+    val counted = Bpe.tokenCounts(input.toDF().toDF("doc_id", "text"), merges)
+    val chk = java.nio.file.Files.createTempDirectory("graft-bpestream").toString
+    val q = counted.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").option("checkpointLocation", chk).start()
+    input.addData((1L, "low lower lowest"), (2L, "low low"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bpe_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("bpe_hash"))).toMap
+    // identical to the batch application of the same merges
+    val batch = Bpe.tokenCounts(
+      Seq((1L, "low lower lowest"), (2L, "low low")).toDF("doc_id", "text"),
+      merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("bpe_hash"))).toMap
+    assert(got == batch)
+  }
+
   test("packing consumes BPE counts: bins respect the subword budget") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12)

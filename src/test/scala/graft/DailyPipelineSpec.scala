@@ -89,6 +89,56 @@ class DailyPipelineSpec extends SparkSpec {
     assert(again == nTrain)
   }
 
+  test("BPE-denominated chain: train merges -> budget -> pack -> shard, " +
+    "all in subword units") {
+    import graft.operators.{Bpe, Packing, Sampling}
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    // 1. tokenizer trained on the corpus itself
+    val merges = Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12)
+    val scored = docs.select($"doc_id", $"source",
+      Bpe.tokenCount($"text", merges).as("n_tokens")).localCheckpoint()
+    val totalBpe = scored.agg(sum($"n_tokens")).head().getLong(0)
+    assert(totalBpe > 0)
+    // 2. budget resample measured in BPE tokens: the kept mass per source
+    //    respects its budget (within one doc of the basis-point rate)
+    val kept = Sampling.tokenBudgetKeep(scored, "source", "n_tokens",
+      "doc_id", Seq("src0" -> 2000L), defaultBudget = Long.MaxValue / 4)
+    val src0 = kept.where($"source" === "src0")
+      .agg(sum($"n_tokens"), max($"keep_bp")).head()
+    val src0Kept = src0.getLong(0)
+    val src0Bp = src0.getLong(1)
+    // keep rate was computed FROM the BPE totals: basis points match the
+    // budget/total ratio on the same denomination
+    val src0Total = scored.where($"source" === "src0")
+      .agg(sum($"n_tokens")).head().getLong(0)
+    assert(src0Bp == math.floor(
+      math.min(1.0, 2000.0 / src0Total) * 10000.0 + 0.5).toLong)
+    assert(src0Kept < src0Total)
+    // 3. pack the kept docs into 512-subword bins
+    val bins = Packing.packGreedy(
+      kept.select($"doc_id", $"n_tokens").as[Packing.DocTokens],
+      maxTokens = 512).collect()
+    val keptDocs = kept.count()
+    assert(bins.map(_.n_docs.toLong).sum == keptDocs)
+    bins.foreach(b => assert(b.total_tokens <= 512 || b.n_docs == 1))
+    // packed mass is conserved: bins carry exactly the kept BPE tokens
+    assert(bins.map(_.total_tokens).sum ==
+      kept.agg(sum($"n_tokens")).head().getLong(0))
+    // 4. shard assignment over the kept docs (same salted fold as
+    //    shardPlan): every doc lands in exactly one shard, shard token
+    //    mass sums to the kept BPE mass
+    val shard = pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(
+      concat(lit("shard:"), $"doc_id".cast("string"))), lit(4L))
+    val shards = kept.select($"doc_id", $"n_tokens", shard.as("shard"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("shard_tokens"))
+    assert(shards.agg(sum($"n_docs")).head().getLong(0) == keptDocs)
+    assert(shards.agg(sum($"shard_tokens")).head().getLong(0) ==
+      bins.map(_.total_tokens).sum)
+  }
+
   test("prepareModern gates repetitive, contaminated, and duplicate docs") {
     import org.apache.spark.sql.functions._
     val clean = (1 to 23).map(i => s"w$i").mkString(" ")
