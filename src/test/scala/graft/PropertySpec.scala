@@ -226,4 +226,33 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("BPE segmentation is lossless and count-consistent on random corpora") {
+    import graft.operators.Bpe
+    val rnd = new Random(23)
+    def word() = Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(6)).toChar).mkString
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(25))(word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, vocabSize = 500, numMerges = 10)
+    val enc = docs.select(col("doc_id"), col("text"),
+        Bpe.encode(col("text"), merges).as("ws"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+      .collect()
+    enc.foreach { r =>
+      val text = r.getAs[String]("text")
+      val ws = r.getSeq[String](r.fieldIndex("ws")).toList
+      // LOSSLESS: stripping separators from each word string reproduces
+      // the original tokens exactly — merges re-segment, never rewrite
+      assert(ws.map(_.replace(Bpe.Sep, "")) ==
+        text.split(" ").filter(_.nonEmpty).toSeq)
+      // count-consistent: the aggregate column equals the per-word sum
+      assert(r.getAs[Long]("n_bpe") ==
+        ws.map(w => w.sliding(1).count(_ == Bpe.Sep) - 1).sum)
+      // monotone: merges only shrink token counts, floor 1 per word
+      val nChars = text.split(" ").filter(_.nonEmpty).map(_.length.toLong).sum
+      assert(r.getAs[Long]("n_bpe") <= nChars)
+      assert(r.getAs[Long]("n_bpe") >= ws.size)
+    }
+  }
 }
