@@ -515,6 +515,19 @@ object SparkEntry {
         stopwords, langMarkers, minTokens = 20, maxStopwordRatio = 0.3,
         trainPct = 90, valPct = 5)),
 
+    // §2.24d2 — the corpus-prep pipeline with REAL subword accounting:
+    // same gates/dedup/split, bpe_tokens from the trained merge chain
+    // instead of the regex proxy (the denomination a production budget
+    // actually uses); training replayed in the oracle
+    "q_corpus_prep_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.trainMerges(docs, vocabSize = 1000,
+        numMerges = 12)
+      graft.pipeline.CorpusPrep.prepare(docs, stopwords, langMarkers,
+        minTokens = 20, maxStopwordRatio = 0.3, trainPct = 90, valPct = 5,
+        bpeTokens = Some(graft.operators.Bpe.tokenCount(col("text"), merges)))
+    }),
+
     // §2.24e — corpus vocabulary top-k (explode -> two-level agg with
     // map-side partials; global top-k via TakeOrdered, not a full sort)
     "q_vocab_topk" -> ((s, dir) =>
@@ -1694,6 +1707,8 @@ object SparkEntry {
     // materialized CTEs (pair count -> argmax -> vocab rewrite), then the
     // learned replace chain applied per token — generated by Bpe.oracleSql
     "q_token_bpe" -> graft.operators.Bpe.oracleSql(1000, 12),
+
+    "q_corpus_prep_bpe" -> graft.operators.Bpe.corpusPrepOracleSql(1000, 12),
 
     "q_bpe_budget" -> graft.operators.Bpe.budgetOracleSql(1000, 12,
       """CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 3000

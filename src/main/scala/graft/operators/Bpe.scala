@@ -208,6 +208,57 @@ object Bpe {
        |FROM app""".stripMargin
   }
 
+  /** Oracle for the corpus-prep pipeline with REAL BPE accounting: the
+    * q_corpus_prep chain (quality gate -> language gate -> exact dedup ->
+    * split) with its regex token-count proxy replaced by the trained
+    * subword count — training CTEs prepended, apply-chain summed per doc.
+    */
+  def corpusPrepOracleSql(vocabSize: Int, numMerges: Int): String = {
+    val (prefix, applied) = oracleStages(vocabSize, numMerges)
+    s"""$prefix,
+       |c0 AS (
+       |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS ctoks
+       |  FROM documents),
+       |q AS (
+       |  SELECT *, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(ctoks, x -> x IN ('the','a','data','value'))) AS DOUBLE)
+       |      / len(ctoks) AS stopword_ratio
+       |  FROM c0 WHERE len(ctoks) >= 20),
+       |l AS (
+       |  SELECT *,
+       |    CAST(len(list_filter(ctoks, x -> x IN ('the','a'))) AS BIGINT) AS score_en,
+       |    CAST(len(list_filter(ctoks, x -> x IN ('table','row'))) AS BIGINT) AS score_fr,
+       |    CAST(len(list_filter(ctoks, x -> x IN ('data','value'))) AS BIGINT) AS score_es,
+       |    CAST(len(list_filter(ctoks, x -> x IN ('join','group'))) AS BIGINT) AS score_de,
+       |    CAST(len(list_filter(ctoks, x -> x IN ('spark','stream'))) AS BIGINT) AS score_zh
+       |  FROM q WHERE stopword_ratio < 0.3),
+       |p AS (
+       |  SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS mx
+       |  FROM l),
+       |f AS (
+       |  SELECT * FROM p
+       |  WHERE (CASE WHEN score_en = mx THEN 'en' WHEN score_fr = mx THEN 'fr'
+       |              WHEN score_es = mx THEN 'es' WHEN score_de = mx THEN 'de'
+       |              WHEN score_zh = mx THEN 'zh' ELSE 'und' END) = lang),
+       |d AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM f),
+       |k AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS bucket
+       |  FROM d WHERE doc_id = keep_id)
+       |SELECT doc_id, lang, source, n_tokens,
+       |  CAST(coalesce(list_sum(list_transform(
+       |    list_transform(list_filter(ctoks, x -> x <> ''), t -> $applied),
+       |    w -> len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT)
+       |    AS bpe_tokens,
+       |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM k CROSS JOIN mm""".stripMargin
+  }
+
   /** Oracle for the BPE-denominated token budget (mirrors the
     * q_token_budget oracle with n_tokens swapped for the BPE count).
     */

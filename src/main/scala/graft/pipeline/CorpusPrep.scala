@@ -41,9 +41,14 @@ object CorpusPrep {
     pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(key), lit(100L))
   }
 
+  /** `bpeTokens` overrides the default regex token-count proxy with a real
+    * subword count (see Bpe.tokenCount) — the accounting a production
+    * budget is denominated in. None keeps the cheap proxy.
+    */
   def prepare(docs: DataFrame, stopwords: Seq[String],
       markers: Seq[(String, Seq[String])], minTokens: Int,
-      maxStopwordRatio: Double, trainPct: Int, valPct: Int): DataFrame = {
+      maxStopwordRatio: Double, trainPct: Int, valPct: Int,
+      bpeTokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val w = Window.partitionBy(col("text_hash"))
     docs
       .withColumn("toks", TextAnalysis.tokens(col("text")))
@@ -64,8 +69,8 @@ object CorpusPrep {
       // token accounting BEFORE the dedup shuffle, so text and the token
       // array can be projected away and the exchange carries a few ints
       // per row instead of whole documents
-      .withColumn("bpe_tokens",
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long"))
+      .withColumn("bpe_tokens", bpeTokens.getOrElse(
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")))
       .withColumn("text_hash", md5(col("text")))
       .select("doc_id", "lang", "source", "n_tokens", "bpe_tokens", "text_hash")
       // exact dedup: keep the lowest doc_id per content hash (the ONE
