@@ -49,4 +49,17 @@ object Formats {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** XML: built into Spark 4 (no external package). Row-per-`rowTag`
+    * element; schema explicit like every other reader here. The exchange
+    * format legacy manufacturing systems (MES/ERP exports) still speak —
+    * the reference's RDB extracts often front such feeds.
+    */
+  def readXml(spark: SparkSession, path: String, ddlSchema: String,
+      rowTag: String): DataFrame =
+    spark.read.schema(ddlSchema).format("xml").option("rowTag", rowTag).load(path)
+
+  def writeXml(df: DataFrame, path: String, rootTag: String, rowTag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rootTag", rootTag).option("rowTag", rowTag).save(path)
 }

@@ -27,6 +27,16 @@ class FormatsSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("xml round-trips with explicit schema and row tag") {
+    val dir = Files.createTempDirectory("graft-xml").toString + "/data"
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)).toDF("id", "name", "score")
+    Formats.writeXml(df, dir, rootTag = "rows", rowTag = "row")
+    val back = Formats.readXml(spark, dir, "id LONG, name STRING, score DOUBLE",
+      rowTag = "row")
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "alpha", 1.5), (2L, "beta", 2.5)))
+  }
+
   test("orc round-trips with pushdown-capable columnar layout") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/data"
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "name", "score")
