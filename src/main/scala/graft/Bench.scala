@@ -64,7 +64,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "total_verbose", not "total": a consumer that scans ALL lines for
+    // metric==total must see exactly one hit (the compact line below), not
+    // nondeterministically pick whichever of two it reads first.
+    println(f"""{"metric":"total_verbose","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     // The driver captures only the last ~2 KB of output; with 95+ queries the
     // line above overflows that window and its head (metric/value) is cut off
     // (BENCH_r03/r04 both came back parsed:null). Emit a compact total-only

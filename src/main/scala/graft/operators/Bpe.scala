@@ -24,10 +24,21 @@ import org.apache.spark.sql.functions._
   *     one corpus scan, no shuffle, no UDF.
   *
   * Portability: a word travels as a separator-delimited symbol string
-  * ("\u001f" between symbols, sentinels at both ends), so one merge rule
+  * with a DOUBLED "\u001f" at every symbol boundary, so one merge rule
   * application IS one plain left-to-right non-overlapping string replace
   * — identical semantics in java.lang.String.replace, Spark's `replace`,
-  * and the oracle engine's `replace`. Training tie-breaks (count desc,
+  * and the oracle engine's `replace`. The doubling is what makes a single
+  * replace CANONICAL left-to-right BPE (Sennrich et al.): the pattern
+  * sep+a+sep+sep+b+sep consumes only the INNER half of each outer
+  * boundary, so adjacent occurrences of the same pair (word "aaaa",
+  * merge a+a) no longer fight over a shared separator — with single
+  * separators the first match eats the boundary and "aaaa" mis-segments
+  * to [aa,a,a] instead of the canonical [aa,aa]. (Repeating a single-sep
+  * replace to fixpoint does NOT fix it either: "aaaaa" converges to
+  * [aa,a,aa] where canonical is [aa,aa,a].) The doubled form is internal
+  * only — encode collapses sep+sep back to sep after the last merge, so
+  * counting, hashing, and every downstream consumer see the same
+  * single-separator shape as before. Training tie-breaks (count desc,
   * pair string asc) compare ASCII+0x1f strings, where Java UTF-16 order
   * and bytewise UTF-8 order agree. The oracle replays TRAINING AND
   * APPLICATION exactly: oracleSql unrolls the K merge stages as
@@ -55,8 +66,20 @@ object Bpe {
     */
   val NoMerge = "\u001e"
 
+  /** The doubled boundary of the internal working representation. */
+  private val Sep2 = Sep + Sep
+
   private def wordString(w: String): String =
-    Sep + w.toCharArray.map(_.toString).mkString(Sep) + Sep
+    Sep2 + w.toCharArray.map(_.toString).mkString(Sep2) + Sep2
+
+  /** One merge rule as (pattern, replacement) over the doubled-boundary
+    * representation: pair key a+Sep+b becomes pattern Sep+a+Sep2+b+Sep
+    * (the inner halves of both outer boundaries plus the full inner one)
+    * and replacement Sep+ab+Sep — the surviving outer halves restore the
+    * doubled form around the merged symbol.
+    */
+  private def mergeRule(pair: String): (String, String) =
+    (Sep + pair.replace(Sep, Sep2) + Sep, Sep + pair.replace(Sep, "") + Sep)
 
   /** Train `numMerges` merges on the top `vocabSize` corpus words (count
     * desc, word asc — fully deterministic). Returns merge pair strings
@@ -75,8 +98,8 @@ object Bpe {
     (0 until numMerges).map { _ =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       words.foreach { case (w, c) =>
-        // strip the leading sentinel; Java split drops the trailing empty
-        val syms = w.split(Sep).drop(1)
+        // doubled boundaries split to interleaved empties; keep the symbols
+        val syms = w.split(Sep).filter(_.nonEmpty)
         var i = 0
         while (i < syms.length - 1) {
           val k = syms(i) + Sep + syms(i + 1)
@@ -89,9 +112,8 @@ object Bpe {
         // argmax, ties to the smallest pair string — same total order as
         // the oracle's ORDER BY c DESC, pr ASC (ASCII: UTF-16 == bytewise)
         val best = counts.toSeq.minBy { case (p, c) => (-c, p) }._1
-        words = words.map { case (w, c) =>
-          (w.replace(Sep + best + Sep, Sep + best.replace(Sep, "") + Sep), c)
-        }
+        val (pat, rep) = mergeRule(best)
+        words = words.map { case (w, c) => (w.replace(pat, rep), c) }
         best
       }
     }
@@ -104,10 +126,14 @@ object Bpe {
   def encode(text: Column, merges: Seq[String]): Column = {
     val toks = filter(split(text, " "), t => t =!= lit(""))
     transform(toks, t => {
-      val w0 = concat(lit(Sep), array_join(split(t, ""), Sep), lit(Sep))
-      merges.foldLeft(w0) { (w, m) =>
-        replace(w, lit(Sep + m + Sep), lit(Sep + m.replace(Sep, "") + Sep))
+      val w0 = concat(lit(Sep2), array_join(split(t, ""), Sep2), lit(Sep2))
+      val merged = merges.foldLeft(w0) { (w, m) =>
+        val (pat, rep) = mergeRule(m)
+        replace(w, lit(pat), lit(rep))
       }
+      // collapse the doubled boundaries back to the external single-sep
+      // shape (every boundary is exactly Sep2, so one pass suffices)
+      replace(merged, lit(Sep2), lit(Sep))
     })
   }
 
@@ -161,7 +187,9 @@ object Bpe {
          |  FROM (SELECT unnest(toks) AS word FROM tok) GROUP BY word
          |  ORDER BY cnt DESC, word ASC LIMIT $vocabSize),
          |w0 AS MATERIALIZED (
-         |  SELECT $sep || array_to_string(string_split(word, ''), $sep) || $sep AS w,
+         |  SELECT $sep || $sep ||
+         |    array_to_string(string_split(word, ''), $sep || $sep) ||
+         |    $sep || $sep AS w,
          |    cnt FROM vocab)""".stripMargin)
     (1 to numMerges).foreach { i =>
       sb.append(
@@ -170,25 +198,27 @@ object Bpe {
            |  SELECT pr, SUM(cnt) AS c FROM (
            |    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
            |      j -> syms[j] || $sep || syms[j + 1])) AS pr, cnt
-           |    FROM (SELECT list_slice(string_split(w, $sep), 2,
-           |            len(string_split(w, $sep)) - 1) AS syms, cnt FROM w${i - 1}))
+           |    FROM (SELECT list_filter(string_split(w, $sep), x -> x <> '') AS syms,
+           |            cnt FROM w${i - 1}))
            |  GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1),
            |w$i AS MATERIALIZED (
            |  SELECT replace(w,
-           |    $sep || (SELECT coalesce(min(pr), chr(30)) FROM m$i) || $sep,
+           |    $sep || (SELECT coalesce(min(replace(pr, $sep, $sep || $sep)), chr(30)) FROM m$i) || $sep,
            |    $sep || (SELECT coalesce(min(replace(pr, $sep, '')), chr(30)) FROM m$i) || $sep)
            |    AS w, cnt
            |  FROM w${i - 1})""".stripMargin)
     }
     val mmCols = (1 to numMerges).map { i =>
-      s"(SELECT coalesce(min(pr), chr(30)) FROM m$i) AS p$i, " +
+      s"(SELECT coalesce(min(replace(pr, $sep, $sep || $sep)), chr(30)) FROM m$i) AS p$i, " +
         s"(SELECT coalesce(min(replace(pr, $sep, '')), chr(30)) FROM m$i) AS r$i"
     }.mkString(",\n  ")
     sb.append(s",\nmm AS MATERIALIZED (SELECT\n  $mmCols)")
-    val applied = (1 to numMerges).foldLeft(
-      s"$sep || array_to_string(string_split(t, ''), $sep) || $sep") { (e, i) =>
+    val chain = (1 to numMerges).foldLeft(
+      s"$sep || $sep || array_to_string(string_split(t, ''), $sep || $sep) || $sep || $sep") { (e, i) =>
       s"replace($e, $sep || p$i || $sep, $sep || r$i || $sep)"
     }
+    // collapse the doubled boundaries back to the external single-sep shape
+    val applied = s"replace($chain, $sep || $sep, $sep)"
     (sb.toString, applied)
   }
 

@@ -423,6 +423,11 @@ object Dedup {
     * so the pair join never goes quadratic in the corpus.
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double, maxLenDiff: Int): DataFrame = {
+    // maxLenDiff = 0 ("exact same length") must not divide the band key by
+    // zero — floor(len/0) is NULL in non-ANSI mode and the equi-join would
+    // silently drop every pair. Band width 1 keeps equal-length docs in one
+    // band; the abs(len diff) predicate below still enforces the caller's 0.
+    val bandWidth = math.max(maxLenDiff, 1)
     // 64-bit shingle hashes (not md5 strings), sorted + distinct ONCE per
     // document, so each candidate pair costs one allocation-free native
     // merge (SortedIntersectCount) instead of two hash-set builds. |set|
@@ -450,10 +455,10 @@ object Dedup {
     // abs(len diff) predicate still runs, so the output is unchanged.
     val x = withShingles
       .withColumn("band", explode(array(
-        floor(col("len") / maxLenDiff) - 1,
-        floor(col("len") / maxLenDiff),
-        floor(col("len") / maxLenDiff) + 1)))
-    val y = withShingles.withColumn("band", floor(col("len") / maxLenDiff))
+        floor(col("len") / bandWidth) - 1,
+        floor(col("len") / bandWidth),
+        floor(col("len") / bandWidth) + 1)))
+    val y = withShingles.withColumn("band", floor(col("len") / bandWidth))
     x.as("x").join(y.as("y"),
         col("x.source") === col("y.source") && col("x.lang") === col("y.lang") &&
           col("x.band") === col("y.band") &&

@@ -44,9 +44,13 @@ object Multimodal {
     */
   private def decodeImage(payload: Array[Byte], featureDim: Int): Option[(Int, Int, Array[Float])] = {
     if (payload.length < 4) return None
+    // NonFatal, not just IOException: ImageIO plugins throw RuntimeExceptions
+    // on malformed-but-recognized payloads (IllegalArgumentException for CMYK
+    // JPEGs, ArrayIndexOutOfBoundsException from corrupt headers); any
+    // undecodable payload must fall back to the stub, never fail the task.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth

@@ -46,6 +46,22 @@ class BpeSpec extends SparkSpec {
     assert(low == s"${S}low${S}")
   }
 
+  test("adjacent occurrences of a merged pair segment canonically") {
+    // the r5 ADVICE case: with single-sep boundaries the first replace
+    // consumed the shared separator and "aaaa" mis-segmented to [aa,a,a];
+    // the doubled-boundary representation yields canonical left-to-right
+    // non-overlapping BPE: [aa,aa] and (for "aaaaa") [aa,aa,a]
+    val df = Seq((1L, "aaaa aaaaa")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(df, vocabSize = 10, numMerges = 1)
+    assert(merges.head == s"a${S}a")
+    val ws = df.select(Bpe.encode(col("text"), merges).as("ws"))
+      .as[Seq[String]].collect().head
+    assert(ws(0) == s"${S}aa${S}aa${S}")
+    assert(ws(1) == s"${S}aa${S}aa${S}a${S}")
+    val counts = Bpe.tokenCounts(df, merges).collect().head
+    assert(counts.getAs[Long]("n_bpe_tokens") == 5L)
+  }
+
   test("pair-pool exhaustion pads with the no-op sentinel") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // 'ab' has one pair; after merging it there is nothing left
