@@ -579,6 +579,27 @@ object SparkEntry {
       Dedup.crossCorpusNearDups(docs, eval, k = 64, bands = 16, minSim = 0.5)
     }),
 
+    // §2.16d — STAGED cross-corpus near-dup: the corpus side carries
+    // exact replicas (every 10th doc copied verbatim at id+2000000);
+    // exact-collapse to min-id representatives first, so each leaked
+    // text pairs with its eval doc ONCE instead of once per replica —
+    // the r5 verdict's scale fix for pair-output-bound q_cross_dedup.
+    // Replica ids exceed the originals, so representatives are exactly
+    // the original corpus and the pair set hash-matches the oracle's
+    // replay of the same collapse.
+    "q_cross_dedup_staged" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val eval = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text"))
+      Dedup.stagedCrossCorpusNearDups(corpus, eval,
+        "/tmp/graft_xstaged_" + dir.replaceAll("[^0-9A-Za-z]", "_"),
+        k = 64, bands = 16, minSim = 0.5)
+    }),
+
     // §2.24z — per-source data card: doc/token mass, short-doc,
     // repetitive, and benchmark-contaminated counts — every gate rides
     // the SAME single scan as native projections (GramRunStats +
@@ -1397,6 +1418,7 @@ object SparkEntry {
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
     "q_cross_dedup" -> crossDedupOracle,
+    "q_cross_dedup_staged" -> crossDedupStagedOracle,
 
     "q_dedup_simhash_portable" -> simhashPortableOracle,
 
@@ -2352,7 +2374,26 @@ object SparkEntry {
   /** q_cross_dedup oracle: portable signatures on both sides, banding by
     * raw signature slices, candidates require one side from each corpus.
     */
-  private def crossDedupOracle: String = {
+  /** Shared replay of the banded cross-corpus pipeline; `corpusCte` is
+    * the SQL body of the c0 CTE (the corpus side AFTER any staging).
+    */
+  private def crossDedupOracle: String =
+    crossDedupOracleFrom("SELECT doc_id, text FROM documents")
+
+  /** q_cross_dedup_staged: replicate every 10th doc verbatim, then replay
+    * the engine's exact-collapse (min-id representative per md5(text))
+    * before the banded pipeline.
+    */
+  private def crossDedupStagedOracle: String =
+    crossDedupOracleFrom(
+      """SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 2000000, text FROM documents
+        |        WHERE doc_id % 10 = 0)
+        |  GROUP BY md5(text)""".stripMargin)
+
+  private def crossDedupOracleFrom(corpusCte: String): String = {
     val k = 64; val bands = 16; val r = k / bands; val p = 2147483647L
     val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -2374,7 +2415,7 @@ object SparkEntry {
          |banded_$name AS (
          |  SELECT doc_id, sig, b.band, sig[b.band*$r+1 : b.band*$r+$r] AS bv
          |  FROM sig_$name, range(0, $bands) b(band))""".stripMargin
-    s"""WITH c0 AS (SELECT doc_id, text FROM documents),
+    s"""WITH c0 AS ($corpusCte),
        |e0 AS (
        |  SELECT doc_id + 1000000 AS doc_id,
        |    substring(text, 1, greatest(length(text) - 30, 1)) AS text

@@ -146,6 +146,21 @@ object Stress {
           expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text"))
       Dedup.crossCorpusNearDups(docs, evalSet, k = 64, bands = 16, minSim = 0.5)
     }
+    // The staged form collapses the replica clusters before banding, so
+    // the pair output is one row per (leaked text, eval doc) — FLAT in
+    // `factor` where the raw form above grows O(factor) rows per eval doc
+    // (r5 verdict: 11x the output at 100x). This is the variant a real
+    // 100 TB run uses. Eval here comes from the BASE table (the real
+    // shape: a fixed curated benchmark vs a growing corpus), so rows out
+    // must not move between factors at all.
+    time("cross_dedup_staged") {
+      val evalSet = Tables.documents(spark, sfDir)
+        .where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text"))
+      Dedup.stagedCrossCorpusNearDups(docs, evalSet,
+        "/tmp/graft_stress_xstaged", k = 64, bands = 16, minSim = 0.5)
+    }
     // Contamination ops on the replicated corpus: every doc has `factor`
     // replicas, so EVERY window is cross-doc duplicated — dup_spans' worst
     // case, but output stays one row per doc (span-compressed), unlike the

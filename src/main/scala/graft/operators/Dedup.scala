@@ -250,6 +250,34 @@ object Dedup {
       .select("corpus_id", "eval_id", "est_sim")
   }
 
+  /** Staged cross-corpus near-dup — the 100 TB form of the train/eval
+    * leak check: exact-collapse the CORPUS side to per-content
+    * representatives first (one slim (md5, min-id, text) shuffle),
+    * MATERIALIZE them (stage boundary: the banded join consumes the
+    * collapsed frame twice), then run [[crossCorpusNearDups]] against
+    * representatives only. The raw form is pair-output-bound when the
+    * corpus carries true replica clusters — every corpus replica of a
+    * leaked doc emits its own (corpus_id, eval_id) row, O(replicas) per
+    * eval doc (Stress r5: 2.3 -> 3.4 s with 11x the output rows at
+    * 30x -> 100x replication). Collapsing first reports each leaked TEXT
+    * once, against its min-id representative, so the output stays flat
+    * under replication. Only the corpus side stages: eval sets are small
+    * and curated, and collapsing them would hide which eval ids leak.
+    */
+  def stagedCrossCorpusNearDups(corpus: DataFrame, evalSet: DataFrame,
+      stagePath: String, k: Int, bands: Int, minSim: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus
+      .withColumn("text_hash", md5(col("text")))
+      .groupBy("text_hash")
+      // min-id representative; text is constant within a content group
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .drop("text_hash")
+      .write.mode("overwrite").parquet(stagePath)
+    crossCorpusNearDups(spark.read.parquet(stagePath), evalSet, k, bands, minSim)
+  }
+
   /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact
     * duplicates first (one cheap hash shuffle), MATERIALIZE the
     * representatives (a stage boundary: the LSH self-join downstream would
