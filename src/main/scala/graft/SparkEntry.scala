@@ -700,6 +700,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
     }),
 
+    // §2.24j4 — the END-TO-END training-data chain in BPE units:
+    // corpus-trained subword tokenization -> per-source token-budget
+    // downsample -> deterministic salted-fold shard + in-shard order ->
+    // per-shard manifest (docs, BPE token mass, bin-count lower bound
+    // for a 512-token packer, order fingerprint). ONE corpus scan for
+    // the 12-stage replace chain (materialized slim), one broadcast of
+    // the per-source rate table, one shard-keyed aggregate. The greedy
+    // packer itself is per-partition stateful (spec-verified, §2.24h);
+    // this manifest publishes the ceil(tokens/cap) floor it packs
+    // against — PackingSpec asserts the packer meets it per shard.
+    "q_bpe_shards" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Bpe.trainMerges(docs, vocabSize = 1000,
+        numMerges = 12)
+      val scored = docs.select(col("doc_id"), col("source"),
+        graft.operators.Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+        .localCheckpoint()
+      val kept = graft.operators.Sampling.tokenBudgetKeep(scored, "source",
+        "n_tokens", "doc_id",
+        Seq("src0" -> 2000L, "src1" -> 3000L, "src2" -> 500000L),
+        defaultBudget = 1200L)
+      val shard = pmod(
+        rollingHash(concat(lit("shard:"), col("doc_id").cast("string"))),
+        lit(8L))
+      val ord = rollingHash(concat(lit("order:"), col("doc_id").cast("string")))
+      kept
+        .select(col("doc_id"), shard.as("shard"), ord.as("ord"),
+          col("n_tokens"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bpe_tokens"),
+          ceil(sum(col("n_tokens")).cast("double") / 512.0).cast("long")
+            .as("min_bins"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("ord"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), " ")).as("order_fp"))
+    }),
+
     // §2.24t — corpus-LM fluency score: self-trained token-bigram model,
     // mean log-probability per doc (micro-unit exact accumulation).
     "q_lm_score" -> ((s, dir) =>
@@ -1735,6 +1774,11 @@ object SparkEntry {
     "q_bpe_budget" -> graft.operators.Bpe.budgetOracleSql(1000, 12,
       """CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 3000
         |         WHEN 'src2' THEN 500000 ELSE 1200 END""".stripMargin),
+
+    "q_bpe_shards" -> graft.operators.Bpe.shardsOracleSql(1000, 12,
+      """CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 3000
+        |         WHEN 'src2' THEN 500000 ELSE 1200 END""".stripMargin,
+      nShards = 8, binTokens = 512L),
 
     "q_corpus_prep2" ->
       """WITH tok AS (

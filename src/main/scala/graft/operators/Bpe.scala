@@ -289,6 +289,55 @@ object Bpe {
        |FROM k CROSS JOIN mm""".stripMargin
   }
 
+  /** Oracle for the end-to-end tokenize -> budget -> shard chain
+    * (q_bpe_shards): BPE training replayed, per-doc subword counts, the
+    * token-budget keep gate, then the salted-fold shard/order assignment
+    * and the per-shard manifest (doc count, BPE token mass, the
+    * bin-count lower bound ceil(tokens / binTokens), and the md5
+    * fingerprint of the in-shard doc order). The greedy packer itself is
+    * per-partition stateful (not SQL-expressible); PackingSpec proves it
+    * lands within the min_bins lower bound this manifest publishes.
+    */
+  def shardsOracleSql(vocabSize: Int, numMerges: Int, budgetCase: String,
+      nShards: Int, binTokens: Long): String = {
+    val (prefix, applied) = oracleStages(vocabSize, numMerges)
+    def fold(salted: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split($salted, ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 257 + c) % 1000000007)""".stripMargin
+    s"""$prefix,
+       |s AS (
+       |  SELECT doc_id, source,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_transform(toks, t -> $applied),
+       |      w -> len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT)
+       |      AS n_tokens
+       |  FROM tok CROSS JOIN mm),
+       |r AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST($budgetCase AS BIGINT) AS budget
+       |  FROM s GROUP BY source),
+       |r2 AS (
+       |  SELECT source, total_tokens, budget,
+       |    CAST(floor(least(1.0, CAST(budget AS DOUBLE) / total_tokens) * 10000.0 + 0.5) AS BIGINT) AS keep_bp
+       |  FROM r),
+       |k AS (
+       |  SELECT s.doc_id, s.n_tokens
+       |  FROM s JOIN r2 USING (source)
+       |  WHERE ${fold("'budget:' || CAST(s.doc_id AS VARCHAR)")} % 10000 < r2.keep_bp),
+       |h AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${fold("'shard:' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+       |    ${fold("'order:' || CAST(doc_id AS VARCHAR)")} AS ord
+       |  FROM k)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST(ceil(CAST(sum(n_tokens) AS DOUBLE) / $binTokens) AS BIGINT) AS min_bins,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY ord, doc_id)) AS order_fp
+       |FROM h GROUP BY shard""".stripMargin
+  }
+
   /** Oracle for the BPE-denominated token budget (mirrors the
     * q_token_budget oracle with n_tokens swapped for the BPE count).
     */

@@ -23,6 +23,36 @@ class PackingSpec extends SparkSpec {
     assert(bins.find(_.doc_ids.contains(2L)).get.doc_ids.contains(3L))
   }
 
+  test("packer meets the q_bpe_shards manifest's min_bins floor per shard") {
+    // the registered chain publishes min_bins = ceil(bpe_tokens / cap) as
+    // the capacity lower bound; the greedy packer must achieve >= that
+    // (trivially true) and, when no doc exceeds the cap, stay within 2x
+    // of it (greedy bin packing never opens a bin while a half-empty one
+    // could take the doc -> every bin except the last is > cap/2 full)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cap = 512L
+    val scored = docs.select(col("doc_id"),
+      pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(
+        concat(lit("shard:"), col("doc_id").cast("string"))), lit(8L))
+        .as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    (0L until 8L).foreach { sh =>
+      val inShard = scored.where(col("shard") === sh)
+        .select(col("doc_id"), col("n_tokens")).as[Packing.DocTokens]
+      val toks = inShard.agg(sum(col("n_tokens"))).head().getLong(0)
+      val minBins = (toks + cap - 1) / cap
+      val oversized = inShard.filter(_.n_tokens > cap).count()
+      // one partition: the 2x bound's "+1 trailing bin" slack is per
+      // partition, so pin the partitioning the bound is stated for
+      val bins = Packing.packGreedy(
+        inShard.coalesce(1).sortWithinPartitions(col("n_tokens").desc),
+        cap).count()
+      assert(bins >= minBins)
+      assert(bins <= 2 * minBins + oversized + 1)
+    }
+  }
+
   test("packing is deterministic for a fixed partitioning") {
     val docs = (1L to 50L).map(i => Packing.DocTokens(i, 37 * (i % 7) + 10))
       .toDS().coalesce(1)
