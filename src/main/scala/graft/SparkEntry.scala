@@ -111,6 +111,18 @@ object SparkEntry {
         "event_type" -> "string", "value" -> "double",
         "quality_flag" -> "string"))),
 
+    // §2.9c — schema-drift report (parquet.py:110 detect_schema_drift):
+    // current vs next snapshot schemas, one row per column. The next
+    // snapshot plants one type change (value -> string), one removal
+    // (props), one addition (ingest_date); everything else is unchanged.
+    "q_schema_drift" -> ((s, dir) => {
+      val cur = Tables.events(s, dir)
+      val next = cur.drop("props")
+        .withColumn("value", col("value").cast("string"))
+        .withColumn("ingest_date", lit("2026-01-01"))
+      Etl.schemaDriftReport(cur, next)
+    }),
+
     // §2.10 — event sessionization (RunAnalyzer.get_step_durations)
     "q_run_durations" -> ((s, dir) =>
       Observability.eventDurations(Tables.events(s, dir), "user_id")),
@@ -969,6 +981,12 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"), col("value"))),
 
+    // §2.31b — run-level metadata summary (observability.py:36-47
+    // get_run_metadata): per-run start/end/duration, event + failure
+    // counts, derived status, sorted event-type set as the tags analog
+    "q_run_metadata" -> ((s, dir) =>
+      Observability.runMetadata(Tables.events(s, dir), "user_id")),
+
     // §2.32 — JSON metadata extraction from the props column
     // (materialization-metadata analog)
     "q_props_json" -> ((s, dir) =>
@@ -1265,6 +1283,31 @@ object SparkEntry {
         |  ('quality_flag', 'string', NULL, 'missing'),
         |  ('props', NULL, 'string', 'extra')
         |) t(column_name, expected_type, actual_type, status)""".stripMargin,
+
+    "q_run_metadata" ->
+      """SELECT user_id AS run_id,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS start_us,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS end_us,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) - min(epoch_us(CAST(ts AS TIMESTAMP))) AS duration_us,
+        |  count(*) AS n_events,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors,
+        |  CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
+        |       THEN 'failure' ELSE 'success' END AS status,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS tags
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // like q_schema_validate: the generator fixes the events schema, so
+    // the drift report against the planted next snapshot is enumerable
+    "q_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'bigint', 'bigint', 'unchanged'),
+        |  ('ts', 'timestamp', 'timestamp', 'unchanged'),
+        |  ('user_id', 'bigint', 'bigint', 'unchanged'),
+        |  ('event_type', 'string', 'string', 'unchanged'),
+        |  ('value', 'double', 'string', 'type_changed'),
+        |  ('props', 'string', NULL, 'removed'),
+        |  ('ingest_date', NULL, 'string', 'added')
+        |) t(column_name, current_type, next_type, status)""".stripMargin,
 
     "q_step_durations_status" ->
       """WITH e AS (

@@ -236,6 +236,32 @@ object Etl {
         .filter(k => cur(k) != nxt(k)).map(k => s"$k: ${cur(k)} -> ${nxt(k)}"))
   }
 
+  /** Schema drift as a report DataFrame — the registered sibling of
+    * [[schemaDrift]] (which returns a driver-side Map for programmatic
+    * callers): one row per column present in either snapshot, status in
+    * added / removed / type_changed / unchanged, ordered current-schema
+    * columns first then additions. Pure schema comparison — no row of
+    * either table is read, so the plan is a LocalRelation regardless of
+    * table size.
+    * Reference: /root/reference/etl/utils/parquet.py:110
+    * (detect_schema_drift).
+    */
+  def schemaDriftReport(current: DataFrame, next: DataFrame): DataFrame = {
+    val spark = current.sparkSession
+    import spark.implicits._
+    val cur = current.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val nxt = next.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val names = (current.schema.map(_.name) ++ next.schema.map(_.name)).distinct
+    names.map { n =>
+      val status =
+        if (!cur.contains(n)) "added"
+        else if (!nxt.contains(n)) "removed"
+        else if (cur(n) != nxt(n)) "type_changed"
+        else "unchanged"
+      (n, cur.get(n).orNull, nxt.get(n).orNull, status)
+    }.toDF("column_name", "current_type", "next_type", "status")
+  }
+
   /** Partition discovery: distinct partition days of a fact table.
     * Reference: etl/resources/s3.py:334 (list_partitions, date=YYYYMMDD).
     */

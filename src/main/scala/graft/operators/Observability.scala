@@ -60,6 +60,33 @@ object Observability {
         (col("end_us") - col("start_us")).as("duration_us"))
   }
 
+  /** Run-level metadata summary (etl/utils/observability.py:36-47,
+    * get_run_metadata: run_id / job_name / status / tags): one row per
+    * run — id, start/end/duration, event count, failure count, derived
+    * status (any error event fails the run), and the sorted distinct
+    * event-type set as the tags analog. The reference looks up ONE run
+    * in the orchestrator's DB; the batch dual summarizes every run in a
+    * single run-keyed aggregate with map-side partials — no window, no
+    * join, one shuffle sized by the number of runs.
+    */
+  def runMetadata(events: DataFrame, entityCol: String): DataFrame = {
+    val nErrors = count(when(col("event_type") === "error", 1))
+    events
+      .select(col(entityCol).as("run_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("run_id"))
+      .agg(
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        nErrors.as("n_errors"),
+        when(nErrors > 0, lit("failure")).otherwise(lit("success"))
+          .as("status"),
+        concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("tags"))
+  }
+
   /** Materializations listing (etl/utils/observability.py:74-111): filter
     * the event log to materialization events, build the dotted asset key,
     * and flatten the metadata map into typed columns — the reference's

@@ -124,4 +124,16 @@ class EtlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "added", 3L -> "changed", 4L -> "deleted"))
   }
+
+  test("schemaDriftReport mirrors schemaDrift as a per-column frame") {
+    val cur = Seq((1L, "a", 1.0)).toDF("id", "name", "value")
+    val nxt = Seq((1L, 1, "x")).toDF("id", "value", "extra")
+    val rows = Etl.schemaDriftReport(cur, nxt)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(rows("id") == (("bigint", "bigint", "unchanged")))
+    assert(rows("name") == (("string", null, "removed")))
+    assert(rows("value") == (("double", "int", "type_changed")))
+    assert(rows("extra") == ((null, "string", "added")))
+  }
 }

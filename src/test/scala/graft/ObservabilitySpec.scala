@@ -106,4 +106,22 @@ class ObservabilitySpec extends SparkSpec {
       ("2024-01-01", 0L) -> 1L, ("2024-01-01", 1L) -> 1L,
       ("2024-01-01", 3L) -> 1L, ("2024-01-02", 0L) -> 1L))
   }
+
+  test("runMetadata derives status, bounds, and the tag set per run") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // run 1: click then error -> failure; run 2: clean -> success
+    val ev = Seq(
+      (1L, "click", ts(9)), (1L, "error", ts(10)), (1L, "click", ts(11)),
+      (2L, "view", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Observability.runMetadata(ev, "user_id")
+      .collect().map(r => r.getAs[Long]("run_id") -> r).toMap
+    assert(out(1L).getAs[String]("status") == "failure")
+    assert(out(1L).getAs[Long]("n_errors") == 1L)
+    assert(out(1L).getAs[String]("tags") == "click,error")
+    assert(out(1L).getAs[Long]("duration_us") == 2L * 3600 * 1000000)
+    assert(out(2L).getAs[String]("status") == "success")
+    assert(out(2L).getAs[Long]("n_events") == 1L)
+  }
 }
