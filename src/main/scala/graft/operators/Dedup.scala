@@ -377,15 +377,35 @@ object Dedup {
     * rounds. Near-dup components are shallow (dup clusters, short
     * truncation chains), so diameter is small; for adversarial long-chain
     * graphs swap in the large-star/small-star variant (O(log n) rounds) —
-    * the join shape is the same. Each round localCheckpoints to cut the
+    * the join shape is the same. Each round materializes to cut the
     * lineage (iterative joins otherwise re-execute the whole history).
+    *
+    * DURABILITY: the default stage boundary is `localCheckpoint()` —
+    * executor-local, non-replicated blocks. On a real cluster, losing an
+    * executor mid-fixpoint therefore KILLS the job (the blocks cannot be
+    * recomputed once lineage is cut) instead of recomputing — fine for
+    * the common minutes-long loop, wrong for a 100 TB pair graph on
+    * preemptible nodes. Pass `reliableStagePath` to stage every round as
+    * parquet instead (durable, replicated storage): each round then
+    * survives any executor loss at the cost of a filesystem round-trip
+    * per BSP round. Results are identical either way (DedupSpec proves
+    * it); choose by failure-domain, not semantics.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val session = pairs.sparkSession
+    def stage(df: DataFrame, name: String): DataFrame = reliableStagePath match {
+      case Some(root) =>
+        val path = s"$root/$name"
+        df.write.mode("overwrite").parquet(path)
+        session.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
     // materialize the edge list BEFORE symmetrizing: the union references
     // it twice, which would otherwise run the (expensive) upstream
     // pair-generation query twice
-    val raw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+    val raw = stage(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")), "edges")
     // Size the loop's layout to the GRAPH, not the session default: the
     // near-dup pair graph is orders of magnitude smaller than the corpus
     // (hundreds of edges at sf0.1; still only ~1e9 at 100 TB), and every
@@ -398,7 +418,7 @@ object Dedup {
     val sessionP = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val p = math.max(1L, math.min(sessionP.toLong, nEdges / 100000L + 1L)).toInt
     val edges =
-      if (p < raw.rdd.getNumPartitions) raw.coalesce(p).localCheckpoint()
+      if (p < raw.rdd.getNumPartitions) stage(raw.coalesce(p), "edges_sized")
       else raw
     // nodes stays LAZY over the checkpointed edges: its distinct is
     // recomputed once inside each consumer's materialization (sym, the
@@ -408,12 +428,11 @@ object Dedup {
       .unionByName(edges.select(col("dst").as("src"))).distinct()
     // self-edge folded into the adjacency, so one join + one groupBy IS
     // the full hash-min step: label'(x) = min over {x} ∪ neighbors(x)
-    val sym = edges
+    val sym = stage(edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .unionByName(nodes.withColumn("dst", col("src")))
-      .localCheckpoint()
-    var labels = nodes.select(col("src").as("doc_id"), col("src").as("label"))
-      .localCheckpoint()
+      .unionByName(nodes.withColumn("dst", col("src"))), "sym")
+    var labels = stage(
+      nodes.select(col("src").as("doc_id"), col("src").as("label")), "labels_0")
     // labels only DECREASE under hash-min and at least one strictly
     // decreases every non-converged round, so the label sum is a
     // convergence certificate — a one-column aggregate of the freshly
@@ -424,11 +443,10 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val updated = sym
+      val updated = stage(sym
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .agg(min(col("label")).as("label")), s"labels_${iter + 1}")
       val newSum = sumLabels(updated)
       converged = newSum.compareTo(labelSum) == 0
       labelSum = newSum

@@ -77,6 +77,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dupClusters reliable parquet staging matches the localCheckpoint path") {
+    // same fixpoint either way; the reliable path stages every BSP round
+    // as parquet (survives executor loss) instead of executor-local blocks
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L), (9L, 11L))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-reliable").toString
+    val reliable = Dedup.dupClusters(pairs, maxIters = 50,
+      reliableStagePath = Some(stageDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == fast)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 11L -> 7L))
+    // the durable rounds actually hit the filesystem
+    assert(new java.io.File(stageDir, "sym").exists())
+    assert(new java.io.File(stageDir, "labels_1").exists())
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps rare ones, preserves order") {
     // 20 docs share a banner + footer; each has a unique middle line.
     // One doc also repeats the banner internally (both copies must go).
