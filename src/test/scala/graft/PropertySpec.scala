@@ -255,4 +255,44 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Long]("n_bpe") >= ws.size)
     }
   }
+
+  test("column-expression encode equals reference canonical BPE (Sennrich)") {
+    import graft.operators.Bpe
+    // the r6 doubled-boundary claim, checked against an independent
+    // symbol-vector implementation of left-to-right non-overlapping
+    // merging — repeated-character words are the adversarial case (the
+    // single-separator representation mis-segmented exactly these)
+    def canonical(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val rnd = new Random(31)
+    // heavy repetition: 3-letter alphabet, runs like "aaab", "bbbb"
+    def word() = Seq.fill(1 + rnd.nextInt(10))(('a' + rnd.nextInt(3)).toChar).mkString
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(20))(word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, vocabSize = 500, numMerges = 12)
+    val rules = merges.filter(_ != Bpe.NoMerge).map { m =>
+      val Array(a, b) = m.split(Bpe.Sep); (a, b)
+    }
+    docs.select(col("text"), Bpe.encode(col("text"), merges).as("ws"))
+      .collect().foreach { r =>
+        val got = r.getSeq[String](1)
+          .map(_.split(Bpe.Sep).filter(_.nonEmpty).toSeq)
+        val want = r.getString(0).split(" ").filter(_.nonEmpty).toSeq
+          .map(w => canonical(w, rules))
+        assert(got == want)
+      }
+  }
 }
