@@ -437,8 +437,11 @@ object Dedup {
     // decreases every non-converged round, so the label sum is a
     // convergence certificate — a one-column aggregate of the freshly
     // materialized round instead of an old-vs-new join
+    // sum over ZERO rows is NULL (empty pair graph — a clean corpus emits
+    // no near-dup pairs); certify that as converged-at-zero, not an NPE
     def sumLabels(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var labelSum = sumLabels(labels)
     var converged = false
     var iter = 0

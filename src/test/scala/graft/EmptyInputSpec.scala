@@ -52,5 +52,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(Observability.cohortRetention(emptyEvents).count() == 0)
     assert(Observability.funnel(emptyEvents, Seq("view", "click")).count() == 0)
     assert(Observability.gapSessions(emptyEvents, "user_id", "30 minutes").count() == 0)
+    assert(Observability.runMetadata(emptyEvents, "user_id").count() == 0)
+  }
+
+  test("r6 additions tolerate empty inputs") {
+    // staged cross-corpus: empty corpus -> zero reps -> zero pairs (the
+    // parquet stage must still write a readable empty frame)
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-empty-xstage").toString
+    assert(Dedup.stagedCrossCorpusNearDups(emptyDocs,
+      Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      stageDir, k = 64, bands = 16, minSim = 0.5).count() == 0)
+    // identical schemas -> every column unchanged, none added/removed
+    val same = Seq((1L, "x")).toDF("id", "name")
+    val drift = Etl.schemaDriftReport(same, same).collect()
+    assert(drift.length == 2 && drift.forall(_.getString(3) == "unchanged"))
+    // dupClusters on an empty pair graph: no nodes, no rounds, no output
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dupClusters(emptyPairs).count() == 0)
   }
 }
