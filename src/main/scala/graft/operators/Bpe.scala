@@ -289,25 +289,24 @@ object Bpe {
        |FROM k CROSS JOIN mm""".stripMargin
   }
 
-  /** Oracle for the end-to-end tokenize -> budget -> shard chain
-    * (q_bpe_shards): BPE training replayed, per-doc subword counts, the
-    * token-budget keep gate, then the salted-fold shard/order assignment
-    * and the per-shard manifest (doc count, BPE token mass, the
-    * bin-count lower bound ceil(tokens / binTokens), and the md5
-    * fingerprint of the in-shard doc order). The greedy packer itself is
-    * per-partition stateful (not SQL-expressible); PackingSpec proves it
-    * lands within the min_bins lower bound this manifest publishes.
+  /** The base-257 salted rolling-hash fold as oracle SQL — the replay of
+    * graftnative.RollingHash, shared by every oracle that re-derives a
+    * salted-fold decision (budget keep, shard, order).
     */
-  def shardsOracleSql(vocabSize: Int, numMerges: Int, budgetCase: String,
-      nShards: Int, binTokens: Long): String = {
-    val (prefix, applied) = oracleStages(vocabSize, numMerges)
-    def fold(salted: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split($salted, ''),
-         |        c -> CAST(ascii(c) AS BIGINT))),
-         |      (acc, c) -> (acc * 257 + c) % 1000000007)""".stripMargin
-    s"""$prefix,
-       |s AS (
+  private def foldSql(salted: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($salted, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 257 + c) % 1000000007)""".stripMargin
+
+  /** The shared tokenize -> per-source budget gate CTE block (s, r, r2,
+    * k): per-doc BPE counts, per-source totals + budget, keep-rate in
+    * basis points, and the kept rows. ONE definition so q_bpe_budget and
+    * q_bpe_shards can never desync on the gate formula; `k` carries every
+    * column either consumer needs.
+    */
+  private def budgetCtes(applied: String, budgetCase: String): String =
+    s"""s AS (
        |  SELECT doc_id, source,
        |    CAST(coalesce(list_sum(list_transform(
        |      list_transform(toks, t -> $applied),
@@ -323,13 +322,29 @@ object Bpe {
        |    CAST(floor(least(1.0, CAST(budget AS DOUBLE) / total_tokens) * 10000.0 + 0.5) AS BIGINT) AS keep_bp
        |  FROM r),
        |k AS (
-       |  SELECT s.doc_id, s.n_tokens
+       |  SELECT s.doc_id, s.source, s.n_tokens,
+       |    r2.total_tokens, r2.budget, r2.keep_bp
        |  FROM s JOIN r2 USING (source)
-       |  WHERE ${fold("'budget:' || CAST(s.doc_id AS VARCHAR)")} % 10000 < r2.keep_bp),
+       |  WHERE ${foldSql("'budget:' || CAST(s.doc_id AS VARCHAR)")} % 10000 < r2.keep_bp)""".stripMargin
+
+  /** Oracle for the end-to-end tokenize -> budget -> shard chain
+    * (q_bpe_shards): BPE training replayed, per-doc subword counts, the
+    * token-budget keep gate, then the salted-fold shard/order assignment
+    * and the per-shard manifest (doc count, BPE token mass, the
+    * bin-count lower bound ceil(tokens / binTokens), and the md5
+    * fingerprint of the in-shard doc order). The greedy packer itself is
+    * per-partition stateful (not SQL-expressible); PackingSpec proves it
+    * lands within the min_bins lower bound this manifest publishes.
+    */
+  def shardsOracleSql(vocabSize: Int, numMerges: Int, budgetCase: String,
+      nShards: Int, binTokens: Long): String = {
+    val (prefix, applied) = oracleStages(vocabSize, numMerges)
+    s"""$prefix,
+       |${budgetCtes(applied, budgetCase)},
        |h AS (
        |  SELECT doc_id, n_tokens,
-       |    ${fold("'shard:' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
-       |    ${fold("'order:' || CAST(doc_id AS VARCHAR)")} AS ord
+       |    ${foldSql("'shard:' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+       |    ${foldSql("'order:' || CAST(doc_id AS VARCHAR)")} AS ord
        |  FROM k)
        |SELECT shard, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS bpe_tokens,
@@ -345,28 +360,7 @@ object Bpe {
       budgetCase: String): String = {
     val (prefix, applied) = oracleStages(vocabSize, numMerges)
     s"""$prefix,
-       |s AS (
-       |  SELECT doc_id, source,
-       |    CAST(coalesce(list_sum(list_transform(
-       |      list_transform(toks, t -> $applied),
-       |      w -> len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT)
-       |      AS n_tokens
-       |  FROM tok CROSS JOIN mm),
-       |r AS (
-       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       |    CAST($budgetCase AS BIGINT) AS budget
-       |  FROM s GROUP BY source),
-       |r2 AS (
-       |  SELECT source, total_tokens, budget,
-       |    CAST(floor(least(1.0, CAST(budget AS DOUBLE) / total_tokens) * 10000.0 + 0.5) AS BIGINT) AS keep_bp
-       |  FROM r),
-       |k AS (
-       |  SELECT s.source, s.n_tokens, r2.total_tokens, r2.budget, r2.keep_bp
-       |  FROM s JOIN r2 USING (source)
-       |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split('budget:' || CAST(s.doc_id AS VARCHAR), ''),
-       |        c -> CAST(ascii(c) AS BIGINT))),
-       |      (acc, c) -> (acc * 257 + c) % 1000000007) % 10000 < r2.keep_bp)
+       |${budgetCtes(applied, budgetCase)}
        |SELECT source, total_tokens, budget, keep_bp,
        |  count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
        |FROM k GROUP BY source, total_tokens, budget, keep_bp""".stripMargin

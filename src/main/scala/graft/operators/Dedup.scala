@@ -265,17 +265,28 @@ object Dedup {
     * and curated, and collapsing them would hide which eval ids leak.
     */
   def stagedCrossCorpusNearDups(corpus: DataFrame, evalSet: DataFrame,
-      stagePath: String, k: Int, bands: Int, minSim: Double): DataFrame = {
-    val spark = corpus.sparkSession
-    corpus
+      stagePath: String, k: Int, bands: Int, minSim: Double): DataFrame =
+    crossCorpusNearDups(collapseExact(corpus, stagePath, Seq("text")),
+      evalSet, k, bands, minSim)
+
+  /** The exact-collapse stage both staged dedups share: one md5 shuffle
+    * to a min-id representative per content group (metadata columns
+    * pinned to the kept doc_id via min_by — deterministic across runs
+    * and layouts, unlike first()), MATERIALIZED to parquet as the stage
+    * boundary the downstream self-/cross-join requires. One definition
+    * so the representative rule can never diverge between pipelines.
+    */
+  private def collapseExact(docs: DataFrame, stagePath: String,
+      keepCols: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    docs
       .withColumn("text_hash", md5(col("text")))
       .groupBy("text_hash")
-      // min-id representative; text is constant within a content group
       .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+        keepCols.map(c => min_by(col(c), col("doc_id")).as(c)): _*)
       .drop("text_hash")
       .write.mode("overwrite").parquet(stagePath)
-    crossCorpusNearDups(spark.read.parquet(stagePath), evalSet, k, bands, minSim)
+    spark.read.parquet(stagePath)
   }
 
   /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact
@@ -290,24 +301,10 @@ object Dedup {
     * replicated corpus: staged beats raw minhash by the replica factor).
     */
   def stagedNearDups(docs: DataFrame, stagePath: String,
-      k: Int, bands: Int, minSim: Double): DataFrame = {
-    val spark = docs.sparkSession
-    docs
-      .withColumn("text_hash", md5(col("text")))
-      .groupBy("text_hash")
-      // the representative is the min-id row IN FULL: text is constant
-      // within a content-hash group, but lang/source need not be
-      // (identical text from two sources), so min_by pins the metadata to
-      // the kept doc_id — deterministic across runs and layouts, unlike
-      // first()
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"),
-        min_by(col("lang"), col("doc_id")).as("lang"),
-        min_by(col("source"), col("doc_id")).as("source"))
-      .drop("text_hash")
-      .write.mode("overwrite").parquet(stagePath)
-    minhashNearDups(spark.read.parquet(stagePath), k, bands, minSim)
-  }
+      k: Int, bands: Int, minSim: Double): DataFrame =
+    minhashNearDups(
+      collapseExact(docs, stagePath, Seq("text", "lang", "source")),
+      k, bands, minSim)
 
   // ---------------------------------------------------------------- SimHash
 
@@ -390,10 +387,29 @@ object Dedup {
     * survives any executor loss at the cost of a filesystem round-trip
     * per BSP round. Results are identical either way (DedupSpec proves
     * it); choose by failure-domain, not semantics.
+    *
+    * The stage path must be a DEDICATED directory: it is cleared on
+    * entry (stale rounds from a longer prior run would otherwise sit
+    * next to the new fixpoint and read as results). Superseded label
+    * rounds are deleted as soon as the next round commits, so disk
+    * holds at most two label copies plus the edge/adjacency inputs;
+    * `edges`/`sym` and the FINAL labels round are retained — the
+    * returned DataFrame reads the final round lazily, and the inputs
+    * make a died-mid-loop run inspectable.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
       reliableStagePath: Option[String] = None): DataFrame = {
     val session = pairs.sparkSession
+    def stagePathOf(name: String) = reliableStagePath.map(root =>
+      new org.apache.hadoop.fs.Path(s"$root/$name"))
+    def deleteStage(name: String): Unit = stagePathOf(name).foreach { p =>
+      p.getFileSystem(session.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    reliableStagePath.foreach { root =>
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(session.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     def stage(df: DataFrame, name: String): DataFrame = reliableStagePath match {
       case Some(root) =>
         val path = s"$root/$name"
@@ -454,6 +470,9 @@ object Dedup {
       converged = newSum.compareTo(labelSum) == 0
       labelSum = newSum
       labels = updated
+      // the superseded round is never read again; keep durable storage
+      // at <= 2 label copies no matter how many rounds the graph needs
+      deleteStage(s"labels_$iter")
       iter += 1
     }
     // silently returning a non-fixpoint would hand back components that

@@ -92,9 +92,12 @@ class DedupSpec extends SparkSpec {
     assert(reliable == fast)
     assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 9L -> 7L, 11L -> 7L))
-    // the durable rounds actually hit the filesystem
+    // the durable stages actually hit the filesystem, and superseded
+    // label rounds were pruned: exactly the final round remains
     assert(new java.io.File(stageDir, "sym").exists())
-    assert(new java.io.File(stageDir, "labels_1").exists())
+    val labelDirs = new java.io.File(stageDir).list().toSeq
+      .filter(_.startsWith("labels_"))
+    assert(labelDirs.length == 1, s"expected one labels round, got $labelDirs")
   }
 
   test("lineDedup drops corpus-frequent lines, keeps rare ones, preserves order") {

@@ -40,7 +40,8 @@ class PackingSpec extends SparkSpec {
     (0L until 8L).foreach { sh =>
       val inShard = scored.where(col("shard") === sh)
         .select(col("doc_id"), col("n_tokens")).as[Packing.DocTokens]
-      val toks = inShard.agg(sum(col("n_tokens"))).head().getLong(0)
+      val toks = inShard.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .head().getLong(0)
       val minBins = (toks + cap - 1) / cap
       val oversized = inShard.filter(_.n_tokens > cap).count()
       // one partition: the 2x bound's "+1 trailing bin" slack is per
