@@ -681,6 +681,13 @@ object SparkEntry {
     "q_token_ids" -> ((s, dir) =>
       TextAnalysis.tokenIds(Tables.documents(s, dir), vocabSize = 20)),
 
+    // §2.24p3 — tokenizer vocabulary-coverage report: per-source token
+    // mass, OOV mass, coverage basis points, distinct OOV types for the
+    // same deterministic top-20 vocab as q_token_ids — the table that
+    // sizes V (coverage elbow) and flags under-served sources
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), vocabSize = 20)),
+
     // §2.24p2 — corpus-trained BPE subword tokenizer (Sennrich et al.):
     // 12 merges learned driver-side on the bounded word vocabulary,
     // applied as a codegen'd replace chain; per-doc subword counts plus a
@@ -1806,6 +1813,25 @@ object SparkEntry {
         |  floor(CAST(n_oov AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS oov_rate,
         |  ids_hash
         |FROM d2""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token AS vtoken FROM (
+        |    SELECT token, count(*) AS cnt FROM t GROUP BY token
+        |    ORDER BY cnt DESC, token ASC LIMIT 20)),
+        |j AS (
+        |  SELECT t.source, t.token, v.vtoken IS NOT NULL AS in_vocab
+        |  FROM t LEFT JOIN v ON t.token = v.vtoken)
+        |SELECT source,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov_tokens,
+        |  CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN token END) AS BIGINT) AS n_oov_types,
+        |  CAST(floor(CAST(count(*) - sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*) * 10000.0 + 0.5) AS BIGINT) AS coverage_bp
+        |FROM j GROUP BY source""".stripMargin,
 
     // BPE training replayed in SQL: the 12 merge stages unrolled as
     // materialized CTEs (pair count -> argmax -> vocab rewrite), then the

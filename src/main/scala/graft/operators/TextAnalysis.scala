@@ -279,6 +279,41 @@ object TextAnalysis {
         col("ids_hash"))
   }
 
+  /** Tokenizer vocabulary-coverage report — the vocab-SIZING metric next
+    * to tokenIds' per-doc mapping: for the frequency-ranked top-V word
+    * vocabulary (same deterministic construction as [[tokenIds]]), each
+    * source's token mass, out-of-vocabulary mass, coverage in basis
+    * points, and distinct OOV type count. This is the table a team reads
+    * when choosing V: coverage_bp vs V is the elbow curve, and a source
+    * whose n_oov_types explodes flags domain text the tokenizer
+    * under-serves.
+    *
+    * Scale: one gram scan; the vocab aggregate plans as partial top-k
+    * (TakeOrdered, no full-vocab sort) and broadcasts V rows back onto
+    * the stream. The n_oov_types distinct costs one slim
+    * (source, token)-keyed exchange with partial aggregation — raw text
+    * never travels — followed by the k-row per-source merge.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"), explode(col("toks")).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val nOov = sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        nOov.as("n_oov_tokens"),
+        countDistinct(when(col("in_vocab").isNull, col("token")))
+          .as("n_oov_types"),
+        floor((count(lit(1)) - nOov).cast("double") / count(lit(1))
+          * 10000.0 + 0.5).cast("long").as("coverage_bp"))
+  }
+
   /** Corpus-LM fluency score (CCNet-style quality signal): train a token
     * bigram model ON the corpus itself (P(w2|w1) = c(w1 w2)/c(w1 ·)) and
     * score each document by its mean bigram log-probability — documents

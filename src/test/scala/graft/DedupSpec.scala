@@ -100,6 +100,32 @@ class DedupSpec extends SparkSpec {
     assert(labelDirs.length == 1, s"expected one labels round, got $labelDirs")
   }
 
+  test("staged cross-corpus equals the raw form when the corpus has no replicas") {
+    // with all corpus texts distinct, every doc is its own representative,
+    // so staging must be a pure no-op on the pair set — the staged form
+    // only ever CHANGES output by collapsing true replicas
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "unrelated totally different words nothing shared here at all x")
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (101L, "completely novel evaluation content with fresh tokens only y z")
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("corpus_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("est_sim"))
+    val raw = Dedup.crossCorpusNearDups(corpus, evalSet,
+      k = 64, bands = 16, minSim = 0.5).collect().map(key).toSet
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-xstage-eq").toString + "/reps"
+    val staged = Dedup.stagedCrossCorpusNearDups(corpus, evalSet, tmp,
+      k = 64, bands = 16, minSim = 0.5).collect().map(key).toSet
+    assert(staged == raw)
+    assert(staged == Set((1L, 100L, staged.head._3)))
+  }
+
   test("lineDedup drops corpus-frequent lines, keeps rare ones, preserves order") {
     // 20 docs share a banner + footer; each has a unique middle line.
     // One doc also repeats the banner internally (both copies must go).

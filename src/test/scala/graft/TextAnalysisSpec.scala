@@ -138,4 +138,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_chunks") == 3) // ceil(22/8)
     assert(r.getAs[String]("content_hash").length == 32)
   }
+
+  test("vocabCoverage reports per-source OOV mass against the top-V vocab") {
+    import org.apache.spark.sql.functions._
+    // vocab (V=2) = {a, b} (a:4, b:3); src0 has 1 OOV token of 1 type,
+    // src1 has 2 OOV tokens of 2 types
+    val docs = Seq(
+      (1L, "a a b x", "src0"),
+      (2L, "a a b b y z", "src1")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.vocabCoverage(docs, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov_tokens"),
+          r.getAs[Long]("n_oov_types"), r.getAs[Long]("coverage_bp"))).toMap
+    assert(out("src0") == ((4L, 1L, 1L, 7500L)))
+    assert(out("src1") == ((6L, 2L, 2L, 6667L)))
+  }
 }
