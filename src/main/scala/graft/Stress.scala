@@ -189,6 +189,13 @@ object Stress {
       graft.operators.Bpe.tokenCounts(docs,
         graft.operators.Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12))
     }
+    // vocab coverage under replication: the token TYPE space is fixed (the
+    // replicas add mass, not words), so the top-V vocab, the distinct
+    // (source, token) exchange, and the output are all constant-size — the
+    // whole query must scale like the gram scan.
+    time("vocab_coverage") {
+      graft.operators.TextAnalysis.vocabCoverage(docs, vocabSize = 20)
+    }
     // r4 curation additions. line_dedup's worst case IS replication:
     // every line of every doc is boilerplate (occurs in `factor` docs
     // when factor > maxDocs), so the frequent-line set is maximal.
