@@ -303,6 +303,19 @@ object SparkEntry {
           minJaccard = 0.5, maxLenDiff = 40)
           .select(col("doc_a"), col("doc_b")))),
 
+    // §2.18c — the same components via star-contraction (large-star/
+    // small-star, Kiveris et al. SoCC'14): O(log n) BSP rounds instead of
+    // hash-min's O(component diameter) — the variant that survives
+    // adversarial long truncation/edit chains at 100 TB. Same pair graph,
+    // same oracle closure: the hash check proves the two algorithms agree.
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.dupClustersStar(
+        Dedup.ngramJaccardPairs(
+          Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+            idOffset = 1000000L, truncateChars = 30),
+          minJaccard = 0.5, maxLenDiff = 40)
+          .select(col("doc_a"), col("doc_b")))),
+
     // §2.17b — PORTABLE SimHash near-dup: 60-bit two-base rolling-fold
     // token hashes, so signature + banding + hamming hash-check in DuckDB
     "q_dedup_simhash_portable" -> ((s, dir) =>
@@ -1389,19 +1402,12 @@ object SparkEntry {
 
     // connected components as a recursive reachability closure: cluster_id
     // of a node = min node id reachable in the undirected pair graph
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $ngramJaccardCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM ($ngramJaccardPairSelect) p),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS doc_id, min(dst) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin,
+    "q_dedup_clusters" -> dupClustersClosureSql,
+
+    // star-contraction computes the SAME components — one closure oracle
+    // certifies both algorithms, and their mutual hash match proves the
+    // two fixpoints agree on real pair graphs
+    "q_dedup_clusters_star" -> dupClustersClosureSql,
 
     // blocking-free ground truth: every pair, no bucket key — the Spark
     // side must find exactly these through its cell blocking
@@ -2467,6 +2473,24 @@ object SparkEntry {
       |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
       |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
       |  FROM corpus WHERE len(string_split(text, ' ')) >= 3)""".stripMargin
+
+  /** Connected-components closure over the verified jaccard pair graph —
+    * shared by q_dedup_clusters (hash-min) and q_dedup_clusters_star
+    * (star-contraction): both must reach the identical fixpoint labels.
+    */
+  private lazy val dupClustersClosureSql: String =
+    s"""WITH RECURSIVE $ngramJaccardCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM ($ngramJaccardPairSelect) p),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, min(dst) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
 
   /** Verified jaccard pairs over the shared CTEs (blocked join + filter). */
   private val ngramJaccardPairSelect: String =

@@ -196,6 +196,26 @@ object Stress {
     time("vocab_coverage") {
       graft.operators.TextAnalysis.vocabCoverage(docs, vocabSize = 20)
     }
+    // Connected components over a near-dup pair graph. The replicated
+    // corpus yields replica CLIQUES — diameter 1, hash-min's good case —
+    // so the two algorithms are compared there only at raw-pair factors;
+    // the synthetic long chain below is the adversarial-diameter case
+    // (progressive edit chains) where hash-min needs O(n) rounds and
+    // only star-contraction stays feasible at any factor.
+    if (rawPairOps) {
+      val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxLenDiff = 40)
+        .select(col("doc_a"), col("doc_b"))
+      pairs.write.mode("overwrite").parquet("/tmp/graft_stress_pairs")
+      val pairGraph = spark.read.parquet("/tmp/graft_stress_pairs")
+      time("cc_hashmin") { Dedup.dupClusters(pairGraph) }
+      time("cc_star") { Dedup.dupClustersStar(pairGraph) }
+    }
+    time(s"cc_star_chain") {
+      val links = 100000L * factor / 10
+      Dedup.dupClustersStar(
+        spark.range(links).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b")),
+        maxIters = 30)
+    }
     // r4 curation additions. line_dedup's worst case IS replication:
     // every line of every doc is boilerplate (occurs in `factor` docs
     // when factor > maxDocs), so the frequent-line set is maximal.

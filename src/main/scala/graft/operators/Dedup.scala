@@ -269,24 +269,36 @@ object Dedup {
     crossCorpusNearDups(collapseExact(corpus, stagePath, Seq("text")),
       evalSet, k, bands, minSim)
 
+  /** Monotone counter for per-invocation stage sub-directories. */
+  private val stageInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The exact-collapse stage both staged dedups share: one md5 shuffle
     * to a min-id representative per content group (metadata columns
     * pinned to the kept doc_id via min_by — deterministic across runs
     * and layouts, unlike first()), MATERIALIZED to parquet as the stage
     * boundary the downstream self-/cross-join requires. One definition
     * so the representative rule can never diverge between pipelines.
+    *
+    * `stagePath` is treated as a ROOT: each invocation writes under a
+    * unique `applicationId_N` sub-directory, so a second call with the
+    * same path never overwrites files underneath a still-live DataFrame
+    * returned by a previous call, and concurrent sessions sharing a
+    * path cannot race each other's stages. Callers own cleanup of the
+    * root (it accumulates one slim representative table per invocation).
     */
   private def collapseExact(docs: DataFrame, stagePath: String,
       keepCols: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
+    val path = s"$stagePath/${spark.sparkContext.applicationId}_" +
+      s"${stageInvocation.getAndIncrement()}"
     docs
       .withColumn("text_hash", md5(col("text")))
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("doc_id"),
         keepCols.map(c => min_by(col(c), col("doc_id")).as(c)): _*)
       .drop("text_hash")
-      .write.mode("overwrite").parquet(stagePath)
-    spark.read.parquet(stagePath)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
   }
 
   /** Staged near-dedup — the mandatory ordering at 100 TB: collapse exact
@@ -399,24 +411,9 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
       reliableStagePath: Option[String] = None): DataFrame = {
-    val session = pairs.sparkSession
-    def stagePathOf(name: String) = reliableStagePath.map(root =>
-      new org.apache.hadoop.fs.Path(s"$root/$name"))
-    def deleteStage(name: String): Unit = stagePathOf(name).foreach { p =>
-      p.getFileSystem(session.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-    }
-    reliableStagePath.foreach { root =>
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(session.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    def stage(df: DataFrame, name: String): DataFrame = reliableStagePath match {
-      case Some(root) =>
-        val path = s"$root/$name"
-        df.write.mode("overwrite").parquet(path)
-        session.read.parquet(path)
-      case None => df.localCheckpoint()
-    }
+    val stager = new RoundStager(pairs.sparkSession, reliableStagePath)
+    def deleteStage(name: String): Unit = stager.delete(name)
+    def stage(df: DataFrame, name: String): DataFrame = stager(df, name)
     // materialize the edge list BEFORE symmetrizing: the union references
     // it twice, which would otherwise run the (expensive) upstream
     // pair-generation query twice
@@ -482,6 +479,155 @@ object Dedup {
         s"dupClusters did not converge in $maxIters rounds — component " +
           s"diameter exceeds maxIters; raise it or use a star-contraction variant")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Per-round stage boundary for the iterative BSP loops: durable
+    * parquet rounds under `reliableRoot` when given (executor-loss
+    * survival on preemptible clusters), `localCheckpoint()` otherwise.
+    *
+    * The durable root is cleared on entry (stale rounds from a longer
+    * prior run would otherwise read as results) — but ONLY when it is
+    * empty, does not exist, or carries the marker file a prior run left
+    * behind. A non-empty directory without the marker was not written
+    * by this stager, so deleting it would destroy caller data behind a
+    * mis-pointed path (a shared /tmp dir, a data dir); refuse instead.
+    */
+  private final class RoundStager(session: org.apache.spark.sql.SparkSession,
+      reliableRoot: Option[String]) {
+    import org.apache.hadoop.fs.Path
+    private val Marker = "_graft_stage_root"
+    private def fs(p: Path) =
+      p.getFileSystem(session.sparkContext.hadoopConfiguration)
+    reliableRoot.foreach { root =>
+      val p = new Path(root)
+      val f = fs(p)
+      if (f.exists(p)) {
+        if (f.listStatus(p).nonEmpty && !f.exists(new Path(p, Marker)))
+          throw new IllegalArgumentException(
+            s"refusing to clear stage root $root: directory is non-empty and " +
+              s"lacks the $Marker marker of a prior run — point " +
+              s"reliableStagePath at a dedicated (empty or stager-owned) directory")
+        f.delete(p, true)
+      }
+      f.mkdirs(p)
+      f.create(new Path(p, Marker)).close()
+    }
+    def apply(df: DataFrame, name: String): DataFrame = reliableRoot match {
+      case Some(root) =>
+        val path = s"$root/$name"
+        df.write.mode("overwrite").parquet(path)
+        session.read.parquet(path)
+      case None => df.localCheckpoint()
+    }
+    def delete(name: String): Unit = reliableRoot.foreach { root =>
+      val p = new Path(s"$root/$name")
+      fs(p).delete(p, true)
+    }
+  }
+
+  /** Star-contraction connected components — the adversarial-diameter
+    * form of [[dupClusters]], after Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (ACM SoCC 2014): alternate
+    *
+    *   large-star: every node u links each strictly-LARGER neighbor to
+    *     the minimum of its neighborhood (incl. itself);
+    *   small-star: every node u links each neighbor ≤ u, and itself, to
+    *     the minimum of its closed neighborhood
+    *
+    * until the edge set is stable, at which point every component is a
+    * star rooted at its minimum node and the edges READ OFF the labels.
+    * Both steps are one shuffle (groupBy min + join back), the same
+    * join shape as hash-min, but components CONTRACT geometrically:
+    * convergence is O(log n) rounds instead of O(component diameter),
+    * which is what survives adversarial long chains (progressive
+    * truncation/edit chains make diameter O(n) — hash-min on a
+    * 1000-link chain needs ~1000 rounds, this needs ~7; DedupSpec
+    * measures exactly that). Output is identical to [[dupClusters]]
+    * (`doc_id`, `cluster_id` = component minimum), proven in spec on
+    * shared graphs.
+    *
+    * Convergence detection: a (count, sum lo, sum hi) triple of the
+    * freshly materialized round is compared to the previous round's —
+    * three scalars off an already-staged slim frame. Only when the
+    * triple matches is equality CONFIRMED with an exact anti-join (a
+    * triple collision must not silently end the loop early), so the
+    * exact check runs once, at the true fixpoint.
+    *
+    * Same durability contract as [[dupClusters]]: default
+    * `localCheckpoint()` rounds, or durable parquet rounds under
+    * `reliableStagePath` (a dedicated directory — guarded by a marker
+    * file against mis-pointed deletion).
+    */
+  def dupClustersStar(pairs: DataFrame, maxIters: Int = 30,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new RoundStager(pairs.sparkSession, reliableStagePath)
+    // canonical undirected form (lo < hi), self-loops dropped; the
+    // upstream pair query materializes ONCE here, like dupClusters' raw
+    var edges = stager(pairs.select(
+        least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .where(col("lo") =!= col("hi")).distinct(), "star_0")
+
+    // large-star over the symmetrized view: m(u) = min(Γ(u) ∪ {u}),
+    // emit (m(u), v) for every neighbor v > u. m ≤ u < v keeps the
+    // output canonical without re-sorting endpoints.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("src"), col("hi").as("dst"))
+        .unionByName(e.select(col("hi").as("src"), col("lo").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      sym.join(mins, "src")
+        .where(col("dst") > col("src"))
+        .select(col("m").as("lo"), col("dst").as("hi"))
+        .distinct()
+    }
+    // small-star over edges directed at their larger endpoint: key u =
+    // hi, Γ(u) = its lo neighbors (all < u), m = min(Γ(u)); emit (m, v)
+    // for every v ∈ Γ(u) ∪ {u}, v ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val withM = e.join(mins, "hi")
+      withM.select(col("m").as("lo"), col("lo").as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .unionByName(mins.select(col("m").as("lo"), col("hi")))
+        .distinct()
+    }
+    def triple(e: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("lo").cast("decimal(38,0)")), sum(col("hi").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
+        Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var sig = triple(edges)
+    var converged = sig._1 == 0L // empty pair graph: already a fixpoint
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // both ops consume their input twice (groupBy + join back), so
+      // each is staged — two slim materializations per O(log n) round
+      val ls = stager(largeStar(edges), s"star_ls_${iter + 1}")
+      val next = stager(smallStar(ls), s"star_${iter + 1}")
+      stager.delete(s"star_ls_${iter + 1}")
+      val newSig = triple(next)
+      if (newSig == sig)
+        // triple match is necessary, not sufficient — confirm exactly
+        // (a collision must not end the loop before the true fixpoint)
+        converged = next.exceptAll(edges).isEmpty
+      sig = newSig
+      // the superseded round is never read again (the except above, the
+      // only consumer of the old round, has run); durable storage holds
+      // at most two edge rounds no matter how many rounds the graph needs
+      stager.delete(s"star_$iter")
+      edges = next
+      iter += 1
+    }
+    if (!converged && sig._1 != 0L)
+      throw new IllegalStateException(
+        s"dupClustersStar did not converge in $maxIters rounds")
+    // fixpoint edges are (component-min, node): labels read off directly,
+    // plus (m, m) for each root
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")).distinct())
   }
 
   // ------------------------------------------------------- n-gram Jaccard

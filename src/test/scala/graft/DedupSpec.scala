@@ -175,4 +175,64 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("eval_id")))
     assert(pairs.toSeq == Seq((1L, 100L)))
   }
+
+  test("dupClustersStar matches dupClusters on shared graphs") {
+    // chain + two-hop component + singleton pair, with reversed and
+    // duplicate edges thrown in (canonicalization must absorb them)
+    val small = Seq((1L, 2L), (3L, 2L), (3L, 4L), (7L, 9L), (9L, 7L),
+      (11L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    // pseudo-random graph: 200 nodes, arbitrary component shapes
+    val rand = (0L until 200L).map(i => (i, (i * 17 + 3) % 200))
+      .toDF("doc_a", "doc_b")
+    for (pairs <- Seq(small, rand)) {
+      val hashMin = Dedup.dupClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.dupClustersStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == hashMin)
+    }
+  }
+
+  test("dupClustersStar converges on a 1000-link chain in O(log n) rounds") {
+    // the adversarial-diameter case: hash-min needs ~1000 BSP rounds
+    // (labels walk one hop per round); star-contraction must close it in
+    // O(log n). A path is large-star's exact-halving case (small-star is
+    // an identity on chains), so ~log2(1000) = 10 contraction rounds plus
+    // one fixpoint-confirmation round — maxIters = 12 makes the bound an
+    // assertion, because a non-fixpoint after 12 rounds throws instead of
+    // returning
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClustersStar(chain, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 1001)
+    assert(out.forall(_._2 == 0L))
+  }
+
+  test("dupClustersStar reliable staging matches and guards foreign directories") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val fast = Dedup.dupClustersStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-star-reliable").toString
+    val reliable = Dedup.dupClustersStar(pairs,
+        reliableStagePath = Some(stageDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == fast)
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+    // re-running over the stager-owned directory is allowed (marker present)
+    val rerun = Dedup.dupClustersStar(pairs,
+        reliableStagePath = Some(stageDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rerun == fast)
+    // a non-empty directory the stager did NOT write must be refused, not
+    // cleared — a mis-pointed path would otherwise silently destroy data
+    val foreign = java.nio.file.Files.createTempDirectory("graft-foreign")
+    java.nio.file.Files.write(foreign.resolve("precious.txt"),
+      "caller data".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(pairs, reliableStagePath = Some(foreign.toString))
+    }
+    assert(java.nio.file.Files.exists(foreign.resolve("precious.txt")))
+  }
 }
