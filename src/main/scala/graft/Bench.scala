@@ -68,6 +68,19 @@ object Bench {
     // metric==total must see exactly one hit (the compact line below), not
     // nondeterministically pick whichever of two it reads first.
     println(f"""{"metric":"total_verbose","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver's tail capture (~2 KB) truncates the verbose line's head
+    // once the registry passed ~80 queries, blinding its per-query
+    // regression gate to the alphabetically-first entries. Persist the
+    // full per-query map to a file so every minimum survives the capture
+    // window (overridable; BENCH_QUERIES.json in the working directory by
+    // default, committed with each round's BASELINE bookkeeping).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}%n"""
+        .getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     // The driver captures only the last ~2 KB of output; with 95+ queries the
     // line above overflows that window and its head (metric/value) is cut off
     // (BENCH_r03/r04 both came back parsed:null). Emit a compact total-only

@@ -1119,6 +1119,17 @@ object SparkEntry {
         Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
           idOffset = 1000000L, truncateChars = 30), n = 8)),
 
+    // §2.24m3 — PER-PAIR maximal duplicated-span extents (the diagnostic
+    // sibling of q_max_dup_spans): which doc pairs share which maximal
+    // substring, via constant-diagonal runs of shared window positions.
+    // Pair output is bounded by the gram hotness cap (n_occ <= 8): hot
+    // grams' C(k,2) blowup is excluded by construction — replica cliques
+    // belong to exact dedup and the union-form span report, not here.
+    "q_pair_dup_spans" -> ((s, dir) =>
+      graft.operators.Contamination.pairDupSpans(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30), n = 8, maxOcc = 8)),
+
     // §2.24x — duplicated-span REMOVAL, keep-first: a cross-doc 8-gram
     // survives only in its lowest doc_id; planted truncated copies lose
     // the shared text, originals keep theirs verbatim
@@ -2379,6 +2390,43 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS span_windows,
         |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
         |FROM s GROUP BY doc_id, grp""".stripMargin,
+
+    // per-pair extents: eligible-gram occurrence self-join, then maximal
+    // consecutive-pos_a runs per (pair, diagonal) via a windowed replay
+    "q_pair_dup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |g AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(toks[u.i:u.i+7], ' '), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS h
+        |  FROM tok, unnest(range(1, len(toks) - 6)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |elig AS (SELECT h FROM g GROUP BY h
+        |         HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 8),
+        |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |        x.pos AS pos_a, y.pos AS pos_b
+        |      FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id
+        |      WHERE x.h IN (SELECT h FROM elig)),
+        |r AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+        |        lag(pos_a, 1, -999999) OVER (
+        |          PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS prev
+        |      FROM p),
+        |s AS (SELECT doc_a, doc_b, diag, pos_a,
+        |        SUM(CASE WHEN pos_a = prev + 1 THEN 0 ELSE 1 END)
+        |          OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        |      FROM r)
+        |SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+        |  CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+        |  CAST(count(*) AS BIGINT) AS span_windows,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM s GROUP BY doc_a, doc_b, diag, grp""".stripMargin,
 
     // keep-first scrub: reconstruction filters 1-based token positions
     // against the doc's sorted dup-window starts (nested-lambda closure)

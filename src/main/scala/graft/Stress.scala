@@ -181,6 +181,14 @@ object Stress {
     time("max_dup_spans") {
       graft.operators.Contamination.maxDupSpans(docs, n = 8)
     }
+    // Per-pair extents under replication: every gram occurs `factor`
+    // times, so at maxOcc = 8 < factor the hotness cap excludes ALL
+    // replica-clique grams and the output must be EMPTY — the cap is
+    // exactly what keeps the pair listing from going C(factor,2)
+    // quadratic; the sparse-tail pairs it exists for don't replicate.
+    time("pair_dup_spans") {
+      graft.operators.Contamination.pairDupSpans(docs, n = 8, maxOcc = 8)
+    }
     // BPE under replication: training cost is ONE (word, count) aggregate
     // whose group space (the vocabulary) doesn't grow with replicas, and
     // application is a scan-speed replace chain — both must scale like a

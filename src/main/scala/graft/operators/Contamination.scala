@@ -311,4 +311,67 @@ object Contamination {
       .select(col("doc_id"), col("sp.span_start"), col("sp.span_windows"),
         col("sp.span_tokens"))
   }
+
+  /** PER-PAIR maximal duplicated-span extents — the diagnostic sibling of
+    * [[maxDupSpans]]: WHICH two documents share WHICH maximal span. One
+    * row per (doc pair, maximal shared substring occurrence):
+    * (doc_a, doc_b, start_a, start_b, span_windows, span_tokens).
+    *
+    * Construction: two occurrences of the same n-gram hash in different
+    * docs at positions (pa, pb) extend to a shared run exactly while both
+    * advance in lockstep, i.e. along a constant DIAGONAL pa - pb — so
+    * maximal shared extents are maximal consecutive-pos_a runs within a
+    * (doc_a, doc_b, diagonal) group, the same sorted-run fold as
+    * [[maxDupSpans]], no suffix sorting and no pairwise re-scan of text.
+    *
+    * Output discipline: pair listings are output-bound ONLY under a
+    * hotness cap — a gram occurring in a k-replica cluster yields
+    * C(k, 2) pair rows, so a gram is eligible only while its TOTAL
+    * occurrence count is <= maxOcc (and >= 2 distinct docs). Hot grams
+    * (boilerplate, replica cliques) are excluded by construction — their
+    * mass is exactly what [[maxDupSpans]]' union form and exact dedup
+    * already report; this query is the targeted who-shares-what listing
+    * for the sparse tail. Shuffles stay linear: one gram-frequency
+    * aggregate, one bucketed self-join on eligible hashes (bucket size
+    * <= maxOcc), one pair-diagonal aggregate.
+    */
+  def pairDupSpans(docs: DataFrame, n: Int, maxOcc: Int): DataFrame = {
+    // slim (doc_id, pos, h) occurrence table, staged once: consumed by
+    // the eligibility aggregate and BOTH sides of the pair self-join
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode_outer(gramHashes(col("toks"), n)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+      .localCheckpoint()
+    val eligible = grams
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2 && col("n_occ") <= maxOcc)
+      .select(col("h"))
+    val occ = grams.join(eligible, Seq("h"))
+    val pairs = occ.as("x").join(occ.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.pos").as("pos_a"), col("y.pos").as("pos_b"))
+    val perDiag = pairs
+      .groupBy(col("doc_a"), col("doc_b"), (col("pos_a") - col("pos_b")).as("diag"))
+      .agg(sort_array(collect_list(col("pos_a").cast("int"))).as("ps"))
+    val arr = col("ps")
+    val idx = sequence(lit(1), size(arr))
+    val starts = filter(idx, i =>
+      (i === 1) || (element_at(arr, i) =!= element_at(arr, i - 1) + 1))
+    val ends = filter(idx, i =>
+      (i === size(arr)) || (element_at(arr, i + 1) =!= element_at(arr, i) + 1))
+    perDiag
+      .select(col("doc_a"), col("doc_b"), col("diag"),
+        explode(zip_with(starts, ends, (si, ei) => struct(
+          element_at(arr, si).cast("long").as("start_a"),
+          (ei - si + 1).cast("long").as("span_windows"),
+          (ei - si + n).cast("long").as("span_tokens")))).as("sp"))
+      .select(col("doc_a"), col("doc_b"), col("sp.start_a"),
+        (col("sp.start_a") - col("diag")).cast("long").as("start_b"),
+        col("sp.span_windows"), col("sp.span_tokens"))
+  }
 }

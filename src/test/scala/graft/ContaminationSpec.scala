@@ -64,6 +64,38 @@ class ContaminationSpec extends SparkSpec {
     assert(Contamination.decontaminate(tiny, tiny, n = 3).count() == 0)
   }
 
+  test("pairDupSpans reports per-pair extents at both docs' offsets") {
+    // doc 5 shares doc 4's head at a DIFFERENT offset (prefix "zz " shifts
+    // it by one token) and its tail at the same offset; extents must carry
+    // each side's own start position
+    val d2 = Seq(
+      (4L, "a b c d m1 m2 m3 w x y z q"),
+      (5L, "zz a b c d g2 g3 w x y z q")
+    ).toDF("doc_id", "text")
+    val out = Contamination.pairDupSpans(d2, n = 3, maxOcc = 8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_tokens"))).toSet
+    // head: "a b c d" = 4 tokens at pos 1 in doc 4, pos 2 in doc 5;
+    // tail: "w x y z q" = 5 tokens at pos 8 in both
+    assert(out == Set((4L, 5L, 1L, 2L, 4L), (4L, 5L, 8L, 8L, 5L)))
+  }
+
+  test("pairDupSpans hotness cap excludes replica-clique grams") {
+    // 6 identical docs: every gram occurs 6 times > maxOcc = 4, so the
+    // pair listing is empty — the clique belongs to exact dedup, not the
+    // per-pair diagnostic (C(6,2) rows would otherwise appear per span)
+    val clique = (1L to 6L).map(i => (i, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    assert(Contamination.pairDupSpans(clique, n = 3, maxOcc = 4).count() == 0)
+    // at maxOcc >= 6 the pairs appear: full-doc span for each of 15 pairs
+    val listed = Contamination.pairDupSpans(clique, n = 3, maxOcc = 6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("span_tokens")))
+    assert(listed.length == 15)
+    assert(listed.forall(_._3 == 8L))
+  }
+
   test("scrubDupSpans removes shared spans keep-first, rebuilds text in order") {
     val out = Contamination.scrubDupSpans(docs, n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") ->
