@@ -94,10 +94,16 @@ object Ivf {
   def assign(embeddings: DataFrame, centroids: Seq[Seq[Float]]): DataFrame =
     embeddings.withColumn("cell_id", nearestCell(col("embedding"), centroids))
 
-  /** Probe assignment: each query exploded to its `nprobe` nearest cells. */
+  /** Probe assignment: each query exploded to its `nprobe` nearest cells.
+    * nprobe clamps to the cell count — a quantizer trained on a corpus
+    * smaller than k has fewer centroids than requested, and probing more
+    * cells than exist simply means probing all of them (exact search),
+    * not an argument error surfaced from the expression layer.
+    */
   private def probes(queries: DataFrame, centroids: Seq[Seq[Float]], nprobe: Int): DataFrame =
     queries.select(col("query_id"), col("q_emb"),
-      explode(nearestCells(col("q_emb"), centroids, nprobe)).as("cell_id"))
+      explode(nearestCells(col("q_emb"), centroids,
+        math.min(nprobe, centroids.length))).as("cell_id"))
 
   /** IVF top-k search: rank candidates by cosine within the probed cells.
     * Queries (with their probe cells) broadcast; the corpus streams once

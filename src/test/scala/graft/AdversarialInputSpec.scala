@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Adversarial-input hardening, round 2 (the r6 empty-input sweep caught
+  * a real NPE; this extends the sweep to degenerate-but-legal corpora):
+  * a single-document corpus, an all-identical corpus (vocabulary smaller
+  * than vocabSize, BPE pair pool exhausted mid-training), a benchmark
+  * larger than the corpus it decontaminates, and ANN requests for more
+  * neighbors than exist. Every case must return the mathematically right
+  * (often empty or truncated) answer — never throw, never pad.
+  */
+class AdversarialInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def oneDoc = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("single-document corpus: dedup finds nothing, analytics still report") {
+    // pair-emitting dedups: no second doc, so zero pairs everywhere
+    assert(Dedup.minhashNearDups(oneDoc, k = 64, bands = 16, minSim = 0.5).count() == 0)
+    assert(Dedup.simhashNearDups(oneDoc, maxHamming = 3).count() == 0)
+    assert(Dedup.ngramJaccardPairs(oneDoc, minJaccard = 0.5, maxLenDiff = 40).count() == 0)
+    assert(Contamination.pairDupSpans(oneDoc, n = 3, maxOcc = 8).count() == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adv-1doc").toString
+    assert(Dedup.stagedNearDups(oneDoc, s"$tmp/reps",
+      k = 64, bands = 16, minSim = 0.5).count() == 0)
+    // per-doc analytics still emit the one row
+    assert(Dedup.exactDedup(oneDoc).count() == 1)
+    assert(TextAnalysis.vocabCoverage(oneDoc, vocabSize = 5).count() == 1)
+    assert(Dedup.lineDedup(oneDoc, maxDocs = 10).count() == 1)
+  }
+
+  test("all-identical corpus: vocab collapses, exact dedup keeps min id") {
+    val clones = (1L to 12L).map(i =>
+      (i, "aa bb aa bb cc", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    // one content group, min-id keeper, all 12 counted
+    val groups = Dedup.exactDedup(clones).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_doc_id") == 1L)
+    assert(groups.head.getAs[Long]("dup_count") == 12L)
+    // vocabulary (3 types) far below vocabSize: top-K must return what
+    // exists, not pad to K
+    val vocab = TextAnalysis.vocabTopK(clones, k = 100).collect()
+    assert(vocab.length == 3)
+  }
+
+  test("BPE pair pool exhaustion pads NoMerge and still segments correctly") {
+    // single 2-char word: exactly ONE pair exists ("a","a"); asking for 5
+    // merges exhausts the pool after the first — the rest must be the
+    // NoMerge sentinel, and applying the padded chain must be identical
+    // to applying only the real prefix (NoMerge is an identity rule)
+    val tiny = Seq((1L, "aa aa aa", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val merges = Bpe.trainMerges(tiny, vocabSize = 10, numMerges = 5)
+    assert(merges.length == 5)
+    assert(merges.count(_ == Bpe.NoMerge) == 4)
+    val padded = Bpe.tokenCounts(tiny, merges).head()
+    val exact = Bpe.tokenCounts(tiny, merges.filterNot(_ == Bpe.NoMerge)).head()
+    assert(padded.getAs[Long]("n_bpe_tokens") == 3L) // each "aa" merges to 1 symbol
+    assert(padded.getAs[String]("bpe_hash") == exact.getAs[String]("bpe_hash"))
+    // empty corpus: every merge is NoMerge, application is the identity
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val none = Bpe.trainMerges(emptyDocs, vocabSize = 10, numMerges = 3)
+    assert(none.forall(_ == Bpe.NoMerge))
+    // all-identity chain: every character stays its own symbol (47 letters)
+    assert(Bpe.tokenCounts(oneDoc, none).head().getAs[Long]("n_bpe_tokens") == 47L)
+  }
+
+  test("benchmark larger than the corpus: decontam reports plain overlap") {
+    val corpus = Seq((1L, "a b c d e f g h i j"), (2L, "zz yy xx ww vv uu tt ss rr qq"))
+      .toDF("doc_id", "text")
+    // 50-doc benchmark, one of which contains corpus doc 1's text
+    val bench = ((1L to 49L).map(i => (100L + i, s"filler$i " * 9 + s"end$i")) :+
+      (150L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    // join form reports contaminated docs only; the bloom scan gate
+    // reports every doc — both must count doc 1's 3 windows, zero for doc 2
+    for (out <- Seq(
+        Contamination.decontaminate(corpus, bench, n = 8),
+        Contamination.decontaminateBloom(corpus, bench, n = 8,
+          mBits = 65536, kProbes = 4))) {
+      val hits = out.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit")).toMap
+      assert(hits(1L) == 3L) // 10 tokens -> 3 8-gram windows, all hit
+      assert(hits.getOrElse(2L, 0L) == 0L)
+    }
+  }
+
+  test("ANN with k larger than the candidate set returns all candidates, ranked") {
+    val vecs = (0L until 3L).map(i =>
+      (i, Array.tabulate(64)(d => (if (d == i) 1f else 0f) + 0.01f * d), i.toInt))
+      .toDF("vec_id", "embedding", "label")
+    // brute force: each query can see only the 2 other vectors
+    val brute = Similarity.bruteForceTopK(vecs, vecs, k = 10)
+    assert(brute.count() == 6)
+    // quantizer trained with k centroids > corpus: seeds truncate to the
+    // corpus size and search still ranks every candidate
+    val centroids = Ivf.train(vecs, k = 16, iters = 2)
+    assert(centroids.length == 3)
+    val ivf = Ivf.search(vecs, vecs, centroids, nprobe = 16, topK = 10)
+    assert(ivf.count() == 6)
+    val int8 = Similarity.int8TopK(vecs, vecs, k = 10, prefilter = 100)
+    assert(int8.count() == 6)
+  }
+}
