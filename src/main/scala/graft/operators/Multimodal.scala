@@ -76,6 +76,61 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's bundled javax.sound codecs
+    * (WAV/AIFF/AU, PCM): `width` carries the sample rate in Hz, `height`
+    * the channel count, and the feature vector is a `featureDim`-bin
+    * mean-absolute-amplitude envelope over time (each bin the mean |s| of
+    * its time slice, normalized to [0, 1]) — the cheap deterministic
+    * analog of an audio embedding, as the luminance histogram is for
+    * images. Returns None when the payload is not a recognized audio
+    * container or not integer PCM (caller falls through to the stub).
+    */
+  private def decodeAudio(payload: Array[Byte], featureDim: Int): Option[(Int, Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (in == null) return None
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+        (bits != 8 && bits != 16) || in.getFrameLength <= 0) return None
+      val bytes = in.readAllBytes()
+      val bytesPerSample = bits / 8
+      val nSamples = bytes.length / bytesPerSample
+      if (nSamples == 0) return None
+      val sums = new Array[Double](featureDim)
+      val counts = new Array[Long](featureDim)
+      val big = fmt.isBigEndian
+      var s = 0
+      while (s < nSamples) {
+        val amp =
+          if (bits == 8) {
+            val raw = bytes(s) & 0xFF
+            // unsigned 8-bit centers at 128; signed at 0
+            math.abs((if (signed) bytes(s).toInt else raw - 128) / 128.0)
+          } else {
+            val b0 = bytes(s * 2) & 0xFF
+            val b1 = bytes(s * 2 + 1) & 0xFF
+            val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+            val v = if (signed) raw.toShort.toInt else raw - 32768
+            math.abs(v / 32768.0)
+          }
+        val bin = (s.toLong * featureDim / nSamples).toInt
+        sums(bin) += amp
+        counts(bin) += 1
+        s += 1
+      }
+      val feature = Array.tabulate(featureDim)(i =>
+        if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, feature))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
   /** STUB decode: deterministic pseudo-decode of the payload — the
     * fallback for media formats the JDK has no codec for (real pipelines
     * plug the codec in here; the batch shape is unchanged).
@@ -94,8 +149,9 @@ object Multimodal {
   }
 
   /** Per-partition batch feature extraction over media payloads: real
-    * javax.imageio decode where a codec matches, deterministic stub
-    * otherwise. The partition iterator is processed with one decoder
+    * javax.imageio decode where an image codec matches, real javax.sound
+    * decode where an audio codec matches (WAV/AIFF/AU), deterministic
+    * stub otherwise. The partition iterator is processed with one decoder
     * setup — the mapInPandas batch shape.
     */
   def extractFeatures(media: Dataset[MediaRow], featureDim: Int): Dataset[MediaFeatures] = {
@@ -107,6 +163,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val (w, h, feat) = decodeImage(r.payload, featureDim)
+          .orElse(decodeAudio(r.payload, featureDim))
           .getOrElse(decodeStub(r.payload, featureDim))
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h, feat)
       }

@@ -53,6 +53,39 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** A document arriving on the ingest stream: event time + content. */
+  case class IngestDoc(doc_id: Long, ts: Timestamp, text: String, source: String)
+
+  /** Streaming corpus-ingest chain — the streaming twin of the batch
+    * corpus-prep front half (q_corpus_prep2's gates -> exact dedup),
+    * composed from this module's own primitives: the scan-shaped
+    * decontamination gate (benchmark grams travel as a broadcast
+    * projection, the stream side never shuffles its grams), a length
+    * gate, and watermarked exact dedup on the content hash (state = one
+    * md5 per distinct text inside the watermark, evicted as it
+    * advances). The gate expressions are IDENTICAL to the batch
+    * pipeline's (stable 4-dp hit ratio, short docs count as clean), so
+    * a doc admitted by the stream is exactly the doc a batch re-run
+    * over the same landing data would admit — replayable ingestion, not
+    * a parallel semantics. Attach any sink via foreachBatch
+    * (EventStreamSpec lands it in parquet; RdbSpec's upsert sink
+    * composes the same way).
+    */
+  def corpusIngestStream(docs: DataFrame, benchmark: DataFrame, n: Int,
+      minTokens: Int, maxHitRatio: Double, watermark: String): DataFrame = {
+    val (nG, nH) =
+      graft.operators.Contamination.hitStats(col("text"), benchmark, n)
+    docs
+      .withColumn("n_tokens",
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+      .where(col("n_tokens") >= minTokens)
+      .where(coalesce(floor(nH * 10000.0 / nG + 0.5) / 10000.0, lit(0.0))
+        <= maxHitRatio)
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (broadcast — re-read per microbatch if the dim is a
     * file source, so slowly-changing dims refresh for free).

@@ -198,4 +198,52 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(4L) == ((false, 1L)))
     assert(rows(5L) == ((false, 3L)))
   }
+
+  test("corpus-ingest chain: decontam gate -> streaming dedup -> foreachBatch sink") {
+    // the streaming twin of the batch corpus-prep front half, end to end:
+    // gates and dedup run INSIDE the stream, the sink lands survivors
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.IngestDoc]
+    val bench = Seq((900L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val out = EventStream.corpusIngestStream(input.toDF(), bench, n = 8,
+      minTokens = 3, maxHitRatio = 0.2, watermark = "1 hour")
+
+    val root = Files.createTempDirectory("graft-ingest").toString
+    val query = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id", "source", "n_tokens")
+          .write.mode("append").parquet(s"$root/landed")
+      }
+      .start()
+
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    input.addData(
+      EventStream.IngestDoc(1L, ts("2024-05-01 10:00:00"), clean, "s0"),
+      // contaminated: the benchmark text itself (hit_ratio 1.0 > 0.2)
+      EventStream.IngestDoc(2L, ts("2024-05-01 10:00:01"),
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "s0"),
+      // too short for the length gate
+      EventStream.IngestDoc(3L, ts("2024-05-01 10:00:02"), "a b", "s0"),
+      // exact duplicate of doc 1, same microbatch
+      EventStream.IngestDoc(4L, ts("2024-05-01 10:00:03"), clean, "s1"))
+    query.processAllAvailable()
+    input.addData(
+      // exact duplicate of doc 1, LATER microbatch — cross-batch state
+      EventStream.IngestDoc(5L, ts("2024-05-01 10:05:00"), clean, "s2"),
+      // novel clean doc
+      EventStream.IngestDoc(6L, ts("2024-05-01 10:05:01"),
+        "rho sigma tau phi chi psi omega mu nu xi", "s1"))
+    query.processAllAvailable()
+    query.stop()
+
+    val landed = spark.read.parquet(s"$root/landed")
+      .collect().map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    // exactly one copy of the clean text (doc 1 — first within the batch
+    // after arrival normalization), plus the novel doc 6; the
+    // contaminated, short, and duplicate docs never reach the sink
+    assert(landed == Seq(1L, 6L))
+  }
 }

@@ -51,6 +51,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(12L).feature.toSeq == Seq(0.5f, 0f, 0f, 0.5f))
   }
 
+  test("real WAV payloads decode through javax.sound: rate, channels, envelope") {
+    // mono 8 kHz 16-bit signed PCM, 800 samples: first half silence,
+    // second half a loud square wave — the envelope must rise
+    val sampleRate = 8000f
+    val n = 800
+    val pcm = new Array[Byte](n * 2)
+    for (i <- n / 2 until n) {
+      val v: Short = if (i % 2 == 0) 20000 else -20000
+      pcm(i * 2) = (v & 0xFF).toByte            // little-endian
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val out = Multimodal.extractFeatures(
+      Seq(MediaRow(7L, "audio", wav)).toDS(), featureDim = 8).head()
+    assert(out.width == 8000)  // sample rate, not the stub's n % 640
+    assert(out.height == 1)    // channels
+    // bins 0-3 are silence, bins 4-7 carry the square wave at |20000|/32768
+    assert(out.feature.take(4).forall(_ == 0.0f))
+    assert(out.feature.drop(4).forall(v => math.abs(v - 20000.0 / 32768.0) < 1e-3))
+  }
+
   test("unrecognized payloads fall back to the deterministic stub") {
     val junk = Array.tabulate(100)(_.toByte) // no codec signature
     val ds = Seq(MediaRow(20L, "video", junk)).toDS()
