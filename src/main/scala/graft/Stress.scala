@@ -97,7 +97,10 @@ object Stress {
       graft.operators.Ivf.search(embs.where(col("vec_id") < 8), embs, centroids,
         nprobe = 2, topK = 5)
     }
-    time("embed_neardup_cells") {
+    // raw pair listing: O(factor^2) pair rows per replica cluster by
+    // construction (r7: 48 s / 2.5M rows at 100x vs the flat staged
+    // cures below) — same guard as the other raw pair-emitting variants
+    if (rawPairOps) time("embed_neardup_cells") {
       Similarity.nearDupPairs(embs, minCosine = 0.95, centroids, nprobe = 2)
     }
     // Same replicated corpus, drop-list semantics: semDedup emits at most
