@@ -316,6 +316,21 @@ object SparkEntry {
           minJaccard = 0.5, maxLenDiff = 40)
           .select(col("doc_a"), col("doc_b")))),
 
+    // §2.18d — the production keep/drop decision over those components:
+    // one row per cluster, keep = most tokens (the untruncated original
+    // beats its planted truncated copies), ties toward the smaller id.
+    // Output O(#clusters); text never shuffles (token count projected at
+    // scan); deterministic argmax via max_by on a unique struct key.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+      Dedup.keepBest(
+        Dedup.dupClusters(
+          Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, maxLenDiff = 40)
+            .select(col("doc_a"), col("doc_b"))),
+        corpus)
+    }),
+
     // §2.17b — PORTABLE SimHash near-dup: 60-bit two-base rolling-fold
     // token hashes, so signature + banding + hamming hash-check in DuckDB
     "q_dedup_simhash_portable" -> ((s, dir) =>
@@ -1419,6 +1434,8 @@ object SparkEntry {
     // certifies both algorithms, and their mutual hash match proves the
     // two fixpoints agree on real pair graphs
     "q_dedup_clusters_star" -> dupClustersClosureSql,
+
+    "q_dedup_keep_best" -> dedupKeepBestSql,
 
     // blocking-free ground truth: every pair, no bucket key — the Spark
     // side must find exactly these through its cell blocking
@@ -2526,8 +2543,12 @@ object SparkEntry {
     * shared by q_dedup_clusters (hash-min) and q_dedup_clusters_star
     * (star-contraction): both must reach the identical fixpoint labels.
     */
-  private lazy val dupClustersClosureSql: String =
-    s"""WITH RECURSIVE $ngramJaccardCtes,
+  /** Shared closure CTEs ending in `clusters(doc_id, cluster_id)` — the
+    * base of both cluster-labeling oracles and the keep-best oracle, so
+    * the three replays can never desync on the component definition.
+    */
+  private lazy val dupClustersClosureCtes: String =
+    s"""$ngramJaccardCtes,
        |pairs AS (SELECT doc_a, doc_b FROM ($ngramJaccardPairSelect) p),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2536,9 +2557,35 @@ object SparkEntry {
        |reach(src, dst) AS (
        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, min(dst) AS cluster_id
-       |FROM reach GROUP BY src""".stripMargin
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clusters AS (
+       |  SELECT src AS doc_id, min(dst) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  private lazy val dupClustersClosureSql: String =
+    s"""WITH RECURSIVE $dupClustersClosureCtes
+       |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** q_dedup_keep_best: the same closure, then per cluster the row_number
+    * replay of the engine's deterministic max_by argmax (most tokens,
+    * ties toward the smaller doc_id).
+    */
+  private lazy val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $dupClustersClosureCtes,
+       |toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM corpus),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, t.n_tokens,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY t.n_tokens DESC, c.doc_id ASC) AS rn
+       |  FROM clusters c JOIN toks t USING (doc_id))
+       |SELECT cluster_id,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       |  max(n_tokens) AS keep_tokens,
+       |  count(*) AS n_docs,
+       |  count(*) - 1 AS n_dropped
+       |FROM ranked GROUP BY cluster_id""".stripMargin
 
   /** Verified jaccard pairs over the shared CTEs (blocked join + filter). */
   private val ngramJaccardPairSelect: String =

@@ -220,6 +220,11 @@ object Stress {
       val pairGraph = spark.read.parquet("/tmp/graft_stress_pairs")
       time("cc_hashmin") { Dedup.dupClusters(pairGraph) }
       time("cc_star") { Dedup.dupClustersStar(pairGraph) }
+      // keep-policy consumer: output is one row per CLUSTER, so under
+      // replication it stays O(distinct docs) no matter the factor
+      time("cc_keep_best") {
+        Dedup.keepBest(Dedup.dupClusters(pairGraph), docs)
+      }
     }
     time(s"cc_star_chain") {
       val links = 100000L * factor / 10

@@ -630,6 +630,36 @@ object Dedup {
       .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_id")).distinct())
   }
 
+  // ----------------------------------------------------- cluster keep-best
+
+  /** Production keep-policy over duplicate clusters: for each cluster,
+    * keep the doc with the most whitespace tokens (the longest surviving
+    * variant — truncated / boilerplate-stripped copies lose), ties broken
+    * toward the smaller `doc_id`. The CCNet/RefinedWeb-style consumer of
+    * [[dupClusters]] / [[dupClustersStar]]: their min-id `cluster_id` is
+    * an arbitrary canonical label, not a quality judgment — this operator
+    * turns the labeling into the actual keep/drop decision.
+    *
+    * Scale shape: the token count is projected at scan (text itself never
+    * joins or shuffles), the join key is `doc_id` (clusters hold only
+    * docs that appear in the pair graph, a small fraction of the corpus),
+    * and the output is one row per CLUSTER — O(#clusters) regardless of
+    * cluster sizes, never O(pairs). `max_by` over the unique
+    * (n_tokens, -doc_id) struct keeps the argmax deterministic and
+    * map-side-partial (no window, no per-cluster sort).
+    */
+  def keepBest(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    clusters.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        expr("max_by(doc_id, struct(n_tokens, -doc_id))").as("keep_doc_id"),
+        max(col("n_tokens")).as("keep_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_dropped", col("n_docs") - 1)
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Exact token-3-gram Jaccard over bucketed candidate pairs. Buckets =

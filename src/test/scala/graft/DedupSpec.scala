@@ -235,4 +235,33 @@ class DedupSpec extends SparkSpec {
     }
     assert(java.nio.file.Files.exists(foreign.resolve("precious.txt")))
   }
+
+  test("keepBest keeps the longest doc per cluster, ties toward min id") {
+    // cluster {1,3,4}: 4 is doc 1 plus two extra tokens -> 4 wins on
+    // length even though 1 is the cluster's canonical min-id label
+    val corpus = docs
+    val clusters = Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, maxLenDiff = 40)
+        .select(col("doc_a"), col("doc_b")))
+    val out = Dedup.keepBest(clusters, corpus).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("cluster_id") == 1L)
+    assert(r.getAs[Long]("keep_doc_id") == 4L)
+    assert(r.getAs[Long]("keep_tokens") == 52L)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_dropped") == 2L)
+
+    // equal-length tie: doc 3 is an exact copy of doc 1 -> the smaller
+    // doc_id wins deterministically
+    val tied = corpus.where(col("doc_id").isin(1L, 2L, 3L))
+    val tiedOut = Dedup.keepBest(
+      Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(tied, minJaccard = 0.5, maxLenDiff = 40)
+          .select(col("doc_a"), col("doc_b"))),
+      tied).collect()
+    assert(tiedOut.length == 1)
+    assert(tiedOut.head.getAs[Long]("keep_doc_id") == 1L)
+    assert(tiedOut.head.getAs[Long]("n_docs") == 2L)
+  }
 }
