@@ -640,6 +640,34 @@ object SparkEntry {
         k = 64, bands = 16, minSim = 0.5)
     }),
 
+    // §2.16d — incremental ingest dedup: a persisted signature index
+    // seeded from a corpus slice, then TWO arriving batches decided
+    // against it in sequence (exact-hash tier + banded minhash tier +
+    // greedy within-batch tiers), keepers appending between batches.
+    // Batch 1 carries fresh docs + verbatim replicas (-> exact_index) +
+    // truncated near-copies (-> near_index) of corpus docs; batch 2
+    // carries fresh docs + replicas of batch-1 FRESH docs, which only
+    // dedup because batch-1 keepers joined the index — the append is
+    // what the oracle certifies. Corpus text is scanned once, at seed.
+    "q_dedup_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val trunc = expr("substring(text, 1, greatest(length(text) - 30, 1))")
+      val corpus = docs.where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      val b1 = docs.where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"), trunc.as("text")))
+      val b2 = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      graft.operators.Ingest.ingestChain(
+        graft.operators.Ingest.signatureIndex(corpus, 64), Seq(b1, b2))
+    }),
+
     // §2.24z — per-source data card: doc/token mass, short-doc,
     // repetitive, and benchmark-contaminated counts — every gate rides
     // the SAME single scan as native projections (GramRunStats +
@@ -1542,6 +1570,8 @@ object SparkEntry {
     "q_dedup_minhash_portable" -> minhashPortableOracle,
     "q_cross_dedup" -> crossDedupOracle,
     "q_cross_dedup_staged" -> crossDedupStagedOracle,
+
+    "q_dedup_ingest" -> dedupIngestSql,
 
     "q_dedup_simhash_portable" -> simhashPortableOracle,
 
@@ -2625,7 +2655,12 @@ object SparkEntry {
         |        WHERE doc_id % 10 = 0)
         |  GROUP BY md5(text)""".stripMargin)
 
-  private def crossDedupOracleFrom(corpusCte: String): String = {
+  /** Shared minhash-side CTE generator (k=64, bands=16): content hash,
+    * token, shingle-id, signature, and band-slice CTEs for one named doc
+    * source — used by the cross-corpus AND ingest oracles so the
+    * signature replay can never diverge between them.
+    */
+  private def minhashSideCtes(name: String, src: String): String = {
     val k = 64; val bands = 16; val r = k / bands; val p = 2147483647L
     val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -2633,20 +2668,25 @@ object SparkEntry {
     val sigEntries = Dedup.portableCoefs(k).map { case (a, b) =>
       s"list_min(list_transform(ids, x -> ($a * (x % $p) + $b) % $p))"
     }.mkString(",\n    ")
-    def side(name: String, src: String): String =
-      s"""t_$name AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src
-         |  WHERE len(string_split(text, ' ')) >= 3),
-         |sh_$name AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    list_transform(range(1, len(toks) - 1),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-         |    s -> $fold)) AS ids
-         |  FROM t_$name),
-         |sig_$name AS (SELECT doc_id, [$sigEntries] AS sig FROM sh_$name),
-         |banded_$name AS (
-         |  SELECT doc_id, sig, b.band, sig[b.band*$r+1 : b.band*$r+$r] AS bv
-         |  FROM sig_$name, range(0, $bands) b(band))""".stripMargin
+    s"""h_$name AS (SELECT doc_id, md5(text) AS text_hash FROM $src),
+       |t_$name AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM $src
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh_$name AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |    s -> $fold)) AS ids
+       |  FROM t_$name),
+       |sig_$name AS (SELECT doc_id, [$sigEntries] AS sig FROM sh_$name),
+       |banded_$name AS (
+       |  SELECT doc_id, sig, b.band, sig[b.band*$r+1 : b.band*$r+$r] AS bv
+       |  FROM sig_$name, range(0, $bands) b(band))""".stripMargin
+  }
+
+  private def crossDedupOracleFrom(corpusCte: String): String = {
+    val k = 64
+    def side(name: String, src: String): String = minhashSideCtes(name, src)
     s"""WITH c0 AS ($corpusCte),
        |e0 AS (
        |  SELECT doc_id + 1000000 AS doc_id,
@@ -2662,6 +2702,85 @@ object SparkEntry {
        |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
        |FROM cand
        |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+  }
+
+  /** q_dedup_ingest oracle: seed index from the corpus slice, replay both
+    * batch decisions tier-by-tier (exact-hash vs index, banded minhash vs
+    * index, greedy within-batch exact/near), appending batch-1 keepers'
+    * hash and band rows to the index before batch 2 — the replay of
+    * Ingest.ingestChain over the shared [[minhashSideCtes]] signatures.
+    */
+  private def dedupIngestSql: String = {
+    val est = "CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64"
+    def decide(b: String, idxHash: String, idxBanded: String): String =
+      s"""exacti_$b AS (
+         |  SELECT h.doc_id, min(i.doc_id) AS m
+         |  FROM h_$b h JOIN $idxHash i USING (text_hash) GROUP BY h.doc_id),
+         |candi_$b AS (
+         |  SELECT DISTINCT x.doc_id AS idx_id, y.doc_id AS b_id,
+         |    x.sig AS sig_a, y.sig AS sig_b
+         |  FROM $idxBanded x JOIN banded_$b y ON x.band = y.band AND x.bv = y.bv),
+         |neari_$b AS (
+         |  SELECT b_id AS doc_id, min(idx_id) AS m FROM candi_$b
+         |  WHERE $est >= 0.5 GROUP BY b_id),
+         |exactb_$b AS (
+         |  SELECT x.doc_id, min(y.doc_id) AS m
+         |  FROM h_$b x JOIN h_$b y
+         |    ON x.text_hash = y.text_hash AND y.doc_id < x.doc_id
+         |  GROUP BY x.doc_id),
+         |candb_$b AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    x.sig AS sig_a, y.sig AS sig_b
+         |  FROM banded_$b x JOIN banded_$b y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |nearb_$b AS (
+         |  SELECT b_id AS doc_id, min(a_id) AS m FROM candb_$b
+         |  WHERE $est >= 0.5 GROUP BY b_id),
+         |dec_$b AS (
+         |  SELECT h.doc_id,
+         |    CASE WHEN ei.m IS NOT NULL THEN 'exact_index'
+         |         WHEN ni.m IS NOT NULL THEN 'near_index'
+         |         WHEN eb.m IS NOT NULL THEN 'exact_batch'
+         |         WHEN nb.m IS NOT NULL THEN 'near_batch'
+         |         ELSE 'keep' END AS verdict,
+         |    COALESCE(ei.m, ni.m, eb.m, nb.m) AS matched_id
+         |  FROM h_$b h
+         |  LEFT JOIN exacti_$b ei USING (doc_id)
+         |  LEFT JOIN neari_$b ni USING (doc_id)
+         |  LEFT JOIN exactb_$b eb USING (doc_id)
+         |  LEFT JOIN nearb_$b nb USING (doc_id))""".stripMargin
+    s"""WITH c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       |b1_0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) - 30, 1))
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 20 = 5),
+       |b2_0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM documents
+       |  WHERE doc_id % 3 = 2 AND doc_id % 10 = 2),
+       |${minhashSideCtes("c", "c0")},
+       |${minhashSideCtes("b1", "b1_0")},
+       |${minhashSideCtes("b2", "b2_0")},
+       |${decide("b1", "h_c", "banded_c")},
+       |h_i1 AS (
+       |  SELECT * FROM h_c
+       |  UNION ALL
+       |  SELECT h.* FROM h_b1 h JOIN dec_b1 d USING (doc_id)
+       |  WHERE d.verdict = 'keep'),
+       |banded_i1 AS (
+       |  SELECT * FROM banded_c
+       |  UNION ALL
+       |  SELECT b.* FROM banded_b1 b JOIN dec_b1 d USING (doc_id)
+       |  WHERE d.verdict = 'keep'),
+       |${decide("b2", "h_i1", "banded_i1")}
+       |SELECT CAST(1 AS BIGINT) AS batch_no, doc_id, verdict, matched_id FROM dec_b1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS batch_no, doc_id, verdict, matched_id FROM dec_b2""".stripMargin
   }
 
   /** q_ann_lsh_mp oracle: same inlined hyperplanes as annLshOracle, with

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Ingest, Similarity}
 
 /** Scale stress harness: multiplies the documents / embeddings corpora
   * 10x (id-offset copies) and times the heavy candidate-pair operators.
@@ -163,6 +163,23 @@ object Stress {
           expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text"))
       Dedup.stagedCrossCorpusNearDups(docs, evalSet,
         "/tmp/graft_stress_xstaged", k = 64, bands = 16, minSim = 0.5)
+    }
+    // Incremental ingest: the index holds `factor` replicas of every
+    // content (worst-case band-bucket occupancy) while the arriving
+    // batch stays fixed-size — candidate volume grows with occupancy,
+    // but the min-aggregated decisions stay ONE row per batch doc, so
+    // output is FLAT in the factor and corpus text is read only at
+    // index seed time.
+    time("dedup_ingest") {
+      val base = Tables.documents(spark, sfDir)
+      val batch = base
+        .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+        .unionByName(base
+          .select((col("doc_id") + 91000000L).as("doc_id"),
+            expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text")))
+      Ingest.ingestChain(
+        Ingest.signatureIndex(docs.select(col("doc_id"), col("text")), 64),
+        Seq(batch))
     }
     // Contamination ops on the replicated corpus: every doc has `factor`
     // replicas, so EVERY window is cross-doc duplicated — dup_spans' worst

@@ -86,7 +86,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  private val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*x + b within long
+  private[operators] val MinhashPrime = 2147483647L // 2^31 - 1; keeps a*x + b within long
 
   /** Deterministic (a, b) permutation coefficients — fixed seed, no runtime
     * randomness so signatures are reproducible across runs and executors.

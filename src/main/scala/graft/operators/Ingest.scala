@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus ingest: dedup each NEW batch of documents against a
+  * persisted signature index instead of re-deduping the whole corpus —
+  * the daily-crawl shape of dedup at 100 TB, where recomputing corpus
+  * signatures per ingest is the thing that cannot happen.
+  *
+  * The index holds one slim row per accepted doc: (doc_id, md5 text
+  * hash, minhash signature). An arriving batch is decided doc-by-doc:
+  *
+  *   1. `exact_index` — content hash already in the index
+  *   2. `near_index`  — banded minhash candidate with est_sim >= minSim
+  *   3. `exact_batch` — same content as an EARLIER doc of this batch
+  *   4. `near_batch`  — near-dup of an earlier doc of this batch
+  *   5. `keep`        — accepted; its index row appends before the next
+  *                      batch arrives
+  *
+  * `matched_id` is the smallest qualifying doc id at the verdict's own
+  * tier. Within-batch rules are GREEDY and non-cascading (a doc is
+  * dropped against any earlier batch doc, whatever that doc's own fate)
+  * — exact ties are transitive so the cascade cannot matter there, and
+  * for near-dups this is the standard streaming-dedup policy: decisions
+  * are made once, in arrival order, and never revisited.
+  *
+  * Scale shape: corpus TEXT is read exactly once ever (at index build);
+  * each ingest touches only signature/hash columns of the index — the
+  * per-batch joins shuffle (text_hash) and (band, band-hash) keys, a few
+  * dozen bytes per index row — and appends O(keepers) new rows, never
+  * rewriting the index. The portable signature construction matches
+  * [[Dedup.portableSignatures]], so every decision replays in the
+  * DuckDB oracle.
+  */
+object Ingest {
+
+  /** One index row per doc: (doc_id, text_hash, sig). `sig` is null for
+    * docs under 3 tokens (nothing to shingle) — they still dedup through
+    * the exact-hash tier. One scan: the signature is computed under a
+    * `when` guard instead of a filter, so short docs keep their row
+    * without a second pass over the corpus.
+    */
+  def signatureIndex(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    import org.apache.spark.sql.graftnative.MinhashSig.minhashSig
+    val cs = Dedup.portableCoefs(k)
+    val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
+      concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1), lit(" "),
+        element_at(col("toks"), i + 2)))
+    docs
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("sig",
+        when(size(col("toks")) >= 3,
+          minhashSig(array_distinct(transform(shingleStrs, s => rollingHash(s))),
+            cs.map(_._1), cs.map(_._2), Dedup.MinhashPrime))
+          .otherwise(lit(null).cast("array<bigint>")))
+      .select(col("doc_id"), md5(col("text")).as("text_hash"), col("sig"))
+  }
+
+  /** LSH band rows for signature-carrying docs: (idAs, band, bh). */
+  private def banded(sigs: DataFrame, idAs: String, bands: Int, r: Int): DataFrame =
+    sigs.where(col("sig").isNotNull)
+      .select(col("doc_id").as(idAs),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64((0 until r).map(x => element_at(col("sig"), j * r + x + 1)): _*)
+              .as("bh"))
+        }: _*)).as("b"))
+      .select(col(idAs), col("b.band"), col("b.bh"))
+
+  private def estSim(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+
+  /** Decide one batch against the current index. `index` and `batchSigs`
+    * are [[signatureIndex]]-shaped; both are consumed by several joins,
+    * so callers materialize them (the chain does). Output: one row per
+    * batch doc — (doc_id, verdict, matched_id).
+    */
+  def ingestDecisions(index: DataFrame, batchSigs: DataFrame,
+      k: Int, bands: Int, minSim: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val exactIdx = batchSigs
+      .join(index.select(col("text_hash"), col("doc_id").as("m")), "text_hash")
+      .groupBy(col("doc_id")).agg(min(col("m")).as("exact_index_id"))
+    val candIdx = banded(index, "idx_id", bands, r)
+      .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
+      .select(col("idx_id"), col("b_id")).distinct()
+    val nearIdx = candIdx
+      .join(index.select(col("doc_id").as("idx_id"), col("sig").as("sig_a")), "idx_id")
+      .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .where(estSim(col("sig_a"), col("sig_b"), k) >= minSim)
+      .groupBy(col("b_id")).agg(min(col("idx_id")).as("near_index_id"))
+      .withColumnRenamed("b_id", "doc_id")
+    val exactBatch = batchSigs.as("x")
+      .join(batchSigs.as("y"),
+        col("x.text_hash") === col("y.text_hash") && col("y.doc_id") < col("x.doc_id"))
+      .groupBy(col("x.doc_id")).agg(min(col("y.doc_id")).as("exact_batch_id"))
+    val candBatch = banded(batchSigs, "a_id", bands, r)
+      .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val nearBatch = candBatch
+      .join(batchSigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .where(estSim(col("sig_a"), col("sig_b"), k) >= minSim)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("near_batch_id"))
+      .withColumnRenamed("b_id", "doc_id")
+    batchSigs.select(col("doc_id"))
+      .join(exactIdx, Seq("doc_id"), "left")
+      .join(nearIdx, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_index_id").isNotNull, lit("exact_index"))
+          .when(col("near_index_id").isNotNull, lit("near_index"))
+          .when(col("exact_batch_id").isNotNull, lit("exact_batch"))
+          .when(col("near_batch_id").isNotNull, lit("near_batch"))
+          .otherwise(lit("keep")).as("verdict"),
+        coalesce(col("exact_index_id"), col("near_index_id"),
+          col("exact_batch_id"), col("near_batch_id")).as("matched_id"))
+  }
+
+  /** The production chain: seed index -> decide batch 1 -> append its
+    * keepers -> decide batch 2 (which now sees batch-1 keepers) -> ...
+    * Returns every batch's decisions labeled with `batch_no`.
+    *
+    * The index is kept as a LIST of materialized pieces (seed + one
+    * per batch's keepers) unioned lazily, mirroring a parquet index
+    * table gaining one file-append per ingest: each piece is written
+    * once and the seed is never rewritten — O(keepers) work per batch,
+    * never O(index).
+    */
+  def ingestChain(index0: DataFrame, batches: Seq[DataFrame],
+      k: Int = 64, bands: Int = 16, minSim: Double = 0.5): DataFrame = {
+    val pieces = scala.collection.mutable.ArrayBuffer(index0.localCheckpoint())
+    val decided = batches.zipWithIndex.map { case (batch, i) =>
+      val sigs = signatureIndex(batch, k).localCheckpoint()
+      val idx = pieces.reduce(_ unionByName _)
+      val d = ingestDecisions(idx, sigs, k, bands, minSim).localCheckpoint()
+      pieces += sigs
+        .join(d.where(col("verdict") === "keep").select(col("doc_id")), "doc_id")
+        .localCheckpoint()
+      d.withColumn("batch_no", lit((i + 1).toLong))
+    }
+    decided.reduce(_ unionByName _)
+      .select(col("batch_no"), col("doc_id"), col("verdict"), col("matched_id"))
+  }
+}

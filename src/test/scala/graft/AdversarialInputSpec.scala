@@ -106,4 +106,39 @@ class AdversarialInputSpec extends SparkSpec {
     val int8 = Similarity.int8TopK(vecs, vecs, k = 10, prefilter = 100)
     assert(int8.count() == 6)
   }
+
+  test("ingest degenerate shapes: empty batch, empty index, all-short batch") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps zeta eta theta iota kappa " * 5)
+    ).toDF("doc_id", "text")
+    val index = Ingest.signatureIndex(docs, 64).localCheckpoint()
+    val empty = docs.where(lit(false))
+    // empty batch: zero decisions, no exception anywhere in the tiers
+    assert(Ingest.ingestDecisions(index,
+      Ingest.signatureIndex(empty, 64).localCheckpoint(),
+      k = 64, bands = 16, minSim = 0.5).count() == 0)
+    // empty index: everything keeps (a first-ever ingest)
+    val d = Ingest.ingestDecisions(Ingest.signatureIndex(empty, 64).localCheckpoint(),
+      Ingest.signatureIndex(docs, 64).localCheckpoint(),
+      k = 64, bands = 16, minSim = 0.5).collect()
+    assert(d.length == 1 && d.head.getString(1) == "keep")
+    // all-short batch: every sig is null, only the hash tier fires —
+    // identical short docs still dedup within the batch, fresh ones keep
+    val shorts = Seq((70L, "tiny"), (71L, "tiny"), (72L, "small one"))
+      .toDF("doc_id", "text")
+    val ds = Ingest.ingestDecisions(index,
+        Ingest.signatureIndex(shorts, 64).localCheckpoint(),
+        k = 64, bands = 16, minSim = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ds(70L) == "keep")
+    assert(ds(71L) == "exact_batch")
+    assert(ds(72L) == "keep")
+    // chained with an empty first batch: the seed index must flow
+    // through untouched and batch 2 still dedups against it
+    val out = Ingest.ingestChain(index, Seq(empty, docs
+        .select((col("doc_id") + 100L).as("doc_id"), col("text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out.size == 1)
+    assert(out((2L, 101L)) == "exact_index")
+  }
 }
