@@ -35,32 +35,37 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** One index row per doc: (doc_id, text_hash, sig). `sig` is null for
-    * docs under 3 tokens (nothing to shingle) — they still dedup through
-    * the exact-hash tier. One scan: the signature is computed under a
-    * `when` guard instead of a filter, so short docs keep their row
-    * without a second pass over the corpus.
+  /** Append `text_hash` and `sig` columns, KEEPING every existing column
+    * (the streaming gate needs its event-time column to survive). `sig`
+    * is null for docs under 3 tokens (nothing to shingle) — they still
+    * dedup through the exact-hash tier. One scan: the signature is
+    * computed under a `when` guard instead of a filter, so short docs
+    * keep their row without a second pass over the corpus.
     */
-  def signatureIndex(docs: DataFrame, k: Int): DataFrame = {
+  def withSignature(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graftnative.RollingHash.rollingHash
     import org.apache.spark.sql.graftnative.MinhashSig.minhashSig
     val cs = Dedup.portableCoefs(k)
-    val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
-      concat(element_at(col("toks"), i), lit(" "),
-        element_at(col("toks"), i + 1), lit(" "),
-        element_at(col("toks"), i + 2)))
+    val toks = TextAnalysis.tokens(col("text"))
+    val shingleStrs = transform(sequence(lit(1), size(toks) - 2), i =>
+      concat(element_at(toks, i), lit(" "),
+        element_at(toks, i + 1), lit(" "),
+        element_at(toks, i + 2)))
     docs
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("text_hash", md5(col("text")))
       .withColumn("sig",
-        when(size(col("toks")) >= 3,
+        when(size(toks) >= 3,
           minhashSig(array_distinct(transform(shingleStrs, s => rollingHash(s))),
             cs.map(_._1), cs.map(_._2), Dedup.MinhashPrime))
           .otherwise(lit(null).cast("array<bigint>")))
-      .select(col("doc_id"), md5(col("text")).as("text_hash"), col("sig"))
   }
 
+  /** One index row per doc: (doc_id, text_hash, sig). */
+  def signatureIndex(docs: DataFrame, k: Int): DataFrame =
+    withSignature(docs, k).select(col("doc_id"), col("text_hash"), col("sig"))
+
   /** LSH band rows for signature-carrying docs: (idAs, band, bh). */
-  private def banded(sigs: DataFrame, idAs: String, bands: Int, r: Int): DataFrame =
+  private[graft] def banded(sigs: DataFrame, idAs: String, bands: Int, r: Int): DataFrame =
     sigs.where(col("sig").isNotNull)
       .select(col("doc_id").as(idAs),
         explode(array((0 until bands).map { j =>
@@ -70,7 +75,7 @@ object Ingest {
         }: _*)).as("b"))
       .select(col(idAs), col("b.band"), col("b.bh"))
 
-  private def estSim(a: Column, b: Column, k: Int): Column =
+  private[graft] def estSim(a: Column, b: Column, k: Int): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / k
 

@@ -86,6 +86,71 @@ object EventStream {
       .dropDuplicatesWithinWatermark(Seq("text_hash"))
   }
 
+  /** Streaming twin of the batch ingest chain's INDEX tiers
+    * ([[graft.operators.Ingest]]), split the way a production lambda
+    * pipeline splits them: this gate passes through only docs whose
+    * content hash is NOT in the static signature index (stream-static
+    * left_anti — stateless, append-mode, no watermark needed), and
+    * [[ingestDupAlerts]] emits the matches for monitoring/quarantine.
+    * The authoritative keep/drop decision with within-batch tiers and
+    * index append stays with the batch `Ingest.ingestChain`: near-tier
+    * "keep" detection would need a stream-stream anti-join Structured
+    * Streaming doesn't have, and gating exact + alerting near is what a
+    * real streaming ingest does anyway. If the index is a file source,
+    * each microbatch re-reads it, so batch-side appends take effect on
+    * the live stream for free.
+    */
+  def ingestExactGate(docs: DataFrame, index: DataFrame): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .join(index.select(col("text_hash")), Seq("text_hash"), "left_anti")
+
+  /** Duplicate-alert stream against the static signature index: one row
+    * per arriving doc that exact-matches (content hash) or near-matches
+    * (banded minhash, est_sim-verified) an index doc — (doc_id, ts,
+    * verdict, matched_id). Exact alerts carry the smallest matching
+    * index id (the static side pre-aggregates min per hash — a static
+    * aggregate, free in append mode). Near alerts are checked only for
+    * docs that did NOT exact-match, and collapse to one row per doc via
+    * watermarked dedup (bounded state); `matched_id` there is one
+    * witnessing index doc — whichever candidate row survives — since
+    * picking the minimum would need a streaming aggregation with its
+    * own output-mode cost, which a quarantine alert does not warrant.
+    */
+  def ingestDupAlerts(docs: DataFrame, index: DataFrame,
+      k: Int, bands: Int, minSim: Double, watermark: String): DataFrame = {
+    import graft.operators.Ingest
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    // static side, pre-shaped once: min id per content hash (a static
+    // aggregate) and sig-carrying band rows rejoined to their signature
+    val idxHash = index.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("matched_id"))
+    val idxBanded = Ingest.banded(index, "idx_id", bands, r)
+      .join(index.select(col("doc_id").as("idx_id"), col("sig").as("sig_a")), "idx_id")
+    // stream side: signature columns appended in place, ts preserved
+    val sigs = Ingest.withSignature(docs, k)
+    val exact = sigs.join(idxHash, Seq("text_hash"))
+      .select(col("doc_id"), col("ts"),
+        lit("exact_index").as("verdict"), col("matched_id"))
+    val streamBanded = sigs
+      .join(idxHash.select(col("text_hash")), Seq("text_hash"), "left_anti")
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"), col("sig").as("sig_b"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64((0 until r).map(x => element_at(col("sig"), j * r + x + 1)): _*)
+              .as("bh"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("ts"), col("sig_b"), col("b.band"), col("b.bh"))
+    val near = streamBanded.join(idxBanded, Seq("band", "bh"))
+      .where(Ingest.estSim(col("sig_a"), col("sig_b"), k) >= minSim)
+      .select(col("doc_id"), col("ts"),
+        lit("near_index").as("verdict"), col("idx_id").as("matched_id"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+    exact.unionByName(near)
+  }
+
   /** Stream-static enrichment: join the event stream against a static
     * dimension table (broadcast — re-read per microbatch if the dim is a
     * file source, so slowly-changing dims refresh for free).

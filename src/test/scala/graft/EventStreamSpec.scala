@@ -246,4 +246,51 @@ class EventStreamSpec extends SparkSpec {
     // contaminated, short, and duplicate docs never reach the sink
     assert(landed == Seq(1L, 6L))
   }
+
+  test("ingest gate + dup alerts against a static signature index") {
+    implicit val sq = spark.sqlContext
+    val indexed = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val index = graft.operators.Ingest.signatureIndex(
+      Seq((100L, indexed)).toDF("doc_id", "text"), 64).localCheckpoint()
+
+    val input = MemoryStream[EventStream.IngestDoc]
+    val docs = input.toDF().select($"doc_id", $"ts", $"text")
+    val gateRoot = Files.createTempDirectory("graft-gate").toString
+    val gate = EventStream.ingestExactGate(docs, index).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$gateRoot/chk")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id").write.mode("append").parquet(s"$gateRoot/out")
+      }.start()
+    val alerts = EventStream.ingestDupAlerts(docs, index,
+      k = 64, bands = 16, minSim = 0.5, watermark = "1 hour").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$gateRoot/achk")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id", "verdict", "matched_id")
+          .write.mode("append").parquet(s"$gateRoot/alerts")
+      }.start()
+
+    input.addData(
+      // exact copy of the index doc: blocked at the gate, exact alert
+      EventStream.IngestDoc(10L, ts("2024-05-01 10:00:00"), indexed, "s0"),
+      // near copy (truncated): PASSES the exact-only gate, near alert
+      EventStream.IngestDoc(11L, ts("2024-05-01 10:00:01"),
+        indexed.dropRight(30), "s0"),
+      // fresh doc: passes, no alert
+      EventStream.IngestDoc(12L, ts("2024-05-01 10:00:02"),
+        "rho sigma tau phi chi psi omega mu nu xi " * 5, "s0"))
+    gate.processAllAvailable(); alerts.processAllAvailable()
+    gate.stop(); alerts.stop()
+
+    val passed = spark.read.parquet(s"$gateRoot/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(passed == Seq(11L, 12L))
+    val alerted = spark.read.parquet(s"$gateRoot/alerts")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("matched_id"))).toMap
+    assert(alerted == Map(
+      10L -> ("exact_index", 100L),
+      11L -> ("near_index", 100L)))
+  }
 }
