@@ -492,7 +492,7 @@ object Dedup {
     * by this stager, so deleting it would destroy caller data behind a
     * mis-pointed path (a shared /tmp dir, a data dir); refuse instead.
     */
-  private final class RoundStager(session: org.apache.spark.sql.SparkSession,
+  private[operators] final class RoundStager(session: org.apache.spark.sql.SparkSession,
       reliableRoot: Option[String]) {
     import org.apache.hadoop.fs.Path
     private val Marker = "_graft_stage_root"

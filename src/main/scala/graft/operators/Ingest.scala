@@ -138,17 +138,28 @@ object Ingest {
     * table gaining one file-append per ingest: each piece is written
     * once and the seed is never rewritten — O(keepers) work per batch,
     * never O(index).
+    *
+    * Same durability contract as `Dedup.dupClusters`: pieces default to
+    * `localCheckpoint()`; under `reliableStagePath` (a dedicated
+    * directory — marker-guarded against mis-pointed deletion) every
+    * piece and decision frame lands as parquet instead, so the chain
+    * survives executor loss AND the stage root holds the complete
+    * durable index (`index_0` + `keepers_N`) plus the per-batch
+    * decision log when it finishes. Nothing is deleted: the pieces ARE
+    * the artifact.
     */
   def ingestChain(index0: DataFrame, batches: Seq[DataFrame],
-      k: Int = 64, bands: Int = 16, minSim: Double = 0.5): DataFrame = {
-    val pieces = scala.collection.mutable.ArrayBuffer(index0.localCheckpoint())
+      k: Int = 64, bands: Int = 16, minSim: Double = 0.5,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(index0.sparkSession, reliableStagePath)
+    val pieces = scala.collection.mutable.ArrayBuffer(stager(index0, "index_0"))
     val decided = batches.zipWithIndex.map { case (batch, i) =>
-      val sigs = signatureIndex(batch, k).localCheckpoint()
+      val sigs = stager(signatureIndex(batch, k), s"sigs_${i + 1}")
       val idx = pieces.reduce(_ unionByName _)
-      val d = ingestDecisions(idx, sigs, k, bands, minSim).localCheckpoint()
-      pieces += sigs
-        .join(d.where(col("verdict") === "keep").select(col("doc_id")), "doc_id")
-        .localCheckpoint()
+      val d = stager(ingestDecisions(idx, sigs, k, bands, minSim), s"dec_${i + 1}")
+      pieces += stager(sigs
+        .join(d.where(col("verdict") === "keep").select(col("doc_id")), "doc_id"),
+        s"keepers_${i + 1}")
       d.withColumn("batch_no", lit((i + 1).toLong))
     }
     decided.reduce(_ unionByName _)

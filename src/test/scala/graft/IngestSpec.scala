@@ -66,6 +66,29 @@ class IngestSpec extends SparkSpec {
     assert(out((2L, 50L)) == ("exact_index", Some(2L)))
   }
 
+  test("reliable staging matches the default chain and leaves the index on disk") {
+    val fresh = "durable chain material for the staged variant here now " * 5
+    val b1 = Seq((80L, fresh)).toDF("doc_id", "text")
+    val b2 = Seq((81L, fresh)).toDF("doc_id", "text")
+    def run(stage: Option[String]) =
+      Ingest.ingestChain(Ingest.signatureIndex(base, 64), Seq(b1, b2),
+          reliableStagePath = stage)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-stage").toString + "/run"
+    val durable = run(Some(stageDir))
+    assert(durable == run(None))
+    // the stage root IS the artifact: seed, per-batch keepers, decisions
+    val files = new java.io.File(stageDir).listFiles().map(_.getName).toSet
+    assert(Set("index_0", "keepers_1", "keepers_2", "dec_1", "dec_2")
+      .subsetOf(files))
+    // batch-1 keeper 80 is on disk; the batch-2 duplicate is not
+    val k1 = spark.read.parquet(s"$stageDir/keepers_1")
+    assert(k1.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(80L))
+    assert(spark.read.parquet(s"$stageDir/keepers_2").count() == 0)
+  }
+
   test("short docs carry null signatures but still dedup exactly") {
     val idx = Ingest.signatureIndex(
       base.unionByName(Seq((3L, "tiny doc")).toDF("doc_id", "text")), 64)
