@@ -88,45 +88,51 @@ object Ingest {
       k: Int, bands: Int, minSim: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val exactIdx = batchSigs
-      .join(index.select(col("text_hash"), col("doc_id").as("m")), "text_hash")
-      .groupBy(col("doc_id")).agg(min(col("m")).as("exact_index_id"))
+    // every tier emits raw (doc_id, tier, m) match rows; ONE lexicographic
+    // min(struct(tier, m)) then realizes the whole priority rule — lowest
+    // tier wins, smallest id within it — instead of a per-tier aggregation
+    // plus a 4-way left-join ladder (3 fewer shuffles per batch at scale)
+    def rows(df: DataFrame, tier: Int, m: Column): DataFrame =
+      df.select(col("doc_id"), struct(lit(tier).as("tier"), m.as("m")).as("hit"))
+    val exactIdx = rows(batchSigs
+      .join(index.select(col("text_hash"), col("doc_id").as("m")), "text_hash"),
+      1, col("m"))
     val candIdx = banded(index, "idx_id", bands, r)
       .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
       .select(col("idx_id"), col("b_id")).distinct()
-    val nearIdx = candIdx
+    val nearIdx = rows(candIdx
       .join(index.select(col("doc_id").as("idx_id"), col("sig").as("sig_a")), "idx_id")
       .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .where(estSim(col("sig_a"), col("sig_b"), k) >= minSim)
-      .groupBy(col("b_id")).agg(min(col("idx_id")).as("near_index_id"))
-      .withColumnRenamed("b_id", "doc_id")
-    val exactBatch = batchSigs.as("x")
+      .withColumnRenamed("b_id", "doc_id"),
+      2, col("idx_id"))
+    val exactBatch = rows(batchSigs.as("x")
       .join(batchSigs.as("y"),
         col("x.text_hash") === col("y.text_hash") && col("y.doc_id") < col("x.doc_id"))
-      .groupBy(col("x.doc_id")).agg(min(col("y.doc_id")).as("exact_batch_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m")),
+      3, col("m"))
     val candBatch = banded(batchSigs, "a_id", bands, r)
       .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val nearBatch = candBatch
+    val nearBatch = rows(candBatch
       .join(batchSigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
       .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .where(estSim(col("sig_a"), col("sig_b"), k) >= minSim)
-      .groupBy(col("b_id")).agg(min(col("a_id")).as("near_batch_id"))
-      .withColumnRenamed("b_id", "doc_id")
+      .withColumnRenamed("b_id", "doc_id"),
+      4, col("a_id"))
+    val best = exactIdx.unionByName(nearIdx)
+      .unionByName(exactBatch).unionByName(nearBatch)
+      .groupBy(col("doc_id")).agg(min(col("hit")).as("best"))
     batchSigs.select(col("doc_id"))
-      .join(exactIdx, Seq("doc_id"), "left")
-      .join(nearIdx, Seq("doc_id"), "left")
-      .join(exactBatch, Seq("doc_id"), "left")
-      .join(nearBatch, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("exact_index_id").isNotNull, lit("exact_index"))
-          .when(col("near_index_id").isNotNull, lit("near_index"))
-          .when(col("exact_batch_id").isNotNull, lit("exact_batch"))
-          .when(col("near_batch_id").isNotNull, lit("near_batch"))
+        when(col("best.tier") === 1, lit("exact_index"))
+          .when(col("best.tier") === 2, lit("near_index"))
+          .when(col("best.tier") === 3, lit("exact_batch"))
+          .when(col("best.tier") === 4, lit("near_batch"))
           .otherwise(lit("keep")).as("verdict"),
-        coalesce(col("exact_index_id"), col("near_index_id"),
-          col("exact_batch_id"), col("near_batch_id")).as("matched_id"))
+        col("best.m").as("matched_id"))
   }
 
   /** The production chain: seed index -> decide batch 1 -> append its
