@@ -88,15 +88,20 @@ object Ingest {
       k: Int, bands: Int, minSim: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // every tier emits raw (doc_id, tier, m) match rows; ONE lexicographic
-    // min(struct(tier, m)) then realizes the whole priority rule — lowest
-    // tier wins, smallest id within it — instead of a per-tier aggregation
-    // plus a 4-way left-join ladder (3 fewer shuffles per batch at scale)
+    // every tier emits raw (doc_id, tier, m) match rows; ONE aggregation
+    // then realizes the whole priority rule — lowest tier wins, smallest
+    // id within it — instead of a per-tier aggregation plus a 4-way
+    // left-join ladder (3 fewer shuffles per batch at scale). The tier
+    // pick and the per-tier min are all plain min(long) / conditional
+    // min(long), so the combine stays a HashAggregate with map-side
+    // partials (a lexicographic min over a (tier, m) struct computes the
+    // same thing but forces SortAggregate — structs have no mutable
+    // aggregation buffer).
     def rows(df: DataFrame, tier: Int, m: Column): DataFrame =
-      df.select(col("doc_id"), struct(lit(tier).as("tier"), m.as("m")).as("hit"))
+      df.select(col("doc_id"), lit(tier).as("tier"), m.as("m"))
     val exactIdx = rows(batchSigs
-      .join(index.select(col("text_hash"), col("doc_id").as("m")), "text_hash"),
-      1, col("m"))
+      .join(index.select(col("text_hash"), col("doc_id").as("mm")), "text_hash"),
+      1, col("mm"))
     val candIdx = banded(index, "idx_id", bands, r)
       .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
       .select(col("idx_id"), col("b_id")).distinct()
@@ -109,8 +114,8 @@ object Ingest {
     val exactBatch = rows(batchSigs.as("x")
       .join(batchSigs.as("y"),
         col("x.text_hash") === col("y.text_hash") && col("y.doc_id") < col("x.doc_id"))
-      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("m")),
-      3, col("m"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("mm")),
+      3, col("mm"))
     val candBatch = banded(batchSigs, "a_id", bands, r)
       .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
@@ -123,16 +128,24 @@ object Ingest {
       4, col("a_id"))
     val best = exactIdx.unionByName(nearIdx)
       .unionByName(exactBatch).unionByName(nearBatch)
-      .groupBy(col("doc_id")).agg(min(col("hit")).as("best"))
+      .groupBy(col("doc_id")).agg(
+        min(col("tier")).as("best_tier"),
+        min(when(col("tier") === 1, col("m"))).as("m1"),
+        min(when(col("tier") === 2, col("m"))).as("m2"),
+        min(when(col("tier") === 3, col("m"))).as("m3"),
+        min(when(col("tier") === 4, col("m"))).as("m4"))
     batchSigs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("best.tier") === 1, lit("exact_index"))
-          .when(col("best.tier") === 2, lit("near_index"))
-          .when(col("best.tier") === 3, lit("exact_batch"))
-          .when(col("best.tier") === 4, lit("near_batch"))
+        when(col("best_tier") === 1, lit("exact_index"))
+          .when(col("best_tier") === 2, lit("near_index"))
+          .when(col("best_tier") === 3, lit("exact_batch"))
+          .when(col("best_tier") === 4, lit("near_batch"))
           .otherwise(lit("keep")).as("verdict"),
-        col("best.m").as("matched_id"))
+        when(col("best_tier") === 1, col("m1"))
+          .when(col("best_tier") === 2, col("m2"))
+          .when(col("best_tier") === 3, col("m3"))
+          .when(col("best_tier") === 4, col("m4")).as("matched_id"))
   }
 
   /** The production chain: seed index -> decide batch 1 -> append its
