@@ -64,16 +64,22 @@ object Ingest {
   def signatureIndex(docs: DataFrame, k: Int): DataFrame =
     withSignature(docs, k).select(col("doc_id"), col("text_hash"), col("sig"))
 
-  /** LSH band rows for signature-carrying docs: (idAs, band, bh). */
-  private[graft] def banded(sigs: DataFrame, idAs: String, bands: Int, r: Int): DataFrame =
+  /** LSH band rows for signature-carrying docs, the signature riding
+    * along: (idAs, sigAs, band, bh). Carrying `sig` on the band row costs
+    * k longs per row but removes the join back to fetch it at est_sim
+    * time — the candidate check happens inside the band join's own stage,
+    * no candidate materialization, no second pass over the index.
+    */
+  private[graft] def bandedWithSig(sigs: DataFrame, idAs: String,
+      sigAs: String, bands: Int, r: Int): DataFrame =
     sigs.where(col("sig").isNotNull)
-      .select(col("doc_id").as(idAs),
+      .select(col("doc_id").as(idAs), col("sig").as(sigAs),
         explode(array((0 until bands).map { j =>
           struct(lit(j).as("band"),
             xxhash64((0 until r).map(x => element_at(col("sig"), j * r + x + 1)): _*)
               .as("bh"))
         }: _*)).as("b"))
-      .select(col(idAs), col("b.band"), col("b.bh"))
+      .select(col(idAs), col(sigAs), col("b.band"), col("b.bh"))
 
   private[graft] def estSim(a: Column, b: Column, k: Int): Column =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
@@ -87,6 +93,18 @@ object Ingest {
   def ingestDecisions(index: DataFrame, batchSigs: DataFrame,
       k: Int, bands: Int, minSim: Double): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    decide(index.select(col("text_hash"), col("doc_id")),
+      bandedWithSig(index, "idx_id", "sig_a", bands, k / bands),
+      batchSigs, k, bands, minSim)
+  }
+
+  /** Tier evaluation shared by the in-memory index ([[ingestDecisions]])
+    * and the bucketed-table layout ([[ingestDecisionsBucketed]]).
+    * `indexHash` is (text_hash, doc_id); `indexBands` is
+    * (idx_id, sig_a, band, bh).
+    */
+  private def decide(indexHash: DataFrame, indexBands: DataFrame,
+      batchSigs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame = {
     val r = k / bands
     // every tier emits raw (doc_id, tier, m) match rows; ONE aggregation
     // then realizes the whole priority rule — lowest tier wins, smallest
@@ -96,18 +114,18 @@ object Ingest {
     // min(long), so the combine stays a HashAggregate with map-side
     // partials (a lexicographic min over a (tier, m) struct computes the
     // same thing but forces SortAggregate — structs have no mutable
-    // aggregation buffer).
+    // aggregation buffer). A band collision pair is est_sim-checked once
+    // per shared band (<= bands times) rather than distinct-ed first:
+    // the check is a codegen'd 64-element compare in the join's own
+    // stage, cheaper than the exchange a distinct would cost.
     def rows(df: DataFrame, tier: Int, m: Column): DataFrame =
       df.select(col("doc_id"), lit(tier).as("tier"), m.as("m"))
+    val batchBands = bandedWithSig(batchSigs, "b_id", "sig_b", bands, r)
     val exactIdx = rows(batchSigs
-      .join(index.select(col("text_hash"), col("doc_id").as("mm")), "text_hash"),
+      .join(indexHash.select(col("text_hash"), col("doc_id").as("mm")), "text_hash"),
       1, col("mm"))
-    val candIdx = banded(index, "idx_id", bands, r)
-      .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
-      .select(col("idx_id"), col("b_id")).distinct()
-    val nearIdx = rows(candIdx
-      .join(index.select(col("doc_id").as("idx_id"), col("sig").as("sig_a")), "idx_id")
-      .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+    val nearIdx = rows(indexBands
+      .join(batchBands, Seq("band", "bh"))
       .where(estSim(col("sig_a"), col("sig_b"), k) >= minSim)
       .withColumnRenamed("b_id", "doc_id"),
       2, col("idx_id"))
@@ -116,13 +134,9 @@ object Ingest {
         col("x.text_hash") === col("y.text_hash") && col("y.doc_id") < col("x.doc_id"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("mm")),
       3, col("mm"))
-    val candBatch = banded(batchSigs, "a_id", bands, r)
-      .join(banded(batchSigs, "b_id", bands, r), Seq("band", "bh"))
+    val nearBatch = rows(bandedWithSig(batchSigs, "a_id", "sig_a", bands, r)
+      .join(batchBands, Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val nearBatch = rows(candBatch
-      .join(batchSigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
-      .join(batchSigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .where(estSim(col("sig_a"), col("sig_b"), k) >= minSim)
       .withColumnRenamed("b_id", "doc_id"),
       4, col("a_id"))
@@ -183,5 +197,51 @@ object Ingest {
     }
     decided.reduce(_ unionByName _)
       .select(col("batch_no"), col("doc_id"), col("verdict"), col("matched_id"))
+  }
+
+  // ------------------------------------------------- bucketed index layout
+
+  /** Persist the signature index in the BUCKETED layout a recurring ingest
+    * wants: `<name>_hash` (text_hash, doc_id) bucketed + bucket-sorted by
+    * text_hash, and `<name>_bands` (idx_id, sig_a, band, bh) bucketed by
+    * (band, bh) — each table pre-partitioned on exactly its tier's join
+    * key. A daily ingest against these shuffles ONLY the arriving batch:
+    * the index side of both index-tier joins scans in place with no
+    * exchange, no matter how many billions of rows the index holds
+    * (BucketedIngestSpec asserts the plans). The bucketing shuffle is
+    * paid once, at write; [[appendBucketedIndex]] inserts keepers into
+    * the same buckets.
+    */
+  def writeBucketedIndex(index: DataFrame, name: String, root: String,
+      buckets: Int, k: Int, bands: Int): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    index.select(col("text_hash"), col("doc_id"))
+      .write.mode("overwrite").option("path", s"$root/${name}_hash")
+      .bucketBy(buckets, "text_hash").sortBy("text_hash")
+      .saveAsTable(s"${name}_hash")
+    bandedWithSig(index, "idx_id", "sig_a", bands, k / bands)
+      .write.mode("overwrite").option("path", s"$root/${name}_bands")
+      .bucketBy(buckets, "band", "bh")
+      .saveAsTable(s"${name}_bands")
+  }
+
+  /** Append accepted docs' rows to both bucketed index tables —
+    * O(keepers) work into the existing bucket layout, never a rewrite.
+    */
+  def appendBucketedIndex(keepers: DataFrame, name: String,
+      k: Int, bands: Int): Unit = {
+    keepers.select(col("text_hash"), col("doc_id"))
+      .write.mode("append").insertInto(s"${name}_hash")
+    bandedWithSig(keepers, "idx_id", "sig_a", bands, k / bands)
+      .write.mode("append").insertInto(s"${name}_bands")
+  }
+
+  /** [[ingestDecisions]] against the bucketed-table index layout. */
+  def ingestDecisionsBucketed(spark: org.apache.spark.sql.SparkSession,
+      name: String, batchSigs: DataFrame,
+      k: Int, bands: Int, minSim: Double): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    decide(spark.table(s"${name}_hash"), spark.table(s"${name}_bands"),
+      batchSigs, k, bands, minSim)
   }
 }

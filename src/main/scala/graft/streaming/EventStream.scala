@@ -125,8 +125,7 @@ object EventStream {
     // aggregate) and sig-carrying band rows rejoined to their signature
     val idxHash = index.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("matched_id"))
-    val idxBanded = Ingest.banded(index, "idx_id", bands, r)
-      .join(index.select(col("doc_id").as("idx_id"), col("sig").as("sig_a")), "idx_id")
+    val idxBanded = Ingest.bandedWithSig(index, "idx_id", "sig_a", bands, r)
     // stream side: signature columns appended in place, ts preserved
     val sigs = Ingest.withSignature(docs, k)
     val exact = sigs.join(idxHash, Seq("text_hash"))
