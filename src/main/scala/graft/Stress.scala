@@ -181,6 +181,28 @@ object Stress {
         Ingest.signatureIndex(docs.select(col("doc_id"), col("text")), 64),
         Seq(batch))
     }
+    // The bucketed-layout split of the same ingest: the index build is
+    // the ONE-TIME cost (grows with the corpus), the per-batch decide is
+    // the RECURRING cost — no index-side exchange, so it should grow only
+    // with band-bucket occupancy (candidate checks), never with index
+    // shuffle volume.
+    time("ingest_index_build") {
+      Ingest.writeBucketedIndex(
+        Ingest.signatureIndex(docs.select(col("doc_id"), col("text")), 64),
+        "stress_bidx", "/tmp/graft_stress_bidx", buckets = 32, k = 64, bands = 16)
+      spark.table("stress_bidx_hash")
+    }
+    time("ingest_bucketed_decide") {
+      val base = Tables.documents(spark, sfDir)
+      val batch = base
+        .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
+        .unionByName(base
+          .select((col("doc_id") + 91000000L).as("doc_id"),
+            expr("substring(text, 1, greatest(length(text) - 30, 1))").as("text")))
+      Ingest.ingestDecisionsBucketed(spark, "stress_bidx",
+        Ingest.signatureIndex(batch, 64).localCheckpoint(),
+        k = 64, bands = 16, minSim = 0.5)
+    }
     // Contamination ops on the replicated corpus: every doc has `factor`
     // replicas, so EVERY window is cross-doc duplicated — dup_spans' worst
     // case, but output stays one row per doc (span-compressed), unlike the
