@@ -180,6 +180,16 @@ object Ingest {
     * durable index (`index_0` + `keepers_N`) plus the per-batch
     * decision log when it finishes. Nothing is deleted: the pieces ARE
     * the artifact.
+    *
+    * WARNING — the root is per-RUN, not per-index: like every stager
+    * root it is CLEARED on entry (the marker makes a prior run's root
+    * eligible). Tomorrow's ingest must read today's pieces back as its
+    * `index0` (or union them) and stage under a FRESH root — pointing a
+    * second run at a root you still want is how the index gets lost.
+    * For a long-lived many-ingest index, prefer the bucketed-table
+    * layout ([[writeBucketedIndex]] / [[appendBucketedIndex]] /
+    * [[ingestDecisionsBucketed]]), which appends in place and never
+    * clears anything.
     */
   def ingestChain(index0: DataFrame, batches: Seq[DataFrame],
       k: Int = 64, bands: Int = 16, minSim: Double = 0.5,
