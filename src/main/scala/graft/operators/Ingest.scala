@@ -200,9 +200,17 @@ object Ingest {
       val sigs = stager(signatureIndex(batch, k), s"sigs_${i + 1}")
       val idx = pieces.reduce(_ unionByName _)
       val d = stager(ingestDecisions(idx, sigs, k, bands, minSim), s"dec_${i + 1}")
-      pieces += stager(sigs
-        .join(d.where(col("verdict") === "keep").select(col("doc_id")), "doc_id"),
-        s"keepers_${i + 1}")
+      val keepers = sigs
+        .join(d.where(col("verdict") === "keep").select(col("doc_id")), "doc_id")
+      // durable mode stages keepers unconditionally — they ARE the index
+      // artifact. Default mode keeps them LAZY (a join of two already-
+      // checkpointed frames, recomputed cheaply by the next batch's
+      // consumers) and skips the final batch's keepers outright: nothing
+      // ever reads them, so materializing them is a pure blocking job.
+      if (reliableStagePath.isDefined)
+        pieces += stager(keepers, s"keepers_${i + 1}")
+      else if (i < batches.length - 1)
+        pieces += keepers
       d.withColumn("batch_no", lit((i + 1).toLong))
     }
     decided.reduce(_ unionByName _)
