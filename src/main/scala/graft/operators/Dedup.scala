@@ -212,6 +212,47 @@ object Dedup {
           col("ids"), cs.map(_._1), cs.map(_._2), MinhashPrime).as("sig"))
   }
 
+  /** Edit-distance-VERIFIED near-dup pairs — an exact verification tier
+    * on top of MinHash candidate generation: portable banded candidates
+    * (est_sim >= minSim) are confirmed with a true Levenshtein distance
+    * over the document texts, emitting the distance and the normalized
+    * similarity 1 - lev/max(len). MinHash estimates Jaccard over shingle
+    * SETS (order-blind: a doc with reordered sentences can clear
+    * est_sim), while edit distance is order-exact — so this is the tier
+    * that separates true near-verbatim copies from same-vocabulary
+    * rewrites before a keep/drop decision acts on them.
+    *
+    * Scale shape: Levenshtein is O(len_a * len_b) per pair and could
+    * never run all-pairs — the only affordable ordering is cheap
+    * probabilistic candidates first, quadratic verify on the bounded
+    * candidate set. Texts join to the pair list (each side of the
+    * corpus travels once, same discipline as [[ngramJaccardPairs]]),
+    * and a length-gap prefilter (lev >= |len_a - len_b| always) rejects
+    * hopeless pairs before the DP runs. Distances are integer and the
+    * similarity a 4-dp-rounded ratio, so the whole output hash-checks
+    * against a second engine. NOTE: the DuckDB oracle's levenshtein is
+    * BYTE-based vs Spark's character-based — identical on ASCII corpora
+    * (this testdata is verified all-ASCII); a multi-byte corpus would
+    * need the oracle's distance left unchecked.
+    */
+  def editDistNearDups(docs: DataFrame, k: Int, bands: Int,
+      minSim: Double, minEditSim: Double): DataFrame = {
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    val t = docs.select(col("doc_id"), col("text"))
+    minhashPortableNearDups(docs, k, bands, minSim)
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("max_len",
+        greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+      .where(abs(length(col("text_a")) - length(col("text_b")))
+        <= (lit(1.0) - lit(minEditSim)) * col("max_len"))
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("edit_sim_r",
+        r4(lit(1.0) - col("lev").cast("double") / col("max_len")))
+      .where(col("edit_sim_r") >= minEditSim)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim_r"))
+  }
+
   /** Cross-corpus near-dup: every (corpus doc, eval doc) pair whose
     * estimated Jaccard clears `minSim` — the DOCUMENT-level leak check
     * between a training corpus and a held-out set (the minhash analog of
@@ -272,6 +313,44 @@ object Dedup {
   /** Monotone counter for per-invocation stage sub-directories. */
   private val stageInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Ownership marker written inside every collapse-stage sub-directory.
+    * Underscore-prefixed, so parquet readers ignore it (like _SUCCESS);
+    * only marker-bearing siblings are ever eligible for pruning — a user
+    * directory that happens to sit under the stage root and match the
+    * `name_N` pattern is never touched.
+    */
+  private val CollapseMarker = "_graft_collapse_stage"
+
+  /** Keep only the LATEST stage sub-directory per application under
+    * `root`, deleting superseded marker-bearing siblings. Repeated staged
+    * invocations over a fixed root (Stress loops, bench min-of-3) would
+    * otherwise accumulate one representative table per invocation,
+    * unbounded disk growth in long-lived sessions. Another application's
+    * latest stage is never deleted (it may still back a live frame in a
+    * concurrent session sharing the root); within THIS application the
+    * contract is that a staged frame stays readable until the next
+    * staged call — all in-repo callers consume the frame inside their
+    * own query, before any later query stages again.
+    */
+  private def pruneSupersededStages(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val Named = "^(.+)_([0-9]+)$".r
+    val staged = f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case Named(app, n) if f.exists(new Path(st.getPath, CollapseMarker)) =>
+            Some((app, n.toLong, st.getPath))
+          case _ => None
+        }
+      }
+    staged.groupBy(_._1).foreach { case (_, entries) =>
+      val latest = entries.map(_._2).max
+      entries.filter(_._2 < latest).foreach(e => f.delete(e._3, true))
+    }
+  }
+
   /** The exact-collapse stage both staged dedups share: one md5 shuffle
     * to a min-id representative per content group (metadata columns
     * pinned to the kept doc_id via min_by — deterministic across runs
@@ -281,13 +360,19 @@ object Dedup {
     *
     * `stagePath` is treated as a ROOT: each invocation writes under a
     * unique `applicationId_N` sub-directory, so a second call with the
-    * same path never overwrites files underneath a still-live DataFrame
-    * returned by a previous call, and concurrent sessions sharing a
-    * path cannot race each other's stages. Callers own cleanup of the
-    * root (it accumulates one slim representative table per invocation).
+    * same path never overwrites files underneath a DataFrame returned by
+    * a previous call while that frame is still being consumed, and
+    * concurrent sessions sharing a path cannot race each other's stages.
+    * Superseded sibling stages are PRUNED after each write (keep only
+    * the latest per application — see [[pruneSupersededStages]]), so the
+    * root stays at one slim representative table per application instead
+    * of growing per invocation. The returned frame is therefore valid
+    * until the NEXT staged call in the same application — every in-repo
+    * caller consumes it inside its own query, which finishes first.
     */
   private def collapseExact(docs: DataFrame, stagePath: String,
       keepCols: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
     val path = s"$stagePath/${spark.sparkContext.applicationId}_" +
       s"${stageInvocation.getAndIncrement()}"
@@ -298,6 +383,10 @@ object Dedup {
         keepCols.map(c => min_by(col(c), col("doc_id")).as(c)): _*)
       .drop("text_hash")
       .write.mode("overwrite").parquet(path)
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new Path(p, CollapseMarker)).close()
+    pruneSupersededStages(f, p.getParent)
     spark.read.parquet(path)
   }
 
@@ -491,9 +580,18 @@ object Dedup {
     * behind. A non-empty directory without the marker was not written
     * by this stager, so deleting it would destroy caller data behind a
     * mis-pointed path (a shared /tmp dir, a data dir); refuse instead.
+    *
+    * `rootIsArtifact = true` flips the marker rule for stagers whose
+    * root IS the durable output (ingestChain: the staged pieces are the
+    * persisted index): a non-empty root is then REFUSED even when it
+    * carries the marker, because "marker present" there means "a prior
+    * run's artifact lives here" — re-pointing tomorrow's run at it must
+    * not silently delete today's index. Scratch stagers (BSP rounds)
+    * keep the clearing behavior: their stale rounds are garbage, not
+    * artifacts.
     */
   private[operators] final class RoundStager(session: org.apache.spark.sql.SparkSession,
-      reliableRoot: Option[String]) {
+      reliableRoot: Option[String], rootIsArtifact: Boolean = false) {
     import org.apache.hadoop.fs.Path
     private val Marker = "_graft_stage_root"
     private def fs(p: Path) =
@@ -507,6 +605,14 @@ object Dedup {
             s"refusing to clear stage root $root: directory is non-empty and " +
               s"lacks the $Marker marker of a prior run — point " +
               s"reliableStagePath at a dedicated (empty or stager-owned) directory")
+        if (rootIsArtifact &&
+            f.listStatus(p).exists(_.getPath.getName != Marker))
+          throw new IllegalArgumentException(
+            s"refusing to reuse stage root $root: it holds a prior run's " +
+              s"staged artifact (the root IS the durable index). Stage under " +
+              s"a FRESH root and read the prior pieces back as index0, or use " +
+              s"the bucketed index layout (writeBucketedIndex/" +
+              s"appendBucketedIndex) for a long-lived in-place index")
         f.delete(p, true)
       }
       f.mkdirs(p)

@@ -181,20 +181,22 @@ object Ingest {
     * decision log when it finishes. Nothing is deleted: the pieces ARE
     * the artifact.
     *
-    * WARNING — the root is per-RUN, not per-index: like every stager
-    * root it is CLEARED on entry (the marker makes a prior run's root
-    * eligible). Tomorrow's ingest must read today's pieces back as its
-    * `index0` (or union them) and stage under a FRESH root — pointing a
-    * second run at a root you still want is how the index gets lost.
-    * For a long-lived many-ingest index, prefer the bucketed-table
-    * layout ([[writeBucketedIndex]] / [[appendBucketedIndex]] /
-    * [[ingestDecisionsBucketed]]), which appends in place and never
-    * clears anything.
+    * The root is per-RUN, not per-index, and the chain enforces it: a
+    * root already holding staged pieces is REFUSED on entry (unlike
+    * scratch stagers, which clear marker-bearing roots — here the
+    * pieces ARE the artifact, so re-pointing tomorrow's ingest at
+    * today's root must not silently delete today's index). Tomorrow's
+    * ingest reads today's pieces back as its `index0` (or unions them)
+    * and stages under a FRESH root. For a long-lived many-ingest index,
+    * prefer the bucketed-table layout ([[writeBucketedIndex]] /
+    * [[appendBucketedIndex]] / [[ingestDecisionsBucketed]]), which
+    * appends in place and never clears anything.
     */
   def ingestChain(index0: DataFrame, batches: Seq[DataFrame],
       k: Int = 64, bands: Int = 16, minSim: Double = 0.5,
       reliableStagePath: Option[String] = None): DataFrame = {
-    val stager = new Dedup.RoundStager(index0.sparkSession, reliableStagePath)
+    val stager = new Dedup.RoundStager(index0.sparkSession, reliableStagePath,
+      rootIsArtifact = true)
     val pieces = scala.collection.mutable.ArrayBuffer(stager(index0, "index_0"))
     val decided = batches.zipWithIndex.map { case (batch, i) =>
       val sigs = stager(signatureIndex(batch, k), s"sigs_${i + 1}")

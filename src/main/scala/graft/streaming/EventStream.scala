@@ -110,11 +110,15 @@ object EventStream {
     * verdict, matched_id). Exact alerts carry the smallest matching
     * index id (the static side pre-aggregates min per hash — a static
     * aggregate, free in append mode). Near alerts are checked only for
-    * docs that did NOT exact-match, and collapse to one row per doc via
-    * watermarked dedup (bounded state); `matched_id` there is one
-    * witnessing index doc — whichever candidate row survives — since
-    * picking the minimum would need a streaming aggregation with its
-    * own output-mode cost, which a quarantine alert does not warrant.
+    * docs that did NOT exact-match, and collapse to one row per
+    * (doc_id, content) via watermarked dedup (bounded state) — keyed on
+    * the CONTENT hash too, so a doc_id that re-arrives with different
+    * text inside the watermark window still alerts for the new content
+    * instead of being suppressed by the first alert; `matched_id` is
+    * one witnessing index doc — whichever candidate row survives —
+    * since picking the minimum would need a streaming aggregation with
+    * its own output-mode cost, which a quarantine alert does not
+    * warrant.
     */
   def ingestDupAlerts(docs: DataFrame, index: DataFrame,
       k: Int, bands: Int, minSim: Double, watermark: String): DataFrame = {
@@ -134,19 +138,21 @@ object EventStream {
     val streamBanded = sigs
       .join(idxHash.select(col("text_hash")), Seq("text_hash"), "left_anti")
       .where(col("sig").isNotNull)
-      .select(col("doc_id"), col("ts"), col("sig").as("sig_b"),
+      .select(col("doc_id"), col("text_hash"), col("ts"), col("sig").as("sig_b"),
         explode(array((0 until bands).map { j =>
           struct(lit(j).as("band"),
             xxhash64((0 until r).map(x => element_at(col("sig"), j * r + x + 1)): _*)
               .as("bh"))
         }: _*)).as("b"))
-      .select(col("doc_id"), col("ts"), col("sig_b"), col("b.band"), col("b.bh"))
+      .select(col("doc_id"), col("text_hash"), col("ts"), col("sig_b"),
+        col("b.band"), col("b.bh"))
     val near = streamBanded.join(idxBanded, Seq("band", "bh"))
       .where(Ingest.estSim(col("sig_a"), col("sig_b"), k) >= minSim)
-      .select(col("doc_id"), col("ts"),
+      .select(col("doc_id"), col("text_hash"), col("ts"),
         lit("near_index").as("verdict"), col("idx_id").as("matched_id"))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(Seq("doc_id"))
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "text_hash"))
+      .drop("text_hash")
     exact.unionByName(near)
   }
 

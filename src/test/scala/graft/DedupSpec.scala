@@ -69,6 +69,29 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 4L)), s"got ${out.toSeq}")
   }
 
+  test("staged roots prune superseded stages, keep latest per application") {
+    // repeated staged invocations over a FIXED root (Stress loops, bench
+    // min-of-3) must not accumulate one representative table per call:
+    // after each write, superseded marker-bearing siblings are deleted —
+    // but never another application's LATEST stage (it may back a live
+    // frame in a concurrent session) and never an unowned directory
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString + "/reps"
+    def plant(name: String, marker: Boolean): Unit = {
+      val d = new java.io.File(tmp, name); d.mkdirs()
+      if (marker) new java.io.File(d, "_graft_collapse_stage").createNewFile()
+    }
+    plant("otherapp_1", marker = true)   // foreign superseded -> pruned
+    plant("otherapp_3", marker = true)   // foreign latest -> kept
+    plant("user_data_7", marker = false) // unowned (no marker) -> untouched
+    Dedup.stagedNearDups(docs, tmp, k = 64, bands = 16, minSim = 0.5).count()
+    Dedup.stagedNearDups(docs, tmp, k = 64, bands = 16, minSim = 0.5).count()
+    val names = new java.io.File(tmp).list().toSet
+    val own = names.filter(_.startsWith(spark.sparkContext.applicationId + "_"))
+    assert(own.size == 1, s"expected one own stage, got $own")
+    assert(names.contains("otherapp_3") && !names.contains("otherapp_1"))
+    assert(names.contains("user_data_7"))
+  }
+
   test("dupClusters unions transitive pairs into min-id components") {
     // chain 1-2-3 (no direct 1-3 edge) + isolated pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")

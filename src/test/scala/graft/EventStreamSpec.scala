@@ -293,4 +293,45 @@ class EventStreamSpec extends SparkSpec {
       10L -> ("exact_index", 100L),
       11L -> ("near_index", 100L)))
   }
+
+  test("dup alerts: same doc_id re-arriving with DIFFERENT content still alerts") {
+    // the alert dedup is keyed (doc_id, text_hash), not doc_id alone: a
+    // re-crawled id carrying new near-dup content inside the watermark
+    // window must alert for the new content; only a literal re-arrival
+    // of the SAME content is suppressed
+    implicit val sq = spark.sqlContext
+    val idxA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val idxB = "rho sigma tau phi chi psi omega mu nu xi " * 5
+    val index = graft.operators.Ingest.signatureIndex(
+      Seq((200L, idxA), (201L, idxB)).toDF("doc_id", "text"), 64).localCheckpoint()
+
+    val input = MemoryStream[EventStream.IngestDoc]
+    val docs = input.toDF().select($"doc_id", $"ts", $"text")
+    val root = Files.createTempDirectory("graft-realert").toString
+    val alerts = EventStream.ingestDupAlerts(docs, index,
+      k = 64, bands = 16, minSim = 0.5, watermark = "1 hour").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("doc_id", "verdict", "matched_id")
+          .write.mode("append").parquet(s"$root/alerts")
+      }.start()
+
+    input.addData(
+      EventStream.IngestDoc(42L, ts("2024-05-01 10:00:00"), idxA.dropRight(30), "s0"))
+    alerts.processAllAvailable()
+    input.addData(
+      // same id, DIFFERENT near-dup content, well inside the watermark
+      EventStream.IngestDoc(42L, ts("2024-05-01 10:00:05"), idxB.dropRight(30), "s0"),
+      // same id, SAME content as the first arrival — suppressed
+      EventStream.IngestDoc(42L, ts("2024-05-01 10:00:06"), idxA.dropRight(30), "s0"))
+    alerts.processAllAvailable()
+    alerts.stop()
+
+    val near = spark.read.parquet(s"$root/alerts")
+      .where($"verdict" === "near_index")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id")))
+      .sortBy(_._2).toSeq
+    assert(near == Seq((42L, 200L), (42L, 201L)), s"got $near")
+  }
 }

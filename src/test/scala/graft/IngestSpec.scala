@@ -89,6 +89,29 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stageDir/keepers_2").count() == 0)
   }
 
+  test("ingestChain refuses to reuse a root holding a prior run's index artifact") {
+    // the stage root IS the durable index: unlike scratch stagers (which
+    // clear marker-bearing roots), re-pointing a second run at it must
+    // refuse, not silently delete yesterday's pieces
+    val fresh = "a refusal test corpus body with enough words to shingle " * 5
+    val b1 = Seq((90L, fresh)).toDF("doc_id", "text")
+    val stageDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-refuse").toString + "/run"
+    Ingest.ingestChain(Ingest.signatureIndex(base, 64), Seq(b1),
+      reliableStagePath = Some(stageDir)).collect()
+    val before = new java.io.File(stageDir).list().toSet
+    val e = intercept[IllegalArgumentException] {
+      Ingest.ingestChain(Ingest.signatureIndex(base, 64), Seq(b1),
+        reliableStagePath = Some(stageDir))
+    }
+    assert(e.getMessage.contains("refusing to reuse stage root"))
+    // the prior run's artifact is intact and still readable
+    assert(new java.io.File(stageDir).list().toSet == before)
+    assert(spark.read.parquet(s"$stageDir/index_0").count() == 2)
+    assert(spark.read.parquet(s"$stageDir/keepers_1")
+      .select("doc_id").head().getLong(0) == 90L)
+  }
+
   test("short docs carry null signatures but still dedup exactly") {
     val idx = Ingest.signatureIndex(
       base.unionByName(Seq((3L, "tiny doc")).toDF("doc_id", "text")), 64)
