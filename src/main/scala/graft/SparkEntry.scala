@@ -269,6 +269,18 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         k = 64, bands = 16, minSim = 0.5)),
 
+    // §2.16e — edit-distance-VERIFIED near-dup: the portable minhash
+    // candidates confirmed with a true Levenshtein distance over the
+    // texts — the order-exact tier that separates near-verbatim copies
+    // (the planted truncations: lev = 30) from same-vocabulary rewrites
+    // minhash alone cannot tell apart. The quadratic DP runs on the
+    // bounded candidate set only, behind a length-gap prefilter.
+    "q_dedup_editdist" -> ((s, dir) =>
+      Dedup.editDistNearDups(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        k = 64, bands = 16, minSim = 0.5, minEditSim = 0.8)),
+
     // §2.16b — staged dedup pipeline: exact-dup collapse -> materialized
     // representatives -> MinHash near-dup, the mandatory ordering at scale
     // (rows-only: MinHash is not oracle-SQL-expressible). Planted EXACT
@@ -585,6 +597,13 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), perDoc = 3)),
 
+    // §2.24f3 — inverted index: per-term document frequency, collection
+    // frequency, and a bounded posting list (10 smallest doc ids) via
+    // the skew-safe two-phase smallest-N — the search-index build for
+    // corpus exploration without a scan per question
+    "q_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), maxPostings = 10)),
+
     // §2.24g — fixed-size token windows with stride (context-window
     // chunking for sequence training)
     "q_token_windows" -> ((s, dir) =>
@@ -818,6 +837,24 @@ object SparkEntry {
     // mean log-probability per doc (micro-unit exact accumulation).
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
+
+    // §2.24t2 — MODEL-BASED quality filter (the fastText/DCLM classifier
+    // shape): a Naive-Bayes unigram log-likelihood-ratio model trained
+    // on curated-vs-junk seed partitions scores every doc; junk marker
+    // tokens planted on the negative seed give the learned weights a
+    // real signal to find, so planted docs score negative and clean
+    // docs positive. Training explodes seeds only; the V-row model
+    // broadcasts; scoring is one corpus gram scan.
+    "q_nb_quality" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).withColumn("text",
+        when(col("doc_id") % 5 === 1,
+          concat(col("text"), lit(" zz9 qq8 xx7 kk6 vv5")))
+          .otherwise(col("text")))
+      TextAnalysis.nbQuality(planted,
+        posSeed = col("doc_id") % 5 === 0,
+        negSeed = col("doc_id") % 5 === 1,
+        vocabSize = 500)
+    }),
 
     // §2.24u — the MODERN corpus pipeline as one plan: length gate ->
     // repetition gate -> decontamination gate -> exact dedup ->
@@ -1568,6 +1605,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> annIvfPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
+    "q_dedup_editdist" -> editDistOracle,
     "q_cross_dedup" -> crossDedupOracle,
     "q_cross_dedup_staged" -> crossDedupStagedOracle,
 
@@ -2115,6 +2153,57 @@ object SparkEntry {
         |  GROUP BY c.token, c.true_count)
         |SELECT token, true_count, cms_est FROM est
         |ORDER BY true_count DESC, token ASC LIMIT 20""".stripMargin,
+
+    "q_nb_quality" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN text || ' zz9 qq8 xx7 kk6 vv5'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS pos, doc_id % 5 = 1 AS neg, t.token
+        |  FROM planted, unnest(string_split(text, ' ')) AS t(token)),
+        |seed AS (SELECT * FROM tok WHERE pos OR neg),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN neg THEN 1 ELSE 0 END) AS c0
+        |  FROM seed GROUP BY token),
+        |vocab AS (
+        |  SELECT token, c1, c0 FROM cnt
+        |  ORDER BY c1 + c0 DESC, token ASC LIMIT 500),
+        |tot AS (
+        |  SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN neg THEN 1 ELSE 0 END) AS n0
+        |  FROM seed),
+        |vsz AS (SELECT count(*) AS v FROM vocab),
+        |model AS (
+        |  SELECT token,
+        |    CAST(floor((ln((c1 + 1.0) / CAST(n1 + v AS DOUBLE))
+        |              - ln((c0 + 1.0) / CAST(n0 + v AS DOUBLE)))
+        |         * 1000000.0 + 0.5) AS BIGINT) AS w_u
+        |  FROM vocab, tot, vsz),
+        |oov AS (
+        |  SELECT CAST(floor((ln(CAST(n0 + v AS DOUBLE))
+        |                   - ln(CAST(n1 + v AS DOUBLE)))
+        |         * 1000000.0 + 0.5) AS BIGINT) AS w_oov
+        |  FROM tot, vsz)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(coalesce(m.w_u, o.w_oov)) AS DOUBLE) / count(*)
+        |        / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS nb_score_r,
+        |  sum(coalesce(m.w_u, o.w_oov)) > 0 AS keep
+        |FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH td AS (
+        |  SELECT t.term, doc_id, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY t.term, doc_id)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  list_sort(list(doc_id))[1:10] AS postings
+        |FROM td GROUP BY term""".stripMargin,
 
     "q_tfidf" ->
       """WITH tf AS (
@@ -2809,7 +2898,14 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
-  private def minhashPortableOracle: String = {
+  /** Shared CTE chain replaying the portable minhash SELF-join pipeline
+    * over `corpusSql` (must yield (doc_id, text)): defines `corpus`
+    * through `pairs` = (doc_a, doc_b, est_sim) filtered at est_sim >=
+    * 0.5 — the q_dedup_minhash_portable oracle's body, also the
+    * candidate stage of the edit-distance verify oracle so the two can
+    * never diverge.
+    */
+  private def minhashSelfPairsCtes(corpusSql: String): String = {
     val k = 64; val bands = 16; val r = k / bands; val p = 2147483647L
     val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -2817,11 +2913,7 @@ object SparkEntry {
     val sigEntries = Dedup.portableCoefs(k).map { case (a, b) =>
       s"list_min(list_transform(ids, x -> ($a * (x % $p) + $b) % $p))"
     }.mkString(",\n    ")
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
-       |  FROM documents WHERE doc_id % 20 = 0),
+    s"""corpus AS ($corpusSql),
        |t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
        |  WHERE len(string_split(text, ' ')) >= 3),
@@ -2839,12 +2931,45 @@ object SparkEntry {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.sig AS sig_a, y.sig AS sig_b
        |  FROM banded x JOIN banded y
-       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
-       |FROM cand
-       |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k AS est_sim
+       |  FROM cand
+       |  WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5)""".stripMargin
   }
+
+  /** The planted-near-dup corpus every minhash-family query runs on:
+    * the documents table plus a 30-char-truncated copy of every 20th
+    * doc at id + 1,000,000.
+    */
+  private val plantedCorpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
+      |  FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
+  private def minhashPortableOracle: String =
+    s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)}
+       |SELECT doc_a, doc_b, est_sim FROM pairs""".stripMargin
+
+  /** q_dedup_editdist oracle: the portable minhash candidate pairs,
+    * verified with DuckDB's levenshtein (byte-based — identical to
+    * Spark's character-based distance on this all-ASCII corpus).
+    */
+  private def editDistOracle: String =
+    s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)}
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       |  floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |         / greatest(length(a.text), length(b.text))) * 10000.0 + 0.5)
+       |    / 10000.0 AS edit_sim_r
+       |FROM pairs p
+       |JOIN corpus a ON p.doc_a = a.doc_id
+       |JOIN corpus b ON p.doc_b = b.doc_id
+       |WHERE floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+       |         / greatest(length(a.text), length(b.text))) * 10000.0 + 0.5)
+       |    / 10000.0 >= 0.8""".stripMargin
 
   /** q_cdc_dedup_portable oracle: the content-defined chunker replayed in
     * DuckDB. The sequential Rabin roll at position i IS the polynomial

@@ -227,13 +227,14 @@ object Dedup {
     * probabilistic candidates first, quadratic verify on the bounded
     * candidate set. Texts join to the pair list (each side of the
     * corpus travels once, same discipline as [[ngramJaccardPairs]]),
-    * and a length-gap prefilter (lev >= |len_a - len_b| always) rejects
-    * hopeless pairs before the DP runs. Distances are integer and the
-    * similarity a 4-dp-rounded ratio, so the whole output hash-checks
-    * against a second engine. NOTE: the DuckDB oracle's levenshtein is
-    * BYTE-based vs Spark's character-based — identical on ASCII corpora
-    * (this testdata is verified all-ASCII); a multi-byte corpus would
-    * need the oracle's distance left unchecked.
+    * and a length-gap prefilter (lev >= |len_a - len_b| always, with one
+    * char of slack so the 4-dp output rounding can never disagree with
+    * it) rejects hopeless pairs before the DP runs. Distances are
+    * integer and the similarity a 4-dp-rounded ratio, so the whole
+    * output hash-checks against a second engine. NOTE: the DuckDB
+    * oracle's levenshtein is BYTE-based vs Spark's character-based —
+    * identical on ASCII corpora (this testdata is verified all-ASCII); a
+    * multi-byte corpus would need the oracle's distance left unchecked.
     */
   def editDistNearDups(docs: DataFrame, k: Int, bands: Int,
       minSim: Double, minEditSim: Double): DataFrame = {
@@ -244,8 +245,12 @@ object Dedup {
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("max_len",
         greatest(length(col("text_a")), length(col("text_b"))).cast("double"))
+      // conservative: a pair this filter drops has unrounded sim below
+      // minEditSim by more than the 0.5e-4 the output rounding can add
+      // (for any maxlen <= 20k chars), so the rounded filter below could
+      // never have kept it
       .where(abs(length(col("text_a")) - length(col("text_b")))
-        <= (lit(1.0) - lit(minEditSim)) * col("max_len"))
+        <= (lit(1.0) - lit(minEditSim)) * col("max_len") + lit(1.0))
       .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
       .withColumn("edit_sim_r",
         r4(lit(1.0) - col("lev").cast("double") / col("max_len")))

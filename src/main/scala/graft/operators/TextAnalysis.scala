@@ -357,6 +357,117 @@ object TextAnalysis {
           .as("mean_logp_r"))
   }
 
+  /** Model-based quality scoring — the classifier-filter stage of a
+    * modern pretraining pipeline (the fastText/DCLM shape: score every
+    * document by a linear model trained on curated-vs-raw seed sets,
+    * keep what scores above threshold). The model here is multinomial
+    * Naive Bayes over unigrams: per-token weight = smoothed
+    * log-likelihood ratio ln((c1+1)/(N1+V)) - ln((c0+1)/(N0+V)) for the
+    * frequency-ranked top-V seed vocabulary (deterministic tie-break:
+    * count desc, token asc); out-of-vocabulary tokens score the
+    * all-unseen ratio ln(N0+V) - ln(N1+V). A document's score is its
+    * MEAN per-token weight (length-normalized, so long docs don't
+    * dominate the threshold), and `keep` is the exact integer-domain
+    * sign of the summed weights.
+    *
+    * Numeric portability: weights are quantized to integer micro-units
+    * the moment they leave `ln` (same rule as lmScore / Ivf.cellStats)
+    * and summed as exact longs — order-independent across partition
+    * layouts — with only the 4-dp mean emitted.
+    *
+    * Scale shape: the training aggregations explode SEED docs only (the
+    * curated fraction, tiny next to the corpus); the model is V rows +
+    * a 1-row OOV frame, both broadcast; scoring is one corpus gram scan
+    * re-aggregated per doc — raw text never travels, and no stage pulls
+    * anything to the driver.
+    *
+    * `posSeed` / `negSeed` are row predicates over `docs` (e.g.
+    * `col("source") === "curated"`); rows satisfying neither train
+    * nothing but are still scored.
+    */
+  def nbQuality(docs: DataFrame, posSeed: Column, negSeed: Column,
+      vocabSize: Int): DataFrame = {
+    val toks = docs
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), posSeed.as("pos"), negSeed.as("neg"),
+        explode(col("toks")).as("token"))
+    val seedToks = toks.where(col("pos") || col("neg"))
+    val counts = seedToks.groupBy(col("token"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("neg"), 1L).otherwise(0L)).as("c0"))
+    // top-V by total seed mass -> TakeOrdered (partial top-k, no
+    // full-vocab sort); materialized once: it feeds the weight table AND
+    // the |V| scalar below
+    val vocab = counts
+      .orderBy((col("c1") + col("c0")).desc, col("token").asc)
+      .limit(vocabSize)
+      .localCheckpoint()
+    val tot = seedToks.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("neg"), 1L).otherwise(0L)).as("n0"))
+    val vsz = vocab.agg(count(lit(1)).as("v"))
+    val wu = (cc: Column, nn: Column) =>
+      log((cc + 1).cast("double") / (nn + col("v")).cast("double"))
+    val model = vocab.crossJoin(tot).crossJoin(vsz)
+      .select(col("token"),
+        floor((wu(col("c1"), col("n1")) - wu(col("c0"), col("n0")))
+          * 1000000.0 + 0.5).cast("long").as("w_u"))
+    val oov = tot.crossJoin(vsz)
+      .select(floor((log((col("n0") + col("v")).cast("double"))
+          - log((col("n1") + col("v")).cast("double"))) * 1000000.0 + 0.5)
+        .cast("long").as("w_oov"))
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    toks
+      .join(broadcast(model), Seq("token"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_u"), col("w_oov"))).as("sum_u"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("sum_u").cast("double") / col("n_tokens") / 1000000.0)
+          .as("nb_score_r"),
+        (col("sum_u") > 0).as("keep"))
+  }
+
+  /** Inverted index over the corpus — one row per distinct term with its
+    * document frequency, collection frequency, and a BOUNDED posting
+    * list (the `maxPostings` smallest doc ids, ascending; `df` keeps the
+    * true count when the list clips). The search-index build every
+    * corpus-exploration tool wants, and the substrate for "which docs
+    * contain term X" diagnostics without a corpus scan per question.
+    *
+    * Scale shape: one gram explode -> (term, doc) aggregation, then the
+    * posting selection runs the same skew-safe two-phase smallest-N as
+    * Sampling.domainCap — phase 1 ranks within (term, input-partition)
+    * so a stopword's postings spread over all reducers and at most
+    * maxPostings x num_partitions rows per term survive to the global
+    * rank; no reducer ever materializes a hot term's full posting list.
+    * df/cf stay exact scalar aggregates on the pre-capped table.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int): DataFrame = {
+    // aggregated (term, doc_id, tf) staged once: it feeds the df/cf
+    // aggregate AND the posting-list selection
+    val td = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val stats = td.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val local = Window.partitionBy(col("term"), col("part"))
+      .orderBy(col("doc_id").asc)
+    val global = Window.partitionBy(col("term")).orderBy(col("doc_id").asc)
+    val postings = td
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .where(col("lr") <= maxPostings)
+      .withColumn("rk", row_number().over(global))
+      .where(col("rk") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(postings, "term")
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column

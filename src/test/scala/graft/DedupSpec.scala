@@ -58,6 +58,19 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) > 0.8 && out((1L, 4L)) < 1.0)
   }
 
+  test("editDistNearDups verifies minhash candidates with exact Levenshtein") {
+    val out = Dedup.editDistNearDups(docs, k = 64, bands = 16,
+      minSim = 0.5, minEditSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("lev"), r.getAs[Double]("edit_sim_r"))).toMap
+    assert(out((1L, 3L)) == (0L, 1.0))                   // exact copy
+    val (lev14, sim14) = out((1L, 4L))
+    assert(lev14 == 11L, s"append of ' tail extra' is 11 edits, got $lev14")
+    assert(sim14 > 0.9 && sim14 < 1.0)
+    assert(out((3L, 4L))._1 == 11L)                      // 3 == 1 verbatim
+    assert(!out.contains((1L, 2L)))                      // disjoint vocab
+  }
+
   test("stagedNearDups collapses exact replicas before the LSH pair stage") {
     // 5 exact replicas of doc 1 + one near-dup: raw minhash would emit
     // C(6,2)-ish pairs; staged emits exactly the representative near-dup

@@ -132,6 +132,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == (1L, -0.4055))
   }
 
+  test("nbQuality learns junk markers from seeds and flags planted docs") {
+    import org.apache.spark.sql.functions.col
+    // pos seed: 1,2 (clean); neg seed: 3,4 (carry marker 'zz'); 5 and 6
+    // are UNLABELED — the model must generalize: junk-heavy 5 scores
+    // negative, clean 6 positive
+    val d = Seq(
+      (1L, "good clean prose words"),
+      (2L, "more good clean words"),
+      (3L, "words zz zz"),
+      (4L, "clean zz"),
+      (5L, "prose zz zz zz"),
+      (6L, "good words")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.nbQuality(d,
+      posSeed = col("doc_id") <= 2,
+      negSeed = col("doc_id") === 3 || col("doc_id") === 4,
+      vocabSize = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Double]("nb_score_r"),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(out(1L)._1 && out(1L)._2 > 0)
+    assert(!out(3L)._1 && out(3L)._2 < 0)
+    assert(!out(5L)._1 && out(5L)._2 < 0, s"junk doc 5 must flag: ${out(5L)}")
+    assert(out(6L)._1 && out(6L)._2 > 0)
+    assert(out(5L)._3 == 4L)
+    // hand-check one weight path: doc 6 = good + words;
+    // n1=8, n0=5, V=6; w(good)=ln(3/14)-ln(1/11), w(words)=ln(3/14)-ln(2/11)
+    val expect = math.floor((math.log(3.0 / 14) - math.log(1.0 / 11)) * 1e6 + 0.5) +
+      math.floor((math.log(3.0 / 14) - math.log(2.0 / 11)) * 1e6 + 0.5)
+    assert(out(6L)._2 == math.floor(expect / 2 / 1e6 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("invertedIndex emits df/cf and bounded smallest-id postings") {
+    val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(d, maxPostings = 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("cf"),
+          r.getAs[Seq[Long]]("postings"))).toMap
+    assert(out("a") == (2L, 3L, Seq(1L, 3L)))
+    assert(out("b") == (3L, 3L, Seq(1L, 2L))) // postings clip at 2; df stays 3
+    assert(out("c") == (1L, 1L, Seq(2L)))
+  }
+
   test("binaryMeta reports bytes, chunks, and hash") {
     val r = TextAnalysis.binaryMeta(docs, chunkBytes = 8).where($"doc_id" === 1).head()
     assert(r.getAs[Long]("n_bytes") == 22)
