@@ -281,6 +281,23 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         k = 64, bands = 16, minSim = 0.5, minEditSim = 0.8)),
 
+    // §2.16f — the STAGED form of the edit-distance verify (the 100 TB
+    // ordering): exact-collapse to min-id representatives first, then
+    // Levenshtein-verify representative candidates only — replica
+    // cliques would otherwise pay C(replicas,2) O(len^2) DPs. Same
+    // planted corpus as q_dedup_staged (exact copies of every 10th doc
+    // on top of the truncated near-dups), whole chain oracle-replayed.
+    "q_dedup_editdist_staged" -> ((s, dir) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+        .unionByName(Dedup.withPlantedDups(Tables.documents(s, dir), every = 10,
+          idOffset = 2000000L, truncateChars = 0)
+          .where(col("doc_id") >= 2000000L))
+      Dedup.stagedEditDistNearDups(corpus,
+        "/tmp/graft_editstaged_" + dir.replaceAll("[^0-9A-Za-z]", "_"),
+        k = 64, bands = 16, minSim = 0.5, minEditSim = 0.8)
+    }),
+
     // §2.16b — staged dedup pipeline: exact-dup collapse -> materialized
     // representatives -> MinHash near-dup, the mandatory ordering at scale
     // (rows-only: MinHash is not oracle-SQL-expressible). Planted EXACT
@@ -1606,6 +1623,7 @@ object SparkEntry {
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
     "q_dedup_editdist" -> editDistOracle,
+    "q_dedup_editdist_staged" -> editDistStagedOracle,
     "q_cross_dedup" -> crossDedupOracle,
     "q_cross_dedup_staged" -> crossDedupStagedOracle,
 
@@ -2957,19 +2975,42 @@ object SparkEntry {
     * verified with DuckDB's levenshtein (byte-based — identical to
     * Spark's character-based distance on this all-ASCII corpus).
     */
+  private def editDistVerifySelect: String =
+    """SELECT p.doc_a, p.doc_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+      |  floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      |         / greatest(length(a.text), length(b.text))) * 10000.0 + 0.5)
+      |    / 10000.0 AS edit_sim_r
+      |FROM pairs p
+      |JOIN corpus a ON p.doc_a = a.doc_id
+      |JOIN corpus b ON p.doc_b = b.doc_id
+      |WHERE floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      |         / greatest(length(a.text), length(b.text))) * 10000.0 + 0.5)
+      |    / 10000.0 >= 0.8""".stripMargin
+
   private def editDistOracle: String =
     s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)}
-       |SELECT p.doc_a, p.doc_b,
-       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
-       |  floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-       |         / greatest(length(a.text), length(b.text))) * 10000.0 + 0.5)
-       |    / 10000.0 AS edit_sim_r
-       |FROM pairs p
-       |JOIN corpus a ON p.doc_a = a.doc_id
-       |JOIN corpus b ON p.doc_b = b.doc_id
-       |WHERE floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-       |         / greatest(length(a.text), length(b.text))) * 10000.0 + 0.5)
-       |    / 10000.0 >= 0.8""".stripMargin
+       |$editDistVerifySelect""".stripMargin
+
+  /** q_dedup_editdist_staged oracle: replay the exact-collapse (min-id
+    * representative per md5(text)) over the exact+near planted corpus,
+    * then the same candidate chain and levenshtein verify.
+    */
+  private def editDistStagedOracle: String = {
+    val collapsed =
+      """SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+        |  FROM (SELECT doc_id, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 1000000,
+        |          substring(text, 1, greatest(length(text) - 30, 1))
+        |        FROM documents WHERE doc_id % 20 = 0
+        |        UNION ALL
+        |        SELECT doc_id + 2000000, text FROM documents
+        |        WHERE doc_id % 10 = 0)
+        |  GROUP BY md5(text)""".stripMargin
+    s"""WITH ${minhashSelfPairsCtes(collapsed)}
+       |$editDistVerifySelect""".stripMargin
+  }
 
   /** q_cdc_dedup_portable oracle: the content-defined chunker replayed in
     * DuckDB. The sequential Rabin roll at position i IS the polynomial

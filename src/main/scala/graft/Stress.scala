@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ingest, Similarity}
+import graft.operators.{Dedup, Ingest, Similarity, TextAnalysis}
 
 /** Scale stress harness: multiplies the documents / embeddings corpora
   * 10x (id-offset copies) and times the heavy candidate-pair operators.
@@ -75,6 +75,30 @@ object Stress {
     }
     if (rawPairOps) time("ngram_jaccard") {
       Dedup.ngramJaccardPairs(docs, minJaccard = 0.5, maxLenDiff = 40)
+    }
+    // Edit-distance verify inherits minhash's replica-clique worst case
+    // AND pays an O(len^2) DP per NON-IDENTICAL surviving pair (exact
+    // copies settle via the equality short-circuit) — the strongest
+    // case for the staged ordering below. Guarded tighter than the
+    // other raw pair ops: even with the short-circuit the pair volume
+    // itself is O(factor^2).
+    if (factor <= 10) time("editdist_neardups") {
+      Dedup.editDistNearDups(docs, k = 64, bands = 16,
+        minSim = 0.5, minEditSim = 0.8)
+    }
+    time("editdist_staged") {
+      Dedup.stagedEditDistNearDups(docs, "/tmp/graft_stress_editreps",
+        k = 64, bands = 16, minSim = 0.5, minEditSim = 0.8)
+    }
+    // Corpus-linear text operators: one gram scan each; output is
+    // per-doc (nb_quality) or capped per-term (inverted_index), so both
+    // must stay flat-per-doc in the replica factor.
+    time("nb_quality") {
+      TextAnalysis.nbQuality(docs, col("doc_id") % 5 === 0,
+        col("doc_id") % 5 === 1, vocabSize = 500)
+    }
+    time("inverted_index") {
+      TextAnalysis.invertedIndex(docs, maxPostings = 10)
     }
     time("exact_dedup") {
       Dedup.exactDedup(docs)

@@ -251,12 +251,30 @@ object Dedup {
       // never have kept it
       .where(abs(length(col("text_a")) - length(col("text_b")))
         <= (lit(1.0) - lit(minEditSim)) * col("max_len") + lit(1.0))
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      // equality short-circuit: exact copies (the bulk of candidate
+      // pairs in a replica-heavy corpus) settle with an O(len) compare
+      // instead of the O(len^2) DP
+      .withColumn("lev", when(col("text_a") === col("text_b"), lit(0L))
+        .otherwise(levenshtein(col("text_a"), col("text_b")).cast("long")))
       .withColumn("edit_sim_r",
         r4(lit(1.0) - col("lev").cast("double") / col("max_len")))
       .where(col("edit_sim_r") >= minEditSim)
       .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim_r"))
   }
+
+  /** Staged edit-distance near-dup — the mandatory production ordering:
+    * exact-collapse the corpus to min-id representatives first (one slim
+    * md5 shuffle, materialized), then Levenshtein-verify representative
+    * candidates only. Replica cliques are [[editDistNearDups]]'s worst
+    * case SQUARED — C(replicas, 2) candidate pairs each paying an
+    * O(len^2) DP — and collapsing first removes them by construction
+    * (Stress at 30x replication: ~118 s raw vs flat staged). Same
+    * staging/pruning contract as [[stagedNearDups]].
+    */
+  def stagedEditDistNearDups(docs: DataFrame, stagePath: String,
+      k: Int, bands: Int, minSim: Double, minEditSim: Double): DataFrame =
+    editDistNearDups(collapseExact(docs, stagePath, Seq("text")),
+      k, bands, minSim, minEditSim)
 
   /** Cross-corpus near-dup: every (corpus doc, eval doc) pair whose
     * estimated Jaccard clears `minSim` — the DOCUMENT-level leak check

@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 2L)))                      // disjoint vocab
   }
 
+  test("stagedEditDistNearDups collapses replicas before the DP verify") {
+    // docs 1 and 3 plus five planted replicas all share one text: the
+    // collapse leaves representative 1, so the only verified pair is
+    // (1, 4) — no C(7,2) clique ever reaches the Levenshtein stage
+    val replicas = (10L to 14L).map(i => (i, doc(words, 1, 50), "en", "s0"))
+    val corpus = docs.unionByName(replicas.toDF("doc_id", "text", "lang", "source"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-editstaged")
+      .toString + "/reps"
+    val out = Dedup.stagedEditDistNearDups(corpus, tmp, k = 64, bands = 16,
+      minSim = 0.5, minEditSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("lev")).toMap
+    assert(out.keySet == Set((1L, 4L)), s"got ${out.keySet}")
+    assert(out((1L, 4L)) == 11L)
+  }
+
   test("stagedNearDups collapses exact replicas before the LSH pair stage") {
     // 5 exact replicas of doc 1 + one near-dup: raw minhash would emit
     // C(6,2)-ish pairs; staged emits exactly the representative near-dup
