@@ -402,6 +402,43 @@ object SparkEntry {
       Similarity.semDedup(corpus, centroids, minCosine = 0.95)
     }),
 
+    // §2.19f — incremental SEMANTIC ingest dedup (the embedding twin of
+    // q_dedup_ingest): two vector batches decided tier-by-tier against a
+    // persisted cell-assigned index — bitwise-exact vs index, cosine
+    // near vs probed cells, exact/near within batch — keepers appending
+    // between batches; the quantizer is never retrained. Planted rows
+    // exercise every tier: exact copies of index vectors (%30==0),
+    // 1.01-scaled near copies (%30==6), within-batch exact (%30==7) and
+    // scaled (%30==13) copies of b1 docs, and a b2 copy of a b1 keeper
+    // (%30==1) that must resolve exact_index via the append.
+    "q_semdedup_ingest" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      val scale = (c: org.apache.spark.sql.Column) =>
+        transform(c, v => (v.cast("double") * lit(1.01)).cast("float"))
+      val index0 = e.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val b1 = e.where(col("vec_id") % 3 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+        .unionByName(e.where(col("vec_id") % 30 === 6)
+          .select((col("vec_id") + 600000L).as("vec_id"),
+            scale(col("embedding")).as("embedding")))
+        .unionByName(e.where(col("vec_id") % 30 === 7)
+          .select((col("vec_id") + 800000L).as("vec_id"), col("embedding")))
+        .unionByName(e.where(col("vec_id") % 30 === 13)
+          .select((col("vec_id") + 900000L).as("vec_id"),
+            scale(col("embedding")).as("embedding")))
+      val b2 = e.where(col("vec_id") % 3 === 2)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id") % 30 === 1)
+          .select((col("vec_id") + 700000L).as("vec_id"), col("embedding")))
+      Similarity.semIngestChain(index0, Seq(b1, b2), centroids,
+        minCosine = 0.95, nprobe = 2)
+    }),
+
     // §2.19b — per-label centroid embeddings (classifier prototypes):
     // exact-decimal means, reproducible across layouts. The array column
     // itself is not hashed portably by the driver, so the query emits the
@@ -1616,6 +1653,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_semdedup" -> semDedupOracle,
+    "q_semdedup_ingest" -> semIngestSql,
     "q_semdedup_staged" -> semDedupStagedOracle,
     "q_ivf_stats" -> ivfStatsOracle,
     "q_ann_pq" -> annPqOracle,
@@ -3232,6 +3270,93 @@ object SparkEntry {
        |SELECT vec_id, dup_of, reason FROM exact
        |UNION ALL
        |SELECT vec_id, dup_of, reason FROM sem""".stripMargin
+
+  /** q_semdedup_ingest oracle: replay the whole incremental semantic
+    * chain — IVF training unroll (ivfTrainCtes), per-set cell
+    * assignment, the four decision tiers as conditional-min CTEs
+    * (mirroring dedupIngestSql's combine), and the keeper append
+    * between batches.
+    */
+  private def semIngestSql: String = {
+    def cos(a: String, b: String): String =
+      s"list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    def asg(name: String, src: String, rnMax: Int): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT t.vec_id, t.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+         |    FROM $src t CROSS JOIN c2 c) WHERE rn <= $rnMax)""".stripMargin
+    def decide(b: String, idx: String): String =
+      s"""exacti_$b AS (
+         |  SELECT x.vec_id, min(i.vec_id) AS m
+         |  FROM ${b}_0 x JOIN $idx i ON x.embedding = i.embedding
+         |  GROUP BY x.vec_id),
+         |neari_$b AS (
+         |  SELECT p.vec_id, min(i.vec_id) AS m
+         |  FROM probe_$b p JOIN $idx i USING (cell_id)
+         |  WHERE ${cos("p.embedding", "i.embedding")} >= 0.95
+         |  GROUP BY p.vec_id),
+         |exactb_$b AS (
+         |  SELECT x.vec_id, min(y.vec_id) AS m
+         |  FROM ${b}_0 x JOIN ${b}_0 y
+         |    ON x.embedding = y.embedding AND y.vec_id < x.vec_id
+         |  GROUP BY x.vec_id),
+         |nearb_$b AS (
+         |  SELECT y.vec_id, min(x.vec_id) AS m
+         |  FROM prim_$b x JOIN prim_$b y
+         |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |  WHERE ${cos("x.embedding", "y.embedding")} >= 0.95
+         |  GROUP BY y.vec_id),
+         |dec_$b AS (
+         |  SELECT x.vec_id,
+         |    CASE WHEN ei.m IS NOT NULL THEN 'exact_index'
+         |         WHEN ni.m IS NOT NULL THEN 'near_index'
+         |         WHEN eb.m IS NOT NULL THEN 'exact_batch'
+         |         WHEN nb.m IS NOT NULL THEN 'near_batch'
+         |         ELSE 'keep' END AS verdict,
+         |    COALESCE(ei.m, ni.m, eb.m, nb.m) AS matched_id
+         |  FROM ${b}_0 x
+         |  LEFT JOIN exacti_$b ei USING (vec_id)
+         |  LEFT JOIN neari_$b ni USING (vec_id)
+         |  LEFT JOIN exactb_$b eb USING (vec_id)
+         |  LEFT JOIN nearb_$b nb USING (vec_id))""".stripMargin
+    s"""WITH $ivfTrainCtes,
+       |i0_0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+       |b1_0 AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
+       |  UNION ALL
+       |  SELECT vec_id + 500000, embedding FROM embeddings WHERE vec_id % 30 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 600000,
+       |    list_transform(embedding, v -> CAST(v * 1.01 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 30 = 6
+       |  UNION ALL
+       |  SELECT vec_id + 800000, embedding FROM embeddings WHERE vec_id % 30 = 7
+       |  UNION ALL
+       |  SELECT vec_id + 900000,
+       |    list_transform(embedding, v -> CAST(v * 1.01 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 30 = 13),
+       |b2_0 AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 2
+       |  UNION ALL
+       |  SELECT vec_id + 700000, embedding FROM embeddings WHERE vec_id % 30 = 1),
+       |${asg("idx_i0", "i0_0", 1)},
+       |${asg("prim_b1", "b1_0", 1)},
+       |${asg("probe_b1", "b1_0", 2)},
+       |${asg("prim_b2", "b2_0", 1)},
+       |${asg("probe_b2", "b2_0", 2)},
+       |${decide("b1", "idx_i0")},
+       |idx_i1 AS (
+       |  SELECT * FROM idx_i0
+       |  UNION ALL
+       |  SELECT p.* FROM prim_b1 p JOIN dec_b1 d USING (vec_id)
+       |  WHERE d.verdict = 'keep'),
+       |${decide("b2", "idx_i1")}
+       |SELECT CAST(1 AS BIGINT) AS batch_no, vec_id, verdict, matched_id FROM dec_b1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS batch_no, vec_id, verdict, matched_id FROM dec_b2""".stripMargin
+  }
 
   private def annIvfOracle: String = {
     def dist(e: String, c: String): String = ivfDist(e, c)

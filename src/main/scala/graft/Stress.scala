@@ -142,6 +142,21 @@ object Stress {
       Similarity.semDedupStaged(embs.select(col("vec_id"), col("embedding")),
         centroids, minCosine = 0.95)
     }
+    // Incremental semantic ingest vs the REPLICATED index: output stays
+    // one row per batch vector whatever the factor; per-vector work
+    // grows only with probed-cell occupancy (the exactness floor), never
+    // with index shuffle volume — the index side never re-pairs.
+    time("semdedup_ingest") {
+      val base = Tables.embeddings(spark, sfDir)
+      val batch = base
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+        .unionByName(base
+          .select((col("vec_id") + 91000000L).as("vec_id"),
+            transform(col("embedding"),
+              v => (v.cast("double") * lit(1.01)).cast("float")).as("embedding")))
+      Similarity.semIngestChain(embs.select(col("vec_id"), col("embedding")),
+        Seq(batch), centroids, minCosine = 0.95, nprobe = 2)
+    }
     // PQ: codebooks trained once on the 1/5 sample (train rarely, encode
     // everywhere); the timed search scans 4-int codes, not 64 floats.
     val codebooks = graft.operators.Pq.train(

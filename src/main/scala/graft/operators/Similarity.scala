@@ -152,6 +152,126 @@ object Similarity {
     exactDrops.unionByName(semanticDrops)
   }
 
+  /** Cell-assigned rows for the incremental semantic ingest:
+    * (vec_id, embedding, nrm, cell_id) — each vector stored under its
+    * single nearest quantizer cell, the layout a real IVF index keeps on
+    * disk. The assignment is the native no-shuffle NearestCells
+    * projection; centroids ride as expression literals.
+    */
+  def vectorIndex(embeddings: DataFrame, centroids: Seq[Seq[Float]]): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+      element_at(nearestCells(col("embedding"), centroids, 1), 1).as("cell_id"))
+  }
+
+  /** Decide one arriving vector batch against a persisted
+    * [[vectorIndex]]-shaped index — the EMBEDDING twin of
+    * `Ingest.ingestDecisions` (incremental SemDeDup): the quantizer is
+    * NOT retrained and index vectors are touched only in probed cells.
+    * One row per batch vector, (vec_id, verdict, matched_id):
+    *
+    *   1. `exact_index` — bitwise-identical embedding in the index
+    *   2. `near_index`  — cosine >= minCosine with an index vector in
+    *                      one of the batch vector's `nprobe` cells
+    *   3. `exact_batch` — identical to an earlier vector of this batch
+    *   4. `near_batch`  — near-dup of an earlier batch vector (both in
+    *                      their PRIMARY cell, the semDedup blocking rule)
+    *   5. `keep`        — accepted; its index row appends next
+    *
+    * `matched_id` is the smallest qualifying id at the verdict's own
+    * tier; the whole priority rule is ONE hash-aggregable combine (same
+    * construction as Ingest.decide — conditional min(long)s, no per-tier
+    * join ladder). Scale shape: each batch pays the broadcast-literal
+    * cell assignment plus joins keyed on (embedding) and (cell_id) —
+    * the index side ships only occupied-cell rows — and the index gains
+    * O(keepers) rows per batch, never a rewrite or a re-pairing of
+    * existing vectors.
+    */
+  def semIngestDecisions(index: DataFrame, batch: DataFrame,
+      centroids: Seq[Seq[Float]], minCosine: Double, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    def rows(df: DataFrame, tier: Int, m: Column): DataFrame =
+      df.select(col("vec_id"), lit(tier).as("tier"), m.as("m"))
+    // consumed by all four tiers: materialize the assigned batch once
+    val b = batch.select(col("vec_id"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+      nearestCells(col("embedding"), centroids, nprobe).as("cells"))
+      .localCheckpoint()
+    val cos = (ea: Column, eb: Column, na: Column, nb: Column) =>
+      fdot(ea, eb) / (na * nb)
+    val exactIdx = rows(b.join(
+      index.select(col("embedding"), col("vec_id").as("mm")), "embedding"),
+      1, col("mm"))
+    val bProbed = b.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"), explode(col("cells")).as("cell_id"))
+    val nearIdx = rows(bProbed.join(
+        index.select(col("vec_id").as("idx_id"), col("embedding").as("emb_a"),
+          col("nrm").as("nrm_a"), col("cell_id")), "cell_id")
+      .where(cos(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")) >= minCosine)
+      .withColumnRenamed("b_id", "vec_id"), 2, col("idx_id"))
+    val exactBatch = rows(b.as("x").join(b.as("y"),
+        col("x.embedding") === col("y.embedding")
+          && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("mm")),
+      3, col("mm"))
+    val bPrim = b.select(col("vec_id"), col("embedding"), col("nrm"),
+      element_at(col("cells"), 1).as("cell_id"))
+    val nearBatch = rows(bPrim.as("x").join(bPrim.as("y"),
+        col("x.cell_id") === col("y.cell_id")
+          && col("x.vec_id") < col("y.vec_id"))
+      .where(cos(col("x.embedding"), col("y.embedding"),
+        col("x.nrm"), col("y.nrm")) >= minCosine)
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("mm")),
+      4, col("mm"))
+    val best = exactIdx.unionByName(nearIdx)
+      .unionByName(exactBatch).unionByName(nearBatch)
+      .groupBy(col("vec_id")).agg(
+        min(col("tier")).as("best_tier"),
+        min(when(col("tier") === 1, col("m"))).as("m1"),
+        min(when(col("tier") === 2, col("m"))).as("m2"),
+        min(when(col("tier") === 3, col("m"))).as("m3"),
+        min(when(col("tier") === 4, col("m"))).as("m4"))
+    b.select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("best_tier") === 1, lit("exact_index"))
+          .when(col("best_tier") === 2, lit("near_index"))
+          .when(col("best_tier") === 3, lit("exact_batch"))
+          .when(col("best_tier") === 4, lit("near_batch"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("best_tier") === 1, col("m1"))
+          .when(col("best_tier") === 2, col("m2"))
+          .when(col("best_tier") === 3, col("m3"))
+          .when(col("best_tier") === 4, col("m4")).as("matched_id"))
+  }
+
+  /** The incremental semantic-ingest chain: seed index -> decide batch 1
+    * -> append its keepers' cell-assigned rows -> decide batch 2 -> ...
+    * Mirrors `Ingest.ingestChain` for the embedding side: the index is a
+    * list of materialized pieces unioned lazily (one file-append per
+    * ingest in a real deployment), each batch costs O(batch x cell
+    * occupancy), and index embeddings are never re-paired against each
+    * other. Returns every batch's decisions labeled with `batch_no`.
+    */
+  def semIngestChain(index0: DataFrame, batches: Seq[DataFrame],
+      centroids: Seq[Seq[Float]], minCosine: Double, nprobe: Int): DataFrame = {
+    val pieces = scala.collection.mutable.ArrayBuffer(
+      vectorIndex(index0, centroids).localCheckpoint())
+    val decided = batches.zipWithIndex.map { case (batch, i) =>
+      val idx = pieces.reduce(_ unionByName _)
+      val d = semIngestDecisions(idx, batch, centroids, minCosine, nprobe)
+        .localCheckpoint()
+      // the final batch's keepers are never read: skip materializing them
+      if (i < batches.length - 1)
+        pieces += vectorIndex(batch, centroids)
+          .join(d.where(col("verdict") === "keep").select(col("vec_id")), "vec_id")
+      d.withColumn("batch_no", lit((i + 1).toLong))
+    }
+    decided.reduce(_ unionByName _)
+      .select(col("batch_no"), col("vec_id"), col("verdict"), col("matched_id"))
+  }
+
   /** Int8-quantized ANN: candidates travel as `array<tinyint>` codes + one
     * scale + one norm per vector (4x smaller than fp32 — at 100 TB that is
     * the scan, the shuffle, AND the broadcast), the top `k * prefilter`

@@ -208,6 +208,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Map(2L -> ((1L, "exact")), 5L -> ((1L, "semantic"))))
   }
 
+  test("semIngestChain decides tier-by-tier against a persisted vector index") {
+    // two well-separated directions; quantizer trained on the seeds and
+    // never retrained by the chain
+    val a = Array(1.0f, 0.1f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.1f, 1.0f, 0.0f)
+    val c = Array(0.0f, 1.0f, 0.1f, 0.0f) // fresh direction, cos < 0.95 to both
+    def scale(v: Array[Float]) = v.map(x => (x * 1.01).toFloat)
+    val index0 = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.train(index0, k = 2, iters = 1)
+    val b1 = Seq(
+      (10L, a),        // exact_index -> 1
+      (11L, scale(a)), // near_index -> 1 (tier 2 beats its near_batch match)
+      (12L, c),        // keep: new direction
+      (13L, c),        // exact_batch -> 12
+      (14L, scale(c))  // near_batch -> 12
+    ).toDF("vec_id", "embedding")
+    val b2 = Seq(
+      (20L, c)         // exact_index -> 12: batch-1 keeper joined the index
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semIngestChain(index0, Seq(b1, b2), centroids,
+      minCosine = 0.95, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    assert(out((1L, 10L)) == ("exact_index", Some(1L)))
+    assert(out((1L, 11L)) == ("near_index", Some(1L)))
+    assert(out((1L, 12L)) == ("keep", None))
+    assert(out((1L, 13L)) == ("exact_batch", Some(12L)))
+    assert(out((1L, 14L)) == ("near_batch", Some(12L)))
+    assert(out((2L, 20L)) == ("exact_index", Some(12L)))
+  }
+
   test("fdot returns NULL on mismatched vector lengths, not a truncated dot") {
     import org.apache.spark.sql.graftnative.FloatVecDot.fdot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)))
