@@ -651,6 +651,13 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), perDoc = 3)),
 
+    // §2.24f4 — feature-hashing text embeddings (hashing trick): a
+    // deterministic, training-free 64-dim embedding per doc — the
+    // bridge that runs the ANN/semantic family on a text-only corpus.
+    // Zero shuffle; every component oracle-replays exactly.
+    "q_text_embed" -> ((s, dir) =>
+      TextAnalysis.textEmbed(Tables.documents(s, dir), dim = 64)),
+
     // §2.24f3 — inverted index: per-term document frequency, collection
     // frequency, and a bounded posting list (10 smallest doc ids) via
     // the skew-safe two-phase smallest-N — the search-index build for
@@ -2251,6 +2258,8 @@ object SparkEntry {
         |FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
         |GROUP BY t.doc_id""".stripMargin,
 
+    "q_text_embed" -> textEmbedOracle,
+
     "q_inverted_index" ->
       """WITH td AS (
         |  SELECT t.term, doc_id, count(*) AS tf
@@ -3029,6 +3038,38 @@ object SparkEntry {
   private def editDistOracle: String =
     s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)}
        |$editDistVerifySelect""".stripMargin
+
+  /** q_text_embed oracle: the hashing-trick embedding replayed exactly —
+    * portable fold per token for bucket and sign, integer bucket sums,
+    * one double normalize + 6-dp micro-round.
+    */
+  private def textEmbedOracle: String = {
+    def fold(s: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 257 + c) % 1000000007)"
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bs AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    list_transform(toks, t -> struct_pack(
+       |      b := ${fold("'emb:' || t")} % 64,
+       |      s := (${fold("'sgn:' || t")} % 2) * 2 - 1)) AS bs
+       |  FROM tok),
+       |cnt AS (
+       |  SELECT doc_id, n_tokens,
+       |    list_transform(range(0, 64), j ->
+       |      list_sum(list_transform(bs, x -> CASE WHEN x.b = j THEN x.s ELSE 0 END))) AS cnt
+       |  FROM bs),
+       |n AS (
+       |  SELECT doc_id, n_tokens, cnt,
+       |    sqrt(list_sum(list_transform(cnt, v -> CAST(v AS DOUBLE) * v))) AS nrm
+       |  FROM cnt)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  list_transform(cnt, v -> CASE WHEN nrm = 0 THEN 0.0
+       |    ELSE floor(CAST(v AS DOUBLE) / nrm * 1000000.0 + 0.5) / 1000000.0 END)
+       |    AS embedding
+       |FROM n""".stripMargin
+  }
 
   /** q_dedup_editdist_staged oracle: replay the exact-collapse (min-id
     * representative per md5(text)) over the exact+near planted corpus,

@@ -468,6 +468,46 @@ object TextAnalysis {
     stats.join(postings, "term")
   }
 
+  /** Feature-hashing document embeddings (the "hashing trick",
+    * Weinberger et al. 2009): each token adds ±1 (sign hash) to one of
+    * `dim` buckets (bucket hash), and the per-doc count vector is
+    * L2-normalized — a deterministic, training-free text embedding that
+    * makes the whole ANN / semantic-dedup family (cosine top-k, IVF,
+    * SemDeDup, semantic ingest) applicable to a text-only corpus with no
+    * model dependency. Both hashes are the portable base-257 rolling
+    * fold, so every component replays exactly in a second engine;
+    * components are integer counts until one final double
+    * normalize-and-quantize (6-dp micro-round, same rule as lmScore).
+    *
+    * Scale shape: ZERO shuffle — the whole embedding is a per-row
+    * projection (hash each token once, then dim x tokens codegen'd adds);
+    * the output is the only thing that travels. Zero-norm docs (empty,
+    * or signs cancelling) emit the zero vector rather than NaNs.
+    */
+  def textEmbed(docs: DataFrame, dim: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    // hash each token ONCE into (bucket, sign); the per-bucket sums then
+    // reuse the pair dim times
+    val bs = transform(toks, t => struct(
+      pmod(rollingHash(concat(lit("emb:"), t)), lit(dim.toLong)).as("b"),
+      (pmod(rollingHash(concat(lit("sgn:"), t)), lit(2L)) * 2 - 1).as("s")))
+    val cnt = transform(sequence(lit(0), lit(dim - 1)), j =>
+      aggregate(col("bs"), lit(0L), (acc, x) =>
+        acc + when(x.getField("b") === j, x.getField("s")).otherwise(0L)))
+    val nrm = sqrt(aggregate(col("cnt"), lit(0.0),
+      (acc, v) => acc + (v * v).cast("double")))
+    val r6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    docs
+      .withColumn("bs", bs)
+      .withColumn("cnt", cnt)
+      .withColumn("nrm", nrm)
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_tokens"),
+        transform(col("cnt"), v =>
+          when(col("nrm") === 0.0, lit(0.0))
+            .otherwise(r6(v.cast("double") / col("nrm")))).as("embedding"))
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column

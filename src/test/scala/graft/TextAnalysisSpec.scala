@@ -164,6 +164,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L)._2 == math.floor(expect / 2 / 1e6 * 1e4 + 0.5) / 1e4)
   }
 
+  test("textEmbed hashes tokens to a deterministic unit-norm embedding") {
+    val d = Seq((1L, "a a"), (2L, "a a"), (3L, "b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.textEmbed(d, dim = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"),
+          r.getAs[scala.collection.Seq[Double]]("embedding"))).toMap
+    // "a a": both tokens land in one bucket with one sign -> exactly one
+    // component, magnitude 1
+    val e1 = out(1L)._2
+    assert(out(1L)._1 == 2L)
+    assert(e1.count(_ != 0.0) == 1 && e1.exists(v => math.abs(v) == 1.0))
+    // determinism: identical text embeds identically (cosine 1)
+    assert(out(2L)._2 == e1)
+    // normalization: unit norm up to the 6-dp component quantization
+    // (zero vector only if every bucket cancelled)
+    val n3 = math.sqrt(out(3L)._2.map(v => v * v).sum)
+    assert(n3 == 0.0 || math.abs(n3 - 1.0) < 1e-3, s"norm $n3")
+  }
+
   test("invertedIndex emits df/cf and bounded smallest-id postings") {
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a b")).toDF("doc_id", "text")
     val out = TextAnalysis.invertedIndex(d, maxPostings = 2)
