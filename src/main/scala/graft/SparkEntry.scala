@@ -658,6 +658,43 @@ object SparkEntry {
     "q_text_embed" -> ((s, dir) =>
       TextAnalysis.textEmbed(Tables.documents(s, dir), dim = 64)),
 
+    // §2.24f5 — the text-only-corpus semantic dedup chain in ONE plan:
+    // hashing-trick embeddings (q_text_embed) -> sign-LSH bucket
+    // blocking (deterministic hyperplanes, no training) -> cosine drop
+    // rule (SemDeDup shape: lowest-id representative survives). Every
+    // stage is double-arithmetic with an explicit left fold, so the
+    // whole chain — embeddings, buckets, sims — replays exactly in the
+    // oracle. Planted verbatim copies of every 20th doc must drop
+    // against their originals with best_sim_r = 1.0.
+    "q_text_semdedup" -> ((s, dir) => {
+      import graft.functions.Vectors
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val planes = Similarity.hyperplanes(8, 64)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        when(Vectors.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      // bucket + norm computed once per doc; the self-join consumes the
+      // slim (id, emb, nrm, bucket) frame twice -> materialize it
+      val e = TextAnalysis.textEmbed(corpus, dim = 64)
+        .select(col("doc_id"), col("embedding"),
+          Vectors.norm(col("embedding")).as("nrm"), bucket.as("bucket"))
+        .localCheckpoint()
+      e.as("x").join(e.as("y"),
+          col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("sim",
+          Vectors.dot(col("x.embedding"), col("y.embedding"))
+            / (col("x.nrm") * col("y.nrm")))
+        .where(col("sim") >= 0.99)
+        .groupBy(col("y.doc_id").as("doc_id"), col("y.bucket").as("bucket"))
+        .agg(min(col("x.doc_id")).as("dup_of"),
+          count(lit(1)).as("n_dups"),
+          (floor(max(col("sim")) * 10000.0 + 0.5) / 10000.0).as("best_sim_r"))
+    }),
+
     // §2.24f3 — inverted index: per-term document frequency, collection
     // frequency, and a bounded posting list (10 smallest doc ids) via
     // the skew-safe two-phase smallest-N — the search-index build for
@@ -2259,6 +2296,7 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
 
     "q_text_embed" -> textEmbedOracle,
+    "q_text_semdedup" -> textSemDedupOracle,
 
     "q_inverted_index" ->
       """WITH td AS (
@@ -3039,36 +3077,79 @@ object SparkEntry {
     s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)}
        |$editDistVerifySelect""".stripMargin
 
-  /** q_text_embed oracle: the hashing-trick embedding replayed exactly —
-    * portable fold per token for bucket and sign, integer bucket sums,
-    * one double normalize + 6-dp micro-round.
+  /** Shared CTE chain replaying the hashing-trick embedding over
+    * `srcSql` (must yield (doc_id, text)): portable fold per token for
+    * bucket and sign, integer bucket sums, one double normalize with
+    * 6-dp micro-round — ends with `temb` = (doc_id, n_tokens,
+    * embedding). The q_text_embed oracle's body, also the embedding
+    * stage of the text-semdedup chain oracle so they can never diverge.
     */
-  private def textEmbedOracle: String = {
+  private def textEmbedCtes(srcSql: String): String = {
     def fold(s: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
         s"(acc, c) -> (acc * 257 + c) % 1000000007)"
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |bs AS (
+    s"""tsrc AS ($srcSql),
+       |ttok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tsrc),
+       |tbs AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
        |    list_transform(toks, t -> struct_pack(
        |      b := ${fold("'emb:' || t")} % 64,
        |      s := (${fold("'sgn:' || t")} % 2) * 2 - 1)) AS bs
-       |  FROM tok),
-       |cnt AS (
+       |  FROM ttok),
+       |tcnt AS (
        |  SELECT doc_id, n_tokens,
        |    list_transform(range(0, 64), j ->
        |      list_sum(list_transform(bs, x -> CASE WHEN x.b = j THEN x.s ELSE 0 END))) AS cnt
-       |  FROM bs),
-       |n AS (
+       |  FROM tbs),
+       |tn AS (
        |  SELECT doc_id, n_tokens, cnt,
        |    sqrt(list_sum(list_transform(cnt, v -> CAST(v AS DOUBLE) * v))) AS nrm
-       |  FROM cnt)
-       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  list_transform(cnt, v -> CASE WHEN nrm = 0 THEN 0.0
-       |    ELSE floor(CAST(v AS DOUBLE) / nrm * 1000000.0 + 0.5) / 1000000.0 END)
-       |    AS embedding
-       |FROM n""".stripMargin
+       |  FROM tcnt),
+       |temb AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    list_transform(cnt, v -> CASE WHEN nrm = 0 THEN 0.0
+       |      ELSE floor(CAST(v AS DOUBLE) / nrm * 1000000.0 + 0.5) / 1000000.0 END)
+       |      AS embedding
+       |  FROM tn)""".stripMargin
+  }
+
+  private def textEmbedOracle: String =
+    s"""WITH ${textEmbedCtes("SELECT doc_id, text FROM documents")}
+       |SELECT doc_id, n_tokens, embedding FROM temb""".stripMargin
+
+  /** q_text_semdedup oracle: the embedding chain over the planted
+    * corpus, then sign-LSH buckets (inlined hyperplanes) and the cosine
+    * drop rule — every dot an explicit left fold in the SAME order as
+    * the Spark side's Vectors.dot, so sims agree bit-for-bit.
+    */
+  private def textSemDedupOracle: String = {
+    def dd(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])), " +
+        s"(acc, v) -> acc + v)"
+    val bucketExpr = Similarity.hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dd("embedding", arr)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ${textEmbedCtes(
+        """SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0""".stripMargin)},
+       |e AS (
+       |  SELECT doc_id, embedding,
+       |    sqrt(${dd("embedding", "embedding")}) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM temb),
+       |p AS (
+       |  SELECT y.doc_id AS doc_id, y.bucket AS bucket, x.doc_id AS xid,
+       |    ${dd("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS sim
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.doc_id < y.doc_id)
+       |SELECT doc_id, bucket, min(xid) AS dup_of,
+       |  CAST(count(*) AS BIGINT) AS n_dups,
+       |  floor(max(sim) * 10000.0 + 0.5) / 10000.0 AS best_sim_r
+       |FROM p WHERE sim >= 0.99
+       |GROUP BY doc_id, bucket""".stripMargin
   }
 
   /** q_dedup_editdist_staged oracle: replay the exact-collapse (min-id

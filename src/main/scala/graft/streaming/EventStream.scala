@@ -55,6 +55,7 @@ object EventStream {
 
   /** A document arriving on the ingest stream: event time + content. */
   case class IngestDoc(doc_id: Long, ts: Timestamp, text: String, source: String)
+  case class VecDoc(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
   /** Streaming corpus-ingest chain — the streaming twin of the batch
     * corpus-prep front half (q_corpus_prep2's gates -> exact dedup),
@@ -153,6 +154,56 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("doc_id", "text_hash"))
       .drop("text_hash")
+    exact.unionByName(near)
+  }
+
+  /** Stream-static VECTOR ingest gate — the embedding twin of
+    * [[ingestExactGate]]: pass through only vectors whose embedding is
+    * NOT bitwise-identical to an index vector (stream-static left_anti
+    * on the embedding value — stateless, append mode, no watermark).
+    * The authoritative semantic keep/drop (cosine tiers, index append)
+    * stays with the batch `Similarity.semIngestChain`, exactly as the
+    * text gate defers near semantics to `Ingest.ingestChain`.
+    */
+  def vecIngestGate(vecs: DataFrame, index: DataFrame): DataFrame =
+    vecs.join(index.select(col("embedding")), Seq("embedding"), "left_anti")
+
+  /** Vector duplicate-alert stream against a static cell-assigned index
+    * (`Similarity.vectorIndex` layout): exact alerts carry the smallest
+    * bitwise-matching index id (a static pre-aggregate, free in append
+    * mode); near alerts cosine-check only non-exact arrivals against
+    * index vectors in the arrival's `nprobe` probed cells, and collapse
+    * to one row per (vec_id, content) via watermarked dedup — keyed on
+    * the embedding hash too, so an id re-arriving with a DIFFERENT
+    * vector inside the watermark still alerts (the r7-ADVICE rule,
+    * applied here from the start).
+    */
+  def vecDupAlerts(vecs: DataFrame, index: DataFrame,
+      centroids: Seq[Seq[Float]], minCosine: Double, nprobe: Int,
+      watermark: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.NearestCells.nearestCells
+    import org.apache.spark.sql.graftnative.FloatVecDot.fdot
+    val idxExact = index.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("matched_id"))
+    val exact = vecs.join(idxExact, Seq("embedding"))
+      .select(col("vec_id"), col("ts"),
+        lit("exact_index").as("verdict"), col("matched_id"))
+    val probed = vecs
+      .join(idxExact.select(col("embedding")), Seq("embedding"), "left_anti")
+      .select(col("vec_id"), col("ts"),
+        xxhash64(col("embedding")).as("emb_hash"),
+        col("embedding").as("emb_b"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm_b"),
+        explode(nearestCells(col("embedding"), centroids, nprobe)).as("cell_id"))
+    val near = probed.join(
+        index.select(col("vec_id").as("matched_id"), col("embedding").as("emb_a"),
+          col("nrm").as("nrm_a"), col("cell_id")), Seq("cell_id"))
+      .where(fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= minCosine)
+      .select(col("vec_id"), col("emb_hash"), col("ts"),
+        lit("near_index").as("verdict"), col("matched_id"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("vec_id", "emb_hash"))
+      .drop("emb_hash")
     exact.unionByName(near)
   }
 

@@ -294,6 +294,56 @@ class EventStreamSpec extends SparkSpec {
       11L -> ("near_index", 100L)))
   }
 
+  test("vector gate + dup alerts against a static vector index") {
+    implicit val sq = spark.sqlContext
+    val a = Array(1.0f, 0.1f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.1f, 1.0f, 0.0f)
+    val c = Array(0.0f, 1.0f, 0.1f, 0.0f) // fresh direction
+    def scale(v: Array[Float]) = v.map(x => (x * 1.01).toFloat)
+    val idx0 = Seq((100L, a), (101L, b)).toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.train(idx0, k = 2, iters = 1)
+    val index = graft.operators.Similarity.vectorIndex(idx0, centroids)
+      .localCheckpoint()
+
+    val input = MemoryStream[EventStream.VecDoc]
+    val vecs = input.toDF().select($"vec_id", $"ts", $"embedding")
+    val root = Files.createTempDirectory("graft-vecgate").toString
+    val gate = EventStream.vecIngestGate(vecs, index).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/chk")
+      .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+        bd.select("vec_id").write.mode("append").parquet(s"$root/out")
+      }.start()
+    val alerts = EventStream.vecDupAlerts(vecs, index, centroids,
+      minCosine = 0.95, nprobe = 2, watermark = "1 hour").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/achk")
+      .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+        bd.select("vec_id", "verdict", "matched_id")
+          .write.mode("append").parquet(s"$root/alerts")
+      }.start()
+
+    input.addData(
+      // bitwise copy of index vector 100: blocked at the gate, exact alert
+      EventStream.VecDoc(10L, ts("2024-05-01 10:00:00"), a),
+      // near copy: PASSES the exact-only gate, near alert
+      EventStream.VecDoc(11L, ts("2024-05-01 10:00:01"), scale(a)),
+      // fresh vector: passes, no alert
+      EventStream.VecDoc(12L, ts("2024-05-01 10:00:02"), c))
+    gate.processAllAvailable(); alerts.processAllAvailable()
+    gate.stop(); alerts.stop()
+
+    val passed = spark.read.parquet(s"$root/out")
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(passed == Seq(11L, 12L))
+    val alerted = spark.read.parquet(s"$root/alerts")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Long]("matched_id"))).toMap
+    assert(alerted == Map(
+      10L -> ("exact_index", 100L),
+      11L -> ("near_index", 100L)))
+  }
+
   test("dup alerts: same doc_id re-arriving with DIFFERENT content still alerts") {
     // the alert dedup is keyed (doc_id, text_hash), not doc_id alone: a
     // re-crawled id carrying new near-dup content inside the watermark
