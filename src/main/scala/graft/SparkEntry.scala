@@ -667,32 +667,24 @@ object SparkEntry {
     // oracle. Planted verbatim copies of every 20th doc must drop
     // against their originals with best_sim_r = 1.0.
     "q_text_semdedup" -> ((s, dir) => {
-      import graft.functions.Vectors
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs.where(col("doc_id") % 20 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val planes = Similarity.hyperplanes(8, 64)
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        when(Vectors.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      // bucket + norm computed once per doc; the self-join consumes the
-      // slim (id, emb, nrm, bucket) frame twice -> materialize it
-      val e = TextAnalysis.textEmbed(corpus, dim = 64)
-        .select(col("doc_id"), col("embedding"),
-          Vectors.norm(col("embedding")).as("nrm"), bucket.as("bucket"))
-        .localCheckpoint()
-      e.as("x").join(e.as("y"),
-          col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .withColumn("sim",
-          Vectors.dot(col("x.embedding"), col("y.embedding"))
-            / (col("x.nrm") * col("y.nrm")))
-        .where(col("sim") >= 0.99)
-        .groupBy(col("y.doc_id").as("doc_id"), col("y.bucket").as("bucket"))
-        .agg(min(col("x.doc_id")).as("dup_of"),
-          count(lit(1)).as("n_dups"),
-          (floor(max(col("sim")) * 10000.0 + 0.5) / 10000.0).as("best_sim_r"))
+      TextAnalysis.textSemDedup(corpus, dim = 64, nPlanes = 8, minCosine = 0.99)
+    }),
+
+    // §2.24f6 — the STAGED form (production ordering): collapse verbatim
+    // copies via one md5-keyed window BEFORE the candidate join, then
+    // bucket-blocked semantic drops on representatives only; reason
+    // column splits exact vs semantic. Planted verbatim copies resolve
+    // in stage 1; the natural bag-of-words near-dups still drop in
+    // stage 2.
+    "q_text_semdedup_staged" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      TextAnalysis.textSemDedupStaged(corpus, dim = 64, nPlanes = 8,
+        minCosine = 0.99)
     }),
 
     // §2.24f3 — inverted index: per-term document frequency, collection
@@ -2297,6 +2289,7 @@ object SparkEntry {
 
     "q_text_embed" -> textEmbedOracle,
     "q_text_semdedup" -> textSemDedupOracle,
+    "q_text_semdedup_staged" -> textSemDedupStagedOracle,
 
     "q_inverted_index" ->
       """WITH td AS (
@@ -3150,6 +3143,50 @@ object SparkEntry {
        |  floor(max(sim) * 10000.0 + 0.5) / 10000.0 AS best_sim_r
        |FROM p WHERE sim >= 0.99
        |GROUP BY doc_id, bucket""".stripMargin
+  }
+
+  /** q_text_semdedup_staged oracle: replay the md5-window exact
+    * collapse, then the same bucket-blocked drop rule on the collapsed
+    * representatives (embedding CTEs shared via textEmbedCtes).
+    */
+  private def textSemDedupStagedOracle: String = {
+    def dd(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])), " +
+        s"(acc, v) -> acc + v)"
+    val bucketExpr = Similarity.hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dd("embedding", arr)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val collapsed =
+      """SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+        |  FROM corpus0 GROUP BY md5(text)""".stripMargin
+    s"""WITH corpus0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+       |wr AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+       |  FROM corpus0),
+       |exact AS (
+       |  SELECT doc_id, rep_id AS dup_of, 'exact' AS reason
+       |  FROM wr WHERE doc_id <> rep_id),
+       |${textEmbedCtes(collapsed)},
+       |e AS (
+       |  SELECT doc_id, embedding,
+       |    sqrt(${dd("embedding", "embedding")}) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM temb),
+       |p AS (
+       |  SELECT y.doc_id AS doc_id, x.doc_id AS xid,
+       |    ${dd("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS sim
+       |  FROM e x JOIN e y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |sem AS (
+       |  SELECT doc_id, min(xid) AS dup_of, 'semantic' AS reason
+       |  FROM p WHERE sim >= 0.99 GROUP BY doc_id)
+       |SELECT doc_id, dup_of, reason FROM exact
+       |UNION ALL
+       |SELECT doc_id, dup_of, reason FROM sem""".stripMargin
   }
 
   /** q_dedup_editdist_staged oracle: replay the exact-collapse (min-id

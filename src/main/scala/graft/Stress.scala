@@ -93,6 +93,18 @@ object Stress {
     // Corpus-linear text operators: one gram scan each; output is
     // per-doc (nb_quality) or capped per-term (inverted_index), so both
     // must stay flat-per-doc in the replica factor.
+    // Text-semdedup chain: drop-list output is O(corpus) like semDedup,
+    // but candidate volume within a bucket is O(factor^2) on replica
+    // cliques (14 s @30x, 71 s @100x raw) — same law and same staged
+    // cure (collapse verbatim copies first) as the embedding drop-list.
+    if (rawPairOps) time("text_semdedup") {
+      TextAnalysis.textSemDedup(docs.select(col("doc_id"), col("text")),
+        dim = 64, nPlanes = 8, minCosine = 0.99)
+    }
+    time("text_semdedup_staged") {
+      TextAnalysis.textSemDedupStaged(docs.select(col("doc_id"), col("text")),
+        dim = 64, nPlanes = 8, minCosine = 0.99)
+    }
     time("nb_quality") {
       TextAnalysis.nbQuality(docs, col("doc_id") % 5 === 0,
         col("doc_id") % 5 === 1, vocabSize = 500)

@@ -508,6 +508,72 @@ object TextAnalysis {
             .otherwise(r6(v.cast("double") / col("nrm")))).as("embedding"))
   }
 
+  /** The text-only-corpus semantic dedup chain in ONE plan:
+    * [[textEmbed]] hashing-trick embeddings -> sign-LSH bucket blocking
+    * (deterministic hyperplanes, no training) -> the SemDeDup drop rule
+    * (within a bucket, any doc with cosine >= minCosine to a lower-id
+    * doc drops; the lowest id survives). Every dot is an explicit left
+    * fold (Vectors.dot), so embeddings, buckets, and sims replay
+    * bit-for-bit in a second engine.
+    *
+    * Replica cliques are the worst case (O(cluster^2) candidate pairs
+    * within a bucket, 64 double products each — Stress: 14 s at 30x,
+    * 71 s at 100x replication); [[textSemDedupStaged]] is the
+    * production ordering that removes them.
+    */
+  def textSemDedup(docs: DataFrame, dim: Int, nPlanes: Int,
+      minCosine: Double): DataFrame = {
+    import graft.functions.Vectors
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(Vectors.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    // bucket + norm computed once per doc; the self-join consumes the
+    // slim (id, emb, nrm, bucket) frame twice -> materialize it
+    val e = textEmbed(docs, dim)
+      .select(col("doc_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"), bucket.as("bucket"))
+      .localCheckpoint()
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("sim",
+        Vectors.dot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm")))
+      .where(col("sim") >= minCosine)
+      .groupBy(col("y.doc_id").as("doc_id"), col("y.bucket").as("bucket"))
+      .agg(min(col("x.doc_id")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        (floor(max(col("sim")) * 10000.0 + 0.5) / 10000.0).as("best_sim_r"))
+  }
+
+  /** Staged text semantic dedup — the production ordering (the
+    * Similarity.semDedupStaged shape, driven from raw text): collapse
+    * verbatim duplicates to their lowest-id representative first (one
+    * md5-keyed window — replica cliques never reach the candidate
+    * join), then run [[textSemDedup]]'s bucket-blocked drop rule on
+    * representatives only. Returns the combined drop list with a
+    * `reason` column: 'exact' rows collapsed in stage 1, 'semantic'
+    * rows dropped in stage 2.
+    */
+  def textSemDedupStaged(docs: DataFrame, dim: Int, nPlanes: Int,
+      minCosine: Double): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    val exactDrops = docs
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"), col("rep_id").as("dup_of"),
+        lit("exact").as("reason"))
+    val reps = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .select(col("doc_id"), col("text"))
+    val semanticDrops = textSemDedup(reps, dim, nPlanes, minCosine)
+      .select(col("doc_id"), col("dup_of"), lit("semantic").as("reason"))
+    exactDrops.unionByName(semanticDrops)
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column
