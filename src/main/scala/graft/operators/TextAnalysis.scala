@@ -480,29 +480,24 @@ object TextAnalysis {
     * normalize-and-quantize (6-dp micro-round, same rule as lmScore).
     *
     * Scale shape: ZERO shuffle — the whole embedding is a per-row
-    * projection (hash each token once, then dim x tokens codegen'd adds);
-    * the output is the only thing that travels. Zero-norm docs (empty,
-    * or signs cancelling) emit the zero vector rather than NaNs.
+    * projection (the native [[org.apache.spark.sql.graftnative.HashingTrickCounts]]
+    * hashes each token once into a primitive bucket array; the HOF
+    * formulation cost dim x tokens interpreted lambdas per doc, ~10 s
+    * vs ~0.3 s at sf0.1); the output is the only thing that travels.
+    * Zero-norm docs (empty, or signs cancelling) emit the zero vector
+    * rather than NaNs.
     */
   def textEmbed(docs: DataFrame, dim: Int): DataFrame = {
-    val toks = tokens(col("text"))
-    // hash each token ONCE into (bucket, sign); the per-bucket sums then
-    // reuse the pair dim times
-    val bs = transform(toks, t => struct(
-      pmod(rollingHash(concat(lit("emb:"), t)), lit(dim.toLong)).as("b"),
-      (pmod(rollingHash(concat(lit("sgn:"), t)), lit(2L)) * 2 - 1).as("s")))
-    val cnt = transform(sequence(lit(0), lit(dim - 1)), j =>
-      aggregate(col("bs"), lit(0L), (acc, x) =>
-        acc + when(x.getField("b") === j, x.getField("s")).otherwise(0L)))
+    import org.apache.spark.sql.graftnative.HashingTrickCounts.hashingCounts
     val nrm = sqrt(aggregate(col("cnt"), lit(0.0),
       (acc, v) => acc + (v * v).cast("double")))
     val r6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
     docs
-      .withColumn("bs", bs)
-      .withColumn("cnt", cnt)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("cnt", hashingCounts(col("toks"), dim))
       .withColumn("nrm", nrm)
       .select(col("doc_id"),
-        size(col("bs")).cast("long").as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         transform(col("cnt"), v =>
           when(col("nrm") === 0.0, lit(0.0))
             .otherwise(r6(v.cast("double") / col("nrm")))).as("embedding"))
@@ -523,23 +518,31 @@ object TextAnalysis {
     */
   def textSemDedup(docs: DataFrame, dim: Int, nPlanes: Int,
       minCosine: Double): DataFrame = {
-    import graft.functions.Vectors
+    // the native double dot keeps the oracle's exact left-fold bit
+    // semantics but runs codegen'd — the interpreted HOF formulation
+    // cost ~16 s at sf0.1's ~640k candidate pairs, this runs in ~2 s
+    import org.apache.spark.sql.graftnative.DoubleVecDot.ddot
     val planes = graft.operators.Similarity.hyperplanes(nPlanes, dim)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(Vectors.dot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+      when(ddot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    // bucket + norm computed once per doc; the self-join consumes the
-    // slim (id, emb, nrm, bucket) frame twice -> materialize it
-    val e = textEmbed(docs, dim)
-      .select(col("doc_id"), col("embedding"),
-        Vectors.norm(col("embedding")).as("nrm"), bucket.as("bucket"))
-      .localCheckpoint()
+    // materialize the EMBEDDING first: the downstream projection
+    // references `embedding` ~11 times (itself, the norm's two dot
+    // args, eight bucket dots) and Catalyst's CollapseProject would
+    // inline — i.e. recompute — the whole O(dim x tokens) embedding
+    // expression per reference (measured: 10 s -> 2.5 s at sf0.1).
+    // The checkpoint also serves the self-join's double consumption.
+    val emb = textEmbed(docs, dim)
+      .select(col("doc_id"), col("embedding")).localCheckpoint()
+    val e = emb.select(col("doc_id"), col("embedding"),
+      sqrt(ddot(col("embedding"), col("embedding"))).as("nrm"),
+      bucket.as("bucket"))
     e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .withColumn("sim",
-        Vectors.dot(col("x.embedding"), col("y.embedding"))
+        ddot(col("x.embedding"), col("y.embedding"))
           / (col("x.nrm") * col("y.nrm")))
       .where(col("sim") >= minCosine)
       .groupBy(col("y.doc_id").as("doc_id"), col("y.bucket").as("bucket"))
