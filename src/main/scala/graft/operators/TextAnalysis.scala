@@ -383,7 +383,10 @@ object TextAnalysis {
     *
     * `posSeed` / `negSeed` are row predicates over `docs` (e.g.
     * `col("source") === "curated"`); rows satisfying neither train
-    * nothing but are still scored.
+    * nothing but are still scored. One-class seed sets are fine
+    * (Laplace smoothing keeps every weight defined). EMPTY seed sets
+    * yield the no-evidence model: every doc scores 0 and KEEPS — a
+    * filter with no training signal must not silently drop the corpus.
     */
   def nbQuality(docs: DataFrame, posSeed: Column, negSeed: Column,
       vocabSize: Int): DataFrame = {
@@ -402,9 +405,12 @@ object TextAnalysis {
       .orderBy((col("c1") + col("c0")).desc, col("token").asc)
       .limit(vocabSize)
       .localCheckpoint()
+    // totals coalesce to 0 on EMPTY seed sets (agg over zero rows yields
+    // null sums), and the OOV weight short-circuits to 0 when the vocab
+    // is empty (ln(0+0) would otherwise NaN the whole score column)
     val tot = seedToks.agg(
-      sum(when(col("pos"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("neg"), 1L).otherwise(0L)).as("n0"))
+      coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("neg"), 1L).otherwise(0L)), lit(0L)).as("n0"))
     val vsz = vocab.agg(count(lit(1)).as("v"))
     val wu = (cc: Column, nn: Column) =>
       log((cc + 1).cast("double") / (nn + col("v")).cast("double"))
@@ -413,20 +419,22 @@ object TextAnalysis {
         floor((wu(col("c1"), col("n1")) - wu(col("c0"), col("n0")))
           * 1000000.0 + 0.5).cast("long").as("w_u"))
     val oov = tot.crossJoin(vsz)
-      .select(floor((log((col("n0") + col("v")).cast("double"))
+      .select(when(col("v") === 0, lit(0L))
+        .otherwise(floor((log((col("n0") + col("v")).cast("double"))
           - log((col("n1") + col("v")).cast("double"))) * 1000000.0 + 0.5)
-        .cast("long").as("w_oov"))
+          .cast("long")).as("w_oov"),
+        col("v"))
     val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
     toks
       .join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(oov))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("v"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("w_u"), col("w_oov"))).as("sum_u"))
       .select(col("doc_id"), col("n_tokens"),
         r4(col("sum_u").cast("double") / col("n_tokens") / 1000000.0)
           .as("nb_score_r"),
-        (col("sum_u") > 0).as("keep"))
+        (col("sum_u") > 0 || col("v") === 0).as("keep"))
   }
 
   /** Inverted index over the corpus — one row per distinct term with its

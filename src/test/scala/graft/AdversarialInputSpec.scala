@@ -19,6 +19,69 @@ class AdversarialInputSpec extends SparkSpec {
     (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0")
   ).toDF("doc_id", "text", "lang", "source")
 
+  test("r8 operators: single-doc and empty corpora return right-sized answers") {
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    // embeddings / index / postings over one doc or none
+    assert(TextAnalysis.textEmbed(oneDoc, dim = 8).count() == 1)
+    assert(TextAnalysis.textEmbed(empty, dim = 8).count() == 0)
+    assert(TextAnalysis.invertedIndex(empty, maxPostings = 4).count() == 0)
+    assert(TextAnalysis.textSemDedup(oneDoc.select(col("doc_id"), col("text")),
+      dim = 8, nPlanes = 4, minCosine = 0.9).count() == 0)
+    assert(TextAnalysis.textSemDedup(empty.select(col("doc_id"), col("text")),
+      dim = 8, nPlanes = 4, minCosine = 0.9).count() == 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adv-r8").toString
+    assert(Dedup.editDistNearDups(oneDoc, k = 64, bands = 16,
+      minSim = 0.5, minEditSim = 0.8).count() == 0)
+    assert(Dedup.editDistNearDups(empty, k = 64, bands = 16,
+      minSim = 0.5, minEditSim = 0.8).count() == 0)
+    assert(Dedup.stagedEditDistNearDups(oneDoc, s"$tmp/reps", k = 64,
+      bands = 16, minSim = 0.5, minEditSim = 0.8).count() == 0)
+  }
+
+  test("r8 nbQuality: one-class and empty seed sets degrade gracefully") {
+    val docs = Seq(
+      (1L, "good words here"), (2L, "more good words"),
+      (3L, "other text body"), (4L, "junk junk junk")
+    ).toDF("doc_id", "text")
+    // one-class seeds (no negative evidence): weights still well-defined
+    // (Laplace smoothing over the pos-only vocabulary), nothing throws,
+    // every doc scored
+    val oneClass = TextAnalysis.nbQuality(docs,
+      posSeed = col("doc_id") <= 2, negSeed = lit(false), vocabSize = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(oneClass.size == 4)
+    assert(oneClass.values.forall(!_.isNullAt(2)))  // nb_score_r non-null
+    // empty seeds: no model at all — every doc scores 0 and keeps
+    // (no evidence must not silently drop the corpus)
+    val noSeeds = TextAnalysis.nbQuality(docs,
+      posSeed = lit(false), negSeed = lit(false), vocabSize = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("nb_score_r"), r.getAs[Boolean]("keep"))).toMap
+    assert(noSeeds.size == 4)
+    assert(noSeeds.values.forall { case (s, k) => s == 0.0 && k })
+  }
+
+  test("r8 semIngest: empty index (first-ever ingest) and empty batch") {
+    val a = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val seed = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val centroids = Ivf.train(seed, k = 2, iters = 1)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // first-ever ingest: everything in batch 1 keeps (or dedups within batch)
+    val out = Similarity.semIngestChain(emptyVecs,
+      Seq(Seq((10L, a), (11L, a)).toDF("vec_id", "embedding")), centroids,
+      minCosine = 0.95, nprobe = 2)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "keep", 11L -> "exact_batch"))
+    // empty batch mid-chain: zero decision rows for it, chain continues
+    val out2 = Similarity.semIngestChain(seed,
+      Seq(emptyVecs, Seq((20L, a)).toDF("vec_id", "embedding")), centroids,
+      minCosine = 0.95, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out2 == Map((2L, 20L) -> "exact_index"))
+  }
+
   test("single-document corpus: dedup finds nothing, analytics still report") {
     // pair-emitting dedups: no second doc, so zero pairs everywhere
     assert(Dedup.minhashNearDups(oneDoc, k = 64, bands = 16, minSim = 0.5).count() == 0)
