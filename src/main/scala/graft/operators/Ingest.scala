@@ -201,7 +201,14 @@ object Ingest {
     val decided = batches.zipWithIndex.map { case (batch, i) =>
       val sigs = stager(signatureIndex(batch, k), s"sigs_${i + 1}")
       val idx = pieces.reduce(_ unionByName _)
-      val d = stager(ingestDecisions(idx, sigs, k, bands, minSim), s"dec_${i + 1}")
+      // the FINAL batch's decisions have one consumer (the result union)
+      // in default mode — staging them is a pure blocking job; durable
+      // mode still lands them (the dec_N log IS part of the artifact)
+      val dRaw = ingestDecisions(idx, sigs, k, bands, minSim)
+      val d =
+        if (reliableStagePath.isDefined || i < batches.length - 1)
+          stager(dRaw, s"dec_${i + 1}")
+        else dRaw
       val keepers = sigs
         .join(d.where(col("verdict") === "keep").select(col("doc_id")), "doc_id")
       // durable mode stages keepers unconditionally — they ARE the index

@@ -260,9 +260,11 @@ object Similarity {
       vectorIndex(index0, centroids).localCheckpoint())
     val decided = batches.zipWithIndex.map { case (batch, i) =>
       val idx = pieces.reduce(_ unionByName _)
-      val d = semIngestDecisions(idx, batch, centroids, minCosine, nprobe)
-        .localCheckpoint()
-      // the final batch's keepers are never read: skip materializing them
+      // the final batch's decisions AND keepers are single-consumer /
+      // never read: skip their blocking materializations (same rule as
+      // Ingest.ingestChain's default mode)
+      val dRaw = semIngestDecisions(idx, batch, centroids, minCosine, nprobe)
+      val d = if (i < batches.length - 1) dRaw.localCheckpoint() else dRaw
       if (i < batches.length - 1)
         pieces += vectorIndex(batch, centroids)
           .join(d.where(col("verdict") === "keep").select(col("vec_id")), "vec_id")
