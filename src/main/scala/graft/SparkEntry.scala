@@ -687,6 +687,21 @@ object SparkEntry {
         minCosine = 0.99)
     }),
 
+    // §2.24f7 — SEMANTIC cross-corpus leak check: the eval set is every
+    // 20th doc with its tokens REVERSED — zero shared 3-token shingles
+    // with the origin, so the gram decontam gates and minhash
+    // cross-dedup see NOTHING, but the bag embedding is identical
+    // (cosine 1.0). The paraphrase-leakage gate, run alongside
+    // q_decontam (verbatim grams) and q_cross_dedup (near shingles).
+    "q_text_cross_leak" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val eval = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      TextAnalysis.textCrossLeak(docs, eval, dim = 64, nPlanes = 8,
+        minCosine = 0.99)
+    }),
+
     // §2.24f3 — inverted index: per-term document frequency, collection
     // frequency, and a bounded posting list (10 smallest doc ids) via
     // the skew-safe two-phase smallest-N — the search-index build for
@@ -2289,6 +2304,7 @@ object SparkEntry {
 
     "q_text_embed" -> textEmbedOracle,
     "q_text_semdedup" -> textSemDedupOracle,
+    "q_text_cross_leak" -> textCrossLeakOracle,
     "q_text_semdedup_staged" -> textSemDedupStagedOracle,
 
     "q_inverted_index" ->
@@ -3077,34 +3093,34 @@ object SparkEntry {
     * embedding). The q_text_embed oracle's body, also the embedding
     * stage of the text-semdedup chain oracle so they can never diverge.
     */
-  private def textEmbedCtes(srcSql: String): String = {
+  private def textEmbedCtes(srcSql: String, p: String = "t"): String = {
     def fold(s: String): String =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
         s"(acc, c) -> (acc * 257 + c) % 1000000007)"
-    s"""tsrc AS ($srcSql),
-       |ttok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM tsrc),
-       |tbs AS (
+    s"""${p}src AS ($srcSql),
+       |${p}tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ${p}src),
+       |${p}bs AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
        |    list_transform(toks, t -> struct_pack(
        |      b := ${fold("'emb:' || t")} % 64,
        |      s := (${fold("'sgn:' || t")} % 2) * 2 - 1)) AS bs
-       |  FROM ttok),
-       |tcnt AS (
+       |  FROM ${p}tok),
+       |${p}cnt AS (
        |  SELECT doc_id, n_tokens,
        |    list_transform(range(0, 64), j ->
        |      list_sum(list_transform(bs, x -> CASE WHEN x.b = j THEN x.s ELSE 0 END))) AS cnt
-       |  FROM tbs),
-       |tn AS (
+       |  FROM ${p}bs),
+       |${p}n AS (
        |  SELECT doc_id, n_tokens, cnt,
        |    sqrt(list_sum(list_transform(cnt, v -> CAST(v AS DOUBLE) * v))) AS nrm
-       |  FROM tcnt),
-       |temb AS (
+       |  FROM ${p}cnt),
+       |${p}emb AS (
        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        |    list_transform(cnt, v -> CASE WHEN nrm = 0 THEN 0.0
        |      ELSE floor(CAST(v AS DOUBLE) / nrm * 1000000.0 + 0.5) / 1000000.0 END)
        |      AS embedding
-       |  FROM tn)""".stripMargin
+       |  FROM ${p}n)""".stripMargin
   }
 
   private def textEmbedOracle: String =
@@ -3515,6 +3531,44 @@ object SparkEntry {
        |SELECT CAST(1 AS BIGINT) AS batch_no, vec_id, verdict, matched_id FROM dec_b1
        |UNION ALL
        |SELECT CAST(2 AS BIGINT) AS batch_no, vec_id, verdict, matched_id FROM dec_b2""".stripMargin
+  }
+
+  /** q_text_cross_leak oracle: verbatim collapse of the corpus, the
+    * embedding CTE chain per side (prefixes c/e), inlined hyperplane
+    * buckets, and the cross-side cosine filter — dots in the exact
+    * left-fold order of the Spark side's native DoubleVecDot.
+    */
+  private def textCrossLeakOracle: String = {
+    def dd(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])), " +
+        s"(acc, v) -> acc + v)"
+    val bucketExpr = Similarity.hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dd("embedding", arr)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH reps0 AS (
+       |  SELECT min(doc_id) AS doc_id, min_by(text, doc_id) AS text
+       |  FROM documents GROUP BY md5(text)),
+       |eval0 AS (
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |${textEmbedCtes("SELECT doc_id, text FROM reps0", "c")},
+       |${textEmbedCtes("SELECT doc_id, text FROM eval0", "e")},
+       |cs AS (
+       |  SELECT doc_id, embedding, sqrt(${dd("embedding", "embedding")}) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM cemb),
+       |es AS (
+       |  SELECT doc_id, embedding, sqrt(${dd("embedding", "embedding")}) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM eemb)
+       |SELECT x.doc_id AS rep_id, y.doc_id AS eval_id,
+       |  floor(${dd("x.embedding", "y.embedding")} / (x.nrm * y.nrm)
+       |    * 10000.0 + 0.5) / 10000.0 AS sim_r
+       |FROM cs x JOIN es y ON x.bucket = y.bucket
+       |WHERE ${dd("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.99""".stripMargin
   }
 
   private def annIvfOracle: String = {

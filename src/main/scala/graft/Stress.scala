@@ -105,6 +105,15 @@ object Stress {
       TextAnalysis.textSemDedupStaged(docs.select(col("doc_id"), col("text")),
         dim = 64, nPlanes = 8, minCosine = 0.99)
     }
+    // Semantic cross-corpus leak check: built-in verbatim collapse on
+    // the corpus side, fixed eval set -> output flat in the factor.
+    time("text_cross_leak") {
+      val eval = Tables.documents(spark, sfDir)
+        .select((col("doc_id") + 95000000L).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      TextAnalysis.textCrossLeak(docs.select(col("doc_id"), col("text")),
+        eval, dim = 64, nPlanes = 8, minCosine = 0.99)
+    }
     time("nb_quality") {
       TextAnalysis.nbQuality(docs, col("doc_id") % 5 === 0,
         col("doc_id") % 5 === 1, vocabSize = 500)

@@ -585,6 +585,49 @@ object TextAnalysis {
     exactDrops.unionByName(semanticDrops)
   }
 
+  /** Semantic cross-corpus leak check — the PARAPHRASE-level eval-set
+    * decontamination the gram/shingle gates cannot see: a reordered or
+    * lightly rephrased eval doc shares ZERO 3-token shingles with its
+    * corpus origin (minhash cross-dedup and exact-gram decontam both
+    * miss it entirely) but its bag-of-words hashing embedding is
+    * IDENTICAL, cosine 1.0. The corpus collapses to min-id verbatim
+    * representatives first (the staged rule — replica mass never
+    * reaches the pair stage); both sides embed ([[textEmbed]]), block
+    * on sign-LSH buckets, and every CROSS-side pair with cosine >=
+    * minCosine is a suspected leak (rep_id, eval_id, sim_r). Run next
+    * to q_decontam/q_cross_dedup: the three gates catch verbatim-gram,
+    * near-shingle, and bag-paraphrase leakage respectively.
+    */
+  def textCrossLeak(corpus: DataFrame, evalSet: DataFrame, dim: Int,
+      nPlanes: Int, minCosine: Double): DataFrame = {
+    import org.apache.spark.sql.graftnative.DoubleVecDot.ddot
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(ddot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val reps = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+      .select(col("doc_id"), col("text"))
+    // embedding checkpointed per side before deriving norm/bucket (the
+    // CollapseProject inlining rule — see textSemDedup)
+    def embedded(docs: DataFrame): DataFrame = {
+      val emb = textEmbed(docs, dim)
+        .select(col("doc_id"), col("embedding")).localCheckpoint()
+      emb.select(col("doc_id"), col("embedding"),
+        sqrt(ddot(col("embedding"), col("embedding"))).as("nrm"),
+        bucket.as("bucket"))
+    }
+    embedded(reps).as("x")
+      .join(embedded(evalSet).as("y"), col("x.bucket") === col("y.bucket"))
+      .withColumn("sim", ddot(col("x.embedding"), col("y.embedding"))
+        / (col("x.nrm") * col("y.nrm")))
+      .where(col("sim") >= minCosine)
+      .select(col("x.doc_id").as("rep_id"), col("y.doc_id").as("eval_id"),
+        (floor(col("sim") * 10000.0 + 0.5) / 10000.0).as("sim_r"))
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column

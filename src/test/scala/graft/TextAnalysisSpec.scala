@@ -183,6 +183,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n3 == 0.0 || math.abs(n3 - 1.0) < 1e-3, s"norm $n3")
   }
 
+  test("textCrossLeak catches reversed-token paraphrases the gram gates miss") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "uno dos tres cuatro cinco seis siete ocho")
+    ).toDF("doc_id", "text")
+    // eval doc 10 is doc 1 token-REVERSED: identical bag, zero shared
+    // 3-token shingles
+    val eval = Seq(
+      (10L, "theta eta zeta epsilon delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.textCrossLeak(corpus, eval,
+      dim = 16, nPlanes = 4, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("sim_r")).toMap
+    assert(out == Map((1L, 10L) -> 1.0), s"got $out")
+    // and the shingle-based cross-corpus check sees NOTHING
+    assert(graft.operators.Dedup.crossCorpusNearDups(corpus, eval,
+      k = 64, bands = 16, minSim = 0.5).count() == 0)
+  }
+
   test("invertedIndex emits df/cf and bounded smallest-id postings") {
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a b")).toDF("doc_id", "text")
     val out = TextAnalysis.invertedIndex(d, maxPostings = 2)
