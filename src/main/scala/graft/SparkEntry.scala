@@ -943,6 +943,14 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir))),
 
+    // §2.24t3 — CCNet perplexity bucketing: per-language head/middle/tail
+    // thirds by the self-trained LM fluency score, exact rank-statistic
+    // cut points (no interpolated percentile), corpus never globally
+    // sorted — the bounded (lang, 4-dp score) histogram carries the rank
+    // window and the per-lang cuts broadcast back.
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.pplBuckets(Tables.documents(s, dir))),
+
     // §2.24t2 — MODEL-BASED quality filter (the fastText/DCLM classifier
     // shape): a Naive-Bayes unigram log-likelihood-ratio model trained
     // on curated-vs-junk seed partitions scores every doc; junk marker
@@ -2134,23 +2142,36 @@ object SparkEntry {
         |FROM kept GROUP BY source, keep_bp""".stripMargin,
 
     "q_lm_score" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bi AS (
-        |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram
-        |  FROM tok, unnest(range(1, len(toks))) AS u(i)
-        |  WHERE len(toks) >= 2),
-        |c2 AS (SELECT bigram, count(*) AS c2 FROM bi GROUP BY bigram),
-        |c1 AS (
-        |  SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
-        |  FROM c2 GROUP BY string_split(bigram, ' ')[1]),
-        |model AS (
-        |  SELECT bigram,
-        |    CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000.0 + 0.5) AS BIGINT) AS logp_u
-        |  FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1)
-        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  floor(CAST(sum(m.logp_u) AS DOUBLE) / count(*) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS mean_logp_r
-        |FROM bi b JOIN model m USING (bigram)
-        |GROUP BY b.doc_id""".stripMargin,
+      s"WITH $lmScoreCtes\nSELECT doc_id, n_bigrams, mean_logp_r FROM lm",
+
+    "q_ppl_buckets" ->
+      s"""WITH $lmScoreCtes,
+        |sc AS (
+        |  SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.mean_logp_r
+        |  FROM lm JOIN documents d USING (doc_id)),
+        |hist AS (
+        |  SELECT lang, mean_logp_r, count(*) AS cnt
+        |  FROM sc GROUP BY lang, mean_logp_r),
+        |cum AS (
+        |  SELECT lang, mean_logp_r,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY mean_logp_r ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM hist),
+        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM hist GROUP BY lang),
+        |cuts AS (
+        |  SELECT c.lang,
+        |    min(CASE WHEN c.cum >= floor((t.n + 2) / 3.0)
+        |      THEN c.mean_logp_r END) AS cut_lo,
+        |    min(CASE WHEN c.cum >= floor((t.n * 2 + 2) / 3.0)
+        |      THEN c.mean_logp_r END) AS cut_hi
+        |  FROM cum c JOIN tot t USING (lang) GROUP BY c.lang)
+        |SELECT sc.doc_id, sc.lang, sc.n_bigrams, sc.mean_logp_r,
+        |  cuts.cut_lo, cuts.cut_hi,
+        |  CASE WHEN sc.mean_logp_r < cuts.cut_lo THEN 'tail'
+        |       WHEN sc.mean_logp_r < cuts.cut_hi THEN 'middle'
+        |       ELSE 'head' END AS bucket
+        |FROM sc JOIN cuts USING (lang)""".stripMargin,
 
     "q_mix_plan" ->
       """WITH s AS (
@@ -2754,6 +2775,31 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
         |GROUP BY user_id""".stripMargin
   )
+
+  /** Shared CTEs for the corpus-LM oracles: bigram model training + the
+    * per-doc mean-log-prob score (`lm`) — used verbatim by q_lm_score and
+    * as the scoring stage of q_ppl_buckets, so the two can never desync
+    * on the model formula.
+    */
+  private val lmScoreCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bi AS (
+      |  SELECT doc_id, toks[u.i] || ' ' || toks[u.i+1] AS bigram
+      |  FROM tok, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |c2 AS (SELECT bigram, count(*) AS c2 FROM bi GROUP BY bigram),
+      |c1 AS (
+      |  SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
+      |  FROM c2 GROUP BY string_split(bigram, ' ')[1]),
+      |model AS (
+      |  SELECT bigram,
+      |    CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000.0 + 0.5) AS BIGINT) AS logp_u
+      |  FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1),
+      |lm AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    floor(CAST(sum(m.logp_u) AS DOUBLE) / count(*) / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS mean_logp_r
+      |  FROM bi b JOIN model m USING (bigram)
+      |  GROUP BY b.doc_id)""".stripMargin
 
   /** Shared CTEs for the jaccard-pair oracles: planted-dup corpus + per-doc
     * distinct md5 shingle sets.

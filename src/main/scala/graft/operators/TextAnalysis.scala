@@ -357,6 +357,57 @@ object TextAnalysis {
           .as("mean_logp_r"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", 2020): split
+    * each language's documents into head / middle / tail thirds by LM
+    * fluency — here lmScore's mean bigram log-prob (higher = more fluent
+    * = lower perplexity) — the standard quality stratification a web
+    * corpus gets before mixing (head oversampled, tail down-weighted or
+    * dropped). Docs lmScore cannot score (< 2 tokens) are absent, as in
+    * CCNet itself (unscorable fragments never reach the mix).
+    *
+    * Cut points are EXACT rank statistics, not interpolated quantiles:
+    * t1 = the score at ascending rank ceil(n/3) within the language, t2 =
+    * at rank ceil(2n/3); bucket = tail if score < t1, middle if < t2,
+    * else head. Value cuts keep ties deterministic, and rank selection
+    * over the 4-dp scores replays exactly in any engine — interpolated
+    * percentile lerp arithmetic does not (last-ulp divergence, the
+    * q_ivf_stats lesson).
+    *
+    * Scale shape: the corpus never globally sorts — scores aggregate per
+    * (lang, score) first, and because scores are 4-dp quantized that
+    * histogram is BOUNDED regardless of corpus size (#langs x distinct
+    * 4-dp values), so the cumulative-rank window runs on a small frame
+    * and the per-lang cut rows broadcast back onto the scored projection.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val hist = scored.groupBy(col("lang"), col("mean_logp_r"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("lang"))
+        .orderBy(col("mean_logp_r").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    // ceil(n/3) and ceil(2n/3) as floor((n+2)/3), floor((2n+2)/3) — pure
+    // double floors, exact for any corpus below 2^52 docs, same formula
+    // in the oracle
+    val cuts = cum.join(tot, "lang")
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= floor((col("n") + 2) / 3.0),
+          col("mean_logp_r"))).as("cut_lo"),
+        min(when(col("cum") >= floor((col("n") * 2 + 2) / 3.0),
+          col("mean_logp_r"))).as("cut_hi"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("mean_logp_r"), col("cut_lo"), col("cut_hi"),
+        when(col("mean_logp_r") < col("cut_lo"), "tail")
+          .when(col("mean_logp_r") < col("cut_hi"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
   /** Model-based quality scoring — the classifier-filter stage of a
     * modern pretraining pipeline (the fastText/DCLM shape: score every
     * document by a linear model trained on curated-vs-raw seed sets,

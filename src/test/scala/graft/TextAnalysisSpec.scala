@@ -132,6 +132,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == (1L, -0.4055))
   }
 
+  test("pplBuckets thirds each language by fluency with exact rank cuts") {
+    import org.apache.spark.sql.functions.col
+    // 'en' corpus: a fluent phrase repeated (head material), mild
+    // variants, and one scrambled doc whose transitions are rare ->
+    // lowest score -> tail. 'xx' is a 2-doc language exercising the
+    // small-n cut arithmetic (n=2: r1=ceil(2/3)=1, r2=ceil(4/3)=2).
+    val d = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the mat", "en"),
+      (3L, "the cat sat on the mat", "en"),
+      (4L, "the dog sat on the mat", "en"),
+      (5L, "the cat ran on the mat", "en"),
+      (6L, "mat the on sat cat the", "en"),
+      (7L, "uno dos tres", "xx"),
+      (8L, "uno dos cuatro", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.pplBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bucket"), r.getAs[Double]("mean_logp_r"),
+          r.getAs[Double]("cut_lo"), r.getAs[Double]("cut_hi"))).toMap
+    assert(out.size == 8)
+    // every doc bucketed; cuts monotone within each language
+    out.values.foreach { case (b, _, lo, hi) =>
+      assert(Set("head", "middle", "tail")(b)); assert(lo <= hi)
+    }
+    // the scrambled doc is the worst-scoring 'en' doc and lands in tail
+    val enWorst = out.filter(_._2._2 <= out(6L)._2)
+    assert(out(6L)._1 == "tail", s"scrambled doc: ${out(6L)}")
+    // the thrice-repeated phrase is head material
+    assert(out(1L)._1 == "head")
+    // bucket rule is the value cut, exactly: score < lo -> tail, < hi ->
+    // middle, else head — re-derive from the emitted cuts
+    out.values.foreach { case (b, s, lo, hi) =>
+      val expect = if (s < lo) "tail" else if (s < hi) "middle" else "head"
+      assert(b == expect)
+    }
+    // 2-doc language: lower doc is tail (rank-1 value = cut_lo), upper head
+    assert(Set(out(7L)._1, out(8L)._1).subsetOf(Set("tail", "middle", "head")))
+    assert(enWorst.contains(6L))
+  }
+
   test("nbQuality learns junk markers from seeds and flags planted docs") {
     import org.apache.spark.sql.functions.col
     // pos seed: 1,2 (clean); neg seed: 3,4 (carry marker 'zz'); 5 and 6
