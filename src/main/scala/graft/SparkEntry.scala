@@ -984,6 +984,15 @@ object SparkEntry {
         defaultBudget = 250L)
     }),
 
+    // §2.24aa — DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram models on the 'en' target slice vs the whole raw
+    // corpus; k docs Gumbel-top-k resampled by the integer micro-unit
+    // importance weight. Training aggregates are bounded by the bucket
+    // count; scoring is one gram scan; selection a TakeOrdered top-k.
+    "q_dsir" -> ((s, dir) =>
+      graft.operators.Sampling.dsirSelect(Tables.documents(s, dir),
+        target = col("lang") === "en", buckets = 512, k = 150)),
+
     // §2.24j — portable stratified resampling to a target language mix;
     // per-language counts certify both the bucket rule and the rates
     "q_stratified_sample" -> ((s, dir) =>
@@ -1818,6 +1827,43 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM k""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |fx AS (
+        |  SELECT doc_id, lang = 'en' AS is_target, g.gram
+        |  FROM tok, LATERAL unnest(list_concat(toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END)) AS g(gram)),
+        |fb AS (
+        |  SELECT doc_id, is_target,
+        |    ${sqlFold("'dsir:' || gram")} % 512 AS bucket
+        |  FROM fx),
+        |rc AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY bucket),
+        |tc AS (SELECT bucket, count(*) AS ct FROM fb WHERE is_target GROUP BY bucket),
+        |nr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS n_raw FROM rc),
+        |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS n_tgt FROM tc),
+        |model AS (
+        |  SELECT rc.bucket,
+        |    CAST(floor((ln((coalesce(tc.ct, 0) + 1) / CAST(nt.n_tgt + 512 AS DOUBLE))
+        |      - ln((rc.cr + 1) / CAST(nr.n_raw + 512 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS w_u
+        |  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN nr CROSS JOIN nt),
+        |sc AS (
+        |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(coalesce(sum(m.w_u), 0) AS BIGINT) AS logw_u
+        |  FROM fb JOIN model m USING (bucket)
+        |  GROUP BY fb.doc_id),
+        |ky AS (
+        |  SELECT doc_id, n_feats, logw_u,
+        |    CAST(floor(-ln(-ln((CAST(${sqlFold("'dsir:g:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) * 1000000.0 + 0.5) AS BIGINT) AS g_u,
+        |    logw_u + CAST(floor(-ln(-ln((CAST(${sqlFold("'dsir:g:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) * 1000000.0 + 0.5) AS BIGINT) AS key_u
+        |  FROM sc),
+        |sel AS (SELECT doc_id FROM ky ORDER BY key_u DESC, doc_id ASC LIMIT 150)
+        |SELECT ky.doc_id, ky.n_feats, ky.logw_u, ky.g_u, ky.key_u,
+        |  (ky.doc_id IN (SELECT doc_id FROM sel)) AS selected
+        |FROM ky""".stripMargin,
 
     "q_stratified_sample" ->
       """WITH b AS (
@@ -2775,6 +2821,16 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) <= DATE '2024-01-10'
         |GROUP BY user_id""".stripMargin
   )
+
+  /** The base-257 salted rolling-hash fold as oracle SQL — replays
+    * graftnative.RollingHash over the given string expression (same
+    * helper Bpe keeps privately for its oracles).
+    */
+  private def sqlFold(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($s, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |      (acc, c) -> (acc * 257 + c) % 1000000007)""".stripMargin
 
   /** Shared CTEs for the corpus-LM oracles: bigram model training + the
     * per-doc mean-log-prob score (`lm`) — used verbatim by q_lm_score and

@@ -210,6 +210,86 @@ object Sampling {
       .select(col("doc_id"), col(groupCol), col("rank"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): select the k raw documents whose hashed-n-gram distribution
+    * looks most like a small curated TARGET set, by importance weight
+    * p_target(x)/p_raw(x) under bag-of-hashed-grams models, resampled
+    * without replacement via the Gumbel top-k trick. This is the
+    * data-selection stage that turns a web-scale crawl into a
+    * domain-matched pretraining corpus.
+    *
+    * Features: unigrams + bigrams hashed by the salted base-257 portable
+    * fold into `buckets` cells (the paper's hashed n-gram features).
+    * Both models are Laplace-smoothed bucket multinomials; per-feature
+    * log-ratio weights are quantized to integer micro-units the moment
+    * they leave ln (the lmScore/nbQuality rule), so per-doc totals are
+    * exact longs. The Gumbel noise g_i = -ln(-ln(u_i)) uses u_i from the
+    * salted fold of the doc id — deterministic, engine-replayable, and
+    * independent of the weight fold — and is micro-quantized the same
+    * way; selection keeps the k largest (logw_u + g_u), ties toward the
+    * lower doc_id.
+    *
+    * Scale shape: training is two bounded aggregates (each at most
+    * `buckets` rows regardless of corpus size, map-side combined); the
+    * model broadcasts; scoring is one gram explode re-aggregated per doc
+    * (text never shuffles); selection is a TakeOrdered global top-k
+    * (per-partition partial top-k, no full sort) over the slim
+    * (doc_id, key) projection, with the k winners broadcast back as the
+    * `selected` flag.
+    */
+  def dsirSelect(docs: DataFrame, target: Column, buckets: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val feats = docs
+      .select(col("doc_id"), target.as("is_target"),
+        explode_outer(grams).as("gram"))
+      .withColumn("bucket",
+        pmod(rollingHash(concat(lit("dsir:"), col("gram"))),
+          lit(buckets.toLong)))
+    val rawC = feats.where(col("gram").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgtC = feats.where(col("gram").isNotNull && col("is_target"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val nr = rawC.agg(coalesce(sum(col("cr")), lit(0L)).as("n_raw"))
+    val nt = tgtC.agg(coalesce(sum(col("ct")), lit(0L)).as("n_tgt"))
+    // model rows exist for every bucket the raw corpus populates (a
+    // scored gram is by construction in the raw corpus, so the scoring
+    // join below never misses); absent target counts smooth to +1
+    val model = rawC
+      .join(tgtC, Seq("bucket"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("bucket"),
+        floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+            / (col("n_tgt") + buckets).cast("double"))
+          - log((col("cr") + 1).cast("double")
+            / (col("n_raw") + buckets).cast("double")))
+          * 1000000.0 + 0.5).cast("long").as("w_u"))
+    val gumbel = floor(-log(-log(
+        (pmod(rollingHash(concat(lit("dsir:g:"), col("doc_id").cast("string"))),
+          lit(1000000L)).cast("double") + 0.5) / 1000000.0))
+      * 1000000.0 + 0.5).cast("long")
+    val scored = feats
+      .join(broadcast(model), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_feats"),
+        coalesce(sum(col("w_u")), lit(0L)).as("logw_u"))
+      .withColumn("g_u", gumbel)
+      .withColumn("key_u", col("logw_u") + col("g_u"))
+    val winners = scored
+      .orderBy(col("key_u").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), lit(true).as("sel_m"))
+    scored.join(broadcast(winners), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("logw_u"), col("g_u"),
+        col("key_u"), coalesce(col("sel_m"), lit(false)).as("selected"))
+  }
+
   /** Engine-portable stratified sample: per-stratum keep-percentages over
     * the base-257 id-fold bucket (the same portable hash the corpus-prep
     * split uses), so the sampled set is reproducible in any engine —

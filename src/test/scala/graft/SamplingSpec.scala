@@ -154,6 +154,37 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.count() == 4)
   }
 
+  test("dsirSelect shifts the selected mix toward the target distribution") {
+    import org.apache.spark.sql.functions.col
+    // two vocabularies: target-flavored docs ('alpha beta ...') and
+    // off-distribution docs ('zz yy ...'); the target predicate marks a
+    // SMALL slice of the alpha family. DSIR must prefer unlabeled alpha
+    // docs over zz docs at equal k.
+    val alpha = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma delta w$i", i < 5))
+    val noise = (100L until 140L).map(i =>
+      (i, s"zz yy xx ww v$i", false))
+    val docs = (alpha ++ noise).toDF("doc_id", "text", "is_tgt")
+    val out = Sampling.dsirSelect(docs, target = col("is_tgt"),
+      buckets = 128, k = 20).collect()
+    assert(out.length == 80)
+    assert(out.count(_.getAs[Boolean]("selected")) == 20)
+    val selIds = out.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    // selection is dominated by the alpha family (ids < 100)
+    val nAlpha = selIds.count(_ < 100L)
+    assert(nAlpha >= 16, s"expected alpha-dominated selection, got $selIds")
+    // weights separate the families: every alpha logw above every noise
+    val byFam = out.groupBy(_.getAs[Long]("doc_id") < 100L)
+      .map { case (f, rs) => f -> rs.map(_.getAs[Long]("logw_u")) }
+    assert(byFam(true).min > byFam(false).max)
+    // deterministic under repartitioning
+    val again = Sampling.dsirSelect(docs.repartition(7), target = col("is_tgt"),
+      buckets = 128, k = 20).collect()
+      .filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("doc_id")).toSet
+    assert(again == selIds)
+  }
+
   test("quantileGate keeps rows at or above their group's quantile") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 20L)).toDF("g", "score")
