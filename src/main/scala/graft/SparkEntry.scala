@@ -375,6 +375,20 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         minJaccard = 0.5, maxLenDiff = 40)),
 
+    // §2.18e — doc-in-doc CONTAINMENT pairs: every 25th doc re-added as a
+    // 10-token excerpt (Jaccard ~0.1 vs its origin — invisible to the
+    // symmetric tier — but containment 1.0); candidates via the
+    // rare-shingle inverted index (df <= 8), exact native intersect
+    // verify, both directed ratios emitted.
+    "q_dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 3, 10), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts),
+        minCont = 0.8, maxShingleDf = 8)
+    }),
+
     // §2.19 — embedding-cosine near-dup pairs, blocked by IVF quantizer
     // cell (multi-probe). The oracle is blocking-free all-pairs truth, so
     // the hash check also certifies the blocking lost no pair.
@@ -1612,6 +1626,44 @@ object SparkEntry {
         |FROM corpus GROUP BY md5(text)""".stripMargin,
 
     "q_ngram_jaccard" -> s"WITH $ngramJaccardCtes\n$ngramJaccardPairSelect",
+
+    "q_dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(string_split(text, ' ')[3:12], ' ')
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))) AS sh
+        |  FROM corpus WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (SELECT doc_id, s.s FROM sh, LATERAL unnest(sh.sh) AS s(s)),
+        |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+        |rare AS (
+        |  SELECT ex.doc_id, ex.s FROM ex JOIN dfreq USING (s)
+        |  WHERE dfreq.df <= 8),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared_rare
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT p.doc_a, p.doc_b, p.n_shared_rare,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+        |    CAST(len(sa.sh) AS BIGINT) AS size_a,
+        |    CAST(len(sb.sh) AS BIGINT) AS size_b
+        |  FROM pairs p
+        |  JOIN sh sa ON p.doc_a = sa.doc_id
+        |  JOIN sh sb ON p.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, n_shared_rare, inter, size_a, size_b,
+        |  CAST(inter AS DOUBLE) / size_a AS cont_a,
+        |  CAST(inter AS DOUBLE) / size_b AS cont_b,
+        |  CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+        |FROM j
+        |WHERE greatest(CAST(inter AS DOUBLE) / size_a,
+        |  CAST(inter AS DOUBLE) / size_b) >= 0.8""".stripMargin,
 
     // connected components as a recursive reachability closure: cluster_id
     // of a node = min node id reachable in the undirected pair graph

@@ -291,6 +291,14 @@ object Stress {
     time("pair_dup_spans") {
       graft.operators.Contamination.pairDupSpans(docs, n = 8, maxOcc = 8)
     }
+    // Containment shares pair_dup_spans' self-limiting rule: replication
+    // multiplies every shingle's df by `factor`, so at maxShingleDf = 8 <
+    // factor no shingle stays rare and the candidate set (hence output)
+    // must be EMPTY — the inverted-index cap is what keeps doc-in-doc
+    // search from enumerating replica cliques.
+    time("containment") {
+      Dedup.containmentPairs(docs, minCont = 0.8, maxShingleDf = 8)
+    }
     // BPE under replication: training cost is ONE (word, count) aggregate
     // whose group space (the vocabulary) doesn't grow with replicas, and
     // application is a scan-speed replace chain — both must scale like a

@@ -845,4 +845,67 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("inter"), col("uni"), col("jaccard"))
   }
+
+  // ---------------------------------------------------- containment pairs
+
+  /** Doc-in-doc CONTAINMENT dedup — the asymmetric tier symmetric Jaccard
+    * cannot see: a 10-token excerpt embedded in a 300-token page has
+    * Jaccard ~0.03 but containment C(A,B) = |A∩B| / |A| = 1.0. This is
+    * how a pipeline finds quoted/concatenated/excerpted duplication
+    * (one doc wholly inside another), the overlap-join semantics of the
+    * AllPairs/PPJoin family.
+    *
+    * Blocking is the rare-shingle inverted index (the q_pair_dup_spans
+    * rule): candidate pairs share at least one shingle whose corpus
+    * document-frequency is <= `maxShingleDf`. A length band cannot block
+    * containment (the pair's lengths are wildly different by
+    * construction), but a contained doc necessarily shares ALL its
+    * shingles with its container, so unless every one of its shingles is
+    * corpus-hot boilerplate, a rare one links the pair. Verification is
+    * then the exact native sorted-merge intersect per candidate, and
+    * both directed containments plus Jaccard are emitted.
+    *
+    * Scale shape: the shingled projection is checkpointed once (explode,
+    * both pair-side fetches); the df aggregate is linear with map-side
+    * combine; the inverted-index self-join emits at most C(maxShingleDf,
+    * 2) pairs per rare shingle. Under replica flooding the rule is
+    * self-limiting exactly like q_pair_dup_spans: replicating the corpus
+    * k-fold multiplies every df by k, pushing formerly-rare shingles OVER
+    * the cap — replica cliques are excluded by construction rather than
+    * enumerated. Output carries counts and ratios only, so the internal
+    * 64-bit shingle hash never leaks into the result (oracle-exact under
+    * any injective hash).
+    */
+  def containmentPairs(docs: DataFrame, minCont: Double,
+      maxShingleDf: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.SortedIntersectCount.sortedIntersectCount
+    val withSh = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingleHashes(col("toks")).as("sh"))
+      .localCheckpoint()
+    val ex = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val rare = ex.join(dfreq.where(col("df") <= maxShingleDf), "s")
+      .select(col("doc_id"), col("s"))
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+    pairs
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("size_a", size(col("sh_a")).cast("long"))
+      .withColumn("size_b", size(col("sh_b")).cast("long"))
+      .withColumn("cont_a", col("inter") / col("size_a"))
+      .withColumn("cont_b", col("inter") / col("size_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .where(greatest(col("cont_a"), col("cont_b")) >= minCont)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_rare"), col("inter"),
+        col("size_a"), col("size_b"), col("cont_a"), col("cont_b"),
+        col("jaccard"))
+  }
 }

@@ -315,4 +315,32 @@ class DedupSpec extends SparkSpec {
     assert(tiedOut.head.getAs[Long]("keep_doc_id") == 1L)
     assert(tiedOut.head.getAs[Long]("n_docs") == 2L)
   }
+
+  test("containmentPairs finds excerpts symmetric Jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 17).map(i => s"w$i").mkString(" ") // 8 tokens inside big
+    val other = (100 to 139).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, big), (2L, other), (3L, excerpt)
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, minCont = 0.8, maxShingleDf = 8)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L)
+    // all 6 of the excerpt's shingles are inside big: cont_b = 1.0
+    assert(r.getAs[Double]("cont_b") == 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5) // the symmetric tier's blind spot
+    assert(r.getAs[Long]("inter") == 6L)
+
+    // the hotness cap self-limits under replica flooding: at df cap 2,
+    // a shingle present in 3 docs links nothing
+    val flooded = docs.union(Seq((4L, big), (5L, big)).toDF("doc_id", "text"))
+    val capped = Dedup.containmentPairs(flooded, minCont = 0.8, maxShingleDf = 2)
+    // big's shingles now have df 3 (> 2): only excerpt-vs-one-big pairs
+    // could survive via excerpt-only shingles, but those all live in the
+    // three big replicas too -> no rare shingle -> empty
+    assert(capped.count() == 0L)
+  }
 }
