@@ -26,6 +26,14 @@ object SparkEntry {
 
   private val stopwords = Seq("the", "a", "data", "value")
 
+  // keyword queries for the BM25 retrieval entry — fixed literals so the
+  // oracle carries the identical VALUES list
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark window agg",
+    2L -> "customer join query",
+    3L -> "vector scan filter",
+    4L -> "stream batch merge")
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"),
     "fr" -> Seq("table", "row"),
@@ -723,6 +731,23 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(Tables.documents(s, dir), maxPostings = 10)),
 
+    // §2.24f7 — BM25 top-k retrieval: the lexical-search dual of the ANN
+    // family (and the retrieval side of a RAG build) — k best docs per
+    // keyword query, per-term contributions micro-quantized so the
+    // ranking long is exact. Only occurrences of the |Q| query terms
+    // ever shuffle.
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), bm25Queries, k = 10,
+        k1 = 1.2, b = 0.75)),
+
+    // §2.24f8 — PMI collocations: the adjacent pairs co-occurring far
+    // above chance (multi-word expressions / boilerplate markers /
+    // tokenizer merge candidates); two map-combined aggregates + a
+    // TakeOrdered top-k
+    "q_pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(Tables.documents(s, dir), minCount = 10L,
+        topK = 30)),
+
     // §2.24g — fixed-size token windows with stride (context-window
     // chunking for sequence training)
     "q_token_windows" -> ((s, dir) =>
@@ -1202,6 +1227,13 @@ object SparkEntry {
           expr("percentile(value, 0.95)").as("p95"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))),
+
+    // §2.29b — per-type z-score outliers (sensor-threshold alarms): the
+    // cleared-denominator integer test (n·v−Σv)² > z²(n·Σv²−Σv²) in
+    // 128-bit decimals — no float stddev, so the flag can't flap across
+    // engines or partition orders; corpus scanned twice, shuffled never
+    "q_event_anomaly" -> ((s, dir) =>
+      Observability.eventAnomalies(Tables.events(s, dir), z = 3)),
 
     // §2.30 — salted two-phase aggregation (skewed-key pattern); result is
     // identical to a direct groupBy, which is exactly what the oracle checks
@@ -2436,6 +2468,39 @@ object SparkEntry {
         |  list_sort(list(doc_id))[1:10] AS postings
         |FROM td GROUP BY term""".stripMargin,
 
+    // replays the full BM25 chain — micro-quantized per-term
+    // contributions summed as exact longs, Lucene idf — with the same
+    // literal constants, so scores and ranks are bit-identical
+    "q_bm25" -> bm25Oracle,
+
+    "q_pmi_pairs" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[CAST(i.i AS INTEGER)] AS x,
+        |    toks[CAST(i.i + 1 AS INTEGER)] AS y
+        |  FROM d, unnest(range(1, len(toks))) AS i(i)),
+        |pc AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM bg GROUP BY x, y HAVING count(*) >= 10),
+        |uni AS (
+        |  SELECT t.term, CAST(count(*) AS BIGINT) AS c
+        |  FROM d, unnest(toks) AS t(term) GROUP BY t.term),
+        |tot AS (
+        |  SELECT CAST(sum(len(toks)) AS BIGINT) AS t_tokens,
+        |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS b_slots
+        |  FROM d),
+        |j AS (
+        |  SELECT pc.x, pc.y, pc.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |    ln((CAST(pc.c_xy AS DOUBLE) * t.t_tokens * t.t_tokens) /
+        |      (CAST(t.b_slots AS DOUBLE) * ux.c * uy.c)) AS pmi
+        |  FROM pc
+        |  JOIN uni ux ON pc.x = ux.term
+        |  JOIN uni uy ON pc.y = uy.term
+        |  CROSS JOIN tot t)
+        |SELECT x, y, c_xy, c_x, c_y,
+        |  floor(pmi * 10000.0 + 0.5) / 10000.0 AS pmi_r
+        |FROM j ORDER BY pmi DESC, x ASC, y ASC LIMIT 30""".stripMargin,
+
     "q_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, t.token, count(*) AS tf
@@ -2555,6 +2620,30 @@ object SparkEntry {
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the cleared-denominator test replays in HUGEINTs (the oracle's
+    // int128) against Spark's decimal(38,0) — exact on both sides
+    "q_event_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v_c) AS BIGINT) AS s1,
+        |    CAST(sum(v_c * v_c) AS BIGINT) AS s2
+        |  FROM b GROUP BY event_type),
+        |j AS (
+        |  SELECT b.event_id, b.event_type, b.value,
+        |    CAST(st.n AS HUGEINT) * b.v_c - st.s1 AS dev,
+        |    CAST(st.n AS HUGEINT) * st.s2
+        |      - CAST(st.s1 AS HUGEINT) * st.s1 AS vt
+        |  FROM b JOIN st USING (event_type))
+        |SELECT event_id, event_type, value,
+        |  floor(CAST(dev AS DOUBLE) / sqrt(CAST(vt AS DOUBLE)) * 10000.0
+        |    + 0.5) / 10000.0 AS zscore_r,
+        |  dev > 0 AS high
+        |FROM j WHERE dev * dev > 9 * vt""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,
@@ -2889,6 +2978,58 @@ object SparkEntry {
     * as the scoring stage of q_ppl_buckets, so the two can never desync
     * on the model formula.
     */
+  /** q_bm25 oracle: replays corpus stats, query-term tf/df, the Lucene
+    * idf and length-normalized tf with the SAME literal constants and
+    * association as the Spark expressions, micro-quantizes each term
+    * contribution (floor(x*1e6+0.5), the lmScore rule) and ranks on the
+    * exact long sum — scores and ranks bit-identical by construction.
+    */
+  private def bm25Oracle: String = {
+    val vals = bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val k1 = "1.2"; val b = "0.75"
+    s"""WITH q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (
+       |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, t.term
+       |  FROM q, unnest(string_split(qtext, ' ')) AS t(term)),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d),
+       |td AS (
+       |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(max(len(toks)) AS BIGINT) AS dl
+       |  FROM d, unnest(toks) AS t(term)
+       |  WHERE t.term IN (SELECT term FROM qt)
+       |  GROUP BY doc_id, t.term),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term),
+       |sc AS (
+       |  SELECT td.doc_id, td.term,
+       |    ln((CAST(s.n_docs AS DOUBLE) - df + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf,
+       |    CAST(tf AS DOUBLE) * ($k1 + 1.0) /
+       |      (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE)
+       |        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS tfn
+       |  FROM td JOIN dfreq USING (term) CROSS JOIN stats s),
+       |cu AS (
+       |  SELECT doc_id, term,
+       |    CAST(floor(idf * tfn * 1000000.0 + 0.5) AS BIGINT) AS contrib_u
+       |  FROM sc),
+       |pq AS (
+       |  SELECT qt.query_id, cu.doc_id, sum(contrib_u) AS score_u,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM cu JOIN qt ON cu.term = qt.term
+       |  GROUP BY qt.query_id, cu.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id, n_terms, score_u,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM pq)
+       |SELECT query_id, rank, doc_id, n_terms,
+       |  CAST(score_u AS DOUBLE) / 1000000.0 AS bm25
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   private val lmScoreCtes: String =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |bi AS (

@@ -196,4 +196,50 @@ object Observability {
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Per-group z-score outliers: events whose value sits more than
+    * `z` population standard deviations from their event_type's mean —
+    * the sensor-threshold alarm every monitoring pass runs over a metric
+    * stream.
+    *
+    * Numeric portability: a streamed stddev (Welford / central moments)
+    * is merge-order-dependent in floats, so the flag would flap between
+    * engines and runs. Instead values are quantized to integer
+    * centi-units at the scan (they carry 2 decimals), the per-type
+    * (n, Σv, Σv²) are EXACT longs, and the outlier test is the
+    * denominator-cleared integer inequality
+    *     (n·v − Σv)² > z²·(n·Σv² − (Σv)²)
+    * — no division, no sqrt, no epsilon: bit-identical everywhere. The
+    * reported z-score does one sqrt of an exact long, for humans only.
+    *
+    * Scale shape: the stats aggregate collapses to one row per
+    * event_type (map-side combined, broadcast back), so the corpus is
+    * scanned twice but never shuffled; Σv² of centi-values stays within
+    * long for ~10^12 events at value ~100, far past any per-type slice.
+    */
+  def eventAnomalies(events: DataFrame, z: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vc = floor(col("value") * 100.0 + 0.5).cast("long")
+    val base = events.select(col("event_id"), col("event_type"), col("value"),
+      vc.as("v_c"))
+    val stats = base.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v_c")).as("s1"),
+      sum(col("v_c") * col("v_c")).as("s2"))
+    // the cleared-denominator terms outgrow int64 around 10^9 events per
+    // type (n·Σv² ~ n²·v²), so they are 128-bit-exact decimals here and
+    // HUGEINTs in the oracle — headroom to ~10^12 events/type at 4-digit
+    // values, with the test still division-free and bit-exact
+    val dev = col("n").cast(dec) * col("v_c").cast(dec) - col("s1").cast(dec)
+    val varTerm = col("n").cast(dec) * col("s2").cast(dec) -
+      col("s1").cast(dec) * col("s1").cast(dec)
+    base
+      .join(broadcast(stats), "event_type")
+      .where(dev * dev > lit(z.toLong * z).cast(dec) * varTerm)
+      .withColumn("zscore_r",
+        floor(dev.cast("double") / sqrt(varTerm.cast("double")) * 10000.0 + 0.5)
+          / 10000.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("zscore_r"), (dev > lit(0).cast(dec)).as("high"))
+  }
 }

@@ -727,4 +727,134 @@ object TextAnalysis {
       expr(s"CAST((octet_length(CAST(text AS BINARY)) + ${chunkBytes - 1}) DIV $chunkBytes AS BIGINT)")
         .as("n_chunks"),
       md5(col("text")).as("content_hash"))
+
+  // -------------------------------------------------------- BM25 retrieval
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; the Lucene idf form):
+    * score the corpus against a fixed set of keyword queries and return
+    * the k best documents per query. This is the lexical-search dual of
+    * the ANN family — how a pipeline pulls "documents about X" out of a
+    * web-scale corpus without embeddings (and the retrieval side of a
+    * RAG data build).
+    *
+    * score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5) + 1).
+    *
+    * Numeric portability: each term's contribution is quantized to
+    * integer micro-units the moment it leaves the float domain (the
+    * lmScore rule), so the per-(query,doc) total is an exact long —
+    * order-independent across partitions and bit-equal in any engine;
+    * ranking and the hash-checked score derive from that long.
+    *
+    * Scale shape: the only corpus-sized work is one scan-speed
+    * explode+filter — the IN filter on the |Q| query terms runs before
+    * anything shuffles, so the exchange carries occurrences of query
+    * terms only, never the vocabulary. N/avgdl is a second slim
+    * projection folded to ONE row (no text). df, corpus stats, and the
+    * query-term map are all broadcast; the final per-query top-k is the
+    * skew-safe two-phase rank (a hot query cannot pin a reducer).
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qtermPairs = queries.flatMap { case (qid, qt) =>
+      qt.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t)) }
+    val allTerms: Seq[Any] = qtermPairs.map(_._2).distinct
+    val qterms = qtermPairs.toDF("query_id", "term")
+
+    // corpus stats over ALL docs: one slim no-text projection -> 1 row
+    val stats = docs
+      .select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+    // (doc, term, tf, dl) restricted to the query terms BEFORE any
+    // exchange: only hits travel
+    val td = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val tfn = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = td
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("idf", idf)
+      .withColumn("tfn", tfn)
+      .withColumn("contrib_u",
+        floor(col("idf") * col("tfn") * 1000000.0 + 0.5).cast("long"))
+
+    val perQuery = scored
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_u")).as("score_u"),
+        count(lit(1)).as("n_terms"))
+    val pri = Seq(col("score_u").desc, col("doc_id").asc)
+    val local = Window.partitionBy(col("query_id"), col("part")).orderBy(pri: _*)
+    val global = Window.partitionBy(col("query_id")).orderBy(pri: _*)
+    perQuery
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .where(col("lr") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("score_u").cast("double") / 1000000.0).as("bm25"))
+  }
+
+  // ----------------------------------------------------- PMI collocations
+
+  /** Pointwise-mutual-information collocation mining (Church & Hanks
+    * 1990): the adjacent token pairs that co-occur far more than chance —
+    * multi-word expressions, templated boilerplate markers, tokenizer
+    * merge candidates. pmi(x,y) = ln(p(xy) / (p(x)·p(y))) with p(xy)
+    * over the B adjacent-bigram slots and p(·) over the T token slots.
+    *
+    * Scale shape: two corpus-sized aggregates, both map-side combined —
+    * bigram counts (group space = observed bigram types) and unigram
+    * counts (group space = vocabulary) — plus ONE-row totals; the
+    * min-count prune lands on the bigram aggregate before the two
+    * vocabulary-sized joins, so only surviving pairs join. The final
+    * top-k is a TakeOrdered (per-partition partial top-k, no global
+    * sort). All counts are exact longs; pmi is one ln per surviving
+    * pair with a total (pmi, x, y) tie-break.
+    */
+  def pmiPairs(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val bigrams = toks
+      .select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w AS x, toks[i + 1] AS y))"))
+        .as("bg"))
+      .groupBy(col("bg.x").as("x"), col("bg.y").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val unigrams = toks
+      .select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = toks.agg(
+      sum(size(col("toks")).cast("long")).as("t_tokens"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("b_slots"))
+    val pmi = log(
+      (col("c_xy").cast("double") * col("t_tokens") * col("t_tokens")) /
+        (col("b_slots").cast("double") * col("c_x") * col("c_y")))
+    bigrams
+      .join(unigrams.select(col("term").as("x"), col("c").as("c_x")), "x")
+      .join(unigrams.select(col("term").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", pmi)
+      .orderBy(col("pmi").desc, col("x").asc, col("y").asc)
+      .limit(topK)
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        (floor(col("pmi") * 10000.0 + 0.5) / 10000.0).as("pmi_r"))
+  }
 }
