@@ -42,11 +42,12 @@ object SparkEntry {
     "zh" -> Seq("spark", "stream"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 — daily-partitioned extract; the date filter is rewritten to a
-    // raw-nanos range so it pushes down to the parquet scan
+    // §2.1 — daily-partitioned extract; the date filter is phrased as a
+    // range on the STORED ts representation so it pushes down to the
+    // parquet scan (Tables.eventsDayRange dispatches on the layout)
     "q_extract_daily" -> ((s, dir) =>
-      Etl.extractDailyNs(Tables.eventsRaw(s, dir), "ts", "2024-01-02",
-        Seq("event_id", "user_id", "event_type", "value"))),
+      Tables.eventsDayRange(s, dir, "2024-01-02", "2024-01-03")
+        .select("event_id", "user_id", "event_type", "value")),
 
     // §2.2 — constant-filtered dimension extract (cfg_item_master analog)
     "q_item_master" -> ((s, dir) =>
@@ -1408,17 +1409,13 @@ object SparkEntry {
     // §2.7c — incremental aggregate maintenance: 9 days of prior state
     // merged with day 10's delta; the oracle recomputes from scratch over
     // the union of both windows, proving merge == recompute bit-for-bit
-    // (exact-decimal mergeable state). Both extracts push raw-ns ranges
+    // (exact-decimal mergeable state). Both extracts push stored-ts ranges
     // to the scan.
     "q_incr_merge" -> ((s, dir) => {
-      val ev = Tables.eventsRaw(s, dir)
-      def dayRangeNs(from: String, untilExcl: String) = {
-        val lo = java.time.LocalDate.parse(from).toEpochDay * 86400L * 1000000000L
-        val hi = java.time.LocalDate.parse(untilExcl).toEpochDay * 86400L * 1000000000L
-        ev.where(col("ts") >= lo && col("ts") < hi)
-      }
-      val state = Etl.aggState(dayRangeNs("2024-01-01", "2024-01-10"), "user_id", "value")
-      val delta = Etl.aggState(dayRangeNs("2024-01-10", "2024-01-11"), "user_id", "value")
+      val state = Etl.aggState(
+        Tables.eventsDayRange(s, dir, "2024-01-01", "2024-01-10"), "user_id", "value")
+      val delta = Etl.aggState(
+        Tables.eventsDayRange(s, dir, "2024-01-10", "2024-01-11"), "user_id", "value")
       Etl.mergeAggStates(Seq(state, delta))
     })
   )
