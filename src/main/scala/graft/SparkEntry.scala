@@ -1243,6 +1243,53 @@ object SparkEntry {
           .select(col("event_id"), col("event_type"), col("value")),
         key = "event_type", valueCol = "value", salt = 16)),
 
+    // §2.47 — multidimensional ROLLUP aggregate (detail + per-source
+    // subtotal + grand total from ONE Expand + ONE shuffle, not three scans)
+    "q_rollup" -> ((s, dir) =>
+      graft.operators.Analytics.rollupStats(Tables.documents(s, dir),
+        "source", "lang", countAlias = "n_docs",
+        sumCol = "n_chars", sumAlias = "sum_chars")),
+
+    // §2.48 — referential-integrity audit over the star schema's three FK
+    // edges: orphan/null-FK counts per relation, parents projected to keys
+    "q_fk_check" -> ((s, dir) => {
+      val a = graft.operators.Analytics.fkAudit(
+        Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+        "lineitem->orders")
+      val b = graft.operators.Analytics.fkAudit(
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey",
+        "orders->customer")
+      val c = graft.operators.Analytics.fkAudit(
+        Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey",
+        "customer->nation")
+      a.unionByName(b).unionByName(c)
+    }),
+
+    // §2.49 — TPC-H Q3 shape: unshipped-order revenue top-10 (broadcast
+    // segment dim, both date filters pushed, TakeOrdered top-k — no sort)
+    "q_top_revenue" -> ((s, dir) =>
+      graft.operators.Analytics.topRevenue(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir),
+        segment = "BUILDING", cutoff = "1998-06-01", k = 10)),
+
+    // §2.50 — key-skew audit: order-of-magnitude histogram of per-key row
+    // counts (the pre-join shuffle-planning diagnostic)
+    "q_skew_report" -> ((s, dir) =>
+      graft.operators.Analytics.keySkewReport(
+        Tables.events(s, dir).select(col("user_id")), "user_id")),
+
+    // §2.51 — per-user running exact-decimal total + sliding 3-row average
+    // over the event stream (explicit ROWS frame, unique ordering)
+    "q_running_total" -> ((s, dir) =>
+      graft.operators.Analytics.runningTotals(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value")),
+
+    // §2.52 — daily gap-fill with LOCF: per-user purchase-day sums on a
+    // complete broadcast-built day spine, gaps flagged and forward-filled
+    "q_gapfill" -> ((s, dir) =>
+      graft.operators.Analytics.gapFillDaily(Tables.events(s, dir),
+        "user_id", "ts", "value", "event_type", "purchase")),
+
     // §2.31 — failure listing (RunAnalyzer.get_failures analog)
     "q_run_failures" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2647,6 +2694,94 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  count(value) AS n_rows
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT source, lang,
+        |  GROUPING(source) AS g_source, GROUPING(lang) AS g_lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    "q_fk_check" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_fk,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphan_rows,
+        |  (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphan_keys
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders WHERE o_custkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+        |  (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)),
+        |  (SELECT count(DISTINCT c_nationkey) FROM customer WHERE c_nationkey IS NOT NULL
+        |     AND NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))""".stripMargin,
+
+    "q_top_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH per_key AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT CAST(length(CAST(n AS VARCHAR)) AS INT) AS magnitude,
+        |  count(*) AS n_keys, min(n) AS min_rows, max(n) AS max_rows,
+        |  sum(n) AS sum_rows
+        |FROM per_key GROUP BY 1""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w_cum AS DOUBLE) AS running_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w_sl AS DOUBLE)
+        |    / count(*) OVER w_sl AS sliding_avg_3
+        |FROM events
+        |WINDOW
+        |  w_cum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_sl AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT u.user_id, CAST(d.day AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |              FROM bounds) d)
+        |SELECT s.user_id, s.day, daily.day_sum,
+        |  last_value(daily.day_sum IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+        |  daily.day_sum IS NULL AS is_gap
+        |FROM spine s
+        |LEFT JOIN daily ON s.user_id = daily.user_id AND s.day = daily.day""".stripMargin,
 
     "q_run_failures" ->
       """SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-analytics operators rounding out the lake-SQL surface the
+  * reference reaches through Trino (reference: etl/resources/trino.py:74
+  * `execute_query` — arbitrary analytical SQL on the lake): multidimensional
+  * rollup aggregates, referential-integrity audits, top-k revenue scans,
+  * key-skew diagnostics, running/sliding window totals, and time-series
+  * gap-filling. Each is phrased so Catalyst keeps partial aggregation
+  * map-side and the single data-sized shuffle is on the natural key.
+  */
+object Analytics {
+
+  /** Multidimensional aggregate via ROLLUP (detail, per-first-key subtotal,
+    * grand total) with explicit grouping flags so every output row is
+    * self-describing. Spark plans one Expand (3 replicas of the slim
+    * projection) feeding ONE hash aggregate + ONE shuffle — subtotals cost
+    * no extra pass over the fact table, which is the point at 100 TB: the
+    * naive UNION-of-three-groupBys reads the corpus three times.
+    */
+  def rollupStats(df: DataFrame, k1: String, k2: String,
+      countAlias: String, sumCol: String, sumAlias: String): DataFrame =
+    df.rollup(col(k1), col(k2))
+      .agg(grouping(col(k1)).cast("int").as(s"g_$k1"),
+        grouping(col(k2)).cast("int").as(s"g_$k2"),
+        count(lit(1)).as(countAlias), Etl.moneySum(col(sumCol)).as(sumAlias))
+      .select(col(k1), col(k2), col(s"g_$k1"), col(s"g_$k2"),
+        col(countAlias), col(sumAlias))
+
+  /** Referential-integrity audit for one FK relation: total child rows,
+    * NULL foreign keys, orphan rows (non-NULL FK with no parent), distinct
+    * orphan key values. The parent side is projected to its key before the
+    * anti join, so the shuffle carries keys only — at fact-to-fact scale
+    * this is a shuffle-hash anti join on the key, never a broadcast of a
+    * 100 TB parent.
+    */
+  def fkAudit(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+      relation: String): DataFrame = {
+    val counts = child.agg(
+      count(lit(1)).as("n_child"),
+      count(when(col(fk).isNull, 1)).as("n_null_fk"))
+    val orphans = child.select(col(fk)).where(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      .agg(count(lit(1)).as("n_orphan_rows"),
+        countDistinct(col(fk)).as("n_orphan_keys"))
+    counts.crossJoin(orphans).select(lit(relation).as("relation"),
+      col("n_child"), col("n_null_fk"), col("n_orphan_rows"), col("n_orphan_keys"))
+  }
+
+  /** TPC-H Q3 shape: unshipped-order revenue top-k. Dimension filter
+    * broadcast, both fact filters pushed to their scans, revenue as an
+    * exact decimal sum (order-independent), and the top-k taken with
+    * TakeOrdered over the aggregated rows — no global sort of the
+    * aggregate output.
+    */
+  def topRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String, cutoff: String, k: Int): DataFrame =
+    // string literals coerce to the timestamp column's own type (NTZ or
+    // instant, whichever the parquet layout yields), fold at analysis, and
+    // push to both scans — a typed literal of the WRONG flavor would not
+    // even resolve
+    lineitem.where(col("l_shipdate") > lit(cutoff))
+      .join(orders.where(col("o_orderdate") < lit(cutoff)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.where(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+
+  /** Key-skew audit: order-of-magnitude histogram of per-key row counts —
+    * the shuffle-planning diagnostic run BEFORE keying a 100 TB join or
+    * aggregate on a column. Buckets are decimal-digit counts of the per-key
+    * cardinality (integer-exact on every engine, unlike float log2), with
+    * per-bucket key counts and min/max/total rows. Two aggregations, both
+    * partial-aggregated map-side; output is O(log of the hottest key).
+    */
+  def keySkewReport(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .groupBy(length(col("n").cast("string")).cast("int").as("magnitude"))
+      .agg(count(lit(1)).as("n_keys"), min(col("n")).as("min_rows"),
+        max(col("n")).as("max_rows"), sum(col("n")).as("sum_rows"))
+
+  /** Per-key running total + sliding 3-row aggregate over an ordered event
+    * stream. The cumulative sum is an exact decimal (order-stable across
+    * engines); the frame is an explicit ROWS frame with a unique (ts, id)
+    * ordering, so every engine sees the identical frame contents. One
+    * shuffle on the partition key; window state is O(frame) per task.
+    */
+  def runningTotals(events: DataFrame, partitionKey: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val order = Window.partitionBy(col(partitionKey))
+      .orderBy(col(tsCol), col(idCol))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = order.rowsBetween(-2, Window.currentRow)
+    events.select(col(partitionKey), col(idCol),
+      unix_micros(col(tsCol).cast("timestamp")).as("ts_us"),
+      col(valueCol),
+      sum(col(valueCol).cast("decimal(18,2)")).over(cum)
+        .cast("double").as("running_sum"),
+      (sum(col(valueCol).cast("decimal(18,2)")).over(sliding).cast("double") /
+        count(lit(1)).over(sliding)).as("sliding_avg_3"))
+  }
+
+  /** Daily gap-fill with last-observation-carried-forward: per-key daily
+    * sums joined onto a complete day spine (global corpus date bounds x
+    * keys that ever observed), missing days flagged and filled with the
+    * most recent prior value. The spine derives from a 1-row global bounds
+    * aggregate cross-joined (broadcast) onto the distinct-key set, so
+    * spine generation never shuffles the fact table; the LOCF window is
+    * one exchange on the key. This is the warehouse resample/`ffill`
+    * (pandas asfreq+ffill analog — the reference's transforms are pandas).
+    */
+  def gapFillDaily(events: DataFrame, key: String, tsCol: String,
+      valueCol: String, typeCol: String, typeValue: String): DataFrame = {
+    val daily = events.where(col(typeCol) === typeValue)
+      .groupBy(col(key), col(tsCol).cast("date").as("day"))
+      .agg(Etl.moneySum(col(valueCol)).as("day_sum"))
+    val bounds = events.agg(min(col(tsCol).cast("date")).as("lo"),
+      max(col(tsCol).cast("date")).as("hi"))
+    val spine = daily.select(col(key)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(key), explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(key, "day"), "left")
+      .select(col(key), col("day"), col("day_sum"),
+        last(col("day_sum"), ignoreNulls = true).over(w).as("filled_sum"),
+        col("day_sum").isNull.as("is_gap"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rollupStats emits detail, subtotal, and grand-total tiers with grouping flags") {
+    val df = Seq(
+      ("web", "en", 10L), ("web", "en", 20L), ("web", "fr", 5L),
+      ("books", "en", 7L)).toDF("source", "lang", "n_chars")
+    val out = Analytics.rollupStats(df, "source", "lang", "n_docs", "n_chars", "sum_chars")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(out === Set(
+      (Some("web"), Some("en"), 0, 0, 2L, 30.0),
+      (Some("web"), Some("fr"), 0, 0, 1L, 5.0),
+      (Some("books"), Some("en"), 0, 0, 1L, 7.0),
+      (Some("web"), None, 0, 1, 3L, 35.0),
+      (Some("books"), None, 0, 1, 1L, 7.0),
+      (None, None, 1, 1, 4L, 42.0)))
+  }
+
+  test("rollupStats grouping flag separates a NULL detail key from a subtotal row") {
+    val df = Seq((Some("web"), Some("en"), 1L), (Some("web"), None, 2L))
+      .toDF("source", "lang", "n_chars")
+    val out = Analytics.rollupStats(df, "source", "lang", "n_docs", "n_chars", "sum_chars")
+      .where(col("source") === "web" && col("lang").isNull)
+      .collect().map(r => (r.getInt(3), r.getLong(4))).toSet
+    // g_lang=0: the genuine NULL-lang detail row; g_lang=1: the subtotal
+    assert(out === Set((0, 1L), (1, 2L)))
+  }
+
+  test("rollupStats plans one shuffle off a single Expand, not three scans") {
+    val df = Seq(("a", "x", 1L)).toDF("source", "lang", "n_chars")
+    val plan = Analytics.rollupStats(df, "source", "lang", "n", "n_chars", "s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("fkAudit counts orphans and null FKs separately") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Analytics.fkAudit(child, "fk", parent, "pk", "c->p").collect().head
+    assert(r.getString(0) === "c->p")
+    assert(r.getLong(1) === 4L) // n_child
+    assert(r.getLong(2) === 1L) // n_null_fk
+    assert(r.getLong(3) === 1L) // n_orphan_rows (the 9)
+    assert(r.getLong(4) === 1L) // n_orphan_keys
+  }
+
+  test("fkAudit on a clean relation reports zero orphans") {
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Analytics.fkAudit(child, "fk", parent, "pk", "ok").collect().head
+    assert((r.getLong(3), r.getLong(4)) === ((0L, 0L)))
+  }
+
+  test("runningTotals: explicit ROWS frames give exact cumulative and 3-row sliding values") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 2L, ts("2024-01-01 00:01:00"), 2.0),
+      (1L, 3L, ts("2024-01-01 00:02:00"), 4.0),
+      (1L, 4L, ts("2024-01-01 00:03:00"), 8.0),
+      (2L, 5L, ts("2024-01-01 00:00:00"), 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Analytics.runningTotals(df, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "event_id")
+      .collect().map(r => (r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) === ((1L, 1.0, 1.0)))
+    assert(out(1) === ((2L, 3.0, 1.5)))
+    assert(out(2) === ((3L, 7.0, 7.0 / 3)))  // frame = rows 1..3
+    assert(out(3) === ((4L, 15.0, 14.0 / 3))) // frame slides off row 1
+    assert(out(4) === ((5L, 10.0, 10.0)))     // partition isolation
+  }
+
+  test("gapFillDaily fills interior gaps with LOCF, leaves leading gaps null, flags gaps") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      // u1 purchases on day 1 and 3 of a 4-day corpus; u2 only day 2;
+      // a non-purchase event stretches the global bounds to day 4
+      (1L, ts("2024-03-01 10:00:00"), "purchase", 5.0),
+      (1L, ts("2024-03-03 10:00:00"), "purchase", 7.0),
+      (2L, ts("2024-03-02 10:00:00"), "purchase", 9.0),
+      (2L, ts("2024-03-04 10:00:00"), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Analytics.gapFillDaily(df, "user_id", "ts", "value", "event_type", "purchase")
+      .collect().map(r => ((r.getLong(0), r.getDate(1).toString),
+        (Option(r.get(2)), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))).toMap
+    assert(out.size === 8) // 2 users x 4 days
+    assert(out((1L, "2024-03-01")) === ((Some(5.0), Some(5.0), false)))
+    assert(out((1L, "2024-03-02")) === ((None, Some(5.0), true)))  // LOCF
+    assert(out((1L, "2024-03-03")) === ((Some(7.0), Some(7.0), false)))
+    assert(out((1L, "2024-03-04")) === ((None, Some(7.0), true)))
+    assert(out((2L, "2024-03-01")) === ((None, None, true)))       // leading gap
+    assert(out((2L, "2024-03-02")) === ((Some(9.0), Some(9.0), false)))
+  }
+
+  test("keySkewReport buckets per-key cardinalities by decimal magnitude") {
+    val rows = (1 to 5).map(i => Seq.fill(i)(s"k$i")).flatten ++ Seq.fill(120)("hot")
+    val out = Analytics.keySkewReport(rows.toDF("k"), "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set((1, 5L, 1L, 5L, 15L), (3, 1L, 120L, 120L, 120L)))
+  }
+
+  test("topRevenue takes top-k deterministically and broadcasts the dim side") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val cust = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1998-01-01 00:00:00"), "1-URGENT"),
+      (11L, 1L, ts("1998-02-01 00:00:00"), "2-HIGH"),
+      (12L, 2L, ts("1998-03-01 00:00:00"), "3-MEDIUM"), // wrong segment
+      (13L, 1L, ts("1998-07-01 00:00:00"), "1-URGENT")) // after cutoff
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (10L, ts("1998-07-01 00:00:00"), 100.0, 0.0),
+      (11L, ts("1998-07-01 00:00:00"), 100.0, 0.0), // revenue tie with 10
+      (12L, ts("1998-07-01 00:00:00"), 500.0, 0.0),
+      (13L, ts("1998-07-01 00:00:00"), 500.0, 0.0),
+      (10L, ts("1998-01-02 00:00:00"), 999.0, 0.0)) // shipped before cutoff
+      .toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val q = Analytics.topRevenue(cust, orders, li, "BUILDING", "1998-06-01", k = 1)
+    // tie at revenue 100.0 between orders 10 and 11 -> lowest orderkey wins
+    val top = q.collect()
+    assert(top.length === 1)
+    assert(top.head.getLong(0) === 10L)
+    assert(top.head.getDouble(1) === 100.0)
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+}
