@@ -1290,6 +1290,24 @@ object SparkEntry {
       graft.operators.Analytics.gapFillDaily(Tables.events(s, dir),
         "user_id", "ts", "value", "event_type", "purchase")),
 
+    // §2.53 — wide-to-long unpivot (pandas melt, inverse of the equip-util
+    // pivot): per-user conditional-agg metric columns melted to rows
+    "q_unpivot" -> ((s, dir) =>
+      graft.operators.Analytics.unpivotMetrics(Tables.events(s, dir),
+        "user_id", "event_type", eventTypes, "value")),
+
+    // §2.54 — equal-width histogram with integer-exact bin assignment
+    // (cents scaling + integer div; broadcast per-type bounds)
+    "q_value_histogram" -> ((s, dir) =>
+      graft.operators.Analytics.valueHistogram(Tables.events(s, dir),
+        "event_type", "value", bins = 8)),
+
+    // §2.55 — winsorization at exact rank statistics (p05/p95 per type):
+    // clip points from the bounded cents histogram, no global sort
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Analytics.winsorize(Tables.events(s, dir),
+        "event_type", "value", loPermille = 50, hiPermille = 950)),
+
     // §2.31 — failure listing (RunAnalyzer.get_failures analog)
     "q_run_failures" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2749,6 +2767,59 @@ object SparkEntry {
         |  count(*) AS n_keys, min(n) AS min_rows, max(n) AS max_rows,
         |  sum(n) AS sum_rows
         |FROM per_key GROUP BY 1""".stripMargin,
+
+    "q_unpivot" -> {
+      val aggCols = eventTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+        .mkString(", ")
+      val arms = eventTypes.map(t =>
+        s"SELECT user_id, '$t' AS metric, $t AS sum_value FROM wide")
+        .mkString(" UNION ALL ")
+      s"""WITH wide AS (SELECT user_id, $aggCols FROM events GROUP BY user_id)
+         |SELECT * FROM ($arms) WHERE sum_value IS NOT NULL""".stripMargin
+    },
+
+    "q_value_histogram" ->
+      """WITH cents AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |bounds AS (
+        |  SELECT event_type, min(cents) AS lo, max(cents) AS hi
+        |  FROM cents GROUP BY 1)
+        |SELECT c.event_type,
+        |  CAST(((c.cents - b.lo) * 8) // (b.hi - b.lo + 1) AS INT) AS bin,
+        |  count(*) AS n, min(c.cents) AS min_cents, max(c.cents) AS max_cents
+        |FROM cents c JOIN bounds b USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH cents AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |hist AS (
+        |  SELECT event_type, cents, count(*) AS cnt FROM cents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |tot AS (SELECT event_type, sum(cnt) AS n FROM hist GROUP BY 1),
+        |cuts AS (
+        |  SELECT c.event_type,
+        |    min(CASE WHEN cum >= (n * 50 + 999) // 1000 THEN cents END) AS lo_c,
+        |    min(CASE WHEN cum >= (n * 950 + 999) // 1000 THEN cents END) AS hi_c
+        |  FROM cum c JOIN tot USING (event_type) GROUP BY 1)
+        |SELECT c.event_type, count(*) AS n,
+        |  CAST(min(lo_c) AS DOUBLE) / 100 AS cut_lo,
+        |  CAST(min(hi_c) AS DOUBLE) / 100 AS cut_hi,
+        |  count(CASE WHEN c.cents < lo_c THEN 1 END) AS n_clip_lo,
+        |  count(CASE WHEN c.cents > hi_c THEN 1 END) AS n_clip_hi,
+        |  CAST(sum(CASE WHEN c.cents < lo_c THEN lo_c
+        |                WHEN c.cents > hi_c THEN hi_c
+        |                ELSE c.cents END) AS DOUBLE) / 100 AS win_sum
+        |FROM cents c JOIN cuts USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     "q_running_total" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,

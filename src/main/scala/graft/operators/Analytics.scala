@@ -110,6 +110,85 @@ object Analytics {
         count(lit(1)).over(sliding)).as("sliding_avg_3"))
   }
 
+  /** Wide-to-long unpivot (pandas `melt`, the inverse of the equip-util
+    * pivot): per-key conditional-aggregate metric columns melted back to
+    * (key, metric, value) rows via the native Unpivot/Expand operator —
+    * one shuffle for the aggregate, the melt itself is a projection.
+    * NULL metric cells are dropped on both engines explicitly (Spark's
+    * unpivot keeps them, DuckDB's UNPIVOT drops them by default — the
+    * filter pins one portable semantic).
+    */
+  def unpivotMetrics(df: DataFrame, key: String, typeCol: String,
+      types: Seq[String], valueCol: String): DataFrame = {
+    val aggs = types.map(t =>
+      Etl.moneySum(when(col(typeCol) === t, col(valueCol))).as(t))
+    df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col(key)), types.map(col).toArray, "metric", "sum_value")
+      .where(col("sum_value").isNotNull)
+  }
+
+  /** Equal-width histogram with integer-exact bin assignment: values are
+    * scaled to cents (exact for 2-dp money doubles), per-group bounds come
+    * from a slim broadcast aggregate, and the bin index is pure integer
+    * arithmetic `((cents-lo)*bins) div (hi-lo+1)` — no float division, so
+    * a value can never land in different bins on different engines. Two
+    * passes over the fact column (bounds + bucket), both map-side partial
+    * aggregated; output is O(groups x bins).
+    */
+  def valueHistogram(df: DataFrame, typeCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    val cents = df.select(col(typeCol),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val bounds = cents.groupBy(col(typeCol))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    cents.join(broadcast(bounds), typeCol)
+      .withColumn("bin",
+        expr(s"((cents - lo) * $bins) DIV (hi - lo + 1)").cast("int"))
+      .groupBy(col(typeCol), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  /** Winsorization (outlier clipping) at exact rank statistics: per group,
+    * the clip points are the values at rank ceil(qLo*n) and ceil(qHi*n) —
+    * computed on the bounded (group, cents) histogram with a cumulative
+    * window, exactly like the CCNet perplexity cuts, so the corpus never
+    * globally sorts and the cuts replay bit-for-bit on any engine (no
+    * interpolated-percentile lerp). Output per group: row count, both
+    * cuts, clipped-row counts, and the winsorized exact-decimal sum.
+    * qLo/qHi are given as integer permille to keep rank arithmetic in the
+    * integer domain.
+    */
+  def winsorize(df: DataFrame, typeCol: String, valueCol: String,
+      loPermille: Int, hiPermille: Int): DataFrame = {
+    val cents = df.select(col(typeCol),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val hist = cents.groupBy(col(typeCol), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col(typeCol))
+        .orderBy(col("cents").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = hist.groupBy(col(typeCol)).agg(sum(col("cnt")).as("n"))
+    val cuts = cum.join(tot, typeCol)
+      .groupBy(col(typeCol))
+      .agg(
+        min(when(col("cum") >= expr(s"(n * $loPermille + 999) DIV 1000"),
+          col("cents"))).as("lo_c"),
+        min(when(col("cum") >= expr(s"(n * $hiPermille + 999) DIV 1000"),
+          col("cents"))).as("hi_c"))
+    cents.join(broadcast(cuts), typeCol)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        (min(col("lo_c")).cast("double") / 100).as("cut_lo"),
+        (min(col("hi_c")).cast("double") / 100).as("cut_hi"),
+        count(when(col("cents") < col("lo_c"), 1)).as("n_clip_lo"),
+        count(when(col("cents") > col("hi_c"), 1)).as("n_clip_hi"),
+        (sum(when(col("cents") < col("lo_c"), col("lo_c"))
+          .when(col("cents") > col("hi_c"), col("hi_c"))
+          .otherwise(col("cents"))).cast("double") / 100).as("win_sum"))
+  }
+
   /** Daily gap-fill with last-observation-carried-forward: per-key daily
     * sums joined onto a complete day spine (global corpus date bounds x
     * keys that ever observed), missing days flagged and filled with the

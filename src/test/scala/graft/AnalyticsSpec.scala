@@ -106,6 +106,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Set((1, 5L, 1L, 5L, 15L), (3, 1L, 120L, 120L, 120L)))
   }
 
+  test("unpivotMetrics melts wide conditional aggregates and drops absent cells") {
+    val df = Seq(
+      (1L, "click", 2.0), (1L, "click", 3.0), (1L, "view", 1.0),
+      (2L, "view", 4.0)) // user 2 never clicks -> no click row after melt
+      .toDF("user_id", "event_type", "value")
+    val out = Analytics.unpivotMetrics(df, "user_id", "event_type",
+      Seq("click", "view"), "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, "click", 5.0), (1L, "view", 1.0), (2L, "view", 4.0)))
+  }
+
+  test("valueHistogram: integer bin math puts the max in the last bin, all-equal in bin 0") {
+    val df = Seq(("a", 0.00), ("a", 0.50), ("a", 1.00), ("b", 7.77), ("b", 7.77))
+      .toDF("t", "v")
+    val out = Analytics.valueHistogram(df, "t", "v", bins = 4)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: cents 0,50,100 over [0,100] -> widths (101)/4: bins 0,1,3
+    assert(out(("a", 0)) === ((1L, 0L, 0L)))
+    assert(out(("a", 1)) === ((1L, 50L, 50L)))
+    assert(out(("a", 3)) === ((1L, 100L, 100L)))
+    // b: degenerate range -> everything in bin 0
+    assert(out(("b", 0)) === ((2L, 777L, 777L)))
+    assert(out.size === 4)
+  }
+
+  test("winsorize clips at exact rank statistics and sums clamped values") {
+    // 20 rows 1.00..20.00: rank ceil(.05*20)=1 -> cut_lo=1.00,
+    // rank ceil(.95*20)=19 -> cut_hi=19.00; one row (20.00) clips high
+    val df = (1 to 20).map(i => ("a", i.toDouble)).toDF("t", "v")
+    val r = Analytics.winsorize(df, "t", "v", 50, 950).collect().head
+    assert(r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getDouble(3) === 19.0)
+    assert(r.getLong(4) === 0L)  // nothing below the p05 value
+    assert(r.getLong(5) === 1L)  // the 20.00 row
+    assert(r.getDouble(6) === (1 to 19).sum + 19.0)
+  }
+
+  test("winsorize on an all-equal group degenerates to no clipping") {
+    val df = Seq.fill(7)(("x", 3.33)).toDF("t", "v")
+    val r = Analytics.winsorize(df, "t", "v", 50, 950).collect().head
+    assert((r.getDouble(2), r.getDouble(3)) === ((3.33, 3.33)))
+    assert((r.getLong(4), r.getLong(5)) === ((0L, 0L)))
+    assert(r.getDouble(6) === 23.31) // exact 2331 cents / 100, not 7*3.33 float drift
+  }
+
   test("topRevenue takes top-k deterministically and broadcasts the dim side") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val cust = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
