@@ -1219,6 +1219,24 @@ object SparkEntry {
           (abs(col("hll") - col("exact_distinct")).cast("double") /
             col("exact_distinct") <= 0.15).as("within_tolerance"))),
 
+    // §2.43c — approx-percentile audit (sketch-trust twin of q_approx_audit):
+    // exact p50/p95 published, the t-digest-style approx_percentile certified
+    // within 5%-relative/0.05-absolute of each — the contract a 100 TB run
+    // relies on when the exact sort-based percentile is off the table
+    "q_approx_pctl_audit" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("exact_p50"),
+          expr("percentile(value, 0.95)").as("exact_p95"),
+          expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(value, 0.95, 10000)").as("ap95"))
+        .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+          (abs(col("ap50") - col("exact_p50")) <=
+            greatest(abs(col("exact_p50")) * 0.05, lit(0.05))).as("p50_ok"),
+          (abs(col("ap95") - col("exact_p95")) <=
+            greatest(abs(col("exact_p95")) * 0.05, lit(0.05))).as("p95_ok"))),
+
     // §2.29 — exact percentiles of event value per type
     "q_event_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -2681,6 +2699,13 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  min(value) AS min_value,
         |  max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_approx_pctl_audit" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS exact_p50,
+        |  quantile_cont(value, 0.95) AS exact_p95,
+        |  true AS p50_ok, true AS p95_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     // the cleared-denominator test replays in HUGEINTs (the oracle's

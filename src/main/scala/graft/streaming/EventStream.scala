@@ -346,4 +346,32 @@ object EventStream {
           }
       }.toDF()
   }
+
+  case class RunningRow(user_id: Long, event_id: Long, running_sum: Double)
+
+  /** Streaming per-key running total — the streaming twin of
+    * Analytics.runningTotals. State per key is ONE long (cumulative exact
+    * cents, so float drift can never accumulate across a long-lived
+    * stream); rows within each microbatch are applied in (ts, event_id)
+    * order, making the emitted prefix sums deterministic under replay of
+    * the same batch boundaries. Emits one row per input event with the
+    * post-event cumulative value.
+    */
+  def runningTotalsStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, RunningRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[Long]) =>
+          var cents = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            cents += math.round(e.value * 100)
+            RunningRow(userId, e.event_id, cents / 100.0)
+          }
+          state.update(cents)
+          out.iterator
+      }.toDF()
+  }
 }

@@ -384,4 +384,35 @@ class EventStreamSpec extends SparkSpec {
       .sortBy(_._2).toSeq
     assert(near == Seq((42L, 200L), (42L, 201L)), s"got $near")
   }
+
+  test("runningTotalsStream carries exact-cents cumulative state across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.runningTotalsStream(input.toDF())
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("running")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    // batch 1: out-of-order arrival within the batch must apply in ts order
+    input.addData(
+      EventStream.Event(2, ts("2024-01-01 00:02:00"), 1, "click", 0.2),
+      EventStream.Event(1, ts("2024-01-01 00:01:00"), 1, "click", 0.1),
+      EventStream.Event(3, ts("2024-01-01 00:01:00"), 2, "view", 5.0))
+    query.processAllAvailable()
+    // batch 2: state continues from 0.3 (not 0.30000000000000004 — cents)
+    input.addData(EventStream.Event(4, ts("2024-01-01 00:03:00"), 1, "click", 0.3))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("running")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Double]("running_sum"))).toMap
+    assert(rows(1L) === ((1L, 0.1)))
+    assert(rows(2L) === ((1L, 0.3)))  // 0.1+0.2 exact in cents
+    assert(rows(3L) === ((2L, 5.0)))
+    assert(rows(4L) === ((1L, 0.6)))  // cross-batch continuation
+  }
 }
