@@ -1308,6 +1308,26 @@ object SparkEntry {
       graft.operators.Analytics.gapFillDaily(Tables.events(s, dir),
         "user_id", "ts", "value", "event_type", "purchase")),
 
+    // §2.56 — CDC log apply: events as a change stream (every 10th event a
+    // delete tombstone), collapsed to current state last-writer-wins
+    "q_cdc_apply" -> ((s, dir) =>
+      graft.operators.Analytics.cdcApply(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"),
+          when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op")),
+        key = "user_id", seqCol = "ts_us", tieCol = "event_id",
+        opCol = "op", deleteOp = "D")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts_us").as("last_ts_us"), col("value").as("last_value"),
+          col("n_ops"))),
+
+    // §2.57 — the ranking-function family in one pass (tie-aware rank /
+    // dense_rank / percent_rank / cume_dist + tie-broken ntile), one
+    // exchange shared by both window orderings
+    "q_rank_suite" -> ((s, dir) =>
+      graft.operators.Analytics.rankSuite(Tables.events(s, dir),
+        "event_type", "user_id", "value", tiles = 4)),
+
     // §2.53 — wide-to-long unpivot (pandas melt, inverse of the equip-util
     // pivot): per-user conditional-agg metric columns melted to rows
     "q_unpivot" -> ((s, dir) =>
@@ -2792,6 +2812,38 @@ object SparkEntry {
         |  count(*) AS n_keys, min(n) AS min_rows, max(n) AS max_rows,
         |  sum(n) AS sum_rows
         |FROM per_key GROUP BY 1""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    value, CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM log)
+        |SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+        |  value AS last_value, n_ops
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q_rank_suite" ->
+      """WITH spend AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS spend_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id,
+        |  CAST(spend_cents AS DOUBLE) / 100 AS spend,
+        |  rank() OVER w_val AS rnk,
+        |  dense_rank() OVER w_val AS drnk,
+        |  percent_rank() OVER w_val AS prank,
+        |  cume_dist() OVER w_val AS cdist,
+        |  ntile(4) OVER w_uniq AS quartile
+        |FROM spend
+        |WINDOW
+        |  w_val AS (PARTITION BY event_type ORDER BY spend_cents DESC),
+        |  w_uniq AS (PARTITION BY event_type ORDER BY spend_cents DESC, user_id)""".stripMargin,
 
     "q_unpivot" -> {
       val aggCols = eventTypes.map(t =>

@@ -189,6 +189,52 @@ object Analytics {
           .otherwise(col("cents"))).cast("double") / 100).as("win_sum"))
   }
 
+  /** CDC log apply: collapse a change-data-capture stream (upserts +
+    * delete tombstones) to current state, last-writer-wins by the seq
+    * ordering with a unique tie-break. The generalization of the §2.7
+    * upsert: the log may hold MANY versions per key and deletes must win
+    * when newest. One exchange on the key: the row_number pick and the
+    * per-key op count share the same window partitioning. Survivors =
+    * newest row per key unless it is a tombstone.
+    */
+  def cdcApply(log: DataFrame, key: String, seqCol: String, tieCol: String,
+      opCol: String, deleteOp: String): DataFrame = {
+    val byKey = Window.partitionBy(col(key))
+    val newestFirst = byKey.orderBy(col(seqCol).desc, col(tieCol).desc)
+    log
+      .withColumn("rn", row_number().over(newestFirst))
+      .withColumn("n_ops", count(lit(1)).over(byKey))
+      .where(col("rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("rn", opCol)
+  }
+
+  /** The ranking-function family in one pass: rank / dense_rank /
+    * percent_rank / cume_dist over the VALUE ordering (tie-aware — all
+    * four are well-defined and engine-identical under ties) plus ntile
+    * over a tie-broken unique ordering (ntile under ties is
+    * order-dependent, so it gets the deterministic ordering). Both window
+    * specs share one exchange on the group key; the ratios are quotients
+    * of small exact integers, so the doubles replay bit-for-bit.
+    */
+  def rankSuite(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, tiles: Int): DataFrame = {
+    val spend = df.groupBy(col(groupCol), col(idCol))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("spend_d"))
+      .select(col(groupCol), col(idCol),
+        (col("spend_d") * 100).cast("long").as("spend_cents"))
+    val byValue = Window.partitionBy(col(groupCol))
+      .orderBy(col("spend_cents").desc)
+    val unique = Window.partitionBy(col(groupCol))
+      .orderBy(col("spend_cents").desc, col(idCol).asc)
+    spend.select(col(groupCol), col(idCol),
+      (col("spend_cents").cast("double") / 100).as("spend"),
+      rank().over(byValue).as("rnk"),
+      dense_rank().over(byValue).as("drnk"),
+      percent_rank().over(byValue).as("prank"),
+      cume_dist().over(byValue).as("cdist"),
+      ntile(tiles).over(unique).as("quartile"))
+  }
+
   /** Daily gap-fill with last-observation-carried-forward: per-key daily
     * sums joined onto a complete day spine (global corpus date bounds x
     * keys that ever observed), missing days flagged and filled with the

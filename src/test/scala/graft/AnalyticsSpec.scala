@@ -152,6 +152,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(6) === 23.31) // exact 2331 cents / 100, not 7*3.33 float drift
   }
 
+  test("cdcApply: newest tombstone deletes the key, stale tombstone does not") {
+    val log = Seq(
+      // key 1: U then D newest -> gone
+      (1L, 10L, 100L, 1.0, "U"), (1L, 11L, 200L, 2.0, "D"),
+      // key 2: D then U newest -> survives with the U payload
+      (2L, 20L, 100L, 3.0, "D"), (2L, 21L, 200L, 4.0, "U"),
+      // key 3: same seq, tie broken by higher id
+      (3L, 30L, 100L, 5.0, "U"), (3L, 31L, 100L, 6.0, "U"))
+      .toDF("k", "id", "seq", "payload", "op")
+    val out = Analytics.cdcApply(log, "k", "seq", "id", "op", "D")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    assert(!out.contains(1L))
+    assert(out(2L) === ((21L, 4.0, 2L)))
+    assert(out(3L) === ((31L, 6.0, 2L)))
+  }
+
+  test("rankSuite: tie-aware rank family plus deterministic ntile") {
+    val df = Seq(
+      ("a", 1L, 3.0), ("a", 2L, 2.0), ("a", 3L, 2.0), ("a", 4L, 1.0))
+      .toDF("g", "id", "v")
+    val out = Analytics.rankSuite(df, "g", "id", "v", tiles = 2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6), r.getInt(7))).toMap
+    assert(out(1L) === ((1, 1, 0.0, 0.25, 1)))
+    assert(out(2L) === ((2, 2, 1.0 / 3, 0.75, 1)))     // tied pair
+    assert(out(3L) === ((2, 2, 1.0 / 3, 0.75, 2)))     // same rank, later tile
+    assert(out(4L) === ((4, 3, 1.0, 1.0, 2)))          // rank skips, dense doesn't
+  }
+
   test("topRevenue takes top-k deterministically and broadcasts the dim side") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val cust = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
