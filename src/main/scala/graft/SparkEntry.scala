@@ -1308,6 +1308,18 @@ object SparkEntry {
       graft.operators.Analytics.gapFillDaily(Tables.events(s, dir),
         "user_id", "ts", "value", "event_type", "purchase")),
 
+    // §2.24ab — T5-style span corruption: deterministic denoising pairs as
+    // a pure projection (fold-derived span starts, merged runs, numbered
+    // sentinels; md5 pair fingerprints) — zero shuffle, zero RNG state
+    "q_span_corrupt" -> ((s, dir) =>
+      TextAnalysis.spanCorrupt(Tables.documents(s, dir))),
+
+    // §2.58 — deterministic A/B bucketing + per-arm metrics: fold-assigned
+    // variants, exposure/conversion in one aggregate pass, bp conversion
+    "q_ab_metrics" -> ((s, dir) =>
+      graft.operators.Analytics.abMetrics(Tables.events(s, dir),
+        "user_id", "value", "event_type", "purchase", arms = 2)),
+
     // §2.56 — CDC log apply: events as a change stream (every 10th event a
     // delete tombstone), collapsed to current state last-writer-wins
     "q_cdc_apply" -> ((s, dir) =>
@@ -2812,6 +2824,66 @@ object SparkEntry {
         |  count(*) AS n_keys, min(n) AS min_rows, max(n) AS max_rows,
         |  sum(n) AS sum_rows
         |FROM per_key GROUP BY 1""".stripMargin,
+
+    "q_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(p.pos AS BIGINT) AS pos, toks[p.pos + 1] AS tok
+        |  FROM t, unnest(range(0, len(toks))) AS p(pos)),
+        |h AS (
+        |  SELECT doc_id, pos, tok,
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(string_split(
+        |         'corrupt:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR), ''),
+        |         c -> CAST(ascii(c) AS BIGINT))),
+        |       (acc, c) -> (acc * 257 + c) % 1000000007) % 20 = 0) AS start
+        |  FROM pos),
+        |c AS (
+        |  SELECT *, (start OR coalesce(lag(start, 1) OVER w, false)
+        |                   OR coalesce(lag(start, 2) OVER w, false)) AS cov
+        |  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |rb AS (
+        |  SELECT *, (cov AND NOT coalesce(lag(cov, 1) OVER w, false)) AS run_begin
+        |  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |r AS (
+        |  SELECT *,
+        |    sum(CASE WHEN run_begin THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM rb)
+        |SELECT doc_id,
+        |  count(*) AS n_tokens,
+        |  count(CASE WHEN cov THEN 1 END) AS n_masked,
+        |  CAST(max(k) AS BIGINT) AS n_spans,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN NOT cov THEN tok
+        |         WHEN run_begin THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>'
+        |    END, ' ' ORDER BY pos), '')) AS input_fp,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN run_begin
+        |           THEN '<extra_id_' || CAST(k - 1 AS VARCHAR) || '>' || ' ' || tok
+        |         WHEN cov THEN tok
+        |    END, ' ' ORDER BY pos), '')) AS target_fp
+        |FROM r GROUP BY doc_id""".stripMargin,
+
+    "q_ab_metrics" ->
+      """WITH v AS (
+        |  SELECT *,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS INT) AS variant
+        |  FROM events)
+        |SELECT variant,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |    AS n_converted,
+        |  CAST(floor(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+        |    * 10000.0 / count(DISTINCT user_id) + 0.5) AS BIGINT) AS conversion_bp
+        |FROM v GROUP BY variant""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (

@@ -235,6 +235,29 @@ object Analytics {
       ntile(tiles).over(unique).as("quartile"))
   }
 
+  /** Deterministic experiment analysis: users bucketed into arms by the
+    * salted portable fold of their id (no RNG state — the same user lands
+    * in the same arm on any cluster, retry, or engine, which is what makes
+    * an A/B assignment auditable), then per-arm exposure and conversion
+    * metrics in ONE aggregate pass. Conversion is reported in integer
+    * basis points (exact integer rounding, no float ratio in the output).
+    */
+  def abMetrics(events: DataFrame, userCol: String, valueCol: String,
+      typeCol: String, convertType: String, arms: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    events
+      .withColumn("variant", pmod(rollingHash(
+        concat(lit("ab:"), col(userCol).cast("string"))), lit(arms)).cast("int"))
+      .groupBy(col("variant"))
+      .agg(countDistinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_events"),
+        Etl.moneySum(col(valueCol)).as("sum_value"),
+        countDistinct(when(col(typeCol) === convertType, col(userCol)))
+          .as("n_converted"))
+      .withColumn("conversion_bp",
+        floor(col("n_converted") * 10000.0 / col("n_users") + 0.5).cast("long"))
+  }
+
   /** Daily gap-fill with last-observation-carried-forward: per-key daily
     * sums joined onto a complete day spine (global corpus date bounds x
     * keys that ever observed), missing days flagged and filled with the

@@ -857,4 +857,62 @@ object TextAnalysis {
       .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
         (floor(col("pmi") * 10000.0 + 0.5) / 10000.0).as("pmi_r"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): deterministic
+    * denoising pairs for seq2seq pretraining. Every token position decides
+    * span-START by the salted portable fold (`fold(doc_id:pos) % 20 == 0`,
+    * ~5% starts x fixed span length 3 ~ 15% corruption); overlapping spans
+    * merge into runs; the input keeps uncorrupted tokens with one numbered
+    * `<extra_id_k>` sentinel per run, the target lists each sentinel
+    * followed by the tokens it hides. Emitted as md5 fingerprints + counts
+    * (the pair text itself would be the write path's payload).
+    *
+    * Shape: a PURE PROJECTION — positions, coverage, and both output
+    * strings are array ops and one fold per document, so the corpus never
+    * explodes to token rows and never shuffles; at 100 TB this runs at
+    * scan speed alongside the other per-doc gates. No RNG state: the same
+    * doc always corrupts identically on any cluster, retry, or engine.
+    */
+  def spanCorrupt(docs: DataFrame): DataFrame = {
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("starts",
+        transform(sequence(lit(0), size(col("toks")) - 1),
+          p => pmod(org.apache.spark.sql.graftnative.RollingHash.rollingHash(
+            concat(lit("corrupt:"),
+            col("doc_id").cast("string"), lit(":"), p.cast("string"))),
+            lit(20)) === 0))
+      .withColumn("covered", expr(
+        """transform(sequence(0, size(toks) - 1), p ->
+          |  starts[p] OR (p >= 1 AND starts[p - 1])
+          |           OR (p >= 2 AND starts[p - 2]))""".stripMargin))
+      .withColumn("st", expr(
+        """aggregate(sequence(0, size(toks) - 1),
+          |  named_struct('inp', '', 'tgt', '', 'k', 0),
+          |  (st, p) -> named_struct(
+          |    'inp',
+          |      CASE
+          |        WHEN NOT covered[p] THEN concat(st.inp,
+          |          CASE WHEN st.inp = '' THEN '' ELSE ' ' END, toks[p])
+          |        WHEN p = 0 OR NOT covered[p - 1] THEN concat(st.inp,
+          |          CASE WHEN st.inp = '' THEN '' ELSE ' ' END,
+          |          '<extra_id_', cast(st.k AS STRING), '>')
+          |        ELSE st.inp END,
+          |    'tgt',
+          |      CASE
+          |        WHEN covered[p] AND (p = 0 OR NOT covered[p - 1])
+          |          THEN concat(st.tgt,
+          |            CASE WHEN st.tgt = '' THEN '' ELSE ' ' END,
+          |            '<extra_id_', cast(st.k AS STRING), '>', ' ', toks[p])
+          |        WHEN covered[p] THEN concat(st.tgt, ' ', toks[p])
+          |        ELSE st.tgt END,
+          |    'k', st.k + CASE WHEN covered[p] AND (p = 0 OR NOT covered[p - 1])
+          |                     THEN 1 ELSE 0 END))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(covered, c -> c))").cast("long").as("n_masked"),
+        col("st.k").cast("long").as("n_spans"),
+        md5(col("st.inp").cast("binary")).as("input_fp"),
+        md5(col("st.tgt").cast("binary")).as("target_fp"))
+  }
 }

@@ -278,4 +278,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("src0") == ((4L, 1L, 1L, 7500L)))
     assert(out("src1") == ((6L, 2L, 2L, 6667L)))
   }
+
+  test("spanCorrupt: counts reconcile, fingerprints differ from the raw text, no shuffle") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 30).map(p => s"w${i}_$p").mkString(" "))).toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis.spanCorrupt(docs)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      "span corruption must be a pure projection")
+    val rows = q.collect()
+    assert(rows.length === 40)
+    rows.foreach { r =>
+      val (n, masked, spans) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === 30L)
+      // every span covers 1..3 positions (merged runs can be longer, but
+      // masked positions always trace back to >= spans and <= 3*spans)
+      assert(masked >= spans && masked <= 3 * spans)
+      assert(r.getString(4).length === 32 && r.getString(5).length === 32)
+    }
+    // the fold is salted by doc_id: identical TEXT in different docs must
+    // corrupt differently somewhere in a 40-doc sample
+    val same = (1L to 40L).map(i => (i, (0 until 30).map(p => s"w_$p").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = graft.operators.TextAnalysis.spanCorrupt(same)
+      .collect().map(_.getString(4)).distinct
+    assert(fps.length > 1)
+  }
+
+  test("spanCorrupt: hand-checked tiny doc with a known span layout") {
+    import spark.implicits._
+    // find a doc id whose only span start among 6 positions is position 2:
+    // then input = t0 t1 <extra_id_0> t5, target = <extra_id_0> t2 t3 t4
+    def fold(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 257 + c) % 1000000007L)
+    val hit = (1L to 500L).find { id =>
+      val starts = (0 until 6).map(p => fold(s"corrupt:$id:$p") % 20 == 0)
+      starts.zipWithIndex.forall { case (s, p) => s == (p == 2) }
+    }.get
+    val docs = Seq((hit, "t0 t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.spanCorrupt(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((6L, 3L, 1L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(r.getString(4) === md5hex("t0 t1 <extra_id_0> t5"))
+    assert(r.getString(5) === md5hex("<extra_id_0> t2 t3 t4"))
+  }
+
+  test("abMetrics: fold assignment is deterministic and partitions all users") {
+    import spark.implicits._
+    val ev = (1L to 50L).flatMap(u => Seq(
+      (u, "view", 1.0), (u, if (u % 3 == 0) "purchase" else "click", 2.0)))
+      .toDF("user_id", "event_type", "value")
+    val out = graft.operators.Analytics.abMetrics(ev, "user_id", "value",
+      "event_type", "purchase", arms = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(out.keySet.subsetOf(Set(0, 1)))
+    assert(out.values.map(_._1).sum === 50L)
+    assert(out.values.map(_._2).sum === (1L to 50L).count(_ % 3 == 0))
+  }
 }
