@@ -229,57 +229,56 @@ object Sampling {
     * way; selection keeps the k largest (logw_u + g_u), ties toward the
     * lower doc_id.
     *
-    * Scale shape: training is two bounded aggregates (each at most
-    * `buckets` rows regardless of corpus size, map-side combined); the
-    * model broadcasts; scoring is one gram explode re-aggregated per doc
-    * (text never shuffles); selection is a TakeOrdered global top-k
-    * (per-partition partial top-k, no full sort) over the slim
-    * (doc_id, key) projection, with the k winners broadcast back as the
-    * `selected` flag.
+    * Scale shape: training is ONE bounded conditional-count aggregate (at
+    * most `buckets` rows regardless of corpus size, map-side combined)
+    * collected to a `buckets`-entry literal weight array — the same
+    * bounded-driver-state pattern as the BPE merge table; scoring is then
+    * a PURE PROJECTION at scan speed (native DsirScore: one primitive
+    * loop per doc over memoized token folds — no gram explode, no join,
+    * no per-doc shuffle; text never leaves the scan); selection is a
+    * TakeOrdered global top-k (per-partition partial top-k, no full sort)
+    * over the slim (doc_id, key) projection, with the k winners broadcast
+    * back as the `selected` flag. Corpus touched twice (model pass +
+    * scoring pass), shuffled only for the `buckets`-row model aggregate.
     */
   def dsirSelect(docs: DataFrame, target: Column, buckets: Int,
       k: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.DsirHash.{dsirBuckets, dsirScore}
     import org.apache.spark.sql.graftnative.RollingHash.rollingHash
     val toks = TextAnalysis.tokens(col("text"))
-    val grams = concat(toks,
-      when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat(element_at(toks, i), lit(" "),
-            element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>")))
-    val feats = docs
-      .select(col("doc_id"), target.as("is_target"),
-        explode_outer(grams).as("gram"))
-      .withColumn("bucket",
-        pmod(rollingHash(concat(lit("dsir:"), col("gram"))),
-          lit(buckets.toLong)))
-    val rawC = feats.where(col("gram").isNotNull)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgtC = feats.where(col("gram").isNotNull && col("is_target"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val nr = rawC.agg(coalesce(sum(col("cr")), lit(0L)).as("n_raw"))
-    val nt = tgtC.agg(coalesce(sum(col("ct")), lit(0L)).as("n_tgt"))
-    // model rows exist for every bucket the raw corpus populates (a
-    // scored gram is by construction in the raw corpus, so the scoring
-    // join below never misses); absent target counts smooth to +1
-    val model = rawC
-      .join(tgtC, Seq("bucket"), "left")
-      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
-      .select(col("bucket"),
-        floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
-            / (col("n_tgt") + buckets).cast("double"))
-          - log((col("cr") + 1).cast("double")
-            / (col("n_raw") + buckets).cast("double")))
-          * 1000000.0 + 0.5).cast("long").as("w_u"))
+    // n_feats (unigrams + bigrams) derives from the token count alone
+    val nFeats = (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
+    // model pass: one conditional-count aggregate over the native gram
+    // bucket ids, <= `buckets` rows — bounded driver state however large
+    // the corpus
+    val counts = docs
+      .select(target.as("is_target"),
+        explode(dsirBuckets(toks, buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"), count(when(col("is_target"), 1)).as("ct"))
+      .collect()
+    val nRaw = counts.map(_.getLong(1)).sum
+    val nTgt = counts.map(_.getLong(2)).sum
+    // per-bucket integer micro-unit weight; same double ops as the SQL
+    // formulation (java.lang.Math.log on both paths), so the quantized
+    // values are bit-identical to the oracle's ln replay. Buckets the raw
+    // corpus never populates score nothing by construction.
+    val wArr = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      val cr = r.getLong(1); val ct = r.getLong(2)
+      wArr(b) = math.floor(
+        (math.log((ct + 1).toDouble / (nTgt + buckets).toDouble) -
+          math.log((cr + 1).toDouble / (nRaw + buckets).toDouble))
+          * 1000000.0 + 0.5).toLong
+    }
     val gumbel = floor(-log(-log(
         (pmod(rollingHash(concat(lit("dsir:g:"), col("doc_id").cast("string"))),
           lit(1000000L)).cast("double") + 0.5) / 1000000.0))
       * 1000000.0 + 0.5).cast("long")
-    val scored = feats
-      .join(broadcast(model), Seq("bucket"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(col("gram")).as("n_feats"),
-        coalesce(sum(col("w_u")), lit(0L)).as("logw_u"))
+    val scored = docs
+      .select(col("doc_id"), nFeats.as("n_feats"),
+        dsirScore(toks, wArr).as("logw_u"))
       .withColumn("g_u", gumbel)
       .withColumn("key_u", col("logw_u") + col("g_u"))
     val winners = scored

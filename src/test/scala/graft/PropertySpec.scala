@@ -135,6 +135,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native DsirBuckets/DsirScore match the interpreted salted-fold HOF on random docs") {
+    val rnd = new Random(31)
+    val words = Seq("a", "bb", "ccc", "", "é", "日本", "x9", "zz", "qqq")
+    val docs = Seq.tabulate(80) { i =>
+      val n = 1 + rnd.nextInt(12) // always >= 1 token, incl. 1-token docs
+      (i.toLong, Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val m = 64L
+    val grams = concat(toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val hof = docs.select(col("doc_id"),
+      transform(grams, g => pmod(org.apache.spark.sql.graftnative.RollingHash
+        .rollingHash(concat(lit("dsir:"), g)), lit(m))).as("b"))
+      .orderBy("doc_id").select(to_json(struct(col("b")))).as[String].collect().toSeq
+    val native = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftnative.DsirHash.dsirBuckets(toks, m).as("b"))
+      .orderBy("doc_id").select(to_json(struct(col("b")))).as[String].collect().toSeq
+    assert(native == hof)
+
+    val w = Array.tabulate(m.toInt)(i => (i * 37 - 1000).toLong)
+    val scoreHof = docs.select(col("doc_id"),
+      aggregate(
+        transform(grams, g => pmod(org.apache.spark.sql.graftnative.RollingHash
+          .rollingHash(concat(lit("dsir:"), g)), lit(m))),
+        lit(0L), (acc, b) => acc + element_at(lit(w), (b + 1).cast("int"))).as("s"))
+      .orderBy("doc_id").select(col("s")).as[Long].collect().toSeq
+    val scoreNative = docs.select(col("doc_id"),
+      org.apache.spark.sql.graftnative.DsirHash.dsirScore(toks, w).as("s"))
+      .orderBy("doc_id").select(col("s")).as[Long].collect().toSeq
+    assert(scoreNative == scoreHof)
+  }
+
   test("native minhash signatures are stable across partitionings") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, Seq.fill(30)(s"w${(i * 7 + 3) % 11}").mkString(" "), "en", "s"))
