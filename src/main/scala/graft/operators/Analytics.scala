@@ -20,6 +20,11 @@ object Analytics {
     * projection) feeding ONE hash aggregate + ONE shuffle — subtotals cost
     * no extra pass over the fact table, which is the point at 100 TB: the
     * naive UNION-of-three-groupBys reads the corpus three times.
+    *
+    * Empty-relation caveat (pinned in EmptyInputSpec): standard SQL emits
+    * the () grouping-set row with count 0 over an empty relation; Spark's
+    * rollup emits nothing. Matching the standard would cost a second
+    * corpus scan, so this keeps Spark's semantics.
     */
   def rollupStats(df: DataFrame, k1: String, k2: String,
       countAlias: String, sumCol: String, sumAlias: String): DataFrame =

@@ -204,4 +204,40 @@ class AdversarialInputSpec extends SparkSpec {
     assert(out.size == 1)
     assert(out((2L, 101L)) == "exact_index")
   }
+
+  test("r8-continuation degenerate shapes: all-tombstone CDC, negative winsorize, 1-token span corruption") {
+    import graft.operators.{Analytics, TextAnalysis}
+    // CDC log that deletes every key -> empty current state, n_ops intact pre-filter
+    val allDel = Seq((1L, 10L, 100L, 1.0, "D"), (2L, 20L, 100L, 2.0, "D"))
+      .toDF("k", "id", "seq", "payload", "op")
+    assert(Analytics.cdcApply(allDel, "k", "seq", "id", "op", "D").count() == 0)
+    // winsorize over negative and mixed-sign values: integer cents rank
+    // math must hold below zero (the naive unsigned fold would not)
+    val neg = Seq.tabulate(20)(i => ("t", -10.0 + i)).toDF("g", "v")
+    val r = Analytics.winsorize(neg, "g", "v", 50, 950).collect().head
+    assert(r.getDouble(2) === -10.0 && r.getDouble(3) === 8.0)
+    assert(r.getLong(5) === 1L) // 9.0 clips down to 8.0
+    // span corruption of 1-token docs: no bigrams, span either covers the
+    // whole doc or nothing; counts must reconcile and never throw
+    val tiny = (1L to 30L).map(i => (i, "solo")).toDF("doc_id", "text")
+    val sc = TextAnalysis.spanCorrupt(tiny).collect()
+    assert(sc.length == 30)
+    sc.foreach { row =>
+      assert(row.getLong(1) == 1L)
+      assert(Set(0L, 1L).contains(row.getLong(2)))
+      assert(row.getLong(3) == row.getLong(2)) // 1 masked token = 1 span
+    }
+    // rank suite over a single row: every rank function degenerates to 1/0
+    val one = Seq(("g", 1L, 5.0)).toDF("g", "id", "v")
+    val rk = Analytics.rankSuite(one, "g", "id", "v", tiles = 4).collect().head
+    assert(rk.getInt(3) == 1 && rk.getInt(4) == 1)
+    assert(rk.getDouble(5) == 0.0 && rk.getDouble(6) == 1.0)
+    // gap-fill where every day is observed: zero gaps, filled == observed
+    val full = (1 to 3).map(d => (1L,
+      java.sql.Timestamp.valueOf(f"2024-01-0$d%d 01:00:00"), "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val gf = Analytics.gapFillDaily(full, "user_id", "ts", "value",
+      "event_type", "purchase").collect()
+    assert(gf.length == 3 && gf.forall(!_.getBoolean(4)))
+  }
 }

@@ -71,4 +71,58 @@ class EmptyInputSpec extends SparkSpec {
     val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dupClusters(emptyPairs).count() == 0)
   }
+
+  test("r8-continuation analytics tolerate empty inputs") {
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // KNOWN ENGINE DIVERGENCE, pinned: standard SQL (DuckDB, Postgres)
+    // emits the () grouping-set row with count 0 over an empty relation;
+    // Spark's rollup emits nothing. Matching the standard would cost a
+    // second corpus scan (separate global-agg arm), so the one-Expand
+    // plan keeps Spark's semantics — callers on possibly-empty
+    // partitions must treat zero rows as the empty grand total.
+    assert(Analytics.rollupStats(emptyDocs, "source", "lang",
+      "n_docs", "n_chars", "sum_chars").count() == 0)
+    val fk = Analytics.fkAudit(
+      Seq.empty[Long].toDF("fk"), "fk",
+      Seq.empty[Long].toDF("pk"), "pk", "e->e").collect()
+    assert(fk.length == 1 && fk.head.getLong(1) == 0L && fk.head.getLong(3) == 0L)
+    assert(Analytics.keySkewReport(emptyEvents, "user_id").count() == 0)
+    assert(Analytics.runningTotals(emptyEvents, "user_id", "ts",
+      "event_id", "value").count() == 0)
+    // empty events: null global bounds -> empty spine, not a throw
+    assert(Analytics.gapFillDaily(emptyEvents, "user_id", "ts", "value",
+      "event_type", "purchase").count() == 0)
+    assert(Analytics.unpivotMetrics(emptyEvents, "user_id", "event_type",
+      Seq("click", "view"), "value").count() == 0)
+    assert(Analytics.valueHistogram(emptyEvents, "event_type", "value",
+      bins = 8).count() == 0)
+    assert(Analytics.winsorize(emptyEvents, "event_type", "value",
+      50, 950).count() == 0)
+    assert(Analytics.cdcApply(
+      Seq.empty[(Long, Long, Long, Double, String)]
+        .toDF("k", "id", "seq", "payload", "op"),
+      "k", "seq", "id", "op", "D").count() == 0)
+    assert(Analytics.rankSuite(emptyEvents, "event_type", "user_id",
+      "value", tiles = 4).count() == 0)
+    assert(Analytics.abMetrics(emptyEvents, "user_id", "value",
+      "event_type", "purchase", arms = 2).count() == 0)
+    assert(TextAnalysis.spanCorrupt(emptyDocs).count() == 0)
+    assert(Analytics.topRevenue(
+      Seq.empty[(Long, String)].toDF("c_custkey", "c_mktsegment"),
+      Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+        .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+      Seq.empty[(Long, java.sql.Timestamp, Double, Double)]
+        .toDF("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
+      "BUILDING", "1998-06-01", k = 5).count() == 0)
+  }
+
+  test("gapFillDaily with observations but zero matching event type still spans no users") {
+    // type filter matches nothing -> daily empty -> distinct keys empty ->
+    // spine empty even though global bounds exist
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "view", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Analytics.gapFillDaily(ev, "user_id", "ts", "value",
+      "event_type", "purchase").count() == 0)
+  }
 }
