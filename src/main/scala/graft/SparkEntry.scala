@@ -1268,6 +1268,22 @@ object SparkEntry {
         "source", "lang", countAlias = "n_docs",
         sumCol = "n_chars", sumAlias = "sum_chars")),
 
+    // §2.47b — explicit GROUPING SETS: the NON-hierarchical family member
+    // (per-source totals and per-lang totals in one pass, no detail tier) —
+    // still one Expand + one shuffle; SQL form since the DataFrame API has
+    // no grouping-sets verb
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("documents_gs")
+      s.sql("""
+        SELECT source, lang,
+          CAST(grouping(source) AS INT) AS g_source,
+          CAST(grouping(lang) AS INT) AS g_lang,
+          count(*) AS n_docs,
+          CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source), (lang))""")
+    }),
+
     // §2.48 — referential-integrity audit over the star schema's three FK
     // edges: orphan/null-FK counts per relation, parents projected to keys
     "q_fk_check" -> ((s, dir) => {
@@ -1319,6 +1335,21 @@ object SparkEntry {
     "q_ab_metrics" -> ((s, dir) =>
       graft.operators.Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
+
+    // §2.59b — Morton (Z-order) tiling: the layout primitive behind
+    // Pipeline.writeZOrdered, hash-verified cross-engine — per z-tile row
+    // counts and code bounds over the (user mod 64, day-1) grid
+    "q_zorder_tiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(64)).cast("int").as("zx"),
+          (dayofmonth(col("ts")) - 1).cast("int").as("zy"))
+      ev.select(col("zx"), col("zy"),
+        graft.pipeline.Pipeline.mortonCode(col("zx"), col("zy"), 6).as("z"))
+        .groupBy(shiftright(col("z"), 6).as("tile"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+          max(col("z")).as("z_max"), countDistinct(col("zx")).as("n_x"),
+          countDistinct(col("zy")).as("n_y"))
+    }),
 
     // §2.56 — CDC log apply: events as a change stream (every 10th event a
     // delete tombstone), collapsed to current state last-writer-wins
@@ -2777,6 +2808,13 @@ object SparkEntry {
         |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
         |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT source, lang,
+        |  GROUPING(source) AS g_source, GROUPING(lang) AS g_lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sum_chars
+        |FROM documents GROUP BY GROUPING SETS ((source), (lang))""".stripMargin,
+
     "q_fk_check" ->
       """SELECT 'lineitem->orders' AS relation,
         |  (SELECT count(*) FROM lineitem) AS n_child,
@@ -2884,6 +2922,23 @@ object SparkEntry {
         |  CAST(floor(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
         |    * 10000.0 / count(DISTINCT user_id) + 0.5) AS BIGINT) AS conversion_bp
         |FROM v GROUP BY variant""".stripMargin,
+
+    "q_zorder_tiles" -> {
+      // bit interleave replayed as an integer-arithmetic sum: bit b of x
+      // lands at 2b, bit b of y at 2b+1
+      val interleave = (0 until 6).map(b =>
+        s"(((zx >> $b) & 1) << ${2 * b}) + (((zy >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH g AS (
+        |  SELECT CAST(user_id % 64 AS INT) AS zx,
+        |    CAST(day(CAST(ts AS TIMESTAMP)) - 1 AS INT) AS zy
+        |  FROM events),
+        |z AS (SELECT zx, zy, $interleave AS z FROM g)
+        |SELECT z >> 6 AS tile, count(*) AS n, min(z) AS z_min,
+        |  max(z) AS z_max, count(DISTINCT zx) AS n_x,
+        |  count(DISTINCT zy) AS n_y
+        |FROM z GROUP BY 1""".stripMargin
+    },
 
     "q_cdc_apply" ->
       """WITH log AS (

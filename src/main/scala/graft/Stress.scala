@@ -383,6 +383,18 @@ object Stress {
         budgets = Seq("src0" -> 400L, "src1" -> 700L, "src2" -> 100000L),
         defaultBudget = 250L)
     }
+    // DSIR: the model aggregate stays <= buckets rows however large the
+    // corpus, and native scoring is a projection — both passes should
+    // scale like the scan, replication notwithstanding.
+    time("dsir") {
+      graft.operators.Sampling.dsirSelect(docs,
+        target = col("lang") === "en", buckets = 512, k = 150)
+    }
+    // Span corruption is a pure per-doc projection: replication moves
+    // only the scan, never a shuffle.
+    time("span_corrupt") {
+      TextAnalysis.spanCorrupt(docs)
+    }
     spark.stop()
   }
 }
