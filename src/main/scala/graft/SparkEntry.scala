@@ -1324,6 +1324,11 @@ object SparkEntry {
       graft.operators.Analytics.gapFillDaily(Tables.events(s, dir),
         "user_id", "ts", "value", "event_type", "purchase")),
 
+    // §2.24ac — fill-in-the-middle transformation: fold-derived cut
+    // points, PSM/SPM modes, 90% apply rate, md5-audited — pure projection
+    "q_fim" -> ((s, dir) =>
+      TextAnalysis.fimTransform(Tables.documents(s, dir))),
+
     // §2.24ab — T5-style span corruption: deterministic denoising pairs as
     // a pure projection (fold-derived span starts, merged runs, numbered
     // sentinels; md5 pair fingerprints) — zero shuffle, zero RNG state
@@ -2862,6 +2867,42 @@ object SparkEntry {
         |  count(*) AS n_keys, min(n) AS min_rows, max(n) AS max_rows,
         |  sum(n) AS sum_rows
         |FROM per_key GROUP BY 1""".stripMargin,
+
+    "q_fim" -> {
+      def fold(salt: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split('$salt' || CAST(doc_id AS VARCHAR), ''),
+           |    c -> CAST(ascii(c) AS BIGINT))),
+           |  (acc, c) -> (acc * 257 + c) % 1000000007)""".stripMargin
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |f AS (
+        |  SELECT *, ${fold("fim:a:")} AS fa, ${fold("fim:b:")} AS fb,
+        |    ${fold("fim:r:")} AS fr, ${fold("fim:m:")} AS fm
+        |  FROM t),
+        |d AS (
+        |  SELECT doc_id, text, toks, n,
+        |    (n >= 3 AND fr % 10 < 9) AS applied,
+        |    CAST(CASE WHEN n >= 3 AND fr % 10 < 9
+        |      THEN least(fa % (n - 1) + 1, fb % (n - 1) + 1) ELSE 0 END AS INT) AS a,
+        |    CAST(CASE WHEN n >= 3 AND fr % 10 < 9
+        |      THEN greatest(fa % (n - 1) + 1, fb % (n - 1) + 1) ELSE 0 END AS INT) AS b,
+        |    CASE WHEN NOT (n >= 3 AND fr % 10 < 9) THEN 'none'
+        |         WHEN fm % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |  FROM f),
+        |seg AS (
+        |  SELECT *, array_to_string(toks[1 : a], ' ') AS pre,
+        |    array_to_string(toks[a + 1 : b], ' ') AS mid,
+        |    array_to_string(toks[b + 1 : CAST(n AS INT)], ' ') AS suf
+        |  FROM d)
+        |SELECT doc_id, n AS n_tokens, applied, mode, a, b,
+        |  md5(CASE mode
+        |    WHEN 'psm' THEN concat_ws(' ', '<PRE>', pre, '<SUF>', suf, '<MID>', mid)
+        |    WHEN 'spm' THEN concat_ws(' ', '<SUF>', suf, '<PRE>', pre, '<MID>', mid)
+        |    ELSE text END) AS out_fp
+        |FROM seg""".stripMargin
+    },
 
     "q_span_corrupt" ->
       """WITH t AS (

@@ -858,6 +858,55 @@ object TextAnalysis {
         (floor(col("pmi") * 10000.0 + 0.5) / 10000.0).as("pmi_r"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022):
+    * deterministic FIM pairs for code/infilling pretraining. Two cut
+    * points derive from independent salted folds of the doc id (ordered,
+    * possibly-empty middle); 90% of eligible docs (>= 3 tokens) transform,
+    * split 50/50 between PSM (`<PRE> p <SUF> s <MID> m`) and SPM
+    * (`<SUF> s <PRE> p <MID> m`) by another fold bit; the rest pass
+    * through untouched. Emitted as md5 fingerprints + the cut points, so
+    * the decision trail is auditable row-by-row.
+    *
+    * Shape: a PURE PROJECTION like spanCorrupt — array slices and four
+    * folds per doc, no shuffle, no RNG state; the same doc transforms
+    * identically on any cluster, retry, or engine.
+    */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    def fold(salt: String): Column =
+      rollingHash(concat(lit(salt), col("doc_id").cast("string")))
+    val n = size(col("toks"))
+    // greatest(..., 1): single-token docs never apply, but the modulus is
+    // still evaluated — keep it defined (ANSI divide-by-zero)
+    val af = (pmod(fold("fim:a:"), greatest(n - 1, lit(1)).cast("long")) + 1).cast("int")
+    val bf = (pmod(fold("fim:b:"), greatest(n - 1, lit(1)).cast("long")) + 1).cast("int")
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("applied",
+        n >= 3 && pmod(fold("fim:r:"), lit(10L)) < 9)
+      .withColumn("a", when(col("applied"), least(af, bf)).otherwise(0))
+      .withColumn("b", when(col("applied"), greatest(af, bf)).otherwise(0))
+      .withColumn("mode",
+        when(!col("applied"), "none")
+          .when(pmod(fold("fim:m:"), lit(2L)) === 0, "psm")
+          .otherwise("spm"))
+      .withColumn("pre", array_join(slice(col("toks"), lit(1), col("a")), " "))
+      .withColumn("mid", array_join(
+        slice(col("toks"), col("a") + 1, col("b") - col("a")), " "))
+      .withColumn("suf", array_join(
+        slice(col("toks"), col("b") + 1, n - col("b")), " "))
+      .withColumn("out",
+        when(col("mode") === "psm", concat_ws(" ",
+          lit("<PRE>"), col("pre"), lit("<SUF>"), col("suf"),
+          lit("<MID>"), col("mid")))
+          .when(col("mode") === "spm", concat_ws(" ",
+            lit("<SUF>"), col("suf"), lit("<PRE>"), col("pre"),
+            lit("<MID>"), col("mid")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        col("applied"), col("mode"), col("a"), col("b"),
+        md5(col("out").cast("binary")).as("out_fp"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4): deterministic
     * denoising pairs for seq2seq pretraining. Every token position decides
     * span-START by the salted portable fold (`fold(doc_id:pos) % 20 == 0`,

@@ -325,6 +325,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(5) === md5hex("<extra_id_0> t2 t3 t4"))
   }
 
+  test("fimTransform: hand-checked cut points, pass-through docs, degenerate lengths") {
+    import spark.implicits._
+    def fold(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 257 + c) % 1000000007L)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // find ids covering: applied-psm, applied-spm, and rate-skipped
+    def rate(id: Long) = fold(s"fim:r:$id") % 10
+    def mode(id: Long) = fold(s"fim:m:$id") % 2
+    val psmId = (1L to 400L).find(i => rate(i) < 9 && mode(i) == 0).get
+    val spmId = (1L to 400L).find(i => rate(i) < 9 && mode(i) == 1).get
+    val skipId = (1L to 400L).find(i => rate(i) >= 9).get
+    val text = "t0 t1 t2 t3 t4 t5"
+    val docs = Seq((psmId, text), (spmId, text), (skipId, text),
+      (1000L, "one"), (1001L, "a b")) // 1- and 2-token docs never apply
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.fimTransform(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getString(3), r.getInt(4), r.getInt(5), r.getString(6))).toMap
+
+    def cuts(id: Long): (Int, Int) = {
+      val af = (fold(s"fim:a:$id") % 5 + 1).toInt
+      val bf = (fold(s"fim:b:$id") % 5 + 1).toInt
+      (math.min(af, bf), math.max(af, bf))
+    }
+    val toks = text.split(" ")
+    val (pa, pb) = cuts(psmId)
+    val expectedPsm = Seq("<PRE>", toks.take(pa).mkString(" "),
+      "<SUF>", toks.drop(pb).mkString(" "),
+      "<MID>", toks.slice(pa, pb).mkString(" ")).mkString(" ")
+    assert(out(psmId) === ((true, "psm", pa, pb, md5hex(expectedPsm))))
+    val (sa, sb) = cuts(spmId)
+    val expectedSpm = Seq("<SUF>", toks.drop(sb).mkString(" "),
+      "<PRE>", toks.take(sa).mkString(" "),
+      "<MID>", toks.slice(sa, sb).mkString(" ")).mkString(" ")
+    assert(out(spmId) === ((true, "spm", sa, sb, md5hex(expectedSpm))))
+    assert(out(skipId) === ((false, "none", 0, 0, md5hex(text))))
+    assert(out(1000L) === ((false, "none", 0, 0, md5hex("one"))))
+    assert(out(1001L) === ((false, "none", 0, 0, md5hex("a b"))))
+  }
+
   test("abMetrics: fold assignment is deterministic and partitions all users") {
     import spark.implicits._
     val ev = (1L to 50L).flatMap(u => Seq(
