@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Etl, Observability, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Etl, Observability, Similarity, TextAnalysis}
 import graft.validation.Validator
 
 /** Driver contract: one `queries` entry + one `oracleSql` entry per
@@ -1264,7 +1264,7 @@ object SparkEntry {
     // §2.47 — multidimensional ROLLUP aggregate (detail + per-source
     // subtotal + grand total from ONE Expand + ONE shuffle, not three scans)
     "q_rollup" -> ((s, dir) =>
-      graft.operators.Analytics.rollupStats(Tables.documents(s, dir),
+      Analytics.rollupStats(Tables.documents(s, dir),
         "source", "lang", countAlias = "n_docs",
         sumCol = "n_chars", sumAlias = "sum_chars")),
 
@@ -1287,13 +1287,13 @@ object SparkEntry {
     // §2.48 — referential-integrity audit over the star schema's three FK
     // edges: orphan/null-FK counts per relation, parents projected to keys
     "q_fk_check" -> ((s, dir) => {
-      val a = graft.operators.Analytics.fkAudit(
+      val a = Analytics.fkAudit(
         Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir), "o_orderkey",
         "lineitem->orders")
-      val b = graft.operators.Analytics.fkAudit(
+      val b = Analytics.fkAudit(
         Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey",
         "orders->customer")
-      val c = graft.operators.Analytics.fkAudit(
+      val c = Analytics.fkAudit(
         Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey",
         "customer->nation")
       a.unionByName(b).unionByName(c)
@@ -1302,26 +1302,26 @@ object SparkEntry {
     // §2.49 — TPC-H Q3 shape: unshipped-order revenue top-10 (broadcast
     // segment dim, both date filters pushed, TakeOrdered top-k — no sort)
     "q_top_revenue" -> ((s, dir) =>
-      graft.operators.Analytics.topRevenue(Tables.customer(s, dir),
+      Analytics.topRevenue(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir),
         segment = "BUILDING", cutoff = "1998-06-01", k = 10)),
 
     // §2.50 — key-skew audit: order-of-magnitude histogram of per-key row
     // counts (the pre-join shuffle-planning diagnostic)
     "q_skew_report" -> ((s, dir) =>
-      graft.operators.Analytics.keySkewReport(
+      Analytics.keySkewReport(
         Tables.events(s, dir).select(col("user_id")), "user_id")),
 
     // §2.51 — per-user running exact-decimal total + sliding 3-row average
     // over the event stream (explicit ROWS frame, unique ordering)
     "q_running_total" -> ((s, dir) =>
-      graft.operators.Analytics.runningTotals(Tables.events(s, dir),
+      Analytics.runningTotals(Tables.events(s, dir),
         "user_id", "ts", "event_id", "value")),
 
     // §2.52 — daily gap-fill with LOCF: per-user purchase-day sums on a
     // complete broadcast-built day spine, gaps flagged and forward-filled
     "q_gapfill" -> ((s, dir) =>
-      graft.operators.Analytics.gapFillDaily(Tables.events(s, dir),
+      Analytics.gapFillDaily(Tables.events(s, dir),
         "user_id", "ts", "value", "event_type", "purchase")),
 
     // §2.24ac — fill-in-the-middle transformation: fold-derived cut
@@ -1338,7 +1338,7 @@ object SparkEntry {
     // §2.58 — deterministic A/B bucketing + per-arm metrics: fold-assigned
     // variants, exposure/conversion in one aggregate pass, bp conversion
     "q_ab_metrics" -> ((s, dir) =>
-      graft.operators.Analytics.abMetrics(Tables.events(s, dir),
+      Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
     // §2.59b — Morton (Z-order) tiling: the layout primitive behind
@@ -1359,7 +1359,7 @@ object SparkEntry {
     // §2.56 — CDC log apply: events as a change stream (every 10th event a
     // delete tombstone), collapsed to current state last-writer-wins
     "q_cdc_apply" -> ((s, dir) =>
-      graft.operators.Analytics.cdcApply(
+      Analytics.cdcApply(
         Tables.events(s, dir).select(col("user_id"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"),
           when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op")),
@@ -1373,25 +1373,25 @@ object SparkEntry {
     // dense_rank / percent_rank / cume_dist + tie-broken ntile), one
     // exchange shared by both window orderings
     "q_rank_suite" -> ((s, dir) =>
-      graft.operators.Analytics.rankSuite(Tables.events(s, dir),
+      Analytics.rankSuite(Tables.events(s, dir),
         "event_type", "user_id", "value", tiles = 4)),
 
     // §2.53 — wide-to-long unpivot (pandas melt, inverse of the equip-util
     // pivot): per-user conditional-agg metric columns melted to rows
     "q_unpivot" -> ((s, dir) =>
-      graft.operators.Analytics.unpivotMetrics(Tables.events(s, dir),
+      Analytics.unpivotMetrics(Tables.events(s, dir),
         "user_id", "event_type", eventTypes, "value")),
 
     // §2.54 — equal-width histogram with integer-exact bin assignment
     // (cents scaling + integer div; broadcast per-type bounds)
     "q_value_histogram" -> ((s, dir) =>
-      graft.operators.Analytics.valueHistogram(Tables.events(s, dir),
+      Analytics.valueHistogram(Tables.events(s, dir),
         "event_type", "value", bins = 8)),
 
     // §2.55 — winsorization at exact rank statistics (p05/p95 per type):
     // clip points from the bounded cents histogram, no global sort
     "q_winsorize" -> ((s, dir) =>
-      graft.operators.Analytics.winsorize(Tables.events(s, dir),
+      Analytics.winsorize(Tables.events(s, dir),
         "event_type", "value", loPermille = 50, hiPermille = 950)),
 
     // §2.31 — failure listing (RunAnalyzer.get_failures analog)
