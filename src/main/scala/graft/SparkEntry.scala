@@ -1356,6 +1356,13 @@ object SparkEntry {
           countDistinct(col("zy")).as("n_y"))
     }),
 
+    // §2.60 — hourly OHLC bars per event type: first/last by the unique
+    // (ts, id) ordering via min_by/max_by in ONE hash aggregate — no
+    // window sort
+    "q_ohlc" -> ((s, dir) =>
+      Analytics.ohlcBars(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value", bucket = "hour")),
+
     // §2.56 — CDC log apply: events as a change stream (every 10th event a
     // delete tombstone), collapsed to current state last-writer-wins
     "q_cdc_apply" -> ((s, dir) =>
@@ -2980,6 +2987,27 @@ object SparkEntry {
         |  count(DISTINCT zy) AS n_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q_ohlc" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        |    ts, event_id, value
+        |  FROM events),
+        |o AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM h)
+        |SELECT event_type, bucket_us,
+        |  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM o GROUP BY 1, 2""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (

@@ -240,6 +240,30 @@ object Analytics {
       ntile(tiles).over(unique).as("quartile"))
   }
 
+  /** OHLC bars (open/high/low/close) per group and time bucket: the
+    * classic time-series compaction, done as ONE hash aggregate — open
+    * and close are `min_by`/`max_by` over the unique (ts, id) total
+    * ordering (no window, no sort, deterministic under ties), high/low
+    * plain min/max, volume an exact decimal sum. At 100 TB this is a
+    * single map-side-combined shuffle keyed by (group, bucket); the
+    * window-function formulation would sort every partition instead.
+    */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucket: String): DataFrame = {
+    val ord = struct(col(tsCol), col(idCol))
+    events
+      .groupBy(col(groupCol),
+        unix_micros(date_trunc(bucket, col(tsCol)).cast("timestamp"))
+          .as("bucket_us"))
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        Etl.moneySum(col(valueCol)).as("volume"))
+  }
+
   /** Deterministic experiment analysis: users bucketed into arms by the
     * salted portable fold of their id (no RNG state — the same user lands
     * in the same arm on any cluster, retry, or engine, which is what makes

@@ -181,6 +181,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4L) === ((4, 3, 1.0, 1.0, 2)))          // rank skips, dense doesn't
   }
 
+  test("ohlcBars: open/close picked by the unique (ts, id) ordering, one aggregate") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      // same-timestamp open: id 2 loses to id 1
+      ("a", 1L, ts("2024-01-01 10:00:00"), 5.0),
+      ("a", 2L, ts("2024-01-01 10:00:00"), 9.0),
+      ("a", 3L, ts("2024-01-01 10:30:00"), 1.0),
+      ("a", 4L, ts("2024-01-01 10:59:00"), 7.0),
+      ("a", 5L, ts("2024-01-01 11:00:00"), 2.0)) // next bar
+      .toDF("t", "event_id", "ts", "value")
+    val q = Analytics.ohlcBars(df, "t", "ts", "event_id", "value", "hour")
+    val out = q.collect().map(r => r.getLong(1) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toMap
+    val h10 = java.time.LocalDateTime.parse("2024-01-01T10:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(out(h10) === ((5.0, 9.0, 1.0, 7.0, 4L, 22.0)))
+    assert(out(h10 + 3600L * 1000000L) === ((2.0, 2.0, 2.0, 2.0, 1L, 2.0)))
+    // one hash aggregate, no window sort in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OHLC must not plan a window:\n$plan")
+  }
+
   test("topRevenue takes top-k deterministically and broadcasts the dim side") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val cust = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
