@@ -1356,6 +1356,24 @@ object SparkEntry {
           countDistinct(col("zy")).as("n_y"))
     }),
 
+    // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
+    // within 24h of the click; chained conditional-min aggregates, one slim
+    // row per surviving user per stage
+    "q_funnel_windowed" -> ((s, dir) =>
+      Observability.funnelWindowed(Tables.events(s, dir),
+        Seq("view", "click", "purchase"), windowUs = 24L * 3600 * 1000000)),
+
+    // §2.62 — RFM segmentation: exact rank-statistic quintile cuts off
+    // bounded per-metric histograms, broadcast back; 5 = best
+    "q_rfm" -> ((s, dir) =>
+      Analytics.rfmSegments(Tables.events(s, dir),
+        "user_id", "event_type", "purchase", "ts", "value")),
+
+    // §2.63 — seasonality matrix: (day-of-week, hour) activity heatmap,
+    // output bounded at 7 x 24
+    "q_seasonality" -> ((s, dir) =>
+      Analytics.seasonality(Tables.events(s, dir), "ts", "user_id", "value")),
+
     // §2.60 — hourly OHLC bars per event type: first/last by the unique
     // (ts, id) ordering via min_by/max_by in ONE hash aggregate — no
     // window sort
@@ -2987,6 +3005,88 @@ object SparkEntry {
         |  count(DISTINCT zy) AS n_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q_funnel_windowed" -> {
+      val w = 24L * 3600 * 1000000
+      s"""WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2,
+        |    min(t1) AS t1
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= t1 + $w
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3,
+        |    min(t2) AS t2
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= t2
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= t2 + $w
+        |  GROUP BY 1)
+        |SELECT 1 AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM s1) AS n_users,
+        |  CAST(NULL AS DOUBLE) AS mean_us_from_prev
+        |UNION ALL
+        |SELECT 2, 'click', count(*),
+        |  CAST(sum(t2 - t1) AS DOUBLE) / count(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*),
+        |  CAST(sum(t3 - t2) AS DOUBLE) / count(*) FROM s3""".stripMargin
+    },
+
+    "q_rfm" -> {
+      def cuts(metric: String) =
+        s"""${metric}_hist AS (
+           |  SELECT $metric AS v, count(*) AS cnt FROM metrics GROUP BY 1),
+           |${metric}_cum AS (
+           |  SELECT v, sum(cnt) OVER (ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM ${metric}_hist),
+           |${metric}_cuts AS (
+           |  SELECT
+           |    min(CASE WHEN cum >= (n * 1 + 4) // 5 THEN v END) AS ${metric}_c1,
+           |    min(CASE WHEN cum >= (n * 2 + 4) // 5 THEN v END) AS ${metric}_c2,
+           |    min(CASE WHEN cum >= (n * 3 + 4) // 5 THEN v END) AS ${metric}_c3,
+           |    min(CASE WHEN cum >= (n * 4 + 4) // 5 THEN v END) AS ${metric}_c4
+           |  FROM ${metric}_cum, (SELECT sum(cnt) AS n FROM ${metric}_hist))""".stripMargin
+      def bucket(metric: String) =
+        s"""(1 + CAST($metric > ${metric}_c1 AS INT) + CAST($metric > ${metric}_c2 AS INT)
+           | + CAST($metric > ${metric}_c3 AS INT) + CAST($metric > ${metric}_c4 AS INT))""".stripMargin.replace("\n", "")
+      s"""WITH conv AS (
+        |  SELECT * FROM events WHERE event_type = 'purchase'),
+        |ref AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM conv),
+        |metrics AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)),
+        |      (SELECT ref_day FROM ref)) AS BIGINT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS monetary_cents
+        |  FROM conv GROUP BY 1),
+        |${cuts("recency_days")},
+        |${cuts("frequency")},
+        |${cuts("monetary_cents")}
+        |SELECT user_id, recency_days, frequency,
+        |  CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+        |  6 - ${bucket("recency_days")} AS r_score,
+        |  ${bucket("frequency")} AS f_score,
+        |  ${bucket("monetary_cents")} AS m_score,
+        |  CAST(6 - ${bucket("recency_days")} AS VARCHAR) ||
+        |    CAST(${bucket("frequency")} AS VARCHAR) ||
+        |    CAST(${bucket("monetary_cents")} AS VARCHAR) AS segment
+        |FROM metrics, recency_days_cuts, frequency_cuts, monetary_cents_cuts""".stripMargin
+    },
+
+    "q_seasonality" ->
+      """SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_ohlc" ->
       """WITH h AS (

@@ -264,6 +264,74 @@ object Analytics {
         Etl.moneySum(col(valueCol)).as("volume"))
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation: per-user
+    * metrics off the conversion events, each scored 1..5 by EXACT
+    * rank-statistic quintile cuts (value at rank ceil(k*n/5), the
+    * winsorize/ppl-buckets machinery) — ties share a bucket, which is
+    * both the reproducible semantics and the scalable one: a global
+    * ntile would funnel every user through one sort task, while the
+    * cut computation runs on the BOUNDED per-metric histogram (recency
+    * in days, frequency, cents) and broadcasts 4 cut values back onto
+    * the user-keyed aggregate. Scores: 5 = most recent / most frequent /
+    * highest spend; `segment` is the concatenated RFM code.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, typeCol: String,
+      convertType: String, tsCol: String, valueCol: String): DataFrame = {
+    val conv = events.where(col(typeCol) === convertType)
+    val refDay = conv.agg(max(col(tsCol).cast("date")).as("ref_day"))
+    val metrics = conv.groupBy(col(userCol))
+      .agg(max(col(tsCol).cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        (sum(col(valueCol).cast("decimal(18,2)")) * 100).cast("long")
+          .as("monetary_cents"))
+      .crossJoin(broadcast(refDay))
+      .withColumn("recency_days",
+        datediff(col("ref_day"), col("last_day")).cast("long"))
+    // quintile cut points c1..c4 for one metric: value at rank
+    // ceil(k*n/5) off the bounded histogram (constant partition key —
+    // histogram rows, not users, flow through the one-task window)
+    def cutsOf(metric: String): DataFrame = {
+      val hist = metrics.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(lit(1))
+          .orderBy(col(metric).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = hist.agg(sum(col("cnt")).as("n"))
+      val aggs = (1 to 4).map(k =>
+        min(when(col("cum") >= expr(s"(n * $k + 4) DIV 5"), col(metric)))
+          .as(s"${metric}_c$k"))
+      cum.crossJoin(broadcast(tot)).agg(aggs.head, aggs.tail: _*)
+    }
+    def bucket(metric: String): Column =
+      (1 to 4).map(k => (col(metric) > col(s"${metric}_c$k")).cast("int"))
+        .foldLeft(lit(1))(_ + _)
+    metrics
+      .crossJoin(broadcast(cutsOf("recency_days")))
+      .crossJoin(broadcast(cutsOf("frequency")))
+      .crossJoin(broadcast(cutsOf("monetary_cents")))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        (col("monetary_cents").cast("double") / 100).as("monetary"),
+        (lit(6) - bucket("recency_days")).as("r_score"),
+        bucket("frequency").as("f_score"),
+        bucket("monetary_cents").as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  /** Seasonality matrix: activity by (day-of-week, hour-of-day) — counts,
+    * distinct users, exact-decimal value mass. One aggregate, output
+    * bounded at 7 x 24 rows; `dow` is 0=Sunday to match DuckDB/Postgres
+    * dow() so the oracle needs no offset arithmetic.
+    */
+  def seasonality(events: DataFrame, tsCol: String, userCol: String,
+      valueCol: String): DataFrame =
+    events.groupBy(
+      (dayofweek(col(tsCol)) - 1).cast("int").as("dow"),
+      hour(col(tsCol)).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        Etl.moneySum(col(valueCol)).as("sum_value"))
+
   /** Deterministic experiment analysis: users bucketed into arms by the
     * salted portable fold of their id (no RNG state — the same user lands
     * in the same arm on any cluster, retry, or engine, which is what makes

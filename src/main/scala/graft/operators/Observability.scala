@@ -197,6 +197,43 @@ object Observability {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Time-CONSTRAINED funnel: each step must land within `windowUs` of
+    * the previous step's matched event (the standard product-analytics
+    * "converted within 24 h" ask, which the first-occurrence funnel
+    * cannot express). Stage k's matched time is the EARLIEST step-k
+    * event inside stage k-1's window — computed as a chain of |steps|
+    * user-keyed conditional-min aggregates, each exchanging ONE slim row
+    * per surviving user (the candidate-event filter happens before the
+    * exchange). Per reached step: user count and the exact-integer mean
+    * latency from the previous step.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val ts = unix_micros(col("ts"))
+    val stage0 = events.where(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(ts).as("t_prev"))
+    val stages = steps.drop(1).scanLeft(stage0) { (prev, step) =>
+      events.where(col("event_type") === step)
+        .select(col("user_id"), ts.as("t_ev"))
+        .join(prev, "user_id")
+        .where(col("t_ev") >= col("t_prev") &&
+          col("t_ev") <= col("t_prev") + windowUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("t_ev")).as("t_cur"), min(col("t_prev")).as("t_from"))
+        .select(col("user_id"), col("t_cur").as("t_prev"),
+          (col("t_cur") - col("t_from")).as("delta_us"))
+    }
+    stages.zipWithIndex.map { case (df, i) =>
+      val mean =
+        if (i == 0) lit(null).cast("double")
+        else (sum(col("delta_us")).cast("double") / count(lit(1)))
+      df.agg(count(lit(1)).as("n_users"), mean.as("mean_us_from_prev"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_users"), col("mean_us_from_prev"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `z` population standard deviations from their event_type's mean —
     * the sensor-threshold alarm every monitoring pass runs over a metric

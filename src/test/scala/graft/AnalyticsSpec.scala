@@ -203,6 +203,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"OHLC must not plan a window:\n$plan")
   }
 
+  test("funnelWindowed: out-of-window conversions don't count, earliest in-window wins") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      // u1: full chain inside the windows
+      (1L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (1L, ts("2024-01-01 05:00:00"), "click", 0.0),
+      (1L, ts("2024-01-01 06:00:00"), "click", 0.0),  // later click ignored
+      (1L, ts("2024-01-01 20:00:00"), "purchase", 0.0),
+      // u2: click arrives 30h after the view -> funnel stops at step 1
+      (2L, ts("2024-01-01 00:00:00"), "view", 0.0),
+      (2L, ts("2024-01-02 06:00:00"), "click", 0.0),
+      // u3: click BEFORE the first view -> not a conversion
+      (3L, ts("2024-01-01 05:00:00"), "click", 0.0),
+      (3L, ts("2024-01-01 06:00:00"), "view", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = graft.operators.Observability.funnelWindowed(ev,
+      Seq("view", "click", "purchase"), windowUs = 24L * 3600 * 1000000)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1) === ((3L, None)))
+    assert(out(2) === ((1L, Some(5.0 * 3600 * 1000000)))) // u1's first click, 5h
+    assert(out(3) === ((1L, Some(15.0 * 3600 * 1000000)))) // 20h - 5h
+  }
+
+  test("rfmSegments: rank-cut buckets share ties, 5 means best") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 5 users, distinct frequencies 1..5, same day, distinct spend
+    val ev = (1L to 5L).flatMap(u => (1 to u.toInt).map(i =>
+      (u, ts(f"2024-01-0${u}%d 10:00:00"), "purchase", u.toDouble)))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = graft.operators.Analytics.rfmSegments(ev,
+      "user_id", "event_type", "purchase", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap
+    // user 5 purchased most recently (ref day), most often, most value
+    assert(out(5L) === ((5, 5, 5, "555")))
+    assert(out(1L) === ((1, 1, 1, "111")))
+    assert(out(3L)._2 === 3)
+  }
+
+  test("seasonality dow matches DuckDB dow (Sunday=0), bounded output") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 2024-01-07 was a Sunday
+    val ev = Seq((1L, ts("2024-01-07 13:00:00"), "view", 1.0),
+      (2L, ts("2024-01-08 02:00:00"), "view", 2.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = graft.operators.Analytics.seasonality(ev, "ts", "user_id", "value")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0, 13) -> 1L, (1, 2) -> 1L))
+  }
+
   test("topRevenue takes top-k deterministically and broadcasts the dim side") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val cust = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
