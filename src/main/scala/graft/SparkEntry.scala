@@ -1356,6 +1356,18 @@ object SparkEntry {
           countDistinct(col("zy")).as("n_y"))
     }),
 
+    // §2.64 — error-burst detection: hourly error rate vs the trailing
+    // 6-hour mean, cross-multiplied (no division) burst test
+    "q_error_burst" -> ((s, dir) =>
+      Observability.errorBursts(Tables.events(s, dir),
+        errorType = "error", trailHours = 6, factor = 2, minErrors = 5)),
+
+    // §2.65 — event-type transition matrix (first-order Markov counts),
+    // per-user lead window, output bounded at |types|^2
+    "q_transitions" -> ((s, dir) =>
+      Observability.transitions(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")),
+
     // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
     // within 24h of the click; chained conditional-min aggregates, one slim
     // row per surviving user per stage
@@ -3005,6 +3017,40 @@ object SparkEntry {
         |  count(DISTINCT zy) AS n_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q_error_burst" ->
+      """WITH hourly AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        |    count(*) AS n_events,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT *,
+        |    sum(n_errors) OVER w AS trail_errors,
+        |    sum(n_events) OVER w AS trail_events
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_us, n_events, n_errors,
+        |  CAST(floor(n_errors * 10000.0 / n_events + 0.5) AS BIGINT) AS rate_bp,
+        |  trail_errors, trail_events,
+        |  (trail_events IS NOT NULL AND trail_events > 0
+        |    AND n_errors >= 5
+        |    AND n_errors * trail_events > 2 * trail_errors * n_events) AS burst
+        |FROM t""".stripMargin,
+
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1)
+        |SELECT pairs.from_type, to_type, n,
+        |  CAST(floor(n * 10000.0 / n_from + 0.5) AS BIGINT) AS p_bp
+        |FROM pairs JOIN tot USING (from_type)""".stripMargin,
 
     "q_funnel_windowed" -> {
       val w = 24L * 3600 * 1000000

@@ -234,6 +234,61 @@ object Observability {
     }.reduce(_ unionByName _)
   }
 
+  /** Error-burst detection: per-hour error rate (bp) against the mean
+    * rate of the trailing `trailHours` full hours; a burst is a rate
+    * above `factor`x the trailing mean with at least `minErrors` errors
+    * (the floor keeps one error in a quiet hour from alarming). The
+    * corpus collapses to ONE bounded hourly series first (map-side
+    * combined), so the trailing window runs over hours, not events —
+    * the constant partition key declares that deliberately bounded
+    * one-task window, the same idiom as the rank-cut histograms.
+    * Rates are integer basis points; the burst test cross-multiplies
+    * (rate * trail_total vs factor * trail_err * total) so no division
+    * ever happens — engine-exact.
+    */
+  def errorBursts(events: DataFrame, errorType: String, trailHours: Int,
+      factor: Int, minErrors: Int): DataFrame = {
+    val hourly = events.groupBy(
+        unix_micros(date_trunc("hour", col("ts")).cast("timestamp")).as("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === errorType, 1)).as("n_errors"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("hour_us").asc)
+      .rowsBetween(-trailHours, -1)
+    hourly
+      .withColumn("trail_errors", sum(col("n_errors")).over(w))
+      .withColumn("trail_events", sum(col("n_events")).over(w))
+      .select(col("hour_us"), col("n_events"), col("n_errors"),
+        floor(col("n_errors") * 10000.0 / col("n_events") + 0.5).cast("long")
+          .as("rate_bp"),
+        col("trail_errors"), col("trail_events"),
+        (col("trail_events").isNotNull && col("trail_events") > 0 &&
+          col("n_errors") >= minErrors &&
+          col("n_errors") * col("trail_events") >
+            lit(factor) * col("trail_errors") * col("n_events")).as("burst"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): per user,
+    * consecutive event pairs in (ts, id) order, counted by (from, to).
+    * The lead window is per-user (scales with the key), the output is
+    * bounded at |types|^2; transition probability is emitted in exact
+    * basis points of the from-type's total.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        floor(col("n") * 10000.0 / col("n_from") + 0.5).cast("long").as("p_bp"))
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `z` population standard deviations from their event_type's mean —
     * the sensor-threshold alarm every monitoring pass runs over a metric

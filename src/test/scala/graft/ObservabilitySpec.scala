@@ -124,4 +124,48 @@ class ObservabilitySpec extends SparkSpec {
     assert(out(2L).getAs[String]("status") == "success")
     assert(out(2L).getAs[Long]("n_events") == 1L)
   }
+
+  test("errorBursts: planted spike flags, quiet hours and low-count spikes don't") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // hours 0-5: 100 events, 1 error each (1% baseline); hour 6: 100
+    // events, 10 errors (10% — a 10x spike); hour 7: 2 events, 1 error
+    // (50% rate but only 1 error — under the min-error floor)
+    val rows = (0 to 5).flatMap { h =>
+      (1 to 99).map(i => (h * 1000L + i, ts(f"2024-01-01 0$h%d:01:00"), 1L, "view", 0.0)) :+
+        ((h * 1000L + 100, ts(f"2024-01-01 0$h%d:02:00"), 1L, "error", 0.0))
+    } ++ (1 to 90).map(i => (6000L + i, ts("2024-01-01 06:01:00"), 1L, "view", 0.0)) ++
+      (1 to 10).map(i => (6100L + i, ts("2024-01-01 06:02:00"), 1L, "error", 0.0)) ++
+      Seq((7001L, ts("2024-01-01 07:01:00"), 1L, "view", 0.0),
+        (7002L, ts("2024-01-01 07:02:00"), 1L, "error", 0.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Observability
+      .errorBursts(ev, "error", trailHours = 6, factor = 2, minErrors = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(6))).toMap
+    val h = (n: Int) => java.time.LocalDateTime.parse(f"2024-01-01T0$n%d:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(out(h(0)) === ((100L, false))) // no trailing window yet
+    assert(out(h(5)) === ((100L, false))) // at baseline
+    assert(out(h(6)) === ((1000L, true))) // the spike
+    assert(out(h(7)) === ((5000L, false))) // 1 error < minErrors floor
+  }
+
+  test("transitions: per-user consecutive pairs only, probabilities in bp") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "view", 0.0),
+      // user 2's first event must NOT pair with user 1's last
+      (4L, ts("2024-01-01 00:03:00"), 2L, "view", 0.0),
+      (5L, ts("2024-01-01 00:04:00"), 2L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Observability
+      .transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("view", "click")) === ((2L, 10000L)))
+    assert(out(("click", "view")) === ((1L, 10000L)))
+    assert(out.size === 2)
+  }
 }
