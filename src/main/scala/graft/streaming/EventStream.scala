@@ -347,6 +347,26 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming OHLC bars — the streaming twin of Analytics.ohlcBars:
+    * watermarked event-time windows with min_by/max_by over the unique
+    * (ts, event_id) ordering, so a bar closes with exactly the values the
+    * batch operator would compute over the same events (spec-asserted).
+    * Append mode: a bar emits once, when the watermark passes its window.
+    */
+  def ohlcStream(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
   case class RunningRow(user_id: Long, event_id: Long, running_sum: Double)
 
   /** Streaming per-key running total — the streaming twin of

@@ -385,6 +385,45 @@ class EventStreamSpec extends SparkSpec {
     assert(near == Seq((42L, 200L), (42L, 201L)), s"got $near")
   }
 
+  test("ohlcStream bars equal the batch ohlcBars over the same events") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.ohlcStream(input.toDF(), watermark = "10 minutes")
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("ohlc")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    val evs = Seq(
+      EventStream.Event(2, ts("2024-01-01 10:00:00"), 1, "click", 9.0), // open tie: id 1 wins
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0),
+      EventStream.Event(3, ts("2024-01-01 10:30:00"), 2, "click", 1.0),
+      EventStream.Event(4, ts("2024-01-01 10:59:00"), 1, "click", 7.0))
+    input.addData(evs: _*)
+    query.processAllAvailable()
+    // advance the watermark past the 10:00 window so the bar emits
+    input.addData(EventStream.Event(5, ts("2024-01-01 13:00:00"), 1, "click", 2.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("ohlc")
+      .select(unix_micros(col("window_start")).as("bucket_us"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    import spark.implicits._
+    val batch = graft.operators.Analytics.ohlcBars(
+      evs.toDF(), "event_type", "ts", "event_id", "value", "hour")
+      .collect().map(r => (r.getLong(1), r.getString(0)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    // evs holds only the 10:00-hour events, so the batch result is exactly
+    // the set of closed windows the stream must have emitted
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("runningTotalsStream carries exact-cents cumulative state across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
