@@ -171,6 +171,93 @@ class PropertySpec extends SparkSpec {
     assert(scoreNative == scoreHof)
   }
 
+  test("runningTotals agrees with an in-memory exact-cents fold on random data") {
+    val rnd = new Random(47)
+    val rows = Seq.tabulate(400) { i =>
+      (rnd.nextInt(8).toLong, i.toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        rnd.nextInt(100000) / 100.0)
+    }
+    val out = graft.operators.Analytics.runningTotals(
+      rows.toDF("user_id", "event_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    val model = rows.groupBy(_._1).flatMap { case (_, evs) =>
+      var cents = 0L
+      evs.sortBy(e => (e._3.getTime, e._2)).map { e =>
+        cents += math.round(e._4 * 100); e._2 -> cents / 100.0
+      }
+    }
+    model.foreach { case (id, v) => assert(out(id) === v, s"event $id") }
+  }
+
+  test("cdcApply agrees with an in-memory last-writer-wins model on random logs") {
+    val rnd = new Random(53)
+    val rows = Seq.tabulate(500) { i =>
+      (rnd.nextInt(30).toLong, i.toLong, rnd.nextInt(40).toLong,
+        rnd.nextDouble(), if (rnd.nextInt(4) == 0) "D" else "U")
+    }
+    val out = graft.operators.Analytics.cdcApply(
+      rows.toDF("k", "id", "seq", "payload", "op"), "k", "seq", "id", "op", "D")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val model = rows.groupBy(_._1).flatMap { case (k, log) =>
+      val newest = log.maxBy(e => (e._3, e._2))
+      if (newest._5 == "D") None else Some(k -> (newest._2, log.size.toLong))
+    }
+    assert(out === model)
+  }
+
+  test("winsorize agrees with an in-memory rank model on random data") {
+    val rnd = new Random(59)
+    val rows = Seq.tabulate(300)(i => (s"g${i % 3}", rnd.nextInt(20000) / 100.0 - 50))
+    val out = graft.operators.Analytics.winsorize(
+      rows.toDF("t", "v"), "t", "v", 50, 950)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val cents = vs.map(v => math.round(v._2 * 100)).sorted
+      val n = cents.length
+      val lo = cents((n * 50 + 999) / 1000 - 1)
+      val hi = cents((n * 950 + 999) / 1000 - 1)
+      val win = cents.map(c => math.min(math.max(c, lo), hi)).sum
+      assert(out(g) === ((lo / 100.0, hi / 100.0,
+        cents.count(_ < lo).toLong, cents.count(_ > hi).toLong, win / 100.0)), s"group $g")
+    }
+  }
+
+  test("gapFillDaily agrees with an in-memory spine+LOCF model on random data") {
+    val rnd = new Random(61)
+    val day0 = java.time.LocalDate.parse("2024-02-01")
+    val rows = Seq.tabulate(300) { i =>
+      val d = rnd.nextInt(12)
+      (rnd.nextInt(6).toLong,
+        java.sql.Timestamp.valueOf(day0.plusDays(d).atTime(rnd.nextInt(24), 0)),
+        if (rnd.nextInt(3) == 0) "purchase" else "view",
+        rnd.nextInt(10000) / 100.0)
+    }
+    val out = graft.operators.Analytics.gapFillDaily(
+      rows.toDF("user_id", "ts", "event_type", "value"),
+      "user_id", "ts", "value", "event_type", "purchase")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    // model
+    val allDays = rows.map(_._2.toLocalDateTime.toLocalDate)
+    val (lo, hi) = (allDays.min, allDays.max)
+    val daily = rows.filter(_._3 == "purchase")
+      .groupBy(r => (r._1, r._2.toLocalDateTime.toLocalDate))
+      .map { case (k, es) => k -> es.map(e => math.round(e._4 * 100)).sum / 100.0 }
+    val users = daily.keys.map(_._1).toSet
+    val expected = users.flatMap { u =>
+      var lastSeen: Option[Double] = None
+      Iterator.iterate(lo)(_.plusDays(1)).takeWhile(!_.isAfter(hi)).map { d =>
+        val obs = daily.get((u, d))
+        if (obs.isDefined) lastSeen = obs
+        (u, d.toString) -> (lastSeen, obs.isEmpty)
+      }.toSeq
+    }.toMap
+    assert(out === expected)
+  }
+
   test("native minhash signatures are stable across partitionings") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, Seq.fill(30)(s"w${(i * 7 + 3) % 11}").mkString(" "), "en", "s"))
