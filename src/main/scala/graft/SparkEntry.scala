@@ -1356,6 +1356,13 @@ object SparkEntry {
           countDistinct(col("zy")).as("n_y"))
     }),
 
+    // §2.66 — period-over-period movers: week-2 vs week-1 value mass per
+    // event type, shares + change in exact integer bp, one scan
+    "q_period_movers" -> ((s, dir) =>
+      Analytics.periodMovers(Tables.events(s, dir),
+        "event_type", "ts", "value",
+        p1Start = "2024-01-08", p2Start = "2024-01-15", p2EndExcl = "2024-01-22")),
+
     // §2.64 — error-burst detection: hourly error rate vs the trailing
     // 6-hour mean, cross-multiplied (no division) burst test
     "q_error_burst" -> ((s, dir) =>
@@ -3017,6 +3024,30 @@ object SparkEntry {
         |  count(DISTINCT zy) AS n_y
         |FROM z GROUP BY 1""".stripMargin
     },
+
+    "q_period_movers" ->
+      """WITH per AS (
+        |  SELECT event_type,
+        |    coalesce(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END) AS BIGINT), 0) AS p1_cents,
+        |    coalesce(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |      THEN CAST(value AS DECIMAL(18,2)) * 100 END) AS BIGINT), 0) AS p2_cents
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(p1_cents) AS t1, sum(p2_cents) AS t2 FROM per)
+        |SELECT event_type,
+        |  CAST(p1_cents AS DOUBLE) / 100 AS p1_value,
+        |  CAST(p2_cents AS DOUBLE) / 100 AS p2_value,
+        |  CAST(floor(p1_cents * 10000.0 / t1 + 0.5) AS BIGINT) AS p1_share_bp,
+        |  CAST(floor(p2_cents * 10000.0 / t2 + 0.5) AS BIGINT) AS p2_share_bp,
+        |  CASE WHEN p1_cents > 0 THEN CAST(floor(
+        |    (p2_cents - p1_cents) * 10000.0 / p1_cents + 0.5) AS BIGINT)
+        |  END AS change_bp
+        |FROM per, tot""".stripMargin,
 
     "q_error_burst" ->
       """WITH hourly AS (

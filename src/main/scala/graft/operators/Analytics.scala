@@ -332,6 +332,37 @@ object Analytics {
         countDistinct(col(userCol)).as("n_users"),
         Etl.moneySum(col(valueCol)).as("sum_value"))
 
+  /** Period-over-period movers: per-group value mass in two adjacent
+    * windows, each group's share of its period total, and the
+    * period-over-period change — all in exact integer basis points
+    * (integer-rounded ratios of exact cent sums, so no float ratio can
+    * diverge between engines). One conditional aggregate over both
+    * periods (single scan, single shuffle) + a broadcast 1-row totals
+    * frame. The standard BI "what moved this week" report.
+    */
+  def periodMovers(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, p1Start: String, p2Start: String,
+      p2EndExcl: String): DataFrame = {
+    val inP1 = col(tsCol) >= lit(p1Start) && col(tsCol) < lit(p2Start)
+    val inP2 = col(tsCol) >= lit(p2Start) && col(tsCol) < lit(p2EndExcl)
+    val cents = col(valueCol).cast("decimal(18,2)") * 100
+    val per = events.where(inP1 || inP2)
+      .groupBy(col(groupCol))
+      .agg(sum(when(inP1, cents)).cast("long").as("p1_cents"),
+        sum(when(inP2, cents)).cast("long").as("p2_cents"))
+      .na.fill(0L, Seq("p1_cents", "p2_cents"))
+    val totals = per.agg(sum(col("p1_cents")).as("t1"), sum(col("p2_cents")).as("t2"))
+    per.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        (col("p1_cents").cast("double") / 100).as("p1_value"),
+        (col("p2_cents").cast("double") / 100).as("p2_value"),
+        floor(col("p1_cents") * 10000.0 / col("t1") + 0.5).cast("long").as("p1_share_bp"),
+        floor(col("p2_cents") * 10000.0 / col("t2") + 0.5).cast("long").as("p2_share_bp"),
+        when(col("p1_cents") > 0,
+          floor((col("p2_cents") - col("p1_cents")) * 10000.0 / col("p1_cents") + 0.5)
+            .cast("long")).as("change_bp"))
+  }
+
   /** Deterministic experiment analysis: users bucketed into arms by the
     * salted portable fold of their id (no RNG state — the same user lands
     * in the same arm on any cluster, retry, or engine, which is what makes

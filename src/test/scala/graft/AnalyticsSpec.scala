@@ -253,6 +253,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map((0, 13) -> 1L, (1, 2) -> 1L))
   }
 
+  test("periodMovers: shares and change in exact bp, groups absent in one period survive") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      ("a", ts("2024-01-08 00:00:00"), 10.0),
+      ("a", ts("2024-01-15 00:00:00"), 15.0),
+      ("b", ts("2024-01-09 00:00:00"), 30.0),
+      // b absent in period 2; c appears only in period 2
+      ("c", ts("2024-01-16 00:00:00"), 5.0),
+      ("a", ts("2024-01-25 00:00:00"), 999.0)) // outside both periods
+      .toDF("g", "ts", "v")
+    val out = graft.operators.Analytics.periodMovers(ev, "g", "ts", "v",
+      "2024-01-08", "2024-01-15", "2024-01-22")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4), Option(r.get(5)))).toMap
+    assert(out("a") === ((10.0, 15.0, 2500L, 7500L, Some(5000L)))) // +50%
+    assert(out("b") === ((30.0, 0.0, 7500L, 0L, Some(-10000L))))   // vanished
+    assert(out("c") === ((0.0, 5.0, 0L, 2500L, None)))             // new entrant
+  }
+
   test("topRevenue takes top-k deterministically and broadcasts the dim side") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val cust = Seq((1L, "BUILDING"), (2L, "AUTO")).toDF("c_custkey", "c_mktsegment")
