@@ -278,6 +278,15 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         k = 64, bands = 16, minSim = 0.5)),
 
+    // §2.16g — MinHash estimator calibration: every candidate pair's
+    // est_sim vs its EXACT shingle-set Jaccard, per-decile error report —
+    // the approx-audit contract applied to the LSH estimator itself
+    "q_minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        k = 64, bands = 16, minSim = 0.5)),
+
     // §2.16e — edit-distance-VERIFIED near-dup: the portable minhash
     // candidates confirmed with a true Levenshtein distance over the
     // texts — the order-exact tier that separates near-verbatim copies
@@ -2004,6 +2013,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> annIvfPqOracle,
 
     "q_dedup_minhash_portable" -> minhashPortableOracle,
+    "q_minhash_calibration" -> minhashCalibrationOracle,
     "q_dedup_editdist" -> editDistOracle,
     "q_dedup_editdist_staged" -> editDistStagedOracle,
     "q_cross_dedup" -> crossDedupOracle,
@@ -4012,6 +4022,27 @@ object SparkEntry {
   private def minhashPortableOracle: String =
     s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)}
        |SELECT doc_a, doc_b, est_sim FROM pairs""".stripMargin
+
+  /** q_minhash_calibration oracle: the shared candidate CTEs, exact
+    * Jaccard from the `sh` shingle-id sets, per-decile micro-unit means.
+    */
+  private def minhashCalibrationOracle: String =
+    s"""WITH ${minhashSelfPairsCtes(plantedCorpusSql)},
+       |cal AS (
+       |  SELECT CAST(floor(p.est_sim * 1000000.0 + 0.5) AS BIGINT) AS est_u,
+       |    CAST(floor(len(list_intersect(a.ids, b.ids)) * 1000000.0 /
+       |      (len(a.ids) + len(b.ids) - len(list_intersect(a.ids, b.ids)))
+       |      + 0.5) AS BIGINT) AS jac_u
+       |  FROM pairs p
+       |  JOIN sh a ON p.doc_a = a.doc_id
+       |  JOIN sh b ON p.doc_b = b.doc_id)
+       |SELECT CAST(least(est_u // 100000, 9) AS INT) AS decile,
+       |  count(*) AS n_pairs,
+       |  floor(sum(jac_u) / count(*) / 100.0 + 0.5) / 10000.0 AS mean_jaccard_r,
+       |  floor(sum(est_u) / count(*) / 100.0 + 0.5) / 10000.0 AS mean_est_r,
+       |  floor(sum(abs(est_u - jac_u)) / count(*) / 100.0 + 0.5) / 10000.0
+       |    AS mean_abs_err_r
+       |FROM cal GROUP BY 1""".stripMargin
 
   /** q_dedup_editdist oracle: the portable minhash candidate pairs,
     * verified with DuckDB's levenshtein (byte-based — identical to

@@ -190,6 +190,52 @@ object Dedup {
   def minhashPortableNearDups(docs: DataFrame, k: Int, bands: Int, minSim: Double): DataFrame =
     bandedNearDups(portableSignatures(docs, k), k, bands, minSim)
 
+  /** MinHash estimator CALIBRATION: every portable banded candidate pair
+    * measured against its EXACT shingle-set Jaccard, reported per est_sim
+    * decile — the approx-audit contract (43b/43c) applied to the LSH
+    * estimator itself. A 100 TB dedup run trusts est_sim to gate drops;
+    * this query certifies, on the same corpus, how far the k-permutation
+    * estimate actually strays (mean exact Jaccard and mean |error| per
+    * decile, both 4-dp from micro-unit integer sums). Shingle-id sets
+    * join to the bounded candidate pair list only — the exact Jaccard is
+    * one native sorted-merge intersect per candidate, never all-pairs.
+    */
+  def minhashCalibration(docs: DataFrame, k: Int, bands: Int,
+      minSim: Double): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    import org.apache.spark.sql.graftnative.SortedIntersectCount.sortedIntersectCount
+    val pairs = minhashPortableNearDups(docs, k, bands, minSim)
+    val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
+      concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1), lit(" "),
+        element_at(col("toks"), i + 2)))
+    val sets = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingleStrs, s => rollingHash(s))))
+          .as("ids"))
+      .localCheckpoint()
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("ids").as("ids_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ids").as("ids_b")), "doc_b")
+      .select(col("est_sim"),
+        sortedIntersectCount(col("ids_a"), col("ids_b")).as("inter"),
+        (size(col("ids_a")) + size(col("ids_b"))).as("sz"))
+      .select(
+        floor(col("est_sim") * 1000000.0 + 0.5).cast("long").as("est_u"),
+        floor(col("inter") * 1000000.0 /
+          (col("sz") - col("inter")) + 0.5).cast("long").as("jac_u"))
+      .groupBy(least(expr("est_u DIV 100000"), lit(9L)).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum(col("jac_u")) / count(lit(1)) / 100.0 + 0.5) / 10000.0)
+          .as("mean_jaccard_r"),
+        (floor(sum(col("est_u")) / count(lit(1)) / 100.0 + 0.5) / 10000.0)
+          .as("mean_est_r"),
+        (floor(sum(abs(col("est_u") - col("jac_u"))) / count(lit(1)) / 100.0 + 0.5)
+          / 10000.0).as("mean_abs_err_r"))
+  }
+
   /** Engine-portable signatures: shingle ids are the base-257 rolling
     * fold of the shingle STRING (native on the Spark side), and the
     * k-by-n permutation loop reuses the native MinhashSig codegen — the
