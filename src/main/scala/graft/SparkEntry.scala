@@ -287,6 +287,14 @@ object SparkEntry {
           idOffset = 1000000L, truncateChars = 30),
         k = 64, bands = 16, minSim = 0.5)),
 
+    // §2.17c — SimHash calibration twin: exact shingle-set Jaccard per
+    // hamming tier over the real chunk-banded candidates
+    "q_simhash_calibration" -> ((s, dir) =>
+      Dedup.simhashCalibration(
+        Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+          idOffset = 1000000L, truncateChars = 30),
+        maxHamming = 3)),
+
     // §2.16e — edit-distance-VERIFIED near-dup: the portable minhash
     // candidates confirmed with a true Levenshtein distance over the
     // texts — the order-exact tier that separates near-verbatim copies
@@ -2022,6 +2030,7 @@ object SparkEntry {
     "q_dedup_ingest" -> dedupIngestSql,
 
     "q_dedup_simhash_portable" -> simhashPortableOracle,
+    "q_simhash_calibration" -> simhashCalibrationOracle,
 
     "q_cdc_dedup_portable" -> cdcPortableOracle,
 
@@ -4252,12 +4261,12 @@ object SparkEntry {
     * per-bit majority votes (bit set iff 2*votes > n, the Simhash64
     * rule), 4x16-bit chunk banding, bit_count(xor) hamming verify.
     */
-  private def simhashPortableOracle: String = {
+  private def simhashPairsCtes: String = {
     def fold(base: Int) =
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         s"list_transform(string_split(tkn, ''), c -> CAST(ascii(c) AS BIGINT))), " +
         s"(acc, c) -> (acc * $base + c) % 1000000007)"
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, substring(text, 1, greatest(length(text) - 30, 1))
@@ -4286,9 +4295,47 @@ object SparkEntry {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    x.simhash AS sh_a, y.simhash AS sh_b
        |  FROM chunked x JOIN chunked y
-       |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+       |    ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id),
+       |hpairs AS (
+       |  SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |  FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3)""".stripMargin
+  }
+
+  private def simhashPortableOracle: String =
+    s"""WITH $simhashPairsCtes
+       |SELECT doc_a, doc_b, hamming FROM hpairs""".stripMargin
+
+  /** q_simhash_calibration oracle: the shared hamming-pair CTEs + exact
+    * 3-token-shingle Jaccard (the same base-257 fold the minhash family
+    * uses), aggregated per hamming value.
+    */
+  private def simhashCalibrationOracle: String = {
+    val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 257 + c) % 1000000007)"
+    s"""WITH $simhashPairsCtes,
+       |t3 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh3 AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+       |    s -> $fold)) AS ids
+       |  FROM t3),
+       |cal AS (
+       |  SELECT p.hamming,
+       |    CAST(floor(len(list_intersect(a.ids, b.ids)) * 1000000.0 /
+       |      (len(a.ids) + len(b.ids) - len(list_intersect(a.ids, b.ids)))
+       |      + 0.5) AS BIGINT) AS jac_u
+       |  FROM hpairs p
+       |  JOIN sh3 a ON p.doc_a = a.doc_id
+       |  JOIN sh3 b ON p.doc_b = b.doc_id)
+       |SELECT hamming, count(*) AS n_pairs,
+       |  floor(sum(jac_u) / count(*) / 100.0 + 0.5) / 10000.0 AS mean_jaccard_r,
+       |  floor(min(jac_u) / 100.0 + 0.5) / 10000.0 AS min_jaccard_r,
+       |  floor(max(jac_u) / 100.0 + 0.5) / 10000.0 AS max_jaccard_r
+       |FROM cal GROUP BY 1""".stripMargin
   }
 
   /** q_ann_ivf oracle: the deterministic IVF pipeline — first-16 seeding by

@@ -236,6 +236,47 @@ object Dedup {
           / 10000.0).as("mean_abs_err_r"))
   }
 
+  /** SimHash calibration twin of [[minhashCalibration]]: every portable
+    * chunk-banded candidate's hamming distance vs its EXACT shingle-set
+    * Jaccard, one row per hamming value (0..maxHamming). SimHash hamming
+    * estimates token-vector COSINE, not Jaccard — this report shows what
+    * set overlap a given hamming tier actually buys on the real corpus,
+    * which is the number a drop-threshold choice needs. Pairs where a
+    * side is under 3 tokens carry no shingle set and drop from the
+    * report on both engines (inner-join semantics, documented).
+    */
+  def simhashCalibration(docs: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    import org.apache.spark.sql.graftnative.SortedIntersectCount.sortedIntersectCount
+    val pairs = simhashPortableNearDups(docs, maxHamming)
+    val shingleStrs = transform(sequence(lit(1), size(col("toks")) - 2), i =>
+      concat(element_at(col("toks"), i), lit(" "),
+        element_at(col("toks"), i + 1), lit(" "),
+        element_at(col("toks"), i + 2)))
+    val sets = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingleStrs, s => rollingHash(s))))
+          .as("ids"))
+      .localCheckpoint()
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("ids").as("ids_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ids").as("ids_b")), "doc_b")
+      .select(col("hamming"),
+        sortedIntersectCount(col("ids_a"), col("ids_b")).as("inter"),
+        (size(col("ids_a")) + size(col("ids_b"))).as("sz"))
+      .select(col("hamming"),
+        floor(col("inter") * 1000000.0 /
+          (col("sz") - col("inter")) + 0.5).cast("long").as("jac_u"))
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum(col("jac_u")) / count(lit(1)) / 100.0 + 0.5) / 10000.0)
+          .as("mean_jaccard_r"),
+        (floor(min(col("jac_u")) / 100.0 + 0.5) / 10000.0).as("min_jaccard_r"),
+        (floor(max(col("jac_u")) / 100.0 + 0.5) / 10000.0).as("max_jaccard_r"))
+  }
+
   /** Engine-portable signatures: shingle ids are the base-257 rolling
     * fold of the shingle STRING (native on the Spark side), and the
     * k-by-n permutation loop reuses the native MinhashSig codegen — the
