@@ -569,6 +569,17 @@ object SparkEntry {
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, k = 5, nPlanes = 8, dim = 64)
     }),
 
+    // §2.21k — sign-LSH calibration twin: measured bucket-collision rate
+    // per exact-cosine tier over q_ann_lsh's real buckets + the
+    // theoretical (1-acos(c)/pi)^8 rate as a plan literal — the recall
+    // trust contract for the bucket join, the cosine analog of
+    // q_minhash_calibration / q_simhash_calibration
+    "q_lsh_calibration" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshCalibration(e.where(col("vec_id") < 8), e,
+        nPlanes = 8, dim = 64)
+    }),
+
     // §2.21c — int8-quantized ANN: 4x-smaller candidate codes ranked by
     // exact integer dot, fp32 touched only for the k*prefilter survivors,
     // exact re-rank. The oracle is the BRUTE-FORCE result: the check
@@ -694,9 +705,17 @@ object SparkEntry {
     // §2.24f4 — feature-hashing text embeddings (hashing trick): a
     // deterministic, training-free 64-dim embedding per doc — the
     // bridge that runs the ANN/semantic family on a text-only corpus.
-    // Zero shuffle; every component oracle-replays exactly.
+    // Zero shuffle; every component oracle-replays exactly. The vector
+    // travels as an md5 fingerprint of its integer micro-components
+    // (the 6-dp values re-quantized to exact longs — bigint-to-string
+    // formatting is engine-identical, double formatting is not, and
+    // the driver comparator can't sort an array column at all).
     "q_text_embed" -> ((s, dir) =>
-      TextAnalysis.textEmbed(Tables.documents(s, dir), dim = 64)),
+      TextAnalysis.textEmbed(Tables.documents(s, dir), dim = 64)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(array_join(transform(col("embedding"),
+            v => floor(v * 1000000.0 + 0.5).cast("long").cast("string")),
+            ",")).as("embedding_fp"))),
 
     // §2.24f5 — the text-only-corpus semantic dedup chain in ONE plan:
     // hashing-trick embeddings (q_text_embed) -> sign-LSH bucket
@@ -745,9 +764,13 @@ object SparkEntry {
     // §2.24f3 — inverted index: per-term document frequency, collection
     // frequency, and a bounded posting list (10 smallest doc ids) via
     // the skew-safe two-phase smallest-N — the search-index build for
-    // corpus exploration without a scan per question
+    // corpus exploration without a scan per question. The posting list
+    // travels as a comma-joined string (same information, and the
+    // driver's pandas comparator can sort strings but not arrays).
     "q_inverted_index" -> ((s, dir) =>
-      TextAnalysis.invertedIndex(Tables.documents(s, dir), maxPostings = 10)),
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), maxPostings = 10)
+        .withColumn("postings",
+          array_join(transform(col("postings"), v => v.cast("string")), ","))),
 
     // §2.24f7 — BM25 top-k retrieval: the lexical-search dual of the ANN
     // family (and the retrieval side of a RAG build) — k best docs per
@@ -2008,6 +2031,7 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_lsh" -> annLshOracle,
+    "q_lsh_calibration" -> lshCalibrationOracle,
     "q_ann_lsh_mp" -> annLshMpOracle,
     "q_jl_project" -> jlOracle,
     "q_ann_jl" -> annJlOracle,
@@ -2676,7 +2700,7 @@ object SparkEntry {
         |  GROUP BY t.term, doc_id)
         |SELECT term, CAST(count(*) AS BIGINT) AS df,
         |  CAST(sum(tf) AS BIGINT) AS cf,
-        |  list_sort(list(doc_id))[1:10] AS postings
+        |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
         |FROM td GROUP BY term""".stripMargin,
 
     // replays the full BM25 chain — micro-quantized per-term
@@ -2928,7 +2952,7 @@ object SparkEntry {
         |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
         |SELECT CAST(length(CAST(n AS VARCHAR)) AS INT) AS magnitude,
         |  count(*) AS n_keys, min(n) AS min_rows, max(n) AS max_rows,
-        |  sum(n) AS sum_rows
+        |  CAST(sum(n) AS BIGINT) AS sum_rows
         |FROM per_key GROUP BY 1""".stripMargin,
 
     "q_fim" -> {
@@ -3076,10 +3100,11 @@ object SparkEntry {
         |  FROM events GROUP BY 1),
         |t AS (
         |  SELECT *,
-        |    sum(n_errors) OVER w AS trail_errors,
-        |    sum(n_events) OVER w AS trail_events
+        |    CAST(sum(n_errors) OVER w AS BIGINT) AS trail_errors,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS trail_events
         |  FROM hourly
-        |  WINDOW w AS (ORDER BY hour_us ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |  WINDOW w AS (ORDER BY hour_us
+        |    RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING))
         |SELECT hour_us, n_events, n_errors,
         |  CAST(floor(n_errors * 10000.0 / n_events + 0.5) AS BIGINT) AS rate_bp,
         |  trail_errors, trail_events,
@@ -4113,7 +4138,11 @@ object SparkEntry {
 
   private def textEmbedOracle: String =
     s"""WITH ${textEmbedCtes("SELECT doc_id, text FROM documents")}
-       |SELECT doc_id, n_tokens, embedding FROM temb""".stripMargin
+       |SELECT doc_id, n_tokens,
+       |  md5(array_to_string(list_transform(embedding,
+       |    v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)), ','))
+       |    AS embedding_fp
+       |FROM temb""".stripMargin
 
   /** q_text_semdedup oracle: the embedding chain over the planted
     * corpus, then sign-LSH buckets (inlined hyperplanes) and the cosine
@@ -4835,5 +4864,44 @@ object SparkEntry {
        |  FROM sims)
        |SELECT query_id, neighbor_id, bucket, rank, round(sim, 4) AS sim_r
        |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** q_lsh_calibration oracle: same inlined hyperplane buckets as
+    * annLshOracle, full query-panel x corpus exact cosine (round 4dp),
+    * hamming via bit_count(xor), tier floor, and the SAME driver-computed
+    * theoretical literals ([[Similarity.lshTheoreticalBp]]) inlined as a
+    * CASE — measured and theory columns both engine-exact.
+    */
+  private def lshCalibrationOracle: String = {
+    val planes = Similarity.hyperplanes(8, 64)
+    val bucketExpr = planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), CAST($arr AS DOUBLE[])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val theoCase = Similarity.lshTheoreticalBp(8)
+      .map { case (t, v) => s"WHEN $t THEN CAST($v AS BIGINT)" }
+      .mkString("CASE tier ", " ", " END")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM embeddings
+       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+       |  FROM b WHERE vec_id < 8),
+       |p AS (
+       |  SELECT round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 4) AS sim_r,
+       |    CAST(bit_count(xor(c.bucket, q.q_bucket)) AS BIGINT) AS hamming
+       |  FROM b c, q WHERE c.vec_id <> q.query_id),
+       |t AS (
+       |  SELECT CAST(least(floor(sim_r * 10), 9) AS INTEGER) AS tier, hamming
+       |  FROM p)
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(CASE WHEN hamming = 0 THEN 1 END) AS BIGINT) AS n_collide,
+       |  CAST(floor(count(CASE WHEN hamming = 0 THEN 1 END) * 10000.0
+       |    / count(*) + 0.5) AS BIGINT) AS collide_bp,
+       |  floor(CAST(sum(hamming) AS DOUBLE) * 10000.0 / count(*) + 0.5)
+       |    / 10000.0 AS mean_hamming_r,
+       |  $theoCase AS theo_bp
+       |FROM t GROUP BY tier""".stripMargin
   }
 }

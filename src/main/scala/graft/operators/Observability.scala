@@ -235,13 +235,16 @@ object Observability {
   }
 
   /** Error-burst detection: per-hour error rate (bp) against the mean
-    * rate of the trailing `trailHours` full hours; a burst is a rate
+    * rate of the trailing `trailHours` CLOCK hours; a burst is a rate
     * above `factor`x the trailing mean with at least `minErrors` errors
     * (the floor keeps one error in a quiet hour from alarming). The
     * corpus collapses to ONE bounded hourly series first (map-side
     * combined), so the trailing window runs over hours, not events —
     * the constant partition key declares that deliberately bounded
     * one-task window, the same idiom as the rank-cut histograms.
+    * The trailing frame is a RANGE over hour_us (microseconds), not a
+    * ROWS frame: hours with zero events have no row, and a ROWS frame
+    * would silently reach past a quiet gap into arbitrarily old hours.
     * Rates are integer basis points; the burst test cross-multiplies
     * (rate * trail_total vs factor * trail_err * total) so no division
     * ever happens — engine-exact.
@@ -253,7 +256,7 @@ object Observability {
       .agg(count(lit(1)).as("n_events"),
         count(when(col("event_type") === errorType, 1)).as("n_errors"))
     val w = Window.partitionBy(lit(1)).orderBy(col("hour_us").asc)
-      .rowsBetween(-trailHours, -1)
+      .rangeBetween(-trailHours * 3600000000L, -1L)
     hourly
       .withColumn("trail_errors", sum(col("n_errors")).over(w))
       .withColumn("trail_events", sum(col("n_events")).over(w))

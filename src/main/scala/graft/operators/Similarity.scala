@@ -479,4 +479,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"),
         round(col("sim"), 4).as("sim_r"))
   }
+
+  /** Per-tier theoretical sign-LSH collision rate in basis points:
+    * (1 - acos(mid)/pi)^nPlanes at the tier midpoint, computed ONCE on
+    * the driver so both engines inline the identical literals (libm
+    * acos/pow can differ in the last ulp across engines; a plan literal
+    * cannot). Tier t covers cosine [t/10, (t+1)/10). */
+  def lshTheoreticalBp(nPlanes: Int): Seq[(Int, Long)] =
+    (-10 to 9).map { t =>
+      val mid = math.max(-1.0, math.min(1.0, (t + 0.5) / 10.0))
+      val p = math.pow(1.0 - math.acos(mid) / math.Pi, nPlanes)
+      t -> math.floor(p * 10000.0 + 0.5).toLong
+    }
+
+  /** Sign-LSH CALIBRATION twin of [[lshTopK]] (the minhash/simhash
+    * calibration pattern applied to the cosine estimator): the measured
+    * bucket-collision rate per exact-cosine tier over the live query
+    * panel x the full corpus — the trust contract a 100 TB ANN run needs
+    * before it lets the bucket join gate recall. Per tier
+    * (floor(sim_r*10), clamped to [-10, 9]): pair count, same-bucket
+    * collisions, collision rate in bp, mean bucket hamming distance, and
+    * the theoretical (1-acos(c)/pi)^nPlanes rate at the tier midpoint as
+    * a plan literal ([[lshTheoreticalBp]]) so measured-vs-theory reads
+    * off one row.
+    *
+    * Deliberately O(|Q| x N): calibration runs on a bounded sampled
+    * query panel (broadcast nested-loop, no shuffle) because the exact
+    * cosine of MISSED pairs is precisely what the bucket join cannot
+    * provide; the aggregate is bounded at 20 tiers.
+    */
+  def lshCalibration(queries: DataFrame, candidates: DataFrame,
+      nPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = withNorm(queries, "query_id", "q_emb")
+      .withColumn("q_bucket", lshBucket(col("q_emb"), planes))
+    val c = withNorm(candidates, "neighbor_id", "c_emb")
+      .withColumn("c_bucket", lshBucket(col("c_emb"), planes))
+    val theo = lshTheoreticalBp(nPlanes)
+    val theoCol = theo.tail.foldLeft(
+      when(col("tier") === theo.head._1, lit(theo.head._2))) {
+      case (acc, (t, v)) => acc.when(col("tier") === t, lit(v))
+    }
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("q_emb_norm") > 0.0 && col("c_emb_norm") > 0.0)
+      .withColumn("sim_r", round(
+        fdot(col("q_emb"), col("c_emb")) /
+          (col("q_emb_norm") * col("c_emb_norm")), 4))
+      .withColumn("hamming",
+        bit_count(col("q_bucket").bitwiseXOR(col("c_bucket"))).cast("long"))
+      .withColumn("tier", least(floor(col("sim_r") * 10.0), lit(9L)).cast("int"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("hamming") === 0, 1)).as("n_collide"),
+        floor(count(when(col("hamming") === 0, 1)) * 10000.0 / count(lit(1)) + 0.5)
+          .cast("long").as("collide_bp"),
+        (floor(sum(col("hamming")) * 10000.0 / count(lit(1)) + 0.5) / 10000.0)
+          .as("mean_hamming_r"))
+      .withColumn("theo_bp", theoCol)
+  }
 }

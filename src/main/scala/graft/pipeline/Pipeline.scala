@@ -192,14 +192,20 @@ object Pipeline {
 
   /** Morton (Z-order) code of two bounded non-negative int columns: bit b
     * of x lands at position 2b, bit b of y at 2b+1. Pure bit arithmetic —
-    * codegen-friendly, no UDF.
+    * codegen-friendly, no UDF. Inputs are widened to long first so the
+    * interleave stays non-negative for any bits <= 31 (an int input with
+    * bits >= 16 would shift y's top bit into the int sign bit and corrupt
+    * the range-partition sort downstream).
     */
   def mortonCode(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
-      bits: Int): org.apache.spark.sql.Column =
+      bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"mortonCode bits must be in [1,31]: $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
     (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1))
+      shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1))
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Z-order clustered write: rows range-partitioned and sorted by the
     * Morton interleave of two dimensions across `numFiles` files, so

@@ -23,13 +23,10 @@ private[graftnative] object DsirHashCore {
   private val P = 1000000007L
   private val B = 257L
 
-  /** fold("dsir:") and 257^5 — the salt every gram hash is prefixed with. */
+  /** fold("dsir:") — the salt every gram hash is prefixed with (the salt's
+    * base power is folded in per token via tp()).
+    */
   val SaltFold: Long = "dsir:".foldLeft(0L)((a, c) => (a * B + c) % P)
-  val SaltPow: Long = {
-    var p = 1L; var i = 0
-    while (i < 5) { p = (p * B) % P; i += 1 }
-    p
-  }
 
   /** Per-gram bucket ids (unigrams then bigrams, position order), each
     * `pmod(fold("dsir:" + gram), buckets)`.
@@ -113,19 +110,24 @@ case class DsirBuckets(child: Expression, m: Long)
 
 /** Per-document DSIR log-importance score in integer micro-units: sum of
   * the literal per-bucket weights over the gram bag, one primitive loop.
+  * Weights are a Seq (structural equality), not an Array (reference
+  * equality), so structurally equal DsirScore expressions canonicalize
+  * equal and Catalyst subexpression elimination can fire.
   */
-case class DsirScore(child: Expression, weights: Array[Long])
+case class DsirScore(child: Expression, weights: Seq[Long])
     extends UnaryExpression with ExpectsInputTypes {
 
   require(weights.nonEmpty, "weights must be non-empty")
+
+  @transient private lazy val wArr: Array[Long] = weights.toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any =
-    DsirHashCore.score(input.asInstanceOf[ArrayData], weights)
+    DsirHashCore.score(input.asInstanceOf[ArrayData], wArr)
 
-  def compute(toks: ArrayData): Long = DsirHashCore.score(toks, weights)
+  def compute(toks: ArrayData): Long = DsirHashCore.score(toks, wArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("dsirScore", this, classOf[DsirScore].getName)
@@ -141,5 +143,6 @@ object DsirHash {
     ExpressionUtils.column(DsirBuckets(ExpressionUtils.expression(tokens), m))
 
   def dsirScore(tokens: Column, weights: Array[Long]): Column =
-    ExpressionUtils.column(DsirScore(ExpressionUtils.expression(tokens), weights))
+    ExpressionUtils.column(
+      DsirScore(ExpressionUtils.expression(tokens), weights.toIndexedSeq))
 }

@@ -137,17 +137,23 @@ class ObservabilitySpec extends SparkSpec {
     } ++ (1 to 90).map(i => (6000L + i, ts("2024-01-01 06:01:00"), 1L, "view", 0.0)) ++
       (1 to 10).map(i => (6100L + i, ts("2024-01-01 06:02:00"), 1L, "error", 0.0)) ++
       Seq((7001L, ts("2024-01-01 07:01:00"), 1L, "view", 0.0),
-        (7002L, ts("2024-01-01 07:02:00"), 1L, "error", 0.0))
+        (7002L, ts("2024-01-01 07:02:00"), 1L, "error", 0.0)) ++
+      // hour 20, after a >6h quiet gap: the RANGE frame sees an EMPTY
+      // trailing window (a ROWS frame would reach back to hours 2-7 and
+      // flag this as a burst against the stale baseline)
+      (1 to 50).map(i => (20000L + i, ts("2024-01-01 20:01:00"), 1L, "view", 0.0)) ++
+      (1 to 50).map(i => (20100L + i, ts("2024-01-01 20:02:00"), 1L, "error", 0.0))
     val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val out = graft.operators.Observability
       .errorBursts(ev, "error", trailHours = 6, factor = 2, minErrors = 5)
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(6))).toMap
-    val h = (n: Int) => java.time.LocalDateTime.parse(f"2024-01-01T0$n%d:00")
+    val h = (n: Int) => java.time.LocalDateTime.parse(f"2024-01-01T$n%02d:00")
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     assert(out(h(0)) === ((100L, false))) // no trailing window yet
     assert(out(h(5)) === ((100L, false))) // at baseline
     assert(out(h(6)) === ((1000L, true))) // the spike
     assert(out(h(7)) === ((5000L, false))) // 1 error < minErrors floor
+    assert(out(h(20)) === ((5000L, false))) // empty trailing window after gap
   }
 
   test("transitions: per-user consecutive pairs only, probabilities in bp") {

@@ -154,6 +154,30 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("lshCalibration: identical vectors collide at tier 9, negated never") {
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val corpus = (Seq((0L, base)) ++
+      Seq((1L, base.clone)) ++ // cosine 1.0 -> tier 9, same bucket
+      Seq((2L, base.map(-_))) ++ // cosine -1.0 -> tier -10, all 8 bits flip
+      Seq.tabulate(40)(i => (10L + i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshCalibration(
+        corpus.where($"vec_id" === 0), corpus, nPlanes = 8, dim = dim)
+      .collect().map(r => r.getAs[Int]("tier") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_collide"),
+          r.getAs[Double]("mean_hamming_r"), r.getAs[Long]("theo_bp"))))
+      .toMap
+    val (n9, c9, h9, t9) = out(9)
+    assert(n9 == 1L && c9 == 1L && h9 == 0.0)
+    assert(t9 == Similarity.lshTheoreticalBp(8).toMap.apply(9))
+    val (nm, cm, hm, _) = out(-10)
+    assert(nm == 1L && cm == 0L && hm == 8.0)
+    // every pair lands in exactly one tier
+    assert(out.values.map(_._1).sum == 42L)
+  }
+
   test("hardNegatives ranks only different-label candidates") {
     // query 0 (label 0): same-label 1,2 are excluded; only vec 3
     // (label 1, identical direction) qualifies

@@ -28,11 +28,21 @@ class ZOrderSpec extends SparkSpec {
     val out = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (5, 6))
       .toDF("x", "y")
       .select(Pipeline.mortonCode(col("x"), col("y"), 3).as("z"))
-      .collect().map(_.getInt(0)).toSeq
+      .collect().map(_.getLong(0)).toSeq // long: inputs widen before shifting
     // z(x,y): x bits at even positions, y bits at odd
     assert(out === Seq(0, 1, 2, 3, 0x2 | 0x8 | 0x4 | 0x1, // (2,3)=b10,b11 -> 1110
-      0x1 | 0x10 | 0x8 | 0x20).map(_.toInt).updated(4, 14))
+      0x1 | 0x10 | 0x8 | 0x20).map(_.toLong).updated(4, 14L))
     assert(out(5) === (1 + 8 + 16 + 32)) // (5,6): x=101 -> 1,16; y=110 -> 8,32
+  }
+
+  test("mortonCode stays non-negative for int inputs at bits=31") {
+    // pre-fix, y's top bit shifted into the int sign bit for bits >= 16
+    val out = Seq((0x7FFFFFFF, 0x7FFFFFFF))
+      .toDF("x", "y")
+      .select(Pipeline.mortonCode(col("x"), col("y"), 31).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.head == (1L << 62) - 1) // 62 interleaved ones
+    assert(out.head > 0)
   }
 
   test("z-ordered layout prunes row groups on both dims; lexicographic only on its leading key") {
