@@ -602,6 +602,18 @@ object SparkEntry {
         nprobe = 2, topK = 5)
     }),
 
+    // §2.21l — IVF recall audit: measured recall@5 vs the exact
+    // brute-force top-k at nprobe 1/2/4 — the nprobe selection contract,
+    // the IVF companion of q_lsh_calibration (mean and worst-query
+    // recall per probed-cell budget)
+    "q_ivf_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      graft.operators.Ivf.recallAudit(e.where(col("vec_id") < 8), e,
+        centroids, nprobes = Seq(1, 2, 4), topK = 5)
+    }),
+
     // §2.21d — product-quantization ANN: 4 subspace codebooks (trained on
     // the same deterministic 1/5 sample), corpus compressed to 4 int codes
     // per vector (16x scan-bandwidth cut at dim 64), ADC search = 4 table
@@ -2037,6 +2049,7 @@ object SparkEntry {
     "q_ann_jl" -> annJlOracle,
 
     "q_ann_ivf" -> annIvfOracle,
+    "q_ivf_recall" -> ivfRecallOracle,
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_ingest" -> semIngestSql,
     "q_semdedup_staged" -> semDedupStagedOracle,
@@ -4654,6 +4667,66 @@ object SparkEntry {
        |  FROM sims)
        |SELECT query_id, neighbor_id, cell_id, rank, round(sim, 4) AS sim_r
        |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** q_ivf_recall oracle: replays IVF training (ivfTrainCtes), the
+    * brute-force top-k ground truth (q_ann_topk's CTE shape), and one
+    * probed search per audited nprobe (probe ranks computed once to the
+    * max nprobe, filtered per block), then per-query hit counts -> the
+    * per-nprobe recall stats; the qs LEFT JOIN keeps zero-hit queries in
+    * the audit at recall 0, exactly like the Spark side's panel join.
+    */
+  private def ivfRecallOracle: String = {
+    val nprobes = Seq(1, 2, 4)
+    val perNp = nprobes.map { np =>
+      s"""r$np AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]),
+         |          CAST(c.c_emb AS DOUBLE[])) DESC, c.neighbor_id ASC) AS rank
+         |    FROM cand c JOIN probeall p USING (cell_id)
+         |    WHERE c.neighbor_id <> p.query_id AND p.rn <= $np)
+         |  WHERE rank <= 5),
+         |h$np AS (
+         |  SELECT query_id, count(*) AS n_hits
+         |  FROM r$np JOIN brute USING (query_id, neighbor_id)
+         |  GROUP BY query_id),
+         |s$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe,
+         |    CAST(count(*) AS BIGINT) AS n_queries,
+         |    floor(CAST(sum(coalesce(n_hits, 0)) AS DOUBLE) * 10000.0
+         |      / (count(*) * 5) + 0.5) / 10000.0 AS mean_recall_r,
+         |    floor(CAST(min(coalesce(n_hits, 0)) AS DOUBLE) * 10000.0 / 5
+         |      + 0.5) / 10000.0 AS min_recall_r
+         |  FROM qs LEFT JOIN h$np USING (query_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ivfTrainCtes,
+       |qs AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 8),
+       |probeall AS (
+       |  SELECT query_id, q_emb, cell_id, rn FROM (
+       |    SELECT t.query_id, t.q_emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.query_id
+       |        ORDER BY ${ivfDist("t.q_emb", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM qs t CROSS JOIN c2 c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT neighbor_id, c_emb, cell_id FROM (
+       |    SELECT t.vec_id AS neighbor_id, t.embedding AS c_emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${ivfDist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM embeddings t CROSS JOIN c2 c) WHERE rn = 1),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id ASC) AS rank
+       |    FROM embeddings c, qs q WHERE c.vec_id <> q.query_id)
+       |  WHERE rank <= 5),
+       |$perNp
+       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |UNION ALL SELECT * FROM s4""".stripMargin
   }
 
   /** q_ann_pq oracle: replays the FULL product-quantization pipeline in

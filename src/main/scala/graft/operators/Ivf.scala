@@ -130,6 +130,70 @@ object Ivf {
         round(col("sim"), 4).as("sim_r"))
   }
 
+  /** IVF RECALL audit: measured recall@k of [[search]] against the exact
+    * brute-force top-k, one row per nprobe — the nprobe selection
+    * contract, and the IVF companion of the sign-LSH calibration twin
+    * (Similarity.lshCalibration). A 100 TB deployment picks nprobe from
+    * this table: per probed-cell budget it reports how much of the TRUE
+    * top-k the cell pruning actually keeps (mean and worst query).
+    *
+    * Cost shape: one brute-force pass over the corpus for the bounded
+    * broadcast query panel (the ground truth the bucket join cannot
+    * provide — same deliberate O(|Q| x N) as the calibration twins) plus
+    * |nprobes| bounded searches; the audit output is |nprobes| rows.
+    * The exact top-k and the query panel localCheckpoint so neither
+    * recomputes per nprobe.
+    */
+  def recallAudit(queries: DataFrame, candidates: DataFrame,
+      centroids: Seq[Seq[Float]], nprobes: Seq[Int], topK: Int): DataFrame = {
+    val exact = Similarity.bruteForceTopK(queries, candidates, topK)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val panel = queries.select(col("vec_id").as("query_id")).localCheckpoint()
+    // ONE corpus cell assignment shared by every audited nprobe (the
+    // per-candidate argmin over centroids is the search's dominant scan
+    // cost — re-deriving it per nprobe triples the audit for nothing);
+    // probe cells carry their rank so each block is a cheap filter
+    val assigned = assign(candidates, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("cell_id"), sqrt(fdot(col("embedding"), col("embedding"))).as("c_norm"))
+      .localCheckpoint()
+    val maxProbe = math.min(nprobes.max, centroids.length)
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("q_norm"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        posexplode(nearestCells(col("q_emb"), centroids, maxProbe)))
+      .withColumnRenamed("pos", "probe_rank").withColumnRenamed("col", "cell_id")
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    nprobes.map { np =>
+      val hits = assigned
+        .join(broadcast(probed.where(col("probe_rank") < np)), "cell_id")
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim",
+          fdot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      // a query whose probed cells miss the ENTIRE true top-k has no
+      // hits row — the left join keeps it in the audit at recall 0
+      panel
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          (floor(sum(col("n_hits")) * 10000.0 / (count(lit(1)) * topK) + 0.5)
+            / 10000.0).as("mean_recall_r"),
+          (floor(min(col("n_hits")) * 10000.0 / topK + 0.5) / 10000.0)
+            .as("min_recall_r"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("mean_recall_r"), col("min_recall_r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Materialize the IVF index as a hive layout partitioned BY CELL:
     * `path/cell_id=<c>/...` — on a data lake this IS the inverted file.
     * A search that probes `nprobe` cells reads only those directories

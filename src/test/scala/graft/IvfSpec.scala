@@ -51,6 +51,29 @@ class IvfSpec extends SparkSpec {
       out.head.getAs[Double]("sim_r") > 0.99)
   }
 
+  test("recallAudit: recall monotone in nprobe, full probe = exact") {
+    // clusters of 3 per axis: a query's own cell holds only 2 non-self
+    // neighbors, so IVF top-5 at nprobe=1 can hit at most 2 of the true
+    // top-5 — recall exactly 2/5 — while probing every cell IS brute
+    // force (recall exactly 1)
+    val tiny = (0 until 9).map { i =>
+      val axis = i % 3
+      val base = Array.fill(8)(0.01f * ((i * 7) % 5))
+      base(axis) = 10.0f
+      (i.toLong, base, axis)
+    }.toSeq.toDF("vec_id", "embedding", "true_cluster")
+    val centroids = Ivf.train(tiny, k = 3, iters = 2)
+    val out = Ivf.recallAudit(tiny.where($"vec_id" < 4), tiny, centroids,
+        nprobes = Seq(1, 3), topK = 5)
+      .collect().map(r => r.getAs[Long]("nprobe") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Double]("mean_recall_r"),
+          r.getAs[Double]("min_recall_r")))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == 4L)
+    assert(out(3L)._2 == 1.0 && out(3L)._3 == 1.0)
+    assert(out(1L)._2 == 0.4 && out(1L)._3 == 0.4)
+  }
+
   test("training is deterministic") {
     val a = Ivf.train(clustered, 3, 2)
     val b = Ivf.train(clustered, 3, 2)
