@@ -602,6 +602,15 @@ object SparkEntry {
         nprobe = 2, topK = 5)
     }),
 
+    // §2.21m — greedy k-center coreset (farthest-point traversal,
+    // Gonzalez 2-approx): the k most mutually distant exemplars + the
+    // selection radius curve + per-center assignment counts — diversity
+    // subset selection before labeling/distillation/eval construction.
+    // k bounded driver round-trips of ONE row each; distances are the
+    // native ascending-index double fold, so the whole greedy replays
+    "q_kcenter" -> ((s, dir) =>
+      graft.operators.Coreset.kCenter(Tables.embeddings(s, dir), k = 8)),
+
     // §2.21l — IVF recall audit: measured recall@5 vs the exact
     // brute-force top-k at nprobe 1/2/4 — the nprobe selection contract,
     // the IVF companion of q_lsh_calibration (mean and worst-query
@@ -2050,6 +2059,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> annIvfOracle,
     "q_ivf_recall" -> ivfRecallOracle,
+    "q_kcenter" -> kcenterOracle,
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_ingest" -> semIngestSql,
     "q_semdedup_staged" -> semDedupStagedOracle,
@@ -4727,6 +4737,53 @@ object SparkEntry {
        |$perNp
        |SELECT * FROM s1 UNION ALL SELECT * FROM s2
        |UNION ALL SELECT * FROM s4""".stripMargin
+  }
+
+  /** q_kcenter oracle: the greedy farthest-point traversal unrolled into
+    * k CTE levels (the Lloyd-unroll pattern of ivfTrainCtes applied to a
+    * sequential greedy): each step cross-joins the corpus with the s
+    * 1-row center CTEs, takes LEAST of the replayed ascending-fold
+    * squared distances, excludes chosen ids, and picks (dmin DESC,
+    * vec_id ASC) LIMIT 1 — exactly the Spark side's per-step
+    * TakeOrdered(1). Assignment ranks (dist ASC, step ASC), the native
+    * strict-< tie rule.
+    */
+  private def kcenterOracle: String = {
+    val k = 8
+    val steps = (1 until k).map { s =>
+      val joins = (0 until s).map(j => s"CROSS JOIN c$j x$j").mkString(" ")
+      val excl = (0 until s).map(j => s"e.vec_id <> x$j.vec_id").mkString(" AND ")
+      val dists = (0 until s)
+        .map(j => ivfDist("e.embedding", s"x$j.embedding"))
+        .mkString(",\n    ")
+      s"""d$s AS (
+         |  SELECT e.vec_id, e.embedding, LEAST($dists) AS dmin
+         |  FROM e $joins
+         |  WHERE $excl),
+         |c$s AS (
+         |  SELECT vec_id, embedding, dmin FROM d$s
+         |  ORDER BY dmin DESC, vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val centerRows = (Seq(
+      "SELECT CAST(0 AS INTEGER) AS step, vec_id, CAST(NULL AS DOUBLE) AS radius_sq_r, embedding FROM c0") ++
+      (1 until k).map(s =>
+        s"SELECT CAST($s AS INTEGER), vec_id, floor(dmin * 10000.0 + 0.5) / 10000.0, embedding FROM c$s"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1),
+       |$steps,
+       |centers AS (
+       |  $centerRows),
+       |asg AS (
+       |  SELECT vec_id, step FROM (
+       |    SELECT e.vec_id, c.step,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${ivfDist("e.embedding", "c.embedding")} ASC, c.step ASC) AS rn
+       |    FROM e CROSS JOIN centers c) WHERE rn = 1),
+       |cnt AS (SELECT step, count(*) AS n FROM asg GROUP BY step)
+       |SELECT c.step, c.vec_id AS center_id, c.radius_sq_r,
+       |  CAST(coalesce(n, 0) AS BIGINT) AS n_assigned
+       |FROM centers c LEFT JOIN cnt USING (step)""".stripMargin
   }
 
   /** q_ann_pq oracle: replays the FULL product-quantization pipeline in

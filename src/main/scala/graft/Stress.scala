@@ -17,6 +17,8 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val factor = if (args.length > 1) args(1).toInt else 10
+    // optional op-name substring filters: Stress <sfDir> <factor> [name...]
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,6 +47,7 @@ object Stress {
     println(s"docs=${docs.count()} embeddings=${embs.count()}")
 
     def time(name: String)(df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
@@ -199,6 +202,24 @@ object Stress {
     time("ann_jl_topk") {
       Similarity.jlTopK(embs.where(col("vec_id") < 8), embs, k = 5,
         prefilter = 4, dim = 64, kProj = 8)
+    }
+    // Estimator-trust audits under replication: each is panel- or
+    // k-bounded on one side, so the cost law is LINEAR in the corpus
+    // factor (the audited scan itself), never quadratic — the property
+    // that lets a 100 TB run afford its own trust contracts.
+    time("lsh_calibration") {
+      Similarity.lshCalibration(embs.where(col("vec_id") < 8), embs,
+        nPlanes = 8, dim = 64)
+    }
+    time("ivf_recall_audit") {
+      graft.operators.Ivf.recallAudit(embs.where(col("vec_id") < 8), embs,
+        centroids, nprobes = Seq(1, 2, 4), topK = 5)
+    }
+    // k-center greedy: k sequential scan-speed rounds (1-row pull each) —
+    // wall clock must grow ~linearly in the factor, row output fixed at k.
+    time("kcenter_coreset") {
+      graft.operators.Coreset.kCenter(
+        embs.select(col("vec_id"), col("embedding")), k = 8)
     }
     // Cross-corpus leak check: eval side stays fixed-size while the
     // corpus replicates — candidate volume grows with the corpus' bucket

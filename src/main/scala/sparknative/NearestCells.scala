@@ -94,6 +94,68 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Float]], n: Int)
     copy(child = newChild)
 }
 
+/** Nearest centroid WITH its squared euclidean distance, as a
+  * struct(cell int, d double) — the variant the k-center farthest-point
+  * traversal needs (the running MIN distance to the chosen set, not just
+  * the argmin id). Same ascending-index double fold and strict-< tie
+  * rule (earlier index wins) as [[NearestCells]], so the oracle replay
+  * is the same LEAST / rank-ASC SQL.
+  */
+case class NearestCellDist(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.forall(_.size == centroids.head.size),
+    "centroids must share one dimensionality")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("d",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  private lazy val cents: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  def compute(emb: ArrayData): Any = {
+    val k = cents.length
+    val dim = emb.numElements()
+    if (dim != cents(0).length) return null
+    var bestD = Double.MaxValue
+    var bestC = -1
+    var c = 0
+    while (c < k) {
+      val cen = cents(c)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val diff = emb.getFloat(i).toDouble - cen(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestC, bestD)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCellDist", this, classOf[NearestCellDist].getName)
+    nullSafeCodeGen(ctx, ev, emb =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($emb);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellDist =
+    copy(child = newChild)
+}
+
 object NearestCells {
   /** Array of the `n` nearest cell ids, distance-ascending. */
   def nearestCells(emb: Column, centroids: Seq[Seq[Float]], n: Int): Column =
@@ -104,4 +166,8 @@ object NearestCells {
     import org.apache.spark.sql.functions.element_at
     element_at(nearestCells(emb, centroids, 1), 1)
   }
+
+  /** struct(cell, d): nearest centroid index and its squared distance. */
+  def nearestCellDist(emb: Column, centroids: Seq[Seq[Float]]): Column =
+    ExpressionUtils.column(NearestCellDist(ExpressionUtils.expression(emb), centroids))
 }
