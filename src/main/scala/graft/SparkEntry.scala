@@ -371,6 +371,21 @@ object SparkEntry {
           minJaccard = 0.5, maxLenDiff = 40)
           .select(col("doc_a"), col("doc_b")))),
 
+    // §2.18f — leakage-safe train/val/test split: WHOLE near-dup
+    // clusters are the split unit (singletons = own cluster), membership
+    // by the portable fold of the cluster id — prevents at construction
+    // time the near-dup train->eval leak that q_decontam/q_cross_dedup
+    // detect after the fact. The max_splits_per_cluster column is the
+    // re-derived no-leakage proof (1), hash-checked by the oracle.
+    "q_cluster_split" -> ((s, dir) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+      Dedup.clusterSplit(corpus,
+        Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, maxLenDiff = 40)
+          .select(col("doc_a"), col("doc_b")),
+        trainPct = 80, valPct = 10)
+    }),
+
     // §2.18d — the production keep/drop decision over those components:
     // one row per cluster, keep = most tokens (the untruncated original
     // beats its planted truncated copies), ties toward the smaller id.
@@ -1953,6 +1968,7 @@ object SparkEntry {
     // connected components as a recursive reachability closure: cluster_id
     // of a node = min node id reachable in the undirected pair graph
     "q_dedup_clusters" -> dupClustersClosureSql,
+    "q_cluster_split" -> clusterSplitOracle,
 
     // star-contraction computes the SAME components — one closure oracle
     // certifies both algorithms, and their mutual hash match proves the
@@ -3811,6 +3827,40 @@ object SparkEntry {
   private lazy val dupClustersClosureSql: String =
     s"""WITH RECURSIVE $dupClustersClosureCtes
        |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** q_cluster_split oracle: the same component closure, singletons
+    * defaulted to their own id, the portable fold of 'split:<cluster>'
+    * mod 100 deciding membership, and the no-leakage proof RE-DERIVED
+    * (max distinct splits inside any cluster) rather than trusted.
+    */
+  private lazy val clusterSplitOracle: String = {
+    def fold(s: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(acc, c) -> (acc * 257 + c) % 1000000007)"
+    s"""WITH RECURSIVE $dupClustersClosureCtes,
+       |allc AS (
+       |  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+       |  FROM corpus c LEFT JOIN clusters cl USING (doc_id)),
+       |asg AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, cluster_id,
+       |    ${fold("'split:' || CAST(cluster_id AS VARCHAR)")} % 100 AS h
+       |    FROM allc)),
+       |proof AS (
+       |  SELECT CAST(max(k) AS BIGINT) AS max_splits_per_cluster FROM (
+       |    SELECT count(DISTINCT split) AS k FROM asg GROUP BY cluster_id)),
+       |tot AS (SELECT count(*) AS n FROM asg)
+       |SELECT split, CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(floor(count(*) * 10000.0 / max(tot.n) + 0.5) AS BIGINT)
+       |    AS docs_bp,
+       |  max(proof.max_splits_per_cluster) AS max_splits_per_cluster
+       |FROM asg, proof, tot
+       |GROUP BY split""".stripMargin
+  }
 
   /** q_dedup_keep_best: the same closure, then per cluster the row_number
     * replay of the engine's deterministic max_by argmax (most tokens,

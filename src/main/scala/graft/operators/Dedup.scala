@@ -995,4 +995,60 @@ object Dedup {
         col("size_a"), col("size_b"), col("cont_a"), col("cont_b"),
         col("jaccard"))
   }
+
+  /** Leakage-safe train/val/test split: WHOLE near-dup clusters are the
+    * split unit, never documents — a doc-level random split puts a
+    * near-duplicate of a training doc into eval and the eval number is
+    * fiction (the contamination mode q_decontam/q_cross_dedup DETECT;
+    * this operator PREVENTS it at corpus-construction time). Every
+    * cluster (connected component of the verified pair graph; docs in
+    * no pair are their own singleton cluster) hashes to a split by the
+    * portable fold of its cluster id, so membership is deterministic,
+    * engine-replayable, and stable under corpus growth that doesn't
+    * touch the cluster.
+    *
+    * Output: one row per split — cluster count, doc count, doc share in
+    * bp — plus the leakage PROOF column max_splits_per_cluster (count
+    * of distinct splits seen inside any one cluster, over the whole
+    * corpus): 1 by construction, and the oracle re-derives it rather
+    * than trusting it, so the hash gate re-proves no-leakage every run.
+    *
+    * Scale shape: CC runs on the PAIR GRAPH (orders of magnitude
+    * smaller than the corpus); the corpus-sized work is one left join
+    * on doc_id + a pure hash projection; aggregates are bounded at
+    * 3 + #clusters rows. The narrow (doc_id, cluster_id, split) frame
+    * localCheckpoints once and feeds the proof, total, and per-split
+    * aggregates without re-deriving the closure.
+    */
+  def clusterSplit(corpus: DataFrame, pairs: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 < valPct, trainPct + valPct < 100")
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val clusters = dupClusters(pairs)
+    val assigned = corpus.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("h", pmod(rollingHash(
+        concat(lit("split:"), col("cluster_id").cast("string"))), lit(100L)))
+      .withColumn("split",
+        when(col("h") < trainPct, "train")
+          .when(col("h") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .localCheckpoint()
+    val proof = assigned.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k")).as("max_splits_per_cluster"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    assigned.groupBy(col("split"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(proof))
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("n_clusters"), col("n_docs"),
+        floor(col("n_docs") * 10000.0 / col("n_total") + 0.5).cast("long")
+          .as("docs_bp"),
+        col("max_splits_per_cluster"))
+  }
 }

@@ -316,6 +316,27 @@ class DedupSpec extends SparkSpec {
     assert(tiedOut.head.getAs[Long]("n_docs") == 2L)
   }
 
+  test("clusterSplit keeps whole clusters in one split, proof re-derived") {
+    import spark.implicits._
+    // clusters: {1,2,7} (chained pairs), {3,4}; singletons 5, 6
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 7L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSplit(corpus, pairs, trainPct = 80, valPct = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 7L)
+    // 2 multi-doc clusters + 2 singletons = 4 split units
+    assert(out.map(_.getAs[Long]("n_clusters")).sum == 4L)
+    // the no-leakage proof: no cluster spans two splits
+    assert(out.forall(_.getAs[Long]("max_splits_per_cluster") == 1L))
+    // a cluster travels WHOLE: some split holds >= 3 docs in fewer
+    // clusters than docs (the {1,2,7} chain stayed together)
+    assert(out.exists(r => r.getAs[Long]("n_docs") >=
+      r.getAs[Long]("n_clusters") + 2))
+    // bp shares sum to ~10000 (rounding)
+    val bp = out.map(_.getAs[Long]("docs_bp")).sum
+    assert(bp >= 9998L && bp <= 10002L)
+  }
+
   test("containmentPairs finds excerpts symmetric Jaccard misses") {
     import spark.implicits._
     val big = (1 to 40).map(i => s"w$i").mkString(" ")
