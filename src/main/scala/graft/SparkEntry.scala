@@ -1622,6 +1622,20 @@ object SparkEntry {
         mBits = 65536, kProbes = 4)
     }),
 
+    // §2.24l4 — Bloom FPR calibration twin: the measured false-positive
+    // rate of the 24l3 gate vs exact gram membership on the same corpus
+    // — probe/hit/FP totals, FPR in bp over truly-clean probes, and the
+    // wasted-recheck doc count; the (m, k) sizing contract, gram-gate
+    // member of the calibration family (16g/17c/21k/21l)
+    "q_bloom_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 40), " ").as("text"))
+      graft.operators.Contamination.bloomCalibration(docs, bench, n = 8,
+        mBits = 65536, kProbes = 4)
+    }),
+
     // §2.24m — cross-document duplicated-span report (substring-dedup
     // signal) over a corpus with planted near-copies.
     "q_dup_spans" -> ((s, dir) =>
@@ -3487,41 +3501,37 @@ object SparkEntry {
     // (h % 65536 + i * (1 + (h // 65536) % 65535)) % 65536, a gram
     // maybe-hits when all 4 probe bits are in the benchmark's bit set
     "q_decontam_bloom" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |corpus AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(toks) - 6),
-        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
-        |               c -> CAST(ascii(c) AS BIGINT))),
-        |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
-        |  FROM tok WHERE len(toks) >= 8),
-        |bt AS (
-        |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
-        |bench AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
-        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
-        |               c -> CAST(ascii(c) AS BIGINT))),
-        |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
-        |  FROM bt WHERE len(btoks) >= 8),
-        |bits AS (
-        |  SELECT DISTINCT (h % 65536 + i * (1 + (h // 65536) % 65535)) % 65536 AS b
-        |  FROM bench, range(0, 4) AS t(i)),
-        |ex AS (
-        |  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, unnest(hashes) AS h
-        |  FROM corpus),
-        |probe AS (
-        |  SELECT e.doc_id, e.n_grams, e.h,
-        |    bool_and((e.h % 65536 + i * (1 + (e.h // 65536) % 65535)) % 65536
-        |      IN (SELECT b FROM bits)) AS maybe
-        |  FROM ex e, range(0, 4) AS t(i)
-        |  GROUP BY e.doc_id, e.n_grams, e.h)
-        |SELECT doc_id, n_grams,
-        |  CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_hit,
-        |  floor(CAST(count(*) FILTER (WHERE maybe) AS BIGINT) * 10000.0 / n_grams + 0.5) / 10000.0 AS hit_ratio
-        |FROM probe GROUP BY doc_id, n_grams""".stripMargin,
+      s"""WITH $bloomProbeCtes
+         |SELECT doc_id, n_grams,
+         |  CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_hit,
+         |  floor(CAST(count(*) FILTER (WHERE maybe) AS BIGINT) * 10000.0 / n_grams + 0.5) / 10000.0 AS hit_ratio
+         |FROM probe GROUP BY doc_id, n_grams""".stripMargin,
+
+    // the calibration twin: same probe CTEs + exact membership, so the
+    // two replays can never desync on the filter arithmetic
+    "q_bloom_calibration" ->
+      s"""WITH $bloomProbeCtes,
+         |bloomdoc AS (
+         |  SELECT doc_id, n_grams,
+         |    CAST(count(*) FILTER (WHERE maybe) AS BIGINT) AS n_bloom
+         |  FROM probe GROUP BY doc_id, n_grams),
+         |exdoc AS (
+         |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM ex e JOIN bench b ON e.h = b.h
+         |  GROUP BY e.doc_id),
+         |j AS (
+         |  SELECT bd.n_grams, bd.n_bloom, coalesce(ed.n_exact, 0) AS n_exact
+         |  FROM bloomdoc bd LEFT JOIN exdoc ed USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_probes,
+         |  CAST(sum(n_exact) AS BIGINT) AS n_true_hits,
+         |  CAST(sum(n_bloom) AS BIGINT) AS n_bloom_hits,
+         |  CAST(sum(n_bloom) - sum(n_exact) AS BIGINT) AS n_false_pos,
+         |  CAST(floor((sum(n_bloom) - sum(n_exact)) * 10000.0 /
+         |    (sum(n_grams) - sum(n_exact)) + 0.5) AS BIGINT) AS fpr_bp,
+         |  CAST(count(*) FILTER (WHERE n_bloom > 0 AND n_exact = 0) AS BIGINT)
+         |    AS n_docs_false_flagged
+         |FROM j""".stripMargin,
 
     "q_dup_spans" ->
       """WITH base AS (
@@ -3827,6 +3837,47 @@ object SparkEntry {
   private lazy val dupClustersClosureSql: String =
     s"""WITH RECURSIVE $dupClustersClosureCtes
        |SELECT doc_id, cluster_id FROM clusters""".stripMargin
+
+  /** Shared replay of the Bloom decontam probe: portable 8-gram folds,
+    * the 64 Kibit double-hash filter built from the benchmark grams, and
+    * per-(doc, gram) `maybe` verdicts — the base of BOTH the
+    * q_decontam_bloom gate replay and its FPR calibration twin, so the
+    * two oracles can never desync on the filter arithmetic. Ends with
+    * `bench(h)`, `ex(doc_id, n_grams, h)`, `probe(doc_id, n_grams, h,
+    * maybe)`.
+    */
+  private val bloomProbeCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |corpus AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 6),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+      |               c -> CAST(ascii(c) AS BIGINT))),
+      |           (acc, c) -> (acc * 257 + c) % 1000000007))) AS hashes
+      |  FROM tok WHERE len(toks) >= 8),
+      |bt AS (
+      |  SELECT toks[1:40] AS btoks FROM tok WHERE doc_id % 20 = 0),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(btoks) - 6),
+      |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(string_split(array_to_string(btoks[i:i+7], ' '), ''),
+      |               c -> CAST(ascii(c) AS BIGINT))),
+      |           (acc, c) -> (acc * 257 + c) % 1000000007)))) AS h
+      |  FROM bt WHERE len(btoks) >= 8),
+      |bits AS (
+      |  SELECT DISTINCT (h % 65536 + i * (1 + (h // 65536) % 65535)) % 65536 AS b
+      |  FROM bench, range(0, 4) AS t(i)),
+      |ex AS (
+      |  SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams, unnest(hashes) AS h
+      |  FROM corpus),
+      |probe AS (
+      |  SELECT e.doc_id, e.n_grams, e.h,
+      |    bool_and((e.h % 65536 + i * (1 + (e.h // 65536) % 65535)) % 65536
+      |      IN (SELECT b FROM bits)) AS maybe
+      |  FROM ex e, range(0, 4) AS t(i)
+      |  GROUP BY e.doc_id, e.n_grams, e.h)""".stripMargin
 
   /** q_cluster_split oracle: the same component closure, singletons
     * defaulted to their own id, the portable fold of 'split:<cluster>'

@@ -156,6 +156,44 @@ object Contamination {
         floor(col("n_hit") * 10000.0 / col("n_grams") + 0.5) / 10000.0)
   }
 
+  /** Bloom FPR CALIBRATION: the measured false-positive rate of the
+    * [[decontaminateBloom]] gate against exact gram membership on the
+    * SAME corpus and benchmark — the trust contract for sizing (m, k)
+    * before a 100 TB run routes its recheck traffic through the filter
+    * (the gram-gate member of the calibration family: 16g/17c/21k/21l).
+    * One bounded row: probe/hit/false-positive totals (all exact
+    * integer sums), the measured FPR in bp over the truly-clean probes,
+    * and the count of docs false-flagged into the exact recheck
+    * (bloom-possible hits but zero true hits — the wasted recheck
+    * volume the FPR actually costs). Bloom has zero false negatives by
+    * construction, so n_bloom >= n_exact per doc and the subtraction
+    * never goes negative.
+    *
+    * Scale shape: both gates are pure projections over one corpus scan
+    * each + a broadcast; the join is doc_id-keyed on the gate outputs
+    * (2 slim columns), the aggregate is ONE row.
+    */
+  def bloomCalibration(docs: DataFrame, benchmark: DataFrame, n: Int,
+      mBits: Int, kProbes: Int): DataFrame = {
+    val bloom = decontaminateBloom(docs, benchmark, n, mBits, kProbes)
+      .select(col("doc_id"), col("n_grams"), col("n_hit").as("n_bloom"))
+    val exact = decontaminate(docs, benchmark, n)
+      .select(col("doc_id"), col("n_hit").as("n_exact"))
+    bloom.join(exact, Seq("doc_id"), "left")
+      .select(col("n_grams"), col("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_probes"),
+        sum(col("n_exact")).as("n_true_hits"),
+        sum(col("n_bloom")).as("n_bloom_hits"),
+        (sum(col("n_bloom")) - sum(col("n_exact"))).as("n_false_pos"),
+        floor((sum(col("n_bloom")) - sum(col("n_exact"))) * 10000.0 /
+          (sum(col("n_grams")) - sum(col("n_exact"))) + 0.5).cast("long")
+          .as("fpr_bp"),
+        count(when(col("n_bloom") > 0 && col("n_exact") === 0, 1))
+          .as("n_docs_false_flagged"))
+  }
+
   /** Duplicated-span REMOVAL with keep-first semantics (the actionable
     * half of Lee et al.'s substring dedup): an n-token window whose hash
     * occurs in >= 2 distinct documents survives only in the lowest

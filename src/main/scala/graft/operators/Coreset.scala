@@ -43,21 +43,34 @@ object Coreset {
   def kCenter(embeddings: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    val seedRows = e.orderBy(col("vec_id").asc).limit(1).collect()
+    if (seedRows.isEmpty) {
+      // empty corpus -> empty selection with the contract schema
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Option[Double], Long)]
+        .toDF("step", "center_id", "radius_sq_r", "n_assigned")
+    }
+    val seed = seedRows(0)
     var centers = Vector[(Long, Seq[Float], Option[Double])](
       (seed.getLong(0), seed.getSeq[Float](1), None))
-    for (_ <- 1 until k) {
+    var exhausted = false
+    for (_ <- 1 until k if !exhausted) {
       val cents = centers.map(_._2)
       val chosen = centers.map(_._1)
       // one-row pull per step (bounded-collect, like Ivf.train's k rows)
-      val far = e
+      val farRows = e
         .where(!col("vec_id").isInCollection(chosen))
         .select(col("vec_id"), col("embedding"),
           nearestCellDist(col("embedding"), cents).getField("d").as("dmin"))
         .orderBy(col("dmin").desc, col("vec_id").asc)
-        .limit(1).collect()(0)
-      centers = centers :+
-        ((far.getLong(0), far.getSeq[Float](1), Some(far.getDouble(2))))
+        .limit(1).collect()
+      if (farRows.isEmpty) exhausted = true // corpus smaller than k
+      else {
+        val far = farRows(0)
+        centers = centers :+
+          ((far.getLong(0), far.getSeq[Float](1), Some(far.getDouble(2))))
+      }
     }
     val centsAll = centers.map(_._2)
     val assigned = e

@@ -240,4 +240,32 @@ class AdversarialInputSpec extends SparkSpec {
       "event_type", "purchase").collect()
     assert(gf.length == 3 && gf.forall(!_.getBoolean(4)))
   }
+
+  test("r9 operators: corpora smaller than k / empty panels degrade right") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // k-center asked for more centers than points: truncated, not thrown
+    val kc = Coreset.kCenter(vecs, k = 5).orderBy("step").collect()
+    assert(kc.length == 2)
+    assert(kc.map(_.getAs[Long]("n_assigned")).sum == 2L)
+    assert(Coreset.kCenter(empty, k = 3).count() == 0)
+    // calibration with an empty query panel: empty tier table
+    assert(Similarity.lshCalibration(
+      empty, vecs, nPlanes = 4, dim = 2).count() == 0)
+    // recall audit with an empty panel: one row per nprobe, 0 queries
+    val cents = Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    val ra = Ivf.recallAudit(empty, vecs, cents, nprobes = Seq(1, 2), topK = 5)
+      .orderBy("nprobe").collect()
+    assert(ra.length == 2 && ra.forall(_.getAs[Long]("n_queries") == 0L))
+    // cluster split over an empty pair graph: every doc its own cluster
+    val docs = Seq(10L, 20L, 30L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val cs = Dedup.clusterSplit(docs, noPairs, trainPct = 80, valPct = 10)
+      .collect()
+    assert(cs.map(_.getAs[Long]("n_docs")).sum == 3L)
+    assert(cs.map(_.getAs[Long]("n_clusters")).sum == 3L)
+    assert(cs.forall(_.getAs[Long]("max_splits_per_cluster") == 1L))
+  }
 }

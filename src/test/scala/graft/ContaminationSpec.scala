@@ -183,6 +183,28 @@ class ContaminationSpec extends SparkSpec {
     }
   }
 
+  test("bloomCalibration: zero FP on a sparse filter, real FP on a saturated one") {
+    val bench = docs.where($"doc_id" === 1)
+    // 2^16 bits for 10 grams: FP probability ~1e-13 -> measured FPR 0
+    val sparse = Contamination.bloomCalibration(docs, bench, n = 3,
+      mBits = 65536, kProbes = 4).collect()(0)
+    assert(sparse.getAs[Long]("n_docs") == 3L)
+    assert(sparse.getAs[Long]("n_probes") == 30L) // 10 distinct grams/doc
+    assert(sparse.getAs[Long]("n_true_hits") == 16L) // 10 (doc1) + 6 (doc2)
+    assert(sparse.getAs[Long]("n_false_pos") == 0L)
+    assert(sparse.getAs[Long]("fpr_bp") == 0L)
+    assert(sparse.getAs[Long]("n_docs_false_flagged") == 0L)
+    // 64 bits, 4 probes x 10 grams: ~half the bits set -> disjoint doc 3
+    // MUST collide somewhere; zero false negatives must still hold
+    val tight = Contamination.bloomCalibration(docs, bench, n = 3,
+      mBits = 64, kProbes = 4).collect()(0)
+    assert(tight.getAs[Long]("n_true_hits") == 16L) // ground truth unchanged
+    assert(tight.getAs[Long]("n_bloom_hits") >=
+      tight.getAs[Long]("n_true_hits")) // no FN ever
+    assert(tight.getAs[Long]("n_false_pos") > 0L) // saturation shows up
+    assert(tight.getAs[Long]("fpr_bp") > 0L)
+  }
+
   test("scan-shaped gates (bloom, normalize) run unchanged as structured streams") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
