@@ -418,4 +418,58 @@ class PropertySpec extends SparkSpec {
         assert(got == want)
       }
   }
+
+  test("NearestCellDist agrees with an in-memory argmin model on random data") {
+    val rnd = new Random(37)
+    val dim = 5
+    val cents = Seq.fill(7)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // include exact centroid copies so distance-0 and tie paths execute
+    val vecs = (Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))) ++
+      cents.take(3).zipWithIndex.map { case (c, i) => (100L + i, c.toArray) })
+      .toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        org.apache.spark.sql.graftnative.NearestCells
+          .nearestCellDist(col("embedding"), cents).as("nd"))
+      .select(col("vec_id"), col("nd.cell"), col("nd.d"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // the model replays the exact contract: ascending-index double fold,
+    // strict < so the EARLIER centroid wins exact ties
+    val model = vecs.collect().map { r =>
+      val e = r.getSeq[Float](1)
+      var bd = Double.MaxValue; var bc = -1
+      cents.zipWithIndex.foreach { case (c, ci) =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val x = e(i).toDouble - c(i).toDouble; d += x * x; i += 1 }
+        if (d < bd) { bd = d; bc = ci }
+      }
+      r.getLong(0) -> ((bc, bd))
+    }.toMap
+    assert(got == model)
+    // and it agrees with NearestCells' top-1 on the same rows
+    val top1 = vecs.select(col("vec_id"),
+        org.apache.spark.sql.graftnative.NearestCells
+          .nearestCell(col("embedding"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == top1)
+  }
+
+  test("mortonCode round-trips random int pairs at bits=31") {
+    val rnd = new Random(41)
+    val pairs = Seq.fill(100)((rnd.nextInt(Int.MaxValue), rnd.nextInt(Int.MaxValue)))
+    val out = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.pipeline.Pipeline.mortonCode(col("x"), col("y"), 31).as("z"))
+      .collect()
+    out.foreach { r =>
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(z >= 0, s"negative z for ($x, $y)")
+      var dx = 0L; var dy = 0L
+      (0 until 31).foreach { b =>
+        dx |= ((z >> (2 * b)) & 1L) << b
+        dy |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(dx == x.toLong && dy == y.toLong, s"roundtrip failed for ($x, $y)")
+    }
+  }
 }
