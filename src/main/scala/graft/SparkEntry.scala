@@ -626,6 +626,14 @@ object SparkEntry {
     "q_kcenter" -> ((s, dir) =>
       graft.operators.Coreset.kCenter(Tables.embeddings(s, dir), k = 8)),
 
+    // §2.21n — the k-center ACCEPTANCE row: coverage of the whole corpus
+    // at the final selection radius (+1e-4 of the 4-dp grid) — the
+    // Gonzalez guarantee makes covered_bp = 10000 structural, and the
+    // oracle re-derives it from scratch, so the hash gate re-proves the
+    // guarantee every run
+    "q_kcenter_coverage" -> ((s, dir) =>
+      graft.operators.Coreset.kCenterCoverage(Tables.embeddings(s, dir), k = 8)),
+
     // §2.21l — IVF recall audit: measured recall@5 vs the exact
     // brute-force top-k at nprobe 1/2/4 — the nprobe selection contract,
     // the IVF companion of q_lsh_calibration (mean and worst-query
@@ -2090,6 +2098,7 @@ object SparkEntry {
     "q_ann_ivf" -> annIvfOracle,
     "q_ivf_recall" -> ivfRecallOracle,
     "q_kcenter" -> kcenterOracle,
+    "q_kcenter_coverage" -> kcenterCoverageOracle,
     "q_semdedup" -> semDedupOracle,
     "q_semdedup_ingest" -> semIngestSql,
     "q_semdedup_staged" -> semDedupStagedOracle,
@@ -4849,7 +4858,12 @@ object SparkEntry {
     * TakeOrdered(1). Assignment ranks (dist ASC, step ASC), the native
     * strict-< tie rule.
     */
-  private def kcenterOracle: String = {
+  /** Shared greedy-unroll CTE chain for k = 8, ending at
+    * `centers(step, vec_id, radius_sq_r, embedding)` — the base of the
+    * q_kcenter oracle AND its coverage twin, so the two replays cannot
+    * desync on the selection.
+    */
+  private def kcenterCtes: String = {
     val k = 8
     val steps = (1 until k).map { s =>
       val joins = (0 until s).map(j => s"CROSS JOIN c$j x$j").mkString(" ")
@@ -4870,11 +4884,15 @@ object SparkEntry {
       (1 until k).map(s =>
         s"SELECT CAST($s AS INTEGER), vec_id, floor(dmin * 10000.0 + 0.5) / 10000.0, embedding FROM c$s"))
       .mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1),
        |$steps,
        |centers AS (
-       |  $centerRows),
+       |  $centerRows)""".stripMargin
+  }
+
+  private def kcenterOracle: String = {
+    s"""WITH $kcenterCtes,
        |asg AS (
        |  SELECT vec_id, step FROM (
        |    SELECT e.vec_id, c.step,
@@ -4886,6 +4904,33 @@ object SparkEntry {
        |  CAST(coalesce(n, 0) AS BIGINT) AS n_assigned
        |FROM centers c LEFT JOIN cnt USING (step)""".stripMargin
   }
+
+  /** q_kcenter_coverage oracle: the same greedy chain, then every
+    * corpus point's min distance to the selected centers and the
+    * coverage report at the final selection radius + 1e-4 — the
+    * covered_bp = 10000 row re-proves the k-center guarantee from
+    * scratch. Per-point distances micro-quantize to bigints BEFORE the
+    * mean's sum, the engine-exact pattern shared with the Spark side.
+    */
+  private def kcenterCoverageOracle: String =
+    s"""WITH $kcenterCtes,
+       |nd AS (
+       |  SELECT e.vec_id,
+       |    min(${ivfDist("e.embedding", "c.embedding")}) AS dmin
+       |  FROM e CROSS JOIN centers c GROUP BY e.vec_id),
+       |thr AS (
+       |  SELECT radius_sq_r + 0.0001 AS t, radius_sq_r
+       |  FROM centers WHERE step = 7)
+       |SELECT CAST(8 AS BIGINT) AS k,
+       |  max(thr.radius_sq_r) AS radius_sq_r,
+       |  CAST(count(*) AS BIGINT) AS n_points,
+       |  CAST(count(*) FILTER (WHERE dmin <= t) AS BIGINT) AS n_covered,
+       |  CAST(floor(count(*) FILTER (WHERE dmin <= t) * 10000.0
+       |    / count(*) + 0.5) AS BIGINT) AS covered_bp,
+       |  floor(max(dmin) * 10000.0 + 0.5) / 10000.0 AS max_dist_sq_r,
+       |  floor(CAST(sum(CAST(floor(dmin * 10000.0 + 0.5) AS BIGINT))
+       |    AS DOUBLE) / count(*) + 0.5) / 10000.0 AS mean_dist_sq_r
+       |FROM nd, thr""".stripMargin
 
   /** q_ann_pq oracle: replays the FULL product-quantization pipeline in
     * SQL — per-subspace 2-iteration Lloyd training (same unroll as the IVF

@@ -88,6 +88,36 @@ object Coreset {
         coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
   }
 
+  /** [[kCenter]] + [[coverageAudit]] composed into the one-row
+    * acceptance report a pipeline gates on: select k centers, then
+    * audit the WHOLE corpus at the final selection radius (+1e-4, one
+    * step of the 4-dp grid, so the micro-rounded threshold cannot
+    * exclude the boundary point that defined it). The k-center
+    * guarantee makes covered_bp = 10000 a structural invariant — a
+    * driver-checked oracle row re-proves it from scratch every run.
+    * Returns (k, radius_sq_r, n_points, n_covered, covered_bp,
+    * max_dist_sq_r, mean_dist_sq_r).
+    */
+  def kCenterCoverage(embeddings: DataFrame, k: Int): DataFrame = {
+    val sel = kCenter(embeddings, k).orderBy(col("step").asc).collect()
+    require(sel.nonEmpty, "kCenterCoverage needs a non-empty corpus")
+    val ids = sel.map(_.getAs[Long]("center_id")).toSet
+    val byId = embeddings.select(col("vec_id"), col("embedding"))
+      .where(col("vec_id").isInCollection(ids))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val centers = sel.map(r => byId(r.getAs[Long]("center_id"))).toSeq
+    val lastRadius =
+      if (sel.length < 2) 0.0
+      else sel.last.getAs[Double]("radius_sq_r")
+    val thr = lastRadius + 0.0001
+    coverageAudit(embeddings, centers, thr)
+      .select(lit(sel.length.toLong).as("k"),
+        lit(lastRadius).as("radius_sq_r"),
+        col("n_points"), col("n_covered"), col("covered_bp"),
+        col("max_dist_sq_r"), col("mean_dist_sq_r"))
+  }
+
   /** Coverage audit of a chosen center set: the fraction of corpus
     * points within `radiusSq` of their nearest center, plus the exact
     * max/mean nearest-center distance — the acceptance check run after

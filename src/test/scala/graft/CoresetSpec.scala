@@ -68,5 +68,11 @@ class CoresetSpec extends SparkSpec {
     assert(row.getAs[Double]("max_dist_sq_r") <= lastRadius + 1e-4)
     assert(row.getAs[Double]("mean_dist_sq_r") <=
       row.getAs[Double]("max_dist_sq_r"))
+    // the composed acceptance row reports the same guarantee in one call
+    val acc = Coreset.kCenterCoverage(clustered, k = 3).collect()(0)
+    assert(acc.getAs[Long]("k") == 3L)
+    assert(acc.getAs[Double]("radius_sq_r") == lastRadius)
+    assert(acc.getAs[Long]("covered_bp") == 10000L)
+    assert(acc.getAs[Long]("n_points") == 12L)
   }
 }
