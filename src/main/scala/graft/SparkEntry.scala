@@ -1003,6 +1003,16 @@ object SparkEntry {
         graft.operators.Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12))
     }),
 
+    // §2.24p4 — per-source tokenizer-efficiency report: word/char/BPE
+    // mass + fertility (BPE tokens per word, bp) and compression (chars
+    // per BPE token) — the table a tokenizer evaluation across domains
+    // reads; exact integer sums before the single ratio division
+    "q_tokenizer_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Bpe.tokenizerStats(docs,
+        graft.operators.Bpe.trainMerges(docs, vocabSize = 1000, numMerges = 12))
+    }),
+
     // §2.24q2 — token budget denominated in BPE subwords (the unit a real
     // pretraining budget is set in, unlike q_token_budget's whitespace
     // proxy); same portable basis-point membership fold.
@@ -2481,6 +2491,8 @@ object SparkEntry {
     // materialized CTEs (pair count -> argmax -> vocab rewrite), then the
     // learned replace chain applied per token — generated by Bpe.oracleSql
     "q_token_bpe" -> graft.operators.Bpe.oracleSql(1000, 12),
+
+    "q_tokenizer_stats" -> graft.operators.Bpe.tokenizerStatsOracleSql(1000, 12),
 
     "q_corpus_prep_bpe" -> graft.operators.Bpe.corpusPrepOracleSql(1000, 12),
 

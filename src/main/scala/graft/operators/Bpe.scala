@@ -166,6 +166,36 @@ object Bpe {
         md5(array_join(col("ws"), " ")).as("bpe_hash"))
   }
 
+  /** Per-source tokenizer-efficiency report: word / char / BPE-token
+    * mass and the two ratios a tokenizer evaluation reads — fertility
+    * (BPE tokens per word, bp) and compression (chars per BPE token,
+    * 4-dp) — per corpus source. A multi-domain corpus tokenizes at very
+    * different rates (code vs prose vs non-Latin scripts); this is the
+    * table that decision reads. All sums are exact integers before the
+    * one ratio division, so the report is partition-order exact; one
+    * corpus scan, bounded |sources| output.
+    */
+  def tokenizerStats(docs: DataFrame, merges: Seq[String]): DataFrame =
+    docs
+      .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+        encode(col("text"), merges).as("ws"))
+      .select(col("source"), col("n_chars"),
+        size(col("ws")).cast("long").as("n_words"),
+        coalesce(
+          aggregate(col("ws"), lit(0L), (acc, w) =>
+            acc + (length(w) - length(replace(w, lit(Sep), lit(""))) - 1)
+              .cast("long")),
+          lit(0L)).as("n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        floor(sum(col("n_bpe")) * 10000.0 / sum(col("n_words")) + 0.5)
+          .cast("long").as("fertility_bp"),
+        (floor(sum(col("n_chars")) * 10000.0 / sum(col("n_bpe")) + 0.5)
+          / 10000.0).as("chars_per_bpe_r"))
+
   // --------------------------------------------------------------- oracle
 
   /** The K training stages unrolled as materialized CTEs plus the apply
@@ -236,6 +266,35 @@ object Bpe {
        |    len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(ws, ' ')) AS bpe_hash
        |FROM app""".stripMargin
+  }
+
+  /** Oracle for [[tokenizerStats]]: the same training unroll + apply
+    * chain, per-doc word/BPE/char accounting (chars joined back from the
+    * raw table), then the per-source exact-integer rollup with the two
+    * ratio columns.
+    */
+  def tokenizerStatsOracleSql(vocabSize: Int, numMerges: Int): String = {
+    val (prefix, applied) = oracleStages(vocabSize, numMerges)
+    s"""$prefix,
+       |app AS (
+       |  SELECT doc_id, source, list_transform(toks, t -> $applied) AS ws
+       |  FROM tok CROSS JOIN mm),
+       |per AS (
+       |  SELECT a.source,
+       |    CAST(len(a.ws) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(a.ws, w ->
+       |      len(w) - len(replace(w, chr(31), '')) - 1)), 0) AS BIGINT) AS n_bpe,
+       |    CAST(length(d.text) AS BIGINT) AS n_chars
+       |  FROM app a JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(floor(sum(n_bpe) * 10000.0 / sum(n_words) + 0.5) AS BIGINT)
+       |    AS fertility_bp,
+       |  floor(sum(n_chars) * 10000.0 / sum(n_bpe) + 0.5) / 10000.0
+       |    AS chars_per_bpe_r
+       |FROM per GROUP BY source""".stripMargin
   }
 
   /** Oracle for the corpus-prep pipeline with REAL BPE accounting: the

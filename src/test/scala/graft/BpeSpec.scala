@@ -87,6 +87,32 @@ class BpeSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_bpe_tokens") == 0L)
   }
 
+  test("tokenizerStats rolls up per-doc counts into exact per-source ratios") {
+    val df = Seq(
+      (1L, "aa aa a", "web"), (2L, "aa a", "web"),
+      (3L, "a a a a", "code"))
+      .toDF("doc_id", "text", "source")
+    val merges = Bpe.trainMerges(df, vocabSize = 10, numMerges = 1)
+    val out = Bpe.tokenizerStats(df, merges)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // per-doc ground truth from tokenCounts (hash-exact vs its oracle)
+    val per = Bpe.tokenCounts(df, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    val webWords = per(1L)._1 + per(2L)._1
+    val webBpe = per(1L)._2 + per(2L)._2
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") == 2L)
+    assert(web.getAs[Long]("n_words") == webWords)
+    assert(web.getAs[Long]("n_bpe_tokens") == webBpe)
+    assert(web.getAs[Long]("n_chars") == 7L + 4L)
+    assert(web.getAs[Long]("fertility_bp") ==
+      math.floor(webBpe * 10000.0 / webWords + 0.5).toLong)
+    assert(out("code").getAs[Long]("n_docs") == 1L)
+    // fertility >= 10000 always: a word is at least one BPE token
+    assert(out.values.forall(_.getAs[Long]("fertility_bp") >= 10000L))
+  }
+
   test("trained merges apply unchanged to a structured stream") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
