@@ -371,6 +371,18 @@ object SparkEntry {
           minJaccard = 0.5, maxLenDiff = 40)
           .select(col("doc_a"), col("doc_b")))),
 
+    // §2.18g — per-source near-dup profile: doc mass, docs in >= 1
+    // verified cluster, near-dup rate (bp), clusters touched — the
+    // dedup-observability column the data card lacks; which source's
+    // volume is real vs replica inflation
+    "q_dedup_profile" -> ((s, dir) => {
+      val corpus = Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+        idOffset = 1000000L, truncateChars = 30)
+      Dedup.dedupProfile(corpus,
+        Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5, maxLenDiff = 40)
+          .select(col("doc_a"), col("doc_b")))
+    }),
+
     // §2.18f — leakage-safe train/val/test split: WHOLE near-dup
     // clusters are the split unit (singletons = own cluster), membership
     // by the portable fold of the cluster id — prevents at construction
@@ -2001,6 +2013,15 @@ object SparkEntry {
     // of a node = min node id reachable in the undirected pair graph
     "q_dedup_clusters" -> dupClustersClosureSql,
     "q_cluster_split" -> clusterSplitOracle,
+    "q_dedup_profile" ->
+      s"""WITH RECURSIVE $dupClustersClosureCtes
+         |SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(cl.cluster_id) AS BIGINT) AS n_near_dup,
+         |  CAST(floor(count(cl.cluster_id) * 10000.0 / count(*) + 0.5)
+         |    AS BIGINT) AS near_dup_bp,
+         |  CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_clusters
+         |FROM corpus c LEFT JOIN clusters cl USING (doc_id)
+         |GROUP BY c.source""".stripMargin,
 
     // star-contraction computes the SAME components — one closure oracle
     // certifies both algorithms, and their mutual hash match proves the

@@ -1020,6 +1020,27 @@ object Dedup {
     * localCheckpoints once and feeds the proof, total, and per-split
     * aggregates without re-deriving the closure.
     */
+  /** Per-source near-dup profile: which domain floods duplicates — doc
+    * count, docs in >= 1 verified near-dup cluster, the rate in bp, and
+    * distinct clusters touched, per source. The dedup-observability
+    * column q_data_card's per-source report doesn't carry (it counts
+    * short/repetitive/contaminated; this adds near-dup mass), and the
+    * number a mixing plan reads before deciding whether a source's raw
+    * volume is real or replica inflation. CC on the pair graph only;
+    * corpus-side work is one doc_id left join + a bounded rollup.
+    */
+  def dedupProfile(corpus: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(pairs)
+    corpus.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_near_dup"),
+        floor(count(col("cluster_id")) * 10000.0 / count(lit(1)) + 0.5)
+          .cast("long").as("near_dup_bp"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+  }
+
   def clusterSplit(corpus: DataFrame, pairs: DataFrame,
       trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,

@@ -316,6 +316,19 @@ class DedupSpec extends SparkSpec {
     assert(tiedOut.head.getAs[Long]("n_docs") == 2L)
   }
 
+  test("dedupProfile counts per-source near-dup mass and clusters") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupProfile(corpus, pairs)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_near_dup"),
+          r.getAs[Long]("near_dup_bp"), r.getAs[Long]("n_clusters")))).toMap
+    assert(out("a") == ((3L, 2L, 6667L, 1L)))
+    assert(out("b") == ((2L, 0L, 0L, 0L)))
+  }
+
   test("clusterSplit keeps whole clusters in one split, proof re-derived") {
     import spark.implicits._
     // clusters: {1,2,7} (chained pairs), {3,4}; singletons 5, 6
