@@ -267,5 +267,20 @@ class AdversarialInputSpec extends SparkSpec {
     assert(cs.map(_.getAs[Long]("n_docs")).sum == 3L)
     assert(cs.map(_.getAs[Long]("n_clusters")).sum == 3L)
     assert(cs.forall(_.getAs[Long]("max_splits_per_cluster") == 1L))
+    // dedup profile with no pairs: every source reports zero dup mass
+    val srcDocs = Seq((10L, "a"), (20L, "b")).toDF("doc_id", "source")
+    val dp = Dedup.dedupProfile(srcDocs, noPairs).collect()
+    assert(dp.length == 2)
+    assert(dp.forall(r => r.getAs[Long]("n_near_dup") == 0L &&
+      r.getAs[Long]("near_dup_bp") == 0L && r.getAs[Long]("n_clusters") == 0L))
+    // bloom calibration over an empty corpus: one row, zero probes,
+    // null FPR (no clean probes to rate) — never a throw
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val benchOne = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val bc = Contamination.bloomCalibration(emptyDocs, benchOne, n = 3,
+      mBits = 64, kProbes = 2).collect()(0)
+    assert(bc.getAs[Long]("n_docs") == 0L)
+    assert(bc.getAs[Long]("n_probes") == 0L)
+    assert(bc.isNullAt(bc.fieldIndex("fpr_bp")))
   }
 }
