@@ -371,6 +371,17 @@ object SparkEntry {
           minJaccard = 0.5, maxLenDiff = 40)
           .select(col("doc_a"), col("doc_b")))),
 
+    // §2.18h — near-dup cluster-size histogram: duplication mass by
+    // cluster size (mostly-2 organic duplication vs the heavy tail of a
+    // boilerplate flood) — the standard dedup-analysis distribution
+    "q_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(
+        Dedup.ngramJaccardPairs(
+          Dedup.withPlantedDups(Tables.documents(s, dir), every = 20,
+            idOffset = 1000000L, truncateChars = 30),
+          minJaccard = 0.5, maxLenDiff = 40)
+          .select(col("doc_a"), col("doc_b")))),
+
     // §2.18g — per-source near-dup profile: doc mass, docs in >= 1
     // verified cluster, near-dup rate (bp), clusters touched — the
     // dedup-observability column the data card lacks; which source's
@@ -2013,6 +2024,14 @@ object SparkEntry {
     // of a node = min node id reachable in the undirected pair graph
     "q_dedup_clusters" -> dupClustersClosureSql,
     "q_cluster_split" -> clusterSplitOracle,
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $dupClustersClosureCtes,
+         |sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM clusters GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY cluster_size""".stripMargin,
     "q_dedup_profile" ->
       s"""WITH RECURSIVE $dupClustersClosureCtes
          |SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -996,6 +996,21 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Near-dup cluster-size histogram: how duplication mass distributes
+    * over cluster sizes (pairs, small cliques, giant components) — the
+    * standard dedup-analysis figure, and the early-warning signal for
+    * boilerplate floods (a heavy tail of large clusters) vs organic
+    * duplication (mostly size 2). Two bounded aggregates over the CC
+    * labels; output is O(max cluster size) rows.
+    */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    dupClusters(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (col("cluster_size") * count(lit(1))).as("n_docs"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"))
+
   /** Leakage-safe train/val/test split: WHOLE near-dup clusters are the
     * split unit, never documents — a doc-level random split puts a
     * near-duplicate of a training doc into eval and the eval number is

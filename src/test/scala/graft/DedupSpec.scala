@@ -329,6 +329,16 @@ class DedupSpec extends SparkSpec {
     assert(out("b") == ((2L, 0L, 0L, 0L)))
   }
 
+  test("clusterSizeHistogram buckets components by size") {
+    import spark.implicits._
+    // {1,2} via one pair; {3,4,5} via a chain; 6 in no pair (excluded)
+    val pairs = Seq((1L, 2L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSizeHistogram(pairs)
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(out == Map(2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+  }
+
   test("clusterSplit keeps whole clusters in one split, proof re-derived") {
     import spark.implicits._
     // clusters: {1,2,7} (chained pairs), {3,4}; singletons 5, 6
