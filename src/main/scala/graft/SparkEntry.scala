@@ -769,6 +769,19 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), perDoc = 3)),
 
+    // §2.24k2 — per-source gram-novelty profile: distinct 3-gram df=1
+    // rate in exact bp — how much NEW content each source adds (the
+    // gram-granular counterpart of §2.18g's near-dup profile)
+    "q_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyProfile(Tables.documents(s, dir))),
+
+    // §2.24k3 — per-source unigram KL divergence from the corpus
+    // distribution in integer micro-nats (per-term quantized before the
+    // sum — order-independent): the domain-shift column a mixing plan
+    // reads next to DSIR's importance weights
+    "q_corpus_divergence" -> ((s, dir) =>
+      TextAnalysis.corpusDivergence(Tables.documents(s, dir))),
+
     // §2.24f4 — feature-hashing text embeddings (hashing trick): a
     // deterministic, training-free 64-dim embedding per doc — the
     // bridge that runs the ANN/semantic family on a text-only corpus.
@@ -1491,6 +1504,22 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       Observability.transitions(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")),
+
+    // §2.65b — top-20 session paths: gap-sessionized event-type sequences
+    // (first 5 events), counted and ranked — the n-th-order extension of
+    // the transition matrix (what users actually DO, not just pairs)
+    "q_event_paths" -> ((s, dir) =>
+      Observability.sessionPaths(Tables.events(s, dir),
+        gapUs = 1800000000L, maxLen = 5, topN = 20)),
+
+    // §2.65c — last-touch attribution: each purchase credited to the
+    // latest preceding click/view of the same user within 24h, found in
+    // ONE per-user window pass (no stream self-join); exact integer
+    // cents revenue per attributed type
+    "q_attribution" -> ((s, dir) =>
+      Observability.lastTouchAttribution(Tables.events(s, dir),
+        purchaseType = "purchase", touchTypes = Seq("click", "view"),
+        windowUs = 86400000000L)),
 
     // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
     // within 24h of the click; chained conditional-min aggregates, one slim
@@ -2869,6 +2898,54 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, token, tf, df, rk, tfidf_r FROM ranked WHERE rk <= 3""".stripMargin,
 
+    // replays distinct 3-gram sets as md5 strings (containment idiom —
+    // the Spark side counts the same sets via 64-bit shingle hashes)
+    "q_novelty" ->
+      """WITH sh AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 1),
+        |      i -> md5(string_split(text, ' ')[i] || ' ' ||
+        |        string_split(text, ' ')[i+1] || ' ' ||
+        |        string_split(text, ' ')[i+2]))) AS sh
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |ex AS (SELECT doc_id, source, s.s
+        |  FROM sh, LATERAL unnest(sh.sh) AS s(s)),
+        |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+        |per_doc AS (SELECT ex.doc_id, ex.source, count(*) AS n_grams,
+        |    count(*) FILTER (dfreq.df = 1) AS n_novel
+        |  FROM ex JOIN dfreq USING (s) GROUP BY ex.doc_id, ex.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+        |  CAST(floor(sum(n_novel) * 10000.0 / sum(n_grams) + 0.5) AS BIGINT)
+        |    AS novelty_bp
+        |FROM per_doc GROUP BY source""".stripMargin,
+
+    // per-term contributions quantized to micro-nats BEFORE the sum —
+    // the float expression is written operation-for-operation like the
+    // Spark side so both engines round the same double
+    "q_corpus_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, count(*) AS c_s
+        |  FROM tok GROUP BY source, token),
+        |ct AS (SELECT token, CAST(sum(c_s) AS BIGINT) AS c
+        |  FROM st GROUP BY token),
+        |ns AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s,
+        |    count(*) AS n_terms
+        |  FROM st GROUP BY source),
+        |nt AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_total FROM st),
+        |contrib AS (SELECT st.source,
+        |    CAST(floor((st.c_s::DOUBLE / ns.n_s) *
+        |      ln((st.c_s::DOUBLE * nt.n_total) / (ns.n_s::DOUBLE * ct.c)) *
+        |      1000000.0 + 0.5) AS BIGINT) AS kl_c
+        |  FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nt)
+        |SELECT c.source, ns.n_s AS n_tokens,
+        |  CAST(ns.n_terms AS BIGINT) AS n_terms,
+        |  CAST(sum(c.kl_c) AS BIGINT) AS kl_u
+        |FROM contrib c JOIN ns ON c.source = ns.source
+        |GROUP BY c.source, ns.n_s, ns.n_terms""".stripMargin,
+
     "q_token_windows" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -3240,6 +3317,58 @@ object SparkEntry {
         |SELECT pairs.from_type, to_type, n,
         |  CAST(floor(n * 10000.0 / n_from + 0.5) AS BIGINT) AS p_bp
         |FROM pairs JOIN tot USING (from_type)""".stripMargin,
+
+    // replays the gap sessionization (q_sessions idiom), spells each
+    // session's first-5 path, ranks by (count desc, path asc)
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |flagged AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |numbered AS (SELECT user_id, session_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_seq
+        |      ORDER BY us, event_id) AS rn
+        |  FROM sess),
+        |paths AS (SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM numbered WHERE rn <= 5 GROUP BY user_id, session_seq),
+        |counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY path)
+        |SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+        |    AS BIGINT) AS rk
+        |FROM counts ORDER BY rk LIMIT 20""".stripMargin,
+
+    // the running last-touch via IGNORE NULLS last_value over the same
+    // strictly-before (us, event_id) frame the Spark window uses
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+        |marked AS (SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN us END
+        |      IGNORE NULLS) OVER w AS t_us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS t_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT
+        |    CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+        |         THEN t_type ELSE 'none' END AS attributed_type,
+        |    v_c,
+        |    CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+        |         THEN us - t_us END AS lag_us
+        |  FROM marked WHERE event_type = 'purchase')
+        |SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_c) AS BIGINT) AS revenue_cents,
+        |  avg(lag_us) AS mean_lag_us
+        |FROM p GROUP BY attributed_type""".stripMargin,
 
     "q_funnel_windowed" -> {
       val w = 24L * 3600 * 1000000

@@ -337,4 +337,90 @@ object Observability {
       .select(col("event_id"), col("event_type"), col("value"),
         col("zscore_r"), (dev > lit(0).cast(dec)).as("high"))
   }
+
+  /** Top-N session paths: gap-sessionize per user, spell each session as
+    * the '>'-joined sequence of its first `maxLen` event types (in
+    * (ts, event_id) order — the id tie-break makes same-microsecond
+    * events deterministic), count sessions per path, rank.
+    *
+    * Scale shape: the lag/cumsum session split and the per-session
+    * collect are per-user windows/aggregates (scale with the key); the
+    * collected list is capped at `maxLen` semantically but collected
+    * whole per session — sessions are gap-bounded, so the list is the
+    * session length, not the corpus. The path table is bounded by
+    * |event types|^maxLen distinct rows, so the final rank is the
+    * deliberately-bounded one-task window (rank-cut idiom).
+    */
+  def sessionPaths(events: DataFrame, gapUs: Long, maxLen: Int,
+      topN: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val base = events.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val sess = base
+      .withColumn("new_session",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) >= gapUs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        expr(s"transform(slice(evs, 1, $maxLen), e -> e.event_type)"),
+        ">").as("path"))
+    val counts = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val rw = Window.partitionBy(lit(1))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+    counts
+      .withColumn("rk", row_number().over(rw).cast("long"))
+      .where(col("rk") <= topN)
+  }
+
+  /** Last-touch attribution: each `purchaseType` event is credited to the
+    * latest preceding `touchTypes` event of the same user within
+    * `windowUs` (strictly before in (ts, event_id) order), else 'none'.
+    * Per attributed type: purchase count, exact revenue in integer cents,
+    * and the mean touch-to-purchase latency (avg over exact integral
+    * micros — deterministic).
+    *
+    * Scale shape: the candidate filter (purchase + touch types only)
+    * happens before the one per-user window pass; the running
+    * last-touch is two ignore-nulls `last` columns over the same frame,
+    * so no self-join of the event stream ever happens — the as-of pair
+    * is found in the sort the window already pays for. Output is
+    * bounded at |touchTypes| + 1 rows.
+    */
+  def lastTouchAttribution(events: DataFrame, purchaseType: String,
+      touchTypes: Seq[String], windowUs: Long): DataFrame = {
+    val base = events
+      .where(col("event_type") === purchaseType ||
+        col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("v_c"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val inWindow = col("t_us").isNotNull &&
+      col("us") - col("t_us") <= windowUs
+    base
+      .withColumn("t_us",
+        last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .withColumn("t_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === purchaseType)
+      .select(
+        when(inWindow, col("t_type")).otherwise(lit("none"))
+          .as("attributed_type"),
+        col("v_c"),
+        when(inWindow, col("us") - col("t_us")).as("lag_us"))
+      .groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v_c")).as("revenue_cents"),
+        avg(col("lag_us")).as("mean_lag_us"))
+  }
 }

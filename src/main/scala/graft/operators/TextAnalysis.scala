@@ -964,4 +964,78 @@ object TextAnalysis {
         md5(col("st.inp").cast("binary")).as("input_fp"),
         md5(col("st.tgt").cast("binary")).as("target_fp"))
   }
+
+  /** Per-source gram-novelty profile: a doc's distinct token-3-gram is
+    * "novel" when it appears in no other document (corpus df = 1) — the
+    * gram-granular counterpart of the near-dup profile: how much NEW
+    * content each source contributes vs re-spellings of shared
+    * boilerplate. Per source: docs with grams, total distinct grams,
+    * novel grams, and the novelty rate in exact basis points
+    * (cross-multiplied floor — no float accumulation).
+    *
+    * Scale shape: the same inverted-index shuffle the containment
+    * operator pays — slim (gram-hash, doc) pairs, df map-side combined;
+    * the text column never shuffles. Output is one row per source.
+    */
+  def noveltyProfile(docs: DataFrame): DataFrame = {
+    val withSh = docs
+      .withColumn("toks", tokens(col("text")))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("source"),
+        Dedup.shingleHashes(col("toks")).as("sh"))
+    val ex = withSh.select(col("doc_id"), col("source"),
+      explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(dfreq, "s")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, 1)).as("n_novel"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_novel")).as("n_novel"))
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
+        floor(col("n_novel") * 10000.0 / col("n_grams") + 0.5).cast("long")
+          .as("novelty_bp"))
+  }
+
+  /** Per-source KL divergence of the unigram token distribution from the
+    * whole-corpus distribution — the domain-shift number a mixture plan
+    * reads next to DSIR's importance weights: sources whose language is
+    * far from the corpus mean get a large KL (and deserve their own
+    * mixing temperature). Reported in integer micro-nats: each term's
+    * contribution (c_s/N_s)·ln((c_s·N)/(N_s·c)) is quantized to 1e-6
+    * BEFORE the sum, so the total is an order-independent integer sum —
+    * the same portability idiom as the bigram-LM scores. (Terms the
+    * source lacks contribute zero — this is the support-restricted KL,
+    * well-defined because every source term exists in the corpus.)
+    *
+    * Scale shape: one token-keyed count aggregate (map-side combined),
+    * a slim token-level join of per-source vs corpus counts, a 20-row
+    * broadcast of per-source totals, and a 1-row broadcast cross of the
+    * corpus total. Text never shuffles; output is one row per source.
+    */
+  def corpusDivergence(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("token"))
+    val st = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_s"))
+    val ct = st.groupBy(col("token")).agg(sum(col("c_s")).as("c"))
+    val ns = st.groupBy(col("source"))
+      .agg(sum(col("c_s")).as("n_s"), count(lit(1)).as("n_terms"))
+    val nt = st.agg(sum(col("c_s")).as("n_total"))
+    st
+      .join(ct, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("n_s"), col("n_terms"),
+        floor((col("c_s").cast("double") / col("n_s")) *
+          log((col("c_s").cast("double") * col("n_total")) /
+            (col("n_s").cast("double") * col("c"))) * 1000000.0 + 0.5)
+          .cast("long").as("kl_c"))
+      .groupBy(col("source"), col("n_s"), col("n_terms"))
+      .agg(sum(col("kl_c")).as("kl_u"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        col("n_terms"), col("kl_u"))
+  }
 }

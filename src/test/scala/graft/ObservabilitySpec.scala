@@ -174,4 +174,57 @@ class ObservabilitySpec extends SparkSpec {
     assert(out(("click", "view")) === ((1L, 10000L)))
     assert(out.size === 2)
   }
+
+  test("sessionPaths: gap splits sessions, path capped at maxLen, ranked") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      // user 1, session 1: view > click > purchase
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "purchase", 0.0),
+      // user 1, session 2 (40-min gap): view > click > purchase again
+      (4L, ts("2024-01-01 00:42:00"), 1L, "view", 0.0),
+      (5L, ts("2024-01-01 00:43:00"), 1L, "click", 0.0),
+      (6L, ts("2024-01-01 00:44:00"), 1L, "purchase", 0.0),
+      // user 2: one long session — path truncates at maxLen=3
+      (7L, ts("2024-01-01 00:00:00"), 2L, "view", 0.0),
+      (8L, ts("2024-01-01 00:01:00"), 2L, "view", 0.0),
+      (9L, ts("2024-01-01 00:02:00"), 2L, "view", 0.0),
+      (10L, ts("2024-01-01 00:03:00"), 2L, "error", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Observability
+      .sessionPaths(ev, gapUs = 1800000000L, maxLen = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("view>click>purchase") === ((2L, 1L)))
+    assert(out("view>view>view") === ((1L, 2L))) // truncated, error dropped
+    assert(out.size === 2)
+  }
+
+  test("lastTouchAttribution: latest in-window touch wins, outside-window -> none") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      // user 1: view then click then purchase — click (latest) gets credit
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "purchase", 10.0),
+      // user 2: touch 30h before purchase — outside the 24h window
+      (4L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-02 06:00:00"), 2L, "purchase", 20.0),
+      // user 3: purchase with no touch at all
+      (6L, ts("2024-01-01 00:00:00"), 3L, "purchase", 30.0),
+      // user 1's second purchase: still the same click (touches don't expire
+      // on use), lag 2h
+      (7L, ts("2024-01-01 03:00:00"), 1L, "purchase", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.operators.Observability
+      .lastTouchAttribution(ev, "purchase", Seq("click", "view"),
+        windowUs = 86400000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("click") === ((2L, 5000L, Some(1.5 * 3600000000L)))) // mean of 1h, 2h
+    assert(out("none") === ((2L, 5000L, None))) // users 2 and 3
+    assert(out.size === 2)
+  }
 }

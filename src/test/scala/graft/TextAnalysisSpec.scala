@@ -379,4 +379,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.map(_._1).sum === 50L)
     assert(out.values.map(_._2).sum === (1L to 50L).count(_ % 3 == 0))
   }
+
+  test("noveltyProfile: shared grams aren't novel, unique grams are") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1 and 2 share their only gram -> 0 novel for both
+      (1L, "a b c", "s1"),
+      (2L, "a b c", "s1"),
+      // doc 3: grams {d e f, e f g} both unique -> fully novel
+      (3L, "d e f g", "s2"),
+      // doc 4: too short for a 3-gram -> excluded from its source's docs
+      (4L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.noveltyProfile(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("s1") === ((2L, 2L, 0L, 0L)))
+    assert(out("s2") === ((1L, 2L, 2L, 10000L)))
+  }
+
+  test("corpusDivergence: uniform source has KL 0, skewed source > 0") {
+    import spark.implicits._
+    val docs = Seq(
+      // s1 mirrors the corpus marginal less than s2 does: corpus has
+      // 6 'a', 2 'b'; s1 is all 'a' (skewed vs corpus), s2 is half-half
+      (1L, "a a a a", "s1"),
+      (2L, "a a b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.corpusDivergence(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // s1: 1.0 * ln((4*8)/(4*6)) = ln(4/3) ~ 0.2877 -> 287682 micro-nats
+    assert(out("s1")._1 === 4L)
+    assert(out("s1")._2 === 1L)
+    assert(out("s1")._3 === math.floor(math.log(4.0 / 3.0) * 1e6 + 0.5).toLong)
+    // s2: 0.5*ln((2*8)/(4*6)) + 0.5*ln((2*8)/(4*2))
+    val s2 = math.floor(0.5 * math.log(16.0 / 24.0) * 1e6 + 0.5) +
+      math.floor(0.5 * math.log(16.0 / 8.0) * 1e6 + 0.5)
+    assert(out("s2")._3 === s2.toLong)
+    assert(out.size === 2)
+  }
 }
