@@ -377,6 +377,50 @@ object EventStream {
     * the same batch boundaries. Emits one row per input event with the
     * post-event cumulative value.
     */
+  case class TouchState(us: Long, touch_type: String)
+  case class Attribution(user_id: Long, event_id: Long,
+    attributed_type: String, lag_us: Long)
+
+  /** Streaming last-touch attribution — the streaming twin of
+    * Observability.lastTouchAttribution's per-purchase decision: per
+    * user, the latest touch (us, type) is the keyed state; each
+    * purchase emits its credit the moment it arrives (real-time
+    * attribution), 'none' with lag -1 when no touch is inside
+    * `windowUs`. Rows are sorted by (ts, event_id) within each
+    * micro-batch, so under in-order delivery the emitted credits are
+    * row-for-row the batch operator's (spec-asserted); state is one
+    * tiny record per user, never a buffer of events.
+    */
+  def lastTouchStream(events: DataFrame, purchaseType: String,
+      touchTypes: Set[String], windowUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[TouchState]) =>
+          var touch = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              val us = e.ts.getTime * 1000L
+              if (touchTypes(e.event_type)) {
+                touch = Some(TouchState(us, e.event_type)); None
+              } else if (e.event_type == purchaseType) {
+                touch match {
+                  case Some(t) if us - t.us <= windowUs =>
+                    Some(Attribution(userId, e.event_id, t.touch_type,
+                      us - t.us))
+                  case _ =>
+                    Some(Attribution(userId, e.event_id, "none", -1L))
+                }
+              } else None
+            }
+          touch.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   def runningTotalsStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -454,4 +454,58 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(3L) === ((2L, 5.0)))
     assert(rows(4L) === ((1L, 0.6)))  // cross-batch continuation
   }
+
+  test("lastTouchStream credits purchases like the batch operator across batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.lastTouchStream(input.toDF(),
+      purchaseType = "purchase", touchTypes = Set("click", "view"),
+      windowUs = 86400000000L)
+
+    val chk = Files.createTempDirectory("graft-attr").toString
+    val query = out.writeStream
+      .format("memory").queryName("attributions")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 7, "view", 1.0),
+      EventStream.Event(2, ts("2024-01-01 01:00:00"), 7, "click", 1.0),
+      EventStream.Event(3, ts("2024-01-01 02:00:00"), 7, "purchase", 10.0),
+      EventStream.Event(4, ts("2024-01-01 00:00:00"), 8, "purchase", 5.0))
+    query.processAllAvailable()
+    // batch 2: the click state must survive the epoch; a 30h-later
+    // purchase falls outside the 24h window
+    input.addData(
+      EventStream.Event(5, ts("2024-01-01 03:00:00"), 7, "purchase", 2.0),
+      EventStream.Event(6, ts("2024-01-02 08:00:00"), 7, "purchase", 1.0))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("attributions")
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getLong(3))).toMap
+    assert(rows(3L) === (("click", 3600000000L)))
+    assert(rows(4L) === (("none", -1L)))        // no touch at all
+    assert(rows(5L) === (("click", 7200000000L))) // state crossed the epoch
+    assert(rows(6L) === (("none", -1L)))        // outside the 24h window
+    assert(rows.size === 4)
+
+    // the same events through the batch operator give the same credits
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "view", 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 7L, "click", 1.0),
+      (3L, ts("2024-01-01 02:00:00"), 7L, "purchase", 10.0),
+      (4L, ts("2024-01-01 00:00:00"), 8L, "purchase", 5.0),
+      (5L, ts("2024-01-01 03:00:00"), 7L, "purchase", 2.0),
+      (6L, ts("2024-01-02 08:00:00"), 7L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = graft.operators.Observability
+      .lastTouchAttribution(batch, "purchase", Seq("click", "view"),
+        windowUs = 86400000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamAgg = rows.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(agg === streamAgg)
+  }
 }
