@@ -1521,6 +1521,13 @@ object SparkEntry {
         purchaseType = "purchase", touchTypes = Seq("click", "view"),
         windowUs = 86400000000L)),
 
+    // §2.65d — audience-overlap matrix: distinct-user Jaccard per event-
+    // type pair from each user's bounded type list — the |users|² self-
+    // join the naive SQL pays never happens
+    "q_audience_overlap" -> ((s, dir) =>
+      Analytics.audienceOverlap(Tables.events(s, dir),
+        "user_id", "event_type")),
+
     // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
     // within 24h of the click; chained conditional-min aggregates, one slim
     // row per surviving user per stage
@@ -3369,6 +3376,22 @@ object SparkEntry {
         |  CAST(sum(v_c) AS BIGINT) AS revenue_cents,
         |  avg(lag_us) AS mean_lag_us
         |FROM p GROUP BY attributed_type""".stripMargin,
+
+    // truth via the |users|²-shaped self-join the Spark side avoids —
+    // the hash check proves the list-expansion form loses no pair
+    "q_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+        |  FROM events),
+        |pairs AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2),
+        |tot AS (SELECT t, count(*) AS n FROM ut GROUP BY t)
+        |SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+        |  CAST(floor(n_both * 10000.0 / (ta.n + tb.n - n_both) + 0.5)
+        |    AS BIGINT) AS jaccard_bp
+        |FROM pairs
+        |JOIN tot ta ON pairs.type_a = ta.t
+        |JOIN tot tb ON pairs.type_b = tb.t""".stripMargin,
 
     "q_funnel_windowed" -> {
       val w = 24L * 3600 * 1000000

@@ -413,4 +413,43 @@ object Analytics {
         last(col("day_sum"), ignoreNulls = true).over(w).as("filled_sum"),
         col("day_sum").isNull.as("is_gap"))
   }
+
+  /** Pairwise audience overlap between event types: for every unordered
+    * type pair, the distinct users who did both, each type's audience
+    * size, and the audience Jaccard in exact basis points — the
+    * "segment overlap matrix" behind cross-sell and cannibalization
+    * reads.
+    *
+    * Scale shape: one (user, type) distinct shuffle, then each user's
+    * bounded sorted type list expands to its ≤|types|² pairs map-side —
+    * the |users|² self-join the naive SQL pays never happens. Pair
+    * counts and per-type audiences are map-side combined; the totals
+    * join is a broadcast of a |types|-row frame. Output bounded at
+    * |types|².
+    */
+  def audienceOverlap(events: DataFrame, userCol: String,
+      typeCol: String): DataFrame = {
+    val ut = events.select(col(userCol).as("u"), col(typeCol).as("t"))
+      .distinct()
+    val pairs = ut.groupBy(col("u"))
+      .agg(sort_array(collect_set(col("t"))).as("ts"))
+      .select(explode(expr(
+        """flatten(transform(ts, (a, i) ->
+          |  transform(slice(ts, i + 2, size(ts)), b ->
+          |    struct(a AS type_a, b AS type_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val totals = ut.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(totals.select(col("t").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(totals.select(col("t").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        floor(col("n_both") * 10000.0 /
+          (col("n_a") + col("n_b") - col("n_both")) + 0.5).cast("long")
+          .as("jaccard_bp"))
+  }
 }

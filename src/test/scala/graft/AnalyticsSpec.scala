@@ -296,4 +296,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.head.getDouble(1) === 100.0)
     assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("audienceOverlap: pair counts, audiences, and Jaccard bp") {
+    import spark.implicits._
+    // users 1,2 did A+B; user 3 only A; user 4 only C; repeats collapse
+    val ev = Seq((1L, "A"), (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (4L, "C"))
+      .toDF("user_id", "event_type")
+    val out = Analytics.audienceOverlap(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A∩B = {1,2}, |A|=3, |B|=2, J = 2/3 -> 6667 bp
+    assert(out(("A", "B")) === ((2L, 3L, 2L, 6667L)))
+    assert(out.size === 1) // C shares no user with A or B -> no row
+  }
 }
