@@ -429,8 +429,11 @@ object Analytics {
     */
   def audienceOverlap(events: DataFrame, userCol: String,
       typeCol: String): DataFrame = {
+    // the distinct (user, type) table feeds the pair expansion AND the
+    // audience totals — materialize it once
     val ut = events.select(col(userCol).as("u"), col(typeCol).as("t"))
       .distinct()
+      .localCheckpoint()
     val pairs = ut.groupBy(col("u"))
       .agg(sort_array(collect_set(col("t"))).as("ts"))
       .select(explode(expr(

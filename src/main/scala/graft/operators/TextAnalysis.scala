@@ -978,11 +978,14 @@ object TextAnalysis {
     * the text column never shuffles. Output is one row per source.
     */
   def noveltyProfile(docs: DataFrame): DataFrame = {
+    // shingle sets feed two consumers (df counts + the novel join) —
+    // materialize once so text is scanned and hashed exactly once
     val withSh = docs
       .withColumn("toks", tokens(col("text")))
       .where(size(col("toks")) >= 3)
       .select(col("doc_id"), col("source"),
         Dedup.shingleHashes(col("toks")).as("sh"))
+      .localCheckpoint()
     val ex = withSh.select(col("doc_id"), col("source"),
       explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -1018,8 +1021,13 @@ object TextAnalysis {
   def corpusDivergence(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("source"),
       explode(tokens(col("text"))).as("token"))
+    // the slim (source, token, count) table feeds FOUR consumers (the
+    // contribution join, corpus counts, per-source totals, the grand
+    // total) — materialize it once so the corpus is scanned and the
+    // token explode paid exactly once, not per consumer
     val st = toks.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("c_s"))
+      .localCheckpoint()
     val ct = st.groupBy(col("token")).agg(sum(col("c_s")).as("c"))
     val ns = st.groupBy(col("source"))
       .agg(sum(col("c_s")).as("n_s"), count(lit(1)).as("n_terms"))
