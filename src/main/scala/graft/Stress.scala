@@ -124,6 +124,17 @@ object Stress {
     time("inverted_index") {
       TextAnalysis.invertedIndex(docs, maxPostings = 10)
     }
+    // Gram novelty and unigram KL are corpus-linear by construction:
+    // one gram/token scan, df/count aggregates map-side combined,
+    // bounded per-source output. Under replication every gram's df
+    // multiplies, so novelty collapses toward 0 — the timing (not the
+    // values) is the signal here.
+    time("novelty_profile") {
+      TextAnalysis.noveltyProfile(docs)
+    }
+    time("corpus_divergence") {
+      TextAnalysis.corpusDivergence(docs)
+    }
     time("exact_dedup") {
       Dedup.exactDedup(docs)
     }
