@@ -1528,6 +1528,13 @@ object SparkEntry {
       Analytics.audienceOverlap(Tables.events(s, dir),
         "user_id", "event_type")),
 
+    // §2.65e — daily-volume trend per type: exact integer OLS slope
+    // numerator/denominator over the bounded (type, day) series — the
+    // "which segments are growing" read, division only in the
+    // human-readable micro-slope column
+    "q_trend" -> ((s, dir) =>
+      Analytics.dailyTrend(Tables.events(s, dir), "event_type", "ts")),
+
     // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
     // within 24h of the click; chained conditional-min aggregates, one slim
     // row per surviving user per stage
@@ -3392,6 +3399,28 @@ object SparkEntry {
         |FROM pairs
         |JOIN tot ta ON pairs.type_a = ta.t
         |JOIN tot tb ON pairs.type_b = tb.t""".stripMargin,
+
+    // integer OLS cross-products; one float division, written
+    // operation-for-operation like the Spark side
+    "q_trend" ->
+      """WITH daily AS (SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT min(day) AS day0 FROM daily),
+        |xy AS (SELECT t, CAST(date_diff('day', day0, day) AS BIGINT) AS x, y
+        |  FROM daily CROSS JOIN a),
+        |g AS (SELECT t AS event_type, count(*) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xy GROUP BY t)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CASE WHEN n_days * sxx - sx * sx > 0 THEN
+        |    CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE) * 1000000.0 /
+        |      (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_u
+        |FROM g""".stripMargin,
 
     "q_funnel_windowed" -> {
       val w = 24L * 3600 * 1000000

@@ -455,4 +455,42 @@ object Analytics {
           (col("n_a") + col("n_b") - col("n_both")) + 0.5).cast("long")
           .as("jaccard_bp"))
   }
+
+  /** Per-group daily-volume trend: the OLS slope of daily event counts
+    * over the day index, reported as the EXACT integer numerator
+    * n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² (one float division
+    * only for the human-readable micro-events/day column) — the
+    * "which segments are growing" read, engine-exact because the
+    * regression never leaves integer arithmetic. Days are indexed from
+    * the corpus's first day (1-row broadcast anchor) so the sums stay
+    * tiny. Groups seen on a single day get NULL slope (denominator 0).
+    *
+    * Scale shape: the corpus collapses to the bounded (group, day)
+    * daily series first (map-side combined); everything after is
+    * per-group arithmetic on that bounded table. Output is one row per
+    * group.
+    */
+  def dailyTrend(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val anchor = daily.agg(min(col("day")).as("day0"))
+    val agg = daily.crossJoin(broadcast(anchor))
+      .select(col("t"),
+        datediff(col("day"), col("day0")).cast("long").as("x"), col("y"))
+      .groupBy(col("t").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val num = agg("n_days") * agg("sxy") - agg("sx") * agg("sy")
+    val den = agg("n_days") * agg("sxx") - agg("sx") * agg("sx")
+    agg.select(col("event_type"), col("n_days"),
+      num.as("slope_num"), den.as("slope_den"),
+      when(den > 0,
+        floor(num.cast("double") * 1000000.0 / den + 0.5).cast("long"))
+        .as("slope_u"))
+  }
 }

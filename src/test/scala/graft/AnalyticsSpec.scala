@@ -310,4 +310,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("A", "B")) === ((2L, 3L, 2L, 6667L)))
     assert(out.size === 1) // C shares no user with A or B -> no row
   }
+
+  test("dailyTrend: exact integer OLS slope, NULL for single-day groups") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // A: counts 1,2,3 on consecutive days -> slope exactly +1/day
+    val ev = (Seq(ts("2024-01-01 10:00:00")) ++
+      Seq.fill(2)(ts("2024-01-02 10:00:00")) ++
+      Seq.fill(3)(ts("2024-01-03 10:00:00"))).map(("A", _)) ++
+      Seq(("B", ts("2024-01-02 00:00:00"))) // one day only
+    val df = ev.toDF("event_type", "ts")
+    val out = Analytics.dailyTrend(df, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(out("A") === ((3L, 6L, 6L, Some(1000000L))))
+    assert(out("B") === ((1L, 0L, 0L, None)))
+  }
 }
