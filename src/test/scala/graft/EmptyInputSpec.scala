@@ -125,4 +125,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(Analytics.gapFillDaily(ev, "user_id", "ts", "value",
       "event_type", "purchase").count() == 0)
   }
+
+  test("r9-continuation analytics tolerate empty and degenerate inputs") {
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Observability.sessionPaths(emptyEvents, 1800000000L,
+      maxLen = 5, topN = 20).count() == 0)
+    assert(Observability.lastTouchAttribution(emptyEvents, "purchase",
+      Seq("click", "view"), 86400000000L).count() == 0)
+    assert(Analytics.audienceOverlap(emptyEvents, "user_id",
+      "event_type").count() == 0)
+    assert(Analytics.dailyTrend(emptyEvents, "event_type", "ts").count() == 0)
+    assert(TextAnalysis.noveltyProfile(emptyDocs).count() == 0)
+    assert(TextAnalysis.corpusDivergence(emptyDocs).count() == 0)
+    // touches only, no purchases -> attribution has nothing to credit
+    val touches = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "click", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Observability.lastTouchAttribution(touches, "purchase",
+      Seq("click", "view"), 86400000000L).count() == 0)
+    // single-token docs: no 3-grams -> novelty empty, but divergence
+    // still has unigrams (KL of the only source vs itself = 0)
+    val tiny = Seq((1L, "a", "x", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.noveltyProfile(tiny).count() == 0)
+    val div = TextAnalysis.corpusDivergence(tiny).collect()
+    assert(div.length == 1 && div.head.getAs[Long]("kl_u") == 0L)
+  }
 }
