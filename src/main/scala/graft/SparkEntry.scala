@@ -1367,6 +1367,28 @@ object SparkEntry {
           (abs(col("ap95") - col("exact_p95")) <=
             greatest(abs(col("exact_p95")) * 0.05, lit(0.05))).as("p95_ok"))),
 
+    // §2.43d — PORTABLE HyperLogLog audit (the engine-replayable upgrade
+    // of 43b): the full 512-register file from the salted 60-bit fold,
+    // integer-exact register weights, estimate + small-range correction +
+    // exact count + err_bp — the registers themselves are the contract,
+    // not just a tolerance verdict
+    "q_hll_counts" -> ((s, dir) =>
+      graft.operators.Approx.hllAudit(Tables.events(s, dir), "event_type", "user_id")),
+
+    // §2.43e — KMV bottom-k sketch set operations: per event-type pair,
+    // union-size and Jaccard estimates from the k=64 smallest fold values
+    // only, certified against the exact overlap (theta-sketch shape: the
+    // 100 TB audience-overlap path when the exact pairwise join stops
+    // paying)
+    "q_kmv_overlap" -> ((s, dir) =>
+      graft.operators.Approx.kmvOverlap(Tables.events(s, dir), "event_type", "user_id")),
+
+    // §2.67 — exact-integer PageRank over the customer–supplier trade
+    // graph: 6 BSP rounds of BIGINT floor-division damping — link-analysis
+    // centrality with zero float hazard, hash-exact on any engine
+    "q_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     // §2.29 — exact percentiles of event value per type
     "q_event_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3020,6 +3042,150 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
         |  true AS within_tolerance
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // full register-file replay: the salted 60-bit fold, idx/rho split,
+    // per-register max, integer 2^(52-rho) weights, and the identical
+    // estimate arithmetic (C = alpha_512 * 512^2 * 2^52 as the same IEEE
+    // double literal)
+    "q_hll_counts" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type,
+         |    ${md5bits("'hll:' || CAST(user_id AS VARCHAR)")} AS hc
+         |  FROM d),
+         |r AS (
+         |  SELECT event_type, hc % 512 AS idx,
+         |    CASE WHEN hc // 512 = 0 THEN 44
+         |         ELSE 44 - length(bin(hc // 512)) END AS rho
+         |  FROM h),
+         |reg AS (
+         |  SELECT event_type, idx, max(rho) AS mx,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM r GROUP BY 1, 2),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS npres,
+         |    CAST(sum(nv) AS BIGINT) AS n_exact,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - mx AS INT)) AS BIGINT) AS sp
+         |  FROM reg GROUP BY 1),
+         |e AS (
+         |  SELECT event_type, n_exact, CAST(512 - npres AS INT) AS v_zero,
+         |    CAST('3.3194137200059597e+18' AS DOUBLE)
+         |      / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE) AS est_raw
+         |  FROM g),
+         |e2 AS (
+         |  SELECT event_type, n_exact, v_zero,
+         |    (est_raw <= 1280.0 AND v_zero > 0) AS small_range,
+         |    round(CASE WHEN est_raw <= 1280.0 AND v_zero > 0
+         |      THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |      ELSE est_raw END, 2) AS hll_est
+         |  FROM e)
+         |SELECT event_type, n_exact, v_zero, small_range, hll_est,
+         |  CAST(round(abs(hll_est - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
+         |FROM e2 ORDER BY event_type""".stripMargin
+    },
+
+    // bottom-k sketch replay: global row_number per group == the operator's
+    // skew-safe two-phase rank (the priority order is total), merged-pair
+    // membership flags, kk = min(k, merged size), and the same estimator
+    // arithmetic over the kk-th smallest
+    "q_kmv_overlap" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH d0 AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |hh AS (
+         |  SELECT DISTINCT event_type AS g,
+         |    ${md5bits("'kmv:' || CAST(user_id AS VARCHAR)")} AS hc
+         |  FROM d0),
+         |rk0 AS (
+         |  SELECT g, hc, row_number() OVER (PARTITION BY g ORDER BY hc) AS rk
+         |  FROM hh),
+         |sk AS (SELECT g, hc FROM rk0 WHERE rk <= 64),
+         |ty AS (SELECT DISTINCT g FROM sk),
+         |pr AS (SELECT a.g AS ta, b.g AS tb FROM ty a, ty b WHERE a.g < b.g),
+         |mg AS (
+         |  SELECT pr.ta, pr.tb, s.hc,
+         |    max(CASE WHEN s.g = pr.ta THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.g = pr.tb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pr JOIN sk s ON s.g = pr.ta OR s.g = pr.tb
+         |  GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT ta, tb, hc, in_a, in_b,
+         |    row_number() OVER (PARTITION BY ta, tb ORDER BY hc) AS urk,
+         |    count(*) OVER (PARTITION BY ta, tb) AS cnt
+         |  FROM mg),
+         |es AS (
+         |  SELECT ta, tb, CAST(max(cnt) AS BIGINT) AS cnt,
+         |    CAST(max(least(64, cnt)) AS BIGINT) AS kk,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+         |    max(CASE WHEN urk = least(64, cnt) THEN hc END) AS u_kth
+         |  FROM w WHERE urk <= least(64, cnt) GROUP BY 1, 2),
+         |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM hh GROUP BY 1),
+         |ix AS (
+         |  SELECT a.g AS ta, b.g AS tb, CAST(count(*) AS BIGINT) AS inter_exact
+         |  FROM hh a JOIN hh b ON a.hc = b.hc AND a.g < b.g GROUP BY 1, 2),
+         |f AS (
+         |  SELECT es.ta, es.tb, na.n AS n_a, nb.n AS n_b,
+         |    COALESCE(ix.inter_exact, 0) AS inter_exact,
+         |    na.n + nb.n - COALESCE(ix.inter_exact, 0) AS union_exact,
+         |    es.cnt, es.kk, es.matches, es.u_kth
+         |  FROM es JOIN np na ON na.g = es.ta JOIN np nb ON nb.g = es.tb
+         |  LEFT JOIN ix ON ix.ta = es.ta AND ix.tb = es.tb),
+         |f2 AS (
+         |  SELECT ta, tb, n_a, n_b, inter_exact, union_exact,
+         |    round(CAST(inter_exact AS DOUBLE) / CAST(union_exact AS DOUBLE), 4)
+         |      AS jacc_exact,
+         |    round(CAST(matches AS DOUBLE) / CAST(kk AS DOUBLE), 4) AS jacc_kmv,
+         |    round(CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+         |      ELSE CAST(63.0 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |        / CAST(u_kth AS DOUBLE) END, 2) AS union_est
+         |  FROM f)
+         |SELECT ta, tb, n_a, n_b, inter_exact, union_exact, jacc_exact,
+         |  jacc_kmv, union_est,
+         |  CAST(round(abs(jacc_kmv - jacc_exact) * 10000.0, 0) AS BIGINT)
+         |    AS jacc_err_bp,
+         |  CAST(round(abs(union_est - CAST(union_exact AS DOUBLE))
+         |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
+         |    AS union_err_bp
+         |FROM f2 ORDER BY ta, tb""".stripMargin
+    },
+
+    // 6 unrolled BSP rounds: each r_i is one join + grouped integer
+    // floor-division sum — the exact arithmetic makes the replay bit-equal
+    "q_pagerank" -> {
+      def round_(i: Int) =
+        s"""r$i AS (
+           |  SELECT ed.dst AS node,
+           |    CAST(150000 + sum((r.pr * 85) // (100 * dg.deg)) AS BIGINT) AS pr
+           |  FROM ed JOIN r${i - 1} r ON ed.src = r.node
+           |  JOIN dg ON ed.src = dg.src
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |ed AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM dg),
+         |${(1 to 6).map(round_).mkString(",\n")}
+         |SELECT r6.node AS node_id, r6.pr AS rank_micro, dg.deg AS degree
+         |FROM r6 JOIN dg ON r6.node = dg.src
+         |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
+    },
 
     "q_funnel" ->
       """WITH f AS (

@@ -36,6 +36,181 @@ object Approx {
         .as(s"approx_percentiles_$valueCol"))
   }
 
+  /** Portable HyperLogLog distinct-count audit: per group, the full HLL
+    * register file built from the first 52 bits of the salted md5
+    * fingerprint (`hc = int(md5("hll:" + v)[0:13 hex], 16)`, p=9 → m=512
+    * registers, idx = hc mod 512, rho = leading-zero rank of the remaining
+    * 43-bit field), the standard bias-corrected estimate with the
+    * linear-counting small-range correction, and the exact distinct count
+    * + error in basis points next to it — the certificate a 100 TB run
+    * reads before trusting the sketch column alone. md5, not the rolling
+    * fold: the fold is affine in the trailing characters, so sequential
+    * ids cluster into narrow bands that wreck both the register index and
+    * the leading-zero statistic; md5 avalanches and both engines parse the
+    * identical hex digits.
+    *
+    * Engine parity: the registers are pure integer arithmetic (`2^(44-Mj)`
+    * summed as BIGINT — no float until the final division), so a SQL oracle
+    * replays the register file bit-exactly; the only floats are the single
+    * `alpha*m^2*2^44 / S` division and the `512*ln(512/V)` correction,
+    * written operation-identically on both engines and rounded to 2 dp.
+    *
+    * 100 TB posture: a production sketch keeps m=512 BIGINT-weight
+    * registers per group — `groupBy(group, idx).agg(max(rho))` map-side
+    * combines to ≤ m rows per group per partition, and merging shards is
+    * the same `max` per register (proved in ApproxSpec), so distinct counts
+    * over an unbounded stream cost constant state and two slim shuffles.
+    * The exact-count side (the `distinct()` and the `nv` sum) exists here
+    * only to certify the estimate, exactly like cmsTopK's exact column.
+    */
+  def hllAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = hllC
+    hllRegisters(df, groupCol, valueCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("npres"), sum(col("nv")).as("n_exact"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
+      .select(col(groupCol), col("n_exact"),
+        (lit(512L) - col("npres")).cast("int").as("v_zero"),
+        (lit(c) / (col("sp") + (lit(512L) - col("npres")) * lit(Pow44))
+          .cast("double")).as("est_raw"))
+      .select(col(groupCol), col("n_exact"), col("v_zero"),
+        (col("est_raw") <= 1280.0 && col("v_zero") > 0).as("small_range"),
+        round(when(col("est_raw") <= 1280.0 && col("v_zero") > 0,
+          lit(512.0) * log(lit(512.0) / col("v_zero").cast("double")))
+          .otherwise(col("est_raw")), 2).as("hll_est"))
+      .select(col(groupCol), col("n_exact"), col("v_zero"),
+        col("small_range"), col("hll_est"),
+        round(abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") * 10000.0, 0).cast("long").as("err_bp"))
+      .orderBy(col(groupCol))
+  }
+
+  /** 2^44: the weight of an untouched register (rho ranges 1..44 over the
+    * 43-bit field, so `2^(44-rho)` stays integral and `S` fits BIGINT:
+    * ≤ 512 * 2^44 < 2^54). */
+  private val Pow44 = 17592186044416L
+
+  /** alpha_m * m^2 * 2^44 for m=512, one double so the oracle inlines the
+    * identical IEEE value via its decimal string. */
+  private[operators] val hllC: Double =
+    0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 17592186044416.0
+
+  /** First 52 bits of the salted md5, as BIGINT — the avalanche-quality
+    * portable hash the sketch operators key on (both engines parse the
+    * identical 13 hex chars). */
+  private def md5Bits52(salt: String, v: Column): Column =
+    conv(substring(md5(concat(lit(salt), v)), 1, 13), 16, 10).cast("long")
+
+  /** The (group, idx, mx, nv) register file of [[hllAudit]], exposed so the
+    * merge law `registers(A ∪ B) == max-merge(registers(A), registers(B))`
+    * is spec-checkable — the property that makes the sketch shardable. */
+  private[graft] def hllRegisters(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val hc = md5Bits52("hll:", col(valueCol).cast("string"))
+    df.select(col(groupCol), col(valueCol)).where(col(valueCol).isNotNull)
+      .distinct()
+      .select(col(groupCol), hc.as("hc"))
+      .select(col(groupCol), pmod(col("hc"), lit(512L)).as("idx"),
+        expr("hc DIV 512").as("w"))
+      .select(col(groupCol), col("idx"),
+        when(col("w") === 0L, lit(44))
+          .otherwise(lit(44) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max(col("rho")).as("mx"), count(lit(1)).as("nv"))
+  }
+
+  /** KMV (k-minimum-values / bottom-k) sketch overlap: per pair of groups,
+    * the union-size and Jaccard estimates read ONLY from each group's k=64
+    * smallest salted 52-bit md5 hash values (md5, not the rolling fold —
+    * see hllAudit), next to the exact intersection / union / Jaccard and
+    * the error in basis points. The theta-sketch set
+    * operation that audience_overlap-style questions run at 100 TB when
+    * the exact pairwise join stops paying: k BIGINTs per group travel to
+    * the coordinator instead of the full id sets.
+    *
+    * Estimators (Beyer et al. / theta sketch): union_est = (k-1) * M /
+    * kth-smallest of the merged sketch (M = hash-space size 2^52);
+    * jacc_est = |{v in the union's bottom-k : v in sketch(A) ∩ sketch(B)}|
+    * / k. When the merged sketch holds fewer than k values both sides are
+    * complete sets and the estimates are exact by construction.
+    *
+    * 100 TB posture: per-group bottom-k runs as the skew-safe two-phase
+    * rank (local rank within (group, input-partition) caps any reducer at
+    * k * n_partitions rows, then the bounded set ranks globally); the
+    * pair stage touches only k-row sketches. Distinct-by-hash first, so
+    * both engines see the same value multiset regardless of fold
+    * collisions. The exact columns certify the estimates, like hllAudit.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = md5Bits52("kmv:", col(valueCol).cast("string"))
+    val hashes = df.select(col(groupCol).as("g"), col(valueCol))
+      .where(col(valueCol).isNotNull)
+      .select(col("g"), hc.as("hc")).distinct()
+      .localCheckpoint()
+    val localW = Window.partitionBy(col("g"), col("part"))
+      .orderBy(col("hc").asc)
+    val globalW = Window.partitionBy(col("g")).orderBy(col("hc").asc)
+    val sketch = hashes
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(localW)).where(col("lr") <= k)
+      .withColumn("rk", row_number().over(globalW)).where(col("rk") <= k)
+      .select(col("g"), col("hc"))
+      .localCheckpoint()
+    val types = sketch.select(col("g")).distinct()
+    val pairs = broadcast(types.select(col("g").as("ta"))
+      .crossJoin(broadcast(types.select(col("g").as("tb"))))
+      .where(col("ta") < col("tb")))
+    // merged per-pair sketch rows with side-membership flags
+    val merged = pairs
+      .join(sketch, col("g") === col("ta") || col("g") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("hc"))
+      .agg(max(when(col("g") === col("ta"), 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === col("tb"), 1).otherwise(0)).as("in_b"))
+    val pairW = Window.partitionBy(col("ta"), col("tb"))
+    val est = merged
+      .withColumn("urk", row_number().over(pairW.orderBy(col("hc").asc)))
+      .withColumn("cnt", count(lit(1)).over(pairW))
+      .withColumn("kk", least(lit(k.toLong), col("cnt")))
+      .where(col("urk") <= col("kk"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("cnt")).as("cnt"), max(col("kk")).as("kk"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("matches"),
+        max(when(col("urk") === col("kk"), col("hc"))).as("u_kth"))
+    // exact side from the full hash sets (the certificate)
+    val nper = hashes.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = hashes.select(col("g").as("ga"), col("hc"))
+      .join(hashes.select(col("g").as("gb"), col("hc")), "hc")
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga").as("ta"), col("gb").as("tb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val mD = 4503599627370496.0 // 2^52, the hash space
+    est
+      .join(nper.select(col("g").as("ta"), col("n").as("n_a")), "ta")
+      .join(nper.select(col("g").as("tb"), col("n").as("n_b")), "tb")
+      .join(inter, Seq("ta", "tb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("union_exact", col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("jacc_exact", round(col("inter_exact").cast("double") /
+        col("union_exact").cast("double"), 4))
+      .withColumn("jacc_kmv", round(col("matches").cast("double") /
+        col("kk").cast("double"), 4))
+      .withColumn("union_est", round(
+        when(col("cnt") < k.toLong, col("cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(mD) /
+            col("u_kth").cast("double")), 2))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("inter_exact"), col("union_exact"), col("jacc_exact"),
+        col("jacc_kmv"), col("union_est"),
+        round(abs(col("jacc_kmv") - col("jacc_exact")) * 10000.0, 0)
+          .cast("long").as("jacc_err_bp"),
+        round(abs(col("union_est") - col("union_exact").cast("double")) /
+          col("union_exact").cast("double") * 10000.0, 0)
+          .cast("long").as("union_err_bp"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** Count-min sketch over the corpus token stream, certified against
     * exact counts for the true top-`k` tokens: (token, true_count,
     * cms_est) with cms_est >= true_count always (one-sided error) and

@@ -37,6 +37,70 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("hllAudit: exact column is truly exact and the estimate is within HLL error") {
+    // 2 groups x ~3000 / ~5000 distinct values
+    val df = (1 to 40000).map(i => (s"g${i % 2}", (i * 13) % (3000 + (i % 2) * 2000)))
+      .toDF("g", "v")
+    val out = Approx.hllAudit(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("hll_est"))).toMap
+    val exact = df.distinct().groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, n) =>
+      assert(out(g)._1 == n, s"$g exact column")
+      // m=512 -> rse ~ 1.04/sqrt(512) ~ 4.6%; allow 4 sigma
+      assert(math.abs(out(g)._2 - n) / n < 0.20, s"$g est ${out(g)._2} vs $n")
+    }
+  }
+
+  test("hllAudit small-range correction engages on tiny cardinalities") {
+    val df = (1 to 500).map(i => ("g", i % 40)).toDF("g", "v")
+    val r = Approx.hllAudit(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n_exact") == 40L)
+    assert(r.getAs[Boolean]("small_range"))
+    assert(math.abs(r.getAs[Double]("hll_est") - 40.0) < 10.0)
+  }
+
+  test("hll register files merge by per-register max (shardability law)") {
+    val all = (1 to 6000).map(i => ("g", (i * 7) % 4000)).toDF("g", "v")
+    val shardA = all.where($"v" % 2 === 0)
+    val shardB = all.where($"v" % 2 === 1)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Approx.hllRegisters(df, "g", "v")
+        .select("idx", "mx").collect()
+        .map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mx")).toMap
+    val direct = regs(all)
+    val merged = (regs(shardA).toSeq ++ regs(shardB).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == direct)
+  }
+
+  test("kmvOverlap: exact columns match set truth; complete-sketch pairs are exact") {
+    // a: 0..39, b: 20..59 -> inter 20, union 60; both < k=64 so the
+    // sketches are complete sets and the estimates must equal the truth
+    val df = ((0 until 40).map(v => ("a", v)) ++ (20 until 60).map(v => ("b", v)))
+      .toDF("g", "v")
+    val r = Approx.kmvOverlap(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 40L && r.getAs[Long]("n_b") == 40L)
+    assert(r.getAs[Long]("inter_exact") == 20L)
+    assert(r.getAs[Long]("union_exact") == 60L)
+    assert(r.getAs[Double]("union_est") == 60.0)
+    assert(r.getAs[Long]("union_err_bp") == 0L)
+  }
+
+  test("kmvOverlap estimates track truth on oversized sets") {
+    // a: 3000 values, b: 3000 values, 50% overlap
+    val df = ((0 until 3000).map(v => ("a", v)) ++
+      (1500 until 4500).map(v => ("b", v))).toDF("g", "v")
+    val r = Approx.kmvOverlap(df, "g", "v").collect().head
+    assert(r.getAs[Long]("union_exact") == 4500L)
+    val jacc = r.getAs[Double]("jacc_kmv")
+    // true jaccard = 1500/4500 = 0.3333; k=64 -> sd ~ sqrt(J(1-J)/k) ~ 0.059
+    assert(math.abs(jacc - 0.3333) < 0.25, s"jacc_kmv $jacc")
+    val uEst = r.getAs[Double]("union_est")
+    assert(math.abs(uEst - 4500.0) / 4500.0 < 0.5, s"union_est $uEst")
+  }
+
   test("approx percentiles track exact quantiles") {
     val out = Approx.percentiles(data, Seq("g"), "v", Seq(0.5, 0.95))
       .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
