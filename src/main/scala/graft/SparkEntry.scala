@@ -1389,6 +1389,30 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // §2.43f — hash-sample quantile audit (third leg of the sketch-trust
+    // family): exact p50/p95 vs the same quantiles over the deterministic
+    // 1/8 md5-threshold sample, realized rate + err_bp — the production
+    // path is the sample branch alone (a codegen'd scan filter)
+    "q_sample_quantiles" -> ((s, dir) =>
+      graft.operators.Approx.sampleQuantileAudit(
+        Tables.events(s, dir), "event_type", "value", "event_id")),
+
+    // §2.66b — per-user exponentially time-decayed engagement score:
+    // last-16 events, power-of-two weights over exact cents — the
+    // recency feature with zero float/order hazard
+    "q_decay_score" -> ((s, dir) =>
+      Analytics.decayScores(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value")),
+
+    // §2.59c — zone-map pruning audit: per-tile min/max footer stats +
+    // prune verdicts for a one-day ts probe (prunable on time-ordered
+    // storage) and a user-prefix probe (not prunable unclustered — the
+    // measured case for Z-ordering)
+    "q_zone_map" -> ((s, dir) =>
+      Analytics.zoneMap(Tables.events(s, dir), "event_id", "ts", "user_id",
+        tileSize = 250L, tsLoUs = 1704672000000000L,
+        tsHiUs = 1704758400000000L, userLt = 100L)),
+
     // §2.29 — exact percentiles of event value per type
     "q_event_percentiles" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3161,6 +3185,75 @@ object SparkEntry {
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
     },
+
+    // the deterministic sample is a pure hash predicate, so the oracle
+    // replays membership row-by-row; quantile_cont == Spark percentile
+    // (same linear interpolation, the q_event_percentiles precedent)
+    "q_sample_quantiles" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT event_type, value,
+         |    ${md5bits("'sq:' || CAST(event_id AS VARCHAR)")}
+         |      < 562949953421312 AS in_sample
+         |  FROM events),
+         |f AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sample,
+         |    quantile_cont(value, 0.5) AS exact_p50,
+         |    quantile_cont(value, 0.95) AS exact_p95,
+         |    quantile_cont(CASE WHEN in_sample THEN value END, 0.5)
+         |      AS samp_p50,
+         |    quantile_cont(CASE WHEN in_sample THEN value END, 0.95)
+         |      AS samp_p95
+         |  FROM s GROUP BY 1)
+         |SELECT event_type, n_total, n_sample,
+         |  CAST(round(CAST(n_sample AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |    * 10000.0, 0) AS BIGINT) AS sample_bp,
+         |  exact_p50, samp_p50, exact_p95, samp_p95,
+         |  CAST(round(abs(samp_p50 - exact_p50) / exact_p50 * 10000.0, 0)
+         |    AS BIGINT) AS p50_err_bp,
+         |  CAST(round(abs(samp_p95 - exact_p95) / exact_p95 * 10000.0, 0)
+         |    AS BIGINT) AS p95_err_bp
+         |FROM f ORDER BY event_type""".stripMargin
+    },
+
+    // the unique (ts DESC, event_id DESC) order makes rank-from-the-end
+    // deterministic; cents scaling and power-of-two weights keep the
+    // whole score in BIGINT
+    "q_decay_score" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT)
+        |    AS decay_cents
+        |FROM r WHERE rn <= 16 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // interval arithmetic over per-tile min/max — the footer-stat prune
+    // replayed tile by tile
+    "q_zone_map" ->
+      """WITH t AS (
+        |  SELECT event_id // 250 AS tile,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id
+        |  FROM events)
+        |SELECT tile, count(*) AS n_rows,
+        |  min(ts_us) AS ts_min_us, max(ts_us) AS ts_max_us,
+        |  min(user_id) AS user_min, max(user_id) AS user_max,
+        |  (max(ts_us) < 1704672000000000 OR min(ts_us) >= 1704758400000000)
+        |    AS prunable_ts,
+        |  (min(user_id) >= 100) AS prunable_user
+        |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
 
     // 6 unrolled BSP rounds: each r_i is one join + grouped integer
     // floor-division sum — the exact arithmetic makes the replay bit-equal

@@ -493,4 +493,73 @@ object Analytics {
         floor(num.cast("double") * 1000000.0 / den + 0.5).cast("long"))
         .as("slope_u"))
   }
+
+  /** Per-user exponentially time-decayed engagement score over the last
+    * `n` events (latest weighted 2^(n-1), halving per step back) — the
+    * recency-weighted feature every ranking/churn model derives from an
+    * event stream. Exact integer arithmetic end to end: value scaled to
+    * cents (decimal(18,2), exact for 2-dp money doubles), weights are
+    * powers of two, so the score is a BIGINT that is hash-exact on any
+    * engine or partitioning — the usual float EMA is order-sensitive and
+    * engine-drifting; this one is neither.
+    *
+    * The ROWS-bounded formulation also fixes the float EMA's unbounded
+    * lookback: cents ≤ 10^16/2^n stays overflow-safe because the weight
+    * sum is < 2^n and each term ≤ cents * 2^(n-1).
+    *
+    * Scale shape: ONE per-user window pass (rank from the end over the
+    * unique (ts, id) order) + one map-side-combinable groupBy; no
+    * self-join, no global sort. Output is one row per active user.
+    */
+  def decayScores(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String, n: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && n <= 32, "1 <= n <= 32")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events
+      .select(col(userCol), col(tsCol), col(idCol),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= n)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).cast("long").as("n_recent"),
+        sum(col("cents") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), $n - rn)")).as("decay_cents"))
+      .orderBy(col(userCol))
+  }
+
+  /** Per-tile zone map + pruning audit — the data-skipping arithmetic a
+    * lake scan planner runs against file/row-group footer stats (min/max
+    * per column) before touching data. Tiles are `tileSize`-row slices in
+    * storage order (event_id ranges — the stand-in for parquet row
+    * groups); for each tile the map records row count and min/max of the
+    * timestamp and user columns, plus two verdicts for canonical probes:
+    * a one-day timestamp range (prunable on time-ordered storage — the
+    * zone map's best case) and a user-id prefix (NOT prunable, because an
+    * unclustered uniform column straddles every tile — the measured
+    * argument for Z-ordering, cf. q_zorder_tiles).
+    *
+    * Scale shape: one map-side-combinable groupBy on a projected
+    * three-column scan; output is rows/tileSize rows. The prune verdicts
+    * are pure interval arithmetic on the aggregate — exactly what the
+    * planner evaluates per footer at 100 TB (a million row groups is a
+    * million BOUNDED rows here, never the data).
+    */
+  def zoneMap(events: DataFrame, idCol: String, tsCol: String,
+      userCol: String, tileSize: Long, tsLoUs: Long, tsHiUs: Long,
+      userLt: Long): DataFrame =
+    events
+      .select(expr(s"$idCol DIV $tileSize").as("tile"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us"), col(userCol))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts_us")).as("ts_min_us"), max(col("ts_us")).as("ts_max_us"),
+        min(col(userCol)).as("user_min"), max(col(userCol)).as("user_max"))
+      .select(col("tile"), col("n_rows"), col("ts_min_us"), col("ts_max_us"),
+        col("user_min"), col("user_max"),
+        (col("ts_max_us") < tsLoUs || col("ts_min_us") >= tsHiUs)
+          .as("prunable_ts"),
+        (col("user_min") >= userLt).as("prunable_user"))
+      .orderBy(col("tile"))
 }

@@ -211,6 +211,46 @@ object Approx {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Deterministic hash-sample quantile audit: per group, exact p50/p95
+    * next to the same quantiles computed over ONLY the rows whose salted
+    * 52-bit md5 hash falls under 2^(52-shiftBits) — a 2^-shiftBits
+    * Bernoulli sample that is a pure scan predicate (no RNG state, no
+    * reservoir, reproducible on any engine/retry/partitioning, exactly
+    * replayable by a SQL oracle), plus the realized sample rate and the
+    * per-quantile error in basis points.
+    *
+    * This is the third leg of the sketch-trust family (43b distinct /
+    * 43c t-digest / here sampling): the production path at 100 TB is the
+    * sample branch alone — a codegen'd filter feeding a tiny aggregate —
+    * and this audit certifies what the hash-sample costs in quantile
+    * accuracy. The exact side exists only as the certificate (same
+    * posture as hllAudit / cmsTopK).
+    */
+  def sampleQuantileAudit(df: DataFrame, typeCol: String, valueCol: String,
+      idCol: String, shiftBits: Int = 3): DataFrame = {
+    require(shiftBits >= 1 && shiftBits <= 20, "1 <= shiftBits <= 20")
+    val thresh = 1L << (52 - shiftBits)
+    val hc = md5Bits52("sq:", col(idCol).cast("string"))
+    df.select(col(typeCol), col(valueCol).as("v"),
+        (hc < lit(thresh)).as("in_sample"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        expr("percentile(v, 0.5)").as("exact_p50"),
+        expr("percentile(v, 0.95)").as("exact_p95"),
+        expr("percentile(CASE WHEN in_sample THEN v END, 0.5)").as("samp_p50"),
+        expr("percentile(CASE WHEN in_sample THEN v END, 0.95)").as("samp_p95"))
+      .select(col(typeCol), col("n_total"), col("n_sample"),
+        round(col("n_sample").cast("double") / col("n_total").cast("double")
+          * 10000.0, 0).cast("long").as("sample_bp"),
+        col("exact_p50"), col("samp_p50"), col("exact_p95"), col("samp_p95"),
+        round(abs(col("samp_p50") - col("exact_p50")) / col("exact_p50")
+          * 10000.0, 0).cast("long").as("p50_err_bp"),
+        round(abs(col("samp_p95") - col("exact_p95")) / col("exact_p95")
+          * 10000.0, 0).cast("long").as("p95_err_bp"))
+      .orderBy(col(typeCol))
+  }
+
   /** Count-min sketch over the corpus token stream, certified against
     * exact counts for the true top-`k` tokens: (token, true_count,
     * cms_est) with cms_est >= true_count always (one-sided error) and

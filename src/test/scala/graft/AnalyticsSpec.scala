@@ -327,4 +327,55 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("A") === ((3L, 6L, 6L, Some(1000000L))))
     assert(out("B") === ((1L, 0L, 0L, None)))
   }
+
+  test("decayScores: power-of-two weights over the last n, exact cents") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // user 1: three events, latest value 2.00, then 1.00, then 0.50
+    //   n=4 -> weights 8, 4, 2 -> 200*8 + 100*4 + 50*2 = 2100
+    // user 2: five events of 1.00 with n=4 -> only newest 4 count:
+    //   100*(8+4+2+1) = 1500
+    val ev = Seq(
+      (1L, ts("2024-01-03 00:00:00"), 3L, 2.00),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 1.00),
+      (1L, ts("2024-01-01 00:00:00"), 1L, 0.50)) ++
+      (1 to 5).map(i => (2L, ts(s"2024-01-0$i 00:00:00"), 10L + i, 1.00))
+    val df = ev.toDF("user_id", "ts", "event_id", "value")
+    val out = Analytics.decayScores(df, "user_id", "ts", "event_id", "value",
+        n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, 2100L)))
+    assert(out(2L) === ((4L, 1500L)))
+  }
+
+  test("decayScores breaks same-timestamp ties by id, newest id first") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1L, t, 1L, 1.00), (1L, t, 2L, 3.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Analytics.decayScores(df, "user_id", "ts", "event_id", "value",
+      n = 2).collect().head
+    // id 2 is newer: 300*2 + 100*1 = 700
+    assert(out.getLong(2) == 700L)
+  }
+
+  test("zoneMap: interval verdicts match per-tile bounds") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // tile 0 (ids 0,1): day 1; tile 1 (ids 2,3): day 5 (inside probe)
+    val df = Seq(
+      (0L, ts("2024-01-01 12:00:00"), 5L),
+      (1L, ts("2024-01-01 13:00:00"), 150L),
+      (2L, ts("2024-01-05 00:00:00"), 120L),
+      (3L, ts("2024-01-05 12:00:00"), 130L))
+      .toDF("event_id", "ts", "user_id")
+    val lo = 1704412800000000L // 2024-01-05 UTC
+    val hi = 1704499200000000L // 2024-01-06 UTC
+    val out = Analytics.zoneMap(df, "event_id", "ts", "user_id",
+        tileSize = 2L, tsLoUs = lo, tsHiUs = hi, userLt = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(out(0L) === ((2L, true, false)))  // day 1: ts-prunable; user 5 < 100
+    assert(out(1L) === ((2L, false, true)))  // inside probe; users all >= 100
+  }
 }

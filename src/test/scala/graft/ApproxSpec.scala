@@ -101,6 +101,29 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(uEst - 4500.0) / 4500.0 < 0.5, s"union_est $uEst")
   }
 
+  test("sampleQuantileAudit: rate near 1/2^bits and quantiles track exact") {
+    val df = (1 to 20000).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val r = Approx.sampleQuantileAudit(df, "g", "v", "id", shiftBits = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_total") == 20000L)
+    val rateBp = r.getAs[Long]("sample_bp")
+    assert(math.abs(rateBp - 1250L) < 300L, s"sample_bp $rateBp") // 1/8
+    // uniform 1..20000: sampled quantiles within a few percent
+    assert(math.abs(r.getAs[Double]("samp_p50") - 10000.0) < 1500.0)
+    assert(math.abs(r.getAs[Double]("samp_p95") - 19000.0) < 600.0)
+  }
+
+  test("sampleQuantileAudit is deterministic across partitionings") {
+    val df = (1 to 5000).map(i => ("g", i.toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val a = Approx.sampleQuantileAudit(df.repartition(3), "g", "v", "id")
+      .collect().head
+    val b = Approx.sampleQuantileAudit(df.repartition(11), "g", "v", "id")
+      .collect().head
+    assert(a == b)
+  }
+
   test("approx percentiles track exact quantiles") {
     val out = Approx.percentiles(data, Seq("g"), "v", Seq(0.5, 0.95))
       .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
