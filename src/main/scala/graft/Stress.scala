@@ -427,6 +427,65 @@ object Stress {
     time("span_corrupt") {
       TextAnalysis.spanCorrupt(docs)
     }
+
+    // ---- sketch / graph family over a multiplied EVENTS stream ----
+    // Replicas get fresh event ids AND fresh user ids, so the distinct-
+    // value cardinality the sketches face grows linearly with factor —
+    // the honest stress for a distinct-count structure (duplicating ids
+    // would leave the sketch's workload constant).
+    val evs = {
+      val base = Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      (0 until factor).map { k =>
+        base.withColumn("event_id", col("event_id") + lit(k * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet("/tmp/graft_stress_events")
+      spark.read.parquet("/tmp/graft_stress_events")
+    }
+    // HLL: per-group state is 512 registers regardless of factor; the
+    // distinct() certificate side is the only thing that grows.
+    time("hll_counts") {
+      graft.operators.Approx.hllAudit(evs, "event_type", "user_id")
+    }
+    // KMV: bottom-64 per group regardless of factor; the exact-overlap
+    // certificate join grows linearly.
+    time("kmv_overlap") {
+      graft.operators.Approx.kmvOverlap(evs, "event_type", "user_id")
+    }
+    // Decay score: per-user window stays <= 16 rows however many users.
+    time("decay_scores") {
+      graft.operators.Analytics.decayScores(evs,
+        "user_id", "ts", "event_id", "value")
+    }
+    time("sample_quantiles") {
+      graft.operators.Approx.sampleQuantileAudit(evs,
+        "event_type", "value", "event_id")
+    }
+
+    // PageRank over a multiplied trade graph: customers (and their
+    // orders) replicate with fresh ids while SUPPLIERS stay shared — the
+    // supplier hubs gain factor-times the degree, the adversarial skew
+    // case for the per-round aggregate (map-side combine must absorb it:
+    // the share vector stays N rows and broadcasts).
+    val (ordersX, lineitemX) = {
+      val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      val om = (0 until factor).map { k =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * 10000000L))
+      }.reduce(_ unionByName _)
+      val lm = (0 until factor).map { k =>
+        l.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+      }.reduce(_ unionByName _)
+      om.write.mode("overwrite").parquet("/tmp/graft_stress_orders")
+      lm.write.mode("overwrite").parquet("/tmp/graft_stress_lineitem")
+      (spark.read.parquet("/tmp/graft_stress_orders"),
+        spark.read.parquet("/tmp/graft_stress_lineitem"))
+    }
+    time("pagerank") {
+      graft.operators.Graph.pageRank(ordersX, lineitemX)
+    }
     spark.stop()
   }
 }
