@@ -1389,6 +1389,14 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // §2.43g — HLL ROLLUP audit: per-day register files max-merged to
+    // group level == an independently built direct sketch (the
+    // pre-aggregated sketch-table pattern: range distincts answered from
+    // registers, never raw data), engine-certified + exact err_bp
+    "q_hll_rollup" -> ((s, dir) =>
+      graft.operators.Approx.hllRollupAudit(
+        Tables.events(s, dir), "event_type", "ts", "user_id")),
+
     // §2.43f — hash-sample quantile audit (third leg of the sketch-trust
     // family): exact p50/p95 vs the same quantiles over the deterministic
     // 1/8 md5-threshold sample, realized rate + err_bp — the production
@@ -3184,6 +3192,84 @@ object SparkEntry {
          |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
+    },
+
+    // both sketch paths replayed: per-day registers -> max-merge ->
+    // estimate, and the independent direct registers; the shared CASE
+    // arithmetic keeps the two estimates comparable to the last bit
+    "q_hll_rollup" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      def est(from: String) =
+        s"""SELECT event_type,
+           |    round(CASE WHEN CAST('3.3194137200059597e+18' AS DOUBLE)
+           |        / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE) <= 1280.0
+           |        AND npres < 512
+           |      THEN CAST(512 AS DOUBLE)
+           |        * ln(CAST(512 AS DOUBLE) / CAST(512 - npres AS DOUBLE))
+           |      ELSE CAST('3.3194137200059597e+18' AS DOUBLE)
+           |        / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE)
+           |      END, 2) AS v
+           |  FROM $from""".stripMargin
+      s"""WITH dd AS (
+         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hd AS (
+         |  SELECT event_type, day,
+         |    ${md5bits("'hll:' || CAST(user_id AS VARCHAR)")} AS hc
+         |  FROM dd),
+         |rd AS (
+         |  SELECT event_type, day, hc % 512 AS idx,
+         |    CASE WHEN hc // 512 = 0 THEN 44
+         |         ELSE 44 - length(bin(hc // 512)) END AS rho
+         |  FROM hd),
+         |regd AS (
+         |  SELECT event_type, day, idx, max(rho) AS mx
+         |  FROM rd GROUP BY 1, 2, 3),
+         |mrg AS (SELECT event_type, idx, max(mx) AS mx FROM regd GROUP BY 1, 2),
+         |gro AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS npres,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - mx AS INT)) AS BIGINT) AS sp
+         |  FROM mrg GROUP BY 1),
+         |ero AS (${est("gro")}),
+         |d AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type,
+         |    ${md5bits("'hll:' || CAST(user_id AS VARCHAR)")} AS hc
+         |  FROM d),
+         |r AS (
+         |  SELECT event_type, hc % 512 AS idx,
+         |    CASE WHEN hc // 512 = 0 THEN 44
+         |         ELSE 44 - length(bin(hc // 512)) END AS rho
+         |  FROM h),
+         |reg AS (
+         |  SELECT event_type, idx, max(rho) AS mx,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM r GROUP BY 1, 2),
+         |g AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS npres,
+         |    CAST(sum(nv) AS BIGINT) AS n_exact,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - mx AS INT)) AS BIGINT) AS sp
+         |  FROM reg GROUP BY 1),
+         |e AS (${est("g")}),
+         |nd AS (
+         |  SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         |  FROM dd GROUP BY 1)
+         |SELECT g.event_type, nd.n_days, g.n_exact,
+         |  e.v AS hll_est, ero.v AS hll_est_rollup,
+         |  e.v = ero.v AS rollup_matches,
+         |  CAST(round(abs(ero.v - CAST(g.n_exact AS DOUBLE))
+         |    / CAST(g.n_exact AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
+         |FROM g
+         |JOIN e ON e.event_type = g.event_type
+         |JOIN ero ON ero.event_type = g.event_type
+         |JOIN nd ON nd.event_type = g.event_type
+         |ORDER BY g.event_type""".stripMargin
     },
 
     // the deterministic sample is a pure hash predicate, so the oracle

@@ -63,27 +63,19 @@ object Approx {
     * The exact-count side (the `distinct()` and the `nv` sum) exists here
     * only to certify the estimate, exactly like cmsTopK's exact column.
     */
-  def hllAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val c = hllC
+  def hllAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
     hllRegisters(df, groupCol, valueCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("npres"), sum(col("nv")).as("n_exact"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
-      .select(col(groupCol), col("n_exact"),
-        (lit(512L) - col("npres")).cast("int").as("v_zero"),
-        (lit(c) / (col("sp") + (lit(512L) - col("npres")) * lit(Pow44))
-          .cast("double")).as("est_raw"))
-      .select(col(groupCol), col("n_exact"), col("v_zero"),
-        (col("est_raw") <= 1280.0 && col("v_zero") > 0).as("small_range"),
-        round(when(col("est_raw") <= 1280.0 && col("v_zero") > 0,
-          lit(512.0) * log(lit(512.0) / col("v_zero").cast("double")))
-          .otherwise(col("est_raw")), 2).as("hll_est"))
+      .select(col(groupCol), col("n_exact"), hllVZeroCol.as("v_zero"),
+        (hllEstRawCol <= 1280.0 && hllVZeroCol > 0).as("small_range"),
+        hllEstimateCol.as("hll_est"))
       .select(col(groupCol), col("n_exact"), col("v_zero"),
         col("small_range"), col("hll_est"),
         round(abs(col("hll_est") - col("n_exact").cast("double")) /
           col("n_exact").cast("double") * 10000.0, 0).cast("long").as("err_bp"))
       .orderBy(col(groupCol))
-  }
 
   /** 2^44: the weight of an untouched register (rho ranges 1..44 over the
     * 43-bit field, so `2^(44-rho)` stays integral and `S` fits BIGINT:
@@ -101,23 +93,93 @@ object Approx {
   private def md5Bits52(salt: String, v: Column): Column =
     conv(substring(md5(concat(lit(salt), v)), 1, 13), 16, 10).cast("long")
 
-  /** The (group, idx, mx, nv) register file of [[hllAudit]], exposed so the
-    * merge law `registers(A ∪ B) == max-merge(registers(A), registers(B))`
-    * is spec-checkable — the property that makes the sketch shardable. */
+  /** The (group…, idx, mx, nv) register file of [[hllAudit]], exposed so
+    * the merge law `registers(A ∪ B) == max-merge(registers(A),
+    * registers(B))` is spec-checkable — the property that makes the sketch
+    * shardable (and, grouped finer than the query, pre-aggregable: see
+    * [[hllRollupAudit]]). Accepts derived grouping columns so a date
+    * bucket can sit next to the key. */
   private[graft] def hllRegisters(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
-    val hc = md5Bits52("hll:", col(valueCol).cast("string"))
-    df.select(col(groupCol), col(valueCol)).where(col(valueCol).isNotNull)
+      valueCol: String): DataFrame =
+    hllRegistersBy(df, Seq(col(groupCol)), Seq(groupCol), valueCol)
+
+  private[graft] def hllRegistersBy(df: DataFrame, groups: Seq[Column],
+      groupNames: Seq[String], valueCol: String): DataFrame = {
+    val hc = md5Bits52("hll:", col("v").cast("string"))
+    val g = groupNames.map(col)
+    df.select(groups.zip(groupNames).map { case (c, n) => c.as(n) } :+
+        col(valueCol).as("v"): _*)
+      .where(col("v").isNotNull)
       .distinct()
-      .select(col(groupCol), hc.as("hc"))
-      .select(col(groupCol), pmod(col("hc"), lit(512L)).as("idx"),
-        expr("hc DIV 512").as("w"))
-      .select(col(groupCol), col("idx"),
+      .select(g :+ hc.as("hc"): _*)
+      .select(g :+ pmod(col("hc"), lit(512L)).as("idx") :+
+        expr("hc DIV 512").as("w"): _*)
+      .select(g :+ col("idx") :+
         when(col("w") === 0L, lit(44))
-          .otherwise(lit(44) - length(bin(col("w")))).as("rho"))
-      .groupBy(col(groupCol), col("idx"))
+          .otherwise(lit(44) - length(bin(col("w")))).as("rho"): _*)
+      .groupBy(g :+ col("idx"): _*)
       .agg(max(col("rho")).as("mx"), count(lit(1)).as("nv"))
   }
+
+  /** HLL ROLLUP audit — the pre-aggregated sketch-table pattern: a
+    * warehouse stores one 512-register HLL file per (group, DAY) (written
+    * incrementally, day by day, like any partitioned aggregate table), and
+    * any date-range distinct-count question is answered by max-merging the
+    * daily register files — never by rescanning raw data. This query
+    * executes the law end to end: the per-day register files, their
+    * max-merge to group level, the estimate from the merge, and — the
+    * proof — an independently built direct group-level sketch from the raw
+    * stream, with a `rollup_matches` verdict (equal by the associativity
+    * of per-register max; the engine, not algebra on paper, certifies it —
+    * same posture as q_incr_merge's merge == recompute hash proof). Exact
+    * distinct + err_bp ride along as the usual certificate.
+    *
+    * 100 TB posture: the daily sketch table costs 512 rows per group-day
+    * FOREVER (a year of 1000 groups = 187M tiny rows); every range query
+    * after that touches registers only. The raw-side rebuild here exists
+    * only to prove the merge lossless.
+    */
+  def hllRollupAudit(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = hllRegistersBy(df,
+      Seq(col(groupCol), col(tsCol).cast("date")), Seq(groupCol, "day"),
+      valueCol).localCheckpoint()
+    val merged = daily.groupBy(col(groupCol), col("idx"))
+      .agg(max(col("mx")).as("mx"))
+    val nDays = daily.groupBy(col(groupCol))
+      .agg(countDistinct(col("day")).as("n_days"))
+    val direct = hllRegisters(df, groupCol, valueCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("npres"), sum(col("nv")).as("n_exact"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
+      .select(col(groupCol), col("n_exact"),
+        hllEstimateCol.as("hll_est"))
+    val rollup = merged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("npres"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
+      .select(col(groupCol), hllEstimateCol.as("hll_est_rollup"))
+    direct.join(rollup, groupCol).join(nDays, groupCol)
+      .select(col(groupCol), col("n_days"), col("n_exact"),
+        col("hll_est"), col("hll_est_rollup"),
+        (col("hll_est") === col("hll_est_rollup")).as("rollup_matches"),
+        round(abs(col("hll_est_rollup") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double") * 10000.0, 0).cast("long")
+          .as("err_bp"))
+      .orderBy(col(groupCol))
+  }
+
+  /** The shared estimate arithmetic over an aggregated (npres, sp) pair —
+    * ONE definition so hllAudit and hllRollupAudit can never desync on the
+    * constant or the small-range branch. */
+  private def hllEstRawCol: Column = lit(hllC) /
+    (col("sp") + (lit(512L) - col("npres")) * lit(Pow44)).cast("double")
+
+  private def hllVZeroCol: Column = (lit(512L) - col("npres")).cast("int")
+
+  private def hllEstimateCol: Column =
+    round(when(hllEstRawCol <= 1280.0 && hllVZeroCol > 0,
+      lit(512.0) * log(lit(512.0) / hllVZeroCol.cast("double")))
+      .otherwise(hllEstRawCol), 2)
 
   /** KMV (k-minimum-values / bottom-k) sketch overlap: per pair of groups,
     * the union-size and Jaccard estimates read ONLY from each group's k=64

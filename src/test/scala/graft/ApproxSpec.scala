@@ -75,6 +75,21 @@ class ApproxSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("hllRollupAudit: day-merged estimate equals the direct sketch") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 3 days, users overlapping across days (the case where summing daily
+    // distincts would over-count but register max-merge must not)
+    val ev = (1 to 900).map { i =>
+      ("g", ts(f"2024-01-${i % 3 + 1}%02d 10:00:00"), i % 400)
+    }.toDF("g", "ts", "u")
+    val r = Approx.hllRollupAudit(ev, "g", "ts", "u").collect().head
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_exact") == 400L)
+    assert(r.getAs[Boolean]("rollup_matches"))
+    assert(r.getAs[Double]("hll_est") == r.getAs[Double]("hll_est_rollup"))
+    assert(math.abs(r.getAs[Double]("hll_est") - 400.0) / 400.0 < 0.20)
+  }
+
   test("kmvOverlap: exact columns match set truth; complete-sketch pairs are exact") {
     // a: 0..39, b: 20..59 -> inter 20, union 60; both < k=64 so the
     // sketches are complete sets and the estimates must equal the truth
