@@ -93,6 +93,18 @@ object Approx {
   private def md5Bits52(salt: String, v: Column): Column =
     conv(substring(md5(concat(lit(salt), v)), 1, 13), 16, 10).cast("long")
 
+  /** The (idx, rho) register projection as plain columns — usable on a
+    * STREAMING frame (no distinct; register max is idempotent, so
+    * re-delivered values are harmless by construction). `hc >> 9` is the
+    * same value as the batch builder's `hc DIV 512` (hc is non-negative).
+    */
+  private[graft] def hllRegisterCols(value: Column): (Column, Column) = {
+    val hc = md5Bits52("hll:", value.cast("string"))
+    val w = shiftright(hc, 9)
+    (pmod(hc, lit(512L)),
+      when(w === 0L, lit(44)).otherwise(lit(44) - length(bin(w))))
+  }
+
   /** The (group…, idx, mx, nv) register file of [[hllAudit]], exposed so
     * the merge law `registers(A ∪ B) == max-merge(registers(A),
     * registers(B))` is spec-checkable — the property that makes the sketch

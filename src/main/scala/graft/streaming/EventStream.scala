@@ -39,6 +39,26 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming HLL register build — the continuous dual of
+    * Approx.hllRegisters: per (event_type, register) running max of the
+    * leading-zero rank over the salted md5 hash of the value. State is
+    * BOUNDED at groups x 512 tiny rows FOREVER (the whole point of the
+    * sketch: an unbounded distinct-id stream compresses to a constant
+    * register file), and re-delivered events are absorbed by max's
+    * idempotence — no dedup gate, no watermark eviction needed for
+    * correctness. Registers snapshot at any microbatch answers "distinct
+    * users so far" via the same estimate arithmetic as the batch audit;
+    * EventStreamSpec proves the streamed file equals the batch builder's
+    * over identical rows.
+    */
+  def hllRegisterStream(events: DataFrame, valueCol: String = "user_id"): DataFrame = {
+    val (idx, rho) = graft.operators.Approx.hllRegisterCols(col(valueCol))
+    events
+      .select(col("event_type"), idx.as("idx"), rho.as("rho"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(max(col("rho")).as("mx"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content key
     * inside the watermark horizon — the continuous dual of
     * Dedup.exactDedup, and the standard front gate of a streaming

@@ -43,6 +43,38 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(("2024-01-01 00:00:00.0", "view")) == ((1L, 1.0)))
   }
 
+  test("hllRegisterStream: streamed registers equal the batch builder's") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.hllRegisterStream(input.toDF())
+
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("hllregs")
+      .outputMode("complete")
+      .option("checkpointLocation", chk)
+      .start()
+
+    val batch1 = (1 to 300).map(u =>
+      EventStream.Event(u, ts("2024-01-01 00:10:00"), u, "click", 1.0))
+    val batch2 = (200 to 500).map(u => // overlap 200..300 re-delivers
+      EventStream.Event(1000 + u, ts("2024-01-01 01:10:00"), u, "click", 1.0))
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("hllregs").collect()
+      .map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mx")).toMap
+    import graft.operators.Approx
+    val batch = Approx.hllRegisters(
+      (1 to 500).map(u => ("click", u.toLong)).toDF("event_type", "user_id"),
+      "event_type", "user_id")
+      .collect().map(r => r.getAs[Long]("idx") -> r.getAs[Int]("mx")).toMap
+    assert(streamed == batch)
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
