@@ -1389,6 +1389,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // §2.7d — incremental JOIN-view maintenance: the four-term delta
+    // algebra of (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB), merged states proven equal to the
+    // from-scratch recompute (q_incr_merge lifted to joins), exact cents
+    "q_incr_join" -> ((s, dir) =>
+      Etl.incrJoinRevenue(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     // §2.43g — HLL ROLLUP audit: per-day register files max-merged to
     // group level == an independently built direct sketch (the
     // pre-aggregated sketch-table pattern: range distincts answered from
@@ -3193,6 +3199,43 @@ object SparkEntry {
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
     },
+
+    // all four delta terms + the recompute replayed; integer cents make
+    // the equality verdict bit-exact
+    "q_incr_join" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders),
+        |l AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |a0 AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+        |ad AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+        |b0 AS (SELECT * FROM l WHERE l_orderkey % 5 <> 0),
+        |bd AS (SELECT * FROM l WHERE l_orderkey % 5 = 0),
+        |t1 AS (SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS r
+        |  FROM a0 JOIN b0 ON o_orderkey = l_orderkey GROUP BY 1),
+        |t2 AS (SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS r
+        |  FROM ad JOIN b0 ON o_orderkey = l_orderkey GROUP BY 1),
+        |t3 AS (SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS r
+        |  FROM a0 JOIN bd ON o_orderkey = l_orderkey GROUP BY 1),
+        |t4 AS (SELECT o_orderpriority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS r
+        |  FROM ad JOIN bd ON o_orderkey = l_orderkey GROUP BY 1),
+        |m AS (
+        |  SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(r) AS BIGINT) AS rev_cents
+        |  FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+        |    UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4)
+        |  GROUP BY 1),
+        |d AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_direct,
+        |    CAST(sum(cents) AS BIGINT) AS rev_direct
+        |  FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1)
+        |SELECT m.o_orderpriority, m.n_rows, m.rev_cents,
+        |  (m.n_rows = d.n_direct AND m.rev_cents = d.rev_direct)
+        |    AS matches_recompute
+        |FROM m JOIN d ON m.o_orderpriority = d.o_orderpriority
+        |ORDER BY m.o_orderpriority""".stripMargin,
 
     // both sketch paths replayed: per-day registers -> max-merge ->
     // estimate, and the independent direct registers; the shared CASE

@@ -308,4 +308,51 @@ object Etl {
           .when(col("h_today") =!= col("h_prior"), "changed"))
       .where(col("change").isNotNull)
       .select(col(idCol), col("change"))
+
+  /** Incremental JOIN-view maintenance — the delta algebra behind every
+    * materialized join view: with inserts ΔA/ΔB arriving on both sides of
+    * R = A ⋈ B, the new join rows are EXACTLY
+    * ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (the four-way expansion of
+    * (A₀∪ΔA)⋈(B₀∪ΔB), with A₀⋈B₀ being the stored state). This query
+    * executes all four terms of a revenue-per-priority view over
+    * orders ⋈ lineitem (deltas carved deterministically by key mod),
+    * merges their mergeable states, and emits the from-scratch recompute
+    * next to it with an engine-certified `matches_recompute` verdict —
+    * q_incr_merge's merge == recompute proof lifted from aggregates to
+    * joins. Exact integer cents, so equality is bit-equality.
+    *
+    * 100 TB posture: production stores the A₀⋈B₀ term's STATE (one row
+    * per group) and pays only the three delta joins per batch — O(Δ⋈),
+    * never O(A⋈B); with the base sides bucketed by the join key (the
+    * q_bucketed_join layout) the delta probes shuffle only Δ. The state
+    * merge exchanges group rows, not fact rows. The full-recompute side
+    * here exists to certify the algebra, like incr_merge's oracle.
+    */
+  def incrJoinRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderpriority"))
+    val l = lineitem.select(col("l_orderkey"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val a0 = o.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+    val ad = o.where(pmod(col("o_orderkey"), lit(7)) === 0)
+    val b0 = l.where(pmod(col("l_orderkey"), lit(5)) =!= 0)
+    val bd = l.where(pmod(col("l_orderkey"), lit(5)) === 0)
+    def term(a: DataFrame, b: DataFrame): DataFrame = a
+      .join(b, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("rev_cents"))
+    val maintained = Seq(term(a0, b0), term(ad, b0), term(a0, bd),
+      term(ad, bd))
+      .reduce(_ unionByName _)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("rev_cents")).as("rev_cents"))
+    val direct = term(o, l)
+      .select(col("o_orderpriority"), col("n_rows").as("n_direct"),
+        col("rev_cents").as("rev_direct"))
+    maintained.join(direct, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_rows"), col("rev_cents"),
+        (col("n_rows") === col("n_direct") &&
+          col("rev_cents") === col("rev_direct")).as("matches_recompute"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

@@ -136,4 +136,22 @@ class EtlSpec extends SparkSpec {
     assert(rows("value") == (("double", "int", "type_changed")))
     assert(rows("extra") == ((null, "string", "added")))
   }
+
+  test("incrJoinRevenue: four delta terms reassemble the full join exactly") {
+    import spark.implicits._
+    // orderkeys chosen to hit all four (mod-7, mod-5) delta cells,
+    // including keys in BOTH deltas (35) and orders with no lineitem (11)
+    val o = Seq((7L, "1-URGENT"), (5L, "1-URGENT"), (35L, "2-HIGH"),
+      (3L, "2-HIGH"), (11L, "3-MEDIUM"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val l = Seq((7L, 10.00), (7L, 2.50), (5L, 1.00), (35L, 4.00), (3L, 0.25))
+      .toDF("l_orderkey", "l_extendedprice")
+    val out = Etl.incrJoinRevenue(o, l).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(out("1-URGENT") === ((3L, 1350L, true)))
+    assert(out("2-HIGH") === ((2L, 425L, true)))
+    assert(!out.contains("3-MEDIUM")) // no lineitem -> no join row
+    assert(out.values.forall(_._3), "every group must match the recompute")
+  }
 }
