@@ -1403,6 +1403,16 @@ object SparkEntry {
       graft.operators.Approx.hllRollupAudit(
         Tables.events(s, dir), "event_type", "ts", "user_id")),
 
+    // §2.43h — Bloom-filtered semi-join audit (the runtime-filter
+    // pattern): m=4096/k=3 filter of nation-1 customers gates the orders
+    // probe; one summary row measures the shuffle saved, the FP rows it
+    // cost, and certifies zero false negatives
+    "q_bloom_join" -> ((s, dir) =>
+      graft.operators.Approx.bloomJoinAudit(
+        Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir).where(col("c_nationkey") === 1),
+        "c_custkey")),
+
     // §2.43f — hash-sample quantile audit (third leg of the sketch-trust
     // family): exact p50/p95 vs the same quantiles over the deterministic
     // 1/8 md5-threshold sample, realized rate + err_bp — the production
@@ -3198,6 +3208,50 @@ object SparkEntry {
          |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
+    },
+
+    // the bit set, all three probes per key, and the semi-join truth are
+    // replayed row-by-row
+    "q_bloom_join" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      def h(i: Int, key: String) =
+        s"${md5bits(s"'bj$i:' || CAST($key AS VARCHAR)")} % 4096"
+      s"""WITH b AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+         |bits AS (SELECT DISTINCT h FROM (
+         |  SELECT ${h(0, "c_custkey")} AS h FROM b
+         |  UNION ALL SELECT ${h(1, "c_custkey")} FROM b
+         |  UNION ALL SELECT ${h(2, "c_custkey")} FROM b)),
+         |pp AS (
+         |  SELECT o_custkey,
+         |    (${h(0, "o_custkey")} IN (SELECT h FROM bits)
+         |     AND ${h(1, "o_custkey")} IN (SELECT h FROM bits)
+         |     AND ${h(2, "o_custkey")} IN (SELECT h FROM bits)) AS bloom_pass
+         |  FROM orders),
+         |j AS (
+         |  SELECT pp.bloom_pass, tr.c_custkey IS NOT NULL AS is_match
+         |  FROM pp LEFT JOIN (SELECT DISTINCT c_custkey FROM b) tr
+         |    ON pp.o_custkey = tr.c_custkey),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+         |    CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pass,
+         |    CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match,
+         |    CAST(sum(CASE WHEN bloom_pass AND is_match THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_match_passed
+         |  FROM j),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM b)
+         |SELECT nb.n_build, a.n_probe, a.n_pass, a.n_match,
+         |  a.n_pass - a.n_match_passed AS n_false_pos,
+         |  CAST(round(CAST(a.n_pass - a.n_match_passed AS DOUBLE)
+         |    / CAST(a.n_probe - a.n_match AS DOUBLE) * 10000.0, 0) AS BIGINT)
+         |    AS fp_bp,
+         |  a.n_match_passed = a.n_match AS no_false_negatives
+         |FROM a CROSS JOIN nb""".stripMargin
     },
 
     // all four delta terms + the recompute replayed; integer cents make

@@ -285,6 +285,59 @@ object Approx {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Bloom-filtered semi-join audit — the RUNTIME-FILTER pattern: before
+    * shuffling a 100 TB probe side into a join, ship an m-bit Bloom filter
+    * of the build side's keys to every scan task and drop probe rows whose
+    * k bits aren't all set. Bloom admits no false negatives, so the join
+    * result is exact; the only cost is the false-positive rows that ride
+    * the shuffle for nothing. This query executes the whole contract on
+    * orders ⋈ (customers in `nationKey`): builds the m=4096 / k=3 filter
+    * from the salted md5 hashes (a bounded ≤ m-bit driver pull, like the
+    * centroid/codebook training pulls), gates the probe side, and emits
+    * ONE summary row: build/probe/passed/true-match counts, the
+    * false-positive count and its rate in bp over the truly-negative
+    * probes, and a `no_false_negatives` verdict computed by matching the
+    * gated result against the ungated semi-join truth.
+    *
+    * 100 TB posture: the filter is m/8 bytes forever; the gate is a pure
+    * projection at scan speed; what the pattern buys is the shuffle of
+    * the (1 - selectivity) dropped rows — here measured, not assumed.
+    * Spark's own `spark.sql.optimizer.runtimeFilter` does this opaquely;
+    * this operator is the engine-portable, oracle-replayable form.
+    */
+  def bloomJoinAudit(probe: DataFrame, probeKey: String, build: DataFrame,
+      buildKey: String, mBits: Int = 4096, kProbes: Int = 3): DataFrame = {
+    def hashes(c: Column): Seq[Column] = (0 until kProbes).map(i =>
+      pmod(md5Bits52(s"bj$i:", c.cast("string")), lit(mBits.toLong)))
+    val bitsSet: Array[Boolean] = {
+      val arr = new Array[Boolean](mBits)
+      build.select(explode(array(hashes(col(buildKey)): _*)).as("b"))
+        .distinct().collect().foreach(r => arr(r.getLong(0).toInt) = true)
+      arr
+    }
+    val bitsLit = typedLit(bitsSet)
+    val pass = hashes(col(probeKey))
+      .map(h => element_at(bitsLit, (h + 1L).cast("int")))
+      .reduce(_ && _)
+    val truth = build.select(col(buildKey).as(probeKey)).distinct()
+    val gated = probe
+      .select(col(probeKey), pass.as("bloom_pass"))
+      .join(truth.withColumn("is_match", lit(true)), Seq(probeKey), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("is_match").isNotNull, 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("bloom_pass") && col("is_match").isNotNull, 1L)
+          .otherwise(0L)).as("n_match_passed"))
+    gated.crossJoin(broadcast(
+        build.agg(count(lit(1)).as("n_build"))))
+      .select(col("n_build"), col("n_probe"), col("n_pass"), col("n_match"),
+        (col("n_pass") - col("n_match_passed")).as("n_false_pos"),
+        round((col("n_pass") - col("n_match_passed")).cast("double") /
+          (col("n_probe") - col("n_match")).cast("double") * 10000.0, 0)
+          .cast("long").as("fp_bp"),
+        (col("n_match_passed") === col("n_match")).as("no_false_negatives"))
+  }
+
   /** Deterministic hash-sample quantile audit: per group, exact p50/p95
     * next to the same quantiles computed over ONLY the rows whose salted
     * 52-bit md5 hash falls under 2^(52-shiftBits) — a 2^-shiftBits

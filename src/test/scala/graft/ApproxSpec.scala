@@ -116,6 +116,27 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(uEst - 4500.0) / 4500.0 < 0.5, s"union_est $uEst")
   }
 
+  test("bloomJoinAudit: no false negatives, plausible FP rate, exact counts") {
+    val build = (1 to 100).map(k => k * 7).toDF("k") // keys 7,14,...,700
+    val probe = (1 to 5000).map(k => k.toLong).toDF("p")
+    val r = Approx.bloomJoinAudit(probe, "p", build, "k").collect().head
+    assert(r.getAs[Long]("n_build") == 100L)
+    assert(r.getAs[Long]("n_probe") == 5000L)
+    assert(r.getAs[Long]("n_match") == 100L) // multiples of 7 <= 700
+    assert(r.getAs[Boolean]("no_false_negatives"))
+    // m=4096, k=3, n=100 -> FPR ~ (1-e^-0.073)^3 ~ 3.5e-4; allow slack
+    assert(r.getAs[Long]("fp_bp") < 100L, s"fp_bp ${r.getAs[Long]("fp_bp")}")
+    assert(r.getAs[Long]("n_pass") >= r.getAs[Long]("n_match"))
+  }
+
+  test("bloomJoinAudit: empty build side passes nothing, matches nothing") {
+    val build = Seq.empty[Int].toDF("k")
+    val probe = (1 to 50).map(_.toLong).toDF("p")
+    val r = Approx.bloomJoinAudit(probe, "p", build, "k").collect().head
+    assert(r.getAs[Long]("n_pass") == 0L && r.getAs[Long]("n_match") == 0L)
+    assert(r.getAs[Boolean]("no_false_negatives"))
+  }
+
   test("sampleQuantileAudit: rate near 1/2^bits and quantiles track exact") {
     val df = (1 to 20000).map(i => ("g", i.toDouble, i.toLong))
       .toDF("g", "v", "id")
