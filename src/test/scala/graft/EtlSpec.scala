@@ -137,6 +137,23 @@ class EtlSpec extends SparkSpec {
     assert(rows("extra") == ((null, "string", "added")))
   }
 
+  test("forgetRetract subtracts erased users exactly, incl. all-erased groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // type A: users 1,2,17 (17 erased); type B: only user 34 (fully erased)
+    val ev = Seq((1L, "A", 1.25), (2L, "A", 2.50), (17L, "A", 4.00),
+      (17L, "A", 0.50), (34L, "B", 9.99))
+      .toDF("user_id", "event_type", "value")
+    val out = Etl.forgetRetract(ev, "event_type", "value",
+        pmod(col("user_id"), lit(17)) === 0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out("A") === ((2L, 3.75, true)))
+    // B retracts to zero rows; the recompute side has no B group, so the
+    // inner proof join drops it — a fully-erased group must DISAPPEAR
+    assert(!out.contains("B"))
+  }
+
   test("incrJoinRevenue: four delta terms reassemble the full join exactly") {
     import spark.implicits._
     // orderkeys chosen to hit all four (mod-7, mod-5) delta cells,
