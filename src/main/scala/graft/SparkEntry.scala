@@ -1389,6 +1389,12 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // §2.8b — per-column data profile: null rate, exact distinct, numeric
+    // bounds (ts as epoch micros) in ONE aggregate pass — the descriptive
+    // face of the rule-based validator
+    "q_profile" -> ((s, dir) =>
+      graft.validation.Profile.profile(Tables.events(s, dir))),
+
     // §2.7e — right-to-be-forgotten retraction: erased users (id % 17 = 0)
     // become negative deltas subtracted from the stored state — no corpus
     // rescan; verdict certified vs the rebuild over survivors
@@ -3215,6 +3221,34 @@ object SparkEntry {
          |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
+    },
+
+    // one UNION ALL branch per column, stats identical to the single-pass
+    // aggregate's
+    "q_profile" -> {
+      def row(c: String, minMax: Option[String]) = {
+        val (mn, mx) = minMax match {
+          case Some(e) => (s"min($e)", s"max($e)")
+          case None => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        }
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  CAST(round(CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000.0, 0)
+           |    AS BIGINT) AS null_bp,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num
+           |FROM events""".stripMargin
+      }
+      Seq(
+        row("event_id", Some("CAST(event_id AS DOUBLE)")),
+        row("event_type", None),
+        row("props", None),
+        row("ts", Some("CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)")),
+        row("user_id", Some("CAST(user_id AS DOUBLE)")),
+        row("value", Some("CAST(value AS DOUBLE)")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
     // retraction replayed in the same decimal type; the verdict column

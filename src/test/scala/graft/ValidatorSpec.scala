@@ -49,4 +49,15 @@ class ValidatorSpec extends SparkSpec {
     val df = Seq((1L, "a")).toDF("id", "name")
     assert(SchemaCheck.inferSchema(df) == Seq("id" -> "bigint", "name" -> "string"))
   }
+
+  test("profile: nulls, distincts, numeric bounds, and NULL bounds for strings") {
+    val df = Seq((1L, Some(2.5), "x"), (2L, None, "y"), (3L, Some(0.5), "y"))
+      .toDF("id", "v", "s")
+    val out = graft.validation.Profile.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.get(5)), Option(r.get(6)))).toMap
+    assert(out("id") === ((3L, 0L, 0L, 3L, Some(1.0), Some(3.0))))
+    assert(out("v") === ((3L, 1L, 3333L, 2L, Some(0.5), Some(2.5))))
+    assert(out("s") === ((3L, 0L, 0L, 2L, None, None)))
+  }
 }
