@@ -191,4 +191,92 @@ object Multimodal {
     */
   def sampleChunks(chunks: DataFrame, stride: Int): DataFrame =
     chunks.where(col("chunk_idx") % stride === 0)
+
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+    ahash: Long)
+
+  /** Perceptual average-hash (aHash) per image: decode, area-average the
+    * Rec.601 luma onto an 8x8 grid, emit the 64-bit signature (bit set
+    * where the cell is brighter than the image mean). Re-encodes,
+    * resizes, and small edits move few bits; distinct images differ in
+    * ~32 — the image analog of SimHash, and the standard first tier of
+    * image dedup. Integer arithmetic end to end (sum-of-luma per cell
+    * times exact pixel counts), so the hash is deterministic across
+    * JVMs. Undecodable payloads are dropped (they have no perceptual
+    * content to hash).
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            val gy = math.min(7, y * 8 / h)
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              val cell = gy * 8 + math.min(7, x * 8 / w)
+              sums(cell) += lum
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          // cell means scaled by the common denominator; compare against
+          // the global mean with cross-multiplication so everything stays
+          // in exact integers (cells can be empty when w or h < 8)
+          var totalSum = 0L
+          var totalCnt = 0L
+          var i = 0
+          while (i < 64) { totalSum += sums(i); totalCnt += counts(i); i += 1 }
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (counts(i) > 0 &&
+                sums(i) * totalCnt > totalSum * counts(i))
+              hash |= 1L << i
+            i += 1
+          }
+          Some(ImageHash(r.media_id, w, h, hash))
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs: aHash signatures banded into
+    * four 16-bit chunks (pigeonhole: hamming <= 3 over 64 bits forces at
+    * least one identical chunk), candidates bucket-joined on (chunk index,
+    * chunk value), verified with the exact popcount of the XOR — the
+    * SimHash chunk-banding scheme (Dedup.simhashNearDups) applied to
+    * pixels instead of tokens. Pair output deduped via band = min rule.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    val sigs = imageHashes(media).toDF()
+    val banded = sigs.select(col("media_id"), col("ahash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("ahash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bh")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .agg(min(col("a.band")).as("first_band"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

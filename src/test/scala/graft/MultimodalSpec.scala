@@ -51,6 +51,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(12L).feature.toSeq == Seq(0.5f, 0f, 0f, 0.5f))
   }
 
+  test("imageHashes: aHash stable under re-encode-scale, split for distinct images") {
+    // 32x32 left-dark/right-light pattern, and the SAME pattern at 64x64
+    // (a resize) — aHash must match exactly; the inverted pattern must be
+    // far away (~all 64 bits differ)
+    val base = png(32, 32)((x, _) => if (x < 16) 0x101010 else 0xF0F0F0)
+    val resized = png(64, 64)((x, _) => if (x < 32) 0x101010 else 0xF0F0F0)
+    val inverted = png(32, 32)((x, _) => if (x < 16) 0xF0F0F0 else 0x101010)
+    val ds = Seq(MediaRow(1L, "image", base), MediaRow(2L, "image", resized),
+      MediaRow(3L, "image", inverted), MediaRow(4L, "image", Array[Byte](1, 2)))
+      .toDS()
+    val out = Multimodal.imageHashes(ds).collect().map(h => h.media_id -> h).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // undecodable 4 dropped
+    assert(out(1L).ahash == out(2L).ahash, "resize must not move aHash bits")
+    val ham = java.lang.Long.bitCount(out(1L).ahash ^ out(3L).ahash)
+    assert(ham >= 48, s"inverted image only $ham bits away")
+  }
+
+  test("imageNearDups pairs a lightly-edited copy, not a different image") {
+    val base = png(32, 32)((x, y) => if ((x + y) % 7 < 3) 0x202020 else 0xD0D0D0)
+    // light edit: one corner cell brightened
+    val edited = png(32, 32)((x, y) =>
+      if (x < 4 && y < 4) 0xFFFFFF
+      else if ((x + y) % 7 < 3) 0x202020 else 0xD0D0D0)
+    val other = png(32, 32)((x, y) => if (y < 16) 0x000000 else 0xFFFFFF)
+    val ds = Seq(MediaRow(1L, "image", base), MediaRow(2L, "image", edited),
+      MediaRow(3L, "image", other)).toDS()
+    val pairs = Multimodal.imageNearDups(ds, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"edited copy not paired: $pairs")
+    assert(pairs((1L, 2L)) <= 3L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("real WAV payloads decode through javax.sound: rate, channels, envelope") {
     // mono 8 kHz 16-bit signed PCM, 800 samples: first half silence,
     // second half a loud square wave — the envelope must rise
