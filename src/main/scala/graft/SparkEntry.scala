@@ -1554,6 +1554,13 @@ object SparkEntry {
       Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
+    // §2.58b — CUPED variance reduction: pre-period covariate adjustment
+    // with exact-BIGINT theta fraction (integer-OLS style), adjusted arm
+    // means 4-dp — the experimentation upgrade of q_ab_metrics
+    "q_cuped" -> ((s, dir) =>
+      Analytics.cupedMetrics(Tables.events(s, dir),
+        "user_id", "ts", "value", cutDay = "2024-01-16", arms = 2)),
+
     // §2.59b — Morton (Z-order) tiling: the layout primitive behind
     // Pipeline.writeZOrdered, hash-verified cross-engine — per z-tile row
     // counts and code bounds over the (user mod 64, day-1) grid
@@ -3746,6 +3753,55 @@ object SparkEntry {
         |         WHEN cov THEN tok
         |    END, ' ' ORDER BY pos), '')) AS target_fp
         |FROM r GROUP BY doc_id""".stripMargin,
+
+    // per-user cents split at the cut date, pooled BIGINT moments, the
+    // same double ops for theta and the adjusted means
+    "q_cuped" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS INT) AS variant
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, variant,
+        |    COALESCE(CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+        |      AS BIGINT), 0) AS x,
+        |    COALESCE(CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END)
+        |      AS BIGINT), 0) AS y
+        |  FROM v GROUP BY 1, 2),
+        |pool AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM u),
+        |a AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+        |    CAST(sum(x) AS BIGINT) AS sx_v, CAST(sum(y) AS BIGINT) AS sy_v
+        |  FROM u GROUP BY 1),
+        |w AS (
+        |  SELECT a.*, pool.n, pool.sx, pool.sy,
+        |    pool.n * pool.sxy - pool.sx * pool.sy AS num,
+        |    pool.n * pool.sxx - pool.sx * pool.sx AS den
+        |  FROM a CROSS JOIN pool)
+        |SELECT variant, n_v AS n_users,
+        |  round(CAST(sx_v AS DOUBLE) / CAST(n_v AS DOUBLE), 4) AS x_mean_cents,
+        |  round(CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE), 4) AS y_mean_cents,
+        |  round(CASE WHEN den > 0
+        |    THEN CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE)
+        |      - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(sx_v AS DOUBLE) / CAST(n_v AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    ELSE CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE) END, 4)
+        |    AS adj_mean_cents,
+        |  CAST(num AS BIGINT) AS theta_num, CAST(den AS BIGINT) AS theta_den,
+        |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0
+        |    / CAST(den AS DOUBLE) + 0.5) AS BIGINT) END AS theta_u
+        |FROM w ORDER BY variant""".stripMargin,
 
     "q_ab_metrics" ->
       """WITH v AS (

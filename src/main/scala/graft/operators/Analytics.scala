@@ -386,6 +386,66 @@ object Analytics {
         floor(col("n_converted") * 10000.0 / col("n_users") + 0.5).cast("long"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the experimentation
+    * upgrade of [[abMetrics]]: each user's experiment-period outcome Y is
+    * adjusted by their PRE-period covariate X (`adj = Y − θ(X − X̄)`,
+    * θ = cov(X,Y)/var(X) pooled across arms), which removes the
+    * between-user variance X explains and shrinks confidence intervals
+    * without biasing the treatment difference (θ and X̄ are
+    * assignment-independent). Phrased like dailyTrend's integer OLS: θ's
+    * numerator n·ΣXY − ΣX·ΣY and denominator n·ΣX² − (ΣX)² are EXACT
+    * BIGINT over per-user cents, with one double division only for θ and
+    * the adjusted means (4-dp rounded, operation-identical on any engine);
+    * zero-variance covariates yield NULL θ and fall back to the raw mean.
+    *
+    * Output per arm: user count, raw pre/post mean cents, adjusted mean
+    * cents, plus the exact θ fraction — bounded rows.
+    *
+    * Scale shape: one per-(user, arm) aggregate (map-side combined), a
+    * 1-row pooled-moment broadcast, and an |arms|-row aggregate. The fact
+    * table is scanned once.
+    */
+  def cupedMetrics(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, cutDay: String, arms: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val perUser = events
+      .withColumn("variant", pmod(rollingHash(
+        concat(lit("ab:"), col(userCol).cast("string"))), lit(arms)).cast("int"))
+      .groupBy(col(userCol), col("variant"))
+      .agg(
+        coalesce(sum(when(col(tsCol).cast("date") < to_date(lit(cutDay)),
+          cents)), lit(0L)).as("x"),
+        coalesce(sum(when(col(tsCol).cast("date") >= to_date(lit(cutDay)),
+          cents)), lit(0L)).as("y"))
+      .localCheckpoint()
+    val pool = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val byArm = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"),
+        sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
+    val withPool = byArm.crossJoin(broadcast(pool))
+    val num = withPool("n") * withPool("sxy") - withPool("sx") * withPool("sy")
+    val den = withPool("n") * withPool("sxx") - withPool("sx") * withPool("sx")
+    val theta = num.cast("double") / den.cast("double")
+    val xMeanV = col("sx_v").cast("double") / col("n_v").cast("double")
+    val yMeanV = col("sy_v").cast("double") / col("n_v").cast("double")
+    val xMeanPool = col("sx").cast("double") / col("n").cast("double")
+    withPool
+      .select(col("variant"), col("n_v").as("n_users"),
+        round(xMeanV, 4).as("x_mean_cents"),
+        round(yMeanV, 4).as("y_mean_cents"),
+        round(when(den > 0,
+          yMeanV - theta * (xMeanV - xMeanPool)).otherwise(yMeanV), 4)
+          .as("adj_mean_cents"),
+        num.as("theta_num"), den.as("theta_den"),
+        when(den > 0, floor(num.cast("double") * 1000000.0 /
+          den.cast("double") + 0.5).cast("long")).as("theta_u"))
+      .orderBy(col("variant"))
+  }
+
   /** Daily gap-fill with last-observation-carried-forward: per-key daily
     * sums joined onto a complete day spine (global corpus date bounds x
     * keys that ever observed), missing days flagged and filled with the

@@ -328,6 +328,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("B") === ((1L, 0L, 0L, None)))
   }
 
+  test("cupedMetrics: perfectly-correlated covariate flattens arm means") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // y = 2x per user: theta must be exactly 2 (theta_u = 2_000_000) and
+    // every user's adjusted outcome collapses to 2 * xbar — both arms'
+    // adjusted means become EQUAL even though raw means differ
+    val pre = "2024-01-05 00:00:00"; val post = "2024-01-20 00:00:00"
+    val ev = (1 to 40).flatMap { u =>
+      Seq((u.toLong, ts(pre), u * 1.00), (u.toLong, ts(post), u * 2.00))
+    }.toDF("user_id", "ts", "value")
+    val out = Analytics.cupedMetrics(ev, "user_id", "ts", "value",
+        cutDay = "2024-01-16", arms = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getAs[Long]("theta_u"))).toMap
+    assert(out.size == 2)
+    assert(out.values.forall(_._4 == 2000000L), s"theta $out")
+    val adj = out.values.map(_._3).toSeq
+    assert(math.abs(adj(0) - adj(1)) < 1e-6,
+      s"adjusted means must coincide: $adj")
+    // and the raw post-period means genuinely differed before adjustment
+    val raw = out.values.map(_._2).toSeq
+    assert(math.abs(raw(0) - raw(1)) > 1.0)
+  }
+
+  test("cupedMetrics: zero-variance covariate falls back to the raw mean") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = (1 to 10).flatMap { u =>
+      Seq((u.toLong, ts("2024-01-05 00:00:00"), 1.00), // constant X
+        (u.toLong, ts("2024-01-20 00:00:00"), u * 1.00))
+    }.toDF("user_id", "ts", "value")
+    val out = Analytics.cupedMetrics(ev, "user_id", "ts", "value",
+      cutDay = "2024-01-16", arms = 2).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("theta_u")))
+      assert(r.getDouble(r.fieldIndex("adj_mean_cents")) ==
+        r.getDouble(r.fieldIndex("y_mean_cents")))
+    }
+  }
+
   test("decayScores: power-of-two weights over the last n, exact cents") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
