@@ -805,6 +805,15 @@ object SparkEntry {
     // whole chain — embeddings, buckets, sims — replays exactly in the
     // oracle. Planted verbatim copies of every 20th doc must drop
     // against their originals with best_sim_r = 1.0.
+    // §2.24f8 — c-TF-IDF topic labels over the sign-LSH text clusters
+    // (BERTopic's labeling step on this engine's deterministic blocking):
+    // per cluster the topK terms by tf * ln(1 + n_clusters/df) in integer
+    // micro-nats, stopwords excluded, output bounded 2^nPlanes x topK
+    "q_topic_labels" -> ((s, dir) =>
+      TextAnalysis.topicLabels(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        nPlanes = 4, topK = 5, stopwords = stopwords)),
+
     "q_text_semdedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs.where(col("doc_id") % 20 === 0)
@@ -2936,6 +2945,7 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
 
     "q_text_embed" -> textEmbedOracle,
+    "q_topic_labels" -> topicLabelsOracle,
     "q_text_semdedup" -> textSemDedupOracle,
     "q_text_cross_leak" -> textCrossLeakOracle,
     "q_text_semdedup_staged" -> textSemDedupStagedOracle,
@@ -5080,6 +5090,52 @@ object SparkEntry {
     * drop rule — every dot an explicit left fold in the SAME order as
     * the Spark side's Vectors.dot, so sims agree bit-for-bit.
     */
+  /** q_topic_labels oracle: embedding chain -> inlined 4-plane sign-LSH
+    * buckets -> stopword-filtered (bucket, term) counts -> micro-nat
+    * c-TF-IDF -> row_number top-5 (== the operator's two-phase rank; the
+    * priority order is total).
+    */
+  private def topicLabelsOracle: String = {
+    def dd(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])), " +
+        s"(acc, v) -> acc + v)"
+    val bucketExpr = Similarity.hyperplanes(4, 64).zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dd("embedding", arr)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH ${textEmbedCtes("SELECT doc_id, text FROM documents")},
+       |e AS (
+       |  SELECT doc_id, CAST($bucketExpr AS BIGINT) AS bucket FROM temb),
+       |nb AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS nb FROM e),
+       |nd AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM e GROUP BY 1),
+       |tm AS (
+       |  SELECT doc_id, t.term
+       |  FROM tsrc, unnest(string_split(text, ' ')) AS t(term)
+       |  WHERE t.term <> '' AND t.term NOT IN ($stops)),
+       |bt AS (
+       |  SELECT e.bucket, tm.term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tm JOIN e ON tm.doc_id = e.doc_id GROUP BY 1, 2),
+       |dfb AS (SELECT term, CAST(count(*) AS BIGINT) AS df_buckets
+       |  FROM bt GROUP BY 1),
+       |sc AS (
+       |  SELECT bt.bucket, bt.term, bt.tf, dfb.df_buckets,
+       |    CAST(floor(CAST(bt.tf AS DOUBLE)
+       |      * ln(1.0 + CAST(nb.nb AS DOUBLE) / CAST(dfb.df_buckets AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS score_micro
+       |  FROM bt JOIN dfb ON bt.term = dfb.term CROSS JOIN nb),
+       |rk AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY bucket
+       |    ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rk
+       |  FROM sc)
+       |SELECT r.bucket, nd.n_docs, r.rk, r.term, r.tf, r.df_buckets,
+       |  r.score_micro
+       |FROM rk r JOIN nd ON r.bucket = nd.bucket
+       |WHERE r.rk <= 5 ORDER BY r.bucket, r.rk""".stripMargin
+  }
+
   private def textSemDedupOracle: String = {
     def dd(x: String, y: String): String =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +

@@ -562,6 +562,63 @@ object TextAnalysis {
             .otherwise(r6(v.cast("double") / col("nrm")))).as("embedding"))
   }
 
+  /** Topic labeling by c-TF-IDF (the BERTopic labeling step, re-expressed
+    * over this engine's deterministic clustering): documents cluster by
+    * their sign-LSH bucket over the hashing-trick embeddings (no training,
+    * engine-replayable — the q_text_semdedup blocking reused as topic
+    * assignment), and each cluster is labeled by its `topK` highest
+    * class-TF-IDF terms, score = tf_cluster · ln(1 + n_clusters/df) with
+    * df = the number of CLUSTERS containing the term — terms shared by
+    * every cluster (boilerplate) sink, cluster-specific vocabulary rises.
+    * The score is quantized to integer micro-nats (one ln per (cluster,
+    * term), written operation-identically on both engines), so ranking
+    * ties are impossible to get wrong cross-engine.
+    *
+    * Scale shape: one embedding pass (bucket = nPlanes native dots), one
+    * token explode joined to the slim (doc, bucket) assignment, map-side
+    * combined (bucket, term) counts, a 1-row cluster-count broadcast, and
+    * the skew-safe two-phase rank for top-K per cluster. Output bounded
+    * at 2^nPlanes x topK rows.
+    */
+  def topicLabels(docs: DataFrame, nPlanes: Int, topK: Int,
+      stopwords: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftnative.DoubleVecDot.ddot
+    import org.apache.spark.sql.expressions.Window
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes, 64)
+    val bucketC = planes.zipWithIndex.map { case (p, i) =>
+      when(ddot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val assign = textEmbed(docs, 64)
+      .select(col("doc_id"), bucketC.as("bucket")).localCheckpoint()
+    val nb = assign.agg(countDistinct(col("bucket")).as("nb"))
+    val nDocs = assign.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .where(col("term") =!= "" && !col("term").isin(stopwords: _*))
+      .join(assign, "doc_id")
+      .groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfB = tf.groupBy(col("term")).agg(count(lit(1)).as("df_buckets"))
+    val scored = tf.join(dfB, "term").crossJoin(broadcast(nb))
+      .select(col("bucket"), col("term"), col("tf"), col("df_buckets"),
+        floor(col("tf").cast("double") *
+          log(lit(1.0) + col("nb").cast("double") /
+            col("df_buckets").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("score_micro"))
+    val pri = Seq(col("score_micro").desc, col("term").asc)
+    val local = Window.partitionBy(col("bucket"), col("part")).orderBy(pri: _*)
+    val global = Window.partitionBy(col("bucket")).orderBy(pri: _*)
+    scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local)).where(col("lr") <= topK)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .where(col("rk") <= topK)
+      .join(nDocs, "bucket")
+      .select(col("bucket"), col("n_docs"), col("rk"), col("term"),
+        col("tf"), col("df_buckets"), col("score_micro"))
+      .orderBy(col("bucket"), col("rk"))
+  }
+
   /** The text-only-corpus semantic dedup chain in ONE plan:
     * [[textEmbed]] hashing-trick embeddings -> sign-LSH bucket blocking
     * (deterministic hyperplanes, no training) -> the SemDeDup drop rule

@@ -419,4 +419,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2")._3 === s2.toLong)
     assert(out.size === 2)
   }
+
+  test("topicLabels: cluster-specific vocabulary outranks shared boilerplate") {
+    import spark.implicits._
+    // two content families with disjoint key terms + one term shared by
+    // all docs; identical texts land in the same LSH bucket by
+    // construction (same embedding), so each family forms one cluster
+    val fam1 = (1L to 6L).map(i => (i, "alpha beta shared"))
+    val fam2 = (11L to 16L).map(i => (i, "gamma delta shared"))
+    val docs = (fam1 ++ fam2).toDF("doc_id", "text")
+    val out = TextAnalysis.topicLabels(docs, nPlanes = 4, topK = 3,
+      stopwords = Seq.empty).collect()
+    val byBucket = out.groupBy(_.getLong(0))
+    // each cluster's TOP term must be family vocabulary, never 'shared'
+    // (equal tf, but df spans both clusters: ln(1+2/2) < ln(1+2/1))
+    byBucket.values.foreach { rows =>
+      val top = rows.minBy(_.getAs[Long]("rk"))
+      assert(top.getAs[String]("term") != "shared",
+        s"boilerplate won a cluster: ${rows.toSeq}")
+    }
+    // family terms have df_buckets == 1, shared has df == n_clusters
+    val dfByTerm = out.map(r => r.getAs[String]("term") ->
+      r.getAs[Long]("df_buckets")).toMap
+    assert(dfByTerm("alpha") == 1L && dfByTerm("gamma") == 1L)
+  }
 }
