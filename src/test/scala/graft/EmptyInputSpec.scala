@@ -151,4 +151,40 @@ class EmptyInputSpec extends SparkSpec {
     val div = TextAnalysis.corpusDivergence(tiny).collect()
     assert(div.length == 1 && div.head.getAs[Long]("kl_u") == 0L)
   }
+
+  test("sketch/graph/maintenance family tolerates empty and degenerate inputs") {
+    import graft.operators.{Approx, Graph}
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Approx.hllAudit(emptyEvents, "event_type", "user_id").count() == 0)
+    assert(Approx.hllRollupAudit(emptyEvents, "event_type", "ts",
+      "user_id").count() == 0)
+    assert(Approx.kmvOverlap(emptyEvents, "event_type", "user_id").count() == 0)
+    assert(Approx.sampleQuantileAudit(emptyEvents, "event_type", "value",
+      "event_id").count() == 0)
+    assert(Analytics.decayScores(emptyEvents, "user_id", "ts", "event_id",
+      "value").count() == 0)
+    assert(Analytics.zoneMap(emptyEvents, "event_id", "ts", "user_id",
+      250L, 0L, 1L, 100L).count() == 0)
+    assert(Analytics.cupedMetrics(emptyEvents, "user_id", "ts", "value",
+      "2024-01-16", arms = 2).count() == 0)
+    assert(graft.validation.Profile.profile(emptyEvents).collect()
+      .forall(r => r.getLong(1) == 0L && r.getLong(4) == 0L))
+    val emptyOrders = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val emptyLines = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+    assert(Graph.pageRank(emptyOrders, emptyLines).count() == 0)
+    val emptyPriced = Seq.empty[(Long, String)]
+      .toDF("o_orderkey", "o_orderpriority")
+    val emptyPricedLines = Seq.empty[(Long, Double)]
+      .toDF("l_orderkey", "l_extendedprice")
+    assert(Etl.incrJoinRevenue(emptyPriced, emptyPricedLines).count() == 0)
+    assert(Etl.forgetRetract(emptyEvents, "event_type", "value",
+      org.apache.spark.sql.functions.lit(true)).count() == 0)
+    // single-group KMV: no pairs to overlap
+    val one = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, "click", 1.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Approx.kmvOverlap(one, "event_type", "user_id").count() == 0)
+    assert(TextAnalysis.topicLabels(emptyDocs.select($"doc_id", $"text"),
+      nPlanes = 4, topK = 5, stopwords = Seq.empty).count() == 0)
+  }
 }
