@@ -486,6 +486,34 @@ object Stress {
     time("pagerank") {
       graft.operators.Graph.pageRank(ordersX, lineitemX)
     }
+    // HLL rollup: register state is (groups x days x 512) regardless of
+    // events volume; the two corpus distincts are the only linear terms.
+    time("hll_rollup") {
+      graft.operators.Approx.hllRollupAudit(evs, "event_type", "ts", "user_id")
+    }
+    // CUPED: one per-user aggregate + 1-row pooled broadcast.
+    time("cuped") {
+      graft.operators.Analytics.cupedMetrics(evs, "user_id", "ts", "value",
+        "2024-01-16", arms = 2)
+    }
+    // Profiler: one aggregate pass, |cols|-way distinct expand.
+    time("profile") {
+      graft.validation.Profile.profile(evs)
+    }
+    // Incremental join maintenance: five key joins, all linear.
+    time("incr_join") {
+      graft.operators.Etl.incrJoinRevenue(
+        ordersX.withColumn("o_orderpriority",
+          pmod(col("o_custkey"), lit(5)).cast("string")),
+        lineitemX.withColumnRenamed("l_suppkey", "l_extendedprice"))
+    }
+    // Topic labels on the replicated corpus: replication multiplies tf
+    // uniformly, so labels are invariant — the timing is the signal.
+    time("topic_labels") {
+      graft.operators.TextAnalysis.topicLabels(
+        docs.select(col("doc_id"), col("text")), nPlanes = 4, topK = 5,
+        stopwords = Seq("the", "a", "data", "value"))
+    }
     spark.stop()
   }
 }
