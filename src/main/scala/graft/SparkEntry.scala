@@ -1483,6 +1483,13 @@ object SparkEntry {
           .select(col("event_id"), col("event_type"), col("value")),
         key = "event_type", valueCol = "value", salt = 16)),
 
+    // §2.30b — hot-key SPLIT join (the join-side of §2.30's salting, and
+    // the explicit form of AQE skew handling): hot keys broadcast, cold
+    // keys shuffle, union certified equal to the plain join per tier
+    "q_skew_join" -> ((s, dir) =>
+      Etl.skewSplitJoin(Tables.events(s, dir), "user_id", "value",
+        hotThreshold = 1000L)),
+
     // §2.47 — multidimensional ROLLUP aggregate (detail + per-source
     // subtotal + grand total from ONE Expand + ONE shuffle, not three scans)
     "q_rollup" -> ((s, dir) =>
@@ -3267,6 +3274,34 @@ object SparkEntry {
         row("value", Some("CAST(value AS DOUBLE)")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // hot set, both branches, the union, and the plain join all replayed;
+    // exact cents make the verdict bit-exact
+    "q_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS k,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (SELECT k, CAST(k % 7 AS INT) AS tier
+        |  FROM (SELECT DISTINCT k FROM f)),
+        |hot AS (SELECT k FROM f GROUP BY k HAVING count(*) > 1000),
+        |hp AS (SELECT f.k, f.cents, d.tier
+        |  FROM f JOIN hot ON f.k = hot.k JOIN d ON f.k = d.k),
+        |cp AS (SELECT f.k, f.cents, d.tier
+        |  FROM f LEFT JOIN hot ON f.k = hot.k JOIN d ON f.k = d.k
+        |  WHERE hot.k IS NULL),
+        |u AS (
+        |  SELECT tier, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM (SELECT * FROM hp UNION ALL SELECT * FROM cp) GROUP BY 1),
+        |p AS (
+        |  SELECT d.tier, CAST(count(*) AS BIGINT) AS n_plain,
+        |    CAST(sum(f.cents) AS BIGINT) AS cents_plain
+        |  FROM f JOIN d ON f.k = d.k GROUP BY 1)
+        |SELECT u.tier, u.n_rows, u.sum_cents,
+        |  (u.n_rows = p.n_plain AND u.sum_cents = p.cents_plain)
+        |    AS matches_plain
+        |FROM u JOIN p ON u.tier = p.tier ORDER BY u.tier""".stripMargin,
 
     // retraction replayed in the same decimal type; the verdict column
     // re-derives the equality

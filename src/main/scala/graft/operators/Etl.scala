@@ -288,6 +288,52 @@ object Etl {
         sum(col("_psum")).cast("double").as("sum_value"),
         sum(col("_pcnt")).as("n_rows"))
 
+  /** Hot-key SPLIT join — the join-side answer to [[saltedSumCount]]'s
+    * aggregation salting, phrased as an explicit, auditable plan (what
+    * AQE's skew handling does opaquely, and what a 100 TB job does by
+    * hand when one key would pin a reducer): keys whose fact row count
+    * exceeds `hotThreshold` form the bounded HOT set; hot fact rows join
+    * the (bounded) hot slice of the dimension as a BROADCAST hash join —
+    * the hot rows never shuffle — while the cold majority takes the
+    * ordinary shuffle join. The union is aggregated per dimension
+    * attribute and certified against the plain single-join result with a
+    * `matches_plain` verdict per group (split is a partition of the join
+    * by construction; the engine, not algebra on paper, certifies it).
+    *
+    * The skew key is derived deterministically here (half of all rows
+    * collapse onto key 0 — the hot-key pathology planted on purpose);
+    * exact cents keep the verdict bit-exact. Scale shape: the hot-set
+    * detection is one map-side-combinable count; the hot dim slice and
+    * key set are ≤ |hot keys| rows (broadcast-bounded by construction —
+    * a handful of keys is the definition of skew).
+    */
+  def skewSplitJoin(events: DataFrame, userCol: String, valueCol: String,
+      hotThreshold: Long): DataFrame = {
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val fact = events.select(
+      when(pmod(col(userCol), lit(10)) < 5, lit(0L))
+        .otherwise(col(userCol)).as("k"), cents.as("cents"))
+      .localCheckpoint()
+    val dim = fact.select(col("k")).distinct()
+      .select(col("k"), pmod(col("k"), lit(7)).cast("int").as("tier"))
+      .localCheckpoint()
+    val hotKeys = fact.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .where(col("n") > hotThreshold).select(col("k")).localCheckpoint()
+    val hotDim = broadcast(dim.join(broadcast(hotKeys), "k"))
+    val hotPart = fact.join(broadcast(hotKeys), "k").join(hotDim, "k")
+    val coldPart = fact.join(broadcast(hotKeys), Seq("k"), "left_anti")
+      .join(dim, "k")
+    def agg(df: DataFrame, n: String, s: String) = df.groupBy(col("tier"))
+      .agg(count(lit(1)).as(n), sum(col("cents")).as(s))
+    val split = hotPart.unionByName(coldPart)
+    val plain = agg(fact.join(dim, "k"), "n_plain", "cents_plain")
+    agg(split, "n_rows", "sum_cents").join(plain, "tier")
+      .select(col("tier"), col("n_rows"), col("sum_cents"),
+        (col("n_rows") === col("n_plain") &&
+          col("sum_cents") === col("cents_plain")).as("matches_plain"))
+      .orderBy(col("tier"))
+  }
+
   /** Snapshot delta: compare today's corpus against the prior snapshot by
     * (id, content hash) and emit only what moved — added / deleted /
     * changed. The incremental-crawl primitive: at 100 TB you re-process

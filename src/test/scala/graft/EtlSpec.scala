@@ -137,6 +137,27 @@ class EtlSpec extends SparkSpec {
     assert(rows("extra") == ((null, "string", "added")))
   }
 
+  test("skewSplitJoin: split equals plain join, hot branch broadcasts") {
+    import spark.implicits._
+    // user 3 contributes 2000 rows -> its derived key 0 (3 % 10 < 5) is
+    // hot; users 15, 17 are cold singletons
+    val rows = (1 to 2000).map(i => (3L, 1.00)) ++
+      Seq((15L, 2.00), (17L, 4.00))
+    val ev = rows.toDF("user_id", "value")
+    val out = Etl.skewSplitJoin(ev, "user_id", "value", hotThreshold = 1000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "hot branch must join as broadcast")
+    val got = out.collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // key 0 (tier 0): 2000 rows x 100 cents; key 15 (tier 1): 200 cents;
+    // key 17 (tier 3): 400 cents
+    assert(got(0) === ((2000L, 200000L, true)))
+    assert(got(1) === ((1L, 200L, true)))
+    assert(got(3) === ((1L, 400L, true)))
+    assert(got.values.forall(_._3))
+  }
+
   test("forgetRetract subtracts erased users exactly, incl. all-erased groups") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, pmod, lit}
