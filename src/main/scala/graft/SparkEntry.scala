@@ -1490,6 +1490,13 @@ object SparkEntry {
       Etl.skewSplitJoin(Tables.events(s, dir), "user_id", "value",
         hotThreshold = 1000L)),
 
+    // §2.12c — small-file compaction plan over the (type, day) manifest:
+    // sorted sequential fill into ~targetRows bins, md5 member
+    // fingerprints for resumable rewrites; manifest rows only, never data
+    "q_compaction_plan" -> ((s, dir) =>
+      graft.operators.Packing.compactionPlan(Tables.events(s, dir),
+        "event_type", "ts", targetRows = 5000L)),
+
     // §2.47 — multidimensional ROLLUP aggregate (detail + per-source
     // subtotal + grand total from ONE Expand + ONE shuffle, not three scans)
     "q_rollup" -> ((s, dir) =>
@@ -3274,6 +3281,28 @@ object SparkEntry {
         row("value", Some("CAST(value AS DOUBLE)")))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // the manifest, the ordered prefix sum, the bin arithmetic, and the
+    // member fingerprints replayed
+    "q_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT event_type || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)
+        |      AS file,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |c AS (
+        |  SELECT file, n_rows,
+        |    CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, file ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM m)
+        |SELECT (cum - n_rows) // 5000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(floor(CAST(sum(n_rows) AS BIGINT) * 10000.0 / 5000 + 0.5)
+        |    AS BIGINT) AS fill_bp,
+        |  md5(string_agg(file, ',' ORDER BY file)) AS files_fp
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // hot set, both branches, the union, and the plain join all replayed;
     // exact cents make the verdict bit-exact

@@ -61,4 +61,32 @@ class PackingSpec extends SparkSpec {
     val b = Packing.packGreedy(docs, 256).collect().map(b => b.bin_id -> b.doc_ids).toMap
     assert(a == b)
   }
+
+  test("compactionPlan: conserves rows/files, oversize file isolated, deterministic") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // day 1 type A: 120 rows (oversize vs target 100); small files on
+    // days 2-4 across two types
+    val rows =
+      (1 to 120).map(_ => ("A", ts("2024-01-01 10:00:00"))) ++
+      (1 to 40).map(_ => ("A", ts("2024-01-02 10:00:00"))) ++
+      (1 to 35).map(_ => ("B", ts("2024-01-02 10:00:00"))) ++
+      (1 to 30).map(_ => ("B", ts("2024-01-03 10:00:00")))
+    val ev = rows.toDF("event_type", "ts")
+    val out = Packing.compactionPlan(ev, "event_type", "ts", targetRows = 100L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // conservation
+    assert(out.values.map(_._1).sum == 4L)
+    assert(out.values.map(_._2).sum == 225L)
+    // sorted fill: the 120-row file starts at cum 0 -> bin 0 alone
+    // (next file starts at cum 120 -> bin 1)
+    assert(out(0L) === ((1L, 120L, 12000L)))
+    assert(out(1L) === ((3L, 105L, 10500L)))
+    val again = Packing.compactionPlan(ev, "event_type", "ts", 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val first = Packing.compactionPlan(ev, "event_type", "ts", 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again == first)
+  }
 }
