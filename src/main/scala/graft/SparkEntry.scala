@@ -607,6 +607,19 @@ object SparkEntry {
       Similarity.lshTopK(e.where(col("vec_id") < 8), e, k = 5, nPlanes = 8, dim = 64)
     }),
 
+    // §2.21o — nDCG audit of the IVF search (nprobe=2) vs the brute-force
+    // ideal: position-discounted ranking quality in exact integer
+    // micro-units (the ORDER member of the calibration family; 21l's
+    // recall is membership) — composes with any registered searcher
+    "q_ann_ndcg" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.where(col("vec_id") < 8)
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      Similarity.ndcgAudit(qs, e, k = 10,
+        graft.operators.Ivf.search(qs, e, centroids, nprobe = 2, topK = 10))
+    }),
+
     // §2.21k — sign-LSH calibration twin: measured bucket-collision rate
     // per exact-cosine tier over q_ann_lsh's real buckets + the
     // theoretical (1-acos(c)/pi)^8 rate as a plan literal — the recall
@@ -2296,6 +2309,7 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_ndcg" -> annNdcgOracle,
     "q_lsh_calibration" -> lshCalibrationOracle,
     "q_ann_lsh_mp" -> annLshMpOracle,
     "q_jl_project" -> jlOracle,
@@ -6040,6 +6054,74 @@ object SparkEntry {
   /** q_ann_lsh oracle: the deterministic hyperplane literals are inlined so
     * DuckDB computes the identical sign buckets.
     */
+  /** q_ann_ndcg oracle: brute ideal + the IVF search ranking (the
+    * q_ann_ivf CTE chain at nprobe=2, k=10), driver-inlined integer
+    * discount weights, and the same exact integer DCG/IDCG arithmetic.
+    */
+  private def annNdcgOracle: String = {
+    def dist(e: String, c: String): String = ivfDist(e, c)
+    val wCase = (rk: String) => Similarity.ndcgWeightsMicro(10).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN CAST($w AS BIGINT)" }
+      .mkString(s"CASE $rk ", " ", " ELSE CAST(0 AS BIGINT) END")
+    s"""WITH $ivfTrainCtes,
+       |bq AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 8),
+       |isims AS (
+       |  SELECT bq.query_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(bq.q_emb AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+       |  FROM embeddings c, bq WHERE c.vec_id <> bq.query_id),
+       |ideal AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |    FROM isims) WHERE rank <= 10),
+       |probe AS (
+       |  SELECT query_id, q_emb, cell_id FROM (
+       |    SELECT t.query_id, t.q_emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.query_id
+       |        ORDER BY ${dist("t.q_emb", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM bq t CROSS JOIN c2 c) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT neighbor_id, c_emb, cell_id FROM (
+       |    SELECT t.vec_id AS neighbor_id, t.embedding AS c_emb, c.cell_id,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY ${dist("t.embedding", "c.c")} ASC, c.cell_id ASC) AS rn
+       |    FROM embeddings t CROSS JOIN c2 c) WHERE rn = 1),
+       |asims AS (
+       |  SELECT p.query_id, c.neighbor_id,
+       |    list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])) AS sim
+       |  FROM cand c JOIN probe p USING (cell_id)
+       |  WHERE c.neighbor_id <> p.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id, arank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS arank
+       |    FROM asims) WHERE arank <= 10),
+       |d AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_approx,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+       |      THEN ${wCase("a.arank")} ELSE CAST(0 AS BIGINT) END)
+       |      AS BIGINT) AS dcg_micro
+       |  FROM approx a LEFT JOIN ideal i
+       |    ON a.query_id = i.query_id AND a.neighbor_id = i.neighbor_id
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ideal,
+       |    CAST(sum(${wCase("rank")}) AS BIGINT) AS idcg_micro
+       |  FROM ideal GROUP BY 1)
+       |SELECT g.query_id, g.n_ideal,
+       |  COALESCE(d.n_approx, 0) AS n_approx,
+       |  COALESCE(d.n_hits, 0) AS n_hits,
+       |  COALESCE(d.dcg_micro, 0) AS dcg_micro, g.idcg_micro,
+       |  COALESCE(d.dcg_micro, 0) * 1000000 // g.idcg_micro AS ndcg_micro
+       |FROM g LEFT JOIN d ON g.query_id = d.query_id
+       |ORDER BY g.query_id""".stripMargin
+  }
+
   private def annLshOracle: String = {
     val planes = Similarity.hyperplanes(8, 64)
     val bucketExpr = planes.zipWithIndex.map { case (plane, p) =>

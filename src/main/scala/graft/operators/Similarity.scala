@@ -538,4 +538,60 @@ object Similarity {
           .as("mean_hamming_r"))
       .withColumn("theo_bp", theoCol)
   }
+
+  /** Per-rank nDCG discount weights in integer micro-units:
+    * W_r = round(10⁶ / log2(r+1)) — computed ONCE on the driver so both
+    * engines inline the identical integers and the whole nDCG pipeline
+    * stays in exact BIGINT arithmetic. */
+  def ndcgWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality (nDCG) audit of ANY approximate ANN ranking against
+    * the brute-force ideal — the calibration-family member for ORDER,
+    * where [[graft.operators.Ivf.recallAudit]] audits set membership:
+    * recall treats a hit at rank 1 and rank k the same, nDCG discounts by
+    * position (the metric retrieval evaluations actually quote). Binary
+    * relevance (approx neighbor ∈ ideal top-k), integer micro-unit
+    * discounts ([[ndcgWeightsMicro]]), and the final
+    * ndcg = DCG·10⁶ DIV IDCG is exact integer division — the entire
+    * audit is float-free past the (already rank-certified) similarity
+    * ordering. A query whose probes return nothing scores 0, kept by
+    * the ideal-side panel. `approxRanking` is any (query_id,
+    * neighbor_id, rank ≤ k) frame — IVF, LSH, PQ: the audit composes
+    * with every registered searcher.
+    *
+    * Scale shape: both rankings are the registered operators' own plans;
+    * the audit adds one slim (query, neighbor) join and two bounded
+    * per-query aggregates.
+    */
+  def ndcgAudit(queries: DataFrame, candidates: DataFrame, k: Int,
+      approxRanking: DataFrame): DataFrame = {
+    val wArr = typedLit(ndcgWeightsMicro(k).toArray)
+    val ideal = bruteForceTopK(queries, candidates, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .localCheckpoint()
+    val approx = approxRanking
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+    val dcg = approx
+      .join(ideal.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("rel")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_approx"),
+        sum(coalesce(col("rel"), lit(0L))).as("n_hits"),
+        sum(when(col("rel").isNotNull,
+          element_at(wArr, col("arank").cast("int"))).otherwise(0L))
+          .as("dcg_micro"))
+    ideal.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ideal"),
+        sum(element_at(wArr, col("rank").cast("int"))).as("idcg_micro"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ideal"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        expr("coalesce(dcg_micro, CAST(0 AS BIGINT)) * 1000000 DIV idcg_micro")
+          .as("ndcg_micro"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -270,4 +270,48 @@ class SimilaritySpec extends SparkSpec {
     val r = df.select(fdot(col("a"), col("b")).as("d")).collect().head
     assert(r.isNullAt(0))
   }
+
+  test("ndcgAudit: perfect ranking scores exactly 10^6") {
+    import spark.implicits._
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.where($"vec_id" < 2)
+    val ideal = Similarity.bruteForceTopK(qs, vecs, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+    // the ideal ranking fed back as the approx side: nDCG must be exactly 1
+    val perfect = Similarity.ndcgAudit(qs, vecs, 5, ideal).collect()
+    assert(perfect.length == 2)
+    assert(perfect.forall(_.getAs[Long]("ndcg_micro") == 1000000L))
+    assert(perfect.forall(_.getAs[Long]("n_hits") == 5L))
+  }
+
+  test("ndcgAudit: an irrelevant result at rank 1 costs more than at rank 5") {
+    import spark.implicits._
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.where($"vec_id" < 1)
+    val idealRows = Similarity.bruteForceTopK(qs, vecs, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3)
+    val qid = idealRows.head._1
+    val idealIds = idealRows.map(_._2)
+    val junk = (0L until 12L).find(id => id != qid && !idealIds.contains(id)).get
+    def ranking(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (n, i) => (qid, n, (i + 1).toLong) }
+        .toDF("query_id", "neighbor_id", "rank")
+    // junk first, then the ideal top-4  vs  ideal top-4 first, junk last
+    val missTop = Similarity.ndcgAudit(qs, vecs, 5,
+      ranking(junk +: idealIds.take(4))).collect().head
+    val missBottom = Similarity.ndcgAudit(qs, vecs, 5,
+      ranking(idealIds.take(4) :+ junk)).collect().head
+    assert(missTop.getAs[Long]("n_hits") == 4L)
+    assert(missBottom.getAs[Long]("n_hits") == 4L)
+    assert(missTop.getAs[Long]("ndcg_micro") <
+      missBottom.getAs[Long]("ndcg_micro"),
+      s"position discount missing: $missTop vs $missBottom")
+    assert(missBottom.getAs[Long]("ndcg_micro") < 1000000L)
+  }
 }
