@@ -883,6 +883,15 @@ object SparkEntry {
       TextAnalysis.bm25TopK(Tables.documents(s, dir), bm25Queries, k = 10,
         k1 = 1.2, b = 0.75)),
 
+    // §2.24f9 — HYBRID retrieval: BM25 keyword ranking + semantic cosine
+    // ranking (queries embedded by the same hashing trick as docs) fused
+    // by reciprocal-rank fusion in exact integer micro-units — the RAG
+    // search shape; lexical-only, semantic-only, and both-channel hits
+    // all surface
+    "q_hybrid_search" -> ((s, dir) =>
+      TextAnalysis.hybridSearch(Tables.documents(s, dir), bm25Queries,
+        k = 10, k1 = 1.2, b = 0.75)),
+
     // §2.24f8 — PMI collocations: the adjacent pairs co-occurring far
     // above chance (multi-word expressions / boilerplate markers /
     // tokenizer merge candidates); two map-combined aggregates + a
@@ -2992,6 +3001,7 @@ object SparkEntry {
     // contributions summed as exact longs, Lucene idf — with the same
     // literal constants, so scores and ranks are bit-identical
     "q_bm25" -> bm25Oracle,
+    "q_hybrid_search" -> hybridSearchOracle,
 
     "q_pmi_pairs" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
@@ -4669,6 +4679,94 @@ object SparkEntry {
        |SELECT query_id, rank, doc_id, n_terms,
        |  CAST(score_u AS DOUBLE) / 1000000.0 AS bm25
        |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** q_hybrid_search oracle: the bm25 CTE chain (ranked keyword side),
+    * both textEmbed chains (docs p=t, query VALUES p=q), the exact-cosine
+    * semantic ranking, and the RRF fusion with the driver-inlined integer
+    * weights — every stage of both channels replayed.
+    */
+  private def hybridSearchOracle: String = {
+    def dd(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])), " +
+        s"(acc, v) -> acc + v)"
+    val vals = bm25Queries.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val k1 = "1.2"; val b = "0.75"
+    val wCase = (rk: String) => TextAnalysis.rrfWeightsMicro(10, 60).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN CAST($w AS BIGINT)" }
+      .mkString(s"CASE $rk ", " ", " ELSE CAST(0 AS BIGINT) END")
+    s"""WITH q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (
+       |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, t.term
+       |  FROM q, unnest(string_split(qtext, ' ')) AS t(term)),
+       |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM d),
+       |td AS (
+       |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(max(len(toks)) AS BIGINT) AS dl
+       |  FROM d, unnest(toks) AS t(term)
+       |  WHERE t.term IN (SELECT term FROM qt)
+       |  GROUP BY doc_id, t.term),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term),
+       |sc AS (
+       |  SELECT td.doc_id, td.term,
+       |    ln((CAST(s.n_docs AS DOUBLE) - df + 0.5)
+       |      / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS idf,
+       |    CAST(tf AS DOUBLE) * ($k1 + 1.0) /
+       |      (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE)
+       |        / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS tfn
+       |  FROM td JOIN dfreq USING (term) CROSS JOIN stats s),
+       |cu AS (
+       |  SELECT doc_id, term,
+       |    CAST(floor(idf * tfn * 1000000.0 + 0.5) AS BIGINT) AS contrib_u
+       |  FROM sc),
+       |pq AS (
+       |  SELECT qt.query_id, cu.doc_id, sum(contrib_u) AS score_u
+       |  FROM cu JOIN qt ON cu.term = qt.term
+       |  GROUP BY qt.query_id, cu.doc_id),
+       |kw AS (
+       |  SELECT query_id, doc_id, kw_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_u DESC, doc_id ASC) AS BIGINT) AS kw_rank
+       |    FROM pq) WHERE kw_rank <= 10),
+       |${textEmbedCtes("SELECT doc_id, text FROM documents")},
+       |${textEmbedCtes(
+        "SELECT CAST(query_id AS BIGINT) AS doc_id, qtext AS text FROM q",
+        "q")},
+       |de AS (
+       |  SELECT doc_id, embedding, sqrt(${dd("embedding", "embedding")}) AS nrm
+       |  FROM temb
+       |  WHERE sqrt(${dd("embedding", "embedding")}) > 0),
+       |qe AS (
+       |  SELECT doc_id AS query_id, embedding AS q_emb,
+       |    sqrt(${dd("embedding", "embedding")}) AS q_nrm
+       |  FROM qemb
+       |  WHERE sqrt(${dd("embedding", "embedding")}) > 0),
+       |sem AS (
+       |  SELECT query_id, doc_id, sem_rank FROM (
+       |    SELECT qe.query_id, de.doc_id,
+       |      CAST(row_number() OVER (PARTITION BY qe.query_id
+       |        ORDER BY ${dd("de.embedding", "qe.q_emb")} / (de.nrm * qe.q_nrm)
+       |          DESC, de.doc_id ASC) AS BIGINT) AS sem_rank
+       |    FROM de CROSS JOIN qe) WHERE sem_rank <= 10),
+       |fused AS (
+       |  SELECT COALESCE(kw.query_id, sem.query_id) AS query_id,
+       |    COALESCE(kw.doc_id, sem.doc_id) AS doc_id,
+       |    kw.kw_rank, sem.sem_rank,
+       |    ${wCase("kw.kw_rank")} + ${wCase("sem.sem_rank")} AS rrf_u
+       |  FROM kw FULL OUTER JOIN sem
+       |    ON kw.query_id = sem.query_id AND kw.doc_id = sem.doc_id)
+       |SELECT query_id, rank, doc_id, kw_rank, sem_rank, rrf_u FROM (
+       |  SELECT query_id, doc_id, kw_rank, sem_rank, rrf_u,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_u DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM fused) WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   private val lmScoreCtes: String =

@@ -869,6 +869,83 @@ object TextAnalysis {
         (col("score_u").cast("double") / 1000000.0).as("bm25"))
   }
 
+  /** Reciprocal-rank-fusion weights in integer micro-units:
+    * w_r = round(10⁶ / (rrfK + r)) — driver-computed so both engines
+    * inline identical integers (the ndcgWeightsMicro discipline). */
+  def rrfWeightsMicro(k: Int, rrfK: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (rrfK + r).toDouble))
+
+  /** HYBRID retrieval — the RAG-era search shape: a keyword ranking
+    * ([[bm25TopK]]) and a semantic ranking (cosine over the
+    * [[textEmbed]] hashing-trick embeddings, query strings embedded by
+    * the SAME function as documents) fused by reciprocal-rank fusion,
+    * rrf(d) = Σ_rankings 10⁶/(60 + rank_d) in exact integers — the
+    * standard fusion (Cormack et al. 2009) that needs no score
+    * calibration between BM25's unbounded scores and cosine's [−1, 1].
+    * Lexical-only hits, semantic-only hits, and both-channel hits all
+    * surface; a doc ranked by neither contributes nothing.
+    *
+    * Scale shape: the BM25 side touches only query-term postings; the
+    * semantic side here is the exact cosine against the tiny broadcast
+    * query panel (one fdot per doc per query at scan speed) — at corpus
+    * scale the registered ANN searchers take that side, and the fusion
+    * join itself only ever sees ≤ 2k rows per query. Top-k via the
+    * skew-safe two-phase rank.
+    */
+  def hybridSearch(docs: DataFrame, queries: Seq[(Long, String)], k: Int,
+      k1: Double, b: Double, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.graftnative.DoubleVecDot.ddot
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wArr = typedLit(rrfWeightsMicro(k, rrfK).toArray)
+    val kw = bm25TopK(docs, queries, k, k1, b)
+      .select(col("query_id"), col("doc_id"), col("rank").as("kw_rank"))
+    val qEmb = textEmbed(
+        queries.toDF("doc_id", "text"), 64)
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(ddot(col("embedding"), col("embedding"))).as("q_nrm"))
+      .where(col("q_nrm") > 0.0)
+    // materialize the embeddings once (the textSemDedup lesson): the sim
+    // below references `embedding` per query row and CollapseProject
+    // would otherwise recompute the O(dim x tokens) expression each time
+    val dEmb = textEmbed(docs, 64)
+      .select(col("doc_id"), col("embedding")).localCheckpoint()
+      .select(col("doc_id"), col("embedding"),
+        sqrt(ddot(col("embedding"), col("embedding"))).as("d_nrm"))
+      .where(col("d_nrm") > 0.0)
+    val pri = Seq(col("sim").desc, col("doc_id").asc)
+    val localS = Window.partitionBy(col("query_id"), col("part")).orderBy(pri: _*)
+    val globalS = Window.partitionBy(col("query_id")).orderBy(pri: _*)
+    val sem = dEmb.crossJoin(broadcast(qEmb))
+      .withColumn("sim", ddot(col("embedding"), col("q_emb")) /
+        (col("d_nrm") * col("q_nrm")))
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(localS)).where(col("lr") <= k)
+      .withColumn("sem_rank", row_number().over(globalS).cast("long"))
+      .where(col("sem_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("sem_rank"))
+    // element_at with a NULL ordinal must not contribute: gate on the
+    // rank's presence explicitly rather than trusting NULL propagation
+    def w(rank: Column): Column =
+      when(rank.isNotNull, element_at(wArr, rank.cast("int")))
+        .otherwise(lit(0L))
+    val fused = kw.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("kw_rank"), col("sem_rank"),
+        (w(col("kw_rank")) + w(col("sem_rank"))).as("rrf_u"))
+    val priF = Seq(col("rrf_u").desc, col("doc_id").asc)
+    val localF = Window.partitionBy(col("query_id"), col("part")).orderBy(priF: _*)
+    val globalF = Window.partitionBy(col("query_id")).orderBy(priF: _*)
+    fused
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(localF)).where(col("lr") <= k)
+      .withColumn("rank", row_number().over(globalF).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("kw_rank"),
+        col("sem_rank"), col("rrf_u"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ----------------------------------------------------- PMI collocations
 
   /** Pointwise-mutual-information collocation mining (Church & Hanks

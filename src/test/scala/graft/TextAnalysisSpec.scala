@@ -420,6 +420,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("hybridSearch: both channels surface, RRF weights are exact integers") {
+    import spark.implicits._
+    // doc 1: strong keyword match for "alpha beta"; doc 2: same VOCABULARY
+    // as the query embedding but diluted keywords; doc 3: unrelated
+    val docs = Seq(
+      (1L, "alpha beta alpha beta filler filler filler filler"),
+      (2L, "alpha beta gamma"),
+      (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hybridSearch(docs, Seq(7L -> "alpha beta"),
+      k = 3, k1 = 1.2, b = 0.75).collect()
+    val byDoc = out.map(r => r.getLong(2) ->
+      (r.getLong(1), Option(r.get(3)), Option(r.get(4)),
+        r.getAs[Long]("rrf_u"))).toMap
+    // docs 1 and 2 hit BOTH channels; doc 3 can only arrive via the
+    // semantic top-k (it shares no query term)
+    assert(byDoc(1L)._2.isDefined && byDoc(1L)._3.isDefined)
+    assert(byDoc(2L)._2.isDefined && byDoc(2L)._3.isDefined)
+    assert(byDoc.get(3L).forall(_._2.isEmpty), "doc 3 must have no kw rank")
+    // every rrf value must be a sum of the exact weight table entries
+    val wts = TextAnalysis.rrfWeightsMicro(3, 60).toSet + 0L
+    val sums = for (a <- wts; b <- wts) yield a + b
+    assert(out.forall(r => sums.contains(r.getAs[Long]("rrf_u"))))
+    // dual-channel docs outrank the semantic-only tail
+    val top = out.filter(_.getLong(1) == 1L).head.getLong(2)
+    assert(top == 1L || top == 2L)
+  }
+
   test("topicLabels: cluster-specific vocabulary outranks shared boilerplate") {
     import spark.implicits._
     // two content families with disjoint key terms + one term shared by
