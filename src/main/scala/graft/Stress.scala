@@ -514,6 +514,27 @@ object Stress {
         docs.select(col("doc_id"), col("text")), nPlanes = 4, topK = 5,
         stopwords = Seq("the", "a", "data", "value"))
     }
+    // Hybrid retrieval: BM25 postings + one embedding pass + a
+    // broadcast-panel cosine — both channels corpus-linear, fusion
+    // bounded at 2k rows per query.
+    time("hybrid_search") {
+      graft.operators.TextAnalysis.hybridSearch(
+        docs.select(col("doc_id"), col("text")),
+        Seq(1L -> "spark window agg", 2L -> "customer join query",
+          3L -> "vector scan filter", 4L -> "stream batch merge"),
+        k = 10, k1 = 1.2, b = 0.75)
+    }
+    // Skew-split join: the planted hot key's row count grows linearly
+    // with factor — the hot branch must stay broadcast-bounded.
+    time("skew_join") {
+      graft.operators.Etl.skewSplitJoin(evs, "user_id", "value",
+        hotThreshold = 1000L)
+    }
+    // Compaction planning stays manifest-sized however big the rows get.
+    time("compaction_plan") {
+      graft.operators.Packing.compactionPlan(evs, "event_type", "ts",
+        targetRows = 5000L)
+    }
     spark.stop()
   }
 }
