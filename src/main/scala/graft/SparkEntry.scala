@@ -1599,6 +1599,12 @@ object SparkEntry {
       Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
+    // §2.65f — CUSUM change-point per event type: the day the n-scaled
+    // cumulative deviation peaks (exact BIGINT — WHEN the volume shifted,
+    // where q_trend answers whether it drifts), with before/after means
+    "q_changepoint" -> ((s, dir) =>
+      Analytics.changePoints(Tables.events(s, dir), "event_type", "ts")),
+
     // §2.58b — CUPED variance reduction: pre-period covariate adjustment
     // with exact-BIGINT theta fraction (integer-OLS style), adjusted arm
     // means 4-dp — the experimentation upgrade of q_ab_metrics
@@ -3851,6 +3857,45 @@ object SparkEntry {
         |         WHEN cov THEN tok
         |    END, ' ' ORDER BY pos), '')) AS target_fp
         |FROM r GROUP BY doc_id""".stripMargin,
+
+    // daily series, n-scaled integer CUSUM, argmax by the same total
+    // priority, and the two segment means replayed
+    "q_changepoint" ->
+      """WITH dly AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(y) AS BIGINT) AS s
+        |  FROM dly GROUP BY 1),
+        |c AS (
+        |  SELECT dly.t, dly.day, dly.y, tot.n_days,
+        |    CAST(sum(tot.n_days * dly.y - tot.s) OVER (PARTITION BY dly.t
+        |      ORDER BY dly.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum,
+        |    row_number() OVER (PARTITION BY dly.t ORDER BY dly.day) AS rn
+        |  FROM dly JOIN tot ON dly.t = tot.t),
+        |pk AS (
+        |  SELECT t, day AS change_day, cusum AS peak_dev_n FROM (
+        |    SELECT t, day, cusum,
+        |      row_number() OVER (PARTITION BY t
+        |        ORDER BY abs(cusum) DESC, day ASC) AS pr
+        |    FROM c WHERE rn < n_days) WHERE pr = 1)
+        |SELECT dly.t AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  max(pk.change_day) AS change_day,
+        |  CAST(max(pk.peak_dev_n) AS BIGINT) AS peak_dev_n,
+        |  round(CAST(sum(CASE WHEN dly.day <= pk.change_day THEN dly.y END)
+        |      AS DOUBLE)
+        |    / sum(CASE WHEN dly.day <= pk.change_day THEN 1 END), 4)
+        |    AS mean_before,
+        |  round(CAST(sum(CASE WHEN dly.day > pk.change_day THEN dly.y END)
+        |      AS DOUBLE)
+        |    / sum(CASE WHEN dly.day > pk.change_day THEN 1 END), 4)
+        |    AS mean_after
+        |FROM dly LEFT JOIN pk ON dly.t = pk.t
+        |GROUP BY dly.t ORDER BY dly.t""".stripMargin,
 
     // per-user cents split at the cut date, pooled BIGINT moments, the
     // same double ops for theta and the adjusted means

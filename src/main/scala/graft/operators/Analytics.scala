@@ -386,6 +386,66 @@ object Analytics {
         floor(col("n_converted") * 10000.0 / col("n_users") + 0.5).cast("long"))
   }
 
+  /** Single change-point detection by exact-integer CUSUM over the daily
+    * volume series — [[dailyTrend]] answers "is it drifting", this
+    * answers "WHEN did it shift" (deploy regressions, data-source cutoffs,
+    * logging changes): for each group the day t maximizing
+    * |Σ_{i≤t} (n·x_i − S)| — the n-scaled cumulative deviation from the
+    * mean, which never leaves BIGINT (the dailyTrend discipline: scale by
+    * n instead of dividing by it), so the argmax day is hash-exact on any
+    * engine. Emits the peak day, the peak deviation in n-scaled units,
+    * and the means of the two segments it splits (4-dp doubles) — the
+    * before/after evidence. Ties break toward the earliest day.
+    *
+    * Scale shape: the corpus collapses to the bounded (group, day) daily
+    * series first; the CUSUM runs per group (a partitioned window over
+    * ≤ days rows) and the two segment means are one more bounded
+    * aggregate. Output is one row per group; single-day groups emit NULL
+    * segments (no split exists).
+    */
+  def changePoints(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint()
+    val tot = daily.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"))
+    val w = Window.partitionBy(col("t")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.join(broadcast(tot), "t")
+      .withColumn("dev", col("n_days") * col("y") - col("s"))
+      .withColumn("cusum", sum(col("dev")).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("day"))))
+    // the peak |cusum| day, ties toward the earliest — max_by over the
+    // unique (|cusum|, -epoch_day) priority, one hash aggregate
+    val peak = cusum
+      .where(col("rn") < col("n_days")) // a split needs a non-empty tail
+      .groupBy(col("t"))
+      .agg(max(struct(abs(col("cusum")).as("a"),
+        (-col("day").cast("timestamp").cast("long")).as("negd"),
+        col("day").as("day"), col("cusum").as("c"), col("rn").as("rn")))
+        .as("p"))
+      .select(col("t"), col("p.day").as("change_day"),
+        col("p.c").as("peak_dev_n"), col("p.rn").as("n_days_before"))
+    daily.join(peak, Seq("t"), "left")
+      .groupBy(col("t").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("change_day")).as("change_day"),
+        max(col("peak_dev_n")).as("peak_dev_n"),
+        round(sum(when(col("day") <= col("change_day"), col("y")))
+          .cast("double") /
+          sum(when(col("day") <= col("change_day"), 1L)), 4)
+          .as("mean_before"),
+        round(sum(when(col("day") > col("change_day"), col("y")))
+          .cast("double") /
+          sum(when(col("day") > col("change_day"), 1L)), 4)
+          .as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM'13) — the experimentation
     * upgrade of [[abMetrics]]: each user's experiment-period outcome Y is
     * adjusted by their PRE-period covariate X (`adj = Y − θ(X − X̄)`,

@@ -328,6 +328,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("B") === ((1L, 0L, 0L, None)))
   }
 
+  test("changePoints finds a planted level shift at the exact day") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // type A: 2/day for days 01..05, then 10/day for 06..10 — the CUSUM
+    // peak must land on Jan 5 (the last day of the low regime)
+    val ev = (1 to 5).flatMap(d => Seq.fill(2)(("A", ts(f"2024-01-0$d%d 10:00:00")))) ++
+      (6 to 10).flatMap(d => Seq.fill(10)(("A", ts(f"2024-01-${d}%02d 10:00:00")))) ++
+      Seq(("B", ts("2024-01-01 00:00:00"))) // single day: no split
+    val out = Analytics.changePoints(ev.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getDate(2)).map(_.toString),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(out("A")._1 == 10L)
+    assert(out("A")._2.contains("2024-01-05"))
+    assert(out("A")._4.contains(2.0) && out("A")._5.contains(10.0))
+    assert(out("B") === ((1L, None, None, None, None)))
+  }
+
   test("cupedMetrics: perfectly-correlated covariate flattens arm means") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
