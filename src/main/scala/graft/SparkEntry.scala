@@ -1599,6 +1599,12 @@ object SparkEntry {
       Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
+    // §2.22b — language-ID confusion matrix: per (true, predicted) cell
+    // counts + row share in bp + diagonal flag — the classifier's error
+    // STRUCTURE, not just its accuracy
+    "q_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(Tables.documents(s, dir), langMarkers)),
+
     // §2.65f — CUSUM change-point per event type: the day the n-scaled
     // cumulative deviation peaks (exact BIGINT — WHEN the volume shifted,
     // where q_trend answers whether it drifts), with before/after means
@@ -3857,6 +3863,34 @@ object SparkEntry {
         |         WHEN cov THEN tok
         |    END, ' ' ORDER BY pos), '')) AS target_fp
         |FROM r GROUP BY doc_id""".stripMargin,
+
+    // the same marker scoring as q_lang_id's oracle, aggregated to cells
+    "q_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('table','row'))) AS BIGINT) AS score_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('data','value'))) AS BIGINT) AS score_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('join','group'))) AS BIGINT) AS score_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('spark','stream'))) AS BIGINT) AS score_zh
+        |  FROM t),
+        |g AS (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS mx FROM s),
+        |p AS (SELECT lang AS true_lang,
+        |  CASE WHEN score_en = mx THEN 'en' WHEN score_fr = mx THEN 'fr'
+        |       WHEN score_es = mx THEN 'es' WHEN score_de = mx THEN 'de'
+        |       WHEN score_zh = mx THEN 'zh' ELSE 'und' END AS predicted_lang
+        |  FROM g),
+        |cells AS (
+        |  SELECT true_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM p GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT true_lang, CAST(sum(n_docs) AS BIGINT) AS n_true
+        |  FROM cells GROUP BY 1)
+        |SELECT c.true_lang, c.predicted_lang, c.n_docs,
+        |  CAST(floor(c.n_docs * 10000.0 / t2.n_true + 0.5) AS BIGINT) AS row_bp,
+        |  c.true_lang = c.predicted_lang AS correct
+        |FROM cells c JOIN tot t2 ON c.true_lang = t2.true_lang
+        |ORDER BY c.true_lang, c.predicted_lang""".stripMargin,
 
     // daily series, n-scaled integer CUSUM, argmax by the same total
     // priority, and the two segment means replayed

@@ -99,6 +99,29 @@ object TextAnalysis {
         Seq(col("predicted_lang"), col("lang"), col("is_match")): _*)
   }
 
+  /** Language-ID CONFUSION matrix — the classifier-calibration member for
+    * [[languageId]] (the audit family's pattern: never ship a classifier
+    * without its measured error structure): per (true label, predicted)
+    * cell the doc count and its share of the true label's row in basis
+    * points, plus the diagonal flag — which languages the marker heuristic
+    * confuses with which, not just how often it is right. One slim
+    * aggregate over the per-doc verdicts; output bounded at |langs|².
+    */
+  def langIdConfusion(docs: DataFrame,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    val cells = languageId(docs, markers)
+      .groupBy(col("lang").as("true_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("true_lang"))
+      .agg(sum(col("n_docs")).as("n_true"))
+    cells.join(broadcast(totals), "true_lang")
+      .select(col("true_lang"), col("predicted_lang"), col("n_docs"),
+        floor(col("n_docs") * 10000.0 / col("n_true") + 0.5).cast("long")
+          .as("row_bp"),
+        (col("true_lang") === col("predicted_lang")).as("correct"))
+      .orderBy(col("true_lang"), col("predicted_lang"))
+  }
+
   /** Token n-gram shingles as space-joined strings, hashed with md5 —
     * md5 is available verbatim in the oracle engine, keeping the
     * fingerprint portable.

@@ -420,6 +420,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("langIdConfusion: diagonal cells flagged, rows sum to their totals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a the", "en"), (2L, "the a", "en"),   // correctly en
+      (3L, "table row", "en"),                        // en mislabeled fr
+      (4L, "table row row", "fr"))                    // correctly fr
+      .toDF("doc_id", "text", "lang")
+    val markers = Seq("en" -> Seq("the", "a"), "fr" -> Seq("table", "row"))
+    val out = TextAnalysis.langIdConfusion(docs, markers)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("en", "en")) === ((2L, 6667L, true)))
+    assert(out(("en", "fr")) === ((1L, 3333L, false)))
+    assert(out(("fr", "fr")) === ((1L, 10000L, true)))
+    assert(out.keySet.size == 3)
+  }
+
   test("hybridSearch: both channels surface, RRF weights are exact integers") {
     import spark.implicits._
     // doc 1: strong keyword match for "alpha beta"; doc 2: same VOCABULARY
