@@ -1599,6 +1599,14 @@ object SparkEntry {
       Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
+    // §2.67b — BFS layer expansion from the nation-1 customer seed set
+    // over the trade graph: per-hop frontier sizes split by side +
+    // the unreached remainder — the traversal member of the graph family
+    "q_bfs_layers" -> ((s, dir) =>
+      graft.operators.Graph.bfsLayers(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.customer(s, dir),
+        seedNationKey = 1, maxHops = 4)),
+
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
     // counts + row share in bp + diagonal flag — the classifier's error
     // STRUCTURE, not just its accuracy
@@ -3621,6 +3629,48 @@ object SparkEntry {
         |    AS prunable_ts,
         |  (min(user_id) >= 100) AS prunable_user
         |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+
+    // 4 unrolled frontier rounds: neighbors EXCEPT visited, visited UNION
+    // frontier — pure set algebra, bit-equal by construction
+    "q_bfs_layers" -> {
+      def hop(i: Int) =
+        s"""l$i AS (
+           |  SELECT DISTINCT ed.dst AS node
+           |  FROM ed JOIN l${i - 1} ON ed.src = l${i - 1}.node
+           |  EXCEPT SELECT node FROM v${i - 1}),
+           |v$i AS (SELECT node FROM v${i - 1}
+           |  UNION SELECT node FROM l$i)""".stripMargin
+      def row(src: String, layer: Int) =
+        s"""SELECT CAST($layer AS BIGINT) AS layer,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  COALESCE(CAST(sum(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_customers,
+           |  COALESCE(CAST(sum(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_suppliers
+           |FROM $src""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |ed AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |nd AS (SELECT DISTINCT src AS node FROM ed),
+         |l0 AS (
+         |  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+         |  FROM customer WHERE c_nationkey = 1
+         |  INTERSECT SELECT node FROM nd),
+         |v0 AS (SELECT node FROM l0),
+         |${(1 to 4).map(hop).mkString(",\n")},
+         |unr AS (SELECT node FROM nd EXCEPT SELECT node FROM v4)
+         |${row("l0", 0)}
+         |UNION ALL ${row("l1", 1)}
+         |UNION ALL ${row("l2", 2)}
+         |UNION ALL ${row("l3", 3)}
+         |UNION ALL ${row("l4", 4)}
+         |UNION ALL ${row("unr", -1)}
+         |ORDER BY layer""".stripMargin
+    },
 
     // 6 unrolled BSP rounds: each r_i is one join + grouped integer
     // floor-division sum — the exact arithmetic makes the replay bit-equal

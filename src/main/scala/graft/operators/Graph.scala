@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge lists — the link-analysis
@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   * the BSP join loop Spark executes natively.
   */
 object Graph {
+
+  /** The undirected customer–supplier edge list (both directions), the
+    * shared substrate of [[pageRank]] and [[bfsLayers]]. */
+  private def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val raw = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    raw.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
+  }
 
   /** Exact-integer PageRank over the customer–supplier trade graph
     * (edges = distinct (o_custkey, l_suppkey) pairs via orders ⋈ lineitem,
@@ -42,15 +55,7 @@ object Graph {
     */
   def pageRank(orders: DataFrame, lineitem: DataFrame, iters: Int = 6,
       topK: Int = 20): DataFrame = {
-    val raw = orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"))
-      .distinct()
-    val edges0 = raw.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    val edges0 = tradeEdges(orders, lineitem).localCheckpoint()
     val deg = edges0.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     // dst-side degree rides each edge so a round's aggregate rebuilds the
@@ -76,5 +81,67 @@ object Graph {
         col("deg").as("degree"))
       .orderBy(col("rank_micro").desc, col("node_id").asc)
       .limit(topK)
+  }
+
+  /** BFS layer expansion from a seed set — the TRAVERSAL member of the
+    * graph family (components answer "which", PageRank answers "who
+    * matters", this answers "how far"): layer 0 is the seed customers
+    * (a nation's), layer i+1 the unvisited neighbors of layer i, run for
+    * `maxHops` BSP rounds. Emits one bounded row per layer — node count
+    * split by side (on the bipartite trade graph the layers alternate
+    * customer/supplier, which the split makes visible) — plus a final
+    * `unreached` row for nodes outside the horizon: the
+    * market-connectivity profile ("how many hops from the gold segment
+    * to the rest of the marketplace").
+    *
+    * Scale shape: each round is one join of the edge list against the
+    * BROADCAST frontier + one distinct, minus-ed against the visited set
+    * by a broadcast anti-join (frontier and visited are node-bounded);
+    * the edge list materializes once. Set semantics throughout — no
+    * ordering, no float, hash-exact anywhere.
+    */
+  def bfsLayers(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+      seedNationKey: Int, maxHops: Int = 4): DataFrame = {
+    val edges = tradeEdges(orders, lineitem).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val seeds = customer.where(col("c_nationkey") === seedNationKey)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
+      .join(nodes, "node").localCheckpoint()
+    def layerRow(df: DataFrame, label: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(when(col("node").startsWith("c:"), 1L).otherwise(0L)),
+          lit(0L)).as("n_customers"),
+        coalesce(sum(when(col("node").startsWith("s:"), 1L).otherwise(0L)),
+          lit(0L)).as("n_suppliers"))
+        .select(label.as("layer"), col("n_nodes"), col("n_customers"),
+          col("n_suppliers"))
+    val spark = orders.sparkSession
+    def zeroRow(hop: Int): DataFrame =
+      spark.range(1).select(lit(hop.toLong).as("layer"),
+        lit(0L).as("n_nodes"), lit(0L).as("n_customers"),
+        lit(0L).as("n_suppliers"))
+    var frontier = seeds
+    var visited = seeds
+    var out = layerRow(frontier, lit(0L))
+    // convergence certificate, CC-style: once a frontier comes back empty
+    // every later layer is empty by definition — emit literal zero rows
+    // instead of paying join rounds past the graph's diameter
+    var exhausted = frontier.limit(1).count() == 0
+    for (hop <- 1 to maxHops) {
+      if (!exhausted) {
+        frontier = edges
+          .join(broadcast(frontier.select(col("node").as("src"))), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(broadcast(visited), Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionByName(frontier).localCheckpoint()
+        exhausted = frontier.limit(1).count() == 0
+        out = out.unionByName(layerRow(frontier, lit(hop.toLong)))
+      } else out = out.unionByName(zeroRow(hop))
+    }
+    val unreached = nodes.join(broadcast(visited), Seq("node"), "left_anti")
+    out.unionByName(layerRow(unreached, lit(-1L)))
+      .orderBy(col("layer"))
   }
 }

@@ -55,4 +55,35 @@ class GraphSpec extends SparkSpec {
     val l = Seq((99L, 10L)).toDF("l_orderkey", "l_suppkey")
     assert(Graph.pageRank(o, l).collect().isEmpty)
   }
+
+  test("bfsLayers: hop-exact frontiers on a two-component chain") {
+    // component A: c1 - s10 - c2 - s11 - c3 (a path: orders 1..4)
+    // component B: c9 - s99 (disconnected from the nation-1 seeds)
+    val o = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L), (5L, 9L))
+      .toDF("o_orderkey", "o_custkey")
+    val l = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L), (5L, 99L))
+      .toDF("l_orderkey", "l_suppkey")
+    // c1 is the only nation-1 customer; c9 seeds nothing
+    val c = Seq((1L, 1), (2L, 2), (3L, 2), (9L, 2))
+      .toDF("c_custkey", "c_nationkey")
+    val out = Graph.bfsLayers(o, l, c, seedNationKey = 1, maxHops = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) === ((1L, 1L, 0L))) // seed c1
+    assert(out(1L) === ((1L, 0L, 1L))) // s10
+    assert(out(2L) === ((1L, 1L, 0L))) // c2
+    assert(out(3L) === ((1L, 0L, 1L))) // s11
+    assert(out(4L) === ((1L, 1L, 0L))) // c3 at exactly hop 4
+    assert(out(-1L) === ((2L, 1L, 1L))) // c9 + s99 unreached
+  }
+
+  test("bfsLayers: empty seed set reaches nothing, everything unreached") {
+    val o = Seq((1L, 1L)).toDF("o_orderkey", "o_custkey")
+    val l = Seq((1L, 10L)).toDF("l_orderkey", "l_suppkey")
+    val c = Seq((1L, 5)).toDF("c_custkey", "c_nationkey") // nation 5, seed 1
+    val out = Graph.bfsLayers(o, l, c, seedNationKey = 1, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L)
+    assert(out(-1L) == 2L)
+  }
 }
