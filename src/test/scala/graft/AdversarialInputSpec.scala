@@ -283,4 +283,44 @@ class AdversarialInputSpec extends SparkSpec {
     assert(bc.getAs[Long]("n_probes") == 0L)
     assert(bc.isNullAt(bc.fieldIndex("fpr_bp")))
   }
+
+  test("r9-continuation degenerate shapes: one-value sketches, all-hot join, flat CUSUM") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // HLL with exactly ONE distinct value: exact 1, small-range branch,
+    // estimate near 1 (512*ln(512/511) ~ 1.0)
+    val one = Seq(("g", 7)).toDF("g", "v")
+    val h = Approx.hllAudit(one, "g", "v").collect().head
+    assert(h.getAs[Long]("n_exact") == 1L)
+    assert(h.getAs[Boolean]("small_range"))
+    assert(math.abs(h.getAs[Double]("hll_est") - 1.0) < 0.1)
+    // KMV with two single-value groups sharing the value: jaccard exactly 1
+    val kv = Seq(("a", 7), ("b", 7)).toDF("g", "v")
+    val k = Approx.kmvOverlap(kv, "g", "v").collect().head
+    assert(k.getAs[Double]("jacc_exact") == 1.0)
+    assert(k.getAs[Double]("jacc_kmv") == 1.0)
+    assert(k.getAs[Double]("union_est") == 1.0)
+    // skew-split join where EVERY row is hot: cold branch empty, still equal
+    val allHot = (1 to 3000).map(_ => (2L, 1.00)).toDF("user_id", "value")
+    val sj = Etl.skewSplitJoin(allHot, "user_id", "value", hotThreshold = 10L)
+      .collect()
+    assert(sj.length == 1 && sj.head.getAs[Boolean]("matches_plain"))
+    assert(sj.head.getAs[Long]("n_rows") == 3000L)
+    // perfectly flat daily series: CUSUM deviations are all zero — the
+    // argmax still picks a deterministic day (the earliest) and the two
+    // segment means are equal
+    val flat = (1 to 6).flatMap(d =>
+      Seq.fill(4)(("A", ts(f"2024-01-0$d%d 09:00:00")))).toDF("event_type", "ts")
+    val cp = Analytics.changePoints(flat, "event_type", "ts").collect().head
+    assert(cp.getAs[Long]("peak_dev_n") == 0L)
+    assert(cp.getDate(2).toString == "2024-01-01")
+    assert(cp.getAs[Double]("mean_before") == 4.0)
+    assert(cp.getAs[Double]("mean_after") == 4.0)
+    // decay score with value 0 rows only: score 0, rows still counted
+    val zeros = Seq((1L, ts("2024-01-01 00:00:00"), 1L, 0.00),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 0.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val dz = Analytics.decayScores(zeros, "user_id", "ts", "event_id",
+      "value").collect().head
+    assert(dz.getLong(1) == 2L && dz.getLong(2) == 0L)
+  }
 }
