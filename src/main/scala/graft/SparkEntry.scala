@@ -1439,6 +1439,13 @@ object SparkEntry {
     "q_incr_join" -> ((s, dir) =>
       Etl.incrJoinRevenue(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    // §2.43i — exact-quantile ROLLUP from day-partitioned cent histograms
+    // (43g's exact counterpart for bounded value domains): merge-then-rank
+    // certified equal to rank-directly
+    "q_hist_rollup" -> ((s, dir) =>
+      graft.operators.Approx.histQuantileRollup(
+        Tables.events(s, dir), "event_type", "ts", "value")),
+
     // §2.43g — HLL ROLLUP audit: per-day register files max-merged to
     // group level == an independently built direct sketch (the
     // pre-aggregated sketch-table pattern: range distincts answered from
@@ -3482,6 +3489,63 @@ object SparkEntry {
         |    AS matches_recompute
         |FROM m JOIN d ON m.o_orderpriority = d.o_orderpriority
         |ORDER BY m.o_orderpriority""".stripMargin,
+
+    // both quantile routes replayed: daily histograms -> merge -> rank
+    // statistic, and the direct per-row ranking; identical double targets
+    "q_hist_rollup" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |dly AS (
+        |  SELECT event_type, day, cents, CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1, 2, 3),
+        |mg AS (
+        |  SELECT event_type, cents, CAST(sum(n) AS BIGINT) AS n
+        |  FROM dly GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_rows
+        |  FROM mg GROUP BY 1),
+        |cm AS (
+        |  SELECT event_type, cents,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM mg),
+        |h50 AS (
+        |  SELECT cm.event_type, min(cents) AS p50_hist
+        |  FROM cm JOIN tot ON cm.event_type = tot.event_type
+        |  WHERE cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * n_rows) AS BIGINT)
+        |  GROUP BY 1),
+        |h95 AS (
+        |  SELECT cm.event_type, min(cents) AS p95_hist
+        |  FROM cm JOIN tot ON cm.event_type = tot.event_type
+        |  WHERE cum >= CAST(ceil(CAST(0.95 AS DOUBLE) * n_rows) AS BIGINT)
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+        |  FROM c),
+        |d50 AS (
+        |  SELECT rk.event_type, min(cents) AS p50_direct
+        |  FROM rk JOIN tot ON rk.event_type = tot.event_type
+        |  WHERE rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n_rows) AS BIGINT)
+        |  GROUP BY 1),
+        |d95 AS (
+        |  SELECT rk.event_type, min(cents) AS p95_direct
+        |  FROM rk JOIN tot ON rk.event_type = tot.event_type
+        |  WHERE rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n_rows) AS BIGINT)
+        |  GROUP BY 1)
+        |SELECT tot.event_type, tot.n_rows, h50.p50_hist, h95.p95_hist,
+        |  d50.p50_direct, d95.p95_direct,
+        |  (h50.p50_hist = d50.p50_direct AND h95.p95_hist = d95.p95_direct)
+        |    AS rollup_matches
+        |FROM tot
+        |JOIN h50 ON tot.event_type = h50.event_type
+        |JOIN h95 ON tot.event_type = h95.event_type
+        |JOIN d50 ON tot.event_type = d50.event_type
+        |JOIN d95 ON tot.event_type = d95.event_type
+        |ORDER BY tot.event_type""".stripMargin,
 
     // both sketch paths replayed: per-day registers -> max-merge ->
     // estimate, and the independent direct registers; the shared CASE

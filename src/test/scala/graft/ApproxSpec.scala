@@ -75,6 +75,21 @@ class ApproxSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("histQuantileRollup: merged histograms hit hand-checked rank values") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 10 rows of known cents spread over 2 days: sorted cents are
+    // 100,100,200,200,200,300,300,400,500,900 -> p50 = 5th = 200,
+    // p95 = ceil(9.5)=10th = 900
+    val vals = Seq(1.00, 2.00, 3.00, 1.00, 2.00).map(("g", ts("2024-01-01 00:00:00"), _)) ++
+      Seq(2.00, 3.00, 4.00, 5.00, 9.00).map(("g", ts("2024-01-02 00:00:00"), _))
+    val df = vals.toDF("g", "ts", "v")
+    val r = Approx.histQuantileRollup(df, "g", "ts", "v").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("p50_hist") == 200L)
+    assert(r.getAs[Long]("p95_hist") == 900L)
+    assert(r.getAs[Boolean]("rollup_matches"))
+  }
+
   test("hllRollupAudit: day-merged estimate equals the direct sketch") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     // 3 days, users overlapping across days (the case where summing daily
