@@ -1464,6 +1464,14 @@ object SparkEntry {
         Tables.customer(s, dir).where(col("c_nationkey") === 1),
         "c_custkey")),
 
+    // §2.43j — join-size estimation audit by correlated key sampling:
+    // the self-join quadratic sum_k n_k^2 estimated from a 1/8 KEY
+    // sample (a sampled key keeps all rows) vs the exact count — the
+    // synopsis trust contract for join planning
+    "q_join_estimate" -> ((s, dir) =>
+      graft.operators.Approx.joinSizeAudit(
+        Tables.events(s, dir), "event_type", "user_id")),
+
     // §2.43f — hash-sample quantile audit (third leg of the sketch-trust
     // family): exact p50/p95 vs the same quantiles over the deterministic
     // 1/8 md5-threshold sample, realized rate + err_bp — the production
@@ -3623,6 +3631,39 @@ object SparkEntry {
          |JOIN ero ON ero.event_type = g.event_type
          |JOIN nd ON nd.event_type = g.event_type
          |ORDER BY g.event_type""".stripMargin
+    },
+
+    // per-key counts, the same md5-threshold key membership, and the
+    // scaled quadratic sum replayed
+    "q_join_estimate" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH k AS (
+         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |f AS (
+         |  SELECT event_type, n,
+         |    ${md5bits("'js:' || CAST(user_id AS VARCHAR)")}
+         |      < 562949953421312 AS in_sample
+         |  FROM k),
+         |a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keys_sampled,
+         |    CAST(sum(n * n) AS BIGINT) AS exact_pairs,
+         |    CAST(sum(CASE WHEN in_sample THEN n * n ELSE 0 END) * 8
+         |      AS BIGINT) AS est_pairs
+         |  FROM f GROUP BY 1)
+         |SELECT event_type, n_keys, n_keys_sampled,
+         |  CAST(round(CAST(n_keys_sampled AS DOUBLE) / CAST(n_keys AS DOUBLE)
+         |    * 10000.0, 0) AS BIGINT) AS sample_bp,
+         |  exact_pairs, est_pairs,
+         |  CAST(round(CAST(abs(est_pairs - exact_pairs) AS DOUBLE)
+         |    / CAST(exact_pairs AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
+         |FROM a ORDER BY event_type""".stripMargin
     },
 
     // the deterministic sample is a pure hash predicate, so the oracle

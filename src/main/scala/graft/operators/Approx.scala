@@ -401,6 +401,49 @@ object Approx {
         (col("n_match_passed") === col("n_match")).as("no_false_negatives"))
   }
 
+  /** Join-size estimation audit by CORRELATED key sampling (the join
+    * synopsis a planner consults before choosing a strategy): the true
+    * self-join cardinality on a key is Σ_k n_k² — exactly the quantity
+    * that explodes on skew — and a 1/2^bits deterministic KEY sample
+    * (md5 threshold on the key, so a sampled key keeps ALL its rows —
+    * row-sampling would underestimate quadratics) estimates it as
+    * 2^bits · Σ_{sampled k} n_k². This query emits, per group, the exact
+    * count, the sampled estimate, the realized key-sample rate, and the
+    * error in bp — the trust contract for planning joins from synopses
+    * instead of scans. Integer arithmetic end to end except the final
+    * error ratio.
+    *
+    * Scale shape: one map-side-combinable (group, key) count, then a
+    * bounded per-group aggregate; the synopsis a real warehouse keeps is
+    * just the sampled branch (1/2^bits of the key space, forever).
+    */
+  def joinSizeAudit(df: DataFrame, groupCol: String, keyCol: String,
+      shiftBits: Int = 3): DataFrame = {
+    require(shiftBits >= 1 && shiftBits <= 20, "1 <= shiftBits <= 20")
+    val thresh = 1L << (52 - shiftBits)
+    val scale = 1L << shiftBits
+    val hc = md5Bits52("js:", col(keyCol).cast("string"))
+    df.select(col(groupCol), col(keyCol)).where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"), (hc < lit(thresh)).as("in_sample"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_keys_sampled"),
+        sum(col("n") * col("n")).as("exact_pairs"),
+        (sum(when(col("in_sample"), col("n") * col("n")).otherwise(0L)) *
+          scale).as("est_pairs"))
+      .select(col(groupCol), col("n_keys"), col("n_keys_sampled"),
+        round(col("n_keys_sampled").cast("double") /
+          col("n_keys").cast("double") * 10000.0, 0).cast("long")
+          .as("sample_bp"),
+        col("exact_pairs"), col("est_pairs"),
+        round(abs(col("est_pairs") - col("exact_pairs")).cast("double") /
+          col("exact_pairs").cast("double") * 10000.0, 0).cast("long")
+          .as("err_bp"))
+      .orderBy(col(groupCol))
+  }
+
   /** Deterministic hash-sample quantile audit: per group, exact p50/p95
     * next to the same quantiles computed over ONLY the rows whose salted
     * 52-bit md5 hash falls under 2^(52-shiftBits) — a 2^-shiftBits

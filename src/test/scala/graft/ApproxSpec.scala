@@ -75,6 +75,22 @@ class ApproxSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("joinSizeAudit: exact quadratic sum, key-correlated sample tracks it") {
+    // 100 keys with n=4 rows each, plus one hot key with 100 rows:
+    // exact pairs = 100*16 + 10000 = 11600
+    val df = ((1 to 100).flatMap(k => Seq.fill(4)(("g", k))) ++
+      Seq.fill(100)(("g", 999))).toDF("g", "k")
+    val r = Approx.joinSizeAudit(df, "g", "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 101L)
+    assert(r.getAs[Long]("exact_pairs") == 11600L)
+    // est is 8x a sampled quadratic sum: always a multiple of 8 x 16 or
+    // includes the hot key's 10000; just demand the audit math holds
+    val est = r.getAs[Long]("est_pairs")
+    assert(est % 8L == 0L)
+    val errBp = r.getAs[Long]("err_bp")
+    assert(errBp == math.round(math.abs(est - 11600L).toDouble / 11600L * 10000.0))
+  }
+
   test("histQuantileRollup: merged histograms hit hand-checked rank values") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     // 10 rows of known cents spread over 2 days: sorted cents are
