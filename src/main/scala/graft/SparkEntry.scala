@@ -1634,6 +1634,12 @@ object SparkEntry {
     "q_changepoint" -> ((s, dir) =>
       Analytics.changePoints(Tables.events(s, dir), "event_type", "ts")),
 
+    // §2.58c — sample-ratio-mismatch guardrail: chi-square over the two
+    // arms' user counts in exact integer micro-units vs the inlined 95%
+    // critical value — run before trusting any A/B metric
+    "q_srm_check" -> ((s, dir) =>
+      Analytics.srmCheck(Tables.events(s, dir), "user_id")),
+
     // §2.58b — CUPED variance reduction: pre-period covariate adjustment
     // with exact-BIGINT theta fraction (integer-OLS style), adjusted arm
     // means 4-dp — the experimentation upgrade of q_ab_metrics
@@ -4085,6 +4091,29 @@ object SparkEntry {
         |    AS mean_after
         |FROM dly LEFT JOIN pk ON dly.t = pk.t
         |GROUP BY dly.t ORDER BY dly.t""".stripMargin,
+
+    // the same fold assignment, integer chi-square, inlined critical value
+    "q_srm_check" ->
+      """WITH v AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS INT) AS variant
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE user_id IS NOT NULL)),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_arm0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_arm1
+        |  FROM v)
+        |SELECT n_users, n_arm0, n_arm1,
+        |  (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000 // n_users
+        |    AS chi2_micro,
+        |  ((n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000 // n_users)
+        |    > 3841459 AS srm_flag
+        |FROM a""".stripMargin,
 
     // per-user cents split at the cut date, pooled BIGINT moments, the
     // same double ops for theta and the adjusted means

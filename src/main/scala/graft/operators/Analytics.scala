@@ -386,6 +386,33 @@ object Analytics {
         floor(col("n_converted") * 10000.0 / col("n_users") + 0.5).cast("long"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the first guardrail every
+    * experimentation platform runs before trusting ANY metric from
+    * [[abMetrics]]/[[cupedMetrics]]: under a 50/50 split the two arms'
+    * USER counts must match a binomial null, and a chi-square statistic
+    * over the realized counts catches broken assignment (bot filtering,
+    * logging loss, redirect bugs) that silently biases everything
+    * downstream. For two equal arms χ² = (n_a − n_b)²/n, phrased as the
+    * exact integer micro-unit floor((n_a−n_b)²·10⁶ / n) — the flag
+    * compares against the inlined 95% critical value 3.841459·10⁶, so
+    * the whole guardrail is integer arithmetic, hash-exact anywhere.
+    * One bounded row.
+    */
+  def srmCheck(events: DataFrame, userCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    events.select(col(userCol)).where(col(userCol).isNotNull).distinct()
+      .select(pmod(rollingHash(
+        concat(lit("ab:"), col(userCol).cast("string"))), lit(2)).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .select(col("n_users"), col("n_arm0"), col("n_arm1"),
+        expr("(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000 DIV n_users")
+          .as("chi2_micro"),
+        (expr("(n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000 DIV n_users")
+          > 3841459L).as("srm_flag"))
+  }
+
   /** Single change-point detection by exact-integer CUSUM over the daily
     * volume series — [[dailyTrend]] answers "is it drifting", this
     * answers "WHEN did it shift" (deploy regressions, data-source cutoffs,

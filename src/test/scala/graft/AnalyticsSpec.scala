@@ -328,6 +328,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("B") === ((1L, 0L, 0L, None)))
   }
 
+  test("srmCheck: balanced split passes, a starved arm flags") {
+    import spark.implicits._
+    // find user ids landing in each arm under the registry fold so the
+    // test plants exact imbalance regardless of the fold's mapping
+    val probe = (1L to 4000L).map(u => u -> {
+      var acc = 0L
+      s"ab:$u".foreach(c => acc = (acc * 257 + c.toLong) % 1000000007L)
+      (acc % 2).toInt
+    })
+    val arm0 = probe.filter(_._2 == 0).map(_._1)
+    val arm1 = probe.filter(_._2 == 1).map(_._1)
+    // balanced: 400 from each arm -> chi2 = 0
+    val ok = (arm0.take(400) ++ arm1.take(400)).map(u => Tuple1(u))
+      .toDF("user_id")
+    val r1 = Analytics.srmCheck(ok, "user_id").collect().head
+    assert(r1.getAs[Long]("chi2_micro") == 0L)
+    assert(!r1.getAs[Boolean]("srm_flag"))
+    // starved arm: 500 vs 380 -> chi2 = 120^2/880 = 16.36 >> 3.84
+    val bad = (arm0.take(500) ++ arm1.take(380)).map(u => Tuple1(u))
+      .toDF("user_id")
+    val r2 = Analytics.srmCheck(bad, "user_id").collect().head
+    assert(r2.getAs[Long]("chi2_micro") == 120L * 120L * 1000000L / 880L)
+    assert(r2.getAs[Boolean]("srm_flag"))
+  }
+
   test("changePoints finds a planted level shift at the exact day") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
