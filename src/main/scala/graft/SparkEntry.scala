@@ -795,6 +795,12 @@ object SparkEntry {
     "q_corpus_divergence" -> ((s, dir) =>
       TextAnalysis.corpusDivergence(Tables.documents(s, dir))),
 
+    // §2.24k4 — per-source unigram Shannon entropy in integer micro-nats
+    // (+ a ln(vocab)-normalized bp scale): templated spam collapses low,
+    // random noise saturates high — the third source-profiling axis
+    "q_entropy_profile" -> ((s, dir) =>
+      TextAnalysis.entropyProfile(Tables.documents(s, dir))),
+
     // §2.24f4 — feature-hashing text embeddings (hashing trick): a
     // deterministic, training-free 64-dim embedding per doc — the
     // bridge that runs the ANN/semantic family on a text-only corpus.
@@ -3138,6 +3144,29 @@ object SparkEntry {
         |  CAST(sum(c.kl_c) AS BIGINT) AS kl_u
         |FROM contrib c JOIN ns ON c.source = ns.source
         |GROUP BY c.source, ns.n_s, ns.n_terms""".stripMargin,
+
+    // per-term micro-nat quantization before the sum, identical ln shape
+    "q_entropy_profile" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, token),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM st GROUP BY source),
+        |contrib AS (SELECT st.source,
+        |    CAST(floor((st.c::DOUBLE / ns.n_s) *
+        |      ln(ns.n_s::DOUBLE / st.c) * 1000000.0 + 0.5) AS BIGINT) AS h_c
+        |  FROM st JOIN ns USING (source)),
+        |e AS (SELECT c.source, ns.n_s AS n_tokens, ns.n_terms,
+        |    CAST(sum(c.h_c) AS BIGINT) AS entropy_u
+        |  FROM contrib c JOIN ns ON c.source = ns.source
+        |  GROUP BY c.source, ns.n_s, ns.n_terms)
+        |SELECT source, n_tokens, n_terms, entropy_u,
+        |  CASE WHEN n_terms > 1 THEN
+        |    CAST(floor(entropy_u::DOUBLE / (ln(n_terms::DOUBLE) * 1000000.0)
+        |      * 10000.0 + 0.5) AS BIGINT) END AS norm_bp
+        |FROM e ORDER BY source""".stripMargin,
 
     "q_token_windows" ->
       """WITH t AS (

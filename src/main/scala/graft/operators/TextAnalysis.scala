@@ -1175,6 +1175,43 @@ object TextAnalysis {
     * broadcast of per-source totals, and a 1-row broadcast cross of the
     * corpus total. Text never shuffles; output is one row per source.
     */
+  /** Per-source Shannon entropy of the unigram distribution, in integer
+    * micro-nats — the third axis of the source-profiling triad (novelty =
+    * how much is NEW, divergence = how DIFFERENT from the corpus, entropy
+    * = how VARIED internally): templated spam farms collapse toward a few
+    * nats, random noise saturates toward ln(vocab), and the healthy
+    * middle is where training data lives. H = −Σ p ln p with each term
+    * quantized to integer micro-nats BEFORE the sum (the corpusDivergence
+    * discipline — partition-order independent, engine-exact); the
+    * normalized column divides by ln(n_terms) for a 0..10000 bp scale
+    * comparable across sources of different vocabulary sizes
+    * (single-term sources have no spread to measure → NULL).
+    *
+    * Scale shape: one token scan into the slim (source, token, count)
+    * aggregate, then per-source arithmetic. One row per source.
+    */
+  def entropyProfile(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val ns = st.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("n_terms"))
+    st.join(broadcast(ns), "source")
+      .select(col("source"), col("n_s"), col("n_terms"),
+        floor((col("c").cast("double") / col("n_s")) *
+          log(col("n_s").cast("double") / col("c")) * 1000000.0 + 0.5)
+          .cast("long").as("h_c"))
+      .groupBy(col("source"), col("n_s"), col("n_terms"))
+      .agg(sum(col("h_c")).as("entropy_u"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_terms"),
+        col("entropy_u"),
+        when(col("n_terms") > 1,
+          floor(col("entropy_u").cast("double") /
+            (log(col("n_terms").cast("double")) * 1000000.0) * 10000.0 + 0.5)
+            .cast("long")).as("norm_bp"))
+      .orderBy(col("source"))
+  }
+
   def corpusDivergence(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("source"),
       explode(tokens(col("text"))).as("token"))

@@ -420,6 +420,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("entropyProfile: uniform source saturates, constant source is zero") {
+    import spark.implicits._
+    // s_flat: 4 distinct tokens once each -> H = ln 4, norm_bp = 10000
+    // s_const: one token repeated -> H = 0, single-term -> norm NULL
+    // s_skew: 7-of-one + 1-of-another -> 0 < H < ln 2
+    val docs = Seq(
+      (1L, "a b c d", "x", "s_flat"),
+      (2L, "z z z z", "x", "s_const"),
+      (3L, "w w w w w w w v", "x", "s_skew"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.entropyProfile(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(math.abs(out("s_flat")._3 - math.round(math.log(4.0) * 1e6)) <= 2L)
+    assert(out("s_flat")._4.contains(10000L))
+    assert(out("s_const") === ((4L, 1L, 0L, None)))
+    val hSkew = out("s_skew")._3
+    assert(hSkew > 0L && hSkew < math.round(math.log(2.0) * 1e6))
+  }
+
   test("langIdConfusion: diagonal cells flagged, rows sum to their totals") {
     import spark.implicits._
     val docs = Seq(
