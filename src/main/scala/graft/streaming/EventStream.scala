@@ -458,4 +458,43 @@ object EventStream {
           out.iterator
       }.toDF()
   }
+
+  /** State for [[decayScoreStream]]: the last <= n events' (ts-micros, id,
+    * cents), newest first — a bounded buffer per user, never the stream. */
+  case class DecayState(recent: List[(Long, Long, Long)])
+  case class DecayRow(user_id: Long, n_recent: Long, decay_cents: Long)
+
+  /** Streaming exponentially time-decayed engagement score — the
+    * continuous dual of Analytics.decayScores, i.e. a real-time recency
+    * FEATURE STORE: per user, a bounded buffer of the newest `n` events
+    * (by the same unique (ts, id) order as the batch operator) and, per
+    * microbatch that touches the user, the refreshed power-of-two decayed
+    * score in exact cents. State is <= n small tuples per user FOREVER;
+    * late or re-delivered events fold into the buffer by order, so a
+    * replay converges to the batch answer — EventStreamSpec proves the
+    * final streamed scores equal Analytics.decayScores over the same
+    * events across multiple microbatches.
+    */
+  def decayScoreStream(events: DataFrame, n: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DecayState, DecayRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[DecayState]) =>
+          val prior = state.getOption.map(_.recent).getOrElse(Nil)
+          val arrived = rows.map(e => (e.ts.getTime * 1000L, e.event_id,
+            math.round(e.value * 100))).toList
+          // newest-first under the batch operator's (ts, id) order; the
+          // buffer keeps only the top n so state stays bounded
+          val recent = (prior ++ arrived).distinct
+            .sortBy(t => (-t._1, -t._2)).take(n)
+          state.update(DecayState(recent))
+          val score = recent.zipWithIndex.map { case ((_, _, cents), i) =>
+            cents * (1L << (n - 1 - i))
+          }.sum
+          Iterator.single(DecayRow(userId, recent.length.toLong, score))
+      }.toDF()
+  }
 }

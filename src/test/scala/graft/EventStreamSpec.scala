@@ -43,6 +43,49 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(("2024-01-01 00:00:00.0", "view")) == ((1L, 1.0)))
   }
 
+  test("decayScoreStream: final streamed scores equal the batch operator's") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.decayScoreStream(input.toDF(), n = 4)
+
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("decay")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+
+    // user 1 gets 3 events in batch 1, 2 more (plus a RE-DELIVERY of
+    // event 3) in batch 2 — with n=4 only the newest 4 count
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.00),
+      EventStream.Event(2, ts("2024-01-02 00:00:00"), 1, "click", 2.00),
+      EventStream.Event(3, ts("2024-01-03 00:00:00"), 1, "click", 3.00))
+    query.processAllAvailable()
+    input.addData(
+      EventStream.Event(3, ts("2024-01-03 00:00:00"), 1, "click", 3.00),
+      EventStream.Event(4, ts("2024-01-04 00:00:00"), 1, "click", 4.00),
+      EventStream.Event(5, ts("2024-01-05 00:00:00"), 1, "click", 0.50))
+    query.processAllAvailable()
+    query.stop()
+
+    // latest emitted row per user (append mode emits one per touched batch)
+    val last = spark.table("decay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).last
+    val batch = graft.operators.Analytics.decayScores(
+      Seq((1L, ts("2024-01-01 00:00:00"), 1L, 1.00),
+        (2L, ts("2024-01-02 00:00:00"), 1L, 2.00),
+        (3L, ts("2024-01-03 00:00:00"), 1L, 3.00),
+        (4L, ts("2024-01-04 00:00:00"), 1L, 4.00),
+        (5L, ts("2024-01-05 00:00:00"), 1L, 0.50))
+        .toDF("event_id", "ts", "user_id", "value"),
+      "user_id", "ts", "event_id", "value", n = 4).collect().head
+    assert(last == ((1L, batch.getLong(1), batch.getLong(2))),
+      s"stream $last vs batch $batch")
+    // hand check: newest 4 = (50c*8 + 400c*4 + 300c*2 + 200c*1) = 2800
+    assert(last._3 == 2800L)
+  }
+
   test("hllRegisterStream: streamed registers equal the batch builder's") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
