@@ -1620,6 +1620,13 @@ object SparkEntry {
       Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
+    // §2.67c — WEIGHTED exact-integer PageRank: edges carry distinct
+    // order counts and mass splits proportionally in BIGINT floor
+    // division — steady relationships outrank one-off orders
+    "q_pagerank_weighted" -> ((s, dir) =>
+      graft.operators.Graph.pageRankWeighted(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+
     // §2.67b — BFS layer expansion from the nation-1 customer seed set
     // over the trade graph: per-hop frontier sizes split by side +
     // the unreached remainder — the traversal member of the graph family
@@ -3769,6 +3776,37 @@ object SparkEntry {
         |    AS prunable_ts,
         |  (min(user_id) >= 100) AS prunable_user
         |FROM t GROUP BY tile ORDER BY tile""".stripMargin,
+
+    // the weighted rounds replayed with the same integer floor division
+    "q_pagerank_weighted" -> {
+      def round_(i: Int) =
+        s"""r$i AS (
+           |  SELECT ed.dst AS node,
+           |    CAST(150000 + sum((r.pr * 85 * ed.w) // (100 * dg.wdeg))
+           |      AS BIGINT) AS pr
+           |  FROM ed JOIN r${i - 1} r ON ed.src = r.node
+           |  JOIN dg ON ed.src = dg.src
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b,
+         |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |ed AS (
+         |  SELECT a AS src, b AS dst, w FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst, w FROM e0),
+         |dg AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS wdeg,
+         |    CAST(count(*) AS BIGINT) AS deg
+         |  FROM ed GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM dg),
+         |${(1 to 6).map(round_).mkString(",\n")}
+         |SELECT r6.node AS node_id, r6.pr AS rank_micro, dg.deg AS degree,
+         |  dg.wdeg AS weight_total
+         |FROM r6 JOIN dg ON r6.node = dg.src
+         |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
+    },
 
     // 4 unrolled frontier rounds: neighbors EXCEPT visited, visited UNION
     // frontier — pure set algebra, bit-equal by construction

@@ -83,6 +83,61 @@ object Graph {
       .limit(topK)
   }
 
+  /** WEIGHTED exact-integer PageRank — [[pageRank]] with edge weights:
+    * each undirected customer–supplier edge carries the DISTINCT ORDER
+    * COUNT between the pair (trade intensity), and a node's damped mass
+    * splits proportionally, share(u→v) = (r(u)·85·w_uv) DIV (100·W_u)
+    * with W_u the node's total incident weight — still pure BIGINT floor
+    * division, so weighted centrality stays hash-exact on any engine.
+    * A steady high-volume relationship now outranks many one-off orders,
+    * which the unweighted walk cannot see. Same per-round cost profile:
+    * the weighted edge list materializes once with (w, dst_deg_w) riding
+    * each edge, the share vector broadcasts, the aggregate map-side
+    * combines.
+    */
+  def pageRankWeighted(orders: DataFrame, lineitem: DataFrame,
+      iters: Int = 6, topK: Int = 20): DataFrame = {
+    val raw = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"),
+        col("o_orderkey"))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+    val edges0 = raw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(raw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    val wdeg = edges0.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wdeg"), count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val edges = edges0
+      .join(broadcast(wdeg.select(col("node").as("dst"),
+        col("wdeg").as("dst_wdeg"), col("deg").as("dst_deg"))), "dst")
+      .localCheckpoint()
+    var ranks = wdeg.select(col("node"), lit(1000000L).as("pr"), col("wdeg"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val shares = ranks.select(col("node").as("src"), col("pr"),
+        col("wdeg"))
+      ranks = edges
+        .join(broadcast(shares), "src")
+        .select(col("dst"),
+          expr("(pr * 85 * w) DIV (100 * wdeg)").as("contrib"),
+          col("dst_wdeg"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(150000L) + sum(col("contrib"))).as("pr"),
+          max(col("dst_wdeg")).as("wdeg"))
+        .localCheckpoint()
+    }
+    ranks.join(broadcast(wdeg.select(col("node"), col("deg"), col("wdeg")
+        .as("w_total"))), "node")
+      .select(col("node").as("node_id"), col("pr").as("rank_micro"),
+        col("deg").as("degree"), col("w_total").as("weight_total"))
+      .orderBy(col("rank_micro").desc, col("node_id").asc)
+      .limit(topK)
+  }
+
   /** BFS layer expansion from a seed set — the TRAVERSAL member of the
     * graph family (components answer "which", PageRank answers "who
     * matters", this answers "how far"): layer 0 is the seed customers

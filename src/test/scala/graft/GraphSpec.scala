@@ -56,6 +56,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRank(o, l).collect().isEmpty)
   }
 
+  test("pageRankWeighted: heavy relationship outranks equal-degree siblings") {
+    // c1 trades with s10 (5 orders) and s11 (1 order); c2 with s11 once.
+    // Unweighted, s10 and s11 tie by structure toward s11 (degree 2);
+    // weighted, s10 must receive most of c1's mass despite degree 1
+    val o = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L), (7L, 2L)).toDF("o_orderkey", "o_custkey")
+    val l = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+      (6L, 11L), (7L, 11L)).toDF("l_orderkey", "l_suppkey")
+    val out = Graph.pageRankWeighted(o, l, iters = 6, topK = 10).collect()
+      .map(r => r.getAs[String]("node_id") ->
+        (r.getAs[Long]("rank_micro"), r.getAs[Long]("weight_total"))).toMap
+    assert(out("s:10")._2 == 5L && out("s:11")._2 == 2L)
+    assert(out("s:10")._1 > out("s:11")._1,
+      s"weighting must favor the heavy edge: $out")
+    // determinism: exact integers, second run identical
+    val again = Graph.pageRankWeighted(o, l, iters = 6, topK = 10).collect()
+      .map(r => r.getAs[String]("node_id") -> r.getAs[Long]("rank_micro")).toMap
+    assert(again == out.map { case (k, v) => k -> v._1 })
+  }
+
   test("bfsLayers: hop-exact frontiers on a two-component chain") {
     // component A: c1 - s10 - c2 - s11 - c3 (a path: orders 1..4)
     // component B: c9 - s99 (disconnected from the nation-1 seeds)
