@@ -72,6 +72,18 @@ object SparkEntry {
         priorityCol = "o_orderpriority", highPriority = "1-URGENT",
         snapshotDate = "2024-06-30")),
 
+    // §2.4b — multi-tenant FAN-OUT (the job-factory compute face): three
+    // tenant configs run the same transform body in ONE plan, unioned
+    // with a tenant column — N Dagster jobs become N union branches
+    "q_tenant_fanout" -> ((s, dir) =>
+      Etl.tenantFanOut(Tables.orders(s, dir), Seq(
+        Etl.TenantConfig("t_all", Seq("O", "F", "P"), "1-URGENT"),
+        Etl.TenantConfig("t_open", Seq("O"), "2-HIGH"),
+        Etl.TenantConfig("t_final", Seq("F"), "1-URGENT")),
+        statusCol = "o_orderstatus", groupCols = Seq("o_orderpriority"),
+        qtyCol = "o_totalprice", lotIdCol = "o_custkey",
+        priorityCol = "o_orderpriority", snapshotDate = "2024-06-30")),
+
     // §2.5 — cycle time: fact-fact join + day delta + multi-agg
     "q_cycle_time" -> ((s, dir) =>
       Etl.cycleTime(Tables.lineitem(s, dir), Tables.orders(s, dir),
@@ -2005,6 +2017,25 @@ object SparkEntry {
         |  '2024-06-30' AS snapshot_date
         |FROM orders WHERE o_orderstatus IN ('O','F')
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // one UNION ALL branch per tenant config, same aggregate body
+    "q_tenant_fanout" -> {
+      def branch(tenant: String, statuses: Seq[String], hp: String) = {
+        val in = statuses.map(s => s"'$s'").mkString(", ")
+        s"""SELECT '$tenant' AS tenant, o_orderpriority,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+           |  count(DISTINCT o_custkey) AS lot_count,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_qty_per_lot,
+           |  count(*) FILTER (WHERE o_orderpriority = '$hp') AS high_priority_count,
+           |  '2024-06-30' AS snapshot_date
+           |FROM orders WHERE o_orderstatus IN ($in)
+           |GROUP BY o_orderpriority""".stripMargin
+      }
+      Seq(branch("t_all", Seq("O", "F", "P"), "1-URGENT"),
+        branch("t_open", Seq("O"), "2-HIGH"),
+        branch("t_final", Seq("F"), "1-URGENT"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tenant, o_orderpriority")
+    },
 
     "q_cycle_time" ->
       """SELECT o_orderpriority,

@@ -288,6 +288,36 @@ object Etl {
         sum(col("_psum")).cast("double").as("sum_value"),
         sum(col("_pcnt")).as("n_rows"))
 
+  /** One tenant's configuration in the multi-tenant fan-out: which
+    * statuses count as active and what qualifies as high priority —
+    * exactly the knobs the reference's per-tenant config files turn. */
+  final case class TenantConfig(tenant: String, activeStatuses: Seq[String],
+    highPriority: String)
+
+  /** Multi-tenant FAN-OUT — the compute face of the reference's job
+    * factories (etl/factories/dbt_factory.py and the per-tenant asset
+    * modules): the SAME transform body parameterized per tenant config
+    * and unioned with a `tenant` column, so N tenants are ONE Spark plan
+    * — Catalyst shares the scan across the union branches and each
+    * branch's filter pushes independently, where the reference schedules
+    * N separate Dagster jobs. Output ordered (tenant, group) for a
+    * deterministic frame.
+    *
+    * Scale shape: |tenants| filtered-aggregate branches over one source;
+    * each branch is the single-shuffle [[wipWithPriority]] pass. Tenant
+    * count is config-bounded (it is a config LIST, not data).
+    */
+  def tenantFanOut(lots: DataFrame, configs: Seq[TenantConfig],
+      statusCol: String, groupCols: Seq[String], qtyCol: String,
+      lotIdCol: String, priorityCol: String,
+      snapshotDate: String): DataFrame =
+    configs.map { cfg =>
+      wipWithPriority(lots, statusCol, cfg.activeStatuses, groupCols,
+        qtyCol, lotIdCol, priorityCol, cfg.highPriority, snapshotDate)
+        .withColumn("tenant", lit(cfg.tenant))
+    }.reduce(_ unionByName _)
+      .orderBy(col("tenant") +: groupCols.map(col): _*)
+
   /** Hot-key SPLIT join — the join-side answer to [[saltedSumCount]]'s
     * aggregation salting, phrased as an explicit, auditable plan (what
     * AQE's skew handling does opaquely, and what a 100 TB job does by

@@ -137,6 +137,27 @@ class EtlSpec extends SparkSpec {
     assert(rows("extra") == ((null, "string", "added")))
   }
 
+  test("tenantFanOut: per-tenant filters apply independently in one plan") {
+    import spark.implicits._
+    val lots = Seq(
+      ("O", "1-URGENT", 10.00, 1L), ("O", "2-HIGH", 20.00, 2L),
+      ("F", "1-URGENT", 30.00, 3L), ("P", "3-MED", 40.00, 4L))
+      .toDF("status", "prio", "qty", "lot")
+    val out = Etl.tenantFanOut(lots, Seq(
+        Etl.TenantConfig("all", Seq("O", "F", "P"), "1-URGENT"),
+        Etl.TenantConfig("open", Seq("O"), "2-HIGH")),
+      "status", Seq("prio"), "qty", "lot", "prio", "2024-06-30")
+      .collect().map(r => (r.getString(r.fieldIndex("tenant")),
+        r.getString(0)) -> (r.getDouble(1), r.getLong(4))).toMap
+    // tenant 'all' sees every status; 'open' sees only O rows
+    assert(out(("all", "1-URGENT")) === ((40.0, 2L)))
+    assert(out(("all", "3-MED")) === ((40.0, 0L)))
+    assert(out(("open", "2-HIGH")) === ((20.0, 1L)))
+    assert(!out.contains(("open", "3-MED")))
+    // the whole fan-out is ONE plan: a single collect produced all rows
+    assert(out.size == 5)
+  }
+
   test("skewSplitJoin: split equals plain join, hot branch broadcasts") {
     import spark.implicits._
     // user 3 contributes 2000 rows -> its derived key 0 (3 % 10 < 5) is
