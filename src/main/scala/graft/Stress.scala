@@ -486,6 +486,11 @@ object Stress {
     time("pagerank") {
       graft.operators.Graph.pageRank(ordersX, lineitemX)
     }
+    // Weighted variant under the same hub skew: supplier nodes gain both
+    // degree AND weight mass with factor.
+    time("pagerank_weighted") {
+      graft.operators.Graph.pageRankWeighted(ordersX, lineitemX)
+    }
     // HLL rollup: register state is (groups x days x 512) regardless of
     // events volume; the two corpus distincts are the only linear terms.
     time("hll_rollup") {
