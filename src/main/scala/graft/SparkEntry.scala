@@ -1417,7 +1417,7 @@ object SparkEntry {
             greatest(abs(col("exact_p95")) * 0.05, lit(0.05))).as("p95_ok"))),
 
     // §2.43d — PORTABLE HyperLogLog audit (the engine-replayable upgrade
-    // of 43b): the full 512-register file from the salted 60-bit fold,
+    // of 43b): the full 512-register file from the first 52 md5 bits,
     // integer-exact register weights, estimate + small-range correction +
     // exact count + err_bp — the registers themselves are the contract,
     // not just a tolerance verdict
@@ -3267,10 +3267,11 @@ object SparkEntry {
         |  true AS within_tolerance
         |FROM events GROUP BY event_type""".stripMargin,
 
-    // full register-file replay: the salted 60-bit fold, idx/rho split,
-    // per-register max, integer 2^(52-rho) weights, and the identical
-    // estimate arithmetic (C = alpha_512 * 512^2 * 2^52 as the same IEEE
-    // double literal)
+    // full register-file replay: the first 52 md5 bits of the salted
+    // value (p=9 → idx = hc % 512, rho from the remaining 43 bits via
+    // 44 - bitlength), per-register max, integer 2^(44-rho) weights, and
+    // the identical estimate arithmetic (the same IEEE double constants
+    // as Approx.hllAudit)
     "q_hll_counts" -> {
       def md5bits(salted: String) =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -3331,7 +3332,7 @@ object SparkEntry {
          |  WHERE user_id IS NOT NULL),
          |hh AS (
          |  SELECT DISTINCT event_type AS g,
-         |    ${md5bits("'kmv:' || CAST(user_id AS VARCHAR)")} AS hc
+         |    ${md5bits("'kmv:' || CAST(user_id AS VARCHAR)")} + 1 AS hc
          |  FROM d0),
          |rk0 AS (
          |  SELECT g, hc, row_number() OVER (PARTITION BY g ORDER BY hc) AS rk
@@ -3596,12 +3597,12 @@ object SparkEntry {
         |h50 AS (
         |  SELECT cm.event_type, min(cents) AS p50_hist
         |  FROM cm JOIN tot ON cm.event_type = tot.event_type
-        |  WHERE cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * n_rows) AS BIGINT)
+        |  WHERE cum >= (5 * n_rows + 9) // 10
         |  GROUP BY 1),
         |h95 AS (
         |  SELECT cm.event_type, min(cents) AS p95_hist
         |  FROM cm JOIN tot ON cm.event_type = tot.event_type
-        |  WHERE cum >= CAST(ceil(CAST(0.95 AS DOUBLE) * n_rows) AS BIGINT)
+        |  WHERE cum >= (95 * n_rows + 99) // 100
         |  GROUP BY 1),
         |rk AS (
         |  SELECT event_type, cents,
@@ -3610,12 +3611,12 @@ object SparkEntry {
         |d50 AS (
         |  SELECT rk.event_type, min(cents) AS p50_direct
         |  FROM rk JOIN tot ON rk.event_type = tot.event_type
-        |  WHERE rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n_rows) AS BIGINT)
+        |  WHERE rn = (5 * n_rows + 9) // 10
         |  GROUP BY 1),
         |d95 AS (
         |  SELECT rk.event_type, min(cents) AS p95_direct
         |  FROM rk JOIN tot ON rk.event_type = tot.event_type
-        |  WHERE rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n_rows) AS BIGINT)
+        |  WHERE rn = (95 * n_rows + 99) // 100
         |  GROUP BY 1)
         |SELECT tot.event_type, tot.n_rows, h50.p50_hist, h95.p95_hist,
         |  d50.p50_direct, d95.p95_direct,
@@ -4233,10 +4234,12 @@ object SparkEntry {
         |      AS BIGINT), 0) AS y
         |  FROM v GROUP BY 1, 2),
         |pool AS (
+        |  -- moments as HUGEINTs, the oracle twin of Spark's decimal(38,0)
+        |  -- accumulation (the q_event_anomaly cleared-denominator pattern)
         |  SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
         |  FROM u),
         |a AS (
         |  SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
@@ -4244,8 +4247,10 @@ object SparkEntry {
         |  FROM u GROUP BY 1),
         |w AS (
         |  SELECT a.*, pool.n, pool.sx, pool.sy,
-        |    pool.n * pool.sxy - pool.sx * pool.sy AS num,
-        |    pool.n * pool.sxx - pool.sx * pool.sx AS den
+        |    CAST(pool.n AS HUGEINT) * pool.sxy
+        |      - CAST(pool.sx AS HUGEINT) * pool.sy AS num,
+        |    CAST(pool.n AS HUGEINT) * pool.sxx
+        |      - CAST(pool.sx AS HUGEINT) * pool.sx AS den
         |  FROM a CROSS JOIN pool)
         |SELECT variant, n_v AS n_users,
         |  round(CAST(sx_v AS DOUBLE) / CAST(n_v AS DOUBLE), 4) AS x_mean_cents,
@@ -4257,7 +4262,7 @@ object SparkEntry {
         |           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
         |    ELSE CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE) END, 4)
         |    AS adj_mean_cents,
-        |  CAST(num AS BIGINT) AS theta_num, CAST(den AS BIGINT) AS theta_den,
+        |  num AS theta_num, den AS theta_den,
         |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0
         |    / CAST(den AS DOUBLE) + 0.5) AS BIGINT) END AS theta_u
         |FROM w ORDER BY variant""".stripMargin,

@@ -506,16 +506,26 @@ object Analytics {
         coalesce(sum(when(col(tsCol).cast("date") >= to_date(lit(cutDay)),
           cents)), lit(0L)).as("y"))
       .localCheckpoint()
+    // θ's moments outgrow int64 at production cardinality (Σx² ~ n·x²,
+    // n·Σxy ~ n²·x²): accumulate and clear denominators in 128-bit-exact
+    // decimal(38,0) (the eventAnomalies/q_incr_merge discipline; HUGEINTs
+    // on the oracle side) — int64 would wrap silently in Spark while
+    // DuckDB raises, breaking both parity and the θ sign exactly when
+    // the data gets large. decimal(19,0) factors keep every product
+    // inside precision 38 (cents ≤ 10^12/user → x² ≤ 10^24).
+    val dec19 = "decimal(19,0)"
     val pool = perUser.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("x") * col("y")).as("sxy"))
+      sum(col("x").cast(dec19) * col("x").cast(dec19)).as("sxx"),
+      sum(col("x").cast(dec19) * col("y").cast(dec19)).as("sxy"))
     val byArm = perUser.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_v"),
         sum(col("x")).as("sx_v"), sum(col("y")).as("sy_v"))
     val withPool = byArm.crossJoin(broadcast(pool))
-    val num = withPool("n") * withPool("sxy") - withPool("sx") * withPool("sy")
-    val den = withPool("n") * withPool("sxx") - withPool("sx") * withPool("sx")
+    val num = withPool("n").cast(dec19) * withPool("sxy") -
+      withPool("sx").cast(dec19) * withPool("sy").cast(dec19)
+    val den = withPool("n").cast(dec19) * withPool("sxx") -
+      withPool("sx").cast(dec19) * withPool("sx").cast(dec19)
     val theta = num.cast("double") / den.cast("double")
     val xMeanV = col("sx_v").cast("double") / col("n_v").cast("double")
     val yMeanV = col("sy_v").cast("double") / col("n_v").cast("double")

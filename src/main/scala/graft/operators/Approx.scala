@@ -227,10 +227,20 @@ object Approx {
         Window.partitionBy(col(groupCol)).orderBy(col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val totals = merged.groupBy(col(groupCol)).agg(sum(col("n")).as("n_rows"))
+    // rank target ceil(q·N) in EXACT integer arithmetic: q as the fraction
+    // num/den read off its decimal digits (0.95 → 95/100), target =
+    // (num·N + den − 1) DIV den. The double form ceil(lit(q)·N) is wrong
+    // one rank high whenever q·N is integral but carries binary-float
+    // error (0.95·20 = 19.000000000000004 → ceil 20, not 19).
+    def rankTarget(q: Double): Column = {
+      val bd = new java.math.BigDecimal(q.toString)
+      val den = java.math.BigDecimal.TEN.pow(bd.scale).longValueExact()
+      val num = bd.unscaledValue().longValueExact()
+      expr(s"($num * n_rows + ${den - 1}) DIV $den")
+    }
     val hist = qs.map { q =>
-      val target = ceil(lit(q) * col("n_rows")).cast("long")
       cum.join(broadcast(totals), groupCol)
-        .where(col("cum") >= target)
+        .where(col("cum") >= rankTarget(q))
         .groupBy(col(groupCol))
         .agg(min(col("cents")).as(s"p${(q * 100).toInt}_hist"))
     }.reduce(_.join(_, groupCol))
@@ -240,9 +250,8 @@ object Approx {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("cents"))))
     val direct = qs.map { q =>
-      val target = ceil(lit(q) * col("n_rows")).cast("long")
       ranked.join(broadcast(totals), groupCol)
-        .where(col("rn") === target)
+        .where(col("rn") === rankTarget(q))
         .groupBy(col(groupCol))
         .agg(min(col("cents")).as(s"p${(q * 100).toInt}_direct"))
     }.reduce(_.join(_, groupCol))
@@ -281,7 +290,12 @@ object Approx {
   def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hc = md5Bits52("kmv:", col(valueCol).cast("string"))
+    // +1 maps the hash into 1..2^52 so u_kth (the union_est denominator)
+    // can never be 0 — hash value 0 in the bottom-k would otherwise yield
+    // an engine-divergent row (Spark null vs DuckDB Infinity). Rank order
+    // is unchanged (monotone shift); the estimator bias of one part in
+    // 2^52 is far below the 2-dp rounding.
+    val hc = md5Bits52("kmv:", col(valueCol).cast("string")) + 1
     val hashes = df.select(col(groupCol).as("g"), col(valueCol))
       .where(col(valueCol).isNotNull)
       .select(col("g"), hc.as("hc")).distinct()

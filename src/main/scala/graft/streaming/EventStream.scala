@@ -441,6 +441,20 @@ object EventStream {
       }.toDF()
   }
 
+  /** Mirror of the batch operators' `cast(decimal(18,2)) * 100` cents
+    * conversion: Spark's double→decimal cast parses the SHORTEST decimal
+    * representation (`Double.toString`) and rounds HALF_UP, so off the
+    * 2-dp money domain it disagrees with naive `math.round(v * 100)`
+    * (1.005 → 101 cents here, but 1.005*100 = 100.4999… rounds to 100).
+    * Streamed state must use THIS conversion or the documented
+    * "replay converges to the batch answer" equality silently breaks on
+    * >2-dp inputs.
+    */
+  private def centsOf(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
   def runningTotalsStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -451,7 +465,7 @@ object EventStream {
         case (userId, rows, state: GroupState[Long]) =>
           var cents = state.getOption.getOrElse(0L)
           val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            cents += math.round(e.value * 100)
+            cents += centsOf(e.value)
             RunningRow(userId, e.event_id, cents / 100.0)
           }
           state.update(cents)
@@ -485,7 +499,7 @@ object EventStream {
         case (userId, rows, state: GroupState[DecayState]) =>
           val prior = state.getOption.map(_.recent).getOrElse(Nil)
           val arrived = rows.map(e => (e.ts.getTime * 1000L, e.event_id,
-            math.round(e.value * 100))).toList
+            centsOf(e.value))).toList
           // newest-first under the batch operator's (ts, id) order; the
           // buffer keeps only the top n so state stays bounded
           val recent = (prior ++ arrived).distinct

@@ -86,6 +86,63 @@ class EventStreamSpec extends SparkSpec {
     assert(last._3 == 2800L)
   }
 
+  test("decayScoreStream: cents conversion matches batch OFF the 2-dp domain") {
+    // 1.005 is the canonical trap: the double is 1.00499999…, so naive
+    // math.round(v*100) = 100 while Spark's double→decimal(18,2) cast
+    // (shortest-repr parse, HALF_UP) yields 101 cents. 2.675 likewise
+    // (267.49999… vs 268). The streamed state must take the cast's side.
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.decayScoreStream(input.toDF(), n = 4)
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("decay3dp")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, 1.005),
+      (2L, ts("2024-01-02 00:00:00"), 7L, 2.675),
+      (3L, ts("2024-01-03 00:00:00"), 7L, 0.125))
+    input.addData(events.map { case (id, t, u, v) =>
+      EventStream.Event(id, t, u, "click", v) }: _*)
+    query.processAllAvailable()
+    query.stop()
+    val last = spark.table("decay3dp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).last
+    val batch = graft.operators.Analytics.decayScores(
+      events.toDF("event_id", "ts", "user_id", "value"),
+      "user_id", "ts", "event_id", "value", n = 4).collect().head
+    assert(last == ((7L, batch.getLong(1), batch.getLong(2))),
+      s"stream $last vs batch $batch")
+    // hand check with the cast's cents, weights 2^(n-1-i) newest-first:
+    // 13c*8 + 268c*4 + 101c*2 = 1378 (naive rounding would give 12c/267c/
+    // 100c → 1364)
+    assert(last._3 == 1378L)
+  }
+
+  test("runningTotalsStream: cents conversion matches batch OFF the 2-dp domain") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.runningTotalsStream(input.toDF())
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("running3dp")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 9L, "click", 1.005),
+      EventStream.Event(2, ts("2024-01-02 00:00:00"), 9L, "click", 2.675))
+    query.processAllAvailable()
+    query.stop()
+    val totals = spark.table("running3dp").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // cast-cents: 101 then 101+268 = 369 → 1.01, 3.69 (naive rounding
+    // would read 1.00 / 3.67)
+    assert(totals(1L) == 1.01 && totals(2L) == 3.69, totals.toString)
+  }
+
   test("hllRegisterStream: streamed registers equal the batch builder's") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
