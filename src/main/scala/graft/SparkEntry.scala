@@ -41,6 +41,29 @@ object SparkEntry {
     "de" -> Seq("join", "group"),
     "zh" -> Seq("spark", "stream"))
 
+  /** Build-once-per-session bucketed trade-edge tables (the
+    * q_bucketed_join idiom): the graph family's registered queries run
+    * against the bucketed substrate — the plan that survives 10¹⁰ nodes
+    * with zero node-bounded broadcasts — and the bucketing write is the
+    * amortized one-off layout cost, paid on first use per (session, sf).
+    */
+  private def gredgesTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gredges_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeTradeEdgeTable(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
+  private def gwedgesTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gwedges_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeTradeEdgeTableWeighted(Tables.orders(s, dir),
+        Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 — daily-partitioned extract; the date filter is phrased as a
     // range on the STORED ts representation so it pushes down to the
@@ -1434,9 +1457,13 @@ object SparkEntry {
 
     // §2.67 — exact-integer PageRank over the customer–supplier trade
     // graph: 6 BSP rounds of BIGINT floor-division damping — link-analysis
-    // centrality with zero float hazard, hash-exact on any engine
+    // centrality with zero float hazard, hash-exact on any engine. Runs
+    // the BUCKETED-EDGE plan (edge table scans in place, only the
+    // (node, pr) vector exchanges per round, zero broadcasts) — the shape
+    // that survives 10¹⁰ nodes; spec-proven rank-identical to the
+    // broadcast loop
     "q_pagerank" -> ((s, dir) =>
-      graft.operators.Graph.pageRank(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+      graft.operators.Graph.pageRankBucketed(s, gredgesTable(s, dir))),
 
     // §2.8b — per-column data profile: null rate, exact distinct, numeric
     // bounds (ts as epoch micros) in ONE aggregate pass — the descriptive
@@ -1634,18 +1661,24 @@ object SparkEntry {
 
     // §2.67c — WEIGHTED exact-integer PageRank: edges carry distinct
     // order counts and mass splits proportionally in BIGINT floor
-    // division — steady relationships outrank one-off orders
+    // division — steady relationships outrank one-off orders. Bucketed
+    // plan: w and src_wdeg ride each edge, so the per-round exchange is
+    // still exactly (node, pr)
     "q_pagerank_weighted" -> ((s, dir) =>
-      graft.operators.Graph.pageRankWeighted(Tables.orders(s, dir),
-        Tables.lineitem(s, dir))),
+      graft.operators.Graph.pageRankWeightedBucketed(s, gwedgesTable(s, dir))),
 
     // §2.67b — BFS layer expansion from the nation-1 customer seed set
     // over the trade graph: per-hop frontier sizes split by side +
-    // the unreached remainder — the traversal member of the graph family
-    "q_bfs_layers" -> ((s, dir) =>
-      graft.operators.Graph.bfsLayers(Tables.orders(s, dir),
-        Tables.lineitem(s, dir), Tables.customer(s, dir),
-        seedNationKey = 1, maxHops = 4)),
+    // the unreached remainder — the traversal member of the graph family.
+    // Bucketed plan: visited set lives in an appendable bucketed table
+    // (anti-join exchanges only the candidates), frontier merge-joins
+    // into the in-place edge scan — no broadcast grows with the graph
+    "q_bfs_layers" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      graft.operators.Graph.bfsLayersBucketed(s, gredgesTable(s, dir),
+        s"graft_bfs_visited_$tag", s"/tmp/graft_graph_$tag", buckets = 32,
+        Tables.customer(s, dir), seedNationKey = 1, maxHops = 4)
+    }),
 
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
     // counts + row share in bp + diagonal flag — the classifier's error

@@ -491,6 +491,26 @@ object Stress {
     time("pagerank_weighted") {
       graft.operators.Graph.pageRankWeighted(ordersX, lineitemX)
     }
+    // The bucketed-edge substrate (the registered plan): the one-off
+    // layout build scales with the edge list; the loop's per-round cost
+    // must stay rank-vector-bounded — edges scan in place, zero
+    // broadcasts, so the curve stays flat where the broadcast loop's
+    // per-round share broadcast grows with N.
+    time("pagerank_bkt_build") {
+      graft.operators.Graph.writeTradeEdgeTable(ordersX, lineitemX,
+        "stress_gredges", "/tmp/graft_stress_gredges", buckets = cpus.toInt)
+      spark.table("stress_gredges")
+    }
+    time("pagerank_bucketed") {
+      graft.operators.Graph.pageRankBucketed(spark, "stress_gredges")
+    }
+    time("bfs_bucketed") {
+      val cust = Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_nationkey")
+      graft.operators.Graph.bfsLayersBucketed(spark, "stress_gredges",
+        "stress_bfs_visited", "/tmp/graft_stress_gredges",
+        buckets = cpus.toInt, cust, seedNationKey = 1, maxHops = 4)
+    }
     // HLL rollup: register state is (groups x days x 512) regardless of
     // events volume; the two corpus distincts are the only linear terms.
     time("hll_rollup") {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relational edge lists — the link-analysis
@@ -8,6 +8,33 @@ import org.apache.spark.sql.functions._
   * CC answers "which docs are the same", PageRank answers "which nodes
   * matter", the quality prior web-corpus pipelines (Common-Crawl-style)
   * attach to a harvested page before any content model runs.
+  *
+  * Two physical substrates, same exact-integer semantics (spec-proven
+  * identical outputs):
+  *
+  *   - BROADCAST loops ([[pageRank]]/[[pageRankWeighted]]/[[bfsLayers]]):
+  *     the N-row rank vector / visited set broadcasts into the edge join
+  *     each round. Optimal while the vector fits every executor (~10⁷
+  *     nodes); the right local plan.
+  *   - BUCKETED-TABLE loops ([[pageRankBucketed]]/
+  *     [[pageRankWeightedBucketed]]/[[bfsLayersBucketed]]): the edge list
+  *     is persisted ONCE as a warehouse table bucketed by src with both
+  *     endpoints' degrees riding each edge ([[writeTradeEdgeTable]]), so
+  *     per round the ONLY thing that moves is the slim (node, pr) rank
+  *     vector — merge-hinted sort-merge joins scan the edges in place,
+  *     and the visited set lives in an appendable bucketed table instead
+  *     of a broadcast. No broadcast of any node-count-bounded set
+  *     anywhere, so the same loop runs at 10¹⁰ nodes. GraphSpec asserts
+  *     both the plan shape (bucketed scan, zero BroadcastExchange) and
+  *     output equality with the broadcast path.
+  *
+  * Every loop accepts `reliableStagePath`: default rounds are
+  * `localCheckpoint()` (executor-memory lineage truncation — fastest
+  * locally, but an executor loss mid-iteration kills the job on a real
+  * cluster); with the option set, rounds stage through durable parquet
+  * under the given root (the Dedup.RoundStager contract), so lineage
+  * survives executor loss. GraphSpec proves rank equality between the
+  * two modes.
   *
   * Reference anchor: the lake-SQL analytics family (trino.py:74) — graph
   * centrality is the canonical query that outgrows one-shot SQL and needs
@@ -28,6 +55,21 @@ object Graph {
       .unionByName(raw.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** One bounded row per BFS layer: node count split by graph side. */
+  private def layerRow(df: DataFrame, label: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(when(col("node").startsWith("c:"), 1L).otherwise(0L)),
+        lit(0L)).as("n_customers"),
+      coalesce(sum(when(col("node").startsWith("s:"), 1L).otherwise(0L)),
+        lit(0L)).as("n_suppliers"))
+      .select(label.as("layer"), col("n_nodes"), col("n_customers"),
+        col("n_suppliers"))
+
+  private def zeroRow(spark: SparkSession, hop: Int): DataFrame =
+    spark.range(1).select(lit(hop.toLong).as("layer"),
+      lit(0L).as("n_nodes"), lit(0L).as("n_customers"),
+      lit(0L).as("n_suppliers"))
+
   /** Exact-integer PageRank over the customer–supplier trade graph
     * (edges = distinct (o_custkey, l_suppkey) pairs via orders ⋈ lineitem,
     * undirected: each edge contributes both directions, so every node has
@@ -41,40 +83,40 @@ object Graph {
     * Output: the top `topK` nodes by rank (ties toward the smaller id)
     * with their degree — bounded rows via TakeOrdered, never a full sort.
     *
-    * 100 TB posture: the edge list is derived and materialized ONCE
-    * (localCheckpoint); each round ships only the N-row share vector
-    * (node, pre-divided contribution) as a BROADCAST into the edge join —
-    * the edges never shuffle after their one distinct — and the groupBy(dst)
+    * 100 TB posture: the edge list is derived and materialized ONCE;
+    * each round ships only the N-row share vector (node, pre-divided
+    * contribution) as a BROADCAST into the edge join — the edges never
+    * shuffle after their one distinct — and the groupBy(dst)
     * partial-aggregates map-side to ≤ N rows per partition before the one
     * slim exchange per round. Degree rides the rank vector via a broadcast
     * N-row join. This holds while the rank vector broadcasts (~10⁷ nodes);
-    * beyond that the same loop runs with the edges bucketed by src in a
-    * warehouse table (the q_dedup_ingest layout) so only the rank vector
-    * ever exchanges. Rank mass is bounded by N * 10⁶ micro-units, so the
-    * `* 85` stays far inside BIGINT.
+    * beyond that, [[pageRankBucketed]] runs the same loop against the
+    * bucketed edge table so only the rank vector ever exchanges — no
+    * broadcast at any node count. Rank mass is bounded by N * 10⁶
+    * micro-units, so the `* 85` stays far inside BIGINT.
     */
   def pageRank(orders: DataFrame, lineitem: DataFrame, iters: Int = 6,
-      topK: Int = 20): DataFrame = {
-    val edges0 = tradeEdges(orders, lineitem).localCheckpoint()
-    val deg = edges0.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      topK: Int = 20,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(orders.sparkSession, reliableStagePath)
+    val edges0 = stager(tradeEdges(orders, lineitem), "edges0")
+    val deg = stager(edges0.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")), "deg")
     // dst-side degree rides each edge so a round's aggregate rebuilds the
     // (node, pr, deg) vector in ONE pass — no per-round degree join
-    val edges = edges0
+    val edges = stager(edges0
       .join(broadcast(deg.select(col("node").as("dst"),
-        col("deg").as("dst_deg"))), "dst")
-      .localCheckpoint()
-    var ranks = deg.select(col("node"), lit(1000000L).as("pr"), col("deg"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+        col("deg").as("dst_deg"))), "dst"), "edges")
+    var ranks = stager(
+      deg.select(col("node"), lit(1000000L).as("pr"), col("deg")), "pr_0")
+    for (i <- 1 to iters) {
       val shares = ranks.select(col("node").as("src"),
         expr("(pr * 85) DIV (100 * deg)").as("contrib"))
-      ranks = edges
+      ranks = stager(edges
         .join(broadcast(shares), "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(150000L) + sum(col("contrib"))).as("pr"),
-          max(col("dst_deg")).as("deg"))
-        .localCheckpoint()
+          max(col("dst_deg")).as("deg")), s"pr_$i")
     }
     ranks
       .select(col("node").as("node_id"), col("pr").as("rank_micro"),
@@ -93,10 +135,12 @@ object Graph {
     * which the unweighted walk cannot see. Same per-round cost profile:
     * the weighted edge list materializes once with (w, dst_deg_w) riding
     * each edge, the share vector broadcasts, the aggregate map-side
-    * combines.
+    * combines. Beyond broadcast reach, [[pageRankWeightedBucketed]].
     */
   def pageRankWeighted(orders: DataFrame, lineitem: DataFrame,
-      iters: Int = 6, topK: Int = 20): DataFrame = {
+      iters: Int = 6, topK: Int = 20,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(orders.sparkSession, reliableStagePath)
     val raw = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -105,30 +149,29 @@ object Graph {
         col("o_orderkey"))
       .groupBy(col("a"), col("b"))
       .agg(countDistinct(col("o_orderkey")).as("w"))
-    val edges0 = raw.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(raw.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
-    val wdeg = edges0.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("wdeg"), count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val edges = edges0
+    val edges0 = stager(
+      raw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(raw.select(col("b").as("src"), col("a").as("dst"),
+          col("w"))), "wedges0")
+    val wdeg = stager(edges0.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wdeg"), count(lit(1)).as("deg")), "wdeg")
+    val edges = stager(edges0
       .join(broadcast(wdeg.select(col("node").as("dst"),
-        col("wdeg").as("dst_wdeg"), col("deg").as("dst_deg"))), "dst")
-      .localCheckpoint()
-    var ranks = wdeg.select(col("node"), lit(1000000L).as("pr"), col("wdeg"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+        col("wdeg").as("dst_wdeg"), col("deg").as("dst_deg"))), "dst"),
+      "wedges")
+    var ranks = stager(
+      wdeg.select(col("node"), lit(1000000L).as("pr"), col("wdeg")), "wpr_0")
+    for (i <- 1 to iters) {
       val shares = ranks.select(col("node").as("src"), col("pr"),
         col("wdeg"))
-      ranks = edges
+      ranks = stager(edges
         .join(broadcast(shares), "src")
         .select(col("dst"),
           expr("(pr * 85 * w) DIV (100 * wdeg)").as("contrib"),
           col("dst_wdeg"))
         .groupBy(col("dst").as("node"))
         .agg((lit(150000L) + sum(col("contrib"))).as("pr"),
-          max(col("dst_wdeg")).as("wdeg"))
-        .localCheckpoint()
+          max(col("dst_wdeg")).as("wdeg")), s"wpr_$i")
     }
     ranks.join(broadcast(wdeg.select(col("node"), col("deg"), col("wdeg")
         .as("w_total"))), "node")
@@ -151,31 +194,23 @@ object Graph {
     *
     * Scale shape: each round is one join of the edge list against the
     * BROADCAST frontier + one distinct, minus-ed against the visited set
-    * by a broadcast anti-join (frontier and visited are node-bounded);
-    * the edge list materializes once. Set semantics throughout — no
-    * ordering, no float, hash-exact anywhere.
+    * by a broadcast anti-join; the edge list materializes once. The
+    * visited set grows toward ALL nodes, so past broadcast reach the
+    * same traversal runs as [[bfsLayersBucketed]] (visited as a bucketed
+    * table, anti-join shuffles only the candidates). Set semantics
+    * throughout — no ordering, no float, hash-exact anywhere.
     */
   def bfsLayers(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
-      seedNationKey: Int, maxHops: Int = 4): DataFrame = {
-    val edges = tradeEdges(orders, lineitem).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
-    val seeds = customer.where(col("c_nationkey") === seedNationKey)
-      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
-      .join(nodes, "node").localCheckpoint()
-    def layerRow(df: DataFrame, label: Column): DataFrame =
-      df.agg(count(lit(1)).as("n_nodes"),
-        coalesce(sum(when(col("node").startsWith("c:"), 1L).otherwise(0L)),
-          lit(0L)).as("n_customers"),
-        coalesce(sum(when(col("node").startsWith("s:"), 1L).otherwise(0L)),
-          lit(0L)).as("n_suppliers"))
-        .select(label.as("layer"), col("n_nodes"), col("n_customers"),
-          col("n_suppliers"))
+      seedNationKey: Int, maxHops: Int = 4,
+      reliableStagePath: Option[String] = None): DataFrame = {
     val spark = orders.sparkSession
-    def zeroRow(hop: Int): DataFrame =
-      spark.range(1).select(lit(hop.toLong).as("layer"),
-        lit(0L).as("n_nodes"), lit(0L).as("n_customers"),
-        lit(0L).as("n_suppliers"))
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val edges = stager(tradeEdges(orders, lineitem), "bfs_edges")
+    val nodes = stager(edges.select(col("src").as("node")).distinct(),
+      "bfs_nodes")
+    val seeds = stager(customer.where(col("c_nationkey") === seedNationKey)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
+      .join(nodes, "node"), "bfs_seeds")
     var frontier = seeds
     var visited = seeds
     var out = layerRow(frontier, lit(0L))
@@ -185,17 +220,204 @@ object Graph {
     var exhausted = frontier.limit(1).count() == 0
     for (hop <- 1 to maxHops) {
       if (!exhausted) {
-        frontier = edges
+        frontier = stager(edges
           .join(broadcast(frontier.select(col("node").as("src"))), "src")
           .select(col("dst").as("node")).distinct()
-          .join(broadcast(visited), Seq("node"), "left_anti")
-          .localCheckpoint()
-        visited = visited.unionByName(frontier).localCheckpoint()
+          .join(broadcast(visited), Seq("node"), "left_anti"), s"bfs_f$hop")
+        visited = stager(visited.unionByName(frontier), s"bfs_v$hop")
         exhausted = frontier.limit(1).count() == 0
         out = out.unionByName(layerRow(frontier, lit(hop.toLong)))
-      } else out = out.unionByName(zeroRow(hop))
+      } else out = out.unionByName(zeroRow(spark, hop))
     }
     val unreached = nodes.join(broadcast(visited), Seq("node"), "left_anti")
+    out.unionByName(layerRow(unreached, lit(-1L)))
+      .orderBy(col("layer"))
+  }
+
+  // ------------------------------------------- bucketed-edge substrate
+
+  /** Persist the undirected trade edge list as a bucketed, bucket-sorted
+    * warehouse table keyed by src — the durable substrate the iterative
+    * loops run against past broadcast reach (the q_dedup_ingest bucketed
+    * layout, applied to graphs). BOTH endpoints' degrees ride each edge
+    * (`src_deg` for the share division, `dst_deg` so a round's aggregate
+    * rebuilds the degree without any join), which is what makes the
+    * per-round exchanged vector exactly (node, pr) and nothing else.
+    *
+    * The build itself must run at any node count, so it uses plain
+    * shuffle joins — no broadcast anywhere. Its two exchanges (degree
+    * join + the bucketing write) are the one-off cost every later
+    * centrality/traversal run amortizes, exactly like the bucketed
+    * fact-table layout (Pipeline.writeBucketed).
+    */
+  def writeTradeEdgeTable(orders: DataFrame, lineitem: DataFrame,
+      table: String, root: String, buckets: Int): Unit = {
+    val edges0 = tradeEdges(orders, lineitem)
+    val deg = edges0.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    edges0
+      .join(deg.select(col("node").as("src"), col("deg").as("src_deg")),
+        "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dst_deg")),
+        "dst")
+      .select(col("src"), col("dst"), col("src_deg"), col("dst_deg"))
+      // one file per bucket: the scan then carries the bucket SORT too,
+      // so the per-round merge join never re-sorts the edge side
+      .repartition(buckets, col("src"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+  }
+
+  /** Weighted twin of [[writeTradeEdgeTable]]: edges carry the distinct
+    * order count `w`, both endpoints' weighted degrees (`src_wdeg` /
+    * `dst_wdeg`), and both plain degrees (for the report columns). */
+  def writeTradeEdgeTableWeighted(orders: DataFrame, lineitem: DataFrame,
+      table: String, root: String, buckets: Int): Unit = {
+    val raw = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("b"),
+        col("o_orderkey"))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+    val edges0 = raw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(raw.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+    val wdeg = edges0.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wdeg"), count(lit(1)).as("deg"))
+    edges0
+      .join(wdeg.select(col("node").as("src"), col("wdeg").as("src_wdeg"),
+        col("deg").as("src_deg")), "src")
+      .join(wdeg.select(col("node").as("dst"), col("wdeg").as("dst_wdeg"),
+        col("deg").as("dst_deg")), "dst")
+      .select(col("src"), col("dst"), col("w"), col("src_wdeg"),
+        col("dst_wdeg"), col("src_deg"), col("dst_deg"))
+      .repartition(buckets, col("src"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+  }
+
+  /** One bucketed PageRank round, exposed for plan audits: edges scan in
+    * place (bucketed by src), the merge hint pins a sort-merge join so
+    * the shares side is the ONLY exchanged input, and the groupBy(dst)
+    * map-side combines to ≤ N rows per partition before the one slim
+    * exchange. Zero BroadcastExchange at any node count (GraphSpec
+    * asserts this on the physical plan).
+    */
+  private[graft] def rankRoundBucketed(edges: DataFrame,
+      ranks: DataFrame): DataFrame =
+    edges
+      .join(ranks.select(col("node").as("src"), col("pr")).hint("merge"),
+        "src")
+      .groupBy(col("dst").as("node"))
+      .agg((lit(150000L) +
+        sum(expr("(pr * 85) DIV (100 * src_deg)"))).as("pr"))
+
+  /** [[pageRank]] against the bucketed edge table — identical ranks
+    * (exact integers, spec-proven), no broadcast of any node-bounded
+    * set: the plan that survives 10¹⁰ nodes. Per round the edge table
+    * scans in place and only the (node, pr) vector exchanges (once into
+    * the merge join, once — map-side combined — out of the aggregate).
+    */
+  def pageRankBucketed(spark: SparkSession, table: String, iters: Int = 6,
+      topK: Int = 20,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val edges = spark.table(table)
+    // distinct on the bucket key: zero-exchange — so is every per-round
+    // degree-free derivation below
+    var ranks = stager(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("pr")), "bpr_0")
+    for (i <- 1 to iters)
+      ranks = stager(rankRoundBucketed(edges, ranks), s"bpr_$i")
+    val degf = edges.groupBy(col("src").as("node"))
+      .agg(max(col("src_deg")).as("deg"))
+    ranks.join(degf.hint("merge"), "node")
+      .select(col("node").as("node_id"), col("pr").as("rank_micro"),
+        col("deg").as("degree"))
+      .orderBy(col("rank_micro").desc, col("node_id").asc)
+      .limit(topK)
+  }
+
+  /** [[pageRankWeighted]] against the weighted bucketed edge table —
+    * identical ranks, same zero-broadcast shape as [[pageRankBucketed]]:
+    * `w` and `src_wdeg` ride the edge, so the exchanged vector is still
+    * exactly (node, pr). */
+  def pageRankWeightedBucketed(spark: SparkSession, table: String,
+      iters: Int = 6, topK: Int = 20,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val edges = spark.table(table)
+    var ranks = stager(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("pr")), "bwpr_0")
+    for (i <- 1 to iters)
+      ranks = stager(edges
+        .join(ranks.select(col("node").as("src"), col("pr")).hint("merge"),
+          "src")
+        .groupBy(col("dst").as("node"))
+        .agg((lit(150000L) +
+          sum(expr("(pr * 85 * w) DIV (100 * src_wdeg)"))).as("pr")),
+        s"bwpr_$i")
+    val degf = edges.groupBy(col("src").as("node"))
+      .agg(max(col("src_deg")).as("deg"),
+        max(col("src_wdeg")).as("w_total"))
+    ranks.join(degf.hint("merge"), "node")
+      .select(col("node").as("node_id"), col("pr").as("rank_micro"),
+        col("deg").as("degree"), col("w_total").as("weight_total"))
+      .orderBy(col("rank_micro").desc, col("node_id").asc)
+      .limit(topK)
+  }
+
+  /** [[bfsLayers]] against the bucketed edge table, with the visited set
+    * as an appendable bucketed table instead of a broadcast — identical
+    * layer rows (set semantics, spec-proven). Per round: the frontier
+    * merge-joins into the in-place edge scan (frontier is the exchanged
+    * side), candidates anti-join the bucketed visited table (candidates
+    * are the exchanged side), and the new frontier APPENDS into the
+    * visited table's buckets — the visited set never moves again. No
+    * broadcast grows with the graph, so the traversal survives node
+    * counts where [[bfsLayers]]' `broadcast(visited)` cannot fit an
+    * executor.
+    */
+  def bfsLayersBucketed(spark: SparkSession, table: String,
+      visitedTable: String, visitedRoot: String, buckets: Int,
+      customer: DataFrame, seedNationKey: Int, maxHops: Int = 4,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val edges = spark.table(table)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = stager(customer
+      .where(col("c_nationkey") === seedNationKey)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
+      .hint("merge").join(nodes, "node"), "bbfs_seeds")
+    // visited state: a bucketed table seeded with layer 0; each round's
+    // frontier appends into the same buckets (O(frontier) work, never a
+    // rewrite — the appendBucketedIndex discipline)
+    seeds.select(col("node"))
+      .write.mode("overwrite").option("path", s"$visitedRoot/$visitedTable")
+      .bucketBy(buckets, "node").sortBy("node")
+      .saveAsTable(visitedTable)
+    var frontier = seeds
+    var out = layerRow(frontier, lit(0L))
+    var exhausted = frontier.limit(1).count() == 0
+    for (hop <- 1 to maxHops) {
+      if (!exhausted) {
+        frontier = stager(edges
+          .join(frontier.select(col("node").as("src")).hint("merge"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(spark.table(visitedTable).hint("merge"), Seq("node"),
+            "left_anti"), s"bbfs_f$hop")
+        frontier.select(col("node")).write.mode("append")
+          .insertInto(visitedTable)
+        exhausted = frontier.limit(1).count() == 0
+        out = out.unionByName(layerRow(frontier, lit(hop.toLong)))
+      } else out = out.unionByName(zeroRow(spark, hop))
+    }
+    val unreached = nodes.join(spark.table(visitedTable).hint("merge"),
+      Seq("node"), "left_anti")
     out.unionByName(layerRow(unreached, lit(-1L)))
       .orderBy(col("layer"))
   }
