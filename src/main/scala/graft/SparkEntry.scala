@@ -64,6 +64,26 @@ object SparkEntry {
     tbl
   }
 
+  /** Build-once-per-session BUCKETED signature-index tables (the
+    * recurring-ingest warehouse layout, Ingest.writeBucketedIndex): the
+    * registered decide query then times what a daily ingest actually
+    * pays — the batch-side work against an in-place index scan — with
+    * the index build amortized exactly like the graph edge tables.
+    */
+  private def ingestIndexTables(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val name = s"graft_ingestidx_$tag"
+    if (!s.catalog.tableExists(s"${name}_hash")) {
+      val corpus = Tables.documents(s, dir)
+        .where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Ingest.writeBucketedIndex(
+        graft.operators.Ingest.signatureIndex(corpus, 64),
+        name, s"/tmp/graft_ingestidx_$tag", buckets = 32, k = 64, bands = 16)
+    }
+    name
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 — daily-partitioned extract; the date filter is phrased as a
     // range on the STORED ts representation so it pushes down to the
@@ -1024,6 +1044,32 @@ object SparkEntry {
         graft.operators.Ingest.signatureIndex(corpus, 64), Seq(b1, b2))
     }),
 
+    // §2.16h — the RECURRING ingest shape q_dedup_ingest's one-shot chain
+    // amortizes into: one arriving batch decided against the PERSISTED
+    // bucketed signature index (hash table bucketed by text_hash, band
+    // table bucketed by (band, bh) — each tier's index side scans in
+    // place with zero exchange, BucketedIngestSpec asserts it). The
+    // index build is the once-per-corpus layout cost, paid outside the
+    // timed decide exactly like the graph family's edge tables; what
+    // this query times is what a daily 100 TB ingest actually pays.
+    "q_ingest_decide" -> ((s, dir) => {
+      val name = ingestIndexTables(s, dir)
+      val docs = Tables.documents(s, dir)
+      val trunc = expr("substring(text, 1, greatest(length(text) - 30, 1))")
+      val b1 = docs.where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"), trunc.as("text")))
+      // the decide probes the batch side in all four tiers — materialize
+      // the signatures once (the chain's own discipline) so the minhash
+      // pass over the batch text runs once, not per tier
+      graft.operators.Ingest.ingestDecisionsBucketed(s, name,
+        graft.operators.Ingest.signatureIndex(b1, 64).localCheckpoint(),
+        64, 16, 0.5)
+    }),
+
     // §2.24z — per-source data card: doc/token mass, short-doc,
     // repetitive, and benchmark-contaminated counts — every gate rides
     // the SAME single scan as native projections (GramRunStats +
@@ -1471,6 +1517,21 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       graft.validation.Profile.profile(Tables.events(s, dir))),
 
+    // §2.8c — constant-state per-column profile: one 512-register HLL
+    // file per column instead of q_profile's |cols|-way exact
+    // countDistinct expand (O(cols*512) aggregation state at any scale);
+    // column identities are the portable canonical strings (epoch
+    // micros for ts, 2-dp cents for value) so the register file replays
+    // bit-exactly in the oracle
+    "q_profile_hll" -> ((s, dir) =>
+      graft.validation.Profile.profileHll(Tables.events(s, dir), Seq(
+        "event_id" -> col("event_id"),
+        "ts" -> unix_micros(col("ts").cast("timestamp")),
+        "user_id" -> col("user_id"),
+        "event_type" -> col("event_type"),
+        "value" -> (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        "props" -> col("props")))),
+
     // §2.7e — right-to-be-forgotten retraction: erased users (id % 17 = 0)
     // become negative deltas subtracted from the stored state — no corpus
     // rescan; verdict certified vs the rebuild over survivors
@@ -1697,6 +1758,14 @@ object SparkEntry {
     // critical value — run before trusting any A/B metric
     "q_srm_check" -> ((s, dir) =>
       Analytics.srmCheck(Tables.events(s, dir), "user_id")),
+
+    // §2.58d — N-arm SRM: chi-square over 4 equal-weight arms in exact
+    // integer micro-units ((sum of (n_i*A - n)^2)*10^6 DIV (A*n),
+    // decimal(38,0) accumulation), flag vs the df=3 95% critical value
+    // 7.814728; one row per arm with the verdict riding along
+    "q_srm_narm" -> ((s, dir) =>
+      Analytics.srmCheckNArm(Tables.events(s, dir), "user_id",
+        arms = 4, critMicro = 7814728L)),
 
     // §2.58b — CUPED variance reduction: pre-period covariate adjustment
     // with exact-BIGINT theta fraction (integer-OLS style), adjusted arm
@@ -2461,6 +2530,8 @@ object SparkEntry {
     "q_cross_dedup_staged" -> crossDedupStagedOracle,
 
     "q_dedup_ingest" -> dedupIngestSql,
+
+    "q_ingest_decide" -> ingestDecideSql,
 
     "q_dedup_simhash_portable" -> simhashPortableOracle,
     "q_simhash_calibration" -> simhashCalibrationOracle,
@@ -3348,6 +3419,70 @@ object SparkEntry {
          |  CAST(round(abs(hll_est - CAST(n_exact AS DOUBLE))
          |    / CAST(n_exact AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
          |FROM e2 ORDER BY event_type""".stripMargin
+    },
+
+    // per-column register-file replay: the q_hll_counts scheme over the
+    // unpivoted (col_name, canonical string) rows — epoch micros for ts,
+    // 2-dp cents for value, decimal strings for the BIGINT ids — so every
+    // column's 512 registers rebuild bit-exactly
+    "q_profile_hll" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH u AS (
+         |  SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS v
+         |  FROM events WHERE event_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+         |  WHERE ts IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         |  WHERE user_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'event_type', event_type FROM events
+         |  WHERE event_type IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'value',
+         |    CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)
+         |  FROM events WHERE value IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'props', props FROM events WHERE props IS NOT NULL),
+         |d AS (SELECT DISTINCT col_name, v FROM u),
+         |h AS (
+         |  SELECT col_name, ${md5bits("'hll:' || v")} AS hc
+         |  FROM d),
+         |r AS (
+         |  SELECT col_name, hc % 512 AS idx,
+         |    CASE WHEN hc // 512 = 0 THEN 44
+         |         ELSE 44 - length(bin(hc // 512)) END AS rho
+         |  FROM h),
+         |reg AS (
+         |  SELECT col_name, idx, max(rho) AS mx,
+         |    CAST(count(*) AS BIGINT) AS nv
+         |  FROM r GROUP BY 1, 2),
+         |g AS (
+         |  SELECT col_name, CAST(count(*) AS BIGINT) AS npres,
+         |    CAST(sum(nv) AS BIGINT) AS n_exact,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - mx AS INT)) AS BIGINT) AS sp
+         |  FROM reg GROUP BY 1),
+         |e AS (
+         |  SELECT col_name, n_exact, CAST(512 - npres AS INT) AS v_zero,
+         |    CAST('3.3194137200059597e+18' AS DOUBLE)
+         |      / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE) AS est_raw
+         |  FROM g),
+         |e2 AS (
+         |  SELECT col_name, n_exact, v_zero,
+         |    (est_raw <= 1280.0 AND v_zero > 0) AS small_range,
+         |    round(CASE WHEN est_raw <= 1280.0 AND v_zero > 0
+         |      THEN CAST(512 AS DOUBLE) * ln(CAST(512 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+         |      ELSE est_raw END, 2) AS hll_est
+         |  FROM e)
+         |SELECT col_name, n_exact, v_zero, small_range, hll_est,
+         |  CAST(round(abs(hll_est - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
+         |FROM e2 ORDER BY col_name""".stripMargin
     },
 
     // bottom-k sketch replay: global row_number per group == the operator's
@@ -4247,6 +4382,38 @@ object SparkEntry {
         |    > 3841459 AS srm_flag
         |FROM a""".stripMargin,
 
+    // N-arm replay: same rolling-hash assignment mod 4, arm spine from
+    // range(4) so empty arms still contribute, HUGEINT squared-deviation
+    // sum, chi2_micro = (ss*10^6) // (4*n) exactly as the operator's
+    // decimal(38,0) DIV
+    "q_srm_narm" ->
+      """WITH v AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 4 AS variant
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE user_id IS NOT NULL)),
+        |pa0 AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_arm
+        |  FROM v GROUP BY 1),
+        |ids AS (SELECT CAST(range AS BIGINT) AS variant FROM range(4)),
+        |pa AS (
+        |  SELECT ids.variant, COALESCE(pa0.n_arm, 0) AS n_arm
+        |  FROM ids LEFT JOIN pa0 USING (variant)),
+        |n AS (SELECT CAST(sum(n_arm) AS BIGINT) AS n_users FROM pa),
+        |d AS (
+        |  SELECT variant, n_arm, n_users, n_arm * 4 - n_users AS dev_a
+        |  FROM pa, n),
+        |c AS (
+        |  SELECT CAST((sum(CAST(dev_a AS HUGEINT) * CAST(dev_a AS HUGEINT))
+        |      * 1000000) // (4 * CAST(max(n_users) AS HUGEINT)) AS BIGINT)
+        |    AS chi2_micro
+        |  FROM d)
+        |SELECT variant, n_arm, n_users, dev_a, chi2_micro,
+        |  chi2_micro > 7814728 AS srm_flag
+        |FROM d, c ORDER BY variant""".stripMargin,
+
     // per-user cents split at the cut date, pooled BIGINT moments, the
     // same double ops for theta and the adjusted means
     "q_cuped" ->
@@ -4295,7 +4462,7 @@ object SparkEntry {
         |           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
         |    ELSE CAST(sy_v AS DOUBLE) / CAST(n_v AS DOUBLE) END, 4)
         |    AS adj_mean_cents,
-        |  num AS theta_num, den AS theta_den,
+        |  CAST(num AS DOUBLE) AS theta_num, CAST(den AS DOUBLE) AS theta_den,
         |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0
         |    / CAST(den AS DOUBLE) + 0.5) AS BIGINT) END AS theta_u
         |FROM w ORDER BY variant""".stripMargin,
@@ -5413,6 +5580,74 @@ object SparkEntry {
        |WHERE CAST(len(list_filter(range(1, ${k + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k >= 0.5""".stripMargin
   }
 
+  /** The tier-by-tier batch-decide CTE chain shared by the q_dedup_ingest
+    * and q_ingest_decide oracles (one definition so the one-shot chain
+    * and the bucketed recurring path can never diverge in the replay):
+    * exact-hash vs index, banded minhash vs index, greedy within-batch
+    * exact/near, priority CASE — yields `dec_<b>` (doc_id, verdict,
+    * matched_id).
+    */
+  private def ingestDecideCtes(b: String, idxHash: String,
+      idxBanded: String): String = {
+    val est = "CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64"
+    s"""exacti_$b AS (
+       |  SELECT h.doc_id, min(i.doc_id) AS m
+       |  FROM h_$b h JOIN $idxHash i USING (text_hash) GROUP BY h.doc_id),
+       |candi_$b AS (
+       |  SELECT DISTINCT x.doc_id AS idx_id, y.doc_id AS b_id,
+       |    x.sig AS sig_a, y.sig AS sig_b
+       |  FROM $idxBanded x JOIN banded_$b y ON x.band = y.band AND x.bv = y.bv),
+       |neari_$b AS (
+       |  SELECT b_id AS doc_id, min(idx_id) AS m FROM candi_$b
+       |  WHERE $est >= 0.5 GROUP BY b_id),
+       |exactb_$b AS (
+       |  SELECT x.doc_id, min(y.doc_id) AS m
+       |  FROM h_$b x JOIN h_$b y
+       |    ON x.text_hash = y.text_hash AND y.doc_id < x.doc_id
+       |  GROUP BY x.doc_id),
+       |candb_$b AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |    x.sig AS sig_a, y.sig AS sig_b
+       |  FROM banded_$b x JOIN banded_$b y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |nearb_$b AS (
+       |  SELECT b_id AS doc_id, min(a_id) AS m FROM candb_$b
+       |  WHERE $est >= 0.5 GROUP BY b_id),
+       |dec_$b AS (
+       |  SELECT h.doc_id,
+       |    CASE WHEN ei.m IS NOT NULL THEN 'exact_index'
+       |         WHEN ni.m IS NOT NULL THEN 'near_index'
+       |         WHEN eb.m IS NOT NULL THEN 'exact_batch'
+       |         WHEN nb.m IS NOT NULL THEN 'near_batch'
+       |         ELSE 'keep' END AS verdict,
+       |    COALESCE(ei.m, ni.m, eb.m, nb.m) AS matched_id
+       |  FROM h_$b h
+       |  LEFT JOIN exacti_$b ei USING (doc_id)
+       |  LEFT JOIN neari_$b ni USING (doc_id)
+       |  LEFT JOIN exactb_$b eb USING (doc_id)
+       |  LEFT JOIN nearb_$b nb USING (doc_id))""".stripMargin
+  }
+
+  /** q_ingest_decide oracle: ONE batch decided against the seed index —
+    * the recurring bucketed decide replays identically to the chain's
+    * first step because the Spark side shares Ingest.decide and this
+    * side shares [[ingestDecideCtes]] with the q_dedup_ingest oracle.
+    */
+  private def ingestDecideSql: String =
+    s"""WITH c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       |b1_0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) - 30, 1))
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 20 = 5),
+       |${minhashSideCtes("c", "c0")},
+       |${minhashSideCtes("b1", "b1_0")},
+       |${ingestDecideCtes("b1", "h_c", "banded_c")}
+       |SELECT doc_id, verdict, matched_id FROM dec_b1""".stripMargin
+
   /** q_dedup_ingest oracle: seed index from the corpus slice, replay both
     * batch decisions tier-by-tier (exact-hash vs index, banded minhash vs
     * index, greedy within-batch exact/near), appending batch-1 keepers'
@@ -5420,44 +5655,8 @@ object SparkEntry {
     * Ingest.ingestChain over the shared [[minhashSideCtes]] signatures.
     */
   private def dedupIngestSql: String = {
-    val est = "CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64"
     def decide(b: String, idxHash: String, idxBanded: String): String =
-      s"""exacti_$b AS (
-         |  SELECT h.doc_id, min(i.doc_id) AS m
-         |  FROM h_$b h JOIN $idxHash i USING (text_hash) GROUP BY h.doc_id),
-         |candi_$b AS (
-         |  SELECT DISTINCT x.doc_id AS idx_id, y.doc_id AS b_id,
-         |    x.sig AS sig_a, y.sig AS sig_b
-         |  FROM $idxBanded x JOIN banded_$b y ON x.band = y.band AND x.bv = y.bv),
-         |neari_$b AS (
-         |  SELECT b_id AS doc_id, min(idx_id) AS m FROM candi_$b
-         |  WHERE $est >= 0.5 GROUP BY b_id),
-         |exactb_$b AS (
-         |  SELECT x.doc_id, min(y.doc_id) AS m
-         |  FROM h_$b x JOIN h_$b y
-         |    ON x.text_hash = y.text_hash AND y.doc_id < x.doc_id
-         |  GROUP BY x.doc_id),
-         |candb_$b AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-         |    x.sig AS sig_a, y.sig AS sig_b
-         |  FROM banded_$b x JOIN banded_$b y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |nearb_$b AS (
-         |  SELECT b_id AS doc_id, min(a_id) AS m FROM candb_$b
-         |  WHERE $est >= 0.5 GROUP BY b_id),
-         |dec_$b AS (
-         |  SELECT h.doc_id,
-         |    CASE WHEN ei.m IS NOT NULL THEN 'exact_index'
-         |         WHEN ni.m IS NOT NULL THEN 'near_index'
-         |         WHEN eb.m IS NOT NULL THEN 'exact_batch'
-         |         WHEN nb.m IS NOT NULL THEN 'near_batch'
-         |         ELSE 'keep' END AS verdict,
-         |    COALESCE(ei.m, ni.m, eb.m, nb.m) AS matched_id
-         |  FROM h_$b h
-         |  LEFT JOIN exacti_$b ei USING (doc_id)
-         |  LEFT JOIN neari_$b ni USING (doc_id)
-         |  LEFT JOIN exactb_$b eb USING (doc_id)
-         |  LEFT JOIN nearb_$b nb USING (doc_id))""".stripMargin
+      ingestDecideCtes(b, idxHash, idxBanded)
     s"""WITH c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
        |b1_0 AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2

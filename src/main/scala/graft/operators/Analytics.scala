@@ -413,6 +413,54 @@ object Analytics {
           > 3841459L).as("srm_flag"))
   }
 
+  /** N-arm sample-ratio-mismatch check — [[srmCheck]] generalized past
+    * two arms (multi-variant tests, holdout+N-treatments splits): users
+    * hash into `arms` equal-weight variants and the χ² statistic over
+    * the realized counts is phrased exactly-integer as
+    * `chi2_micro = (Σ_i (n_i·A − n)²)·10⁶ DIV (A·n)` (the cleared-
+    * denominator form of Σ(obs−exp)²/exp for exp = n/A), compared to
+    * the caller's df = A−1 critical value in micro-units. Empty arms
+    * still contribute their (0 − n/A)² term via the generated arm spine.
+    * The squared deviations accumulate in decimal(38,0) (HUGEINT on the
+    * oracle side — the cupedMetrics discipline), so the statistic
+    * survives 10¹⁰-user counts where BIGINT squares would wrap.
+    * Output: one row per arm (count + A·deviation) with the global
+    * verdict riding along — ≤ A rows total.
+    *
+    * Scale shape: one distinct-user aggregate (map-side combined), then
+    * everything downstream is ≤ A rows; the two crossJoins broadcast
+    * 1-row frames.
+    */
+  def srmCheckNArm(events: DataFrame, userCol: String, arms: Int,
+      critMicro: Long): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    require(arms >= 2, "need at least two arms")
+    val perArm0 = events.select(col(userCol)).where(col(userCol).isNotNull)
+      .distinct()
+      .select(pmod(rollingHash(
+        concat(lit("ab:"), col(userCol).cast("string"))), lit(arms))
+        .as("variant"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("n_arm"))
+    val armIds = events.sparkSession.range(arms)
+      .select(col("id").as("variant"))
+    val perArm = armIds.join(perArm0, Seq("variant"), "left")
+      .select(col("variant"), coalesce(col("n_arm"), lit(0L)).as("n_arm"))
+    val n1 = perArm.agg(sum(col("n_arm")).as("n_users"))
+    val dev = perArm.crossJoin(broadcast(n1))
+      .withColumn("dev_a", col("n_arm") * arms - col("n_users"))
+    val chi = dev.agg(
+        sum(col("dev_a").cast("decimal(19,0)") * col("dev_a").cast("decimal(19,0)"))
+          .as("ss"),
+        max(col("n_users")).as("n"))
+      .select(expr(s"CAST((ss * 1000000) DIV " +
+        s"(CAST($arms AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+        .as("chi2_micro"))
+    dev.crossJoin(broadcast(chi))
+      .select(col("variant"), col("n_arm"), col("n_users"), col("dev_a"),
+        col("chi2_micro"), (col("chi2_micro") > critMicro).as("srm_flag"))
+      .orderBy(col("variant"))
+  }
+
   /** Single change-point detection by exact-integer CUSUM over the daily
     * volume series — [[dailyTrend]] answers "is it drifting", this
     * answers "WHEN did it shift" (deploy regressions, data-source cutoffs,
@@ -486,7 +534,8 @@ object Analytics {
     * zero-variance covariates yield NULL θ and fall back to the raw mean.
     *
     * Output per arm: user count, raw pre/post mean cents, adjusted mean
-    * cents, plus the exact θ fraction — bounded rows.
+    * cents, plus the θ fraction's terms as correctly-rounded doubles of
+    * the exact 128-bit moments — bounded rows.
     *
     * Scale shape: one per-(user, arm) aggregate (map-side combined), a
     * 1-row pooled-moment broadcast, and an |arms|-row aggregate. The fact
@@ -537,7 +586,12 @@ object Analytics {
         round(when(den > 0,
           yMeanV - theta * (xMeanV - xMeanPool)).otherwise(yMeanV), 4)
           .as("adj_mean_cents"),
-        num.as("theta_num"), den.as("theta_den"),
+        // the fraction's exact decimal(38,0) terms REPORT as doubles
+        // (correctly rounded from the same 128-bit integers on any
+        // engine) — a HUGEINT/decimal output column converts to float
+        // nondeterministically in downstream comparators, so the cast
+        // happens here, explicitly, after all exact arithmetic is done
+        num.cast("double").as("theta_num"), den.cast("double").as("theta_den"),
         when(den > 0, floor(num.cast("double") * 1000000.0 /
           den.cast("double") + 0.5).cast("long")).as("theta_u"))
       .orderBy(col("variant"))

@@ -53,4 +53,31 @@ object Profile {
         col("p.n_distinct"), col("p.min_num"), col("p.max_num"))
       .orderBy(col("col_name"))
   }
+
+  /** The constant-state profile [[profile]]'s doc promises: per-column
+    * distinct counts from one 512-register HLL file per column
+    * (Approx.hllAudit's machinery) instead of the |cols|-way exact
+    * `countDistinct` expand — at 100 TB the exact profiler's aggregation
+    * state is O(Σ distinct values) while this one's is O(cols · 512)
+    * BIGINTs, and the register build map-side combines.
+    *
+    * `cols` supplies each column's canonical STRING identity (caller
+    * picks the portable form: integrals as decimal strings, timestamps
+    * as epoch micros, doubles as 2-dp cents — the moneySum discipline —
+    * so the register file replays bit-exactly on any engine). The scan
+    * explodes |cols| (col_name, value) rows per input row — the same
+    * rows the exact profiler hashes into its distinct maps — then
+    * everything downstream is register-sized. The exact distinct count
+    * and err_bp certificate ride along (the 43d audit pattern); a pure
+    * production profile would drop them and keep constant state.
+    */
+  def profileHll(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val entries = cols.map { case (n, c) =>
+      struct(lit(n).as("col_name"), c.cast("string").as("v"))
+    }
+    val unpivoted = df
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    graft.operators.Approx.hllAudit(unpivoted, "col_name", "v")
+  }
 }

@@ -353,6 +353,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("srm_flag"))
   }
 
+  test("srmCheckNArm: planted 4-arm imbalance matches the BigInt chi2, empty arm contributes") {
+    import spark.implicits._
+    val probe = (1L to 8000L).map(u => u -> {
+      var acc = 0L
+      s"ab:$u".foreach(c => acc = (acc * 257 + c.toLong) % 1000000007L)
+      (acc % 4).toInt
+    })
+    def arm(i: Int) = probe.filter(_._2 == i).map(_._1)
+    // planted counts 300/260/200/0 (arm 3 starved to EMPTY): the spine
+    // must still emit its row and its (0*4 - n)^2 term
+    val users = (arm(0).take(300) ++ arm(1).take(260) ++ arm(2).take(200))
+      .map(u => Tuple1(u)).toDF("user_id")
+    val rows = Analytics.srmCheckNArm(users, "user_id", arms = 4,
+      critMicro = 7814728L).collect()
+    assert(rows.length == 4)
+    val counts = rows.map(r => r.getAs[Long]("variant") -> r.getAs[Long]("n_arm")).toMap
+    assert(counts == Map(0L -> 300L, 1L -> 260L, 2L -> 200L, 3L -> 0L))
+    val n = 760L
+    val ss = counts.values.map(c => BigInt(c * 4 - n) * BigInt(c * 4 - n)).sum
+    val expected = (ss * 1000000 / (BigInt(4) * n)).toLong
+    assert(rows.forall(_.getAs[Long]("chi2_micro") == expected))
+    assert(expected > 7814728L)
+    assert(rows.forall(_.getAs[Boolean]("srm_flag")))
+    // balanced 200/200/200/200 -> chi2 = 0, no flag
+    val ok = (0 to 3).flatMap(i => arm(i).take(200)).map(u => Tuple1(u))
+      .toDF("user_id")
+    val r2 = Analytics.srmCheckNArm(ok, "user_id", 4, 7814728L).collect()
+    assert(r2.forall(_.getAs[Long]("chi2_micro") == 0L))
+    assert(r2.forall(!_.getAs[Boolean]("srm_flag")))
+  }
+
+  test("srmCheckNArm at arms=2 computes exactly srmCheck's statistic") {
+    import spark.implicits._
+    // algebra: sum over 2 arms of (n_i*2 - n)^2 = 2*(n0-n1)^2, so
+    // (ss*10^6) DIV (2n) == ((n0-n1)^2*10^6) DIV n exactly — the engine,
+    // not the algebra on paper, certifies it here
+    val users = (1L to 3000L).map(Tuple1(_)).toDF("user_id")
+    val two = Analytics.srmCheckNArm(users, "user_id", 2, 3841459L)
+      .collect().head.getAs[Long]("chi2_micro")
+    val ref = Analytics.srmCheck(users, "user_id")
+      .collect().head.getAs[Long]("chi2_micro")
+    assert(two == ref)
+  }
+
   test("changePoints finds a planted level shift at the exact day") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)

@@ -60,4 +60,30 @@ class ValidatorSpec extends SparkSpec {
     assert(out("v") === ((3L, 1L, 3333L, 2L, Some(0.5), Some(2.5))))
     assert(out("s") === ((3L, 0L, 0L, 2L, None, None)))
   }
+
+  test("profileHll: per-column n_exact matches countDistinct, estimate tracks it") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 900L).map(i => (i, s"u${i % 37}", i % 5))
+      .toDF("id", "name", "bucket")
+    val cols = Seq("id" -> col("id"), "name" -> col("name"),
+      "bucket" -> col("bucket"))
+    val out = graft.validation.Profile.profileHll(df, cols).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_exact"), r.getAs[Double]("hll_est"),
+          r.getAs[Long]("err_bp"))).toMap
+    assert(out.keySet == Set("id", "name", "bucket"))
+    assert(out("id")._1 == 900L)
+    assert(out("name")._1 == 37L)
+    assert(out("bucket")._1 == 5L)
+    // small-range (linear counting) regime: the estimate should sit
+    // within a few percent of exact for these cardinalities at m=512
+    assert(out.values.forall(_._3 < 1000L),
+      s"err_bp too high: $out")
+    // nulls never hash into a register: a fully-null column vanishes
+    val withNull = df.withColumn("nul", lit(null).cast("string"))
+    val cols2 = cols :+ ("nul" -> col("nul"))
+    val names = graft.validation.Profile.profileHll(withNull, cols2)
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("id", "name", "bucket"))
+  }
 }
