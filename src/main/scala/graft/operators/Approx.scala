@@ -238,23 +238,24 @@ object Approx {
       val num = bd.unscaledValue().longValueExact()
       expr(s"($num * n_rows + ${den - 1}) DIV $den")
     }
-    val hist = qs.map { q =>
-      cum.join(broadcast(totals), groupCol)
-        .where(col("cum") >= rankTarget(q))
-        .groupBy(col(groupCol))
-        .agg(min(col("cents")).as(s"p${(q * 100).toInt}_hist"))
-    }.reduce(_.join(_, groupCol))
+    // all quantiles read off ONE conditional aggregate per route (min
+    // over the rows at/past each target), not a join chain with one pass
+    // per q — same statistic, 2(|qs|−1) fewer joins
+    val histAggs = qs.map(q =>
+      min(when(col("cum") >= rankTarget(q), col("cents")))
+        .as(s"p${(q * 100).toInt}_hist"))
+    val hist = cum.join(broadcast(totals), groupCol)
+      .groupBy(col(groupCol)).agg(histAggs.head, histAggs.tail: _*)
     // direct route: per-row rank over the raw rows, same rank statistic
     val ranked = df
       .select(col(groupCol), cents.as("cents"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("cents"))))
-    val direct = qs.map { q =>
-      ranked.join(broadcast(totals), groupCol)
-        .where(col("rn") === rankTarget(q))
-        .groupBy(col(groupCol))
-        .agg(min(col("cents")).as(s"p${(q * 100).toInt}_direct"))
-    }.reduce(_.join(_, groupCol))
+    val directAggs = qs.map(q =>
+      min(when(col("rn") === rankTarget(q), col("cents")))
+        .as(s"p${(q * 100).toInt}_direct"))
+    val direct = ranked.join(broadcast(totals), groupCol)
+      .groupBy(col(groupCol)).agg(directAggs.head, directAggs.tail: _*)
     val eqCols = qs.map(q =>
       col(s"p${(q * 100).toInt}_hist") === col(s"p${(q * 100).toInt}_direct"))
     totals.join(hist, groupCol).join(direct, groupCol)
