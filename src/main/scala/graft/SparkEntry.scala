@@ -1741,6 +1741,18 @@ object SparkEntry {
         Tables.customer(s, dir), seedNationKey = 1, maxHops = 4)
     }),
 
+    // §2.67d — label-propagation communities over the NON-bipartite
+    // co-supply projection (suppliers linked when they fill the same
+    // order, weight = co-occurring lineitem pairs): 4 deterministic
+    // synchronous rounds, heaviest-label vote with ties toward the
+    // smaller label — all BIGINT, hash-exact; where CC would merge
+    // everything reachable, weighted LPA keeps dense groups apart
+    // across weak bridges
+    "q_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)),
+        rounds = 4)),
+
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
     // counts + row share in bp + diagonal flag — the classifier's error
     // STRUCTURE, not just its accuracy
@@ -4010,6 +4022,42 @@ object SparkEntry {
 
     // 4 unrolled frontier rounds: neighbors EXCEPT visited, visited UNION
     // frontier — pure set algebra, bit-equal by construction
+    // 4 unrolled LPA rounds: per round the (node, label, sum-w) votes,
+    // the row_number argmax (w DESC, label ASC — the operator's
+    // max(struct(w, -label)) order), and the coalesce carry for nodes
+    // with no incoming vote
+    "q_communities" -> {
+      def round(i: Int) =
+        s"""v$i AS (
+           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+           |  FROM e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |p$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
+           |    FROM v$i) WHERE rk = 1),
+           |l$i AS (
+           |  SELECT l.node, COALESCE(p.label, l.label) AS label
+           |  FROM l${i - 1} l LEFT JOIN p$i p USING (node))""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |p0 AS (
+         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+         |  GROUP BY 1, 2),
+         |e AS (
+         |  SELECT a AS src, b AS dst, w FROM p0
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |sizes AS (
+         |  SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM l4 GROUP BY 1)
+         |SELECT l4.node, l4.label AS community, s.n_members
+         |FROM l4 JOIN sizes s ON l4.label = s.community
+         |ORDER BY node""".stripMargin
+    },
+
     "q_bfs_layers" -> {
       def hop(i: Int) =
         s"""l$i AS (

@@ -234,6 +234,86 @@ object Graph {
       .orderBy(col("layer"))
   }
 
+  /** Undirected CO-SUPPLY projection: suppliers linked when they fill
+    * lineitems of the SAME ORDER, weight = number of co-occurring
+    * lineitem pairs. Unlike the customer–supplier trade graph this
+    * projection is NON-bipartite (triangles exist whenever three
+    * suppliers share an order), which is what community detection
+    * needs — on a bipartite graph modularity communities are
+    * degenerate. Cost is linear, not quadratic: the self-join explodes
+    * each order into C(items, 2) pairs and order size is bounded by
+    * the schema (TPC-H ≤ 7 lineitems), so the projection scales as
+    * O(|lineitem|) with one orderkey shuffle — never an all-pairs
+    * supplier join.
+    */
+  private[graft] def coSupplyEdges(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_suppkey").as("sk"))
+    val pairs = li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.sk") < col("y.sk"))
+      .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+      .agg(count(lit(1)).as("w"))
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(
+        pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * made replayable): every node starts labeled with its own id; each
+    * round every node adopts the label carrying the LARGEST total
+    * incident edge weight among its neighbors' current labels, ties
+    * toward the smaller label; fixed `rounds` synchronous updates (no
+    * convergence test — determinism over adaptivity, the fixed-iters
+    * PageRank discipline). Neighbor votes only: an isolated node keeps
+    * its label via the left-join coalesce. All arithmetic is BIGINT
+    * (weights summed, labels compared), so community assignments are
+    * hash-exact on any engine or partitioning — the property the
+    * classic randomized-order LPA famously lacks.
+    *
+    * Where [[Dedup.dupClusters]]-style connected components would merge
+    * everything reachable, weighted LPA keeps densely-connected groups
+    * apart across weak bridges (GraphSpec plants exactly that).
+    *
+    * Output: (node, community, n_members), one row per node that has at
+    * least one edge.
+    *
+    * Scale shape: per round, one join of the N-row label vector against
+    * the edge list on src (the labels shuffle, edges at rest after
+    * their one materialization) and two aggregates — votes map-side
+    * combine to ≤ distinct (node, label) pairs, the argmax is a
+    * per-node max over its label votes. No node-count-bounded
+    * broadcast anywhere, so the loop survives 10¹⁰ nodes as-is; with
+    * edges persisted in the bucketed layout the label join scans them
+    * in place (the [[pageRankBucketed]] substrate applies unchanged).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(edges.sparkSession, reliableStagePath)
+    val e = stager(edges, "lpa_edges")
+    var labels = stager(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")), "lpa_0")
+    for (i <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("w")).as("wsum"))
+      val picked = votes.groupBy(col("node"))
+        .agg(max(struct(col("wsum").as("w"), (-col("label")).as("nl")))
+          .as("p"))
+        .select(col("node"), (-col("p.nl")).as("new_label"))
+      labels = stager(labels.join(picked, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label")), s"lpa_$i")
+    }
+    val sizes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.select(col("node"), col("label").as("community"))
+      .join(sizes, "community")
+      .select(col("node"), col("community"), col("n_members"))
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------- bucketed-edge substrate
 
   /** Persist the undirected trade edge list as a bucketed, bucket-sorted

@@ -234,4 +234,41 @@ class GraphSpec extends SparkSpec {
       assert(new java.io.File(stage1).list().exists(_.startsWith("pr_")))
     } finally spark.sql("DROP TABLE IF EXISTS t_stage_edges")
   }
+
+  test("labelPropagation: two cliques across a weak bridge stay two " +
+      "communities (CC would merge them); staged rounds equal default") {
+    // triangles {1,2,3} and {4,5,6}, internal weight 2, bridge 3-4 w=1
+    val half = Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (4L, 6L, 2L), (5L, 6L, 2L),
+      (3L, 4L, 1L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    def comm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = comm(Graph.labelPropagation(edges, rounds = 4))
+    assert(got == Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 3L), (5L, 4L, 3L), (6L, 4L, 3L)))
+    // the same graph is ONE connected component — LPA's verdict is
+    // strictly finer than reachability
+    val stage = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    val staged = comm(Graph.labelPropagation(edges, rounds = 4,
+      reliableStagePath = Some(stage)))
+    assert(staged == got)
+    assert(new java.io.File(stage).list().exists(_.startsWith("lpa_")))
+  }
+
+  test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
+      "non-bipartite") {
+    // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
+    val li = Seq((500L, 10L), (500L, 11L), (500L, 12L),
+      (501L, 10L), (501L, 11L)).toDF("l_orderkey", "l_suppkey")
+    val e = Graph.coSupplyEdges(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e == Set(
+      (10L, 11L, 2L), (11L, 10L, 2L),
+      (10L, 12L, 1L), (12L, 10L, 1L),
+      (11L, 12L, 1L), (12L, 11L, 1L)))
+  }
 }
