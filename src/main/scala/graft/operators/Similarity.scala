@@ -255,19 +255,33 @@ object Similarity {
     * other. Returns every batch's decisions labeled with `batch_no`.
     */
   def semIngestChain(index0: DataFrame, batches: Seq[DataFrame],
-      centroids: Seq[Seq[Float]], minCosine: Double, nprobe: Int): DataFrame = {
+      centroids: Seq[Seq[Float]], minCosine: Double, nprobe: Int,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    // same durability contract as Ingest.ingestChain: default rounds are
+    // localCheckpoint; under reliableStagePath every index piece and
+    // decision log lands as marker-guarded parquet (the root IS the
+    // durable vector index, so a non-empty root is refused on entry)
+    val stager = new Dedup.RoundStager(index0.sparkSession, reliableStagePath,
+      rootIsArtifact = true)
     val pieces = scala.collection.mutable.ArrayBuffer(
-      vectorIndex(index0, centroids).localCheckpoint())
+      stager(vectorIndex(index0, centroids), "index_0"))
     val decided = batches.zipWithIndex.map { case (batch, i) =>
       val idx = pieces.reduce(_ unionByName _)
       // the final batch's decisions AND keepers are single-consumer /
-      // never read: skip their blocking materializations (same rule as
-      // Ingest.ingestChain's default mode)
+      // never read in default mode: skip their blocking materializations
+      // (same rule as Ingest.ingestChain); durable mode lands both — the
+      // decision log and keeper pieces ARE part of the artifact
       val dRaw = semIngestDecisions(idx, batch, centroids, minCosine, nprobe)
-      val d = if (i < batches.length - 1) dRaw.localCheckpoint() else dRaw
-      if (i < batches.length - 1)
-        pieces += vectorIndex(batch, centroids)
-          .join(d.where(col("verdict") === "keep").select(col("vec_id")), "vec_id")
+      val d =
+        if (reliableStagePath.isDefined || i < batches.length - 1)
+          stager(dRaw, s"dec_${i + 1}")
+        else dRaw
+      val keepers = vectorIndex(batch, centroids)
+        .join(d.where(col("verdict") === "keep").select(col("vec_id")), "vec_id")
+      if (reliableStagePath.isDefined)
+        pieces += stager(keepers, s"keepers_${i + 1}")
+      else if (i < batches.length - 1)
+        pieces += keepers
       d.withColumn("batch_no", lit((i + 1).toLong))
     }
     decided.reduce(_ unionByName _)

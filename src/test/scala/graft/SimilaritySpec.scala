@@ -263,6 +263,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out((2L, 20L)) == ("exact_index", Some(12L)))
   }
 
+  test("semIngestChain: durable-staged chain equals localCheckpoint chain " +
+      "and the stage root holds the index pieces") {
+    val a = Array(1.0f, 0.1f, 0.0f, 0.0f)
+    val b = Array(0.0f, 0.1f, 1.0f, 0.0f)
+    val c = Array(0.0f, 1.0f, 0.1f, 0.0f)
+    def scale(v: Array[Float]) = v.map(x => (x * 1.01).toFloat)
+    val index0 = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val centroids = graft.operators.Ivf.train(index0, k = 2, iters = 1)
+    val b1 = Seq((10L, a), (11L, scale(a)), (12L, c), (13L, c))
+      .toDF("vec_id", "embedding")
+    val b2 = Seq((20L, c)).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    val default = rows(Similarity.semIngestChain(index0, Seq(b1, b2),
+      centroids, minCosine = 0.95, nprobe = 2))
+    val stage = java.nio.file.Files.createTempDirectory("graft-semstage").toString
+    val staged = rows(Similarity.semIngestChain(index0, Seq(b1, b2),
+      centroids, minCosine = 0.95, nprobe = 2,
+      reliableStagePath = Some(stage)))
+    assert(staged == default)
+    val staedFiles = new java.io.File(stage).list().toSet
+    assert(staedFiles.exists(_.startsWith("index_0")))
+    assert(staedFiles.exists(_.startsWith("keepers_1")))
+    assert(staedFiles.exists(_.startsWith("dec_2")))
+  }
+
   test("fdot returns NULL on mismatched vector lengths, not a truncated dot") {
     import org.apache.spark.sql.graftnative.FloatVecDot.fdot
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 1.0f)))
