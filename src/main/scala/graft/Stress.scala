@@ -511,6 +511,17 @@ object Stress {
         "stress_bfs_visited", "/tmp/graft_stress_gredges",
         buckets = cpus.toInt, cust, seedNationKey = 1, maxHops = 4)
     }
+    // Label propagation over the multiplied co-supply projection: the
+    // lineitem replication multiplies ORDERS (fresh orderkeys, shared
+    // suppliers), so per-order pair counts stay C(order size, 2) and
+    // the edge list grows linearly while edge WEIGHTS concentrate on
+    // the same supplier pairs — the aggregate-skew case. Votes are
+    // (node, label) pre-aggregated, so the per-round exchange must stay
+    // node-bounded whatever the weight mass.
+    time("lpa_communities") {
+      graft.operators.Graph.labelPropagation(
+        graft.operators.Graph.coSupplyEdges(lineitemX), rounds = 4)
+    }
     // HLL rollup: register state is (groups x days x 512) regardless of
     // events volume; the two corpus distincts are the only linear terms.
     time("hll_rollup") {
