@@ -1753,6 +1753,17 @@ object SparkEntry {
         graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)),
         rounds = 4)),
 
+    // §2.67e — triangle census + local clustering coefficient over the
+    // k-NN SKELETON of the co-supply projection (each supplier keeps its
+    // 5 heaviest partners — the raw projection is near-complete at every
+    // SF, where a triangle census is cubic and meaningless): id-ordered
+    // orientation a<b<c so each triangle enumerates once, every corner
+    // credited, lcc as the exact integer (2*T*10^6) DIV (d*(d-1))
+    "q_triangles" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.knnSparsify(
+          graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5))),
+
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
     // counts + row share in bp + diagonal flag — the classifier's error
     // STRUCTURE, not just its accuracy
@@ -4022,6 +4033,49 @@ object SparkEntry {
 
     // 4 unrolled frontier rounds: neighbors EXCEPT visited, visited UNION
     // frontier — pure set algebra, bit-equal by construction
+    // k-NN sparsify (per-node top-5 by weight desc, neighbor asc, union
+    // of both endpoints' keeps) then id-ordered triangle enumeration,
+    // per-corner credit, integer micro-unit lcc
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |p0 AS (
+        |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+        |  GROUP BY 1, 2),
+        |es AS (
+        |  SELECT a AS src, b AS dst, w FROM p0
+        |  UNION ALL
+        |  SELECT b, a, w FROM p0),
+        |e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY w DESC, dst ASC) AS rk
+        |    FROM es)
+        |  WHERE rk <= 5),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(pn.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.degree >= 2
+        |    THEN (2 * COALESCE(pn.n_tri, 0) * 1000000)
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS lcc_micro
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
+
     // 4 unrolled LPA rounds: per round the (node, label, sum-w) votes,
     // the row_number argmax (w DESC, label ASC — the operator's
     // max(struct(w, -label)) order), and the coalesce carry for nodes

@@ -314,6 +314,77 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** k-NN sparsifier over symmetric weighted edges: each node keeps its
+    * `k` HEAVIEST incident edges (ties toward the smaller neighbor id),
+    * an edge surviving if EITHER endpoint keeps it — the standard
+    * similarity-graph construction (co-occurrence, embedding-cosine,
+    * citation graphs all arrive near-complete at corpus scale; every
+    * structure statistic downstream needs the strong-edge skeleton, not
+    * the clique). Output is symmetric again, ≤ 2nk rows whatever the
+    * input density — the property that makes [[triangleStats]] feasible
+    * on a projection that is otherwise near-complete (the co-supply
+    * graph IS: every supplier pair eventually shares an order).
+    *
+    * Scale shape: one window partitioned by src (per-node top-k over
+    * its edge list, the skew-bounded rank pattern) + one bounded
+    * aggregate; no all-pairs anything.
+    */
+  def knnSparsify(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst").asc)
+    val kept = edges.withColumn("rk", row_number().over(win))
+      .where(col("rk") <= k)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+    kept.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(
+        kept.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected simple graph given as symmetric weighted edges (the
+    * [[coSupplyEdges]] shape; weights are ignored — triangles are a
+    * topology statistic). Triangles enumerate once each through the
+    * id-ordered orientation a<b<c: (a,b) ⋈ (b,c) ⋈ (a,c) over the
+    * unique-pair edge set, then each triangle credits all three
+    * corners. lcc is the exact-integer micro-unit form
+    * `(2·T·10⁶) DIV (d·(d−1))` (0 for degree < 2), so the whole frame
+    * is hash-exact on any engine.
+    *
+    * Scale shape: the join-per-wedge cost is Σ_b C(d(b), 2) under id
+    * orientation; production graphs with power-law hubs orient by
+    * (degree, id) instead — the Schank–Wagner bound O(m^{3/2}) — which
+    * is the same plan with the orientation key swapped (documented, not
+    * registered: the co-supply projection's order-size bound already
+    * caps wedge fan-out here). Everything else is bounded aggregates.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = und.as("ab")
+      .join(und.as("bc"), col("ab.b") === col("bc.a"))
+      .join(und.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_micro",
+        when(col("degree") >= 2,
+          expr("(2 * n_tri * 1000000) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("node"))
+  }
+
   // ------------------------------------------- bucketed-edge substrate
 
   /** Persist the undirected trade edge list as a bucketed, bucket-sorted

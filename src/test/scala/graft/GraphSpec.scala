@@ -259,6 +259,50 @@ class GraphSpec extends SparkSpec {
     assert(new java.io.File(stage).list().exists(_.startsWith("lpa_")))
   }
 
+  test("knnSparsify: per-node top-k by weight, tie to smaller id, union " +
+      "of both endpoints' keeps, symmetric output") {
+    // node 1's edges: to 2 (w=5), 3 (w=3), 4 (w=3), 5 (w=1); k=2 keeps
+    // (1,2) and (1,3) — the w=3 tie breaks toward id 3. Node 5 keeps
+    // its only edge (5,1), so (1,5) SURVIVES via 5's side (union rule)
+    // even though 1 dropped it.
+    val half = Seq((1L, 2L, 5L), (1L, 3L, 3L), (1L, 4L, 3L), (1L, 5L, 1L),
+      (2L, 3L, 4L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val got = Graph.knnSparsify(edges, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pairs = got.filter { case (a, b, _) => a < b }
+    assert(pairs == Set((1L, 2L, 5L), (1L, 3L, 3L), (2L, 3L, 4L),
+      (1L, 5L, 1L), (1L, 4L, 3L)))
+    // (1,4): node 4's only edge — kept via 4's side too; symmetric
+    assert(got == pairs ++ pairs.map { case (a, b, w) => (b, a, w) })
+  }
+
+  test("triangleStats: each triangle credits all three corners, lcc exact") {
+    // triangles {1,2,3} and {4,5,6} bridged 3-4: every node is in
+    // exactly one triangle; bridge endpoints have degree 3
+    val half = Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (4L, 5L, 1L), (4L, 6L, 1L), (5L, 6L, 1L),
+      (3L, 4L, 1L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val got = Graph.triangleStats(edges).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((3L, 1L, 333333L)),
+      5L -> ((2L, 1L, 1000000L)), 6L -> ((2L, 1L, 1000000L))))
+    // a node on no triangle reports zero, not a missing row
+    val star = Seq((1L, 2L, 1L), (1L, 3L, 1L))
+    val starE = (star ++ star.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    val s2 = Graph.triangleStats(starE).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(s2 == Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
