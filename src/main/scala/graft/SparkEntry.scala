@@ -1764,6 +1764,17 @@ object SparkEntry {
         graft.operators.Graph.knnSparsify(
           graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5))),
 
+    // §2.67f — k-core onion layering over the same k-NN skeleton:
+    // synchronous 6-core peel (all sub-6-degree nodes removed per
+    // round, fixpoint-early-exit), each node labeled with its peel
+    // round (layer 1 = weakest shell) or in_core for the survivors —
+    // the structural-depth dual of q_triangles' local density
+    "q_kcore" -> ((s, dir) =>
+      graft.operators.Graph.kCorePeel(
+        graft.operators.Graph.knnSparsify(
+          graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5),
+        k = 6, rounds = 8)),
+
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
     // counts + row share in bp + diagonal flag — the classifier's error
     // STRUCTURE, not just its accuracy
@@ -4075,6 +4086,58 @@ object SparkEntry {
         |    ELSE 0 END AS lcc_micro
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY node""".stripMargin,
+
+    // 8 unrolled synchronous peel rounds over the same k-NN skeleton
+    // CTEs as q_triangles; converged rounds peel nothing, so trailing
+    // no-op rounds replay harmlessly. The round CTEs are MATERIALIZED:
+    // each round references its predecessor three times, and DuckDB's
+    // default inlining would expand the base scan 3^8 ways (it ran out
+    // of file handles before it ran out of time)
+    "q_kcore" -> {
+      def peel(i: Int) =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s.node, CAST(count(ei.dst) AS BIGINT) AS d
+           |  FROM s${i - 1} s
+           |  LEFT JOIN (
+           |    SELECT e2.src, e2.dst FROM e2
+           |    JOIN s${i - 1} x ON e2.src = x.node
+           |    JOIN s${i - 1} y ON e2.dst = y.node) ei ON ei.src = s.node
+           |  GROUP BY 1),
+           |p$i AS (
+           |  SELECT node, CAST($i AS BIGINT) AS peel_round FROM d$i
+           |  WHERE d < 6),
+           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 6)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+         |p0 AS (
+         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+         |  GROUP BY 1, 2),
+         |es AS (
+         |  SELECT a AS src, b AS dst, w FROM p0
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0),
+         |knn AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY w DESC, dst ASC) AS rk
+         |    FROM es)
+         |  WHERE rk <= 5),
+         |e2 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM knn
+         |  UNION ALL
+         |  SELECT b, a FROM knn),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e2),
+         |${(1 to 8).map(peel).mkString(",\n")}
+         |SELECT node, false AS in_core, peel_round FROM (
+         |  ${(1 to 8).map(i => s"SELECT node, peel_round FROM p$i")
+             .mkString("\n  UNION ALL\n  ")})
+         |UNION ALL
+         |SELECT node, true AS in_core, CAST(NULL AS BIGINT) AS peel_round
+         |FROM s8
+         |ORDER BY node""".stripMargin
+    },
 
     // 4 unrolled LPA rounds: per round the (node, label, sum-w) votes,
     // the row_number argmax (w DESC, label ASC — the operator's

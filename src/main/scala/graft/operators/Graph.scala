@@ -343,6 +343,65 @@ object Graph {
         kept.select(col("b").as("src"), col("a").as("dst"), col("w")))
   }
 
+  /** Synchronous k-core peel (Seidman 1983 cores, BSP-phrased): round r
+    * removes every node whose degree in the SURVIVING induced subgraph
+    * is < k (all removals in a round are simultaneous), until fixpoint
+    * or `rounds` — the onion layering of the graph. Output one row per
+    * node: core members carry `in_core = true` (NULL peel_round),
+    * peeled nodes the round that removed them — layer 1 is the
+    * weakest-attached shell, higher layers sit structurally deeper.
+    * Degree counting and the round index are all BIGINT set algebra, so
+    * the layering is hash-exact anywhere; a converged peel makes the
+    * remaining rounds no-ops (the loop early-exits like [[bfsLayers]],
+    * and the oracle's trailing unrolled rounds peel nothing — equality
+    * holds either way).
+    *
+    * Scale shape: per round two semijoins of the edge list against the
+    * shrinking survivor set + one map-combined degree aggregate; the
+    * survivor vector is the only thing that moves (no node-bounded
+    * broadcast — the joins shuffle the slim (node) frames), and the
+    * edge list is monotonically shrinking work. Feed it
+    * [[knnSparsify]] output: on a near-complete graph the peel is
+    * degenerate (everything is in every core) and the skeleton is
+    * where the layering carries signal.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 8,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(edges.sparkSession, reliableStagePath)
+    val e0 = stager(edges.select(col("src"), col("dst")).distinct(),
+      "kc_edges")
+    var s = stager(e0.select(col("src").as("node")).distinct(), "kc_s0")
+    var peeledAll: Option[DataFrame] = None
+    // convergence certificate (the bfsLayers pattern): a round that
+    // peels nothing is a fixpoint — every later round is a no-op by
+    // definition, so stop paying join rounds. The count reads the
+    // just-staged frame, not a recompute.
+    var prevPeeled = -1L
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
+      val eIn = e0
+        .join(s.select(col("node").as("src")), "src")
+        .join(s.select(col("node").as("dst")), "dst")
+      val deg = eIn.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val withDeg = s.join(deg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(0L)).as("d"))
+      val peeled = withDeg.where(col("d") < k)
+        .select(col("node"), lit(r.toLong).as("peel_round"))
+      val merged = stager(
+        peeledAll.map(_.unionByName(peeled)).getOrElse(peeled), s"kc_p$r")
+      val n = merged.count()
+      converged = n == math.max(prevPeeled, 0L)
+      prevPeeled = n
+      peeledAll = Some(merged)
+      s = stager(withDeg.where(col("d") >= k).select(col("node")), s"kc_s$r")
+    }
+    val peeledRows = peeledAll.get
+      .select(col("node"), lit(false).as("in_core"), col("peel_round"))
+    val coreRows = s.select(col("node"), lit(true).as("in_core"),
+      lit(null).cast("long").as("peel_round"))
+    peeledRows.unionByName(coreRows).orderBy(col("node"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected simple graph given as symmetric weighted edges (the
     * [[coSupplyEdges]] shape; weights are ignored — triangles are a

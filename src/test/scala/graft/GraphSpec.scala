@@ -303,6 +303,30 @@ class GraphSpec extends SparkSpec {
     assert(s2 == Set((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)))
   }
 
+  test("kCorePeel: cascading shells peel in order, the clique survives, " +
+      "staged equals default") {
+    // triangle {1,2,3} with a tail 3-4-5: at k=2, round 1 peels the
+    // endpoint 5 (degree 1), round 2 peels 4 (its degree FELL to 1 when
+    // 5 left — the cascade), and {1,2,3} is the 2-core
+    val half = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val got = rows(Graph.kCorePeel(edges, k = 2, rounds = 8))
+    assert(got == Set(
+      (1L, true, None), (2L, true, None), (3L, true, None),
+      (4L, false, Some(2L)), (5L, false, Some(1L))))
+    // k above the max degree peels everything in one round
+    val all1 = rows(Graph.kCorePeel(edges, k = 10, rounds = 8))
+    assert(all1 == Set(1L, 2L, 3L, 4L, 5L).map(n => (n, false, Some(1L))))
+    val stage = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    assert(rows(Graph.kCorePeel(edges, k = 2, rounds = 8,
+      reliableStagePath = Some(stage))) == got)
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
