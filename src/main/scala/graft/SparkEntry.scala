@@ -1327,6 +1327,18 @@ object SparkEntry {
         totalBudget = 20000L)
     }),
 
+    // §2.24r2 — temperature-scaled mix (XLM-R's p^alpha rebalancing,
+    // alpha = 1/2 because sqrt is the one IEEE-exact power): per-source
+    // weight floor(sqrt(tokens)*10^6 + 0.5), integer share/target math
+    // after that — low-resource sources boosted, high-resource capped,
+    // hash-exact on any engine
+    "q_temp_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMixPlan(
+        Tables.documents(s, dir)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens", totalBudget = 20000L)),
+
     // §2.24s — corpus snapshot delta: today vs a prior snapshot missing
     // 10% of docs (added), with 1/17 of shared texts altered (changed)
     // and a band of retired ids (deleted). Slim (id, md5) projection
@@ -3070,6 +3082,34 @@ object SparkEntry {
         |  CAST(floor(CAST(CAST(floor(20000 * weight / weight_sum) AS BIGINT) AS DOUBLE)
         |    / total_tokens * 10000.0 + 0.5) AS BIGINT) AS epochs_bp
         |FROM t CROSS JOIN w""".stripMargin,
+
+    // sqrt is IEEE-exact-rounded, so floor(sqrt(x)*1e6 + 0.5) yields
+    // identical longs on both engines; the target division runs in
+    // HUGEINT mirroring Spark's decimal(38,0) DIV
+    "q_temp_mix" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (
+        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM s GROUP BY source),
+        |t2 AS (
+        |  SELECT source, total_tokens,
+        |    CAST(floor(sqrt(CAST(total_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS w_micro
+        |  FROM t),
+        |w AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_sum FROM t2),
+        |tt AS (
+        |  SELECT source, total_tokens, w_micro,
+        |    CAST((CAST(20000 AS HUGEINT) * w_micro) // CAST(w_sum AS HUGEINT)
+        |      AS BIGINT) AS target_tokens
+        |  FROM t2 CROSS JOIN w)
+        |SELECT source, total_tokens, w_micro, target_tokens,
+        |  CAST(floor(CAST(target_tokens AS DOUBLE)
+        |    / CAST(total_tokens AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    AS epochs_bp
+        |FROM tt ORDER BY source""".stripMargin,
 
     "q_corpus_delta" ->
       """WITH today AS (SELECT doc_id, md5(text) AS h FROM documents),

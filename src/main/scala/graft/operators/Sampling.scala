@@ -117,6 +117,39 @@ object Sampling {
         col("target_tokens"), col("epochs_bp"))
   }
 
+  /** Temperature-scaled mix plan — the data-derived dual of [[mixPlan]]'s
+    * user-supplied weights: each group's sampling weight is its token
+    * mass raised to temperature α (the multilingual-LM rebalancing rule,
+    * Conneau et al. XLM-R: low-resource groups get boosted, high-resource
+    * capped). α is FIXED at 1/2 because sqrt is the one power IEEE 754
+    * requires correctly rounded — `pow(x, 0.3)` differs by ULPs across
+    * libm implementations and would break hash-exact replay, so the
+    * weight is `floor(sqrt(tokens)·10⁶ + 0.5)` (identical longs on any
+    * engine) and every share/target after that is integer arithmetic:
+    * `target = (budget · w) DIV Σw` in decimal(38,0)/HUGEINT.
+    * Output per group: token mass, micro-unit weight, target tokens,
+    * oversampling factor in bp — bounded rows, corpus scanned once.
+    */
+  def temperatureMixPlan(df: DataFrame, groupCol: String, tokenCol: String,
+      totalBudget: Long): DataFrame = {
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("total_tokens"))
+      .withColumn("w_micro",
+        floor(sqrt(col("total_tokens").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+    val wsum = totals.agg(sum(col("w_micro")).as("w_sum"))
+    totals.crossJoin(broadcast(wsum))
+      .withColumn("target_tokens",
+        expr(s"CAST((CAST($totalBudget AS DECIMAL(38,0)) * w_micro) DIV " +
+          "CAST(w_sum AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("epochs_bp",
+        floor(col("target_tokens").cast("double") /
+          col("total_tokens").cast("double") * 10000.0 + 0.5).cast("long"))
+      .select(col(groupCol), col("total_tokens"), col("w_micro"),
+        col("target_tokens"), col("epochs_bp"))
+      .orderBy(col(groupCol))
+  }
+
   /** Per-domain document cap: keep at most `cap` docs per source, by the
     * deterministic priority (n_chars DESC, doc_id ASC) — the "max N pages
     * per domain" rule every web-corpus pipeline applies so one crawler-happy

@@ -102,6 +102,21 @@ class SamplingSpec extends SparkSpec {
     assert(out("b") == (50L, 250L, 50000L))  // 5 epochs
   }
 
+  test("temperatureMixPlan: sqrt weights flatten the mix toward parity") {
+    // masses 100 vs 400: raw shares 20/80, sqrt weights 10:20 -> 33/67.
+    // w_micro: sqrt(100)=10 exactly, sqrt(400)=20 exactly
+    val df = Seq(("a", 100L), ("b", 400L)).toDF("source", "n_tokens")
+    val out = Sampling.temperatureMixPlan(df, "source", "n_tokens",
+      totalBudget = 3000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("w_micro"),
+          r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs_bp"))).toMap
+    assert(out("a") == (100L, 10000000L, 1000L, 100000L)) // 10 epochs
+    assert(out("b") == (400L, 20000000L, 2000L, 50000L))  // 5 epochs
+    // high-resource b gets 2/3 of the budget, not its raw 4/5 share —
+    // the alpha=1/2 flattening
+  }
+
   test("shardPlan conserves corpus mass and is partitioning-invariant") {
     val docs = (0L until 200L).map(i =>
       (i, s"tok${i} tok${i + 1} tok${i + 2}", 3L))
