@@ -522,6 +522,22 @@ object Stress {
       graft.operators.Graph.labelPropagation(
         graft.operators.Graph.coSupplyEdges(lineitemX), rounds = 4)
     }
+    // Triangle census + k-core on the k-NN skeleton: the sparsifier
+    // bounds the skeleton at <= 2nk edges whatever the projection's
+    // density, so both statistics must stay node-bounded as the raw
+    // pair mass grows with factor (only the window over per-node edge
+    // lists sees the growth).
+    time("knn_triangles") {
+      graft.operators.Graph.triangleStats(
+        graft.operators.Graph.knnSparsify(
+          graft.operators.Graph.coSupplyEdges(lineitemX), 5))
+    }
+    time("kcore_peel") {
+      graft.operators.Graph.kCorePeel(
+        graft.operators.Graph.knnSparsify(
+          graft.operators.Graph.coSupplyEdges(lineitemX), 5),
+        k = 6, rounds = 8)
+    }
     // HLL rollup: register state is (groups x days x 512) regardless of
     // events volume; the two corpus distincts are the only linear terms.
     time("hll_rollup") {
