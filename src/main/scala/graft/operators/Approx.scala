@@ -513,22 +513,34 @@ object Approx {
     * sketch. The exact count side exists here to certify the estimates;
     * a production scorer keeps only the d*w cells.
     */
-  def cmsTopK(docs: DataFrame, d: Int, w: Int, k: Int): DataFrame = {
+  /** The CMS row-r bucket of token t: `fold("cms<r>:" + t) % w` — shared
+    * by the batch sketch and the streaming cell builder so the two can
+    * never hash apart. */
+  private[graft] def cmsBucket(r: Int, t: Column, w: Int): Column = {
     import org.apache.spark.sql.graftnative.RollingHash.rollingHash
-    val bucket = (r: Int, t: Column) =>
-      pmod(rollingHash(concat(lit(s"cms$r:"), t)), lit(w.toLong))
-    val cnt = docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("true_count"))
-    // cell(r, b) = sum of counts of all tokens hashing to b in row r;
-    // building from the (token, count) aggregate is identical to folding
-    // the raw stream (addition commutes) without a d-fold stream blowup
-    val cells = cnt
+    pmod(rollingHash(concat(lit(s"cms$r:"), t)), lit(w.toLong))
+  }
+
+  /** The d x w cell frame of the count-min sketch over a `token` column —
+    * cell(r, b) = number of token occurrences hashing to b in row r.
+    * Built from the (token, count) aggregate (identical to folding the
+    * raw stream — addition commutes — without a d-fold stream blowup);
+    * the streaming twin (EventStream.cmsCellStream) folds the raw
+    * stream directly and EventStreamSpec proves the files equal. */
+  private[graft] def cmsCells(tokens: DataFrame, d: Int, w: Int): DataFrame =
+    tokens
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .select(explode(array((0 until d).map(r =>
-        struct(lit(r).as("r"), bucket(r, col("token")).as("b"),
-          col("true_count").as("c"))): _*)).as("x"))
+        struct(lit(r).as("r"), cmsBucket(r, col("token"), w).as("b"),
+          col("c").as("c"))): _*)).as("x"))
       .groupBy(col("x.r").as("r"), col("x.b").as("b"))
       .agg(sum(col("x.c")).as("v"))
+
+  def cmsTopK(docs: DataFrame, d: Int, w: Int, k: Int): DataFrame = {
+    val bucket = (r: Int, t: Column) => cmsBucket(r, t, w)
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+    val cells = cmsCells(toks, d, w)
     cnt
       .select(col("token"), col("true_count"),
         posexplode(array((0 until d).map(r => bucket(r, col("token"))): _*))

@@ -59,6 +59,31 @@ object EventStream {
       .agg(max(col("rho")).as("mx"))
   }
 
+  /** Streaming count-min cell build — the continuous dual of the batch
+    * CMS (Approx.cmsCells): per (row, bucket) running occurrence count
+    * over the token stream, the d hash rows sharing Approx.cmsBucket so
+    * the streamed file can never hash apart from the batch sketch.
+    * State is BOUNDED at d*w counters FOREVER — the heavy-hitter
+    * summary of an unbounded token stream in constant space; any
+    * microbatch's snapshot answers "approximate count of token t so
+    * far" via the same min-over-rows read as the batch estimate.
+    * Unlike the HLL registers (max: idempotent), cell counts are
+    * ADDITIVE — re-delivered rows double-count, so an at-least-once
+    * source fronts this with [[dedupStream]] exactly like the ingest
+    * chains. EventStreamSpec proves the streamed cells equal
+    * Approx.cmsCells over identical rows across multiple microbatches.
+    */
+  def cmsCellStream(docs: DataFrame, d: Int, w: Int): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    toks
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"),
+          graft.operators.Approx.cmsBucket(r, col("token"), w).as("b"))): _*))
+        .as("x"))
+      .groupBy(col("x.r").as("r"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("v"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content key
     * inside the watermark horizon — the continuous dual of
     * Dedup.exactDedup, and the standard front gate of a streaming

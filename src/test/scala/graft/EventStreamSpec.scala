@@ -175,6 +175,44 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("cmsCellStream: streamed cells equal the batch sketch's") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.IngestDoc]
+    val out = EventStream.cmsCellStream(input.toDF(), d = 3, w = 64)
+
+    val chk = Files.createTempDirectory("graft-cms-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("cmscells")
+      .outputMode("complete")
+      .option("checkpointLocation", chk)
+      .start()
+
+    val texts = (1 to 40).map(i =>
+      s"alpha beta tok$i gamma ${if (i % 2 == 0) "delta" else "eps"}")
+    input.addData(texts.take(25).zipWithIndex.map { case (t, i) =>
+      EventStream.IngestDoc(i.toLong, ts("2024-01-01 00:10:00"), t, "s")
+    }: _*)
+    query.processAllAvailable()
+    input.addData(texts.drop(25).zipWithIndex.map { case (t, i) =>
+      EventStream.IngestDoc(100L + i, ts("2024-01-01 01:10:00"), t, "s")
+    }: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("cmscells").collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("b")) -> r.getAs[Long]("v"))
+      .toMap
+    val batchToks = texts.toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("token"))
+    val batch = graft.operators.Approx.cmsCells(batchToks, 3, 64).collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("b")) -> r.getAs[Long]("v"))
+      .toMap
+    assert(streamed == batch)
+    // constant state: never more than d*w cells however long the stream
+    assert(streamed.size <= 3 * 64)
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
