@@ -325,15 +325,25 @@ object Graph {
     * on a projection that is otherwise near-complete (the co-supply
     * graph IS: every supplier pair eventually shares an order).
     *
-    * Scale shape: one window partitioned by src (per-node top-k over
-    * its edge list, the skew-bounded rank pattern) + one bounded
-    * aggregate; no all-pairs anything.
+    * Scale shape: skew-safe two-phase top-k (the Sampling.domainCap
+    * pattern) — phase 1 ranks within (src, input-partition) so a
+    * power-law hub's edge list spreads over all reducers and at most
+    * k x num_partitions rows per node survive; phase 2 ranks that
+    * bounded set globally per node. The result equals a single global
+    * row_number (the (w DESC, dst ASC) priority is total, and any edge
+    * in a node's global top-k is in the top-k of every subset
+    * containing it), but no reducer ever sees a whole hub.
     */
   def knnSparsify(edges: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy(col("src"))
-      .orderBy(col("w").desc, col("dst").asc)
-    val kept = edges.withColumn("rk", row_number().over(win))
+    val pri = Seq(col("w").desc, col("dst").asc)
+    val local = Window.partitionBy(col("src"), col("part")).orderBy(pri: _*)
+    val global = Window.partitionBy(col("src")).orderBy(pri: _*)
+    val kept = edges
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .where(col("lr") <= k)
+      .withColumn("rk", row_number().over(global))
       .where(col("rk") <= k)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
