@@ -445,6 +445,7 @@ object Analytics {
       .select(col("id").as("variant"))
     val perArm = armIds.join(perArm0, Seq("variant"), "left")
       .select(col("variant"), coalesce(col("n_arm"), lit(0L)).as("n_arm"))
+      .localCheckpoint() // A rows, three consumers — one events scan
     val n1 = perArm.agg(sum(col("n_arm")).as("n_users"))
     val dev = perArm.crossJoin(broadcast(n1))
       .withColumn("dev_a", col("n_arm") * arms - col("n_users"))

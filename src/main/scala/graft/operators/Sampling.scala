@@ -102,9 +102,13 @@ object Sampling {
     val weight = weights.foldRight(lit(defaultWeight)) { case ((g, wt), e) =>
       when(col(groupCol) === g, lit(wt)).otherwise(e)
     }
+    // the totals frame is |groups| rows but TWO consumers (the plan and
+    // the weight-sum) — materialize it so the corpus scan happens once,
+    // as the doc promises (the plan audit showed two parquet scans)
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(tokenCol)).as("total_tokens"))
       .withColumn("weight", weight.cast("long"))
+      .localCheckpoint()
     val wsum = totals.agg(sum(col("weight")).as("weight_sum"))
     totals.crossJoin(broadcast(wsum))
       .withColumn("target_tokens",
@@ -137,6 +141,7 @@ object Sampling {
       .withColumn("w_micro",
         floor(sqrt(col("total_tokens").cast("double")) * 1000000.0 + 0.5)
           .cast("long"))
+      .localCheckpoint() // two consumers; one corpus scan (mixPlan's rule)
     val wsum = totals.agg(sum(col("w_micro")).as("w_sum"))
     totals.crossJoin(broadcast(wsum))
       .withColumn("target_tokens",
