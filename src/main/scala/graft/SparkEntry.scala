@@ -675,6 +675,18 @@ object SparkEntry {
         graft.operators.Ivf.search(qs, e, centroids, nprobe = 2, topK = 10))
     }),
 
+    // §2.21p — MRR + recall@k over the SAME searcher as q_ann_ndcg
+    // (shared oracle CTEs): reciprocal rank of the first ideal-top-k
+    // member in the approx ranking, 10^6 DIV first_hit_rank exact
+    "q_ann_mrr" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.where(col("vec_id") < 8)
+      val centroids = graft.operators.Ivf.train(
+        e.where(col("vec_id") % 5 === 0), k = 16, iters = 2)
+      Similarity.mrrAudit(qs, e, k = 10,
+        graft.operators.Ivf.search(qs, e, centroids, nprobe = 2, topK = 10))
+    }),
+
     // §2.21k — sign-LSH calibration twin: measured bucket-collision rate
     // per exact-cosine tier over q_ann_lsh's real buckets + the
     // theoretical (1-acos(c)/pi)^8 rate as a plan literal — the recall
@@ -2552,6 +2564,8 @@ object SparkEntry {
 
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ndcg" -> annNdcgOracle,
+
+    "q_ann_mrr" -> annMrrOracle,
     "q_lsh_calibration" -> lshCalibrationOracle,
     "q_ann_lsh_mp" -> annLshMpOracle,
     "q_jl_project" -> jlOracle,
@@ -6959,12 +6973,14 @@ object SparkEntry {
     * q_ann_ivf CTE chain at nprobe=2, k=10), driver-inlined integer
     * discount weights, and the same exact integer DCG/IDCG arithmetic.
     */
-  private def annNdcgOracle: String = {
+  /** The ideal (brute-force top-10) and approx (IVF nprobe=2 top-10)
+    * ranking CTEs shared by the nDCG and MRR oracles — one definition so
+    * the two audits replay the identical searcher. Yields `ideal`
+    * (query_id, neighbor_id, rank) and `approx` (query_id, neighbor_id,
+    * arank). */
+  private def annRankCtes: String = {
     def dist(e: String, c: String): String = ivfDist(e, c)
-    val wCase = (rk: String) => Similarity.ndcgWeightsMicro(10).zipWithIndex
-      .map { case (w, i) => s"WHEN ${i + 1} THEN CAST($w AS BIGINT)" }
-      .mkString(s"CASE $rk ", " ", " ELSE CAST(0 AS BIGINT) END")
-    s"""WITH $ivfTrainCtes,
+    s"""$ivfTrainCtes,
        |bq AS (SELECT vec_id AS query_id, embedding AS q_emb
        |  FROM embeddings WHERE vec_id < 8),
        |isims AS (
@@ -6999,7 +7015,34 @@ object SparkEntry {
        |    SELECT query_id, neighbor_id,
        |      CAST(row_number() OVER (PARTITION BY query_id
        |        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS arank
-       |    FROM asims) WHERE arank <= 10),
+       |    FROM asims) WHERE arank <= 10)""".stripMargin
+  }
+
+  /** q_ann_mrr oracle: first relevant arank per query over the shared
+    * rank CTEs, rr_micro and recall_bp in exact integer division. */
+  private def annMrrOracle: String =
+    s"""WITH $annRankCtes,
+       |h AS (
+       |  SELECT a.query_id, CAST(min(a.arank) AS BIGINT) AS first_hit_rank,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM approx a JOIN ideal i
+       |    ON a.query_id = i.query_id AND a.neighbor_id = i.neighbor_id
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_ideal
+       |  FROM ideal GROUP BY 1)
+       |SELECT g.query_id, g.n_ideal, COALESCE(h.n_hits, 0) AS n_hits,
+       |  h.first_hit_rank,
+       |  COALESCE(1000000 // h.first_hit_rank, 0) AS rr_micro,
+       |  COALESCE(h.n_hits, 0) * 10000 // g.n_ideal AS recall_bp
+       |FROM g LEFT JOIN h ON g.query_id = h.query_id
+       |ORDER BY g.query_id""".stripMargin
+
+  private def annNdcgOracle: String = {
+    val wCase = (rk: String) => Similarity.ndcgWeightsMicro(10).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN CAST($w AS BIGINT)" }
+      .mkString(s"CASE $rk ", " ", " ELSE CAST(0 AS BIGINT) END")
+    s"""WITH $annRankCtes,
        |d AS (
        |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_approx,
        |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -608,4 +608,37 @@ object Similarity {
           .as("ndcg_micro"))
       .orderBy(col("query_id"))
   }
+
+  /** MRR + recall@k audit — the third member of the ranking-quality
+    * family: [[graft.operators.Ivf.recallAudit]] measures set coverage,
+    * [[ndcgAudit]] position-discounted order, and this the metric
+    * retrieval papers quote alongside them — the reciprocal rank of the
+    * FIRST relevant result (relevant = member of the brute-force ideal
+    * top-k). `rr_micro = 10⁶ DIV first_hit_rank` is exact integer
+    * division; recall@k in bp rides along. A query whose probes return
+    * no relevant result scores 0 with a NULL first_hit_rank, kept by
+    * the ideal-side panel. Same composability contract as ndcgAudit:
+    * `approxRanking` is any (query_id, neighbor_id, rank) frame.
+    */
+  def mrrAudit(queries: DataFrame, candidates: DataFrame, k: Int,
+      approxRanking: DataFrame): DataFrame = {
+    val ideal = bruteForceTopK(queries, candidates, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val hits = approxRanking
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+      .join(ideal, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("arank")).as("first_hit_rank"),
+        count(lit(1)).as("n_hits"))
+    ideal.groupBy(col("query_id")).agg(count(lit(1)).as("n_ideal"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ideal"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("first_hit_rank"),
+        coalesce(expr("1000000 DIV first_hit_rank"), lit(0L)).as("rr_micro"),
+        expr("coalesce(n_hits, CAST(0 AS BIGINT)) * 10000 DIV n_ideal")
+          .as("recall_bp"))
+      .orderBy(col("query_id"))
+  }
 }

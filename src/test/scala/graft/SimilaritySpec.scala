@@ -313,6 +313,38 @@ class SimilaritySpec extends SparkSpec {
     assert(perfect.forall(_.getAs[Long]("n_hits") == 5L))
   }
 
+  test("mrrAudit: perfect ranking scores 10^6, a rank-2 first hit half, " +
+      "zero hits zero") {
+    import spark.implicits._
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.where($"vec_id" < 2)
+    val ideal = Similarity.bruteForceTopK(qs, vecs, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+    val perfect = Similarity.mrrAudit(qs, vecs, 5, ideal).collect()
+    assert(perfect.forall(_.getAs[Long]("rr_micro") == 1000000L))
+    assert(perfect.forall(_.getAs[Long]("recall_bp") == 10000L))
+    // shift every rank down one and put an irrelevant id at rank 1:
+    // first relevant now sits at rank 2 -> rr exactly 500000
+    val shifted = ideal
+      .select($"query_id", $"neighbor_id", ($"rank" + 1).as("rank"))
+      .where($"rank" <= 5)
+      .unionByName(qs.select($"vec_id".as("query_id"),
+        org.apache.spark.sql.functions.lit(999L).as("neighbor_id"),
+        org.apache.spark.sql.functions.lit(1L).as("rank")))
+    val r2 = Similarity.mrrAudit(qs, vecs, 5, shifted).collect()
+    assert(r2.forall(_.getAs[Long]("rr_micro") == 500000L))
+    // an entirely irrelevant ranking: rr 0, NULL first hit, recall 0
+    val junk = qs.select($"vec_id".as("query_id"),
+      org.apache.spark.sql.functions.lit(999L).as("neighbor_id"),
+      org.apache.spark.sql.functions.lit(1L).as("rank"))
+    val r3 = Similarity.mrrAudit(qs, vecs, 5, junk).collect()
+    assert(r3.forall(r => r.getAs[Long]("rr_micro") == 0L &&
+      r.isNullAt(r.fieldIndex("first_hit_rank")) &&
+      r.getAs[Long]("recall_bp") == 0L))
+  }
+
   test("ndcgAudit: an irrelevant result at rank 1 costs more than at rank 5") {
     import spark.implicits._
     val vecs = (0 until 12).map(i =>
