@@ -73,7 +73,11 @@ object SparkEntry {
   private def ingestIndexTables(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val name = s"graft_ingestidx_$tag"
-    if (!s.catalog.tableExists(s"${name}_hash")) {
+    // guard on BOTH tables (the q_bucketed_join idiom): a build that
+    // failed between the two saveAsTable calls must rebuild, not wedge
+    // every later invocation on the missing bands table
+    if (!s.catalog.tableExists(s"${name}_hash") ||
+        !s.catalog.tableExists(s"${name}_bands")) {
       val corpus = Tables.documents(s, dir)
         .where(col("doc_id") % 3 === 1)
         .select(col("doc_id"), col("text"))
@@ -4100,25 +4104,14 @@ object SparkEntry {
     // frontier — pure set algebra, bit-equal by construction
     // k-NN sparsify (per-node top-5 by weight desc, neighbor asc, union
     // of both endpoints' keeps) then id-ordered triangle enumeration,
-    // per-corner credit, integer micro-unit lcc
+    // per-corner credit, integer micro-unit lcc; e is MATERIALIZED
+    // (five references — DuckDB inlines CTEs per reference, the q_kcore
+    // lesson) and the projection/skeleton CTEs are shared with the
+    // q_kcore and q_communities oracles so the graph family can never
+    // drift apart
     "q_triangles" ->
-      """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-        |p0 AS (
-        |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
-        |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
-        |  GROUP BY 1, 2),
-        |es AS (
-        |  SELECT a AS src, b AS dst, w FROM p0
-        |  UNION ALL
-        |  SELECT b, a, w FROM p0),
-        |e AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM (
-        |    SELECT src, dst,
-        |      row_number() OVER (PARTITION BY src
-        |        ORDER BY w DESC, dst ASC) AS rk
-        |    FROM es)
-        |  WHERE rk <= 5),
+      s"""WITH $knnSkeletonCtes,
+        |e AS MATERIALIZED (SELECT a, b FROM knn),
         |deg AS (
         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
         |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
@@ -4161,23 +4154,7 @@ object SparkEntry {
            |  SELECT node, CAST($i AS BIGINT) AS peel_round FROM d$i
            |  WHERE d < 6),
            |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 6)""".stripMargin
-      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-         |p0 AS (
-         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
-         |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
-         |  GROUP BY 1, 2),
-         |es AS (
-         |  SELECT a AS src, b AS dst, w FROM p0
-         |  UNION ALL
-         |  SELECT b, a, w FROM p0),
-         |knn AS (
-         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src
-         |        ORDER BY w DESC, dst ASC) AS rk
-         |    FROM es)
-         |  WHERE rk <= 5),
+      s"""WITH $knnSkeletonCtes,
          |e2 AS MATERIALIZED (
          |  SELECT a AS src, b AS dst FROM knn
          |  UNION ALL
@@ -4207,19 +4184,15 @@ object SparkEntry {
            |    SELECT node, label, row_number() OVER (
            |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
            |    FROM v$i) WHERE rk = 1),
-           |l$i AS (
+           |l$i AS MATERIALIZED (
            |  SELECT l.node, COALESCE(p.label, l.label) AS label
            |  FROM l${i - 1} l LEFT JOIN p$i p USING (node))""".stripMargin
-      s"""WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-         |p0 AS (
-         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
-         |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
-         |  GROUP BY 1, 2),
-         |e AS (
+      s"""WITH $coSupplyPairCtes,
+         |e AS MATERIALIZED (
          |  SELECT a AS src, b AS dst, w FROM p0
          |  UNION ALL
          |  SELECT b, a, w FROM p0),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
          |${(1 to 4).map(round).mkString(",\n")},
          |sizes AS (
          |  SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
@@ -6973,6 +6946,38 @@ object SparkEntry {
     * q_ann_ivf CTE chain at nprobe=2, k=10), driver-inlined integer
     * discount weights, and the same exact integer DCG/IDCG arithmetic.
     */
+  /** The co-supply projection CTEs shared by every graph-family oracle
+    * (q_communities / q_triangles / q_kcore): `li` and the weighted
+    * unique-pair frame `p0` (a < b). MATERIALIZED: p0 is referenced
+    * twice by every symmetrizing consumer. One definition so the family
+    * can never drift from Graph.coSupplyEdges' shape.
+    */
+  private def coSupplyPairCtes: String =
+    """li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |p0 AS MATERIALIZED (
+      |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.sk < y.sk
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[coSupplyPairCtes]] + the k-NN skeleton: symmetric weighted edges
+    * `es` and the per-node top-5 union-keep unique pairs `knn` —
+    * Graph.knnSparsify's replay, shared by q_triangles and q_kcore.
+    */
+  private def knnSkeletonCtes: String =
+    s"""$coSupplyPairCtes,
+       |es AS (
+       |  SELECT a AS src, b AS dst, w FROM p0
+       |  UNION ALL
+       |  SELECT b, a, w FROM p0),
+       |knn AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src
+       |        ORDER BY w DESC, dst ASC) AS rk
+       |    FROM es)
+       |  WHERE rk <= 5)""".stripMargin
+
   /** The ideal (brute-force top-10) and approx (IVF nprobe=2 top-10)
     * ranking CTEs shared by the nDCG and MRR oracles — one definition so
     * the two audits replay the identical searcher. Yields `ideal`

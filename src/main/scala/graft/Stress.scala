@@ -278,13 +278,21 @@ object Stress {
     // the RECURRING cost — no index-side exchange, so it should grow only
     // with band-bucket occupancy (candidate checks), never with index
     // shuffle volume.
+    // build-on-missing (same rule as ensureStressEdges below): a name
+    // filter selecting only the decide must not hit a missing table
+    def ensureStressIndex(): Unit =
+      if (!spark.catalog.tableExists("stress_bidx_hash") ||
+          !spark.catalog.tableExists("stress_bidx_bands"))
+        Ingest.writeBucketedIndex(
+          Ingest.signatureIndex(docs.select(col("doc_id"), col("text")), 64),
+          "stress_bidx", "/tmp/graft_stress_bidx", buckets = 32, k = 64,
+          bands = 16)
     time("ingest_index_build") {
-      Ingest.writeBucketedIndex(
-        Ingest.signatureIndex(docs.select(col("doc_id"), col("text")), 64),
-        "stress_bidx", "/tmp/graft_stress_bidx", buckets = 32, k = 64, bands = 16)
+      ensureStressIndex()
       spark.table("stress_bidx_hash")
     }
     time("ingest_bucketed_decide") {
+      ensureStressIndex()
       val base = Tables.documents(spark, sfDir)
       val batch = base
         .select((col("doc_id") + 90000000L).as("doc_id"), col("text"))
@@ -496,15 +504,23 @@ object Stress {
     // must stay rank-vector-bounded — edges scan in place, zero
     // broadcasts, so the curve stays flat where the broadcast loop's
     // per-round share broadcast grows with N.
+    // build-on-missing so a name filter selecting only the consumers
+    // (e.g. "bucketed") still finds the table — the build stays timed
+    // under its own entry when that entry is selected
+    def ensureStressEdges(): Unit =
+      if (!spark.catalog.tableExists("stress_gredges"))
+        graft.operators.Graph.writeTradeEdgeTable(ordersX, lineitemX,
+          "stress_gredges", "/tmp/graft_stress_gredges", buckets = cpus.toInt)
     time("pagerank_bkt_build") {
-      graft.operators.Graph.writeTradeEdgeTable(ordersX, lineitemX,
-        "stress_gredges", "/tmp/graft_stress_gredges", buckets = cpus.toInt)
+      ensureStressEdges()
       spark.table("stress_gredges")
     }
     time("pagerank_bucketed") {
+      ensureStressEdges()
       graft.operators.Graph.pageRankBucketed(spark, "stress_gredges")
     }
     time("bfs_bucketed") {
+      ensureStressEdges()
       val cust = Tables.customer(spark, sfDir)
         .select("c_custkey", "c_nationkey")
       graft.operators.Graph.bfsLayersBucketed(spark, "stress_gredges",

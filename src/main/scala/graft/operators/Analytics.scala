@@ -561,8 +561,14 @@ object Analytics {
     // decimal(38,0) (the eventAnomalies/q_incr_merge discipline; HUGEINTs
     // on the oracle side) — int64 would wrap silently in Spark while
     // DuckDB raises, breaking both parity and the θ sign exactly when
-    // the data gets large. decimal(19,0) factors keep every product
-    // inside precision 38 (cents ≤ 10^12/user → x² ≤ 10^24).
+    // the data gets large. PRECISE SAFE DOMAIN: the per-user products
+    // x·y are exact under decimal(19,0) factors (cents ≤ 10^12/user),
+    // and the clearing products n·sxy / sx·sy stay exact while
+    // n·Σ|xy| < 10^38 — e.g. 10^9 users at ≤ 10^8 cents ($1M) per user
+    // gives n·Σxy ≤ 10^34, four orders inside the cap. PAST that bound
+    // Spark's capped decimal yields NULL θ (falling back to the raw
+    // mean, visibly: theta_u NULL) while DuckDB raises — a loud
+    // boundary on both engines, not a silent wrong sign.
     val dec19 = "decimal(19,0)"
     val pool = perUser.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),

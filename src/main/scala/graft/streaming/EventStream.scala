@@ -474,11 +474,24 @@ object EventStream {
     * Streamed state must use THIS conversion or the documented
     * "replay converges to the batch answer" equality silently breaks on
     * >2-dp inputs.
+    *
+    * Batch cast semantics include the FAILURE mode: `cast(NaN/Infinity
+    * as decimal)` and magnitude overflow yield NULL, which the batch
+    * sums SKIP (contribute nothing, the row still occupies its window
+    * slot). A raw BigDecimal parse would instead THROW inside
+    * flatMapGroupsWithState and kill the whole streaming query on one
+    * malformed event — so non-finite and >decimal(18,2) magnitudes
+    * contribute 0 cents here, exactly the batch null-skip. (One pinned
+    * residual: a user whose EVERY value is malformed reports 0 where
+    * the batch sum of all-NULLs is NULL.)
     */
   private def centsOf(v: Double): Long =
-    new java.math.BigDecimal(java.lang.Double.toString(v))
-      .setScale(2, java.math.RoundingMode.HALF_UP)
-      .movePointRight(2).longValueExact()
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
+        math.abs(v) >= 1e16) 0L
+    else
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
 
   def runningTotalsStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession

@@ -121,6 +121,34 @@ class EventStreamSpec extends SparkSpec {
     assert(last._3 == 1378L)
   }
 
+  test("malformed values (NaN/Infinity/overflow) skip like the batch " +
+      "cast's NULL instead of killing the stream") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.runningTotalsStream(input.toDF())
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("runningbad")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(
+      EventStream.Event(1, ts("2024-01-01 00:00:00"), 9L, "click", 2.50),
+      EventStream.Event(2, ts("2024-01-02 00:00:00"), 9L, "click", Double.NaN),
+      EventStream.Event(3, ts("2024-01-03 00:00:00"), 9L, "click",
+        Double.PositiveInfinity),
+      EventStream.Event(4, ts("2024-01-04 00:00:00"), 9L, "click", 1e17),
+      EventStream.Event(5, ts("2024-01-05 00:00:00"), 9L, "click", 1.25))
+    query.processAllAvailable() // would throw here if centsOf threw
+    query.stop()
+    val totals = spark.table("runningbad").collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // the three malformed events emit rows with the sum unchanged —
+    // exactly a batch running sum over (2.50, NULL, NULL, NULL, 1.25)
+    assert(totals == Map(1L -> 2.50, 2L -> 2.50, 3L -> 2.50,
+      4L -> 2.50, 5L -> 3.75), totals.toString)
+  }
+
   test("runningTotalsStream: cents conversion matches batch OFF the 2-dp domain") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
