@@ -323,4 +323,33 @@ class AdversarialInputSpec extends SparkSpec {
       "value").collect().head
     assert(dz.getLong(1) == 2L && dz.getLong(2) == 0L)
   }
+
+  test("r10 graph family degenerate shapes: empty/single-order projections") {
+    import graft.operators.Graph
+    // single-supplier orders project to ZERO edges: every consumer must
+    // return an empty frame, not throw
+    val solo = Seq((1L, 10L), (2L, 11L)).toDF("l_orderkey", "l_suppkey")
+    val e = Graph.coSupplyEdges(solo)
+    assert(e.count() == 0)
+    assert(Graph.labelPropagation(e, rounds = 2).count() == 0)
+    assert(Graph.triangleStats(e).count() == 0)
+    assert(Graph.kCorePeel(e, k = 2, rounds = 4).count() == 0)
+    assert(Graph.knnSparsify(e, 3).count() == 0)
+    // a single two-supplier order: one edge, no triangles, both nodes
+    // peel at k=2 (degree 1), LPA converges to the smaller label
+    val pair = Seq((1L, 10L), (1L, 11L)).toDF("l_orderkey", "l_suppkey")
+    val e2 = Graph.coSupplyEdges(pair)
+    val lpa = Graph.labelPropagation(e2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: 10 adopts 11's label and 11 adopts 10's (synchronous
+    // swap); round 2 swaps back — fixed ROUNDS pins the parity, both
+    // engines replay the identical oscillation
+    assert(lpa.keySet == Set(10L, 11L))
+    val tri = Graph.triangleStats(e2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((10L, 1L, 0L), (11L, 1L, 0L)))
+    val core = Graph.kCorePeel(e2, k = 2, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(core == Set((10L, false), (11L, false)))
+  }
 }
