@@ -1792,6 +1792,15 @@ object SparkEntry {
         graft.operators.Graph.knnSparsify(
           graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5))),
 
+    // §2.67g — the k-NN skeleton AS the product: each supplier's top-5
+    // strongest trading partners with the co-occurrence weight (the
+    // recommendation-edge / similar-entities table every graph feature
+    // store ships); symmetric rows, union-keep rule, deterministic ties
+    "q_knn_graph" -> ((s, dir) =>
+      graft.operators.Graph.knnSparsify(
+        graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5)
+        .orderBy(col("src"), col("dst"))),
+
     // §2.67f — k-core onion layering over the same k-NN skeleton:
     // synchronous 6-core peel (all sub-6-degree nodes removed per
     // round, fixpoint-early-exit), each node labeled with its peel
@@ -4133,6 +4142,15 @@ object SparkEntry {
         |    ELSE 0 END AS lcc_micro
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY node""".stripMargin,
+
+    // the skeleton itself: symmetric top-5 union-keep edges with the
+    // co-occurrence weight, off the same shared CTEs as 67e/67f
+    "q_knn_graph" ->
+      s"""WITH $knnSkeletonCtes
+        |SELECT a AS src, b AS dst, w FROM knn
+        |UNION ALL
+        |SELECT b, a, w FROM knn
+        |ORDER BY src, dst""".stripMargin,
 
     // 8 unrolled synchronous peel rounds over the same k-NN skeleton
     // CTEs as q_triangles; converged rounds peel nothing, so trailing
@@ -6970,13 +6988,15 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT b, a, w FROM p0),
        |knn AS MATERIALIZED (
-       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    max(w) AS w
        |  FROM (
-       |    SELECT src, dst,
+       |    SELECT src, dst, w,
        |      row_number() OVER (PARTITION BY src
        |        ORDER BY w DESC, dst ASC) AS rk
        |    FROM es)
-       |  WHERE rk <= 5)""".stripMargin
+       |  WHERE rk <= 5
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** The ideal (brute-force top-10) and approx (IVF nprobe=2 top-10)
     * ranking CTEs shared by the nDCG and MRR oracles — one definition so

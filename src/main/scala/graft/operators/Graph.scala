@@ -429,10 +429,38 @@ object Graph {
     * registered: the co-supply projection's order-size bound already
     * caps wedge fan-out here). Everything else is bounded aggregates.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val und = edges.where(col("src") < col("dst"))
+  def triangleStats(edges: DataFrame): DataFrame =
+    triangleStatsOriented(edges, byDegree = false)
+
+  /** [[triangleStats]] with the orientation key selectable: `byDegree =
+    * true` orients each edge from the lower (degree, id) endpoint to the
+    * higher — the Schank–Wagner O(m^{3/2}) wedge bound for power-law
+    * graphs, where the id orientation can put a hub's whole edge list on
+    * the out-side. The census is orientation-INVARIANT (each triangle
+    * has exactly one source under any acyclic orientation; GraphSpec
+    * asserts equality on a hub graph), so the registered id-ordered
+    * oracle certifies this plan too.
+    */
+  def triangleStatsOriented(edges: DataFrame,
+      byDegree: Boolean): DataFrame = {
+    val base = edges.where(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b")).distinct()
-      .localCheckpoint()
+    val und = (if (!byDegree) base else {
+      val deg = base.select(col("a").as("node"))
+        .unionByName(base.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      // orient low (d, id) -> high (d, id): a total order, so exactly
+      // one direction survives per edge
+      base
+        .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("oa"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("ob"))
+        .select(col("oa").as("a"), col("ob").as("b"))
+    }).localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

@@ -327,6 +327,27 @@ class GraphSpec extends SparkSpec {
       reliableStagePath = Some(stage))) == got)
   }
 
+  test("triangleStats: degree-ordered orientation computes the identical " +
+      "census on a hub graph") {
+    // hub 1 touches everyone (degree 6); triangles (1,2,3) and (1,4,5);
+    // node 6 dangles off the hub. Under id orientation the hub sources
+    // 6 wedge-side edges; under (degree, id) orientation it sources
+    // none — the census must not notice.
+    val half = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 1L),
+      (1L, 6L, 1L), (2L, 3L, 1L), (4L, 5L, 1L))
+    val edges = (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val byId = rows(Graph.triangleStats(edges))
+    val byDeg = rows(Graph.triangleStatsOriented(edges, byDegree = true))
+    assert(byId == byDeg)
+    // the hub sits on BOTH triangles: n_tri 2, degree 5,
+    // lcc = 2*2*10^6 DIV 20
+    assert(byId.contains((1L, 5L, 2L, 200000L)))
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
