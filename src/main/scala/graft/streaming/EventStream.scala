@@ -511,6 +511,63 @@ object EventStream {
       }.toDF()
   }
 
+  /** State for [[heavyHittersStream]]: the m tracked (item, est, err)
+    * counters per group — SpaceSaving's whole summary, never the stream. */
+  case class HhState(counters: List[(Long, Long, Long)])
+  case class HhRow(event_type: String, item: Long, est: Long, err: Long,
+    hh_rank: Long)
+
+  /** Streaming heavy hitters per group — SpaceSaving (Metwally et al.
+    * 2005) over each event_type's user stream with m counters FOREVER:
+    * a tracked item increments; an untracked item seizes the minimum
+    * counter, inheriting its count as one-sided error (`est` can only
+    * OVERestimate; `est − err` never exceeds the true count, and any
+    * item with true frequency > N/m is guaranteed tracked — the specs
+    * assert all three against exact batch counts rather than trusting
+    * the paper). Complements [[cmsCellStream]]: CMS answers point
+    * queries over ALL items in d·w cells, SpaceSaving keeps the
+    * identified top-m WITH their items — the "what are the hot keys
+    * right now" feature a skew guard reads.
+    *
+    * Determinism: arrivals fold in the unique (ts, event_id) order
+    * (the runningTotalsStream discipline) and the victim counter is
+    * picked by (est ASC, item ASC), so the summary is identical on
+    * any partitioning or retry given the same microbatch boundaries.
+    * Emits the current counters (rank by est DESC, item ASC) for every
+    * group a microbatch touches.
+    */
+  def heavyHittersStream(events: DataFrame, m: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HhState, HhRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[HhState]) =>
+          var counters = state.getOption.map(_.counters).getOrElse(Nil)
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val item = e.user_id
+            counters.indexWhere(_._1 == item) match {
+              case i if i >= 0 =>
+                val (it, est, err) = counters(i)
+                counters = counters.updated(i, (it, est + 1, err))
+              case _ if counters.length < m =>
+                counters = (item, 1L, 0L) :: counters
+              case _ =>
+                val (vit, vest, verr) =
+                  counters.minBy { case (it, est, _) => (est, it) }
+                counters = (item, vest + 1, vest) ::
+                  counters.filterNot(_._1 == vit)
+            }
+          }
+          state.update(HhState(counters))
+          counters.sortBy { case (it, est, _) => (-est, it) }
+            .zipWithIndex.map { case ((it, est, err), i) =>
+              HhRow(etype, it, est, err, i + 1L)
+            }.iterator
+      }.toDF()
+  }
+
   /** State for [[decayScoreStream]]: the last <= n events' (ts-micros, id,
     * cents), newest first — a bounded buffer per user, never the stream. */
   case class DecayState(recent: List[(Long, Long, Long)])

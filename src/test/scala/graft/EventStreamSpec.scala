@@ -241,6 +241,51 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.size <= 3 * 64)
   }
 
+  test("heavyHittersStream: SpaceSaving guarantees hold against exact counts " +
+      "across microbatches, state bounded at m") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.heavyHittersStream(input.toDF(), m = 4)
+    val chk = Files.createTempDirectory("graft-hh-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("hh")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    // frequencies: user 1 x20, 2 x10, 3 x6, then a tail of 12 singletons
+    // — N = 48, m = 4, so anything with freq > 12 MUST be tracked
+    def ev(id: Long, u: Long, minute: Int) =
+      EventStream.Event(id, ts(f"2024-01-01 00:$minute%02d:00"), u, "click", 1.0)
+    val batch1 = (1 to 12).map(i => ev(i, 1, 1)) ++
+      (13 to 18).map(i => ev(i, 2, 2)) ++
+      (19 to 24).map(i => ev(i, 100 + i, 3))
+    val batch2 = (25 to 32).map(i => ev(i, 1, 11)) ++
+      (33 to 36).map(i => ev(i, 2, 12)) ++
+      (37 to 42).map(i => ev(i, 3, 13)) ++
+      (43 to 48).map(i => ev(i, 200 + i, 14))
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.table("hh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // per-batch emission is bounded at m rows
+    assert(all.length <= 2 * 4)
+    val latest = all.drop(all.length - math.min(4, all.length))
+    val trueCount = Map(1L -> 20L, 2L -> 10L, 3L -> 6L)
+      .withDefaultValue(1L)
+    latest.foreach { case (_, item, est, err, _) =>
+      assert(est >= trueCount(item), s"underestimate for $item")
+      assert(est - err <= trueCount(item), s"est-err overshoot for $item")
+    }
+    // freq > N/m = 12: users 1 (20) MUST be tracked; user 2 (10) and
+    // 3 (6) fit comfortably in m=4 here too
+    assert(latest.exists(_._2 == 1L))
+    assert(latest.find(_._2 == 1L).get._3 == 20L) // tracked from batch 1: exact
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
