@@ -1818,6 +1818,13 @@ object SparkEntry {
     "q_langid_confusion" -> ((s, dir) =>
       TextAnalysis.langIdConfusion(Tables.documents(s, dir), langMarkers)),
 
+    // §2.22c — per-window language segmentation: the doc-level marker
+    // classifier applied to fixed 16-token windows, per-doc switch
+    // structure (code-switching detection) — ONE shuffle-free projection
+    "q_lang_segments" -> ((s, dir) =>
+      TextAnalysis.langSegments(Tables.documents(s, dir), langMarkers,
+        window = 16)),
+
     // §2.65f — CUSUM change-point per event type: the day the n-scaled
     // cumulative deviation peaks (exact BIGINT — WHEN the volume shifted,
     // where q_trend answers whether it drifts), with before/after means
@@ -4529,6 +4536,55 @@ object SparkEntry {
         |  c.true_lang = c.predicted_lang AS correct
         |FROM cells c JOIN tot t2 ON c.true_lang = t2.true_lang
         |ORDER BY c.true_lang, c.predicted_lang""".stripMargin,
+
+    // q_lang_id's marker scoring applied per 16-token window: nested
+    // list lambdas build per-segment score vectors, the argmax CASE
+    // keeps the en,fr,es,de,zh tie order (= Spark's array_position on
+    // the first max), switches/votes derive from the segment list
+    "q_lang_segments" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(text) >= 1),
+        |p AS (SELECT doc_id, lang, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    (CAST(len(toks) AS BIGINT) + 15) // 16 AS n_segments
+        |  FROM t),
+        |sc AS (SELECT doc_id, lang, n_tokens, n_segments,
+        |  list_transform(
+        |    list_transform(range(0, n_segments), i -> toks[(i*16+1):(i*16+16)]),
+        |    seg -> [
+        |      CAST(len(list_filter(seg, x -> x IN ('the','a'))) AS BIGINT),
+        |      CAST(len(list_filter(seg, x -> x IN ('table','row'))) AS BIGINT),
+        |      CAST(len(list_filter(seg, x -> x IN ('data','value'))) AS BIGINT),
+        |      CAST(len(list_filter(seg, x -> x IN ('join','group'))) AS BIGINT),
+        |      CAST(len(list_filter(seg, x -> x IN ('spark','stream'))) AS BIGINT)]) AS segsc
+        |  FROM p),
+        |sl AS (SELECT doc_id, lang, n_tokens, n_segments,
+        |  list_transform(segsc, s ->
+        |    CASE WHEN s[1] = list_aggregate(s, 'max') THEN 'en'
+        |         WHEN s[2] = list_aggregate(s, 'max') THEN 'fr'
+        |         WHEN s[3] = list_aggregate(s, 'max') THEN 'es'
+        |         WHEN s[4] = list_aggregate(s, 'max') THEN 'de'
+        |         ELSE 'zh' END) AS segl
+        |  FROM sc),
+        |v AS (SELECT doc_id, lang, n_tokens, n_segments, segl,
+        |  [CAST(len(list_filter(segl, x -> x = 'en')) AS BIGINT),
+        |   CAST(len(list_filter(segl, x -> x = 'fr')) AS BIGINT),
+        |   CAST(len(list_filter(segl, x -> x = 'es')) AS BIGINT),
+        |   CAST(len(list_filter(segl, x -> x = 'de')) AS BIGINT),
+        |   CAST(len(list_filter(segl, x -> x = 'zh')) AS BIGINT)] AS votes
+        |  FROM sl)
+        |SELECT doc_id, lang, n_tokens, n_segments,
+        |  array_to_string(segl, ',') AS seg_langs,
+        |  CAST(len(list_filter(range(1, CAST(n_segments AS INT)),
+        |    i -> segl[i] != segl[i+1])) AS BIGINT) AS n_switches,
+        |  CAST(len(list_distinct(segl)) AS BIGINT) AS n_langs,
+        |  CASE WHEN votes[1] = list_aggregate(votes, 'max') THEN 'en'
+        |       WHEN votes[2] = list_aggregate(votes, 'max') THEN 'fr'
+        |       WHEN votes[3] = list_aggregate(votes, 'max') THEN 'es'
+        |       WHEN votes[4] = list_aggregate(votes, 'max') THEN 'de'
+        |       ELSE 'zh' END AS major_lang,
+        |  len(list_distinct(segl)) > 1 AS is_code_switched
+        |FROM v""".stripMargin,
 
     // daily series, n-scaled integer CUSUM, argmax by the same total
     // priority, and the two segment means replayed

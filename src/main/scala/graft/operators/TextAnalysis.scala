@@ -1212,6 +1212,78 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-window language segmentation — code-switching detection over
+    * [[languageId]]'s marker heuristic (transform.py:1's per-doc text
+    * column, extended to the intra-document structure an LLM-corpus
+    * cleaner needs: a doc whose halves disagree on language is a
+    * different cleaning problem than a monolingual one). The token
+    * stream is cut into fixed `window`-token segments, each segment is
+    * classified independently with the SAME marker scoring and argmax
+    * tie-break as the doc-level classifier, and the per-doc report
+    * carries the segment sequence plus its switch structure:
+    *
+    *   - `seg_langs`   — comma-joined per-segment predictions, in order
+    *     (a STRING, not an array — the driver comparator sorts columns
+    *     with pandas, which throws on array cells)
+    *   - `n_switches`  — adjacent segment pairs that disagree
+    *   - `n_langs`     — distinct predicted languages across segments
+    *   - `major_lang`  — argmax of segment votes, ties to the first
+    *     language in `markers` order (the doc-level tie-break, applied
+    *     to votes)
+    *   - `is_code_switched` — n_langs > 1
+    *
+    * Scale shape: ONE narrow projection over the scan — segmentation,
+    * per-segment scoring, switch counting, and the vote argmax are all
+    * higher-order array functions over lambda-bound variables, so the
+    * whole operator runs at scan speed with zero exchanges and no
+    * per-row state beyond the token array. Docs with empty text (no
+    * tokens) are excluded, mirroring the oracle's WHERE.
+    */
+  def langSegments(docs: DataFrame, markers: Seq[(String, Seq[String])],
+      window: Int): DataFrame = {
+    require(markers.nonEmpty && window > 0)
+    val langs = typedLit(markers.map(_._1))
+    val sets = typedLit(markers.map(_._2))
+    val zeros = typedLit(Seq.fill(markers.size)(0L))
+    // one segment's argmax: the predictedLangOnePass fold, applied to a
+    // lambda-bound slice instead of the whole token array
+    def segLang(seg: Column): Column = aggregate(
+      seg, zeros,
+      (acc, x) => zip_with(acc, sets, (cnt, set) =>
+        cnt + when(array_contains(set, x), 1L).otherwise(0L)),
+      acc => element_at(langs, array_position(acc, array_max(acc)).cast("int")))
+    docs
+      // split("", " ") is [""], not [] — gate on the raw text so an
+      // empty doc is excluded rather than scored as one empty segment
+      .where(length(col("text")) >= 1)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_segments",
+        expr(s"(n_tokens + ${window - 1}) DIV $window"))
+      .withColumn("segl", transform(
+        sequence(lit(0), (col("n_segments") - 1).cast("int")),
+        i => segLang(slice(col("toks"), i * window + 1, lit(window)))))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_segments"),
+        array_join(col("segl"), ",").as("seg_langs"),
+        // sequence() DESCENDS when start > stop, so nseg = 1 must not
+        // reach it — guard rather than rely on an empty range
+        when(col("n_segments") > 1,
+          size(filter(
+            transform(sequence(lit(1), (col("n_segments") - 1).cast("int")),
+              i => element_at(col("segl"), i) =!=
+                element_at(col("segl"), i + 1)),
+            x => x))).otherwise(0).cast("long").as("n_switches"),
+        size(array_distinct(col("segl"))).cast("long").as("n_langs"),
+        aggregate(col("segl"), zeros,
+          (acc, l) => zip_with(acc, langs, (cnt, lg) =>
+            cnt + when(l === lg, 1L).otherwise(0L)),
+          acc => element_at(langs,
+            array_position(acc, array_max(acc)).cast("int")))
+          .as("major_lang"),
+        (size(array_distinct(col("segl"))) > 1).as("is_code_switched"))
+  }
+
   def corpusDivergence(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("source"),
       explode(tokens(col("text"))).as("token"))

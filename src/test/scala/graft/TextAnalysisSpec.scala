@@ -508,4 +508,37 @@ class TextAnalysisSpec extends SparkSpec {
       r.getAs[Long]("df_buckets")).toMap
     assert(dfByTerm("alpha") == 1L && dfByTerm("gamma") == 1L)
   }
+
+  test("langSegments: per-window verdicts, switch structure, doc tie-break") {
+    val markers = Seq("en" -> Seq("the", "cat"), "es" -> Seq("uno", "dos"))
+    // doc 1: en-window, es-window, en-window -> 2 switches, code-switched
+    // doc 2: one short window -> single segment, no switches
+    // doc 3: empty text -> excluded (mirrors the oracle's WHERE)
+    // doc 4: en/es windows tied 1-1 on votes -> major ties to 'en'
+    //        (first in markers order, the doc-level tie-break)
+    val segDocs = Seq(
+      (1L, "the cat aa uno dos bb the cat cc", "en", "s0", 0L),
+      (2L, "uno", "es", "s0", 0L),
+      (3L, "", "en", "s0", 0L),
+      (4L, "the cat aa uno dos bb", "en", "s0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.langSegments(segDocs, markers, window = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(3L), "empty doc must be excluded")
+    val d1 = out(1L)
+    assert(d1.getAs[String]("seg_langs") == "en,es,en")
+    assert(d1.getAs[Long]("n_segments") == 3L)
+    assert(d1.getAs[Long]("n_switches") == 2L)
+    assert(d1.getAs[Long]("n_langs") == 2L)
+    assert(d1.getAs[String]("major_lang") == "en") // votes 2-1
+    assert(d1.getAs[Boolean]("is_code_switched"))
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_segments") == 1L)
+    assert(d2.getAs[Long]("n_switches") == 0L)
+    assert(d2.getAs[String]("seg_langs") == "es")
+    assert(!d2.getAs[Boolean]("is_code_switched"))
+    val d4 = out(4L)
+    assert(d4.getAs[String]("seg_langs") == "en,es")
+    assert(d4.getAs[String]("major_lang") == "en") // 1-1 tie -> marker order
+  }
 }
