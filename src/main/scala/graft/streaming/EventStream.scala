@@ -606,4 +606,48 @@ object EventStream {
           Iterator.single(DecayRow(userId, recent.length.toLong, score))
       }.toDF()
   }
+
+  /** State for [[groupSampleStream]]: the k smallest (ord, doc_id)
+    * pairs per group — the sample itself, never the stream. */
+  case class GsState(smallest: List[(Long, Long)])
+  case class GsRow(source: String, doc_id: Long, rank: Long)
+
+  /** Streaming deterministic per-group sampler — the continuous dual of
+    * Sampling.groupSample (§2.24j3): per source, the k documents with
+    * the smallest salted base-257 id fold, kept as bounded bottom-k
+    * state FOREVER. The ord hash is computed by the SAME native
+    * RollingHash expression as the batch operator, BEFORE the typed
+    * boundary, so the two paths can never hash apart. Bottom-k of a set
+    * is idempotent under re-insertion, so at-least-once re-deliveries
+    * are absorbed with no dedup gate (the HLL-register max property, in
+    * order-statistic form — unlike the additive CMS cells, which need
+    * [[dedupStream]] in front). Each touched microbatch re-emits the
+    * group's refreshed sample with ranks under the batch tie order
+    * (ord ASC, doc_id ASC), so any snapshot IS Sampling.groupSample of
+    * the rows seen so far — a continuously maintained eval-set draw.
+    * EventStreamSpec proves final-state equality with the batch sampler
+    * across microbatches including a planted re-delivery, plus the
+    * k-row state and emission bounds.
+    */
+  def groupSampleStream(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ord = org.apache.spark.sql.graftnative.RollingHash.rollingHash(
+      concat(lit("gsample:"), col("doc_id").cast("string")))
+    docs.select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        ord.as("ord"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GsState, GsRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (src, rows, state: GroupState[GsState]) =>
+          val prior = state.getOption.map(_.smallest).getOrElse(Nil)
+          val arrived = rows.map { case (_, id, o) => (o, id) }.toList
+          val smallest = (prior ++ arrived).distinct.sorted.take(k)
+          state.update(GsState(smallest))
+          smallest.zipWithIndex.map { case ((_, id), i) =>
+            GsRow(src, id, i + 1L)
+          }.iterator
+      }.toDF()
+  }
 }

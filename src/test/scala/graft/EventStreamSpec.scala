@@ -286,6 +286,49 @@ class EventStreamSpec extends SparkSpec {
     assert(latest.find(_._2 == 1L).get._3 == 20L) // tracked from batch 1: exact
   }
 
+  test("groupSampleStream: final sample equals Sampling.groupSample across " +
+      "microbatches with a planted re-delivery, state bounded at k") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val k = 3
+    val input = MemoryStream[(Long, String)]
+    val out = EventStream.groupSampleStream(
+      input.toDF().toDF("doc_id", "source"), k)
+    val chk = Files.createTempDirectory("graft-gsample-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("gsample")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    val batch1 = (1L to 8L).map(i => (i, "web")) ++
+      (101L to 104L).map(i => (i, "books"))
+    // batch 2 re-delivers doc 3 (at-least-once source) and adds new rows
+    val batch2 = (9L to 14L).map(i => (i, "web")) ++ Seq((3L, "web")) ++
+      (105L to 110L).map(i => (i, "books"))
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.table("gsample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // each touched group emits <= k rows per microbatch
+    assert(all.length <= 2 * 2 * k)
+    // final snapshot = the last emission per group
+    val finalRows = all.zipWithIndex.groupBy(_._1._1).map { case (_, rows) =>
+      val lastRank1 = rows.filter(_._1._3 == 1L).map(_._2).max
+      rows.filter(_._2 >= lastRank1).map(_._1)
+    }.flatten.toSet
+    val allDocs = (batch1 ++ batch2).toDF("doc_id", "source")
+    val expected = graft.operators.Sampling
+      .groupSample(allDocs, "source", k).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank"))).toSet
+    assert(finalRows == expected,
+      s"stream $finalRows != batch $expected")
+    assert(finalRows.count(_._1 == "web") == k) // state/emission bound
+  }
+
   test("dedupStream drops re-delivered events within the watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
