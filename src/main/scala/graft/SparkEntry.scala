@@ -1588,6 +1588,15 @@ object SparkEntry {
       graft.operators.Approx.hllRollupAudit(
         Tables.events(s, dir), "event_type", "ts", "user_id")),
 
+    // §2.43k — HLL TIMELINE: cumulative distinct-to-date per (group, day)
+    // from the daily sketch table — dense 512-register grid + ONE
+    // partitioned running-max window (linear in the sketch table, never a
+    // prefix rescan per day), exact running count via first-seen days as
+    // the certificate
+    "q_hll_timeline" -> ((s, dir) =>
+      graft.operators.Approx.hllTimeline(
+        Tables.events(s, dir), "event_type", "ts", "user_id")),
+
     // §2.43h — Bloom-filtered semi-join audit (the runtime-filter
     // pattern): m=4096/k=3 filter of nation-1 customers gates the orders
     // probe; one summary row measures the shuffle saved, the FP rows it
@@ -3981,6 +3990,83 @@ object SparkEntry {
          |JOIN ero ON ero.event_type = g.event_type
          |JOIN nd ON nd.event_type = g.event_type
          |ORDER BY g.event_type""".stripMargin
+    },
+
+    // the timeline replayed: daily register files, the dense 512-register
+    // grid, the same running-max forward fill, the shared estimate
+    // arithmetic per (group, day), and the first-seen running exact count
+    "q_hll_timeline" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH dd AS (
+         |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hd AS (
+         |  SELECT event_type, day,
+         |    ${md5bits("'hll:' || CAST(user_id AS VARCHAR)")} AS hc
+         |  FROM dd),
+         |rd AS (
+         |  SELECT event_type, day, hc % 512 AS idx,
+         |    CASE WHEN hc // 512 = 0 THEN 44
+         |         ELSE 44 - length(bin(hc // 512)) END AS rho
+         |  FROM hd),
+         |regd AS (
+         |  SELECT event_type, day, idx, max(rho) AS mx
+         |  FROM rd GROUP BY 1, 2, 3),
+         |dys AS (SELECT DISTINCT event_type, day FROM regd),
+         |grid AS (
+         |  SELECT event_type, day, i.idx AS idx
+         |  FROM dys CROSS JOIN (SELECT unnest(range(0, 512)) AS idx) i),
+         |fl AS (
+         |  SELECT g.event_type, g.day,
+         |    max(r.mx) OVER (PARTITION BY g.event_type, g.idx
+         |      ORDER BY g.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmx
+         |  FROM grid g LEFT JOIN regd r
+         |    ON r.event_type = g.event_type AND r.day = g.day
+         |      AND r.idx = g.idx),
+         |ag AS (
+         |  SELECT event_type, day, CAST(count(cmx) AS BIGINT) AS npres,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - cmx AS INT)) AS BIGINT)
+         |      AS sp
+         |  FROM fl GROUP BY 1, 2),
+         |eo AS (
+         |  SELECT event_type, day,
+         |    round(CASE WHEN CAST('3.3194137200059597e+18' AS DOUBLE)
+         |        / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE) <= 1280.0
+         |        AND npres < 512
+         |      THEN CAST(512 AS DOUBLE)
+         |        * ln(CAST(512 AS DOUBLE) / CAST(512 - npres AS DOUBLE))
+         |      ELSE CAST('3.3194137200059597e+18' AS DOUBLE)
+         |        / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE)
+         |      END, 2) AS v
+         |  FROM ag),
+         |fs AS (
+         |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS fday
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         |nn AS (
+         |  SELECT event_type, fday AS day, CAST(count(*) AS BIGINT) AS n_new0
+         |  FROM fs GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT d.event_type, d.day,
+         |    CAST(coalesce(nn.n_new0, 0) AS BIGINT) AS n_new,
+         |    CAST(sum(coalesce(nn.n_new0, 0)) OVER (
+         |      PARTITION BY d.event_type ORDER BY d.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS n_exact_cum
+         |  FROM dys d LEFT JOIN nn
+         |    ON nn.event_type = d.event_type AND nn.day = d.day)
+         |SELECT ex.event_type, ex.day, ex.n_new, ex.n_exact_cum,
+         |  eo.v AS hll_est_cum,
+         |  CAST(round(abs(eo.v - CAST(ex.n_exact_cum AS DOUBLE))
+         |    / CAST(ex.n_exact_cum AS DOUBLE) * 10000.0, 0) AS BIGINT)
+         |    AS err_bp
+         |FROM ex JOIN eo
+         |  ON eo.event_type = ex.event_type AND eo.day = ex.day
+         |ORDER BY ex.event_type, ex.day""".stripMargin
     },
 
     // per-key counts, the same md5-threshold key membership, and the

@@ -180,6 +180,70 @@ object Approx {
       .orderBy(col(groupCol))
   }
 
+  /** Cumulative distinct-to-date TIMELINE from the daily sketch table —
+    * the growth-curve dual of [[hllRollupAudit]]: where the rollup answers
+    * one range question by max-merging day files, the timeline answers
+    * EVERY prefix question at once — per (group, day), the estimated
+    * distinct values seen up to and including that day (the "unique users
+    * to date" dashboard curve). The scalable plan is NOT a prefix rescan
+    * per day (quadratic in days): the sparse day files are spread onto a
+    * dense (group, day) x 512 grid — the same row count as the sketch
+    * table itself, so linear in what the warehouse already stores — and
+    * one partitioned running `max` window per (group, idx) forward-fills
+    * each register's cumulative state through days it wasn't touched
+    * (window max skips nulls). The per-day estimate then reads off the
+    * same (npres, sp) arithmetic as every other HLL query. The exact
+    * cumulative count rides along as the usual certificate, also in
+    * sketch-shaped form: first-seen day per value -> per-day new-value
+    * counts -> one running sum (never a per-day re-distinct).
+    *
+    * 100 TB posture: grid and windows are 512 x group-days rows — a year
+    * of 1000 groups is 187M tiny rows, partitioned 512 ways per group —
+    * and the raw data is touched exactly twice (register build, first-seen
+    * build), both single slim shuffles.
+    */
+  def hllTimeline(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = hllRegistersBy(df,
+      Seq(col(groupCol), col(tsCol).cast("date")), Seq(groupCol, "day"),
+      valueCol).localCheckpoint()
+    val days = daily.select(col(groupCol), col("day")).distinct()
+    val grid = days.withColumn("idx", explode(sequence(lit(0L), lit(511L))))
+    val w = Window.partitionBy(col(groupCol), col("idx"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = grid
+      .join(daily.select(col(groupCol), col("day"), col("idx"), col("mx")),
+        Seq(groupCol, "day", "idx"), "left")
+      .withColumn("cmx", max(col("mx")).over(w))
+      .groupBy(col(groupCol), col("day"))
+      .agg(count(col("cmx")).as("npres"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - cmx)")).as("sp"))
+      .select(col(groupCol), col("day"),
+        hllEstimateCol.as("hll_est_cum"))
+    val wd = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = days
+      .join(df.select(col(groupCol), col(tsCol).cast("date").as("day"),
+          col(valueCol).as("v"))
+          .where(col("v").isNotNull)
+          .groupBy(col(groupCol), col("v")).agg(min(col("day")).as("day"))
+          .groupBy(col(groupCol), col("day"))
+          .agg(count(lit(1)).as("n_new0")),
+        Seq(groupCol, "day"), "left")
+      .withColumn("n_new", coalesce(col("n_new0"), lit(0L)))
+      .withColumn("n_exact_cum", sum(col("n_new")).over(wd))
+      .select(col(groupCol), col("day"), col("n_new"), col("n_exact_cum"))
+    exact.join(est, Seq(groupCol, "day"))
+      .select(col(groupCol), col("day"), col("n_new"), col("n_exact_cum"),
+        col("hll_est_cum"),
+        round(abs(col("hll_est_cum") - col("n_exact_cum").cast("double")) /
+          col("n_exact_cum").cast("double") * 10000.0, 0).cast("long")
+          .as("err_bp"))
+      .orderBy(col(groupCol), col("day"))
+  }
+
   /** The shared estimate arithmetic over an aggregated (npres, sp) pair —
     * ONE definition so hllAudit and hllRollupAudit can never desync on the
     * constant or the small-range branch. */

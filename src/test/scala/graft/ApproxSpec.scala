@@ -121,6 +121,38 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("hll_est") - 400.0) / 400.0 < 0.20)
   }
 
+  test("hllTimeline: final-day estimate equals the full-set sketch, exact " +
+      "running count is right, forward fill spans untouched days") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // day 1: users 0..299; day 2: 100..399 (100 new); day 3: ONE
+    // repeat user (nothing new — the day whose registers arrive almost
+    // entirely by forward fill, the case a prefix-rescan-free plan must
+    // still get right)
+    val ev = ((0 until 300).map(u => ("g", ts("2024-01-01 10:00:00"), u)) ++
+      (100 until 400).map(u => ("g", ts("2024-01-02 10:00:00"), u)) ++
+      Seq(("g", ts("2024-01-03 10:00:00"), 0)))
+      .toDF("g", "ts", "u")
+    val rows = Approx.hllTimeline(ev, "g", "ts", "u").collect()
+    assert(rows.length == 3)
+    val byDay = rows.map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(byDay("2024-01-01").getAs[Long]("n_new") == 300L)
+    assert(byDay("2024-01-02").getAs[Long]("n_new") == 100L)
+    assert(byDay("2024-01-03").getAs[Long]("n_new") == 0L)
+    assert(byDay("2024-01-03").getAs[Long]("n_exact_cum") == 400L)
+    // cumulative estimate is monotone non-decreasing (register max only
+    // grows) and the final day equals the whole-set audit estimate
+    val ests = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      .map(d => byDay(d).getAs[Double]("hll_est_cum"))
+    assert(ests == ests.sorted)
+    val full = Approx.hllAudit(ev, "g", "u").collect().head
+      .getAs[Double]("hll_est")
+    assert(ests.last == full,
+      s"timeline final ${ests.last} != full-set audit $full")
+    // day 3 added nothing distinct: its estimate equals day 2's
+    assert(ests(2) == ests(1))
+    assert(math.abs(ests.last - 400.0) / 400.0 < 0.20)
+  }
+
   test("kmvOverlap: exact columns match set truth; complete-sketch pairs are exact") {
     // a: 0..39, b: 20..59 -> inter 20, union 60; both < k=64 so the
     // sketches are complete sets and the estimates must equal the truth
