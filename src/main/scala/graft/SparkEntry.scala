@@ -164,6 +164,15 @@ object SparkEntry {
         .checkRegex("o_orderpriority", "^[1-5]-")
         .report()),
 
+    // §2.8c — k-anonymity / l-diversity release gate: per quasi-identifier
+    // equivalence class (nation, segment) the class size and distinct
+    // sensitive bands (acctbal $1000 floor-bands), with meets_k / meets_l /
+    // releasable flags — ONE aggregate, output bounded by the quasi domain
+    "q_kanon" -> ((s, dir) =>
+      graft.validation.Privacy.kAnonymityAudit(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 3)),
+
     // §2.9 — apply_schema casts
     "q_schema_apply" -> ((s, dir) =>
       Etl.applySchema(Tables.events(s, dir), Seq(
@@ -2270,6 +2279,21 @@ object SparkEntry {
         |  count(o_orderkey) - count(DISTINCT o_orderkey) AS unique_o_orderkey,
         |  count(*) FILTER (WHERE o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS regex_o_orderpriority
         |FROM orders""".stripMargin,
+
+    // equivalence classes, the same $1000 floor-band sensitive attribute,
+    // and the three flags replayed
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) >= 10 AS meets_k,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+        |    AS BIGINT) AS l_distinct,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+        |    AS meets_l,
+        |  (count(*) >= 10 AND
+        |   count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3)
+        |    AS releasable
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_schema_apply" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS INTEGER) AS user_id,

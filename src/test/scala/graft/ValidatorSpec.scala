@@ -86,4 +86,26 @@ class ValidatorSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(names == Set("id", "name", "bucket"))
   }
+
+  test("kAnonymityAudit: class size and sensitive diversity gate per class") {
+    import org.apache.spark.sql.functions.col
+    // class (1,a): 4 members, 3 sensitive values -> k=3/l=3 pass
+    // class (1,b): 2 members -> fails k
+    // class (2,a): 3 members, ONE sensitive value -> k passes, l fails
+    //   (the k-anonymous-but-leaky case l-diversity exists to catch)
+    val rows = Seq(
+      (1, "a", 10L), (1, "a", 20L), (1, "a", 30L), (1, "a", 10L),
+      (1, "b", 10L), (1, "b", 20L),
+      (2, "a", 50L), (2, "a", 50L), (2, "a", 50L)
+    ).toDF("region", "segment", "sens")
+    val out = graft.validation.Privacy.kAnonymityAudit(
+      rows, Seq("region", "segment"), col("sens"), k = 3, l = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getAs[Long]("class_size"), r.getAs[Boolean]("meets_k"),
+          r.getAs[Long]("l_distinct"), r.getAs[Boolean]("meets_l"),
+          r.getAs[Boolean]("releasable"))).toMap
+    assert(out((1, "a")) == ((4L, true, 3L, true, true)))
+    assert(out((1, "b")) == ((2L, false, 2L, false, false)))
+    assert(out((2, "a")) == ((3L, true, 1L, false, false)))
+  }
 }
