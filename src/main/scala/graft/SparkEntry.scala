@@ -164,7 +164,7 @@ object SparkEntry {
         .checkRegex("o_orderpriority", "^[1-5]-")
         .report()),
 
-    // §2.8c — k-anonymity / l-diversity release gate: per quasi-identifier
+    // §2.8d — k-anonymity / l-diversity release gate: per quasi-identifier
     // equivalence class (nation, segment) the class size and distinct
     // sensitive bands (acctbal $1000 floor-bands), with meets_k / meets_l /
     // releasable flags — ONE aggregate, output bounded by the quasi domain
@@ -172,6 +172,15 @@ object SparkEntry {
       graft.validation.Privacy.kAnonymityAudit(
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 3)),
+
+    // §2.8e — generalization-lattice sweep (the 8d planner): ONE cube pass
+    // scores all four (nation, segment) subset levels — class count, min
+    // class, violating classes, rows at risk — so the release picks the
+    // minimal generalization meeting k
+    "q_kanon_lattice" -> ((s, dir) =>
+      graft.validation.Privacy.generalizationLattice(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        k = 10)),
 
     // §2.9 — apply_schema casts
     "q_schema_apply" -> ((s, dir) =>
@@ -2294,6 +2303,38 @@ object SparkEntry {
         |   count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3)
         |    AS releasable
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // all four cube levels replayed: per-class sizes under GROUPING SETS,
+    // the same retained-name derivation from grouping flags, per-level
+    // risk rollup
+    "q_kanon_lattice" ->
+      """WITH cls AS (
+        |  SELECT GROUPING(c_nationkey) AS g1, GROUPING(c_mktsegment) AS g2,
+        |    CAST(count(*) AS BIGINT) AS class_size
+        |  FROM customer
+        |  GROUP BY CUBE (c_nationkey, c_mktsegment)),
+        |lv AS (
+        |  SELECT g1, g2,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(min(class_size) AS BIGINT) AS min_class_size,
+        |    CAST(sum(CASE WHEN class_size < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violating_classes,
+        |    CAST(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END)
+        |      AS BIGINT) AS rows_at_risk
+        |  FROM cls GROUP BY 1, 2)
+        |SELECT
+        |  CASE WHEN concat_ws('+',
+        |      CASE WHEN g1 = 0 THEN 'c_nationkey' END,
+        |      CASE WHEN g2 = 0 THEN 'c_mktsegment' END) = ''
+        |    THEN '(none)'
+        |    ELSE concat_ws('+',
+        |      CASE WHEN g1 = 0 THEN 'c_nationkey' END,
+        |      CASE WHEN g2 = 0 THEN 'c_mktsegment' END) END AS retained,
+        |  CAST(g1 + g2 AS BIGINT) AS n_generalized,
+        |  n_classes, min_class_size, violating_classes, rows_at_risk,
+        |  violating_classes = 0 AS meets_k
+        |FROM lv
+        |ORDER BY n_generalized, retained""".stripMargin,
 
     "q_schema_apply" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS INTEGER) AS user_id,

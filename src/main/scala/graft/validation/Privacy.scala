@@ -46,4 +46,52 @@ object Privacy {
           .as("releasable")): _*)
       .orderBy(g: _*)
   }
+
+  /** Generalization-lattice sweep — the planning companion of
+    * [[kAnonymityAudit]]: when the full quasi set fails k-anonymity, the
+    * fix is to GENERALIZE (publish fewer / coarser quasi columns), and
+    * the planner needs every lattice level's risk profile to pick the
+    * minimal generalization that releases. One `cube` pass scores all
+    * 2^|quasi| subset levels at once: per level, the class count, the
+    * smallest class, how many classes violate k, and how many ROWS sit
+    * in violating classes (the re-identifiable population — the number a
+    * privacy review actually reads). `meets_k` marks releasable levels;
+    * the first row in (n_generalized, retained) order with meets_k is
+    * the minimal-loss release.
+    *
+    * Scale shape: cube expands each row 2^|quasi| ways (4 for the
+    * registered pair — bounded, declared), partial-aggregates before the
+    * exchange, and the level rollup is over class rows only. Quasi
+    * columns must be non-null (real NULLs would collide with cube's
+    * grouping nulls; `grouping()` flags keep the LEVELS apart but a
+    * null-keyed class inside a level would merge — gate upstream).
+    */
+  def generalizationLattice(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1)
+    val g = quasiCols.map(col)
+    // grouping() is only legal inside the cube's own agg clause
+    val classes = df.cube(g: _*)
+      .agg(count(lit(1)).as("class_size"),
+        quasiCols.map(c => grouping(col(c)).cast("int").as(s"g_$c")): _*)
+      .select(Seq(col("class_size")) ++
+        quasiCols.map(c => col(s"g_$c")): _*)
+    val retained = concat_ws("+",
+      quasiCols.map(c => when(col(s"g_$c") === 0, lit(c))): _*)
+    classes
+      .groupBy(quasiCols.map(c => col(s"g_$c")): _*)
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("violating_classes"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"))
+      .select(
+        when(retained === "", "(none)").otherwise(retained).as("retained"),
+        quasiCols.map(c => col(s"g_$c")).reduce(_ + _).cast("long")
+          .as("n_generalized"),
+        col("n_classes"), col("min_class_size"), col("violating_classes"),
+        col("rows_at_risk"), (col("violating_classes") === 0).as("meets_k"))
+      .orderBy(col("n_generalized"), col("retained"))
+  }
 }

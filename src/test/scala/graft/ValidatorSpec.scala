@@ -108,4 +108,27 @@ class ValidatorSpec extends SparkSpec {
     assert(out((1, "b")) == ((2L, false, 2L, false, false)))
     assert(out((2, "a")) == ((3L, true, 1L, false, false)))
   }
+
+  test("generalizationLattice: one cube pass scores every subset level") {
+    // full quasi fails k=3 (classes of 2), region-only and global pass,
+    // segment-only still carries one leaky class — the planner's pick
+    // must be the region-only level (least generalized that meets k)
+    val rows = Seq(
+      (1, "a"), (1, "a"), (1, "b"), (1, "b"),
+      (2, "a"), (2, "a"), (2, "a"), (2, "a")
+    ).toDF("region", "segment")
+    val out = graft.validation.Privacy.generalizationLattice(
+      rows, Seq("region", "segment"), k = 3)
+      .collect().map(r => r.getAs[String]("retained") ->
+        (r.getAs[Long]("n_generalized"), r.getAs[Long]("n_classes"),
+          r.getAs[Long]("min_class_size"),
+          r.getAs[Long]("violating_classes"),
+          r.getAs[Long]("rows_at_risk"), r.getAs[Boolean]("meets_k")))
+      .toMap
+    assert(out.size == 4)
+    assert(out("region+segment") == ((0L, 3L, 2L, 2L, 4L, false)))
+    assert(out("region") == ((1L, 2L, 4L, 0L, 0L, true)))
+    assert(out("segment") == ((1L, 2L, 2L, 1L, 2L, false)))
+    assert(out("(none)") == ((2L, 1L, 8L, 0L, 0L, true)))
+  }
 }
