@@ -1674,6 +1674,14 @@ object SparkEntry {
     "q_event_anomaly" -> ((s, dir) =>
       Observability.eventAnomalies(Tables.events(s, dir), z = 3)),
 
+    // §2.29c — robust stats: exact-integer median + MAD per event type
+    // with the k-MAD outlier count — the heavy-tail-safe complement of
+    // 29b's z-score gate; both rank stats off bounded histograms, rows
+    // never globally sort
+    "q_robust_stats" -> ((s, dir) =>
+      Analytics.robustStats(Tables.events(s, dir), "event_type", "value",
+        k = 3)),
+
     // §2.30 — salted two-phase aggregation (skewed-key pattern); result is
     // identical to a direct groupBy, which is exactly what the oracle checks
     "q_salted_agg" -> ((s, dir) =>
@@ -4513,6 +4521,53 @@ object SparkEntry {
         |    + 0.5) / 10000.0 AS zscore_r,
         |  dev > 0 AS high
         |FROM j WHERE dev * dev > 9 * vt""".stripMargin,
+
+    // both rank stats replayed off the bounded histograms: median at
+    // ceil(n/2), MAD as the same form over |cents - median|, k-MAD count
+    "q_robust_stats" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) IS NOT NULL),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1),
+        |h AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM c GROUP BY 1, 2),
+        |cu AS (SELECT event_type, cents,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |med AS (
+        |  SELECT cu.event_type,
+        |    min(CASE WHEN cum >= (n.n + 1) // 2 THEN cents END) AS med_c
+        |  FROM cu JOIN n ON n.event_type = cu.event_type GROUP BY 1),
+        |d AS (
+        |  SELECT c.event_type, abs(c.cents - m.med_c) AS dev,
+        |    c.cents, m.med_c
+        |  FROM c JOIN med m ON m.event_type = c.event_type),
+        |hd AS (SELECT event_type, dev, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |cud AS (SELECT event_type, dev,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hd),
+        |mad AS (
+        |  SELECT cud.event_type,
+        |    min(CASE WHEN cum >= (n.n + 1) // 2 THEN dev END) AS mad_c
+        |  FROM cud JOIN n ON n.event_type = cud.event_type GROUP BY 1)
+        |SELECT d.event_type, n.n,
+        |  CAST(min(d.med_c) AS DOUBLE) / 100 AS median,
+        |  CAST(min(mad.mad_c) AS DOUBLE) / 100 AS mad,
+        |  CAST(sum(CASE WHEN abs(d.cents - d.med_c) > 3 * mad.mad_c
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN abs(d.cents - d.med_c) > 3 * mad.mad_c
+        |    THEN 1 ELSE 0 END) * 10000 // n.n AS BIGINT) AS outlier_bp
+        |FROM d
+        |JOIN mad ON mad.event_type = d.event_type
+        |JOIN n ON n.event_type = d.event_type
+        |GROUP BY d.event_type, n.n
+        |ORDER BY d.event_type""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT event_type,

@@ -194,6 +194,60 @@ object Analytics {
           .otherwise(col("cents"))).cast("double") / 100).as("win_sum"))
   }
 
+  /** Robust location/scale statistics — exact-integer median and MAD
+    * (median absolute deviation) per group, plus the robust-outlier count
+    * at `k` MADs: the heavy-tail-safe complement of the z-score anomaly
+    * report (one planted 1e6 spike moves a mean/std gate; it cannot move
+    * a median/MAD gate). Both statistics are the registry's standard
+    * exact rank form — value at rank ceil(n/2) off the bounded
+    * (group, cents) histogram with one cumulative window — so nothing
+    * ever globally sorts and the numbers replay bit-for-bit on any
+    * engine (no interpolated percentile). The deviation pass reuses the
+    * same shape on |cents − median|. Groups with MAD = 0 (over half the
+    * mass at the median) flag ANY deviation as an outlier — the
+    * degenerate case is documented rather than smoothed.
+    *
+    * Scale shape: two histogram passes (each: one exchange on
+    * (group, cents), window over the bounded histogram, never the rows)
+    * + one broadcast of the per-group medians back onto the scan.
+    */
+  def robustStats(df: DataFrame, typeCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val cents = df.select(col(typeCol),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .where(col("cents").isNotNull)
+    // value at rank ceil(n/2) = (n+1) DIV 2 off the bounded histogram
+    def medianOf(vals: DataFrame, vcol: String, out: String): DataFrame = {
+      val hist = vals.groupBy(col(typeCol), col(vcol))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col(typeCol))
+          .orderBy(col(vcol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum
+        .join(hist.groupBy(col(typeCol)).agg(sum(col("cnt")).as("n")),
+          typeCol)
+        .groupBy(col(typeCol))
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col(vcol)))
+          .as(out))
+    }
+    val med = medianOf(cents, "cents", "med_c")
+    val dev = cents.join(broadcast(med), typeCol)
+      .select(col(typeCol), abs(col("cents") - col("med_c")).as("dev"),
+        col("cents"), col("med_c"))
+    val mad = medianOf(dev.select(col(typeCol), col("dev")), "dev", "mad_c")
+    dev.join(broadcast(mad), typeCol)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        (min(col("med_c")).cast("double") / 100).as("median"),
+        (min(col("mad_c")).cast("double") / 100).as("mad"),
+        sum(when(abs(col("cents") - col("med_c")) > lit(k.toLong) * col("mad_c"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_bp", expr("(n_outliers * 10000) DIV n"))
+      .orderBy(col(typeCol))
+  }
+
   /** CDC log apply: collapse a change-data-capture stream (upserts +
     * delete tombstones) to current state, last-writer-wins by the seq
     * ordering with a unique tie-break. The generalization of the §2.7

@@ -507,4 +507,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(0L) === ((2L, true, false)))  // day 1: ts-prunable; user 5 < 100
     assert(out(1L) === ((2L, false, true)))  // inside probe; users all >= 100
   }
+
+  test("robustStats: a planted spike cannot move the median/MAD gate; " +
+      "MAD = 0 flags any deviation") {
+    import org.apache.spark.sql.functions.col
+    // group a: 1,2,3 x3 each + one 1e6 spike -> median 2.00, MAD 1.00,
+    // exactly the spike beyond 3 MADs (a mean/std gate would have been
+    // dragged past every honest row by the spike)
+    val a = (Seq.fill(3)(1.00) ++ Seq.fill(3)(2.00) ++ Seq.fill(3)(3.00) ++
+      Seq(1000000.00)).map(("a", _))
+    // group b: 5.00 x4 + 7.00 -> MAD 0, the single deviating row flagged
+    val b = (Seq.fill(4)(5.00) ++ Seq(7.00)).map(("b", _))
+    val df = (a ++ b).toDF("event_type", "value")
+    val out = Analytics.robustStats(df, "event_type", "value", k = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("median"),
+          r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"),
+          r.getAs[Long]("outlier_bp"))).toMap
+    assert(out("a") == ((10L, 2.00, 1.00, 1L, 1000L)))
+    assert(out("b") == ((5L, 5.00, 0.00, 1L, 2000L)))
+  }
 }
