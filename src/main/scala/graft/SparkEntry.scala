@@ -1978,6 +1978,19 @@ object SparkEntry {
 
     // §2.56 — CDC log apply: events as a change stream (every 10th event a
     // delete tombstone), collapsed to current state last-writer-wins
+    // §2.56b — table reconciliation digest: per order-date partition the
+    // (count, xor, mod-1e18 decimal sum) triple over portable 52-bit row
+    // hashes — ONE aggregate, rows never leave the scan except as
+    // (part, hash); comparing two 100 TB tables = two scans + a
+    // |partitions|-row join
+    "q_table_digest" -> ((s, dir) =>
+      graft.validation.Reconcile.tableDigest(
+        Tables.orders(s, dir), col("o_orderdate").cast("date"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)"),
+          col("o_orderpriority")))
+        .withColumnRenamed("part", "day")),
+
     "q_cdc_apply" -> ((s, dir) =>
       Analytics.cdcApply(
         Tables.events(s, dir).select(col("user_id"), col("event_id"),
@@ -5225,6 +5238,30 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // the same canonical row string (NUL sentinel, '|' separator, decimal
+    // money form), 52-bit salted md5, and the three commuting folds
+    "q_table_digest" ->
+      """WITH b AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substring(md5(
+        |        'digest:' || concat_ws('|',
+        |          coalesce(CAST(o_orderkey AS VARCHAR), ' NULL'),
+        |          coalesce(CAST(o_custkey AS VARCHAR), ' NULL'),
+        |          coalesce(CAST(o_orderstatus AS VARCHAR), ' NULL'),
+        |          coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |            ' NULL'),
+        |          coalesce(CAST(o_orderpriority AS VARCHAR), ' NULL'))
+        |        ), 1, 13), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        |      (acc, c) -> acc * 16 + c) AS h
+        |  FROM orders)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+        |  CAST(sum(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+        |    AS sum_digest
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (

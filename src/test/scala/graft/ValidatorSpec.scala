@@ -131,4 +131,34 @@ class ValidatorSpec extends SparkSpec {
     assert(out("segment") == ((1L, 2L, 2L, 1L, 2L, false)))
     assert(out("(none)") == ((2L, 1L, 8L, 0L, 0L, true)))
   }
+
+  test("tableDigest: order-independent, change-sensitive, dup-pair caught " +
+      "by the triple, NULL cannot alias a shifted field") {
+    import org.apache.spark.sql.functions.col
+    def digest(rows: Seq[(Int, String, String)]) =
+      graft.validation.Reconcile.tableDigest(
+        rows.toDF("part", "a", "b"), col("part"),
+        Seq(col("a"), col("b")))
+        .collect().map(r => r.getInt(0) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_digest"),
+            r.getAs[Long]("sum_digest"))).toMap
+    val base = Seq((1, "x", "y"), (1, "p", "q"), (2, "m", "n"))
+    // row order is irrelevant
+    assert(digest(base) == digest(base.reverse))
+    // one changed row moves the digests, not the count
+    val changed = digest(Seq((1, "x", "y"), (1, "p", "Z"), (2, "m", "n")))
+    assert(changed(1)._1 == digest(base)(1)._1)
+    assert(changed(1) != digest(base)(1))
+    assert(changed(2) == digest(base)(2)) // untouched partition unmoved
+    // a duplicated PAIR cancels in xor alone — count and sum catch it
+    val dup = digest(base ++ Seq((1, "x", "y"), (1, "x", "y")))
+    assert(dup(1)._2 == digest(base)(1)._2)
+    assert(dup(1)._1 != digest(base)(1)._1)
+    assert(dup(1)._3 != digest(base)(1)._3)
+    // the NULL sentinel keeps (x, NULL) apart from (x, '') and from a
+    // field-shifted row
+    val withNull = Seq((1, "x", null: String))
+    val withEmpty = Seq((1, "x", ""))
+    assert(digest(withNull) != digest(withEmpty))
+  }
 }
