@@ -63,6 +63,24 @@ object SparkEntry {
         Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
   }
+  // the co-supply projection + its k-NN skeleton, same amortized one-off
+  // layout contract (r11: the whole graph family now runs bucketed)
+  private def gcosupTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gcosup_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeCoSupplyEdgeTable(Tables.lineitem(s, dir),
+        tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
+  private def gskelTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gskel_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeKnnSkeletonTable(s, gcosupTable(s, dir),
+        5, tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
 
   /** Build-once-per-session BUCKETED signature-index tables (the
     * recurring-ingest warehouse layout, Ingest.writeBucketedIndex): the
@@ -865,6 +883,25 @@ object SparkEntry {
     "q_cms_topk" -> ((s, dir) =>
       graft.operators.Approx.cmsTopK(Tables.documents(s, dir),
         d = 3, w = 2048, k = 20)),
+
+    // §2.24e3 — batch SpaceSaving heavy hitters (the identified-top-m
+    // complement of the CMS cells; batch twin of the 45n stream): per
+    // event_type, 64 counters folded in (ts, event_id) order over a
+    // PLANTED-hot-key item domain (every 10th user collapses to one of
+    // 4 hot items at share 1/40 each — scale-free, so the guaranteed
+    // set count·m > N is non-empty at every SF; the q_skew_join planted
+    // fixture discipline). Published rows: the guaranteed set with
+    // exact counts + the four Metwally theorem verdicts (43b pattern)
+    "q_spacesaving" -> ((s, dir) =>
+      graft.operators.Approx.spaceSavingAudit(
+        Tables.events(s, dir).select(
+          col("event_type").as("g"),
+          when(pmod(col("user_id"), lit(10)) === 0,
+            expr("(user_id % 40) DIV 10"))
+            .otherwise(col("user_id") + 100).as("i"),
+          unix_micros(col("ts").cast("timestamp")).as("o1"),
+          col("event_id").as("o2")),
+        m = 64)),
 
     // §2.24f — per-document top TF-IDF terms (tf agg + broadcast df join
     // + per-doc window)
@@ -1810,41 +1847,49 @@ object SparkEntry {
     // synchronous rounds, heaviest-label vote with ties toward the
     // smaller label — all BIGINT, hash-exact; where CC would merge
     // everything reachable, weighted LPA keeps dense groups apart
-    // across weak bridges
+    // across weak bridges. Bucketed plan (r11): the persisted co-supply
+    // edge table scans in place every vote round — only the (node,
+    // label) vector and the map-combined votes exchange, never the edges
     "q_communities" -> ((s, dir) =>
-      graft.operators.Graph.labelPropagation(
-        graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)),
-        rounds = 4)),
+      graft.operators.Graph.labelPropagationBucketed(s,
+        gcosupTable(s, dir), rounds = 4)),
 
     // §2.67e — triangle census + local clustering coefficient over the
     // k-NN SKELETON of the co-supply projection (each supplier keeps its
     // 5 heaviest partners — the raw projection is near-complete at every
     // SF, where a triangle census is cubic and meaningless): id-ordered
-    // orientation a<b<c so each triangle enumerates once, every corner
-    // credited, lcc as the exact integer (2*T*10^6) DIV (d*(d-1))
+    // orientation so each triangle enumerates once, every corner
+    // credited, lcc as the exact integer (2*T*10^6) DIV (d*(d-1)).
+    // Registered plan (r11): the PERSISTED skeleton table + the
+    // DEGREE-ordered orientation (Schank–Wagner O(m^{3/2}) wedge bound —
+    // a power-law hub no longer sources its whole edge list); the census
+    // is orientation-invariant, so the id-ordered oracle certifies it
     "q_triangles" -> ((s, dir) =>
-      graft.operators.Graph.triangleStats(
-        graft.operators.Graph.knnSparsify(
-          graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5))),
+      graft.operators.Graph.triangleStatsOriented(
+        s.table(gskelTable(s, dir)).select(col("src"), col("dst"), col("w")),
+        byDegree = true)),
 
     // §2.67g — the k-NN skeleton AS the product: each supplier's top-5
     // strongest trading partners with the co-occurrence weight (the
     // recommendation-edge / similar-entities table every graph feature
-    // store ships); symmetric rows, union-keep rule, deterministic ties
+    // store ships); symmetric rows, union-keep rule, deterministic ties.
+    // Registered plan (r11): the persisted skeleton table IS the product
+    // — the read path a feature store actually serves (projection +
+    // sparsifier amortized into the one-off layout build)
     "q_knn_graph" -> ((s, dir) =>
-      graft.operators.Graph.knnSparsify(
-        graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5)
+      s.table(gskelTable(s, dir)).select(col("src"), col("dst"), col("w"))
         .orderBy(col("src"), col("dst"))),
 
     // §2.67f — k-core onion layering over the same k-NN skeleton:
     // synchronous 6-core peel (all sub-6-degree nodes removed per
     // round, fixpoint-early-exit), each node labeled with its peel
     // round (layer 1 = weakest shell) or in_core for the survivors —
-    // the structural-depth dual of q_triangles' local density
+    // the structural-depth dual of q_triangles' local density.
+    // Bucketed plan (r11): DELTA peel against the persisted skeleton —
+    // deg_0 rides the table, each round exchanges only the peeled and
+    // decrement vectors while the edges scan in place
     "q_kcore" -> ((s, dir) =>
-      graft.operators.Graph.kCorePeel(
-        graft.operators.Graph.knnSparsify(
-          graft.operators.Graph.coSupplyEdges(Tables.lineitem(s, dir)), 5),
+      graft.operators.Graph.kCorePeelBucketed(s, gskelTable(s, dir),
         k = 6, rounds = 8)),
 
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
@@ -1982,13 +2027,31 @@ object SparkEntry {
     // (count, xor, mod-1e18 decimal sum) triple over portable 52-bit row
     // hashes — ONE aggregate, rows never leave the scan except as
     // (part, hash); comparing two 100 TB tables = two scans + a
-    // |partitions|-row join
+    // |partitions|-row join. The nullif column plants real SQL NULLs so
+    // the u0001-sentinel parity is exercised cross-engine every round
+    // (r11: a sentinel divergence now fails the gate loudly instead of
+    // hiding behind never-NULL TPC-H columns)
     "q_table_digest" -> ((s, dir) =>
       graft.validation.Reconcile.tableDigest(
         Tables.orders(s, dir), col("o_orderdate").cast("date"),
         Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)"),
-          col("o_orderpriority")))
+          nullif(col("o_orderpriority"), lit("1-URGENT"))))
+        .withColumnRenamed("part", "day")),
+
+    // §2.56c — column-localizing digest (r11, the drill-down 56b hands a
+    // flagged partition to): same three commuting folds, one (xor, sum)
+    // pair PER COLUMN with a column-name hash salt — one more scan says
+    // WHICH column diverged; still a single aggregate pass, long-form
+    // output bounded by |partitions| x |cols|
+    "q_column_digest" -> ((s, dir) =>
+      graft.validation.Reconcile.columnDigest(
+        Tables.orders(s, dir), col("o_orderdate").cast("date"),
+        Seq("o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)"),
+          "o_orderpriority" ->
+            nullif(col("o_orderpriority"), lit("1-URGENT"))))
         .withColumnRenamed("part", "day")),
 
     "q_cdc_apply" -> ((s, dir) =>
@@ -3331,6 +3394,26 @@ object SparkEntry {
         |  GROUP BY c.token, c.true_count)
         |SELECT token, true_count, cms_est FROM est
         |ORDER BY true_count DESC, token ASC LIMIT 20""".stripMargin,
+
+    // the guaranteed heavy-hitter set (exact count * m > N) replayed
+    // exactly; the four theorem verdicts asserted as literal true (the
+    // q_approx_audit pattern — the fold's own est/err are engine state,
+    // any fold bug surfaces as a false/NULL verdict and a hash mismatch)
+    "q_spacesaving" ->
+      """WITH it AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN user_id % 10 = 0 THEN (user_id % 40) // 10
+        |         ELSE user_id + 100 END AS item
+        |  FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM it GROUP BY 1),
+        |e AS (SELECT g, item, CAST(count(*) AS BIGINT) AS exact_cnt
+        |      FROM it GROUP BY 1, 2)
+        |SELECT e.g AS group_key, e.item, e.exact_cnt,
+        |  true AS tracked, true AS est_ge_exact,
+        |  true AS lower_le_exact, true AS err_within_cap
+        |FROM e JOIN n USING (g) WHERE e.exact_cnt * 64 > n.n_events
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_nb_quality" ->
       """WITH planted AS (
@@ -5239,20 +5322,23 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM o GROUP BY 1, 2""".stripMargin,
 
-    // the same canonical row string (NUL sentinel, '|' separator, decimal
-    // money form), 52-bit salted md5, and the three commuting folds
+    // the same canonical row string (chr(1)||'NULL' sentinel, '|'
+    // separator, decimal money form), 52-bit salted md5, and the three
+    // commuting folds; the nullif column makes real NULLs ride the
+    // sentinel on both engines
     "q_table_digest" ->
       """WITH b AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(substring(md5(
         |        'digest:' || concat_ws('|',
-        |          coalesce(CAST(o_orderkey AS VARCHAR), ' NULL'),
-        |          coalesce(CAST(o_custkey AS VARCHAR), ' NULL'),
-        |          coalesce(CAST(o_orderstatus AS VARCHAR), ' NULL'),
+        |          coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'NULL'),
+        |          coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'NULL'),
+        |          coalesce(CAST(o_orderstatus AS VARCHAR), chr(1) || 'NULL'),
         |          coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-        |            ' NULL'),
-        |          coalesce(CAST(o_orderpriority AS VARCHAR), ' NULL'))
+        |            chr(1) || 'NULL'),
+        |          coalesce(CAST(nullif(o_orderpriority, '1-URGENT') AS VARCHAR),
+        |            chr(1) || 'NULL'))
         |        ), 1, 13), ''),
         |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
         |      (acc, c) -> acc * 16 + c) AS h
@@ -5262,6 +5348,37 @@ object SparkEntry {
         |  CAST(sum(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
         |    AS sum_digest
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-column salted hashes ('digest:<name>:'), the same fold triple
+    // per column, long-form via one grouped select per column
+    "q_column_digest" -> {
+      def fold(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val digCols = Seq(
+        "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus" -> "CAST(o_orderstatus AS VARCHAR)",
+        "o_totalprice" -> "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+        "o_orderpriority" -> "CAST(nullif(o_orderpriority, '1-URGENT') AS VARCHAR)")
+      val hexprs = digCols.map { case (n, e) =>
+        s"    ${fold(s"'digest:$n:' || coalesce($e, chr(1) || 'NULL')")} AS h_$n"
+      }
+      val selects = digCols.map { case (n, _) =>
+        s"""SELECT day, '$n' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(bit_xor(h_$n) AS BIGINT) AS xor_digest,
+           |  CAST(sum(CAST(h_$n AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+           |    AS sum_digest
+           |FROM b GROUP BY 1""".stripMargin
+      }
+      s"""WITH b AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |${hexprs.mkString(",\n")}
+         |  FROM orders)
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY day, "column"""".stripMargin
+    },
 
     "q_cdc_apply" ->
       """WITH log AS (

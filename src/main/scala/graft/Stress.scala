@@ -554,6 +554,40 @@ object Stress {
           graft.operators.Graph.coSupplyEdges(lineitemX), 5),
         k = 6, rounds = 8)
     }
+    // The bucketed co-supply substrate (the REGISTERED plans since r11):
+    // the in-session loops above re-exchange the full edge list every BSP
+    // round (1x/round for LPA votes, 2x/round for the recount peel); the
+    // bucketed loops scan the persisted edges in place, so their curves
+    // must stay node-vector-bounded as the projection grows with factor.
+    def ensureStressCosup(): Unit = {
+      if (!spark.catalog.tableExists("stress_gcosup"))
+        graft.operators.Graph.writeCoSupplyEdgeTable(lineitemX,
+          "stress_gcosup", "/tmp/graft_stress_gcosup", buckets = cpus.toInt)
+      if (!spark.catalog.tableExists("stress_gskel"))
+        graft.operators.Graph.writeKnnSkeletonTable(spark, "stress_gcosup",
+          5, "stress_gskel", "/tmp/graft_stress_gcosup",
+          buckets = cpus.toInt)
+    }
+    time("cosup_bkt_build") {
+      ensureStressCosup()
+      spark.table("stress_gskel")
+    }
+    time("lpa_bucketed") {
+      ensureStressCosup()
+      graft.operators.Graph.labelPropagationBucketed(spark, "stress_gcosup",
+        rounds = 4)
+    }
+    time("kcore_bucketed") {
+      ensureStressCosup()
+      graft.operators.Graph.kCorePeelBucketed(spark, "stress_gskel",
+        k = 6, rounds = 8)
+    }
+    time("triangles_bucketed") {
+      ensureStressCosup()
+      graft.operators.Graph.triangleStatsOriented(
+        spark.table("stress_gskel").select(col("src"), col("dst"), col("w")),
+        byDegree = true)
+    }
     // HLL rollup: register state is (groups x days x 512) regardless of
     // events volume; the two corpus distincts are the only linear terms.
     time("hll_rollup") {

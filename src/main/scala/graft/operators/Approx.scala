@@ -615,4 +615,97 @@ object Approx {
       .orderBy(col("true_count").desc, col("token").asc)
       .limit(k)
   }
+
+  /** BATCH SpaceSaving (Metwally et al. 2005) — the per-key
+    * identified-top-m summary, folded over a deterministic order: where
+    * [[cmsTopK]]'s CMS answers point queries over ALL items in d·w
+    * cells, SpaceSaving keeps the m hot items WITH their identities —
+    * and this is the batch twin of the streaming
+    * `EventStream.heavyHittersStream`, sharing its exact fold: a
+    * tracked item increments; an untracked item seizes the minimum
+    * counter by (est ASC, item ASC), inheriting its count as one-sided
+    * error. Input is (g, i, o1, o2) rows; each group's rows fold in
+    * (o1, o2) order — pass a unique ordering pair (the streaming twin's
+    * (ts, event_id) discipline) and the summary is identical on any
+    * partitioning or retry (the spec proves batch == streaming fold).
+    *
+    * Scale shape: one exchange keyed on the group, then a
+    * sortWithinPartitions + a single streaming pass with O(m) state per
+    * group and O(m) output rows — the m counters ARE the whole summary,
+    * rows never accumulate. A group's stream is sequential BY
+    * DEFINITION (the fold order is the algorithm's input, exactly like
+    * the streaming twin's per-key state); groups are the parallelism
+    * unit, so use a bounded-cardinality group (event types, days,
+    * tenants). Output: (g, item, est, err).
+    */
+  /** One SpaceSaving fold step, shared by [[spaceSavingSummary]] and the
+    * streaming twin (`EventStream.heavyHittersStream`) — ONE definition
+    * so the two folds can never drift: a tracked item increments; an
+    * untracked item seizes the (est ASC, item ASC) minimum counter,
+    * inheriting its count as one-sided error. */
+  private[graft] def ssStep(counters: List[(Long, Long, Long)], item: Long,
+      m: Int): List[(Long, Long, Long)] =
+    counters.indexWhere(_._1 == item) match {
+      case idx if idx >= 0 =>
+        val (i2, est, err) = counters(idx)
+        counters.updated(idx, (i2, est + 1, err))
+      case _ if counters.length < m =>
+        (item, 1L, 0L) :: counters
+      case _ =>
+        val (vit, vest, _) = counters.minBy { case (i2, est, _) => (est, i2) }
+        (item, vest + 1, vest) :: counters.filterNot(_._1 == vit)
+    }
+
+  def spaceSavingSummary(items: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col("g").cast("string"), col("i").cast("long"),
+        col("o1").cast("long"), col("o2").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("o1"), col("o2"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+        var cur: String = null
+        var counters = List.empty[(Long, Long, Long)]
+        def flush(): Unit = if (cur != null)
+          counters.foreach { case (i2, est, err) => out += ((cur, i2, est, err)) }
+        it.foreach { case (g, item, _, _) =>
+          if (g != cur) { flush(); cur = g; counters = Nil }
+          counters = ssStep(counters, item, m)
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("g", "item", "est", "err")
+  }
+
+  /** The registered AUDIT over [[spaceSavingSummary]] — the 43b
+    * sketch-trust pattern: the fold's own est/err are engine state
+    * DuckDB cannot replay, so the published rows are the GUARANTEED
+    * heavy hitters (exact count · m > N — the set the Metwally theorem
+    * promises are all tracked) with their exact counts, plus the four
+    * theorem verdicts the oracle asserts as literal true: tracked
+    * (guaranteed item present among the m counters), est ≥ exact,
+    * est − err ≤ exact, and err·m ≤ N (the error cap). Any fold bug
+    * surfaces as a false/NULL verdict → hash mismatch. Exact counts
+    * ride the same scan map-side; the group-count frame is
+    * |groups|-bounded and broadcasts.
+    */
+  def spaceSavingAudit(items: DataFrame, m: Int): DataFrame = {
+    val summary = spaceSavingSummary(items, m)
+    val n = items.groupBy(col("g")).agg(count(lit(1)).as("n_events"))
+    val exact = items.groupBy(col("g"), col("i").as("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    exact.join(broadcast(n), "g")
+      .where(col("exact_cnt") * m > col("n_events"))
+      .join(summary, Seq("g", "item"), "left")
+      .select(col("g").as("group_key"), col("item"), col("exact_cnt"),
+        col("est").isNotNull.as("tracked"),
+        (col("est") >= col("exact_cnt")).as("est_ge_exact"),
+        ((col("est") - col("err")) <= col("exact_cnt")).as("lower_le_exact"),
+        (col("err") * m <= col("n_events")).as("err_within_cap"))
+      .orderBy(col("group_key"), col("item"))
+  }
 }

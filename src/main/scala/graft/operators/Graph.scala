@@ -279,39 +279,77 @@ object Graph {
     * least one edge.
     *
     * Scale shape: per round, one join of the N-row label vector against
-    * the edge list on src (the labels shuffle, edges at rest after
-    * their one materialization) and two aggregates — votes map-side
-    * combine to ≤ distinct (node, label) pairs, the argmax is a
-    * per-node max over its label votes. No node-count-bounded
-    * broadcast anywhere, so the loop survives 10¹⁰ nodes as-is; with
-    * edges persisted in the bucketed layout the label join scans them
-    * in place (the [[pageRankBucketed]] substrate applies unchanged).
+    * the edge list on src and two aggregates — votes map-side combine
+    * to ≤ distinct (node, label) pairs, the argmax is a per-node max
+    * over its label votes. No node-count-bounded broadcast anywhere.
+    * BUT: an in-session edge frame carries no src partitioning, so the
+    * label join RE-EXCHANGES the full O(E) edge list every round — fine
+    * for one-off exploration, the dominant avoidable cost at 100 TB.
+    * The registered plan is [[labelPropagationBucketed]]: edges persist
+    * once in the src-bucketed layout ([[writeCoSupplyEdgeTable]]) and
+    * scan in place every round, so only the label vector ever moves.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 4,
       reliableStagePath: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val stager = new Dedup.RoundStager(edges.sparkSession, reliableStagePath)
     val e = stager(edges, "lpa_edges")
+    lpaLoop(e, rounds, stager, mergeHint = false, prefix = "lpa")
+  }
+
+  /** One synchronous LPA vote round + carry, shared by the in-memory and
+    * bucketed loops (one definition so the two plans can never drift in
+    * semantics): votes = per (neighbor, label) incident-weight sums,
+    * argmax by (weight DESC, label ASC) via the max-of-struct trick, and
+    * a left-join coalesce so voteless nodes keep their label. With
+    * `mergeHint` the label side carries a merge hint, pinning a
+    * sort-merge join so a bucketed edge table scans in place. */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame,
+      mergeHint: Boolean): DataFrame = {
+    val labelSide = labels.select(col("node").as("src"), col("label"))
+    val votes = e
+      .join(if (mergeHint) labelSide.hint("merge") else labelSide, "src")
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(sum(col("w")).as("wsum"))
+    val picked = votes.groupBy(col("node"))
+      .agg(max(struct(col("wsum").as("w"), (-col("label")).as("nl")))
+        .as("p"))
+      .select(col("node"), (-col("p.nl")).as("new_label"))
+    labels.join(picked, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
+  }
+
+  private def lpaLoop(e: DataFrame, rounds: Int, stager: Dedup.RoundStager,
+      mergeHint: Boolean, prefix: String): DataFrame = {
     var labels = stager(e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")), "lpa_0")
-    for (i <- 1 to rounds) {
-      val votes = e
-        .join(labels.select(col("node").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(sum(col("w")).as("wsum"))
-      val picked = votes.groupBy(col("node"))
-        .agg(max(struct(col("wsum").as("w"), (-col("label")).as("nl")))
-          .as("p"))
-        .select(col("node"), (-col("p.nl")).as("new_label"))
-      labels = stager(labels.join(picked, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("new_label"), col("label")).as("label")), s"lpa_$i")
-    }
+      .select(col("node"), col("node").as("label")), s"${prefix}_0")
+    for (i <- 1 to rounds)
+      labels = stager(lpaRound(e, labels, mergeHint), s"${prefix}_$i")
     val sizes = labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
     labels.select(col("node"), col("label").as("community"))
       .join(sizes, "community")
       .select(col("node"), col("community"), col("n_members"))
       .orderBy(col("node"))
+  }
+
+  /** [[labelPropagation]] against a persisted src-bucketed edge table
+    * ([[writeCoSupplyEdgeTable]]) — identical labels (exact BIGINT
+    * argmax, spec-proven), the plan that survives 10¹⁰ nodes: per round
+    * the edge table scans IN PLACE through a merge-hinted sort-merge
+    * join and the only exchanged inputs are the (node, label) vector
+    * (into the join) and the map-side-combined (node, label, wsum)
+    * votes (out of the aggregate) — the [[rankRoundBucketed]] shape
+    * applied to community detection. The initial self-label vector
+    * derives from a distinct on the bucket key: zero-exchange. */
+  def labelPropagationBucketed(spark: SparkSession, table: String,
+      rounds: Int = 4,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    lpaLoop(spark.table(table), rounds, stager, mergeHint = true,
+      prefix = "blpa")
   }
 
   /** k-NN sparsifier over symmetric weighted edges: each node keeps its
@@ -367,16 +405,19 @@ object Graph {
     * holds either way).
     *
     * Scale shape: per round two semijoins of the edge list against the
-    * shrinking survivor set + one map-combined degree aggregate; the
-    * survivor vector is the only thing that moves (no node-bounded
-    * broadcast — the joins shuffle the slim (node) frames), and the
-    * edge list is monotonically shrinking work. Feed it
+    * shrinking survivor set + one map-combined degree aggregate — no
+    * node-bounded broadcast, but an in-session edge frame carries no
+    * src partitioning, so BOTH semijoins re-exchange the edge list
+    * every round (up to 2×rounds full-edge shuffles). Feed it
     * [[knnSparsify]] output: on a near-complete graph the peel is
     * degenerate (everything is in every core) and the skeleton is
-    * where the layering carries signal.
+    * where the layering carries signal. The registered plan is
+    * [[kCorePeelBucketed]]: the persisted skeleton scans in place and
+    * only the peeled/decrement vectors move.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 8,
       reliableStagePath: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1, got k=$k rounds=$rounds")
     val stager = new Dedup.RoundStager(edges.sparkSession, reliableStagePath)
     val e0 = stager(edges.select(col("src"), col("dst")).distinct(),
       "kc_edges")
@@ -439,13 +480,16 @@ object Graph {
     * the out-side. The census is orientation-INVARIANT (each triangle
     * has exactly one source under any acyclic orientation; GraphSpec
     * asserts equality on a hub graph), so the registered id-ordered
-    * oracle certifies this plan too.
+    * oracle certifies this plan too. The oriented frame stages through
+    * the RoundStager (lineage truncation before the triple self-join;
+    * durable under `reliableStagePath` like every iterative sibling).
     */
-  def triangleStatsOriented(edges: DataFrame,
-      byDegree: Boolean): DataFrame = {
+  def triangleStatsOriented(edges: DataFrame, byDegree: Boolean,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    val stager = new Dedup.RoundStager(edges.sparkSession, reliableStagePath)
     val base = edges.where(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b")).distinct()
-    val und = (if (!byDegree) base else {
+    val oriented = (if (!byDegree) base else {
       val deg = base.select(col("a").as("node"))
         .unionByName(base.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -460,7 +504,8 @@ object Graph {
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
             col("b")).otherwise(col("a")).as("ob"))
         .select(col("oa").as("a"), col("ob").as("b"))
-    }).localCheckpoint()
+    })
+    val und = stager(oriented, "tri_oriented")
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -546,6 +591,103 @@ object Graph {
       .write.mode("overwrite").option("path", s"$root/$table")
       .bucketBy(buckets, "src").sortBy("src")
       .saveAsTable(table)
+  }
+
+  /** Persist the symmetric weighted co-supply projection
+    * ([[coSupplyEdges]]) as a src-bucketed, bucket-sorted warehouse
+    * table — the durable substrate [[labelPropagationBucketed]] runs
+    * against. Same one-off layout-cost contract as
+    * [[writeTradeEdgeTable]]: the projection's orderkey shuffle and the
+    * bucketing write are paid once per corpus refresh, then every
+    * community/structure run scans the edges in place. */
+  def writeCoSupplyEdgeTable(lineitem: DataFrame, table: String,
+      root: String, buckets: Int): Unit =
+    coSupplyEdges(lineitem)
+      .repartition(buckets, col("src"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+
+  /** Persist the k-NN skeleton of a persisted co-supply edge table as
+    * its own src-bucketed table, with each node's SKELETON degree riding
+    * every edge (`src_deg`), so [[kCorePeelBucketed]] seeds its degree
+    * vector with a zero-exchange scan and [[triangleStatsOriented]] /
+    * the q_knn_graph read path skip the per-session sparsifier window.
+    * The sparsifier's two-phase top-k is partitioning-invariant
+    * (knnSparsify doc), so the persisted skeleton is the exact frame the
+    * in-session call would produce. */
+  def writeKnnSkeletonTable(spark: SparkSession, coSupplyTable: String,
+      k: Int, table: String, root: String, buckets: Int): Unit = {
+    val skel = knnSparsify(spark.table(coSupplyTable), k)
+    val deg = skel.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d"))
+    skel
+      .join(deg.select(col("node").as("src"), col("d").as("src_deg")), "src")
+      .select(col("src"), col("dst"), col("w"), col("src_deg"))
+      .repartition(buckets, col("src"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(table)
+  }
+
+  /** [[kCorePeel]] against the persisted skeleton table — identical
+    * layering (spec-proven), re-phrased as DELTA maintenance so the edge
+    * list never exchanges: instead of re-counting every survivor's
+    * induced degree per round (two edge-list semijoins), round r peels
+    * the sub-k survivors and DECREMENTS their neighbors — deg_r(n) =
+    * deg_{r-1}(n) − |edges n→peeled_r|, exact because per-round peel
+    * sets are disjoint and each edge is subtracted from its surviving
+    * endpoint exactly once, in the round its other endpoint leaves.
+    * Per round the exchanged inputs are the peeled vector (into the
+    * merge-hinted join that scans the bucketed edges in place) and the
+    * map-side-combined (node, decrement) vector — both bounded by the
+    * node count, never the edge list. deg_0 rides the table
+    * ([[writeKnnSkeletonTable]]'s `src_deg`): a zero-exchange scan.
+    */
+  /** One delta-peel decrement round, exposed for plan audits: the peeled
+    * vector merge-joins into the in-place bucketed edge scan, and the
+    * per-neighbor decrement counts map-side combine — the only two
+    * exchanged frames are node-bounded. */
+  private[graft] def kcoreDecrementRound(edges: DataFrame,
+      peeled: DataFrame): DataFrame =
+    edges
+      .join(peeled.select(col("node").as("src")).hint("merge"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("ndec"))
+
+  def kCorePeelBucketed(spark: SparkSession, table: String, k: Int,
+      rounds: Int = 8,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be >= 1, got k=$k rounds=$rounds")
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val edges = spark.table(table)
+    // initial induced degree = full skeleton degree, riding the table
+    var surv = stager(edges.groupBy(col("src").as("node"))
+      .agg(max(col("src_deg")).as("d")), "bkc_s0")
+    var peeledAll: Option[DataFrame] = None
+    // fixpoint certificate (the kCorePeel pattern): an empty peel set
+    // means every later round is a no-op — stop paying join rounds
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
+      val peeled = stager(surv.where(col("d") < k)
+        .select(col("node"), lit(r.toLong).as("peel_round")), s"bkc_p$r")
+      converged = peeled.limit(1).count() == 0
+      if (!converged) {
+        peeledAll = Some(peeledAll.map(_.unionByName(peeled)).getOrElse(peeled))
+        val dec = kcoreDecrementRound(edges, peeled)
+        surv = stager(surv.where(col("d") >= k)
+          .join(dec.hint("merge"), Seq("node"), "left")
+          .select(col("node"),
+            (col("d") - coalesce(col("ndec"), lit(0L))).as("d")), s"bkc_s$r")
+      }
+    }
+    val peeledRows = peeledAll
+      .getOrElse(surv.where(lit(false))
+        .select(col("node"), lit(0L).as("peel_round")))
+      .select(col("node"), lit(false).as("in_core"), col("peel_round"))
+    val coreRows = surv.select(col("node"), lit(true).as("in_core"),
+      lit(null).cast("long").as("peel_round"))
+    peeledRows.unionByName(coreRows).orderBy(col("node"))
   }
 
   /** One bucketed PageRank round, exposed for plan audits: edges scan in

@@ -618,7 +618,11 @@ object Similarity {
     * division; recall@k in bp rides along. A query whose probes return
     * no relevant result scores 0 with a NULL first_hit_rank, kept by
     * the ideal-side panel. Same composability contract as ndcgAudit:
-    * `approxRanking` is any (query_id, neighbor_id, rank) frame.
+    * `approxRanking` is any (query_id, neighbor_id, rank) frame — and
+    * it is capped to rank ≤ k here, so a caller passing a DEEPER
+    * ranking cannot silently inflate recall@k (MRR is unaffected: the
+    * first hit inside the top-k has the same minimal rank in any
+    * superset of the top-k).
     */
   def mrrAudit(queries: DataFrame, candidates: DataFrame, k: Int,
       approxRanking: DataFrame): DataFrame = {
@@ -626,6 +630,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
     val hits = approxRanking
+      .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
       .join(ideal, Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id"))

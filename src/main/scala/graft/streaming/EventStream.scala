@@ -534,7 +534,9 @@ object EventStream {
     * picked by (est ASC, item ASC), so the summary is identical on
     * any partitioning or retry given the same microbatch boundaries.
     * Emits the current counters (rank by est DESC, item ASC) for every
-    * group a microbatch touches.
+    * group a microbatch touches. The fold step itself is
+    * `Approx.ssStep` — the ONE definition shared with the batch
+    * `Approx.spaceSavingSummary`, so the two twins cannot drift.
     */
   def heavyHittersStream(events: DataFrame, m: Int): DataFrame = {
     val spark = events.sparkSession
@@ -546,19 +548,7 @@ object EventStream {
         case (etype, rows, state: GroupState[HhState]) =>
           var counters = state.getOption.map(_.counters).getOrElse(Nil)
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val item = e.user_id
-            counters.indexWhere(_._1 == item) match {
-              case i if i >= 0 =>
-                val (it, est, err) = counters(i)
-                counters = counters.updated(i, (it, est + 1, err))
-              case _ if counters.length < m =>
-                counters = (item, 1L, 0L) :: counters
-              case _ =>
-                val (vit, vest, verr) =
-                  counters.minBy { case (it, est, _) => (est, it) }
-                counters = (item, vest + 1, vest) ::
-                  counters.filterNot(_._1 == vit)
-            }
+            counters = graft.operators.Approx.ssStep(counters, e.user_id, m)
           }
           state.update(HhState(counters))
           counters.sortBy { case (it, est, _) => (-est, it) }

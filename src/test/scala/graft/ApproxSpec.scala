@@ -232,4 +232,60 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(p95 - 4750) < 150.0)
     }
   }
+
+  // the streaming heavyHitters spec's fixture, as a batch frame:
+  // user 1 x20, user 2 x10, user 3 x6, 12 singletons — N = 48
+  private def hhFixture = {
+    val evs =
+      (1 to 12).map(i => ("click", 1L, 60L + i, i.toLong)) ++
+      (13 to 18).map(i => ("click", 2L, 120L + i, i.toLong)) ++
+      (19 to 24).map(i => ("click", (100 + i).toLong, 180L + i, i.toLong)) ++
+      (25 to 32).map(i => ("click", 1L, 660L + i, i.toLong)) ++
+      (33 to 36).map(i => ("click", 2L, 720L + i, i.toLong)) ++
+      (37 to 42).map(i => ("click", 3L, 780L + i, i.toLong)) ++
+      (43 to 48).map(i => ("click", (200 + i).toLong, 840L + i, i.toLong))
+    evs.toDF("g", "i", "o1", "o2")
+  }
+
+  test("spaceSavingSummary: m-bounded counters, Metwally bounds vs exact, " +
+      "eviction inherits the min est, deterministic across partitionings") {
+    val m = 4
+    val out = Approx.spaceSavingSummary(hhFixture, m).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out.size <= m)
+    val trueCount = Map(1L -> 20L, 2L -> 10L, 3L -> 6L).withDefaultValue(1L)
+    out.foreach { case (item, (est, err)) =>
+      assert(est >= trueCount(item), s"underestimate for $item")
+      assert(est - err <= trueCount(item), s"est-err overshoot for $item")
+    }
+    // freq > N/m = 12: user 1 MUST be tracked, and it never lost its
+    // counter, so its est is exact with zero inherited error
+    assert(out.contains(1L))
+    assert(out(1L) == ((20L, 0L)))
+    // the singleton tail churned through evictions: at least one tracked
+    // counter carries inherited (nonzero) error
+    assert(out.values.exists(_._2 > 0L), s"no eviction happened: $out")
+    // partitioning-invariant: the repartition(g) + in-partition sort pins
+    // the fold order whatever the input layout
+    val again = Approx.spaceSavingSummary(hhFixture.repartition(7), m)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
+  test("spaceSavingAudit: the guaranteed set is tracked with all four " +
+      "verdicts true; groups fold independently") {
+    // two groups: the hh fixture under 'click', plus a 'view' group
+    // whose single hot item dominates
+    val g2 = (1 to 9).map(i => ("view", 7L, i.toLong, (100 + i).toLong)) ++
+      (10 to 12).map(i => ("view", (300 + i).toLong, i.toLong, (100 + i).toLong))
+    val items = hhFixture.unionByName(g2.toDF("g", "i", "o1", "o2"))
+    val out = Approx.spaceSavingAudit(items, m = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    // click: freq > 48/4 = 12 -> only user 1 (20); view: 7 (9 > 12/4)
+    assert(out.keySet == Set(("click", 1L), ("view", 7L)))
+    assert(out(("click", 1L)) == ((20L, true, true, true, true)))
+    assert(out(("view", 7L)) == ((9L, true, true, true, true)))
+  }
 }

@@ -348,6 +348,127 @@ class GraphSpec extends SparkSpec {
     assert(byId.contains((1L, 5L, 2L, 200000L)))
   }
 
+  // ------------------------------------- bucketed co-supply substrate
+
+  // lineitem whose co-supply projection is the bridge-clique fixture:
+  // orders 1,2 = suppliers {1,2,3} (intra weight 2), orders 3,4 =
+  // {4,5,6}, order 5 = the weak bridge {3,4} (weight 1)
+  private def bridgeLineitem = Seq(
+    (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+    (3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L), (4L, 6L),
+    (5L, 3L), (5L, 4L)
+  ).toDF("l_orderkey", "l_suppkey")
+
+  test("labelPropagationBucketed: label-identical to the in-memory loop, " +
+      "staged equals default") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lpab").toString
+    try {
+      Graph.writeCoSupplyEdgeTable(bridgeLineitem, "t_lpa_edges", root,
+        buckets = 4)
+      def comm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val bucketed = comm(
+        Graph.labelPropagationBucketed(spark, "t_lpa_edges", rounds = 4))
+      val inmem = comm(Graph.labelPropagation(
+        Graph.coSupplyEdges(bridgeLineitem), rounds = 4))
+      assert(bucketed == inmem, s"bucketed $bucketed vs in-memory $inmem")
+      // and the fixture still resolves to the two expected communities
+      assert(bucketed.toSet == Set(
+        (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+        (4L, 4L, 3L), (5L, 4L, 3L), (6L, 4L, 3L)))
+      val stage = java.nio.file.Files.createTempDirectory("graft-lpab2").toString
+      assert(comm(Graph.labelPropagationBucketed(spark, "t_lpa_edges",
+        rounds = 4, reliableStagePath = Some(stage))) == bucketed)
+      assert(new java.io.File(stage).list().exists(_.startsWith("blpa_")))
+    } finally spark.sql("DROP TABLE IF EXISTS t_lpa_edges")
+  }
+
+  test("kCorePeelBucketed: layer-identical to the synchronous recount " +
+      "peel on the persisted skeleton, incl. the cascade") {
+    val root = java.nio.file.Files.createTempDirectory("graft-kcb").toString
+    try {
+      Graph.writeCoSupplyEdgeTable(bridgeLineitem, "t_kc_cosup", root,
+        buckets = 4)
+      Graph.writeKnnSkeletonTable(spark, "t_kc_cosup", k = 5,
+        "t_kc_skel", root, buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+      val skel = Graph.knnSparsify(Graph.coSupplyEdges(bridgeLineitem), 5)
+      // k=3: the bridge edge is not enough — everything peels in cascade
+      // order; k=2: both cliques survive as 2-cores. Both must agree with
+      // the recount loop row-for-row.
+      for (k <- Seq(2, 3, 10)) {
+        val bucketed = rows(Graph.kCorePeelBucketed(spark, "t_kc_skel",
+          k = k, rounds = 8))
+        val recount = rows(Graph.kCorePeel(skel, k = k, rounds = 8))
+        assert(bucketed == recount,
+          s"k=$k bucketed $bucketed vs recount $recount")
+      }
+      // the delta arithmetic peels the tail in cascade order: at k=2 on
+      // a triangle+tail graph, endpoint first, then its neighbor
+      Graph.writeCoSupplyEdgeTable(Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), // triangle {1,2,3}
+        (2L, 3L), (2L, 4L),           // 3-4
+        (3L, 4L), (3L, 5L)            // 4-5
+      ).toDF("l_orderkey", "l_suppkey"), "t_kc_cosup2", root, buckets = 4)
+      Graph.writeKnnSkeletonTable(spark, "t_kc_cosup2", k = 5,
+        "t_kc_skel2", root, buckets = 4)
+      val got = rows(Graph.kCorePeelBucketed(spark, "t_kc_skel2",
+        k = 2, rounds = 8)).toSet
+      assert(got == Set(
+        (1L, true, None), (2L, true, None), (3L, true, None),
+        (4L, false, Some(2L)), (5L, false, Some(1L))))
+    } finally {
+      Seq("t_kc_cosup", "t_kc_skel", "t_kc_cosup2", "t_kc_skel2")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("bucketed LPA vote round and k-core decrement round: edges scan " +
+      "in place, zero BroadcastExchange, only node-bounded vectors move") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lpaplan").toString
+    try {
+      Graph.writeCoSupplyEdgeTable(bridgeLineitem, "t_plan_cosup", root,
+        buckets = 4)
+      Graph.writeKnnSkeletonTable(spark, "t_plan_cosup", k = 5,
+        "t_plan_skel", root, buckets = 4)
+      def auditedPlan(df: org.apache.spark.sql.DataFrame,
+          what: String): Unit = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("Bucketed: true") ||
+          plan.contains("SelectedBucketsCount"),
+          s"$what: no bucketed scan in:\n$plan")
+        assert(!plan.contains("BroadcastExchange"),
+          s"$what: broadcast leaked:\n$plan")
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(exchanges <= 2, s"$what: $exchanges exchanges in:\n$plan")
+      }
+      val edges = spark.table("t_plan_cosup")
+      val labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")).localCheckpoint()
+      // the vote stage of one LPA round: labels in, votes out — the only
+      // two exchanges; the edge list never moves
+      val votes = edges
+        .join(labels.select(col("node").as("src"), col("label"))
+          .hint("merge"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("w")).as("wsum"))
+      auditedPlan(votes, "lpa vote round")
+      val skel = spark.table("t_plan_skel")
+      val peeled = skel.select(col("src").as("node")).distinct()
+        .limit(2).select(col("node"), lit(1L).as("peel_round"))
+        .localCheckpoint()
+      auditedPlan(Graph.kcoreDecrementRound(skel, peeled),
+        "k-core decrement round")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_plan_cosup")
+      spark.sql("DROP TABLE IF EXISTS t_plan_skel")
+    }
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)

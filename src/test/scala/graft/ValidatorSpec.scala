@@ -161,4 +161,68 @@ class ValidatorSpec extends SparkSpec {
     val withEmpty = Seq((1, "x", ""))
     assert(digest(withNull) != digest(withEmpty))
   }
+
+  test("columnDigest: localizes the changed column, NULL-sentinel exact, " +
+      "n_rows rides every column row") {
+    import org.apache.spark.sql.functions.col
+    def digest(rows: Seq[(Int, String, String)]) =
+      graft.validation.Reconcile.columnDigest(
+        rows.toDF("part", "a", "b"), col("part"),
+        Seq("a" -> col("a"), "b" -> col("b")))
+        .collect().map(r => (r.getInt(0), r.getString(1)) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_digest"),
+            r.getAs[Long]("sum_digest"))).toMap
+    val base = digest(Seq((1, "x", "y"), (1, "p", "q"), (2, "m", "n")))
+    assert(base.keySet ==
+      Set((1, "a"), (1, "b"), (2, "a"), (2, "b")))
+    assert(base.values.forall(v => v._1 == 2L || v._1 == 1L))
+    // change ONLY column b in partition 1: the (1, b) row moves, the
+    // other three rows (incl. (1, a)) are untouched — the localization
+    val moved = digest(Seq((1, "x", "y"), (1, "p", "Z"), (2, "m", "n")))
+    assert(moved((1, "b")) != base((1, "b")))
+    assert(moved((1, "a")) == base((1, "a")))
+    assert(moved((2, "a")) == base((2, "a")))
+    assert(moved((2, "b")) == base((2, "b")))
+    // NULL is sentinel-hashed, not dropped: it differs from '' and from
+    // the literal string the sentinel spells
+    val withNull = digest(Seq((1, "x", null)))
+    assert(withNull((1, "b")) != digest(Seq((1, "x", "")))((1, "b")))
+    assert(withNull((1, "b")) !=
+      digest(Seq((1, "x", "NULL")))((1, "b")),
+      "a plain 'NULL' string must NOT alias SQL NULL")
+    assert(withNull((1, "b")) ==
+      digest(Seq((1, "x", "\u0001NULL")))((1, "b")),
+      "documented alias: a literal u0001-sentinel field equals NULL")
+    // order independence, same as the row digest
+    assert(digest(Seq((1, "p", "q"), (1, "x", "y"), (2, "m", "n"))) == base)
+  }
+
+  test("reconcile: clean compare returns one (all) match row; planted " +
+      "defects classify and the summary rolls up as 'mismatch'") {
+    import org.apache.spark.sql.functions.col
+    val src = Seq((1, "x", "y"), (1, "p", "q"), (2, "m", "n"), (3, "z", "w"))
+      .toDF("part", "a", "b")
+    def rec(t: Seq[(Int, String, String)]) =
+      graft.validation.Reconcile.reconcile(src,
+        t.toDF("part", "a", "b"), col("part"),
+        Seq(col("a"), col("b")))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+    // identical tables: exactly one row, all three partitions matched
+    assert(rec(Seq((1, "x", "y"), (1, "p", "q"), (2, "m", "n"),
+      (3, "z", "w"))) == Seq(("(all)", "match", 3L, 0L)))
+    // content change in part 1, part 2 dropped, part 4 extra: each
+    // classifies, and the summary verdict is the catch-all 'mismatch'
+    // (its s_rows/t_rows are matched/mismatched PARTITION counts)
+    val got = rec(Seq((1, "x", "y"), (1, "p", "Z"), (3, "z", "w"),
+      (4, "e", "f")))
+    assert(got.contains(("1", "content_mismatch", 2L, 2L)))
+    assert(got.contains(("2", "source_only", 1L, 0L)))
+    assert(got.contains(("4", "target_only", 0L, 1L)))
+    assert(got.contains(("(all)", "mismatch", 1L, 3L)))
+    // a duplicated row is a count mismatch, not content
+    val dup = rec(Seq((1, "x", "y"), (1, "p", "q"), (1, "p", "q"),
+      (2, "m", "n"), (3, "z", "w")))
+    assert(dup.contains(("1", "count_mismatch", 2L, 3L)))
+  }
 }
