@@ -81,6 +81,18 @@ object SparkEntry {
         5, tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
   }
+  // the trade graph as of the incremental cut — the "yesterday" substrate
+  // q_pagerank_incr warm-starts from
+  private val incrCut = "2001-06-01"
+  private def gredgesBaseTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gredges_base_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeTradeEdgeTable(
+        Tables.orders(s, dir).where(col("o_orderdate") < lit(incrCut)),
+        Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
 
   /** Build-once-per-session BUCKETED signature-index tables (the
     * recurring-ingest warehouse layout, Ingest.writeBucketedIndex): the
@@ -1594,6 +1606,18 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRankBucketed(s, gredgesTable(s, dir))),
 
+    // §2.67h — INCREMENTAL PageRank on edge deltas (r11): the orders
+    // since the cut adjust degrees and re-run 3 warm rounds from the
+    // stored base vector; the base table scans in place (the delta
+    // dedups against it through one merge-joined bucket scan), and the
+    // output certifies warm vs from-scratch ranks with a drift_bp
+    // column — the merge==recompute posture, graph edition
+    "q_pagerank_incr" -> ((s, dir) =>
+      graft.operators.Graph.pageRankIncrementalBucketed(s,
+        gredgesBaseTable(s, dir), gredgesTable(s, dir),
+        Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
+        Tables.lineitem(s, dir))),
+
     // §2.8b — per-column data profile: null rate, exact distinct, numeric
     // bounds (ts as epoch micros) in ONE aggregate pass — the descriptive
     // face of the rule-based validator
@@ -2064,6 +2088,33 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("ts_us").as("last_ts_us"), col("value").as("last_value"),
           col("n_ops"))),
+
+    // §2.56d — the composed CDC trust chain (56 → 7 → 56b, r11): snapshot
+    // the state at the cut, apply the post-cut changes INCREMENTALLY (the
+    // snapshot rows re-enter as upsert ops, so the merge costs
+    // O(|snapshot| + |delta|), never the full log), and reconcile the
+    // merged table against the full-log replay by per-partition digest —
+    // the end-to-end check a warehouse migration actually runs. The
+    // merge==replay equality is a theorem (last-writer-wins max composes
+    // over any split of the log; post-cut ops outrank all pre-cut ops),
+    // so the report is provably ONE all-match row — any chain bug
+    // surfaces as extra mismatch rows and a hash red
+    "q_cdc_reconcile" -> ((s, dir) => {
+      val log = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"),
+        when(pmod(col("event_id"), lit(10)) === 0, "D").otherwise("U").as("op"))
+      val cut = expr("unix_micros(TIMESTAMP '2024-01-16 00:00:00')")
+      def apply0(l: org.apache.spark.sql.DataFrame) =
+        Analytics.cdcApply(l, key = "user_id", seqCol = "ts_us",
+          tieCol = "event_id", opCol = "op", deleteOp = "D").drop("n_ops")
+      val snapshot = apply0(log.where(col("ts_us") < cut))
+      val merged = apply0(snapshot.withColumn("op", lit("U"))
+        .unionByName(log.where(col("ts_us") >= cut)))
+      val replayed = apply0(log)
+      graft.validation.Reconcile.reconcile(replayed, merged,
+        pmod(col("user_id"), lit(16)),
+        Seq(col("user_id"), col("event_id"), col("ts_us"), col("value")))
+    }),
 
     // §2.57 — the ranking-function family in one pass (tie-aware rank /
     // dense_rank / percent_rank / cume_dist + tie-broken ntile), one
@@ -4547,6 +4598,59 @@ object SparkEntry {
          |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
     },
 
+    // three unrolled pyramids: 6 base rounds on the pre-cut graph, 3
+    // warm rounds on the full graph from the coalesced stored vector,
+    // 9 from-scratch rounds (same total) as the drift certifier
+    "q_pagerank_incr" -> {
+      def round_(name: String, prev: String, edges: String, deg: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+           |  FROM $edges e JOIN $prev r ON e.src = r.node
+           |  JOIN $deg d ON e.src = d.src
+           |  GROUP BY 1)""".stripMargin
+      val baseRounds = (1 to 6)
+        .map(i => round_(s"br$i", s"br${i - 1}", "be", "bdg")).mkString(",\n")
+      val warmRounds = (1 to 3)
+        .map(i => round_(s"w$i", s"w${i - 1}", "fe", "fdg")).mkString(",\n")
+      val scratchRounds = (1 to 9)
+        .map(i => round_(s"s$i", s"s${i - 1}", "fe", "fdg")).mkString(",\n")
+      s"""WITH b0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '2001-06-01'),
+         |be AS (
+         |  SELECT a AS src, b AS dst FROM b0
+         |  UNION ALL SELECT b AS src, a AS dst FROM b0),
+         |bdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM be GROUP BY 1),
+         |f0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |fe AS (
+         |  SELECT a AS src, b AS dst FROM f0
+         |  UNION ALL SELECT b AS src, a AS dst FROM f0),
+         |fdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM fe GROUP BY 1),
+         |br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM bdg),
+         |$baseRounds,
+         |w0 AS (
+         |  SELECT fdg.src AS node,
+         |    CAST(coalesce(br6.pr, 1000000) AS BIGINT) AS pr
+         |  FROM fdg LEFT JOIN br6 ON fdg.src = br6.node),
+         |$warmRounds,
+         |s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM fdg),
+         |$scratchRounds
+         |SELECT w3.node AS node_id, w3.pr AS rank_micro, fdg.deg AS degree,
+         |  s9.pr AS scratch_micro,
+         |  CAST(abs(w3.pr - s9.pr) * 10000 // s9.pr AS BIGINT) AS drift_bp
+         |FROM w3 JOIN fdg ON w3.node = fdg.src
+         |JOIN s9 ON w3.node = s9.node
+         |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
+    },
+
     "q_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
@@ -5379,6 +5483,24 @@ object SparkEntry {
          |${selects.mkString("\nUNION ALL\n")}
          |ORDER BY day, "column"""".stripMargin
     },
+
+    // the report is provably one all-match row; the oracle computes the
+    // matched-partition count from the surviving state and asserts the
+    // verdict (the 43b literal-verdict pattern applied to a chain)
+    "q_cdc_reconcile" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    value, CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM log),
+        |state AS (SELECT user_id FROM r WHERE rn = 1 AND op <> 'D')
+        |SELECT '(all)' AS part, 'match' AS status,
+        |  CAST(count(DISTINCT user_id % 16) AS BIGINT) AS s_rows,
+        |  CAST(0 AS BIGINT) AS t_rows
+        |FROM state""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (

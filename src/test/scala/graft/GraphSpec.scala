@@ -469,6 +469,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankIncrementalBucketed: empty delta is drift-free and " +
+      "rank-identical to scratch; a real delta folds in new nodes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ipr").toString
+    try {
+      Graph.writeTradeEdgeTable(tinyOrders, tinyLineitem,
+        "t_ipr_base", root, buckets = 4)
+      // empty delta: warm = 6 base + 3 incr rounds on the SAME graph,
+      // scratch = 9 rounds on it — bit-identical, drift exactly 0
+      val emptyO = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+      val emptyL = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_suppkey")
+      val same = Graph.pageRankIncrementalBucketed(spark, "t_ipr_base",
+        "t_ipr_base", emptyO, emptyL).collect()
+      assert(same.nonEmpty)
+      assert(same.forall(_.getAs[Long]("drift_bp") == 0L),
+        s"drift on identical graphs: ${same.mkString(",")}")
+      assert(same.forall(r =>
+        r.getAs[Long]("rank_micro") == r.getAs[Long]("scratch_micro")))
+      // a delta that adds a brand-new customer c9 trading with s10 and a
+      // REPEAT of the existing (c1, s10) pair (which must dedup away):
+      // degrees shift, the new node appears, ranks stay near scratch
+      val dO = Seq((200L, 9L), (201L, 1L)).toDF("o_orderkey", "o_custkey")
+      val dL = Seq((200L, 10L), (201L, 10L)).toDF("l_orderkey", "l_suppkey")
+      val fullO = tinyOrders.unionByName(dO)
+      val fullL = tinyLineitem.unionByName(dL)
+      Graph.writeTradeEdgeTable(fullO, fullL, "t_ipr_full", root, buckets = 4)
+      val out = Graph.pageRankIncrementalBucketed(spark, "t_ipr_base",
+        "t_ipr_full", dO, dL).collect()
+        .map(r => r.getAs[String]("node_id") ->
+          (r.getAs[Long]("degree"), r.getAs[Long]("drift_bp"))).toMap
+      // new node c9 is present with its post-delta degree; s10 gained it
+      assert(out.contains("c:9") && out("c:9")._1 == 1L)
+      assert(out("s:10")._1 == 4L) // c1..c3 + c9; the repeat pair deduped
+      assert(out("c:1")._1 == 2L)
+      // warm start on a one-edge delta stays close to scratch
+      assert(out.values.forall(_._2 < 1000L), s"drift too high: $out")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_ipr_base")
+      spark.sql("DROP TABLE IF EXISTS t_ipr_full")
+    }
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)

@@ -225,4 +225,43 @@ class ValidatorSpec extends SparkSpec {
       (2, "m", "n"), (3, "z", "w")))
     assert(dup.contains(("1", "count_mismatch", 2L, 3L)))
   }
+
+  test("CDC trust chain: snapshot + incremental merge reconciles all-match " +
+      "against the full replay; a corrupted merge is flagged") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Analytics
+    // keys 1..3: key 1 updated pre+post cut, key 2 tombstoned post-cut,
+    // key 3 created post-cut, key 4 tombstoned PRE-cut (absent from the
+    // snapshot and from the final state)
+    val log = Seq(
+      (1L, 10L, 100L, 1.0, "U"), (1L, 11L, 150L, 2.0, "U"),
+      (2L, 12L, 120L, 3.0, "U"),
+      (4L, 13L, 130L, 9.0, "U"), (4L, 14L, 140L, 9.5, "D"),
+      (1L, 20L, 210L, 4.0, "U"),
+      (2L, 21L, 220L, 0.0, "D"),
+      (3L, 22L, 230L, 5.0, "U")
+    ).toDF("user_id", "event_id", "ts_us", "value", "op")
+    def apply0(l: org.apache.spark.sql.DataFrame) =
+      Analytics.cdcApply(l, "user_id", "ts_us", "event_id", "op", "D")
+        .drop("n_ops")
+    val cut = 200L
+    val snapshot = apply0(log.where(col("ts_us") < cut))
+    val merged = apply0(snapshot.withColumn("op", lit("U"))
+      .unionByName(log.where(col("ts_us") >= cut)))
+    val replayed = apply0(log)
+    // final state: key 1 -> event 20, key 3 -> event 22; keys 2 and 4 gone
+    assert(replayed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 20L, 3L -> 22L))
+    def rec(t: org.apache.spark.sql.DataFrame) =
+      graft.validation.Reconcile.reconcile(replayed, t,
+        pmod(col("user_id"), lit(16)),
+        Seq(col("user_id"), col("event_id"), col("ts_us"), col("value")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rec(merged) == Seq(("(all)", "match")))
+    // corrupt one merged value: that key's partition flags, summary flips
+    val bad = merged.withColumn("value",
+      when(col("user_id") === 3L, lit(99.0)).otherwise(col("value")))
+    assert(rec(bad).contains(("3", "content_mismatch")))
+    assert(rec(bad).contains(("(all)", "mismatch")))
+  }
 }
