@@ -2063,6 +2063,26 @@ object SparkEntry {
           nullif(col("o_orderpriority"), lit("1-URGENT"))))
         .withColumnRenamed("part", "day")),
 
+    // §2.56e — the reconcile REPORT itself, registered on planted
+    // divergences (r11): the target drops one o_orderkey%8 partition
+    // entirely (source_only), halves another (count_mismatch, the
+    // okey%16 slice), and corrupts one money column in a third
+    // (content_mismatch) — every status class exercised plus the
+    // catch-all summary row; a clean 100 TB compare returns ONE row
+    "q_reconcile_report" -> ((s, dir) => {
+      val src = Tables.orders(s, dir)
+      val part8 = pmod(col("o_orderkey"), lit(8))
+      val target = src
+        .where(part8 =!= 3 && pmod(col("o_orderkey"), lit(16)) =!= 6)
+        .withColumn("o_totalprice",
+          when(part8 === 5, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.validation.Reconcile.reconcile(src, target,
+        pmod(col("o_orderkey"), lit(8)),
+        Seq(col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)")))
+    }),
+
     // §2.56c — column-localizing digest (r11, the drill-down 56b hands a
     // flagged partition to): same three commuting folds, one (xor, sum)
     // pair PER COLUMN with a column-name hash salt — one more scan says
@@ -5452,6 +5472,28 @@ object SparkEntry {
         |  CAST(sum(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
         |    AS sum_digest
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the planted statuses are PROVABLE from row counts alone (dropped
+    // partition, halved partition, value-corrupted partition), so the
+    // oracle constructs the report without replaying the hashes —
+    // a digest false-negative would leave extra rows and hash red
+    "q_reconcile_report" ->
+      """WITH p AS (
+        |  SELECT o_orderkey % 8 AS part, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE o_orderkey % 16 = 6) AS BIGINT)
+        |      AS dropped
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(part AS VARCHAR) AS part,
+        |  CASE part WHEN 3 THEN 'source_only'
+        |            WHEN 5 THEN 'content_mismatch'
+        |            ELSE 'count_mismatch' END AS status,
+        |  n AS s_rows,
+        |  CASE part WHEN 3 THEN 0 WHEN 6 THEN n - dropped
+        |            ELSE n END AS t_rows
+        |FROM p WHERE part IN (3, 5, 6)
+        |UNION ALL
+        |SELECT '(all)', 'mismatch', CAST(5 AS BIGINT), CAST(3 AS BIGINT)
+        |ORDER BY part""".stripMargin,
 
     // per-column salted hashes ('digest:<name>:'), the same fold triple
     // per column, long-form via one grouped select per column

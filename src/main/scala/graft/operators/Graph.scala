@@ -17,16 +17,20 @@ import org.apache.spark.sql.functions._
   *     each round. Optimal while the vector fits every executor (~10⁷
   *     nodes); the right local plan.
   *   - BUCKETED-TABLE loops ([[pageRankBucketed]]/
-  *     [[pageRankWeightedBucketed]]/[[bfsLayersBucketed]]): the edge list
-  *     is persisted ONCE as a warehouse table bucketed by src with both
-  *     endpoints' degrees riding each edge ([[writeTradeEdgeTable]]), so
-  *     per round the ONLY thing that moves is the slim (node, pr) rank
-  *     vector — merge-hinted sort-merge joins scan the edges in place,
-  *     and the visited set lives in an appendable bucketed table instead
-  *     of a broadcast. No broadcast of any node-count-bounded set
-  *     anywhere, so the same loop runs at 10¹⁰ nodes. GraphSpec asserts
-  *     both the plan shape (bucketed scan, zero BroadcastExchange) and
-  *     output equality with the broadcast path.
+  *     [[pageRankWeightedBucketed]]/[[bfsLayersBucketed]]/
+  *     [[labelPropagationBucketed]]/[[kCorePeelBucketed]]/
+  *     [[pageRankIncrementalBucketed]] — the REGISTERED plans): the edge
+  *     list is persisted ONCE as a warehouse table bucketed by src with
+  *     the degrees riding each edge ([[writeTradeEdgeTable]] /
+  *     [[writeCoSupplyEdgeTable]] / [[writeKnnSkeletonTable]]), so per
+  *     round the ONLY thing that moves is the slim node-bounded vector
+  *     (rank, label, frontier, or peel/decrement) — merge-hinted
+  *     sort-merge joins scan the edges in place, and the BFS visited set
+  *     lives in an appendable bucketed table instead of a broadcast. No
+  *     broadcast of any node-count-bounded set anywhere, so the same
+  *     loops run at 10¹⁰ nodes. GraphSpec asserts both the plan shapes
+  *     (bucketed scan, zero BroadcastExchange, ≤2 exchanges per round
+  *     fragment) and output equality with the in-memory paths.
   *
   * Every loop accepts `reliableStagePath`: default rounds are
   * `localCheckpoint()` (executor-memory lineage truncation — fastest

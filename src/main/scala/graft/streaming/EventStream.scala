@@ -558,6 +558,45 @@ object EventStream {
       }.toDF()
   }
 
+  /** State for [[tableDigestStream]]: the three commuting folds — row
+    * count, XOR of row hashes, mod-10¹⁸ hash sum. Constant per
+    * partition FOREVER, whatever the stream volume. */
+  case class DigestState(n: Long, xor: Long, sum: Long)
+  case class DigestRow(part: String, n_rows: Long, xor_digest: Long,
+    sum_digest: Long)
+
+  /** Streaming incremental table digest — the continuous twin of
+    * `Reconcile.tableDigest`: a CDC-fed replica maintains its
+    * per-partition (count, xor, mod-10¹⁸ sum) triple as rows ARRIVE, so
+    * reconciling against the source needs no replica re-scan at all —
+    * the folds are commutative monoids, so folding per microbatch in
+    * any arrival order lands on exactly the batch scan's triple
+    * (spec-proven across microbatches). Input rows carry (part, h)
+    * where h is `Reconcile.canonRowHash` of the same columns — the ONE
+    * hash definition shared with the batch digest. Emits the updated
+    * triple for every partition a microbatch touches; state is 3 longs
+    * per partition forever. Mod arithmetic note: h < 2⁵², so the
+    * running (sum + h) never exceeds 10¹⁸ + 2⁵² and stays in BIGINT.
+    */
+  def tableDigestStream(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("part").cast("string"), col("h").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DigestState, DigestRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (part, it, state: GroupState[DigestState]) =>
+          var s = state.getOption.getOrElse(DigestState(0L, 0L, 0L))
+          it.foreach { case (_, h) =>
+            s = DigestState(s.n + 1, s.xor ^ h,
+              (s.sum + h) % 1000000000000000000L)
+          }
+          state.update(s)
+          Iterator(DigestRow(part, s.n, s.xor, s.sum))
+      }.toDF()
+  }
+
   /** State for [[decayScoreStream]]: the last <= n events' (ts-micros, id,
     * cents), newest first — a bounded buffer per user, never the stream. */
   case class DecayState(recent: List[(Long, Long, Long)])

@@ -44,11 +44,17 @@ object Reconcile {
     * leave their scan except as (part, 52-bit hash). Comparing two 100 TB
     * tables costs two scans and a |partitions|-row join.
     */
-  def tableDigest(df: DataFrame, part: Column, cols: Seq[Column]): DataFrame = {
+  /** The canonical row hash [[tableDigest]] folds — exposed so the
+    * streaming digest twin (`EventStream.tableDigestStream`) hashes
+    * arriving rows identically to the batch scan. */
+  private[graft] def canonRowHash(cols: Seq[Column]): Column = {
     require(cols.nonEmpty)
-    val canon = concat_ws("|",
-      cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*)
-    val h = rowHash("digest:", canon)
+    rowHash("digest:", concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*))
+  }
+
+  def tableDigest(df: DataFrame, part: Column, cols: Seq[Column]): DataFrame = {
+    val h = canonRowHash(cols)
     df.select(part.as("part"), h.as("h"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_rows"),

@@ -794,4 +794,42 @@ class EventStreamSpec extends SparkSpec {
     val streamAgg = rows.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(agg === streamAgg)
   }
+
+  test("tableDigestStream: streamed per-partition triples equal the batch " +
+      "tableDigest across microbatches, incl. NULLs and a re-keyed part") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(String, String, String)]
+    val hashed = input.toDF().toDF("part", "a", "b")
+      .select(col("part"),
+        graft.validation.Reconcile.canonRowHash(Seq(col("a"), col("b")))
+          .as("h"))
+    val out = EventStream.tableDigestStream(hashed)
+    val chk = Files.createTempDirectory("graft-digest-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("digests")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    val batch1 = Seq(("p1", "x", "y"), ("p1", "p", "q"), ("p2", "m", "n"))
+    val batch2 = Seq(("p1", "z", null: String), ("p3", "k", "l"),
+      ("p2", "m", "n")) // p2 gets a genuine duplicate row in batch 2
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+    // newest emission per part = the final streamed triple
+    val streamed = spark.table("digests").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val batch = graft.validation.Reconcile.tableDigest(
+      (batch1 ++ batch2).toDF("part", "a", "b"), col("part"),
+      Seq(col("a"), col("b")))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_digest"),
+          r.getAs[Long]("sum_digest"))).toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed("p2")._1 == 2L) // the duplicate counted, xor cancelled
+  }
 }
