@@ -93,6 +93,17 @@ object SparkEntry {
         Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
   }
+  // yesterday's rank vector at rest — the stored state the recurring
+  // warm refresh (q_pagerank_decide) reads instead of recomputing
+  private def gprVectorTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gprvec_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeRankVectorTable(s,
+        gredgesBaseTable(s, dir), tbl, s"/tmp/graft_graph_$tag",
+        buckets = 32, iters = 6)
+    tbl
+  }
 
   /** Build-once-per-session BUCKETED signature-index tables (the
     * recurring-ingest warehouse layout, Ingest.writeBucketedIndex): the
@@ -1615,6 +1626,17 @@ object SparkEntry {
     "q_pagerank_incr" -> ((s, dir) =>
       graft.operators.Graph.pageRankIncrementalBucketed(s,
         gredgesBaseTable(s, dir), gredgesTable(s, dir),
+        Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
+        Tables.lineitem(s, dir))),
+
+    // §2.67i — the RECURRING warm refresh alone (the q_ingest_decide
+    // shape applied to 67h): the base edge table and yesterday's rank
+    // vector are at rest; the benched cost is one delta dedup (one
+    // in-place base scan) + 3 warm rounds — what a daily PageRank
+    // refresh actually pays, with 67h as its standing drift certificate
+    "q_pagerank_decide" -> ((s, dir) =>
+      graft.operators.Graph.pageRankWarmBucketed(s,
+        gredgesBaseTable(s, dir), gprVectorTable(s, dir),
         Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
         Tables.lineitem(s, dir))),
 
@@ -4615,6 +4637,51 @@ object SparkEntry {
          |${(1 to 6).map(round_).mkString(",\n")}
          |SELECT r6.node AS node_id, r6.pr AS rank_micro, dg.deg AS degree
          |FROM r6 JOIN dg ON r6.node = dg.src
+         |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
+    },
+
+    // the recurring warm refresh: the 67h pyramid minus the scratch
+    // certifier — 6 base rounds (the stored vector) + 3 warm rounds
+    "q_pagerank_decide" -> {
+      def round_(name: String, prev: String, edges: String, deg: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+           |  FROM $edges e JOIN $prev r ON e.src = r.node
+           |  JOIN $deg d ON e.src = d.src
+           |  GROUP BY 1)""".stripMargin
+      val baseRounds = (1 to 6)
+        .map(i => round_(s"br$i", s"br${i - 1}", "be", "bdg")).mkString(",\n")
+      val warmRounds = (1 to 3)
+        .map(i => round_(s"w$i", s"w${i - 1}", "fe", "fdg")).mkString(",\n")
+      s"""WITH b0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '2001-06-01'),
+         |be AS (
+         |  SELECT a AS src, b AS dst FROM b0
+         |  UNION ALL SELECT b AS src, a AS dst FROM b0),
+         |bdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM be GROUP BY 1),
+         |f0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |fe AS (
+         |  SELECT a AS src, b AS dst FROM f0
+         |  UNION ALL SELECT b AS src, a AS dst FROM f0),
+         |fdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM fe GROUP BY 1),
+         |br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM bdg),
+         |$baseRounds,
+         |w0 AS (
+         |  SELECT fdg.src AS node,
+         |    CAST(coalesce(br6.pr, 1000000) AS BIGINT) AS pr
+         |  FROM fdg LEFT JOIN br6 ON fdg.src = br6.node),
+         |$warmRounds
+         |SELECT w3.node AS node_id, w3.pr AS rank_micro, fdg.deg AS degree
+         |FROM w3 JOIN fdg ON w3.node = fdg.src
          |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
     },
 

@@ -800,47 +800,15 @@ object Graph {
     val base = spark.table(baseTable)
 
     // stored vector: the base-graph ranks a production run has at rest
+    // (persisted via writeRankVectorTable; recomputed here so the query
+    // is self-contained and the oracle replayable)
     var stored = stager(base.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("pr")), "ipr_b0")
     for (i <- 1 to baseIters)
       stored = stager(rankRoundBucketed(base, stored), s"ipr_b$i")
 
-    // the delta's NEW edges: dedup against base via one in-place scan of
-    // the delta-touched src buckets + a slim anti-join
-    val deltaRaw = tradeEdges(deltaOrders, deltaLineitem)
-    val touched = base
-      .join(deltaRaw.select(col("src")).distinct().hint("merge"), "src")
-      .select(col("src"), col("dst"))
-    val delta = stager(
-      deltaRaw.join(touched, Seq("src", "dst"), "left_anti"), "ipr_delta")
-
-    // post-delta degrees: base degree rides the table (zero-exchange),
-    // delta increments are a slim aggregate
-    val baseDeg = base.groupBy(col("src").as("node"))
-      .agg(max(col("src_deg")).as("bd"))
-    val deltaDeg = delta.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("dd"))
-    val newDeg = stager(baseDeg.join(deltaDeg.hint("merge"), Seq("node"),
-        "full_outer")
-      .select(col("node"),
-        (coalesce(col("bd"), lit(0L)) + coalesce(col("dd"), lit(0L)))
-          .as("deg")), "ipr_deg")
-
-    // warm start: stored ranks where known, fresh mass for new nodes
-    var warm = stager(newDeg.join(stored.hint("merge"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("pr"), lit(1000000L)).as("pr"),
-        col("deg")), "ipr_w0")
-    for (i <- 1 to incrIters) {
-      val shares = warm.select(col("node").as("src"),
-        expr("(pr * 85) DIV (100 * deg)").as("contrib"))
-      val contrib = base.join(shares.hint("merge"), "src")
-        .select(col("dst"), col("contrib"))
-        .unionByName(delta.join(shares, "src")
-          .select(col("dst"), col("contrib")))
-      warm = stager(contrib.groupBy(col("dst").as("node"))
-        .agg((lit(150000L) + sum(col("contrib"))).as("pr"))
-        .join(newDeg.hint("merge"), "node"), s"ipr_w$i")
-    }
+    val warm = warmRankLoop(base, stored, deltaOrders, deltaLineitem,
+      incrIters, stager)
 
     // from-scratch certifier over the persisted full graph, at the SAME
     // total round count (baseIters + incrIters) — the drift then measures
@@ -860,6 +828,95 @@ object Graph {
         expr("abs(rank_micro - scratch_micro) * 10000 DIV scratch_micro"))
       .orderBy(col("rank_micro").desc, col("node_id").asc)
       .limit(topK)
+  }
+
+  /** Persist the stored rank vector [[pageRankIncrementalBucketed]]
+    * warm-starts from — `iters` exact-integer rounds over the base edge
+    * table, saved bucketed by node. In production this is yesterday's
+    * vector at rest; building it is the amortized one-off (the
+    * signature-index discipline), and the RECURRING cost is
+    * [[pageRankWarmBucketed]] alone. */
+  def writeRankVectorTable(spark: SparkSession, baseTable: String,
+      table: String, root: String, buckets: Int, iters: Int = 6): Unit = {
+    val base = spark.table(baseTable)
+    var ranks = base.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("pr")).localCheckpoint()
+    for (_ <- 1 to iters)
+      ranks = rankRoundBucketed(base, ranks).localCheckpoint()
+    ranks
+      .repartition(buckets, col("node"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "node").sortBy("node")
+      .saveAsTable(table)
+  }
+
+  /** The RECURRING warm-start rounds alone — what a daily PageRank
+    * refresh actually pays once the base edge table and the stored
+    * vector are at rest (the q_ingest_decide shape): fold the day's new
+    * edges in (one in-place base scan for the dedup), adjust degrees,
+    * run `incrIters` rounds from the stored vector, emit the top-K.
+    * [[pageRankIncrementalBucketed]] is the one-shot self-contained
+    * chain WITH the from-scratch drift certifier; this is the
+    * production cadence it certifies.
+    */
+  def pageRankWarmBucketed(spark: SparkSession, baseTable: String,
+      vectorTable: String, deltaOrders: DataFrame,
+      deltaLineitem: DataFrame, incrIters: Int = 3, topK: Int = 20,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(incrIters >= 1)
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val warm = warmRankLoop(spark.table(baseTable),
+      spark.table(vectorTable), deltaOrders, deltaLineitem, incrIters,
+      stager)
+    warm.select(col("node").as("node_id"), col("pr").as("rank_micro"),
+        col("deg").as("degree"))
+      .orderBy(col("rank_micro").desc, col("node_id").asc)
+      .limit(topK)
+  }
+
+  /** The shared warm-start machinery of [[pageRankWarmBucketed]] and
+    * [[pageRankIncrementalBucketed]]: dedup the delta against the base
+    * table (one in-place merge-joined bucket scan + a slim anti-join),
+    * rebuild degrees (base degree rides the table, delta increments are
+    * a slim aggregate), coalesce the stored vector over the new node
+    * set, and run `incrIters` rounds with contributions precomputed on
+    * the vector — the base table scans in place every round. Returns
+    * the warm (node, pr, deg) frame. */
+  private def warmRankLoop(base: DataFrame, stored: DataFrame,
+      deltaOrders: DataFrame, deltaLineitem: DataFrame, incrIters: Int,
+      stager: Dedup.RoundStager): DataFrame = {
+    val deltaRaw = tradeEdges(deltaOrders, deltaLineitem)
+    val touched = base
+      .join(deltaRaw.select(col("src")).distinct().hint("merge"), "src")
+      .select(col("src"), col("dst"))
+    val delta = stager(
+      deltaRaw.join(touched, Seq("src", "dst"), "left_anti"), "wpr_delta")
+
+    val baseDeg = base.groupBy(col("src").as("node"))
+      .agg(max(col("src_deg")).as("bd"))
+    val deltaDeg = delta.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dd"))
+    val newDeg = stager(baseDeg.join(deltaDeg.hint("merge"), Seq("node"),
+        "full_outer")
+      .select(col("node"),
+        (coalesce(col("bd"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("deg")), "wpr_deg")
+
+    var warm = stager(newDeg.join(stored.hint("merge"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("pr"), lit(1000000L)).as("pr"),
+        col("deg")), "wpr_w0")
+    for (i <- 1 to incrIters) {
+      val shares = warm.select(col("node").as("src"),
+        expr("(pr * 85) DIV (100 * deg)").as("contrib"))
+      val contrib = base.join(shares.hint("merge"), "src")
+        .select(col("dst"), col("contrib"))
+        .unionByName(delta.join(shares, "src")
+          .select(col("dst"), col("contrib")))
+      warm = stager(contrib.groupBy(col("dst").as("node"))
+        .agg((lit(150000L) + sum(col("contrib"))).as("pr"))
+        .join(newDeg.hint("merge"), "node"), s"wpr_w$i")
+    }
+    warm
   }
 
   /** [[bfsLayers]] against the bucketed edge table, with the visited set

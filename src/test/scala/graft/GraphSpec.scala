@@ -510,6 +510,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankWarmBucketed: the recurring decide equals the one-shot " +
+      "certifier's warm columns off the persisted vector table") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wpr").toString
+    try {
+      Graph.writeTradeEdgeTable(tinyOrders, tinyLineitem,
+        "t_wpr_base", root, buckets = 4)
+      Graph.writeRankVectorTable(spark, "t_wpr_base", "t_wpr_vec", root,
+        buckets = 4, iters = 6)
+      val dO = Seq((200L, 9L)).toDF("o_orderkey", "o_custkey")
+      val dL = Seq((200L, 10L)).toDF("l_orderkey", "l_suppkey")
+      Graph.writeTradeEdgeTable(tinyOrders.unionByName(dO),
+        tinyLineitem.unionByName(dL), "t_wpr_full", root, buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("node_id"), col("rank_micro"), col("degree"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      val decide = rows(Graph.pageRankWarmBucketed(spark, "t_wpr_base",
+        "t_wpr_vec", dO, dL))
+      val certifier = rows(Graph.pageRankIncrementalBucketed(spark,
+        "t_wpr_base", "t_wpr_full", dO, dL))
+      assert(decide == certifier, s"decide $decide vs certifier $certifier")
+      assert(decide.exists(_._1 == "c:9"))
+    } finally Seq("t_wpr_base", "t_wpr_vec", "t_wpr_full")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
