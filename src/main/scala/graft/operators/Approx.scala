@@ -636,7 +636,10 @@ object Approx {
     * DEFINITION (the fold order is the algorithm's input, exactly like
     * the streaming twin's per-key state); groups are the parallelism
     * unit, so use a bounded-cardinality group (event types, days,
-    * tenants). Output: (g, item, est, err).
+    * tenants). Output: (g, item, est, err, n_events) — the group's
+    * stream length rides each row (the fold counted it for free; it is
+    * the denominator of the ε = 1/m error guarantee every consumer
+    * needs).
     */
   /** One SpaceSaving fold step, shared by [[spaceSavingSummary]] and the
     * streaming twin (`EventStream.heavyHittersStream`) — ONE definition
@@ -666,19 +669,25 @@ object Approx {
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("o1"), col("o2"))
       .mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long)]()
         var cur: String = null
+        var n = 0L
         var counters = List.empty[(Long, Long, Long)]
+        // the group streams wholly through this fold, so the stream
+        // length N — the epsilon-guarantee denominator every consumer
+        // needs — rides each summary row for free
         def flush(): Unit = if (cur != null)
-          counters.foreach { case (i2, est, err) => out += ((cur, i2, est, err)) }
+          counters.foreach { case (i2, est, err) =>
+            out += ((cur, i2, est, err, n)) }
         it.foreach { case (g, item, _, _) =>
-          if (g != cur) { flush(); cur = g; counters = Nil }
+          if (g != cur) { flush(); cur = g; counters = Nil; n = 0L }
+          n += 1
           counters = ssStep(counters, item, m)
         }
         flush()
         out.iterator
       }
-      .toDF("g", "item", "est", "err")
+      .toDF("g", "item", "est", "err", "n_events")
   }
 
   /** The registered AUDIT over [[spaceSavingSummary]] — the 43b
@@ -694,13 +703,17 @@ object Approx {
     * |groups|-bounded and broadcasts.
     */
   def spaceSavingAudit(items: DataFrame, m: Int): DataFrame = {
-    val summary = spaceSavingSummary(items, m)
-    val n = items.groupBy(col("g")).agg(count(lit(1)).as("n_events"))
+    val summary = spaceSavingSummary(items, m).localCheckpoint()
     val exact = items.groupBy(col("g"), col("i").as("item"))
       .agg(count(lit(1)).as("exact_cnt"))
+    // group totals ride the summary (the fold counted its stream), so
+    // the audit pays exactly two input scans: the fold and the exact
+    // counts; the N frame is |groups| rows off the m·|groups| summary
+    val n = summary.groupBy(col("g")).agg(max(col("n_events")).as("n_events"))
     exact.join(broadcast(n), "g")
       .where(col("exact_cnt") * m > col("n_events"))
-      .join(summary, Seq("g", "item"), "left")
+      .join(summary.select(col("g"), col("item"), col("est"), col("err")),
+        Seq("g", "item"), "left")
       .select(col("g").as("group_key"), col("item"), col("exact_cnt"),
         col("est").isNotNull.as("tracked"),
         (col("est") >= col("exact_cnt")).as("est_ge_exact"),
