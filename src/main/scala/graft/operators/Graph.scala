@@ -837,12 +837,14 @@ object Graph {
     * signature-index discipline), and the RECURRING cost is
     * [[pageRankWarmBucketed]] alone. */
   def writeRankVectorTable(spark: SparkSession, baseTable: String,
-      table: String, root: String, buckets: Int, iters: Int = 6): Unit = {
+      table: String, root: String, buckets: Int, iters: Int = 6,
+      reliableStagePath: Option[String] = None): Unit = {
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
     val base = spark.table(baseTable)
-    var ranks = base.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("pr")).localCheckpoint()
-    for (_ <- 1 to iters)
-      ranks = rankRoundBucketed(base, ranks).localCheckpoint()
+    var ranks = stager(base.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1000000L).as("pr")), "vpr_0")
+    for (i <- 1 to iters)
+      ranks = stager(rankRoundBucketed(base, ranks), s"vpr_$i")
     ranks
       .repartition(buckets, col("node"))
       .write.mode("overwrite").option("path", s"$root/$table")
