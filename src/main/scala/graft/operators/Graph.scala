@@ -799,13 +799,29 @@ object Graph {
     val stager = new Dedup.RoundStager(spark, reliableStagePath)
     val base = spark.table(baseTable)
 
+    // The base and scratch pyramids reference each round's output ONCE
+    // (rankRoundBucketed chains linearly), so they stage every third
+    // round instead of every round — lineage stays shallow while the
+    // job count (and its per-stage barrier cost) drops ~3x. The warm
+    // loop keeps per-round staging: each warm round reads its vector
+    // TWICE (base- and delta-side contribution branches), so an
+    // unstaged round would recompute its whole upstream chain per
+    // branch — exponential in the unstaged run length.
+    def pyramid(edges: DataFrame, iters: Int, tag: String): DataFrame = {
+      var ranks = stager(edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("pr")), s"${tag}0")
+      for (i <- 1 to iters) {
+        val next = rankRoundBucketed(edges, ranks)
+        ranks = if (i % 3 == 0 || i == iters) stager(next, s"$tag$i")
+        else next
+      }
+      ranks
+    }
+
     // stored vector: the base-graph ranks a production run has at rest
     // (persisted via writeRankVectorTable; recomputed here so the query
     // is self-contained and the oracle replayable)
-    var stored = stager(base.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("pr")), "ipr_b0")
-    for (i <- 1 to baseIters)
-      stored = stager(rankRoundBucketed(base, stored), s"ipr_b$i")
+    val stored = pyramid(base, baseIters, "ipr_b")
 
     val warm = warmRankLoop(base, stored, deltaOrders, deltaLineitem,
       incrIters, stager)
@@ -814,11 +830,8 @@ object Graph {
     // total round count (baseIters + incrIters) — the drift then measures
     // only what the warm start missed (the first baseIters rounds ran on
     // yesterday's graph), not a round-count artifact
-    val full = spark.table(fullTable)
-    var scratch = stager(full.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1000000L).as("pr")), "ipr_s0")
-    for (i <- 1 to baseIters + incrIters)
-      scratch = stager(rankRoundBucketed(full, scratch), s"ipr_s$i")
+    val scratch = pyramid(spark.table(fullTable), baseIters + incrIters,
+      "ipr_s")
 
     warm.join(scratch.select(col("node"), col("pr").as("scratch_micro"))
         .hint("merge"), "node")
