@@ -34,6 +34,18 @@ object SparkEntry {
     3L -> "vector scan filter",
     4L -> "stream batch merge")
 
+  // the SpaceSaving audit's item stream: planted scale-free hot keys
+  // (every 10th user collapses to one of 4 items at share 1/40 — the
+  // q_skew_join fixture discipline) folded in (ts, event_id) order
+  private def ssItems(s: SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_type").as("g"),
+      when(pmod(col("user_id"), lit(10)) === 0,
+        expr("(user_id % 40) DIV 10"))
+        .otherwise(col("user_id") + 100).as("i"),
+      unix_micros(col("ts").cast("timestamp")).as("o1"),
+      col("event_id").as("o2"))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"),
     "fr" -> Seq("table", "row"),
@@ -92,6 +104,29 @@ object SparkEntry {
         Tables.orders(s, dir).where(col("o_orderdate") < lit(incrCut)),
         Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
+  }
+  // the pre-cut co-supply projection — the "yesterday" substrate the
+  // incremental LPA warm-starts from
+  private def gcosupBaseTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gcosup_base_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeCoSupplyEdgeTable(
+        baseCutLineitem(s, dir, pre = true), tbl,
+        s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
+  // lineitems of pre-cut (or post-cut) orders — the order log split the
+  // incremental graph queries share
+  private def baseCutLineitem(s: SparkSession, dir: String,
+      pre: Boolean): org.apache.spark.sql.DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .where(if (pre) col("o_orderdate") < lit(incrCut)
+        else col("o_orderdate") >= lit(incrCut))
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
   }
   // yesterday's rank vector at rest — the stored state the recurring
   // warm refresh (q_pagerank_decide) reads instead of recomputing
@@ -916,15 +951,17 @@ object SparkEntry {
     // fixture discipline). Published rows: the guaranteed set with
     // exact counts + the four Metwally theorem verdicts (43b pattern)
     "q_spacesaving" -> ((s, dir) =>
-      graft.operators.Approx.spaceSavingAudit(
-        Tables.events(s, dir).select(
-          col("event_type").as("g"),
-          when(pmod(col("user_id"), lit(10)) === 0,
-            expr("(user_id % 40) DIV 10"))
-            .otherwise(col("user_id") + 100).as("i"),
-          unix_micros(col("ts").cast("timestamp")).as("o1"),
-          col("event_id").as("o2")),
-        m = 64)),
+      graft.operators.Approx.spaceSavingAudit(ssItems(s, dir), m = 64)),
+
+    // §2.24e4 — SHARDED SpaceSaving (the unbounded-group scale path):
+    // items shard by the salted hash mod 4, each shard folds its own
+    // sub-stream (groups x shards parallel), merged summary = plain
+    // union (item-sharding owns each item wholly); the guaranteed set
+    // and all four theorem verdicts are IDENTICAL, so the same oracle
+    // certifies this plan
+    "q_spacesaving_sharded" -> ((s, dir) =>
+      graft.operators.Approx.spaceSavingAuditSharded(ssItems(s, dir),
+        m = 64, shards = 4)),
 
     // §2.24f — per-document top TF-IDF terms (tf agg + broadcast df join
     // + per-doc window)
@@ -1899,6 +1936,20 @@ object SparkEntry {
     "q_communities" -> ((s, dir) =>
       graft.operators.Graph.labelPropagationBucketed(s,
         gcosupTable(s, dir), rounds = 4)),
+
+    // §2.67j — INCREMENTAL LPA on edge deltas (r11, the warm-start
+    // posture generalized to a second family): yesterday's labels (4
+    // rounds on the persisted pre-cut co-supply table) warm-start 2
+    // vote rounds over base + the new orders' pair increments —
+    // co-occurrence weights are ADDITIVE over any order-log split, so
+    // the delta frame votes next to the in-place base scan with zero
+    // base-side merge; certified per node against the from-scratch
+    // labels at the same total round count (agree column)
+    "q_communities_incr" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagationIncrementalBucketed(s,
+        gcosupBaseTable(s, dir), gcosupTable(s, dir),
+        graft.operators.Graph.coSupplyEdges(
+          baseCutLineitem(s, dir, pre = false)))),
 
     // §2.67e — triangle census + local clustering coefficient over the
     // k-NN SKELETON of the co-supply projection (each supplier keeps its
@@ -3508,6 +3559,24 @@ object SparkEntry {
         |FROM e JOIN n USING (g) WHERE e.exact_cnt * 64 > n.n_events
         |ORDER BY 1, 2""".stripMargin,
 
+    // identical published rows: sharding changes the fold's internals,
+    // not the guaranteed set or the theorem verdicts
+    "q_spacesaving_sharded" ->
+      """WITH it AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN user_id % 10 = 0 THEN (user_id % 40) // 10
+        |         ELSE user_id + 100 END AS item
+        |  FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM it GROUP BY 1),
+        |e AS (SELECT g, item, CAST(count(*) AS BIGINT) AS exact_cnt
+        |      FROM it GROUP BY 1, 2)
+        |SELECT e.g AS group_key, e.item, e.exact_cnt,
+        |  true AS tracked, true AS est_ge_exact,
+        |  true AS lower_le_exact, true AS err_within_cap
+        |FROM e JOIN n USING (g) WHERE e.exact_cnt * 64 > n.n_events
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_nb_quality" ->
       """WITH planted AS (
         |  SELECT doc_id,
@@ -4573,6 +4642,72 @@ object SparkEntry {
          |SELECT l4.node, l4.label AS community, s.n_members
          |FROM l4 JOIN sizes s ON l4.label = s.community
          |ORDER BY node""".stripMargin
+    },
+
+    // warm votes replay on the FULL pair frame — exact by weight
+    // additivity over the order-log split (w_full = w_base + w_delta and
+    // the vote aggregate sums them); 4 base rounds on the pre-cut
+    // projection, 2 warm, 6 scratch at the same total
+    "q_communities_incr" -> {
+      def round(tag: String, i: Int, prev: String, edges: String) =
+        s"""v$tag$i AS (
+           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+           |  FROM $edges e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+           |p$tag$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
+           |    FROM v$tag$i) WHERE rk = 1),
+           |l$tag$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(p.label, l.label) AS label
+           |  FROM $prev l LEFT JOIN p$tag$i p USING (node))""".stripMargin
+      val baseRounds = (1 to 4)
+        .map(i => round("b", i, s"lb${i - 1}", "eb")).mkString(",\n")
+      val warmRounds = (1 to 2)
+        .map(i => round("w", i, s"lw${i - 1}", "e")).mkString(",\n")
+      val scratchRounds = (1 to 6)
+        .map(i => round("s", i, s"ls${i - 1}", "e")).mkString(",\n")
+      s"""WITH $coSupplyPairCtes,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p0
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0),
+         |lib AS (
+         |  SELECT l.ok, l.sk FROM li l
+         |  JOIN orders o ON l.ok = o.o_orderkey
+         |  WHERE o.o_orderdate < TIMESTAMP '2001-06-01'),
+         |p0b AS MATERIALIZED (
+         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM lib x JOIN lib y ON x.ok = y.ok AND x.sk < y.sk
+         |  GROUP BY 1, 2),
+         |eb AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p0b
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0b),
+         |lb0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM eb),
+         |$baseRounds,
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |lw0 AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(lb4.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN lb4 ON n.node = lb4.node),
+         |$warmRounds,
+         |ls0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM e),
+         |$scratchRounds,
+         |wcan AS (
+         |  SELECT label, min(node) AS community,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM lw2 GROUP BY 1),
+         |scan_ AS (
+         |  SELECT label, min(node) AS community FROM ls6 GROUP BY 1)
+         |SELECT w.node, wc.community, wc.n_members,
+         |  sc.community AS scratch_community,
+         |  (wc.community = sc.community) AS agree
+         |FROM lw2 w JOIN wcan wc ON w.label = wc.label
+         |JOIN ls6 s ON w.node = s.node
+         |JOIN scan_ sc ON s.label = sc.label
+         |ORDER BY w.node""".stripMargin
     },
 
     "q_bfs_layers" -> {

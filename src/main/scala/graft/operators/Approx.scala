@@ -690,6 +690,38 @@ object Approx {
       .toDF("g", "item", "est", "err", "n_events")
   }
 
+  /** SHARDED SpaceSaving — the parallel scale path when one group's
+    * stream is too long for a single sequential fold: items shard by
+    * the portable salted hash mod `shards`, each shard folds its OWN
+    * sub-stream with m counters (the [[ssStep]] fold, same (o1, o2)
+    * order within shard), and the merged per-group summary is the plain
+    * UNION of shard counters — exact, because item-sharding puts ALL
+    * occurrences of an item in one shard, so no counter ever needs
+    * cross-shard addition (the degenerate-but-deterministic corner of
+    * Agarwal et al.'s mergeable summaries). The guarantees tighten:
+    * a shard tracks anything with count > N_shard/m ≤ N/m, so every
+    * globally-guaranteed item is still tracked, est ≥ true and
+    * est − err ≤ true hold per shard, and err·m ≤ N_shard ≤ N. State
+    * is m counters per (group, shard); parallelism is groups × shards
+    * instead of groups. Output: (g, shard, item, est, err, n_events)
+    * with n_events the SHARD's stream length. Group values must not
+    * contain a tab (the composite-key separator).
+    */
+  def spaceSavingSummarySharded(items: DataFrame, m: Int,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val sharded = items.select(
+      concat(col("g").cast("string"), lit("\t"),
+        pmod(conv(substring(md5(concat(lit("ssshard:"),
+          col("i").cast("string"))), 1, 13), 16, 10).cast("long"),
+          lit(shards.toLong)).cast("string")).as("g"),
+      col("i"), col("o1"), col("o2"))
+    spaceSavingSummary(sharded, m)
+      .select(substring_index(col("g"), "\t", 1).as("g"),
+        substring_index(col("g"), "\t", -1).cast("int").as("shard"),
+        col("item"), col("est"), col("err"), col("n_events"))
+  }
+
   /** The registered AUDIT over [[spaceSavingSummary]] — the 43b
     * sketch-trust pattern: the fold's own est/err are engine state
     * DuckDB cannot replay, so the published rows are the GUARANTEED
@@ -704,16 +736,40 @@ object Approx {
     */
   def spaceSavingAudit(items: DataFrame, m: Int): DataFrame = {
     val summary = spaceSavingSummary(items, m).localCheckpoint()
-    val exact = items.groupBy(col("g"), col("i").as("item"))
-      .agg(count(lit(1)).as("exact_cnt"))
     // group totals ride the summary (the fold counted its stream), so
     // the audit pays exactly two input scans: the fold and the exact
     // counts; the N frame is |groups| rows off the m·|groups| summary
     val n = summary.groupBy(col("g")).agg(max(col("n_events")).as("n_events"))
+    ssAuditCore(summary.select(col("g"), col("item"), col("est"),
+      col("err")), n, items, m)
+  }
+
+  /** [[spaceSavingAudit]] over the SHARDED summary — the same guaranteed
+    * set and the same four theorem verdicts (a globally-guaranteed item
+    * is tracked in its shard because count > N/m ≥ N_shard/m; est/err
+    * bounds are per-shard facts; err·m ≤ N_shard ≤ N), so the SAME
+    * oracle certifies both plans while the fold itself runs
+    * groups × shards wide. Item-sharding makes the merged view the
+    * plain union of shard counters — no cross-shard addition exists.
+    */
+  def spaceSavingAuditSharded(items: DataFrame, m: Int,
+      shards: Int): DataFrame = {
+    val summary = spaceSavingSummarySharded(items, m, shards)
+      .localCheckpoint()
+    val n = summary.select(col("g"), col("shard"), col("n_events"))
+      .distinct()
+      .groupBy(col("g")).agg(sum(col("n_events")).as("n_events"))
+    ssAuditCore(summary.select(col("g"), col("item"), col("est"),
+      col("err")), n, items, m)
+  }
+
+  private def ssAuditCore(summary: DataFrame, n: DataFrame,
+      items: DataFrame, m: Int): DataFrame = {
+    val exact = items.groupBy(col("g"), col("i").as("item"))
+      .agg(count(lit(1)).as("exact_cnt"))
     exact.join(broadcast(n), "g")
       .where(col("exact_cnt") * m > col("n_events"))
-      .join(summary.select(col("g"), col("item"), col("est"), col("err")),
-        Seq("g", "item"), "left")
+      .join(summary, Seq("g", "item"), "left")
       .select(col("g").as("group_key"), col("item"), col("exact_cnt"),
         col("est").isNotNull.as("tracked"),
         (col("est") >= col("exact_cnt")).as("est_ge_exact"),

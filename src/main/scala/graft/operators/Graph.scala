@@ -356,6 +356,97 @@ object Graph {
       prefix = "blpa")
   }
 
+  /** One INCREMENTAL LPA vote round: votes accumulate from the persisted
+    * base edge table (in-place merge-joined scan, original weights) PLUS
+    * the delta pair-increment frame — exact, because co-occurrence
+    * weights are ADDITIVE over any split of the order log (w_full(a,b) =
+    * w_base + w_delta, and the vote aggregate sums them anyway), so no
+    * base-side merge or dedup ever runs. Only the label vector and the
+    * map-combined votes exchange. */
+  private def lpaIncrRound(base: DataFrame, delta: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val labelSide = labels.select(col("node").as("src"), col("label"))
+    val votes = base.join(labelSide.hint("merge"), "src")
+      .select(col("dst"), col("label"), col("w"))
+      .unionByName(delta.join(labelSide, "src")
+        .select(col("dst"), col("label"), col("w")))
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(sum(col("w")).as("wsum"))
+    val picked = votes.groupBy(col("node"))
+      .agg(max(struct(col("wsum").as("w"), (-col("label")).as("nl")))
+        .as("p"))
+      .select(col("node"), (-col("p.nl")).as("new_label"))
+    labels.join(picked, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
+  }
+
+  /** INCREMENTAL label propagation on edge deltas — the
+    * [[pageRankIncrementalBucketed]] posture applied to community
+    * detection: yesterday's labels (the `baseRounds`-round LPA fixpoint
+    * approximation over the persisted pre-cut co-supply table) warm-start
+    * `incrRounds` synchronous vote rounds over base + delta, where the
+    * delta is just the NEW orders' pair increments — co-occurrence
+    * weights are additive over any split of the order log, so the delta
+    * frame joins next to the in-place base scan with zero base-side
+    * merge (see [[lpaIncrRound]]). New post-cut suppliers enter
+    * self-labeled. The output certifies warm communities against the
+    * from-scratch labels AT THE SAME TOTAL ROUND COUNT over the full
+    * persisted table. Both sides are CANONICALIZED to the minimum
+    * member id before comparing — the two runs start from different
+    * label seeds (stored vs self), so the same set partition can carry
+    * different representative labels, and raw-label equality would
+    * report spurious disagreement. Per node: (community, n_members,
+    * scratch_community, agree) — all exact BIGINT, hash-exact anywhere.
+    */
+  def labelPropagationIncrementalBucketed(spark: SparkSession,
+      baseTable: String, fullTable: String, deltaEdges: DataFrame,
+      baseRounds: Int = 4, incrRounds: Int = 2,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(baseRounds >= 1 && incrRounds >= 1)
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val base = spark.table(baseTable)
+
+    // yesterday's labels at rest (recomputed here so the query is
+    // self-contained and the oracle replayable)
+    var stored = stager(base.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")), "ilpa_b0")
+    for (i <- 1 to baseRounds)
+      stored = stager(lpaRound(base, stored, mergeHint = true), s"ilpa_b$i")
+
+    val delta = stager(deltaEdges, "ilpa_delta")
+    val nodes = stager(base.select(col("src").as("node")).distinct()
+      .unionByName(delta.select(col("src").as("node")))
+      .distinct(), "ilpa_nodes")
+    var labels = stager(nodes.join(stored, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("label")), "ilpa_w0")
+    for (i <- 1 to incrRounds)
+      labels = stager(lpaIncrRound(base, delta, labels), s"ilpa_w$i")
+
+    // from-scratch certifier at the same total round count
+    val full = spark.table(fullTable)
+    var scratch = stager(full.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")), "ilpa_s0")
+    for (i <- 1 to baseRounds + incrRounds)
+      scratch = stager(lpaRound(full, scratch, mergeHint = true), s"ilpa_s$i")
+
+    def canonical(l: DataFrame): DataFrame = {
+      val canon = l.groupBy(col("label"))
+        .agg(min(col("node")).as("community"),
+          count(lit(1)).as("n_members"))
+      l.join(canon, "label").select(col("node"), col("community"),
+        col("n_members"))
+    }
+    canonical(labels)
+      .join(canonical(scratch).select(col("node"),
+        col("community").as("scratch_community")), "node")
+      .select(col("node"), col("community"), col("n_members"),
+        col("scratch_community"),
+        (col("community") === col("scratch_community")).as("agree"))
+      .orderBy(col("node"))
+  }
+
   /** k-NN sparsifier over symmetric weighted edges: each node keeps its
     * `k` HEAVIEST incident edges (ties toward the smaller neighbor id),
     * an edge surviving if EITHER endpoint keeps it — the standard

@@ -272,6 +272,35 @@ class ApproxSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("spaceSavingSummarySharded: shards own their items wholly, bounds " +
+      "hold per shard, and the sharded audit equals the unsharded one") {
+    val m = 4
+    val sharded = Approx.spaceSavingSummarySharded(hhFixture, m, shards = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // every item lives in exactly one shard
+    val perItem = sharded.groupBy(_._3).view.mapValues(_.map(_._2).toSet)
+    assert(perItem.values.forall(_.size == 1))
+    // per-shard m bound and stream-length consistency
+    sharded.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      assert(rows.length <= m)
+      assert(rows.map(_._6).toSet.size == 1) // one n_events per shard
+    }
+    // shard stream lengths sum to the group's
+    assert(sharded.map(t => (t._1, t._2, t._6)).distinct.map(_._3).sum == 48L)
+    val trueCount = Map(1L -> 20L, 2L -> 10L, 3L -> 6L).withDefaultValue(1L)
+    sharded.foreach { case (_, _, item, est, err, _) =>
+      assert(est >= trueCount(item) && est - err <= trueCount(item))
+    }
+    // the published audit is plan-independent: sharded == unsharded
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6))).toSeq
+    assert(rows(Approx.spaceSavingAuditSharded(hhFixture, m, shards = 3)) ==
+      rows(Approx.spaceSavingAudit(hhFixture, m)))
+  }
+
   test("spaceSavingAudit: the guaranteed set is tracked with all four " +
       "verdicts true; groups fold independently") {
     // two groups: the hh fixture under 'click', plus a 'view' group

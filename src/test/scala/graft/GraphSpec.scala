@@ -536,6 +536,56 @@ class GraphSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("labelPropagationIncrementalBucketed: empty delta makes warm rounds " +
+      "a plain continuation — full agreement; a real delta certifies " +
+      "per-node with canonical community ids") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ilpa").toString
+    try {
+      Graph.writeCoSupplyEdgeTable(bridgeLineitem, "t_ilpa_full", root,
+        buckets = 4)
+      // empty delta: 4 base + 2 warm rounds on the same graph ARE the
+      // scratch run's 6 consecutive rounds — agreement is exact
+      val emptyDelta = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+      val same = Graph.labelPropagationIncrementalBucketed(spark,
+        "t_ilpa_full", "t_ilpa_full", emptyDelta).collect()
+      assert(same.nonEmpty)
+      assert(same.forall(_.getAs[Boolean]("agree")),
+        s"divergence on identical graphs: ${same.mkString(",")}")
+      // the bridge fixture's canonical two-community structure survives
+      val comm = same.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 4L))
+      // real delta: base = one clique + the bridge, delta = the other
+      // clique arriving; the agree column certifies per node, canonical
+      // ids are member ids, sizes partition the node set
+      val baseLi = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+        (5L, 3L), (5L, 4L)).toDF("l_orderkey", "l_suppkey")
+      val deltaLi = Seq(
+        (3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L), (4L, 6L))
+        .toDF("l_orderkey", "l_suppkey")
+      Graph.writeCoSupplyEdgeTable(baseLi, "t_ilpa_base", root, buckets = 4)
+      val out = Graph.labelPropagationIncrementalBucketed(spark,
+        "t_ilpa_base", "t_ilpa_full",
+        Graph.coSupplyEdges(deltaLi)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4)))
+      assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+      val members = out.groupBy(_._2).view.mapValues(_.length).toMap
+      out.foreach { case (_, c, n, sc, agree) =>
+        assert(members(c) == n.toInt)       // sizes match the partition
+        assert(agree == (c == sc))           // the verdict IS the equality
+      }
+      // canonical ids are minimum members of their communities
+      out.groupBy(_._2).foreach { case (c, rows) =>
+        assert(rows.map(_._1).min == c)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_ilpa_full")
+      spark.sql("DROP TABLE IF EXISTS t_ilpa_base")
+    }
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
