@@ -128,6 +128,16 @@ object SparkEntry {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .drop("o_orderkey")
   }
+  // the pre-cut skeleton (with keep-attribution flags) — the stored
+  // feature-store table q_knn_graph_incr refreshes
+  private def gskelBaseTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gskel_base_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeKnnSkeletonTable(s, gcosupBaseTable(s, dir),
+        5, tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
   // yesterday's rank vector at rest — the stored state the recurring
   // warm refresh (q_pagerank_decide) reads instead of recomputing
   private def gprVectorTable(s: SparkSession, dir: String): String = {
@@ -1976,6 +1986,19 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       s.table(gskelTable(s, dir)).select(col("src"), col("dst"), col("w"))
         .orderBy(col("src"), col("dst"))),
+
+    // §2.67k — EXACT incremental skeleton refresh (r11): the delta can
+    // only change its own endpoints' top-5, so the refresh recomputes
+    // keeps for touched nodes (one in-place base scan + the increments)
+    // and reuses every untouched node's directed keeps off the stored
+    // kept_by_src flags; the reassembled union-keep skeleton is the
+    // EXACT full-graph skeleton — certified by the SAME oracle as
+    // q_knn_graph, not a drift bound
+    "q_knn_graph_incr" -> ((s, dir) =>
+      graft.operators.Graph.knnSkeletonIncremental(s,
+        gcosupBaseTable(s, dir), gskelBaseTable(s, dir),
+        graft.operators.Graph.coSupplyEdges(
+          baseCutLineitem(s, dir, pre = false)), k = 5)),
 
     // §2.67f — k-core onion layering over the same k-NN skeleton:
     // synchronous 6-core peel (all sub-6-degree nodes removed per
@@ -4570,6 +4593,15 @@ object SparkEntry {
     // the skeleton itself: symmetric top-5 union-keep edges with the
     // co-occurrence weight, off the same shared CTEs as 67e/67f
     "q_knn_graph" ->
+      s"""WITH $knnSkeletonCtes
+        |SELECT a AS src, b AS dst, w FROM knn
+        |UNION ALL
+        |SELECT b, a, w FROM knn
+        |ORDER BY src, dst""".stripMargin,
+
+    // the incremental refresh must reproduce the full skeleton EXACTLY —
+    // the identical replay certifies it (no separate oracle shape)
+    "q_knn_graph_incr" ->
       s"""WITH $knnSkeletonCtes
         |SELECT a AS src, b AS dst, w FROM knn
         |UNION ALL

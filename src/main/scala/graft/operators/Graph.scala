@@ -468,22 +468,77 @@ object Graph {
     * containing it), but no reducer ever sees a whole hub.
     */
   def knnSparsify(edges: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val pri = Seq(col("w").desc, col("dst").asc)
-    val local = Window.partitionBy(col("src"), col("part")).orderBy(pri: _*)
-    val global = Window.partitionBy(col("src")).orderBy(pri: _*)
-    val kept = edges
-      .withColumn("part", spark_partition_id())
-      .withColumn("lr", row_number().over(local))
-      .where(col("lr") <= k)
-      .withColumn("rk", row_number().over(global))
-      .where(col("rk") <= k)
+    val kept = knnKeeps(edges, k)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
     kept.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionByName(
         kept.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
+  /** The DIRECTIONAL keep sets behind [[knnSparsify]]: each node's `k`
+    * heaviest incident edges by (w DESC, dst ASC) — the per-node
+    * decision the union-keep rule composes. Exposed so the incremental
+    * skeleton refresh can reuse an untouched node's keeps verbatim. */
+  private[graft] def knnKeeps(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = Seq(col("w").desc, col("dst").asc)
+    val local = Window.partitionBy(col("src"), col("part")).orderBy(pri: _*)
+    val global = Window.partitionBy(col("src")).orderBy(pri: _*)
+    edges
+      .withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(local))
+      .where(col("lr") <= k)
+      .withColumn("rk", row_number().over(global))
+      .where(col("rk") <= k)
+      .select(col("src"), col("dst"), col("w"))
+  }
+
+  /** EXACT incremental k-NN skeleton refresh — the feature-store update
+    * path: a delta of pair-weight increments can only change the top-k
+    * decision of its own ENDPOINTS (an untouched node has no changed
+    * incident weight, so its keep set is bitwise the stored one), so
+    * the refresh recomputes keeps for touched nodes only — their full
+    * incident weights come from ONE in-place merge-joined scan of the
+    * base co-supply table plus the delta increments — and reuses every
+    * untouched node's directed keeps straight off the stored skeleton's
+    * `kept_by_src` flags ([[writeKnnSkeletonTable]]). The union-keep
+    * symmetrization then reassembles the EXACT full-graph skeleton:
+    * not an approximation — the same oracle that certifies the full
+    * rebuild certifies this plan (weights are additive over the order
+    * log split, and a kept pair's weight can differ between a touched
+    * and an untouched contributor only if BOTH endpoints were touched).
+    * Cost: O(touched-node buckets + delta), never the corpus.
+    */
+  def knnSkeletonIncremental(spark: SparkSession, baseCoSupplyTable: String,
+      baseSkeletonTable: String, deltaEdges: DataFrame, k: Int,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(k >= 1)
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val baseCo = spark.table(baseCoSupplyTable)
+    val baseSkel = spark.table(baseSkeletonTable)
+    val delta = stager(deltaEdges, "iknn_delta")
+    val touched = stager(delta.select(col("src")).distinct(), "iknn_touched")
+    // touched nodes' post-delta incident weights: in-place base scan
+    val touchedFull = stager(
+      baseCo.join(touched.hint("merge"), "src")
+        .select(col("src"), col("dst"), col("w"))
+        .unionByName(delta)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
+      "iknn_full")
+    val touchedKeeps = knnKeeps(touchedFull, k)
+    val untouchedKeeps = baseSkel.where(col("kept_by_src"))
+      .join(touched, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"), col("w"))
+    val kept = touchedKeeps.unionByName(untouchedKeeps)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+    kept.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(
+        kept.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .orderBy(col("src"), col("dst"))
   }
 
   /** Synchronous k-core peel (Seidman 1983 cores, BSP-phrased): round r
@@ -713,12 +768,22 @@ object Graph {
     * in-session call would produce. */
   def writeKnnSkeletonTable(spark: SparkSession, coSupplyTable: String,
       k: Int, table: String, root: String, buckets: Int): Unit = {
-    val skel = knnSparsify(spark.table(coSupplyTable), k)
+    val keeps = knnKeeps(spark.table(coSupplyTable), k)
+      .withColumn("kept_by_src", lit(true))
+    // union-keep symmetrization, keep-attribution riding each DIRECTED
+    // row: kept_by_src = dst is in src's own top-k (the flag the
+    // incremental refresh reads to reuse an untouched node's decision)
+    val skel = keeps
+      .unionByName(keeps.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"), lit(false).as("kept_by_src")))
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("w")).as("w"), max(col("kept_by_src")).as("kept_by_src"))
     val deg = skel.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
     skel
       .join(deg.select(col("node").as("src"), col("d").as("src_deg")), "src")
-      .select(col("src"), col("dst"), col("w"), col("src_deg"))
+      .select(col("src"), col("dst"), col("w"), col("src_deg"),
+        col("kept_by_src"))
       .repartition(buckets, col("src"))
       .write.mode("overwrite").option("path", s"$root/$table")
       .bucketBy(buckets, "src").sortBy("src")

@@ -586,6 +586,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("knnSkeletonIncremental: reassembles the EXACT full skeleton — " +
+      "touched nodes recompute, untouched keeps reuse the stored flags") {
+    val root = java.nio.file.Files.createTempDirectory("graft-iknn").toString
+    try {
+      // base: clique {1,2,3} twice + bridge (3,4); delta: clique {4,5,6}
+      // twice + a NEW heavy (1,2) order that re-ranks touched nodes
+      val baseLi = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+        (5L, 3L), (5L, 4L)).toDF("l_orderkey", "l_suppkey")
+      val deltaLi = Seq(
+        (3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L), (4L, 6L),
+        (6L, 1L), (6L, 2L)).toDF("l_orderkey", "l_suppkey")
+      val fullLi = baseLi.unionByName(deltaLi)
+      Graph.writeCoSupplyEdgeTable(baseLi, "t_iknn_cosup", root, buckets = 4)
+      Graph.writeKnnSkeletonTable(spark, "t_iknn_cosup", k = 2,
+        "t_iknn_skel", root, buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val incremental = rows(Graph.knnSkeletonIncremental(spark,
+        "t_iknn_cosup", "t_iknn_skel",
+        Graph.coSupplyEdges(deltaLi), k = 2))
+      val full = rows(Graph.knnSparsify(Graph.coSupplyEdges(fullLi), 2))
+      assert(incremental == full,
+        s"incremental $incremental vs full rebuild $full")
+      // the refresh with an EMPTY delta is the stored skeleton verbatim
+      val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+      assert(rows(Graph.knnSkeletonIncremental(spark, "t_iknn_cosup",
+        "t_iknn_skel", empty, k = 2)) ==
+        rows(Graph.knnSparsify(Graph.coSupplyEdges(baseLi), 2)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_iknn_cosup")
+      spark.sql("DROP TABLE IF EXISTS t_iknn_skel")
+    }
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
