@@ -1243,7 +1243,7 @@ object SparkEntry {
       val planted = Tables.documents(s, dir)
         .withColumn("text",
           when(col("doc_id") % 3 === 0,
-            concat(col("text"), lit("  NOISY\tTail  end ")))
+            concat(col("text"), lit("  NOISY\tTail\u0001  end ")))
             .otherwise(col("text")))
       TextAnalysis.normalizeText(planted)
     }),

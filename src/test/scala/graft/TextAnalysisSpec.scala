@@ -77,7 +77,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("normalizeText strips controls, collapses spaces, lowercases, flags changes") {
     val d = Seq(
-      (1L, "Already MESSY  text\t here "),
+      (1L, "Already\u0001 MESSY  text\t here "),
       (2L, "clean text stays put")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.normalizeText(d)
