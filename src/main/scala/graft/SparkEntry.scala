@@ -149,6 +149,16 @@ object SparkEntry {
         buckets = 32, iters = 6)
     tbl
   }
+  // yesterday's label vector at rest — the q_communities_decide state
+  private def glpaVectorTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_glpavec_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeLabelVectorTable(s,
+        gcosupBaseTable(s, dir), tbl, s"/tmp/graft_graph_$tag",
+        buckets = 32, rounds = 4)
+    tbl
+  }
 
   /** Build-once-per-session BUCKETED signature-index tables (the
     * recurring-ingest warehouse layout, Ingest.writeBucketedIndex): the
@@ -1958,6 +1968,17 @@ object SparkEntry {
     "q_communities_incr" -> ((s, dir) =>
       graft.operators.Graph.labelPropagationIncrementalBucketed(s,
         gcosupBaseTable(s, dir), gcosupTable(s, dir),
+        graft.operators.Graph.coSupplyEdges(
+          baseCutLineitem(s, dir, pre = false)))),
+
+    // §2.67l — the RECURRING community refresh alone (the
+    // q_pagerank_decide shape for LPA): base edges and yesterday's
+    // label vector at rest, the benched cost = 2 incremental vote
+    // rounds + the canonical community rollup; 67j stands as its
+    // drift certificate
+    "q_communities_decide" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagationWarmBucketed(s,
+        gcosupBaseTable(s, dir), glpaVectorTable(s, dir),
         graft.operators.Graph.coSupplyEdges(
           baseCutLineitem(s, dir, pre = false)))),
 
@@ -4674,6 +4695,60 @@ object SparkEntry {
          |SELECT l4.node, l4.label AS community, s.n_members
          |FROM l4 JOIN sizes s ON l4.label = s.community
          |ORDER BY node""".stripMargin
+    },
+
+    // the recurring refresh: the 67j pyramid minus the scratch
+    // certifier — 4 base rounds (the stored vector) + 2 warm rounds +
+    // the min-member canonical rollup
+    "q_communities_decide" -> {
+      def round(tag: String, i: Int, prev: String, edges: String) =
+        s"""v$tag$i AS (
+           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+           |  FROM $edges e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+           |p$tag$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
+           |    FROM v$tag$i) WHERE rk = 1),
+           |l$tag$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(p.label, l.label) AS label
+           |  FROM $prev l LEFT JOIN p$tag$i p USING (node))""".stripMargin
+      val baseRounds = (1 to 4)
+        .map(i => round("b", i, s"lb${i - 1}", "eb")).mkString(",\n")
+      val warmRounds = (1 to 2)
+        .map(i => round("w", i, s"lw${i - 1}", "e")).mkString(",\n")
+      s"""WITH $coSupplyPairCtes,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p0
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0),
+         |lib AS (
+         |  SELECT l.ok, l.sk FROM li l
+         |  JOIN orders o ON l.ok = o.o_orderkey
+         |  WHERE o.o_orderdate < TIMESTAMP '2001-06-01'),
+         |p0b AS MATERIALIZED (
+         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM lib x JOIN lib y ON x.ok = y.ok AND x.sk < y.sk
+         |  GROUP BY 1, 2),
+         |eb AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p0b
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0b),
+         |lb0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM eb),
+         |$baseRounds,
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |lw0 AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(lb4.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN lb4 ON n.node = lb4.node),
+         |$warmRounds,
+         |wcan AS (
+         |  SELECT label, min(node) AS community,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM lw2 GROUP BY 1)
+         |SELECT w.node, wc.community, wc.n_members
+         |FROM lw2 w JOIN wcan wc ON w.label = wc.label
+         |ORDER BY w.node""".stripMargin
     },
 
     // warm votes replay on the FULL pair frame — exact by weight

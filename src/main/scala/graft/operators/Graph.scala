@@ -495,6 +495,61 @@ object Graph {
       .select(col("src"), col("dst"), col("w"))
   }
 
+  /** Persist the stored label vector the recurring community refresh
+    * warm-starts from — `rounds` LPA rounds over the base co-supply
+    * table, saved bucketed by node (the [[writeRankVectorTable]]
+    * discipline applied to labels). */
+  def writeLabelVectorTable(spark: SparkSession, baseTable: String,
+      table: String, root: String, buckets: Int, rounds: Int = 4,
+      reliableStagePath: Option[String] = None): Unit = {
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val base = spark.table(baseTable)
+    var labels = stager(base.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")), "vlpa_0")
+    for (i <- 1 to rounds)
+      labels = stager(lpaRound(base, labels, mergeHint = true), s"vlpa_$i")
+    labels
+      .repartition(buckets, col("node"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "node").sortBy("node")
+      .saveAsTable(table)
+  }
+
+  /** The RECURRING community refresh alone — what a daily LPA update
+    * actually pays once the base edge table and yesterday's label
+    * vector are at rest (the [[pageRankWarmBucketed]] shape for
+    * communities): coalesce the stored labels over the post-delta node
+    * set, run `incrRounds` incremental vote rounds (base scans in
+    * place, the delta increments vote next to it — see
+    * [[lpaIncrRound]]), and emit the community table with min-member
+    * CANONICAL ids ([[labelPropagationIncrementalBucketed]]'s
+    * comparison contract, now the published id). The one-shot
+    * certifier chain stands as its standing drift certificate.
+    */
+  def labelPropagationWarmBucketed(spark: SparkSession, baseTable: String,
+      labelTable: String, deltaEdges: DataFrame, incrRounds: Int = 2,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(incrRounds >= 1)
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val base = spark.table(baseTable)
+    val stored = spark.table(labelTable)
+    val delta = stager(deltaEdges, "wlpa_delta")
+    val nodes = stager(base.select(col("src").as("node")).distinct()
+      .unionByName(delta.select(col("src").as("node")))
+      .distinct(), "wlpa_nodes")
+    var labels = stager(nodes.join(stored.hint("merge"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("label")), "wlpa_0")
+    for (i <- 1 to incrRounds)
+      labels = stager(lpaIncrRound(base, delta, labels), s"wlpa_$i")
+    val canon = labels.groupBy(col("label"))
+      .agg(min(col("node")).as("community"),
+        count(lit(1)).as("n_members"))
+    labels.join(canon, "label")
+      .select(col("node"), col("community"), col("n_members"))
+      .orderBy(col("node"))
+  }
+
   /** EXACT incremental k-NN skeleton refresh — the feature-store update
     * path: a delta of pair-weight increments can only change the top-k
     * decision of its own ENDPOINTS (an untouched node has no changed

@@ -586,6 +586,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagationWarmBucketed: the recurring decide equals the " +
+      "one-shot certifier's warm columns off the persisted label vector") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wlpa").toString
+    try {
+      val baseLi = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+        (5L, 3L), (5L, 4L)).toDF("l_orderkey", "l_suppkey")
+      val deltaLi = Seq(
+        (3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L), (4L, 6L))
+        .toDF("l_orderkey", "l_suppkey")
+      Graph.writeCoSupplyEdgeTable(baseLi, "t_wlpa_base", root, buckets = 4)
+      Graph.writeCoSupplyEdgeTable(baseLi.unionByName(deltaLi),
+        "t_wlpa_full", root, buckets = 4)
+      Graph.writeLabelVectorTable(spark, "t_wlpa_base", "t_wlpa_vec", root,
+        buckets = 4, rounds = 4)
+      val delta = Graph.coSupplyEdges(deltaLi)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("node"), col("community"), col("n_members"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      val decide = rows(Graph.labelPropagationWarmBucketed(spark,
+        "t_wlpa_base", "t_wlpa_vec", delta))
+      val certifier = rows(Graph.labelPropagationIncrementalBucketed(spark,
+        "t_wlpa_base", "t_wlpa_full", delta))
+      assert(decide == certifier, s"decide $decide vs certifier $certifier")
+      // new post-cut suppliers entered and were assigned
+      assert(decide.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    } finally Seq("t_wlpa_base", "t_wlpa_full", "t_wlpa_vec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("knnSkeletonIncremental: reassembles the EXACT full skeleton — " +
       "touched nodes recompute, untouched keeps reuse the stored flags") {
     val root = java.nio.file.Files.createTempDirectory("graft-iknn").toString
