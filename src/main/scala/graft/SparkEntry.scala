@@ -2021,6 +2021,19 @@ object SparkEntry {
         graft.operators.Graph.coSupplyEdges(
           baseCutLineitem(s, dir, pre = false)), k = 5)),
 
+    // §2.67m — triangle census over the INCREMENTALLY refreshed
+    // skeleton (r11): the day's structure statistics without a full
+    // skeleton rebuild — the refresh is exact, so the census is too,
+    // certified by the SAME oracle as q_triangles; the composition a
+    // daily feature-store cadence actually runs
+    "q_triangles_incr" -> ((s, dir) =>
+      graft.operators.Graph.triangleStatsOriented(
+        graft.operators.Graph.knnSkeletonIncremental(s,
+          gcosupBaseTable(s, dir), gskelBaseTable(s, dir),
+          graft.operators.Graph.coSupplyEdges(
+            baseCutLineitem(s, dir, pre = false)), k = 5),
+        byDegree = true)),
+
     // §2.67f — k-core onion layering over the same k-NN skeleton:
     // synchronous 6-core peel (all sub-6-degree nodes removed per
     // round, fixpoint-early-exit), each node labeled with its peel
@@ -4628,6 +4641,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT b, a, w FROM knn
         |ORDER BY src, dst""".stripMargin,
+
+    // census over the refreshed skeleton == census over the full one
+    // (the refresh is exact), so the q_triangles replay certifies it
+    "q_triangles_incr" ->
+      s"""WITH $knnSkeletonCtes,
+        |e AS MATERIALIZED (SELECT a, b FROM knn),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.degree, COALESCE(pn.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.degree >= 2
+        |    THEN (2 * COALESCE(pn.n_tri, 0) * 1000000)
+        |      // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS lcc_micro
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
 
     // 8 unrolled synchronous peel rounds over the same k-NN skeleton
     // CTEs as q_triangles; converged rounds peel nothing, so trailing
