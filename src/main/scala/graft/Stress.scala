@@ -588,6 +588,51 @@ object Stress {
         spark.table("stress_gskel").select(col("src"), col("dst"), col("w")),
         byDegree = true)
     }
+    // The incremental/decide family under GROWING BASE, FIXED DELTA —
+    // the production cadence's scale axis: the base graph replicates
+    // with factor while the arriving day (a fresh unreplicated slice
+    // with novel customer keys / order keys) stays constant-size. The
+    // decide costs must track the ROUND COUNT and the delta, not the
+    // base re-computation: warm PageRank pays 3 in-place rounds
+    // (vs 9+ from scratch), warm LPA 2 vote rounds, and the skeleton
+    // refresh only the touched-node buckets.
+    val deltaO = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey")
+      .withColumn("o_orderkey", col("o_orderkey") + lit((factor + 1) * 100000000L))
+      .withColumn("o_custkey", col("o_custkey") + lit((factor + 1) * 10000000L))
+    val deltaL = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey")
+      .withColumn("l_orderkey", col("l_orderkey") + lit((factor + 1) * 100000000L))
+    def ensureStressVectors(): Unit = {
+      ensureStressEdges()
+      ensureStressCosup()
+      if (!spark.catalog.tableExists("stress_gprvec"))
+        graft.operators.Graph.writeRankVectorTable(spark, "stress_gredges",
+          "stress_gprvec", "/tmp/graft_stress_gredges", cpus.toInt)
+      if (!spark.catalog.tableExists("stress_glpavec"))
+        graft.operators.Graph.writeLabelVectorTable(spark, "stress_gcosup",
+          "stress_glpavec", "/tmp/graft_stress_gcosup", cpus.toInt)
+    }
+    time("vector_tables_build") {
+      ensureStressVectors()
+      spark.table("stress_gprvec")
+    }
+    time("pagerank_warm_decide") {
+      ensureStressVectors()
+      graft.operators.Graph.pageRankWarmBucketed(spark, "stress_gredges",
+        "stress_gprvec", deltaO, deltaL)
+    }
+    time("lpa_warm_decide") {
+      ensureStressVectors()
+      graft.operators.Graph.labelPropagationWarmBucketed(spark,
+        "stress_gcosup", "stress_glpavec",
+        graft.operators.Graph.coSupplyEdges(deltaL))
+    }
+    time("knn_incr_refresh") {
+      ensureStressVectors()
+      graft.operators.Graph.knnSkeletonIncremental(spark, "stress_gcosup",
+        "stress_gskel", graft.operators.Graph.coSupplyEdges(deltaL), 5)
+    }
     // HLL rollup: register state is (groups x days x 512) regardless of
     // events volume; the two corpus distincts are the only linear terms.
     time("hll_rollup") {
