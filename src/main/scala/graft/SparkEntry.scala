@@ -5825,23 +5825,37 @@ object SparkEntry {
     // the planted statuses are PROVABLE from row counts alone (dropped
     // partition, halved partition, value-corrupted partition), so the
     // oracle constructs the report without replaying the hashes —
-    // a digest false-negative would leave extra rows and hash red
+    // a digest false-negative would leave extra rows and hash red.
+    // Statuses and the summary counts are DERIVED from the same
+    // filters the query plants (not hard-coded 5/3), so the fixture
+    // survives generator or SF changes: an emptied-not-halved %16
+    // slice degrades part 6 to source_only, an absent slice to match,
+    // and the summary row counts whatever the classification yields
     "q_reconcile_report" ->
       """WITH p AS (
         |  SELECT o_orderkey % 8 AS part, CAST(count(*) AS BIGINT) AS n,
         |    CAST(count(*) FILTER (WHERE o_orderkey % 16 = 6) AS BIGINT)
         |      AS dropped
-        |  FROM orders GROUP BY 1)
-        |SELECT CAST(part AS VARCHAR) AS part,
-        |  CASE part WHEN 3 THEN 'source_only'
-        |            WHEN 5 THEN 'content_mismatch'
-        |            ELSE 'count_mismatch' END AS status,
-        |  n AS s_rows,
-        |  CASE part WHEN 3 THEN 0 WHEN 6 THEN n - dropped
-        |            ELSE n END AS t_rows
-        |FROM p WHERE part IN (3, 5, 6)
+        |  FROM orders GROUP BY 1),
+        |cls AS (
+        |  SELECT part, n AS s_rows,
+        |    CASE WHEN part = 3 OR (part = 6 AND dropped = n) THEN 0
+        |         WHEN part = 6 THEN n - dropped ELSE n END AS t_rows,
+        |    CASE WHEN part = 3 OR (part = 6 AND dropped = n)
+        |           THEN 'source_only'
+        |         WHEN part = 6 AND dropped > 0 THEN 'count_mismatch'
+        |         WHEN part = 5 THEN 'content_mismatch'
+        |         ELSE 'match' END AS status
+        |  FROM p)
+        |SELECT CAST(part AS VARCHAR) AS part, status, s_rows, t_rows
+        |FROM cls WHERE status <> 'match'
         |UNION ALL
-        |SELECT '(all)', 'mismatch', CAST(5 AS BIGINT), CAST(3 AS BIGINT)
+        |SELECT '(all)',
+        |  CASE WHEN count(*) FILTER (WHERE status <> 'match') = 0
+        |    THEN 'match' ELSE 'mismatch' END,
+        |  CAST(count(*) FILTER (WHERE status = 'match') AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE status <> 'match') AS BIGINT)
+        |FROM cls
         |ORDER BY part""".stripMargin,
 
     // per-column salted hashes ('digest:<name>:'), the same fold triple

@@ -670,17 +670,24 @@ object Approx {
       .sortWithinPartitions(col("g"), col("o1"), col("o2"))
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long, Long)]()
+        // explicit started flag, NOT null-as-sentinel: a NULL group key
+        // (cast-to-string keeps it null) is a group like any other —
+        // sortWithinPartitions puts it first, and a null sentinel would
+        // silently fold then drop its counters at the first real group
+        var started = false
         var cur: String = null
         var n = 0L
         var counters = List.empty[(Long, Long, Long)]
         // the group streams wholly through this fold, so the stream
         // length N — the epsilon-guarantee denominator every consumer
         // needs — rides each summary row for free
-        def flush(): Unit = if (cur != null)
+        def flush(): Unit = if (started)
           counters.foreach { case (i2, est, err) =>
             out += ((cur, i2, est, err, n)) }
         it.foreach { case (g, item, _, _) =>
-          if (g != cur) { flush(); cur = g; counters = Nil; n = 0L }
+          if (!started || g != cur) {
+            flush(); started = true; cur = g; counters = Nil; n = 0L
+          }
           n += 1
           counters = ssStep(counters, item, m)
         }

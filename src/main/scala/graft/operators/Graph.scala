@@ -573,7 +573,24 @@ object Graph {
     val stager = new Dedup.RoundStager(spark, reliableStagePath)
     val baseCo = spark.table(baseCoSupplyTable)
     val baseSkel = spark.table(baseSkeletonTable)
-    val delta = stager(deltaEdges, "iknn_delta")
+    // The exactness proof needs the delta SYMMETRIC (both directions per
+    // pair) so every endpoint of a changed pair lands in the touched
+    // set; enforce it here rather than trusting the caller — per-pair
+    // directed increment totals collapse to the canonical pair (max of
+    // the two directions — equal when the input is already symmetric,
+    // as [[coSupplyEdges]] output is, so this is then a no-op) and both
+    // directions re-emit. An asymmetric caller is thereby repaired
+    // instead of silently reusing stale keeps for the missing side.
+    val deltaPairs = deltaEdges
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+    val deltaSym = deltaPairs
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(deltaPairs.where(col("a") =!= col("b"))
+        .select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val delta = stager(deltaSym, "iknn_delta")
     val touched = stager(delta.select(col("src")).distinct(), "iknn_touched")
     // touched nodes' post-delta incident weights: in-place base scan
     val touchedFull = stager(

@@ -17,7 +17,15 @@ object Reconcile {
     * a genuine field value starting with \\u0001 would still alias NULL —
     * accepted and documented, control bytes in real data are the rarer
     * hazard than the separator shift the sentinel exists to prevent.
-    * The oracle side spells it `chr(1) || 'NULL'`. */
+    * The oracle side spells it `chr(1) || 'NULL'`.
+    *
+    * FORMAT BREAK (round 11): the sentinel was a raw \\x00 byte in
+    * rounds ≤ 10. Changing it changes [[canonRowHash]] and therefore
+    * EVERY digest over NULL-bearing rows — digest triples persisted
+    * under the old definition will mismatch current ones by
+    * construction, not because the data drifted. All in-repo oracles
+    * and specs moved in lockstep; treat any stored pre-r11 digest as
+    * invalid rather than as evidence of divergence. */
   private[graft] val NullSentinel = "\u0001NULL"
 
   private def rowHash(salt: String, canon: Column): Column =

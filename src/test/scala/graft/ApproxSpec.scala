@@ -272,6 +272,22 @@ class ApproxSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("spaceSavingSummary: a NULL group key is summarized like any " +
+      "other group, not silently dropped") {
+    val withNull = hhFixture.unionByName(
+      Seq((null.asInstanceOf[String], 9L, 1L, 1L),
+        (null.asInstanceOf[String], 9L, 2L, 2L),
+        (null.asInstanceOf[String], 8L, 3L, 3L)).toDF("g", "i", "o1", "o2"))
+    val out = Approx.spaceSavingSummary(withNull, 4).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    val nullRows = out.filter(_._1.isEmpty)
+    assert(nullRows.map(t => t._2 -> t._3).toMap == Map(9L -> 2L, 8L -> 1L))
+    assert(nullRows.forall(_._4 == 3L)) // the null group's stream length
+    // and the real group's summary is unchanged by the null neighbor
+    assert(out.count(_._1.contains("click")) <= 4)
+  }
+
   test("spaceSavingSummarySharded: shards own their items wholly, bounds " +
       "hold per shard, and the sharded audit equals the unsharded one") {
     val m = 4

@@ -647,6 +647,12 @@ class GraphSpec extends SparkSpec {
       assert(rows(Graph.knnSkeletonIncremental(spark, "t_iknn_cosup",
         "t_iknn_skel", empty, k = 2)) ==
         rows(Graph.knnSparsify(Graph.coSupplyEdges(baseLi), 2)))
+      // an ASYMMETRIC delta (one direction per pair) is repaired
+      // internally — both endpoints land in the touched set and the
+      // result still equals the full rebuild
+      val oneWay = Graph.coSupplyEdges(deltaLi).where(col("src") < col("dst"))
+      assert(rows(Graph.knnSkeletonIncremental(spark, "t_iknn_cosup",
+        "t_iknn_skel", oneWay, k = 2)) == full)
     } finally {
       spark.sql("DROP TABLE IF EXISTS t_iknn_cosup")
       spark.sql("DROP TABLE IF EXISTS t_iknn_skel")
