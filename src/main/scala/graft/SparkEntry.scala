@@ -184,6 +184,43 @@ object SparkEntry {
     name
   }
 
+  /** The recurring-day stage frames, ONE definition each — shared by
+    * their standalone registrations and the composed `q_daily_close`
+    * chain so the two can never drift.
+    */
+  private def ingestDecideFrame(s: SparkSession, dir: String): DataFrame = {
+      val name = ingestIndexTables(s, dir)
+      val docs = Tables.documents(s, dir)
+      val trunc = expr("substring(text, 1, greatest(length(text) - 30, 1))")
+      val b1 = docs.where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 20 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"), trunc.as("text")))
+      // the decide probes the batch side in all four tiers — materialize
+      // the signatures once (the chain's own discipline) so the minhash
+      // pass over the batch text runs once, not per tier
+      graft.operators.Ingest.ingestDecisionsBucketed(s, name,
+        graft.operators.Ingest.signatureIndex(b1, 64).localCheckpoint(),
+        64, 16, 0.5)
+      }
+  private def pagerankDecideFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankWarmBucketed(s,
+      gredgesBaseTable(s, dir), gprVectorTable(s, dir),
+      Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
+      Tables.lineitem(s, dir))
+  private def communitiesDecideFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagationWarmBucketed(s,
+      gcosupBaseTable(s, dir), glpaVectorTable(s, dir),
+      graft.operators.Graph.coSupplyEdges(
+        baseCutLineitem(s, dir, pre = false)))
+  private def skeletonIncrFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.knnSkeletonIncremental(s,
+      gcosupBaseTable(s, dir), gskelBaseTable(s, dir),
+      graft.operators.Graph.coSupplyEdges(
+        baseCutLineitem(s, dir, pre = false)), k = 5)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 — daily-partitioned extract; the date filter is phrased as a
     // range on the STORED ts representation so it pushes down to the
@@ -1203,23 +1240,7 @@ object SparkEntry {
     // index build is the once-per-corpus layout cost, paid outside the
     // timed decide exactly like the graph family's edge tables; what
     // this query times is what a daily 100 TB ingest actually pays.
-    "q_ingest_decide" -> ((s, dir) => {
-      val name = ingestIndexTables(s, dir)
-      val docs = Tables.documents(s, dir)
-      val trunc = expr("substring(text, 1, greatest(length(text) - 30, 1))")
-      val b1 = docs.where(col("doc_id") % 3 === 2)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 20 === 5)
-          .select((col("doc_id") + 2000000L).as("doc_id"), trunc.as("text")))
-      // the decide probes the batch side in all four tiers — materialize
-      // the signatures once (the chain's own discipline) so the minhash
-      // pass over the batch text runs once, not per tier
-      graft.operators.Ingest.ingestDecisionsBucketed(s, name,
-        graft.operators.Ingest.signatureIndex(b1, 64).localCheckpoint(),
-        64, 16, 0.5)
-    }),
+    "q_ingest_decide" -> ((s, dir) => ingestDecideFrame(s, dir)),
 
     // §2.24z — per-source data card: doc/token mass, short-doc,
     // repetitive, and benchmark-contaminated counts — every gate rides
@@ -1691,11 +1712,7 @@ object SparkEntry {
     // vector are at rest; the benched cost is one delta dedup (one
     // in-place base scan) + 3 warm rounds — what a daily PageRank
     // refresh actually pays, with 67h as its standing drift certificate
-    "q_pagerank_decide" -> ((s, dir) =>
-      graft.operators.Graph.pageRankWarmBucketed(s,
-        gredgesBaseTable(s, dir), gprVectorTable(s, dir),
-        Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
-        Tables.lineitem(s, dir))),
+    "q_pagerank_decide" -> ((s, dir) => pagerankDecideFrame(s, dir)),
 
     // §2.8b — per-column data profile: null rate, exact distinct, numeric
     // bounds (ts as epoch micros) in ONE aggregate pass — the descriptive
@@ -1976,11 +1993,7 @@ object SparkEntry {
     // label vector at rest, the benched cost = 2 incremental vote
     // rounds + the canonical community rollup; 67j stands as its
     // drift certificate
-    "q_communities_decide" -> ((s, dir) =>
-      graft.operators.Graph.labelPropagationWarmBucketed(s,
-        gcosupBaseTable(s, dir), glpaVectorTable(s, dir),
-        graft.operators.Graph.coSupplyEdges(
-          baseCutLineitem(s, dir, pre = false)))),
+    "q_communities_decide" -> ((s, dir) => communitiesDecideFrame(s, dir)),
 
     // §2.67e — triangle census + local clustering coefficient over the
     // k-NN SKELETON of the co-supply projection (each supplier keeps its
@@ -2015,11 +2028,7 @@ object SparkEntry {
     // kept_by_src flags; the reassembled union-keep skeleton is the
     // EXACT full-graph skeleton — certified by the SAME oracle as
     // q_knn_graph, not a drift bound
-    "q_knn_graph_incr" -> ((s, dir) =>
-      graft.operators.Graph.knnSkeletonIncremental(s,
-        gcosupBaseTable(s, dir), gskelBaseTable(s, dir),
-        graft.operators.Graph.coSupplyEdges(
-          baseCutLineitem(s, dir, pre = false)), k = 5)),
+    "q_knn_graph_incr" -> ((s, dir) => skeletonIncrFrame(s, dir)),
 
     // §2.67m — triangle census over the INCREMENTALLY refreshed
     // skeleton (r11): the day's structure statistics without a full
@@ -2028,11 +2037,46 @@ object SparkEntry {
     // daily feature-store cadence actually runs
     "q_triangles_incr" -> ((s, dir) =>
       graft.operators.Graph.triangleStatsOriented(
-        graft.operators.Graph.knnSkeletonIncremental(s,
-          gcosupBaseTable(s, dir), gskelBaseTable(s, dir),
-          graft.operators.Graph.coSupplyEdges(
-            baseCutLineitem(s, dir, pre = false)), k = 5),
-        byDegree = true)),
+        skeletonIncrFrame(s, dir), byDegree = true)),
+
+    // §2.67n — the composed DAILY CLOSE (r12): the recurring production
+    // day the engine sells piecemeal, run as ONE chain — ingest decide
+    // against the persisted signature index, warm PageRank decide off
+    // the stored rank vector, warm LPA decide off the stored label
+    // vector, the EXACT skeleton refresh plus its triangle census —
+    // with every stage output folded into the per-partition
+    // (count, xor, sum) digest triple (§2.56b), so the chain's result
+    // is the day's verifiable close-of-books: 5 stages × ≤8 partitions
+    // of digest rows, each stage sharing its frame definition with its
+    // standalone registration (they cannot drift). Chaining is what a
+    // platform team budgets; shared-scan and staging interactions
+    // between the stages are exactly what no single query exercises.
+    "q_daily_close" -> ((s, dir) => {
+      def dig(stage: String, df: DataFrame,
+          part: org.apache.spark.sql.Column,
+          cols: Seq[org.apache.spark.sql.Column]) =
+        graft.validation.Reconcile.tableDigest(df, part, cols)
+          .select(lit(stage).as("stage"),
+            col("part").cast("string").as("part"), col("n_rows"),
+            col("xor_digest"), col("sum_digest"))
+      val ing = ingestDecideFrame(s, dir)
+      val pr = pagerankDecideFrame(s, dir)
+      val lpa = communitiesDecideFrame(s, dir)
+      val skel = skeletonIncrFrame(s, dir)
+      val census = graft.operators.Graph.triangleStatsOriented(
+        skel, byDegree = true)
+      dig("ingest", ing, pmod(col("doc_id"), lit(8)),
+          Seq(col("doc_id"), col("verdict"), col("matched_id")))
+        .unionByName(dig("pagerank", pr, substring(col("node_id"), 1, 1),
+          Seq(col("node_id"), col("rank_micro"), col("degree"))))
+        .unionByName(dig("communities", lpa, pmod(col("node"), lit(8)),
+          Seq(col("node"), col("community"), col("n_members"))))
+        .unionByName(dig("skeleton", skel, pmod(col("src"), lit(8)),
+          Seq(col("src"), col("dst"), col("w"))))
+        .unionByName(dig("census", census, pmod(col("node"), lit(8)),
+          Seq(col("node"), col("degree"), col("n_tri"), col("lcc_micro"))))
+        .orderBy(col("stage"), col("part"))
+    }),
 
     // §2.67f — k-core onion layering over the same k-NN skeleton:
     // synchronous 6-core peel (all sub-6-degree nodes removed per
@@ -4626,21 +4670,11 @@ object SparkEntry {
 
     // the skeleton itself: symmetric top-5 union-keep edges with the
     // co-occurrence weight, off the same shared CTEs as 67e/67f
-    "q_knn_graph" ->
-      s"""WITH $knnSkeletonCtes
-        |SELECT a AS src, b AS dst, w FROM knn
-        |UNION ALL
-        |SELECT b, a, w FROM knn
-        |ORDER BY src, dst""".stripMargin,
+    "q_knn_graph" -> knnSkeletonReplaySql,
 
     // the incremental refresh must reproduce the full skeleton EXACTLY —
     // the identical replay certifies it (no separate oracle shape)
-    "q_knn_graph_incr" ->
-      s"""WITH $knnSkeletonCtes
-        |SELECT a AS src, b AS dst, w FROM knn
-        |UNION ALL
-        |SELECT b, a, w FROM knn
-        |ORDER BY src, dst""".stripMargin,
+    "q_knn_graph_incr" -> knnSkeletonReplaySql,
 
     // census over the refreshed skeleton == census over the full one
     // (the refresh is exact), so the q_triangles replay certifies it
@@ -4668,6 +4702,55 @@ object SparkEntry {
         |    ELSE 0 END AS lcc_micro
         |FROM deg d LEFT JOIN pn USING (node)
         |ORDER BY node""".stripMargin,
+
+    // the composed daily close: each stage replayed by ITS OWN shared
+    // definition (the nested-WITH form of the standalone oracles), the
+    // census derived from the skel stage CTE, and every stage folded by
+    // the q_table_digest digest arm (same canonical row string, 52-bit
+    // salted md5, count/xor/mod-1e18-sum triple)
+    "q_daily_close" ->
+      s"""WITH ing AS ($ingestDecideSql),
+         |pr AS ($pagerankDecideSql),
+         |lpa AS ($communitiesDecideSql),
+         |skel AS ($knnSkeletonReplaySql),
+         |ce AS MATERIALIZED (
+         |  SELECT src AS a, dst AS b FROM skel WHERE src < dst),
+         |cdeg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+         |  GROUP BY 1),
+         |ctri AS (
+         |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+         |  FROM ce ab JOIN ce bc ON ab.b = bc.a
+         |  JOIN ce ac ON ac.a = ab.a AND ac.b = bc.b),
+         |cpn AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT x AS node FROM ctri
+         |    UNION ALL SELECT y FROM ctri
+         |    UNION ALL SELECT z FROM ctri)
+         |  GROUP BY 1),
+         |census AS (
+         |  SELECT d.node, d.degree, COALESCE(cpn.n_tri, 0) AS n_tri,
+         |    CASE WHEN d.degree >= 2
+         |      THEN (2 * COALESCE(cpn.n_tri, 0) * 1000000)
+         |        // (d.degree * (d.degree - 1))
+         |      ELSE 0 END AS lcc_micro
+         |  FROM cdeg d LEFT JOIN cpn USING (node))
+         |${stageDigestSql("ingest", "ing", "doc_id % 8",
+             Seq("doc_id", "verdict", "matched_id"))}
+         |UNION ALL
+         |${stageDigestSql("pagerank", "pr", "substring(node_id, 1, 1)",
+             Seq("node_id", "rank_micro", "degree"))}
+         |UNION ALL
+         |${stageDigestSql("communities", "lpa", "node % 8",
+             Seq("node", "community", "n_members"))}
+         |UNION ALL
+         |${stageDigestSql("skeleton", "skel", "src % 8",
+             Seq("src", "dst", "w"))}
+         |UNION ALL
+         |${stageDigestSql("census", "census", "node % 8",
+             Seq("node", "degree", "n_tri", "lcc_micro"))}
+         |ORDER BY stage, part""".stripMargin,
 
     // 8 unrolled synchronous peel rounds over the same k-NN skeleton
     // CTEs as q_triangles; converged rounds peel nothing, so trailing
@@ -4740,56 +4823,7 @@ object SparkEntry {
     // the recurring refresh: the 67j pyramid minus the scratch
     // certifier — 4 base rounds (the stored vector) + 2 warm rounds +
     // the min-member canonical rollup
-    "q_communities_decide" -> {
-      def round(tag: String, i: Int, prev: String, edges: String) =
-        s"""v$tag$i AS (
-           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
-           |  FROM $edges e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
-           |p$tag$i AS (
-           |  SELECT node, label FROM (
-           |    SELECT node, label, row_number() OVER (
-           |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
-           |    FROM v$tag$i) WHERE rk = 1),
-           |l$tag$i AS MATERIALIZED (
-           |  SELECT l.node, COALESCE(p.label, l.label) AS label
-           |  FROM $prev l LEFT JOIN p$tag$i p USING (node))""".stripMargin
-      val baseRounds = (1 to 4)
-        .map(i => round("b", i, s"lb${i - 1}", "eb")).mkString(",\n")
-      val warmRounds = (1 to 2)
-        .map(i => round("w", i, s"lw${i - 1}", "e")).mkString(",\n")
-      s"""WITH $coSupplyPairCtes,
-         |e AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst, w FROM p0
-         |  UNION ALL
-         |  SELECT b, a, w FROM p0),
-         |lib AS (
-         |  SELECT l.ok, l.sk FROM li l
-         |  JOIN orders o ON l.ok = o.o_orderkey
-         |  WHERE o.o_orderdate < TIMESTAMP '2001-06-01'),
-         |p0b AS MATERIALIZED (
-         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
-         |  FROM lib x JOIN lib y ON x.ok = y.ok AND x.sk < y.sk
-         |  GROUP BY 1, 2),
-         |eb AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst, w FROM p0b
-         |  UNION ALL
-         |  SELECT b, a, w FROM p0b),
-         |lb0 AS MATERIALIZED (
-         |  SELECT DISTINCT src AS node, src AS label FROM eb),
-         |$baseRounds,
-         |nodes AS (SELECT DISTINCT src AS node FROM e),
-         |lw0 AS MATERIALIZED (
-         |  SELECT n.node, COALESCE(lb4.label, n.node) AS label
-         |  FROM nodes n LEFT JOIN lb4 ON n.node = lb4.node),
-         |$warmRounds,
-         |wcan AS (
-         |  SELECT label, min(node) AS community,
-         |    CAST(count(*) AS BIGINT) AS n_members
-         |  FROM lw2 GROUP BY 1)
-         |SELECT w.node, wc.community, wc.n_members
-         |FROM lw2 w JOIN wcan wc ON w.label = wc.label
-         |ORDER BY w.node""".stripMargin
-    },
+    "q_communities_decide" -> communitiesDecideSql,
 
     // warm votes replay on the FULL pair frame — exact by weight
     // additivity over the order-log split (w_full = w_base + w_delta and
@@ -4924,48 +4958,7 @@ object SparkEntry {
 
     // the recurring warm refresh: the 67h pyramid minus the scratch
     // certifier — 6 base rounds (the stored vector) + 3 warm rounds
-    "q_pagerank_decide" -> {
-      def round_(name: String, prev: String, edges: String, deg: String) =
-        s"""$name AS MATERIALIZED (
-           |  SELECT e.dst AS node,
-           |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
-           |  FROM $edges e JOIN $prev r ON e.src = r.node
-           |  JOIN $deg d ON e.src = d.src
-           |  GROUP BY 1)""".stripMargin
-      val baseRounds = (1 to 6)
-        .map(i => round_(s"br$i", s"br${i - 1}", "be", "bdg")).mkString(",\n")
-      val warmRounds = (1 to 3)
-        .map(i => round_(s"w$i", s"w${i - 1}", "fe", "fdg")).mkString(",\n")
-      s"""WITH b0 AS (
-         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         |  WHERE o_orderdate < TIMESTAMP '2001-06-01'),
-         |be AS (
-         |  SELECT a AS src, b AS dst FROM b0
-         |  UNION ALL SELECT b AS src, a AS dst FROM b0),
-         |bdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-         |        FROM be GROUP BY 1),
-         |f0 AS (
-         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |fe AS (
-         |  SELECT a AS src, b AS dst FROM f0
-         |  UNION ALL SELECT b AS src, a AS dst FROM f0),
-         |fdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-         |        FROM fe GROUP BY 1),
-         |br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM bdg),
-         |$baseRounds,
-         |w0 AS (
-         |  SELECT fdg.src AS node,
-         |    CAST(coalesce(br6.pr, 1000000) AS BIGINT) AS pr
-         |  FROM fdg LEFT JOIN br6 ON fdg.src = br6.node),
-         |$warmRounds
-         |SELECT w3.node AS node_id, w3.pr AS rank_micro, fdg.deg AS degree
-         |FROM w3 JOIN fdg ON w3.node = fdg.src
-         |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
-    },
+    "q_pagerank_decide" -> pagerankDecideSql,
 
     // three unrolled pyramids: 6 base rounds on the pre-cut graph, 3
     // warm rounds on the full graph from the coalesced stored vector,
@@ -6780,6 +6773,142 @@ object SparkEntry {
        |  LEFT JOIN exactb_$b eb USING (doc_id)
        |  LEFT JOIN nearb_$b nb USING (doc_id))""".stripMargin
   }
+
+  /** DuckDB replay of `Reconcile.canonRowHash` + the three commuting
+    * folds over one q_daily_close stage CTE — textually the same digest
+    * arm as the q_table_digest oracle (canonical '|'-joined row string,
+    * chr(1)||'NULL' sentinel, 52-bit salted md5 prefix, count / bit_xor
+    * / mod-1e18 HUGEINT sum), parameterized by stage name, source CTE,
+    * partition expression, and the digested column list. */
+  private def stageDigestSql(stage: String, src: String, partExpr: String,
+      cols: Seq[String]): String = {
+    val canon = cols
+      .map(c => s"coalesce(CAST($c AS VARCHAR), chr(1) || 'NULL')")
+      .mkString(", ")
+    s"""SELECT '$stage' AS stage, part, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+       |  CAST(sum(CAST(h AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+       |    AS sum_digest
+       |FROM (
+       |  SELECT CAST($partExpr AS VARCHAR) AS part,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substring(md5(
+       |        'digest:' || concat_ws('|', $canon)), 1, 13), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       |      (acc, c) -> acc * 16 + c) AS h
+       |  FROM $src)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q_communities_decide oracle (also a q_daily_close stage): the
+    * recurring refresh — 4 base rounds (the stored vector) + 2 warm
+    * rounds + the min-member canonical rollup. */
+  private def communitiesDecideSql: String = {
+      def round(tag: String, i: Int, prev: String, edges: String) =
+        s"""v$tag$i AS (
+           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+           |  FROM $edges e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+           |p$tag$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
+           |    FROM v$tag$i) WHERE rk = 1),
+           |l$tag$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(p.label, l.label) AS label
+           |  FROM $prev l LEFT JOIN p$tag$i p USING (node))""".stripMargin
+      val baseRounds = (1 to 4)
+        .map(i => round("b", i, s"lb${i - 1}", "eb")).mkString(",\n")
+      val warmRounds = (1 to 2)
+        .map(i => round("w", i, s"lw${i - 1}", "e")).mkString(",\n")
+      s"""WITH $coSupplyPairCtes,
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p0
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0),
+         |lib AS (
+         |  SELECT l.ok, l.sk FROM li l
+         |  JOIN orders o ON l.ok = o.o_orderkey
+         |  WHERE o.o_orderdate < TIMESTAMP '2001-06-01'),
+         |p0b AS MATERIALIZED (
+         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM lib x JOIN lib y ON x.ok = y.ok AND x.sk < y.sk
+         |  GROUP BY 1, 2),
+         |eb AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM p0b
+         |  UNION ALL
+         |  SELECT b, a, w FROM p0b),
+         |lb0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM eb),
+         |$baseRounds,
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |lw0 AS MATERIALIZED (
+         |  SELECT n.node, COALESCE(lb4.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN lb4 ON n.node = lb4.node),
+         |$warmRounds,
+         |wcan AS (
+         |  SELECT label, min(node) AS community,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM lw2 GROUP BY 1)
+         |SELECT w.node, wc.community, wc.n_members
+         |FROM lw2 w JOIN wcan wc ON w.label = wc.label
+         |ORDER BY w.node""".stripMargin
+    }
+
+  /** q_pagerank_decide oracle (also a q_daily_close stage): the
+    * recurring warm refresh — 6 base rounds (the stored vector) + 3
+    * warm rounds. */
+  private def pagerankDecideSql: String = {
+      def round_(name: String, prev: String, edges: String, deg: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+           |  FROM $edges e JOIN $prev r ON e.src = r.node
+           |  JOIN $deg d ON e.src = d.src
+           |  GROUP BY 1)""".stripMargin
+      val baseRounds = (1 to 6)
+        .map(i => round_(s"br$i", s"br${i - 1}", "be", "bdg")).mkString(",\n")
+      val warmRounds = (1 to 3)
+        .map(i => round_(s"w$i", s"w${i - 1}", "fe", "fdg")).mkString(",\n")
+      s"""WITH b0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '2001-06-01'),
+         |be AS (
+         |  SELECT a AS src, b AS dst FROM b0
+         |  UNION ALL SELECT b AS src, a AS dst FROM b0),
+         |bdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM be GROUP BY 1),
+         |f0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |fe AS (
+         |  SELECT a AS src, b AS dst FROM f0
+         |  UNION ALL SELECT b AS src, a AS dst FROM f0),
+         |fdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM fe GROUP BY 1),
+         |br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM bdg),
+         |$baseRounds,
+         |w0 AS (
+         |  SELECT fdg.src AS node,
+         |    CAST(coalesce(br6.pr, 1000000) AS BIGINT) AS pr
+         |  FROM fdg LEFT JOIN br6 ON fdg.src = br6.node),
+         |$warmRounds
+         |SELECT w3.node AS node_id, w3.pr AS rank_micro, fdg.deg AS degree
+         |FROM w3 JOIN fdg ON w3.node = fdg.src
+         |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
+    }
+
+  /** The full-skeleton replay — q_knn_graph, q_knn_graph_incr (the
+    * refresh is exact, so the identical replay certifies it) and the
+    * q_daily_close skeleton stage share this one definition. */
+  private def knnSkeletonReplaySql: String =
+    s"""WITH $knnSkeletonCtes
+      |SELECT a AS src, b AS dst, w FROM knn
+      |UNION ALL
+      |SELECT b, a, w FROM knn
+      |ORDER BY src, dst""".stripMargin
 
   /** q_ingest_decide oracle: ONE batch decided against the seed index —
     * the recurring bucketed decide replays identically to the chain's
