@@ -1705,7 +1705,8 @@ object SparkEntry {
       graft.operators.Graph.pageRankIncrementalBucketed(s,
         gredgesBaseTable(s, dir), gredgesTable(s, dir),
         Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
-        Tables.lineitem(s, dir))),
+        Tables.lineitem(s, dir),
+        storedVectorTable = Some(gprVectorTable(s, dir)))),
 
     // §2.67i — the RECURRING warm refresh alone (the q_ingest_decide
     // shape applied to 67h): the base edge table and yesterday's rank
@@ -1986,7 +1987,8 @@ object SparkEntry {
       graft.operators.Graph.labelPropagationIncrementalBucketed(s,
         gcosupBaseTable(s, dir), gcosupTable(s, dir),
         graft.operators.Graph.coSupplyEdges(
-          baseCutLineitem(s, dir, pre = false)))),
+          baseCutLineitem(s, dir, pre = false)),
+        storedLabelTable = Some(glpaVectorTable(s, dir)))),
 
     // §2.67l — the RECURRING community refresh alone (the
     // q_pagerank_decide shape for LPA): base edges and yesterday's

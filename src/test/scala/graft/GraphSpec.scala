@@ -532,6 +532,15 @@ class GraphSpec extends SparkSpec {
         "t_wpr_base", "t_wpr_full", dO, dL))
       assert(decide == certifier, s"decide $decide vs certifier $certifier")
       assert(decide.exists(_._1 == "c:9"))
+      // the table-fed chain (stored vector read instead of re-derived)
+      // is byte-identical to the self-contained one, drift columns incl.
+      def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(full(Graph.pageRankIncrementalBucketed(spark, "t_wpr_base",
+        "t_wpr_full", dO, dL, storedVectorTable = Some("t_wpr_vec"))) ==
+        full(Graph.pageRankIncrementalBucketed(spark, "t_wpr_base",
+          "t_wpr_full", dO, dL)))
     } finally Seq("t_wpr_base", "t_wpr_vec", "t_wpr_full")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
@@ -611,6 +620,16 @@ class GraphSpec extends SparkSpec {
       val certifier = rows(Graph.labelPropagationIncrementalBucketed(spark,
         "t_wlpa_base", "t_wlpa_full", delta))
       assert(decide == certifier, s"decide $decide vs certifier $certifier")
+      // the table-fed chain (stored labels read instead of re-derived)
+      // is byte-identical to the self-contained one, all columns incl.
+      def full(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+      assert(full(Graph.labelPropagationIncrementalBucketed(spark,
+        "t_wlpa_base", "t_wlpa_full", delta,
+        storedLabelTable = Some("t_wlpa_vec"))) ==
+        full(Graph.labelPropagationIncrementalBucketed(spark,
+          "t_wlpa_base", "t_wlpa_full", delta)))
       // new post-cut suppliers entered and were assigned
       assert(decide.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
     } finally Seq("t_wlpa_base", "t_wlpa_full", "t_wlpa_vec")
