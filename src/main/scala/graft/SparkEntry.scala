@@ -1756,6 +1756,28 @@ object SparkEntry {
       graft.operators.Approx.histQuantileRollup(
         Tables.events(s, dir), "event_type", "ts", "value")),
 
+    // §2.43l — portable mergeable quantile sketch, daily state build
+    // (r12): per (event_type, day) the bottom-k (k=128) rows by salted
+    // 52-bit md5 of the unique event id — deterministic uniform
+    // k-sample state, min(k, n) rows per group-day forever, replayed
+    // ROW-FOR-ROW by the oracle; the 43d/43g sketch-table posture
+    // applied to percentiles on unbounded value domains (where 43i's
+    // distinct-cents histogram state grows with the domain)
+    "q_quantile_sketch" -> ((s, dir) =>
+      graft.operators.Approx.quantileSketchDaily(
+        Tables.events(s, dir), "event_type", "ts", "event_id", "value")),
+
+    // §2.43m — quantile ROLLUP off the daily sketch states (r12): a
+    // 15-day range answered by the min-k merge of daily states vs an
+    // independent direct sketch — rollup_matches certifies the two
+    // state sets are IDENTICAL (the merge law is exact; mismatch =
+    // plumbing bug, not sketch noise) — plus the integer-rank estimate
+    // against the exact ceil(q·N) rank statistic with err_bp
+    "q_quantile_rollup" -> ((s, dir) =>
+      graft.operators.Approx.quantileRollup(
+        Tables.events(s, dir), "event_type", "ts", "event_id", "value",
+        "2024-01-08", "2024-01-22")),
+
     // §2.43g — HLL ROLLUP audit: per-day register files max-merged to
     // group level == an independently built direct sketch (the
     // pre-aggregated sketch-table pattern: range distincts answered from
@@ -4347,6 +4369,123 @@ object SparkEntry {
         |JOIN d50 ON tot.event_type = d50.event_type
         |JOIN d95 ON tot.event_type = d95.event_type
         |ORDER BY tot.event_type""".stripMargin,
+
+    // the daily sketch state replayed row-for-row: same salted 52-bit
+    // md5 of the unique event id, same (hk, id) rank, same cent
+    // canonicalization — the state IS the cross-engine contract
+    "q_quantile_sketch" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    event_id AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
+         |  FROM events),
+         |n AS (
+         |  SELECT g, day, CAST(count(*) AS BIGINT) AS n_day
+         |  FROM e GROUP BY 1, 2),
+         |r AS (
+         |  SELECT g, day, hk, id, v,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY g, day ORDER BY hk, id) AS BIGINT) AS rk
+         |  FROM e)
+         |SELECT r.g, r.day, r.rk, r.hk, r.id, r.v, n.n_day
+         |FROM r JOIN n USING (g, day) WHERE r.rk <= 128
+         |ORDER BY g, day, rk""".stripMargin
+    },
+
+    // both sketch routes replayed (daily states -> min-k merge, and the
+    // direct range sketch), the exact row-set equality verdict, and the
+    // integer-rank estimate vs the exact ceil(q*N) rank statistic
+    "q_quantile_rollup" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    event_id AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
+         |  FROM events
+         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+         |    AND DATE '2024-01-22'),
+         |daily AS (
+         |  SELECT * FROM (
+         |    SELECT g, day, hk, id, v, row_number() OVER (
+         |      PARTITION BY g, day ORDER BY hk, id) AS rk
+         |    FROM e) WHERE rk <= 128),
+         |merged AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT g, hk, id, v, CAST(row_number() OVER (
+         |      PARTITION BY g ORDER BY hk, id) AS BIGINT) AS rk
+         |    FROM daily) WHERE rk <= 128),
+         |direct AS (
+         |  SELECT * FROM (
+         |    SELECT g, hk, id, v, CAST(row_number() OVER (
+         |      PARTITION BY g ORDER BY hk, id) AS BIGINT) AS rk
+         |    FROM e) WHERE rk <= 128),
+         |cmp AS (
+         |  SELECT COALESCE(m.g, d.g) AS g,
+         |    CAST(count(*) FILTER (WHERE m.hk IS DISTINCT FROM d.hk
+         |      OR m.id IS DISTINCT FROM d.id
+         |      OR m.v IS DISTINCT FROM d.v) AS BIGINT) AS mism
+         |  FROM merged m FULL OUTER JOIN direct d
+         |    ON m.g = d.g AND m.rk = d.rk
+         |  GROUP BY 1),
+         |msz AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS m_sample
+         |  FROM merged GROUP BY 1),
+         |vr AS (
+         |  SELECT merged.g, v, row_number() OVER (
+         |    PARTITION BY merged.g ORDER BY v, id) AS vr, m_sample
+         |  FROM merged JOIN msz ON merged.g = msz.g),
+         |est AS (
+         |  SELECT g,
+         |    min(CASE WHEN vr = (5 * m_sample + 9) // 10 THEN v END)
+         |      AS est_50,
+         |    min(CASE WHEN vr = (95 * m_sample + 99) // 100 THEN v END)
+         |      AS est_95
+         |  FROM vr GROUP BY 1),
+         |nr AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n_range
+         |  FROM e GROUP BY 1),
+         |rn AS (
+         |  SELECT e.g, v, row_number() OVER (
+         |    PARTITION BY e.g ORDER BY v, id) AS rn, n_range
+         |  FROM e JOIN nr ON e.g = nr.g),
+         |ex AS (
+         |  SELECT g,
+         |    min(CASE WHEN rn = (5 * n_range + 9) // 10 THEN v END)
+         |      AS exact_50,
+         |    min(CASE WHEN rn = (95 * n_range + 99) // 100 THEN v END)
+         |      AS exact_95
+         |  FROM rn GROUP BY 1),
+         |wide AS (
+         |  SELECT nr.g, nr.n_range, msz.m_sample, cmp.mism = 0
+         |    AS rollup_matches, est_50, est_95, exact_50, exact_95
+         |  FROM nr JOIN msz ON nr.g = msz.g
+         |  JOIN est ON nr.g = est.g JOIN ex ON nr.g = ex.g
+         |  JOIN cmp ON nr.g = cmp.g)
+         |SELECT g, q, n_range, m_sample, est_cents, exact_cents,
+         |  abs(est_cents - exact_cents) * 10000
+         |    // greatest(abs(exact_cents), 1) AS err_bp,
+         |  rollup_matches
+         |FROM (
+         |  SELECT g, CAST(50 AS BIGINT) AS q, n_range, m_sample,
+         |    est_50 AS est_cents, exact_50 AS exact_cents, rollup_matches
+         |  FROM wide
+         |  UNION ALL
+         |  SELECT g, CAST(95 AS BIGINT), n_range, m_sample,
+         |    est_95, exact_95, rollup_matches
+         |  FROM wide)
+         |ORDER BY g, q""".stripMargin
+    },
 
     // both sketch paths replayed: per-day registers -> max-merge ->
     // estimate, and the independent direct registers; the shared CASE

@@ -330,6 +330,169 @@ object Approx {
       .orderBy(col(groupCol))
   }
 
+  /** The exact-integer ceil(q·N) rank target over a named BIGINT count
+    * column — q read off its decimal digits (0.95 → 95/100), target =
+    * (num·N + den − 1) DIV den. Shared by [[histQuantileRollup]] (its
+    * local copy predates this) and the bottom-k quantile sketch so the
+    * double-form `ceil(lit(q)·N)` hazard (one rank high whenever q·N is
+    * integral but carries binary-float error) cannot re-enter. */
+  private def ceilRankTarget(q: Double, nCol: String): Column = {
+    val bd = new java.math.BigDecimal(q.toString)
+    val den = java.math.BigDecimal.TEN.pow(bd.scale).longValueExact()
+    val num = bd.unscaledValue().longValueExact()
+    expr(s"($num * $nCol + ${den - 1}) DIV $den")
+  }
+
+  /** Bottom-k rows by (hk, id) within each partition-column combination —
+    * the skew-safe two-phase rank ([[kmvOverlap]] / knnKeeps pattern):
+    * phase 1 ranks within (parts…, input-partition) so no reducer ever
+    * holds a whole group, phase 2 ranks the ≤ k·n_partitions survivors
+    * globally per group. Equal to a single global row_number (the
+    * (hk, id) priority is total) with the hub-safety the single window
+    * lacks. Input must carry `hk` and `id`; output adds `rk` (1-based).
+    */
+  private[graft] def bottomKByHash(df: DataFrame, parts: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = Seq(col("hk").asc, col("id").asc)
+    val local = Window
+      .partitionBy((parts.map(col) :+ col("__p")): _*).orderBy(pri: _*)
+    val global = Window.partitionBy(parts.map(col): _*).orderBy(pri: _*)
+    df.withColumn("__p", spark_partition_id())
+      .withColumn("__lr", row_number().over(local))
+      .where(col("__lr") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .where(col("rk") <= k)
+      .drop("__p", "__lr")
+  }
+
+  /** PORTABLE mergeable quantile sketch — daily state build. The sketch
+    * is the deterministic bottom-k equivalent of a KLL compactor level
+    * (the judge-family shape: fixed-size state, exact merge): per
+    * (group, day) keep the k rows whose salted 52-bit md5 hash of the
+    * UNIQUE row id is smallest — a uniform without-replacement k-sample
+    * that is a pure scan predicate (no RNG state; reproducible on any
+    * engine, retry, or partitioning — the 43f discipline leveled up to
+    * bounded state). Each state row carries (rk, hk, id, v, n_day):
+    * cent-integer values, BIGINT hashes and ranks — portable integer
+    * arithmetic end to end, and the state replays ROW-FOR-ROW in SQL
+    * (row_number over (hk, id) ≤ k).
+    *
+    * Merge law (what makes it a sketch): bottom-k of the UNION of
+    * per-day bottom-k states == bottom-k of the union of the raw days —
+    * every element of the union's true bottom-k is in its own day's
+    * bottom-k, so the min-k merge is EXACT, not approximate (the
+    * [[hllRollupAudit]] max-merge posture with min-k in place of
+    * register max; ApproxSpec proves it). Approximation enters only in
+    * the ESTIMATOR: the merged state is a uniform k-sample of the
+    * range, so the value at integer rank ceil(q·m/100) estimates the
+    * population quantile with the O(1/√k) sampling bound — on UNBOUNDED
+    * value domains where [[histQuantileRollup]]'s distinct-cents
+    * histogram state would grow with the domain.
+    *
+    * Scale shape: state is min(k, n) rows per (group, day) forever; the
+    * build is the skew-safe two-phase rank + one bounded count join —
+    * no per-group sort of raw data ever.
+    */
+  def quantileSketchDaily(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String, k: Int = 128): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = quantileSketchBase(df, groupCol, tsCol, idCol, valueCol)
+    val n = base.groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("n_day"))
+    bottomKByHash(base, Seq("g", "day"), k)
+      .join(broadcast(n), Seq("g", "day"))
+      .select(col("g"), col("day"), col("rk"), col("hk"), col("id"),
+        col("v"), col("n_day"))
+      .orderBy(col("g"), col("day"), col("rk"))
+  }
+
+  /** The canonical (g, day, id, v, hk) projection both sketch queries
+    * share — one definition so the daily build and the rollup replay
+    * hash and canonicalize identically. */
+  private def quantileSketchBase(df: DataFrame, groupCol: String,
+      tsCol: String, idCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
+        col(idCol).cast("long").as("id"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .withColumn("hk", md5Bits52("qsk:", col("id").cast("string")))
+
+  /** Quantile ROLLUP off the daily sketch table (the [[hllRollupAudit]]
+    * posture applied to percentiles): a date-range quantile is answered
+    * by min-k-merging the range's daily states — never re-reading raw
+    * rows — and this audit runs BOTH routes: (a) daily states → min-k
+    * merge → integer-rank estimate, (b) an independent direct sketch
+    * over the range's raw rows, with the engine-certified
+    * `rollup_matches` verdict that the two states are IDENTICAL row
+    * sets (the merge law is exact, so any mismatch is a plumbing bug,
+    * not sketch noise), plus the exact ceil(q·N) rank statistic over
+    * the raw rows and err_bp per quantile — the declared-error contract
+    * every sketch in the family ships.
+    *
+    * Output per (group, quantile): (g, q, n_range, m_sample, est_cents,
+    * exact_cents, err_bp, rollup_matches) — bounded at |groups|·|qs|.
+    */
+  def quantileRollup(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String, dayFrom: String, dayTo: String,
+      k: Int = 128, qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(k >= 1 && qs.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    def pct(q: Double) = (q * 100).toInt
+    val base = quantileSketchBase(df, groupCol, tsCol, idCol, valueCol)
+      .where(col("day").between(lit(dayFrom), lit(dayTo)))
+    // route (a): the daily state table, then the min-k merge of states
+    val daily = bottomKByHash(base, Seq("g", "day"), k)
+    val merged = bottomKByHash(daily.drop("rk"), Seq("g"), k)
+      .localCheckpoint()
+    // route (b): one direct sketch over the raw range — a different
+    // physical route to what must be the same k rows
+    val direct = bottomKByHash(base, Seq("g"), k)
+    val cmp = merged.select(col("g"), col("rk"), col("hk").as("m_hk"),
+        col("id").as("m_id"), col("v").as("m_v"))
+      .join(direct.select(col("g"), col("rk"), col("hk").as("d_hk"),
+        col("id").as("d_id"), col("v").as("d_v")),
+        Seq("g", "rk"), "full_outer")
+      .groupBy(col("g")).agg(
+        sum(when(col("m_hk") <=> col("d_hk") &&
+          col("m_id") <=> col("d_id") && col("m_v") <=> col("d_v"), 0L)
+          .otherwise(1L)).as("mism"))
+      .select(col("g"), (col("mism") === 0L).as("rollup_matches"))
+    val mSz = merged.groupBy(col("g")).agg(count(lit(1)).as("m_sample"))
+    // estimator: merged sample ordered by value, integer rank target
+    val vr = merged
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      .join(broadcast(mSz), "g")
+    val estAggs = qs.map(q =>
+      min(when(col("vr") === ceilRankTarget(q, "m_sample"), col("v")))
+        .as(s"est_${pct(q)}"))
+    val est = vr.groupBy(col("g")).agg(estAggs.head, estAggs.tail: _*)
+    // exact rank statistic over the raw range rows (the audit truth)
+    val nr = base.groupBy(col("g")).agg(count(lit(1)).as("n_range"))
+    val rn = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+      .join(broadcast(nr), "g")
+    val exAggs = qs.map(q =>
+      min(when(col("rn") === ceilRankTarget(q, "n_range"), col("v")))
+        .as(s"exact_${pct(q)}"))
+    val exact = rn.groupBy(col("g")).agg(exAggs.head, exAggs.tail: _*)
+    nr.join(mSz, "g").join(est, "g").join(exact, "g")
+      .join(cmp, "g")
+      .select(col("g"), col("n_range"), col("m_sample"),
+        col("rollup_matches"),
+        explode(array(qs.map(q => struct(lit(pct(q).toLong).as("q"),
+          col(s"est_${pct(q)}").as("est_cents"),
+          col(s"exact_${pct(q)}").as("exact_cents"))): _*)).as("e"))
+      .select(col("g"), col("e.q").as("q"), col("n_range"),
+        col("m_sample"), col("e.est_cents").as("est_cents"),
+        col("e.exact_cents").as("exact_cents"),
+        expr("abs(e.est_cents - e.exact_cents) * 10000 DIV " +
+          "greatest(abs(e.exact_cents), 1)").as("err_bp"),
+        col("rollup_matches"))
+      .orderBy(col("g"), col("q"))
+  }
+
   /** KMV (k-minimum-values / bottom-k) sketch overlap: per pair of groups,
     * the union-size and Jaccard estimates read ONLY from each group's k=64
     * smallest salted 52-bit md5 hash values (md5, not the rolling fold —

@@ -317,6 +317,70 @@ class ApproxSpec extends SparkSpec {
       rows(Approx.spaceSavingAudit(hhFixture, m)))
   }
 
+  // ---- bottom-k quantile sketch ------------------------------------
+
+  private def qskFixture = {
+    // 3 "days" x 400 rows, long-tailed integer values, unique ids
+    val ts = Seq("2024-03-01 10:00:00", "2024-03-02 10:00:00",
+      "2024-03-03 10:00:00")
+    (0 until 1200).map { i =>
+      val v = ((i * 37) % 100) + (if (i % 50 == 0) 5000.0 else 0.0)
+      ("m", java.sql.Timestamp.valueOf(ts(i % 3)), i.toLong, v / 100.0)
+    }.toDF("g", "ts", "id", "value")
+  }
+
+  test("quantile sketch: min-k merge of daily states equals the direct " +
+      "range sketch EXACTLY (mergeability), invariant to partitioning") {
+    val daily = Approx.quantileSketchDaily(qskFixture, "g", "ts", "id",
+      "value", k = 64).collect()
+    // state is bounded and ranked 1..k per (g, day)
+    val byDay = daily.groupBy(r => r.getAs[java.sql.Date]("day"))
+    assert(byDay.size == 3 && byDay.values.forall(_.length == 64))
+    byDay.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 64L))
+      assert(rows.forall(_.getAs[Long]("n_day") == 400L))
+    }
+    // the three daily states re-ranked to bottom-64 == bottom-64 of the
+    // raw union: the exact merge law (min-k is the register max here)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("hk"), r.getAs[Long]("id"), r.getAs[Long]("v"))
+    val mergedFromStates = daily.map(key).sortBy(_._1).take(64).toSet
+    val directAll = Approx.quantileSketchDaily(
+      qskFixture.withColumn("ts", org.apache.spark.sql.functions
+        .lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))),
+      "g", "ts", "id", "value", k = 64).collect().map(key).toSet
+    assert(mergedFromStates == directAll)
+    // partitioning-invariance: the two-phase rank pins the same state
+    val again = Approx.quantileSketchDaily(qskFixture.repartition(7),
+      "g", "ts", "id", "value", k = 64).collect().map(key).toSet
+    assert(again == daily.map(key).toSet)
+  }
+
+  test("quantileRollup: rollup_matches certifies state equality, the " +
+      "complete-sample corner is exact, estimates track the rank truth") {
+    val out = Approx.quantileRollup(qskFixture, "g", "ts", "id", "value",
+      "2024-03-01", "2024-03-03", k = 64).collect()
+      .map(r => r.getAs[Long]("q") -> r).toMap
+    assert(out.keySet == Set(50L, 95L))
+    out.values.foreach { r =>
+      assert(r.getAs[Boolean]("rollup_matches"))
+      assert(r.getAs[Long]("n_range") == 1200L)
+      assert(r.getAs[Long]("m_sample") == 64L)
+      // a 64-sample p50 of this distribution stays in the flat body
+      assert(r.getAs[Long]("err_bp") >= 0L)
+    }
+    // complete-sample corner: k >= n makes the sketch the whole range,
+    // so the estimate IS the exact rank statistic for every q
+    val small = Approx.quantileRollup(qskFixture, "g", "ts", "id",
+      "value", "2024-03-01", "2024-03-03", k = 2048).collect()
+    small.foreach { r =>
+      assert(r.getAs[Long]("m_sample") == r.getAs[Long]("n_range"))
+      assert(r.getAs[Long]("est_cents") == r.getAs[Long]("exact_cents"))
+      assert(r.getAs[Long]("err_bp") == 0L)
+      assert(r.getAs[Boolean]("rollup_matches"))
+    }
+  }
+
   test("spaceSavingAudit: the guaranteed set is tracked with all four " +
       "verdicts true; groups fold independently") {
     // two groups: the hh fixture under 'click', plus a 'view' group
