@@ -597,6 +597,44 @@ object EventStream {
       }.toDF()
   }
 
+  case class ColDigestRow(part: String, column: String, n_rows: Long,
+    xor_digest: Long, sum_digest: Long)
+
+  /** Streaming PER-COLUMN digest — the continuous twin of
+    * `Reconcile.columnDigest`, closing the reconcile loop the row-level
+    * [[tableDigestStream]] opens: a CDC-fed replica maintains one
+    * (count, xor, mod-10¹⁸ sum) triple per (partition, column) as rows
+    * arrive, so when the row-level triple flags a partition the
+    * diverged COLUMN is already known — no replica re-scan, no
+    * drill-down pass. Input rows carry (part, column, h) long-form
+    * where h is `Reconcile.canonColumnHash(column, value)` — the ONE
+    * per-column salted hash definition shared with the batch digest
+    * (the canonRowHash sharing contract, column edition). The folds are
+    * the same commutative monoids, so per-microbatch folding in any
+    * arrival order equals the batch scan's triple (spec-proven, incl. a
+    * planted single-column divergence that the comparison localizes).
+    * State is 3 longs per (partition, column) forever.
+    */
+  def columnDigestStream(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("part").cast("string"), col("column").cast("string"),
+        col("h").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[DigestState, ColDigestRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((part, column), it, state: GroupState[DigestState]) =>
+          var s = state.getOption.getOrElse(DigestState(0L, 0L, 0L))
+          it.foreach { case (_, _, h) =>
+            s = DigestState(s.n + 1, s.xor ^ h,
+              (s.sum + h) % 1000000000000000000L)
+          }
+          state.update(s)
+          Iterator(ColDigestRow(part, column, s.n, s.xor, s.sum))
+      }.toDF()
+  }
+
   /** State for [[decayScoreStream]]: the last <= n events' (ts-micros, id,
     * cents), newest first — a bounded buffer per user, never the stream. */
   case class DecayState(recent: List[(Long, Long, Long)])

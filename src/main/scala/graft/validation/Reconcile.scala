@@ -88,6 +88,13 @@ object Reconcile {
     * Column names must be plain identifiers (they ride into `bit_xor`
     * aggregate expressions and the output rows).
     */
+  /** The per-column salted hash [[columnDigest]] folds — exposed so the
+    * streaming twin (`EventStream.columnDigestStream`) hashes arriving
+    * column values identically to the batch scan, the same sharing
+    * contract as [[canonRowHash]]. */
+  private[graft] def canonColumnHash(name: String, c: Column): Column =
+    rowHash(s"digest:$name:", coalesce(c.cast("string"), lit(NullSentinel)))
+
   def columnDigest(df: DataFrame, part: Column,
       cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty)
@@ -95,8 +102,7 @@ object Reconcile {
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"column label must be a plain identifier, got '$n'") }
     val hashed = df.select(part.as("part") +: cols.map { case (n, c) =>
-      rowHash(s"digest:$n:",
-        coalesce(c.cast("string"), lit(NullSentinel))).as(s"h_$n")
+      canonColumnHash(n, c).as(s"h_$n")
     }: _*)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, _) =>
       Seq(expr(s"bit_xor(h_$n)").as(s"xor_$n"),

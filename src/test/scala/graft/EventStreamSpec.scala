@@ -832,4 +832,71 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed vs batch $batch")
     assert(streamed("p2")._1 == 2L) // the duplicate counted, xor cancelled
   }
+
+  test("columnDigestStream: live per-column triples equal the batch " +
+      "columnDigest scan, and a planted divergence localizes to exactly " +
+      "the corrupted (part, column)") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode, array, struct, lit}
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val source: Seq[(String, String, java.lang.Long)] = Seq(
+      ("p1", "x", jl(10L)), ("p1", "y", jl(20L)), ("p2", "m", jl(30L)),
+      ("p2", "n", null), ("p3", "k", jl(50L)))
+    // the replica stream diverges in ONE column of ONE partition: p2's
+    // numeric field is corrupted, its string field intact
+    val replica = source.map {
+      case (p, a, b) if p == "p2" && b != null =>
+        (p, a, jl(b.longValue + 1L))
+      case r => r
+    }
+    // the long-form (part, column, h) projection — the SAME expression
+    // tree on the stream side as the batch law uses, hashes via the
+    // shared Reconcile.canonColumnHash
+    def longForm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("part"), explode(array(
+        struct(lit("a").as("column"),
+          graft.validation.Reconcile.canonColumnHash("a", col("a")).as("h")),
+        struct(lit("b").as("column"),
+          graft.validation.Reconcile.canonColumnHash("b", col("b")).as("h"))))
+        .as("c"))
+        .select(col("part"), col("c.column").as("column"), col("c.h").as("h"))
+    val input = MemoryStream[(String, String, java.lang.Long)]
+    val out = EventStream.columnDigestStream(
+      longForm(input.toDF().toDF("part", "a", "b")))
+    val chk = Files.createTempDirectory("graft-coldigest-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("col_digests")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(replica.take(2): _*)
+    query.processAllAvailable()
+    input.addData(replica.drop(2): _*)
+    query.processAllAvailable()
+    query.stop()
+    def tripleMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val streamed = tripleMap(spark.table("col_digests").collect())
+    // law 1: the live triples equal the batch columnDigest scan of the
+    // same (replica) rows — stream == batch, per column
+    val replicaBatch = tripleMap(graft.validation.Reconcile.columnDigest(
+      replica.toDF("part", "a", "b"), col("part"),
+      Seq("a" -> col("a"), "b" -> col("b"))).collect()
+      .map(r => org.apache.spark.sql.Row(r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(streamed == replicaBatch,
+      s"streamed $streamed vs batch $replicaBatch")
+    // law 2: against the SOURCE's batch per-column digests, the ONLY
+    // diverging cell is the corrupted (p2, b) — the drill-down answer
+    // was already live in the stream state
+    val sourceBatch = tripleMap(graft.validation.Reconcile.columnDigest(
+      source.toDF("part", "a", "b"), col("part"),
+      Seq("a" -> col("a"), "b" -> col("b"))).collect()
+      .map(r => org.apache.spark.sql.Row(r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))))
+    val diverged = sourceBatch.keySet.filter(k => streamed(k) != sourceBatch(k))
+    assert(diverged == Set(("p2", "b")), s"diverged cells: $diverged")
+  }
 }
