@@ -2114,6 +2114,16 @@ object SparkEntry {
       graft.operators.Graph.kCorePeelBucketed(s, gskelTable(s, dir),
         k = 6, rounds = 8)),
 
+    // §2.67o — k-core layering over the INCREMENTALLY refreshed
+    // skeleton (r12, the q_triangles_incr precedent applied to the
+    // peel): knnSkeletonIncremental is EXACT, so the synchronous peel
+    // over it is too — certified by the identical oracle as q_kcore;
+    // completes the incremental structure family (skeleton -> census ->
+    // layering) a daily feature-store cadence runs without a rebuild
+    "q_kcore_incr" -> ((s, dir) =>
+      graft.operators.Graph.kCorePeel(
+        skeletonIncrFrame(s, dir), k = 6, rounds = 8)),
+
     // §2.22b — language-ID confusion matrix: per (true, predicted) cell
     // counts + row share in bp + diagonal flag — the classifier's error
     // STRUCTURE, not just its accuracy
@@ -4899,35 +4909,11 @@ object SparkEntry {
     // each round references its predecessor three times, and DuckDB's
     // default inlining would expand the base scan 3^8 ways (it ran out
     // of file handles before it ran out of time)
-    "q_kcore" -> {
-      def peel(i: Int) =
-        s"""d$i AS MATERIALIZED (
-           |  SELECT s.node, CAST(count(ei.dst) AS BIGINT) AS d
-           |  FROM s${i - 1} s
-           |  LEFT JOIN (
-           |    SELECT e2.src, e2.dst FROM e2
-           |    JOIN s${i - 1} x ON e2.src = x.node
-           |    JOIN s${i - 1} y ON e2.dst = y.node) ei ON ei.src = s.node
-           |  GROUP BY 1),
-           |p$i AS (
-           |  SELECT node, CAST($i AS BIGINT) AS peel_round FROM d$i
-           |  WHERE d < 6),
-           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 6)""".stripMargin
-      s"""WITH $knnSkeletonCtes,
-         |e2 AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst FROM knn
-         |  UNION ALL
-         |  SELECT b, a FROM knn),
-         |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e2),
-         |${(1 to 8).map(peel).mkString(",\n")}
-         |SELECT node, false AS in_core, peel_round FROM (
-         |  ${(1 to 8).map(i => s"SELECT node, peel_round FROM p$i")
-             .mkString("\n  UNION ALL\n  ")})
-         |UNION ALL
-         |SELECT node, true AS in_core, CAST(NULL AS BIGINT) AS peel_round
-         |FROM s8
-         |ORDER BY node""".stripMargin
-    },
+    "q_kcore" -> kcoreReplaySql,
+
+    // the peel over the exactly-refreshed skeleton == the peel over the
+    // full one, so the identical replay certifies it
+    "q_kcore_incr" -> kcoreReplaySql,
 
     // 4 unrolled LPA rounds: per round the (node, label, sum-w) votes,
     // the row_number argmax (w DESC, label ASC — the operator's
@@ -7039,6 +7025,42 @@ object SparkEntry {
          |SELECT w3.node AS node_id, w3.pr AS rank_micro, fdg.deg AS degree
          |FROM w3 JOIN fdg ON w3.node = fdg.src
          |ORDER BY rank_micro DESC, node_id ASC LIMIT 20""".stripMargin
+    }
+
+  /** The 8-round synchronous peel replay over the k-NN skeleton CTEs —
+    * q_kcore and q_kcore_incr share this one definition (the refresh is
+    * exact, so the peel over the refreshed skeleton replays identically;
+    * the q_triangles_incr precedent). Round CTEs are MATERIALIZED: each
+    * round references its predecessor three times, and default inlining
+    * would expand the base scan 3^8 ways. */
+  private def kcoreReplaySql: String = {
+      def peel(i: Int) =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s.node, CAST(count(ei.dst) AS BIGINT) AS d
+           |  FROM s${i - 1} s
+           |  LEFT JOIN (
+           |    SELECT e2.src, e2.dst FROM e2
+           |    JOIN s${i - 1} x ON e2.src = x.node
+           |    JOIN s${i - 1} y ON e2.dst = y.node) ei ON ei.src = s.node
+           |  GROUP BY 1),
+           |p$i AS (
+           |  SELECT node, CAST($i AS BIGINT) AS peel_round FROM d$i
+           |  WHERE d < 6),
+           |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 6)""".stripMargin
+      s"""WITH $knnSkeletonCtes,
+         |e2 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM knn
+         |  UNION ALL
+         |  SELECT b, a FROM knn),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e2),
+         |${(1 to 8).map(peel).mkString(",\n")}
+         |SELECT node, false AS in_core, peel_round FROM (
+         |  ${(1 to 8).map(i => s"SELECT node, peel_round FROM p$i")
+             .mkString("\n  UNION ALL\n  ")})
+         |UNION ALL
+         |SELECT node, true AS in_core, CAST(NULL AS BIGINT) AS peel_round
+         |FROM s8
+         |ORDER BY node""".stripMargin
     }
 
   /** The full-skeleton replay — q_knn_graph, q_knn_graph_incr (the
