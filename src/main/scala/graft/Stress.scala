@@ -647,6 +647,21 @@ object Stress {
     time("profile") {
       graft.validation.Profile.profile(evs)
     }
+    // Bottom-k quantile sketch: state is min(k, n) rows per (group, day)
+    // WHATEVER the factor (output flat at groups x days x k), the build
+    // a two-phase rank — the curve should be scan-linear with no
+    // per-group sort blowup.
+    time("quantile_daily") {
+      graft.operators.Approx.quantileSketchDaily(evs, "event_type", "ts",
+        "event_id", "value")
+    }
+    // Rollup: min-k merge of bounded states + the direct sketch + the
+    // exact-rank audit (the audit's per-group sort is the disclosed
+    // linear-growth term; production runs the state merge alone).
+    time("quantile_rollup") {
+      graft.operators.Approx.quantileRollup(evs, "event_type", "ts",
+        "event_id", "value", "2024-01-08", "2024-01-22")
+    }
     // Incremental join maintenance: five key joins, all linear.
     time("incr_join") {
       graft.operators.Etl.incrJoinRevenue(
