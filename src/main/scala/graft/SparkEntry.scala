@@ -2100,7 +2100,10 @@ object SparkEntry {
       val ing = ingestDecideFrame(s, dir)
       val pr = pagerankDecideFrame(s, dir)
       val lpa = communitiesDecideFrame(s, dir)
-      val skel = skeletonIncrFrame(s, dir)
+      // the skeleton feeds TWO consumers (its own digest + the census):
+      // checkpoint it once so the refresh's unstaged tail (keep ranks,
+      // union-keep reassembly) doesn't execute per consumer
+      val skel = skeletonIncrFrame(s, dir).localCheckpoint()
       val census = graft.operators.Graph.triangleStatsOriented(
         skel, byDegree = true)
       dig("ingest", ing, pmod(col("doc_id"), lit(8)),

@@ -291,17 +291,9 @@ object Approx {
         Window.partitionBy(col(groupCol)).orderBy(col("cents"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val totals = merged.groupBy(col(groupCol)).agg(sum(col("n")).as("n_rows"))
-    // rank target ceil(q·N) in EXACT integer arithmetic: q as the fraction
-    // num/den read off its decimal digits (0.95 → 95/100), target =
-    // (num·N + den − 1) DIV den. The double form ceil(lit(q)·N) is wrong
-    // one rank high whenever q·N is integral but carries binary-float
-    // error (0.95·20 = 19.000000000000004 → ceil 20, not 19).
-    def rankTarget(q: Double): Column = {
-      val bd = new java.math.BigDecimal(q.toString)
-      val den = java.math.BigDecimal.TEN.pow(bd.scale).longValueExact()
-      val num = bd.unscaledValue().longValueExact()
-      expr(s"($num * n_rows + ${den - 1}) DIV $den")
-    }
+    // rank target ceil(q·N) via the shared exact-integer helper — see
+    // [[ceilRankTarget]] for why the double form ceil(lit(q)·N) is wrong
+    def rankTarget(q: Double): Column = ceilRankTarget(q, "n_rows")
     // all quantiles read off ONE conditional aggregate per route (min
     // over the rows at/past each target), not a join chain with one pass
     // per q — same statistic, 2(|qs|−1) fewer joins
@@ -332,10 +324,11 @@ object Approx {
 
   /** The exact-integer ceil(q·N) rank target over a named BIGINT count
     * column — q read off its decimal digits (0.95 → 95/100), target =
-    * (num·N + den − 1) DIV den. Shared by [[histQuantileRollup]] (its
-    * local copy predates this) and the bottom-k quantile sketch so the
-    * double-form `ceil(lit(q)·N)` hazard (one rank high whenever q·N is
-    * integral but carries binary-float error) cannot re-enter. */
+    * (num·N + den − 1) DIV den. Shared by [[histQuantileRollup]] and the
+    * bottom-k quantile sketch so the double-form `ceil(lit(q)·N)` hazard
+    * (one rank high whenever q·N is integral but carries binary-float
+    * error: 0.95·20 = 19.000000000000004 → ceil 20, not 19) cannot
+    * re-enter. */
   private def ceilRankTarget(q: Double, nCol: String): Column = {
     val bd = new java.math.BigDecimal(q.toString)
     val den = java.math.BigDecimal.TEN.pow(bd.scale).longValueExact()
@@ -436,6 +429,17 @@ object Approx {
       idCol: String, valueCol: String, dayFrom: String, dayTo: String,
       k: Int = 128, qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     require(k >= 1 && qs.nonEmpty)
+    // whole centiles in (0, 1] only: the q output column and the
+    // est_/exact_ aggregate aliases are integer-percent labels — a
+    // truncated 0.955 would alias 0.95's columns, and q <= 0 or > 1
+    // would silently match no rank and emit NULL statistics
+    qs.foreach { q =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
+      require((q * 100) == math.rint(q * 100),
+        s"quantile must be a whole centile (label is integer percent): $q")
+    }
+    require(qs.map(q => (q * 100).toInt).distinct.size == qs.size,
+      s"duplicate centile labels in $qs")
     import org.apache.spark.sql.expressions.Window
     def pct(q: Double) = (q * 100).toInt
     val base = quantileSketchBase(df, groupCol, tsCol, idCol, valueCol)
