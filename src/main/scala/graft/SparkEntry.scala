@@ -46,6 +46,18 @@ object SparkEntry {
       unix_micros(col("ts").cast("timestamp")).as("o1"),
       col("event_id").as("o2"))
 
+  // the same planted-hot-key item stream with its arrival day — the
+  // per-(group, day) summary-table fixture q_spacesaving_rollup folds
+  private def ssItemsDaily(s: SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_type").as("g"),
+      col("ts").cast("date").cast("string").as("day"),
+      when(pmod(col("user_id"), lit(10)) === 0,
+        expr("(user_id % 40) DIV 10"))
+        .otherwise(col("user_id") + 100).as("i"),
+      unix_micros(col("ts").cast("timestamp")).as("o1"),
+      col("event_id").as("o2"))
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"),
     "fr" -> Seq("table", "row"),
@@ -1031,6 +1043,17 @@ object SparkEntry {
     "q_spacesaving_sharded" -> ((s, dir) =>
       graft.operators.Approx.spaceSavingAuditSharded(ssItems(s, dir),
         m = 64, shards = 4)),
+
+    // §2.24e5 — DAY-MERGED SpaceSaving rollup (r12, Agarwal et al.
+    // mergeable summaries): one m=128 summary per (group, day) at rest,
+    // a date-range top-m answered by merging summaries (tracked est/err
+    // or the day's min-counter floor), never refolding raw rows; the
+    // guaranteed set tightens to the post-merge 2e threshold
+    // (exact*m > 2N — the top-m membership theorem after a merge), all
+    // four verdicts engine-certified like 24e3/24e4
+    "q_spacesaving_rollup" -> ((s, dir) =>
+      graft.operators.Approx.spaceSavingRollupAudit(
+        ssItemsDaily(s, dir), m = 128)),
 
     // §2.24f — per-document top TF-IDF terms (tf agg + broadcast df join
     // + per-doc window)
@@ -3727,6 +3750,24 @@ object SparkEntry {
         |  true AS tracked, true AS est_ge_exact,
         |  true AS lower_le_exact, true AS err_within_cap
         |FROM e JOIN n USING (g) WHERE e.exact_cnt * 64 > n.n_events
+        |ORDER BY 1, 2""".stripMargin,
+
+    // guaranteed set at the post-merge 2e threshold; verdicts are
+    // theorems of the mergeable-summaries construction, asserted true
+    "q_spacesaving_rollup" ->
+      """WITH it AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN user_id % 10 = 0 THEN (user_id % 40) // 10
+        |         ELSE user_id + 100 END AS item
+        |  FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM it GROUP BY 1),
+        |e AS (SELECT g, item, CAST(count(*) AS BIGINT) AS exact_cnt
+        |      FROM it GROUP BY 1, 2)
+        |SELECT e.g AS group_key, e.item, e.exact_cnt,
+        |  true AS tracked, true AS est_ge_exact,
+        |  true AS lower_le_exact, true AS err_within_cap
+        |FROM e JOIN n USING (g) WHERE e.exact_cnt * 128 > 2 * n.n_events
         |ORDER BY 1, 2""".stripMargin,
 
     "q_nb_quality" ->

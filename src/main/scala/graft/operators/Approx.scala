@@ -938,11 +938,11 @@ object Approx {
   }
 
   private def ssAuditCore(summary: DataFrame, n: DataFrame,
-      items: DataFrame, m: Int): DataFrame = {
+      items: DataFrame, m: Int, guardFactor: Int = 1): DataFrame = {
     val exact = items.groupBy(col("g"), col("i").as("item"))
       .agg(count(lit(1)).as("exact_cnt"))
     exact.join(broadcast(n), "g")
-      .where(col("exact_cnt") * m > col("n_events"))
+      .where(col("exact_cnt") * m > col("n_events") * guardFactor)
       .join(summary, Seq("g", "item"), "left")
       .select(col("g").as("group_key"), col("item"), col("exact_cnt"),
         col("est").isNotNull.as("tracked"),
@@ -950,5 +950,71 @@ object Approx {
         ((col("est") - col("err")) <= col("exact_cnt")).as("lower_le_exact"),
         (col("err") * m <= col("n_events")).as("err_within_cap"))
       .orderBy(col("group_key"), col("item"))
+  }
+
+  /** DAY-MERGED SpaceSaving rollup audit — the mergeable-summaries
+    * (Agarwal et al. 2012) completion of the family: a warehouse keeps
+    * one m-counter summary per (group, day), and a date-range top-m is
+    * answered by MERGING summaries, never refolding raw rows. The merge
+    * is the paper's: for each candidate item (tracked anywhere in the
+    * range), per day add its tracked `est`/`err`, or — when that day's
+    * summary is FULL — the day's minimum counter value as both (the
+    * SpaceSaving invariant bounds any untracked item's day-count by the
+    * minimum counter; a non-full day tracked everything, so absence
+    * means zero); keep the m largest merged counters under the
+    * deterministic (est DESC, item ASC) order.
+    *
+    * Theorems carried through the merge (all in the published verdicts):
+    * est ≥ true and est − err ≤ true (per-day bounds sum), and
+    * err·m ≤ N_range (each day term ≤ N_day/m because Σ of a day's
+    * counters = N_day exactly — every arrival adds net 1). The TOP-M
+    * membership guarantee weakens to the 2ε threshold: an item with
+    * true·m > 2·N_range MUST be in the merged top-m (if it were
+    * dropped, the m kept items would each have est > 2N/m, hence
+    * true ≥ est − err > N/m, putting ΣN over N — contradiction), so
+    * the audit's guaranteed set uses guardFactor = 2 where the
+    * single-fold audit uses 1. State: m counters per (group, day)
+    * forever; the merge touches only summaries (m·days rows per group).
+    *
+    * Input must carry (g, day, i, o1, o2); g and day values must not
+    * contain a tab (the composite-key separator, as in the sharded
+    * fold).
+    */
+  def spaceSavingRollupAudit(items: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val composite = items.select(
+      concat(col("g").cast("string"), lit("\t"),
+        col("day").cast("string")).as("g"),
+      col("i"), col("o1"), col("o2"))
+    val daily = spaceSavingSummary(composite, m).localCheckpoint()
+    val split = daily.select(
+      substring_index(col("g"), "\t", 1).as("g"),
+      substring_index(col("g"), "\t", -1).as("day"),
+      col("item"), col("est"), col("err"), col("n_events"))
+    val dayMeta = split.groupBy(col("g"), col("day")).agg(
+        min(col("est")).as("min_est"),
+        count(lit(1)).as("n_counters"),
+        max(col("n_events")).as("n_day"))
+      .select(col("g"), col("day"),
+        when(col("n_counters") === m, col("min_est")).otherwise(lit(0L))
+          .as("floor_est"),
+        col("n_day"))
+    val cand = split.select(col("g"), col("item")).distinct()
+    val contrib = cand.join(dayMeta, "g")
+      .join(split.select(col("g"), col("day"), col("item"), col("est"),
+        col("err")), Seq("g", "day", "item"), "left")
+      .select(col("g"), col("item"),
+        coalesce(col("est"), col("floor_est")).as("est_c"),
+        coalesce(col("err"), col("floor_est")).as("err_c"))
+    val merged = contrib.groupBy(col("g"), col("item"))
+      .agg(sum(col("est_c")).as("est"), sum(col("err_c")).as("err"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("est").desc, col("item").asc)))
+      .where(col("rk") <= m)
+    val nRange = dayMeta.groupBy(col("g")).agg(sum(col("n_day"))
+      .as("n_events"))
+    ssAuditCore(merged.select(col("g"), col("item"), col("est"),
+      col("err")), nRange, items, m, guardFactor = 2)
   }
 }

@@ -381,6 +381,44 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("spaceSavingRollupAudit: merged day summaries keep the theorem " +
+      "verdicts under genuine eviction, and merging is deterministic") {
+    // two days with m=3 counters: day 1 churns the tail (evictions →
+    // inherited error), day 2 re-balances; item 1 is hot on both days
+    // (true 12 of N=30 → exact·m = 36 > 2N = 60? no — use N per day)
+    def day(d: String, items: Seq[Long], off: Int) =
+      items.zipWithIndex.map { case (it, i) =>
+        ("click", d, it, (off + i).toLong, (off + i).toLong) }
+    val d1 = day("d1", Seq(1L, 1L, 1L, 1L, 2L, 2L, 101L, 102L, 103L, 1L), 0)
+    val d2 = day("d2", Seq(1L, 1L, 1L, 2L, 2L, 104L, 105L, 1L, 1L, 1L), 100)
+    val items = (d1 ++ d2).toDF("g", "day", "i", "o1", "o2")
+    val m = 3
+    // item 1: true 11 of N=20 → 11·3 = 33 > 2·20 = 40? No — 33 < 40.
+    // Use the audit frame directly and check the verdicts for the rows
+    // it publishes, plus determinism across partitionings.
+    val out = Approx.spaceSavingRollupAudit(items, m).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6))).toSeq
+    // guaranteed set at 2e: exact·3 > 2·20 → exact > 13.3 — empty here;
+    // widen by checking the internal bounds on a hotter fixture instead
+    val hot = (day("d3", Seq.fill(14)(7L) ++ Seq(201L, 202L, 203L), 0) ++
+      day("d4", Seq.fill(14)(7L) ++ Seq(204L, 205L, 206L), 100))
+      .toDF("g", "day", "i", "o1", "o2")
+    val hotOut = Approx.spaceSavingRollupAudit(hot, m).collect()
+      .map(r => (r.getLong(1), r.getBoolean(3), r.getBoolean(4),
+        r.getBoolean(5), r.getBoolean(6))).toSeq
+    // item 7: true 28 of N=34, 28·3 = 84 > 68 — guaranteed, all four
+    // verdicts must hold despite per-day tail eviction
+    assert(hotOut == Seq((7L, true, true, true, true)), s"got $hotOut")
+    // determinism: the published audit is partitioning-invariant
+    val again = Approx.spaceSavingRollupAudit(items.repartition(7), m)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6))).toSeq
+    assert(again == out)
+  }
+
   test("spaceSavingAudit: the guaranteed set is tracked with all four " +
       "verdicts true; groups fold independently") {
     // two groups: the hh fixture under 'click', plus a 'view' group
