@@ -1813,6 +1813,17 @@ object SparkEntry {
         Tables.events(s, dir), "event_type", "ts", "event_id", "value",
         "2024-01-08", "2024-01-22")),
 
+    // §2.43n — running quantile-to-date timeline (r12, the 43k growth
+    // curve applied to percentiles): per (event_type, day) the p50/p95
+    // estimate over everything seen so far, from the daily bottom-k
+    // states alone — an as-of theta join of the STATE table against the
+    // day grid (bounded by groups*days^2*k, never the data) + the same
+    // min-k re-rank and integer-rank estimator; exact running count
+    // rides a bounded window, never a per-day re-scan
+    "q_quantile_timeline" -> ((s, dir) =>
+      graft.operators.Approx.quantileTimeline(
+        Tables.events(s, dir), "event_type", "ts", "event_id", "value")),
+
     // §2.43g — HLL ROLLUP audit: per-day register files max-merged to
     // group level == an independently built direct sketch (the
     // pre-aggregated sketch-table pattern: range distincts answered from
@@ -4553,6 +4564,64 @@ object SparkEntry {
          |    est_95, exact_95, rollup_matches
          |  FROM wide)
          |ORDER BY g, q""".stripMargin
+    },
+
+    // the whole timeline replays hash-exact: states, as-of prefix join,
+    // min-k re-rank, integer rank targets, running count window
+    "q_quantile_timeline" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    event_id AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
+         |  FROM events),
+         |daily AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT g, day, hk, id, v, row_number() OVER (
+         |      PARTITION BY g, day ORDER BY hk, id) AS rk
+         |    FROM e) WHERE rk <= 128),
+         |days AS (SELECT DISTINCT g, day AS as_of FROM daily),
+         |merged AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT d.g, dy.as_of, d.hk, d.id, d.v, row_number() OVER (
+         |      PARTITION BY d.g, dy.as_of ORDER BY d.hk, d.id) AS rk
+         |    FROM daily d JOIN days dy ON d.g = dy.g AND d.day <= dy.as_of)
+         |  WHERE rk <= 128),
+         |msz AS (
+         |  SELECT g, as_of, CAST(count(*) AS BIGINT) AS m_sample
+         |  FROM merged GROUP BY 1, 2),
+         |vr AS (
+         |  SELECT m.g, m.as_of, v, row_number() OVER (
+         |    PARTITION BY m.g, m.as_of ORDER BY v, id) AS vr, m_sample
+         |  FROM merged m JOIN msz ON m.g = msz.g AND m.as_of = msz.as_of),
+         |est AS (
+         |  SELECT g, as_of,
+         |    min(CASE WHEN vr = (5 * m_sample + 9) // 10 THEN v END)
+         |      AS est_50,
+         |    min(CASE WHEN vr = (95 * m_sample + 99) // 100 THEN v END)
+         |      AS est_95
+         |  FROM vr GROUP BY 1, 2),
+         |nto AS (
+         |  SELECT g, day AS as_of, CAST(sum(n_day) OVER (
+         |    PARTITION BY g ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_todate
+         |  FROM (SELECT g, day, count(*) AS n_day FROM e GROUP BY 1, 2))
+         |SELECT nto.g, nto.as_of AS day, q, n_todate, m_sample, est_cents
+         |FROM nto
+         |JOIN msz ON nto.g = msz.g AND nto.as_of = msz.as_of
+         |JOIN (
+         |  SELECT g, as_of, CAST(50 AS BIGINT) AS q, est_50 AS est_cents
+         |  FROM est
+         |  UNION ALL
+         |  SELECT g, as_of, CAST(95 AS BIGINT), est_95 FROM est
+         |) x ON nto.g = x.g AND nto.as_of = x.as_of
+         |ORDER BY nto.g, day, q""".stripMargin
     },
 
     // both sketch paths replayed: per-day registers -> max-merge ->

@@ -497,6 +497,69 @@ object Approx {
       .orderBy(col("g"), col("q"))
   }
 
+  /** Running quantile-to-date timeline off the daily sketch table — the
+    * growth-curve dual of [[quantileRollup]] (the hllTimeline posture
+    * applied to percentiles): per (group, day) the p-quantile estimate
+    * over EVERYTHING seen up to that day, computed from the daily
+    * bottom-k states alone. The as-of prefix merge is a theta join of
+    * the state table against the day grid (state rows × later days —
+    * bounded by groups·days²·k, STATE-sized, never the data) followed by
+    * the same min-k re-rank; the estimator and its exact-integer rank
+    * target are [[quantileRollup]]'s. The exact running count rides
+    * along sketch-shaped: per-day counts → one running-sum window over
+    * the bounded (group, day) grid, never a per-day re-scan.
+    *
+    * Determinism: every path is the salted-hash order + integer ranks,
+    * so the whole timeline replays hash-exact in the oracle; the spec
+    * proves final-day == the full-range rollup estimate and monotone
+    * sample growth.
+    */
+  def quantileTimeline(df: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String, k: Int = 128,
+      qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(k >= 1 && qs.nonEmpty)
+    qs.foreach { q =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of (0, 1]: $q")
+      require((q * 100) == math.rint(q * 100),
+        s"quantile must be a whole centile (label is integer percent): $q")
+    }
+    import org.apache.spark.sql.expressions.Window
+    def pct(q: Double) = (q * 100).toInt
+    val base = quantileSketchBase(df, groupCol, tsCol, idCol, valueCol)
+    val daily = bottomKByHash(base, Seq("g", "day"), k)
+      .drop("rk").localCheckpoint()
+    val days = daily.select(col("g"), col("day").as("asof")).distinct()
+    val prefix = daily.join(days, Seq("g"))
+      .where(col("day") <= col("asof"))
+    val merged = bottomKByHash(prefix, Seq("g", "asof"), k)
+    val mSz = merged.groupBy(col("g"), col("asof"))
+      .agg(count(lit(1)).as("m_sample"))
+    val vr = merged
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("g"), col("asof"))
+          .orderBy(col("v"), col("id"))))
+      .join(broadcast(mSz), Seq("g", "asof"))
+    val estAggs = qs.map(q =>
+      min(when(col("vr") === ceilRankTarget(q, "m_sample"), col("v")))
+        .as(s"est_${pct(q)}"))
+    val est = vr.groupBy(col("g"), col("asof"))
+      .agg(estAggs.head, estAggs.tail: _*)
+    val nTo = base.groupBy(col("g"), col("day")).agg(count(lit(1))
+        .as("n_day"))
+      .withColumn("n_todate", sum(col("n_day")).over(
+        Window.partitionBy(col("g")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("g"), col("day").as("asof"), col("n_todate"))
+    nTo.join(mSz, Seq("g", "asof")).join(est, Seq("g", "asof"))
+      .select(col("g"), col("asof").as("day"), col("n_todate"),
+        col("m_sample"),
+        explode(array(qs.map(q => struct(lit(pct(q).toLong).as("q"),
+          col(s"est_${pct(q)}").as("est_cents"))): _*)).as("e"))
+      .select(col("g"), col("day"), col("e.q").as("q"), col("n_todate"),
+        col("m_sample"), col("e.est_cents").as("est_cents"))
+      .orderBy(col("g"), col("day"), col("q"))
+  }
+
   /** KMV (k-minimum-values / bottom-k) sketch overlap: per pair of groups,
     * the union-size and Jaccard estimates read ONLY from each group's k=64
     * smallest salted 52-bit md5 hash values (md5, not the rolling fold —

@@ -381,6 +381,28 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("quantileTimeline: final-day estimate equals the full-range " +
+      "rollup, running counts and samples are monotone") {
+    val out = Approx.quantileTimeline(qskFixture, "g", "ts", "id",
+      "value", k = 64).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("q"), r.getAs[Long]("n_todate"),
+        r.getAs[Long]("m_sample"), r.getAs[Long]("est_cents"))).toSeq
+    assert(out.map(_._1).distinct.size == 3) // one row set per day
+    // monotone: n_todate strictly grows, m_sample never shrinks
+    val perDay = out.groupBy(_._1).view
+      .mapValues(rs => (rs.head._3, rs.head._4)).toMap.toSeq.sortBy(_._1)
+    assert(perDay.map(_._2._1) == Seq(400L, 800L, 1200L))
+    assert(perDay.map(_._2._2).sliding(2).forall(p => p.head <= p.last))
+    // the last day's estimates ARE the full-range rollup's (same state)
+    val rollup = Approx.quantileRollup(qskFixture, "g", "ts", "id",
+      "value", "2024-03-01", "2024-03-03", k = 64).collect()
+      .map(r => r.getAs[Long]("q") -> r.getAs[Long]("est_cents")).toMap
+    val lastDay = out.filter(_._1 == "2024-03-03")
+      .map(t => t._2 -> t._5).toMap
+    assert(lastDay == rollup, s"timeline $lastDay vs rollup $rollup")
+  }
+
   test("spaceSavingRollupAudit: merged day summaries keep the theorem " +
       "verdicts under genuine eviction, and merging is deterministic") {
     // two days with m=3 counters: day 1 churns the tail (evictions →
