@@ -403,12 +403,19 @@ object Approx {
   /** The canonical (g, day, id, v, hk) projection both sketch queries
     * share — one definition so the daily build and the rollup replay
     * hash and canonicalize identically. */
+  /** The quantile sketch's salted 52-bit id hash — exposed so the
+    * streaming state twin (`EventStream.quantileStateStream`) hashes
+    * arriving rows identically to the batch build (the canonRowHash
+    * sharing contract, sketch edition). */
+  private[graft] def quantileSketchHash(id: Column): Column =
+    md5Bits52("qsk:", id.cast("string"))
+
   private def quantileSketchBase(df: DataFrame, groupCol: String,
       tsCol: String, idCol: String, valueCol: String): DataFrame =
     df.select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
         col(idCol).cast("long").as("id"),
         (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
-      .withColumn("hk", md5Bits52("qsk:", col("id").cast("string")))
+      .withColumn("hk", quantileSketchHash(col("id")))
 
   /** Quantile ROLLUP off the daily sketch table (the [[hllRollupAudit]]
     * posture applied to percentiles): a date-range quantile is answered

@@ -696,6 +696,49 @@ object EventStream {
     * across microbatches including a planted re-delivery, plus the
     * k-row state and emission bounds.
     */
+  /** State for [[quantileStateStream]]: the k smallest (hk, id, v_cents)
+    * triples per (group, day) — the quantile sketch state itself,
+    * never the stream. */
+  case class QsState(smallest: List[(Long, Long, Long)])
+  case class QsRow(g: String, day: String, rk: Long, hk: Long, id: Long,
+    v: Long)
+
+  /** Streaming quantile-sketch state maintenance — the continuous twin
+    * of `Approx.quantileSketchDaily`: each (group, day)'s bottom-k
+    * (hk, id, v) state folds in arrivals via flatMapGroupsWithState.
+    * Bottom-k of a set is idempotent under re-insertion, so
+    * at-least-once re-deliveries are absorbed with no dedup gate (the
+    * [[groupSampleStream]] law with the value carried), and any
+    * snapshot of the state IS the batch sketch of the rows seen so far
+    * — a continuously maintained percentile warehouse: the rollup /
+    * timeline read paths consume it unchanged. Input rows carry
+    * (g, day, hk, id, v) with hk already computed by the SHARED
+    * `Approx.quantileSketchHash` salted fold, so the paths cannot hash
+    * apart. State is ≤ k small triples per (group, day) forever; each
+    * touched microbatch re-emits the refreshed ranked state.
+    */
+  def quantileStateStream(rows: DataFrame, k: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("g").cast("string"), col("day").cast("string"),
+        col("hk").cast("long"), col("id").cast("long"),
+        col("v").cast("long"))
+      .as[(String, String, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState[QsState, QsRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((g, day), it, state: GroupState[QsState]) =>
+          val prior = state.getOption.map(_.smallest).getOrElse(Nil)
+          val arrived = it.map { case (_, _, hk, id, v) =>
+            (hk, id, v) }.toList
+          val smallest = (prior ++ arrived).distinct.sorted.take(k)
+          state.update(QsState(smallest))
+          smallest.zipWithIndex.map { case ((hk, id, v), i) =>
+            QsRow(g, day, i + 1L, hk, id, v)
+          }.iterator
+      }.toDF()
+  }
+
   def groupSampleStream(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

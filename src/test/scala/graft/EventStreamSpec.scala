@@ -833,6 +833,53 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed("p2")._1 == 2L) // the duplicate counted, xor cancelled
   }
 
+  test("quantileStateStream: streamed bottom-k state equals the batch " +
+      "sketch across microbatches, absorbing a re-delivered row") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // (g, ts-day, id, value): 2 days x 8 rows, k=4 forces selection
+    val all = (0 until 16).map { i =>
+      ("m", if (i % 2 == 0) "2024-05-01" else "2024-05-02",
+        i.toLong, (i * 37 % 100) / 100.0 * 50 + 1.0)
+    }
+    val input = MemoryStream[(String, String, Long, Double)]
+    val hashed = input.toDF().toDF("g", "day", "id", "value")
+      .select(col("g"), col("day"),
+        graft.operators.Approx.quantileSketchHash(col("id")).as("hk"),
+        col("id"), (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("v"))
+    val out = EventStream.quantileStateStream(hashed, k = 4)
+    val chk = Files.createTempDirectory("graft-qsk-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("qsk_states")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(all.take(7): _*)
+    query.processAllAvailable()
+    // batch 2 re-delivers row 3 (at-least-once) — must be absorbed
+    input.addData((all.drop(7) :+ all(3)): _*)
+    query.processAllAvailable()
+    query.stop()
+    // newest emission per (g, day, rk) = the final streamed state
+    val streamed = spark.table("qsk_states").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    // the batch sketch of the same rows, via quantileSketchDaily
+    val batchDf = all.toDF("g", "ts", "id", "value")
+      .select(col("g"), col("ts").cast("timestamp").as("ts"),
+        col("id"), col("value"))
+    val batch = graft.operators.Approx.quantileSketchDaily(
+      batchDf, "g", "ts", "id", "value", k = 4).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("rk")) ->
+        (r.getAs[Long]("hk"), r.getAs[Long]("id"), r.getAs[Long]("v")))
+      .toMap
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed.keySet.count(_._2 == "2024-05-01") == 4) // k-bounded
+  }
+
   test("columnDigestStream: live per-column triples equal the batch " +
       "columnDigest scan, and a planted divergence localizes to exactly " +
       "the corrupted (part, column)") {
