@@ -662,6 +662,25 @@ object Stress {
       graft.operators.Approx.quantileRollup(evs, "event_type", "ts",
         "event_id", "value", "2024-01-08", "2024-01-22")
     }
+    // Timeline: the as-of prefix merge is STATE-sized (groups x days^2
+    // x k) — corpus growth moves only the daily build scan.
+    time("quantile_timeline") {
+      graft.operators.Approx.quantileTimeline(evs, "event_type", "ts",
+        "event_id", "value")
+    }
+    // Day-merged SpaceSaving: the fold is stream-linear, the merge
+    // touches only m-counter summaries per (group, day). One hot item
+    // planted at share 1/50 (> the post-merge 2/128 threshold) so the
+    // guaranteed-set audit stays non-degenerate under replication.
+    time("ss_rollup") {
+      graft.operators.Approx.spaceSavingRollupAudit(
+        evs.select(col("event_type").as("g"),
+          col("ts").cast("date").cast("string").as("day"),
+          when(pmod(col("user_id"), lit(50)) === 0, 7L)
+            .otherwise(col("user_id")).as("i"),
+          unix_micros(col("ts").cast("timestamp")).as("o1"),
+          col("event_id").as("o2")), m = 128)
+    }
     // Incremental join maintenance: five key joins, all linear.
     time("incr_join") {
       graft.operators.Etl.incrJoinRevenue(
