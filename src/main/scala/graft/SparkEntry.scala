@@ -1720,6 +1720,16 @@ object SparkEntry {
     "q_kmv_overlap" -> ((s, dir) =>
       graft.operators.Approx.kmvOverlap(Tables.events(s, dir), "event_type", "user_id")),
 
+    // §2.43e2 — KMV set DIFFERENCE (r12, the third theta-sketch set op):
+    // |A\B| and |B\A| per event-type pair from the bottom-64 sketches
+    // alone — one-sided membership shares of the merged bottom-kk scale
+    // the union estimate; the sketch-build is SHARED with q_kmv_overlap
+    // (kmvSketch) so the set ops cannot hash or rank apart; exact
+    // differences certify with err in bp of the union
+    "q_kmv_diff" -> ((s, dir) =>
+      graft.operators.Approx.kmvDifference(Tables.events(s, dir),
+        "event_type", "user_id")),
+
     // §2.67 — exact-integer PageRank over the customer–supplier trade
     // graph: 6 BSP rounds of BIGINT floor-division damping — link-analysis
     // centrality with zero float hazard, hash-exact on any engine. Runs
@@ -4205,6 +4215,84 @@ object SparkEntry {
          |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
+    },
+
+    // same sketch CTEs as q_kmv_overlap, the one-sided membership sums
+    // and the scaled difference estimates mirrored op-for-op
+    "q_kmv_diff" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH d0 AS (
+         |  SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |hh AS (
+         |  SELECT DISTINCT event_type AS g,
+         |    ${md5bits("'kmv:' || CAST(user_id AS VARCHAR)")} + 1 AS hc
+         |  FROM d0),
+         |rk0 AS (
+         |  SELECT g, hc, row_number() OVER (PARTITION BY g ORDER BY hc) AS rk
+         |  FROM hh),
+         |sk AS (SELECT g, hc FROM rk0 WHERE rk <= 64),
+         |ty AS (SELECT DISTINCT g FROM sk),
+         |pr AS (SELECT a.g AS ta, b.g AS tb FROM ty a, ty b WHERE a.g < b.g),
+         |mg AS (
+         |  SELECT pr.ta, pr.tb, s.hc,
+         |    max(CASE WHEN s.g = pr.ta THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.g = pr.tb THEN 1 ELSE 0 END) AS in_b
+         |  FROM pr JOIN sk s ON s.g = pr.ta OR s.g = pr.tb
+         |  GROUP BY 1, 2, 3),
+         |w AS (
+         |  SELECT ta, tb, hc, in_a, in_b,
+         |    row_number() OVER (PARTITION BY ta, tb ORDER BY hc) AS urk,
+         |    count(*) OVER (PARTITION BY ta, tb) AS cnt
+         |  FROM mg),
+         |es AS (
+         |  SELECT ta, tb, CAST(max(cnt) AS BIGINT) AS cnt,
+         |    CAST(max(least(64, cnt)) AS BIGINT) AS kk,
+         |    CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS a_only,
+         |    CAST(sum((1 - in_a) * in_b) AS BIGINT) AS b_only,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS matches,
+         |    max(CASE WHEN urk = least(64, cnt) THEN hc END) AS u_kth
+         |  FROM w WHERE urk <= least(64, cnt) GROUP BY 1, 2),
+         |np AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM hh GROUP BY 1),
+         |ix AS (
+         |  SELECT a.g AS ta, b.g AS tb, CAST(count(*) AS BIGINT) AS inter_exact
+         |  FROM hh a JOIN hh b ON a.hc = b.hc AND a.g < b.g GROUP BY 1, 2),
+         |f AS (
+         |  SELECT es.ta, es.tb, na.n AS n_a, nb.n AS n_b,
+         |    es.a_only, es.b_only, es.matches, es.kk, es.cnt, es.u_kth,
+         |    COALESCE(ix.inter_exact, 0) AS inter_exact,
+         |    na.n + nb.n - COALESCE(ix.inter_exact, 0) AS union_exact
+         |  FROM es JOIN np na ON na.g = es.ta JOIN np nb ON nb.g = es.tb
+         |  LEFT JOIN ix ON ix.ta = es.ta AND ix.tb = es.tb),
+         |f2 AS (
+         |  SELECT ta, tb, n_a, n_b, a_only, b_only, matches, kk,
+         |    n_a - inter_exact AS diff_a_exact,
+         |    n_b - inter_exact AS diff_b_exact, union_exact,
+         |    round((CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+         |      ELSE CAST(63.0 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |        / CAST(u_kth AS DOUBLE) END)
+         |      * CAST(a_only AS DOUBLE) / CAST(kk AS DOUBLE), 2)
+         |      AS diff_a_est,
+         |    round((CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+         |      ELSE CAST(63.0 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |        / CAST(u_kth AS DOUBLE) END)
+         |      * CAST(b_only AS DOUBLE) / CAST(kk AS DOUBLE), 2)
+         |      AS diff_b_est
+         |  FROM f)
+         |SELECT ta, tb, n_a, n_b, a_only, b_only, matches, kk,
+         |  diff_a_exact, diff_b_exact, diff_a_est, diff_b_est,
+         |  CAST(round(abs(diff_a_est - CAST(diff_a_exact AS DOUBLE))
+         |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
+         |    AS diff_a_err_bp,
+         |  CAST(round(abs(diff_b_est - CAST(diff_b_exact AS DOUBLE))
+         |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
+         |    AS diff_b_err_bp
+         |FROM f2
+         |ORDER BY ta, tb""".stripMargin
     },
 
     // one UNION ALL branch per column, stats identical to the single-pass

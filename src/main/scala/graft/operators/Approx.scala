@@ -589,14 +589,18 @@ object Approx {
     * both engines see the same value multiset regardless of fold
     * collisions. The exact columns certify the estimates, like hllAudit.
     */
-  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 64): DataFrame = {
+  /** The per-group KMV bottom-k hash sketch + the full distinct hash
+    * sets — the shared build of [[kmvOverlap]] and [[kmvDifference]]
+    * (one definition so the two set operations cannot hash or rank
+    * apart). The +1 maps the hash into 1..2^52 so u_kth (the union_est
+    * denominator) can never be 0 — hash value 0 in the bottom-k would
+    * otherwise yield an engine-divergent row (Spark null vs DuckDB
+    * Infinity); rank order is unchanged (monotone shift) and the
+    * estimator bias of one part in 2^52 is far below the 2-dp
+    * rounding. */
+  private def kmvSketch(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    // +1 maps the hash into 1..2^52 so u_kth (the union_est denominator)
-    // can never be 0 — hash value 0 in the bottom-k would otherwise yield
-    // an engine-divergent row (Spark null vs DuckDB Infinity). Rank order
-    // is unchanged (monotone shift); the estimator bias of one part in
-    // 2^52 is far below the 2-dp rounding.
     val hc = md5Bits52("kmv:", col(valueCol).cast("string")) + 1
     val hashes = df.select(col(groupCol).as("g"), col(valueCol))
       .where(col(valueCol).isNotNull)
@@ -611,6 +615,13 @@ object Approx {
       .withColumn("rk", row_number().over(globalW)).where(col("rk") <= k)
       .select(col("g"), col("hc"))
       .localCheckpoint()
+    (hashes, sketch)
+  }
+
+  def kmvOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (hashes, sketch) = kmvSketch(df, groupCol, valueCol, k)
     val types = sketch.select(col("g")).distinct()
     val pairs = broadcast(types.select(col("g").as("ta"))
       .crossJoin(broadcast(types.select(col("g").as("tb"))))
@@ -661,6 +672,95 @@ object Approx {
         round(abs(col("union_est") - col("union_exact").cast("double")) /
           col("union_exact").cast("double") * 10000.0, 0)
           .cast("long").as("union_err_bp"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** KMV set-DIFFERENCE estimation — the third theta-sketch set
+    * operation next to [[kmvOverlap]]'s union/intersection: per ordered
+    * group pair, |A \ B| and |B \ A| estimated from the two bottom-k
+    * sketches alone. The merged bottom-kk rows are a uniform sample of
+    * the union, so the one-sided membership shares `a_only/kk` and
+    * `b_only/kk` scale the union estimate into difference estimates
+    * (Beyer et al.'s estimator composed with the disjoint-partition
+    * identity |A∪B| = |A\B| + |B\A| + |A∩B|). The published integers
+    * (a_only, b_only, matches, kk) are exact sketch facts — hash-exact
+    * on any engine — and the scaled estimates reuse [[kmvOverlap]]'s
+    * replayable double arithmetic (same CASE, same rounding). Exact
+    * differences off the full hash sets certify, with err in bp of the
+    * union (the natural denominator: a tiny true difference under a
+    * huge union is a share estimate, not a ratio estimate). When the
+    * merged sketch holds fewer than k values both sketches are complete
+    * and every estimate is exact by construction.
+    *
+    * Scale shape: identical to [[kmvOverlap]] — k-row sketches into the
+    * pair stage, one bounded pair aggregate; sketch build shared via
+    * [[kmvSketch]] so the two operations cannot hash or rank apart.
+    */
+  def kmvDifference(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (hashes, sketch) = kmvSketch(df, groupCol, valueCol, k)
+    val types = sketch.select(col("g")).distinct()
+    val pairs = broadcast(types.select(col("g").as("ta"))
+      .crossJoin(broadcast(types.select(col("g").as("tb"))))
+      .where(col("ta") < col("tb")))
+    val merged = pairs
+      .join(sketch, col("g") === col("ta") || col("g") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("hc"))
+      .agg(max(when(col("g") === col("ta"), 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === col("tb"), 1).otherwise(0)).as("in_b"))
+    val pairW = Window.partitionBy(col("ta"), col("tb"))
+    val est = merged
+      .withColumn("urk", row_number().over(pairW.orderBy(col("hc").asc)))
+      .withColumn("cnt", count(lit(1)).over(pairW))
+      .withColumn("kk", least(lit(k.toLong), col("cnt")))
+      .where(col("urk") <= col("kk"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("cnt")).as("cnt"), max(col("kk")).as("kk"),
+        sum((col("in_a") * (lit(1) - col("in_b"))).cast("long"))
+          .as("a_only"),
+        sum(((lit(1) - col("in_a")) * col("in_b")).cast("long"))
+          .as("b_only"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("matches"),
+        max(when(col("urk") === col("kk"), col("hc"))).as("u_kth"))
+    val nper = hashes.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = hashes.select(col("g").as("ga"), col("hc"))
+      .join(hashes.select(col("g").as("gb"), col("hc")), "hc")
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga").as("ta"), col("gb").as("tb"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val mD = 4503599627370496.0 // 2^52, the hash space
+    val unionEst =
+      when(col("cnt") < k.toLong, col("cnt").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(mD) /
+          col("u_kth").cast("double"))
+    est
+      .join(nper.select(col("g").as("ta"), col("n").as("n_a")), "ta")
+      .join(nper.select(col("g").as("tb"), col("n").as("n_b")), "tb")
+      .join(inter, Seq("ta", "tb"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("diff_a_exact", col("n_a") - col("inter_exact"))
+      .withColumn("diff_b_exact", col("n_b") - col("inter_exact"))
+      .withColumn("union_exact",
+        col("n_a") + col("n_b") - col("inter_exact"))
+      .withColumn("diff_a_est", round(
+        unionEst * col("a_only").cast("double") / col("kk").cast("double"),
+        2))
+      .withColumn("diff_b_est", round(
+        unionEst * col("b_only").cast("double") / col("kk").cast("double"),
+        2))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("a_only"), col("b_only"), col("matches"), col("kk"),
+        col("diff_a_exact"), col("diff_b_exact"),
+        col("diff_a_est"), col("diff_b_est"),
+        round(abs(col("diff_a_est") -
+          col("diff_a_exact").cast("double")) /
+          col("union_exact").cast("double") * 10000.0, 0)
+          .cast("long").as("diff_a_err_bp"),
+        round(abs(col("diff_b_est") -
+          col("diff_b_exact").cast("double")) /
+          col("union_exact").cast("double") * 10000.0, 0)
+          .cast("long").as("diff_b_err_bp"))
       .orderBy(col("ta"), col("tb"))
   }
 

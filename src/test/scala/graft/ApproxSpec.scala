@@ -179,6 +179,32 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(uEst - 4500.0) / 4500.0 < 0.5, s"union_est $uEst")
   }
 
+  test("kmvDifference: complete-sketch pairs are exact; the one-sided " +
+      "shares decompose the merged sketch; oversized estimates track") {
+    val small = ((0 until 40).map(v => ("a", v)) ++
+      (20 until 60).map(v => ("b", v))).toDF("g", "v")
+    val r = Approx.kmvDifference(small, "g", "v").collect().head
+    assert(r.getAs[Long]("diff_a_exact") == 20L &&
+      r.getAs[Long]("diff_b_exact") == 20L)
+    assert(r.getAs[Double]("diff_a_est") == 20.0 &&
+      r.getAs[Double]("diff_b_est") == 20.0)
+    assert(r.getAs[Long]("diff_a_err_bp") == 0L &&
+      r.getAs[Long]("diff_b_err_bp") == 0L)
+    // the merged sketch partitions exactly: a_only + b_only + matches = kk
+    assert(r.getAs[Long]("a_only") + r.getAs[Long]("b_only") +
+      r.getAs[Long]("matches") == r.getAs[Long]("kk"))
+    // oversized sets: a 0..2999, b 1500..4499 -> |A\B| = |B\A| = 1500
+    val big = ((0 until 3000).map(v => ("a", v)) ++
+      (1500 until 4500).map(v => ("b", v))).toDF("g", "v")
+    val rb = Approx.kmvDifference(big, "g", "v").collect().head
+    assert(rb.getAs[Long]("diff_a_exact") == 1500L)
+    assert(rb.getAs[Long]("a_only") + rb.getAs[Long]("b_only") +
+      rb.getAs[Long]("matches") == rb.getAs[Long]("kk"))
+    // k=64 sampling: the share estimate lands within ~3 sd of truth
+    val est = rb.getAs[Double]("diff_a_est")
+    assert(math.abs(est - 1500.0) / 4500.0 < 0.25, s"diff_a_est $est")
+  }
+
   test("bloomJoinAudit: no false negatives, plausible FP rate, exact counts") {
     val build = (1 to 100).map(k => k * 7).toDF("k") // keys 7,14,...,700
     val probe = (1 to 5000).map(k => k.toLong).toDF("p")
@@ -379,6 +405,19 @@ class ApproxSpec extends SparkSpec {
       assert(r.getAs[Long]("err_bp") == 0L)
       assert(r.getAs[Boolean]("rollup_matches"))
     }
+  }
+
+  test("quantile sketch quantile validation fails fast: non-centile, " +
+      "out-of-range, and colliding labels all throw") {
+    def rollup(qs: Seq[Double]) = Approx.quantileRollup(qskFixture, "g",
+      "ts", "id", "value", "2024-03-01", "2024-03-03", k = 4, qs = qs)
+    intercept[IllegalArgumentException](rollup(Seq(0.0)))
+    intercept[IllegalArgumentException](rollup(Seq(1.5)))
+    intercept[IllegalArgumentException](rollup(Seq(0.955)))       // not a centile
+    intercept[IllegalArgumentException](rollup(Seq(0.5, 0.5)))    // label collision
+    intercept[IllegalArgumentException](
+      Approx.quantileTimeline(qskFixture, "g", "ts", "id", "value",
+        k = 4, qs = Seq(-0.5)))
   }
 
   test("quantileTimeline: final-day estimate equals the full-range " +
