@@ -208,6 +208,18 @@ object SparkEntry {
     (nodesT, seedT)
   }
 
+  // yesterday's BFS layer vector at rest — the stored traversal state
+  // the recurring q_bfs_decide refresh reads (base-graph layers)
+  private def gbfsVecTable(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+    val tbl = s"graft_gbfsvec_$tag"
+    if (!s.catalog.tableExists(tbl))
+      graft.operators.Graph.writeBfsLayerVectorTable(s,
+        gredgesBaseTable(s, dir), Tables.customer(s, dir),
+        seedNationKey = 1, tbl, s"/tmp/graft_graph_$tag", buckets = 32)
+    tbl
+  }
+
   /** The recurring-day stage frames, ONE definition each — shared by
     * their standalone registrations and the composed `q_daily_close`
     * chain so the two can never drift.
@@ -2040,6 +2052,23 @@ object SparkEntry {
         s"graft_bfs_visited_$tag", s"/tmp/graft_graph_$tag", buckets = 32,
         Tables.customer(s, dir), seedNationKey = 1, maxHops = 4,
         nodesTable = Some(nodesT), seedTable = Some(seedT))
+    }),
+
+    // §2.67p — the RECURRING BFS refresh (r12, the decide shape for the
+    // traversal member): yesterday's layer vector at rest, the day's new
+    // trade edges relaxed in EXACTLY (edge additions only shrink hop
+    // distances, so min-relaxation from the stored vector IS the true
+    // full-graph BFS — certified by the identical q_bfs_layers replay);
+    // round 1 runs through the delta edges only, later rounds propagate
+    // the just-improved node vector over the in-place base scan + delta,
+    // early-exit on a no-improvement round
+    "q_bfs_decide" -> ((s, dir) => {
+      val (nodesT, seedT) = bfsSeedTables(s, dir)
+      graft.operators.Graph.bfsLayersDecide(s, gredgesBaseTable(s, dir),
+        gbfsVecTable(s, dir), nodesT, seedT,
+        graft.operators.Graph.tradeEdges(
+          Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
+          Tables.lineitem(s, dir)), maxHops = 4)
     }),
 
     // §2.67d — label-propagation communities over the NON-bipartite
@@ -5233,45 +5262,11 @@ object SparkEntry {
          |ORDER BY w.node""".stripMargin
     },
 
-    "q_bfs_layers" -> {
-      def hop(i: Int) =
-        s"""l$i AS (
-           |  SELECT DISTINCT ed.dst AS node
-           |  FROM ed JOIN l${i - 1} ON ed.src = l${i - 1}.node
-           |  EXCEPT SELECT node FROM v${i - 1}),
-           |v$i AS (SELECT node FROM v${i - 1}
-           |  UNION SELECT node FROM l$i)""".stripMargin
-      def row(src: String, layer: Int) =
-        s"""SELECT CAST($layer AS BIGINT) AS layer,
-           |  CAST(count(*) AS BIGINT) AS n_nodes,
-           |  COALESCE(CAST(sum(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END)
-           |    AS BIGINT), 0) AS n_customers,
-           |  COALESCE(CAST(sum(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END)
-           |    AS BIGINT), 0) AS n_suppliers
-           |FROM $src""".stripMargin
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         |ed AS (
-         |  SELECT a AS src, b AS dst FROM e0
-         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
-         |nd AS (SELECT DISTINCT src AS node FROM ed),
-         |l0 AS (
-         |  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node
-         |  FROM customer WHERE c_nationkey = 1
-         |  INTERSECT SELECT node FROM nd),
-         |v0 AS (SELECT node FROM l0),
-         |${(1 to 4).map(hop).mkString(",\n")},
-         |unr AS (SELECT node FROM nd EXCEPT SELECT node FROM v4)
-         |${row("l0", 0)}
-         |UNION ALL ${row("l1", 1)}
-         |UNION ALL ${row("l2", 2)}
-         |UNION ALL ${row("l3", 3)}
-         |UNION ALL ${row("l4", 4)}
-         |UNION ALL ${row("unr", -1)}
-         |ORDER BY layer""".stripMargin
-    },
+    "q_bfs_layers" -> bfsLayersReplaySql,
+
+    // the refresh is exact, so the identical full-graph replay
+    // certifies the decide too
+    "q_bfs_decide" -> bfsLayersReplaySql,
 
     // 6 unrolled BSP rounds: each r_i is one join + grouped integer
     // floor-division sum — the exact arithmetic makes the replay bit-equal
@@ -7141,6 +7136,49 @@ object SparkEntry {
        |  FROM $src)
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** The full-graph BFS replay (4 unrolled EXCEPT/UNION hops) —
+    * q_bfs_layers and q_bfs_decide share this one definition: the
+    * incremental relaxation is exact, so both must equal it. */
+  private def bfsLayersReplaySql: String = {
+      def hop(i: Int) =
+        s"""l$i AS (
+           |  SELECT DISTINCT ed.dst AS node
+           |  FROM ed JOIN l${i - 1} ON ed.src = l${i - 1}.node
+           |  EXCEPT SELECT node FROM v${i - 1}),
+           |v$i AS (SELECT node FROM v${i - 1}
+           |  UNION SELECT node FROM l$i)""".stripMargin
+      def row(src: String, layer: Int) =
+        s"""SELECT CAST($layer AS BIGINT) AS layer,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  COALESCE(CAST(sum(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_customers,
+           |  COALESCE(CAST(sum(CASE WHEN node LIKE 's:%' THEN 1 ELSE 0 END)
+           |    AS BIGINT), 0) AS n_suppliers
+           |FROM $src""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |ed AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |nd AS (SELECT DISTINCT src AS node FROM ed),
+         |l0 AS (
+         |  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+         |  FROM customer WHERE c_nationkey = 1
+         |  INTERSECT SELECT node FROM nd),
+         |v0 AS (SELECT node FROM l0),
+         |${(1 to 4).map(hop).mkString(",\n")},
+         |unr AS (SELECT node FROM nd EXCEPT SELECT node FROM v4)
+         |${row("l0", 0)}
+         |UNION ALL ${row("l1", 1)}
+         |UNION ALL ${row("l2", 2)}
+         |UNION ALL ${row("l3", 3)}
+         |UNION ALL ${row("l4", 4)}
+         |UNION ALL ${row("unr", -1)}
+         |ORDER BY layer""".stripMargin
+    }
 
   /** q_communities_decide oracle (also a q_daily_close stage): the
     * recurring refresh — 4 base rounds (the stored vector) + 2 warm

@@ -48,7 +48,7 @@ object Graph {
 
   /** The undirected customer–supplier edge list (both directions), the
     * shared substrate of [[pageRank]] and [[bfsLayers]]. */
-  private def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  private[graft] def tradeEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val raw = orders.select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem.select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -1200,6 +1200,130 @@ object Graph {
     * counts where [[bfsLayers]]' `broadcast(visited)` cannot fit an
     * executor.
     */
+  /** Persist the per-node BFS layer vector over a bucketed edge table —
+    * the stored traversal state [[bfsLayersDecide]] warm-starts from
+    * (the writeRankVectorTable discipline applied to layers): `maxHops`
+    * frontier hops from the nation-seeded customer set, each node
+    * recorded with the hop that reached it; UNREACHED nodes are simply
+    * absent (the decide treats absence as distance ∞). Saved bucketed
+    * by node. One-off amortized cost, like every stored vector. */
+  def writeBfsLayerVectorTable(spark: SparkSession, edgeTable: String,
+      customer: DataFrame, seedNationKey: Int, table: String,
+      root: String, buckets: Int, maxHops: Int = 4,
+      reliableStagePath: Option[String] = None): Unit = {
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val edges = spark.table(edgeTable)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var frontier = stager(customer
+      .where(col("c_nationkey") === seedNationKey)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node"))
+      .hint("merge").join(nodes, "node"), "blv_f0")
+    var acc = stager(frontier.select(col("node"), lit(0L).as("layer")),
+      "blv_a0")
+    var exhausted = frontier.limit(1).count() == 0
+    for (hop <- 1 to maxHops if !exhausted) {
+      frontier = stager(edges
+        .join(frontier.select(col("node").as("src")).hint("merge"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(acc, Seq("node"), "left_anti"), s"blv_f$hop")
+      exhausted = frontier.limit(1).count() == 0
+      acc = stager(acc.unionByName(
+        frontier.select(col("node"), lit(hop.toLong).as("layer"))),
+        s"blv_a$hop")
+    }
+    acc.repartition(buckets, col("node"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "node").sortBy("node")
+      .saveAsTable(table)
+  }
+
+  /** The RECURRING BFS refresh — the decide shape for the traversal
+    * member: yesterday's layer vector is at rest ([[
+    * writeBfsLayerVectorTable]] over the BASE graph), the day adds
+    * `deltaEdges`, and the refreshed layers come from EXACT incremental
+    * unit-weight relaxation instead of a from-scratch traversal. Edge
+    * additions only SHRINK hop distances (and the seed set only grows
+    * with new nation-matched customer nodes), so min-relaxation from
+    * the stored vector converges to the true full-graph BFS layers —
+    * certified by the IDENTICAL q_bfs_layers replay, not a drift bound.
+    *
+    * Rounds: the first relaxation step runs through the DELTA edges
+    * only — a new node carries only delta edges, and any improvement
+    * sourced at an unchanged old node through an old edge was already
+    * in the stored vector — then each later round propagates from the
+    * just-improved set over base (in-place bucketed scan) + delta.
+    * An improvement chain raises its target layer by ≥1 per hop and
+    * layers are capped at `maxHops`, so ≤ `maxHops` rounds suffice and
+    * the loop exits early when a round improves nothing. Per round the
+    * exchanged frames are the changed-node vector and the candidate
+    * set — node-bounded, never the edges (the warmRankLoop shape).
+    *
+    * Output: the same bounded per-layer count rows as q_bfs_layers
+    * (layers −1 and 0..maxHops, zero rows included), aggregated from
+    * the refreshed vector in ONE pass + a (maxHops+2)-row grid join.
+    */
+  def bfsLayersDecide(spark: SparkSession, baseEdgeTable: String,
+      layerTable: String, nodesTable: String, seedTable: String,
+      deltaEdges: DataFrame, maxHops: Int = 4,
+      reliableStagePath: Option[String] = None): DataFrame = {
+    require(maxHops >= 1)
+    val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    val base = spark.table(baseEdgeTable).select(col("src"), col("dst"))
+    val delta = stager(deltaEdges.select(col("src"), col("dst"))
+      .distinct(), "bfd_delta")
+    // init: full node set; seeds at 0 (new seeds included), stored
+    // layers for old nodes, null = unreached/∞
+    var lay = stager(spark.table(nodesTable)
+      .join(spark.table(seedTable).select(col("node"), lit(1).as("sd"))
+        .hint("merge"), Seq("node"), "left")
+      .join(spark.table(layerTable).hint("merge"), Seq("node"), "left")
+      .select(col("node"),
+        when(col("sd") === 1, lit(0L)).otherwise(col("layer"))
+          .as("layer")), "bfd_l0")
+    // one relaxation step: min over the given edges of source layer + 1,
+    // kept only where it genuinely improves the current vector
+    def relax(edges: DataFrame, sources: DataFrame): DataFrame =
+      edges
+        .join(sources.where(col("layer").isNotNull)
+          .select(col("node").as("src"), col("layer")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("layer")) + 1L).as("cand"))
+        .where(col("cand") <= maxHops)
+        .join(lay, Seq("node"))
+        .where(col("layer").isNull || col("cand") < col("layer"))
+        .select(col("node"), col("cand").as("layer"))
+    var changed = stager(relax(delta, lay), "bfd_c1")
+    var exhausted = changed.limit(1).count() == 0
+    var round = 1
+    while (!exhausted && round <= maxHops) {
+      lay = stager(lay.join(changed.select(col("node"),
+          col("layer").as("new_layer")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_layer"), col("layer")).as("layer")),
+        s"bfd_l$round")
+      changed = stager(
+        relax(base, changed).unionByName(relax(delta, changed))
+          .groupBy(col("node")).agg(min(col("layer")).as("layer")),
+        s"bfd_c${round + 1}")
+      exhausted = changed.limit(1).count() == 0
+      round += 1
+    }
+    val agg = lay
+      .groupBy(coalesce(col("layer"), lit(-1L)).as("layer"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(when(col("node").startsWith("c:"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_customers"),
+        coalesce(sum(when(col("node").startsWith("s:"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_suppliers"))
+    spark.range(maxHops + 2)
+      .select((col("id") - 1).cast("long").as("layer"))
+      .join(agg, Seq("layer"), "left")
+      .select(col("layer"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("layer"))
+  }
+
   /** Persist the node and seed tables the bucketed BFS reads — the
     * warehouse-table treatment for the traversal's per-run fixed costs
     * (r12, judge item 6): the node set is TWO full edge-table distinct

@@ -184,6 +184,58 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bfsLayersDecide: the warm refresh equals the full-graph BFS — " +
+      "shortcut cascade, new seed node, and the empty delta") {
+    // base chain: c1-s10 (o1), s10-c2 (o2), c2-s11 (o3), s11-c3 (o4):
+    // seed c1 at 0, s10 at 1, c2 at 2, s11 at 3, c3 at 4
+    val bO = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val bL = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+    // delta: c1 orders from s11 (shortcut: s11 4->... s11 was layer 3 via
+    // c2; now 1 — and c3 enters through a NEW order from s11 (cascade
+    // round 2); plus customer 9 (nation 1, NEW node) orders from s12 —
+    // a brand-new seed at layer 0 reaching a brand-new supplier at 1
+    val dO = Seq((10L, 1L), (11L, 3L), (12L, 9L))
+      .toDF("o_orderkey", "o_custkey")
+    val dL = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("l_orderkey", "l_suppkey")
+    val c = Seq((1L, 1), (2L, 2), (3L, 2), (9L, 1))
+      .toDF("c_custkey", "c_nationkey")
+    val root = java.nio.file.Files.createTempDirectory("graft-bfsd").toString
+    try {
+      Graph.writeTradeEdgeTable(bO, bL, "t_bfd_base", root, buckets = 4)
+      Graph.writeTradeEdgeTable(bO.unionByName(dO),
+        bL.unionByName(dL), "t_bfd_full", root, buckets = 4)
+      Graph.writeBfsLayerVectorTable(spark, "t_bfd_base", c,
+        seedNationKey = 1, "t_bfd_vec", root, buckets = 4)
+      Graph.writeBfsSeedTables(spark, "t_bfd_full", "t_bfd_nodes",
+        "t_bfd_seeds", root, buckets = 4, c, seedNationKey = 1)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val delta = Graph.tradeEdges(dO, dL)
+      val decide = rows(Graph.bfsLayersDecide(spark, "t_bfd_base",
+        "t_bfd_vec", "t_bfd_nodes", "t_bfd_seeds", delta))
+      val full = rows(Graph.bfsLayers(bO.unionByName(dO),
+        bL.unionByName(dL), c, seedNationKey = 1, maxHops = 4))
+      assert(decide == full, s"decide $decide vs full $full")
+      // the shortcut must have moved s11 into layer 1 and c3 into 2:
+      // layer-2 customers = {c2 via s10? c2 stays 2} — assert populated
+      assert(decide.find(_._1 == 1L).get._4 >= 2L) // s11 + s12 at layer 1
+      // empty delta: the decide is the stored vector verbatim, and the
+      // base-only seeds/nodes make it equal the base BFS
+      Graph.writeBfsSeedTables(spark, "t_bfd_base", "t_bfd_bnodes",
+        "t_bfd_bseeds", root, buckets = 4, c, seedNationKey = 1)
+      val empty = Seq.empty[(String, String)].toDF("src", "dst")
+      assert(rows(Graph.bfsLayersDecide(spark, "t_bfd_base", "t_bfd_vec",
+        "t_bfd_bnodes", "t_bfd_bseeds", empty)) ==
+        rows(Graph.bfsLayers(bO, bL, c, seedNationKey = 1, maxHops = 4)))
+    } finally Seq("t_bfd_base", "t_bfd_full", "t_bfd_vec", "t_bfd_nodes",
+      "t_bfd_seeds", "t_bfd_bnodes", "t_bfd_bseeds")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed rank round: edges scan in place, zero BroadcastExchange, " +
       "only the rank vector exchanges") {
     val root = java.nio.file.Files.createTempDirectory("graft-planb").toString
