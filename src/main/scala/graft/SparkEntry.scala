@@ -4580,7 +4580,8 @@ object SparkEntry {
          |    event_id AS id,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
-         |  FROM events),
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
          |n AS (
          |  SELECT g, day, CAST(count(*) AS BIGINT) AS n_day
          |  FROM e GROUP BY 1, 2),
@@ -4609,7 +4610,8 @@ object SparkEntry {
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
          |  FROM events
-         |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
          |    AND DATE '2024-01-22'),
          |daily AS (
          |  SELECT * FROM (
@@ -4696,7 +4698,8 @@ object SparkEntry {
          |    event_id AS id,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
-         |  FROM events),
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
          |daily AS MATERIALIZED (
          |  SELECT * FROM (
          |    SELECT g, day, hk, id, v, row_number() OVER (

@@ -386,6 +386,17 @@ object Approx {
     * Scale shape: state is min(k, n) rows per (group, day) forever; the
     * build is the skew-safe two-phase rank + one bounded count join —
     * no per-group sort of raw data ever.
+    *
+    * Contracts (shared by [[quantileRollup]] / [[quantileTimeline]]):
+    * `idCol` must be GLOBALLY UNIQUE across days — an id recurring on
+    * multiple days would occupy one state slot per day while the direct
+    * range sketch ranks it per raw row, which can flip the rollup
+    * identity verdict and bias the estimator. Rows with a NULL group or
+    * NULL value are excluded up front (the [[kmvSketch]] isNotNull
+    * discipline): a NULL value has no rank position — engines disagree
+    * on NULL sort order — and a NULL group would silently vanish in the
+    * rollup/timeline equi-joins; `n_day`/`n_range` therefore count
+    * non-NULL-valued rows only, matching SQL aggregate semantics.
     */
   def quantileSketchDaily(df: DataFrame, groupCol: String, tsCol: String,
       idCol: String, valueCol: String, k: Int = 128): DataFrame = {
@@ -412,7 +423,8 @@ object Approx {
 
   private def quantileSketchBase(df: DataFrame, groupCol: String,
       tsCol: String, idCol: String, valueCol: String): DataFrame =
-    df.select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
+    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
         col(idCol).cast("long").as("id"),
         (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
       .withColumn("hk", quantileSketchHash(col("id")))
@@ -1146,9 +1158,13 @@ object Approx {
     * single-fold audit uses 1. State: m counters per (group, day)
     * forever; the merge touches only summaries (m·days rows per group).
     *
-    * Input must carry (g, day, i, o1, o2); g and day values must not
-    * contain a tab (the composite-key separator, as in the sharded
-    * fold).
+    * Input must carry (g, day, i, o1, o2); g and day values must be
+    * NON-NULL and must not contain a tab (the composite-key separator,
+    * as in the sharded fold — concat null-propagates, so a NULL g or
+    * day would collapse that group's days into one NULL composite that
+    * the downstream null-unsafe equi-joins then drop silently; callers
+    * with nullable keys must coalesce to a sentinel first, the
+    * [[Reconcile]] escape discipline).
     */
   def spaceSavingRollupAudit(items: DataFrame, m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

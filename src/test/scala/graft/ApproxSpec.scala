@@ -420,6 +420,32 @@ class ApproxSpec extends SparkSpec {
         k = 4, qs = Seq(-0.5)))
   }
 
+  test("quantile sketch NULL contract: NULL-group and NULL-value rows " +
+      "are excluded up front, and the fixture ids are globally unique") {
+    // the documented contract: a NULL value has no rank position and a
+    // NULL group would vanish in the rollup equi-joins — both are
+    // filtered at the base, so n_day counts non-NULL-valued rows only
+    val withNulls = qskFixture.unionByName(Seq(
+      (null.asInstanceOf[String], java.sql.Timestamp.valueOf(
+        "2024-03-01 10:00:00"), 9001L, 1.23),
+      ("m", java.sql.Timestamp.valueOf("2024-03-02 10:00:00"), 9002L,
+        0.0)).toDF("g", "ts", "id", "value")
+      .withColumn("value", org.apache.spark.sql.functions
+        .when(org.apache.spark.sql.functions.col("id") === 9002L,
+          org.apache.spark.sql.functions.lit(null)).otherwise(
+          org.apache.spark.sql.functions.col("value"))))
+    val daily = Approx.quantileSketchDaily(withNulls, "g", "ts", "id",
+      "value", k = 2048).collect()
+    assert(daily.forall(_.getAs[String]("g") == "m"))
+    assert(!daily.exists(r => r.getAs[Long]("id") == 9001L ||
+      r.getAs[Long]("id") == 9002L))
+    assert(daily.forall(_.getAs[Long]("n_day") == 400L))
+    // the merge-law precondition (UNIQUE idCol) holds on this fixture —
+    // the same property the registered events fixture carries
+    val ids = qskFixture.select("id").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("quantileTimeline: final-day estimate equals the full-range " +
       "rollup, running counts and samples are monotone") {
     val out = Approx.quantileTimeline(qskFixture, "g", "ts", "id",
