@@ -540,8 +540,20 @@ object Graph {
       reliableStagePath: Option[String] = None): DataFrame = {
     require(incrRounds >= 1)
     val stager = new Dedup.RoundStager(spark, reliableStagePath)
-    val base = spark.table(baseTable)
-    val stored = spark.table(labelTable)
+    communityRollup(warmLabelLoop(spark.table(baseTable),
+      spark.table(labelTable).select(col("node"), col("label")),
+      deltaEdges, incrRounds, stager))
+  }
+
+  /** The shared warm LPA machinery of [[labelPropagationWarmBucketed]]
+    * and [[writeWarmLabelVectorTable]]: coalesce the stored labels over
+    * the post-delta node set, `incrRounds` incremental vote rounds
+    * ([[lpaIncrRound]] — base scans in place). Returns the raw
+    * (node, label) vector — the state the NEXT day warm-starts from;
+    * the canonical min-member rollup is the PUBLISHED face only. */
+  private def warmLabelLoop(base: DataFrame, stored: DataFrame,
+      deltaEdges: DataFrame, incrRounds: Int,
+      stager: Dedup.RoundStager): DataFrame = {
     val delta = stager(deltaEdges, "wlpa_delta")
     val nodes = stager(base.select(col("src").as("node")).distinct()
       .unionByName(delta.select(col("src").as("node")))
@@ -551,6 +563,15 @@ object Graph {
         coalesce(col("label"), col("node")).as("label")), "wlpa_0")
     for (i <- 1 to incrRounds)
       labels = stager(lpaIncrRound(base, delta, labels), s"wlpa_$i")
+    labels
+  }
+
+  /** The published community face of a raw (node, label) vector:
+    * min-member canonical community ids + member counts (the
+    * [[labelPropagationWarmBucketed]] contract) — also how a close
+    * publishes yesterday's PERSISTED label vector without recomputing
+    * any vote round. */
+  def communityRollup(labels: DataFrame): DataFrame = {
     val canon = labels.groupBy(col("label"))
       .agg(min(col("node")).as("community"),
         count(lit(1)).as("n_members"))
@@ -558,6 +579,23 @@ object Graph {
       .select(col("node"), col("community"), col("n_members"))
       .orderBy(col("node"))
   }
+
+  /** Persist the POST-WARM label vector — day N's close output at rest,
+    * the stored state day N+1's [[labelPropagationWarmBucketed]] reads
+    * (the multi-day cadence handoff): the same [[warmLabelLoop]] as the
+    * published refresh, so the persisted state and the published
+    * rollup cannot drift; saved bucketed by node like
+    * [[writeLabelVectorTable]]. */
+  def writeWarmLabelVectorTable(spark: SparkSession, baseTable: String,
+      labelTable: String, deltaEdges: DataFrame, table: String,
+      root: String, buckets: Int, incrRounds: Int = 2): Unit =
+    warmLabelLoop(spark.table(baseTable),
+      spark.table(labelTable).select(col("node"), col("label")),
+      deltaEdges, incrRounds, new Dedup.RoundStager(spark, None))
+      .repartition(buckets, col("node"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "node").sortBy("node")
+      .saveAsTable(table)
 
   /** EXACT incremental k-NN skeleton refresh — the feature-store update
     * path: a delta of pair-weight increments can only change the top-k
@@ -1135,14 +1173,46 @@ object Graph {
       reliableStagePath: Option[String] = None): DataFrame = {
     require(incrIters >= 1)
     val stager = new Dedup.RoundStager(spark, reliableStagePath)
+    // select (node, pr) only: the stored vector may also carry `deg`
+    // (writeWarmRankVectorTable persists the full warm frame), which
+    // would collide with the freshly rebuilt degree column
     val warm = warmRankLoop(spark.table(baseTable),
-      spark.table(vectorTable), deltaOrders, deltaLineitem, incrIters,
-      stager)
+      spark.table(vectorTable).select(col("node"), col("pr")),
+      deltaOrders, deltaLineitem, incrIters, stager)
     warm.select(col("node").as("node_id"), col("pr").as("rank_micro"),
         col("deg").as("degree"))
       .orderBy(col("rank_micro").desc, col("node_id").asc)
       .limit(topK)
   }
+
+  /** The FULL post-warm rank vector (node, pr, deg) — what a close
+    * actually hands to the next day, where [[pageRankWarmBucketed]]
+    * publishes only the top-K face: the same [[warmRankLoop]], so the
+    * persisted state and the published ranking cannot drift. */
+  def pageRankWarmVector(spark: SparkSession, baseTable: String,
+      vectorTable: String, deltaOrders: DataFrame,
+      deltaLineitem: DataFrame, incrIters: Int = 3): DataFrame =
+    warmRankLoop(spark.table(baseTable),
+      spark.table(vectorTable).select(col("node"), col("pr")),
+      deltaOrders, deltaLineitem, incrIters,
+      new Dedup.RoundStager(spark, None))
+
+  /** Persist the POST-WARM rank vector — day N's close output at rest,
+    * the stored state day N+1's warm refresh reads (the multi-day
+    * cadence handoff, [[writeWarmLabelVectorTable]]'s rank twin).
+    * Saved bucketed by node like [[writeRankVectorTable]]; `deg` (the
+    * day-N graph degree) rides along so the published top-K face is a
+    * pure read of this table. */
+  def writeWarmRankVectorTable(spark: SparkSession, baseTable: String,
+      vectorTable: String, deltaOrders: DataFrame,
+      deltaLineitem: DataFrame, table: String, root: String,
+      buckets: Int, incrIters: Int = 3): Unit =
+    pageRankWarmVector(spark, baseTable, vectorTable, deltaOrders,
+      deltaLineitem, incrIters)
+      .repartition(buckets, col("node"))
+      .write.mode("overwrite").option("path", s"$root/$table")
+      .bucketBy(buckets, "node").sortBy("node")
+      .saveAsTable(table)
 
   /** The shared warm-start machinery of [[pageRankWarmBucketed]] and
     * [[pageRankIncrementalBucketed]]: dedup the delta against the base

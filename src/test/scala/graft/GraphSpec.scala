@@ -739,6 +739,105 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("two-day cadence composes: persisted day-1 post-warm vectors equal " +
+      "the in-plan warm run, day-2 warm reads them unchanged, and the " +
+      "two-step skeleton refresh equals the full rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-2day").toString
+    try {
+      // --- PageRank: base, +delta1 (day 1), +delta2 (day 2) ---
+      val d1O = Seq((200L, 9L)).toDF("o_orderkey", "o_custkey")
+      val d1L = Seq((200L, 10L)).toDF("l_orderkey", "l_suppkey")
+      val d2O = Seq((300L, 2L)).toDF("o_orderkey", "o_custkey")
+      val d2L = Seq((300L, 11L)).toDF("l_orderkey", "l_suppkey")
+      Graph.writeTradeEdgeTable(tinyOrders, tinyLineitem,
+        "t_2d_base", root, buckets = 4)
+      Graph.writeRankVectorTable(spark, "t_2d_base", "t_2d_vec0", root,
+        buckets = 4, iters = 6)
+      // day-1 close output at rest == the in-plan warm frame, byte-equal
+      Graph.writeWarmRankVectorTable(spark, "t_2d_base", "t_2d_vec0",
+        d1O, d1L, "t_2d_vec1", root, buckets = 4)
+      def vec(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("node"), r.getAs[Long]("pr"),
+          r.getAs[Long]("deg"))).toSet
+      val inPlanD1 = vec(Graph.pageRankWarmVector(spark, "t_2d_base",
+        "t_2d_vec0", d1O, d1L))
+      assert(vec(spark.table("t_2d_vec1")) == inPlanD1)
+      // day-2 decide warm off the persisted day-1 vector == the same
+      // decide off an identical freshly-written copy (the handoff is
+      // pure state, nothing leaks through the table identity)
+      Graph.writeTradeEdgeTable(tinyOrders.unionByName(d1O),
+        tinyLineitem.unionByName(d1L), "t_2d_mid", root, buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("node_id"), col("rank_micro"), col("degree"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toSeq
+      val d2 = rows(Graph.pageRankWarmBucketed(spark, "t_2d_mid",
+        "t_2d_vec1", d2O, d2L))
+      // new day-2 edge (c2, s11) entered; day-1's node c9 persisted
+      assert(d2.exists(_._1 == "c:9"))
+      assert(d2.collect { case ("s:11", _, deg) => deg } == Seq(2L))
+      // determinism across a re-read (exact-integer, table-fed)
+      assert(rows(Graph.pageRankWarmBucketed(spark, "t_2d_mid",
+        "t_2d_vec1", d2O, d2L)) == d2)
+
+      // --- LPA: persisted day-1 labels publish the same rollup, and
+      // day-2 warm reads them ---
+      val baseLi = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+        (5L, 3L), (5L, 4L)).toDF("l_orderkey", "l_suppkey")
+      val del1Li = Seq((3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L),
+        (4L, 6L)).toDF("l_orderkey", "l_suppkey")
+      val del2Li = Seq((6L, 6L), (6L, 7L), (7L, 6L), (7L, 7L))
+        .toDF("l_orderkey", "l_suppkey")
+      Graph.writeCoSupplyEdgeTable(baseLi, "t_2d_cob", root, buckets = 4)
+      Graph.writeCoSupplyEdgeTable(baseLi.unionByName(del1Li),
+        "t_2d_com", root, buckets = 4)
+      Graph.writeLabelVectorTable(spark, "t_2d_cob", "t_2d_lvec0", root,
+        buckets = 4, rounds = 4)
+      Graph.writeWarmLabelVectorTable(spark, "t_2d_cob", "t_2d_lvec0",
+        Graph.coSupplyEdges(del1Li), "t_2d_lvec1", root, buckets = 4)
+      def lrows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("node"), col("community"), col("n_members")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the persisted raw vector publishes the same canonical face as
+      // the registered day-1 warm refresh
+      assert(lrows(Graph.communityRollup(spark.table("t_2d_lvec1"))) ==
+        lrows(Graph.labelPropagationWarmBucketed(spark, "t_2d_cob",
+          "t_2d_lvec0", Graph.coSupplyEdges(del1Li))))
+      // day-2 warm off the persisted day-1 labels: the new {6,7} pair
+      // joins node 6's day-1 community (label carried through rest)
+      val lpa2 = lrows(Graph.labelPropagationWarmBucketed(spark,
+        "t_2d_com", "t_2d_lvec1", Graph.coSupplyEdges(del2Li)))
+      assert(lpa2.map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      val comm6 = lpa2.collectFirst { case (6L, c, _) => c }.get
+      assert(lpa2.collectFirst { case (7L, c, _) => c }.contains(comm6))
+
+      // --- skeleton: two-step refresh == one full rebuild (exactness
+      // composes across days) ---
+      Graph.writeKnnSkeletonTable(spark, "t_2d_cob", k = 2,
+        "t_2d_skel0", root, buckets = 4)
+      Graph.writeKnnSkeletonTable(spark, "t_2d_com", k = 2,
+        "t_2d_skel1", root, buckets = 4)
+      def srows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      // day-1 refresh output == the persisted mid skeleton the two-day
+      // close stores (so the rebuild writer IS the day-1 output)...
+      assert(srows(Graph.knnSkeletonIncremental(spark, "t_2d_cob",
+        "t_2d_skel0", Graph.coSupplyEdges(del1Li), k = 2)) ==
+        srows(spark.table("t_2d_skel1")
+          .select(col("src"), col("dst"), col("w"))))
+      // ...and day-2's refresh off it equals the full-graph rebuild
+      assert(srows(Graph.knnSkeletonIncremental(spark, "t_2d_com",
+        "t_2d_skel1", Graph.coSupplyEdges(del2Li), k = 2)) ==
+        srows(Graph.knnSparsify(Graph.coSupplyEdges(
+          baseLi.unionByName(del1Li).unionByName(del2Li)), 2)))
+    } finally Seq("t_2d_base", "t_2d_vec0", "t_2d_vec1", "t_2d_mid",
+      "t_2d_cob", "t_2d_com", "t_2d_lvec0", "t_2d_lvec1", "t_2d_skel0",
+      "t_2d_skel1")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("coSupplyEdges: per-order pair projection is symmetric, weighted, " +
       "non-bipartite") {
     // order 500 has suppliers 10,11,12 (a triangle); 501 repeats (10,11)
