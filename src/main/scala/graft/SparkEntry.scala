@@ -1915,6 +1915,19 @@ object SparkEntry {
     // refresh actually pays, with 67h as its standing drift certificate
     "q_pagerank_decide" -> ((s, dir) => pagerankDecideFrame(s, dir)),
 
+    // §2.67r — the PLAIN day of the certifier cadence (r13 judge item 2,
+    // Graph.pageRankDaily with certifyEvery = 3, registered at day 1):
+    // the warm decide refresh digested + an integrity digest of the
+    // stored (node, pr) vector at rest — the oracle re-derives the base
+    // rounds, so the digest is a standing state-equals-derivation
+    // certificate at one in-place vector-scan cost; the 9-round scratch
+    // certifier (q_pagerank_incr) becomes the every-3rd-day arm
+    "q_pagerank_day" -> ((s, dir) =>
+      graft.operators.Graph.pageRankDaily(s, gredgesBaseTable(s, dir),
+        gprVectorTable(s, dir), gredgesTable(s, dir),
+        Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut)),
+        Tables.lineitem(s, dir), day = 1, certifyEvery = 3)),
+
     // §2.8b — per-column data profile: null rate, exact distinct, numeric
     // bounds (ts as epoch micros) in ONE aggregate pass — the descriptive
     // face of the rule-based validator
@@ -2248,6 +2261,19 @@ object SparkEntry {
     // rounds + the canonical community rollup; 67j stands as its
     // drift certificate
     "q_communities_decide" -> ((s, dir) => communitiesDecideFrame(s, dir)),
+
+    // §2.67s — q_pagerank_day's community twin (r13 judge item 2,
+    // Graph.labelPropagationDaily with certifyEvery = 3, day 1): the
+    // warm LPA decide digested + the stored (node, label) vector's
+    // integrity digest; the 6-round scratch certifier
+    // (q_communities_incr) becomes the every-3rd-day arm
+    "q_communities_day" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagationDaily(s,
+        gcosupBaseTable(s, dir), glpaVectorTable(s, dir),
+        gcosupTable(s, dir),
+        graft.operators.Graph.coSupplyEdges(
+          baseCutLineitem(s, dir, pre = false)),
+        day = 1, certifyEvery = 3)),
 
     // §2.67e — triangle census + local clustering coefficient over the
     // k-NN SKELETON of the co-supply projection (each supplier keeps its
@@ -5408,6 +5434,45 @@ object SparkEntry {
     // the min-member canonical rollup
     "q_communities_decide" -> communitiesDecideSql,
 
+    // q_pagerank_day's community twin: decide replay digested + the
+    // 4-round base label vector replay digested
+    "q_communities_day" -> {
+      def round(i: Int) =
+        s"""vvb$i AS (
+           |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+           |  FROM veb e JOIN vlb${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |vpb$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
+           |    FROM vvb$i) WHERE rk = 1),
+           |vlb$i AS MATERIALIZED (
+           |  SELECT l.node, COALESCE(p.label, l.label) AS label
+           |  FROM vlb${i - 1} l LEFT JOIN vpb$i p USING (node))""".stripMargin
+      s"""WITH ref AS ($communitiesDecideSql),
+         |vli AS (
+         |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE o.o_orderdate < TIMESTAMP '$incrCut'),
+         |vp0 AS MATERIALIZED (
+         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+         |  FROM vli x JOIN vli y ON x.ok = y.ok AND x.sk < y.sk
+         |  GROUP BY 1, 2),
+         |veb AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst, w FROM vp0
+         |  UNION ALL SELECT b, a, w FROM vp0),
+         |vlb0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM veb),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |vec AS (SELECT node, label FROM vlb4)
+         |${stageDigestSql("refresh", "ref", "node % 8",
+             Seq("node", "community", "n_members"))}
+         |UNION ALL
+         |${stageDigestSql("stored_vector", "vec", "node % 8",
+             Seq("node", "label"))}
+         |ORDER BY stage, part""".stripMargin
+    },
+
     // warm votes replay on the FULL pair frame — exact by weight
     // additivity over the order-log split (w_full = w_base + w_delta and
     // the vote aggregate sums them); 4 base rounds on the pre-cut
@@ -5508,6 +5573,40 @@ object SparkEntry {
     // the recurring warm refresh: the 67h pyramid minus the scratch
     // certifier — 6 base rounds (the stored vector) + 3 warm rounds
     "q_pagerank_decide" -> pagerankDecideSql,
+
+    // the plain day of the certifier cadence: the decide replay digested
+    // + the 6-round base vector replay digested — the stored vector table
+    // equals its derivation, certified at digest cost
+    "q_pagerank_day" -> {
+      def round_(name: String, prev: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+           |  FROM vbe e JOIN $prev r ON e.src = r.node
+           |  JOIN vbdg d ON e.src = d.src
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH ref AS ($pagerankDecideSql),
+         |vb0 AS (
+         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate < TIMESTAMP '$incrCut'),
+         |vbe AS (
+         |  SELECT a AS src, b AS dst FROM vb0
+         |  UNION ALL SELECT b AS src, a AS dst FROM vb0),
+         |vbdg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM vbe GROUP BY 1),
+         |vbr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM vbdg),
+         |${(1 to 6).map(i => round_(s"vbr$i", s"vbr${i - 1}"))
+             .mkString(",\n")},
+         |vec AS (SELECT node, pr FROM vbr6)
+         |${stageDigestSql("refresh", "ref", "substring(node_id, 1, 1)",
+             Seq("node_id", "rank_micro", "degree"))}
+         |UNION ALL
+         |${stageDigestSql("stored_vector", "vec", "substring(node, 1, 1)",
+             Seq("node", "pr"))}
+         |ORDER BY stage, part""".stripMargin
+    },
 
     // three unrolled pyramids: 6 base rounds on the pre-cut graph, 3
     // warm rounds on the full graph from the coalesced stored vector,

@@ -739,6 +739,79 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("certifier-cadence policy: the certify day IS the one-shot " +
+      "incremental chain byte-for-byte, the plain day is the decide + " +
+      "stored-state digest, and the refresh digest matches the decide") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cad").toString
+    try {
+      val dO = Seq((200L, 9L)).toDF("o_orderkey", "o_custkey")
+      val dL = Seq((200L, 10L)).toDF("l_orderkey", "l_suppkey")
+      Graph.writeTradeEdgeTable(tinyOrders, tinyLineitem,
+        "t_cad_base", root, buckets = 4)
+      Graph.writeTradeEdgeTable(tinyOrders.unionByName(dO),
+        tinyLineitem.unionByName(dL), "t_cad_full", root, buckets = 4)
+      Graph.writeRankVectorTable(spark, "t_cad_base", "t_cad_vec", root,
+        buckets = 4, iters = 6)
+      def anyRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+      // day 0 (certify): the policy IS the incremental chain, all
+      // columns including the drift certificate
+      assert(anyRows(Graph.pageRankDaily(spark, "t_cad_base", "t_cad_vec",
+        "t_cad_full", dO, dL, day = 0, certifyEvery = 3)) ==
+        anyRows(Graph.pageRankIncrementalBucketed(spark, "t_cad_base",
+          "t_cad_full", dO, dL, storedVectorTable = Some("t_cad_vec"))))
+      // day 1 (plain): the policy is the plain-day digest frame; its
+      // refresh stage equals a digest of the published decide columns
+      val plain = anyRows(Graph.pageRankDaily(spark, "t_cad_base",
+        "t_cad_vec", "t_cad_full", dO, dL, day = 1, certifyEvery = 3))
+      assert(plain == anyRows(Graph.pageRankPlainDay(spark, "t_cad_base",
+        "t_cad_vec", dO, dL)))
+      assert(plain.map(_.head.asInstanceOf[String]).toSet ==
+        Set("refresh", "stored_vector"))
+      val refDig = graft.validation.Reconcile.tableDigest(
+        Graph.pageRankWarmBucketed(spark, "t_cad_base", "t_cad_vec", dO, dL),
+        substring(col("node_id"), 1, 1),
+        Seq(col("node_id"), col("rank_micro"), col("degree")))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(plain.filter(_.head == "refresh").map(r =>
+        (r(1).asInstanceOf[String], r(2).asInstanceOf[Long],
+          r(3).asInstanceOf[Long], r(4).asInstanceOf[Long])).toSet == refDig)
+      // a corrupted stored vector flags: dropping a row changes the
+      // stored_vector stage digest while the refresh digest is computed
+      // off whatever state was read — the invariant is the comparison
+      // against the expected derivation (the oracle's role)
+      intercept[IllegalArgumentException](Graph.pageRankDaily(spark,
+        "t_cad_base", "t_cad_vec", "t_cad_full", dO, dL, 1, 0))
+
+      // LPA twin
+      val baseLi = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+        (5L, 3L), (5L, 4L)).toDF("l_orderkey", "l_suppkey")
+      val deltaLi = Seq((3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L),
+        (4L, 6L)).toDF("l_orderkey", "l_suppkey")
+      Graph.writeCoSupplyEdgeTable(baseLi, "t_cad_cob", root, buckets = 4)
+      Graph.writeCoSupplyEdgeTable(baseLi.unionByName(deltaLi),
+        "t_cad_cof", root, buckets = 4)
+      Graph.writeLabelVectorTable(spark, "t_cad_cob", "t_cad_lvec", root,
+        buckets = 4, rounds = 4)
+      val delta = Graph.coSupplyEdges(deltaLi)
+      assert(anyRows(Graph.labelPropagationDaily(spark, "t_cad_cob",
+        "t_cad_lvec", "t_cad_cof", delta, day = 3, certifyEvery = 3)) ==
+        anyRows(Graph.labelPropagationIncrementalBucketed(spark,
+          "t_cad_cob", "t_cad_cof", delta,
+          storedLabelTable = Some("t_cad_lvec"))))
+      val lplain = anyRows(Graph.labelPropagationDaily(spark, "t_cad_cob",
+        "t_cad_lvec", "t_cad_cof", delta, day = 2, certifyEvery = 3))
+      assert(lplain == anyRows(Graph.labelPropagationPlainDay(spark,
+        "t_cad_cob", "t_cad_lvec", delta)))
+      assert(lplain.map(_.head.asInstanceOf[String]).toSet ==
+        Set("refresh", "stored_vector"))
+    } finally Seq("t_cad_base", "t_cad_full", "t_cad_vec", "t_cad_cob",
+      "t_cad_cof", "t_cad_lvec")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("two-day cadence composes: persisted day-1 post-warm vectors equal " +
       "the in-plan warm run, day-2 warm reads them unchanged, and the " +
       "two-step skeleton refresh equals the full rebuild") {
