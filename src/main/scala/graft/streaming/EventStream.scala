@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import java.sql.Timestamp
 
@@ -633,6 +633,65 @@ object EventStream {
           state.update(s)
           Iterator(ColDigestRow(part, column, s.n, s.xor, s.sum))
       }.toDF()
+  }
+
+  /** The registered-row face of the streaming reconcile loop: the
+    * REPLICA arrives as a STREAM whose per-column digest state
+    * [[columnDigestStream]] maintains live (drained here with
+    * Trigger.AvailableNow — any snapshot of the state IS the digest of
+    * the rows seen so far, so the drained final state equals a batch
+    * scan of the replica); the SOURCE is digested by the batch
+    * `Reconcile.columnDigest` scan; published rows are per
+    * (partition, column) verdicts under reconcile()'s status
+    * vocabulary. The long-form hash projection uses the SAME
+    * (name, column) pairs through the shared canonColumnHash, so the
+    * two sides cannot hash apart; the final state per key is the
+    * emission with the largest n_rows (n strictly grows per touched
+    * microbatch). This is what auditing a LIVE pipeline asks first:
+    * does the continuously-maintained replica digest match the
+    * source-of-truth scan, and if not, WHICH column of WHICH partition.
+    */
+  def streamColumnReconcile(replicaStream: DataFrame, source: DataFrame,
+      part: Column, cols: Seq[(String, Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = source.sparkSession
+    val longForm = replicaStream.select(part.cast("string").as("part"),
+      explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("column"),
+          graft.validation.Reconcile.canonColumnHash(n, c).as("h"))
+      }: _*)).as("c"))
+      .select(col("part"), col("c.column").as("column"), col("c.h").as("h"))
+    val name = s"graft_colrec_${java.lang.System.nanoTime}"
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft-colrec").toString
+    val q = columnDigestStream(longForm).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val live = spark.table(name)
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(col("part"), col("column"))
+        .orderBy(col("n_rows").desc)))
+      .where(col("__rk") === 1)
+      .select(col("part"), col("column"), col("n_rows").as("t_rows"),
+        col("xor_digest").as("t_xor"), col("sum_digest").as("t_sum"))
+    val src = graft.validation.Reconcile.columnDigest(source, part, cols)
+      .select(col("part").cast("string").as("part"), col("column"),
+        col("n_rows").as("s_rows"), col("xor_digest").as("s_xor"),
+        col("sum_digest").as("s_sum"))
+    src.join(live, Seq("part", "column"), "full_outer")
+      .select(col("part"), col("column"),
+        when(col("s_rows").isNull, "target_only")
+          .when(col("t_rows").isNull, "source_only")
+          .when(col("s_rows") =!= col("t_rows"), "count_mismatch")
+          .when(col("s_xor") =!= col("t_xor") ||
+            col("s_sum") =!= col("t_sum"), "content_mismatch")
+          .otherwise("match").as("status"),
+        coalesce(col("s_rows"), lit(0L)).as("s_rows"),
+        coalesce(col("t_rows"), lit(0L)).as("t_rows"))
+      .orderBy(col("part"), col("column"))
   }
 
   /** State for [[decayScoreStream]]: the last <= n events' (ts-micros, id,
