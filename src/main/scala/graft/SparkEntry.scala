@@ -1210,6 +1210,17 @@ object SparkEntry {
       graft.operators.Approx.spaceSavingRollupAudit(
         ssItemsDaily(s, dir), m = 128)),
 
+    // §2.24e6 — SpaceSaving TIMELINE (r13 judge item 5): the
+    // heavy-hitter guaranteed set's drift-to-date — the Agarwal merge of
+    // the daily summaries applied PREFIX-wise, the 2e-threshold
+    // guaranteed set with all four theorem verdicts at every as-of day;
+    // exact certification is candidate-bounded (a guaranteed item is
+    // necessarily tracked somewhere in its prefix), never data-sized
+    // per prefix
+    "q_spacesaving_timeline" -> ((s, dir) =>
+      graft.operators.Approx.spaceSavingTimelineAudit(
+        ssItemsDaily(s, dir), m = 128)),
+
     // §2.24f — per-document top TF-IDF terms (tf agg + broadcast df join
     // + per-doc window)
     "q_tfidf" -> ((s, dir) =>
@@ -1884,6 +1895,16 @@ object SparkEntry {
     "q_kmv_diff" -> ((s, dir) =>
       graft.operators.Approx.kmvDifference(Tables.events(s, dir),
         "event_type", "user_id")),
+
+    // §2.43e3 — KMV TIMELINE (r13 judge item 4): audience
+    // distinct-to-date per (event_type, day) off per-day bottom-64
+    // states alone — the 43k/43n prefix-merge posture on the theta
+    // sketch; the min-k merge is exact, the estimator is Beyer et al.'s
+    // (k-1)M/kth, and the exact distinct-to-date certificate rides as a
+    // first-occurrence-day grid sum, never a per-prefix rescan
+    "q_kmv_timeline" -> ((s, dir) =>
+      graft.operators.Approx.kmvTimeline(Tables.events(s, dir),
+        "event_type", "ts", "user_id")),
 
     // §2.67 — exact-integer PageRank over the customer–supplier trade
     // graph: 6 BSP rounds of BIGINT floor-division damping — link-analysis
@@ -4083,6 +4104,34 @@ object SparkEntry {
         |FROM e JOIN n USING (g) WHERE e.exact_cnt * 128 > 2 * n.n_events
         |ORDER BY 1, 2""".stripMargin,
 
+    // the 2e-threshold guaranteed set at EVERY prefix, verdicts literal
+    // (the q_spacesaving_rollup pattern per as-of day): the oracle
+    // derives each prefix's guaranteed items from exact counts and
+    // asserts all four theorem verdicts hold
+    "q_spacesaving_timeline" ->
+      """WITH it AS (
+        |  SELECT event_type AS g, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CASE WHEN user_id % 10 = 0 THEN (user_id % 40) // 10
+        |         ELSE user_id + 100 END AS item
+        |  FROM events),
+        |days AS (SELECT DISTINCT g, day AS asof FROM it),
+        |n AS (SELECT g, day, CAST(count(*) AS BIGINT) AS n_day
+        |      FROM it GROUP BY 1, 2),
+        |nr AS (SELECT d.g, d.asof, CAST(sum(n.n_day) AS BIGINT) AS n_events
+        |       FROM days d JOIN n ON n.g = d.g AND n.day <= d.asof
+        |       GROUP BY 1, 2),
+        |e AS (SELECT g, day, item, CAST(count(*) AS BIGINT) AS c
+        |      FROM it GROUP BY 1, 2, 3),
+        |et AS (SELECT d.g, d.asof, e.item, CAST(sum(e.c) AS BIGINT) AS exact_cnt
+        |       FROM days d JOIN e ON e.g = d.g AND e.day <= d.asof
+        |       GROUP BY 1, 2, 3)
+        |SELECT et.g AS group_key, et.asof AS day, et.item, et.exact_cnt,
+        |  true AS tracked, true AS est_ge_exact, true AS lower_le_exact,
+        |  true AS err_within_cap
+        |FROM et JOIN nr ON et.g = nr.g AND et.asof = nr.asof
+        |WHERE et.exact_cnt * 128 > 2 * nr.n_events
+        |ORDER BY 1, 2, 3""".stripMargin,
+
     "q_nb_quality" ->
       """WITH planted AS (
         |  SELECT doc_id,
@@ -4507,6 +4556,59 @@ object SparkEntry {
          |    / CAST(union_exact AS DOUBLE) * 10000.0, 0) AS BIGINT)
          |    AS union_err_bp
          |FROM f2 ORDER BY ta, tb""".stripMargin
+    },
+
+    // per-day bottom-64 states, the prefix merge re-ranked, the Beyer
+    // estimator, and the first-occurrence-day exact certificate — all
+    // replayed over the SAME 'kmv:' fold as the set-operation oracles
+    "q_kmv_timeline" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH hd AS (
+         |  SELECT DISTINCT event_type AS g, CAST(ts AS DATE) AS day,
+         |    ${md5bits("'kmv:' || CAST(user_id AS VARCHAR)")} + 1 AS hc
+         |  FROM events WHERE user_id IS NOT NULL),
+         |daily AS MATERIALIZED (
+         |  SELECT g, day, hc FROM (
+         |    SELECT g, day, hc, row_number() OVER (
+         |      PARTITION BY g, day ORDER BY hc) AS rk
+         |    FROM hd) WHERE rk <= 64),
+         |days AS (SELECT DISTINCT g, day AS as_of FROM daily),
+         |pref AS (
+         |  SELECT DISTINCT d.g, dy.as_of, d.hc
+         |  FROM daily d JOIN days dy ON d.g = dy.g AND d.day <= dy.as_of),
+         |w AS (
+         |  SELECT g, as_of, hc,
+         |    row_number() OVER (PARTITION BY g, as_of ORDER BY hc) AS urk,
+         |    count(*) OVER (PARTITION BY g, as_of) AS cnt
+         |  FROM pref),
+         |es AS (
+         |  SELECT g, as_of, CAST(max(cnt) AS BIGINT) AS cnt,
+         |    CAST(max(least(64, cnt)) AS BIGINT) AS kk,
+         |    max(CASE WHEN urk = least(64, cnt) THEN hc END) AS u_kth
+         |  FROM w WHERE urk <= least(64, cnt) GROUP BY 1, 2),
+         |fc AS (
+         |  SELECT g, fday, CAST(count(*) AS BIGINT) AS nf FROM (
+         |    SELECT g, hc, min(day) AS fday FROM hd GROUP BY 1, 2)
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT dy.g, dy.as_of, CAST(sum(fc.nf) AS BIGINT) AS exact_distinct
+         |  FROM days dy JOIN fc ON fc.g = dy.g AND fc.fday <= dy.as_of
+         |  GROUP BY 1, 2),
+         |f AS (
+         |  SELECT es.g, es.as_of AS day, es.kk AS m_state, ex.exact_distinct,
+         |    round(CASE WHEN es.cnt < 64 THEN CAST(es.cnt AS DOUBLE)
+         |      ELSE CAST(63.0 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |        / CAST(es.u_kth AS DOUBLE) END, 2) AS distinct_est
+         |  FROM es JOIN ex ON ex.g = es.g AND ex.as_of = es.as_of)
+         |SELECT g, day, m_state, exact_distinct, distinct_est,
+         |  CAST(round(abs(distinct_est - CAST(exact_distinct AS DOUBLE))
+         |    / CAST(exact_distinct AS DOUBLE) * 10000.0, 0) AS BIGINT)
+         |    AS err_bp
+         |FROM f ORDER BY g, day""".stripMargin
     },
 
     // same sketch CTEs as q_kmv_overlap, the one-sided membership sums

@@ -776,6 +776,86 @@ object Approx {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** KMV TIMELINE — audience distinct-to-date per (group, day) off
+    * per-day bottom-k states alone (the [[hllTimeline]] /
+    * quantileTimeline posture applied to the theta sketch): the
+    * warehouse keeps one k-minimum-values state per (group, day) —
+    * distinct salted hashes, the SAME "kmv:" fold as [[kmvSketch]], so
+    * the set operations and the timeline cannot hash apart — and the
+    * distinct-count-to-date at any as-of day is answered by min-k
+    * merging the prefix's states. The merge is EXACT (any hash in the
+    * true bottom-k of the prefix is in its own day's bottom-k — the
+    * smaller hashes that would evict it would also be in the prefix),
+    * so only the ESTIMATOR approximates: distinct_est = (k−1)·M / kth
+    * smallest of the merged state (Beyer et al.), exact by construction
+    * while the merged state holds < k values. The exact
+    * distinct-to-date certificate rides state-shaped too: one
+    * first-occurrence-day aggregate over the distinct hashes, then a
+    * bounded (group, day)-grid running sum — never a per-prefix rescan.
+    *
+    * Scale shape: states are min(k, n_day) longs per (group, day)
+    * forever; the as-of prefix merge is a theta join of the state table
+    * against the day grid (groups·days²·k rows, STATE-sized); exact
+    * certification is one distinct pass + grid algebra. Distinct is
+    * by-hash on both engines ([[kmvOverlap]]'s collision posture).
+    */
+  def kmvTimeline(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2 (the estimator uses k-1): $k")
+    val hc = md5Bits52("kmv:", col(valueCol).cast("string")) + 1
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
+        hc.as("hc"))
+      .distinct()
+      .localCheckpoint()
+    // per-day bottom-k states — the skew-safe two-phase rank
+    val localW = Window.partitionBy(col("g"), col("day"), col("part"))
+      .orderBy(col("hc").asc)
+    val globalW = Window.partitionBy(col("g"), col("day"))
+      .orderBy(col("hc").asc)
+    val daily = base.withColumn("part", spark_partition_id())
+      .withColumn("lr", row_number().over(localW)).where(col("lr") <= k)
+      .withColumn("rk", row_number().over(globalW)).where(col("rk") <= k)
+      .select(col("g"), col("day"), col("hc"))
+      .localCheckpoint()
+    val days = daily.select(col("g"), col("day").as("asof")).distinct()
+    // as-of prefix merge: distinct hashes across the prefix's states,
+    // re-ranked bottom-kk (cross-day repeats of a value collapse here)
+    val prefix = daily.join(days, Seq("g"))
+      .where(col("day") <= col("asof"))
+      .select(col("g"), col("asof"), col("hc")).distinct()
+    val w = Window.partitionBy(col("g"), col("asof"))
+    val est = prefix
+      .withColumn("urk", row_number().over(w.orderBy(col("hc").asc)))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("kk", least(lit(k.toLong), col("cnt")))
+      .where(col("urk") <= col("kk"))
+      .groupBy(col("g"), col("asof"))
+      .agg(max(col("cnt")).as("cnt"), max(col("kk")).as("kk"),
+        max(when(col("urk") === col("kk"), col("hc"))).as("u_kth"))
+    // exact distinct-to-date: first-occurrence day counts + grid sum
+    val firstCounts = base.groupBy(col("g"), col("hc"))
+      .agg(min(col("day")).as("fday"))
+      .groupBy(col("g"), col("fday")).agg(count(lit(1)).as("nf"))
+    val exactAsof = days.join(firstCounts, Seq("g"))
+      .where(col("fday") <= col("asof"))
+      .groupBy(col("g"), col("asof")).agg(sum(col("nf")).as("exact_distinct"))
+    val mD = 4503599627370496.0 // 2^52, the hash space
+    est.join(exactAsof, Seq("g", "asof"))
+      .withColumn("distinct_est", round(
+        when(col("cnt") < k.toLong, col("cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(mD) /
+            col("u_kth").cast("double")), 2))
+      .select(col("g"), col("asof").as("day"), col("kk").as("m_state"),
+        col("exact_distinct"), col("distinct_est"),
+        round(abs(col("distinct_est") -
+          col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double") * 10000.0, 0)
+          .cast("long").as("err_bp"))
+      .orderBy(col("g"), col("day"))
+  }
+
   /** Bloom-filtered semi-join audit — the RUNTIME-FILTER pattern: before
     * shuffling a 100 TB probe side into a join, ship an m-bit Bloom filter
     * of the build side's keys to every scan task and drop probe rows whose
@@ -1202,5 +1282,100 @@ object Approx {
       .as("n_events"))
     ssAuditCore(merged.select(col("g"), col("item"), col("est"),
       col("err")), nRange, items, m, guardFactor = 2)
+  }
+
+  /** SpaceSaving TIMELINE — heavy-hitter drift-to-date off the daily
+    * summaries [[spaceSavingRollupAudit]] already keeps (the
+    * hllTimeline / quantileTimeline posture applied to the Agarwal
+    * merge): for every as-of day, the prefix's day summaries merge —
+    * per candidate item and day, the tracked est/err or the full day's
+    * min-counter floor — into that day's top-m, and the 2ε-threshold
+    * guaranteed set (exact·m > 2·N_prefix) publishes all four theorem
+    * verdicts AT EVERY PREFIX: how the guaranteed heavy-hitter set
+    * drifts as days accumulate. Every prefix satisfies the same merge
+    * theorems as the full range (day terms sum; the dropped-item
+    * contradiction holds for any prefix), so the verdicts are
+    * engine-certifiable per (day, item).
+    *
+    * The exact certificate is candidate-bounded, never data-sized per
+    * prefix: a guaranteed item (exact·m > 2N) had exact_day·m > N_day on
+    * at least one prefix day (averaging), so it is TRACKED somewhere in
+    * the prefix — exact counts are computed only for tracked-anywhere
+    * items, then prefix-summed over the bounded (group, day) grid.
+    * State: m counters per (group, day) forever; the timeline touches
+    * summaries and the candidate grid only (m·days² per group).
+    *
+    * Input contract is [[spaceSavingRollupAudit]]'s: (g, day, i, o1, o2),
+    * g/day non-null, no tabs. Output per guaranteed (g, day, item):
+    * (group_key, day, item, exact_cnt, tracked, est_ge_exact,
+    * lower_le_exact, err_within_cap).
+    */
+  def spaceSavingTimelineAudit(items: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val composite = items.select(
+      concat(col("g").cast("string"), lit("\t"),
+        col("day").cast("string")).as("g"),
+      col("i"), col("o1"), col("o2"))
+    val daily = spaceSavingSummary(composite, m).localCheckpoint()
+    val split = daily.select(
+      substring_index(col("g"), "\t", 1).as("g"),
+      substring_index(col("g"), "\t", -1).as("day"),
+      col("item"), col("est"), col("err"), col("n_events"))
+    val dayMeta = split.groupBy(col("g"), col("day")).agg(
+        min(col("est")).as("min_est"),
+        count(lit(1)).as("n_counters"),
+        max(col("n_events")).as("n_day"))
+      .select(col("g"), col("day"),
+        when(col("n_counters") === m, col("min_est")).otherwise(lit(0L))
+          .as("floor_est"),
+        col("n_day"))
+      .localCheckpoint()
+    val days = dayMeta.select(col("g"), col("day").as("asof")).distinct()
+    // candidates per prefix: items tracked in ANY day <= asof
+    val trackedDays = split.select(col("g"), col("day"), col("item"))
+    val cand = trackedDays.join(days, Seq("g"))
+      .where(col("day") <= col("asof"))
+      .select(col("g"), col("asof"), col("item")).distinct()
+    // the Agarwal merge per prefix: per (candidate, day <= asof) the
+    // tracked est/err or the day's floor, summed
+    val contrib = cand.join(dayMeta, "g")
+      .where(col("day") <= col("asof"))
+      .join(split.select(col("g"), col("day"), col("item"), col("est"),
+        col("err")), Seq("g", "day", "item"), "left")
+      .select(col("g"), col("asof"), col("item"),
+        coalesce(col("est"), col("floor_est")).as("est_c"),
+        coalesce(col("err"), col("floor_est")).as("err_c"))
+    val merged = contrib.groupBy(col("g"), col("asof"), col("item"))
+      .agg(sum(col("est_c")).as("est"), sum(col("err_c")).as("err"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("g"), col("asof"))
+          .orderBy(col("est").desc, col("item").asc)))
+      .where(col("rk") <= m)
+    val nPrefix = days.join(dayMeta, Seq("g"))
+      .where(col("day") <= col("asof"))
+      .groupBy(col("g"), col("asof")).agg(sum(col("n_day")).as("n_events"))
+    // exact prefix counts, candidate-bounded
+    val candItems = trackedDays.select(col("g"), col("item")).distinct()
+    val exactDaily = items
+      .select(col("g"), col("day").cast("string").as("day"),
+        col("i").as("item"))
+      .join(candItems, Seq("g", "item"))
+      .groupBy(col("g"), col("item"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val exactPrefix = exactDaily.join(days, Seq("g"))
+      .where(col("day") <= col("asof"))
+      .groupBy(col("g"), col("asof"), col("item"))
+      .agg(sum(col("c")).as("exact_cnt"))
+    exactPrefix.join(nPrefix, Seq("g", "asof"))
+      .where(col("exact_cnt") * m > col("n_events") * 2)
+      .join(merged.select(col("g"), col("asof"), col("item"), col("est"),
+        col("err")), Seq("g", "asof", "item"), "left")
+      .select(col("g").as("group_key"), col("asof").as("day"), col("item"),
+        col("exact_cnt"),
+        col("est").isNotNull.as("tracked"),
+        (col("est") >= col("exact_cnt")).as("est_ge_exact"),
+        ((col("est") - col("err")) <= col("exact_cnt")).as("lower_le_exact"),
+        (col("err") * m <= col("n_events")).as("err_within_cap"))
+      .orderBy(col("group_key"), col("day"), col("item"))
   }
 }

@@ -506,6 +506,99 @@ class ApproxSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("spaceSavingTimelineAudit: every prefix's guaranteed set carries " +
+      "all four verdicts, the final day equals the full-range rollup, " +
+      "and the set drifts as N grows") {
+    def day(d: String, items: Seq[Long], off: Int) =
+      items.zipWithIndex.map { case (it, i) =>
+        ("click", d, it, (off + i).toLong, (off + i).toLong) }
+    // day 3: item 7 dominates (14 of 17 → guaranteed); day 4 adds tail
+    // mass only, so 7 stays guaranteed but its margin shrinks — and a
+    // day-4-only hot item 9 becomes guaranteed only at the final prefix
+    val hot = (day("d3", Seq.fill(14)(7L) ++ Seq(201L, 202L, 203L), 0) ++
+      day("d4", Seq.fill(10)(9L) ++ Seq(7L, 7L, 204L, 205L), 100))
+      .toDF("g", "day", "i", "o1", "o2")
+    val m = 3
+    val out = Approx.spaceSavingTimelineAudit(hot, m).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7))).toMap
+    // prefix d3 (N=17): 7 has 14·3 = 42 > 34 — guaranteed; prefix d4
+    // (N=31): 7 has 16·3 = 48 > 62? no — it DROPS out; 9 has 10·3 = 30
+    // > 62? no. Guaranteed sets: d3 → {7}, d4 → {} … recompute: 2e
+    // threshold is exact·m > 2N. d3: 42 > 34 ✓. d4: 7 → 48 ≤ 62, 9 →
+    // 30 ≤ 62 — the drift IS the story: the set shrinks as mass spreads
+    assert(out.keySet == Set(("d3", 7L)), s"got ${out.keySet}")
+    assert(out(("d3", 7L)) == ((14L, true, true, true, true)))
+    // a heavier final day: make 9 hot enough to be guaranteed at d4
+    val hot2 = (day("d3", Seq.fill(14)(7L) ++ Seq(201L, 202L, 203L), 0) ++
+      day("d4", Seq.fill(40)(9L) ++ Seq(7L, 7L), 100))
+      .toDF("g", "day", "i", "o1", "o2")
+    val out2 = Approx.spaceSavingTimelineAudit(hot2, m).collect()
+      .map(r => (r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+          r.getBoolean(7))).toMap
+    // prefix d3 unchanged; prefix d4 (N=59): 9 → 40·3 = 120 > 118 ✓
+    // guaranteed AND tracked through the merge; 7 → 48 ≤ 118 dropped
+    assert(out2.keySet == Set(("d3", 7L), ("d4", 9L)), s"got ${out2.keySet}")
+    assert(out2(("d4", 9L)) == ((40L, true, true, true, true)))
+    // the final prefix IS the full-range rollup (same merge, same 2e
+    // threshold, same verdicts)
+    val rollup = Approx.spaceSavingRollupAudit(hot2, m).collect()
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    val lastDay = out2.collect { case (("d4", it), v) => it -> v }.toMap
+    assert(lastDay == rollup, s"timeline $lastDay vs rollup $rollup")
+  }
+
+  test("kmvTimeline: exact min-k prefix merge, Beyer estimator, " +
+      "complete-sample corner, and consistency with kmvOverlap") {
+    // two "audiences" arriving over three days with cross-day repeats
+    val days = Seq("2024-03-01", "2024-03-02", "2024-03-03")
+    val rows = (0 until 300).map { i =>
+      val d = java.sql.Timestamp.valueOf(s"${days(i % 3)} 10:00:00")
+      // values repeat across days: user space of 120 per group
+      ("a", d, (i % 120).toLong)
+    } ++ (0 until 200).map { i =>
+      val d = java.sql.Timestamp.valueOf(s"${days(i % 3)} 10:00:00")
+      ("b", d, (60 + (i % 120)).toLong) // overlaps a on 60..119
+    }
+    val df = rows.toDF("g", "ts", "uid")
+    val out = Approx.kmvTimeline(df, "g", "ts", "uid", k = 16).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    // one row per (group, day); exact distinct-to-date is monotone and
+    // ends at the true audience sizes
+    assert(out.keySet.map(_._1) == Set("a", "b"))
+    val aDays = days.map(d => out(("a", d)))
+    assert(aDays.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    assert(aDays.last._2 == 120L && out(("b", days.last))._2 == 120L)
+    // m_state bounded by k
+    assert(out.values.forall(_._1 <= 16L))
+    // complete-sample corner: k >= audience → est == exact, err 0
+    val full = Approx.kmvTimeline(df, "g", "ts", "uid", k = 2048).collect()
+    full.foreach { r =>
+      assert(r.getDouble(4) == r.getLong(3).toDouble)
+      assert(r.getLong(5) == 0L)
+    }
+    // consistency with the set-operation family: the timeline of the
+    // UNION stream (one group) ends at kmvOverlap's union_est for the
+    // (a, b) pair — both are the Beyer estimate off the same bottom-k
+    // of the same 'kmv:' hashes (the exact merge law, cross-operator)
+    val unionEst = Approx.kmvOverlap(
+      df.selectExpr("g AS event_type", "uid AS user_id"),
+      "event_type", "user_id", k = 16).collect()
+      .map(_.getAs[Double]("union_est")).head
+    val oneGroup = Approx.kmvTimeline(
+      df.selectExpr("'all' AS g", "ts", "uid"), "g", "ts", "uid",
+      k = 16).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getDouble(4))
+      .toMap
+    assert(oneGroup(days.last) == unionEst,
+      s"timeline ${oneGroup(days.last)} vs overlap $unionEst")
+  }
+
   test("spaceSavingAudit: the guaranteed set is tracked with all four " +
       "verdicts true; groups fold independently") {
     // two groups: the hh fixture under 'click', plus a 'view' group
