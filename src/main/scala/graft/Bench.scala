@@ -64,16 +64,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "total_verbose", not "total": a consumer that scans ALL lines for
-    // metric==total must see exactly one hit (the compact line below), not
-    // nondeterministically pick whichever of two it reads first.
-    println(f"""{"metric":"total_verbose","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver's tail capture (~2 KB) truncates the verbose line's head
-    // once the registry passed ~80 queries, blinding its per-query
-    // regression gate to the alphabetically-first entries. Persist the
-    // full per-query map to a file so every minimum survives the capture
-    // window (overridable; BENCH_QUERIES.json in the working directory by
-    // default, committed with each round's BASELINE bookkeeping).
+    // The verbose per-query line goes to STDERR only: the driver's ~2 KB
+    // stdout tail capture used to truncate its head (BENCH_r12's tail lost
+    // the alphabet's first ~40 queries), so stdout must carry nothing but
+    // short whole lines. Humans still get the map on stderr; regression
+    // checks read the committed BENCH_QUERIES.json.
+    System.err.println(f"""{"metric":"total_verbose","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Persist the full per-query map to a file so every minimum survives
+    // the capture window (overridable; BENCH_QUERIES.json in the working
+    // directory by default, committed with each round's BASELINE
+    // bookkeeping).
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}%n"""
@@ -81,11 +81,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // The driver captures only the last ~2 KB of output; with 95+ queries the
-    // line above overflows that window and its head (metric/value) is cut off
-    // (BENCH_r03/r04 both came back parsed:null). Emit a compact total-only
-    // line LAST so it always lands inside the tail; the full per-query line
-    // stays for humans and for BASELINE.md bookkeeping.
+    // Sole stdout line: compact and whole, so the driver's ~2 KB tail
+    // capture yields a standalone-parseable BENCH_rNN.json every round
+    // (BENCH_r03/r04 came back parsed:null when a verbose line overflowed
+    // the window).
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2920,6 +2920,30 @@ object SparkEntry {
       Etl.scd2(Tables.orders(s, dir), key = "o_custkey",
         attr = "o_orderstatus", ts = "o_orderdate", tie = "o_orderkey")),
 
+    // §2.7f — point-in-time SCD2 read: every lineitem joined to the
+    // customer-status version effective ON ITS SHIP DATE (latest
+    // valid_from <= ship_day, same-day versions collapsed to end-of-day),
+    // then rolled up per effective status. Composes 7b's dimension with
+    // the as-of union+window formulation — one shuffle on the key, no
+    // interval-join explosion.
+    "q_scd2_asof" -> ((s, dir) => {
+      val dim = Etl.scd2(Tables.orders(s, dir), key = "o_custkey",
+        attr = "o_orderstatus", ts = "o_orderdate", tie = "o_orderkey")
+      val facts = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), to_date(col("l_shipdate")).as("ship_day"),
+          col("l_extendedprice"), col("l_discount"))
+      Etl.scd2PointInTime(facts, dim, "o_custkey", "ship_day")
+        .groupBy(coalesce(col("status"), lit("none")).as("status_at_ship"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") -
+              col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"))
+    }),
+
     // §2.7c — incremental aggregate maintenance: 9 days of prior state
     // merged with day 10's delta; the oracle recomputes from scratch over
     // the union of both windows, proving merge == recompute bit-for-bit
@@ -7150,6 +7174,54 @@ object SparkEntry {
         |  (lead(o_orderdate) OVER w2 IS NULL) AS is_current
         |FROM ch
         |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // the as-of match is spelled as an inequality join + latest-valid_from
+    // row_number per fact row (DuckDB's ASOF keyword is avoided per the
+    // house rule); same-day versions collapse to max version first,
+    // mirroring scd2PointInTime's end-of-day semantics
+    "q_scd2_asof" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (
+        |  SELECT * FROM c
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+        |dim AS (
+        |  SELECT o_custkey, o_orderstatus AS status,
+        |    CAST(o_orderdate AS DATE) AS valid_from,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version
+        |  FROM ch
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |dday AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, valid_from
+        |      ORDER BY version DESC) AS rk
+        |    FROM dim) WHERE rk = 1),
+        |f AS (
+        |  SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship_day,
+        |    l.l_extendedprice, l.l_discount
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |fk AS (SELECT DISTINCT o_custkey, ship_day FROM f),
+        |eff AS (
+        |  SELECT o_custkey, ship_day, status FROM (
+        |    SELECT k.o_custkey, k.ship_day, d.status,
+        |      row_number() OVER (PARTITION BY k.o_custkey, k.ship_day
+        |        ORDER BY d.valid_from DESC) AS rk
+        |    FROM fk k LEFT JOIN dday d
+        |      ON d.o_custkey = k.o_custkey AND d.valid_from <= k.ship_day)
+        |  WHERE rk = 1)
+        |SELECT coalesce(e.status, 'none') AS status_at_ship,
+        |  count(*) AS n_items,
+        |  count(DISTINCT f.o_custkey) AS n_custs,
+        |  CAST(sum(CAST(f.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(3,2)) - CAST(f.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM f JOIN eff e
+        |  ON f.o_custkey = e.o_custkey
+        |  AND f.ship_day IS NOT DISTINCT FROM e.ship_day
+        |GROUP BY 1""".stripMargin,
 
     "q_incr_merge" ->
       """SELECT user_id, count(*) AS n_events,

@@ -81,6 +81,36 @@ object Etl {
         col("valid_to"), col("version"), col("is_current"))
   }
 
+  /** Point-in-time (as-of) read of an SCD2 dimension — the temporal
+    * lookup every SCD2 warehouse needs at query time: each fact row gets
+    * the dimension version that was effective on its date, i.e. the
+    * latest `valid_from <= factDate`. Reference analog: the upsert load
+    * (trino.py:165) serves only the LATEST state; once history is kept
+    * (scd2 above), facts must be joinable to the state as of THEIR date,
+    * not today's.
+    *
+    * Day-granularity semantics: multiple same-day versions of a key
+    * collapse to the day's LAST (max `version`) — the state at end of
+    * day — which also makes the right side unique per (key, day) as
+    * [[AsOf.asofJoin]] requires for determinism.
+    *
+    * Scale: delegates to asofJoin's union+window formulation — ONE
+    * shuffle on the key, no interval-join row explosion however many
+    * versions a hot key accumulates; the same-day collapse is a window
+    * pass on the (small) dimension only.
+    */
+  def scd2PointInTime(facts: DataFrame, dim: DataFrame, key: String,
+      factDate: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lastPerDay = dim
+      .withColumn("_rk", row_number().over(Window
+        .partitionBy(col(key), col("valid_from"))
+        .orderBy(col("version").desc)))
+      .where(col("_rk") === 1)
+      .select(col(key), col("valid_from"), col("status"), col("version"))
+    AsOf.asofJoin(facts, lastPerDay, Seq(key), factDate, "valid_from")
+  }
+
   /** Re-aggregable per-key state: count + exact-decimal sum. The decimal
     * sum makes the state MERGEABLE without drift: merging partials in any
     * order yields the identical bits, so an incrementally-maintained

@@ -101,6 +101,30 @@ class EtlSpec extends SparkSpec {
     assert(out(2).getAs[java.sql.Date]("valid_to") == null)
   }
 
+  test("scd2PointInTime attaches the version effective at each fact date, " +
+      "collapsing same-day versions to end-of-day") {
+    val log = Seq(
+      (1L, "A", "2024-01-01 00:00:00", 10L),
+      (1L, "B", "2024-01-03 08:00:00", 12L), // two changes SAME day:
+      (1L, "C", "2024-01-03 17:00:00", 13L), // end-of-day state is C
+      (2L, "X", "2024-01-02 00:00:00", 20L)
+    ).toDF("k", "attr", "ts_s", "id")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val dim = Etl.scd2(log, "k", "attr", "ts", "id")
+    val facts = Seq(
+      (100L, 1L, "2024-01-02"), // between v1 and the Jan-3 changes -> A
+      (101L, 1L, "2024-01-03"), // ON the two-version day -> end-of-day C
+      (102L, 1L, "2024-01-09"), // after everything -> C
+      (103L, 2L, "2024-01-01"), // BEFORE key 2's history starts -> null
+      (104L, 3L, "2024-01-05")  // key with no dimension rows -> null
+    ).toDF("fid", "k", "d_s").withColumn("d", to_date($"d_s"))
+    val got = Etl.scd2PointInTime(facts, dim, "k", "d")
+      .select($"fid", $"status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(100L -> "A", 101L -> "C", 102L -> "C",
+      103L -> null, 104L -> null))
+  }
+
   test("merged aggState equals a from-scratch recompute, bit for bit") {
     val all = (1 to 5000).map(i => (i % 7L, i / 3.0)).toDF("k", "value")
     val part1 = all.where($"value" < 500)
