@@ -2593,6 +2593,34 @@ object SparkEntry {
       Analytics.ohlcBars(Tables.events(s, dir),
         "event_type", "ts", "event_id", "value", bucket = "hour")),
 
+    // §2.60b — the REGISTERED streaming OHLC row (45h was spec-only): the
+    // events table replays as a two-file stream (maxFilesPerTrigger=1 →
+    // two micro-batches, cross-batch window state), ohlcStream's
+    // watermarked hour windows drain under Trigger.AvailableNow, and the
+    // trailing no-data batch flushes every window strictly below the
+    // final watermark max(ts) − 2h. No event is ever late by
+    // construction (batch 2 holds only ts >= the cut, far above batch
+    // 1's watermark), so the emitted set is EXACTLY the batch bars whose
+    // window end <= max(ts) − 2h — the oracle's WHERE clause.
+    "q_stream_ohlc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = s"/tmp/graft_ohlcsrc_$tag"
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.ohlcStream(stream, watermark = "2 hours"))
+        .select(col("event_type"),
+          unix_micros(col("window_start")).as("bucket_us"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_events"))
+        .orderBy(col("event_type"), col("bucket_us"))
+    }),
+
     // §2.56 — CDC log apply: events as a change stream (every 10th event a
     // delete tombstone), collapsed to current state last-writer-wins
     // §2.56b — table reconciliation digest: per order-date partition the
@@ -6595,6 +6623,35 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // append-mode flush rule: a window emits once the watermark
+    // (max event time − 2h, advanced by the trailing no-data batch)
+    // passes its END; nothing is late by construction, so the replay is
+    // the batch bars filtered to flushed windows
+    "q_stream_ohlc" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts) - INTERVAL 2 HOUR) AS w FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        |    ts, event_id, value
+        |  FROM events),
+        |o AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, bucket_us
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM h)
+        |SELECT event_type, bucket_us,
+        |  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS n_events
+        |FROM o
+        |WHERE bucket_us + 3600000000 <= (SELECT w FROM wm)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // the same canonical row string (chr(1)||'NULL' sentinel, '|'
     // separator, decimal money form), 52-bit salted md5, and the three

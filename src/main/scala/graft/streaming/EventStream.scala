@@ -392,6 +392,61 @@ object EventStream {
       }.toDF()
   }
 
+  /** Drain a watermarked streaming frame to completion and return the
+    * emitted rows: append-mode memory sink, Trigger.AvailableNow, fresh
+    * checkpoint. AvailableNow runs the data batches AND the trailing
+    * no-data batch that advances the watermark to max(event time) −
+    * delay, so every window strictly below that final watermark is
+    * flushed before the query stops — the property the registered
+    * streaming rows' oracles replay.
+    */
+  private[graft] def drainAvailableNow(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    val name = s"graft_drain_${java.lang.System.nanoTime}"
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft-drain").toString
+    val q = frame.writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Stage a frame as exactly TWO parquet files with ordered modification
+    * times, so a file streaming source with maxFilesPerTrigger=1 replays
+    * it as two deterministic micro-batches (oldest first) — the
+    * cross-batch-state shape of a live feed, reproducible per invocation.
+    * The directory is wiped and rebuilt every call (testdata regenerates
+    * between rounds). Rows where `earlyCond` is NULL land in neither
+    * slice — pass a condition over non-null columns.
+    */
+  private[graft] def stageTwoPhase(df: DataFrame, earlyCond: Column,
+      dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists) d.listFiles.foreach(f => f.delete())
+    java.nio.file.Files.createDirectories(d.toPath)
+    def writeOne(slice: DataFrame, name: String, mod: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      val tgt = new java.io.File(d, name)
+      java.nio.file.Files.move(part.toPath, tgt.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      tgt.setLastModified(mod)
+      ()
+    }
+    // modtimes two minutes in the past, a minute apart: strictly ordered,
+    // and never in the future even on a skewed clock
+    val t0 = java.lang.System.currentTimeMillis - 120000L
+    writeOne(df.where(earlyCond), "1_early.parquet", t0)
+    writeOne(df.where(!earlyCond), "2_late.parquet", t0 + 60000L)
+  }
+
   /** Streaming OHLC bars — the streaming twin of Analytics.ohlcBars:
     * watermarked event-time windows with min_by/max_by over the unique
     * (ts, event_id) ordering, so a bar closes with exactly the values the

@@ -671,6 +671,41 @@ class EventStreamSpec extends SparkSpec {
     assert(near == Seq((42L, 200L), (42L, 201L)), s"got $near")
   }
 
+  test("staged two-file AvailableNow drain emits exactly the batch bars " +
+      "below max(ts) - delay (the q_stream_ohlc contract)") {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    val evs = Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0),
+      EventStream.Event(2, ts("2024-01-01 10:40:00"), 1, "click", 9.0),
+      EventStream.Event(3, ts("2024-01-01 11:15:00"), 2, "click", 1.0),
+      EventStream.Event(4, ts("2024-01-01 13:30:00"), 1, "click", 7.0), // batch 2
+      EventStream.Event(5, ts("2024-01-01 16:30:30"), 1, "click", 2.0)) // batch 2
+    val df = evs.toDF().select(col("event_id"), col("ts"),
+      col("event_type"), col("value"))
+    val base = Files.createTempDirectory("graft-ohlc2p").toString
+    EventStream.stageTwoPhase(df,
+      col("ts") < lit("2024-01-01 12:00:00").cast("timestamp"), base)
+    // two files, early one older
+    val files = new java.io.File(base).listFiles.sortBy(_.getName)
+    assert(files.map(_.getName).toSeq == Seq("1_early.parquet", "2_late.parquet"))
+    assert(files(0).lastModified < files(1).lastModified)
+    val stream = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(base)
+    val got = EventStream.drainAvailableNow(
+      EventStream.ohlcStream(stream, watermark = "2 hours"))
+      .select(unix_micros(col("window_start")), col("event_type"),
+        col("open"), col("close"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    // final watermark = 16:30:30 - 2h = 14:30:30 -> the 10:00, 11:00 and
+    // 13:00 windows flush; 16:00 stays open
+    val want = Map(
+      (ts("2024-01-01 10:00:00").getTime * 1000L, "click") -> (5.0, 9.0, 2L),
+      (ts("2024-01-01 11:00:00").getTime * 1000L, "click") -> (1.0, 1.0, 1L),
+      (ts("2024-01-01 13:00:00").getTime * 1000L, "click") -> (7.0, 7.0, 1L))
+    assert(got == want)
+  }
+
   test("ohlcStream bars equal the batch ohlcBars over the same events") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.functions.{col, unix_micros}
