@@ -1178,6 +1178,18 @@ object SparkEntry {
       graft.operators.Approx.cmsTopK(Tables.documents(s, dir),
         d = 3, w = 2048, k = 20)),
 
+    // §2.24e7 — day-merged CMS (the CMS member of the sketch-warehouse
+    // day-merge family): per-day d×w matrices over the per-user event
+    // stream, merged by elementwise sum; merged == direct is an IDENTITY
+    // verdict (counter addition commutes), and the true top-20 users'
+    // merged-cell estimates carry the one-sided guarantee
+    "q_cms_rollup" -> ((s, dir) =>
+      graft.operators.Approx.cmsRollup(
+        Tables.events(s, dir).select(
+          col("user_id").cast("string").as("token"),
+          to_date(col("ts")).as("day")),
+        d = 3, w = 2048, k = 20)),
+
     // §2.24e3 — batch SpaceSaving heavy hitters (the identified-top-m
     // complement of the CMS cells; batch twin of the 45n stream): per
     // event_type, 64 counters folded in (ts, event_id) order over a
@@ -4099,6 +4111,50 @@ object SparkEntry {
         |  GROUP BY c.token, c.true_count)
         |SELECT token, true_count, cms_est FROM est
         |ORDER BY true_count DESC, token ASC LIMIT 20""".stripMargin,
+
+    // replays the daily matrices, the elementwise-sum merge, the direct
+    // sketch, the full-outer cell identity verdict, and the top-20
+    // estimates off the MERGED cells
+    "q_cms_rollup" -> {
+      def bucket(saltExpr: String, tok: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split('cms' || $saltExpr || ':' || $tok, ''),
+           |        c2 -> CAST(ascii(c2) AS BIGINT))),
+           |      (acc, c2) -> (acc * 257 + c2) % 1000000007) % 2048""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS token,
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+         |  FROM events),
+         |cnt_d AS (SELECT token, day, count(*) AS c FROM tok GROUP BY 1, 2),
+         |daily AS (
+         |  SELECT day, i AS r, ${bucket("CAST(i AS VARCHAR)", "token")} AS b,
+         |    sum(c) AS v
+         |  FROM cnt_d CROSS JOIN range(0, 3) AS t(i)
+         |  GROUP BY 1, 2, 3),
+         |merged AS (
+         |  SELECT r, b, CAST(sum(v) AS BIGINT) AS v FROM daily GROUP BY 1, 2),
+         |cnt AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+         |direct AS (
+         |  SELECT i AS r, ${bucket("CAST(i AS VARCHAR)", "token")} AS b,
+         |    CAST(sum(true_count) AS BIGINT) AS v
+         |  FROM cnt CROSS JOIN range(0, 3) AS t(i)
+         |  GROUP BY 1, 2),
+         |vr AS (
+         |  SELECT count(*) AS n_cells,
+         |    count(*) = CAST(sum(CASE WHEN m.v = d2.v THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cells_match
+         |  FROM merged m FULL JOIN direct d2 ON m.r = d2.r AND m.b = d2.b),
+         |est AS (
+         |  SELECT c.token AS item, CAST(c.true_count AS BIGINT) AS true_count,
+         |    min(m.v) AS cms_est
+         |  FROM cnt c CROSS JOIN range(0, 3) AS t(i) JOIN merged m
+         |    ON m.r = i AND m.b = ${bucket("CAST(i AS VARCHAR)", "c.token")}
+         |  GROUP BY 1, 2)
+         |SELECT item, true_count, cms_est, cms_est >= true_count AS one_sided,
+         |  vr.n_cells, vr.cells_match
+         |FROM est CROSS JOIN vr
+         |ORDER BY true_count DESC, item ASC LIMIT 20""".stripMargin
+    },
 
     // the guaranteed heavy-hitter set (exact count * m > N) replayed
     // exactly; the four theorem verdicts asserted as literal true (the

@@ -407,6 +407,39 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("cmsRollup: merged daily matrices are IDENTICAL to the direct " +
+      "sketch, estimates are one-sided and exact without collisions") {
+    import java.sql.Date
+    // three days, one item spanning all days plus per-day singletons; a
+    // tiny w forces real collisions so one_sided is exercised under them
+    val rows =
+      (1 to 30).map(_ => ("hot", Date.valueOf("2024-03-01"))) ++
+      (1 to 20).map(_ => ("hot", Date.valueOf("2024-03-02"))) ++
+      (1 to 10).map(_ => ("hot", Date.valueOf("2024-03-03"))) ++
+      (1 to 7).map(i => (s"u$i", Date.valueOf(s"2024-03-0${i % 3 + 1}")))
+    val toks = rows.toDF("token", "day")
+    val out = Approx.cmsRollup(toks, d = 3, w = 8, k = 10).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // the merge law is an identity, whatever the collision pattern
+      assert(r.getAs[Boolean]("cells_match"))
+      assert(r.getAs[Boolean]("one_sided"))
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_count"))
+    }
+    // the cross-day item's TRUE count spans all three days — the merge
+    // summed its daily cells, it did not pick one day
+    val hot = out.find(_.getAs[String]("item") == "hot").get
+    assert(hot.getAs[Long]("true_count") == 60L)
+    assert(hot.getAs[Long]("cms_est") >= 60L)
+    // with a wide sketch (no collisions possible at this cardinality)
+    // every estimate is exact
+    val exact = Approx.cmsRollup(toks, d = 3, w = 4096, k = 10).collect()
+    exact.foreach { r =>
+      assert(r.getAs[Long]("cms_est") == r.getAs[Long]("true_count"))
+      assert(r.getAs[Boolean]("cells_match"))
+    }
+  }
+
   test("quantile sketch quantile validation fails fast: non-centile, " +
       "out-of-range, and colliding labels all throw") {
     def rollup(qs: Seq[Double]) = Approx.quantileRollup(qskFixture, "g",
