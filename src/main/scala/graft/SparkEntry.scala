@@ -2842,6 +2842,20 @@ object SparkEntry {
       graft.operators.AsOf.asofJoin(errors, clicks, Seq("user_id"), "err_us", "click_us")
     }),
 
+    // §2.40b — as-of join with a staleness bound (kdb/QuestDB tolerance):
+    // the latest click is attached only if it happened within the hour
+    // before the error; staler matches are rejected, not replaced
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("err_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"),
+          col("value").as("click_value"))
+      graft.operators.AsOf.asofJoinTolerance(errors, clicks, Seq("user_id"),
+        "err_us", "click_us", tolerance = 3600000000L)
+    }),
+
     // §2.33 — token counting: whitespace + BPE-ish pre-tokenizer regex
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -7015,6 +7029,24 @@ object SparkEntry {
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, value AS click_value
         |  FROM events WHERE event_type = 'click')
         |SELECT e.user_id, e.event_id, e.err_us, c.click_us, c.click_value
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.err_us >= c.click_us""".stripMargin,
+
+    // the tolerance gate post-filters the plain as-of match: a too-stale
+    // match is rejected (never replaced by an older one), so the CASE
+    // replay is exact
+    "q_asof_tolerance" ->
+      """WITH errors AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS err_us
+        |  FROM events WHERE event_type = 'error'),
+        |clicks AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us, value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.user_id, e.event_id, e.err_us,
+        |  CASE WHEN e.err_us - c.click_us <= 3600000000 THEN c.click_us END
+        |    AS click_us,
+        |  CASE WHEN e.err_us - c.click_us <= 3600000000 THEN c.click_value END
+        |    AS click_value
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.err_us >= c.click_us""".stripMargin,
 

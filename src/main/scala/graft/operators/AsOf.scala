@@ -50,4 +50,25 @@ object AsOf {
       .select(keyCols.map(col) ++ leftOnly.map(col) ++
         rightOnly.map(c => col(s"_matched.$c").as(c)): _*)
   }
+
+  /** As-of join with a staleness bound (kdb/QuestDB `tolerance`): the
+    * matched right row is kept only if `leftTs - rightTs <= tolerance`
+    * (same units as the ts columns), else the right columns are null.
+    * Tolerance REJECTS a too-stale match — it never falls back to an
+    * older right row (an older row is staler still) — so post-gating
+    * the plain as-of result is exact, and the plan cost is identical:
+    * the one union+window shuffle plus a per-row projection.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTs: String, rightTs: String,
+      tolerance: Long): DataFrame = {
+    val rightOnly = right.columns.filterNot(keyCols.contains).toSeq
+    val joined = asofJoin(left, right, keyCols, leftTs, rightTs)
+      .withColumn("_fresh", col(rightTs).isNotNull &&
+        col(leftTs) - col(rightTs) <= tolerance)
+    rightOnly.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(col("_fresh"), col(c))
+        .otherwise(lit(null).cast(right.schema(c).dataType)))
+    }.drop("_fresh")
+  }
 }
