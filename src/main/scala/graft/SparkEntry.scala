@@ -2220,6 +2220,15 @@ object SparkEntry {
       Analytics.abMetrics(Tables.events(s, dir),
         "user_id", "value", "event_type", "purchase", arms = 2)),
 
+    // §2.58e — deterministic Poisson bootstrap: per-event-type mean value
+    // with a resampling CI (32 replicates, Poisson(1) weights from fixed
+    // integer thresholds on the salted 52-bit md5 uniform); replicate
+    // means and the variance numerator are exact integer arithmetic, so
+    // the CI replays bit-for-bit in SQL
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Analytics.bootstrapCi(Tables.events(s, dir),
+        "event_type", "event_id", "value", b = 32)),
+
     // §2.67c — WEIGHTED exact-integer PageRank: edges carry distinct
     // order counts and mass splits proportionally in BIGINT floor
     // division — steady relationships outrank one-off orders. Bucketed
@@ -4501,6 +4510,68 @@ object SparkEntry {
     // 44 - bitlength), per-register max, integer 2^(44-rho) weights, and
     // the identical estimate arithmetic (the same IEEE double constants
     // as Approx.hllAudit)
+    // replays the 32 Poisson(1) draws (same integer thresholds on the
+    // same salted 52-bit md5 uniform), the exact integer replicate
+    // means, and the exact-decimal variance numerator; the only float
+    // steps are the final constant division and sqrt, identical ops on
+    // identical operands
+    "q_bootstrap_ci" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH rows0 AS (
+         |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events),
+         |drawn AS (
+         |  SELECT g, cents, i AS b,
+         |    ${md5bits("'boot' || CAST(i AS VARCHAR) || ':' || id")} AS h
+         |  FROM rows0 CROSS JOIN range(0, 32) AS t(i)),
+         |weighted AS (
+         |  SELECT g, b, cents,
+         |    CASE WHEN h < 1656781714176974 THEN 0
+         |         WHEN h < 3313563428353948 THEN 1
+         |         WHEN h < 4141954285442435 THEN 2
+         |         WHEN h < 4418084571138597 THEN 3
+         |         WHEN h < 4487117142562638 THEN 4
+         |         WHEN h < 4500923656847446 THEN 5
+         |         WHEN h < 4503224742561580 THEN 6
+         |         ELSE 7 END AS w
+         |  FROM drawn),
+         |reps AS (
+         |  SELECT g, b,
+         |    CAST(sum(w) AS BIGINT) AS n_w,
+         |    CAST(sum(w * cents) AS BIGINT) AS s_wc
+         |  FROM weighted GROUP BY g, b),
+         |means AS (
+         |  SELECT g, (CAST(s_wc AS HUGEINT) * 1000000) // n_w AS m
+         |  FROM reps WHERE n_w > 0),
+         |spread AS (
+         |  SELECT g, count(*) AS b_used,
+         |    sum(CAST(m AS HUGEINT)) AS sm,
+         |    sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS sm2
+         |  FROM means GROUP BY g),
+         |pt AS (
+         |  SELECT g, count(*) AS n_events,
+         |    CAST((CAST(sum(cents) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         |      AS point_micro
+         |  FROM rows0 GROUP BY g)
+         |SELECT p.g, p.n_events, p.point_micro,
+         |  CAST(s.b_used AS BIGINT) AS b_used,
+         |  sqrt(CAST(s.b_used * s.sm2 - s.sm * s.sm AS DOUBLE) /
+         |    CAST(s.b_used * (s.b_used - 1) AS DOUBLE)) AS se_micro,
+         |  CAST(p.point_micro AS DOUBLE) - 2.0 *
+         |    sqrt(CAST(s.b_used * s.sm2 - s.sm * s.sm AS DOUBLE) /
+         |      CAST(s.b_used * (s.b_used - 1) AS DOUBLE)) AS lo_micro,
+         |  CAST(p.point_micro AS DOUBLE) + 2.0 *
+         |    sqrt(CAST(s.b_used * s.sm2 - s.sm * s.sm AS DOUBLE) /
+         |      CAST(s.b_used * (s.b_used - 1) AS DOUBLE)) AS hi_micro
+         |FROM pt p JOIN spread s ON p.g = s.g
+         |ORDER BY p.g""".stripMargin
+    },
+
     "q_hll_counts" -> {
       def md5bits(salted: String) =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -834,4 +834,102 @@ object Analytics {
           .as("prunable_ts"),
         (col("user_min") >= userLt).as("prunable_user"))
       .orderBy(col("tile"))
+
+  /** Cumulative-Poisson(1) thresholds on the 52-bit md5 uniform:
+    * weight k iff h < floor(P(X<=k)·2^52). FIXED integer literals (not
+    * recomputed from doubles at runtime), shared verbatim with the SQL
+    * oracle, so the draw replays bit-for-bit on any engine. The tail
+    * mass above weight 7 is ~1e-7 per draw — folded into weight 7. */
+  private val poisson1Cuts = Seq(
+    1656781714176974L, 3313563428353948L, 4141954285442435L,
+    4418084571138597L, 4487117142562638L, 4500923656847446L,
+    4503224742561580L)
+
+  /** Deterministic Poisson bootstrap — resampling-based uncertainty for
+    * any per-group mean, the missing inferential tool next to the
+    * closed-form abMetrics/cuped CIs (bootstrap works for metrics with
+    * no closed form). Each row gets, per replicate `b`, a Poisson(1)
+    * weight drawn from the salted md5 of its id ("boot<b>:" + id) via
+    * fixed integer thresholds on the 52-bit hash — the standard
+    * one-pass approximation of multinomial resampling (Efron's
+    * bootstrap; Poissonization makes the draw per-row independent, so
+    * it distributes with NO resampling shuffle). `idCol` must be unique
+    * for independent draws.
+    *
+    * Exactness discipline: replicate means are integer micro-cents
+    * (HUGEINT/decimal DIV), their variance numerator
+    * B·Σm² − (Σm)² is exact decimal(38) integer arithmetic, and the
+    * only floating steps are one division by the constant B(B−1) and
+    * one sqrt (IEEE-exact) — so the published se/CI hash-matches any
+    * engine. Replicates with zero total weight (probability e^(−n) per
+    * replicate) are excluded; `b_used` publishes the survivor count.
+    *
+    * 100 TB posture: the B-fold explode happens INSIDE the scan and is
+    * absorbed by map-side partial aggregation — at most groups×B rows
+    * per task ever shuffle, the raw data never replicates through an
+    * exchange; everything after the one groupBy is bounded at
+    * groups×B rows.
+    */
+  def bootstrapCi(events: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, b: Int = 32): DataFrame = {
+    require(b >= 2, s"bootstrap needs >= 2 replicates, got $b")
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    def weight(h: Column): Column =
+      poisson1Cuts.zipWithIndex.drop(1)
+        .foldLeft(when(h < poisson1Cuts.head, 0L)) {
+          case (e, (t, k)) => e.when(h < t, k.toLong)
+        }.otherwise(7L)
+    val drawn = events
+      .select(col(groupCol).as("g"), col(idCol).cast("string").as("id"),
+        cents.as("cents"))
+      // the draw projection is CPU-bound (B salted hashes per row): hash-
+      // spread the slim (g, id, cents) rows across the session's shuffle
+      // partitions first, or a small input file pins all B·n hashes to
+      // its one-or-two scan partitions. The explicit partition count
+      // keeps AQE from coalescing the tiny-but-CPU-heavy exchange back
+      // to one task; the shuffle itself moves three slim columns once
+      .repartition(events.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
+      .select(col("g"), col("cents"),
+        explode(array((0 until b).map { i =>
+          val h = conv(substring(
+            md5(concat(lit(s"boot$i:"), col("id"))), 1, 13), 16, 10)
+            .cast("long")
+          struct(lit(i).as("b"), weight(h).as("w"))
+        }: _*)).as("x"))
+    // per-(group, replicate) weighted mean in exact integer micro-cents;
+    // the explode above collapses map-side, so only groups*B rows shuffle
+    val reps = drawn
+      .groupBy(col("g"), col("x.b").as("b"))
+      .agg(sum(col("x.w")).as("n_w"),
+        sum(col("x.w") * col("cents")).as("s_wc"))
+      .where(col("n_w") > 0L)
+      .select(col("g"),
+        expr("CAST(s_wc AS DECIMAL(38,0)) * 1000000 DIV n_w").as("m"))
+    val spread = reps.groupBy(col("g")).agg(
+      count(lit(1)).as("b_used"),
+      sum(col("m").cast("decimal(38,0)")).as("sm"),
+      // square in decimal — m is ~1e10 micro-cents, m*m overflows LONG
+      sum(col("m").cast("decimal(19,0)") * col("m").cast("decimal(19,0)"))
+        .as("sm2"))
+    val point = events
+      .select(col(groupCol).as("g"), cents.as("cents"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sc"))
+      .select(col("g"), col("n_events"),
+        expr("CAST(sc AS DECIMAL(38,0)) * 1000000 DIV n_events")
+          .cast("long").as("point_micro"))
+    point.join(spread, Seq("g"))
+      .withColumn("se_micro", sqrt(
+        ((col("b_used") * col("sm2") - col("sm") * col("sm"))
+          .cast("double")) /
+          (col("b_used") * (col("b_used") - lit(1L))).cast("double")))
+      .select(col("g"), col("n_events"), col("point_micro"), col("b_used"),
+        col("se_micro"),
+        (col("point_micro").cast("double") - lit(2.0) * col("se_micro"))
+          .as("lo_micro"),
+        (col("point_micro").cast("double") + lit(2.0) * col("se_micro"))
+          .as("hi_micro"))
+      .orderBy(col("g"))
+  }
 }

@@ -527,4 +527,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("a") == ((10L, 2.00, 1.00, 1L, 1000L)))
     assert(out("b") == ((5L, 5.00, 0.00, 1L, 2000L)))
   }
+
+  test("bootstrapCi: constant values collapse to se = 0 exactly; spread " +
+      "values give a CI that brackets the point estimate") {
+    // constant group: every replicate mean is the constant in exact
+    // integer micro-cents, so the variance numerator is exactly zero —
+    // the exact-arithmetic discipline, not an epsilon
+    val const = (1 to 200).map(i => ("c", i.toLong, 5.00))
+    val spread = (1 to 200).map(i => ("s", 1000L + i, (i % 10) + 1.0))
+    val df = (const ++ spread).toDF("event_type", "event_id", "value")
+    val out = Analytics.bootstrapCi(df, "event_type", "event_id", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c = out("c")
+    assert(c.getAs[Long]("n_events") == 200L)
+    assert(c.getAs[Long]("b_used") == 32L)
+    assert(c.getAs[Long]("point_micro") == 500000000L) // 5.00 in micro-cents
+    assert(c.getAs[Double]("se_micro") == 0.0)
+    assert(c.getAs[Double]("lo_micro") == 5.0e8 &&
+      c.getAs[Double]("hi_micro") == 5.0e8)
+    val sp = out("s")
+    assert(sp.getAs[Double]("se_micro") > 0.0)
+    assert(sp.getAs[Double]("lo_micro") < sp.getAs[Long]("point_micro").toDouble)
+    assert(sp.getAs[Double]("hi_micro") > sp.getAs[Long]("point_micro").toDouble)
+    // the true mean of 1..10 is 5.5; a 2-se bootstrap CI on n=200
+    // comfortably contains it
+    assert(sp.getAs[Double]("lo_micro") < 5.5e8 &&
+      sp.getAs[Double]("hi_micro") > 5.5e8)
+  }
 }
