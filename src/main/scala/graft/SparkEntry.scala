@@ -2614,6 +2614,31 @@ object SparkEntry {
       Analytics.ohlcBars(Tables.events(s, dir),
         "event_type", "ts", "event_id", "value", bucket = "hour")),
 
+    // §2.51b — the REGISTERED streaming running-total row (45g was
+    // spec-only; the flatMapGroupsWithState-with-emissions class joins
+    // the driver-visible streaming surface): the events table replays as
+    // the two-file stream and every event emits its post-event cumulative
+    // sum. One long of exact cents per user is the whole state; the
+    // ts-cut staging preserves each user's (ts, event_id) order across
+    // batches and arrivals fold in that order within a batch, so the
+    // emitted prefix sums are EXACTLY the batch window replay — batch
+    // boundaries cannot move a single value.
+    "q_stream_running" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = s"/tmp/graft_runsrc_$tag"
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.runningTotalsStream(stream))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // §2.60b — the REGISTERED streaming OHLC row (45h was spec-only): the
     // events table replays as a two-file stream (maxFilesPerTrigger=1 →
     // two micro-batches, cross-batch window state), ohlcStream's
@@ -4147,7 +4172,8 @@ object SparkEntry {
       s"""WITH tok AS (
          |  SELECT CAST(user_id AS VARCHAR) AS token,
          |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
-         |  FROM events),
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
          |cnt_d AS (SELECT token, day, count(*) AS c FROM tok GROUP BY 1, 2),
          |daily AS (
          |  SELECT day, i AS r, ${bucket("CAST(i AS VARCHAR)", "token")} AS b,
@@ -4524,7 +4550,9 @@ object SparkEntry {
       s"""WITH rows0 AS (
          |  SELECT event_type AS g, CAST(event_id AS VARCHAR) AS id,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-         |  FROM events),
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+         |    AND value IS NOT NULL),
          |drawn AS (
          |  SELECT g, cents, i AS b,
          |    ${md5bits("'boot' || CAST(i AS VARCHAR) || ':' || id")} AS h
@@ -6764,6 +6792,18 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // every event emits exactly once with its post-event cumulative sum;
+    // exact-cents state + per-user order preserved across the staged
+    // batches make the replay the plain batch window
+    "q_stream_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_sum
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
 
     // append-mode flush rule: a window emits once the watermark
     // (max event time − 2h, advanced by the trailing no-data batch)

@@ -716,6 +716,37 @@ object Stress {
       graft.operators.Packing.compactionPlan(evs, "event_type", "ts",
         targetRows = 5000L)
     }
+    // Day-merged CMS: the daily state is d·w counters per day WHATEVER
+    // the factor, the merge state-sized — the curve is the token scan.
+    time("cms_rollup") {
+      graft.operators.Approx.cmsRollup(
+        evs.select(col("user_id").cast("string").as("token"),
+          to_date(col("ts")).as("day")), d = 3, w = 2048, k = 20)
+    }
+    // Poisson bootstrap: B draws per row collapse map-side, so only
+    // groups x B rows ever shuffle — the curve is the hash-heavy scan.
+    time("bootstrap_ci") {
+      graft.operators.Analytics.bootstrapCi(evs, "event_type", "event_id",
+        "value", b = 32)
+    }
+    // Point-in-time SCD2 read: fact growth moves the one union+window
+    // shuffle linearly; the dimension (and its same-day collapse) stays
+    // original-sized however many facts arrive.
+    time("scd2_asof") {
+      val o = Tables.orders(spark, sfDir)
+      val dim = graft.operators.Etl.scd2(o, key = "o_custkey",
+        attr = "o_orderstatus", ts = "o_orderdate", tie = "o_orderkey")
+      val l = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val factsX = (0 until factor).map(_ => l).reduce(_ unionByName _)
+        .join(o.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), to_date(col("l_shipdate")).as("ship_day"),
+          col("l_extendedprice"), col("l_discount"))
+      graft.operators.Etl.scd2PointInTime(factsX, dim, "o_custkey", "ship_day")
+        .groupBy(coalesce(col("status"), lit("none")).as("s"))
+        .agg(count(lit(1)).as("n"))
+    }
     spark.stop()
   }
 }

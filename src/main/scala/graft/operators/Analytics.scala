@@ -870,9 +870,16 @@ object Analytics {
     * exchange; everything after the one groupBy is bounded at
     * groups×B rows.
     */
-  def bootstrapCi(events: DataFrame, groupCol: String, idCol: String,
+  def bootstrapCi(eventsRaw: DataFrame, groupCol: String, idCol: String,
       valueCol: String, b: Int = 32): DataFrame = {
     require(b >= 2, s"bootstrap needs >= 2 replicates, got $b")
+    // NULL group/id/value rows are excluded up front (the kmvSketch
+    // isNotNull discipline): a NULL id would give EVERY replicate the
+    // null-propagated fall-through weight 7 (silent 7x over-weighting),
+    // a NULL value has no cents, and a NULL group would vanish in the
+    // null-unsafe point-spread equi-join
+    val events = eventsRaw.where(col(groupCol).isNotNull &&
+      col(idCol).isNotNull && col(valueCol).isNotNull)
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
     def weight(h: Column): Column =
       poisson1Cuts.zipWithIndex.drop(1)

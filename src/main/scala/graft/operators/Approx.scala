@@ -1071,8 +1071,13 @@ object Approx {
     * direct-sketch side exists here to certify the merge law; a
     * production rollup reads the daily matrices alone.
     */
-  def cmsRollup(toks: DataFrame, d: Int, w: Int, k: Int): DataFrame = {
+  def cmsRollup(toksRaw: DataFrame, d: Int, w: Int, k: Int): DataFrame = {
     val bucket = (r: Int, t: Column) => cmsBucket(r, t, w)
+    // NULL token/day rows are excluded up front (the kmvSketch isNotNull
+    // discipline): a NULL token has no bucket — cmsBucket's concat
+    // null-propagates — and a NULL day would silently vanish from the
+    // null-unsafe merge/estimate equi-joins
+    val toks = toksRaw.where(col("token").isNotNull && col("day").isNotNull)
     // per-day cell matrices (the persisted daily state), then the merge
     val cntDay = toks.groupBy(col("token"), col("day"))
       .agg(count(lit(1)).as("c"))

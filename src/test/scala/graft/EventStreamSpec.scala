@@ -671,6 +671,32 @@ class EventStreamSpec extends SparkSpec {
     assert(near == Seq((42L, 200L), (42L, 201L)), s"got $near")
   }
 
+  test("staged two-file AvailableNow running totals equal the batch " +
+      "window replay, state crossing the batch boundary " +
+      "(the q_stream_running contract)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val evs = Seq(
+      EventStream.Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.10),
+      EventStream.Event(2, ts("2024-01-01 11:00:00"), 1, "a", 2.20),
+      EventStream.Event(3, ts("2024-01-02 09:00:00"), 1, "a", 0.70), // file 2
+      EventStream.Event(4, ts("2024-01-01 10:30:00"), 2, "a", 5.00),
+      EventStream.Event(5, ts("2024-01-02 10:00:00"), 2, "a", 0.25)) // file 2
+    val df = evs.toDF()
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val base = Files.createTempDirectory("graft-run2p").toString
+    EventStream.stageTwoPhase(df,
+      col("ts") < lit("2024-01-02 00:00:00").cast("timestamp"), base)
+    val got = EventStream.drainAvailableNow(
+      EventStream.runningTotalsStream(
+        spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 1).parquet(base)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // user 1's third event continues from the 3.30 carried across the
+    // batch boundary in exact cents
+    assert(got == Map(1L -> 1.10, 2L -> 3.30, 3L -> 4.00,
+      4L -> 5.00, 5L -> 5.25))
+  }
+
   test("staged two-file AvailableNow drain emits exactly the batch bars " +
       "below max(ts) - delay (the q_stream_ohlc contract)") {
     import org.apache.spark.sql.functions.{col, lit, unix_micros}
