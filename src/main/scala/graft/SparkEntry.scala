@@ -2374,13 +2374,7 @@ object SparkEntry {
     // platform team budgets; shared-scan and staging interactions
     // between the stages are exactly what no single query exercises.
     "q_daily_close" -> ((s, dir) => {
-      def dig(stage: String, df: DataFrame,
-          part: org.apache.spark.sql.Column,
-          cols: Seq[org.apache.spark.sql.Column]) =
-        graft.validation.Reconcile.tableDigest(df, part, cols)
-          .select(lit(stage).as("stage"),
-            col("part").cast("string").as("part"), col("n_rows"),
-            col("xor_digest"), col("sum_digest"))
+      val dig = graft.validation.Reconcile.digestStage _
       val ing = ingestDecideFrame(s, dir)
       val pr = pagerankDecideFrame(s, dir)
       val lpa = communitiesDecideFrame(s, dir)
@@ -2415,13 +2409,7 @@ object SparkEntry {
     // chains from scratch, so a green row certifies every handoff:
     // vector advance, skeleton refresh, and index append.
     "q_daily_close2" -> ((s, dir) => {
-      def dig(stage: String, df: DataFrame,
-          part: org.apache.spark.sql.Column,
-          cols: Seq[org.apache.spark.sql.Column]) =
-        graft.validation.Reconcile.tableDigest(df, part, cols)
-          .select(lit(stage).as("stage"),
-            col("part").cast("string").as("part"), col("n_rows"),
-            col("xor_digest"), col("sum_digest"))
+      val dig = graft.validation.Reconcile.digestStage _
       val (idx2, decT) = ingestIndex2Tables(s, dir)
       // day 1 from rest
       val ing1 = s.table(decT)

@@ -1096,8 +1096,11 @@ object Approx {
       .agg(count(lit(1)).as("n_cells"),
         (count(lit(1)) === sum(when(col("m.v") === col("dd.v"), 1L)
           .otherwise(0L))).as("cells_match"))
-    // point estimates for the true top-k, off the MERGED cells only
-    val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+    // point estimates for the true top-k, off the MERGED cells only;
+    // true counts re-aggregate the per-day counts already in hand — no
+    // third scan of the raw tokens (the direct-sketch scan above is the
+    // merge-law certificate and stays independent by design)
+    val cnt = cntDay.groupBy(col("token")).agg(sum(col("c")).as("true_count"))
     cnt
       .select(col("token").as("item"), col("true_count"),
         posexplode(array((0 until d).map(r => bucket(r, col("token"))): _*))

@@ -415,7 +415,12 @@ object Graph {
     // deterministic computation, so the two modes are byte-equal
     // (spec-proven) and the table path drops `baseRounds` staged rounds
     // — the r11 verdict's certifier-cost item.
-    val stored = storedLabelTable.map(spark.table).getOrElse {
+    val stored = storedLabelTable
+      // (node, label) projection: symmetric with the rank path's stored
+      // read — a stored table carrying extra columns must not leak them
+      // into the vote rounds
+      .map(t => spark.table(t).select(col("node"), col("label")))
+      .getOrElse {
       var st = stager(base.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label")), "ilpa_b0")
       for (i <- 1 to baseRounds)
@@ -1102,8 +1107,16 @@ object Graph {
     // deterministic integer computation, so the output is byte-equal
     // (spec-proven) while the chain drops `baseIters` staged rounds —
     // the r11 verdict's certifier-cost item. With None the query stays
-    // fully self-contained (the spec-fixture path).
-    val stored = storedVectorTable.map(spark.table)
+    // fully self-contained (the spec-fixture path). Project to
+    // (node, pr): a POST-WARM vector table also carries `deg`
+    // (writeWarmRankVectorTable persists the full frame), which would
+    // collide with warmRankLoop's freshly rebuilt degree column —
+    // pageRankWarmBucketed's discipline, needed here too because
+    // pageRankDaily routes the SAME table through both arms (r13
+    // review finding: the certify day would crash on ambiguous `deg`
+    // while plain days work).
+    val stored = storedVectorTable
+      .map(t => spark.table(t).select(col("node"), col("pr")))
       .getOrElse(pyramid(base, baseIters, "ipr_b"))
 
     val warm = warmRankLoop(base, stored, deltaOrders, deltaLineitem,
@@ -1214,14 +1227,11 @@ object Graph {
       .bucketBy(buckets, "node").sortBy("node")
       .saveAsTable(table)
 
-  /** One digest stage frame (stage, part, n_rows, xor_digest,
-    * sum_digest) — the q_table_digest fold triple labeled for a
-    * multi-stage close artifact. */
+  /** One digest stage frame — the shared labeled fold triple
+    * ([[graft.validation.Reconcile.digestStage]]). */
   private def digestStage(stage: String, df: DataFrame, part: Column,
       cols: Seq[Column]): DataFrame =
-    graft.validation.Reconcile.tableDigest(df, part, cols)
-      .select(lit(stage).as("stage"), col("part").cast("string").as("part"),
-        col("n_rows"), col("xor_digest"), col("sum_digest"))
+    graft.validation.Reconcile.digestStage(stage, df, part, cols)
 
   /** The PLAIN day of the PageRank cadence (the certifier-cadence
     * policy's cheap arm): the warm decide refresh plus an INTEGRITY

@@ -379,10 +379,10 @@ object EventStream {
             state.remove()
             Iterator(SessionSummary(userId, s.count, s.lastTs - s.firstTs, closed = true))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
             val next = sorted.foldLeft(prev) { (st, e) =>
-              val us = e.ts.getTime * 1000L
+              val us = tsMicros(e.ts)
               SessionState(st.count + 1, math.min(st.firstTs, us), math.max(st.lastTs, us))
             }
             state.update(next)
@@ -403,15 +403,29 @@ object EventStream {
   private[graft] def drainAvailableNow(frame: DataFrame): DataFrame = {
     val spark = frame.sparkSession
     val name = s"graft_drain_${java.lang.System.nanoTime}"
-    val chk = java.nio.file.Files
-      .createTempDirectory("graft-drain").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-drain")
     val q = frame.writeStream
       .format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", chk)
+      .option("checkpointLocation", chk.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // detach the result from the memory sink so the per-invocation sink
+    // table and checkpoint do not accumulate for the session's lifetime
+    // (Bench re-invokes each streaming query per iteration — r13 review
+    // finding): materialize, drop the sink view, delete the checkpoint
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(chk)
+    out
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 
   /** Stage a frame as exactly TWO parquet files with ordered modification
@@ -425,7 +439,7 @@ object EventStream {
   private[graft] def stageTwoPhase(df: DataFrame, earlyCond: Column,
       dir: String): Unit = {
     val d = new java.io.File(dir)
-    if (d.exists) d.listFiles.foreach(f => f.delete())
+    if (d.exists) deleteRecursively(d.toPath) // incl. stray subdirs
     java.nio.file.Files.createDirectories(d.toPath)
     def writeOne(slice: DataFrame, name: String, mod: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
@@ -438,7 +452,7 @@ object EventStream {
       java.nio.file.Files.move(part.toPath, tgt.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       tgt.setLastModified(mod)
-      ()
+      deleteRecursively(tmp) // _SUCCESS/.crc residue per invocation
     }
     // modtimes two minutes in the past, a minute apart: strictly ordered,
     // and never in the future even on a skewed clock
@@ -501,9 +515,9 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[TouchState]) =>
           var touch = state.getOption
-          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             .flatMap { e =>
-              val us = e.ts.getTime * 1000L
+              val us = tsMicros(e.ts)
               if (touchTypes(e.event_type)) {
                 touch = Some(TouchState(us, e.event_type)); None
               } else if (e.event_type == purchaseType) {
@@ -540,6 +554,16 @@ object EventStream {
     * residual: a user whose EVERY value is malformed reports 0 where
     * the batch sum of all-NULLs is NULL.)
     */
+  /** Event time in EXACT microseconds. `Timestamp.getTime` is
+    * millisecond-resolution — two same-user events inside one
+    * millisecond would tie under a getTime ordering and fold in
+    * event_id order while the batch replay (ORDER BY ts, event_id at
+    * full resolution) folds them by their true micros, swapping the
+    * emitted prefix values — so every stateful fold orders and stamps
+    * by this instead (r13 review finding). */
+  private[graft] def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   private def centsOf(v: Double): Long =
     if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
         math.abs(v) >= 1e16) 0L
@@ -557,7 +581,7 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[Long]) =>
           var cents = state.getOption.getOrElse(0L)
-          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          val out = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).map { e =>
             cents += centsOf(e.value)
             RunningRow(userId, e.event_id, cents / 100.0)
           }
@@ -602,7 +626,7 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (etype, rows, state: GroupState[HhState]) =>
           var counters = state.getOption.map(_.counters).getOrElse(Nil)
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
             counters = graft.operators.Approx.ssStep(counters, e.user_id, m)
           }
           state.update(HhState(counters))
@@ -716,16 +740,9 @@ object EventStream {
           graft.validation.Reconcile.canonColumnHash(n, c).as("h"))
       }: _*)).as("c"))
       .select(col("part"), col("c.column").as("column"), col("c.h").as("h"))
-    val name = s"graft_colrec_${java.lang.System.nanoTime}"
-    val chk = java.nio.file.Files
-      .createTempDirectory("graft-colrec").toString
-    val q = columnDigestStream(longForm).writeStream
-      .format("memory").queryName(name).outputMode("append")
-      .option("checkpointLocation", chk)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val live = spark.table(name)
+    // drainAvailableNow detaches the emissions from the memory sink and
+    // cleans the checkpoint, so repeated invocations leave nothing behind
+    val live = drainAvailableNow(columnDigestStream(longForm))
       .withColumn("__rk", row_number().over(Window
         .partitionBy(col("part"), col("column"))
         .orderBy(col("n_rows").desc)))
@@ -774,7 +791,7 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[DecayState]) =>
           val prior = state.getOption.map(_.recent).getOrElse(Nil)
-          val arrived = rows.map(e => (e.ts.getTime * 1000L, e.event_id,
+          val arrived = rows.map(e => (tsMicros(e.ts), e.event_id,
             centsOf(e.value))).toList
           // newest-first under the batch operator's (ts, id) order; the
           // buffer keeps only the top n so state stays bounded

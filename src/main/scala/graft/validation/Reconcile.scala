@@ -61,6 +61,18 @@ object Reconcile {
       cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*))
   }
 
+  /** One labeled digest-stage frame (stage, part, n_rows, xor_digest,
+    * sum_digest) — the [[tableDigest]] fold triple tagged for a
+    * multi-stage close artifact. ONE definition (the daily closes, the
+    * cadence plain days, and any future composed chain all publish
+    * through it) so the stage schema cannot drift between consumers
+    * (r13 review finding: three identical inline copies). */
+  def digestStage(stage: String, df: DataFrame, part: Column,
+      cols: Seq[Column]): DataFrame =
+    tableDigest(df, part, cols)
+      .select(lit(stage).as("stage"), col("part").cast("string").as("part"),
+        col("n_rows"), col("xor_digest"), col("sum_digest"))
+
   def tableDigest(df: DataFrame, part: Column, cols: Seq[Column]): DataFrame = {
     val h = canonRowHash(cols)
     df.select(part.as("part"), h.as("h"))

@@ -802,6 +802,34 @@ class EventStreamSpec extends SparkSpec {
     assert(rows(4L) === ((1L, 0.6)))  // cross-batch continuation
   }
 
+  test("runningTotalsStream folds SAME-MILLISECOND events in true " +
+      "microsecond order, not getTime-tie event_id order") {
+    implicit val sq = spark.sqlContext
+    // two events of one user inside one millisecond, with event_id order
+    // OPPOSING micros order: a getTime (millis) sort would tie and fall
+    // through to event_id, swapping the prefix sums vs the batch replay
+    val t9 = ts("2024-01-01 00:00:00"); t9.setNanos(100000)  // .000100
+    val t4 = ts("2024-01-01 00:00:00"); t4.setNanos(900000)  // .000900
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.runningTotalsStream(input.toDF())
+    val chk = Files.createTempDirectory("graft-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("running_us")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    input.addData(
+      EventStream.Event(4, t4, 1, "click", 2.00),
+      EventStream.Event(9, t9, 1, "click", 1.00))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("running_us")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        r.getAs[Double]("running_sum")).toMap
+    // micros order: id 9 (.000100) folds before id 4 (.000900)
+    assert(rows == Map(9L -> 1.00, 4L -> 3.00))
+  }
+
   test("lastTouchStream credits purchases like the batch operator across batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventStream.Event]
