@@ -2602,6 +2602,46 @@ object SparkEntry {
       Analytics.ohlcBars(Tables.events(s, dir),
         "event_type", "ts", "event_id", "value", bucket = "hour")),
 
+    // §2.45b2 — the REGISTERED stream-stream interval join (45b was
+    // spec-only; the two-source JOIN class joins the driver-visible
+    // streaming surface): errors and clicks arrive as two sources over
+    // the same staged two-file replay, matched per user within the
+    // 30-minute lookback. Inner-join matches emit when found — no
+    // append-mode flush gate — and state eviction below
+    // watermark − lookback can never drop a feasible match (a file-2
+    // click has ts >= the cut, far above any evicted error's bound), so
+    // the emitted set is EXACTLY the batch interval join.
+    "q_stream_join" -> ((s, dir) => {
+      // stage only the two joined event types: the collector-side
+      // projection a real feed would apply — both sources scan and
+      // buffer less
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = s"/tmp/graft_ssjsrc_$tag"
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      def side = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val errors = side.where(col("event_type") === "error")
+        .select(col("user_id").as("err_user"), col("event_id").as("err_id"),
+          col("ts").as("err_ts"))
+      val clicks = side.where(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.attributeToRecent(errors, clicks,
+          watermark = "2 hours", lookback = "30 MINUTES"))
+        .select(col("err_user").as("user_id"), col("err_id"),
+          unix_micros(col("err_ts")).as("err_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("click_value"))
+        .orderBy(col("user_id"), col("err_id"), col("click_us"))
+    }),
+
     // §2.51b — the REGISTERED streaming running-total row (45g was
     // spec-only; the flatMapGroupsWithState-with-emissions class joins
     // the driver-visible streaming surface): the events table replays as
@@ -6780,6 +6820,23 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // inner matches emit when found and no feasible match is ever
+    // evicted, so the replay is the plain batch interval join
+    "q_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id AS err_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS err_us
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+        |    value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.user_id, e.err_id, e.err_us, c.click_us, c.click_value
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |  AND c.click_us <= e.err_us
+        |  AND c.click_us >= e.err_us - 1800000000
+        |ORDER BY 1, 2, 4""".stripMargin,
 
     // every event emits exactly once with its post-event cumulative sum;
     // exact-cents state + per-user order preserved across the staged
