@@ -301,6 +301,16 @@ object SparkEntry {
     * q_ingest_decide/q_dedup_ingest batch) and day 2 (b2, q_dedup_ingest's
     * second batch), ONE definition each so the decide, the chain, and
     * the two-day close cannot slice apart. */
+  private def ingestCorpusSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).where(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("text"))
+  /** The q_dedup_ingest chain — one definition shared with
+    * q_ingest_timeline's per-batch curve so the log and its summary
+    * cannot drift. */
+  private def dedupIngestChainFrame(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ingest.ingestChain(
+      graft.operators.Ingest.signatureIndex(ingestCorpusSlice(s, dir), 64),
+      Seq(ingestBatch1(s, dir), ingestBatch2(s, dir)))
   private def ingestBatch1(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val trunc = expr("substring(text, 1, greatest(length(text) - 30, 1))")
@@ -1426,23 +1436,43 @@ object SparkEntry {
     // carries fresh docs + replicas of batch-1 FRESH docs, which only
     // dedup because batch-1 keepers joined the index — the append is
     // what the oracle certifies. Corpus text is scanned once, at seed.
-    "q_dedup_ingest" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val trunc = expr("substring(text, 1, greatest(length(text) - 30, 1))")
-      val corpus = docs.where(col("doc_id") % 3 === 1)
-        .select(col("doc_id"), col("text"))
-      val b1 = docs.where(col("doc_id") % 3 === 2)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        .unionByName(docs.where(col("doc_id") % 3 === 1 && col("doc_id") % 20 === 5)
-          .select((col("doc_id") + 2000000L).as("doc_id"), trunc.as("text")))
-      val b2 = docs.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 10 === 2)
-          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-      graft.operators.Ingest.ingestChain(
-        graft.operators.Ingest.signatureIndex(corpus, 64), Seq(b1, b2))
+    "q_dedup_ingest" -> ((s, dir) => dedupIngestChainFrame(s, dir)),
+
+    // §2.16k — the ingest TIMELINE (the operational curve of the 16h
+    // family): per batch, arrivals split by verdict tier, the dup rate
+    // in bp, and the signature-index size AFTER the batch's keeper
+    // append — derived from the chain's decision log plus a
+    // batches-sized triangular self-join (state-sized, no window over
+    // unbounded input), never a re-scan of the corpora
+    "q_ingest_timeline" -> ((s, dir) => {
+      val chain = dedupIngestChainFrame(s, dir)
+      def n(v: String) =
+        sum(when(col("verdict") === v, 1L).otherwise(0L))
+      val perBatch = chain.groupBy(col("batch_no")).agg(
+        count(lit(1)).as("n_arrived"),
+        n("keep").as("n_keep"),
+        n("exact_index").as("n_exact_index"),
+        n("near_index").as("n_near_index"),
+        n("exact_batch").as("n_exact_batch"),
+        n("near_batch").as("n_near_batch"))
+      val corpusN = ingestCorpusSlice(s, dir)
+        .agg(count(lit(1)).as("corpus_n"))
+      perBatch.as("a")
+        .join(broadcast(perBatch.select(col("batch_no").as("b_no"),
+          col("n_keep").as("b_keep"))), col("b_no") <= col("a.batch_no"))
+        .groupBy(col("a.batch_no").as("batch_no"), col("a.n_arrived").as("n_arrived"),
+          col("a.n_keep").as("n_keep"), col("a.n_exact_index").as("n_exact_index"),
+          col("a.n_near_index").as("n_near_index"),
+          col("a.n_exact_batch").as("n_exact_batch"),
+          col("a.n_near_batch").as("n_near_batch"))
+        .agg(sum(col("b_keep")).as("keeps_to_date"))
+        .crossJoin(broadcast(corpusN))
+        .select(col("batch_no"), col("n_arrived"), col("n_keep"),
+          col("n_exact_index"), col("n_near_index"),
+          col("n_exact_batch"), col("n_near_batch"),
+          expr("(n_arrived - n_keep) * 10000 DIV n_arrived").as("dup_rate_bp"),
+          (col("corpus_n") + col("keeps_to_date")).as("index_size_after"))
+        .orderBy(col("batch_no"))
     }),
 
     // §2.16h — the RECURRING ingest shape q_dedup_ingest's one-shot chain
@@ -3561,6 +3591,38 @@ object SparkEntry {
     "q_cross_dedup_staged" -> crossDedupStagedOracle,
 
     "q_dedup_ingest" -> dedupIngestSql,
+
+    // the chain's decision log (the same twoBatchIngestCtes replay as
+    // q_dedup_ingest) rolled to the per-batch operational curve; the
+    // index-size-to-date is a batches-sized correlated sum
+    "q_ingest_timeline" ->
+      s"""WITH $twoBatchIngestCtes,
+         |allv AS (
+         |  SELECT CAST(1 AS BIGINT) AS batch_no, verdict FROM dec_b1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS batch_no, verdict FROM dec_b2),
+         |pb AS (
+         |  SELECT batch_no, count(*) AS n_arrived,
+         |    CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep,
+         |    CAST(sum(CASE WHEN verdict = 'exact_index' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exact_index,
+         |    CAST(sum(CASE WHEN verdict = 'near_index' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near_index,
+         |    CAST(sum(CASE WHEN verdict = 'exact_batch' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exact_batch,
+         |    CAST(sum(CASE WHEN verdict = 'near_batch' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near_batch
+         |  FROM allv GROUP BY 1),
+         |cn AS (SELECT count(*) AS corpus_n FROM c0)
+         |SELECT a.batch_no, a.n_arrived, a.n_keep, a.n_exact_index,
+         |  a.n_near_index, a.n_exact_batch, a.n_near_batch,
+         |  (a.n_arrived - a.n_keep) * 10000 // a.n_arrived AS dup_rate_bp,
+         |  CAST(cn.corpus_n +
+         |    (SELECT sum(b.n_keep) FROM pb b WHERE b.batch_no <= a.batch_no)
+         |    AS BIGINT) AS index_size_after
+         |FROM pb a CROSS JOIN cn
+         |ORDER BY 1""".stripMargin,
 
     "q_ingest_decide" -> ingestDecideSql,
 
