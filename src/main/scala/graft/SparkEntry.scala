@@ -2632,6 +2632,33 @@ object SparkEntry {
       Analytics.ohlcBars(Tables.events(s, dir),
         "event_type", "ts", "event_id", "value", bucket = "hour")),
 
+    // §2.45a2 — the REGISTERED streaming dedup gate (the at-least-once
+    // ingest primitive; 45's dedupStream was spec-only): the events
+    // table replays as the two-file stream and each DISTINCT
+    // (event_type, user_id) key passes exactly once — batch-2
+    // re-arrivals of batch-1 keys are dropped by the keyed state. The
+    // watermark horizon (45 days) exceeds the table's whole span, so no
+    // state evicts mid-replay and the emitted KEY SET is deterministic
+    // (which physical row carried the key first is not, so only the key
+    // columns are published — the gate's contract IS the set).
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = s"/tmp/graft_dedupsrc_$tag"
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.dedupStream(stream,
+          watermark = "45 days", keyCols = Seq("event_type", "user_id")))
+        .select(col("event_type"), col("user_id"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     // §2.45b2 — the REGISTERED stream-stream interval join (45b was
     // spec-only; the two-source JOIN class joins the driver-visible
     // streaming surface): errors and clicks arrive as two sources over
@@ -6882,6 +6909,12 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
         |FROM o GROUP BY 1, 2""".stripMargin,
+
+    // each distinct key passes the gate exactly once and nothing evicts
+    // inside the replay, so the emitted key set is the plain DISTINCT
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_type, user_id FROM events
+        |ORDER BY 1, 2""".stripMargin,
 
     // inner matches emit when found and no feasible match is ever
     // evicted, so the replay is the plain batch interval join
