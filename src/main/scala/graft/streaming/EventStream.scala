@@ -423,8 +423,11 @@ object EventStream {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      // close the walk stream before deleting (it holds a directory
+      // handle; Bench re-invokes streaming queries per iteration)
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverseIterator.foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
 
@@ -451,7 +454,11 @@ object EventStream {
       val tgt = new java.io.File(d, name)
       java.nio.file.Files.move(part.toPath, tgt.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      tgt.setLastModified(mod)
+      // the modtime order IS the micro-batch replay order — a silently
+      // rejected setLastModified would fall back to actual write timing
+      // and break the cross-batch-state determinism contract
+      if (!tgt.setLastModified(mod))
+        sys.error(s"setLastModified rejected on $tgt — staging order lost")
       deleteRecursively(tmp) // _SUCCESS/.crc residue per invocation
     }
     // modtimes two minutes in the past, a minute apart: strictly ordered,
@@ -459,6 +466,10 @@ object EventStream {
     val t0 = java.lang.System.currentTimeMillis - 120000L
     writeOne(df.where(earlyCond), "1_early.parquet", t0)
     writeOne(df.where(!earlyCond), "2_late.parquet", t0 + 60000L)
+    val early = new java.io.File(d, "1_early.parquet")
+    val late = new java.io.File(d, "2_late.parquet")
+    assert(early.lastModified < late.lastModified,
+      s"staged replay order not strictly increasing under $dir")
   }
 
   /** Streaming OHLC bars — the streaming twin of Analytics.ohlcBars:
