@@ -380,6 +380,15 @@ object SparkEntry {
     }
     (name, decT)
   }
+  /** Day 2's arriving-batch decide against the keeper-appended index —
+    * ONE definition shared by q_daily_close2's day-2 ingest stage and
+    * q_daily_close_plain so the two closes cannot slice apart. */
+  private def ingestDecide2Frame(s: SparkSession, dir: String): DataFrame = {
+    val (idx2, _) = ingestIndex2Tables(s, dir)
+    graft.operators.Ingest.ingestDecisionsBucketed(s, idx2,
+      graft.operators.Ingest.signatureIndex(ingestBatch2(s, dir), 64)
+        .localCheckpoint(), 64, 16, 0.5)
+  }
   private def pagerankDecideFrame(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRankWarmBucketed(s,
       gredgesBaseTable(s, dir), gprVectorTable(s, dir),
@@ -2464,7 +2473,7 @@ object SparkEntry {
     // vector advance, skeleton refresh, and index append.
     "q_daily_close2" -> ((s, dir) => {
       val dig = graft.validation.Reconcile.digestStage _
-      val (idx2, decT) = ingestIndex2Tables(s, dir)
+      val (_, decT) = ingestIndex2Tables(s, dir)
       // day 1 from rest
       val ing1 = s.table(decT)
         .select(col("doc_id"), col("verdict"), col("matched_id"))
@@ -2479,9 +2488,7 @@ object SparkEntry {
       val cen1 = graft.operators.Graph.triangleStatsOriented(
         skel1, byDegree = true)
       // day 2 warm off day 1's stored outputs
-      val ing2 = graft.operators.Ingest.ingestDecisionsBucketed(s, idx2,
-        graft.operators.Ingest.signatureIndex(ingestBatch2(s, dir), 64)
-          .localCheckpoint(), 64, 16, 0.5)
+      val ing2 = ingestDecide2Frame(s, dir)
       val pr2 = pagerankDecide2Frame(s, dir)
       val lpa2 = communitiesDecide2Frame(s, dir)
       val skel2 = skeletonIncr2Frame(s, dir).localCheckpoint()
@@ -2502,6 +2509,53 @@ object SparkEntry {
             Seq(col("node"), col("degree"), col("n_tri"), col("lcc_micro"))))
       day("d1", ing1, pr1, lpa1, skel1, cen1)
         .unionByName(day("d2", ing2, pr2, lpa2, skel2, cen2))
+        .orderBy(col("stage"), col("part"))
+    }),
+
+    // §2.67r — the PLAIN-day close (r14 judge item 3): the certifier
+    // cadence run THROUGH the daily close. A plain day pays ONLY the
+    // four warm decides (day-2's refreshes off day-1's persisted close
+    // outputs — the q_pagerank_day/q_communities_day policy's cheap arm
+    // applied to the whole close) plus one in-place integrity digest of
+    // each stored state table it read (decision log, rank vector, label
+    // vector, skeleton); the triangle census — the structural certifier
+    // — runs only on the every-k-th certified day (q_daily_close2).
+    // Every `*_stored` digest is replayed by the oracle FROM the scratch
+    // derivation, so a corrupted / partially-written state table flags
+    // the same day it is read. This is the number a production platform
+    // pays daily; the refresh digests are byte-equal to q_daily_close2's
+    // d2_* stages (DailyPipelineSpec), proving the plain day publishes
+    // exactly the certified day's state.
+    "q_daily_close_plain" -> ((s, dir) => {
+      val dig = graft.validation.Reconcile.digestStage _
+      val (_, decT) = ingestIndex2Tables(s, dir)
+      val ing = ingestDecide2Frame(s, dir)
+      val pr = pagerankDecide2Frame(s, dir)
+      val lpa = communitiesDecide2Frame(s, dir)
+      val skel = skeletonIncr2Frame(s, dir)
+      dig("ingest", ing, pmod(col("doc_id"), lit(8)),
+          Seq(col("doc_id"), col("verdict"), col("matched_id")))
+        .unionByName(dig("ingest_stored",
+          s.table(decT).select(col("doc_id"), col("verdict"),
+            col("matched_id")),
+          pmod(col("doc_id"), lit(8)),
+          Seq(col("doc_id"), col("verdict"), col("matched_id"))))
+        .unionByName(dig("pagerank", pr, substring(col("node_id"), 1, 1),
+          Seq(col("node_id"), col("rank_micro"), col("degree"))))
+        .unionByName(dig("pagerank_stored",
+          s.table(gprvecD1Table(s, dir)).select(col("node"), col("pr")),
+          substring(col("node"), 1, 1), Seq(col("node"), col("pr"))))
+        .unionByName(dig("communities", lpa, pmod(col("node"), lit(8)),
+          Seq(col("node"), col("community"), col("n_members"))))
+        .unionByName(dig("communities_stored",
+          s.table(glpavecD1Table(s, dir)).select(col("node"), col("label")),
+          pmod(col("node"), lit(8)), Seq(col("node"), col("label"))))
+        .unionByName(dig("skeleton", skel, pmod(col("src"), lit(8)),
+          Seq(col("src"), col("dst"), col("w"))))
+        .unionByName(dig("skeleton_stored",
+          s.table(gskelMidTable(s, dir))
+            .select(col("src"), col("dst"), col("w")),
+          pmod(col("src"), lit(8)), Seq(col("src"), col("dst"), col("w"))))
         .orderBy(col("stage"), col("part"))
     }),
 
@@ -5883,6 +5937,7 @@ object SparkEntry {
     // keeper-appended index, so a green row certifies the cross-day
     // state handoff the Spark side performs through persisted tables
     "q_daily_close2" -> dailyClose2Sql,
+    "q_daily_close_plain" -> dailyClosePlainSql,
 
     // 8 unrolled synchronous peel rounds over the same k-NN skeleton
     // CTEs as q_triangles; converged rounds peel nothing, so trailing
@@ -8394,7 +8449,15 @@ object SparkEntry {
     * [[twoBatchIngestCtes]]; the graph stages are the decide replays
     * parameterized by graph cut (base < incrCut, mid < midCut, full).
     */
-  private def dailyClose2Sql: String = {
+  /** The two-day close-chain CTE soup, shared by [[dailyClose2Sql]] and
+    * [[dailyClosePlainSql]] so the plain-day oracle can never replay a
+    * different chain than the certified-day one: ingest (both batch
+    * decides + the keeper-appended index), PageRank (base/mid/full
+    * graphs, 6 base + 3+3 warm rounds), LPA (4 base + 2+2 warm rounds),
+    * and the per-day k-NN skeletons. `withCensus` adds the per-day
+    * triangle census CTEs — the structural certifier only the
+    * certified-day close pays. */
+  private def closeChainCtes(withCensus: Boolean): String = {
     // --- PageRank: three trade graphs + base/warm-1/warm-2 rounds ---
     def prRound(name: String, prev: String, edges: String, deg: String) =
       s"""$name AS MATERIALIZED (
@@ -8534,15 +8597,21 @@ object SparkEntry {
          |        // (d.degree * (d.degree - 1))
          |      ELSE 0 END AS lcc_micro
          |  FROM cdeg$sfx d LEFT JOIN cpn$sfx cp USING (node))""".stripMargin
-    val skelCtes = Seq(knnFrom("m", "p0cm"), censusFrom("m"),
-      knnFrom("f", "p0"), censusFrom("f")).mkString(",\n")
-    def arm(stage: String, src: String, partExpr: String,
-        cols: Seq[String]) = stageDigestSql(stage, src, partExpr, cols)
-    s"""WITH $twoBatchIngestCtes,
+    val skelCtes = (if (withCensus)
+        Seq(knnFrom("m", "p0cm"), censusFrom("m"),
+          knnFrom("f", "p0"), censusFrom("f"))
+      else Seq(knnFrom("m", "p0cm"), knnFrom("f", "p0"))).mkString(",\n")
+    s"""$twoBatchIngestCtes,
        |$prCtes,
        |$coSupplyPairCtes,
        |$lpaCtes,
-       |$skelCtes
+       |$skelCtes""".stripMargin
+  }
+
+  private def dailyClose2Sql: String = {
+    def arm(stage: String, src: String, partExpr: String,
+        cols: Seq[String]) = stageDigestSql(stage, src, partExpr, cols)
+    s"""WITH ${closeChainCtes(withCensus = true)}
        |${arm("d1_ingest", "dec_b1", "doc_id % 8",
            Seq("doc_id", "verdict", "matched_id"))}
        |UNION ALL
@@ -8570,6 +8639,42 @@ object SparkEntry {
        |UNION ALL
        |${arm("d2_census", "censusf", "node % 8",
            Seq("node", "degree", "n_tri", "lcc_micro"))}
+       |ORDER BY stage, part""".stripMargin
+  }
+
+  /** q_daily_close_plain oracle: the day-2 chain replayed from scratch
+    * over [[closeChainCtes]] (census CTEs omitted — the plain day does
+    * not pay the structural certifier), with the four refresh digests
+    * plus the four STORED-state digests — each stored table's digest is
+    * replayed from its scratch derivation (dec_b1 / mw3 / lm2 / skelm),
+    * making every `*_stored` row a state-equals-derivation certificate
+    * over the day-1 close outputs the plain day read. */
+  private def dailyClosePlainSql: String = {
+    def arm(stage: String, src: String, partExpr: String,
+        cols: Seq[String]) = stageDigestSql(stage, src, partExpr, cols)
+    s"""WITH ${closeChainCtes(withCensus = false)}
+       |${arm("communities", "lpa2", "node % 8",
+           Seq("node", "community", "n_members"))}
+       |UNION ALL
+       |${arm("communities_stored", "lm2", "node % 8",
+           Seq("node", "label"))}
+       |UNION ALL
+       |${arm("ingest", "dec_b2", "doc_id % 8",
+           Seq("doc_id", "verdict", "matched_id"))}
+       |UNION ALL
+       |${arm("ingest_stored", "dec_b1", "doc_id % 8",
+           Seq("doc_id", "verdict", "matched_id"))}
+       |UNION ALL
+       |${arm("pagerank", "pr2", "substring(node_id, 1, 1)",
+           Seq("node_id", "rank_micro", "degree"))}
+       |UNION ALL
+       |${arm("pagerank_stored", "mw3", "substring(node, 1, 1)",
+           Seq("node", "pr"))}
+       |UNION ALL
+       |${arm("skeleton", "skelf", "src % 8", Seq("src", "dst", "w"))}
+       |UNION ALL
+       |${arm("skeleton_stored", "skelm", "src % 8",
+           Seq("src", "dst", "w"))}
        |ORDER BY stage, part""".stripMargin
   }
 
