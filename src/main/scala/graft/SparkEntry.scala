@@ -194,6 +194,9 @@ object SparkEntry {
     * vector discipline); the registered query times day-1
     * re-certification from rest + day-2's warm close. */
   private val midCut = "2001-07-01"
+  // the day-axis close's third cut: d1 = [incrCut, midCut), d2 =
+  // [midCut, cut3), d3 = [cut3, ∞) — q_daily_close3's day slices
+  private val cut3 = "2001-07-15"
   private def gredgesMidTable(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gredges_mid_$tag"
@@ -332,6 +335,25 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 10 === 2)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+  }
+  /** The day-axis close's batch 2/3: ingestBatch2's arrivals split at
+    * `% 10 < 5`, each slice with an exact-replica tier of an EARLIER
+    * batch's keeper slice (batch 2 replicates batch-1 docs, batch 3
+    * replicates batch-2 docs) so BOTH keeper appends are load-bearing
+    * in the three-day chain. */
+  private def ingestBatch2a(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 < 5)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 3 === 2 && col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+  }
+  private def ingestBatch3a(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 >= 5)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
   }
   private def ingestDecideFrame(s: SparkSession, dir: String): DataFrame = {
       val name = ingestIndexTables(s, dir)
@@ -2557,6 +2579,70 @@ object SparkEntry {
             .select(col("src"), col("dst"), col("w")),
           pmod(col("src"), lit(8)), Seq(col("src"), col("dst"), col("w"))))
         .orderBy(col("stage"), col("part"))
+    }),
+
+    // §2.67s — the DAY-AXIS close (r14 judge item 4): a Seq[day] FOLD
+    // over the close2 handoff machinery, proving the handoff is
+    // INDUCTIVE — state schema and contract stable under N days, not a
+    // one-off. Three day slices ([incrCut, midCut), [midCut, cut3),
+    // [cut3, ∞)); the PageRank/LPA vectors advance day-over-day through
+    // in-plan localCheckpoints off the day-0 stored vector tables (NO
+    // new state table per day), the skeleton folds its directional keep
+    // set (knnSkeletonFold — each day exact == that day's full rebuild),
+    // and the three-batch ingest chain appends keepers between batches
+    // (batch 3 replicates a batch-2 keeper slice, so BOTH appends are
+    // load-bearing). All 15 stage digests (3 days × ingest / pagerank /
+    // communities / skeleton / census) oracle-replayed from scratch.
+    "q_daily_close3" -> ((s, dir) => {
+      val dig = graft.validation.Reconcile.digestStage _
+      val G = graft.operators.Graph
+      val chain = graft.operators.Ingest.ingestChain(
+        graft.operators.Ingest.signatureIndex(ingestCorpusSlice(s, dir), 64),
+        Seq(ingestBatch1(s, dir), ingestBatch2a(s, dir),
+          ingestBatch3a(s, dir))).localCheckpoint()
+      val cuts: Seq[Option[String]] = Seq(Some(midCut), Some(cut3), None)
+      val prVecs = G.pageRankWarmFold(s, gredgesBaseTable(s, dir),
+        gprVectorTable(s, dir),
+        cuts.map { c =>
+          (Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut) &&
+            c.map(t => col("o_orderdate") < lit(t)).getOrElse(lit(true))),
+            Tables.lineitem(s, dir))
+        })
+      val lpaVecs = G.labelPropagationWarmFold(s, gcosupBaseTable(s, dir),
+        glpaVectorTable(s, dir),
+        cuts.map(c => G.coSupplyEdges(
+          rangeCutLineitem(s, dir, Some(incrCut), c))))
+      val dayBounds = Seq(Some(incrCut) -> Some(midCut),
+        Some(midCut) -> Some(cut3), Some(cut3) -> None)
+      val skels = G.knnSkeletonFold(s, gcosupBaseTable(s, dir),
+        gskelBaseTable(s, dir),
+        dayBounds.map { case (f, t) =>
+          G.coSupplyEdges(rangeCutLineitem(s, dir, f, t)) }, k = 5)
+      val days = (1 to 3).map { i =>
+        val ing = chain.where(col("batch_no") === i.toLong)
+          .select(col("doc_id"), col("verdict"), col("matched_id"))
+        val pr = prVecs(i - 1)
+          .select(col("node").as("node_id"), col("pr").as("rank_micro"),
+            col("deg").as("degree"))
+          .orderBy(col("rank_micro").desc, col("node_id").asc).limit(20)
+        val lpa = G.communityRollup(lpaVecs(i - 1))
+        // the skeleton feeds two consumers (digest + census)
+        val skel = skels(i - 1).localCheckpoint()
+        val cen = G.triangleStatsOriented(skel, byDegree = true)
+        dig(s"d${i}_ingest", ing, pmod(col("doc_id"), lit(8)),
+            Seq(col("doc_id"), col("verdict"), col("matched_id")))
+          .unionByName(dig(s"d${i}_pagerank", pr,
+            substring(col("node_id"), 1, 1),
+            Seq(col("node_id"), col("rank_micro"), col("degree"))))
+          .unionByName(dig(s"d${i}_communities", lpa,
+            pmod(col("node"), lit(8)),
+            Seq(col("node"), col("community"), col("n_members"))))
+          .unionByName(dig(s"d${i}_skeleton", skel, pmod(col("src"), lit(8)),
+            Seq(col("src"), col("dst"), col("w"))))
+          .unionByName(dig(s"d${i}_census", cen, pmod(col("node"), lit(8)),
+            Seq(col("node"), col("degree"), col("n_tri"), col("lcc_micro"))))
+      }
+      days.reduce(_ unionByName _).orderBy(col("stage"), col("part"))
     }),
 
     // §2.67f — k-core onion layering over the same k-NN skeleton:
@@ -5938,6 +6024,7 @@ object SparkEntry {
     // state handoff the Spark side performs through persisted tables
     "q_daily_close2" -> dailyClose2Sql,
     "q_daily_close_plain" -> dailyClosePlainSql,
+    "q_daily_close3" -> dailyClose3Sql,
 
     // 8 unrolled synchronous peel rounds over the same k-NN skeleton
     // CTEs as q_triangles; converged rounds peel nothing, so trailing
@@ -8434,6 +8521,65 @@ object SparkEntry {
        |${decide("b2", "h_i1", "banded_i1")}""".stripMargin
   }
 
+  /** [[twoBatchIngestCtes]] generalized to the day-axis close's THREE
+    * batches (b1 unchanged; batch 2/3 split `documents % 3 = 0` at
+    * `% 10 < 5`, each with an exact-replica tier of an EARLIER batch's
+    * keeper slice so every keeper append is load-bearing): decide b1 vs
+    * the corpus index, append keepers → decide b2a, append → decide
+    * b3a. Yields dec_b1 / dec_b2a / dec_b3a. */
+  private def threeBatchIngestCtes: String = {
+    def decide(b: String, idxHash: String, idxBanded: String): String =
+      ingestDecideCtes(b, idxHash, idxBanded)
+    s"""c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+       |b1_0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, substring(text, 1, greatest(length(text) - 30, 1))
+       |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 20 = 5),
+       |b2a_0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 10 < 5
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM documents
+       |  WHERE doc_id % 3 = 2 AND doc_id % 10 = 2),
+       |b3a_0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 10 >= 5
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, text FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % 10 = 2),
+       |${minhashSideCtes("c", "c0")},
+       |${minhashSideCtes("b1", "b1_0")},
+       |${minhashSideCtes("b2a", "b2a_0")},
+       |${minhashSideCtes("b3a", "b3a_0")},
+       |${decide("b1", "h_c", "banded_c")},
+       |h_i1 AS (
+       |  SELECT * FROM h_c
+       |  UNION ALL
+       |  SELECT h.* FROM h_b1 h JOIN dec_b1 d USING (doc_id)
+       |  WHERE d.verdict = 'keep'),
+       |banded_i1 AS (
+       |  SELECT * FROM banded_c
+       |  UNION ALL
+       |  SELECT b.* FROM banded_b1 b JOIN dec_b1 d USING (doc_id)
+       |  WHERE d.verdict = 'keep'),
+       |${decide("b2a", "h_i1", "banded_i1")},
+       |h_i2 AS (
+       |  SELECT * FROM h_i1
+       |  UNION ALL
+       |  SELECT h.* FROM h_b2a h JOIN dec_b2a d USING (doc_id)
+       |  WHERE d.verdict = 'keep'),
+       |banded_i2 AS (
+       |  SELECT * FROM banded_i1
+       |  UNION ALL
+       |  SELECT b.* FROM banded_b2a b JOIN dec_b2a d USING (doc_id)
+       |  WHERE d.verdict = 'keep'),
+       |${decide("b3a", "h_i2", "banded_i2")}""".stripMargin
+  }
+
   private def dedupIngestSql: String =
     s"""WITH $twoBatchIngestCtes
        |SELECT CAST(1 AS BIGINT) AS batch_no, doc_id, verdict, matched_id FROM dec_b1
@@ -8457,150 +8603,154 @@ object SparkEntry {
     * and the per-day k-NN skeletons. `withCensus` adds the per-day
     * triangle census CTEs — the structural certifier only the
     * certified-day close pays. */
+  // ---- shared close-chain CTE string builders (dailyClose2Sql +
+  // dailyClose3Sql derive from the SAME builders, so the two-day and
+  // day-axis oracles can never replay different round arithmetic) ----
+  private def prRoundCte(name: String, prev: String, edges: String,
+      deg: String) =
+    s"""$name AS MATERIALIZED (
+       |  SELECT e.dst AS node,
+       |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
+       |  FROM $edges e JOIN $prev r ON e.src = r.node
+       |  JOIN $deg d ON e.src = d.src
+       |  GROUP BY 1)""".stripMargin
+  private def tradeGraphCte(sfx: String, where: String) =
+    s"""g0$sfx AS (
+       |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+       |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey$where),
+       |ge$sfx AS (
+       |  SELECT a AS src, b AS dst FROM g0$sfx
+       |  UNION ALL SELECT b AS src, a AS dst FROM g0$sfx),
+       |gdg$sfx AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM ge$sfx GROUP BY 1)""".stripMargin
+  private def warmSeedCte(name: String, deg: String, prevVec: String) =
+    s"""$name AS (
+       |  SELECT $deg.src AS node,
+       |    CAST(coalesce($prevVec.pr, 1000000) AS BIGINT) AS pr
+       |  FROM $deg LEFT JOIN $prevVec ON $deg.src = $prevVec.node)""".stripMargin
+  private def top20Cte(name: String, vec: String, deg: String) =
+    s"""$name AS (
+       |  SELECT $vec.node AS node_id, $vec.pr AS rank_micro,
+       |    $deg.deg AS degree
+       |  FROM $vec JOIN $deg ON $vec.node = $deg.src
+       |  ORDER BY rank_micro DESC, node_id ASC LIMIT 20)""".stripMargin
+  private def lpaRoundCte(tag: String, i: Int, prev: String, edges: String) =
+    s"""v$tag$i AS (
+       |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+       |  FROM $edges e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
+       |p$tag$i AS (
+       |  SELECT node, label FROM (
+       |    SELECT node, label, row_number() OVER (
+       |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
+       |    FROM v$tag$i) WHERE rk = 1),
+       |l$tag$i AS MATERIALIZED (
+       |  SELECT l.node, COALESCE(p.label, l.label) AS label
+       |  FROM $prev l LEFT JOIN p$tag$i p USING (node))""".stripMargin
+  private def cutPairsCte(sfx: String, cut: String) =
+    s"""li$sfx AS (
+       |  SELECT l.ok, l.sk FROM li l
+       |  JOIN orders o ON l.ok = o.o_orderkey
+       |  WHERE o.o_orderdate < TIMESTAMP '$cut'),
+       |p0$sfx AS MATERIALIZED (
+       |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
+       |  FROM li$sfx x JOIN li$sfx y ON x.ok = y.ok AND x.sk < y.sk
+       |  GROUP BY 1, 2),
+       |e$sfx AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM p0$sfx
+       |  UNION ALL SELECT b, a, w FROM p0$sfx)""".stripMargin
+  private def warmLabelSeedCte(name: String, edges: String,
+      prevVec: String) =
+    s"""${name}_n AS (SELECT DISTINCT src AS node FROM $edges),
+       |$name AS MATERIALIZED (
+       |  SELECT n.node, COALESCE(v.label, n.node) AS label
+       |  FROM ${name}_n n LEFT JOIN $prevVec v ON n.node = v.node)""".stripMargin
+  private def lpaRollupCte(name: String, vec: String) =
+    s"""${name}_c AS (
+       |  SELECT label, min(node) AS community,
+       |    CAST(count(*) AS BIGINT) AS n_members
+       |  FROM $vec GROUP BY 1),
+       |$name AS (
+       |  SELECT v.node, c.community, c.n_members
+       |  FROM $vec v JOIN ${name}_c c ON v.label = c.label)""".stripMargin
+  private def knnFromCte(sfx: String, pairs: String) =
+    s"""es$sfx AS (
+       |  SELECT a AS src, b AS dst, w FROM $pairs
+       |  UNION ALL SELECT b, a, w FROM $pairs),
+       |knn$sfx AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    max(w) AS w
+       |  FROM (
+       |    SELECT src, dst, w, row_number() OVER (PARTITION BY src
+       |      ORDER BY w DESC, dst ASC) AS rk
+       |    FROM es$sfx)
+       |  WHERE rk <= 5 GROUP BY 1, 2),
+       |skel$sfx AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM knn$sfx
+       |  UNION ALL SELECT b, a, w FROM knn$sfx)""".stripMargin
+  private def censusFromCte(sfx: String) =
+    s"""ce$sfx AS MATERIALIZED (
+       |  SELECT src AS a, dst AS b FROM skel$sfx WHERE src < dst),
+       |cdeg$sfx AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM ce$sfx UNION ALL SELECT b FROM ce$sfx)
+       |  GROUP BY 1),
+       |ctri$sfx AS (
+       |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+       |  FROM ce$sfx ab JOIN ce$sfx bc ON ab.b = bc.a
+       |  JOIN ce$sfx ac ON ac.a = ab.a AND ac.b = bc.b),
+       |cpn$sfx AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT x AS node FROM ctri$sfx
+       |    UNION ALL SELECT y FROM ctri$sfx
+       |    UNION ALL SELECT z FROM ctri$sfx)
+       |  GROUP BY 1),
+       |census$sfx AS (
+       |  SELECT d.node, d.degree, COALESCE(cp.n_tri, 0) AS n_tri,
+       |    CASE WHEN d.degree >= 2
+       |      THEN (2 * COALESCE(cp.n_tri, 0) * 1000000)
+       |        // (d.degree * (d.degree - 1))
+       |      ELSE 0 END AS lcc_micro
+       |  FROM cdeg$sfx d LEFT JOIN cpn$sfx cp USING (node))""".stripMargin
+
   private def closeChainCtes(withCensus: Boolean): String = {
-    // --- PageRank: three trade graphs + base/warm-1/warm-2 rounds ---
-    def prRound(name: String, prev: String, edges: String, deg: String) =
-      s"""$name AS MATERIALIZED (
-         |  SELECT e.dst AS node,
-         |    CAST(150000 + sum((r.pr * 85) // (100 * d.deg)) AS BIGINT) AS pr
-         |  FROM $edges e JOIN $prev r ON e.src = r.node
-         |  JOIN $deg d ON e.src = d.src
-         |  GROUP BY 1)""".stripMargin
-    def tradeGraph(sfx: String, where: String) =
-      s"""g0$sfx AS (
-         |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
-         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
-         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey$where),
-         |ge$sfx AS (
-         |  SELECT a AS src, b AS dst FROM g0$sfx
-         |  UNION ALL SELECT b AS src, a AS dst FROM g0$sfx),
-         |gdg$sfx AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-         |  FROM ge$sfx GROUP BY 1)""".stripMargin
-    def warmSeed(name: String, deg: String, prevVec: String) =
-      s"""$name AS (
-         |  SELECT $deg.src AS node,
-         |    CAST(coalesce($prevVec.pr, 1000000) AS BIGINT) AS pr
-         |  FROM $deg LEFT JOIN $prevVec ON $deg.src = $prevVec.node)""".stripMargin
-    def top20(name: String, vec: String, deg: String) =
-      s"""$name AS (
-         |  SELECT $vec.node AS node_id, $vec.pr AS rank_micro,
-         |    $deg.deg AS degree
-         |  FROM $vec JOIN $deg ON $vec.node = $deg.src
-         |  ORDER BY rank_micro DESC, node_id ASC LIMIT 20)""".stripMargin
     val prCtes = Seq(
-      tradeGraph("b", s" WHERE o_orderdate < TIMESTAMP '$incrCut'"),
-      tradeGraph("m", s" WHERE o_orderdate < TIMESTAMP '$midCut'"),
-      tradeGraph("f", ""),
+      tradeGraphCte("b", s" WHERE o_orderdate < TIMESTAMP '$incrCut'"),
+      tradeGraphCte("m", s" WHERE o_orderdate < TIMESTAMP '$midCut'"),
+      tradeGraphCte("f", ""),
       "br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM gdgb)",
-      (1 to 6).map(i => prRound(s"br$i", s"br${i - 1}", "geb", "gdgb"))
+      (1 to 6).map(i => prRoundCte(s"br$i", s"br${i - 1}", "geb", "gdgb"))
         .mkString(",\n"),
-      warmSeed("mw0", "gdgm", "br6"),
-      (1 to 3).map(i => prRound(s"mw$i", s"mw${i - 1}", "gem", "gdgm"))
+      warmSeedCte("mw0", "gdgm", "br6"),
+      (1 to 3).map(i => prRoundCte(s"mw$i", s"mw${i - 1}", "gem", "gdgm"))
         .mkString(",\n"),
-      warmSeed("fw0", "gdgf", "mw3"),
-      (1 to 3).map(i => prRound(s"fw$i", s"fw${i - 1}", "gef", "gdgf"))
+      warmSeedCte("fw0", "gdgf", "mw3"),
+      (1 to 3).map(i => prRoundCte(s"fw$i", s"fw${i - 1}", "gef", "gdgf"))
         .mkString(",\n"),
-      top20("pr1", "mw3", "gdgm"),
-      top20("pr2", "fw3", "gdgf")).mkString(",\n")
-    // --- LPA: base 4 rounds, then 2 warm rounds per day ---
-    def lpaRound(tag: String, i: Int, prev: String, edges: String) =
-      s"""v$tag$i AS (
-         |  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
-         |  FROM $edges e JOIN $prev l ON e.src = l.node GROUP BY 1, 2),
-         |p$tag$i AS (
-         |  SELECT node, label FROM (
-         |    SELECT node, label, row_number() OVER (
-         |      PARTITION BY node ORDER BY wsum DESC, label ASC) AS rk
-         |    FROM v$tag$i) WHERE rk = 1),
-         |l$tag$i AS MATERIALIZED (
-         |  SELECT l.node, COALESCE(p.label, l.label) AS label
-         |  FROM $prev l LEFT JOIN p$tag$i p USING (node))""".stripMargin
-    def cutPairs(sfx: String, cut: String) =
-      s"""li$sfx AS (
-         |  SELECT l.ok, l.sk FROM li l
-         |  JOIN orders o ON l.ok = o.o_orderkey
-         |  WHERE o.o_orderdate < TIMESTAMP '$cut'),
-         |p0$sfx AS MATERIALIZED (
-         |  SELECT x.sk AS a, y.sk AS b, CAST(count(*) AS BIGINT) AS w
-         |  FROM li$sfx x JOIN li$sfx y ON x.ok = y.ok AND x.sk < y.sk
-         |  GROUP BY 1, 2),
-         |e$sfx AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst, w FROM p0$sfx
-         |  UNION ALL SELECT b, a, w FROM p0$sfx)""".stripMargin
-    def warmLabelSeed(name: String, edges: String, prevVec: String) =
-      s"""${name}_n AS (SELECT DISTINCT src AS node FROM $edges),
-         |$name AS MATERIALIZED (
-         |  SELECT n.node, COALESCE(v.label, n.node) AS label
-         |  FROM ${name}_n n LEFT JOIN $prevVec v ON n.node = v.node)""".stripMargin
-    def lpaRollup(name: String, vec: String) =
-      s"""${name}_c AS (
-         |  SELECT label, min(node) AS community,
-         |    CAST(count(*) AS BIGINT) AS n_members
-         |  FROM $vec GROUP BY 1),
-         |$name AS (
-         |  SELECT v.node, c.community, c.n_members
-         |  FROM $vec v JOIN ${name}_c c ON v.label = c.label)""".stripMargin
+      top20Cte("pr1", "mw3", "gdgm"),
+      top20Cte("pr2", "fw3", "gdgf")).mkString(",\n")
     val lpaCtes = Seq(
-      cutPairs("cb", incrCut),
-      cutPairs("cm", midCut),
+      cutPairsCte("cb", incrCut),
+      cutPairsCte("cm", midCut),
       """ecf AS MATERIALIZED (
         |  SELECT a AS src, b AS dst, w FROM p0
         |  UNION ALL SELECT b, a, w FROM p0)""".stripMargin,
       "lb0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ecb)",
-      (1 to 4).map(i => lpaRound("b", i, s"lb${i - 1}", "ecb"))
+      (1 to 4).map(i => lpaRoundCte("b", i, s"lb${i - 1}", "ecb"))
         .mkString(",\n"),
-      warmLabelSeed("lm0", "ecm", "lb4"),
-      (1 to 2).map(i => lpaRound("m", i, s"lm${i - 1}", "ecm"))
+      warmLabelSeedCte("lm0", "ecm", "lb4"),
+      (1 to 2).map(i => lpaRoundCte("m", i, s"lm${i - 1}", "ecm"))
         .mkString(",\n"),
-      warmLabelSeed("lf0", "ecf", "lm2"),
-      (1 to 2).map(i => lpaRound("f", i, s"lf${i - 1}", "ecf"))
+      warmLabelSeedCte("lf0", "ecf", "lm2"),
+      (1 to 2).map(i => lpaRoundCte("f", i, s"lf${i - 1}", "ecf"))
         .mkString(",\n"),
-      lpaRollup("lpa1", "lm2"),
-      lpaRollup("lpa2", "lf2")).mkString(",\n")
-    // --- skeleton + census per day (refresh is exact == full rebuild) ---
-    def knnFrom(sfx: String, pairs: String) =
-      s"""es$sfx AS (
-         |  SELECT a AS src, b AS dst, w FROM $pairs
-         |  UNION ALL SELECT b, a, w FROM $pairs),
-         |knn$sfx AS MATERIALIZED (
-         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-         |    max(w) AS w
-         |  FROM (
-         |    SELECT src, dst, w, row_number() OVER (PARTITION BY src
-         |      ORDER BY w DESC, dst ASC) AS rk
-         |    FROM es$sfx)
-         |  WHERE rk <= 5 GROUP BY 1, 2),
-         |skel$sfx AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst, w FROM knn$sfx
-         |  UNION ALL SELECT b, a, w FROM knn$sfx)""".stripMargin
-    def censusFrom(sfx: String) =
-      s"""ce$sfx AS MATERIALIZED (
-         |  SELECT src AS a, dst AS b FROM skel$sfx WHERE src < dst),
-         |cdeg$sfx AS (
-         |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
-         |    SELECT a AS node FROM ce$sfx UNION ALL SELECT b FROM ce$sfx)
-         |  GROUP BY 1),
-         |ctri$sfx AS (
-         |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
-         |  FROM ce$sfx ab JOIN ce$sfx bc ON ab.b = bc.a
-         |  JOIN ce$sfx ac ON ac.a = ab.a AND ac.b = bc.b),
-         |cpn$sfx AS (
-         |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
-         |    SELECT x AS node FROM ctri$sfx
-         |    UNION ALL SELECT y FROM ctri$sfx
-         |    UNION ALL SELECT z FROM ctri$sfx)
-         |  GROUP BY 1),
-         |census$sfx AS (
-         |  SELECT d.node, d.degree, COALESCE(cp.n_tri, 0) AS n_tri,
-         |    CASE WHEN d.degree >= 2
-         |      THEN (2 * COALESCE(cp.n_tri, 0) * 1000000)
-         |        // (d.degree * (d.degree - 1))
-         |      ELSE 0 END AS lcc_micro
-         |  FROM cdeg$sfx d LEFT JOIN cpn$sfx cp USING (node))""".stripMargin
+      lpaRollupCte("lpa1", "lm2"),
+      lpaRollupCte("lpa2", "lf2")).mkString(",\n")
     val skelCtes = (if (withCensus)
-        Seq(knnFrom("m", "p0cm"), censusFrom("m"),
-          knnFrom("f", "p0"), censusFrom("f"))
-      else Seq(knnFrom("m", "p0cm"), knnFrom("f", "p0"))).mkString(",\n")
+        Seq(knnFromCte("m", "p0cm"), censusFromCte("m"),
+          knnFromCte("f", "p0"), censusFromCte("f"))
+      else Seq(knnFromCte("m", "p0cm"), knnFromCte("f", "p0")))
+      .mkString(",\n")
     s"""$twoBatchIngestCtes,
        |$prCtes,
        |$coSupplyPairCtes,
@@ -8675,6 +8825,86 @@ object SparkEntry {
        |UNION ALL
        |${arm("skeleton_stored", "skelm", "src % 8",
            Seq("src", "dst", "w"))}
+       |ORDER BY stage, part""".stripMargin
+  }
+
+  /** q_daily_close3 oracle: the THREE-day close chain replayed from
+    * scratch over the shared CTE builders — day graphs at midCut, cut3,
+    * and full; 6 base + 3×3 warm PageRank rounds; 4 base + 3×2 warm LPA
+    * rounds; per-day skeleton rebuild + census (the incremental fold is
+    * EXACT, so the plain rebuild IS its replay); the three-batch ingest
+    * chain with both keeper appends. All 15 stage digests — a green row
+    * certifies the day-axis handoff inductively. */
+  private def dailyClose3Sql: String = {
+    val prCtes = Seq(
+      tradeGraphCte("b", s" WHERE o_orderdate < TIMESTAMP '$incrCut'"),
+      tradeGraphCte("m", s" WHERE o_orderdate < TIMESTAMP '$midCut'"),
+      tradeGraphCte("t", s" WHERE o_orderdate < TIMESTAMP '$cut3'"),
+      tradeGraphCte("f", ""),
+      "br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM gdgb)",
+      (1 to 6).map(i => prRoundCte(s"br$i", s"br${i - 1}", "geb", "gdgb"))
+        .mkString(",\n"),
+      warmSeedCte("mw0", "gdgm", "br6"),
+      (1 to 3).map(i => prRoundCte(s"mw$i", s"mw${i - 1}", "gem", "gdgm"))
+        .mkString(",\n"),
+      warmSeedCte("tw0", "gdgt", "mw3"),
+      (1 to 3).map(i => prRoundCte(s"tw$i", s"tw${i - 1}", "get", "gdgt"))
+        .mkString(",\n"),
+      warmSeedCte("fw0", "gdgf", "tw3"),
+      (1 to 3).map(i => prRoundCte(s"fw$i", s"fw${i - 1}", "gef", "gdgf"))
+        .mkString(",\n"),
+      top20Cte("pr1", "mw3", "gdgm"),
+      top20Cte("pr2", "tw3", "gdgt"),
+      top20Cte("pr3", "fw3", "gdgf")).mkString(",\n")
+    val lpaCtes = Seq(
+      cutPairsCte("cb", incrCut),
+      cutPairsCte("cm", midCut),
+      cutPairsCte("ct", cut3),
+      """ecf AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst, w FROM p0
+        |  UNION ALL SELECT b, a, w FROM p0)""".stripMargin,
+      "lb0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ecb)",
+      (1 to 4).map(i => lpaRoundCte("b", i, s"lb${i - 1}", "ecb"))
+        .mkString(",\n"),
+      warmLabelSeedCte("lm0", "ecm", "lb4"),
+      (1 to 2).map(i => lpaRoundCte("m", i, s"lm${i - 1}", "ecm"))
+        .mkString(",\n"),
+      warmLabelSeedCte("lt0", "ect", "lm2"),
+      (1 to 2).map(i => lpaRoundCte("t", i, s"lt${i - 1}", "ect"))
+        .mkString(",\n"),
+      warmLabelSeedCte("lf0", "ecf", "lt2"),
+      (1 to 2).map(i => lpaRoundCte("f", i, s"lf${i - 1}", "ecf"))
+        .mkString(",\n"),
+      lpaRollupCte("lpa1", "lm2"),
+      lpaRollupCte("lpa2", "lt2"),
+      lpaRollupCte("lpa3", "lf2")).mkString(",\n")
+    val skelCtes = Seq(
+      knnFromCte("m", "p0cm"), censusFromCte("m"),
+      knnFromCte("t", "p0ct"), censusFromCte("t"),
+      knnFromCte("f", "p0"), censusFromCte("f")).mkString(",\n")
+    def arm(stage: String, src: String, partExpr: String,
+        cols: Seq[String]) = stageDigestSql(stage, src, partExpr, cols)
+    def day(i: Int, dec: String, pr: String, lpa: String, skel: String,
+        cen: String) = Seq(
+      arm(s"d${i}_ingest", dec, "doc_id % 8",
+        Seq("doc_id", "verdict", "matched_id")),
+      arm(s"d${i}_pagerank", pr, "substring(node_id, 1, 1)",
+        Seq("node_id", "rank_micro", "degree")),
+      arm(s"d${i}_communities", lpa, "node % 8",
+        Seq("node", "community", "n_members")),
+      arm(s"d${i}_skeleton", skel, "src % 8", Seq("src", "dst", "w")),
+      arm(s"d${i}_census", cen, "node % 8",
+        Seq("node", "degree", "n_tri", "lcc_micro"))).mkString("\nUNION ALL\n")
+    s"""WITH $threeBatchIngestCtes,
+       |$prCtes,
+       |$coSupplyPairCtes,
+       |$lpaCtes,
+       |$skelCtes
+       |${day(1, "dec_b1", "pr1", "lpa1", "skelm", "censusm")}
+       |UNION ALL
+       |${day(2, "dec_b2a", "pr2", "lpa2", "skelt", "censust")}
+       |UNION ALL
+       |${day(3, "dec_b3a", "pr3", "lpa3", "skelf", "censusf")}
        |ORDER BY stage, part""".stripMargin
   }
 

@@ -1304,6 +1304,108 @@ object Graph {
     else labelPropagationPlainDay(spark, baseTable, labelTable, deltaEdges)
   }
 
+  /** Day-axis PageRank warm fold (r14 — the inductive generalization of
+    * the two-day close handoff): fold the SAME [[warmRankLoop]] over a
+    * Seq of day deltas, each day's post-warm vector seeding the next —
+    * the handoff is an in-plan localCheckpoint, so NO new state table
+    * per day is needed (production persists whichever day's vector it
+    * closes on with [[writeWarmRankVectorTable]], exactly as before).
+    * Each day's delta must be the CUMULATIVE order-log slice through
+    * that day: trade edges are additive over an order-date split and
+    * [[warmRankLoop]] dedups delta-vs-base and rebuilds degrees itself,
+    * so cumulative-delta-over-the-day-0-base is the SAME graph as
+    * day-delta-over-a-compacted-base — the equivalence q_daily_close2's
+    * oracle already certifies for one handoff; the fold proves it holds
+    * inductively (state schema and contract stable under N days).
+    * Returns each day's full (node, pr, deg) vector. */
+  def pageRankWarmFold(spark: SparkSession, baseTable: String,
+      vectorTable: String, cumDeltas: Seq[(DataFrame, DataFrame)],
+      incrIters: Int = 3): Seq[DataFrame] = {
+    val stager = new Dedup.RoundStager(spark, None)
+    var vec = spark.table(vectorTable).select(col("node"), col("pr"))
+    cumDeltas.map { case (o, l) =>
+      val v = warmRankLoop(spark.table(baseTable), vec, o, l, incrIters,
+        stager).localCheckpoint()
+      vec = v.select(col("node"), col("pr"))
+      v
+    }
+  }
+
+  /** [[pageRankWarmFold]]'s community twin: fold [[warmLabelLoop]] over
+    * cumulative day delta edges (co-supply weights are additive over
+    * the order-log split); each day's raw (node, label) vector seeds
+    * the next via an in-plan localCheckpoint. Publish a day's face with
+    * [[communityRollup]]. */
+  def labelPropagationWarmFold(spark: SparkSession, baseTable: String,
+      labelTable: String, cumDeltaEdges: Seq[DataFrame],
+      incrRounds: Int = 2): Seq[DataFrame] = {
+    val stager = new Dedup.RoundStager(spark, None)
+    var vec = spark.table(labelTable).select(col("node"), col("label"))
+    cumDeltaEdges.map { de =>
+      val v = warmLabelLoop(spark.table(baseTable), vec, de, incrRounds,
+        stager).localCheckpoint()
+      vec = v
+      v
+    }
+  }
+
+  /** Day-axis EXACT incremental skeleton fold — [[knnSkeletonIncremental]]
+    * generalized to N days with the DIRECTIONAL keep set as the carried
+    * state (what `kept_by_src` persists between closes): day i
+    * recomputes keeps for its delta-touched nodes from the cumulative
+    * incident weights (one in-place base scan + the slim running delta)
+    * and reuses day i−1's keeps verbatim for untouched nodes, then
+    * union-keep symmetrizes — the same exactness argument as the
+    * two-table refresh, applied inductively (each day's keeps ARE the
+    * full-rebuild keeps of that day's graph, so the oracle replays the
+    * plain rebuild per day). `dayDeltaEdges` are PER-DAY increments
+    * (not cumulative). Returns each day's symmetric skeleton. */
+  def knnSkeletonFold(spark: SparkSession, baseCoSupplyTable: String,
+      baseSkeletonTable: String, dayDeltaEdges: Seq[DataFrame],
+      k: Int): Seq[DataFrame] = {
+    require(k >= 1)
+    val baseCo = spark.table(baseCoSupplyTable)
+    var keeps = spark.table(baseSkeletonTable).where(col("kept_by_src"))
+      .select(col("src"), col("dst"), col("w"))
+    // running cumulative delta (slim (src, dst, w) increments) — touched
+    // nodes' post-day weights need every prior day's increments too
+    var cum: Option[DataFrame] = None
+    dayDeltaEdges.map { dayRaw =>
+      // canonicalize + symmetrize the day's increments (the
+      // knnSkeletonIncremental repair step)
+      val dayPairs = dayRaw
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+      val daySym = dayPairs
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(dayPairs.where(col("a") =!= col("b"))
+          .select(col("b").as("src"), col("a").as("dst"), col("w")))
+      val cumNext = cum.map(_.unionByName(daySym)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+        .getOrElse(daySym).localCheckpoint()
+      val touched = daySym.select(col("src")).distinct().localCheckpoint()
+      val touchedFull = baseCo.join(touched.hint("merge"), "src")
+        .select(col("src"), col("dst"), col("w"))
+        .unionByName(cumNext.join(touched, "src")
+          .select(col("src"), col("dst"), col("w")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      val keepsNext = (knnKeeps(touchedFull, k)
+        .unionByName(keeps.join(touched, Seq("src"), "left_anti")))
+        .localCheckpoint()
+      keeps = keepsNext
+      cum = Some(cumNext)
+      val kept = keepsNext
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+      kept.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(
+          kept.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    }
+  }
+
   /** The shared warm-start machinery of [[pageRankWarmBucketed]] and
     * [[pageRankIncrementalBucketed]]: dedup the delta against the base
     * table (one in-place merge-joined bucket scan + a slim anti-join),

@@ -189,4 +189,30 @@ class DailyPipelineSpec extends SparkSpec {
       "communities", "communities_stored", "ingest", "ingest_stored",
       "pagerank", "pagerank_stored", "skeleton", "skeleton_stored"))
   }
+
+  test("day-axis close's day 1 equals the two-day close's day 1 " +
+      "(the fold's induction base)") {
+    // q_daily_close3 folds the SAME warm machinery the two-day close
+    // runs; both slice day 1 as [incrCut, midCut), so every d1_* stage
+    // digest must be identical — the induction base of the day-axis
+    // proof (the inductive step is the oracle's from-scratch replay of
+    // days 2 and 3).
+    val sfDir = "/root/testdata/sf0.001"
+    def rows(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val c3 = rows("q_daily_close3")
+    val c2 = rows("q_daily_close2")
+    for (st <- Seq("d1_ingest", "d1_pagerank", "d1_communities",
+        "d1_skeleton", "d1_census")) {
+      val a = c3.filter(_._1 == st).map(t => (t._2, t._3, t._4, t._5))
+        .sortBy(_._1).toSeq
+      val b = c2.filter(_._1 == st).map(t => (t._2, t._3, t._4, t._5))
+        .sortBy(_._1).toSeq
+      assert(a.nonEmpty && a == b, s"day-axis $st diverged from close2")
+    }
+    // 15 stages, 3 days x 5 families — the fold emits every day's close
+    assert(c3.map(_._1).distinct.length == 15)
+  }
 }

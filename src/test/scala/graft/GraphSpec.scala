@@ -739,6 +739,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("knnSkeletonFold: each day's folded skeleton equals that day's " +
+      "full rebuild — the directional keep set carries inductively") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fknn").toString
+    try {
+      val baseLi = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+        (5L, 3L), (5L, 4L)).toDF("l_orderkey", "l_suppkey")
+      // day 1 grows a second clique; day 2 re-weights the FIRST clique
+      // (touching day-1-untouched nodes, so day 2 must not trust day 1's
+      // keeps for them) and attaches a new node 7
+      val d1Li = Seq(
+        (3L, 4L), (3L, 5L), (3L, 6L), (4L, 4L), (4L, 5L), (4L, 6L))
+        .toDF("l_orderkey", "l_suppkey")
+      val d2Li = Seq(
+        (6L, 1L), (6L, 2L), (7L, 1L), (7L, 2L), (8L, 6L), (8L, 7L))
+        .toDF("l_orderkey", "l_suppkey")
+      Graph.writeCoSupplyEdgeTable(baseLi, "t_fknn_cosup", root, buckets = 4)
+      Graph.writeKnnSkeletonTable(spark, "t_fknn_cosup", k = 2,
+        "t_fknn_skel", root, buckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val folded = Graph.knnSkeletonFold(spark, "t_fknn_cosup",
+        "t_fknn_skel",
+        Seq(Graph.coSupplyEdges(d1Li), Graph.coSupplyEdges(d2Li)), k = 2)
+      assert(rows(folded(0)) ==
+        rows(Graph.knnSparsify(
+          Graph.coSupplyEdges(baseLi.unionByName(d1Li)), 2)))
+      assert(rows(folded(1)) ==
+        rows(Graph.knnSparsify(
+          Graph.coSupplyEdges(baseLi.unionByName(d1Li).unionByName(d2Li)),
+          2)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_fknn_cosup")
+      spark.sql("DROP TABLE IF EXISTS t_fknn_skel")
+    }
+  }
+
   test("certifier-cadence policy: the certify day IS the one-shot " +
       "incremental chain byte-for-byte, the plain day is the decide + " +
       "stored-state digest, and the refresh digest matches the decide") {
