@@ -559,6 +559,27 @@ object SparkEntry {
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
         k = 10)),
 
+    // §2.8f — ε-DP COUNT release (r14, Ghosh et al.'s two-sided
+    // geometric / discrete-Laplace mechanism at ε = 1/2): per (nation,
+    // segment) the customer count plus geometric noise drawn from fixed
+    // integer CDF thresholds on the salted 52-bit md5 uniform — the
+    // perturb-and-release complement of q_kanon's suppress gate; the
+    // deterministic group-keyed seed makes the release idempotent
+    // across re-runs (no second-draw leak) and bit-replayable on any
+    // engine. One bounded aggregate; sensitivity 1 by construction
+    "q_dp_release" -> ((s, dir) =>
+      graft.validation.Privacy.dpCountRelease(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"))),
+
+    // §2.8g — the mechanism's calibration row (the audit-family
+    // contract): one draw per customer key, histogrammed, with the
+    // theoretical share in bp derived from the SAME inlined cuts by
+    // integer subtraction — a mis-transcribed threshold or biased hash
+    // shows as a histogram deviation, identically on either engine
+    "q_dp_calibration" -> ((s, dir) =>
+      graft.validation.Privacy.dpNoiseCalibration(
+        Tables.customer(s, dir), "c_custkey")),
+
     // §2.9 — apply_schema casts
     "q_schema_apply" -> ((s, dir) =>
       Etl.applySchema(Tables.events(s, dir), Seq(
@@ -3434,6 +3455,57 @@ object SparkEntry {
         |  violating_classes = 0 AS meets_k
         |FROM lv
         |ORDER BY n_generalized, retained""".stripMargin,
+
+    // the geometric draw replayed from the SAME inlined integer cuts:
+    // salted 52-bit md5 uniform per group key, threshold CASE, count + k
+    "q_dp_release" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val noiseCase = graft.validation.Privacy.geomHalfCuts
+        .map { case (k, t) => s"WHEN h < $t THEN $k" }
+        .mkString("\n      ") + "\n      ELSE 15"
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |    ${md5bits("'dp:' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")} AS h
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT c_nationkey, c_mktsegment,
+         |  CAST(n + CASE $noiseCase END AS BIGINT) AS noisy_n
+         |FROM g
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    // histogram + theory shares re-derived from the same cuts by the
+    // same integer subtraction — the two engines cannot disagree on the
+    // distribution without disagreeing on the draw itself
+    "q_dp_calibration" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val cuts = graft.validation.Privacy.geomHalfCuts
+      val two52 = 1L << 52
+      val noiseCase = cuts.map { case (k, t) => s"WHEN h < $t THEN $k" }
+        .mkString("\n      ") + "\n      ELSE 15"
+      val theoryCase = (cuts :+ (15 -> two52)).zip(0L +: cuts.map(_._2))
+        .map { case ((k, t), lo) =>
+          // BigInt: (t − lo)·10⁴ overflows Long near the mode
+          s"WHEN $k THEN ${((BigInt(t) - BigInt(lo)) * 10000 / BigInt(two52)).toLong}"
+        }.mkString("\n      ")
+      s"""WITH d AS (
+         |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+         |h0 AS (SELECT ${md5bits("'dp:' || k")} AS h FROM d),
+         |nz AS (SELECT CAST(CASE $noiseCase END AS BIGINT) AS noise FROM h0),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM nz)
+         |SELECT noise, CAST(count(*) AS BIGINT) AS n_draws,
+         |  CAST(count(*) * 10000 // (SELECT total FROM tot) AS BIGINT)
+         |    AS emp_bp,
+         |  CAST(CASE noise $theoryCase END AS BIGINT) AS theory_bp
+         |FROM nz GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_schema_apply" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS INTEGER) AS user_id,

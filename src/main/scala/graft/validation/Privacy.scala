@@ -94,4 +94,108 @@ object Privacy {
         col("rows_at_risk"), (col("violating_classes") === 0).as("meets_k"))
       .orderBy(col("n_generalized"), col("retained"))
   }
+
+  /** Cumulative thresholds of the TWO-SIDED GEOMETRIC mechanism at
+    * ε = 1/2 on the 52-bit md5 uniform (Ghosh–Roughgarden–Sundararajan
+    * 2009 — the discrete Laplace, the universally utility-optimal
+    * mechanism for counting queries): noise = the first k with
+    * h < T(k), else +15. Support is clamped to ±15 with the tail mass
+    * (~2·10⁻⁴ per side) folded into the extremes — a documented,
+    * bounded truncation. FIXED integer literals (the poisson1Cuts
+    * discipline — never recomputed from doubles at runtime), shared
+    * verbatim with the SQL oracle, so the draw replays bit-for-bit on
+    * any engine; theoretical per-value probabilities derive from these
+    * SAME cuts by integer subtraction, so calibration can never use a
+    * different distribution than the draw. */
+  private[graft] val geomHalfCuts: Seq[(Int, Long)] = Seq(
+    -15 -> 1550465624943L, -14 -> 2556285655334L, -13 -> 4214602533934L,
+    -12 -> 6948704845244L, -11 -> 11456477482171L, -10 -> 18888538112152L,
+    -9 -> 31141934557936L, -8 -> 51344369916420L, -7 -> 84652554811898L,
+    -6 -> 139568467737484L, -5 -> 230109501477814L, -4 -> 379386429676675L,
+    -3 -> 625502476422912L, -2 -> 1031279237754061L, -1 -> 1700292015316535L,
+    0 -> 2803307612053960L, 1 -> 3472320389616434L, 2 -> 3878097150947583L,
+    3 -> 4124213197693820L, 4 -> 4273490125892681L, 5 -> 4364031159633012L,
+    6 -> 4418947072558598L, 7 -> 4452255257454076L, 8 -> 4472457692812560L,
+    9 -> 4484711089258344L, 10 -> 4492143149888325L,
+    11 -> 4496650922525252L, 12 -> 4499385024836562L,
+    13 -> 4501043341715162L, 14 -> 4502049161745552L)
+
+  /** The geometric noise draw off a 52-bit uniform column. */
+  private def geomNoise(h: Column): Column =
+    geomHalfCuts.tail
+      .foldLeft(when(h < geomHalfCuts.head._2, geomHalfCuts.head._1.toLong)) {
+        case (e, (k, t)) => e.when(h < t, k.toLong)
+      }.otherwise(15L)
+
+  /** The 52-bit md5 uniform of a salted key — the engine-portable
+    * deterministic randomness every sampling operator here uses. */
+  private def md5bits52(salted: Column): Column =
+    conv(substring(md5(salted), 1, 13), 16, 10).cast("long")
+
+  /** ε-differentially-private COUNT release (ε = 1/2): per group, the
+    * entity count plus two-sided geometric noise — the release gate a
+    * per-entity warehouse runs when even k-anonymous class sizes are
+    * too sensitive to publish exactly (the DP complement of
+    * [[kAnonymityAudit]]: that gate suppresses, this one perturbs and
+    * releases everything). Each entity must contribute to EXACTLY ONE
+    * group (sensitivity 1 — the caller's contract; groupBy over a
+    * per-entity table satisfies it by construction).
+    *
+    * Determinism: the noise seed is the salted md5 of the group key
+    * ("dp:" + '|'-joined group values), so the release is a pure
+    * function of the data — replayable on any engine, idempotent
+    * across re-runs (publishing twice cannot leak a second independent
+    * draw, the classic DP-deployment footgun). A production deployment
+    * that wants fresh randomness per release swaps the salt for a
+    * release id; the mechanism and thresholds are unchanged.
+    *
+    * Scale shape: ONE map-side-combinable aggregate keyed on the group
+    * columns; the noise is a scan-stage projection over the bounded
+    * aggregate — output is |group domain| rows, never the table. */
+  def dpCountRelease(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty)
+    val g = groupCols.map(col)
+    val key = concat(lit("dp:"),
+      concat_ws("|", g.map(_.cast("string")): _*))
+    df.groupBy(g: _*).agg(count(lit(1)).as("n"))
+      .select(g ++ Seq(
+        (col("n") + geomNoise(md5bits52(key))).as("noisy_n")): _*)
+      .orderBy(g: _*)
+  }
+
+  /** Calibration of the geometric mechanism (the audit-family contract:
+    * every randomized estimator ships a measured-vs-theory row): one
+    * noise draw per distinct key, histogrammed by value, with the
+    * THEORETICAL share in basis points derived from the SAME inlined
+    * cuts by integer subtraction (share_k = (T(k) − T(k−1)) · 10⁴ DIV
+    * 2⁵²) and the empirical share alongside — so a mis-transcribed
+    * threshold or a biased hash shows up as a histogram deviation, on
+    * either engine identically. Output ≤ 31 bounded rows. */
+  def dpNoiseCalibration(df: DataFrame, keyCol: String): DataFrame = {
+    val two52 = 1L << 52
+    val theory: Seq[(Int, Long)] = {
+      val cuts = geomHalfCuts :+ (15 -> two52)
+      val lows = 0L +: geomHalfCuts.map(_._2)
+      cuts.zip(lows).map { case ((k, t), lo) =>
+        // BigInt: (t − lo)·10⁴ overflows Long near the distribution mode
+        k -> ((BigInt(t) - BigInt(lo)) * 10000 / BigInt(two52)).toLong
+      }
+    }
+    val theoryExpr = theory.tail
+      .foldLeft(when(col("noise") === theory.head._1, theory.head._2)) {
+        case (e, (k, bp)) => e.when(col("noise") === k, bp)
+      }.otherwise(lit(null).cast("long"))
+    // the drawn frame feeds two consumers (total + histogram): one scan
+    val drawn = df.select(col(keyCol).cast("string").as("k")).distinct()
+      .select(geomNoise(md5bits52(concat(lit("dp:"), col("k"))))
+        .as("noise"))
+      .localCheckpoint()
+    val total = drawn.count()
+    drawn.groupBy(col("noise"))
+      .agg(count(lit(1)).as("n_draws"))
+      .select(col("noise"), col("n_draws"),
+        expr(s"n_draws * 10000 DIV ${total}L").as("emp_bp"),
+        theoryExpr.as("theory_bp"))
+      .orderBy(col("noise"))
+  }
 }

@@ -264,4 +264,41 @@ class ValidatorSpec extends SparkSpec {
     assert(rec(bad).contains(("3", "content_mismatch")))
     assert(rec(bad).contains(("(all)", "mismatch")))
   }
+
+  test("dpCountRelease: deterministic geometric noise — idempotent " +
+      "across re-runs, bounded by the clamp, unbiased-ish over many keys") {
+    import graft.validation.Privacy
+    val df = (1 to 4000).map(i => (i.toLong, s"g${i % 50}"))
+      .toDF("id", "grp")
+    val rel = Privacy.dpCountRelease(df, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // idempotence: the seed is the group key, so a second release is
+    // byte-identical (publishing twice cannot leak a fresh draw)
+    val rel2 = Privacy.dpCountRelease(df, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rel == rel2 && rel.size == 50)
+    // every noisy count sits within the clamp of the true count (80/group)
+    assert(rel.values.forall(v => v >= 80 - 15 && v <= 80 + 15))
+    // and the noise is not degenerate: multiple distinct values appear
+    assert(rel.values.toSet.size > 3)
+  }
+
+  test("dpNoiseCalibration: empirical histogram tracks the theory " +
+      "derived from the same cuts (symmetric, mode at zero)") {
+    import graft.validation.Privacy
+    val df = (1 to 20000).map(i => Tuple1(i.toLong)).toDF("id")
+    val cal = Privacy.dpNoiseCalibration(df, "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byNoise = cal.map(t => t._1 -> t).toMap
+    // mode at zero and theory says ~2448 bp there
+    assert(byNoise(0L)._4 == 2449L)
+    assert(cal.maxBy(_._2)._1 == 0L)
+    // 20k draws: every |noise| <= 4 bucket within 60 bp of theory
+    for ((n, _, emp, th) <- cal if math.abs(n) <= 4)
+      assert(math.abs(emp - th) <= 60L,
+        s"noise $n: empirical $emp bp vs theory $th bp")
+    // total mass is 10000 bp up to truncation
+    assert(math.abs(cal.map(_._3).sum - 10000L) <= cal.length)
+  }
 }
