@@ -214,5 +214,26 @@ class DailyPipelineSpec extends SparkSpec {
     }
     // 15 stages, 3 days x 5 families — the fold emits every day's close
     assert(c3.map(_._1).distinct.length == 15)
+
+    // and the CADENCE CYCLE publishes exactly the day-axis close's
+    // state: its refresh digests equal close3's same-named stages
+    // (shared close3Folds — this test pins the contract), it audits
+    // three stored graph states per plain day, and pays the census
+    // only on the certified day 3
+    val cyc = rows("q_daily_close_cycle")
+    for (st <- Seq("d1_ingest", "d1_pagerank", "d1_communities",
+        "d1_skeleton", "d2_ingest", "d2_pagerank", "d2_communities",
+        "d2_skeleton", "d3_ingest", "d3_pagerank", "d3_communities",
+        "d3_skeleton", "d3_census")) {
+      val a = cyc.filter(_._1 == st).map(t => (t._2, t._3, t._4, t._5))
+        .sortBy(_._1).toSeq
+      val b = c3.filter(_._1 == st).map(t => (t._2, t._3, t._4, t._5))
+        .sortBy(_._1).toSeq
+      assert(a.nonEmpty && a == b, s"cycle $st diverged from close3")
+    }
+    val cycStages = cyc.map(_._1).distinct.sorted.toSeq
+    assert(cycStages.count(_.endsWith("_stored")) == 6)
+    assert(cycStages.count(_.endsWith("_census")) == 1)
+    assert(cycStages.length == 19)
   }
 }
