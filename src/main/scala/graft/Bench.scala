@@ -44,9 +44,9 @@ object Bench {
     // inflates the whole graph family together on contended hosts
     // (r13 verdict item 7). A prebuild failure is not fatal — the lazy
     // path still builds on first use.
-    try SparkEntry.prebuildSubstrates(spark, sfDir)
+    try SparkEntry.prebuildSubstrates(spark, sfDir) // per-builder try inside
     catch { case e: Throwable =>
-      System.err.println(s"[bench] prebuild failed: ${e.getMessage}")
+      System.err.println(s"[bench] prebuild failed: $e")
     }
 
     // a failed iteration must not win the min with its time-to-failure;

@@ -29,6 +29,30 @@ object SparkEntry {
   // dataset must not race on each other's staged replay files
   private val procTag: String = java.lang.ProcessHandle.current.pid.toString
 
+  // every staging dir this process derives is deleted at JVM exit — the
+  // per-process name fixes the concurrency race but would otherwise
+  // strand a staged copy in /tmp per run (r14 review finding)
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val stagedDirsHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def stagingDir(prefix: String, tag: String): String = {
+    val d = s"/tmp/${prefix}_${procTag}_$tag"
+    stagedDirs.add(d)
+    if (stagedDirsHookArmed.compareAndSet(false, true))
+      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        stagedDirs.forEach { p =>
+          val path = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(path)) {
+            val walk = java.nio.file.Files.walk(path)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        }))
+    d
+  }
+
   private val stopwords = Seq("the", "a", "data", "value")
 
   // keyword queries for the BM25 retrieval entry — fixed literals so the
@@ -492,14 +516,35 @@ object SparkEntry {
     * queries' samples and inflates the whole graph family together —
     * building everything up front decouples the family's timings. */
   def prebuildSubstrates(s: SparkSession, dir: String): Unit = {
-    gredgesTable(s, dir); gwedgesTable(s, dir); gcosupTable(s, dir)
-    gskelTable(s, dir); gredgesBaseTable(s, dir); gcosupBaseTable(s, dir)
-    gskelBaseTable(s, dir); gprVectorTable(s, dir); glpaVectorTable(s, dir)
-    gredgesMidTable(s, dir); gcosupMidTable(s, dir); gskelMidTable(s, dir)
-    gprvecD1Table(s, dir); glpavecD1Table(s, dir)
-    ingestIndexTables(s, dir); ingestIndex2Tables(s, dir)
-    bfsSeedTables(s, dir); gbfsVecTable(s, dir)
-    ()
+    // per-builder isolation: one transient failure must not skip the
+    // remaining substrates (that would reintroduce the iteration-1
+    // co-resident-build skew this prebuild exists to remove); the lazy
+    // first-use path still covers any builder that failed here
+    val builders: Seq[(String, () => Any)] = Seq(
+      "gredges" -> (() => gredgesTable(s, dir)),
+      "gwedges" -> (() => gwedgesTable(s, dir)),
+      "gcosup" -> (() => gcosupTable(s, dir)),
+      "gskel" -> (() => gskelTable(s, dir)),
+      "gredges_base" -> (() => gredgesBaseTable(s, dir)),
+      "gcosup_base" -> (() => gcosupBaseTable(s, dir)),
+      "gskel_base" -> (() => gskelBaseTable(s, dir)),
+      "gprvec" -> (() => gprVectorTable(s, dir)),
+      "glpavec" -> (() => glpaVectorTable(s, dir)),
+      "gredges_mid" -> (() => gredgesMidTable(s, dir)),
+      "gcosup_mid" -> (() => gcosupMidTable(s, dir)),
+      "gskel_mid" -> (() => gskelMidTable(s, dir)),
+      "gprvec_d1" -> (() => gprvecD1Table(s, dir)),
+      "glpavec_d1" -> (() => glpavecD1Table(s, dir)),
+      "ingestidx" -> (() => ingestIndexTables(s, dir)),
+      "ingestidx2" -> (() => ingestIndex2Tables(s, dir)),
+      "bfs_seeds" -> (() => bfsSeedTables(s, dir)),
+      "gbfsvec" -> (() => gbfsVecTable(s, dir)))
+    builders.foreach { case (name, build) =>
+      try build()
+      catch { case e: Throwable =>
+        System.err.println(s"[prebuild] $name failed: $e")
+      }
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2910,7 +2955,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_dedupsrc_${procTag}_$tag"
+      val base = stagingDir("graft_dedupsrc", tag)
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       val stream = s.readStream.schema(ev.schema)
@@ -2941,7 +2986,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_ssjsrc_${procTag}_$tag"
+      val base = stagingDir("graft_ssjsrc", tag)
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       def side = s.readStream.schema(ev.schema)
@@ -2978,7 +3023,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_runsrc_${procTag}_$tag"
+      val base = stagingDir("graft_runsrc", tag)
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       val stream = s.readStream.schema(ev.schema)
@@ -3002,7 +3047,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val base = s"/tmp/graft_ohlcsrc_${procTag}_$tag"
+      val base = stagingDir("graft_ohlcsrc", tag)
       graft.streaming.EventStream.stageTwoPhase(ev,
         col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
       val stream = s.readStream.schema(ev.schema)
@@ -3087,7 +3132,7 @@ object SparkEntry {
       // the between-rounds testdata regeneration, and cheap next to the
       // stream itself)
       val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
-      val d = java.nio.file.Paths.get(s"/tmp/graft_streamsrc_${procTag}_$tag")
+      val d = java.nio.file.Paths.get(stagingDir("graft_streamsrc", tag))
       java.nio.file.Files.createDirectories(d)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/orders.parquet"),
@@ -3548,7 +3593,7 @@ object SparkEntry {
         .mkString("\n      ") + "\n      ELSE 15"
       s"""WITH g AS (
          |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-         |    ${md5bits("'dp:' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment")} AS h
+         |    ${md5bits("'dp:' || coalesce(CAST(c_nationkey AS VARCHAR), chr(1) || 'NULL') || '|' || coalesce(c_mktsegment, chr(1) || 'NULL')")} AS h
          |  FROM customer GROUP BY 1, 2)
          |SELECT c_nationkey, c_mktsegment,
          |  CAST(n + CASE $noiseCase END AS BIGINT) AS noisy_n
@@ -3575,7 +3620,8 @@ object SparkEntry {
           s"WHEN $k THEN ${((BigInt(t) - BigInt(lo)) * 10000 / BigInt(two52)).toLong}"
         }.mkString("\n      ")
       s"""WITH d AS (
-         |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+         |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+         |  WHERE c_custkey IS NOT NULL),
          |h0 AS (SELECT ${md5bits("'dp:' || k")} AS h FROM d),
          |nz AS (SELECT CAST(CASE $noiseCase END AS BIGINT) AS noise FROM h0),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM nz)
@@ -8865,50 +8911,92 @@ object SparkEntry {
        |      ELSE 0 END AS lcc_micro
        |  FROM cdeg$sfx d LEFT JOIN cpn$sfx cp USING (node))""".stripMargin
 
-  private def closeChainCtes(withCensus: Boolean): String = {
-    val prCtes = Seq(
-      tradeGraphCte("b", s" WHERE o_orderdate < TIMESTAMP '$incrCut'"),
-      tradeGraphCte("m", s" WHERE o_orderdate < TIMESTAMP '$midCut'"),
-      tradeGraphCte("f", ""),
+  /** ONE tier-parameterized close-chain CTE assembly — the two-day
+    * (q_daily_close2 / q_daily_close_plain) and day-axis
+    * (q_daily_close3 / q_daily_close_cycle) oracles all derive from
+    * this single fold over the cut list, so they replay identical
+    * round arithmetic BY CONSTRUCTION (r14 review finding: the former
+    * near-copy pair could have been edited apart). `tiers` are
+    * (suffix, cutDate) with the LAST tier the full graph (cut = None);
+    * warm chains seed from the previous tier's final vector (br6 /
+    * lb4 for the first), top-20 faces are pr1..prN and rollups
+    * lpa1..lpaN in tier order. */
+  private def closeTierCtes(tiers: Seq[(String, Option[String])],
+      ingestCtes: String, withBaseSkel: Boolean,
+      censusSfxs: Seq[String]): String = {
+    require(tiers.nonEmpty && tiers.last._2.isEmpty &&
+      tiers.init.forall(_._2.nonEmpty),
+      "tiers must be cut-bounded except a full-graph last tier")
+    val prGraphs =
+      tradeGraphCte("b", s" WHERE o_orderdate < TIMESTAMP '$incrCut'") +:
+        tiers.map { case (sfx, cut) =>
+          tradeGraphCte(sfx,
+            cut.map(c => s" WHERE o_orderdate < TIMESTAMP '$c'")
+              .getOrElse(""))
+        }
+    val prBase = Seq(
       "br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM gdgb)",
       (1 to 6).map(i => prRoundCte(s"br$i", s"br${i - 1}", "geb", "gdgb"))
-        .mkString(",\n"),
-      warmSeedCte("mw0", "gdgm", "br6"),
-      (1 to 3).map(i => prRoundCte(s"mw$i", s"mw${i - 1}", "gem", "gdgm"))
-        .mkString(",\n"),
-      warmSeedCte("fw0", "gdgf", "mw3"),
-      (1 to 3).map(i => prRoundCte(s"fw$i", s"fw${i - 1}", "gef", "gdgf"))
-        .mkString(",\n"),
-      top20Cte("pr1", "mw3", "gdgm"),
-      top20Cte("pr2", "fw3", "gdgf")).mkString(",\n")
-    val lpaCtes = Seq(
-      cutPairsCte("cb", incrCut),
-      cutPairsCte("cm", midCut),
+        .mkString(",\n"))
+    val prWarm = tiers.zipWithIndex.map { case ((sfx, _), i) =>
+      val prev = if (i == 0) "br6" else s"${tiers(i - 1)._1}w3"
+      Seq(warmSeedCte(s"${sfx}w0", s"gdg$sfx", prev),
+        (1 to 3).map(j =>
+          prRoundCte(s"${sfx}w$j", s"${sfx}w${j - 1}", s"ge$sfx",
+            s"gdg$sfx")).mkString(",\n")).mkString(",\n")
+    }
+    val prTops = tiers.zipWithIndex.map { case ((sfx, _), i) =>
+      top20Cte(s"pr${i + 1}", s"${sfx}w3", s"gdg$sfx")
+    }
+    val prCtes = (prGraphs ++ prBase ++ prWarm ++ prTops).mkString(",\n")
+    val lpaPairs = cutPairsCte("cb", incrCut) +: tiers.collect {
+      case (sfx, Some(cut)) => cutPairsCte(s"c$sfx", cut)
+    }
+    val lpaFullEdges =
       """ecf AS MATERIALIZED (
         |  SELECT a AS src, b AS dst, w FROM p0
-        |  UNION ALL SELECT b, a, w FROM p0)""".stripMargin,
+        |  UNION ALL SELECT b, a, w FROM p0)""".stripMargin
+    val lpaBase = Seq(
       "lb0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ecb)",
       (1 to 4).map(i => lpaRoundCte("b", i, s"lb${i - 1}", "ecb"))
-        .mkString(",\n"),
-      warmLabelSeedCte("lm0", "ecm", "lb4"),
-      (1 to 2).map(i => lpaRoundCte("m", i, s"lm${i - 1}", "ecm"))
-        .mkString(",\n"),
-      warmLabelSeedCte("lf0", "ecf", "lm2"),
-      (1 to 2).map(i => lpaRoundCte("f", i, s"lf${i - 1}", "ecf"))
-        .mkString(",\n"),
-      lpaRollupCte("lpa1", "lm2"),
-      lpaRollupCte("lpa2", "lf2")).mkString(",\n")
-    val skelCtes = (if (withCensus)
-        Seq(knnFromCte("m", "p0cm"), censusFromCte("m"),
-          knnFromCte("f", "p0"), censusFromCte("f"))
-      else Seq(knnFromCte("m", "p0cm"), knnFromCte("f", "p0")))
-      .mkString(",\n")
-    s"""$twoBatchIngestCtes,
+        .mkString(",\n"))
+    val lpaWarm = tiers.zipWithIndex.map { case ((sfx, _), i) =>
+      val prev = if (i == 0) "lb4" else s"l${tiers(i - 1)._1}2"
+      Seq(warmLabelSeedCte(s"l${sfx}0", s"ec$sfx", prev),
+        (1 to 2).map(j => lpaRoundCte(sfx, j, s"l$sfx${j - 1}", s"ec$sfx"))
+          .mkString(",\n")).mkString(",\n")
+    }
+    val lpaRollups = tiers.zipWithIndex.map { case ((sfx, _), i) =>
+      lpaRollupCte(s"lpa${i + 1}", s"l${sfx}2")
+    }
+    val lpaCtes = (lpaPairs ++ Seq(lpaFullEdges) ++ lpaBase ++ lpaWarm ++
+      lpaRollups).mkString(",\n")
+    val skelPairs = (if (withBaseSkel) Seq("b" -> "p0cb") else Nil) ++
+      tiers.map { case (sfx, cut) =>
+        sfx -> (if (cut.isEmpty) "p0" else s"p0c$sfx")
+      }
+    val skelCtes = (skelPairs.map { case (sfx, p) => knnFromCte(sfx, p) } ++
+      censusSfxs.map(censusFromCte)).mkString(",\n")
+    s"""$ingestCtes,
        |$prCtes,
        |$coSupplyPairCtes,
        |$lpaCtes,
        |$skelCtes""".stripMargin
   }
+
+  private val twoDayTiers: Seq[(String, Option[String])] =
+    Seq("m" -> Some(midCut), "f" -> None)
+  private val dayAxisTiers: Seq[(String, Option[String])] =
+    Seq("m" -> Some(midCut), "t" -> Some(cut3), "f" -> None)
+
+  private def closeChainCtes(withCensus: Boolean): String =
+    closeTierCtes(twoDayTiers, twoBatchIngestCtes, withBaseSkel = false,
+      censusSfxs = if (withCensus) Seq("m", "f") else Nil)
+
+  private def close3CtesBody(withBaseSkel: Boolean,
+      censusSfxs: Seq[String]): String =
+    closeTierCtes(dayAxisTiers, threeBatchIngestCtes, withBaseSkel,
+      censusSfxs)
 
   private def dailyClose2Sql: String = {
     def arm(stage: String, src: String, partExpr: String,
@@ -8978,73 +9066,6 @@ object SparkEntry {
        |${arm("skeleton_stored", "skelm", "src % 8",
            Seq("src", "dst", "w"))}
        |ORDER BY stage, part""".stripMargin
-  }
-
-  /** q_daily_close3 oracle: the THREE-day close chain replayed from
-    * scratch over the shared CTE builders — day graphs at midCut, cut3,
-    * and full; 6 base + 3×3 warm PageRank rounds; 4 base + 3×2 warm LPA
-    * rounds; per-day skeleton rebuild + census (the incremental fold is
-    * EXACT, so the plain rebuild IS its replay); the three-batch ingest
-    * chain with both keeper appends. All 15 stage digests — a green row
-    * certifies the day-axis handoff inductively. */
-  /** The day-axis CTE soup, parameterized for q_daily_close3 (all
-    * skeletons + all censuses) and q_daily_close_cycle (adds the BASE
-    * skeleton for day-1's stored digest; census on the certified day
-    * only) — one assembly so the two day-axis oracles replay identical
-    * derivations. */
-  private def close3CtesBody(withBaseSkel: Boolean,
-      censusSfxs: Seq[String]): String = {
-    val prCtes = Seq(
-      tradeGraphCte("b", s" WHERE o_orderdate < TIMESTAMP '$incrCut'"),
-      tradeGraphCte("m", s" WHERE o_orderdate < TIMESTAMP '$midCut'"),
-      tradeGraphCte("t", s" WHERE o_orderdate < TIMESTAMP '$cut3'"),
-      tradeGraphCte("f", ""),
-      "br0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM gdgb)",
-      (1 to 6).map(i => prRoundCte(s"br$i", s"br${i - 1}", "geb", "gdgb"))
-        .mkString(",\n"),
-      warmSeedCte("mw0", "gdgm", "br6"),
-      (1 to 3).map(i => prRoundCte(s"mw$i", s"mw${i - 1}", "gem", "gdgm"))
-        .mkString(",\n"),
-      warmSeedCte("tw0", "gdgt", "mw3"),
-      (1 to 3).map(i => prRoundCte(s"tw$i", s"tw${i - 1}", "get", "gdgt"))
-        .mkString(",\n"),
-      warmSeedCte("fw0", "gdgf", "tw3"),
-      (1 to 3).map(i => prRoundCte(s"fw$i", s"fw${i - 1}", "gef", "gdgf"))
-        .mkString(",\n"),
-      top20Cte("pr1", "mw3", "gdgm"),
-      top20Cte("pr2", "tw3", "gdgt"),
-      top20Cte("pr3", "fw3", "gdgf")).mkString(",\n")
-    val lpaCtes = Seq(
-      cutPairsCte("cb", incrCut),
-      cutPairsCte("cm", midCut),
-      cutPairsCte("ct", cut3),
-      """ecf AS MATERIALIZED (
-        |  SELECT a AS src, b AS dst, w FROM p0
-        |  UNION ALL SELECT b, a, w FROM p0)""".stripMargin,
-      "lb0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ecb)",
-      (1 to 4).map(i => lpaRoundCte("b", i, s"lb${i - 1}", "ecb"))
-        .mkString(",\n"),
-      warmLabelSeedCte("lm0", "ecm", "lb4"),
-      (1 to 2).map(i => lpaRoundCte("m", i, s"lm${i - 1}", "ecm"))
-        .mkString(",\n"),
-      warmLabelSeedCte("lt0", "ect", "lm2"),
-      (1 to 2).map(i => lpaRoundCte("t", i, s"lt${i - 1}", "ect"))
-        .mkString(",\n"),
-      warmLabelSeedCte("lf0", "ecf", "lt2"),
-      (1 to 2).map(i => lpaRoundCte("f", i, s"lf${i - 1}", "ecf"))
-        .mkString(",\n"),
-      lpaRollupCte("lpa1", "lm2"),
-      lpaRollupCte("lpa2", "lt2"),
-      lpaRollupCte("lpa3", "lf2")).mkString(",\n")
-    val skelPairs = (if (withBaseSkel) Seq("b" -> "p0cb") else Nil) ++
-      Seq("m" -> "p0cm", "t" -> "p0ct", "f" -> "p0")
-    val skelCtes = (skelPairs.map { case (sfx, p) => knnFromCte(sfx, p) } ++
-      censusSfxs.map(censusFromCte)).mkString(",\n")
-    s"""$threeBatchIngestCtes,
-       |$prCtes,
-       |$coSupplyPairCtes,
-       |$lpaCtes,
-       |$skelCtes""".stripMargin
   }
 
   private def dailyClose3Sql: String = {

@@ -415,8 +415,10 @@ object EventStream {
     * delay, so every window strictly below that final watermark is
     * flushed before the query stops — the property the registered
     * streaming rows' oracles replay. State lives in the provider given
-    * by `stateStoreProvider` (RocksDB by default; pass None for the
-    * session default, i.e. the HDFS-backed provider).
+    * by `stateStoreProvider` — None (the default, and what every
+    * registered row uses) keeps the session default HDFS-backed
+    * provider; pass Some(RocksDbProvider) to flip (measured slower at
+    * bench-scale state, see [[RocksDbProvider]]).
     */
   private[graft] def drainAvailableNow(frame: DataFrame,
       stateStoreProvider: Option[String] = None): DataFrame = {

