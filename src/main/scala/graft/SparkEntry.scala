@@ -662,6 +662,18 @@ object SparkEntry {
       graft.validation.Privacy.dpNoiseCalibration(
         Tables.customer(s, dir), "c_custkey")),
 
+    // §2.8h — stability-thresholded DP release over the UNBOUNDED item
+    // domain (the private-vocabulary mechanism): unigrams + word
+    // trigrams of the documents table, distinct-doc frequency +
+    // geometric noise, released only when the noisy count clears τ=12 —
+    // frequent vocabulary publishes, a rare phrase one document
+    // contributes surfaces only with the geometric tail's probability
+    // (the mechanism's δ); the registered fixture exercises both arms
+    // (head unigrams release, the trigram singleton tail suppresses)
+    "q_dp_vocab" -> ((s, dir) =>
+      graft.validation.Privacy.dpStabilityRelease(
+        Tables.documents(s, dir), "doc_id", "text", tau = 12L)),
+
     // §2.9 — apply_schema casts
     "q_schema_apply" -> ((s, dir) =>
       Etl.applySchema(Tables.events(s, dir), Seq(
@@ -3579,6 +3591,37 @@ object SparkEntry {
         |  violating_classes = 0 AS meets_k
         |FROM lv
         |ORDER BY n_generalized, retained""".stripMargin,
+
+    // the stability release replayed: distinct-doc frequency per
+    // unigram/trigram item, the same cuts' noise, the same threshold
+    "q_dp_vocab" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val noiseCase = graft.validation.Privacy.geomHalfCuts
+        .map { case (k, t) => s"WHEN h < $t THEN $k" }
+        .mkString("\n      ") + "\n      ELSE 15"
+      s"""WITH d AS (
+         |  SELECT doc_id AS doc, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |items AS (
+         |  SELECT DISTINCT doc, item FROM (
+         |    SELECT doc, unnest(toks) AS item FROM d
+         |    UNION ALL
+         |    SELECT doc, unnest(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS item
+         |    FROM d WHERE len(toks) >= 3)),
+         |f AS (
+         |  SELECT item, CAST(count(*) AS BIGINT) AS df,
+         |    ${md5bits("'dp:' || item")} AS h
+         |  FROM items GROUP BY 1)
+         |SELECT item, CAST(df + CASE $noiseCase END AS BIGINT) AS noisy_df
+         |FROM f
+         |WHERE df + CASE $noiseCase END >= 12
+         |ORDER BY item""".stripMargin
+    },
 
     // the geometric draw replayed from the SAME inlined integer cuts:
     // salted 52-bit md5 uniform per group key, threshold CASE, count + k

@@ -169,6 +169,51 @@ object Privacy {
       .orderBy(g: _*)
   }
 
+  /** Stability-thresholded ε-DP release over an UNBOUNDED item domain
+    * (the Korolova et al. 2009 / stability-histogram mechanism, the
+    * standard way to publish a vocabulary or phrase list from private
+    * corpora): per item the distinct-document frequency plus geometric
+    * noise, and ONLY items whose noisy count clears `tau` are released
+    * — an item a single document contributes can surface only when its
+    * noise exceeds τ−1 (probability ≈ the clamped geometric tail, the
+    * mechanism's δ), so the release cannot enumerate rare private
+    * strings. Items are the document's unigrams and word trigrams
+    * (distinct per document — sensitivity 1 per item; production
+    * additionally CLAMPS distinct items per document to bound the
+    * cross-item composition, documented here, trivially added as a
+    * per-doc top-k gate).
+    *
+    * Determinism: the same item-keyed seed discipline as
+    * [[dpCountRelease]] — idempotent re-releases, bit-replayable.
+    * Scale shape: distinct (doc, item) projection at the scan, one
+    * map-side-combinable aggregate keyed on the item, noise +
+    * threshold as a projection over the aggregate; output bounded by
+    * the released vocabulary. */
+  def dpStabilityRelease(docs: DataFrame, idCol: String, textCol: String,
+      tau: Long): DataFrame = {
+    require(tau >= 1)
+    val toks = split(col(textCol), " ")
+    val base = docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc"), toks.as("toks"))
+    val unigrams = base.select(col("doc"), explode(col("toks")).as("item"))
+    // sequence() flips to a DESCENDING range on a negative stop — guard
+    // the short-doc case to an explicit empty array instead
+    val trigrams = base.select(col("doc"), explode(expr(
+      """CASE WHEN size(toks) >= 3 THEN
+        |  transform(sequence(0, size(toks) - 3),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .as("item"))
+    unigrams.unionByName(trigrams)
+      .select(col("doc"), col("item")).distinct()
+      .groupBy(col("item")).agg(count(lit(1)).as("df"))
+      .select(col("item"),
+        (col("df") + geomNoise(md5bits52(concat(lit("dp:"), col("item")))))
+          .as("noisy_df"))
+      .where(col("noisy_df") >= tau)
+      .orderBy(col("item"))
+  }
+
   /** Calibration of the geometric mechanism (the audit-family contract:
     * every randomized estimator ships a measured-vs-theory row): one
     * noise draw per distinct key, histogrammed by value, with the

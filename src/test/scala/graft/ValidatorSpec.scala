@@ -283,6 +283,34 @@ class ValidatorSpec extends SparkSpec {
     assert(rel.values.toSet.size > 3)
   }
 
+  test("dpStabilityRelease: the threshold gates rare items, frequent " +
+      "vocabulary releases, and the release is idempotent") {
+    import graft.validation.Privacy
+    // 30 docs share a common phrase; each carries one private filler
+    // token (df = 1) — the strings the mechanism must not enumerate
+    val docs = (1 to 30).map(i =>
+      (i.toLong, s"the quick brown fox jumps filler$i"))
+      .toDF("doc_id", "text")
+    def run() = Privacy.dpStabilityRelease(docs, "doc_id", "text",
+      tau = 12L).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = run()
+    // df = 30 and noise >= -15 -> noisy >= 15 >= tau: frequent items
+    // can NEVER be suppressed at this margin
+    for (t <- Seq("the", "quick", "brown", "fox", "jumps",
+        "the quick brown", "brown fox jumps"))
+      assert(out.contains(t), s"frequent item '$t' suppressed")
+    // every released noisy count clears the threshold
+    assert(out.values.forall(_ >= 12L))
+    // singleton items (unigram fillers + their trigrams, ~60 of them)
+    // surface only via the geometric tail (P ~ 2.6e-3 each) — the
+    // mechanism's delta; the deterministic draw should leak at most a
+    // couple
+    assert(out.keys.count(_.contains("filler")) <= 2,
+      s"singleton leak count too high: ${out.keys.filter(_.contains("filler"))}")
+    // idempotent: publishing twice is the same release
+    assert(run() == out)
+  }
+
   test("dpNoiseCalibration: empirical histogram tracks the theory " +
       "derived from the same cuts (symmetric, mode at zero)") {
     import graft.validation.Privacy
