@@ -467,6 +467,31 @@ object SparkEntry {
         G.coSupplyEdges(rangeCutLineitem(s, dir, f, t)) }, k = 5)
     (chain, prVecs, lpaVecs, skels)
   }
+  /** The held-out eval frame behind q_nb_auc / q_nb_pr: the q_nb_quality
+    * Naive-Bayes model (same seeds — %5==0 curated, %5==1 junk-planted)
+    * scores the docs the training never saw (%5 in {2,3,4}); markers are
+    * ALSO planted on %5==2 so the eval set carries ground-truth labels
+    * (label = true means "good"). `score` is the exact integer
+    * per-token mean in milli-micro units via plain truncating DIV —
+    * DuckDB's integer `//` truncates toward zero exactly like Spark's
+    * DIV (verified on v1.0.0), so negative junk scores replay
+    * bit-for-bit with no correction. Both audits consume this one
+    * frame. */
+  private def nbEvalScored(s: SparkSession, dir: String): DataFrame = {
+    val m5 = col("doc_id") % 5
+    val planted = Tables.documents(s, dir).withColumn("text",
+      when(m5 === 1 || m5 === 2,
+        concat(col("text"), lit(" zz9 qq8 xx7 kk6 vv5")))
+        .otherwise(col("text")))
+    TextAnalysis.nbScored(planted,
+      posSeed = col("doc_id") % 5 === 0,
+      negSeed = col("doc_id") % 5 === 1, vocabSize = 500)
+      .where(col("doc_id") % 5 >= 2)
+      .select(
+        expr("sum_u * 1000 DIV n_tokens").as("score"),
+        (col("doc_id") % 5 =!= 2).as("label"))
+  }
+
   /** A day's published top-20 PageRank face off its full warm vector. */
   private def prTop20(vec: DataFrame): DataFrame = vec
     .select(col("node").as("node_id"), col("pr").as("rank_micro"),
@@ -652,6 +677,20 @@ object SparkEntry {
     "q_dp_release" -> ((s, dir) =>
       graft.validation.Privacy.dpCountRelease(
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"))),
+
+    // §2.8i — ε-DP SUM + COUNT release with the derived mean (the
+    // coarse-grained geometric mechanism — zero new threshold tables):
+    // per-customer acctbal cents clamped to [0, 500000] so the group
+    // sum has sensitivity = the clamp, then released at granularity
+    // clamp where floor(sum/clamp) has sensitivity exactly 1 — the
+    // SAME ε=1/2 cuts apply; the count rides an independent draw
+    // (ε=1 total by composition), dp_mean is free post-processing.
+    // The negative acctbals exercise the lower clamp, >5000$ the upper
+    "q_dp_sum" -> ((s, dir) =>
+      graft.validation.Privacy.dpSumRelease(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"),
+        clampCents = 500000L)),
 
     // §2.8g — the mechanism's calibration row (the audit-family
     // contract): one draw per customer key, histogrammed, with the
@@ -1437,6 +1476,14 @@ object SparkEntry {
     "q_entropy_profile" -> ((s, dir) =>
       TextAnalysis.entropyProfile(Tables.documents(s, dir))),
 
+    // §2.24k5 — per-source vocabulary richness: Good's sample-coverage
+    // estimate (1 - f1/N), bias-corrected Chao1 richness floor, and
+    // hapax share — how much of a source's vocabulary is still UNSEEN,
+    // the keep-crawling-or-stop column of the profiling family. All
+    // non-negative integer arithmetic.
+    "q_vocab_richness" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(Tables.documents(s, dir))),
+
     // §2.24f4 — feature-hashing text embeddings (hashing trick): a
     // deterministic, training-free 64-dim embedding per doc — the
     // bridge that runs the ANN/semantic family on a text-only corpus.
@@ -1841,6 +1888,26 @@ object SparkEntry {
         negSeed = col("doc_id") % 5 === 1,
         vocabSize = 500)
     }),
+
+    // §2.24t5 — ROC AUC of the model-based quality filter (the
+    // calibration-family contract applied to a CLASSIFIER's ranking
+    // power): the q_nb_quality model trained on the SAME seeds scores a
+    // held-out eval set (doc_id%5 in {2,3,4}; markers planted on %5==2
+    // so the eval labels are ground truth the training never saw), and
+    // AUC = P(score(good) > score(junk)) + ties/2 lands via the exact
+    // rank-sum formulation over the bounded score histogram — never
+    // all-pairs. Scores are exact integers (truncating-DIV micro-unit
+    // means, engine-identical), so tie handling is engine-identical.
+    "q_nb_auc" -> ((s, dir) => Analytics.rocAuc(nbEvalScored(s, dir))),
+
+    // §2.24t6 — precision/recall operating-point table over the same
+    // held-out eval scores: thresholds at the exact decile rank
+    // statistics of the score distribution, tp/fp/fn/tn + P/R/F1 in
+    // basis points per cut — what moving the filter's keep threshold
+    // actually costs, from the same scored frame as q_nb_auc (one
+    // definition, the audited score cannot drift from the published one).
+    "q_nb_pr" -> ((s, dir) =>
+      Analytics.prCurve(nbEvalScored(s, dir), nCuts = 10)),
 
     // §2.24u — the MODERN corpus pipeline as one plan: length gate ->
     // repetition gate -> decontamination gate -> exact dedup ->
@@ -2437,6 +2504,22 @@ object SparkEntry {
     "q_pagerank_weighted" -> ((s, dir) =>
       graft.operators.Graph.pageRankWeightedBucketed(s, gwedgesTable(s, dir))),
 
+    // §2.67v — harmonic centrality from a deterministic 4-seed panel
+    // over the co-supply graph: H(s) = sum of 1/d(s,v) in exact integer
+    // micro-units (10^6 DIV dist), reached count + max distance within
+    // the hop cap — the centrality member of the traversal family
+    // (defined on disconnected graphs, Boldi & Vigna 2014). Multi-source
+    // BFS carries (seed, node) state, frontier joins the bucketed edge
+    // table, early exit on exhaustion; exact all-pairs centrality is
+    // O(V*E) and deliberately NOT the shape — a bounded seed panel is.
+    "q_harmonic" -> ((s, dir) => {
+      val edges = s.table(gcosupTable(s, dir))
+        .select(col("src"), col("dst"), col("w"))
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(4)
+      graft.operators.Graph.harmonicCentrality(edges, seeds, maxHops = 4)
+    }),
+
     // §2.67b — BFS layer expansion from the nation-1 customer seed set
     // over the trade graph: per-hop frontier sizes split by side +
     // the unreached remainder — the traversal member of the graph family.
@@ -2527,6 +2610,18 @@ object SparkEntry {
     // DEGREE-ordered orientation (Schank–Wagner O(m^{3/2}) wedge bound —
     // a power-law hub no longer sources its whole edge list); the census
     // is orientation-invariant, so the id-ordered oracle certifies it
+    // §2.67u — degree-distribution histogram over the TRADE graph: per
+    // log2-degree bucket (exact bit-length log, never float log2) the
+    // node count, degree range, and edge/weight mass — the power-law
+    // diagnostic a graph warehouse publishes before deciding skew
+    // plans; the bipartite hub structure shows as the supplier buckets
+    // (deg ~2^8-2^9) separating cleanly from the customer mass (2^1-2^6).
+    // Per-src count scans the bucketed edge table in place (zero
+    // exchange); the rollup is bounded by 64 buckets.
+    "q_degree_hist" -> ((s, dir) =>
+      graft.operators.Graph.degreeHistogram(
+        s.table(gwedgesTable(s, dir)).select(col("src"), col("dst"), col("w")))),
+
     "q_triangles" -> ((s, dir) =>
       graft.operators.Graph.triangleStatsOriented(
         s.table(gskelTable(s, dir)).select(col("src"), col("dst"), col("w")),
@@ -3642,6 +3737,40 @@ object SparkEntry {
          |  CAST(n + CASE $noiseCase END AS BIGINT) AS noisy_n
          |FROM g
          |ORDER BY 1, 2""".stripMargin
+    },
+
+    // the coarse-grained sum mechanism replayed: clamp -> sum ->
+    // granularity division -> the same cuts' noise per salt, truncating
+    // integer division for the mean on both engines
+    "q_dp_sum" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      def noiseCase(h: String) = graft.validation.Privacy.geomHalfCuts
+        .map { case (k, t) => s"WHEN $h < $t THEN $k" }
+        .mkString("\n      ") + "\n      ELSE 15"
+      val key = "coalesce(CAST(c_nationkey AS VARCHAR), chr(1) || 'NULL') " +
+        "|| '|' || coalesce(c_mktsegment, chr(1) || 'NULL')"
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(least(greatest(coalesce(
+         |      CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+         |      0), 0), 500000)) AS BIGINT) AS s,
+         |    ${md5bits(s"'dps:' || $key")} AS hs,
+         |    ${md5bits(s"'dpc:' || $key")} AS hc
+         |  FROM customer GROUP BY 1, 2),
+         |r AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(((s // 500000) + CASE ${noiseCase("hs")} END) * 500000
+         |      AS BIGINT) AS noisy_sum,
+         |    CAST(n + CASE ${noiseCase("hc")} END AS BIGINT) AS noisy_n
+         |  FROM g)
+         |SELECT c_nationkey, c_mktsegment, noisy_sum, noisy_n,
+         |  CASE WHEN noisy_n > 0 THEN noisy_sum // noisy_n END AS dp_mean
+         |FROM r ORDER BY 1, 2""".stripMargin
     },
 
     // histogram + theory shares re-derived from the same cuts by the
@@ -4852,6 +4981,9 @@ object SparkEntry {
         |FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
         |GROUP BY t.doc_id""".stripMargin,
 
+    "q_nb_auc" -> nbAucOracle,
+    "q_nb_pr" -> nbPrOracle,
+
     "q_text_embed" -> textEmbedOracle,
     "q_topic_labels" -> topicLabelsOracle,
     "q_text_semdedup" -> textSemDedupOracle,
@@ -4991,6 +5123,25 @@ object SparkEntry {
         |    CAST(floor(entropy_u::DOUBLE / (ln(n_terms::DOUBLE) * 1000000.0)
         |      * 10000.0 + 0.5) AS BIGINT) END AS norm_bp
         |FROM e ORDER BY source""".stripMargin,
+
+    // richness estimators replayed in the same non-negative integer
+    // arithmetic: coverage = (N - f1)*1e4 // N, Chao1 bias-corrected
+    "q_vocab_richness" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY source, token),
+        |s AS (SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_tokens, vocab, f1, f2,
+        |  ((n_tokens - f1) * 10000) // n_tokens AS coverage_bp,
+        |  vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1_est,
+        |  (f1 * 10000) // vocab AS singleton_bp
+        |FROM s ORDER BY source""".stripMargin,
 
     "q_token_windows" ->
       """WITH t AS (
@@ -6149,6 +6300,28 @@ object SparkEntry {
     // lesson) and the projection/skeleton CTEs are shared with the
     // q_kcore and q_communities oracles so the graph family can never
     // drift apart
+    // same bit-length log2 bucket (length(bin(deg)) - 1) — exact
+    // integer on both engines, never float log2; edges = the weighted
+    // trade graph (distinct-order weights, both directions)
+    "q_degree_hist" ->
+      """WITH e0 AS (
+        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's:' || CAST(l_suppkey AS VARCHAR) AS b,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |es AS (SELECT a AS src, b AS dst, w FROM e0
+        |  UNION ALL SELECT b, a, w FROM e0),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg,
+        |    CAST(sum(w) AS BIGINT) AS wdeg
+        |  FROM es GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(deg) AS min_deg, max(deg) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS sum_deg,
+        |  CAST(sum(wdeg) AS BIGINT) AS sum_wdeg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_triangles" ->
       s"""WITH $knnSkeletonCtes,
         |e AS MATERIALIZED (SELECT a, b FROM knn),
@@ -6419,6 +6592,34 @@ object SparkEntry {
          |JOIN ls6 s ON w.node = s.node
          |JOIN scan_ sc ON s.label = sc.label
          |ORDER BY w.node""".stripMargin
+    },
+
+    // 4 unrolled EXCEPT/UNION BFS rounds per seed; contributions as
+    // positive truncating 1e6 // dist — engine-identical
+    "q_harmonic" -> {
+      val rounds = (1 to 4).map { r =>
+        val f = if (r == 1) "v0" else s"n${r - 1}"
+        s"""n$r AS MATERIALIZED (
+           |  SELECT seed, node FROM (
+           |    SELECT DISTINCT f.seed, e.dst AS node
+           |    FROM $f f JOIN es e ON f.node = e.src)
+           |  EXCEPT SELECT seed, node FROM v${r - 1}),
+           |v$r AS MATERIALIZED (SELECT * FROM v${r - 1}
+           |  UNION ALL SELECT seed, node, $r FROM n$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coSupplyPairCtes,
+         |es AS MATERIALIZED (SELECT a AS src, b AS dst FROM p0
+         |  UNION ALL SELECT b, a FROM p0),
+         |sd AS (SELECT DISTINCT src AS seed FROM es ORDER BY 1 LIMIT 4),
+         |v0 AS (SELECT seed, seed AS node, 0 AS dist FROM sd),
+         |$rounds
+         |SELECT seed,
+         |  CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS reached,
+         |  CAST(coalesce(sum(CASE WHEN dist > 0 THEN 1000000 // dist END),
+         |    0) AS BIGINT) AS h_micro,
+         |  CAST(max(dist) AS BIGINT) AS max_dist
+         |FROM v4 GROUP BY seed ORDER BY seed""".stripMargin
     },
 
     "q_bfs_layers" -> bfsLayersReplaySql,
@@ -8050,6 +8251,117 @@ object SparkEntry {
     * as the scoring stage of q_ppl_buckets, so the two can never desync
     * on the model formula.
     */
+  /** The shared CTE prefix behind the q_nb_auc / q_nb_pr oracles:
+    * replays the q_nb_quality training chain (markers additionally
+    * planted on the %5==2 eval-junk slice), scores the held-out eval
+    * docs, divides the exact integer per-token mean (DuckDB's integer
+    * `//` truncates toward zero exactly like Spark's DIV — verified on
+    * v1.0.0), and collapses to the (score) histogram with exclusive
+    * below-cumulative counts — the frame both audits consume.
+    */
+  private def nbEvalCtes: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 IN (1, 2) THEN text || ' zz9 qq8 xx7 kk6 vv5'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, doc_id % 5 = 0 AS pos, doc_id % 5 = 1 AS neg, t.token
+      |  FROM planted, unnest(string_split(text, ' ')) AS t(token)),
+      |seed AS (SELECT * FROM tok WHERE pos OR neg),
+      |cnt AS (
+      |  SELECT token,
+      |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN neg THEN 1 ELSE 0 END) AS c0
+      |  FROM seed GROUP BY token),
+      |vocab AS (
+      |  SELECT token, c1, c0 FROM cnt
+      |  ORDER BY c1 + c0 DESC, token ASC LIMIT 500),
+      |tot AS (
+      |  SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN neg THEN 1 ELSE 0 END) AS n0
+      |  FROM seed),
+      |vsz AS (SELECT count(*) AS v FROM vocab),
+      |model AS (
+      |  SELECT token,
+      |    CAST(floor((ln((c1 + 1.0) / CAST(n1 + v AS DOUBLE))
+      |              - ln((c0 + 1.0) / CAST(n0 + v AS DOUBLE)))
+      |         * 1000000.0 + 0.5) AS BIGINT) AS w_u
+      |  FROM vocab, tot, vsz),
+      |oov AS (
+      |  SELECT CAST(floor((ln(CAST(n0 + v AS DOUBLE))
+      |                   - ln(CAST(n1 + v AS DOUBLE)))
+      |         * 1000000.0 + 0.5) AS BIGINT) AS w_oov
+      |  FROM tot, vsz),
+      |doc AS (
+      |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(coalesce(m.w_u, o.w_oov)) AS BIGINT) AS sum_u
+      |  FROM tok t LEFT JOIN model m USING (token) CROSS JOIN oov o
+      |  GROUP BY t.doc_id),
+      |ev AS (
+      |  SELECT (sum_u * 1000) // n_tokens AS score,
+      |    doc_id % 5 <> 2 AS label
+      |  FROM doc WHERE doc_id % 5 >= 2),
+      |hist AS (
+      |  SELECT score,
+      |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      |  FROM ev GROUP BY score),
+      |cum AS (
+      |  SELECT score, np, nn,
+      |    CAST(coalesce(sum(nn) OVER (ORDER BY score ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cnb,
+      |    CAST(coalesce(sum(np) OVER (ORDER BY score ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cnpb
+      |  FROM hist)""".stripMargin
+
+  private def nbAucOracle: String =
+    s"""$nbEvalCtes,
+       |agg AS (
+       |  SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+       |    CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+       |    CAST(count(*) AS BIGINT) AS n_scores,
+       |    CAST(coalesce(sum(np * (cnb * 2 + nn)), 0) AS BIGINT) AS u2
+       |  FROM cum)
+       |SELECT n_pos, n_neg, n_scores, u2,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (u2 * 1000000) // (2 * n_pos * n_neg) END AS auc_micro,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |    THEN (u2 * 1000000) // (2 * n_pos * n_neg) * 2 - 1000000
+       |  END AS gini_micro
+       |FROM agg""".stripMargin
+
+  private def nbPrOracle: String =
+    s"""$nbEvalCtes,
+       |tot2 AS (
+       |  SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS t_pos,
+       |    CAST(coalesce(sum(nn), 0) AS BIGINT) AS t_neg,
+       |    CAST(coalesce(sum(np) + sum(nn), 0) AS BIGINT) AS n
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT k.k,
+       |    min(CASE WHEN (c.cnpb + c.cnnb + c.np + c.nn) * 10 >= k.k * t.n
+       |      THEN c.score END) AS thr_score
+       |  FROM (SELECT score, np, nn, cnb AS cnnb, cnpb FROM cum) c
+       |  CROSS JOIN tot2 t, range(1, 10) AS k(k)
+       |  GROUP BY k.k),
+       |pts AS (
+       |  SELECT CAST(c2.k AS BIGINT) AS k, c2.thr_score,
+       |    t.t_pos - cu.cnpb AS tp, t.t_neg - cu.cnb AS fp,
+       |    cu.cnpb AS fn, cu.cnb AS tn, t.t_pos, t.t_neg
+       |  FROM cuts c2 JOIN cum cu ON cu.score = c2.thr_score
+       |  CROSS JOIN tot2 t)
+       |SELECT k, thr_score, tp, fp, fn, tn,
+       |  (tp * 10000) // (tp + fp) AS precision_bp,
+       |  CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn)
+       |  END AS recall_bp,
+       |  CASE WHEN tp * 2 + fp + fn > 0
+       |    THEN (tp * 2 * 10000) // (tp * 2 + fp + fn)
+       |  END AS f1_bp
+       |FROM pts ORDER BY k""".stripMargin
+
   /** q_bm25 oracle: replays corpus stats, query-term tf/df, the Lucene
     * idf and length-normalized tf with the SAME literal constants and
     * association as the Spark expressions, micro-quantizes each term

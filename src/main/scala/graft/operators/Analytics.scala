@@ -857,9 +857,10 @@ object Analytics {
     * for independent draws.
     *
     * Exactness discipline: replicate means are integer micro-cents
-    * (FLOOR division on both engines — DuckDB's `//` floors, Spark's
-    * DIV truncates, so the Spark side carries an explicit negative-
-    * dividend correction), their variance numerator
+    * (TRUNCATING division on both engines — DuckDB's integer `//`
+    * truncates toward zero exactly like Spark's DIV, verified on
+    * v1.0.0: (-7)//2 = -3 for BIGINT and HUGEINT alike — so negative
+    * sums replay bit-for-bit with no correction), their variance numerator
     * B·Σm² − (Σm)² is exact decimal(38) integer arithmetic, and the
     * only floating steps are one division by the constant B(B−1) and
     * one sqrt (IEEE-exact) — so the published se/CI hash-matches any
@@ -913,16 +914,15 @@ object Analytics {
       .agg(sum(col("x.w")).as("n_w"),
         sum(col("x.w") * col("cents")).as("s_wc"))
       .where(col("n_w") > 0L)
-      // FLOOR division, matching DuckDB's `//` semantics: Spark's DIV
-      // truncates toward zero, so a negative weighted sum (negative
-      // values are legal input) needs the −1 remainder correction for
-      // the cross-engine bit-for-bit replay the docstring promises.
-      // Divisor n_w is a positive count, so floor == DIV − (neg ∧ rem≠0).
+      // Plain truncating DIV — exact parity with the oracle's `//`:
+      // DuckDB integer division (BIGINT and HUGEINT `//` alike)
+      // TRUNCATES toward zero, same as Spark's DIV — verified
+      // empirically on DuckDB v1.0.0 (SELECT (-7)//2 = -3, and the same
+      // for HUGEINT). A negative weighted sum (negative values are
+      // legal input) therefore replays bit-for-bit with NO correction;
+      // an explicit floor correction here would DIVERGE on negatives.
       .select(col("g"),
-        expr("""CAST(s_wc AS DECIMAL(38,0)) * 1000000 DIV n_w
-          - (CASE WHEN s_wc < 0
-               AND (CAST(s_wc AS DECIMAL(38,0)) * 1000000) % n_w != 0
-             THEN 1 ELSE 0 END)""").as("m"))
+        expr("CAST(s_wc AS DECIMAL(38,0)) * 1000000 DIV n_w").as("m"))
     val spread = reps.groupBy(col("g")).agg(
       count(lit(1)).as("b_used"),
       sum(col("m").cast("decimal(38,0)")).as("sm"),
@@ -934,11 +934,8 @@ object Analytics {
       .groupBy(col("g")).agg(count(lit(1)).as("n_events"),
         sum(col("cents")).as("sc"))
       .select(col("g"), col("n_events"),
-        // same floor-division correction as the replicate means
-        expr("""(CAST(sc AS DECIMAL(38,0)) * 1000000 DIV n_events
-          - (CASE WHEN sc < 0
-               AND (CAST(sc AS DECIMAL(38,0)) * 1000000) % n_events != 0
-             THEN 1 ELSE 0 END))""")
+        // same truncating division as the replicate means
+        expr("CAST(sc AS DECIMAL(38,0)) * 1000000 DIV n_events")
           .cast("long").as("point_micro"))
     point.join(spread, Seq("g"))
       .withColumn("se_micro", sqrt(
@@ -952,5 +949,110 @@ object Analytics {
         (col("point_micro").cast("double") + lit(2.0) * col("se_micro"))
           .as("hi_micro"))
       .orderBy(col("g"))
+  }
+
+  /** Exact ROC AUC of a binary scorer — the rank-sum (Mann–Whitney U)
+    * formulation: AUC = P(score(pos) > score(neg)) + ½·P(tie), computed
+    * WITHOUT the all-pairs comparison. `scored` carries one row per
+    * scored item with an exact integer `score` (long — callers quantize
+    * upstream; exact integers make tie handling engine-identical) and a
+    * boolean `label` (true = positive class). U is accumulated in 2×
+    * units so ties stay integral: per distinct score s,
+    * u2 += n_pos(s) · (2·cum_neg_below(s) + n_neg(s)), and
+    * auc_micro = u2·10⁶ DIV (2·n_pos·n_neg) — non-negative throughout,
+    * so DIV == floor on both engines. gini_micro = 2·auc − 10⁶ (can go
+    * negative; pure integer subtraction, no division).
+    *
+    * This is the trust metric for any model-based filter the engine
+    * ships (the q_nb_quality classifier): the calibration-family
+    * contract — an estimator is only done when a measured-vs-truth
+    * audit rides next to it — applied to a CLASSIFIER's ranking power.
+    *
+    * Scale shape: one groupBy collapses the corpus to the (score)
+    * histogram — bounded by distinct quantized scores, not rows (the
+    * q_ppl_buckets bounded-histogram idiom) — the cumulative window and
+    * the final 1-row aggregate run on that small frame only. Returns
+    * one row: n_pos, n_neg, n_scores, u2, auc_micro, gini_micro; NULL
+    * auc when either class is empty (no ranking to measure — surfacing
+    * NULL beats inventing 0.5).
+    */
+  def rocAuc(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("nn"))
+    // bounded-histogram global window (q_ppl_buckets discipline): the
+    // frame under the window is the distinct-score histogram, never rows
+    val below = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cnb",
+      coalesce(sum(col("nn")).over(below), lit(0L)))
+    cum.agg(
+      coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      coalesce(sum(col("np") * (col("cnb") * 2 + col("nn"))), lit(0L))
+        .as("u2"))
+      .withColumn("auc_micro",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("u2 * 1000000 DIV (2 * n_pos * n_neg)")))
+      .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
+  }
+
+  /** Precision/recall operating-point table for a binary scorer — the
+    * threshold-selection companion of [[rocAuc]] (AUC says the ranking
+    * is good; this says what each cut of it costs). Thresholds are the
+    * EXACT rank statistics of the score distribution: for k = 1..n-1
+    * of `nCuts` ( = n) equal slices, thr_k = the score at ascending
+    * rank ceil(k·N/n) — value cuts from rank selection, never
+    * interpolated-percentile lerp (the q_ppl_buckets rule), so the
+    * operating points replay bit-for-bit in any engine. At each
+    * threshold the predicted-positive set is score ≥ thr, and the row
+    * reports tp/fp/fn/tn plus precision/recall/F1 in basis points (all
+    * non-negative integer DIV).
+    *
+    * Scale shape: the corpus collapses to the same bounded (score)
+    * histogram as [[rocAuc]]; cut selection, the cuts×histogram join,
+    * and the per-threshold arithmetic all run on bounded frames.
+    * Output: n-1 rows (k, thr_score, tp, fp, fn, tn, precision_bp,
+    * recall_bp, f1_bp), ordered by k.
+    */
+  def prCurve(scored: DataFrame, nCuts: Int = 10): DataFrame = {
+    require(nCuts >= 2, s"nCuts must be >= 2, got $nCuts")
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("nn"))
+    val below = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cnpb", coalesce(sum(col("np")).over(below), lit(0L)))
+      .withColumn("cnnb", coalesce(sum(col("nn")).over(below), lit(0L)))
+    val tot = hist.agg(
+      coalesce(sum(col("np")), lit(0L)).as("t_pos"),
+      coalesce(sum(col("nn")), lit(0L)).as("t_neg"))
+    // thr_k = min score whose INCLUSIVE cumulative count reaches
+    // ceil(k*N/n); for integer ct, ct >= ceil(kN/n) <=> ct*n >= kN —
+    // exact integer arithmetic, no float rank
+    val ks = explode(array((1 until nCuts).map(k => lit(k)): _*)).as("k")
+    val cuts = cum.crossJoin(broadcast(tot))
+      .select(col("score"),
+        (col("cnpb") + col("cnnb") + col("np") + col("nn")).as("ct"),
+        (col("t_pos") + col("t_neg")).as("n"), ks)
+      .groupBy(col("k"))
+      .agg(min(when(col("ct") * nCuts >= col("k") * col("n"),
+        col("score"))).as("thr_score"))
+    cuts.join(cum, cuts("thr_score") === cum("score"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("thr_score"),
+        (col("t_pos") - col("cnpb")).as("tp"),
+        (col("t_neg") - col("cnnb")).as("fp"),
+        col("cnpb").as("fn"), col("cnnb").as("tn"))
+      .withColumn("precision_bp", expr("tp * 10000 DIV (tp + fp)"))
+      .withColumn("recall_bp",
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 10000 DIV (tp + fn)")))
+      .withColumn("f1_bp",
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          expr("tp * 2 * 10000 DIV (tp * 2 + fp + fn)")))
+      .orderBy(col("k"))
   }
 }

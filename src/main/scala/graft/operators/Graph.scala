@@ -263,6 +263,91 @@ object Graph {
         pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
   }
 
+  /** Harmonic centrality from a seed panel — the CENTRALITY member of
+    * the traversal family (BFS layers answer how far from one frontier;
+    * this ranks SEEDS by how close they sit to everything else):
+    * H(s) = Σ_{v reachable, v≠s} 1/d(s,v), the closeness variant that
+    * stays defined on disconnected graphs (unreachable nodes contribute
+    * 0 instead of collapsing the mean to infinity — Boldi & Vigna
+    * 2014's argument for preferring it). Contributions are exact
+    * integer micro-units (10⁶ DIV dist — positive truncating division,
+    * engine-identical), summed as longs; per seed the row also carries
+    * the reached count and the max distance seen within the hop cap.
+    *
+    * `seeds` is a small panel (one `seed` column) — exact all-pairs
+    * centrality is O(V·E) and not a 100 TB operation; the production
+    * shape is a bounded panel of candidate nodes (here: a deterministic
+    * pick, replayable in the oracle). Distances are capped at `maxHops`
+    * (beyond-cap nodes count as unreached — documented truncation; on
+    * small-world graphs the cap covers the true diameter).
+    *
+    * Scale shape: multi-source BFS carries (seed, node) state — O(k·V)
+    * for k seeds, never per-pair materialization beyond it; each round
+    * is one join of the frontier against the edge list (in-place scan
+    * when `edges` is the bucketed warehouse table) + an anti-join
+    * against the visited set; early exit on an exhausted frontier.
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    var visited = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist")).localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    var exhausted = frontier.limit(1).count() == 0
+    for (hop <- 1 to maxHops) {
+      if (!exhausted) {
+        val next = edges
+          .join(broadcast(frontier.select(col("seed"),
+            col("node").as("src"))), "src")
+          .select(col("seed"), col("dst").as("node")).distinct()
+          // no broadcast hint: the visited set is O(k·V) state and must
+          // survive node counts where a broadcast cannot (the
+          // bfsLayersBucketed visited-table argument; the planner keeps
+          // small cases fast on its own)
+          .join(visited.select(col("seed"), col("node")),
+            Seq("seed", "node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionByName(
+          next.withColumn("dist", lit(hop.toLong))).localCheckpoint()
+        frontier = next
+        exhausted = frontier.limit(1).count() == 0
+      }
+    }
+    visited.groupBy(col("seed")).agg(
+      sum(when(col("dist") > 0L, 1L).otherwise(0L)).as("reached"),
+      coalesce(sum(when(col("dist") > 0L, expr("1000000 DIV dist"))),
+        lit(0L)).as("h_micro"),
+      max(col("dist")).as("max_dist"))
+      .orderBy(col("seed"))
+  }
+
+  /** Degree-distribution histogram over a symmetric edge list — the
+    * first diagnostic a graph warehouse publishes (is the graph
+    * power-law? where does the hot tail start? is a skew-join salting
+    * plan needed?): per log2-degree bucket, the node count, the exact
+    * degree range, and the edge-endpoint / weight mass it carries.
+    *
+    * The bucket is the INTEGER binary log — length(bin(deg)) − 1, the
+    * bit-length formulation — because floor(log2(x)) through doubles is
+    * ln(x)/ln(2) on both engines and lands on the wrong side of
+    * power-of-two boundaries in the last ulp; string-length-of-binary
+    * is exact at any degree and replays identically in DuckDB.
+    *
+    * Scale shape: one per-src count (ZERO exchange when `edges` is the
+    * src-bucketed warehouse table — the registered plan), then a
+    * bounded rollup to ≤ 64 log2 buckets. Output never grows with the
+    * graph.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(
+      count(lit(1)).as("deg"), sum(col("w")).as("wdeg"))
+    deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg"), sum(col("wdeg")).as("sum_wdeg"))
+      .orderBy(col("bucket"))
+  }
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007,
     * made replayable): every node starts labeled with its own id; each
     * round every node adopts the label carrying the LARGEST total

@@ -464,6 +464,25 @@ object TextAnalysis {
     */
   def nbQuality(docs: DataFrame, posSeed: Column, negSeed: Column,
       vocabSize: Int): DataFrame = {
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    nbScored(docs, posSeed, negSeed, vocabSize)
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("sum_u").cast("double") / col("n_tokens") / 1000000.0)
+          .as("nb_score_r"),
+        (col("sum_u") > 0 || col("v") === 0).as("keep"))
+  }
+
+  /** The exact-integer scored frame behind [[nbQuality]] — one row per
+    * document with its token count and the exact long micro-unit weight
+    * sum (`sum_u`), plus the vocabulary size `v` that the keep rule
+    * needs. [[nbQuality]] derives the published 4-dp mean from this;
+    * the classifier-trust audits (q_nb_auc / q_nb_pr) consume the SAME
+    * frame so the score they audit cannot drift from the score the
+    * filter publishes. Semantics, numeric discipline, and scale shape
+    * are documented on [[nbQuality]].
+    */
+  private[graft] def nbScored(docs: DataFrame, posSeed: Column,
+      negSeed: Column, vocabSize: Int): DataFrame = {
     val toks = docs
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), posSeed.as("pos"), negSeed.as("neg"),
@@ -498,17 +517,13 @@ object TextAnalysis {
           - log((col("n1") + col("v")).cast("double"))) * 1000000.0 + 0.5)
           .cast("long")).as("w_oov"),
         col("v"))
-    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
     toks
       .join(broadcast(model), Seq("token"), "left")
       .crossJoin(broadcast(oov))
       .groupBy(col("doc_id"), col("v"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(coalesce(col("w_u"), col("w_oov"))).as("sum_u"))
-      .select(col("doc_id"), col("n_tokens"),
-        r4(col("sum_u").cast("double") / col("n_tokens") / 1000000.0)
-          .as("nb_score_r"),
-        (col("sum_u") > 0 || col("v") === 0).as("keep"))
+      .select(col("doc_id"), col("v"), col("n_tokens"), col("sum_u"))
   }
 
   /** Inverted index over the corpus — one row per distinct term with its
@@ -1209,6 +1224,52 @@ object TextAnalysis {
           floor(col("entropy_u").cast("double") /
             (log(col("n_terms").cast("double")) * 1000000.0) * 10000.0 + 0.5)
             .cast("long")).as("norm_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source vocabulary-richness profile — the FIFTH source-profiling
+    * axis (24k2 novelty = how much is NEW, 24k3 divergence = how
+    * DIFFERENT, 24k4 entropy = how CONCENTRATED; this = how much is
+    * still UNSEEN): classic species-richness estimation applied to the
+    * unigram vocabulary, the question a corpus curator asks before
+    * deciding whether more crawling of a source buys new content or
+    * re-reads of the same.
+    *
+    *   - `coverage_bp`  — Good's sample-coverage estimate C = 1 − f1/N
+    *     (Good 1953): the probability mass of ALREADY-SEEN vocabulary;
+    *     low coverage = the next crawl still yields new words; emitted
+    *     as (N − f1)·10⁴ DIV N, exact integer.
+    *   - `chao1_est`    — bias-corrected Chao1 richness floor (Chao
+    *     1984): V + f1(f1−1) DIV (2(f2+1)) — a lower bound on the TRUE
+    *     vocabulary size including the unseen tail; integer-exact (the
+    *     classic f1²/2f2 form divides by zero on doubleton-free
+    *     sources; the corrected form is defined everywhere).
+    *   - `singleton_bp` — hapax share of the observed vocabulary,
+    *     f1·10⁴ DIV V: near-zero = closed/templated vocabulary,
+    *     high = open-ended (or noisy) text.
+    *
+    * All arithmetic is non-negative integer DIV — engine-identical with
+    * no rounding discipline needed.
+    *
+    * Scale shape: one token explode into a (source, token) count — the
+    * same single shuffle every profiling axis pays (text itself never
+    * travels past the map side) — then a bounded per-source rollup;
+    * output is one row per source.
+    */
+  def vocabRichness(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"),
+        expr("(n_tokens - f1) * 10000 DIV n_tokens").as("coverage_bp"),
+        expr("vocab + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))").as("chao1_est"),
+        expr("f1 * 10000 DIV vocab").as("singleton_bp"))
       .orderBy(col("source"))
   }
 

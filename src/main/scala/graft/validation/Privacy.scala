@@ -169,6 +169,62 @@ object Privacy {
       .orderBy(g: _*)
   }
 
+  /** ε-DP SUM + COUNT release (with the derived mean) — the
+    * coarse-grained geometric mechanism, completing the DP family
+    * (count → sum → mean) with ZERO new threshold tables: per-entity
+    * contributions are clamped to [0, `clampCents`] (so adding or
+    * removing one entity moves the group sum by at most the clamp —
+    * the standard bounded-contribution contract), and the sum is
+    * released at GRANULARITY clampCents:
+    *
+    *   noisy_sum = clampCents · (sum DIV clampCents + Z_s)
+    *
+    * where floor(sum/Δ) has sensitivity EXACTLY 1 under a ±Δ sum
+    * change (floor((s+Δ)/Δ) = floor(s/Δ)+1), so the SAME ε=1/2
+    * [[geomHalfCuts]] apply unchanged — granularity traded for budget,
+    * the standard deployment trick when a per-Δ threshold table would
+    * need hundreds of inline literals. The count rides a SECOND
+    * INDEPENDENT draw (the "dpc:" salt vs the sum's "dps:"), so the
+    * released (sum, count) pair costs ε = 1 by sequential composition,
+    * and `dp_mean` = noisy_sum DIV noisy_n is free post-processing
+    * (NULL when the noisy count is non-positive — surfacing the
+    * too-small-to-release group beats fabricating a mean). Exact n and
+    * s are aggregated but NEVER emitted — the release publishes only
+    * the perturbed columns.
+    *
+    * NULL contributions count as 0 (explicit coalesce BEFORE the clamp:
+    * both engines' greatest/least SKIP nulls rather than propagate
+    * them, so an uncoalesced NULL would silently clamp to the bound).
+    * Negative releases are legal outputs of the mechanism (noise can
+    * push below zero) and divide identically on both engines
+    * (truncating DIV, verified). Determinism/idempotence contract as
+    * [[dpCountRelease]].
+    *
+    * Scale shape: ONE map-side-combinable aggregate; both draws and
+    * the mean are projections over the bounded output. */
+  def dpSumRelease(df: DataFrame, groupCols: Seq[String],
+      valueCents: Column, clampCents: Long): DataFrame = {
+    require(groupCols.nonEmpty && clampCents >= 1,
+      s"need group columns and clampCents >= 1, got $clampCents")
+    val g = groupCols.map(col)
+    val keyBody = concat_ws("|",
+      g.map(c => coalesce(c.cast("string"), lit("\u0001NULL"))): _*)
+    val clamped = least(
+      greatest(coalesce(valueCents.cast("long"), lit(0L)), lit(0L)),
+      lit(clampCents))
+    df.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(clamped).as("s"))
+      .select(g ++ Seq(
+        ((expr(s"s DIV ${clampCents}L") +
+          geomNoise(md5bits52(concat(lit("dps:"), keyBody))))
+          * clampCents).as("noisy_sum"),
+        (col("n") + geomNoise(md5bits52(concat(lit("dpc:"), keyBody))))
+          .as("noisy_n")): _*)
+      .withColumn("dp_mean",
+        when(col("noisy_n") > 0, expr("noisy_sum DIV noisy_n")))
+      .orderBy(g: _*)
+  }
+
   /** Stability-thresholded ε-DP release over an UNBOUNDED item domain
     * (the Korolova et al. 2009 / stability-histogram mechanism, the
     * standard way to publish a vocabulary or phrase list from private

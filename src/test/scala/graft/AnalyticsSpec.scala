@@ -554,4 +554,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(sp.getAs[Double]("lo_micro") < 5.5e8 &&
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
+
+  test("rocAuc: perfect ranking = 1e6, inverted = 0, ties at the " +
+      "hand-computed rank-sum value") {
+    // perfect: every positive above every negative
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("score", "label")
+    val p = Analytics.rocAuc(perfect).collect().head
+    assert(p.getAs[Long]("auc_micro") == 1000000L)
+    assert(p.getAs[Long]("gini_micro") == 1000000L)
+    // inverted: every negative above every positive
+    val inverted = Seq((1L, true), (2L, true), (9L, false), (10L, false))
+      .toDF("score", "label")
+    assert(Analytics.rocAuc(inverted).collect().head
+      .getAs[Long]("auc_micro") == 0L)
+    // ties: pos {3, 2}, neg {3, 1} — pairs: (3,3)=0.5, (3,1)=1,
+    // (2,3)=0, (2,1)=1 -> U = 2.5 of 4 -> auc = 0.625
+    val tied = Seq((3L, true), (2L, true), (3L, false), (1L, false))
+      .toDF("score", "label")
+    val t = Analytics.rocAuc(tied).collect().head
+    assert(t.getAs[Long]("u2") == 5L)
+    assert(t.getAs[Long]("auc_micro") == 625000L)
+    assert(t.getAs[Long]("gini_micro") == 250000L)
+    // one-class input: no ranking to measure -> NULL auc, counts kept
+    val oneClass = Seq((3L, true), (1L, true)).toDF("score", "label")
+    val o = Analytics.rocAuc(oneClass).collect().head
+    assert(o.getAs[Long]("n_pos") == 2L && o.getAs[Long]("n_neg") == 0L)
+    assert(o.isNullAt(o.fieldIndex("auc_micro")))
+  }
+
+  test("prCurve: thresholds are exact decile rank statistics and the " +
+      "confusion counts partition the eval set at every cut") {
+    // 10 items, scores 1..10, positives = scores 6..10 (perfect split)
+    val df = (1 to 10).map(i => (i.toLong, i > 5)).toDF("score", "label")
+    val out = Analytics.prCurve(df, nCuts = 10).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      // tp+fp+fn+tn = N at every threshold
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn") == 10L)
+      // recall denominator is the fixed positive mass
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") == 5L)
+    }
+    val byK = out.map(r => r.getAs[Long]("k") -> r).toMap
+    // k=5: thr = score at rank ceil(5*10/10)=5 -> keep = score>=5:
+    // tp=5 fp=1 fn=0 tn=4 -> precision 5/6, recall 1
+    assert(byK(5L).getAs[Long]("thr_score") == 5L)
+    assert(byK(5L).getAs[Long]("precision_bp") == 8333L)
+    assert(byK(5L).getAs[Long]("recall_bp") == 10000L)
+    // k=6: thr=6 -> keep = positives exactly: P=R=F1=1
+    assert(byK(6L).getAs[Long]("precision_bp") == 10000L)
+    assert(byK(6L).getAs[Long]("recall_bp") == 10000L)
+    assert(byK(6L).getAs[Long]("f1_bp") == 10000L)
+    // k=1: thr=1 -> keep everything: recall 1, precision = base rate
+    assert(byK(1L).getAs[Long]("precision_bp") == 5000L)
+    assert(byK(1L).getAs[Long]("recall_bp") == 10000L)
+  }
 }

@@ -265,6 +265,77 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_plan_edges")
   }
 
+  test("harmonicCentrality: hand-computed path + disconnected pair, " +
+      "hop cap truncates, empty seed panel yields no rows") {
+    // path 1-2-3-4-5 and the disconnected pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val edges = (pairs ++ pairs.map(_.swap))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val seeds = Seq(1L, 3L, 10L).toDF("seed")
+    val out = Graph.harmonicCentrality(edges, seeds, maxHops = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // H(1) = 1/1 + 1/2 + 1/3 + 1/4 in micro-units (truncating)
+    assert(out(1L) === ((4L, 1000000L + 500000L + 333333L + 250000L, 4L)))
+    // H(3): two at dist 1, two at dist 2
+    assert(out(3L) === ((4L, 3000000L, 2L)))
+    // the disconnected pair: only its partner, H = 1
+    assert(out(10L) === ((1L, 1000000L, 1L)))
+    // hop cap: from node 1 with maxHops=2 only nodes 2 and 3 count
+    val capped = Graph.harmonicCentrality(edges, Seq(1L).toDF("seed"),
+      maxHops = 2).collect().head
+    assert(capped.getLong(1) == 2L && capped.getLong(2) == 1500000L &&
+      capped.getLong(3) == 2L)
+    // empty panel: no rows, no failure
+    assert(Graph.harmonicCentrality(edges,
+      Seq.empty[Long].toDF("seed"), maxHops = 2).count() == 0L)
+  }
+
+  test("degreeHistogram: exact bit-length log2 buckets on a hand-built " +
+      "graph; bucketed edges aggregate with zero pre-agg exchange") {
+    // star: hub 1 - spokes 2..9 (degree 8 -> bucket 3), spokes degree 1
+    // -> bucket 0; weights 1 except edge (1,2) carries 5
+    val pairs = (2L to 9L).map(d => (1L, d, if (d == 2L) 5L else 1L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+    val out = Graph.degreeHistogram(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // bucket 0: the 8 spokes, deg 1 each, wdeg mass 5 + 7*1 = 12
+    assert(out(0L) === ((8L, 1L, 1L, 8L, 12L)))
+    // bucket 3: the hub alone, deg 8, wdeg 12
+    assert(out(3L) === ((1L, 8L, 8L, 8L, 12L)))
+    assert(out.size == 2)
+    // power-of-two boundary: degree 2 must land in bucket 1, not 0
+    val p2 = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val b = Graph.degreeHistogram(p2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === Map(0L -> 2L, 1L -> 1L))
+    // the registered plan claim: on a src-bucketed table the per-src
+    // count needs NO exchange before the bounded histogram rollup
+    val root = java.nio.file.Files.createTempDirectory("graft-dhist").toString
+    try {
+      // multi-supplier orders (tinyLineitem is single-supplier — its
+      // co-supply projection is empty)
+      val li = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+        (3L, 12L), (3L, 13L)).toDF("l_orderkey", "l_suppkey")
+      Graph.writeCoSupplyEdgeTable(li, "t_dhist_edges", root,
+        buckets = 4)
+      val df = Graph.degreeHistogram(spark.table("t_dhist_edges")
+        .select(col("src"), col("dst"), col("w")))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true") ||
+        plan.contains("SelectedBucketsCount"), s"no bucketed scan in:\n$plan")
+      // one exchange only: the bounded log2-bucket rollup; the per-src
+      // aggregate rides the bucket layout
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$exchanges exchanges in:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS t_dhist_edges")
+  }
+
   test("reliableStagePath: durable-staged rounds equal localCheckpoint " +
       "rounds (broadcast and bucketed loops)") {
     val stage1 = java.nio.file.Files.createTempDirectory("graft-gstage").toString

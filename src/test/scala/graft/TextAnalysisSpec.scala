@@ -440,6 +440,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(hSkew > 0L && hSkew < math.round(math.log(2.0) * 1e6))
   }
 
+  test("vocabRichness: hand-computed Good coverage and Chao1, defined " +
+      "on a doubleton-free source") {
+    import spark.implicits._
+    // s_open: tokens a a b b c d -> N=6 V=4 f1=2(c,d) f2=2(a,b)
+    //   coverage = (6-2)*1e4 DIV 6 = 6666; chao1 = 4 + 2*1 DIV 6 = 4;
+    //   singleton = 2*1e4 DIV 4 = 5000
+    // s_closed: z z z z -> N=4 V=1 f1=0 f2=0 -> coverage 10000,
+    //   chao1 = 1 (f2=0 must not divide by zero), singleton 0
+    // s_all_new: p q r -> N=3 V=3 f1=3 f2=0 -> coverage 0,
+    //   chao1 = 3 + (3*2) DIV 2 = 6, singleton 10000
+    val docs = Seq(
+      (1L, "a a b b c d", "x", "s_open"),
+      (2L, "z z z z", "x", "s_closed"),
+      (3L, "p q r", "x", "s_all_new"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.vocabRichness(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out("s_open") === ((6L, 4L, 2L, 2L, 6666L, 4L, 5000L)))
+    assert(out("s_closed") === ((4L, 1L, 0L, 0L, 10000L, 1L, 0L)))
+    assert(out("s_all_new") === ((3L, 3L, 3L, 0L, 0L, 6L, 10000L)))
+  }
+
   test("langIdConfusion: diagonal cells flagged, rows sum to their totals") {
     import spark.implicits._
     val docs = Seq(

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.validation.{SchemaCheck, Validator}
 
 class ValidatorSpec extends SparkSpec {
@@ -309,6 +310,49 @@ class ValidatorSpec extends SparkSpec {
       s"singleton leak count too high: ${out.keys.filter(_.contains("filler"))}")
     // idempotent: publishing twice is the same release
     assert(run() == out)
+  }
+
+  test("dpSumRelease: clamp bounds the contribution, granularity bounds " +
+      "the sum error, independent draws, idempotent, NULL-safe") {
+    import graft.validation.Privacy
+    // 40 entities per group, values 100.00$ (10000 cents) each; one
+    // group carries a 9999$ whale (upper clamp) and a -500$ debtor
+    // (lower clamp) and a NULL (counts as 0)
+    val rows =
+      (1 to 40).map(i => ("a", Some(10000L))) ++
+      ((1 to 37).map(i => ("b", Some(10000L))) ++
+        Seq(("b", Some(999900L)), ("b", Some(-50000L)), ("b", None)))
+    val df = rows.toDF("grp", "cents")
+    def run() = Privacy.dpSumRelease(df, Seq("grp"), col("cents"),
+      clampCents = 500000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.toString.toLong)))
+      .toMap
+    val out = run()
+    // exact clamped sums: a = 400000; b = 37*10000 + 500000 (whale
+    // clamps down) + 0 (debtor clamps up) + 0 (NULL) = 870000.
+    // released = 500000 * (floor(s/500000) + Z), Z in [-15, 15]
+    val (sumA, nA, _) = out("a")
+    assert(sumA % 500000L == 0L)
+    assert(sumA / 500000L >= 0L - 15L && sumA / 500000L <= 0L + 15L)
+    val (sumB, nB, meanB) = out("b")
+    assert(sumB % 500000L == 0L)
+    assert(sumB / 500000L >= 1L - 15L && sumB / 500000L <= 1L + 15L)
+    // counts within the noise clamp of the true 40
+    assert(nA >= 25L && nA <= 55L && nB >= 25L && nB <= 55L)
+    // mean is the released ratio exactly (post-processing), NULL-guarded
+    if (nB > 0) assert(meanB.contains(sumB / nB))
+    // idempotent: re-release is byte-identical
+    assert(run() == out)
+    // the sum and count draws are INDEPENDENT (different salts): over
+    // many groups they must not be equal everywhere
+    val many = (1 to 2000).map(i => (s"g${i % 100}", Some(250000L)))
+      .toDF("grp", "cents")
+    val rel = Privacy.dpSumRelease(many, Seq("grp"), col("cents"),
+      clampCents = 500000L).collect()
+      .map(r => (r.getLong(1) / 500000L - 10L, r.getLong(2) - 20L))
+    assert(rel.count { case (zs, zc) => zs != zc } > 50,
+      "sum and count noise draws look correlated — salt separation broken")
   }
 
   test("dpNoiseCalibration: empirical histogram tracks the theory " +
