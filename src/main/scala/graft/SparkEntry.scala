@@ -2475,6 +2475,37 @@ object SparkEntry {
     "q_fim" -> ((s, dir) =>
       TextAnalysis.fimTransform(Tables.documents(s, dir))),
 
+    // §2.58g — per-nation revenue-concentration profile: exact Gini in
+    // micro-units (sorted rank-sum identity, decimal(38,0) arithmetic)
+    // + top-decile share of per-customer order revenue, zero-order
+    // customers included at 0 (leaving them out understates
+    // inequality); the rank window runs on the per-customer aggregate
+    // partitioned by nation — no global sort
+    "q_gini" -> ((s, dir) =>
+      Analytics.concentrationProfile(
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(Tables.orders(s, dir).select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("c0")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_nationkey").as("g"), col("c_custkey").as("entity"))
+          .agg(coalesce(sum(col("c0")), lit(0L)).as("cents")))),
+
+    // §2.58f — market-basket association rules over brand baskets (an
+    // order's distinct part brands): directed a→b pairs with exact
+    // integer support/confidence bp and lift in micro-units (the column
+    // separating affinity from mere popularity), pruned at 20 bp
+    // support; pair expansion bounded per basket, supports map-side
+    // combine, rule space bounded by the frequent-pair set
+    "q_basket_rules" -> ((s, dir) =>
+      Analytics.basketRules(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        minSupportBp = 20)),
+
     // §2.24ab — T5-style span corruption: deterministic denoising pairs as
     // a pure projection (fold-derived span starts, merged runs, numbered
     // sentinels; md5 pair fingerprints) — zero shuffle, zero RNG state
@@ -7231,6 +7262,64 @@ object SparkEntry {
         |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0
         |    / CAST(den AS DOUBLE) + 0.5) AS BIGINT) END AS theta_u
         |FROM w ORDER BY variant""".stripMargin,
+
+    // the rank-sum Gini identity replayed in HUGEINT (the Spark side's
+    // decimal(38,0)); same deterministic (cents, entity) tie order
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey AS g, c.c_custkey AS entity,
+        |    CAST(coalesce(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)), 0) AS BIGINT) AS cents
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT g, cents,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY cents ASC, entity ASC) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM rev),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_entities,
+        |    sum(CAST(cents AS HUGEINT)) AS s,
+        |    sum(CAST(rk AS HUGEINT) * cents) AS ix,
+        |    sum(CASE WHEN rk > n - (n + 9) // 10
+        |      THEN CAST(cents AS HUGEINT) ELSE 0 END) AS top_cents
+        |  FROM r GROUP BY 1)
+        |SELECT g, n_entities, CAST(s AS BIGINT) AS sum_cents,
+        |  CASE WHEN s > 0 THEN CAST((ix * 2 - (n_entities + 1) * s)
+        |    * 1000000 // (n_entities * s) AS BIGINT) END AS gini_micro,
+        |  CASE WHEN s > 0 THEN CAST(top_cents * 10000 // s AS BIGINT)
+        |  END AS top_decile_bp
+        |FROM a ORDER BY g""".stripMargin,
+
+    // non-negative integer support/confidence/lift; the lift numerator
+    // widens to HUGEINT exactly like the Spark side's decimal(38,0)
+    "q_basket_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+        |  FROM b),
+        |sup AS (SELECT item, CAST(count(*) AS BIGINT) AS sup
+        |  FROM b GROUP BY 1),
+        |p0 AS (
+        |  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS sup_ab
+        |  FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2),
+        |d AS (SELECT a, b, sup_ab FROM p0
+        |  UNION ALL SELECT b, a, sup_ab FROM p0)
+        |SELECT d.a AS antecedent, d.b AS consequent, d.sup_ab,
+        |  sa.sup AS sup_a, sb.sup AS sup_b, n.n_baskets,
+        |  (d.sup_ab * 10000) // n.n_baskets AS support_bp,
+        |  (d.sup_ab * 10000) // sa.sup AS confidence_bp,
+        |  CAST((CAST(d.sup_ab AS HUGEINT) * n.n_baskets * 1000000)
+        |    // (sa.sup * sb.sup) AS BIGINT) AS lift_micro
+        |FROM d
+        |JOIN sup sa ON d.a = sa.item
+        |JOIN sup sb ON d.b = sb.item
+        |CROSS JOIN n
+        |WHERE (d.sup_ab * 10000) // n.n_baskets >= 20
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_ab_metrics" ->
       """WITH v AS (

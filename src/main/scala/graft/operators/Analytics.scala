@@ -951,6 +951,105 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** Per-group concentration profile — exact Gini coefficient + top-
+    * decile share of a per-entity value distribution: the inequality
+    * diagnostic a revenue / traffic / token-mass warehouse publishes
+    * (is this nation's revenue broad-based or three whales? is a
+    * corpus source one domain in a trench coat?). Expects one row per
+    * (g, entity) with a non-negative long `cents`; callers aggregate
+    * entities first (zero-activity entities belong IN the frame at 0 —
+    * leaving them out understates inequality).
+    *
+    * Gini via the sorted rank-sum identity — with x₁ ≤ … ≤ xₙ,
+    * G = (2·Σ i·xᵢ − (n+1)·S) / (n·S) — computed entirely in
+    * decimal(38,0) integer arithmetic (Σ i·xᵢ overflows long once
+    * n·value passes ~10¹⁸; at warehouse scale it does) and emitted in
+    * micro-units via non-negative DIV. Ties are rank-order invariant
+    * (equal values permute without changing Σ i·xᵢ), so the
+    * deterministic (cents, entity) sort exists only to pin the row
+    * order, not the result. Zero-mass groups emit NULL gini (no
+    * distribution to measure). top_decile_bp = the value share of the
+    * ceil(n/10) highest entities — the headline concentration number.
+    *
+    * Scale shape: the rank window runs on the per-ENTITY aggregate —
+    * already a reduction of the fact table — partitioned by group, so
+    * no global sort; one groupBy collapses each partition to one row.
+    */
+  def concentrationProfile(perEntity: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("cents").asc, col("entity").asc)
+    val nW = Window.partitionBy(col("g"))
+    val ranked = perEntity
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nW))
+    ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n_entities"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum(col("rk").cast("decimal(38,0)") * col("cents")).as("ix"),
+      sum(when(col("rk") > col("n") - expr("(n + 9) DIV 10"),
+        col("cents").cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("top_cents"))
+      .select(col("g"), col("n_entities"),
+        col("s").cast("long").as("sum_cents"),
+        when(col("s") > 0,
+          expr("""CAST((ix * 2 - (n_entities + 1) * s) * 1000000
+            DIV (n_entities * s) AS BIGINT)""")).as("gini_micro"),
+        when(col("s") > 0,
+          expr("CAST(top_cents * 10000 DIV s AS BIGINT)"))
+          .as("top_decile_bp"))
+      .orderBy(col("g"))
+  }
+
+  /** Market-basket association rules — the classic co-occurrence miner
+    * (Agrawal & Srikant 1994's support/confidence frame plus lift), the
+    * cross-sell / co-view diagnostic a retail or recommendation
+    * warehouse publishes: for every directed item pair a→b with enough
+    * support, how often b rides along when a is in the basket
+    * (confidence) and how much MORE often than independence predicts
+    * (lift — the column that separates genuine affinity from two items
+    * that are merely both popular).
+    *
+    * `baskets` carries (basket, item) rows (duplicates collapse). All
+    * metrics are exact integers: support_bp = sup_ab·10⁴ DIV N,
+    * confidence_bp = sup_ab·10⁴ DIV sup_a, lift_micro =
+    * sup_ab·N·10⁶ DIV (sup_a·sup_b) — the lift numerator widens to
+    * decimal(38,0) first (long overflows once basket counts pass ~10⁹;
+    * at warehouse scale they do). Non-negative throughout, so DIV
+    * replays engine-identically. Rules below `minSupportBp` are
+    * dropped — the standard pruning, and what keeps the output bounded
+    * by the frequent-pair set instead of all pairs.
+    *
+    * Scale shape: the pair expansion is C(basket size, 2) per basket —
+    * bounded by the per-basket distinct-item count, the co-supply
+    * projection argument, never an all-pairs item join; item and pair
+    * supports map-side combine; the basket total broadcasts as one row.
+    */
+  def basketRules(baskets: DataFrame, minSupportBp: Int): DataFrame = {
+    require(minSupportBp >= 1, s"minSupportBp must be >= 1, got $minSupportBp")
+    val b = baskets.select(col("basket"), col("item")).distinct()
+    val n = b.agg(countDistinct(col("basket")).as("n_baskets"))
+    val sup = b.groupBy(col("item")).agg(count(lit(1)).as("sup"))
+    val p0 = b.as("x").join(b.as("y"),
+      col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    val dir = p0.select(col("a"), col("b"), col("sup_ab"))
+      .unionByName(
+        p0.select(col("b").as("a"), col("a").as("b"), col("sup_ab")))
+    dir
+      .join(sup.select(col("item").as("a"), col("sup").as("sup_a")), "a")
+      .join(sup.select(col("item").as("b"), col("sup").as("sup_b")), "b")
+      .crossJoin(broadcast(n))
+      .where(expr(s"sup_ab * 10000 DIV n_baskets >= $minSupportBp"))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("sup_ab"), col("sup_a"), col("sup_b"), col("n_baskets"),
+        expr("sup_ab * 10000 DIV n_baskets").as("support_bp"),
+        expr("sup_ab * 10000 DIV sup_a").as("confidence_bp"),
+        expr("""CAST(CAST(sup_ab AS DECIMAL(38,0)) * n_baskets * 1000000
+          DIV (sup_a * sup_b) AS BIGINT)""").as("lift_micro"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** Exact ROC AUC of a binary scorer — the rank-sum (Mann–Whitney U)
     * formulation: AUC = P(score(pos) > score(neg)) + ½·P(tie), computed
     * WITHOUT the all-pairs comparison. `scored` carries one row per

@@ -555,6 +555,42 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("basketRules: hand-computed support/confidence/lift, threshold " +
+      "prunes, both directions emitted") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (4L, "y"),
+      (4L, "z"), (4L, "z")) // duplicate (4, z) must collapse
+      .toDF("basket", "item")
+    val out = Analytics.basketRules(baskets, minSupportBp = 3000)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // only the {x,y} pair clears 30% support (2 of 4 baskets = 5000 bp);
+    // (y,z) sits at 2500 bp and is pruned
+    assert(out.keySet === Set(("x", "y"), ("y", "x")))
+    // conf(x->y) = 2/3, lift = 2*4/(3*3)
+    assert(out(("x", "y")) === ((2L, 5000L, 6666L, 888888L)))
+    assert(out(("y", "x")) === ((2L, 5000L, 6666L, 888888L)))
+  }
+
+  test("concentrationProfile: equal mass = Gini 0, one whale = hand " +
+      "value, zero-mass group yields NULLs") {
+    val df = Seq(
+      ("eq", 1L, 10L), ("eq", 2L, 10L), ("eq", 3L, 10L), ("eq", 4L, 10L),
+      ("wh", 1L, 0L), ("wh", 2L, 0L), ("wh", 3L, 0L), ("wh", 4L, 10L),
+      ("z", 1L, 0L), ("z", 2L, 0L))
+      .toDF("g", "entity", "cents")
+    val out = Analytics.concentrationProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString.toLong),
+        Option(r.get(4)).map(_.toString.toLong))).toMap
+    // equal: G = 0; top decile = ceil(4/10) = 1 entity = 25% of mass
+    assert(out("eq") === ((4L, 40L, Some(0L), Some(2500L))))
+    // whale: G = (2*40 - 5*10)/(4*10) = 0.75; the whale holds all mass
+    assert(out("wh") === ((4L, 10L, Some(750000L), Some(10000L))))
+    // zero mass: no distribution to measure
+    assert(out("z") === ((2L, 0L, None, None)))
+  }
+
   test("rocAuc: perfect ranking = 1e6, inverted = 0, ties at the " +
       "hand-computed rank-sum value") {
     // perfect: every positive above every negative
