@@ -2475,6 +2475,17 @@ object SparkEntry {
     "q_fim" -> ((s, dir) =>
       TextAnalysis.fimTransform(Tables.documents(s, dir))),
 
+    // §2.58h — daily EWMA baseline per event type (α fixed at 1/2 so
+    // the recurrence is pure integer halving — engine-replayable where
+    // arbitrary-α float EWMA never hash-matches): per (type, day) the
+    // value mass, its smoothed baseline, and the deviation from
+    // YESTERDAY'S baseline in bp (today must not contaminate the
+    // baseline it is judged against); per-key sorted-array fold over
+    // the bounded day panel, one data-sized daily aggregate
+    "q_ewma" -> ((s, dir) =>
+      Analytics.ewmaDaily(Tables.events(s, dir), "event_type", "ts",
+        "value")),
+
     // §2.58g — per-nation revenue-concentration profile: exact Gini in
     // micro-units (sorted rank-sum identity, decimal(38,0) arithmetic)
     // + top-decile share of per-customer order revenue, zero-order
@@ -7262,6 +7273,30 @@ object SparkEntry {
         |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0
         |    / CAST(den AS DOUBLE) + 0.5) AS BIGINT) END AS theta_u
         |FROM w ORDER BY variant""".stripMargin,
+
+    // the order-dependent halving recurrence replayed as a recursive
+    // CTE walking the per-key day index; truncating // on both engines
+    "q_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type AS g, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)), 0) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT g, day, cents,
+        |    row_number() OVER (PARTITION BY g ORDER BY day) AS i
+        |  FROM daily),
+        |rec AS (
+        |  SELECT g, day, cents, i, cents AS ewma, CAST(NULL AS BIGINT)
+        |    AS prev
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.g, x.day, x.cents, x.i, (r.ewma + x.cents) // 2, r.ewma
+        |  FROM rec r JOIN idx x ON x.g = r.g AND x.i = r.i + 1)
+        |SELECT g, day, cents, ewma AS ewma_cents,
+        |  CASE WHEN prev > 0 THEN ((cents - prev) * 10000) // prev
+        |  END AS dev_bp
+        |FROM rec ORDER BY g, day""".stripMargin,
 
     // the rank-sum Gini identity replayed in HUGEINT (the Spark side's
     // decimal(38,0)); same deterministic (cents, entity) tie order

@@ -951,6 +951,58 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** Daily EWMA smoothing — the anomaly-baseline member of the
+    * time-series family (changepoint finds level SHIFTS, error-burst
+    * finds windows; this maintains the running per-key baseline a
+    * monitor compares today against): per (group, day) the value mass
+    * in cents, its exponentially-weighted moving average, and today's
+    * deviation from YESTERDAY'S baseline in basis points (the alert
+    * column — today's own value must not contaminate the baseline it
+    * is judged against).
+    *
+    * α is FIXED at 1/2 so the recurrence is pure integer halving —
+    * s_i = (s_{i−1} + x_i) DIV 2 — replaying bit-for-bit on any engine
+    * (an arbitrary-α EWMA through doubles drifts in the last ulp and
+    * never hash-matches; truncating division is engine-identical even
+    * on negative masses, verified). The fold is ORDER-DEPENDENT by
+    * nature, so it runs inside a per-key sorted array fold, not a
+    * partition-order-dependent aggregate.
+    *
+    * Scale shape: the daily aggregate is the only data-sized shuffle;
+    * the per-key series then collects into a bounded array (panel
+    * length = the day span — the q_event_paths bounded-collect
+    * precedent) and the fold is one higher-order projection. Output is
+    * |keys|·|days| rows.
+    */
+  def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(groupCol).as("g"),
+        col(tsCol).cast("date").cast("string").as("day"))
+      .agg(coalesce(sum((col(valueCol).cast("decimal(18,2)") * 100)
+        .cast("long")), lit(0L)).as("cents"))
+    val series = daily.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+        .as("xs"))
+    series.select(col("g"), explode(expr(
+      """aggregate(xs,
+        |  CAST(array() AS ARRAY<STRUCT<day: STRING, cents: BIGINT,
+        |    ewma: BIGINT, prev: BIGINT>>),
+        |  (acc, x) -> concat(acc, array(named_struct(
+        |    'day', x.day, 'cents', x.cents,
+        |    'ewma', CASE WHEN size(acc) = 0 THEN x.cents
+        |      ELSE (element_at(acc, -1).ewma + x.cents) DIV 2 END,
+        |    'prev', CASE WHEN size(acc) = 0 THEN CAST(NULL AS BIGINT)
+        |      ELSE element_at(acc, -1).ewma END))))""".stripMargin))
+      .as("r"))
+      .select(col("g"), col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.ewma").as("ewma_cents"), col("r.prev").as("prev"))
+      .withColumn("dev_bp",
+        when(col("prev") > 0, expr("(cents - prev) * 10000 DIV prev")))
+      .drop("prev")
+      .orderBy(col("g"), col("day"))
+  }
+
   /** Per-group concentration profile — exact Gini coefficient + top-
     * decile share of a per-entity value distribution: the inequality
     * diagnostic a revenue / traffic / token-mass warehouse publishes

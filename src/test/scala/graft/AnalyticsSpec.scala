@@ -555,6 +555,30 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("ewmaDaily: integer halving recurrence, truncation on negative " +
+      "masses, deviation judged against yesterday's baseline") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      ("a", ts("2001-01-01 05:00:00"), 4.00),
+      ("a", ts("2001-01-02 05:00:00"), 2.00),
+      ("a", ts("2001-01-03 05:00:00"), 2.00),
+      ("a", ts("2001-01-04 05:00:00"), -6.01),
+      ("b", ts("2001-01-01 09:00:00"), 1.00))
+      .toDF("event_type", "ts", "value")
+    val out = Analytics.ewmaDaily(df, "event_type", "ts", "value")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.toString.toLong))).toMap
+    // s1=400; s2=(400+200)/2=300; s3=(300+200)/2=250;
+    // s4=(250-601) DIV 2 = -175 (TRUNCATION toward zero, not floor -176)
+    assert(out(("a", "2001-01-01")) === ((400L, 400L, None)))
+    assert(out(("a", "2001-01-02")) === ((200L, 300L, Some(-5000L))))
+    assert(out(("a", "2001-01-03")) === ((200L, 250L, Some(-3333L))))
+    assert(out(("a", "2001-01-04")) === ((-601L, -175L, Some(-34040L))))
+    // single-day key: baseline is itself, no deviation to judge
+    assert(out(("b", "2001-01-01")) === ((100L, 100L, None)))
+  }
+
   test("basketRules: hand-computed support/confidence/lift, threshold " +
       "prunes, both directions emitted") {
     val baskets = Seq(
