@@ -2475,6 +2475,18 @@ object SparkEntry {
     "q_fim" -> ((s, dir) =>
       TextAnalysis.fimTransform(Tables.documents(s, dir))),
 
+    // §2.58i — Pearson χ² independence test (nation × market segment):
+    // are the two release dimensions associated, or do the margins
+    // already tell the whole story? Cleared-denominator per-cell
+    // contributions (O·n − R·C)²·10⁶ DIV (R·C·n) quantized before the
+    // sum, zero cells included via the margins cross, decimal(38,0)
+    // throughout; verdict vs the df=96 95% critical value 119.871
+    // (standard table) in micro-units — the caller-owned-significance
+    // contract of srmCheckNArm
+    "q_chi2" -> ((s, dir) =>
+      Analytics.independenceTest(Tables.customer(s, dir),
+        "c_nationkey", "c_mktsegment", critMicro = 119871000L)),
+
     // §2.58h — daily EWMA baseline per event type (α fixed at 1/2 so
     // the recurrence is pure integer halving — engine-replayable where
     // arbitrary-α float EWMA never hash-matches): per (type, day) the
@@ -7273,6 +7285,38 @@ object SparkEntry {
         |  CASE WHEN den > 0 THEN CAST(floor(CAST(num AS DOUBLE) * 1000000.0
         |    / CAST(den AS DOUBLE) + 0.5) AS BIGINT) END AS theta_u
         |FROM w ORDER BY variant""".stripMargin,
+
+    // cleared-denominator cell contributions in HUGEINT, zero cells
+    // from the margins cross, same 119.871 critical literal
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS r, c_mktsegment AS c,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+        |cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT r) AS BIGINT) AS n_r,
+        |    CAST(count(DISTINCT c) AS BIGINT) AS n_c
+        |  FROM cells),
+        |fcells AS (
+        |  SELECT coalesce(ce.o, 0) AS o, rm.rn, cm.cn, t.n, t.n_r, t.n_c
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ce ON ce.r = rm.r AND ce.c = cm.c
+        |  CROSS JOIN tot t),
+        |contrib AS (
+        |  SELECT CAST(((CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+        |      * (CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn)
+        |      * 1000000) // (CAST(rn AS HUGEINT) * cn * n) AS BIGINT)
+        |    AS x, n, n_r, n_c
+        |  FROM fcells)
+        |SELECT n, n_r AS n_rowvals, n_c AS n_colvals,
+        |  (n_r - 1) * (n_c - 1) AS dof,
+        |  CAST(sum(x) AS BIGINT) AS chi2_micro,
+        |  CAST(sum(x) AS BIGINT) <= 119871000 AS independent
+        |FROM contrib GROUP BY 1, 2, 3""".stripMargin,
 
     // the order-dependent halving recurrence replayed as a recursive
     // CTE walking the per-key day index; truncating // on both engines

@@ -951,6 +951,66 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** Pearson χ² independence test over a two-way contingency table —
+    * the categorical-association member of the test family (srmCheck
+    * asks "did the SPLITTER break", this asks "are these two columns
+    * ASSOCIATED" — the segmentation sanity check behind every
+    * per-(nation, segment) release: if the columns are independent,
+    * publishing the margins already tells the whole story).
+    *
+    * Exact-integer phrasing: clearing denominators in
+    * Σ (O − RC/n)²/(RC/n) gives per-cell contributions
+    * (O·n − R·C)²·10⁶ DIV (R·C·n), each quantized to micro-units
+    * BEFORE the sum (order-independent, the micro-nat discipline).
+    * ZERO cells participate (the margins cross yields every (r, c)
+    * combination; a missing cell is O = 0 with expected R·C/n > 0 —
+    * dropping them understates the statistic). All arithmetic is
+    * decimal(38,0) (HUGEINT in the oracle); exactness holds while
+    * n⁴ < 10³⁸, i.e. n up to ~3·10⁹ rows — past that, pre-aggregate
+    * per stratum (documented bound).
+    *
+    * Output: ONE row — n, distinct row/col values, dof =
+    * (r−1)(c−1), chi2_micro, and `independent` = chi2 ≤ the caller's
+    * critical value in micro-units (the df-specific 95% quantile; the
+    * engine ships no χ² CDF — the caller owns the significance level,
+    * the srmCheckNArm contract).
+    *
+    * Scale shape: one data-sized aggregate to the bounded cell frame;
+    * margins, the cross, and the sum all run on bounded frames.
+    */
+  def independenceTest(df: DataFrame, rowCol: String, colCol: String,
+      critMicro: Long): DataFrame = {
+    val cells = df.where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // bounded cell frame, four consumers — one scan
+    val rm = cells.groupBy(col("r")).agg(sum(col("o")).as("rn"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("o")).as("cn"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("r")).as("n_r"),
+      countDistinct(col("c")).as("n_c"))
+    rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("r", "c"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n
+          - CAST(rn AS DECIMAL(38,0)) * cn) AS DECIMAL(38,0))""").as("d"),
+        col("rn"), col("cn"), col("n"), col("n_r"), col("n_c"))
+      .select(
+        expr("""CAST((d * d * 1000000)
+          DIV (CAST(rn AS DECIMAL(38,0)) * cn * n) AS BIGINT)""")
+          .as("contrib"),
+        col("n"), col("n_r"), col("n_c"))
+      .groupBy(col("n"), col("n_r"), col("n_c"))
+      .agg(sum(col("contrib")).as("chi2_micro"))
+      .select(col("n"), col("n_r").as("n_rowvals"),
+        col("n_c").as("n_colvals"),
+        ((col("n_r") - 1) * (col("n_c") - 1)).as("dof"),
+        col("chi2_micro"),
+        (col("chi2_micro") <= critMicro).as("independent"))
+  }
+
   /** Daily EWMA smoothing — the anomaly-baseline member of the
     * time-series family (changepoint finds level SHIFTS, error-burst
     * finds windows; this maintains the running per-key baseline a

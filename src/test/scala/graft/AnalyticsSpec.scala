@@ -555,6 +555,27 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("independenceTest: uniform table scores 0, perfect association " +
+      "scores n (zero cells participate), verdict uses the critical value") {
+    val uniform = (Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(10)(("B", "X")) ++ Seq.fill(10)(("B", "Y")))
+      .toDF("r0", "c0")
+    val u = Analytics.independenceTest(uniform, "r0", "c0",
+      critMicro = 3841459L).collect().head
+    assert(u.getAs[Long]("n") == 40L && u.getAs[Long]("dof") == 1L)
+    assert(u.getAs[Long]("chi2_micro") == 0L)
+    assert(u.getAs[Boolean]("independent"))
+    // diagonal-only: chi2 = n exactly (phi^2 = 1) — and that value is
+    // only reachable when the two ZERO cells contribute their R*C/n
+    // expected mass (10 of the 20 comes from them)
+    val assoc = (Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("B", "Y")))
+      .toDF("r0", "c0")
+    val a = Analytics.independenceTest(assoc, "r0", "c0",
+      critMicro = 3841459L).collect().head
+    assert(a.getAs[Long]("chi2_micro") == 20000000L)
+    assert(!a.getAs[Boolean]("independent"))
+  }
+
   test("ewmaDaily: integer halving recurrence, truncation on negative " +
       "masses, deviation judged against yesterday's baseline") {
     val ts = java.sql.Timestamp.valueOf(_: String)
