@@ -747,6 +747,75 @@ object Stress {
         .groupBy(coalesce(col("status"), lit("none")).as("s"))
         .agg(count(lit(1)).as("n"))
     }
+    // Basket rules: replicated baskets multiply the pair-expansion input
+    // linearly (C(basket, 2) per basket is bounded by basket SIZE, which
+    // replication does not change); supports grow ×factor but the rule
+    // space stays the bounded brand-pair domain.
+    time("basket_rules") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val liX = (0 until factor).map(k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.basketRules(
+        liX.join(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item")),
+        minSupportBp = 20)
+    }
+    // Harmonic centrality: offsetting BOTH keys makes factor disconnected
+    // graph replicas — the (seed, node) BFS state and per-round joins
+    // grow linearly while the 4-seed panel (smallest ids, copy 0) only
+    // ever reaches its own replica.
+    time("harmonic") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val liX = (0 until factor).map(k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L)))
+        .reduce(_ unionByName _)
+      val edges = graft.operators.Graph.coSupplyEdges(liX)
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(4)
+      graft.operators.Graph.harmonicCentrality(edges, seeds, maxHops = 4)
+    }
+    // Gini: the per-entity frame grows ×factor, the rank window stays
+    // partitioned per nation — the curve is the entity aggregate + the
+    // partitioned sort, never a global one.
+    time("gini") {
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val cX = (0 until factor).map(k =>
+        c.withColumn("c_custkey", col("c_custkey") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), (col("o_totalprice").cast("decimal(18,2)")
+          * 100).cast("long").as("c0"))
+      val oX = (0 until factor).map(k =>
+        o.withColumn("o_custkey", col("o_custkey") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.concentrationProfile(
+        cX.join(oX, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_nationkey").as("g"), col("c_custkey").as("entity"))
+          .agg(coalesce(sum(col("c0")), lit(0L)).as("cents")))
+    }
+    // Classifier AUC: the corpus scan grows ×factor, the score histogram
+    // and the rank-sum frame stay bounded by distinct quantized scores.
+    time("nb_auc") {
+      val m5 = col("doc_id") % 5
+      val planted = docs.withColumn("text",
+        when(m5 === 1 || m5 === 2,
+          concat(col("text"), lit(" zz9 qq8 xx7 kk6 vv5")))
+          .otherwise(col("text")))
+      val scored = TextAnalysis.nbScored(planted,
+        posSeed = col("doc_id") % 5 === 0,
+        negSeed = col("doc_id") % 5 === 1, vocabSize = 500)
+        .where(col("doc_id") % 5 >= 2)
+        .select(expr("sum_u * 1000 DIV n_tokens").as("score"),
+          (col("doc_id") % 5 =!= 2).as("label"))
+      graft.operators.Analytics.rocAuc(scored)
+    }
     spark.stop()
   }
 }
