@@ -2574,6 +2574,21 @@ object SparkEntry {
       graft.operators.Graph.harmonicCentrality(edges, seeds, maxHops = 4)
     }),
 
+    // §2.67w — widest-path (maximin bottleneck) capacities from the
+    // same 4-seed panel: the strongest chain of trading relationships
+    // between seed and node (the path maximizing its MINIMUM edge
+    // weight — supply-chain resilience). Order-free max/min BSP
+    // relaxation, 6 rounds with early exit; top-5 per seed with
+    // deterministic ties; O(k·V) state, edges scan the bucketed table
+    // in place.
+    "q_widest" -> ((s, dir) => {
+      val edges = s.table(gcosupTable(s, dir))
+        .select(col("src"), col("dst"), col("w"))
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(4)
+      graft.operators.Graph.widestPaths(edges, seeds, rounds = 6, topK = 5)
+    }),
+
     // §2.67b — BFS layer expansion from the nation-1 customer seed set
     // over the trade graph: per-hop frontier sizes split by side +
     // the unreached remainder — the traversal member of the graph family.
@@ -2997,6 +3012,25 @@ object SparkEntry {
     // critical value — run before trusting any A/B metric
     "q_srm_check" -> ((s, dir) =>
       Analytics.srmCheck(Tables.events(s, dir), "user_id")),
+
+    // §2.58j — Mann–Whitney U test between the two hash-split arms on
+    // the per-event value metric: the NONPARAMETRIC location test next
+    // to the SRM count checks — exact integer U (2× units) and tie term
+    // off the bounded score histogram shared with the rocAuc machinery,
+    // tie-corrected normal z at 4 dp written operation-identically on
+    // both engines, verdict on the ROUNDED value (engine-identical by
+    // construction). On the null split z sits near 0 — the honest
+    // no-effect answer; the spec plants a shifted arm for the other path
+    "q_mannwhitney" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      Analytics.mannWhitney(Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          (pmod(rollingHash(concat(lit("ab:"),
+            col("user_id").cast("string"))), lit(2)) === 1).as("label"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("score")))
+    }),
 
     // §2.58d — N-arm SRM: chi-square over 4 equal-weight arms in exact
     // integer micro-units ((sum of (n_i*A - n)^2)*10^6 DIV (A*n),
@@ -6648,6 +6682,35 @@ object SparkEntry {
          |ORDER BY w.node""".stripMargin
     },
 
+    // 6 unrolled order-free max/min relaxation rounds; converged tails
+    // replay as no-ops (the k-core discipline); the seed sentinel is
+    // Long.MaxValue/4 on both engines
+    "q_widest" -> {
+      val big = Long.MaxValue / 4
+      val rounds = (1 to 6).map { r =>
+        s"""c$r AS MATERIALIZED (
+           |  SELECT seed, node, max(cap) AS cap FROM (
+           |    SELECT seed, node, cap FROM c${r - 1}
+           |    UNION ALL
+           |    SELECT c.seed, e.dst AS node, least(c.cap, e.w) AS cap
+           |    FROM c${r - 1} c JOIN es e ON c.node = e.src)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $coSupplyPairCtes,
+         |es AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM p0
+         |  UNION ALL SELECT b, a, w FROM p0),
+         |sd AS (SELECT DISTINCT src AS seed FROM es ORDER BY 1 LIMIT 4),
+         |c0 AS (SELECT seed, seed AS node, CAST($big AS BIGINT) AS cap
+         |  FROM sd),
+         |$rounds
+         |SELECT seed, node, cap AS capacity, CAST(rk AS BIGINT) AS rk
+         |FROM (
+         |  SELECT seed, node, cap, row_number() OVER (PARTITION BY seed
+         |    ORDER BY cap DESC, node ASC) AS rk
+         |  FROM c6 WHERE cap <> $big)
+         |WHERE rk <= 5 ORDER BY seed, rk""".stripMargin
+    },
+
     // 4 unrolled EXCEPT/UNION BFS rounds per seed; contributions as
     // positive truncating 1e6 // dist — engine-identical
     "q_harmonic" -> {
@@ -7179,6 +7242,53 @@ object SparkEntry {
         |GROUP BY dly.t ORDER BY dly.t""".stripMargin,
 
     // the same fold assignment, integer chi-square, inlined critical value
+    // same histogram rank-sum frame as the nb_auc oracle, tie term in
+    // HUGEINT, the z written operation-identically and rounded before
+    // the verdict
+    "q_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS INT) = 1
+        |      AS label,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |hist AS (
+        |  SELECT score,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM v GROUP BY score),
+        |cum AS (
+        |  SELECT score, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnb
+        |  FROM hist),
+        |agg AS (
+        |  SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+        |    CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+        |    CAST(count(*) AS BIGINT) AS n_scores,
+        |    CAST(coalesce(sum(np * (cnb * 2 + nn)), 0) AS BIGINT) AS u2,
+        |    coalesce(sum(CAST(np + nn AS HUGEINT) * (np + nn) * (np + nn)
+        |      - (np + nn)), 0) AS tie_h
+        |  FROM cum),
+        |zed AS (
+        |  SELECT n_pos, n_neg, n_scores, u2,
+        |    CAST(tie_h AS BIGINT) AS tie_t,
+        |    CASE WHEN n_pos > 0 AND n_neg > 0 AND n_scores > 1 THEN
+        |      floor(CAST(u2 - n_pos * n_neg AS DOUBLE) / 2.0
+        |        / sqrt((CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0)
+        |          * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+        |            - CAST(tie_h AS DOUBLE)
+        |              / (CAST(n_pos + n_neg AS DOUBLE)
+        |                * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))))
+        |        * 10000.0 + 0.5) / 10000.0 END AS z_r
+        |  FROM agg)
+        |SELECT n_pos, n_neg, n_scores, u2, tie_t, z_r,
+        |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END AS significant
+        |FROM zed""".stripMargin,
+
     "q_srm_check" ->
       """WITH v AS (
         |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1188,15 +1188,7 @@ object Analytics {
     * NULL beats inventing 0.5).
     */
   def rocAuc(scored: DataFrame): DataFrame = {
-    val hist = scored.groupBy(col("score"))
-      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("np"),
-        sum(when(!col("label"), 1L).otherwise(0L)).as("nn"))
-    // bounded-histogram global window (q_ppl_buckets discipline): the
-    // frame under the window is the distinct-score histogram, never rows
-    val below = Window.orderBy(col("score").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist.withColumn("cnb",
-      coalesce(sum(col("nn")).over(below), lit(0L)))
+    val cum = scoreHistCum(scored)
     cum.agg(
       coalesce(sum(col("np")), lit(0L)).as("n_pos"),
       coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
@@ -1207,6 +1199,80 @@ object Analytics {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("u2 * 1000000 DIV (2 * n_pos * n_neg)")))
       .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
+  }
+
+  /** The (score, label) → bounded histogram-with-exclusive-cumulatives
+    * frame shared by [[rocAuc]], [[prCurve]], and [[mannWhitney]] — one
+    * definition so the three audits can never rank differently.
+    * Columns: score, np, nn, cnb (negatives strictly below), cnpb
+    * (positives strictly below). */
+  private def scoreHistCum(scored: DataFrame): DataFrame = {
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("nn"))
+    // bounded-histogram global window (q_ppl_buckets discipline): the
+    // frame under the window is the distinct-score histogram, never rows
+    val below = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cnb", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .withColumn("cnpb", coalesce(sum(col("np")).over(below), lit(0L)))
+  }
+
+  /** Mann–Whitney U test — the NONPARAMETRIC two-sample location test
+    * (does the metric distribution differ between the two arms?), the
+    * decision-statistic companion of [[rocAuc]] (same U, normalized
+    * there as ranking quality, standardized here as a z-score): exact
+    * integer U in 2× units and the exact tie term T = Σ(t³ − t) off
+    * the same bounded score histogram, then the normal approximation
+    * with tie correction
+    *
+    *   z = (u2 − n₊n₋) / 2 / sqrt(n₊n₋/12 · ((n+1) − T/(n(n−1))))
+    *
+    * written operation-identically on both engines (divisions,
+    * multiplications, one IEEE-exact sqrt — the ab_metrics double
+    * discipline) and published at 4 dp; `significant` compares the
+    * ROUNDED value to 1.96, so the verdict is engine-identical by
+    * construction. Per-row samples are what the caller passes — for a
+    * per-user test, aggregate to users first (the usual independence
+    * caveat). NULL z when either arm is empty or every value ties
+    * (zero variance — surfacing it beats a division by zero).
+    *
+    * Scale shape: identical to [[rocAuc]] — one corpus aggregate to
+    * the bounded histogram, everything downstream bounded.
+    */
+  def mannWhitney(scored: DataFrame): DataFrame = {
+    // the outer CAST keeps the published column DOUBLE: in a SQL-parsed
+    // expression 10000.0 is a DECIMAL literal, and BIGINT/DECIMAL would
+    // publish decimal(…,7) where the oracle publishes double
+    val z4 =
+      """CAST(floor(CAST(u2 - n_pos * n_neg AS DOUBLE) / 2.0
+        |  / sqrt((CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0)
+        |    * ((CAST(n_pos + n_neg AS DOUBLE) + 1.0)
+        |      - CAST(tie_t AS DOUBLE)
+        |        / (CAST(n_pos + n_neg AS DOUBLE)
+        |          * (CAST(n_pos + n_neg AS DOUBLE) - 1.0))))
+        |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin
+    scoreHistCum(scored).agg(
+      coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      coalesce(sum(col("np") * (col("cnb") * 2 + col("nn"))), lit(0L))
+        .as("u2"),
+      // t = np+nn per distinct score; Σ(t³ − t) in decimal — t³ wraps
+      // long once a tie group passes ~2·10⁶ rows (the published long
+      // cast inherits that bound; the z itself reads the decimal)
+      coalesce(sum({
+        val t = (col("np") + col("nn")).cast("decimal(38,0)")
+        t * t * t - t
+      }), lit(0).cast("decimal(38,0)")).as("tie_t"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"), col("u2"),
+        col("tie_t").cast("long").as("tie_t"),
+        // zero variance iff the histogram has ONE bin (every row ties)
+        when(col("n_pos") > 0 && col("n_neg") > 0 && col("n_scores") > 1,
+          expr(z4)).as("z_r"))
+      .withColumn("significant",
+        when(col("z_r").isNotNull, abs(col("z_r")) > 1.96))
   }
 
   /** Precision/recall operating-point table for a binary scorer — the
@@ -1229,15 +1295,8 @@ object Analytics {
     */
   def prCurve(scored: DataFrame, nCuts: Int = 10): DataFrame = {
     require(nCuts >= 2, s"nCuts must be >= 2, got $nCuts")
-    val hist = scored.groupBy(col("score"))
-      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("np"),
-        sum(when(!col("label"), 1L).otherwise(0L)).as("nn"))
-    val below = Window.orderBy(col("score").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist
-      .withColumn("cnpb", coalesce(sum(col("np")).over(below), lit(0L)))
-      .withColumn("cnnb", coalesce(sum(col("nn")).over(below), lit(0L)))
-    val tot = hist.agg(
+    val cum = scoreHistCum(scored).withColumnRenamed("cnb", "cnnb")
+    val tot = cum.agg(
       coalesce(sum(col("np")), lit(0L)).as("t_pos"),
       coalesce(sum(col("nn")), lit(0L)).as("t_neg"))
     // thr_k = min score whose INCLUSIVE cumulative count reaches

@@ -321,6 +321,65 @@ object Graph {
       .orderBy(col("seed"))
   }
 
+  /** Widest-path (maximin bottleneck) capacities from a seed panel —
+    * the WEIGHTED-traversal member of the graph family (BFS counts
+    * hops, harmonic ranks closeness; this answers "how STRONG is the
+    * strongest chain of relationships between s and v": the path
+    * maximizing its minimum edge weight — supply-chain resilience,
+    * trust propagation, max-capacity routing). Classic maximin
+    * relaxation as synchronous BSP: cap'(v) = max(cap(v),
+    * max_{u→v} min(cap(u), w(u,v))) — max and min are order-free, so
+    * every round is hash-exact on any engine or partitioning; fixed
+    * `rounds` with a no-improvement early exit (converged tails replay
+    * as no-ops in the unrolled oracle, the k-core discipline).
+    *
+    * Output: the `topK` strongest-connected nodes per seed
+    * (capacity DESC, node ASC — deterministic ties), seed self-rows
+    * excluded. All-pairs widest paths are O(V·E) — the bounded seed
+    * panel is the production ask, the harmonicCentrality argument.
+    *
+    * Scale shape: O(k·V) capacity state for k seeds; per round one
+    * join of the improved vector against the edge list (in-place scan
+    * when `edges` is the bucketed warehouse table) + an order-free
+    * max aggregate; the final top-k is a window over the panel-bounded
+    * state frame.
+    */
+  def widestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int = 6,
+      topK: Int = 5): DataFrame = {
+    require(rounds >= 1 && topK >= 1)
+    // seed self-capacity = a sentinel above any real weight; min() with
+    // it yields the first edge's weight
+    val big = Long.MaxValue / 4
+    var cap = seeds.select(col("seed"), col("seed").as("node"),
+      lit(big).as("cap")).localCheckpoint()
+    var improved = true
+    for (_ <- 1 to rounds) {
+      if (improved) {
+        val next = cap
+          .unionByName(cap.join(edges, cap("node") === edges("src"))
+            .select(col("seed"), edges("dst").as("node"),
+              least(col("cap"), edges("w")).as("cap")))
+          .groupBy(col("seed"), col("node"))
+          .agg(max(col("cap")).as("cap"))
+          .localCheckpoint()
+        improved = next.as("n")
+          .join(cap.as("o"), Seq("seed", "node"), "left")
+          .where(col("o.cap").isNull || col("n.cap") > col("o.cap"))
+          .limit(1).count() > 0
+        cap = next
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed"))
+      .orderBy(col("cap").desc, col("node").asc)
+    cap.where(col("cap") =!= big)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("seed"), col("node"), col("cap").as("capacity"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("seed"), col("rk"))
+  }
+
   /** Degree-distribution histogram over a symmetric edge list — the
     * first diagnostic a graph warehouse publishes (is the graph
     * power-law? where does the hot tail start? is a skew-join salting

@@ -555,6 +555,29 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("mannWhitney: separated arms flag significant with the exact U, " +
+      "a null split does not, one-bin data yields NULL z") {
+    // fully separated: every positive (100..149) above every negative
+    // (1..50) -> U = n+*n-, no ties so tie_t = 0
+    val sep = ((1 to 50).map(v => (v.toLong, false)) ++
+      (100 to 149).map(v => (v.toLong, true))).toDF("score", "label")
+    val s = Analytics.mannWhitney(sep).collect().head
+    assert(s.getAs[Long]("u2") == 2L * 50L * 50L)
+    assert(s.getAs[Long]("tie_t") == 0L)
+    assert(s.getAs[Double]("z_r") > 8.0)
+    assert(s.getAs[Boolean]("significant"))
+    // null: identical interleaved distributions by parity
+    val nul = (1 to 100).map(v => (v.toLong, v % 2 == 0))
+      .toDF("score", "label")
+    val n = Analytics.mannWhitney(nul).collect().head
+    assert(math.abs(n.getAs[Double]("z_r")) < 1.0)
+    assert(!n.getAs[Boolean]("significant"))
+    // one histogram bin: zero variance, NULL z rather than a div by zero
+    val flat = Seq((5L, true), (5L, false), (5L, true)).toDF("score", "label")
+    val f = Analytics.mannWhitney(flat).collect().head
+    assert(f.isNullAt(f.fieldIndex("z_r")))
+  }
+
   test("independenceTest: uniform table scores 0, perfect association " +
       "scores n (zero cells participate), verdict uses the critical value") {
     val uniform = (Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++

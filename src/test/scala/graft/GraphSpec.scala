@@ -265,6 +265,27 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_plan_edges")
   }
 
+  test("widestPaths: maximin capacities hand-computed, the weak direct " +
+      "edge loses to the strong detour, deterministic ties, topK trims") {
+    // 1-2 w=10, 2-3 w=3, 1-3 w=1 (weak direct), 3-4 w=8
+    val pairs = Seq((1L, 2L, 10L), (2L, 3L, 3L), (1L, 3L, 1L), (3L, 4L, 8L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .toDF("src", "dst", "w")
+    val out = Graph.widestPaths(edges, Seq(1L).toDF("seed"),
+      rounds = 6, topK = 5)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // cap(3) = 3 via the strong detour 1-2-3, NOT the direct w=1 edge;
+    // cap(4) = min(3, 8) = 3; ties (3 and 4 at cap 3) rank node-asc
+    assert(out(2L) === ((10L, 1L)))
+    assert(out(3L) === ((3L, 2L)))
+    assert(out(4L) === ((3L, 3L)))
+    assert(out.size == 3) // the seed's own sentinel row is excluded
+    val top2 = Graph.widestPaths(edges, Seq(1L).toDF("seed"),
+      rounds = 6, topK = 2).collect().map(_.getLong(1)).toSet
+    assert(top2 === Set(2L, 3L))
+  }
+
   test("harmonicCentrality: hand-computed path + disconnected pair, " +
       "hop cap truncates, empty seed panel yields no rows") {
     // path 1-2-3-4-5 and the disconnected pair 10-11
