@@ -771,6 +771,22 @@ object SparkEntry {
     "q_partition_listing" -> ((s, dir) =>
       Etl.partitionListing(Tables.events(s, dir), col("ts"))),
 
+    // §2.12d — partition-completeness audit (q_partition_listing says
+    // what IS there, this says what ISN'T): per event type the calendar
+    // spine, missing-day count, completeness bp, and the first/last
+    // missing day a backfill targets. The fixture PLANTS the outage
+    // (the planted-defect pattern): (type, day) partitions whose salted
+    // md5 fold lands on 0 mod 7 are dropped before the audit, so the
+    // report finds exactly those ~14% of partitions at every SF
+    "q_part_complete" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("gap:"), col("event_type"),
+        lit("|"), col("ts").cast("date").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+      Etl.partitionCompleteness(
+        Tables.events(s, dir).where(pmod(h, lit(7)) =!= 0),
+        "event_type", "ts")
+    }),
+
     // §2.12b — hive-partitioned daily storage round-trip with partition
     // pruning: write events partitioned by date=yyyyMMdd, read ONE day back
     // through a partition filter (directories for other days are never
@@ -4010,6 +4026,43 @@ object SparkEntry {
     "q_partition_listing" ->
       """SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y%m%d') AS partition_date
         |FROM events""".stripMargin,
+
+    // the same planted (type, day) outage dropped, the same calendar
+    // spine crossed, completeness in non-negative integer bp
+    "q_part_complete" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val gap = md5bits(
+        "'gap:' || event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)")
+      s"""WITH present AS (
+         |  SELECT DISTINCT event_type AS t, CAST(ts AS DATE) AS day
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |    AND $gap % 7 <> 0),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM present),
+         |spine AS (
+         |  SELECT ty.t, CAST(unnest(generate_series((SELECT d0 FROM b),
+         |    (SELECT d1 FROM b), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT DISTINCT t FROM present) ty),
+         |j AS (SELECT s.t, s.day, p.day IS NOT NULL AS pres
+         |  FROM spine s LEFT JOIN present p ON p.t = s.t AND p.day = s.day)
+         |SELECT t AS event_type,
+         |  CAST(count(*) AS BIGINT) AS expected_days,
+         |  CAST(sum(CASE WHEN pres THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS present_days,
+         |  CAST(sum(CASE WHEN NOT pres THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS missing_days,
+         |  CAST(min(CASE WHEN NOT pres THEN day END) AS VARCHAR)
+         |    AS first_missing,
+         |  CAST(max(CASE WHEN NOT pres THEN day END) AS VARCHAR)
+         |    AS last_missing,
+         |  (CAST(sum(CASE WHEN pres THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |    // count(*) AS completeness_bp
+         |FROM j GROUP BY t ORDER BY t""".stripMargin
+    },
 
     "q_hive_pruned" ->
       """SELECT event_type, count(*) AS n_events,

@@ -299,6 +299,46 @@ object Etl {
     src.select(date_format(to_date(dateCol), "yyyyMMdd").as("partition_date"))
       .distinct()
 
+  /** Partition-completeness audit over the daily layout — the
+    * lake-management question every scheduled extract raises the
+    * morning after (reference: the s3.py:60 `date=YYYYMMDD` layout +
+    * the daily Dagster cadence; [[partitionListing]] says what IS
+    * there, this says what ISN'T): per job/type, the expected calendar
+    * spine (global min..max day — a series missing its first or last
+    * days shows as missing because the spine is corpus-wide, not
+    * per-series), present/missing day counts, completeness in basis
+    * points, and the first/last missing day strings a backfill targets.
+    *
+    * Scale shape: the audit runs entirely on the BOUNDED distinct
+    * (type, day) frame — one distinct aggregate over the scan, then a
+    * calendar cross (|types| × |days|) and a left join, all bounded by
+    * the partition count, never the table. Output: one row per type.
+    */
+  def partitionCompleteness(src: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val present = src.where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .distinct()
+      .localCheckpoint() // bounded (type, day) frame, three consumers
+    val bounds = present.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = present.select(col("t")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("t"), explode(expr("sequence(d0, d1)")).as("day"))
+    spine.join(present.withColumn("pres", lit(1)), Seq("t", "day"), "left")
+      .groupBy(col("t").as("event_type"))
+      .agg(count(lit(1)).as("expected_days"),
+        sum(when(col("pres").isNotNull, 1L).otherwise(0L))
+          .as("present_days"),
+        sum(when(col("pres").isNull, 1L).otherwise(0L)).as("missing_days"),
+        min(when(col("pres").isNull, col("day"))).cast("string")
+          .as("first_missing"),
+        max(when(col("pres").isNull, col("day"))).cast("string")
+          .as("last_missing"))
+      .withColumn("completeness_bp",
+        expr("present_days * 10000 DIV expected_days"))
+      .orderBy(col("event_type"))
+  }
+
   /** Salted two-phase aggregation for skewed group keys: explode each key
     * into `salt` shards, partially aggregate, then merge. Same result as a
     * direct groupBy; the first shuffle spreads a hot key over `salt`

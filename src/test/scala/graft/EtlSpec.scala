@@ -237,4 +237,32 @@ class EtlSpec extends SparkSpec {
     assert(!out.contains("3-MEDIUM")) // no lineitem -> no join row
     assert(out.values.forall(_._3), "every group must match the recompute")
   }
+
+  test("partitionCompleteness: the corpus-wide spine catches a missing " +
+      "FIRST day, interior gaps are bounded, full coverage reports clean") {
+    import org.apache.spark.sql.functions.col
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val rows = Seq(
+      // a: days 1,2,4 — interior gap on day 3
+      ("a", ts("2001-01-01 08:00:00")), ("a", ts("2001-01-02 08:00:00")),
+      ("a", ts("2001-01-04 08:00:00")),
+      // b: days 2,3,4 — missing the corpus FIRST day (a per-series
+      // spine would miss this entirely)
+      ("b", ts("2001-01-02 08:00:00")), ("b", ts("2001-01-03 08:00:00")),
+      ("b", ts("2001-01-04 08:00:00")),
+      // c: full coverage
+      ("c", ts("2001-01-01 08:00:00")), ("c", ts("2001-01-02 08:00:00")),
+      ("c", ts("2001-01-03 08:00:00")), ("c", ts("2001-01-04 08:00:00")))
+      .toDF("event_type", "ts")
+    val out = graft.operators.Etl.partitionCompleteness(rows.toDF(),
+      "event_type", "ts")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)),
+        r.getLong(6))).toMap
+    assert(out("a") === ((4L, 3L, 1L, Some("2001-01-03"),
+      Some("2001-01-03"), 7500L)))
+    assert(out("b") === ((4L, 3L, 1L, Some("2001-01-01"),
+      Some("2001-01-01"), 7500L)))
+    assert(out("c") === ((4L, 4L, 0L, None, None, 10000L)))
+  }
 }
