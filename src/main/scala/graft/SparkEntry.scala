@@ -2514,6 +2514,27 @@ object SparkEntry {
       Analytics.ewmaDaily(Tables.events(s, dir), "event_type", "ts",
         "value")),
 
+    // §2.58k — Spearman rank correlation between account balance and
+    // order revenue per customer (does standing predict spend?):
+    // tie-corrected by construction — Pearson on average ranks in 2×
+    // units (integral under ties), decimal(38,0) sums, one division +
+    // one IEEE sqrt at 4 dp; each variable collapses to its bounded
+    // value histogram for rank assignment. Zero-order customers count
+    // at revenue 0 (dropping them biases the association)
+    "q_spearman" -> ((s, dir) =>
+      Analytics.spearman(
+        Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+              .as("x"))
+          .join(Tables.orders(s, dir).select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("c0")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("x"))
+          .agg(coalesce(sum(col("c0")), lit(0L)).as("y"))
+          .select(col("x"), col("y")))),
+
     // §2.58g — per-nation revenue-concentration profile: exact Gini in
     // micro-units (sorted rank-sum identity, decimal(38,0) arithmetic)
     // + top-decile share of per-customer order revenue, zero-order
@@ -2695,6 +2716,16 @@ object SparkEntry {
     // DEGREE-ordered orientation (Schank–Wagner O(m^{3/2}) wedge bound —
     // a power-law hub no longer sources its whole edge list); the census
     // is orientation-invariant, so the id-ordered oracle certifies it
+    // §2.67x — degree assortativity over the trade graph (Newman 2002,
+    // the one-number companion of q_degree_hist): Pearson correlation
+    // of endpoint degrees over directed edges — the bipartite
+    // customer-supplier structure is strongly DISASSORTATIVE (hubs
+    // attach to leaves), and the number says how strongly; decimal
+    // sums, one sqrt at 4 dp, operation-identical on both engines
+    "q_assortativity" -> ((s, dir) =>
+      graft.operators.Graph.degreeAssortativity(
+        s.table(gwedgesTable(s, dir)).select(col("src"), col("dst")))),
+
     // §2.67u — degree-distribution histogram over the TRADE graph: per
     // log2-degree bucket (exact bit-length log, never float log2) the
     // node count, degree range, and edge/weight mass — the power-law
@@ -7504,6 +7535,74 @@ object SparkEntry {
         |  CASE WHEN prev > 0 THEN ((cents - prev) * 10000) // prev
         |  END AS dev_bp
         |FROM rec ORDER BY g, day""".stripMargin,
+
+    // Pearson-on-2x-average-ranks replayed: per-variable histogram
+    // ranks, HUGEINT sums, the same single-division-single-sqrt tail
+    "q_spearman" ->
+      """WITH pairs AS (
+        |  SELECT CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x,
+        |    CAST(coalesce(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)), 0) AS BIGINT) AS y
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey, 1),
+        |hx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM pairs GROUP BY 1),
+        |rx AS (SELECT x,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY x ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |      + t + 1 AS BIGINT) AS r2x
+        |  FROM hx),
+        |hy AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM pairs GROUP BY 1),
+        |ry AS (SELECT y,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY y ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |      + t + 1 AS BIGINT) AS r2y
+        |  FROM hy),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+        |    sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+        |    sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+        |  FROM pairs JOIN rx USING (x) JOIN ry USING (y))
+        |SELECT n AS n_entities,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 END AS rho_r
+        |FROM a""".stripMargin,
+
+    // Newman assortativity replayed: per-src degrees joined onto both
+    // endpoints, HUGEINT sums, the same Pearson tail
+    "q_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+        |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |es AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |  FROM es GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    sum(CAST(dx.d AS HUGEINT)) AS sx, sum(CAST(dy.d AS HUGEINT)) AS sy,
+        |    sum(CAST(dx.d AS HUGEINT) * dx.d) AS sxx,
+        |    sum(CAST(dy.d AS HUGEINT) * dy.d) AS syy,
+        |    sum(CAST(dx.d AS HUGEINT) * dy.d) AS sxy
+        |  FROM es
+        |  JOIN deg dx ON es.src = dx.src
+        |  JOIN deg dy ON es.dst = dy.src)
+        |SELECT nn.n_nodes, a.m AS n_edges_directed,
+        |  CASE WHEN a.m * a.sxx - a.sx * a.sx > 0
+        |    AND a.m * a.syy - a.sy * a.sy > 0 THEN
+        |    floor(CAST(a.m * a.sxy - a.sx * a.sy AS DOUBLE)
+        |      / sqrt(CAST(a.m * a.sxx - a.sx * a.sx AS DOUBLE)
+        |        * CAST(a.m * a.syy - a.sy * a.sy AS DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 END AS r_4dp
+        |FROM a CROSS JOIN nn""".stripMargin,
 
     // the rank-sum Gini identity replayed in HUGEINT (the Spark side's
     // decimal(38,0)); same deterministic (cents, entity) tie order

@@ -951,6 +951,51 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** Spearman rank correlation — the MONOTONE-association member of
+    * the test family ([[independenceTest]] asks "associated at all?"
+    * for categories; this asks "does y rise with x?" for ordered
+    * metrics, robust to outliers and any monotone transform —
+    * the do-richer-customers-buy-more / does-doc-length-track-quality
+    * question). Tie-corrected by construction: computed as PEARSON ON
+    * AVERAGE RANKS, with ranks in 2× units so tied averages stay
+    * integral — a value with `t` ties and `cb` predecessors has
+    * 2·rank = 2·cb + t + 1 exactly. All sums accumulate in
+    * decimal(38,0) (n·Σr² bounds exactness at n ≲ 10⁹ entities —
+    * documented); the only floating steps are one division and one
+    * IEEE sqrt at the very end, written operation-identically on both
+    * engines and published at 4 dp.
+    *
+    * Input: one row per entity with long columns `x` and `y`. Output:
+    * one row — n_entities, rho_r (NULL when either variable is
+    * constant: no ranking to correlate).
+    *
+    * Scale shape: each variable collapses to its bounded value
+    * histogram for the rank assignment (the scoreHistCum discipline);
+    * the two rank joins are histogram-sized; one aggregate ends it.
+    */
+  def spearman(pairsDf: DataFrame): DataFrame = {
+    def ranks(c: String): DataFrame = {
+      val hist = pairsDf.groupBy(col(c)).agg(count(lit(1)).as("t"))
+      val below = Window.orderBy(col(c).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("cb", coalesce(sum(col("t")).over(below), lit(0L)))
+        .select(col(c), (col("cb") * 2 + col("t") + 1).as(s"r2$c"))
+    }
+    pairsDf.join(ranks("x"), "x").join(ranks("y"), "y")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+        sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2x")).as("sxx"),
+        sum(col("r2y").cast("decimal(38,0)") * col("r2y")).as("syy"),
+        sum(col("r2x").cast("decimal(38,0)") * col("r2y")).as("sxy"))
+      .select(col("n").as("n_entities"),
+        when(expr("n * sxx - sx * sx") > 0 && expr("n * syy - sy * sy") > 0,
+          expr("""CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0""")).as("rho_r"))
+  }
+
   /** Pearson χ² independence test over a two-way contingency table —
     * the categorical-association member of the test family (srmCheck
     * asks "did the SPLITTER break", this asks "are these two columns

@@ -321,6 +321,43 @@ object Graph {
       .orderBy(col("seed"))
   }
 
+  /** Degree assortativity (Newman 2002) — the one-number companion of
+    * [[degreeHistogram]]: do hubs attach to hubs (assortative, r > 0 —
+    * social graphs) or to leaves (disassortative, r < 0 — bipartite
+    * trade, the web)? Computed as the Pearson correlation of
+    * (deg(src), deg(dst)) over the DIRECTED edge list (each undirected
+    * edge contributes both orientations, the standard symmetrization).
+    * All sums accumulate in decimal(38,0); one division and one IEEE
+    * sqrt at the end, written operation-identically on both engines,
+    * published at 4 dp. NULL r on a degree-regular graph (zero
+    * variance — no mixing to measure).
+    *
+    * Scale shape: one per-src degree count (in-place on the bucketed
+    * table), two histogram-sized degree joins back onto the edges, one
+    * aggregate. Output: one row (n_nodes, n_edges_directed, r_4dp).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // node-sized, three consumers
+    val e = edges
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    val nNodes = deg.count()
+    e.agg(count(lit(1)).as("m"),
+      sum(col("dx").cast("decimal(38,0)")).as("sx"),
+      sum(col("dy").cast("decimal(38,0)")).as("sy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+      sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"),
+      sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
+      .select(lit(nNodes).as("n_nodes"),
+        col("m").as("n_edges_directed"),
+        when(expr("m * sxx - sx * sx") > 0 && expr("m * syy - sy * sy") > 0,
+          expr("""CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+              * CAST(m * syy - sy * sy AS DOUBLE))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0""")).as("r_4dp"))
+  }
+
   /** Widest-path (maximin bottleneck) capacities from a seed panel —
     * the WEIGHTED-traversal member of the graph family (BFS counts
     * hops, harmonic ranks closeness; this answers "how STRONG is the

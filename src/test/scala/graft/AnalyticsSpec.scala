@@ -555,6 +555,25 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("spearman: monotone = 1, anti-monotone = -1, hand-computed tie " +
+      "correction, constant variable yields NULL") {
+    val mono = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L), (5L, 25L))
+      .toDF("x", "y")
+    assert(Analytics.spearman(mono).collect().head
+      .getAs[Double]("rho_r") == 1.0)
+    val anti = (1 to 5).map(i => (i.toLong, -i.toLong)).toDF("x", "y")
+    assert(Analytics.spearman(anti).collect().head
+      .getAs[Double]("rho_r") == -1.0)
+    // ties on x: 2x-ranks x = (3,3,6), y = (2,4,6) ->
+    // rho = 18/sqrt(18*24) = 0.8660 (the tie-corrected value)
+    val tied = Seq((1L, 3L), (1L, 4L), (2L, 5L)).toDF("x", "y")
+    assert(Analytics.spearman(tied).collect().head
+      .getAs[Double]("rho_r") == 0.8660)
+    val const = Seq((7L, 1L), (7L, 2L)).toDF("x", "y")
+    val c = Analytics.spearman(const).collect().head
+    assert(c.isNullAt(c.fieldIndex("rho_r")))
+  }
+
   test("mannWhitney: separated arms flag significant with the exact U, " +
       "a null split does not, one-bin data yields NULL z") {
     // fully separated: every positive (100..149) above every negative

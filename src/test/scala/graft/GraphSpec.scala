@@ -265,6 +265,21 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_plan_edges")
   }
 
+  test("degreeAssortativity: a star is perfectly disassortative, a " +
+      "regular cycle has no mixing to measure") {
+    val starPairs = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val star = (starPairs ++ starPairs.map(_.swap)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).collect().head
+    assert(s.getAs[Long]("n_nodes") == 4L)
+    assert(s.getAs[Long]("n_edges_directed") == 6L)
+    assert(s.getAs[Double]("r_4dp") == -1.0)
+    // 3-cycle: every degree 2 -> zero variance -> NULL, not NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val c = Graph.degreeAssortativity(
+      (cyc ++ cyc.map(_.swap)).toDF("src", "dst")).collect().head
+    assert(c.isNullAt(c.fieldIndex("r_4dp")))
+  }
+
   test("widestPaths: maximin capacities hand-computed, the weak direct " +
       "edge loses to the strong detour, deterministic ties, topK trims") {
     // 1-2 w=10, 2-3 w=3, 1-3 w=1 (weak direct), 3-4 w=8
