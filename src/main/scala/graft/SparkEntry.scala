@@ -3060,6 +3060,15 @@ object SparkEntry {
     "q_srm_check" -> ((s, dir) =>
       Analytics.srmCheck(Tables.events(s, dir), "user_id")),
 
+    // §2.58l — per-arm conversion rates with Wilson 95% score intervals
+    // (the interval the readout quotes next to the point rate — stays
+    // inside [0,1] and behaves at k=0/k=n where Wald breaks): the bound
+    // expression is ONE shared SQL string evaluated verbatim by BOTH
+    // engines, so they cannot round differently by construction
+    "q_wilson" -> ((s, dir) =>
+      Analytics.wilsonRates(Tables.events(s, dir), "user_id",
+        col("event_type") === "purchase")),
+
     // §2.58j — Mann–Whitney U test between the two hash-split arms on
     // the per-event value metric: the NONPARAMETRIC location test next
     // to the SRM count checks — exact integer U (2× units) and tie term
@@ -7326,6 +7335,31 @@ object SparkEntry {
         |GROUP BY dly.t ORDER BY dly.t""".stripMargin,
 
     // the same fold assignment, integer chi-square, inlined critical value
+    // the SAME wilsonBound strings the Spark side evaluates — one
+    // definition, two engines
+    "q_wilson" ->
+      s"""WITH u AS (
+         |  SELECT user_id AS u,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS conv
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('ab:' || CAST(u AS VARCHAR), ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+         |      AS variant,
+         |    conv
+         |  FROM u),
+         |g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(conv) AS BIGINT) AS k
+         |  FROM a GROUP BY 1)
+         |SELECT variant, n AS n_users, k AS converters,
+         |  (k * 10000) // n AS rate_bp,
+         |  ${Analytics.wilsonBound(-1)} AS lo_r,
+         |  ${Analytics.wilsonBound(+1)} AS hi_r
+         |FROM g ORDER BY variant""".stripMargin,
+
     // same histogram rank-sum frame as the nb_auc oracle, tie term in
     // HUGEINT, the z written operation-identically and rounded before
     // the verdict

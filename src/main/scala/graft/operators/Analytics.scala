@@ -951,6 +951,58 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** The Wilson 95% score-interval bound over BIGINT columns (n, k) as
+    * a SQL string legal in BOTH Spark SQL and DuckDB — ONE definition
+    * consumed verbatim by the operator's expr() and the oracle's SQL,
+    * so the two engines cannot round differently by construction
+    * (every literal is CAST to DOUBLE first: bare 1.96 parses as
+    * DECIMAL in both parsers and the decimal→double promotion ORDER
+    * could differ; the outer CAST keeps the published column DOUBLE —
+    * the q_mannwhitney lesson). `sign` = −1 for the lower bound, +1
+    * for the upper. */
+  private[graft] def wilsonBound(sign: Int): String = {
+    val z = "CAST(1.96 AS DOUBLE)"
+    val n = "CAST(n AS DOUBLE)"
+    val p = s"(CAST(k AS DOUBLE) / $n)"
+    val op = if (sign < 0) "-" else "+"
+    s"""CAST(floor((($p + $z * $z / (2.0 * $n))
+       |    / (1.0 + $z * $z / $n)
+       |  $op $z * sqrt($p * (1.0 - $p) / $n
+       |      + $z * $z / (4.0 * $n * $n))
+       |    / (1.0 + $z * $z / $n))
+       |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin
+  }
+
+  /** Per-arm conversion rates with Wilson 95% score intervals — the
+    * interval the experimentation readout actually quotes next to the
+    * point rate (Wilson 1927; unlike the Wald interval it stays inside
+    * [0, 1] and behaves at k = 0 / k = n, which real arms hit): per
+    * hash-split arm the distinct-user count, converters (users with at
+    * least one row satisfying `converted`), the exact rate in bp, and
+    * the 4-dp interval bounds. The bound expression is ONE shared
+    * string ([[wilsonBound]]) evaluated by both engines.
+    *
+    * Scale shape: one distinct-user aggregate (map-side combined), two
+    * bounded rows after it; nothing else moves.
+    */
+  def wilsonRates(events: DataFrame, userCol: String,
+      converted: Column): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    events.where(col(userCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("conv"))
+      .select(pmod(rollingHash(concat(lit("ab:"), col("u").cast("string"))),
+        lit(2)).as("variant"), col("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+      .select(col("variant").cast("long").as("variant"),
+        col("n").as("n_users"), col("k").as("converters"),
+        expr("k * 10000 DIV n").as("rate_bp"),
+        expr(wilsonBound(-1)).as("lo_r"),
+        expr(wilsonBound(+1)).as("hi_r"))
+      .orderBy(col("variant"))
+  }
+
   /** Spearman rank correlation — the MONOTONE-association member of
     * the test family ([[independenceTest]] asks "associated at all?"
     * for categories; this asks "does y rise with x?" for ordered

@@ -555,6 +555,37 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("wilsonRates: bounds bracket the rate, all-converters hits " +
+      "exactly 1.0, no-converters hits exactly 0.0") {
+    val mixed = (1 to 400).map(i =>
+      (i.toLong, if (i % 5 == 0) "purchase" else "view"))
+      .toDF("user_id", "event_type")
+    val out = Analytics.wilsonRates(mixed, "user_id",
+      col("event_type") === "purchase").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val rate = r.getAs[Long]("rate_bp").toDouble / 10000.0
+      assert(r.getAs[Double]("lo_r") < rate && rate < r.getAs[Double]("hi_r"))
+      assert(r.getAs[Double]("lo_r") >= 0.0 && r.getAs[Double]("hi_r") <= 1.0)
+    }
+    // k = n: the Wilson upper bound is exactly 1 (Wald would exceed it)
+    val all = (1 to 50).map(i => (i.toLong, "purchase"))
+      .toDF("user_id", "event_type")
+    Analytics.wilsonRates(all, "user_id", col("event_type") === "purchase")
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("hi_r") == 1.0)
+        assert(r.getAs[Double]("lo_r") < 1.0)
+      }
+    // k = 0: the lower bound is exactly 0
+    val none = (1 to 50).map(i => (i.toLong, "view"))
+      .toDF("user_id", "event_type")
+    Analytics.wilsonRates(none, "user_id", col("event_type") === "purchase")
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("lo_r") == 0.0)
+        assert(r.getAs[Double]("hi_r") > 0.0)
+      }
+  }
+
   test("spearman: monotone = 1, anti-monotone = -1, hand-computed tie " +
       "correction, constant variable yields NULL") {
     val mono = Seq((1L, 1L), (2L, 4L), (3L, 9L), (4L, 16L), (5L, 25L))
