@@ -2716,6 +2716,19 @@ object SparkEntry {
     // DEGREE-ordered orientation (Schank–Wagner O(m^{3/2}) wedge bound —
     // a power-law hub no longer sources its whole edge list); the census
     // is orientation-invariant, so the id-ordered oracle certifies it
+    // §2.67y — HyperANF neighborhood function + effective diameter over
+    // the trade graph (Boldi–Vigna–Rosa 2011 — THE distance-structure
+    // algorithm for graphs too big for all-pairs BFS): every node
+    // carries a 16-register HLL of its ball, one max-merge round along
+    // the in-place bucketed edge scan grows every radius by one;
+    // per-node estimates quantize to cents BEFORE the cross-node sum
+    // (order-independent), the curve row reaching 90% coverage IS the
+    // effective-diameter estimate
+    "q_hyperanf" -> ((s, dir) =>
+      graft.operators.Graph.hyperAnf(
+        s.table(gwedgesTable(s, dir)).select(col("src"), col("dst")),
+        maxT = 4)),
+
     // §2.67x — degree assortativity over the trade graph (Newman 2002,
     // the one-number companion of q_degree_hist): Pearson correlation
     // of endpoint degrees over directed edges — the bipartite
@@ -7606,6 +7619,72 @@ object SparkEntry {
         |        * CAST(n * syy - sy * sy AS DOUBLE))
         |      * 10000.0 + 0.5) / 10000.0 END AS rho_r
         |FROM a""".stripMargin,
+
+    // 4 unrolled register max-merge rounds + 5 per-round estimate
+    // blocks with the SAME inlined alpha-constant double and cents
+    // quantization; max-merge converged tails replay as no-ops
+    "q_hyperanf" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val c = graft.operators.Graph.anfC
+      def nfK(src: String, t: Int) =
+        s"""nf$t AS (
+           |  SELECT CAST($t AS BIGINT) AS t,
+           |    CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(sum(cents) AS BIGINT) AS nf_cents
+           |  FROM (
+           |    SELECT CAST(floor((CASE
+           |        WHEN CAST('$c' AS DOUBLE)
+           |            / CAST(sp + (16 - npres) * 562949953421312 AS DOUBLE)
+           |            <= 40.0
+           |          AND 16 - npres > 0
+           |        THEN 16.0 * ln(16.0 / CAST(16 - npres AS DOUBLE))
+           |        ELSE CAST('$c' AS DOUBLE)
+           |          / CAST(sp + (16 - npres) * 562949953421312 AS DOUBLE)
+           |        END) * 100.0 + 0.5) AS BIGINT) AS cents
+           |    FROM (
+           |      SELECT node, CAST(count(*) AS BIGINT) AS npres,
+           |        CAST(sum(CAST(1 AS BIGINT) << CAST(49 - rho AS INT))
+           |          AS BIGINT) AS sp
+           |      FROM $src GROUP BY node)))""".stripMargin
+      val rounds = (1 to 4).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT node, idx, max(rho) AS rho FROM (
+           |    SELECT node, idx, rho FROM r${t - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, r.idx, r.rho
+           |    FROM es e JOIN r${t - 1} r ON e.src = r.node)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val nfs = (0 to 4).map(t => nfK(s"r$t", t)).mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's:' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  GROUP BY 1, 2),
+         |es AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |n0 AS (SELECT DISTINCT src AS node FROM es),
+         |h AS (SELECT node, ${md5bits("'hll:' || node")} AS hc FROM n0),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, hc % 16 AS idx,
+         |    CASE WHEN hc // 16 = 0 THEN 49
+         |         ELSE 49 - length(bin(hc // 16)) END AS rho
+         |  FROM h),
+         |$rounds,
+         |$nfs,
+         |curve AS (SELECT * FROM nf0 UNION ALL SELECT * FROM nf1
+         |  UNION ALL SELECT * FROM nf2 UNION ALL SELECT * FROM nf3
+         |  UNION ALL SELECT * FROM nf4),
+         |lastr AS (SELECT nf_cents AS nf_last FROM curve WHERE t = 4)
+         |SELECT c.t, c.n_nodes, c.nf_cents,
+         |  (c.nf_cents * 10000) // l.nf_last AS coverage_bp,
+         |  c.nf_cents * 10 >= l.nf_last * 9 AS reaches_90pct
+         |FROM curve c CROSS JOIN lastr l ORDER BY c.t""".stripMargin
+    },
 
     // Newman assortativity replayed: per-src degrees joined onto both
     // endpoints, HUGEINT sums, the same Pearson tail

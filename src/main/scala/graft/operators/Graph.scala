@@ -321,6 +321,86 @@ object Graph {
       .orderBy(col("seed"))
   }
 
+  /** alpha_16 · 16² · 2⁴⁹ — the HyperANF estimate constant for the
+    * 16-register per-node sketches, one double so the oracle inlines
+    * the identical IEEE value via its decimal string (the Approx.hllC
+    * discipline). alpha_16 = 0.673, Flajolet's published small-m
+    * constant. */
+  private[graft] val anfC: Double = 0.673 * 256.0 * 562949953421312.0
+
+  /** HyperANF (Boldi–Vigna–Rosa 2011) — the neighborhood function and
+    * effective diameter, THE way to measure distance structure on a
+    * graph too large for all-pairs BFS: every node carries a tiny HLL
+    * sketch of its ball, and one round of per-register max-merge along
+    * edges advances every ball's radius by one — N(t) = Σ_v |ball(v,t)|
+    * estimated for ALL nodes in t rounds of linear work, where exact
+    * N(t) is O(V·E). The registered sketch is m = 16 registers per node
+    * (b = 4, the paper's small end — ~26% per-node error, but the CURVE
+    * sums 10⁴+ per-node estimates whose errors partially cancel;
+    * production raises b, the machinery is m-generic). Registers are
+    * the engine's standard portable HLL cells (52-bit salted md5,
+    * idx = hc mod 16, rho over the 48-bit field), per-node estimates
+    * use the standard bias constant + linear-counting small-range
+    * branch and are quantized to integer CENTS before the cross-node
+    * sum (order-independent — a raw double sum over nodes would be
+    * partition-order dependent).
+    *
+    * Output: one row per t in 0..maxT — n_nodes, nf_cents (100× the
+    * estimated N(t)), coverage_bp vs the last round, and reaches_90pct
+    * (the first true row IS the effective-diameter estimate at the
+    * cap). Max-merge is idempotent/commutative, so every round is
+    * hash-exact on any engine or partitioning.
+    *
+    * Scale shape: state is O(V·m) register rows; each round is one
+    * join of the register file against the edge list (in-place scan
+    * when `edges` is the bucketed table) + an order-free max — never a
+    * frontier set, never per-pair state.
+    */
+  def hyperAnf(edges: DataFrame, maxT: Int = 4): DataFrame = {
+    require(maxT >= 1, s"maxT must be >= 1, got $maxT")
+    val untouched = 562949953421312L // 2^49
+    val hc = conv(substring(md5(concat(lit("hll:"),
+      col("node").cast("string"))), 1, 13), 16, 10).cast("long")
+    var reg = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), hc.as("hc"))
+      .select(col("node"), pmod(col("hc"), lit(16L)).as("idx"),
+        when(expr("hc DIV 16") === 0L, lit(49))
+          .otherwise(lit(49) - length(bin(expr("hc DIV 16")))).as("rho"))
+      .localCheckpoint()
+    def nfRow(r: DataFrame, t: Int): DataFrame = r
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("npres"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - rho)")).as("sp"))
+      .select(
+        expr(s"""CAST(floor((CASE
+          WHEN CAST('$anfC' AS DOUBLE)
+              / CAST(sp + (16 - npres) * ${untouched}L AS DOUBLE) <= 40.0
+            AND 16 - npres > 0
+          THEN 16.0 * ln(16.0 / CAST(16 - npres AS DOUBLE))
+          ELSE CAST('$anfC' AS DOUBLE)
+            / CAST(sp + (16 - npres) * ${untouched}L AS DOUBLE)
+          END) * 100.0 + 0.5) AS BIGINT)""").as("cents"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("cents")).as("nf_cents"))
+      .select(lit(t.toLong).as("t"), col("n_nodes"), col("nf_cents"))
+    var out = nfRow(reg, 0)
+    for (t <- 1 to maxT) {
+      reg = reg.unionByName(
+        edges.select(col("src"), col("dst"))
+          .join(reg, edges("src") === reg("node"))
+          .select(col("dst").as("node"), col("idx"), col("rho")))
+        .groupBy(col("node"), col("idx")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint()
+      out = out.unionByName(nfRow(reg, t))
+    }
+    val last = out.where(col("t") === maxT)
+      .select(col("nf_cents").as("nf_last"))
+    out.crossJoin(broadcast(last))
+      .select(col("t"), col("n_nodes"), col("nf_cents"),
+        expr("nf_cents * 10000 DIV nf_last").as("coverage_bp"),
+        (col("nf_cents") * 10 >= col("nf_last") * 9).as("reaches_90pct"))
+      .orderBy(col("t"))
+  }
+
   /** Degree assortativity (Newman 2002) — the one-number companion of
     * [[degreeHistogram]]: do hubs attach to hubs (assortative, r > 0 —
     * social graphs) or to leaves (disassortative, r < 0 — bipartite

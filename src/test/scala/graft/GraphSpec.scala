@@ -265,6 +265,31 @@ class GraphSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS t_plan_edges")
   }
 
+  test("hyperAnf: monotone curve, full coverage at the horizon, exact " +
+      "linear-counting value on the single-edge graph") {
+    // path 1-2-3-4-5: balls keep growing through t=4
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val path = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val out = Graph.hyperAnf(path, maxT = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(out.size == 5)
+    assert(out.values.forall(_._1 == 5L))
+    // monotone: max-merge can only grow the ball
+    (1 to 4).foreach(t => assert(out(t.toLong)._2 >= out(t - 1L)._2))
+    assert(out(4L)._3 == 10000L && out(4L)._4)
+    // single edge: both balls at t>=1 hold exactly 2 nodes; with one or
+    // two present registers of 16, the small-range branch fires and the
+    // estimate is pure linear counting — hand-computable up to register
+    // collision: 16*ln(16/14) = 2.1373 (distinct cells) or
+    // 16*ln(16/15) = 1.0323 (collision); cents are exactly one of them
+    val one = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val o1 = Graph.hyperAnf(one, maxT = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o1(1L) == 2 * 214L || o1(1L) == 2 * 103L,
+      s"unexpected single-edge estimate ${o1(1L)}")
+  }
+
   test("degreeAssortativity: a star is perfectly disassortative, a " +
       "regular cycle has no mixing to measure") {
     val starPairs = Seq((1L, 2L), (1L, 3L), (1L, 4L))
