@@ -3138,6 +3138,18 @@ object SparkEntry {
         "event_type", "ts", "value",
         p1Start = "2024-01-08", p2Start = "2024-01-15", p2EndExcl = "2024-01-22")),
 
+    // §2.58m — Population Stability Index between the first-half
+    // reference window and the rest: value distributions over 10
+    // quantile buckets cut at the REFERENCE period's exact rank
+    // statistics, +1 Laplace smoothing both sides (an empty current
+    // bucket is the signal, not a div-by-zero), per-bucket terms in
+    // integer micro-nats before the order-independent sum — the drift
+    // monitor every serving platform runs (>0.1 investigate, >0.25
+    // retrain, by convention)
+    "q_psi" -> ((s, dir) =>
+      Analytics.psiDrift(Tables.events(s, dir), "value", "ts",
+        refEndExcl = "2024-01-16", nBuckets = 10)),
+
     // §2.64 — error-burst detection: hourly error rate vs the trailing
     // 6-hour mean, cross-multiplied (no division) burst test
     "q_error_burst" -> ((s, dir) =>
@@ -7808,6 +7820,62 @@ object SparkEntry {
         |  max(z) AS z_max, count(DISTINCT zx) AS n_x,
         |  count(DISTINCT zy) AS n_y
         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    // the same reference-rank cuts, +1 smoothing, and micro-nat term
+    // quantization; bucket spine from range() so empty buckets price in
+    "q_psi" -> {
+      val term =
+        """CAST(floor(((CAST(ref_n + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+          |  - CAST(cur_n + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+          |  * ln((CAST(ref_n + 1 AS DOUBLE) * CAST(tc + 10 AS DOUBLE))
+          |      / (CAST(cur_n + 1 AS DOUBLE) * CAST(tr + 10 AS DOUBLE))))
+          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+      s"""WITH rowsv AS (
+         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    ts < TIMESTAMP '2024-01-16' AS is_ref
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+         |hist AS (SELECT v, is_ref, CAST(count(*) AS BIGINT) AS c
+         |  FROM rowsv GROUP BY 1, 2),
+         |rc AS (SELECT v, c,
+         |    CAST(coalesce(sum(c) OVER (ORDER BY v ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb
+         |  FROM hist WHERE is_ref),
+         |rt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS nr FROM rc),
+         |cuts AS (
+         |  SELECT k.k,
+         |    min(CASE WHEN (rc.cb + rc.c) * 10 >= k.k * rt.nr
+         |      THEN rc.v END) AS cut_v
+         |  FROM rc CROSS JOIN rt, range(1, 10) AS k(k) GROUP BY 1),
+         |bk AS (
+         |  SELECT h.v, h.is_ref, h.c, CAST(count(cu.k) AS BIGINT) AS bucket
+         |  FROM hist h LEFT JOIN cuts cu ON h.v >= cu.cut_v
+         |  GROUP BY 1, 2, 3),
+         |bg AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN is_ref THEN c ELSE 0 END) AS BIGINT)
+         |      AS ref_n,
+         |    CAST(sum(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS BIGINT)
+         |      AS cur_n
+         |  FROM bk GROUP BY 1),
+         |tot AS (SELECT CAST(coalesce(sum(ref_n), 0) AS BIGINT) AS tr,
+         |    CAST(coalesce(sum(cur_n), 0) AS BIGINT) AS tc FROM bg),
+         |sp AS (SELECT CAST(g.g AS BIGINT) AS bucket
+         |  FROM range(0, 10) AS g(g)),
+         |fullb AS (
+         |  SELECT sp.bucket, coalesce(bg.ref_n, 0) AS ref_n,
+         |    coalesce(bg.cur_n, 0) AS cur_n, t.tr, t.tc
+         |  FROM sp LEFT JOIN bg USING (bucket) CROSS JOIN tot t),
+         |r2 AS (
+         |  SELECT f.bucket, cu.cut_v AS lo_cut, f.ref_n, f.cur_n,
+         |    CASE WHEN tr > 0 THEN (ref_n * 10000) // tr END AS ref_bp,
+         |    CASE WHEN tc > 0 THEN (cur_n * 10000) // tc END AS cur_bp,
+         |    $term AS term_micro
+         |  FROM fullb f LEFT JOIN cuts cu ON cu.k = f.bucket),
+         |tt AS (SELECT CAST(sum(term_micro) AS BIGINT) AS psi_micro FROM r2)
+         |SELECT r2.bucket, r2.lo_cut, r2.ref_n, r2.cur_n, r2.ref_bp,
+         |  r2.cur_bp, r2.term_micro, tt.psi_micro
+         |FROM r2 CROSS JOIN tt ORDER BY r2.bucket""".stripMargin
     },
 
     "q_period_movers" ->

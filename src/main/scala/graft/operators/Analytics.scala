@@ -951,6 +951,87 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** Population Stability Index — the distribution-drift monitor every
+    * ML-serving platform runs between a reference window and the
+    * current one (PSI = Σ_buckets (p−q)·ln(p/q), the symmetrized-KL
+    * shape credit scoring standardized; >0.1 = investigate, >0.25 =
+    * retrain, by convention): value distributions are compared over
+    * `nBuckets` quantile buckets whose cuts are EXACT rank statistics
+    * of the REFERENCE period (value at rank ceil(k·N/n) — the
+    * ppl_buckets rule, never percentile lerp), so the bucketing
+    * replays bit-for-bit; per-bucket counts get +1 Laplace smoothing
+    * on BOTH sides (an empty current bucket is exactly the signal PSI
+    * must price, not a division by zero — documented standard
+    * practice), each term is quantized to integer micro-nats BEFORE
+    * the sum (the corpus-divergence discipline), and the ln is written
+    * operation-identically on both engines.
+    *
+    * Output: one row per bucket — bucket id, the cut value opening it
+    * (NULL for the first), raw ref/cur counts and shares in bp, the
+    * term in micro-nats, and the total psi_micro riding on every row.
+    *
+    * Scale shape: one aggregate to the bounded (cents, side)
+    * histogram; cuts, bucketing, smoothing, and the total all run on
+    * bounded frames.
+    */
+  def psiDrift(events: DataFrame, valueCol: String, tsCol: String,
+      refEndExcl: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val hist = events
+      .where(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(cents.as("v"), (col(tsCol) < lit(refEndExcl)).as("is_ref"))
+      .groupBy(col("v"), col("is_ref")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded (cents, side) histogram, 3 consumers
+    val below = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val refCum = hist.where(col("is_ref"))
+      .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+    val refTot = refCum.agg(coalesce(sum(col("c")), lit(0L)).as("nr"))
+    val ks = explode(array((1 until nBuckets).map(k => lit(k)): _*)).as("k")
+    val cuts = refCum.crossJoin(broadcast(refTot))
+      .select(col("v"), (col("cb") + col("c")).as("ct"), col("nr"), ks)
+      .groupBy(col("k"))
+      .agg(min(when(col("ct") * nBuckets >= col("k") * col("nr"),
+        col("v"))).as("cut_v"))
+      .localCheckpoint() // <= nBuckets-1 rows, two consumers
+    // bucket of a histogram value = how many cuts it has passed
+    val bucketed = hist.join(broadcast(cuts), col("v") >= col("cut_v"),
+      "left")
+      .groupBy(col("v"), col("is_ref"), col("c"))
+      .agg(count(col("k")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_ref"), col("c")).otherwise(0L)).as("ref_n"),
+        sum(when(!col("is_ref"), col("c")).otherwise(0L)).as("cur_n"))
+    // every bucket 0..nBuckets-1 exists even when both sides are empty
+    // there (the spine) — smoothing then prices it symmetrically
+    val spine = events.sparkSession.range(nBuckets)
+      .select(col("id").as("bucket"))
+    val full = spine.join(bucketed, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+      .crossJoin(broadcast(
+        bucketed.agg(coalesce(sum(col("ref_n")), lit(0L)).as("tr"),
+          coalesce(sum(col("cur_n")), lit(0L)).as("tc"))))
+    val term =
+      s"""CAST(floor(((CAST(ref_n + 1 AS DOUBLE) / CAST(tr + $nBuckets AS DOUBLE)
+         |  - CAST(cur_n + 1 AS DOUBLE) / CAST(tc + $nBuckets AS DOUBLE))
+         |  * ln((CAST(ref_n + 1 AS DOUBLE) * CAST(tc + $nBuckets AS DOUBLE))
+         |      / (CAST(cur_n + 1 AS DOUBLE) * CAST(tr + $nBuckets AS DOUBLE))))
+         |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    val rows = full
+      .join(broadcast(cuts.select(col("k").cast("long").as("bucket"),
+        col("cut_v"))), Seq("bucket"), "left")
+      .select(col("bucket"), col("cut_v").as("lo_cut"),
+        col("ref_n"), col("cur_n"),
+        when(col("tr") > 0, expr("ref_n * 10000 DIV tr")).as("ref_bp"),
+        when(col("tc") > 0, expr("cur_n * 10000 DIV tc")).as("cur_bp"),
+        expr(term).as("term_micro"))
+      .localCheckpoint() // nBuckets rows, feeds itself + the total
+    rows.crossJoin(broadcast(
+      rows.agg(sum(col("term_micro")).as("psi_micro"))))
+      .orderBy(col("bucket"))
+  }
+
   /** The Wilson 95% score-interval bound over BIGINT columns (n, k) as
     * a SQL string legal in BOTH Spark SQL and DuckDB — ONE definition
     * consumed verbatim by the operator's expr() and the oracle's SQL,

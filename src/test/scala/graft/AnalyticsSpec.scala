@@ -555,6 +555,32 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("psiDrift: identical windows score exactly 0, a full shift " +
+      "breaches the retrain threshold with empty buckets priced in") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ref = (1 to 100).map(i => (ts("2024-01-05 00:00:00"), i.toDouble))
+    // identical current window: p = q in every bucket -> every term is
+    // exactly 0 (no smoothing asymmetry when counts match)
+    val same = ref ++ (1 to 100).map(i =>
+      (ts("2024-01-20 00:00:00"), i.toDouble))
+    val s = Analytics.psiDrift(same.toDF("ts", "value"), "value", "ts",
+      refEndExcl = "2024-01-16", nBuckets = 10).collect()
+    assert(s.length == 10)
+    assert(s.forall(_.getAs[Long]("term_micro") == 0L))
+    assert(s.forall(_.getAs[Long]("psi_micro") == 0L))
+    // full shift: every current value beyond the reference's last cut —
+    // nine emptied buckets each contribute a positive smoothed term
+    val shifted = ref ++ (1 to 100).map(_ =>
+      (ts("2024-01-20 00:00:00"), 1000.0))
+    val d = Analytics.psiDrift(shifted.toDF("ts", "value"), "value", "ts",
+      refEndExcl = "2024-01-16", nBuckets = 10).collect()
+    assert(d.forall(_.getAs[Long]("psi_micro") > 250000L),
+      "a wholesale shift must breach the 0.25 retrain threshold")
+    assert(d.filter(_.getAs[Long]("bucket") < 9L)
+      .forall(_.getAs[Long]("term_micro") > 0L),
+      "emptied buckets must carry positive terms")
+  }
+
   test("wilsonRates: bounds bracket the rate, all-converters hits " +
       "exactly 1.0, no-converters hits exactly 0.0") {
     val mixed = (1 to 400).map(i =>
