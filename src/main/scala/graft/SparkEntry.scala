@@ -3082,6 +3082,25 @@ object SparkEntry {
       Analytics.wilsonRates(Tables.events(s, dir), "user_id",
         col("event_type") === "purchase")),
 
+    // §2.58n — Kruskal–Wallis H across 4 hash-split arms (the
+    // nonparametric one-way ANOVA, q_mannwhitney generalized and the
+    // rank twin of q_srm_narm's count test): 2×-unit average ranks off
+    // the bounded histogram, per-arm rank sums exact, the cross-arm
+    // statistic S = Σ(R2²DIV n_j) floored per arm before the
+    // order-independent sum, standard tie correction, verdict vs the
+    // df=3 95% critical value 7.8147
+    "q_kruskal" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      Analytics.kruskalWallis(Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          pmod(rollingHash(concat(lit("ab:"),
+            col("user_id").cast("string"))), lit(4)).cast("long").as("arm"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("score")),
+        critH = 7.8147)
+    }),
+
     // §2.58j — Mann–Whitney U test between the two hash-split arms on
     // the per-event value metric: the NONPARAMETRIC location test next
     // to the SRM count checks — exact integer U (2× units) and tie term
@@ -7360,6 +7379,57 @@ object SparkEntry {
         |GROUP BY dly.t ORDER BY dly.t""".stripMargin,
 
     // the same fold assignment, integer chi-square, inlined critical value
+    // 2x ranks + per-arm floored statistic terms + the same tie-
+    // corrected H expression; HUGEINT mirrors decimal(38,0)
+    "q_kruskal" ->
+      """WITH v AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 4 AS BIGINT)
+        |      AS arm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT score, arm, CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |hist AS (SELECT score, CAST(sum(c) AS BIGINT) AS t
+        |  FROM cells GROUP BY 1),
+        |ranks AS (
+        |  SELECT score,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |      + t + 1 AS BIGINT) AS r2
+        |  FROM hist),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_scores,
+        |    coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tt
+        |  FROM hist),
+        |arms AS (
+        |  SELECT arm, CAST(sum(c) AS BIGINT) AS n_arm,
+        |    CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2sum
+        |  FROM cells JOIN ranks USING (score) GROUP BY 1),
+        |hh AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_arms,
+        |    coalesce(sum((r2sum * r2sum) // n_arm), 0) AS s2
+        |  FROM arms),
+        |hz AS (
+        |  SELECT hh.n_arms,
+        |    CASE WHEN t.n_scores > 1 AND hh.n_arms > 1 THEN
+        |      floor((3.0 * CAST(hh.s2 AS DOUBLE)
+        |        / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+        |        - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+        |        / (1.0 - CAST(t.tt AS DOUBLE)
+        |          / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |            * CAST(t.n AS DOUBLE) - CAST(t.n AS DOUBLE)))
+        |        * 10000.0 + 0.5) / 10000.0 END AS h_r
+        |  FROM hh CROSS JOIN tie t)
+        |SELECT a.arm, a.n_arm, CAST(a.r2sum AS BIGINT) AS r2_sum,
+        |  hz.h_r, hz.n_arms - 1 AS df,
+        |  CASE WHEN hz.h_r IS NOT NULL THEN hz.h_r > 7.8147
+        |  END AS significant
+        |FROM arms a CROSS JOIN hz ORDER BY a.arm""".stripMargin,
+
     // the SAME wilsonBound strings the Spark side evaluates — one
     // definition, two engines
     "q_wilson" ->

@@ -951,6 +951,80 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** Kruskal–Wallis H — [[mannWhitney]] generalized past two arms (the
+    * nonparametric one-way ANOVA: does the metric's LOCATION differ
+    * across k variants?), the rank-test twin of [[srmCheckNArm]]'s
+    * count test. Average ranks in 2× units off the bounded score
+    * histogram (integral under ties, the spearman rule); per-arm rank
+    * sums and the cross-arm statistic accumulate exactly:
+    * S = Σ_j (R2_j² DIV n_j) is the operator's DEFINED statistic —
+    * each per-arm term floors to an exact integer before the
+    * order-independent sum (a raw double Σ R_j²/n_j would be
+    * arm-order dependent; the floor shifts H by < 3k/(n(n+1)),
+    * far below the 4-dp publication grid for any real n), then
+    *
+    *   H = (3·S/(n(n+1)) − 3(n+1)) / (1 − T/(n³ − n))
+    *
+    * with the standard tie correction T = Σ(t³−t), written
+    * operation-identically on both engines and published at 4 dp;
+    * the verdict compares the ROUNDED value to the caller's
+    * df-specific critical value (the srmCheckNArm contract). NULL H
+    * when every value ties (one histogram bin). n³ through doubles is
+    * exact below 2^53 — n ≲ 10⁵ per the tie term; past that the tie
+    * CORRECTION (not H) coarsens in ulps (documented).
+    *
+    * Output: one row per arm (arm, n_arm, r2_sum) with h_r, df, and
+    * the verdict riding along — ≤ k rows.
+    *
+    * Scale shape: one aggregate to the bounded (score, arm) cell
+    * frame; ranks, tie term, and the statistic all run on bounded
+    * frames.
+    */
+  def kruskalWallis(scored: DataFrame, critH: Double): DataFrame = {
+    val cells = scored.groupBy(col("score"), col("arm"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // bounded (score, arm) cells, two consumers
+    val hist = cells.groupBy(col("score")).agg(sum(col("c")).as("t"))
+      .localCheckpoint() // bounded histogram, two consumers
+    val below = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hist
+      .withColumn("cb", coalesce(sum(col("t")).over(below), lit(0L)))
+      .select(col("score"), (col("cb") * 2 + col("t") + 1).as("r2"))
+    val tie = hist.agg(
+      coalesce(sum(col("t")), lit(0L)).as("n"),
+      count(lit(1)).as("n_scores"),
+      coalesce(sum({
+        val t = col("t").cast("decimal(38,0)")
+        t * t * t - t
+      }), lit(0).cast("decimal(38,0)")).as("tt"))
+    val arms = cells.join(ranks, "score")
+      .groupBy(col("arm"))
+      .agg(sum(col("c")).as("n_arm"),
+        sum(col("c").cast("decimal(38,0)") * col("r2")).as("r2sum"))
+      .localCheckpoint() // k rows, two consumers
+    val h = arms
+      .agg(count(lit(1)).as("n_arms"),
+        coalesce(sum(expr("(r2sum * r2sum) DIV n_arm")),
+          lit(0).cast("decimal(38,0)")).as("s2"))
+      .crossJoin(broadcast(tie))
+      .select(col("n_arms"),
+        when(col("n_scores") > 1 && col("n_arms") > 1,
+          expr("""CAST(floor((3.0 * CAST(s2 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+            / (1.0 - CAST(tt AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)))
+            * 10000.0 + 0.5) AS DOUBLE) / 10000.0""")).as("h_r"))
+    arms.crossJoin(broadcast(h))
+      .select(col("arm"), col("n_arm"),
+        col("r2sum").cast("long").as("r2_sum"),
+        col("h_r"), (col("n_arms") - 1).as("df"),
+        when(col("h_r").isNotNull, col("h_r") > critH).as("significant"))
+      .orderBy(col("arm"))
+  }
+
   /** Population Stability Index — the distribution-drift monitor every
     * ML-serving platform runs between a reference window and the
     * current one (PSI = Σ_buckets (p−q)·ln(p/q), the symmetrized-KL

@@ -555,6 +555,30 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("kruskalWallis: hand-computed H on separated arms, identical " +
+      "arms stay insignificant, one-bin data yields NULL") {
+    // three fully separated arms, no ties: rank sums 55/155/255 ->
+    // H = 12/(30*31) * (55^2+155^2+255^2)/10 - 3*31 = 25.8065 exactly
+    val sep = ((1 to 10).map(v => (0L, v.toLong)) ++
+      (101 to 110).map(v => (1L, v.toLong)) ++
+      (201 to 210).map(v => (2L, v.toLong))).toDF("arm", "score")
+    val s = Analytics.kruskalWallis(sep, critH = 5.9915).collect()
+    assert(s.length == 3)
+    assert(s.forall(_.getAs[Double]("h_r") == 25.8065))
+    assert(s.forall(_.getAs[Boolean]("significant")))
+    assert(s.forall(_.getAs[Long]("df") == 2L))
+    // identical arms: every arm sees the same distribution
+    val same = (0 until 3).flatMap(a =>
+      (1 to 20).map(v => (a.toLong, v.toLong))).toDF("arm", "score")
+    val eq = Analytics.kruskalWallis(same, critH = 5.9915).collect()
+    assert(eq.forall(r => !r.getAs[Boolean]("significant")))
+    assert(math.abs(eq.head.getAs[Double]("h_r")) < 1.0)
+    // one histogram bin: zero variance -> NULL H
+    val flat = Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("arm", "score")
+    val f = Analytics.kruskalWallis(flat, critH = 5.9915).collect().head
+    assert(f.isNullAt(f.fieldIndex("h_r")))
+  }
+
   test("psiDrift: identical windows score exactly 0, a full shift " +
       "breaches the retrain threshold with empty buckets priced in") {
     val ts = java.sql.Timestamp.valueOf(_: String)
