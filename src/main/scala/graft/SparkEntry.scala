@@ -1188,6 +1188,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, k = 5)
     }),
 
+    // §2.21q — top principal component by power iteration (the
+    // training-side linear algebra of the embedding family): 6
+    // iterations of v <- A'Av from the fixed uniform start, every step
+    // order-proof by per-component integer quantization (nano-unit
+    // per-row dots, micro-unit update sums, 6-dp iterates) — the
+    // quantization IS the definition, so both engines replay
+    // bit-for-bit; Rayleigh eigenvalue + variance share vs the exact
+    // quantized trace ride on every component row
+    "q_pca" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir), dim = 64, iters = 6)),
+
     // §2.21h — JL sign random projection: 64 -> 8 dims as 8 native fdot
     // columns against plan-literal sign vectors derived from the portable
     // fold; scan-speed, zero shuffle, engine-replayable
@@ -4321,6 +4332,65 @@ object SparkEntry {
         |  FROM sims)
         |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim_r
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // 6 unrolled power-iteration blocks: nano-quantized per-component
+    // dot terms (exact integer row dots — NO cross-engine float-sum
+    // trust anywhere), micro-quantized update sums, 6-dp iterates; the
+    // same Rayleigh/trace integer arithmetic
+    "q_pca" -> {
+      val dim = 64
+      def iter(t: Int) =
+        s"""d$t AS (
+           |  SELECT e.vec_id,
+           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE)
+           |        * vl.vl[i] * 1000000000.0 + 0.5) AS BIGINT)))
+           |      AS BIGINT) AS dn
+           |  FROM base e CROSS JOIN vlist${t - 1} vl),
+           |u$t AS (
+           |  SELECT g.j,
+           |    CAST(sum(CAST(floor(CAST(e.embedding[g.j + 1] AS DOUBLE)
+           |      * (CAST(d.dn AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS u
+           |  FROM base e JOIN d$t d ON e.vec_id = d.vec_id,
+           |    range(0, $dim) AS g(j)
+           |  GROUP BY g.j),
+           |nrm$t AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE))
+           |    AS nm FROM u$t),
+           |v$t AS (SELECT j,
+           |    floor(CAST(u AS DOUBLE) / nm * 1000000.0 + 0.5) / 1000000.0
+           |      AS val
+           |  FROM u$t CROSS JOIN nrm$t),
+           |vlist$t AS (SELECT list(val ORDER BY j) AS vl FROM v$t)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+         |tr AS (
+         |  SELECT CAST(coalesce(sum(ssq), 0) AS BIGINT) AS trace_micro,
+         |    CAST(count(*) AS BIGINT) AS n_vectors
+         |  FROM (SELECT CAST(list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |        * CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+         |        AS BIGINT))) AS BIGINT) AS ssq FROM base)),
+         |v0 AS (SELECT CAST(g.j AS BIGINT) AS j,
+         |    CAST(0.125 AS DOUBLE) AS val
+         |  FROM range(0, $dim) AS g(j)),
+         |vlist0 AS (SELECT list(val ORDER BY j) AS vl FROM v0),
+         |${(1 to 6).map(iter).mkString(",\n")},
+         |p6 AS (SELECT j,
+         |    CAST(floor(CAST(u AS DOUBLE) / nm * 1000000.0 + 0.5) AS BIGINT)
+         |      AS p, u
+         |  FROM u6 CROSS JOIN nrm6),
+         |eig AS (SELECT CAST(sum(CAST(p AS HUGEINT) * u) // 1000000
+         |    AS BIGINT) AS eig_micro FROM p6)
+         |SELECT p6.j, CAST(p6.p AS DOUBLE) / 1000000.0 AS loading_r6,
+         |  p6.u AS u_micro, eig.eig_micro,
+         |  CASE WHEN tr.trace_micro > 0
+         |    THEN CAST((CAST(eig.eig_micro AS HUGEINT) * 10000)
+         |      // tr.trace_micro AS BIGINT) ELSE 0 END AS var_share_bp,
+         |  tr.n_vectors
+         |FROM p6 CROSS JOIN eig CROSS JOIN tr ORDER BY p6.j""".stripMargin
+    },
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),

@@ -646,4 +646,93 @@ object Similarity {
           .as("recall_bp"))
       .orderBy(col("query_id"))
   }
+
+  /** Top principal component by POWER ITERATION — the training-side
+    * linear algebra the embedding family was missing (the ANN/semdedup
+    * operators consume vectors; this one characterizes them: the
+    * dominant direction and how much of the corpus variance it carries
+    * — the first number a PCA/whitening/low-rank-compression decision
+    * reads). v ← AᵀA v, normalized, `iters` times from the fixed
+    * uniform start vector.
+    *
+    * Every step is ORDER-PROOF by per-component integer quantization —
+    * no cross-row or cross-component double sum anywhere:
+    *   - per-row dot: each x_j·v_j quantizes to nano-units
+    *     (floor(·1e9+0.5), one IEEE multiply — engine-identical), and
+    *     the row's dot is an exact integer sum;
+    *   - the update u_j = Σ_rows floor(x_j·dot·1e6+0.5) sums exact
+    *     longs (map-side combinable, partition-order free);
+    *   - normalization reads ‖u‖ from the exact decimal Σu² cast to
+    *     double ONCE, and the next iterate re-quantizes to 6 dp.
+    * The quantization IS the operator's definition: both engines replay
+    * bit-for-bit, and the ~1e-6 per-step rounding is far below the
+    * estimator's own convergence error at 6 iterations.
+    *
+    * Output: one row per component j — loading_r6, the final update
+    * vector u_micro, with the Rayleigh eigenvalue estimate
+    * (eig_micro = vᵀAᵀAv in micro-units, exact integer arithmetic off
+    * p = 1e6·v), its share of total variance (vs the exact quantized
+    * trace ΣᵢΣⱼ xᵢⱼ²), and n_vectors riding.
+    *
+    * Scale shape: per iteration ONE corpus scan (dim-bounded lambda
+    * work per row) collapsing to a dim-row aggregate; driver state is
+    * the dim-length vector (the k-means-seed bounded-state precedent).
+    * Power iteration's classic failure (λ₁ ≈ λ₂ slow convergence) is
+    * an accuracy note, not a correctness one — the output is the
+    * DEFINED 6-iteration iterate, deterministic everywhere.
+    */
+  def pcaPower(embs: DataFrame, dim: Int = 64, iters: Int = 6): DataFrame = {
+    require(dim >= 1 && iters >= 1)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = embs
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+      .localCheckpoint() // one materialization feeds iters+1 scans
+    val tr = base.select(expr(
+      s"""aggregate(transform(sequence(0, ${dim - 1}),
+         |  i -> CAST(floor(element_at(xd, i + 1) * element_at(xd, i + 1)
+         |    * 1000000.0 + 0.5) AS BIGINT)),
+         |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin).as("ssq"))
+      .agg(coalesce(sum(col("ssq")), lit(0L)).as("trace_micro"),
+        count(lit(1)).as("n_vectors"))
+      .collect().head
+    val traceMicro = tr.getLong(0)
+    val nVec = tr.getLong(1)
+    var v: Array[Double] = Array.fill(dim)(0.125)
+    var u: Array[Long] = Array.fill(dim)(0L)
+    var p: Array[Long] = v.map(x => math.round(x * 1e6))
+    for (_ <- 1 to iters) {
+      val uRows = base.withColumn("vl", typedLit(v.toSeq))
+        .withColumn("dn", expr(
+          s"""aggregate(transform(sequence(0, ${dim - 1}),
+             |  i -> CAST(floor(element_at(xd, i + 1) * element_at(vl, i + 1)
+             |    * 1000000000.0 + 0.5) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+        .select(col("dn"), posexplode(col("xd")).as(Seq("j", "x")))
+        .select(col("j"), expr(
+          """CAST(floor(x * (CAST(dn AS DOUBLE) / 1000000000.0)
+            |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("cm"))
+        .groupBy(col("j")).agg(sum(col("cm")).as("u"))
+        .collect()
+      u = Array.fill(dim)(0L)
+      uRows.foreach(r => u(r.getInt(0)) = r.getLong(1))
+      val norm2 = u.map(x => BigInt(x) * BigInt(x)).sum
+      val nm = math.sqrt(norm2.toDouble)
+      if (nm > 0.0) {
+        p = u.map(x => math.floor(x / nm * 1e6 + 0.5).toLong)
+        v = p.map(_.toDouble / 1000000.0)
+      }
+    }
+    val eig = ((0 until dim).map(j => BigInt(p(j)) * BigInt(u(j))).sum
+      / BigInt(1000000))
+    val share =
+      if (traceMicro > 0) (eig * 10000 / BigInt(traceMicro)).toLong else 0L
+    (0 until dim).map(j => (j.toLong, p(j).toDouble / 1000000.0, u(j)))
+      .toDF("j", "loading_r6", "u_micro")
+      .withColumn("eig_micro", lit(eig.toLong))
+      .withColumn("var_share_bp", lit(share))
+      .withColumn("n_vectors", lit(nVec))
+      .orderBy(col("j"))
+  }
 }

@@ -373,4 +373,31 @@ class SimilaritySpec extends SparkSpec {
       s"position discount missing: $missTop vs $missBottom")
     assert(missBottom.getAs[Long]("ndcg_micro") < 1000000L)
   }
+
+  test("pcaPower: a planted dominant axis is recovered with its variance " +
+      "share, and the iterate is deterministic across runs") {
+    import graft.operators.Similarity
+    // 20 vectors strongly along dim 0 with small alternating leakage
+    // into dim 1 — the top component must align with e0
+    val planted = (0 until 20).map { i =>
+      val x = Array.fill(4)(0.0f)
+      x(0) = 10.0f + (i % 3).toFloat
+      x(1) = if (i % 2 == 0) 0.3f else -0.3f
+      (i.toLong, x, 0)
+    }.toDF("vec_id", "embedding", "label")
+    def run() = Similarity.pcaPower(planted, dim = 4, iters = 6).collect()
+    val out = run()
+    assert(out.length == 4)
+    val byJ = out.map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(byJ(0L).getAs[Double]("loading_r6")) > 0.999,
+      "dominant axis not recovered")
+    (1L to 3L).foreach(j =>
+      assert(math.abs(byJ(j).getAs[Double]("loading_r6")) < 0.05,
+        s"component $j should be near zero"))
+    assert(out.head.getAs[Long]("var_share_bp") > 9900L,
+      "the planted axis carries ~all the variance")
+    assert(out.head.getAs[Long]("n_vectors") == 20L)
+    // the quantized iterate is the DEFINITION: re-runs are byte-equal
+    assert(run().map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
 }
