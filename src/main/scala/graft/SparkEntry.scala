@@ -3112,6 +3112,16 @@ object SparkEntry {
         critH = 7.8147)
     }),
 
+    // §2.58o — Welch's unequal-variance t test between the hash-split
+    // arms (the PARAMETRIC member: q_mannwhitney compares ranks, this
+    // compares the MEANS the readout headline quotes): exact integer
+    // moments (Σcents² in decimal(38,0)), then t and the Welch-
+    // Satterthwaite dof evaluate through ONE shared SQL string per
+    // statistic — identical on both engines by construction
+    "q_welch" -> ((s, dir) =>
+      Analytics.welchTTest(Tables.events(s, dir), "user_id", "value",
+        critT = 1.96)),
+
     // §2.58j — Mann–Whitney U test between the two hash-split arms on
     // the per-event value metric: the NONPARAMETRIC location test next
     // to the SRM count checks — exact integer U (2× units) and tie term
@@ -7449,6 +7459,54 @@ object SparkEntry {
         |GROUP BY dly.t ORDER BY dly.t""".stripMargin,
 
     // the same fold assignment, integer chi-square, inlined critical value
+    // the SAME welchT / welchDof strings the Spark side evaluates,
+    // over the same exact integer moments
+    "q_welch" ->
+      s"""WITH v AS (
+         |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+         |      AS arm,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS val
+         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |m AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(coalesce(sum(CASE WHEN arm = 0 THEN val END), 0)
+         |      AS BIGINT) AS s0,
+         |    coalesce(sum(CASE WHEN arm = 0
+         |      THEN CAST(val AS HUGEINT) * val END), 0) AS q0,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(coalesce(sum(CASE WHEN arm = 1 THEN val END), 0)
+         |      AS BIGINT) AS s1,
+         |    coalesce(sum(CASE WHEN arm = 1
+         |      THEN CAST(val AS HUGEINT) * val END), 0) AS q1
+         |  FROM v),
+         |z AS (
+         |  SELECT n0, n1,
+         |    CASE WHEN n0 > 0 THEN floor(CAST(s0 AS DOUBLE) / n0 / 100.0
+         |      * 10000.0 + 0.5) / 10000.0 END AS mean0_r,
+         |    CASE WHEN n1 > 0 THEN floor(CAST(s1 AS DOUBLE) / n1 / 100.0
+         |      * 10000.0 + 0.5) / 10000.0 END AS mean1_r,
+         |    CASE WHEN n0 > 1 AND n1 > 1
+         |      AND (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+         |          * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) > 0
+         |        OR CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+         |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) > 0)
+         |      THEN ${graft.operators.Analytics.welchT} END AS t_r,
+         |    CASE WHEN n0 > 1 AND n1 > 1
+         |      AND (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+         |          * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) > 0
+         |        OR CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+         |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) > 0)
+         |      THEN ${graft.operators.Analytics.welchDof} END AS dof_r
+         |  FROM m)
+         |SELECT n0, n1, mean0_r, mean1_r, t_r, dof_r,
+         |  CASE WHEN t_r IS NOT NULL THEN abs(t_r) > 1.96
+         |  END AS significant
+         |FROM z""".stripMargin,
+
     // 2x ranks + per-arm floored statistic terms + the same tie-
     // corrected H expression; HUGEINT mirrors decimal(38,0)
     "q_kruskal" ->

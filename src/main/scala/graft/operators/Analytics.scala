@@ -951,6 +951,104 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** The Welch t statistic and Welch–Satterthwaite dof over exact
+    * per-arm moment columns (n0, s0, q0, n1, s1, q1 — counts, sums,
+    * and sums of squares as exact integers/decimals) — ONE SQL string
+    * legal in both Spark SQL and DuckDB, consumed verbatim by the
+    * operator and the oracle (the wilsonBound discipline): given exact
+    * integer inputs, both engines execute the identical IEEE chain. */
+  private[graft] def welchT: String =
+    """CAST(floor(((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |  / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
+      |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)))
+      |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin
+
+  private[graft] def welchDof: String =
+    """CAST(floor(((((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
+      |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+      |  * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
+      |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)))
+      |  / ((((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
+      |    * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
+      |    / (CAST(n0 AS DOUBLE) - 1.0)
+      |    + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+      |    * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
+      |    / (CAST(n1 AS DOUBLE) - 1.0))
+      |  * 100.0 + 0.5) AS DOUBLE) / 100.0""".stripMargin
+
+  /** Welch's unequal-variance t test — the PARAMETRIC member of the
+    * two-sample family ([[mannWhitney]] compares ranks; this compares
+    * MEANS, the number the experiment readout headline quotes, without
+    * the equal-variance assumption Student's t needs): per hash-split
+    * arm the exact integer moments (count, Σcents, Σcents² — the sum
+    * of squares in decimal(38,0): cents² sums wrap long past ~10¹⁵),
+    * then t and the Welch–Satterthwaite dof evaluate through ONE
+    * shared SQL string per statistic ([[welchT]]/[[welchDof]]),
+    * identical on both engines by construction, published at 4/2 dp
+    * with the verdict on the rounded t vs the caller's critical value.
+    * NULL when either arm has < 2 rows or both variances are zero.
+    *
+    * Scale shape: one map-side-combinable aggregate; one row out
+    * (n0, n1, mean0_r, mean1_r, t_r, dof_r, significant).
+    */
+  def welchTTest(events: DataFrame, userCol: String, valueCol: String,
+      critT: Double): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val arm = pmod(rollingHash(concat(lit("ab:"),
+      col(userCol).cast("string"))), lit(2))
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    events.where(col(userCol).isNotNull && col(valueCol).isNotNull)
+      .select(arm.as("arm"), cents.as("v"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        coalesce(sum(when(col("arm") === 0, col("v"))), lit(0L)).as("s0"),
+        coalesce(sum(when(col("arm") === 0,
+          col("v").cast("decimal(38,0)") * col("v"))),
+          lit(0).cast("decimal(38,0)")).as("q0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        coalesce(sum(when(col("arm") === 1, col("v"))), lit(0L)).as("s1"),
+        coalesce(sum(when(col("arm") === 1,
+          col("v").cast("decimal(38,0)") * col("v"))),
+          lit(0).cast("decimal(38,0)")).as("q1"))
+      .select(col("n0"), col("n1"),
+        when(col("n0") > 0,
+          r4(col("s0").cast("double") / col("n0") / 100.0)).as("mean0_r"),
+        when(col("n1") > 0,
+          r4(col("s1").cast("double") / col("n1") / 100.0)).as("mean1_r"),
+        when(col("n0") > 1 && col("n1") > 1 &&
+          (expr("CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)") > 0 ||
+           expr("CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)") > 0),
+          expr(welchT)).as("t_r"),
+        when(col("n0") > 1 && col("n1") > 1 &&
+          (expr("CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)") > 0 ||
+           expr("CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)") > 0),
+          expr(welchDof)).as("dof_r"))
+      .withColumn("significant",
+        when(col("t_r").isNotNull, abs(col("t_r")) > critT))
+  }
+
   /** Kruskal–Wallis H — [[mannWhitney]] generalized past two arms (the
     * nonparametric one-way ANOVA: does the metric's LOCATION differ
     * across k variants?), the rank-test twin of [[srmCheckNArm]]'s

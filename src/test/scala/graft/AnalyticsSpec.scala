@@ -555,6 +555,39 @@ class AnalyticsSpec extends SparkSpec {
       sp.getAs[Double]("hi_micro") > 5.5e8)
   }
 
+  test("welchTTest: shifted means flag significant, identical arms do " +
+      "not, degenerate inputs yield NULL") {
+    // hash-split arms; plant a shift by making the metric depend on the
+    // arm through the SAME hash the operator uses
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val base = (1 to 400).map(i => (i.toLong, 0.0)).toDF("user_id", "v0")
+    val armCol = pmod(rollingHash(concat(lit("ab:"),
+      col("user_id").cast("string"))), lit(2))
+    // shifted: arm 1 pays +5.00 on top of a small deterministic wiggle
+    val shifted = base.select(col("user_id"),
+      (lit(10.0) + (col("user_id") % 7).cast("double") / 10.0 +
+        armCol.cast("double") * 5.0).as("value"))
+    val s = Analytics.welchTTest(shifted, "user_id", "value", critT = 1.96)
+      .collect().head
+    assert(math.abs(s.getAs[Double]("mean0_r") -
+      s.getAs[Double]("mean1_r")) > 4.5)
+    assert(math.abs(s.getAs[Double]("t_r")) > 10.0)
+    assert(s.getAs[Boolean]("significant"))
+    assert(s.getAs[Double]("dof_r") > 10.0)
+    // identical arms: same wiggle, no shift
+    val same = base.select(col("user_id"),
+      (lit(10.0) + (col("user_id") % 7).cast("double") / 10.0).as("value"))
+    val n = Analytics.welchTTest(same, "user_id", "value", critT = 1.96)
+      .collect().head
+    assert(!n.getAs[Boolean]("significant"))
+    assert(math.abs(n.getAs[Double]("t_r")) < 1.96)
+    // constant metric: zero variance on both sides -> NULL t
+    val const = base.select(col("user_id"), lit(3.0).as("value"))
+    val c = Analytics.welchTTest(const, "user_id", "value", critT = 1.96)
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("t_r")))
+  }
+
   test("kruskalWallis: hand-computed H on separated arms, identical " +
       "arms stay insignificant, one-bin data yields NULL") {
     // three fully separated arms, no ties: rank sums 55/155/255 ->
