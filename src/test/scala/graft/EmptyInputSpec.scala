@@ -187,4 +187,60 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.topicLabels(emptyDocs.select($"doc_id", $"text"),
       nPlanes = 4, topK = 5, stopwords = Seq.empty).count() == 0)
   }
+
+  test("the r14-continuation operators survive empty inputs") {
+    val emptyScored = Seq.empty[(Long, Boolean)].toDF("score", "label")
+    // one-row aggregates return their row with NULL statistics
+    val auc = Analytics.rocAuc(emptyScored).collect().head
+    assert(auc.getAs[Long]("n_pos") == 0L &&
+      auc.isNullAt(auc.fieldIndex("auc_micro")))
+    assert(Analytics.prCurve(emptyScored, nCuts = 10).count() == 0)
+    val mw = Analytics.mannWhitney(emptyScored).collect().head
+    assert(mw.isNullAt(mw.fieldIndex("z_r")))
+    assert(Analytics.spearman(
+      Seq.empty[(Long, Long)].toDF("x", "y")).collect().head
+      .isNullAt(1))
+    val emptyArmed = Seq.empty[(Long, Long)].toDF("arm", "score")
+    assert(Analytics.kruskalWallis(emptyArmed, critH = 5.99).count() == 0)
+    val emptyPE = Seq.empty[(String, Long, Long)].toDF("g", "entity", "cents")
+    assert(Analytics.concentrationProfile(emptyPE).count() == 0)
+    assert(Analytics.basketRules(
+      Seq.empty[(Long, String)].toDF("basket", "item"),
+      minSupportBp = 20).count() == 0)
+    assert(TextAnalysis.vocabRichness(emptyDocs).count() == 0)
+    val emptyEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(Graph.degreeHistogram(emptyEdges).count() == 0)
+    assert(Graph.harmonicCentrality(emptyEdges,
+      Seq.empty[Long].toDF("seed"), maxHops = 2).count() == 0)
+    assert(Graph.widestPaths(emptyEdges,
+      Seq.empty[Long].toDF("seed"), rounds = 2, topK = 3).count() == 0)
+    val da = Graph.degreeAssortativity(emptyEdges).collect().head
+    assert(da.getAs[Long]("n_nodes") == 0L &&
+      da.isNullAt(da.fieldIndex("r_4dp")))
+    // HyperANF over no edges: an empty curve beats a crash (coverage is
+    // undefined with nothing to cover)
+    val anf = Graph.hyperAnf(emptyEdges, maxT = 2).collect()
+    assert(anf.forall(_.getAs[Long]("n_nodes") == 0L))
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val emptyEv = Seq.empty[(java.sql.Timestamp, Double, Long, String)]
+      .toDF("ts", "value", "user_id", "event_type")
+    assert(Analytics.ewmaDaily(emptyEv, "event_type", "ts", "value")
+      .count() == 0)
+    assert(Etl.partitionCompleteness(emptyEv, "event_type", "ts")
+      .count() == 0)
+    val w = Analytics.wilsonRates(emptyEv, "user_id",
+      col("event_type") === "purchase")
+    assert(w.count() == 0)
+    val wt = Analytics.welchTTest(emptyEv, "user_id", "value",
+      critT = 1.96).collect().head
+    assert(wt.getAs[Long]("n0") == 0L && wt.isNullAt(wt.fieldIndex("t_r")))
+    val chi = Analytics.independenceTest(
+      Seq.empty[(String, String)].toDF("r0", "c0"), "r0", "c0",
+      critMicro = 3841459L)
+    assert(chi.count() == 0)
+    assert(Analytics.psiDrift(emptyEv, "value", "ts",
+      refEndExcl = "2024-01-16", nBuckets = 10).count() == 10)
+    assert(Similarity.pcaPower(emptyVecs, dim = 4, iters = 2)
+      .count() == 4) // the start vector survives; zero updates
+  }
 }
