@@ -3359,6 +3359,31 @@ object SparkEntry {
     // construction (batch 2 holds only ts >= the cut, far above batch
     // 1's watermark), so the emitted set is EXACTLY the batch bars whose
     // window end <= max(ts) − 2h — the oracle's WHERE clause.
+    // §2.45s — STREAMING gap sessionization (the sixth driver-visible
+    // streaming row — the session-window stateful-operator class): the
+    // SAME session_window call as batch q_sessions runs over the
+    // two-file replay, open sessions merging ACROSS micro-batches
+    // (sessions spanning the 2024-01-16 split are the load-bearing
+    // case); append mode emits a session when the watermark passes its
+    // padded end, so sessions ending within 2h of the stream's max
+    // event time stay open — the oracle replays the batch gap-split
+    // with exactly that eviction rule
+    "q_stream_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_sesssrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.sessionStream(stream,
+          gap = "30 minutes", watermark = "2 hours"))
+        .orderBy(col("user_id"), col("first_us"))
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -8367,6 +8392,37 @@ object SparkEntry {
     // (max event time − 2h, advanced by the trailing no-data batch)
     // passes its END; nothing is late by construction, so the replay is
     // the batch bars filtered to flushed windows
+    // the q_sessions gap-split replay + the append-mode eviction rule:
+    // a session emits iff its padded end clears the final watermark
+    "q_stream_sessions" ->
+      """WITH wm AS (
+        |  SELECT epoch_us(max(ts) - INTERVAL 2 HOUR) AS w FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           >= 1800000000
+        |         OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sessions AS (
+        |  SELECT user_id, us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, min(us) AS first_us, max(us) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    max(us) - min(us) AS span_us
+        |  FROM sessions GROUP BY user_id, sid)
+        |SELECT user_id, first_us, last_us, n_events, span_us
+        |FROM agg
+        |WHERE last_us + 1800000000 <= (SELECT w FROM wm)
+        |ORDER BY user_id, first_us""".stripMargin,
+
     "q_stream_ohlc" ->
       """WITH wm AS (
         |  SELECT epoch_us(max(ts) - INTERVAL 2 HOUR) AS w FROM events),

@@ -525,6 +525,29 @@ object EventStream {
         col("open"), col("high"), col("low"), col("close"), col("n_events"))
   }
 
+  /** Streaming gap sessionization — the streaming twin of
+    * Observability.gapSessions, SAME session_window call (that identity
+    * is the operator's whole selling point; this registers it
+    * driver-visibly): per user, consecutive events under `gap` apart
+    * merge into one session, ACROSS micro-batches — an open session is
+    * keyed state that a later batch's events extend or close. Append
+    * mode: a session emits once, when the watermark passes its padded
+    * end (last event + gap); sessions ending within `watermark` of the
+    * stream's max event time stay open and are withheld — exactly what
+    * a live pipeline does, and what the oracle replays.
+    */
+  def sessionStream(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"), col("first_us"), col("last_us"),
+        col("n_events"), (col("last_us") - col("first_us")).as("span_us"))
+  }
+
   case class RunningRow(user_id: Long, event_id: Long, running_sum: Double)
 
   /** Streaming per-key running total — the streaming twin of

@@ -1070,4 +1070,38 @@ class EventStreamSpec extends SparkSpec {
     val diverged = sourceBatch.keySet.filter(k => streamed(k) != sourceBatch(k))
     assert(diverged == Set(("p2", "b")), s"diverged cells: $diverged")
   }
+
+  test("sessionStream: a session SPANNING the two staged files merges " +
+      "across micro-batches, and only watermark-cleared sessions emit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // user 1: events at 11:50 (file 1) and 12:10 (file 2) — 20 min gap,
+    // ONE session across the batch boundary. user 2: a closed early
+    // session plus a too-fresh session inside the 2h watermark horizon
+    // of the max event (18:00) that must stay open.
+    val evs = Seq(
+      EventStream.Event(1, ts("2024-01-01 11:50:00"), 1, "a", 1.0),
+      EventStream.Event(2, ts("2024-01-01 10:00:00"), 2, "a", 1.0),
+      EventStream.Event(3, ts("2024-01-01 12:10:00"), 1, "a", 1.0), // file 2
+      EventStream.Event(4, ts("2024-01-01 17:30:00"), 2, "a", 1.0), // open
+      EventStream.Event(5, ts("2024-01-01 18:00:00"), 3, "a", 1.0)) // wm anchor
+    val df = evs.toDF().select("user_id", "ts")
+    val base = Files.createTempDirectory("graft-sess2p").toString
+    EventStream.stageTwoPhase(df,
+      col("ts") < lit("2024-01-01 12:00:00").cast("timestamp"), base)
+    val got = EventStream.drainAvailableNow(
+      EventStream.sessionStream(
+        spark.readStream.schema(df.schema)
+          .option("maxFilesPerTrigger", 1).parquet(base),
+        gap = "30 minutes", watermark = "2 hours"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    def us(s: String) = ts(s).getTime * 1000L
+    // watermark = 18:00 - 2h = 16:00; emitted sessions need
+    // last + 30min <= 16:00. user 1's spanning session (ends 12:10)
+    // emits MERGED (2 events, one row); user 2's 10:00 singleton emits;
+    // the 17:30 and 18:00 sessions stay open.
+    assert(got === Set(
+      (1L, us("2024-01-01 11:50:00"), 2L),
+      (2L, us("2024-01-01 10:00:00"), 1L)))
+  }
 }
