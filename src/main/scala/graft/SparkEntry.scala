@@ -7515,16 +7515,12 @@ object SparkEntry {
          |    CASE WHEN n1 > 0 THEN floor(CAST(s1 AS DOUBLE) / n1 / 100.0
          |      * 10000.0 + 0.5) / 10000.0 END AS mean1_r,
          |    CASE WHEN n0 > 1 AND n1 > 1
-         |      AND (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-         |          * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) > 0
-         |        OR CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-         |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) > 0)
+         |      AND (${graft.operators.Analytics.welchVarPos(0)}
+         |        OR ${graft.operators.Analytics.welchVarPos(1)})
          |      THEN ${graft.operators.Analytics.welchT} END AS t_r,
          |    CASE WHEN n0 > 1 AND n1 > 1
-         |      AND (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-         |          * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) > 0
-         |        OR CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-         |          * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) > 0)
+         |      AND (${graft.operators.Analytics.welchVarPos(0)}
+         |        OR ${graft.operators.Analytics.welchVarPos(1)})
          |      THEN ${graft.operators.Analytics.welchDof} END AS dof_r
          |  FROM m)
          |SELECT n0, n1, mean0_r, mean1_r, t_r, dof_r,
@@ -7801,7 +7797,8 @@ object SparkEntry {
         |  SELECT event_type AS g, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |    CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
         |      AS BIGINT)), 0) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
         |idx AS (
         |  SELECT g, day, cents,
         |    row_number() OVER (PARTITION BY g ORDER BY day) AS i
@@ -9192,9 +9189,12 @@ object SparkEntry {
        |  FROM cum)
        |SELECT n_pos, n_neg, n_scores, u2,
        |  CASE WHEN n_pos > 0 AND n_neg > 0
-       |    THEN (u2 * 1000000) // (2 * n_pos * n_neg) END AS auc_micro,
+       |    THEN CAST((CAST(u2 AS HUGEINT) * 1000000)
+       |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+       |  END AS auc_micro,
        |  CASE WHEN n_pos > 0 AND n_neg > 0
-       |    THEN (u2 * 1000000) // (2 * n_pos * n_neg) * 2 - 1000000
+       |    THEN CAST((CAST(u2 AS HUGEINT) * 1000000)
+       |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) * 2 - 1000000
        |  END AS gini_micro
        |FROM agg""".stripMargin
 

@@ -951,51 +951,57 @@ object Analytics {
       .orderBy(col("g"))
   }
 
+  /** The per-arm variance-over-n term s²ᵢ/nᵢ shared by [[welchT]] and
+    * [[welchDof]]: the numerator nᵢ·qᵢ − sᵢ² is computed EXACTLY in
+    * decimal first — DECIMAL(18,0)·DECIMAL(19,0) is an exact 37-digit
+    * product on both engines (probed) — and only the finished integer
+    * numerator casts to double, so the catastrophic cancellation of
+    * q − s²/n in doubles (lossy once Σcents² passes 2^53) can neither
+    * flip a variance sign nor drive the sqrt argument negative. Exact
+    * and engine-identical for q < 10¹⁹ (~1000× past the 2^53 double
+    * bound); beyond that Spark nulls and DuckDB errors on the
+    * DECIMAL(19,0) cast — loud, not silently wrong. */
+  private[graft] def welchVarOverN(i: Int): String =
+    s"""(CAST(CAST(n$i AS DECIMAL(18,0)) * CAST(q$i AS DECIMAL(19,0))
+       |  - CAST(s$i AS DECIMAL(19,0)) * CAST(s$i AS DECIMAL(19,0))
+       |  AS DOUBLE)
+       |  / ((CAST(n$i AS DOUBLE) - 1.0) * CAST(n$i AS DOUBLE)
+       |    * CAST(n$i AS DOUBLE)))""".stripMargin
+
+  /** Positive-variance guard for arm i — the SAME exact decimal
+    * numerator as [[welchVarOverN]], compared against zero with no
+    * doubles anywhere, shared verbatim by operator and oracle. */
+  private[graft] def welchVarPos(i: Int): String =
+    s"""CAST(n$i AS DECIMAL(18,0)) * CAST(q$i AS DECIMAL(19,0))
+       |  - CAST(s$i AS DECIMAL(19,0)) * CAST(s$i AS DECIMAL(19,0)) > 0""".stripMargin
+
   /** The Welch t statistic and Welch–Satterthwaite dof over exact
     * per-arm moment columns (n0, s0, q0, n1, s1, q1 — counts, sums,
     * and sums of squares as exact integers/decimals) — ONE SQL string
     * legal in both Spark SQL and DuckDB, consumed verbatim by the
     * operator and the oracle (the wilsonBound discipline): given exact
-    * integer inputs, both engines execute the identical IEEE chain. */
+    * integer inputs, both engines execute the identical IEEE chain.
+    * Each s²ᵢ/nᵢ term goes through [[welchVarOverN]]'s exact integer
+    * numerator, never the cancellation-prone q − s²/n double path. */
   private[graft] def welchT: String =
-    """CAST(floor(((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
-      |  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |  / sqrt(((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
-      |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)))
-      |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin
+    s"""CAST(floor(((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+       |  - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |  / sqrt(${welchVarOverN(0)}
+       |    + ${welchVarOverN(1)}))
+       |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin
 
   private[graft] def welchDof: String =
-    """CAST(floor(((((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
-      |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
-      |  * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE)
-      |    + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)))
-      |  / ((((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
-      |    * (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
-      |        * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-      |      / (CAST(n0 AS DOUBLE) - 1.0)) / CAST(n0 AS DOUBLE))
-      |    / (CAST(n0 AS DOUBLE) - 1.0)
-      |    + (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
-      |    * (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
-      |        * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
-      |      / (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE))
-      |    / (CAST(n1 AS DOUBLE) - 1.0))
-      |  * 100.0 + 0.5) AS DOUBLE) / 100.0""".stripMargin
+    s"""CAST(floor(((${welchVarOverN(0)}
+       |    + ${welchVarOverN(1)})
+       |  * (${welchVarOverN(0)}
+       |    + ${welchVarOverN(1)}))
+       |  / (${welchVarOverN(0)}
+       |    * ${welchVarOverN(0)}
+       |    / (CAST(n0 AS DOUBLE) - 1.0)
+       |    + ${welchVarOverN(1)}
+       |    * ${welchVarOverN(1)}
+       |    / (CAST(n1 AS DOUBLE) - 1.0))
+       |  * 100.0 + 0.5) AS DOUBLE) / 100.0""".stripMargin
 
   /** Welch's unequal-variance t test — the PARAMETRIC member of the
     * two-sample family ([[mannWhitney]] compares ranks; this compares
@@ -1038,12 +1044,10 @@ object Analytics {
         when(col("n1") > 0,
           r4(col("s1").cast("double") / col("n1") / 100.0)).as("mean1_r"),
         when(col("n0") > 1 && col("n1") > 1 &&
-          (expr("CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)") > 0 ||
-           expr("CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)") > 0),
+          (expr(welchVarPos(0)) || expr(welchVarPos(1))),
           expr(welchT)).as("t_r"),
         when(col("n0") > 1 && col("n1") > 1 &&
-          (expr("CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)") > 0 ||
-           expr("CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)") > 0),
+          (expr(welchVarPos(0)) || expr(welchVarPos(1))),
           expr(welchDof)).as("dof_r"))
       .withColumn("significant",
         when(col("t_r").isNotNull, abs(col("t_r")) > critT))
@@ -1386,7 +1390,12 @@ object Analytics {
     */
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    // NULL day/group rows are dropped, not folded: a NULL day would
+    // sort FIRST in Spark's sort_array fold but LAST in an oracle's
+    // ORDER BY (NULLS LAST), silently diverging the order-dependent
+    // halving recurrence — parity must not depend on fixture cleanliness
     val daily = events
+      .where(col(tsCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).as("g"),
         col(tsCol).cast("date").cast("string").as("day"))
       .agg(coalesce(sum((col(valueCol).cast("decimal(18,2)") * 100)
@@ -1521,7 +1530,11 @@ object Analytics {
     * units so ties stay integral: per distinct score s,
     * u2 += n_pos(s) · (2·cum_neg_below(s) + n_neg(s)), and
     * auc_micro = u2·10⁶ DIV (2·n_pos·n_neg) — non-negative throughout,
-    * so DIV == floor on both engines. gini_micro = 2·auc − 10⁶ (can go
+    * so DIV == floor on both engines. The DIV runs in decimal(38,0)
+    * (HUGEINT in the oracle): u2 ≤ 2·n_pos·n_neg, so the ·10⁶ product
+    * would silently wrap long past n_pos·n_neg ≈ 4.6·10¹² (~2M rows per
+    * class) — the decimal widening keeps the quotient exact to the
+    * decimal(38,0) ceiling like lift/chi2/Gini. gini_micro = 2·auc − 10⁶ (can go
     * negative; pure integer subtraction, no division).
     *
     * This is the trust metric for any model-based filter the engine
@@ -1547,7 +1560,8 @@ object Analytics {
         .as("u2"))
       .withColumn("auc_micro",
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("u2 * 1000000 DIV (2 * n_pos * n_neg)")))
+          expr("CAST(u2 AS DECIMAL(38,0)) * 1000000" +
+            " DIV (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)")))
       .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
   }
 

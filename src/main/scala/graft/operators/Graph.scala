@@ -355,6 +355,12 @@ object Graph {
     * join of the register file against the edge list (in-place scan
     * when `edges` is the bucketed table) + an order-free max — never a
     * frontier set, never per-pair state.
+    *
+    * PRECONDITION: `edges` must be a SYMMETRIZED edge list (every
+    * undirected edge present in both orientations — the engine's
+    * bucketed edge substrate is). The node set and round-0 counts seed
+    * from `src` only; a directed/asymmetric list would silently drop
+    * dst-only sink nodes from every N(t).
     */
   def hyperAnf(edges: DataFrame, maxT: Int = 4): DataFrame = {
     require(maxT >= 1, s"maxT must be >= 1, got $maxT")
@@ -415,6 +421,12 @@ object Graph {
     * Scale shape: one per-src degree count (in-place on the bucketed
     * table), two histogram-sized degree joins back onto the edges, one
     * aggregate. Output: one row (n_nodes, n_edges_directed, r_4dp).
+    *
+    * PRECONDITION: `edges` must be a SYMMETRIZED edge list — dst-side
+    * degrees are looked up from the src-side counts (deg(dst) is
+    * src-count at dst), which is only the true degree when every edge
+    * appears in both orientations; an asymmetric list would silently
+    * drop sink-only edges from the correlation.
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
