@@ -787,6 +787,22 @@ object SparkEntry {
         "event_type", "ts")
     }),
 
+    // the planner over the SAME planted outage q_part_complete audits:
+    // one row per missing (type, day) — neighbor-interpolated est_rows,
+    // gap-and-island batching into <= 7-day runs, and the deterministic
+    // idempotency key a scheduler dedups backfill retries on.
+    // BackfillSpec proves re-running a planned day byte-equal via the
+    // dynamic-partition-overwrite writer and completeness_bp = 10000
+    // after the plan executes.
+    "q_backfill_plan" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(lit("gap:"), col("event_type"),
+        lit("|"), col("ts").cast("date").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+      Etl.backfillPlan(
+        Tables.events(s, dir).where(pmod(h, lit(7)) =!= 0),
+        "event_type", "ts", batchDays = 7)
+    }),
+
     // §2.12b — hive-partitioned daily storage round-trip with partition
     // pruning: write events partitioned by date=yyyyMMdd, read ONE day back
     // through a partition filter (directories for other days are never
@@ -4192,6 +4208,64 @@ object SparkEntry {
          |  (CAST(sum(CASE WHEN pres THEN 1 ELSE 0 END) AS BIGINT) * 10000)
          |    // count(*) AS completeness_bp
          |FROM j GROUP BY t ORDER BY t""".stripMargin
+    },
+
+    // same planted outage + calendar spine; IGNORE-NULLS window
+    // neighbors replay est_rows, epoch-day-minus-rank islands and
+    // floor-division chunks replay the batching, string concat the key
+    "q_backfill_plan" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      val gap = md5bits(
+        "'gap:' || event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)")
+      s"""WITH daily AS (
+         |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |    AND $gap % 7 <> 0
+         |  GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (
+         |  SELECT ty.t, CAST(unnest(generate_series((SELECT d0 FROM b),
+         |    (SELECT d1 FROM b), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT DISTINCT t FROM daily) ty),
+         |j AS (
+         |  SELECT s.t, s.day, d.n,
+         |    last_value(d.n IGNORE NULLS) OVER (PARTITION BY s.t
+         |      ORDER BY s.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+         |    first_value(d.n IGNORE NULLS) OVER (PARTITION BY s.t
+         |      ORDER BY s.day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n
+         |  FROM spine s LEFT JOIN daily d ON s.t = d.t AND s.day = d.day),
+         |m AS (
+         |  SELECT t, day,
+         |    CAST(CASE WHEN prev_n IS NOT NULL AND next_n IS NOT NULL
+         |      THEN (prev_n + next_n) // 2
+         |      ELSE coalesce(prev_n, next_n, 0) END AS BIGINT) AS est_rows,
+         |    (day - DATE '1970-01-01')
+         |      - row_number() OVER (PARTITION BY t ORDER BY day) AS island
+         |  FROM j WHERE n IS NULL),
+         |c AS (
+         |  SELECT t, day, est_rows, island,
+         |    (row_number() OVER (PARTITION BY t, island ORDER BY day) - 1)
+         |      // 7 AS chunk
+         |  FROM m),
+         |g AS (
+         |  SELECT t, day, est_rows,
+         |    CAST(min(day) OVER w AS VARCHAR) AS batch_start,
+         |    CAST(max(day) OVER w AS VARCHAR) AS batch_end,
+         |    CAST(count(*) OVER w AS BIGINT) AS batch_days
+         |  FROM c WINDOW w AS (PARTITION BY t, island, chunk))
+         |SELECT t AS event_type, CAST(day AS VARCHAR) AS day, est_rows,
+         |  batch_start, batch_end, batch_days,
+         |  'backfill:' || t || ':' || batch_start || ':' || batch_end
+         |    AS idem_key
+         |FROM g ORDER BY event_type, day""".stripMargin
     },
 
     "q_hive_pruned" ->

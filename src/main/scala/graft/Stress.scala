@@ -816,6 +816,71 @@ object Stress {
           (col("doc_id") % 5 =!= 2).as("label"))
       graft.operators.Analytics.rocAuc(scored)
     }
+    // HyperANF: offsetting BOTH keys makes factor disconnected co-supply
+    // replicas — the O(16·V) per-node register file and each round's
+    // edge join grow linearly while the round count stays 4; the
+    // curve's question is whether the register state (the heaviest
+    // per-node state in the graph family) stays scan-bound.
+    time("hyperanf") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val liX = (0 until factor).map(k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Graph.hyperAnf(
+        graft.operators.Graph.coSupplyEdges(liX)
+          .select(col("src"), col("dst")), maxT = 4)
+    }
+    // Widest paths: same disconnected replicas; the O(k·V) capacity
+    // state stays confined to copy 0's replica (the 4-seed panel never
+    // reaches the others), so the curve isolates the per-round
+    // full-edge-scan join cost — the part that grows with the graph.
+    time("widest") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val liX = (0 until factor).map(k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L)))
+        .reduce(_ unionByName _)
+      val edges = graft.operators.Graph.coSupplyEdges(liX)
+      val seeds = edges.select(col("src").as("seed")).distinct()
+        .orderBy(col("seed")).limit(4)
+      graft.operators.Graph.widestPaths(edges, seeds, rounds = 6, topK = 5)
+    }
+    // PCA: the multiplied embeddings grow every row-dot pass ×factor;
+    // the iterate itself is ONE dim-length quantized vector regardless
+    // of rows (collected driver-side by dim, not by corpus) — the curve
+    // should track the six corpus scans linearly.
+    time("pca") {
+      Similarity.pcaPower(embs, dim = 64, iters = 6)
+    }
+    // DP vocab release: the token scan and the distinct-doc frequency
+    // aggregate grow ×factor; the released set stays bounded by the
+    // true vocabulary head (replication pushes more items past τ but
+    // never past |vocab|) — the unbounded-domain mechanism's state is
+    // the per-item count frame, bounded by distinct items.
+    time("dp_vocab") {
+      graft.validation.Privacy.dpStabilityRelease(
+        docs, "doc_id", "text", tau = 12L)
+    }
+    // Partition completeness: per-copy type names grow the calendar
+    // spine (|types| × |days|) ×factor along with the scan, so the
+    // audit's "bounded" cross is itself stress-tested, not just the
+    // distinct pre-aggregate.
+    time("part_complete") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      val h = conv(substring(md5(concat(lit("gap:"), col("event_type"),
+        lit("|"), col("ts").cast("date").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+      graft.operators.Etl.partitionCompleteness(
+        evX.where(pmod(h, lit(7)) =!= 0), "event_type", "ts")
+    }
     spark.stop()
   }
 }

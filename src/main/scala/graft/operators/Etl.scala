@@ -339,6 +339,82 @@ object Etl {
       .orderBy(col("event_type"))
   }
 
+  /** Backfill PLANNER over the missing partitions
+    * [[partitionCompleteness]] finds — the morning-after action of every
+    * scheduled extract (reference: etl/partitions/daily.py daily
+    * partitions + the s3.py:60 `date=YYYYMMDD` layout + the Dagster
+    * backfill workflow the schedule factory implies): from the same
+    * calendar-spine derivation, one row per missing (type, day) carrying
+    *
+    *  - `est_rows` — the expected row count from the NEIGHBORING present
+    *    days (mean of the nearest present day before and after, floor
+    *    division; one-sided at series edges; 0 for an all-missing type),
+    *    the sanity number an operator compares the backfill's actual
+    *    output against;
+    *  - contiguous missing days grouped into ISLANDS (gap-and-island:
+    *    epoch-day minus per-type missing rank is constant exactly on a
+    *    run of consecutive days) and islands chunked into batches of at
+    *    most `batchDays` days — `batch_start`/`batch_end`/`batch_days`,
+    *    the bounded unit one backfill job run re-extracts;
+    *  - `idem_key` — `backfill:<type>:<start>:<end>`, the deterministic
+    *    key a scheduler dedups retries on: the plan derives purely from
+    *    the (type, day) presence set, so re-planning after a partial
+    *    backfill yields the same keys for the still-missing batches and
+    *    drops the repaired ones. Re-RUNNING a planned day is idempotent
+    *    by composition with the dynamic-partition-overwrite writer
+    *    (Pipeline.overwriteDays) — proven byte-equal in BackfillSpec.
+    *
+    * Scale shape: identical to [[partitionCompleteness]] — one distinct
+    * day-count aggregate over the scan (the only data-sized shuffle),
+    * then the calendar cross and every window run on the bounded
+    * |types|·|days| frame; output is bounded by the missing-day count.
+    */
+  def backfillPlan(src: DataFrame, typeCol: String, tsCol: String,
+      batchDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchDays >= 1, s"batchDays must be >= 1, got $batchDays")
+    val daily = src.where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded (type, day) frame, three consumers
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("t")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("t"), explode(expr("sequence(d0, d1)")).as("day"))
+    val byDay = Window.partitionBy(col("t")).orderBy(col("day"))
+    val withNbr = spine.join(daily, Seq("t", "day"), "left")
+      // nearest present day's count on each side: n is NULL exactly on
+      // missing days, so ignoreNulls last/first over the spine IS the
+      // neighbor lookup — no self-join against the present set
+      .withColumn("prev_n", last(col("n"), ignoreNulls = true)
+        .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_n", first(col("n"), ignoreNulls = true)
+        .over(byDay.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val missing = withNbr.where(col("n").isNull)
+      .withColumn("est_rows", expr(
+        """CAST(CASE WHEN prev_n IS NOT NULL AND next_n IS NOT NULL
+          |  THEN (prev_n + next_n) DIV 2
+          |  ELSE coalesce(prev_n, next_n, 0) END AS BIGINT)""".stripMargin))
+      .withColumn("island",
+        expr("datediff(day, DATE '1970-01-01')")
+          - row_number().over(byDay))
+    val chunked = missing
+      .withColumn("chunk",
+        expr(s"(row_number() OVER (PARTITION BY t, island ORDER BY day)"
+          + s" - 1) DIV $batchDays"))
+    val batch = Window.partitionBy(col("t"), col("island"), col("chunk"))
+    chunked
+      .withColumn("batch_start", min(col("day")).over(batch).cast("string"))
+      .withColumn("batch_end", max(col("day")).over(batch).cast("string"))
+      .withColumn("batch_days", count(lit(1)).over(batch))
+      .select(col("t").as("event_type"), col("day").cast("string").as("day"),
+        col("est_rows"), col("batch_start"), col("batch_end"),
+        col("batch_days"),
+        concat(lit("backfill:"), col("t"), lit(":"), col("batch_start"),
+          lit(":"), col("batch_end")).as("idem_key"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Salted two-phase aggregation for skewed group keys: explode each key
     * into `salt` shards, partially aggregate, then merge. Same result as a
     * direct groupBy; the first shuffle spreads a hot key over `salt`
