@@ -77,6 +77,23 @@ object Approx {
           col("n_exact").cast("double") * 10000.0, 0).cast("long").as("err_bp"))
       .orderBy(col(groupCol))
 
+  /** The estimate arithmetic of [[hllAudit]] over an ALREADY-BUILT
+    * (group, idx, mx) register file — the read path a STREAMED register
+    * build feeds (EventStream.hllRegisterStream maintains the file;
+    * snapshots answer "distinct so far" through exactly this column
+    * chain, so the streamed and batch estimates can never drift).
+    * No n_exact here: a register file alone cannot certify itself —
+    * callers join the exact count from a batch pass when auditing.
+    */
+  private[graft] def hllEstimateFromRegisters(regs: DataFrame,
+      groupCol: String): DataFrame =
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("npres"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
+      .select(col(groupCol), hllVZeroCol.as("v_zero"),
+        (hllEstRawCol <= 1280.0 && hllVZeroCol > 0).as("small_range"),
+        hllEstimateCol.as("hll_est"))
+
   /** 2^44: the weight of an untouched register (rho ranges 1..44 over the
     * 43-bit field, so `2^(44-rho)` stays integral and `S` fits BIGINT:
     * ≤ 512 * 2^44 < 2^54). */

@@ -421,7 +421,8 @@ object EventStream {
     * bench-scale state, see [[RocksDbProvider]]).
     */
   private[graft] def drainAvailableNow(frame: DataFrame,
-      stateStoreProvider: Option[String] = None): DataFrame = {
+      stateStoreProvider: Option[String] = None,
+      outputMode: String = "append"): DataFrame = {
     val spark = frame.sparkSession
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
@@ -430,7 +431,9 @@ object EventStream {
       val name = s"graft_drain_${java.lang.System.nanoTime}"
       val chk = java.nio.file.Files.createTempDirectory("graft-drain")
       val q = frame.writeStream
-        .format("memory").queryName(name).outputMode("append")
+        // "complete" for unbounded-lifetime aggregations (the sketch
+        // register files — their state is the OUTPUT, snapshot wholesale)
+        .format("memory").queryName(name).outputMode(outputMode)
         .option("checkpointLocation", chk.toString)
         .trigger(Trigger.AvailableNow())
         .start()
