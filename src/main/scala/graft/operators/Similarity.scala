@@ -689,6 +689,26 @@ object Similarity {
       .where(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
       .localCheckpoint() // one materialization feeds iters+1 scans
+    val (traceMicro, nVec) = quantizedTrace(base, dim)
+    val (p, u) = powerIterate(base, dim, iters)
+    val eig = ((0 until dim).map(j => BigInt(p(j)) * BigInt(u(j))).sum
+      / BigInt(1000000))
+    val share =
+      if (traceMicro > 0) (eig * 10000 / BigInt(traceMicro)).toLong else 0L
+    (0 until dim).map(j => (j.toLong, p(j).toDouble / 1000000.0, u(j)))
+      .toDF("j", "loading_r6", "u_micro")
+      .withColumn("eig_micro", lit(eig.toLong))
+      .withColumn("var_share_bp", lit(share))
+      .withColumn("n_vectors", lit(nVec))
+      .orderBy(col("j"))
+  }
+
+  /** The exact quantized trace ΣᵢΣⱼ floor(xᵢⱼ²·1e6+0.5) and row count of
+    * a (vec_id, xd) frame — the variance denominator [[pcaPower]] and
+    * [[pcaTopR]] share (always measured on the ORIGINAL corpus: each
+    * component's share is of TOTAL variance, not of the deflated rest).
+    */
+  private def quantizedTrace(base: DataFrame, dim: Int): (Long, Long) = {
     val tr = base.select(expr(
       s"""aggregate(transform(sequence(0, ${dim - 1}),
          |  i -> CAST(floor(element_at(xd, i + 1) * element_at(xd, i + 1)
@@ -697,8 +717,18 @@ object Similarity {
       .agg(coalesce(sum(col("ssq")), lit(0L)).as("trace_micro"),
         count(lit(1)).as("n_vectors"))
       .collect().head
-    val traceMicro = tr.getLong(0)
-    val nVec = tr.getLong(1)
+    (tr.getLong(0), tr.getLong(1))
+  }
+
+  /** One quantized power iteration run over a (vec_id, xd) frame — the
+    * shared engine of [[pcaPower]] and every [[pcaTopR]] component:
+    * `iters` rounds of v ← AᵀAv from the fixed 0.125 start, every step
+    * integer-quantized exactly as pcaPower's docstring defines. Returns
+    * (p, u): the 1e6-quantized final iterate and its final exact
+    * integer update vector.
+    */
+  private def powerIterate(base: DataFrame, dim: Int,
+      iters: Int): (Array[Long], Array[Long]) = {
     var v: Array[Double] = Array.fill(dim)(0.125)
     var u: Array[Long] = Array.fill(dim)(0L)
     var p: Array[Long] = v.map(x => math.round(x * 1e6))
@@ -724,15 +754,80 @@ object Similarity {
         v = p.map(_.toDouble / 1000000.0)
       }
     }
-    val eig = ((0 until dim).map(j => BigInt(p(j)) * BigInt(u(j))).sum
-      / BigInt(1000000))
-    val share =
-      if (traceMicro > 0) (eig * 10000 / BigInt(traceMicro)).toLong else 0L
-    (0 until dim).map(j => (j.toLong, p(j).toDouble / 1000000.0, u(j)))
-      .toDF("j", "loading_r6", "u_micro")
-      .withColumn("eig_micro", lit(eig.toLong))
-      .withColumn("var_share_bp", lit(share))
+    (p, u)
+  }
+
+  /** Top-r principal components by DEFLATION over [[pcaPower]]'s
+    * quantized power iteration — the whitening / low-rank-compression
+    * decision needs 2-4 directions, not one: after each component, every
+    * row sheds its projection onto the 1e6-QUANTIZED loading vector
+    *
+    *   x′ⱼ = xⱼ − (dotₙ/1e9)·vⱼ     dotₙ = Σᵢ floor(xᵢ·vᵢ·1e9 + 0.5)
+    *
+    * — the projection coefficient is the same exact-integer nano-dot the
+    * iteration itself uses, and the per-coordinate update is one IEEE
+    * multiply + one subtract on engine-identical inputs, so the deflated
+    * corpus (and therefore every later component) replays bit-for-bit on
+    * any engine; the next component runs the IDENTICAL iteration on x′.
+    *
+    * Output: one row per (component, j) — loading_r6, u_micro, the
+    * per-component Rayleigh eig_micro and its share of TOTAL (original)
+    * variance, plus the ORTHOGONALITY CERTIFICATE: ortho_max_e12 = the
+    * max |Σⱼ pₐ(j)·p_b(j)| over component pairs, an exact BigInt dot of
+    * the quantized loadings in 1e-12 units (a genuinely orthogonal pair
+    * quantized at 6 dp lands ≲ dim·1e6/2 — publishing the number makes
+    * near-parallel "components" from a failed deflation loud).
+    *
+    * Scale shape: r independent pcaPower runs, each ONE corpus scan per
+    * iteration; deflation is one more scan per component; driver state
+    * is r dim-length vectors. The deflated frames localCheckpoint so
+    * component c+1's scans do not recompute c's projection lambda.
+    */
+  def pcaTopR(embs: DataFrame, dim: Int = 64, iters: Int = 6,
+      r: Int = 2): DataFrame = {
+    require(dim >= 1 && iters >= 1 && r >= 1)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    var base = embs
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+      .localCheckpoint()
+    val (traceMicro, nVec) = quantizedTrace(base, dim)
+    val comps = (1 to r).map { c =>
+      val (p, u) = powerIterate(base, dim, iters)
+      if (c < r) {
+        val vq = p.map(_.toDouble / 1000000.0).toSeq
+        base = base.withColumn("vl", typedLit(vq))
+          .withColumn("dn", expr(
+            s"""aggregate(transform(sequence(0, ${dim - 1}),
+               |  i -> CAST(floor(element_at(xd, i + 1) * element_at(vl, i + 1)
+               |    * 1000000000.0 + 0.5) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+          .select(col("vec_id"), expr(
+            s"""transform(sequence(0, ${dim - 1}),
+               |  i -> element_at(xd, i + 1)
+               |    - (CAST(dn AS DOUBLE) / 1000000000.0)
+               |      * element_at(vl, i + 1))""".stripMargin).as("xd"))
+          .localCheckpoint()
+      }
+      (c, p, u)
+    }
+    val orthoMax = (for {
+      a <- comps.indices; b <- (a + 1) until comps.length
+    } yield (0 until dim).map(j =>
+      BigInt(comps(a)._2(j)) * BigInt(comps(b)._2(j))).sum.abs)
+      .foldLeft(BigInt(0))(_ max _)
+    comps.flatMap { case (c, p, u) =>
+      val eig = ((0 until dim).map(j => BigInt(p(j)) * BigInt(u(j))).sum
+        / BigInt(1000000))
+      val share =
+        if (traceMicro > 0) (eig * 10000 / BigInt(traceMicro)).toLong else 0L
+      (0 until dim).map(j => (c.toLong, j.toLong,
+        p(j).toDouble / 1000000.0, u(j), eig.toLong, share))
+    }.toDF("component", "j", "loading_r6", "u_micro", "eig_micro",
+      "var_share_bp")
+      .withColumn("ortho_max_e12", lit(orthoMax.toLong))
       .withColumn("n_vectors", lit(nVec))
-      .orderBy(col("j"))
+      .orderBy(col("component"), col("j"))
   }
 }

@@ -400,4 +400,43 @@ class SimilaritySpec extends SparkSpec {
     // the quantized iterate is the DEFINITION: re-runs are byte-equal
     assert(run().map(_.toString).toSeq == out.map(_.toString).toSeq)
   }
+
+  test("pcaTopR: a planted TWO-axis spectrum is recovered in order with " +
+      "orthogonal loadings and descending variance shares") {
+    import graft.operators.Similarity
+    // axis 0 dominant (amplitude ~6), axis 1 secondary (~2), axis 2/3
+    // noise-free zero: deflation must peel e0 then find e1
+    val planted = (0 until 24).map { i =>
+      val x = Array.fill(4)(0.0f)
+      x(0) = if (i % 2 == 0) 6.0f else -6.0f
+      x(1) = if (i % 3 == 0) 2.0f else -1.0f
+      (i.toLong, x, 0)
+    }.toDF("vec_id", "embedding", "label")
+    def run() = Similarity.pcaTopR(planted, dim = 4, iters = 6, r = 2)
+      .collect()
+    val out = run()
+    assert(out.length == 8) // 2 components x 4 dims
+    val c1 = out.filter(_.getAs[Long]("component") == 1L)
+      .map(r => r.getLong(1) -> r).toMap
+    val c2 = out.filter(_.getAs[Long]("component") == 2L)
+      .map(r => r.getLong(1) -> r).toMap
+    // component 1 is e0, component 2 is e1
+    assert(math.abs(c1(0L).getAs[Double]("loading_r6")) > 0.99,
+      "dominant axis not recovered first")
+    assert(math.abs(c2(1L).getAs[Double]("loading_r6")) > 0.99,
+      "secondary axis not recovered by deflation")
+    assert(math.abs(c2(0L).getAs[Double]("loading_r6")) < 0.05,
+      "component 2 must not re-find the deflated axis")
+    // shares: descending, and together ~all the variance
+    val s1 = c1(0L).getAs[Long]("var_share_bp")
+    val s2 = c2(0L).getAs[Long]("var_share_bp")
+    assert(s1 > s2 && s2 > 0L, s"shares not descending: $s1, $s2")
+    assert(s1 + s2 > 9900L, s"two axes should carry ~all variance: $s1+$s2")
+    // the certificate: quantized loadings orthogonal to ~1e-6 x 1e-6
+    // per coordinate (dim x 1e6/2 ceiling in 1e-12 units)
+    assert(out.head.getAs[Long]("ortho_max_e12") < 4L * 500000L,
+      s"ortho certificate too large: ${out.head.getAs[Long]("ortho_max_e12")}")
+    // deterministic replay, the pcaPower contract
+    assert(run().map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
 }
