@@ -3446,6 +3446,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // §2.45m promoted to a driver-visible row (r15 — the ADDITIVE sketch
+    // class follows q_stream_hll's promotion): the d×w count-min cell
+    // matrix maintained across two staged micro-batches (state bounded
+    // at d·w counters forever; the exactly-once file source is the
+    // dedup gate additive counters need), drained complete, estimates
+    // read through the shared cmsTopKFromCells min-over-rows path with
+    // true counts certified by a batch pass over the same staged bytes.
+    // Oracle = the q_cms_topk replay: additive cells are a pure
+    // function of the row MULTISET, so batching cannot matter.
+    "q_stream_cms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_cmssrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(docs,
+        pmod(col("doc_id"), lit(2L)) === 0L, base)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val cells = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.cmsCellStream(stream, d = 3, w = 2048),
+        outputMode = "complete")
+      val toks = s.read.parquet(base)
+        .select(explode(split(col("text"), " ")).as("token"))
+      graft.operators.Approx.cmsTopKFromCells(cells, toks,
+        d = 3, w = 2048, k = 20)
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -5332,6 +5360,37 @@ object SparkEntry {
     "q_cms_topk" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS true_count FROM tok GROUP BY token),
+        |cells AS (
+        |  SELECT i AS r,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('cms' || CAST(i AS VARCHAR) || ':' || token, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2048 AS b,
+        |    CAST(sum(true_count) AS BIGINT) AS v
+        |  FROM cnt CROSS JOIN range(0, 3) AS t(i)
+        |  GROUP BY r, b),
+        |est AS (
+        |  SELECT c.token, CAST(c.true_count AS BIGINT) AS true_count,
+        |    min(cl.v) AS cms_est
+        |  FROM cnt c CROSS JOIN range(0, 3) AS t(i) JOIN cells cl
+        |    ON cl.r = i AND cl.b =
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split('cms' || CAST(i AS VARCHAR) || ':' || c.token, ''),
+        |          c2 -> CAST(ascii(c2) AS BIGINT))),
+        |        (acc, c2) -> (acc * 257 + c2) % 1000000007) % 2048
+        |  GROUP BY c.token, c.true_count)
+        |SELECT token, true_count, cms_est FROM est
+        |ORDER BY true_count DESC, token ASC LIMIT 20""".stripMargin,
+
+    // the q_cms_topk replay over the streamed row set (doc_id/text
+    // non-null — the staged union): additive cells are a pure function
+    // of the token multiset, so the batch sketch IS the oracle for the
+    // streamed matrix
+    "q_stream_cms" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
         |cnt AS (SELECT token, count(*) AS true_count FROM tok GROUP BY token),
         |cells AS (
         |  SELECT i AS r,

@@ -1047,13 +1047,23 @@ object Approx {
       .agg(sum(col("x.c")).as("v"))
 
   def cmsTopK(docs: DataFrame, d: Int, w: Int, k: Int): DataFrame = {
-    val bucket = (r: Int, t: Column) => cmsBucket(r, t, w)
     val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    cmsTopKFromCells(cmsCells(toks, d, w), toks, d, w, k)
+  }
+
+  /** The top-k read path of [[cmsTopK]] over an ALREADY-BUILT (r, b, v)
+    * cell matrix — shared with the STREAMED cell build (the registered
+    * q_stream_cms row): true counts from a batch pass certify the
+    * min-over-rows estimates read from whichever sketch the caller
+    * maintains, so a streamed matrix and the batch matrix can never
+    * estimate through different arithmetic. */
+  private[graft] def cmsTopKFromCells(cells: DataFrame, toks: DataFrame,
+      d: Int, w: Int, k: Int): DataFrame = {
     val cnt = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
-    val cells = cmsCells(toks, d, w)
     cnt
       .select(col("token"), col("true_count"),
-        posexplode(array((0 until d).map(r => bucket(r, col("token"))): _*))
+        posexplode(array((0 until d).map(r =>
+          cmsBucket(r, col("token"), w)): _*))
           .as(Seq("r", "b")))
       .join(broadcast(cells), Seq("r", "b"))
       .groupBy(col("token"), col("true_count"))
