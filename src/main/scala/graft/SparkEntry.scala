@@ -3474,6 +3474,51 @@ object SparkEntry {
         d = 3, w = 2048, k = 20)
     }),
 
+    // §2.45r promoted to a driver-visible row (r15 — the BOTTOM-K sketch
+    // class follows hll/cms; streaming rows now NINE): the per-(group,
+    // day) bottom-128 quantile state folds arrivals via
+    // flatMapGroupsWithState across two staged micro-batches, each
+    // touched batch re-emitting its refreshed ranked state; the final
+    // state re-derives EXACTLY from the emission log by the bottom-k
+    // law (a row in bottom-k of the total is never evicted and entered
+    // state on arrival, so bottom-k(emitted) == bottom-k(seen) —
+    // EventStreamSpec proves final-state equality with the batch
+    // build), and n_day certifies from a batch count over the same
+    // staged bytes. Oracle = the q_quantile_sketch row-for-row replay.
+    "q_stream_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isNotNull && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_qsksrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val rows = stream.select(col("event_type").as("g"),
+        col("ts").cast("date").cast("string").as("day"),
+        graft.operators.Approx.quantileSketchHash(col("event_id")).as("hk"),
+        col("event_id").cast("long").as("id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      val emitted = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.quantileStateStream(rows, k = 128))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"), col("day")).orderBy(col("hk"), col("id"))
+      val st = emitted.select(col("g"), col("day"), col("hk"), col("id"),
+        col("v")).distinct()
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 128)
+      val n = s.read.parquet(base).groupBy(col("event_type").as("g"),
+        col("ts").cast("date").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_day"))
+      st.join(broadcast(n), Seq("g", "day"))
+        .select(col("g"), col("day"), col("rk"), col("hk"), col("id"),
+          col("v"), col("n_day"))
+        .orderBy(col("g"), col("day"), col("rk"))
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -6496,6 +6541,38 @@ object SparkEntry {
          |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
          |  FROM events
          |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |n AS (
+         |  SELECT g, day, CAST(count(*) AS BIGINT) AS n_day
+         |  FROM e GROUP BY 1, 2),
+         |r AS (
+         |  SELECT g, day, hk, id, v,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY g, day ORDER BY hk, id) AS BIGINT) AS rk
+         |  FROM e)
+         |SELECT r.g, r.day, r.rk, r.hk, r.id, r.v, n.n_day
+         |FROM r JOIN n USING (g, day) WHERE r.rk <= 128
+         |ORDER BY g, day, rk""".stripMargin
+    },
+
+    // the q_quantile_sketch row-for-row replay over the streamed row
+    // set (ts additionally non-null — the staging split needs it; day
+    // as VARCHAR, the stream's state key type): bottom-k state is a
+    // pure function of the row SET, so the batch build IS the oracle
+    "q_stream_quantile" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type AS g,
+         |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |    event_id AS id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         |    ${md5bits("'qsk:' || CAST(event_id AS VARCHAR)")} AS hk
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+         |    AND ts IS NOT NULL),
          |n AS (
          |  SELECT g, day, CAST(count(*) AS BIGINT) AS n_day
          |  FROM e GROUP BY 1, 2),
