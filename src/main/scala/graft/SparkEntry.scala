@@ -1226,6 +1226,17 @@ object SparkEntry {
       Similarity.pcaTopR(Tables.embeddings(s, dir), dim = 64, iters = 6,
         r = 2)),
 
+    // §2.21m3 — the whitening TRANSFORM the decomposition informs (r15):
+    // per vector the exact nano-dot onto each quantized top-2 loading,
+    // scaled to unit variance by sqrt(n·1e6/eig) in one IEEE chain on
+    // exact integer inputs — whitened coords a trainer dedups/filters/
+    // bins on with every direction equally weighted; derivation scans
+    // bounded, the transform itself ONE corpus scan with plan-literal
+    // vectors (no shuffle, no state)
+    "q_whiten" -> ((s, dir) =>
+      Similarity.pcaWhiten(Tables.embeddings(s, dir), dim = 64, iters = 6,
+        r = 2)),
+
     // §2.21h — JL sign random projection: 64 -> 8 dims as 8 native fdot
     // columns against plan-literal sign vectors derived from the portable
     // fold; scan-speed, zero shuffle, engine-replayable
@@ -4626,83 +4637,7 @@ object SparkEntry {
     // then the identical six unrolled rounds run on it; the exact
     // HUGEINT loading-pair dot replays the orthogonality certificate
     "q_pca_topr" -> {
-      val dim = 64
-      def iter(c: Int, t: Int) =
-        s"""d${c}_$t AS (
-           |  SELECT e.vec_id,
-           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
-           |      i -> CAST(floor(e.xd[i]
-           |        * vl.vl[i] * 1000000000.0 + 0.5) AS BIGINT)))
-           |      AS BIGINT) AS dn
-           |  FROM base$c e CROSS JOIN vlist${c}_${t - 1} vl),
-           |u${c}_$t AS (
-           |  SELECT g.j,
-           |    CAST(sum(CAST(floor(e.xd[g.j + 1]
-           |      * (CAST(d.dn AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
-           |      AS BIGINT)) AS BIGINT) AS u
-           |  FROM base$c e JOIN d${c}_$t d ON e.vec_id = d.vec_id,
-           |    range(0, $dim) AS g(j)
-           |  GROUP BY g.j),
-           |nrm${c}_$t AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * u)
-           |    AS DOUBLE)) AS nm FROM u${c}_$t),
-           |v${c}_$t AS (SELECT j,
-           |    floor(CAST(u AS DOUBLE) / nm * 1000000.0 + 0.5) / 1000000.0
-           |      AS val
-           |  FROM u${c}_$t CROSS JOIN nrm${c}_$t),
-           |vlist${c}_$t AS (SELECT list(val ORDER BY j) AS vl
-           |  FROM v${c}_$t)""".stripMargin
-      def component(c: Int) =
-        s"""v${c}_0 AS (SELECT CAST(g.j AS BIGINT) AS j,
-           |    CAST(0.125 AS DOUBLE) AS val
-           |  FROM range(0, $dim) AS g(j)),
-           |vlist${c}_0 AS (SELECT list(val ORDER BY j) AS vl FROM v${c}_0),
-           |${(1 to 6).map(t => iter(c, t)).mkString(",\n")},
-           |p$c AS MATERIALIZED (SELECT j,
-           |    CAST(floor(CAST(u AS DOUBLE) / nm * 1000000.0 + 0.5) AS BIGINT)
-           |      AS p, u
-           |  FROM u${c}_6 CROSS JOIN nrm${c}_6),
-           |plist$c AS MATERIALIZED (
-           |  SELECT list(CAST(p AS DOUBLE) / 1000000.0 ORDER BY j) AS vl
-           |  FROM p$c),
-           |eig$c AS (SELECT CAST(sum(CAST(p AS HUGEINT) * u) // 1000000
-           |    AS BIGINT) AS eig_micro FROM p$c),
-           |comp$c AS (
-           |  SELECT CAST($c AS BIGINT) AS component, p.j,
-           |    CAST(p.p AS DOUBLE) / 1000000.0 AS loading_r6,
-           |    p.u AS u_micro, e.eig_micro,
-           |    CASE WHEN tr.trace_micro > 0
-           |      THEN CAST((CAST(e.eig_micro AS HUGEINT) * 10000)
-           |        // tr.trace_micro AS BIGINT) ELSE 0 END AS var_share_bp
-           |  FROM p$c p CROSS JOIN eig$c e CROSS JOIN tr)""".stripMargin
-      def deflate(c: Int) =
-        s"""pd$c AS (
-           |  SELECT e.vec_id,
-           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
-           |      i -> CAST(floor(e.xd[i]
-           |        * pl.vl[i] * 1000000000.0 + 0.5) AS BIGINT)))
-           |      AS BIGINT) AS dn
-           |  FROM base$c e CROSS JOIN plist$c pl),
-           |base${c + 1} AS MATERIALIZED (
-           |  SELECT e.vec_id,
-           |    list_transform(range(1, ${dim + 1}),
-           |      i -> e.xd[i] - (CAST(d.dn AS DOUBLE) / 1000000000.0)
-           |        * pl.vl[i]) AS xd
-           |  FROM base$c e JOIN pd$c d ON e.vec_id = d.vec_id
-           |  CROSS JOIN plist$c pl)""".stripMargin
-      s"""WITH base1 AS MATERIALIZED (
-         |  SELECT vec_id, list_transform(range(1, ${dim + 1}),
-         |    i -> CAST(embedding[i] AS DOUBLE)) AS xd
-         |  FROM embeddings
-         |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
-         |tr AS (
-         |  SELECT CAST(coalesce(sum(ssq), 0) AS BIGINT) AS trace_micro,
-         |    CAST(count(*) AS BIGINT) AS n_vectors
-         |  FROM (SELECT CAST(list_sum(list_transform(range(1, ${dim + 1}),
-         |      i -> CAST(floor(xd[i] * xd[i] * 1000000.0 + 0.5)
-         |        AS BIGINT))) AS BIGINT) AS ssq FROM base1)),
-         |${component(1)},
-         |${deflate(1)},
-         |${component(2)},
+      s"""WITH $pcaTwoComponentCtes,
          |ortho AS (
          |  SELECT CAST(abs(sum(CAST(a.p AS HUGEINT) * b.p)) AS BIGINT)
          |    AS ortho_max_e12
@@ -4712,6 +4647,33 @@ object SparkEntry {
          |FROM (SELECT * FROM comp1 UNION ALL SELECT * FROM comp2) c
          |CROSS JOIN ortho o CROSS JOIN tr
          |ORDER BY c.component, c.j""".stripMargin
+    },
+
+    // the SAME two-component chain, read as the whitening transform:
+    // per vector the exact nano-dot onto each quantized loading, scaled
+    // by sqrt(n·1e6/eig) in one IEEE chain on exact integer inputs
+    "q_whiten" -> {
+      def w(c: Int) =
+        s"""CASE WHEN e$c.eig_micro > 0 THEN
+           |    CAST(floor(CAST(wd.dn$c AS DOUBLE) / 1000000000.0
+           |      * sqrt(CAST(tr.n_vectors AS DOUBLE) * 1000000.0
+           |        / CAST(e$c.eig_micro AS DOUBLE))
+           |      * 1000000.0 + 0.5) AS BIGINT) END AS w${c}_micro""".stripMargin
+      s"""WITH $pcaTwoComponentCtes,
+         |wd AS (
+         |  SELECT e.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(floor(e.xd[i] * p1l.vl[i] * 1000000000.0 + 0.5)
+         |        AS BIGINT))) AS BIGINT) AS dn1,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(floor(e.xd[i] * p2l.vl[i] * 1000000000.0 + 0.5)
+         |        AS BIGINT))) AS BIGINT) AS dn2
+         |  FROM base1 e CROSS JOIN plist1 p1l CROSS JOIN plist2 p2l)
+         |SELECT wd.vec_id, wd.dn1 AS c1_nano, wd.dn2 AS c2_nano,
+         |  ${w(1)},
+         |  ${w(2)}
+         |FROM wd CROSS JOIN eig1 e1 CROSS JOIN eig2 e2 CROSS JOIN tr
+         |ORDER BY wd.vec_id""".stripMargin
     },
 
     "q_ann_topk" ->
@@ -9515,6 +9477,94 @@ object SparkEntry {
     * as the scoring stage of q_ppl_buckets, so the two can never desync
     * on the model formula.
     */
+  /** The shared two-component PCA oracle chain — base1/tr + six
+    * unrolled quantized iteration blocks per component + the nano-dot
+    * deflation between them — ONE builder consumed by both the
+    * q_pca_topr and q_whiten oracles, so the whitening transform can
+    * never replay different directions than the published
+    * decomposition. Exposes base1, tr, p1/p2, plist1/plist2,
+    * eig1/eig2, comp1/comp2 to the consuming query.
+    */
+  private lazy val pcaTwoComponentCtes: String = {
+    val dim = 64
+    def iter(c: Int, t: Int) =
+        s"""d${c}_$t AS (
+           |  SELECT e.vec_id,
+           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> CAST(floor(e.xd[i]
+           |        * vl.vl[i] * 1000000000.0 + 0.5) AS BIGINT)))
+           |      AS BIGINT) AS dn
+           |  FROM base$c e CROSS JOIN vlist${c}_${t - 1} vl),
+           |u${c}_$t AS (
+           |  SELECT g.j,
+           |    CAST(sum(CAST(floor(e.xd[g.j + 1]
+           |      * (CAST(d.dn AS DOUBLE) / 1000000000.0) * 1000000.0 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS u
+           |  FROM base$c e JOIN d${c}_$t d ON e.vec_id = d.vec_id,
+           |    range(0, $dim) AS g(j)
+           |  GROUP BY g.j),
+           |nrm${c}_$t AS (SELECT sqrt(CAST(sum(CAST(u AS HUGEINT) * u)
+           |    AS DOUBLE)) AS nm FROM u${c}_$t),
+           |v${c}_$t AS (SELECT j,
+           |    floor(CAST(u AS DOUBLE) / nm * 1000000.0 + 0.5) / 1000000.0
+           |      AS val
+           |  FROM u${c}_$t CROSS JOIN nrm${c}_$t),
+           |vlist${c}_$t AS (SELECT list(val ORDER BY j) AS vl
+           |  FROM v${c}_$t)""".stripMargin
+    def component(c: Int) =
+        s"""v${c}_0 AS (SELECT CAST(g.j AS BIGINT) AS j,
+           |    CAST(0.125 AS DOUBLE) AS val
+           |  FROM range(0, $dim) AS g(j)),
+           |vlist${c}_0 AS (SELECT list(val ORDER BY j) AS vl FROM v${c}_0),
+           |${(1 to 6).map(t => iter(c, t)).mkString(",\n")},
+           |p$c AS MATERIALIZED (SELECT j,
+           |    CAST(floor(CAST(u AS DOUBLE) / nm * 1000000.0 + 0.5) AS BIGINT)
+           |      AS p, u
+           |  FROM u${c}_6 CROSS JOIN nrm${c}_6),
+           |plist$c AS MATERIALIZED (
+           |  SELECT list(CAST(p AS DOUBLE) / 1000000.0 ORDER BY j) AS vl
+           |  FROM p$c),
+           |eig$c AS (SELECT CAST(sum(CAST(p AS HUGEINT) * u) // 1000000
+           |    AS BIGINT) AS eig_micro FROM p$c),
+           |comp$c AS (
+           |  SELECT CAST($c AS BIGINT) AS component, p.j,
+           |    CAST(p.p AS DOUBLE) / 1000000.0 AS loading_r6,
+           |    p.u AS u_micro, e.eig_micro,
+           |    CASE WHEN tr.trace_micro > 0
+           |      THEN CAST((CAST(e.eig_micro AS HUGEINT) * 10000)
+           |        // tr.trace_micro AS BIGINT) ELSE 0 END AS var_share_bp
+           |  FROM p$c p CROSS JOIN eig$c e CROSS JOIN tr)""".stripMargin
+    def deflate(c: Int) =
+        s"""pd$c AS (
+           |  SELECT e.vec_id,
+           |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+           |      i -> CAST(floor(e.xd[i]
+           |        * pl.vl[i] * 1000000000.0 + 0.5) AS BIGINT)))
+           |      AS BIGINT) AS dn
+           |  FROM base$c e CROSS JOIN plist$c pl),
+           |base${c + 1} AS MATERIALIZED (
+           |  SELECT e.vec_id,
+           |    list_transform(range(1, ${dim + 1}),
+           |      i -> e.xd[i] - (CAST(d.dn AS DOUBLE) / 1000000000.0)
+           |        * pl.vl[i]) AS xd
+           |  FROM base$c e JOIN pd$c d ON e.vec_id = d.vec_id
+           |  CROSS JOIN plist$c pl)""".stripMargin
+    s"""base1 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${dim + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE)) AS xd
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |tr AS (
+       |  SELECT CAST(coalesce(sum(ssq), 0) AS BIGINT) AS trace_micro,
+       |    CAST(count(*) AS BIGINT) AS n_vectors
+       |  FROM (SELECT CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> CAST(floor(xd[i] * xd[i] * 1000000.0 + 0.5)
+       |        AS BIGINT))) AS BIGINT) AS ssq FROM base1)),
+       |${component(1)},
+       |${deflate(1)},
+       |${component(2)}""".stripMargin
+  }
+
   /** The shared CTE prefix behind the q_nb_auc / q_nb_pr oracles:
     * replays the q_nb_quality training chain (markers additionally
     * planted on the %5==2 eval-junk slice), scores the held-out eval

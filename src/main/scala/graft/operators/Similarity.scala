@@ -785,9 +785,40 @@ object Similarity {
     */
   def pcaTopR(embs: DataFrame, dim: Int = 64, iters: Int = 6,
       r: Int = 2): DataFrame = {
-    require(dim >= 1 && iters >= 1 && r >= 1)
     val spark = embs.sparkSession
     import spark.implicits._
+    val (comps, traceMicro, nVec) = pcaComponents(embs, dim, iters, r)
+    val orthoMax = (for {
+      a <- comps.indices; b <- (a + 1) until comps.length
+    } yield (0 until dim).map(j =>
+      BigInt(comps(a)._2(j)) * BigInt(comps(b)._2(j))).sum.abs)
+      .foldLeft(BigInt(0))(_ max _)
+    comps.flatMap { case (c, p, u) =>
+      val eig = pcaEig(p, u)
+      val share =
+        if (traceMicro > 0) (eig * 10000 / BigInt(traceMicro)).toLong else 0L
+      (0 until dim).map(j => (c.toLong, j.toLong,
+        p(j).toDouble / 1000000.0, u(j), eig.toLong, share))
+    }.toDF("component", "j", "loading_r6", "u_micro", "eig_micro",
+      "var_share_bp")
+      .withColumn("ortho_max_e12", lit(orthoMax.toLong))
+      .withColumn("n_vectors", lit(nVec))
+      .orderBy(col("component"), col("j"))
+  }
+
+  /** The Rayleigh eigenvalue in micro-units off a (p, u) pair — one
+    * definition shared by [[pcaTopR]] and [[pcaWhiten]]. */
+  private def pcaEig(p: Array[Long], u: Array[Long]): BigInt =
+    (p.indices.map(j => BigInt(p(j)) * BigInt(u(j))).sum / BigInt(1000000))
+
+  /** The component-derivation engine behind [[pcaTopR]] and
+    * [[pcaWhiten]]: r (p, u) pairs by quantized power iteration +
+    * deflation, plus the original-corpus trace and row count. One
+    * definition so the transform can never derive different directions
+    * than the published decomposition. */
+  private def pcaComponents(embs: DataFrame, dim: Int, iters: Int,
+      r: Int): (Seq[(Int, Array[Long], Array[Long])], Long, Long) = {
+    require(dim >= 1 && iters >= 1 && r >= 1)
     var base = embs
       .where(col("embedding").isNotNull && size(col("embedding")) === dim)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
@@ -812,22 +843,61 @@ object Similarity {
       }
       (c, p, u)
     }
-    val orthoMax = (for {
-      a <- comps.indices; b <- (a + 1) until comps.length
-    } yield (0 until dim).map(j =>
-      BigInt(comps(a)._2(j)) * BigInt(comps(b)._2(j))).sum.abs)
-      .foldLeft(BigInt(0))(_ max _)
-    comps.flatMap { case (c, p, u) =>
-      val eig = ((0 until dim).map(j => BigInt(p(j)) * BigInt(u(j))).sum
-        / BigInt(1000000))
-      val share =
-        if (traceMicro > 0) (eig * 10000 / BigInt(traceMicro)).toLong else 0L
-      (0 until dim).map(j => (c.toLong, j.toLong,
-        p(j).toDouble / 1000000.0, u(j), eig.toLong, share))
-    }.toDF("component", "j", "loading_r6", "u_micro", "eig_micro",
-      "var_share_bp")
-      .withColumn("ortho_max_e12", lit(orthoMax.toLong))
-      .withColumn("n_vectors", lit(nVec))
-      .orderBy(col("component"), col("j"))
+    (comps, traceMicro, nVec)
+  }
+
+  /** PCA WHITENING transform — the decision [[pcaTopR]] informs,
+    * executed: every vector's coordinates in the top-r principal
+    * directions, scaled to unit variance,
+    *
+    *   w_c = (x·v_c) · sqrt(n / λ_c)       λ_c = eig_c/1e6
+    *
+    * with x·v_c the same exact nano-unit integer dot the iteration
+    * uses (against the ORIGINAL vector — the quantized components are
+    * orthogonal to ~1e-6, certified by pcaTopR's ortho column, so
+    * projecting the original equals projecting the residual to the
+    * publication grid), and the scale ONE double chain (divide, sqrt,
+    * multiply — IEEE-exact-rounded on exact integer inputs, so both
+    * engines produce the identical 6-dp w). NULL w for a component
+    * with non-positive eigenvalue (nothing to whiten along).
+    *
+    * Output: one row per vector — vec_id, c{1..r}_nano (the raw
+    * projection dots), w{1..r}_micro (whitened coords). Downstream: a
+    * trainer dedups/filters/bins on whitened coords with every
+    * direction equally weighted.
+    *
+    * Scale shape: the derivation is [[pcaComponents]]'s r·iters+r
+    * bounded scans; the transform itself is ONE corpus scan with r
+    * plan-literal vectors — no shuffle, no state.
+    */
+  def pcaWhiten(embs: DataFrame, dim: Int = 64, iters: Int = 6,
+      r: Int = 2): DataFrame = {
+    val (comps, _, nVec) = pcaComponents(embs, dim, iters, r)
+    val base = embs
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("xd"))
+    val withDots = comps.foldLeft(base) { case (df, (c, p, _)) =>
+      val vq = p.map(_.toDouble / 1000000.0).toSeq
+      df.withColumn(s"vl$c", typedLit(vq))
+        .withColumn(s"c${c}_nano", expr(
+          s"""aggregate(transform(sequence(0, ${dim - 1}),
+             |  i -> CAST(floor(element_at(xd, i + 1) * element_at(vl$c, i + 1)
+             |    * 1000000000.0 + 0.5) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin))
+    }
+    val out = comps.foldLeft(withDots) { case (df, (c, p, u)) =>
+      val eig = pcaEig(p, u).toLong
+      df.withColumn(s"w${c}_micro",
+        if (eig > 0L)
+          expr(s"""CAST(floor(CAST(c${c}_nano AS DOUBLE) / 1000000000.0
+                  |  * sqrt(CAST($nVec AS DOUBLE) * 1000000.0
+                  |    / CAST($eig AS DOUBLE))
+                  |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin)
+        else lit(null).cast("long"))
+    }
+    out.select(col("vec_id") +:
+      comps.map { case (c, _, _) => col(s"c${c}_nano") } ++:
+      comps.map { case (c, _, _) => col(s"w${c}_micro") }: _*)
+      .orderBy(col("vec_id"))
   }
 }
