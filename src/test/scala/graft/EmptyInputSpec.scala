@@ -243,4 +243,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.pcaPower(emptyVecs, dim = 4, iters = 2)
       .count() == 4) // the start vector survives; zero updates
   }
+
+  test("r15 additions tolerate empty inputs") {
+    val emptyEv = Seq.empty[(java.sql.Timestamp, Double, Long, String)]
+      .toDF("ts", "value", "user_id", "event_type")
+    // no partitions -> nothing missing -> an empty plan, not a crash
+    assert(Etl.backfillPlan(emptyEv, "event_type", "ts", batchDays = 3)
+      .count() == 0)
+    // top-r on an empty corpus: r x dim start-vector rows, zero-eig
+    // components with NULL-free integer columns
+    val topr = Similarity.pcaTopR(emptyVecs, dim = 4, iters = 2, r = 2)
+      .collect()
+    assert(topr.length == 8)
+    assert(topr.forall(_.getAs[Long]("eig_micro") == 0L))
+    // whitening an empty corpus: no rows out (eig = 0 -> NULL scale
+    // never divides by zero because there are no rows to scale)
+    assert(Similarity.pcaWhiten(emptyVecs, dim = 4, iters = 2, r = 2)
+      .count() == 0)
+  }
 }
