@@ -3772,6 +3772,18 @@ object SparkEntry {
         "err_us", "click_us", tolerance = 3600000000L)
     }),
 
+    // §2.24h promoted to a driver-visible row (r15): the deterministic
+    // LENGTH-BUCKETED packing plan — packGreedy stays the honest
+    // per-partition imperative path, this is the engine-replayable
+    // strategy a 100 TB run schedules: bit-length classes, fixed
+    // per-class capacity (hard cap total <= maxTokens BY CONSTRUCTION,
+    // certified per bin), salted-fold sharding so no window partition
+    // is corpus-sized, order-free member fingerprints for resume
+    "q_pack_plan" -> ((s, dir) =>
+      graft.operators.Packing.packPlanBucketed(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        maxTokens = 256L, shards = 4)),
+
     // §2.33 — token counting: whitespace + BPE-ish pre-tokenizer regex
     "q_token_count" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -9135,6 +9147,46 @@ object SparkEntry {
         |    AS click_value
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.err_us >= c.click_us""".stripMargin,
+
+    // bit-length classes + base-257 fold shards + fixed-capacity
+    // row_number DIV bins + order-free md5 member fingerprints replayed
+    "q_pack_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('pack:' || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 4 AS BIGINT)
+        |      AS shard
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CASE WHEN n_tokens > 256 THEN CAST(-1 AS BIGINT)
+        |         ELSE CAST(length(bin(n_tokens)) AS BIGINT) END AS cls
+        |  FROM t),
+        |c2 AS (
+        |  SELECT *, CASE WHEN cls = -1 THEN CAST(1 AS BIGINT)
+        |    ELSE greatest(CAST(1 AS BIGINT),
+        |      256 // (CAST(1 AS BIGINT) << CAST(cls AS INT))) END AS cap
+        |  FROM c),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY cls, shard ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM c2),
+        |g AS (
+        |  SELECT cls, shard, (rn - 1) // cap AS bin_idx,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |      AS members_fp
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT 'c' || CAST(cls AS VARCHAR) || ':' || CAST(shard AS VARCHAR)
+        |    || ':' || CAST(bin_idx AS VARCHAR) AS bin_id,
+        |  cls, n_docs, total_tokens,
+        |  (total_tokens * 10000) // 256 AS fill_bp,
+        |  total_tokens <= 256 AS within_cap, members_fp
+        |FROM g ORDER BY bin_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -107,4 +107,66 @@ object Packing {
           .as("fill_bp"), col("files_fp"))
       .orderBy(col("bin"))
   }
+
+  /** Deterministic LENGTH-BUCKETED packing PLAN — the engine-replayable
+    * twin of [[packGreedy]] (which is honest per-partition imperative
+    * state and therefore depends on the caller's partitioning): docs
+    * bucket by token-count BIT LENGTH (class k holds 2^(k−1) < n ≤ 2^k,
+    * the q_degree_hist boundary-exact log2), and within a (class, shard)
+    * cell a fixed capacity of maxTokens DIV 2^k docs per bin — every
+    * member is ≤ 2^k tokens, so the HARD CAP total ≤ maxTokens holds by
+    * construction (certified per bin in `within_cap`), with fill ≥ ~50%
+    * per class (each member is > half its class upper). Docs longer
+    * than maxTokens land in class −1 as singleton bins, flagged for the
+    * caller to window first (TextAnalysis.tokenWindows).
+    *
+    * Determinism: the shard is the salted portable fold (the splits-and-
+    * buckets rule), the within-cell order is doc_id, and the bin index
+    * is a row_number DIV — no partition-order dependence anywhere, so
+    * the full plan (including each bin's order-free member fingerprint,
+    * the compactionPlan resume idiom) replays on any engine.
+    *
+    * Scale shape: ONE token-count scan, then the row_number windows run
+    * per (class, shard) — sharding bounds every window partition at
+    * |docs| / (classes·shards), no single-reducer global sort (bins
+    * never span shards, so parallel packing costs only the fill lost to
+    * ≤ shards−1 partial bins per class). Output is |bins| rows.
+    */
+  def packPlanBucketed(docs: DataFrame, maxTokens: Long,
+      shards: Int = 4): DataFrame = {
+    require(maxTokens > 0 && shards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val toks = docs
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val classed = toks
+      .withColumn("cls", when(col("n_tokens") > maxTokens, lit(-1L))
+        .otherwise(length(bin(col("n_tokens"))).cast("long")))
+      .withColumn("shard", pmod(rollingHash(
+        concat(lit("pack:"), col("doc_id").cast("string"))), lit(shards))
+        .cast("long"))
+      .withColumn("cap", when(col("cls") === -1L, lit(1L))
+        .otherwise(greatest(lit(1L),
+          expr(s"$maxTokens DIV shiftleft(CAST(1 AS BIGINT), CAST(cls AS INT))"))))
+    val w = Window.partitionBy(col("cls"), col("shard"))
+      .orderBy(col("doc_id"))
+    classed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin_idx", expr("(rn - 1) DIV cap"))
+      .groupBy(col("cls"), col("shard"), col("bin_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+          .as("members_fp"))
+      .select(
+        concat(lit("c"), col("cls"), lit(":"), col("shard"), lit(":"),
+          col("bin_idx")).as("bin_id"),
+        col("cls"), col("n_docs"), col("total_tokens"),
+        expr(s"total_tokens * 10000 DIV $maxTokens").as("fill_bp"),
+        (col("total_tokens") <= maxTokens).as("within_cap"),
+        col("members_fp"))
+      .orderBy(col("bin_id"))
+  }
 }

@@ -89,4 +89,38 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(again == first)
   }
+
+  test("packPlanBucketed: hard cap by construction, oversize singletons, " +
+      "conservation, determinism") {
+    import spark.implicits._
+    // lengths 10 (cls 4, cap 16), 60 (cls 6, cap 4), 200 (cls 8, cap 1),
+    // 300 (> 256 -> cls -1 singleton). Text with n spaces-1 words.
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val docs = ((1L to 40L).map(d => doc(d, 10)) ++
+      (101L to 110L).map(d => doc(d, 60)) ++
+      Seq(doc(201L, 200), doc(202L, 300))).toDF("doc_id", "text")
+    val out = Packing.packPlanBucketed(docs, maxTokens = 256L, shards = 2)
+      .collect()
+    // conservation: every doc is in exactly one bin
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 52L)
+    // the hard cap holds for every in-range class BY CONSTRUCTION
+    val inRange = out.filter(_.getAs[Long]("cls") != -1L)
+    assert(inRange.forall(_.getAs[Boolean]("within_cap")))
+    // oversize doc 202 is a singleton in class -1, flagged not capped
+    val over = out.filter(_.getAs[Long]("cls") == -1L)
+    assert(over.length == 1 && over.head.getAs[Long]("n_docs") == 1L &&
+      !over.head.getAs[Boolean]("within_cap"))
+    // class capacities: 10-token docs (cls 4) pack up to 16 per bin
+    val cls4 = out.filter(_.getAs[Long]("cls") == 4L)
+    assert(cls4.forall(_.getAs[Long]("n_docs") <= 16L))
+    assert(cls4.map(_.getAs[Long]("n_docs")).sum == 40L)
+    // 60-token docs (cls 6) pack up to 4 per bin
+    val cls6 = out.filter(_.getAs[Long]("cls") == 6L)
+    assert(cls6.forall(_.getAs[Long]("n_docs") <= 4L) &&
+      cls6.map(_.getAs[Long]("n_docs")).sum == 10L)
+    // deterministic plan incl. member fingerprints
+    val again = Packing.packPlanBucketed(docs, 256L, shards = 2).collect()
+    assert(again.map(_.toString).sorted.sameElements(
+      out.map(_.toString).sorted))
+  }
 }
