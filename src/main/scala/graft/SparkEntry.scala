@@ -2230,6 +2230,16 @@ object SparkEntry {
     "q_kmv_overlap" -> ((s, dir) =>
       graft.operators.Approx.kmvOverlap(Tables.events(s, dir), "event_type", "user_id")),
 
+    // §2.43e4 — HLL register SET OPS (r15): per-pair |A∪B| off the
+    // max-merged register file (max-merge IS the union law) and |A∩B|
+    // by inclusion–exclusion, both certified against the exact
+    // distinct-join truth — the audience-overlap path when only the
+    // q_hll_counts register files are stored (KMV needs the bottom-k
+    // value sets; this needs nothing beyond the registers)
+    "q_hll_overlap" -> ((s, dir) =>
+      graft.operators.Approx.hllOverlap(Tables.events(s, dir),
+        "event_type", "user_id")),
+
     // §2.43e2 — KMV set DIFFERENCE (r12, the third theta-sketch set op):
     // |A\B| and |B\A| per event-type pair from the bottom-64 sketches
     // alone — one-sided membership shares of the merged bottom-kk scale
@@ -5938,6 +5948,78 @@ object SparkEntry {
          |  CAST(round(abs(hll_est - CAST(n_exact AS DOUBLE))
          |    / CAST(n_exact AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
          |FROM e2 ORDER BY event_type""".stripMargin
+    },
+
+    // per-type register replay + the pair cross + max-merged union
+    // registers + inclusion–exclusion, certified against the exact
+    // distinct self-join
+    "q_hll_overlap" -> {
+      def md5bits(salted: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split(substring(md5($salted), 1, 13), ''),
+           |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           |      (acc, c) -> acc * 16 + c)""".stripMargin
+      def est =
+        s"""round(CASE WHEN CAST('3.3194137200059597e+18' AS DOUBLE)
+           |      / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE)
+           |      <= 1280.0 AND (512 - npres) > 0
+           |    THEN CAST(512 AS DOUBLE)
+           |      * ln(CAST(512 AS DOUBLE) / CAST(512 - npres AS DOUBLE))
+           |    ELSE CAST('3.3194137200059597e+18' AS DOUBLE)
+           |      / CAST(sp + (512 - npres) * 17592186044416 AS DOUBLE)
+           |    END, 2)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type AS g, user_id AS v FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |h AS (SELECT g, ${md5bits("'hll:' || CAST(v AS VARCHAR)")} AS hc
+         |  FROM d),
+         |r AS (
+         |  SELECT g, hc % 512 AS idx,
+         |    CASE WHEN hc // 512 = 0 THEN 44
+         |         ELSE 44 - length(bin(hc // 512)) END AS rho
+         |  FROM h),
+         |reg AS (
+         |  SELECT g, idx, max(rho) AS mx, CAST(count(*) AS BIGINT) AS nv
+         |  FROM r GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS npres,
+         |    CAST(sum(nv) AS BIGINT) AS n_exact,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - mx AS INT)) AS BIGINT)
+         |      AS sp
+         |  FROM reg GROUP BY 1),
+         |e AS (SELECT g, n_exact, $est AS est FROM agg),
+         |pairs AS (
+         |  SELECT a.g AS ga, a.n_exact AS n_a, a.est AS est_a,
+         |    b.g AS gb, b.n_exact AS n_b, b.est AS est_b
+         |  FROM e a CROSS JOIN e b WHERE a.g < b.g),
+         |ureg AS (
+         |  SELECT p.ga, p.gb, rg.idx, max(rg.mx) AS mx
+         |  FROM pairs p JOIN reg rg ON rg.g = p.ga OR rg.g = p.gb
+         |  GROUP BY 1, 2, 3),
+         |uagg AS (
+         |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS npres,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(44 - mx AS INT)) AS BIGINT)
+         |      AS sp
+         |  FROM ureg GROUP BY 1, 2),
+         |ue AS (SELECT ga, gb, $est AS est_union FROM uagg),
+         |ex AS (
+         |  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT)
+         |    AS exact_inter
+         |  FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT p.ga, p.gb, p.n_a, p.n_b,
+         |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+         |  CAST(p.n_a + p.n_b - coalesce(ex.exact_inter, 0) AS BIGINT)
+         |    AS exact_union,
+         |  p.est_a, p.est_b, u.est_union,
+         |  round(p.est_a + p.est_b - u.est_union, 2) AS est_inter,
+         |  CAST(round(abs(u.est_union
+         |      - CAST(p.n_a + p.n_b - coalesce(ex.exact_inter, 0) AS DOUBLE))
+         |    / CAST(p.n_a + p.n_b - coalesce(ex.exact_inter, 0) AS DOUBLE)
+         |    * 10000.0, 0) AS BIGINT) AS err_union_bp
+         |FROM pairs p JOIN ue u USING (ga, gb)
+         |LEFT JOIN ex USING (ga, gb)
+         |ORDER BY p.ga, p.gb""".stripMargin
     },
 
     // the q_hll_counts register replay over the streamed row set (the

@@ -94,6 +94,70 @@ object Approx {
         (hllEstRawCol <= 1280.0 && hllVZeroCol > 0).as("small_range"),
         hllEstimateCol.as("hll_est"))
 
+  /** HLL register SET OPERATIONS — the audience-overlap path when only
+    * register files are stored (the KMV route q_kmv_overlap certifies
+    * needs the bottom-k value sets; THIS one works off the same 512
+    * registers q_hll_counts already maintains): per group pair,
+    * |A∪B| estimated from the MAX-MERGED register file (max-merge is
+    * the sketch's union law — exact, not approximate, at the register
+    * level) and |A∩B| by inclusion–exclusion est_a + est_b − est_union
+    * (the classic HLL intersection: noisy for small overlaps — which
+    * is exactly why the exact certification columns ride along, the
+    * calibration-family contract). err_union_bp certifies the union
+    * estimate against the exact distinct-join truth.
+    *
+    * Scale shape: register files are groups×512 rows forever; the pair
+    * frame is |groups|² bounded; the only data-sized work is the one
+    * distinct (the exact certification side, same as kmvOverlap's).
+    */
+  def hllOverlap(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val regs = hllRegisters(df, groupCol, valueCol)
+      .select(col(groupCol).as("g"), col("idx"), col("mx"), col("nv"))
+      .localCheckpoint() // bounded groups x 512, three consumers
+    val per = regs.groupBy(col("g"))
+      .agg(count(lit(1)).as("npres"), sum(col("nv")).as("n_exact"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
+      .select(col("g"), col("n_exact"), hllEstimateCol.as("est"))
+    val pairs = per.select(col("g").as("ga"), col("n_exact").as("n_a"),
+        col("est").as("est_a"))
+      .crossJoin(broadcast(per.select(col("g").as("gb"),
+        col("n_exact").as("n_b"), col("est").as("est_b"))))
+      .where(col("ga") < col("gb"))
+      .localCheckpoint() // |groups|^2 bounded panel
+    val keys = broadcast(pairs.select(col("ga"), col("gb")))
+    val contrib = regs.join(keys, col("g") === col("ga"))
+        .select(col("ga"), col("gb"), col("idx"), col("mx"))
+      .unionByName(regs.join(keys, col("g") === col("gb"))
+        .select(col("ga"), col("gb"), col("idx"), col("mx")))
+    val uni = contrib.groupBy(col("ga"), col("gb"), col("idx"))
+      .agg(max(col("mx")).as("mx"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("npres"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mx)")).as("sp"))
+      .select(col("ga"), col("gb"), hllEstimateCol.as("est_union"))
+    val d = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .distinct().localCheckpoint() // shared by both exact sides
+    val ex = d.select(col("g").as("ga"), col("v"))
+      .join(d.select(col("g").as("gb"), col("v")), Seq("v"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("exact_inter"))
+    pairs.join(uni, Seq("ga", "gb"))
+      .join(ex, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (col("n_a") + col("n_b") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 2)
+          .as("est_inter"))
+      .withColumn("err_union_bp",
+        round(abs(col("est_union") - col("exact_union").cast("double")) /
+          col("exact_union").cast("double") * 10000.0, 0).cast("long"))
+      .orderBy(col("ga"), col("gb"))
+  }
+
   /** 2^44: the weight of an untouched register (rho ranges 1..44 over the
     * 43-bit field, so `2^(44-rho)` stays integral and `S` fits BIGINT:
     * ≤ 512 * 2^44 < 2^54). */
