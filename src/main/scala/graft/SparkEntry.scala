@@ -3166,6 +3166,15 @@ object SparkEntry {
     // moments (Σcents² in decimal(38,0)), then t and the Welch-
     // Satterthwaite dof evaluate through ONE shared SQL string per
     // statistic — identical on both engines by construction
+    // §2.58g — Kaplan–Meier survival (r15): time-to-purchase per
+    // hash-split arm with honest censoring at the corpus horizon; the
+    // product-limit estimate folds as a truncating-integer recurrence
+    // over the bounded day-span panel (the ewma discipline), replayed
+    // by a recursive-CTE oracle
+    "q_kaplan_meier" -> ((s, dir) =>
+      Analytics.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+        "purchase")),
+
     "q_welch" -> ((s, dir) =>
       Analytics.welchTTest(Tables.events(s, dir), "user_id", "value",
         critT = 1.96)),
@@ -7944,6 +7953,59 @@ object SparkEntry {
     // the same fold assignment, integer chi-square, inlined critical value
     // the SAME welchT / welchDof strings the Spark side evaluates,
     // over the same exact integer moments
+    // per-user entry/conversion days + arm fold + the (arm, duration)
+    // grid, then the product-limit truncating-integer recurrence
+    // replayed duration-by-duration in a recursive CTE (deaths-first
+    // at-risk convention on both engines)
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(day) AS hz FROM e),
+        |pu AS (
+        |  SELECT u, min(day) AS first_day,
+        |    min(CASE WHEN ty = 'purchase' THEN day END) AS conv_day
+        |  FROM e GROUP BY u),
+        |pa AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('km:' || CAST(u AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm,
+        |    conv_day IS NOT NULL AS converted,
+        |    CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+        |      ELSE (SELECT hz FROM h) - first_day END AS BIGINT) AS t
+        |  FROM pu),
+        |grid AS (
+        |  SELECT arm, t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM pa GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT arm, t, d, c,
+        |    CAST(row_number() OVER (PARTITION BY arm ORDER BY t)
+        |      AS BIGINT) AS i,
+        |    CAST(sum(d + c) OVER (PARTITION BY arm) AS BIGINT) AS total
+        |  FROM grid),
+        |rec AS (
+        |  SELECT arm, t, d, c, i, total AS n_risk,
+        |    CASE WHEN total > 0 THEN (1000000 * (total - d)) // total
+        |      ELSE CAST(1000000 AS BIGINT) END AS s,
+        |    total - d - c AS atrisk_next
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.arm, x.t, x.d, x.c, x.i, r.atrisk_next AS n_risk,
+        |    CASE WHEN r.atrisk_next > 0
+        |      THEN (r.s * (r.atrisk_next - x.d)) // r.atrisk_next
+        |      ELSE r.s END,
+        |    r.atrisk_next - x.d - x.c
+        |  FROM rec r JOIN idx x ON x.arm = r.arm AND x.i = r.i + 1)
+        |SELECT arm, t AS t_days, n_risk, d AS d_events, c AS c_censored,
+        |  s AS s_micro
+        |FROM rec ORDER BY arm, t_days""".stripMargin,
+
     "q_welch" ->
       s"""WITH v AS (
          |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -1388,6 +1388,83 @@ object Analytics {
     * precedent) and the fold is one higher-order projection. Output is
     * |keys|·|days| rows.
     */
+  /** Kaplan–Meier survival curve — the TIME-TO-EVENT member of the
+    * experiment family (Welch/MW compare a metric's level; this answers
+    * "how long until conversion, with the not-yet-converted counted
+    * honestly?" — dropping censored users biases every naive
+    * time-to-convert mean): per hash-split arm, users enter at their
+    * first event day and either CONVERT at their first `eventType` day
+    * (duration t, a death at t) or are CENSORED at the corpus horizon
+    * (still at risk until t, then leave without converting). The
+    * product-limit estimate folds in integer micro-units,
+    *
+    *   s_t = s_{t−1} · (n_t − d_t) DIV n_t        s_{−1} = 10⁶
+    *
+    * with n_t the at-risk count before t (deaths and censorings at t
+    * both counted in n_t — the standard deaths-first convention), a
+    * truncating-integer recurrence that replays bit-for-bit on any
+    * engine (the ewmaDaily discipline; the ≤1e-6-per-step truncation
+    * is far below the estimator's own noise). The fold is bounded by
+    * the DAY SPAN, never the user count.
+    *
+    * Output: one row per (arm, t_days) with n_risk, d_events,
+    * c_censored, s_micro — the survival table a retention readout
+    * publishes. Scale shape: one per-user aggregate (the only
+    * data-sized shuffle), a bounded (arm, duration) grid, and the
+    * per-arm sorted-array fold on the day-span panel.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String, typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val ev = events.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("date").as("day"),
+        col(typeCol).as("ty"))
+      .localCheckpoint() // one scan feeds the horizon and the per-user agg
+    val horizon = ev.agg(max(col("day")).as("h"))
+    val perUser = ev.groupBy(col("u"))
+      .agg(min(col("day")).as("first_day"),
+        min(when(col("ty") === eventType, col("day"))).as("conv_day"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        pmod(rollingHash(concat(lit("km:"), col("u").cast("string"))),
+          lit(2)).as("arm"),
+        when(col("conv_day").isNotNull, lit(true)).otherwise(lit(false))
+          .as("converted"),
+        when(col("conv_day").isNotNull,
+          datediff(col("conv_day"), col("first_day")))
+          .otherwise(datediff(col("h"), col("first_day")))
+          .cast("long").as("t"))
+    val grid = perUser.groupBy(col("arm"), col("t"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("c"))
+    grid.groupBy(col("arm"))
+      .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("xs"))
+      .select(col("arm"), explode(expr(
+        """aggregate(xs,
+          |  named_struct('atrisk',
+          |    CAST(aggregate(xs, CAST(0 AS BIGINT),
+          |      (a, x) -> a + x.d + x.c) AS BIGINT),
+          |    's', CAST(1000000 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<t: BIGINT,
+          |      n_risk: BIGINT, d: BIGINT, c: BIGINT, s: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'atrisk', acc.atrisk - x.d - x.c,
+          |    's', CASE WHEN acc.atrisk > 0
+          |      THEN acc.s * (acc.atrisk - x.d) DIV acc.atrisk
+          |      ELSE acc.s END,
+          |    'out', concat(acc.out, array(named_struct(
+          |      't', x.t, 'n_risk', acc.atrisk, 'd', x.d, 'c', x.c,
+          |      's', CASE WHEN acc.atrisk > 0
+          |        THEN acc.s * (acc.atrisk - x.d) DIV acc.atrisk
+          |        ELSE acc.s END)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("arm"), col("r.t").as("t_days"),
+        col("r.n_risk").as("n_risk"), col("r.d").as("d_events"),
+        col("r.c").as("c_censored"), col("r.s").as("s_micro"))
+      .orderBy(col("arm"), col("t_days"))
+  }
+
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // NULL day/group rows are dropped, not folded: a NULL day would

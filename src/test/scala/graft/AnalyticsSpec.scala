@@ -847,4 +847,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(byK(1L).getAs[Long]("precision_bp") == 5000L)
     assert(byK(1L).getAs[Long]("recall_bp") == 10000L)
   }
+
+  test("kaplanMeier: the product-limit recurrence, at-risk bookkeeping, " +
+      "conservation, and censoring honesty") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 40 users enter on day 1 (a signup); half purchase on a staggered
+    // later day, half never do (censored at the horizon, day 9)
+    val rows = (1 to 40).flatMap { u =>
+      val first = (u.toLong, ts(1), "signup")
+      if (u % 2 == 0) Seq(first, (u.toLong, ts(1 + (u % 8)), "purchase"))
+      else Seq(first, (u.toLong, ts(9), "view"))
+    }
+    val out = Analytics.kaplanMeier(
+      rows.toDF("user_id", "ts", "event_type"), "user_id", "ts", "purchase")
+      .collect()
+    val arms = out.map(_.getAs[Long]("arm")).distinct
+    for (a <- arms) {
+      val rowsA = out.filter(_.getAs[Long]("arm") == a)
+        .sortBy(_.getAs[Long]("t_days"))
+      val total = rowsA.map(r => r.getAs[Long]("d_events") +
+        r.getAs[Long]("c_censored")).sum
+      // at-risk bookkeeping: first row starts at the arm total, each
+      // next row drops exactly the previous row's deaths + censorings
+      assert(rowsA.head.getAs[Long]("n_risk") == total)
+      rowsA.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("n_risk") == p.getAs[Long]("n_risk")
+            - p.getAs[Long]("d_events") - p.getAs[Long]("c_censored"))
+        case _ => ()
+      }
+      // the recurrence itself: s_t = s_prev * (n - d) DIV n
+      var s = 1000000L
+      rowsA.foreach { r =>
+        val n = r.getAs[Long]("n_risk"); val d = r.getAs[Long]("d_events")
+        s = if (n > 0) s * (n - d) / n else s
+        assert(r.getAs[Long]("s_micro") == s,
+          s"recurrence mismatch at arm $a t ${r.getAs[Long]("t_days")}")
+      }
+      // survival is monotone non-increasing and stays positive while
+      // censored users remain (never-converters keep s off zero)
+      val ss = rowsA.map(_.getAs[Long]("s_micro"))
+      assert(ss.zip(ss.tail).forall { case (x, y) => y <= x })
+      assert(ss.last > 0L)
+    }
+    // conservation across arms: every user appears exactly once
+    assert(out.map(r => r.getAs[Long]("d_events") +
+      r.getAs[Long]("c_censored")).sum == 40L)
+  }
 }
