@@ -1415,28 +1415,7 @@ object Analytics {
     */
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
       eventType: String, typeCol: String = "event_type"): DataFrame = {
-    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
-    val ev = events.where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).as("u"), col(tsCol).cast("date").as("day"),
-        col(typeCol).as("ty"))
-      .localCheckpoint() // one scan feeds the horizon and the per-user agg
-    val horizon = ev.agg(max(col("day")).as("h"))
-    val perUser = ev.groupBy(col("u"))
-      .agg(min(col("day")).as("first_day"),
-        min(when(col("ty") === eventType, col("day"))).as("conv_day"))
-      .crossJoin(broadcast(horizon))
-      .select(
-        pmod(rollingHash(concat(lit("km:"), col("u").cast("string"))),
-          lit(2)).as("arm"),
-        when(col("conv_day").isNotNull, lit(true)).otherwise(lit(false))
-          .as("converted"),
-        when(col("conv_day").isNotNull,
-          datediff(col("conv_day"), col("first_day")))
-          .otherwise(datediff(col("h"), col("first_day")))
-          .cast("long").as("t"))
-    val grid = perUser.groupBy(col("arm"), col("t"))
-      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
-        sum(when(!col("converted"), 1L).otherwise(0L)).as("c"))
+    val grid = kmDurationGrid(events, userCol, tsCol, eventType, typeCol)
     grid.groupBy(col("arm"))
       .agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
         .as("xs"))
@@ -1463,6 +1442,112 @@ object Analytics {
         col("r.n_risk").as("n_risk"), col("r.d").as("d_events"),
         col("r.c").as("c_censored"), col("r.s").as("s_micro"))
       .orderBy(col("arm"), col("t_days"))
+  }
+
+  /** The (arm, duration) death/censoring grid shared by [[kaplanMeier]]
+    * and [[logRankTest]] — ONE derivation (entry day, conversion day,
+    * horizon censoring, the salted arm fold) so the curve and its
+    * significance test can never disagree about who converted when. */
+  private def kmDurationGrid(events: DataFrame, userCol: String,
+      tsCol: String, eventType: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val ev = events.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("date").as("day"),
+        col(typeCol).as("ty"))
+      .localCheckpoint() // one scan feeds the horizon and the per-user agg
+    val horizon = ev.agg(max(col("day")).as("h"))
+    val perUser = ev.groupBy(col("u"))
+      .agg(min(col("day")).as("first_day"),
+        min(when(col("ty") === eventType, col("day"))).as("conv_day"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        pmod(rollingHash(concat(lit("km:"), col("u").cast("string"))),
+          lit(2)).as("arm"),
+        when(col("conv_day").isNotNull, lit(true)).otherwise(lit(false))
+          .as("converted"),
+        when(col("conv_day").isNotNull,
+          datediff(col("conv_day"), col("first_day")))
+          .otherwise(datediff(col("h"), col("first_day")))
+          .cast("long").as("t"))
+    perUser.groupBy(col("arm"), col("t"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("c"))
+  }
+
+  /** Log-rank test (Mantel–Cox) — [[kaplanMeier]]'s significance
+    * companion: does arm 0 convert at a different RATE than arm 1, over
+    * the whole curve, censoring-honest? At each death time t the
+    * hypergeometric expectation and variance of arm 0's deaths given
+    * the combined risk set,
+    *
+    *   E₀(t) = d·n₀/n      V(t) = d·(n₀/n)·(n₁/n)·(n−d)/(n−1)
+    *
+    * each evaluated from EXACT integer counts through one fixed double
+    * chain and floor-quantized to micro-units BEFORE the cross-day sum
+    * (the PSI micro-nat rule — per-term quantization keeps the sum
+    * order-independent), then z = (O₀ − E₀)/sqrt(V) published at 4 dp
+    * with the verdict against the caller's critical value. At-risk
+    * counts come from exact integer cumulative windows over the
+    * bounded duration grid — no recursion, no fold.
+    *
+    * Output: one row — n0/n1 (arm totals), o0/o1 (observed
+    * conversions), e0_micro, v_micro, z_r, significant. Scale shape:
+    * the per-user aggregate is the only data-sized shuffle; everything
+    * after runs on the day-span-bounded grid (explicit constant
+    * partition key — the bounded-input idiom).
+    */
+  def logRankTest(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String, critZ: Double = 1.96,
+      typeCol: String = "event_type"): DataFrame = {
+    val grid = kmDurationGrid(events, userCol, tsCol, eventType, typeCol)
+      .localCheckpoint() // bounded (arm, duration) grid, two consumers
+    val byT = grid.groupBy(col("t"))
+      .agg(sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(lit(0))
+    val risk = byT
+      .withColumn("n0", sum(col("d0") + col("c0")).over(tot) -
+        coalesce(sum(col("d0") + col("c0")).over(w), lit(0L)))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(tot) -
+        coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("d", col("d0") + col("d1"))
+    val terms = risk.where(col("d") > 0 && col("n") > 0)
+      .withColumn("e0_micro", expr(
+        """CAST(floor(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE)
+          |  / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("v_micro", expr(
+        """CASE WHEN n > 1 THEN
+          |  CAST(floor(CAST(d AS DOUBLE)
+          |    * (CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+          |    * 1000000.0 + 0.5) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    terms.agg(
+      coalesce(sum(col("d0")), lit(0L)).as("o0"),
+      coalesce(sum(col("d1")), lit(0L)).as("o1"),
+      coalesce(sum(col("e0_micro")), lit(0L)).as("e0_micro"),
+      coalesce(sum(col("v_micro")), lit(0L)).as("v_micro"))
+      .crossJoin(broadcast(grid.agg(
+        coalesce(sum(when(col("arm") === 0, col("d") + col("c"))
+          .otherwise(0L)), lit(0L)).as("n0_total"),
+        coalesce(sum(when(col("arm") === 1, col("d") + col("c"))
+          .otherwise(0L)), lit(0L)).as("n1_total"))))
+      .select(col("n0_total"), col("n1_total"), col("o0"), col("o1"),
+        col("e0_micro"), col("v_micro"),
+        when(col("v_micro") > 0, expr(
+          """CAST(floor((CAST(o0 AS DOUBLE)
+            |  - CAST(e0_micro AS DOUBLE) / 1000000.0)
+            |  / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0)
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin))
+          .as("z_r"))
+      .withColumn("significant",
+        when(col("z_r").isNotNull, abs(col("z_r")) > critZ))
   }
 
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,

@@ -895,4 +895,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Long]("d_events") +
       r.getAs[Long]("c_censored")).sum == 40L)
   }
+
+  test("logRankTest: identical-rate arms score near zero, no-conversion " +
+      "corpus yields NULL z, totals conserve") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // every user enters day 1 and converts at day 1 + (u % 5): the two
+    // hash arms draw from the SAME duration distribution family, so
+    // the test must not fire
+    val same = (1 to 60).flatMap { u =>
+      Seq((u.toLong, ts(1), "signup"),
+        (u.toLong, ts(2 + (u % 5)), "purchase"))
+    }
+    val r = Analytics.logRankTest(same.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase", critZ = 1.96).collect().head
+    assert(r.getAs[Long]("o0") + r.getAs[Long]("o1") == 60L)
+    assert(r.getAs[Long]("n0_total") + r.getAs[Long]("n1_total") == 60L)
+    assert(r.getAs[Long]("o0") <= r.getAs[Long]("n0_total"))
+    assert(!r.getAs[Boolean]("significant"),
+      s"identical arms flagged significant: z=${r.getAs[Double]("z_r")}")
+    // E0 tracks O0 when rates match (within the small-sample noise the
+    // z already accounts for)
+    assert(r.getAs[Long]("v_micro") > 0L)
+    // no conversions at all: no death days, v = 0, z NULL not NaN
+    val none = (1 to 20).map(u => (u.toLong, ts(1), "view"))
+    val r2 = Analytics.logRankTest(none.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase").collect().head
+    assert(r2.getAs[Long]("v_micro") == 0L &&
+      r2.isNullAt(r2.fieldIndex("z_r")) &&
+      r2.isNullAt(r2.fieldIndex("significant")))
+  }
 }
