@@ -864,6 +864,37 @@ object Stress {
       graft.validation.Privacy.dpStabilityRelease(
         docs, "doc_id", "text", tau = 12L)
     }
+    // Length-bucketed packing plan: the token scan and every per-
+    // (class, shard) window grow linearly; sharding keeps window
+    // partitions at |docs|/(classes·shards) so no reducer sees the
+    // whole corpus — the property this curve exists to check.
+    time("pack_plan") {
+      graft.operators.Packing.packPlanBucketed(
+        docs.select(col("doc_id"), col("text")), maxTokens = 256L,
+        shards = 4)
+    }
+    // HLL set ops: register files stay groups x 512 at every factor;
+    // replication grows only the one distinct the exact-certification
+    // side scans (replicas collapse to the same distinct set, so the
+    // curve isolates the scan).
+    time("hll_overlap") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id"))
+      val evX = (0 until factor).map(_ => ev).reduce(_ unionByName _)
+      graft.operators.Approx.hllOverlap(evX, "event_type", "user_id")
+    }
+    // Survival pair: the per-user aggregate (the only data-sized
+    // shuffle) grows with offset user ids; the duration grid and both
+    // read paths stay day-span bounded.
+    time("kaplan_meier") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.kaplanMeier(evX, "user_id", "ts",
+        "purchase")
+    }
     // Partition completeness: per-copy type names grow the calendar
     // spine (|types| × |days|) ×factor along with the scan, so the
     // audit's "bounded" cross is itself stress-tested, not just the
