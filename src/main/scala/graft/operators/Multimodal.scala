@@ -170,6 +170,41 @@ object Multimodal {
     }
   }
 
+  /** Deterministic solid-color PNG corpus — the fixture behind the
+    * driver-visible decode row (q_media_decode): image i is a
+    * (8+(i%5)·3) × (8+(i%7)·2) solid ((i·37)%256, (i·59)%256, (i·83)%256)
+    * RGB rectangle, PNG-encoded through the SAME javax.imageio stack the
+    * decode path reads with. PNG is lossless and the color is solid, so
+    * every decoded property (dimensions, the single hot luminance bin at
+    * exactly mass 1.0) is a CLOSED FORM of i — which is what lets a SQL
+    * oracle certify a real binary decode without owning a codec. The
+    * corpus is bounded (n tiny buffers, driver-side synthesis — the
+    * planted-fixture pattern); real pipelines feed [[extractFeatures]]
+    * from binaryFile sources instead (FormatsSpec).
+    */
+  def syntheticImageCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    (0 until n).map { i =>
+      val w = 8 + (i % 5) * 3
+      val h = 8 + (i % 7) * 2
+      val rgb = (((i * 37) % 256) << 16) | (((i * 59) % 256) << 8) |
+        ((i * 83) % 256)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(i.toLong, "image", bos.toByteArray)
+    }.toDS()
+  }
+
   /** Fixed-size chunking of a payload column for transport/storage —
     * pure column expressions, no UDF.
     */
