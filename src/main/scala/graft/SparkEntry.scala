@@ -2146,6 +2146,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // §2.35c — the audio twin of q_media_decode (r15): REAL javax.sound
+    // PCM16 decode of a constant-amplitude WAV corpus; sample rate,
+    // channel count, and the (provably flat) amplitude envelope come
+    // off the decoded frames, the oracle replays the generator's
+    // closed form (constant signal -> every bin exactly |v|/32768, a
+    // power-of-two denominator exact in double AND float)
+    "q_audio_decode" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.syntheticAudioCorpus(s, 48)
+      graft.operators.Multimodal.extractFeatures(media, featureDim = 16)
+        .toDF()
+        .select(col("media_id"), col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          expr("CAST(floor(CAST(array_min(feature) AS DOUBLE)" +
+            " * 1000000.0 + 0.5) AS BIGINT)").as("env_min_micro"),
+          expr("CAST(floor(CAST(array_max(feature) AS DOUBLE)" +
+            " * 1000000.0 + 0.5) AS BIGINT)").as("env_max_micro"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_multimodal_meta" -> ((s, dir) =>
       TextAnalysis.binaryMeta(Tables.documents(s, dir), chunkBytes = 256)),
 
@@ -5849,6 +5868,18 @@ object SparkEntry {
         |    + ((i * 83) % 256) * 114) // 1000) * 16 // 256 AS BIGINT)
         |    AS hot_bin,
         |  CAST(1000000 AS BIGINT) AS hot_mass_micro
+        |FROM range(0, 48) AS t(i) ORDER BY media_id""".stripMargin,
+
+    // the audio generator's closed form: rate/channels from i, the flat
+    // envelope's exact |v|/32768 bin value through one IEEE divide
+    "q_audio_decode" ->
+      """SELECT CAST(i AS BIGINT) AS media_id,
+        |  CAST(8000 + (i % 5) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(floor(CAST(256 * (1 + (i % 100)) AS DOUBLE) / 32768.0
+        |    * 1000000.0 + 0.5) AS BIGINT) AS env_min_micro,
+        |  CAST(floor(CAST(256 * (1 + (i % 100)) AS DOUBLE) / 32768.0
+        |    * 1000000.0 + 0.5) AS BIGINT) AS env_max_micro
         |FROM range(0, 48) AS t(i) ORDER BY media_id""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -205,6 +205,41 @@ object Multimodal {
     }.toDS()
   }
 
+  /** Deterministic constant-amplitude WAV corpus — the audio twin of
+    * [[syntheticImageCorpus]] (q_audio_decode): clip i is mono signed
+    * PCM16 at 8000+(i%5)·1000 Hz, 64+(i%8)·16 samples, every sample the
+    * CONSTANT value 256·(1+(i%100)). A constant signal makes every
+    * envelope bin exactly |v|/32768 — a power-of-two denominator, so
+    * the per-bin mean is EXACT in double and float and the whole decode
+    * output is a closed form of i that a SQL oracle replays with one
+    * IEEE divide. Encoded through the same javax.sound stack the decode
+    * path reads with.
+    */
+  def syntheticAudioCorpus(spark: org.apache.spark.sql.SparkSession,
+      n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    (0 until n).map { i =>
+      val rate = 8000f + (i % 5) * 1000f
+      val nSamples = 64 + (i % 8) * 16
+      val v = (256 * (1 + (i % 100))).toShort
+      val bytes = new Array[Byte](nSamples * 2)
+      var s = 0
+      while (s < nSamples) { // little-endian signed PCM16
+        bytes(s * 2) = (v & 0xFF).toByte
+        bytes(s * 2 + 1) = ((v >> 8) & 0xFF).toByte
+        s += 1
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      MediaRow(i.toLong, "audio", bos.toByteArray)
+    }.toDS()
+  }
+
   /** Fixed-size chunking of a payload column for transport/storage —
     * pure column expressions, no UDF.
     */
