@@ -3227,6 +3227,17 @@ object SparkEntry {
       Analytics.logRankTest(Tables.events(s, dir), "user_id", "ts",
         "purchase", critZ = 1.96)),
 
+    // §2.58i — STRATIFIED log-rank (r15, Mantel–Haenszel): the same
+    // shared duration grid with every hypergeometric E/V term computed
+    // against the STRATUM-LOCAL risk set (stratum = the user's first
+    // event type, the acquisition-channel proxy), summed across strata
+    // before the one z — within-stratum comparisons only, so a
+    // channel-mix imbalance between arms cannot masquerade as a
+    // treatment effect
+    "q_logrank_strat" -> ((s, dir) =>
+      Analytics.logRankStratified(Tables.events(s, dir), "user_id", "ts",
+        "purchase", critZ = 1.96)),
+
     "q_welch" -> ((s, dir) =>
       Analytics.welchTTest(Tables.events(s, dir), "user_id", "value",
         critT = 1.96)),
@@ -8082,6 +8093,92 @@ object SparkEntry {
         |SELECT arm, t AS t_days, n_risk, d AS d_events, c AS c_censored,
         |  s AS s_micro
         |FROM rec ORDER BY arm, t_days""".stripMargin,
+
+    // the stratified replay: the pu CTE gains the first-event stratum
+    // (min over 'day|type' strings — deterministic on both engines),
+    // risk windows PARTITION BY stratum, terms summed across strata
+    "q_logrank_strat" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(day) AS hz FROM e),
+        |pu AS (
+        |  SELECT u, min(day) AS first_day,
+        |    min(CASE WHEN ty = 'purchase' THEN day END) AS conv_day,
+        |    substr(min(CAST(day AS VARCHAR) || '|' || ty), 12) AS stratum
+        |  FROM e GROUP BY u),
+        |pa AS (
+        |  SELECT stratum,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('km:' || CAST(u AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm,
+        |    conv_day IS NOT NULL AS converted,
+        |    CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+        |      ELSE (SELECT hz FROM h) - first_day END AS BIGINT) AS t
+        |  FROM pu),
+        |grid AS (
+        |  SELECT stratum, arm, t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM pa GROUP BY 1, 2, 3),
+        |byt AS (
+        |  SELECT stratum, t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM grid GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT stratum, t, d0, d1,
+        |    CAST(sum(d0 + c0) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d0 + c0) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(d1 + c1) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d1 + c1) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1
+        |  FROM byt),
+        |tq AS (
+        |  SELECT d0, d1,
+        |    CAST(floor(CAST(d0 + d1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+        |      / CAST(n0 + n1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+        |      AS e0_micro,
+        |    CASE WHEN n0 + n1 > 1 THEN
+        |      CAST(floor(CAST(d0 + d1 AS DOUBLE)
+        |        * (CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |        * (CAST(n0 + n1 - d0 - d1 AS DOUBLE)
+        |          / CAST(n0 + n1 - 1 AS DOUBLE))
+        |        * 1000000.0 + 0.5) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS v_micro
+        |  FROM risk WHERE d0 + d1 > 0 AND n0 + n1 > 0),
+        |ns AS (SELECT CAST(count(DISTINCT stratum) AS BIGINT) AS n_strata
+        |  FROM grid),
+        |agg AS (
+        |  SELECT CAST(coalesce(sum(d0), 0) AS BIGINT) AS o0,
+        |    CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        |    CAST(coalesce(sum(e0_micro), 0) AS BIGINT) AS e0_micro,
+        |    CAST(coalesce(sum(v_micro), 0) AS BIGINT) AS v_micro
+        |  FROM tq),
+        |z AS (
+        |  SELECT ns.n_strata, agg.o0, agg.o1, agg.e0_micro, agg.v_micro,
+        |    CASE WHEN agg.v_micro > 0 THEN
+        |      CAST(floor((CAST(agg.o0 AS DOUBLE)
+        |          - CAST(agg.e0_micro AS DOUBLE) / 1000000.0)
+        |        / sqrt(CAST(agg.v_micro AS DOUBLE) / 1000000.0)
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
+        |  FROM agg CROSS JOIN ns)
+        |SELECT n_strata, o0, o1, e0_micro, v_micro, z_r,
+        |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END
+        |    AS significant
+        |FROM z""".stripMargin,
 
     // the same grid derivation as q_kaplan_meier, then exact integer
     // risk-set windows + per-death-day quantized hypergeometric terms

@@ -1444,11 +1444,16 @@ object Analytics {
       .orderBy(col("arm"), col("t_days"))
   }
 
-  /** The (arm, duration) death/censoring grid shared by [[kaplanMeier]]
-    * and [[logRankTest]] — ONE derivation (entry day, conversion day,
-    * horizon censoring, the salted arm fold) so the curve and its
-    * significance test can never disagree about who converted when. */
-  private def kmDurationGrid(events: DataFrame, userCol: String,
+  /** The (stratum, arm, duration) death/censoring grid shared by
+    * [[kaplanMeier]], [[logRankTest]], and [[logRankStratified]] — ONE
+    * derivation (entry day, conversion day, horizon censoring, the
+    * salted arm fold, the first-event stratum) so the curve and its
+    * tests can never disagree about who converted when. The stratum is
+    * the user's FIRST event's type (earliest day, ties broken by type
+    * string — the min over 'day|type' strings is deterministic and
+    * engine-identical), the acquisition-channel proxy a stratified test
+    * controls for. */
+  private def kmStratumGrid(events: DataFrame, userCol: String,
       tsCol: String, eventType: String, typeCol: String): DataFrame = {
     import org.apache.spark.sql.graftnative.RollingHash.rollingHash
     val ev = events.where(col(userCol).isNotNull && col(tsCol).isNotNull)
@@ -1458,9 +1463,11 @@ object Analytics {
     val horizon = ev.agg(max(col("day")).as("h"))
     val perUser = ev.groupBy(col("u"))
       .agg(min(col("day")).as("first_day"),
-        min(when(col("ty") === eventType, col("day"))).as("conv_day"))
+        min(when(col("ty") === eventType, col("day"))).as("conv_day"),
+        expr("substr(min(concat(CAST(day AS STRING), '|', ty)), 12)")
+          .as("stratum"))
       .crossJoin(broadcast(horizon))
-      .select(
+      .select(col("stratum"),
         pmod(rollingHash(concat(lit("km:"), col("u").cast("string"))),
           lit(2)).as("arm"),
         when(col("conv_day").isNotNull, lit(true)).otherwise(lit(false))
@@ -1469,10 +1476,19 @@ object Analytics {
           datediff(col("conv_day"), col("first_day")))
           .otherwise(datediff(col("h"), col("first_day")))
           .cast("long").as("t"))
-    perUser.groupBy(col("arm"), col("t"))
+    perUser.groupBy(col("stratum"), col("arm"), col("t"))
       .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
         sum(when(!col("converted"), 1L).otherwise(0L)).as("c"))
   }
+
+  /** The stratum-collapsed (arm, duration) grid [[kaplanMeier]] and the
+    * plain [[logRankTest]] consume — summing the stratum partition
+    * changes no count. */
+  private def kmDurationGrid(events: DataFrame, userCol: String,
+      tsCol: String, eventType: String, typeCol: String): DataFrame =
+    kmStratumGrid(events, userCol, tsCol, eventType, typeCol)
+      .groupBy(col("arm"), col("t"))
+      .agg(sum(col("d")).as("d"), sum(col("c")).as("c"))
 
   /** Log-rank test (Mantel–Cox) — [[kaplanMeier]]'s significance
     * companion: does arm 0 convert at a different RATE than arm 1, over
@@ -1539,6 +1555,71 @@ object Analytics {
         coalesce(sum(when(col("arm") === 1, col("d") + col("c"))
           .otherwise(0L)), lit(0L)).as("n1_total"))))
       .select(col("n0_total"), col("n1_total"), col("o0"), col("o1"),
+        col("e0_micro"), col("v_micro"),
+        when(col("v_micro") > 0, expr(
+          """CAST(floor((CAST(o0 AS DOUBLE)
+            |  - CAST(e0_micro AS DOUBLE) / 1000000.0)
+            |  / sqrt(CAST(v_micro AS DOUBLE) / 1000000.0)
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin))
+          .as("z_r"))
+      .withColumn("significant",
+        when(col("z_r").isNotNull, abs(col("z_r")) > critZ))
+  }
+
+  /** STRATIFIED log-rank — [[logRankTest]] with the standard confounder
+    * control: if the arms' stratum mix differs (one arm over-drew from
+    * a fast-converting acquisition channel), the plain test confounds
+    * channel with treatment; stratifying computes every hypergeometric
+    * E/V term against the STRATUM-LOCAL risk set and sums O−E and V
+    * across strata before the single z — within-stratum comparisons
+    * only, the Mantel–Haenszel construction. Same shared duration grid
+    * ([[kmStratumGrid]]), same per-term micro-quantization rule, same
+    * exact integer risk windows (now partitioned by stratum — still
+    * bounded: |strata| ≤ |event types|).
+    *
+    * Output: one row — n_strata, o0, o1, e0_micro, v_micro, z_r,
+    * significant.
+    */
+  def logRankStratified(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String, critZ: Double = 1.96,
+      typeCol: String = "event_type"): DataFrame = {
+    val grid = kmStratumGrid(events, userCol, tsCol, eventType, typeCol)
+      .localCheckpoint() // bounded (stratum, arm, duration) grid
+    val byT = grid.groupBy(col("stratum"), col("t"))
+      .agg(sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("stratum"))
+    val risk = byT
+      .withColumn("n0", sum(col("d0") + col("c0")).over(tot) -
+        coalesce(sum(col("d0") + col("c0")).over(w), lit(0L)))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(tot) -
+        coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("d", col("d0") + col("d1"))
+    val terms = risk.where(col("d") > 0 && col("n") > 0)
+      .withColumn("e0_micro", expr(
+        """CAST(floor(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE)
+          |  / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("v_micro", expr(
+        """CASE WHEN n > 1 THEN
+          |  CAST(floor(CAST(d AS DOUBLE)
+          |    * (CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+          |    * 1000000.0 + 0.5) AS BIGINT)
+          |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    terms.agg(
+      coalesce(sum(col("d0")), lit(0L)).as("o0"),
+      coalesce(sum(col("d1")), lit(0L)).as("o1"),
+      coalesce(sum(col("e0_micro")), lit(0L)).as("e0_micro"),
+      coalesce(sum(col("v_micro")), lit(0L)).as("v_micro"))
+      .crossJoin(broadcast(grid.agg(
+        countDistinct(col("stratum")).as("n_strata"))))
+      .select(col("n_strata"), col("o0"), col("o1"),
         col("e0_micro"), col("v_micro"),
         when(col("v_micro") > 0, expr(
           """CAST(floor((CAST(o0 AS DOUBLE)
