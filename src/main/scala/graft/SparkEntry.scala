@@ -3227,6 +3227,14 @@ object SparkEntry {
       Analytics.logRankTest(Tables.events(s, dir), "user_id", "ts",
         "purchase", critZ = 1.96)),
 
+    // §2.58j — Nelson–Aalen cumulative hazard (r15): KM's additive
+    // twin off the same shared grid — pure-integer d·1e6 DIV n
+    // increments (no doubles anywhere), one cumulative window, no
+    // recursion; the −log(S) sanity companion
+    "q_nelson_aalen" -> ((s, dir) =>
+      Analytics.nelsonAalen(Tables.events(s, dir), "user_id", "ts",
+        "purchase")),
+
     // §2.58i — STRATIFIED log-rank (r15, Mantel–Haenszel): the same
     // shared duration grid with every hypergeometric E/V term computed
     // against the STRATUM-LOCAL risk set (stratum = the user's first
@@ -8093,6 +8101,53 @@ object SparkEntry {
         |SELECT arm, t AS t_days, n_risk, d AS d_events, c AS c_censored,
         |  s AS s_micro
         |FROM rec ORDER BY arm, t_days""".stripMargin,
+
+    // the same grid + at-risk windows, then pure-integer hazard
+    // increments and one cumulative window — the whole oracle is
+    // integer arithmetic
+    "q_nelson_aalen" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(day) AS hz FROM e),
+        |pu AS (
+        |  SELECT u, min(day) AS first_day,
+        |    min(CASE WHEN ty = 'purchase' THEN day END) AS conv_day
+        |  FROM e GROUP BY u),
+        |pa AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('km:' || CAST(u AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm,
+        |    conv_day IS NOT NULL AS converted,
+        |    CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+        |      ELSE (SELECT hz FROM h) - first_day END AS BIGINT) AS t
+        |  FROM pu),
+        |grid AS (
+        |  SELECT arm, t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM pa GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT arm, t, d,
+        |    CAST(sum(d + c) OVER (PARTITION BY arm)
+        |      - coalesce(sum(d + c) OVER (PARTITION BY arm ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM grid),
+        |hz2 AS (
+        |  SELECT arm, t, n_risk, d,
+        |    CASE WHEN n_risk > 0 THEN (d * 1000000) // n_risk
+        |      ELSE CAST(0 AS BIGINT) END AS h_micro
+        |  FROM risk)
+        |SELECT arm, t AS t_days, n_risk, d AS d_events, h_micro,
+        |  CAST(sum(h_micro) OVER (PARTITION BY arm ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS h_cum_micro
+        |FROM hz2 ORDER BY arm, t_days""".stripMargin,
 
     // the stratified replay: the pu CTE gains the first-event stratum
     // (min over 'day|type' strings — deterministic on both engines),

@@ -1365,6 +1365,41 @@ object Analytics {
         (col("chi2_micro") <= critMicro).as("independent"))
   }
 
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin
+    * (KM multiplies survival fractions; this SUMS per-day hazard
+    * increments H_t = Σ_{s≤t} d_s/n_s — the estimator a hazard-ratio
+    * eyeball or a −log(S) sanity check reads): each increment is the
+    * PURE INTEGER d·10⁶ DIV n (no doubles anywhere — truncating DIV on
+    * exact counts, engine-identical by the standing division rule), and
+    * the cumulative is one window over the bounded duration grid — no
+    * recursion, no fold, the simplest member of the survival family.
+    * At-risk counts come from the same exact cumulative windows as
+    * [[logRankTest]]; the grid is the same [[kmStratumGrid]]-derived
+    * truth, so curve, tests, and hazard can never disagree.
+    *
+    * Output: one row per (arm, t_days) — n_risk, d_events, h_micro
+    * (the day's increment), h_cum_micro (monotone non-decreasing).
+    */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String, typeCol: String = "event_type"): DataFrame = {
+    val grid = kmDurationGrid(events, userCol, tsCol, eventType, typeCol)
+    val before = Window.partitionBy(col("arm")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.partitionBy(col("arm")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("arm"))
+    grid
+      .withColumn("n_risk", sum(col("d") + col("c")).over(tot) -
+        coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+      .withColumn("h_micro",
+        when(col("n_risk") > 0, expr("d * 1000000 DIV n_risk"))
+          .otherwise(lit(0L)))
+      .withColumn("h_cum_micro", sum(col("h_micro")).over(upto))
+      .select(col("arm"), col("t").as("t_days"), col("n_risk"),
+        col("d").as("d_events"), col("h_micro"), col("h_cum_micro"))
+      .orderBy(col("arm"), col("t_days"))
+  }
+
   /** Daily EWMA smoothing — the anomaly-baseline member of the
     * time-series family (changepoint finds level SHIFTS, error-burst
     * finds windows; this maintains the running per-key baseline a
