@@ -3620,6 +3620,51 @@ object SparkEntry {
         .orderBy(col("g"), col("day"), col("rk"))
     }),
 
+    // §2.45n promoted to a driver-visible row (r16 — the IDENTIFIED-top-m
+    // sketch completes the streaming sketch class: HLL counts distincts,
+    // CMS answers point queries, quantile keeps order statistics, and
+    // SpaceSaving names the hot keys — "what is trending NOW", the first
+    // sketch a live pipeline watches): the planted-hot-key item stream
+    // folds through `Approx.ssStep` (the ONE step shared with the batch
+    // fold) across two staged micro-batches; the phase split is on ts,
+    // so batch-1-sorted ++ batch-2-sorted IS the batch fold's global
+    // (o1, o2) order and the final m counters equal the batch summary
+    // exactly. The final emission per group is selected by the monotone
+    // n_seen stamp (= Σ est, the SpaceSaving invariant), then published
+    // through the SAME guaranteed-set + theorem-verdict audit as
+    // q_spacesaving — so the batch oracle certifies the streaming fold
+    // verbatim. State: m=64 counters per group forever.
+    "q_stream_spacesaving" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("ts"),
+        when(pmod(col("user_id"), lit(10)) === 0,
+          expr("(user_id % 40) DIV 10"))
+          .otherwise(col("user_id") + 100).as("user_id"),
+        col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_sssrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val emitted = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.heavyHittersStream(stream, m = 64))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val fin = emitted
+        .withColumn("n_fin", max(col("n_seen")).over(w))
+        .where(col("n_seen") === col("n_fin"))
+      val items = s.read.parquet(base)
+        .select(col("event_type").as("g"), col("user_id").as("i"))
+      graft.operators.Approx.spaceSavingAuditPrefolded(
+        fin.select(col("event_type").as("g"), col("item"), col("est"),
+          col("err")),
+        fin.groupBy(col("event_type").as("g"))
+          .agg(max(col("n_seen")).as("n_events")),
+        items, m = 64)
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -5573,6 +5618,27 @@ object SparkEntry {
     // q_approx_audit pattern — the fold's own est/err are engine state,
     // any fold bug surfaces as a false/NULL verdict and a hash mismatch)
     "q_spacesaving" ->
+      """WITH it AS (
+        |  SELECT event_type AS g,
+        |    CASE WHEN user_id % 10 = 0 THEN (user_id % 40) // 10
+        |         ELSE user_id + 100 END AS item
+        |  FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM it GROUP BY 1),
+        |e AS (SELECT g, item, CAST(count(*) AS BIGINT) AS exact_cnt
+        |      FROM it GROUP BY 1, 2)
+        |SELECT e.g AS group_key, e.item, e.exact_cnt,
+        |  true AS tracked, true AS est_ge_exact,
+        |  true AS lower_le_exact, true AS err_within_cap
+        |FROM e JOIN n USING (g) WHERE e.exact_cnt * 64 > n.n_events
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical published rows: the streaming fold shares ssStep with
+    // the batch fold and the staged phase split preserves the (o1, o2)
+    // arrival order, so the final counters ARE the batch summary and
+    // the batch oracle certifies the stream verbatim (the
+    // stream-sketch promotion contract)
+    "q_stream_spacesaving" ->
       """WITH it AS (
         |  SELECT event_type AS g,
         |    CASE WHEN user_id % 10 = 0 THEN (user_id % 40) // 10

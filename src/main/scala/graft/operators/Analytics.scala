@@ -954,7 +954,12 @@ object Analytics {
   /** The per-arm variance-over-n term s²ᵢ/nᵢ shared by [[welchT]] and
     * [[welchDof]]: the numerator nᵢ·qᵢ − sᵢ² is computed EXACTLY in
     * decimal first — DECIMAL(18,0)·DECIMAL(19,0) is an exact 37-digit
-    * product on both engines (probed) — and only the finished integer
+    * product on both engines (probed); the sᵢ² term is
+    * DECIMAL(19,0)·DECIMAL(19,0) → precision 39, capped to 38 by Spark,
+    * which is still exact because Cauchy–Schwarz on the cast bounds
+    * gives s² ≤ n·q < 10³⁸, so the value fits the capped type and the
+    * precision cap can never overflow before the documented 10¹⁹ cast
+    * cliff — and only the finished integer
     * numerator casts to double, so the catastrophic cancellation of
     * q − s²/n in doubles (lossy once Σcents² passes 2^53) can neither
     * flip a variance sign nor drive the sqrt argument negative. Exact
@@ -1534,9 +1539,10 @@ object Analytics {
     *   E₀(t) = d·n₀/n      V(t) = d·(n₀/n)·(n₁/n)·(n−d)/(n−1)
     *
     * each evaluated from EXACT integer counts through one fixed double
-    * chain and floor-quantized to micro-units BEFORE the cross-day sum
-    * (the PSI micro-nat rule — per-term quantization keeps the sum
-    * order-independent), then z = (O₀ − E₀)/sqrt(V) published at 4 dp
+    * chain and round-half-up quantized to micro-units — floor(x·10⁶ +
+    * 0.5) — BEFORE the cross-day sum (the PSI micro-nat rule — per-term
+    * quantization keeps the sum order-independent), then
+    * z = (O₀ − E₀)/sqrt(V) published at 4 dp
     * with the verdict against the caller's critical value. At-risk
     * counts come from exact integer cumulative windows over the
     * bounded duration grid — no recursion, no fold.

@@ -103,8 +103,13 @@ object Approx {
     * level) and |A∩B| by inclusion–exclusion est_a + est_b − est_union
     * (the classic HLL intersection: noisy for small overlaps — which
     * is exactly why the exact certification columns ride along, the
-    * calibration-family contract). err_union_bp certifies the union
-    * estimate against the exact distinct-join truth.
+    * calibration-family contract). `est_inter` is published UNCLAMPED:
+    * near-disjoint pairs can legitimately estimate negative — that is
+    * expected inclusion–exclusion noise, to be read against the
+    * `exact_inter` certification column, NOT as a count (clamping
+    * would hide exactly the error magnitude the audit columns exist to
+    * expose). err_union_bp certifies the union estimate against the
+    * exact distinct-join truth.
     *
     * Scale shape: register files are groups×512 rows forever; the pair
     * frame is |groups|² bounded; the only data-sized work is the one
@@ -1358,6 +1363,20 @@ object Approx {
     ssAuditCore(summary.select(col("g"), col("item"), col("est"),
       col("err")), n, items, m)
   }
+
+  /** [[spaceSavingAudit]] over an ALREADY-FOLDED summary — the entry
+    * the streaming twin drains into: `summary` carries (g, item, est,
+    * err) (e.g. the final per-group emission of
+    * `EventStream.heavyHittersStream`), `n` the per-group stream
+    * lengths, `items` the raw (g, i) rows for the exact certification
+    * side. Publishes the identical guaranteed-set + theorem-verdict
+    * rows as the batch audit, so the batch oracle certifies the
+    * streaming fold too (the stream-sketch promotion contract:
+    * q_stream_hll/cms/quantile's pattern, completed for SpaceSaving).
+    */
+  def spaceSavingAuditPrefolded(summary: DataFrame, n: DataFrame,
+      items: DataFrame, m: Int): DataFrame =
+    ssAuditCore(summary, n, items, m)
 
   private def ssAuditCore(summary: DataFrame, n: DataFrame,
       items: DataFrame, m: Int, guardFactor: Int = 1): DataFrame = {

@@ -348,9 +348,12 @@ object Etl {
     *
     *  - `est_rows` — the expected row count from the NEIGHBORING present
     *    days (mean of the nearest present day before and after, floor
-    *    division; one-sided at series edges; 0 for an all-missing type),
-    *    the sanity number an operator compares the backfill's actual
-    *    output against;
+    *    division; one-sided at series edges), the sanity number an
+    *    operator compares the backfill's actual output against. The
+    *    planner can only plan types it has SEEN at least once: a type
+    *    with zero present days never enters `daily`, hence never the
+    *    spine — planning never-seen types needs an external type
+    *    catalog, out of scope here by design;
     *  - contiguous missing days grouped into ISLANDS (gap-and-island:
     *    epoch-day minus per-type missing rank is constant exactly on a
     *    run of consecutive days) and islands chunked into batches of at

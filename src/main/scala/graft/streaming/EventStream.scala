@@ -664,7 +664,7 @@ object EventStream {
     * counters per group — SpaceSaving's whole summary, never the stream. */
   case class HhState(counters: List[(Long, Long, Long)])
   case class HhRow(event_type: String, item: Long, est: Long, err: Long,
-    hh_rank: Long)
+    hh_rank: Long, n_seen: Long)
 
   /** Streaming heavy hitters per group — SpaceSaving (Metwally et al.
     * 2005) over each event_type's user stream with m counters FOREVER:
@@ -683,7 +683,10 @@ object EventStream {
     * picked by (est ASC, item ASC), so the summary is identical on
     * any partitioning or retry given the same microbatch boundaries.
     * Emits the current counters (rank by est DESC, item ASC) for every
-    * group a microbatch touches. The fold step itself is
+    * group a microbatch touches, each row stamped with `n_seen` — the
+    * group's arrivals-so-far (= Σ est, the SpaceSaving invariant), the
+    * monotone stamp a drain filters on to keep only the FINAL summary
+    * per group. The fold step itself is
     * `Approx.ssStep` — the ONE definition shared with the batch
     * `Approx.spaceSavingSummary`, so the two twins cannot drift.
     */
@@ -700,9 +703,16 @@ object EventStream {
             counters = graft.operators.Approx.ssStep(counters, e.user_id, m)
           }
           state.update(HhState(counters))
+          // Σ est over the counters = arrivals folded so far (every
+          // arrival adds net +1: increment, fresh counter at 1, or
+          // eviction to vest+1 minus the removed vest), so n_seen is
+          // the group's stream length — the epsilon denominator, and
+          // the monotone emission stamp that identifies the FINAL
+          // emission per group in an append-mode drain
+          val nSeen = counters.iterator.map(_._2).sum
           counters.sortBy { case (it, est, _) => (-est, it) }
             .zipWithIndex.map { case ((it, est, err), i) =>
-              HhRow(etype, it, est, err, i + 1L)
+              HhRow(etype, it, est, err, i + 1L, nSeen)
             }.iterator
       }.toDF()
   }

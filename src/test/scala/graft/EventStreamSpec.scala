@@ -270,13 +270,18 @@ class EventStreamSpec extends SparkSpec {
     query.stop()
     val all = spark.table("hh").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+        r.getLong(4), r.getAs[Long]("n_seen")))
     // per-batch emission is bounded at m rows
     assert(all.length <= 2 * 4)
-    val latest = all.drop(all.length - math.min(4, all.length))
+    // n_seen = Σ est = arrivals folded so far: monotone across the two
+    // emissions (24 then 48), so max-n_seen selects the FINAL summary —
+    // the selection rule the q_stream_spacesaving driver row drains by
+    assert(all.map(_._6).toSet == Set(24L, 48L))
+    val latest = all.filter(_._6 == 48L)
+    assert(latest.length == 4)
     val trueCount = Map(1L -> 20L, 2L -> 10L, 3L -> 6L)
       .withDefaultValue(1L)
-    latest.foreach { case (_, item, est, err, _) =>
+    latest.foreach { case (_, item, est, err, _, _) =>
       assert(est >= trueCount(item), s"underestimate for $item")
       assert(est - err <= trueCount(item), s"est-err overshoot for $item")
     }
