@@ -3246,6 +3246,16 @@ object SparkEntry {
       Analytics.logRankStratified(Tables.events(s, dir), "user_id", "ts",
         "purchase", critZ = 1.96)),
 
+    // §2.58s — Cox proportional-hazards score at fixed hazard ratio 2
+    // (Breslow ties, stratified baseline): the regression member
+    // completing the survival family over the SAME stratum grid; at
+    // hr=2 the model's e^beta is exactly 2.0, so the score/information
+    // chain is pure integer-derived doubles — no transcendental
+    // anywhere, oracle-exact by the established grid discipline
+    "q_cox_score" -> ((s, dir) =>
+      Analytics.coxScore(Tables.events(s, dir), "user_id", "ts",
+        "purchase", hr = 2.0, critZ = 1.96)),
+
     "q_welch" -> ((s, dir) =>
       Analytics.welchTTest(Tables.events(s, dir), "user_id", "value",
         critT = 1.96)),
@@ -8297,6 +8307,91 @@ object SparkEntry {
         |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
         |  FROM agg CROSS JOIN ns)
         |SELECT n_strata, o0, o1, e0_micro, v_micro, z_r,
+        |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END
+        |    AS significant
+        |FROM z""".stripMargin,
+
+    // the q_logrank_strat grid + risk CTEs verbatim, with the
+    // hypergeometric terms swapped for the Breslow score/information
+    // at hr = 2.0 (e^beta exactly 2, no transcendental anywhere)
+    "q_cox_score" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(day) AS hz FROM e),
+        |pu AS (
+        |  SELECT u, min(day) AS first_day,
+        |    min(CASE WHEN ty = 'purchase' THEN day END) AS conv_day,
+        |    substr(min(CAST(day AS VARCHAR) || '|' || ty), 12) AS stratum
+        |  FROM e GROUP BY u),
+        |pa AS (
+        |  SELECT stratum,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('km:' || CAST(u AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm,
+        |    conv_day IS NOT NULL AS converted,
+        |    CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+        |      ELSE (SELECT hz FROM h) - first_day END AS BIGINT) AS t
+        |  FROM pu),
+        |grid AS (
+        |  SELECT stratum, arm, t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM pa GROUP BY 1, 2, 3),
+        |byt AS (
+        |  SELECT stratum, t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM grid GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT stratum, t, d0, d1,
+        |    CAST(sum(d0 + c0) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d0 + c0) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(d1 + c1) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d1 + c1) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1
+        |  FROM byt),
+        |tq AS (
+        |  SELECT d0, d1,
+        |    CAST(floor((CAST(d1 AS DOUBLE)
+        |      - CAST(d0 + d1 AS DOUBLE)
+        |        * (CAST(n1 AS DOUBLE) * 2.0)
+        |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * 2.0))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS u_micro,
+        |    CAST(floor(CAST(d0 + d1 AS DOUBLE)
+        |      * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * 2.0)
+        |      / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * 2.0)
+        |        * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * 2.0))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS i_micro
+        |  FROM risk WHERE d0 + d1 > 0 AND n0 + n1 > 0),
+        |ns AS (SELECT CAST(count(DISTINCT stratum) AS BIGINT) AS n_strata
+        |  FROM grid),
+        |agg AS (
+        |  SELECT CAST(coalesce(sum(d0), 0) AS BIGINT) AS o0,
+        |    CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        |    CAST(coalesce(sum(u_micro), 0) AS BIGINT) AS u_micro,
+        |    CAST(coalesce(sum(i_micro), 0) AS BIGINT) AS i_micro
+        |  FROM tq),
+        |z AS (
+        |  SELECT ns.n_strata, CAST(200 AS BIGINT) AS hr_pct,
+        |    agg.o0, agg.o1, agg.u_micro, agg.i_micro,
+        |    CASE WHEN agg.i_micro > 0 THEN
+        |      CAST(floor(CAST(agg.u_micro AS DOUBLE) / 1000000.0
+        |        / sqrt(CAST(agg.i_micro AS DOUBLE) / 1000000.0)
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
+        |  FROM agg CROSS JOIN ns)
+        |SELECT n_strata, hr_pct, o0, o1, u_micro, i_micro, z_r,
         |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END
         |    AS significant
         |FROM z""".stripMargin,

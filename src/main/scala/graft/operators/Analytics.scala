@@ -1672,6 +1672,92 @@ object Analytics {
         when(col("z_r").isNotNull, abs(col("z_r")) > critZ))
   }
 
+  /** Cox proportional-hazards SCORE at a fixed hazard ratio — the
+    * regression member completing the survival family (KM curve,
+    * Nelson–Aalen hazard, log-rank and stratified log-rank tests, now
+    * the semi-parametric model): with the single binary covariate
+    * x = arm and Breslow tie handling, the partial-likelihood score
+    * and information at β = ln(hr) over the SAME [[kmStratumGrid]]
+    * derivation (stratified baseline hazard — within-stratum risk
+    * sets, the Mantel–Haenszel construction carried into the model)
+    * are, at each (stratum, death time) with d deaths and exact
+    * integer at-risk counts n0/n1,
+    *
+    *   U-term = d1 − d · (n1·hr)/(n0 + n1·hr)
+    *   I-term = d · (n0·n1·hr)/(n0 + n1·hr)²
+    *
+    * each evaluated through one fixed double chain from exact integer
+    * counts and round-half-up quantized to micro-units — floor(x·10⁶
+    * + 0.5) — BEFORE the cross-time sum (the log-rank discipline; the
+    * U-term can be negative, and floor round-half-up is toward +∞ on
+    * both engines identically). At hr = 1 this IS the stratified
+    * log-rank score; the default hr = 2 avoids transcendentals
+    * entirely — e^β = 2.0 exactly, so operator and oracle share pure
+    * integer-derived doubles with no exp/ln anywhere. z = U/sqrt(I)
+    * published at 4 dp: a negative z at hr > 1 reads "arm 1's hazard
+    * is LESS than hr × arm 0's"; the score test of H₀: β = ln(hr).
+    *
+    * Output: one row — n_strata, hr_pct (the fixed ratio in integer
+    * percent), o0, o1 (observed conversions), u_micro, i_micro, z_r,
+    * significant. Scale shape: identical to [[logRankStratified]] —
+    * the per-user aggregate is the only data-sized shuffle; terms run
+    * on the bounded (stratum, duration) grid.
+    */
+  def coxScore(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String, hr: Double = 2.0, critZ: Double = 1.96,
+      typeCol: String = "event_type"): DataFrame = {
+    require(hr > 0.0, s"hazard ratio must be positive, got $hr")
+    val grid = kmStratumGrid(events, userCol, tsCol, eventType, typeCol)
+      .localCheckpoint() // bounded (stratum, arm, duration) grid
+    val byT = grid.groupBy(col("stratum"), col("t"))
+      .agg(sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("stratum"))
+    val risk = byT
+      .withColumn("n0", sum(col("d0") + col("c0")).over(tot) -
+        coalesce(sum(col("d0") + col("c0")).over(w), lit(0L)))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(tot) -
+        coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+    // hr inlined as its full decimal string so both engines parse the
+    // identical IEEE double (the hllC constant discipline)
+    val hrLit = java.lang.Double.toString(hr)
+    val terms = risk.where(col("d0") + col("d1") > 0 &&
+        col("n0") + col("n1") > 0)
+      .withColumn("u_micro", expr(
+        s"""CAST(floor((CAST(d1 AS DOUBLE)
+           |  - CAST(d0 + d1 AS DOUBLE)
+           |    * (CAST(n1 AS DOUBLE) * $hrLit)
+           |    / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * $hrLit))
+           |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("i_micro", expr(
+        s"""CAST(floor(CAST(d0 + d1 AS DOUBLE)
+           |  * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * $hrLit)
+           |  / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * $hrLit)
+           |    * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * $hrLit))
+           |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+    terms.agg(
+      coalesce(sum(col("d0")), lit(0L)).as("o0"),
+      coalesce(sum(col("d1")), lit(0L)).as("o1"),
+      coalesce(sum(col("u_micro")), lit(0L)).as("u_micro"),
+      coalesce(sum(col("i_micro")), lit(0L)).as("i_micro"))
+      .crossJoin(broadcast(grid.agg(
+        countDistinct(col("stratum")).as("n_strata"))))
+      .select(col("n_strata"),
+        lit(math.round(hr * 100.0)).cast("long").as("hr_pct"),
+        col("o0"), col("o1"), col("u_micro"), col("i_micro"),
+        when(col("i_micro") > 0, expr(
+          """CAST(floor(CAST(u_micro AS DOUBLE) / 1000000.0
+            |  / sqrt(CAST(i_micro AS DOUBLE) / 1000000.0)
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin))
+          .as("z_r"))
+      .withColumn("significant",
+        when(col("z_r").isNotNull, abs(col("z_r")) > critZ))
+  }
+
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // NULL day/group rows are dropped, not folded: a NULL day would

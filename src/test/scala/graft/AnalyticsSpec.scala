@@ -925,4 +925,60 @@ class AnalyticsSpec extends SparkSpec {
       r2.isNullAt(r2.fieldIndex("z_r")) &&
       r2.isNullAt(r2.fieldIndex("significant")))
   }
+
+  test("coxScore: planted hazard effects recover the score's sign in " +
+      "both directions, identical arms reject hr=2 downward, " +
+      "no-conversion corpus yields NULL z") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // recover the operator's own arm split so the plant rides the SAME
+    // hash (the welchTTest discipline): arm = rollingHash('km:'+u) % 2
+    val armOf = (1 to 200).map(_.toLong).toDF("u")
+      .select(col("u"), pmod(rollingHash(concat(lit("km:"),
+        col("u").cast("string"))), lit(2)).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fixture(fastArm: Long): Seq[(Long, Timestamp, String)] =
+      (1 to 200).map(_.toLong).flatMap { u =>
+        val first = (u, ts(1), "signup")
+        // fast arm converts on day 2 (duration 1); the other arm is
+        // censored at the horizon — hazard ratio far beyond 2 either way
+        if (armOf(u) == fastArm) Seq(first, (u, ts(2), "purchase"))
+        else Seq(first, (u, ts(9), "view"))
+      }
+    // arm 1 converts, arm 0 never: true hr(arm1/arm0) >> 2, U > 0
+    val up = Analytics.coxScore(
+      fixture(1L).toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase", hr = 2.0).collect().head
+    assert(up.getAs[Long]("hr_pct") == 200L)
+    assert(up.getAs[Long]("u_micro") > 0L && up.getAs[Double]("z_r") > 0.0,
+      s"planted arm-1 hazard not recovered: u=${up.getAs[Long]("u_micro")}")
+    assert(up.getAs[Boolean]("significant"))
+    // arm 0 converts, arm 1 never: the score flips sign
+    val dn = Analytics.coxScore(
+      fixture(0L).toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase", hr = 2.0).collect().head
+    assert(dn.getAs[Long]("u_micro") < 0L && dn.getAs[Double]("z_r") < 0.0,
+      s"planted arm-0 hazard not recovered: u=${dn.getAs[Long]("u_micro")}")
+    assert(dn.getAs[Boolean]("significant"))
+    // identical arms (true hr = 1): testing H0 hr=2 must reject
+    // DOWNWARD — the expectation term overweights arm 1, so U < 0
+    val same = (1 to 200).map(_.toLong).flatMap { u =>
+      Seq((u, ts(1), "signup"), (u, ts(2 + (u % 5).toInt), "purchase"))
+    }
+    val eq = Analytics.coxScore(same.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase", hr = 2.0).collect().head
+    assert(eq.getAs[Long]("u_micro") < 0L && eq.getAs[Double]("z_r") < 0.0,
+      "identical arms should score below the hr=2 null")
+    // conservation: every conversion observed exactly once
+    assert(eq.getAs[Long]("o0") + eq.getAs[Long]("o1") == 200L)
+    // no conversions: no death days survive the term filter, I = 0,
+    // z NULL not NaN
+    val none2 = (1 to 20).map(u => (u.toLong, ts(1), "view"))
+    val r3 = Analytics.coxScore(none2.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase").collect().head
+    assert(r3.getAs[Long]("i_micro") == 0L &&
+      r3.isNullAt(r3.fieldIndex("z_r")) &&
+      r3.isNullAt(r3.fieldIndex("significant")))
+  }
 }
