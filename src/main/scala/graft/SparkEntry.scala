@@ -3675,6 +3675,48 @@ object SparkEntry {
         items, m = 64)
     }),
 
+    // §2.45i promoted to a driver-visible row (r16 — the real-time
+    // FEATURE-STORE twin graduates: last-touch attribution is the
+    // credit a live dashboard reads the moment a purchase lands): per
+    // user the latest (touch time, type) is the whole keyed state;
+    // each purchase emits its credit on arrival across the two staged
+    // micro-batches (a batch-1 touch credits a batch-2 purchase —
+    // cross-batch state is the point), and the ts-split staging
+    // preserves the batch operator's (us, event_id) decision order, so
+    // the emitted credits are row-for-row the batch per-purchase
+    // decisions. Revenue cents join from a batch read of the same
+    // staged bytes by purchase event_id; the 'none' lag sentinel (-1)
+    // maps back to NULL so avg() skips it exactly like the batch
+    // window form. Oracle = the batch q_attribution replay verbatim.
+    "q_stream_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click", "view"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_attrsrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val credits = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.lastTouchStream(stream,
+          purchaseType = "purchase", touchTypes = Set("click", "view"),
+          windowUs = 86400000000L))
+      val vc = s.read.parquet(base)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("v_c"))
+      credits.join(vc, Seq("event_id"))
+        .select(col("attributed_type"), col("v_c"),
+          when(col("lag_us") >= 0L, col("lag_us")).as("lag_us"))
+        .groupBy(col("attributed_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("v_c")).as("revenue_cents"),
+          avg(col("lag_us")).as("mean_lag_us"))
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -9181,6 +9223,33 @@ object SparkEntry {
 
     // the running last-touch via IGNORE NULLS last_value over the same
     // strictly-before (us, event_id) frame the Spark window uses
+    // the streaming fold shares the batch per-purchase decision rule
+    // and the ts-split staging preserves the (us, event_id) order, so
+    // the batch replay certifies the streamed credits verbatim
+    "q_stream_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+        |marked AS (SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN us END
+        |      IGNORE NULLS) OVER w AS t_us,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS t_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT
+        |    CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+        |         THEN t_type ELSE 'none' END AS attributed_type,
+        |    v_c,
+        |    CASE WHEN t_us IS NOT NULL AND us - t_us <= 86400000000
+        |         THEN us - t_us END AS lag_us
+        |  FROM marked WHERE event_type = 'purchase')
+        |SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_c) AS BIGINT) AS revenue_cents,
+        |  avg(lag_us) AS mean_lag_us
+        |FROM p GROUP BY attributed_type""".stripMargin,
+
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
