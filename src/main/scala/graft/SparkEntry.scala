@@ -3717,6 +3717,69 @@ object SparkEntry {
           avg(col("lag_us")).as("mean_lag_us"))
     }),
 
+    // §2.45k promoted to a driver-visible row (r16 — the recency
+    // feature store joins attribution in the graduated set): each
+    // user's bounded newest-16 buffer folds across two staged
+    // micro-batches under the batch (ts, id) order; scores are NOT
+    // monotone, so the final emission per user is selected by the
+    // per-user epoch stamp (update-round counter) rather than a value
+    // law; the final buffer equals the batch top-16 because top-n of a
+    // union is top-n of (top-n ∪ new) — merge-idempotent like the
+    // bottom-k family. Oracle = the batch q_decay_score replay.
+    "q_stream_decay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_decaysrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val emitted = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.decayScoreStream(stream, n = 16))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      emitted.withColumn("e_fin", max(col("epoch")).over(w))
+        .where(col("epoch") === col("e_fin"))
+        .select(col("user_id"), col("n_recent"), col("decay_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2.45o promoted to a driver-visible row (r16 — the continuously
+    // maintained eval-set draw): per source the k smallest salted-hash
+    // doc ids fold as bottom-k state across two staged micro-batches;
+    // the final sample re-derives EXACTLY from the emission log by the
+    // bottom-k law (a doc in bottom-k of the total entered state on
+    // arrival and was emitted — the q_stream_quantile discipline), with
+    // the ord hash recomputed batch-side through the SAME native
+    // RollingHash fold. Oracle = the batch q_group_sample replay.
+    "q_stream_gsample" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .where(col("doc_id").isNotNull && col("source").isNotNull)
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_gsamplesrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(docs,
+        pmod(col("doc_id"), lit(2L)) === 0L, base)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val emitted = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.groupSampleStream(stream, k = 5))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("ord"), col("doc_id"))
+      emitted.select(col("source"), col("doc_id")).distinct()
+        .withColumn("ord", rollingHash(concat(lit("gsample:"),
+          col("doc_id").cast("string"))))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -5111,6 +5174,23 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
 
     // two-phase Spark rank equals the single global rank (total order)
+    // bottom-k of a set re-derives from the streamed emission log, and
+    // the ord hash is the same salted base-257 fold on both engines —
+    // the batch replay certifies the streamed sample verbatim
+    "q_stream_gsample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('gsample:' || CAST(doc_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) AS ord
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY ord, doc_id) AS BIGINT) AS rank
+        |  FROM h)
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 5""".stripMargin,
+
     "q_group_sample" ->
       """WITH h AS (
         |  SELECT doc_id, source,
@@ -7241,6 +7321,24 @@ object SparkEntry {
     // the unique (ts DESC, event_id DESC) order makes rank-from-the-end
     // deterministic; cents scaling and power-of-two weights keep the
     // whole score in BIGINT
+    // the streamed newest-16 buffer folds under the batch (ts, id)
+    // order and top-n is merge-idempotent, so the final per-user score
+    // IS the batch operator's — the batch replay certifies the stream
+    "q_stream_decay" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT)
+        |    AS decay_cents
+        |FROM r WHERE rn <= 16 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_decay_score" ->
       """WITH c AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,

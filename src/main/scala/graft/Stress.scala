@@ -895,6 +895,126 @@ object Stress {
       graft.operators.Analytics.kaplanMeier(evX, "user_id", "ts",
         "purchase")
     }
+    // Top-r PCA with deflation: r=2 doubles the per-iteration scans
+    // of pca plus ONE deflation pass (the localCheckpointed deflated
+    // frame keeps component 2 from recomputing component 1) — the
+    // curve should sit near 2× the single-component pca entry and
+    // stay scan-linear in the corpus.
+    time("pca_topr") {
+      Similarity.pcaTopR(embs, dim = 64, iters = 6, r = 2)
+    }
+    // Whitening transform: derivation = the pca_topr scans; the
+    // transform itself is ONE corpus scan against plan-literal
+    // loading vectors (no shuffle, no state) — linear by shape.
+    time("whiten") {
+      Similarity.pcaWhiten(embs, dim = 64, iters = 6, r = 2)
+    }
+    // Log-rank pair: like kaplan_meier the per-user aggregate is the
+    // only data-sized shuffle; the hypergeometric terms run on the
+    // day-span-bounded grid (stratified: × |event types| strata), so
+    // both tests should track the aggregate linearly.
+    time("logrank") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.logRankTest(evX, "user_id", "ts",
+        "purchase")
+    }
+    time("logrank_strat") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.logRankStratified(evX, "user_id", "ts",
+        "purchase")
+    }
+    // Cox score at fixed hr: identical shape to logrank_strat (same
+    // stratum grid, different bounded-grid terms).
+    time("cox_score") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.coxScore(evX, "user_id", "ts",
+        "purchase")
+    }
+    // Backfill planner: per-copy type names grow the spine like
+    // part_complete; the plan output is bounded by the missing-day
+    // count (×factor types, same day span).
+    time("backfill_plan") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      val h = conv(substring(md5(concat(lit("gap:"), col("event_type"),
+        lit("|"), col("ts").cast("date").cast("string"))), 1, 13), 16, 10)
+        .cast("long")
+      graft.operators.Etl.backfillPlan(
+        evX.where(pmod(h, lit(7)) =!= 0), "event_type", "ts",
+        batchDays = 7)
+    }
+    // Streaming sketch/state rows under ×factor staged bytes: the
+    // micro-batch machinery is a fixed cost, so the curve isolates
+    // the per-row fold work — HLL registers stay groups×512 whatever
+    // the factor; SpaceSaving counters stay m per group; attribution
+    // state stays one record per user. Offsets keep users distinct so
+    // state cardinality scales with the corpus (the honest case).
+    time("stream_spacesaving") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_sssrc"
+      graft.streaming.EventStream.stageTwoPhase(evX,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = spark.readStream.schema(evX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.heavyHittersStream(stream, m = 64))
+    }
+    time("stream_attribution") {
+      val ev = Tables.events(spark, sfDir)
+        .where(col("event_type").isin("purchase", "click", "view"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_attrsrc"
+      graft.streaming.EventStream.stageTwoPhase(evX,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = spark.readStream.schema(evX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.lastTouchStream(stream,
+          purchaseType = "purchase", touchTypes = Set("click", "view"),
+          windowUs = 86400000000L))
+    }
+    time("stream_hll") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_hllsrc"
+      graft.streaming.EventStream.stageTwoPhase(evX,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = spark.readStream.schema(evX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.hllRegisterStream(stream, "user_id"),
+        outputMode = "complete")
+    }
     // Partition completeness: per-copy type names grow the calendar
     // spine (|types| × |days|) ×factor along with the scan, so the
     // audit's "bounded" cross is itself stress-tested, not just the

@@ -848,8 +848,9 @@ object EventStream {
 
   /** State for [[decayScoreStream]]: the last <= n events' (ts-micros, id,
     * cents), newest first — a bounded buffer per user, never the stream. */
-  case class DecayState(recent: List[(Long, Long, Long)])
-  case class DecayRow(user_id: Long, n_recent: Long, decay_cents: Long)
+  case class DecayState(recent: List[(Long, Long, Long)], epoch: Long)
+  case class DecayRow(user_id: Long, n_recent: Long, decay_cents: Long,
+    epoch: Long)
 
   /** Streaming exponentially time-decayed engagement score — the
     * continuous dual of Analytics.decayScores, i.e. a real-time recency
@@ -870,18 +871,25 @@ object EventStream {
       .flatMapGroupsWithState[DecayState, DecayRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[DecayState]) =>
-          val prior = state.getOption.map(_.recent).getOrElse(Nil)
+          val st = state.getOption.getOrElse(DecayState(Nil, 0L))
+          val prior = st.recent
           val arrived = rows.map(e => (tsMicros(e.ts), e.event_id,
             centsOf(e.value))).toList
           // newest-first under the batch operator's (ts, id) order; the
           // buffer keeps only the top n so state stays bounded
           val recent = (prior ++ arrived).distinct
             .sortBy(t => (-t._1, -t._2)).take(n)
-          state.update(DecayState(recent))
+          // epoch = this user's update round, the monotone emission
+          // stamp a drain filters on for the FINAL score per user
+          // (scores themselves are not monotone, unlike n_seen in
+          // heavyHittersStream, so a counter is the stamp here)
+          val epoch = st.epoch + 1L
+          state.update(DecayState(recent, epoch))
           val score = recent.zipWithIndex.map { case ((_, _, cents), i) =>
             cents * (1L << (n - 1 - i))
           }.sum
-          Iterator.single(DecayRow(userId, recent.length.toLong, score))
+          Iterator.single(DecayRow(userId, recent.length.toLong, score,
+            epoch))
       }.toDF()
   }
 
