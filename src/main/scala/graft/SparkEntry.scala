@@ -1617,6 +1617,18 @@ object SparkEntry {
         minCosine = 0.99)
     }),
 
+    // §2.24f9 — bitext mining (r16, the LASER/CCMatrix pipeline step):
+    // mutual-top-1 cosine pairs between the en and fr slices over the
+    // hashing-trick embeddings, bucket-blocked with COARSE planes
+    // (4 → 16 buckets: mining wants recall across the slice boundary
+    // where dedup wants tight cliques); published unfiltered with the
+    // source-side difference margin so thresholding stays downstream
+    "q_bitext_mine" -> ((s, dir) =>
+      TextAnalysis.bitextMine(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          col("lang")),
+        "lang", srcLang = "en", tgtLang = "fr", dim = 64, nPlanes = 4)),
+
     // §2.24f3 — inverted index: per-term document frequency, collection
     // frequency, and a bounded posting list (10 smallest doc ids) via
     // the skew-safe two-phase smallest-N — the search-index build for
@@ -5899,6 +5911,7 @@ object SparkEntry {
     "q_text_semdedup" -> textSemDedupOracle,
     "q_text_cross_leak" -> textCrossLeakOracle,
     "q_text_semdedup_staged" -> textSemDedupStagedOracle,
+    "q_bitext_mine" -> bitextMineOracle,
 
     "q_inverted_index" ->
       """WITH td AS (
@@ -11861,6 +11874,63 @@ object SparkEntry {
        |  r.score_micro
        |FROM rk r JOIN nd ON r.bucket = nd.bucket
        |WHERE r.rk <= 5 ORDER BY r.bucket, r.rk""".stripMargin
+  }
+
+  /** q_bitext_mine oracle: both slices' embedding chains (shared
+    * textEmbedCtes), the 4-plane bucket blocking, the candidate cross
+    * within buckets, and the mutual-top-1 + second-best margin ranks —
+    * every dot the same explicit left fold as the operator's native
+    * ddot, ties broken by id on both engines.
+    */
+  private def bitextMineOracle: String = {
+    def dd(x: String, y: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])), " +
+        s"(acc, v) -> acc + v)"
+    val bucketExpr = Similarity.hyperplanes(4, 64).zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dd("embedding", arr)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ${textEmbedCtes(
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'", p = "sx")},
+       |${textEmbedCtes(
+        "SELECT doc_id, text FROM documents WHERE lang = 'fr'", p = "ty")},
+       |ex AS (
+       |  SELECT doc_id, embedding,
+       |    sqrt(${dd("embedding", "embedding")}) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM sxemb),
+       |ey AS (
+       |  SELECT doc_id, embedding,
+       |    sqrt(${dd("embedding", "embedding")}) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM tyemb),
+       |cand AS (
+       |  SELECT x.doc_id AS src_id, y.doc_id AS tgt_id,
+       |    ${dd("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS sim
+       |  FROM ex x JOIN ey y ON x.bucket = y.bucket
+       |  WHERE x.nrm > 0 AND y.nrm > 0),
+       |fwd AS (
+       |  SELECT src_id, tgt_id, sim,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY sim DESC, tgt_id ASC) AS rs
+       |  FROM cand),
+       |top1 AS (SELECT src_id, tgt_id, sim FROM fwd WHERE rs = 1),
+       |sec AS (SELECT src_id, sim AS sim2 FROM fwd WHERE rs = 2),
+       |back AS (
+       |  SELECT src_id, tgt_id FROM (
+       |    SELECT src_id, tgt_id,
+       |      row_number() OVER (PARTITION BY tgt_id
+       |        ORDER BY sim DESC, src_id ASC) AS rt
+       |    FROM cand) WHERE rt = 1)
+       |SELECT t.src_id, t.tgt_id,
+       |  floor(t.sim * 10000.0 + 0.5) / 10000.0 AS sim_r,
+       |  CASE WHEN s.sim2 IS NOT NULL THEN
+       |    floor((t.sim - s.sim2) * 10000.0 + 0.5) / 10000.0 END AS margin_r
+       |FROM top1 t
+       |JOIN back b ON t.src_id = b.src_id AND t.tgt_id = b.tgt_id
+       |LEFT JOIN sec s ON t.src_id = s.src_id
+       |ORDER BY t.src_id""".stripMargin
   }
 
   private def textSemDedupOracle: String = {

