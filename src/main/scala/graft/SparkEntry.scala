@@ -3258,6 +3258,14 @@ object SparkEntry {
       Analytics.logRankStratified(Tables.events(s, dir), "user_id", "ts",
         "purchase", critZ = 1.96)),
 
+    // §2.58t — Breslow baseline cumulative hazard at the same fixed
+    // hr=2 (the estimator half of the Cox pair): dH0 = d·1e6 DIV
+    // (n0 + 2·n1) per (stratum, death day) — PURE integer, no doubles
+    // anywhere (at hr=1 this IS the stratified Nelson–Aalen)
+    "q_cox_baseline" -> ((s, dir) =>
+      Analytics.coxBaseline(Tables.events(s, dir), "user_id", "ts",
+        "purchase", hr = 2L)),
+
     // §2.58s — Cox proportional-hazards score at fixed hazard ratio 2
     // (Breslow ties, stratified baseline): the regression member
     // completing the survival family over the SAME stratum grid; at
@@ -8463,6 +8471,69 @@ object SparkEntry {
         |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END
         |    AS significant
         |FROM z""".stripMargin,
+
+    // the stratified grid + risk windows, then the PURE-INTEGER
+    // Breslow baseline increments d*1e6 DIV (n0 + 2*n1) and one
+    // cumulative window — the whole oracle is integer arithmetic
+    "q_cox_baseline" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(day) AS hz FROM e),
+        |pu AS (
+        |  SELECT u, min(day) AS first_day,
+        |    min(CASE WHEN ty = 'purchase' THEN day END) AS conv_day,
+        |    substr(min(CAST(day AS VARCHAR) || '|' || ty), 12) AS stratum
+        |  FROM e GROUP BY u),
+        |pa AS (
+        |  SELECT stratum,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('km:' || CAST(u AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm,
+        |    conv_day IS NOT NULL AS converted,
+        |    CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+        |      ELSE (SELECT hz FROM h) - first_day END AS BIGINT) AS t
+        |  FROM pu),
+        |grid AS (
+        |  SELECT stratum, arm, t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM pa GROUP BY 1, 2, 3),
+        |byt AS (
+        |  SELECT stratum, t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM grid GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT stratum, t, d0 + d1 AS d,
+        |    CAST(sum(d0 + c0) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d0 + c0) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(d1 + c1) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d1 + c1) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1
+        |  FROM byt),
+        |hz2 AS (
+        |  SELECT stratum, t, n0, n1, d,
+        |    CASE WHEN n0 + 2 * n1 > 0
+        |      THEN (d * 1000000) // (n0 + 2 * n1)
+        |      ELSE CAST(0 AS BIGINT) END AS h0_micro
+        |  FROM risk)
+        |SELECT stratum, t AS t_days, n0, n1, d AS d_events, h0_micro,
+        |  CAST(sum(h0_micro) OVER (PARTITION BY stratum ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS h0_cum_micro
+        |FROM hz2 WHERE d > 0 ORDER BY stratum, t_days""".stripMargin,
 
     // the q_logrank_strat grid + risk CTEs verbatim, with the
     // hypergeometric terms swapped for the Breslow score/information

@@ -1758,6 +1758,57 @@ object Analytics {
         when(col("z_r").isNotNull, abs(col("z_r")) > critZ))
   }
 
+  /** Breslow baseline cumulative hazard at a fixed hazard ratio — the
+    * estimator half of the Cox pair ([[coxScore]] tests β, this reads
+    * the baseline the model implies at that β): per stratum and death
+    * time, the increment dH₀(t) = d / Σ_{R(t)} e^{βx} = d / (n₀ +
+    * n₁·hr), PURE INTEGER at the default hr = 2 — d·10⁶ DIV (n₀ +
+    * 2·n₁), truncating DIV on exact counts, no doubles anywhere in
+    * operator or oracle (the nelsonAalen discipline; at hr = 1 this IS
+    * the stratified Nelson–Aalen) — and the cumulative is one window
+    * over the bounded (stratum, duration) grid. Same shared
+    * [[kmStratumGrid]], so score and baseline derive one truth.
+    *
+    * Only integral hr values keep the pure-integer contract (the
+    * denominator must stay exact); enforced by taking hr as Long.
+    *
+    * Output: one row per (stratum, t_days) with a death — n0, n1, d,
+    * h0_micro (the increment), h0_cum_micro (monotone non-decreasing
+    * within the stratum). Scale shape: per-user aggregate is the only
+    * data-sized shuffle; windows run per-stratum on the bounded grid.
+    */
+  def coxBaseline(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String, hr: Long = 2L,
+      typeCol: String = "event_type"): DataFrame = {
+    require(hr >= 1L, s"hazard ratio must be >= 1, got $hr")
+    val grid = kmStratumGrid(events, userCol, tsCol, eventType, typeCol)
+      .localCheckpoint() // bounded (stratum, arm, duration) grid
+    val byT = grid.groupBy(col("stratum"), col("t"))
+      .agg(sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("stratum"))
+    val cum = Window.partitionBy(col("stratum")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n0", sum(col("d0") + col("c0")).over(tot) -
+        coalesce(sum(col("d0") + col("c0")).over(w), lit(0L)))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(tot) -
+        coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+      .withColumn("d", col("d0") + col("d1"))
+      .withColumn("h0_micro",
+        when(col("n0") + lit(hr) * col("n1") > 0,
+          expr(s"(d * 1000000) DIV (n0 + $hr * n1)")).otherwise(lit(0L)))
+      .withColumn("h0_cum_micro", sum(col("h0_micro")).over(cum))
+      .where(col("d") > 0)
+      .select(col("stratum"), col("t").as("t_days"), col("n0"), col("n1"),
+        col("d").as("d_events"), col("h0_micro"), col("h0_cum_micro"))
+      .orderBy(col("stratum"), col("t_days"))
+  }
+
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // NULL day/group rows are dropped, not folded: a NULL day would

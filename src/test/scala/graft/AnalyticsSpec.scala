@@ -981,4 +981,35 @@ class AnalyticsSpec extends SparkSpec {
       r3.isNullAt(r3.fieldIndex("z_r")) &&
       r3.isNullAt(r3.fieldIndex("significant")))
   }
+
+  test("coxBaseline: pure-integer Breslow increments, monotone " +
+      "cumulative per stratum, and conservation of deaths") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val rows = (1 to 60).flatMap { u =>
+      val first = (u.toLong, ts(1), "signup")
+      if (u % 3 != 0) Seq(first, (u.toLong, ts(2 + (u % 5)), "purchase"))
+      else Seq(first, (u.toLong, ts(9), "view"))
+    }
+    val out = Analytics.coxBaseline(
+      rows.toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "purchase", hr = 2L).collect()
+    assert(out.nonEmpty)
+    // every published row is a death day with the exact-integer
+    // increment d*1e6 DIV (n0 + 2*n1)
+    out.foreach { r =>
+      val d = r.getAs[Long]("d_events")
+      val n0 = r.getAs[Long]("n0"); val n1 = r.getAs[Long]("n1")
+      assert(d > 0L)
+      assert(r.getAs[Long]("h0_micro") == d * 1000000L / (n0 + 2 * n1))
+    }
+    // cumulative hazard monotone non-decreasing within each stratum
+    out.groupBy(_.getAs[String]("stratum")).foreach { case (_, rs) =>
+      val cums = rs.sortBy(_.getAs[Long]("t_days"))
+        .map(_.getAs[Long]("h0_cum_micro"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    }
+    // conservation: every conversion appears as exactly one death
+    assert(out.map(_.getAs[Long]("d_events")).sum == 40L)
+  }
 }
