@@ -3390,6 +3390,16 @@ object SparkEntry {
     "q_trend" -> ((s, dir) =>
       Analytics.dailyTrend(Tables.events(s, dir), "event_type", "ts")),
 
+    // §2.60b — Mann–Kendall + Theil–Sen: the ROBUST twin of q_trend's
+    // OLS line (one outlier day owns an OLS slope; the rank test and
+    // the median slope shrug it off): pure-integer S statistic,
+    // integer 18·Var with the tie correction, continuity-corrected z,
+    // and the lower-median pairwise slope in micro-units; the pair
+    // frame is C(days,2) per type — day-span bounded, never corpus
+    "q_mann_kendall" -> ((s, dir) =>
+      Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
+        "ts", critZ = 1.96)),
+
     // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
     // within 24h of the click; chained conditional-min aggregates, one slim
     // row per surviving user per stage
@@ -9493,6 +9503,62 @@ object SparkEntry {
         |    CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE) * 1000000.0 /
         |      (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_u
         |FROM g""".stripMargin,
+
+    // pure-integer S and 18*Var with the tie correction, the
+    // continuity-corrected z through one double chain, and the lower
+    // median of the micro-quantized pairwise slopes by row position
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY t),
+        |ties AS (
+        |  SELECT t, CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT)
+        |    AS tie18
+        |  FROM (SELECT t, y, CAST(count(*) AS BIGINT) AS tk
+        |    FROM daily GROUP BY t, y) GROUP BY t),
+        |pairs AS (
+        |  SELECT a.t AS t,
+        |    CAST(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+        |      ELSE 0 END AS BIGINT) AS sgn,
+        |    CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+        |      / CAST(b.day - a.day AS DOUBLE) + 0.5) AS BIGINT)
+        |      AS slope_micro
+        |  FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day),
+        |sagg AS (SELECT t, CAST(sum(sgn) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM pairs GROUP BY t),
+        |sen AS (
+        |  SELECT p.t, p.slope_micro AS sen_micro
+        |  FROM (SELECT t, slope_micro,
+        |      CAST(row_number() OVER (PARTITION BY t
+        |        ORDER BY slope_micro) AS BIGINT) AS rk
+        |    FROM pairs) p
+        |  JOIN sagg ON p.t = sagg.t WHERE p.rk = (sagg.m + 1) // 2),
+        |z AS (
+        |  SELECT n.t AS group_key, n.n_days, sagg.s,
+        |    n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie18
+        |      AS var18,
+        |    sen.sen_micro
+        |  FROM n JOIN ties ON n.t = ties.t JOIN sagg ON n.t = sagg.t
+        |  JOIN sen ON n.t = sen.t),
+        |zz AS (
+        |  SELECT group_key, n_days, s, var18, sen_micro,
+        |    CASE WHEN var18 > 0 THEN
+        |      CAST(floor((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |          WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+        |        / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
+        |  FROM z)
+        |SELECT group_key, n_days, s, var18, sen_micro, z_r,
+        |  CASE WHEN z_r IS NULL THEN NULL
+        |    WHEN z_r > 1.96 THEN 'increasing'
+        |    WHEN z_r < -1.96 THEN 'decreasing'
+        |    ELSE 'none' END AS trend
+        |FROM zz ORDER BY group_key""".stripMargin,
 
     "q_funnel_windowed" -> {
       val w = 24L * 3600 * 1000000

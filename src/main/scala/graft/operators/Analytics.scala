@@ -1809,6 +1809,78 @@ object Analytics {
       .orderBy(col("stratum"), col("t_days"))
   }
 
+  /** Mann–Kendall monotonic-trend test + Theil–Sen slope — the ROBUST
+    * twin of [[dailyTrend]]'s OLS line (one outlier day can own an OLS
+    * slope; the rank test and the median slope shrug it off — the pair
+    * a seasonality-wary dashboard reads): over each group's daily-count
+    * panel,
+    *
+    *   S = Σ_{i<j} sign(y_j − y_i)            (PURE INTEGER)
+    *   18·Var(S) = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)   (INTEGER;
+    *     t_k = the size of the k-th tied-y group)
+    *   z = (S∓1)/sqrt(Var)  (continuity-corrected, 0 when S = 0)
+    *
+    * and the Theil–Sen slope is the LOWER MEDIAN of the pairwise
+    * slopes, each quantized micro round-half-up through one fixed
+    * double chain on exact integers (position (m+1) DIV 2 under
+    * slope_micro ASC — deterministic, no interpolation to diverge on).
+    *
+    * Output: one row per group — n_days, s, var18, z_r (4 dp),
+    * trend ('increasing'/'decreasing'/'none' vs critZ; NULL when
+    * var = 0), sen_micro. Scale shape: the daily aggregate is the only
+    * data-sized shuffle; the pair frame is C(days, 2) per group —
+    * day-span bounded (the dailyTrend contract), NOT corpus-sized.
+    */
+  def mannKendallTrend(events: DataFrame, typeCol: String, tsCol: String,
+      critZ: Double = 1.96): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // bounded (type, day) panel, three consumers
+    val n = daily.groupBy(col("t")).agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("t"), col("y"))
+      .agg(count(lit(1)).as("tk"))
+      .groupBy(col("t"))
+      .agg(sum(col("tk") * (col("tk") - 1) * (lit(2) * col("tk") + 5))
+        .as("tie18"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.t") === col("b.t") && col("a.day") < col("b.day"))
+      .select(col("a.t").as("t"),
+        signum((col("b.y") - col("a.y")).cast("double")).cast("long")
+          .as("sgn"),
+        expr("""CAST(floor(CAST((b.y - a.y) AS DOUBLE) * 1000000.0
+          |  / CAST(datediff(b.day, a.day) AS DOUBLE) + 0.5) AS BIGINT)"""
+          .stripMargin).as("slope_micro"))
+      .localCheckpoint() // C(days,2)-bounded pair frame, two consumers
+    val s = pairs.groupBy(col("t"))
+      .agg(sum(col("sgn")).as("s"), count(lit(1)).as("m"))
+    val wSen = Window.partitionBy(col("t")).orderBy(col("slope_micro"))
+    val sen = pairs
+      .withColumn("rk", row_number().over(wSen))
+      .join(s.select(col("t"), col("m")), "t")
+      .where(col("rk").cast("long") === expr("(m + 1) DIV 2"))
+      .select(col("t"), col("slope_micro").as("sen_micro"))
+    n.join(ties, "t").join(s.drop("m"), "t").join(sen, "t")
+      .select(col("t").as("group_key"), col("n_days"), col("s"),
+        (col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+          - col("tie18")).as("var18"),
+        col("sen_micro"))
+      .withColumn("z_r",
+        when(col("var18") > 0, expr(
+          """CAST(floor((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+            |  WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+            |  ELSE 0.0 END)
+            |  / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .withColumn("trend",
+        when(col("z_r").isNull, lit(null).cast("string"))
+          .when(col("z_r") > critZ, lit("increasing"))
+          .when(col("z_r") < -critZ, lit("decreasing"))
+          .otherwise(lit("none")))
+      .orderBy(col("group_key"))
+  }
+
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // NULL day/group rows are dropped, not folded: a NULL day would

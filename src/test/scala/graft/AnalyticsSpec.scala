@@ -1012,4 +1012,40 @@ class AnalyticsSpec extends SparkSpec {
     // conservation: every conversion appears as exactly one death
     assert(out.map(_.getAs[Long]("d_events")).sum == 40L)
   }
+
+  test("mannKendallTrend: hand-checked S/Var/Sen on a small panel, " +
+      "monotone series flag increasing, flat series flag none") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 'up': counts 1,2,3,4,5 over 5 days (u events on day u);
+    // 'flat': 2 events every day
+    val rows =
+      (1 to 5).flatMap(d => (1 to d).map(i =>
+        (d.toLong * 100 + i, ts(d), "up"))) ++
+      (1 to 5).flatMap(d => (1 to 2).map(i =>
+        (d.toLong * 100 + i, ts(d), "flat")))
+    val out = Analytics.mannKendallTrend(
+      rows.toDF("event_id", "ts", "event_type")
+        .select(col("event_id"), col("ts"), col("event_type")),
+      "event_type", "ts", critZ = 1.96)
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val up = out("up")
+    // strictly increasing: every one of the C(5,2)=10 pairs is +1
+    assert(up.getAs[Long]("s") == 10L)
+    // no ties: 18*Var = n(n-1)(2n+5) = 5*4*15 = 300
+    assert(up.getAs[Long]("var18") == 300L)
+    // all pairwise slopes are 1/day -> sen = 1e6 micro
+    assert(up.getAs[Long]("sen_micro") == 1000000L)
+    // z = (10-1)/sqrt(300/18) = 9/sqrt(16.67) = 2.2045 -> increasing
+    assert(up.getAs[String]("trend") == "increasing")
+    assert(math.abs(up.getAs[Double]("z_r") - 2.2045) < 1e-9)
+    val flat = out("flat")
+    // all y equal: S = 0, and the tie correction kills the variance
+    // entirely (one tie group of 5 -> 300 - 300 = 0) -> NULL z
+    assert(flat.getAs[Long]("s") == 0L)
+    assert(flat.getAs[Long]("var18") == 0L)
+    assert(flat.isNullAt(flat.fieldIndex("z_r")))
+    assert(flat.isNullAt(flat.fieldIndex("trend")))
+    assert(flat.getAs[Long]("sen_micro") == 0L)
+  }
 }
