@@ -2032,6 +2032,21 @@ object SparkEntry {
       graft.operators.Sampling.groupSample(
         Tables.documents(s, dir), "source", k = 5)),
 
+    // §2.24w — discrete EPOCH / repetition plan (r16, the
+    // data-constrained-scaling schedule): whole epochs granted in
+    // (epoch ASC, priority DESC, source ASC) order — breadth before
+    // depth, priority breaks ties — under a budget of 3.37x the
+    // unique corpus (33700 bp, derived in-plan from a 1-row
+    // broadcast), repetition capped at 5; the greedy fold is ONE
+    // cumulative window over the bounded |sources|x5 grant frame
+    "q_epoch_plan" -> ((s, dir) =>
+      graft.operators.Sampling.epochPlan(
+        Tables.documents(s, dir).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens",
+        priority = expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"),
+        budgetBp = 33700L, maxEpochs = 5)),
+
     // §2.24t — per-domain document cap: at most 30 docs per source by
     // (n_chars DESC, doc_id) priority, skew-safe two-phase top-N
     "q_domain_cap" -> ((s, dir) =>
@@ -5204,6 +5219,36 @@ object SparkEntry {
         |GROUP BY lang""".stripMargin,
 
     // two-phase Spark rank equals the single global rank (total order)
+    // the grant order, the in-plan budget, and the prefix rule all
+    // replay as one window cumsum — no recursion, no driver state
+    "q_epoch_plan" ->
+      """WITH tot AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |      AS total_tokens,
+        |    CAST(CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS BIGINT)
+        |      AS priority
+        |  FROM documents GROUP BY source
+        |  HAVING sum(len(string_split(text, ' '))) > 0),
+        |b AS (SELECT (sum(total_tokens) * 33700) // 10000 AS budget
+        |  FROM tot),
+        |g AS (
+        |  SELECT source, priority, total_tokens, CAST(e.e AS BIGINT)
+        |    AS epoch
+        |  FROM tot, range(1, 6) AS e(e)),
+        |c AS (
+        |  SELECT source, priority, total_tokens, epoch,
+        |    sum(total_tokens) OVER (ORDER BY epoch ASC, priority DESC,
+        |      source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g)
+        |SELECT source, priority, total_tokens,
+        |  CAST(max(epoch) AS BIGINT) AS epochs,
+        |  CAST(sum(total_tokens) AS BIGINT) AS tokens_used
+        |FROM c CROSS JOIN b WHERE cum <= budget
+        |GROUP BY source, priority, total_tokens
+        |ORDER BY source""".stripMargin,
+
     // bottom-k of a set re-derives from the streamed emission log, and
     // the ord hash is the same salted base-257 fold on both engines —
     // the batch replay certifies the streamed sample verbatim

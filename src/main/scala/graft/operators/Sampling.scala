@@ -96,6 +96,67 @@ object Sampling {
     * single-division double, so the plan is engine-portable. Two tiny
     * aggregates + one broadcast; the corpus is scanned once.
     */
+  /** Discrete EPOCH / repetition plan under a token budget — the
+    * data-constrained-scaling schedule ([[mixPlan]] answers "what
+    * fraction of each source", THIS answers "how many times may each
+    * source REPEAT when the budget exceeds the unique corpus" — the
+    * Muennighoff et al. 2023 regime every under-data over-compute
+    * training run lives in): whole epochs are granted greedily in
+    * (epoch ASC, priority DESC, group ASC) order — every source earns
+    * epoch 1 before any source earns epoch 2 (repetition has
+    * diminishing returns, so breadth beats depth), higher-priority
+    * sources win ties within an epoch round — while the running token
+    * total stays within `budget`, with a hard per-source `maxEpochs`
+    * repetition cap. The greedy fold is ONE cumulative-sum window over
+    * the bounded |groups|·maxEpochs grant frame (explicit single
+    * partition — the bounded-input idiom), so the whole plan replays
+    * as plain SQL: no recursion, no driver loop.
+    *
+    * The budget is expressed RELATIVE to the unique corpus —
+    * `budgetBp` basis points of the total token count (33700 = "we
+    * have compute for 3.37 epochs of the whole corpus"), derived
+    * in-plan from a 1-row broadcast so the plan is scale-invariant
+    * and needs no driver-side collect.
+    *
+    * Output: one row per group with epochs > 0 — priority,
+    * total_tokens (one epoch's cost), epochs, tokens_used
+    * (= epochs·total_tokens; Σ tokens_used ≤ budget by construction:
+    * the kept grants are the maximal PREFIX of the canonical order
+    * whose monotone running total fits). Groups with zero granted
+    * epochs are absent. Scale shape: the corpus scan collapses to the
+    * |groups| totals frame first; everything after is bounded-frame
+    * arithmetic.
+    */
+  def epochPlan(df: DataFrame, groupCol: String, tokenCol: String,
+      priority: Column, budgetBp: Long, maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetBp >= 0L, s"budgetBp must be >= 0, got $budgetBp")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).as("total_tokens"),
+        max(priority).cast("long").as("priority"))
+      .where(col("total_tokens") > 0)
+      .localCheckpoint() // |groups| frame, two consumers
+    val budget = totals
+      .agg(expr(s"(sum(total_tokens) * $budgetBp) DIV 10000")
+        .as("budget"))
+    val grants = totals
+      .select(col(groupCol), col("priority"), col("total_tokens"),
+        explode(expr(s"sequence(1, $maxEpochs)")).as("epoch"))
+    val order = Window.partitionBy(lit(1))
+      .orderBy(col("epoch").asc, col("priority").desc,
+        col(groupCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grants
+      .withColumn("cum_tokens", sum(col("total_tokens")).over(order))
+      .crossJoin(broadcast(budget))
+      .where(col("cum_tokens") <= col("budget"))
+      .groupBy(col(groupCol), col("priority"), col("total_tokens"))
+      .agg(max(col("epoch")).cast("long").as("epochs"),
+        sum(col("total_tokens")).as("tokens_used"))
+      .orderBy(col(groupCol))
+  }
+
   def mixPlan(df: DataFrame, groupCol: String, tokenCol: String,
       weights: Seq[(String, Int)], defaultWeight: Int,
       totalBudget: Long): DataFrame = {

@@ -208,4 +208,36 @@ class SamplingSpec extends SparkSpec {
     // group a: p50 = 2.5 -> keeps 3,4; group b: p50 = 15 -> keeps 20
     assert(out == Set(("a", 3L), ("a", 4L), ("b", 20L)))
   }
+
+  test("epochPlan: breadth-first grants, priority tie-break mid-round, " +
+      "the repetition cap, and budget conservation") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // three sources, 100 tokens each; corpus = 300, budget 250% = 750
+    // tokens = 7.5 epochs' worth across 3 sources; cap at 3 epochs
+    val docs = Seq(("a", 100L), ("b", 100L), ("c", 100L))
+      .toDF("source", "n_tokens")
+    val pri = expr(
+      "CASE source WHEN 'b' THEN 3 WHEN 'c' THEN 2 ELSE 1 END")
+    val out = Sampling.epochPlan(docs, "source", "n_tokens", pri,
+      budgetBp = 25000L, maxEpochs = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("epochs"), r.getAs[Long]("tokens_used"))).toMap
+    // rounds 1 and 2 grant everyone (600); round 3 has 150 left ->
+    // only b (pri 3) fits; the cap would stop a 4th round anyway
+    assert(out == Map("a" -> (2L, 200L), "b" -> (3L, 300L),
+      "c" -> (2L, 200L)), s"got $out")
+    // conservation: total granted <= budget
+    assert(out.values.map(_._2).sum <= 750L)
+    // the cap binds when the budget is generous: 10x budget, cap 2
+    val capped = Sampling.epochPlan(docs, "source", "n_tokens", pri,
+      budgetBp = 100000L, maxEpochs = 2)
+      .collect().map(_.getAs[Long]("epochs")).toSeq
+    assert(capped == Seq(2L, 2L, 2L))
+    // zero-token groups never enter the plan
+    val withEmpty = docs.unionByName(
+      Seq(("z", 0L)).toDF("source", "n_tokens"))
+    assert(!Sampling.epochPlan(withEmpty, "source", "n_tokens", pri,
+      budgetBp = 25000L, maxEpochs = 3)
+      .collect().map(_.getString(0)).contains("z"))
+  }
 }
