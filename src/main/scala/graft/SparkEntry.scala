@@ -657,6 +657,16 @@ object SparkEntry {
         Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).cast("long"), k = 10, l = 3)),
 
+    // §2.8g — t-closeness audit (r16): the third member of the privacy
+    // triple — per quasi class the total-variation distance between
+    // the class's sensitive distribution and the global one, exact
+    // integer numerators over the common denominator N_c·N with ONE
+    // double division at the end; t = 0.25 (250000 micro)
+    "q_tcloseness" -> ((s, dir) =>
+      graft.validation.Privacy.tClosenessAudit(
+        Tables.customer(s, dir), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), tMicro = 250000L)),
+
     // §2.8e — generalization-lattice sweep (the 8d planner): ONE cube pass
     // scores all four (nation, segment) subset levels — class count, min
     // class, violating classes, rows at risk — so the release picks the
@@ -4341,6 +4351,49 @@ object SparkEntry {
         |   count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3)
         |    AS releasable
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact integer TV numerators over the common denominator N_c*N,
+    // the absent-mass complement identity, one double division at the
+    // end — the whole audit replays as plain aggregates
+    "q_tcloseness" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens,
+        |    CAST(count(*) AS BIGINT) AS n_cv
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |gdist AS (SELECT sens, CAST(sum(n_cv) AS BIGINT) AS n_v
+        |  FROM cells GROUP BY sens),
+        |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM gdist),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(n_cv) AS BIGINT) AS n_c,
+        |    CAST(count(*) AS BIGINT) AS n_values_present
+        |  FROM cells GROUP BY 1, 2),
+        |pres AS (
+        |  SELECT c.c_nationkey, c.c_mktsegment,
+        |    CAST(sum(abs(c.n_cv * t.n - g.n_v * k.n_c)) AS BIGINT)
+        |      AS present_num,
+        |    CAST(sum(g.n_v) AS BIGINT) AS present_nv
+        |  FROM cells c JOIN gdist g USING (sens)
+        |  JOIN cls k ON c.c_nationkey = k.c_nationkey
+        |    AND c.c_mktsegment = k.c_mktsegment
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2),
+        |tv AS (
+        |  SELECT p.c_nationkey, p.c_mktsegment, k.n_c AS class_size,
+        |    k.n_values_present,
+        |    CAST(floor(CAST(p.present_num
+        |      + (t.n - p.present_nv) * k.n_c AS DOUBLE)
+        |      / (2.0 * CAST(k.n_c AS DOUBLE) * CAST(t.n AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS tv_micro
+        |  FROM pres p
+        |  JOIN cls k ON p.c_nationkey = k.c_nationkey
+        |    AND p.c_mktsegment = k.c_mktsegment
+        |  CROSS JOIN tot t)
+        |SELECT c_nationkey, c_mktsegment, class_size, n_values_present,
+        |  tv_micro, tv_micro <= 250000 AS meets_t
+        |FROM tv ORDER BY 1, 2""".stripMargin,
 
     // all four cube levels replayed: per-class sizes under GROUPING SETS,
     // the same retained-name derivation from grouping flags, per-level

@@ -47,6 +47,66 @@ object Privacy {
       .orderBy(g: _*)
   }
 
+  /** t-closeness audit — the third member of the canonical privacy
+    * triple ([[kAnonymityAudit]] checks class SIZE (k) and sensitive
+    * VARIETY (l); this checks sensitive DISTRIBUTION: a class can be
+    * large and diverse yet still leak — 95% one disease in a class vs
+    * 5% globally is an inference attack l-diversity cannot see): per
+    * quasi class, the total-variation distance between the class's
+    * sensitive-value distribution and the GLOBAL distribution,
+    *
+    *   TV = ½ Σ_v |p_class(v) − p_global(v)|
+    *
+    * kept EXACT over the common denominator N_c·N: with integer counts
+    * n_cv (class-value), n_v (global value), N_c, N,
+    *
+    *   2·N_c·N·TV = Σ_present |n_cv·N − n_v·N_c| + (N − Σ_present n_v)·N_c
+    *
+    * (the second term is every ABSENT value's p_global mass via the
+    * complement identity Σ_{v∉C} p_g(v) = 1 − Σ_{v∈C} p_g(v) — the
+    * sum is pure integers, hence order-independent; ONE double
+    * division + round-half-up micro quantization at the very end).
+    * Verdict: tv_micro ≤ tMicro.
+    *
+    * Scale shape: everything derives from one map-side-combined
+    * (class, value) count frame; the global distribution is a
+    * |values|-bounded broadcast, and the absent-value identity keeps
+    * the frame from densifying to classes × values.
+    */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitive: Column, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty && tMicro >= 0L)
+    val g = quasiCols.map(col)
+    val cells = df.select(g :+ sensitive.as("sens"): _*)
+      .where(col("sens").isNotNull)
+      .groupBy(g :+ col("sens"): _*)
+      .agg(count(lit(1)).as("n_cv"))
+      .localCheckpoint() // (class, value) counts, two consumers
+    val global = cells.groupBy(col("sens")).agg(sum(col("n_cv")).as("n_v"))
+    val total = broadcast(global.agg(sum(col("n_v")).as("n")))
+    val classes = cells.groupBy(g: _*)
+      .agg(sum(col("n_cv")).as("n_c"),
+        count(lit(1)).as("n_values_present"))
+    cells.join(broadcast(global), "sens")
+      .join(classes.select(g :+ col("n_c"): _*), quasiCols)
+      .crossJoin(total)
+      .groupBy(g: _*)
+      .agg(sum(abs(col("n_cv") * col("n") - col("n_v") * col("n_c")))
+          .as("present_num"),
+        sum(col("n_v")).as("present_nv"))
+      .join(classes, quasiCols)
+      .crossJoin(total)
+      .select(g ++ Seq(
+        col("n_c").as("class_size"),
+        col("n_values_present"),
+        expr("""CAST(floor(CAST(present_num
+          |  + (n - present_nv) * n_c AS DOUBLE)
+          |  / (2.0 * CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE))
+          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin).as("tv_micro")): _*)
+      .withColumn("meets_t", col("tv_micro") <= tMicro)
+      .orderBy(g: _*)
+  }
+
   /** Generalization-lattice sweep — the planning companion of
     * [[kAnonymityAudit]]: when the full quasi set fails k-anonymity, the
     * fix is to GENERALIZE (publish fewer / coarser quasi columns), and

@@ -110,6 +110,41 @@ class ValidatorSpec extends SparkSpec {
     assert(out((2, "a")) == ((3L, true, 1L, false, false)))
   }
 
+  test("tClosenessAudit: hand-checked TV distance incl. the absent-value " +
+      "complement mass, the case l-diversity cannot see") {
+    import org.apache.spark.sql.functions.col
+    // class A holds ONLY value 1 (4 rows); class B holds values 2,2,3,4.
+    // Global: v1=4, v2=2, v3=1, v4=1 over N=8.
+    //   A: present |1 - 4/8| = 1/2; absent mass 1 - 4/8 = 1/2
+    //      -> TV = (1/2 + 1/2)/2 = 1/2
+    //   B: |2/4-2/8| + |1/4-1/8| + |1/4-1/8| = 1/2; absent p_g(v1)=1/2
+    //      -> TV = 1/2
+    // Both classes are 4-anonymous and B is 3-diverse, yet both leak
+    // distributionally at t = 0.25.
+    val rows = Seq(
+      (1, "a", 1L), (1, "a", 1L), (1, "a", 1L), (1, "a", 1L),
+      (2, "a", 2L), (2, "a", 2L), (2, "a", 3L), (2, "a", 4L)
+    ).toDF("region", "segment", "sens")
+    val out = graft.validation.Privacy.tClosenessAudit(
+      rows, Seq("region", "segment"), col("sens"), tMicro = 250000L)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("class_size"), r.getAs[Long]("n_values_present"),
+          r.getAs[Long]("tv_micro"), r.getAs[Boolean]("meets_t"))).toMap
+    assert(out(1) == ((4L, 1L, 500000L, false)), s"got $out")
+    assert(out(2) == ((4L, 3L, 500000L, false)), s"got $out")
+    // a class matching the global mix exactly has TV 0 and releases
+    val uniform = Seq(
+      (1, "a", 1L), (1, "a", 2L), (2, "a", 1L), (2, "a", 2L)
+    ).toDF("region", "segment", "sens")
+    val u = graft.validation.Privacy.tClosenessAudit(
+      uniform, Seq("region", "segment"), col("sens"), tMicro = 250000L)
+      .collect()
+    u.foreach { r =>
+      assert(r.getAs[Long]("tv_micro") == 0L &&
+        r.getAs[Boolean]("meets_t"))
+    }
+  }
+
   test("generalizationLattice: one cube pass scores every subset level") {
     // full quasi fails k=3 (classes of 2), region-only and global pass,
     // segment-only still carries one leaky class — the planner's pick
