@@ -3415,6 +3415,14 @@ object SparkEntry {
     "q_trend" -> ((s, dir) =>
       Analytics.dailyTrend(Tables.events(s, dir), "event_type", "ts")),
 
+    // §2.63b — classical additive decomposition (r16, STL-lite): each
+    // type's daily series splits into centered-7-day trend + centered
+    // day-of-week seasonal + remainder, all integer micro with the
+    // negative-DIV divergence guard; the identity y*1e6 = trend +
+    // seasonal + remainder reconstructs exactly by construction
+    "q_stl_decompose" -> ((s, dir) =>
+      Analytics.stlDecompose(Tables.events(s, dir), "event_type", "ts")),
+
     // §2.60b — Mann–Kendall + Theil–Sen: the ROBUST twin of q_trend's
     // OLS line (one outlier day owns an OLS slope; the rank test and
     // the median slope shrug it off): pure-integer S statistic,
@@ -9601,6 +9609,52 @@ object SparkEntry {
         |    CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE) * 1000000.0 /
         |      (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_u
         |FROM g""".stripMargin,
+
+    // centered 7-row trend window, dow panel means, and the panel-wide
+    // centering all replay as window functions; negative integer
+    // divisions split into magnitude DIV + re-sign on BOTH engines
+    "q_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT g, day, y,
+        |    CAST(sum(y) OVER w7 AS BIGINT) AS tsum,
+        |    CAST(count(*) OVER w7 AS BIGINT) AS tcnt
+        |  FROM daily WINDOW w7 AS (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT g, day, y, (tsum * 1000000) // tcnt AS trend_micro,
+        |    CAST(dayofweek(day) AS BIGINT) AS dow,
+        |    y * 1000000 - (tsum * 1000000) // tcnt AS det_micro
+        |  FROM t),
+        |s AS (
+        |  SELECT g, day, y, dow, trend_micro, det_micro,
+        |    CAST(sum(det_micro) OVER (PARTITION BY g, dow) AS BIGINT)
+        |      AS dsum,
+        |    CAST(count(*) OVER (PARTITION BY g, dow) AS BIGINT) AS dcnt
+        |  FROM t2),
+        |s2 AS (
+        |  SELECT g, day, y, dow, trend_micro,
+        |    CAST(CASE WHEN dsum >= 0 THEN dsum // dcnt
+        |      ELSE -((-dsum) // dcnt) END AS BIGINT) AS s_raw
+        |  FROM s),
+        |s3 AS (
+        |  SELECT g, day, y, dow, trend_micro, s_raw,
+        |    CAST(sum(s_raw) OVER (PARTITION BY g) AS BIGINT) AS smn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS smd
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT g, day, y, dow, trend_micro,
+        |    s_raw - CAST(CASE WHEN smn >= 0 THEN smn // smd
+        |      ELSE -((-smn) // smd) END AS BIGINT) AS seasonal_micro
+        |  FROM s3)
+        |SELECT g AS group_key, CAST(day AS VARCHAR) AS day, y, dow,
+        |  trend_micro, seasonal_micro,
+        |  y * 1000000 - trend_micro - seasonal_micro AS remainder_micro
+        |FROM s4 ORDER BY group_key, day""".stripMargin,
 
     // pure-integer S and 18*Var with the tie correction, the
     // continuity-corrected z through one double chain, and the lower

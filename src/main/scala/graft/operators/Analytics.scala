@@ -1881,6 +1881,77 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Classical additive seasonal decomposition over the daily panel —
+    * the STL-lite preprocessing every seasonality-aware monitor runs
+    * before alerting (q_seasonality shows the (dow, hour) heat map;
+    * THIS splits each daily series into trend + day-of-week seasonal +
+    * remainder so a Monday dip stops paging anyone):
+    *
+    *   trend_t    = mean(y) over the CENTERED 7-day window (shrinking
+    *                at the series edges — deterministic, no NaN pad)
+    *   seasonal_d = mean over the series of (y − trend) at dow d,
+    *                then CENTERED by subtracting the panel-wide
+    *                day-weighted mean of the per-day seasonal values
+    *                (the additive-identity convention, row-weighted)
+    *   remainder  = y − trend − seasonal
+    *
+    * All three published in micro-units, each derived from exact
+    * integer day counts through sum·10⁶ DIV count integer arithmetic
+    * BEFORE any cross-term subtraction — the remainder is then a pure
+    * integer identity (y·10⁶ − trend − seasonal), so the decomposition
+    * reconstructs exactly by construction on both engines.
+    *
+    * Output: one row per (group, day) — y, dow (0=Sunday, pinned to
+    * the DuckDB/Postgres convention like q_seasonality),
+    * trend_micro, seasonal_micro, remainder_micro. Scale
+    * shape: the daily aggregate is the only data-sized shuffle; the
+    * windows and the dow panel run on the bounded (group, day) frame.
+    */
+  def stlDecompose(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // bounded (group, day) panel
+    // centered 7-day mean over ROW positions (the panel has one row
+    // per present day; a missing calendar day shrinks the window —
+    // deterministic and documented, matching a gapless fixture)
+    val byDay = Window.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val withT = daily
+      .withColumn("tsum", sum(col("y")).over(byDay))
+      .withColumn("tcnt", count(lit(1)).over(byDay))
+      .withColumn("trend_micro",
+        expr("CAST(tsum * 1000000 DIV tcnt AS BIGINT)"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .withColumn("det_micro", col("y") * 1000000L - col("trend_micro"))
+    val dowPanel = Window.partitionBy(col("g"), col("dow"))
+    val allPanel = Window.partitionBy(col("g"))
+    withT
+      .withColumn("dsum", sum(col("det_micro")).over(dowPanel))
+      .withColumn("dcnt", count(lit(1)).over(dowPanel))
+      // truncation toward ZERO on both engines: DuckDB's // floors,
+      // so divide magnitudes and re-sign explicitly (the documented
+      // negative-DIV divergence guard)
+      .withColumn("s_raw", expr(
+        """CAST(CASE WHEN dsum >= 0 THEN dsum DIV dcnt
+          |  ELSE -((-dsum) DIV dcnt) END AS BIGINT)""".stripMargin))
+      .withColumn("s_mean_num", sum(col("s_raw")).over(allPanel))
+      .withColumn("s_mean_den", count(lit(1)).over(allPanel))
+      .withColumn("seasonal_micro", expr(
+        """s_raw - CAST(CASE WHEN s_mean_num >= 0
+          |  THEN s_mean_num DIV s_mean_den
+          |  ELSE -((-s_mean_num) DIV s_mean_den) END AS BIGINT)"""
+          .stripMargin))
+      .withColumn("remainder_micro",
+        col("y") * 1000000L - col("trend_micro") - col("seasonal_micro"))
+      .select(col("g").as("group_key"), col("day").cast("string").as("day"),
+        col("y"), col("dow"), col("trend_micro"), col("seasonal_micro"),
+        col("remainder_micro"))
+      .orderBy(col("group_key"), col("day"))
+  }
+
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // NULL day/group rows are dropped, not folded: a NULL day would

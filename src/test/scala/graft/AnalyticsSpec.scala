@@ -1013,6 +1013,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("d_events")).sum == 40L)
   }
 
+  test("stlDecompose: exact reconstruction identity, planted weekly " +
+      "pattern lands in the seasonal component, dow effects constant") {
+    import java.sql.Timestamp
+    // 28 days, 10 events/day + 6 extra every Sunday (2024-01-07 is one)
+    val rows = (1 to 28).flatMap { d =>
+      val day = java.time.LocalDate.of(2024, 1, d)
+      val n = if (day.getDayOfWeek.getValue % 7 == 0) 16 else 10
+      (1 to n).map(i =>
+        (d.toLong * 1000 + i, Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+          "click"))
+    }
+    val out = Analytics.stlDecompose(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect()
+    assert(out.length == 28)
+    // the decomposition reconstructs EXACTLY by construction
+    out.foreach { r =>
+      assert(r.getAs[Long]("y") * 1000000L ==
+        r.getAs[Long]("trend_micro") + r.getAs[Long]("seasonal_micro")
+          + r.getAs[Long]("remainder_micro"))
+    }
+    // seasonal is a pure function of dow
+    out.groupBy(_.getAs[Long]("dow")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("seasonal_micro")).distinct.length == 1)
+    }
+    // the planted Sunday boost owns the max seasonal effect
+    val byDow = out.groupBy(_.getAs[Long]("dow"))
+      .map { case (d, rs) => d -> rs.head.getAs[Long]("seasonal_micro") }
+    assert(byDow.maxBy(_._2)._1 == 0L, s"got $byDow")
+    assert(byDow(0L) > 4000000L) // ~ +6 events, minus the trend smear
+  }
+
   test("mannKendallTrend: hand-checked S/Var/Sen on a small panel, " +
       "monotone series flag increasing, flat series flag none") {
     import java.sql.Timestamp
