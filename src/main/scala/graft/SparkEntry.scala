@@ -3415,6 +3415,14 @@ object SparkEntry {
     "q_trend" -> ((s, dir) =>
       Analytics.dailyTrend(Tables.events(s, dir), "event_type", "ts")),
 
+    // §2.58u — Benford first-digit audit (r16): the scale-invariant
+    // data-quality / fraud screen over order totals — observed
+    // first-digit shares vs the nine micro-literal Benford
+    // expectations (they sum to exactly 1e6), signed deviations; ONE
+    // map-side aggregate to the fixed 9-row frame
+    "q_benford" -> ((s, dir) =>
+      Analytics.benfordAudit(Tables.orders(s, dir), "o_totalprice")),
+
     // §2.63b — classical additive decomposition (r16, STL-lite): each
     // type's daily series splits into centered-7-day trend + centered
     // day-of-week seasonal + remainder, all integer micro with the
@@ -9609,6 +9617,33 @@ object SparkEntry {
         |    CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE) * 1000000.0 /
         |      (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_u
         |FROM g""".stripMargin,
+
+    // the nine Benford micro literals inlined identically; shares are
+    // exact integer DIV; digits with no rows still publish via the
+    // fixed frame
+    "q_benford" ->
+      """WITH b(digit, benford_micro) AS (VALUES
+        |  (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)),
+        |  (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |c AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+        |j AS (
+        |  SELECT b.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |    t.n_total, b.benford_micro
+        |  FROM b LEFT JOIN c ON b.digit = c.digit CROSS JOIN t)
+        |SELECT digit, n, n_total,
+        |  CASE WHEN n_total > 0 THEN (n * 1000000) // n_total
+        |    ELSE CAST(0 AS BIGINT) END AS share_micro,
+        |  benford_micro,
+        |  CASE WHEN n_total > 0 THEN (n * 1000000) // n_total
+        |    ELSE CAST(0 AS BIGINT) END - benford_micro AS dev_micro
+        |FROM j ORDER BY digit""".stripMargin,
 
     // centered 7-row trend window, dow panel means, and the panel-wide
     // centering all replay as window functions; negative integer

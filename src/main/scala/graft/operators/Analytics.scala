@@ -1881,6 +1881,53 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Benford first-digit audit — the classic scale-invariant
+    * data-quality / fraud screen (naturally-grown magnitude data
+    * follows P(d) = log₁₀(1 + 1/d); fabricated, capped, or
+    * unit-mangled loads do not — the ONE distributional test an
+    * ingest gate can run with zero reference data): per leading digit
+    * of floor(value) over rows with value ≥ 1, the observed share in
+    * micro-units (n·10⁶ DIV total — exact integer) against the
+    * Benford expectation inlined as nine micro LITERALS (quantized
+    * once here, identically parsed by the oracle — the hllC constant
+    * discipline; they sum to exactly 10⁶), the signed deviation, and
+    * the per-digit absolute deviation's contribution to the total
+    * variation distance. Digits with zero rows still publish (the
+    * 9-row frame is the audit's fixed shape).
+    *
+    * Output: 9 rows — digit, n, share_micro, benford_micro,
+    * dev_micro (signed), plus n_total riding each row. Scale shape:
+    * ONE map-side-combinable aggregate to the 9-row frame; everything
+    * after is bounded arithmetic.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d) round-half-up at 6 dp; the nine literals sum to
+    // exactly 1e6 so the audit's shares and expectations share a scale
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .where(col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val frame = benford.toDF("digit", "benford_micro")
+      .select(col("digit").cast("long"), col("benford_micro"))
+    frame.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("benford_micro"))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("n_total"))))
+      .withColumn("share_micro",
+        when(col("n_total") > 0, expr("(n * 1000000) DIV n_total"))
+          .otherwise(lit(0L)))
+      .select(col("digit"), col("n"), col("n_total"), col("share_micro"),
+        col("benford_micro"),
+        (col("share_micro") - col("benford_micro")).as("dev_micro"))
+      .orderBy(col("digit"))
+  }
+
   /** Classical additive seasonal decomposition over the daily panel —
     * the STL-lite preprocessing every seasonality-aware monitor runs
     * before alerting (q_seasonality shows the (dow, hour) heat map;

@@ -1013,6 +1013,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("d_events")).sum == 40L)
   }
 
+  test("benfordAudit: fixed 9-row frame, conservation, literal scale, " +
+      "and a geometric series hugging the law while uniform data breaks it") {
+    // powers of 1.5 are a textbook Benford-conforming magnitude series
+    val geo = (0 until 200).map(k => Tuple1(math.pow(1.5, k % 40) * 7.3))
+      .toDF("v")
+    val g = Analytics.benfordAudit(geo, "v").collect()
+    assert(g.length == 9)
+    assert(g.map(_.getAs[Long]("n")).sum == 200L)
+    // the nine expectation literals sum to exactly 1e6
+    assert(g.map(_.getAs[Long]("benford_micro")).sum == 1000000L)
+    // max absolute deviation stays modest for the conforming series
+    val gdev = g.map(r => math.abs(r.getAs[Long]("dev_micro"))).max
+    assert(gdev < 100000L, s"geometric series deviated $gdev")
+    // uniform 100..999 has flat first digits (~1/9 each): digit 1 is
+    // hugely UNDER-represented vs Benford's 30.1%
+    val uni = (100 to 999).map(v => Tuple1(v.toDouble)).toDF("v")
+    val u = Analytics.benfordAudit(uni, "v").collect()
+      .map(r => r.getAs[Long]("digit") -> r.getAs[Long]("dev_micro")).toMap
+    assert(u(1L) < -150000L, s"uniform digit-1 deviation ${u(1L)}")
+    // a digit with zero rows still publishes (value 5 only -> eight
+    // zero-count rows in the fixed frame)
+    val five = Seq(Tuple1(5.0)).toDF("v")
+    val f = Analytics.benfordAudit(five, "v").collect()
+    assert(f.length == 9 && f.count(_.getAs[Long]("n") == 0L) == 8)
+  }
+
   test("stlDecompose: exact reconstruction identity, planted weekly " +
       "pattern lands in the seasonal component, dow effects constant") {
     import java.sql.Timestamp
