@@ -3291,6 +3291,14 @@ object SparkEntry {
       Analytics.coxBaseline(Tables.events(s, dir), "user_id", "ts",
         "purchase", hr = 2L)),
 
+    // §2.58v — Cox score PROFILE over the binary-power hr ladder
+    // {1/2, 1, 2, 4} (every e^beta an exact double, hr=1 IS the
+    // log-rank score) sharing ONE grid derivation; the U sign change
+    // between consecutive rungs BRACKETS the partial-likelihood MLE
+    "q_cox_profile" -> ((s, dir) =>
+      Analytics.coxScoreProfile(Tables.events(s, dir), "user_id", "ts",
+        "purchase")),
+
     // §2.58s — Cox proportional-hazards score at fixed hazard ratio 2
     // (Breslow ties, stratified baseline): the regression member
     // completing the survival family over the SAME stratum grid; at
@@ -8595,6 +8603,97 @@ object SparkEntry {
         |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END
         |    AS significant
         |FROM z""".stripMargin,
+
+    // the shared grid + risk CTEs crossed with the 4-rung VALUES
+    // ladder; hr_pct/100.0 is an exact double for binary powers, so
+    // the whole profile replays transcendental-free; the MLE bracket
+    // is one lead() window over the 4-row result
+    "q_cox_profile" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day, event_type AS ty
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (SELECT max(day) AS hz FROM e),
+        |pu AS (
+        |  SELECT u, min(day) AS first_day,
+        |    min(CASE WHEN ty = 'purchase' THEN day END) AS conv_day,
+        |    substr(min(CAST(day AS VARCHAR) || '|' || ty), 12) AS stratum
+        |  FROM e GROUP BY u),
+        |pa AS (
+        |  SELECT stratum,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('km:' || CAST(u AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm,
+        |    conv_day IS NOT NULL AS converted,
+        |    CAST(CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+        |      ELSE (SELECT hz FROM h) - first_day END AS BIGINT) AS t
+        |  FROM pu),
+        |grid AS (
+        |  SELECT stratum, arm, t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d,
+        |    CAST(sum(CASE WHEN NOT converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM pa GROUP BY 1, 2, 3),
+        |byt AS (
+        |  SELECT stratum, t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN d ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+        |  FROM grid GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT stratum, t, d0, d1,
+        |    CAST(sum(d0 + c0) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d0 + c0) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(d1 + c1) OVER (PARTITION BY stratum)
+        |      - coalesce(sum(d1 + c1) OVER (PARTITION BY stratum
+        |        ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n1
+        |  FROM byt),
+        |lad(hr_pct) AS (VALUES (CAST(50 AS BIGINT)), (100), (200), (400)),
+        |tq AS (
+        |  SELECT lad.hr_pct, d0, d1,
+        |    CAST(floor((CAST(d1 AS DOUBLE)
+        |      - CAST(d0 + d1 AS DOUBLE)
+        |        * (CAST(n1 AS DOUBLE) * (CAST(hr_pct AS DOUBLE) / 100.0))
+        |        / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)
+        |          * (CAST(hr_pct AS DOUBLE) / 100.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS u_micro,
+        |    CAST(floor(CAST(d0 + d1 AS DOUBLE)
+        |      * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+        |        * (CAST(hr_pct AS DOUBLE) / 100.0))
+        |      / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)
+        |          * (CAST(hr_pct AS DOUBLE) / 100.0))
+        |        * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)
+        |          * (CAST(hr_pct AS DOUBLE) / 100.0)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS i_micro
+        |  FROM risk CROSS JOIN lad
+        |  WHERE d0 + d1 > 0 AND n0 + n1 > 0),
+        |agg AS (
+        |  SELECT hr_pct,
+        |    CAST(coalesce(sum(d0), 0) AS BIGINT) AS o0,
+        |    CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        |    CAST(coalesce(sum(u_micro), 0) AS BIGINT) AS u_micro,
+        |    CAST(coalesce(sum(i_micro), 0) AS BIGINT) AS i_micro
+        |  FROM tq GROUP BY hr_pct),
+        |z AS (
+        |  SELECT hr_pct, o0, o1, u_micro, i_micro,
+        |    CASE WHEN i_micro > 0 THEN
+        |      CAST(floor(CAST(u_micro AS DOUBLE) / 1000000.0
+        |        / sqrt(CAST(i_micro AS DOUBLE) / 1000000.0)
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r,
+        |    lead(u_micro, 1) OVER (ORDER BY hr_pct) AS next_u
+        |  FROM agg)
+        |SELECT hr_pct, o0, o1, u_micro, i_micro, z_r,
+        |  CASE WHEN next_u IS NOT NULL
+        |    THEN u_micro > 0 AND next_u <= 0 END AS brackets_mle
+        |FROM z ORDER BY hr_pct""".stripMargin,
 
     // the stratified grid + risk windows, then the PURE-INTEGER
     // Breslow baseline increments d*1e6 DIV (n0 + 2*n1) and one

@@ -1015,6 +1015,113 @@ object Stress {
         graft.streaming.EventStream.hllRegisterStream(stream, "user_id"),
         outputMode = "complete")
     }
+    // Cox baseline: same shape as the log-rank/cox_score entries —
+    // per-user aggregate linear, term blocks day-span bounded.
+    time("cox_baseline") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.coxBaseline(evX, "user_id", "ts",
+        "purchase")
+    }
+    // Bitext mining: replicas multiply both slices; candidates stay
+    // bucket-blocked so the pair work grows ~quadratically ONLY
+    // within buckets (the declared mining trade-off), rank windows
+    // stay bucket-occupancy bounded.
+    time("bitext_mine") {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val dX = (0 until factor).map(k =>
+        d.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.TextAnalysis.bitextMine(dX, "lang", "en", "fr",
+        dim = 64, nPlanes = 4)
+    }
+    // Robust trend + decomposition: the daily aggregate is the only
+    // data-sized work; per-copy TYPE names also grow the bounded
+    // panel ×factor so the C(days,2) pair frame is stressed per type.
+    time("mann_kendall") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.mannKendallTrend(evX, "event_type", "ts")
+    }
+    time("stl_decompose") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.stlDecompose(evX, "event_type", "ts")
+    }
+    // Epoch plan: corpus scan collapses to |sources| totals; per-copy
+    // SOURCE names grow the grant frame ×factor.
+    time("epoch_plan") {
+      val d = Tables.documents(spark, sfDir)
+        .select(concat(col("source"), lit("_")).as("source"), col("text"))
+      val dX = (0 until factor).map(k =>
+        d.withColumn("source", concat(col("source"), lit(k.toString))))
+        .reduce(_ unionByName _)
+      graft.operators.Sampling.epochPlan(
+        dX.select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens",
+        priority = pmod(length(col("source")), lit(3)) + lit(1),
+        budgetBp = 33700L, maxEpochs = 5)
+    }
+    // t-closeness: the (class, value) count frame is the only
+    // data-sized aggregate; replicated customers keep the same class
+    // structure so the curve isolates the scan.
+    time("tcloseness") {
+      val c = Tables.customer(spark, sfDir)
+      val cX = (0 until factor).map(_ => c).reduce(_ unionByName _)
+      graft.validation.Privacy.tClosenessAudit(cX,
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), tMicro = 250000L)
+    }
+    time("benford") {
+      val o = Tables.orders(spark, sfDir).select(col("o_totalprice"))
+      val oX = (0 until factor).map(_ => o).reduce(_ unionByName _)
+      graft.operators.Analytics.benfordAudit(oX, "o_totalprice")
+    }
+    // Streaming decay / sampler under ×factor staged bytes — fixed
+    // commit machinery, bounded per-user / per-source state.
+    time("stream_decay") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_decaysrc"
+      graft.streaming.EventStream.stageTwoPhase(evX,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = spark.readStream.schema(evX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.decayScoreStream(stream, n = 16))
+    }
+    time("stream_gsample") {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"))
+      val dX = (0 until factor).map(k =>
+        d.withColumn("doc_id", col("doc_id") + lit(k * 10000000L)))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_gsamplesrc"
+      graft.streaming.EventStream.stageTwoPhase(dX,
+        pmod(col("doc_id"), lit(2L)) === 0L, base)
+      val stream = spark.readStream.schema(dX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.groupSampleStream(stream, k = 5))
+    }
     // Partition completeness: per-copy type names grow the calendar
     // spine (|types| × |days|) ×factor along with the scan, so the
     // audit's "bounded" cross is itself stress-tested, not just the

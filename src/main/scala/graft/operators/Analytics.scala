@@ -1758,6 +1758,82 @@ object Analytics {
         when(col("z_r").isNotNull, abs(col("z_r")) > critZ))
   }
 
+  /** Cox score PROFILE — [[coxScore]] evaluated at a ladder of hazard
+    * ratios over ONE shared grid derivation (the cheap step from
+    * testing toward estimation: the score U(β) is decreasing in β, so
+    * the sign change between consecutive ladder points BRACKETS the
+    * partial-likelihood MLE — a dashboard reads "the true hazard
+    * ratio lies between 1× and 2×" without any iterative fitter):
+    * ladder fixed at hr ∈ {½, 1, 2, 4} — all binary powers, so every
+    * e^β is an EXACT double and the whole profile stays
+    * transcendental-free (hr = 1 is the log-rank score; the ladder is
+    * two octaves around it). Terms quantize per (stratum, time, hr)
+    * through the same round-half-up micro chain as [[coxScore]].
+    *
+    * Output: one row per hr_pct ∈ {50, 100, 200, 400} — o0, o1,
+    * u_micro, i_micro, z_r, and `brackets_mle` (this U > 0 and the
+    * next ladder point's U ≤ 0 — the MLE bracket; NULL on the last
+    * rung). Scale shape: the per-user aggregate is the only
+    * data-sized shuffle; the ladder multiplies only the bounded grid.
+    */
+  def coxScoreProfile(events: DataFrame, userCol: String, tsCol: String,
+      eventType: String,
+      typeCol: String = "event_type"): DataFrame = {
+    val grid = kmStratumGrid(events, userCol, tsCol, eventType, typeCol)
+      .localCheckpoint() // bounded (stratum, arm, duration) grid
+    val byT = grid.groupBy(col("stratum"), col("t"))
+      .agg(sum(when(col("arm") === 0, col("d")).otherwise(0L)).as("d0"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("stratum"))
+    val risk = byT
+      .withColumn("n0", sum(col("d0") + col("c0")).over(tot) -
+        coalesce(sum(col("d0") + col("c0")).over(w), lit(0L)))
+      .withColumn("n1", sum(col("d1") + col("c1")).over(tot) -
+        coalesce(sum(col("d1") + col("c1")).over(w), lit(0L)))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ladder = Seq(50L, 100L, 200L, 400L).toDF("hr_pct")
+    val terms = risk.where(col("d0") + col("d1") > 0 &&
+        col("n0") + col("n1") > 0)
+      .crossJoin(broadcast(ladder))
+      // hr_pct/100.0 is an exact double for the binary-power ladder
+      .withColumn("hrd", expr("CAST(hr_pct AS DOUBLE) / 100.0"))
+      .withColumn("u_micro", expr(
+        """CAST(floor((CAST(d1 AS DOUBLE)
+          |  - CAST(d0 + d1 AS DOUBLE)
+          |    * (CAST(n1 AS DOUBLE) * hrd)
+          |    / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * hrd))
+          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+      .withColumn("i_micro", expr(
+        """CAST(floor(CAST(d0 + d1 AS DOUBLE)
+          |  * (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * hrd)
+          |  / ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * hrd)
+          |    * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * hrd))
+          |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+    val byHr = terms.groupBy(col("hr_pct"))
+      .agg(coalesce(sum(col("d0")), lit(0L)).as("o0"),
+        coalesce(sum(col("d1")), lit(0L)).as("o1"),
+        coalesce(sum(col("u_micro")), lit(0L)).as("u_micro"),
+        coalesce(sum(col("i_micro")), lit(0L)).as("i_micro"))
+    val lad = Window.partitionBy(lit(1)).orderBy(col("hr_pct"))
+    byHr
+      .withColumn("z_r",
+        when(col("i_micro") > 0, expr(
+          """CAST(floor(CAST(u_micro AS DOUBLE) / 1000000.0
+            |  / sqrt(CAST(i_micro AS DOUBLE) / 1000000.0)
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .withColumn("next_u", lead(col("u_micro"), 1).over(lad))
+      .withColumn("brackets_mle",
+        when(col("next_u").isNotNull,
+          col("u_micro") > 0 && col("next_u") <= 0))
+      .drop("next_u")
+      .orderBy(col("hr_pct"))
+  }
+
   /** Breslow baseline cumulative hazard at a fixed hazard ratio — the
     * estimator half of the Cox pair ([[coxScore]] tests β, this reads
     * the baseline the model implies at that β): per stratum and death

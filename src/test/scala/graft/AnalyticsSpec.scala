@@ -982,6 +982,51 @@ class AnalyticsSpec extends SparkSpec {
       r3.isNullAt(r3.fieldIndex("significant")))
   }
 
+  test("coxScoreProfile: the U sign change brackets the MLE - identical " +
+      "arms bracket at or below hr=1, a strong planted effect pushes the " +
+      "bracket up the ladder, U decreasing in hr") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // identical arms (true hr = 1): U(1/2) > 0 > U(2) typically, so
+    // the bracket lands on a rung at or below hr = 1
+    val same = (1 to 200).map(_.toLong).flatMap { u =>
+      Seq((u, ts(1), "signup"), (u, ts(2 + (u % 5).toInt), "purchase"))
+    }
+    val eq = Analytics.coxScoreProfile(
+      same.toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      "purchase").collect().sortBy(_.getAs[Long]("hr_pct"))
+    assert(eq.map(_.getAs[Long]("hr_pct")).toSeq ==
+      Seq(50L, 100L, 200L, 400L))
+    // U strictly decreasing down the ladder
+    val us = eq.map(_.getAs[Long]("u_micro"))
+    assert(us.zip(us.tail).forall { case (a, b) => b < a }, us.mkString(","))
+    // exactly one bracket among the first three rungs (U crosses zero
+    // once), and for identical arms it is NOT the top transition
+    val brackets = eq.take(3).map(_.getAs[Boolean]("brackets_mle"))
+    assert(brackets.count(identity) <= 1)
+    assert(!brackets(2), s"identical arms bracketed at (2,4]: $us")
+    // last rung's bracket is NULL (no next)
+    assert(eq.last.isNullAt(eq.last.fieldIndex("brackets_mle")))
+    // planted strong arm-1 effect: arm 1 converts day 2, arm 0 never
+    val armOf = (1 to 200).map(_.toLong).toDF("u")
+      .select(col("u"), pmod(rollingHash(concat(lit("km:"),
+        col("u").cast("string"))), lit(2)).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strong = (1 to 200).map(_.toLong).flatMap { u =>
+      val first = (u, ts(1), "signup")
+      if (armOf(u) == 1L) Seq(first, (u, ts(2), "purchase"))
+      else Seq(first, (u, ts(9), "view"))
+    }
+    val st = Analytics.coxScoreProfile(
+      strong.toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      "purchase").collect().sortBy(_.getAs[Long]("hr_pct"))
+    // the effect is far beyond 4x: U stays positive on every rung,
+    // so NO rung brackets - the MLE is above the ladder
+    assert(st.forall(_.getAs[Long]("u_micro") > 0L))
+    assert(st.take(3).forall(!_.getAs[Boolean]("brackets_mle")))
+  }
+
   test("coxBaseline: pure-integer Breslow increments, monotone " +
       "cumulative per stratum, and conservation of deaths") {
     import java.sql.Timestamp
