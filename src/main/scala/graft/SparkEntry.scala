@@ -3859,6 +3859,52 @@ object SparkEntry {
         .orderBy(col("source"), col("rank"))
     }),
 
+    // §2.45s — streaming KMV register row (r16 — the LAST sketch gets
+    // its stream twin; the sketch class is now closed: HLL, CMS,
+    // quantile, SpaceSaving, KMV all maintained as rows arrive): per
+    // event_type the bottom-128 salted hashes fold via the SHARED
+    // Approx.kmvHash across two staged micro-batches (bottom-k of a
+    // set absorbs re-delivery with no dedup gate); the final register
+    // file re-derives from the emission log by the bottom-k law, the
+    // (k-1)·2^52/h_k estimate reads off the kth hash, and the exact
+    // distinct certifies from a batch pass over the same staged bytes.
+    // Oracle = the batch KMV register + estimate replay.
+    "q_stream_kmv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"))
+        .where(col("event_type").isNotNull && col("user_id").isNotNull &&
+          col("ts").isNotNull)
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_kmvsrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val rows = stream.select(col("event_type").as("g"),
+        graft.operators.Approx.kmvHash(col("user_id")).as("hc"))
+      val emitted = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.kmvRegisterStream(rows, k = 128))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("hc"))
+      val reg = emitted.select(col("g"), col("hc")).distinct()
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 128)
+      val exact = s.read.parquet(base).groupBy(col("event_type").as("g"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      reg.groupBy(col("g"))
+        .agg(count(lit(1)).as("n_sketch"), max(col("hc")).as("kth_hc"))
+        .join(exact, Seq("g"))
+        .withColumn("est_r", round(
+          when(col("n_sketch") < 128L, col("n_sketch").cast("double"))
+            .otherwise(lit(127.0) * lit(4503599627370496.0) /
+              col("kth_hc").cast("double")), 2))
+        .withColumn("err_bp",
+          round(abs(col("est_r") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") * 10000.0, 0).cast("long"))
+        .orderBy(col("g"))
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -9628,6 +9674,41 @@ object SparkEntry {
 
     // the running last-touch via IGNORE NULLS last_value over the same
     // strictly-before (us, event_id) frame the Spark window uses
+    // bottom-k of a set re-derives from the emission log and the KMV
+    // hash is the same salted 52-bit md5 fold on both engines — the
+    // batch register + estimate replay certifies the stream verbatim
+    "q_stream_kmv" -> {
+      val md5bits =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(substring(md5('kmv:' || CAST(v AS VARCHAR)), 1, 13), ''),
+          |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+          |      (acc, c) -> acc * 16 + c)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT DISTINCT event_type AS g, user_id AS v FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL),
+         |h AS (SELECT DISTINCT g, $md5bits + 1 AS hc FROM d),
+         |r AS (SELECT g, hc,
+         |    CAST(row_number() OVER (PARTITION BY g ORDER BY hc)
+         |      AS BIGINT) AS rk
+         |  FROM h),
+         |sk AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sketch,
+         |    CAST(max(hc) AS BIGINT) AS kth_hc
+         |  FROM r WHERE rk <= 128 GROUP BY g),
+         |ex AS (SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS n_exact
+         |  FROM d GROUP BY g),
+         |e AS (SELECT sk.g, sk.n_sketch, sk.kth_hc, ex.n_exact,
+         |    round(CASE WHEN sk.n_sketch < 128
+         |      THEN CAST(sk.n_sketch AS DOUBLE)
+         |      ELSE CAST(127 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |        / CAST(sk.kth_hc AS DOUBLE) END, 2) AS est_r
+         |  FROM sk JOIN ex ON sk.g = ex.g)
+         |SELECT g, n_sketch, kth_hc, n_exact, est_r,
+         |  CAST(round(abs(est_r - CAST(n_exact AS DOUBLE))
+         |    / CAST(n_exact AS DOUBLE) * 10000.0, 0) AS BIGINT) AS err_bp
+         |FROM e ORDER BY g""".stripMargin
+    },
+
     // the streaming fold shares the batch per-purchase decision rule
     // and the ts-split staging preserves the (us, event_id) order, so
     // the batch replay certifies the streamed credits verbatim

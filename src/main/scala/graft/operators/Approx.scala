@@ -696,10 +696,17 @@ object Approx {
     * Infinity); rank order is unchanged (monotone shift) and the
     * estimator bias of one part in 2^52 is far below the 2-dp
     * rounding. */
+  /** The KMV hash — salted 52-bit md5 of the value, shifted to 1..2⁵²
+    * so a zero kth-hash can never divide: the ONE definition shared by
+    * the batch sketch and the streaming twin
+    * (`EventStream.kmvRegisterStream`), so the two cannot hash apart. */
+  private[graft] def kmvHash(v: Column): Column =
+    md5Bits52("kmv:", v.cast("string")) + 1
+
   private def kmvSketch(df: DataFrame, groupCol: String,
       valueCol: String, k: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val hc = md5Bits52("kmv:", col(valueCol).cast("string")) + 1
+    val hc = kmvHash(col(valueCol))
     val hashes = df.select(col(groupCol).as("g"), col(valueCol))
       .where(col(valueCol).isNotNull)
       .select(col("g"), hc.as("hc")).distinct()

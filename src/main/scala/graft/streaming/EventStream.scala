@@ -958,6 +958,45 @@ object EventStream {
       }.toDF()
   }
 
+  /** State for [[kmvRegisterStream]]: the k smallest KMV hashes per
+    * group — the register file itself, never the stream. */
+  case class KmvState(smallest: List[Long])
+  case class KmvRow(g: String, rk: Long, hc: Long)
+
+  /** Streaming KMV register maintenance — the continuous twin of the
+    * batch `Approx.kmvSketch` bottom-k register file (the LAST sketch
+    * without a stream twin: HLL, CMS, quantile, and SpaceSaving all
+    * have theirs): per group the k smallest salted 52-bit hashes fold
+    * as bounded bottom-k state FOREVER. Input rows carry (g, hc) with
+    * hc already computed by the SHARED `Approx.kmvHash` column, so the
+    * paths cannot hash apart. Bottom-k of a SET is idempotent under
+    * re-insertion — at-least-once re-deliveries absorb with no dedup
+    * gate (the groupSampleStream law), and any state snapshot IS the
+    * batch sketch of the values seen so far: the kmvOverlap /
+    * kmvTimeline read paths consume a live distinct-count warehouse
+    * unchanged. Each touched microbatch re-emits the refreshed ranked
+    * register file; the final state re-derives EXACTLY from the
+    * emission log by the bottom-k law.
+    */
+  def kmvRegisterStream(rows: DataFrame, k: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("g").cast("string"), col("hc").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[KmvState]) =>
+          val prior = state.getOption.map(_.smallest).getOrElse(Nil)
+          val smallest = (prior ++ it.map(_._2).toList)
+            .distinct.sorted.take(k)
+          state.update(KmvState(smallest))
+          smallest.zipWithIndex.map { case (hc, i) =>
+            KmvRow(g, i + 1L, hc)
+          }.iterator
+      }.toDF()
+  }
+
   def groupSampleStream(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -291,6 +291,42 @@ class EventStreamSpec extends SparkSpec {
     assert(latest.find(_._2 == 1L).get._3 == 20L) // tracked from batch 1: exact
   }
 
+  test("kmvRegisterStream: bottom-k register file absorbs re-delivery, " +
+      "final state equals the bottom-k of all hashes, bounded at k") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val k = 4
+    val input = MemoryStream[(String, Long)]
+    val out = EventStream.kmvRegisterStream(
+      input.toDF().toDF("g", "hc"), k)
+    val chk = Files.createTempDirectory("graft-kmv-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("kmvreg")
+      .outputMode("append")
+      .option("checkpointLocation", chk)
+      .start()
+    // batch 1: hashes 50,40,30,20,10 -> state {10,20,30,40};
+    // batch 2 re-delivers 20 (no-op by the set law) and adds 5, 35
+    // -> final state {5,10,20,30}
+    input.addData(Seq(("a", 50L), ("a", 40L), ("a", 30L), ("a", 20L),
+      ("a", 10L)): _*)
+    query.processAllAvailable()
+    input.addData(Seq(("a", 20L), ("a", 5L), ("a", 35L)): _*)
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.table("kmvreg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.length <= 2 * k) // emission bound per touched batch
+    // final emission = last k rows; equals bottom-k of the union
+    val fin = all.takeRight(k).map(t => (t._2, t._3)).toSet
+    assert(fin == Set((1L, 5L), (2L, 10L), (3L, 20L), (4L, 30L)),
+      s"got $fin")
+    // the emission-log re-derivation (the driver row's drain rule):
+    // distinct hashes across ALL emissions, re-ranked, bottom-k
+    val rederived = all.map(_._3).distinct.sorted.take(k).toSet
+    assert(rederived == Set(5L, 10L, 20L, 30L))
+  }
+
   test("groupSampleStream: final sample equals Sampling.groupSample across " +
       "microbatches with a planted re-delivery, state bounded at k") {
     implicit val sq = spark.sqlContext
