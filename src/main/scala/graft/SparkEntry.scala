@@ -3431,6 +3431,13 @@ object SparkEntry {
     "q_benford" -> ((s, dir) =>
       Analytics.benfordAudit(Tables.orders(s, dir), "o_totalprice")),
 
+    // §2.58u2 — Benford DRIFT TIMELINE (r16): the audit per (type,
+    // day) — "since WHEN and in WHICH feed" — pure integer end to end
+    // via the absent-digit complement identity
+    "q_benford_timeline" -> ((s, dir) =>
+      Analytics.benfordTimeline(Tables.events(s, dir), "event_type",
+        "ts", "value")),
+
     // §2.63b — classical additive decomposition (r16, STL-lite): each
     // type's daily series splits into centered-7-day trend + centered
     // day-of-week seasonal + remainder, all integer micro with the
@@ -9797,6 +9804,37 @@ object SparkEntry {
         |    CAST(floor(CAST(n_days * sxy - sx * sy AS DOUBLE) * 1000000.0 /
         |      (n_days * sxx - sx * sx) + 0.5) AS BIGINT) END AS slope_u
         |FROM g""".stripMargin,
+
+    // per-(type, day) TV vs the nine literals, pure integer with the
+    // absent-digit complement identity; one truncating DIV 2 publish
+    "q_benford_timeline" ->
+      """WITH b(digit, bm) AS (VALUES
+        |  (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)),
+        |  (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |cells AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(substring(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_d
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND value >= 1
+        |  GROUP BY 1, 2, 3),
+        |byday AS (
+        |  SELECT g, day, CAST(sum(n_d) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT c.g, c.day, d.n,
+        |    CAST(sum(abs((c.n_d * 1000000) // d.n - b.bm)) AS BIGINT)
+        |      AS present_dev,
+        |    CAST(sum(b.bm) AS BIGINT) AS present_b
+        |  FROM cells c JOIN b ON c.digit = b.digit
+        |  JOIN byday d ON c.g = d.g AND c.day = d.day
+        |  GROUP BY 1, 2, 3)
+        |SELECT g AS group_key, CAST(day AS VARCHAR) AS day, n,
+        |  (present_dev + (1000000 - present_b)) // 2 AS tv_micro
+        |FROM dev ORDER BY group_key, day""".stripMargin,
 
     // the nine Benford micro literals inlined identically; shares are
     // exact integer DIV; digits with no rows still publish via the

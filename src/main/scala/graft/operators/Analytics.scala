@@ -2004,6 +2004,55 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** Benford DRIFT TIMELINE — [[benfordAudit]] per (group, day): the
+    * audit run once says "this load deviates"; the timeline says
+    * "since WHEN and in WHICH feed" (the monitor form every ingest
+    * gate actually deploys — a unit change or a capped upstream shows
+    * up as a step in the series): per (group, day) the total-variation
+    * distance between the day's first-digit distribution and the nine
+    * Benford micro literals, PURE INTEGER end to end —
+    *
+    *   2·TV_micro = Σ_present |n_d·10⁶ DIV n − b_d| + (10⁶ − Σ_present b_d)
+    *
+    * (the absent-digit complement identity, the q_tcloseness
+    * discipline — the (group, day, digit) frame never densifies), and
+    * the publish is one truncating DIV 2. Output: one row per
+    * (group, day) with any qualifying value — n, tv_micro. Scale
+    * shape: ONE map-side aggregate to the ≤ 9-per-(group, day) digit
+    * frame; everything after is bounded arithmetic.
+    */
+  def benfordTimeline(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lits = broadcast(benford.toDF("digit", "b")
+      .select(col("digit").cast("long"), col("b")))
+    val cells = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
+        substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy(col("g"), col("day"), col("digit"))
+      .agg(count(lit(1)).as("n_d"))
+    val byDay = cells.groupBy(col("g"), col("day"))
+      .agg(sum(col("n_d")).as("n"))
+    cells.join(lits, "digit")
+      .join(byDay, Seq("g", "day"))
+      .groupBy(col("g"), col("day"), col("n"))
+      .agg(sum(abs(expr("(n_d * 1000000) DIV n") - col("b")))
+          .as("present_dev"),
+        sum(col("b")).as("present_b"))
+      .select(col("g").as("group_key"),
+        col("day").cast("string").as("day"), col("n"),
+        expr("(present_dev + (1000000 - present_b)) DIV 2")
+          .as("tv_micro"))
+      .orderBy(col("group_key"), col("day"))
+  }
+
   /** Classical additive seasonal decomposition over the daily panel —
     * the STL-lite preprocessing every seasonality-aware monitor runs
     * before alerting (q_seasonality shows the (dow, hour) heat map;

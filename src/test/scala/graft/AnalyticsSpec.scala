@@ -1084,6 +1084,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(f.length == 9 && f.count(_.getAs[Long]("n") == 0L) == 8)
   }
 
+  test("benfordTimeline: a planted unit-change day steps the TV series, " +
+      "conforming days stay low, pure-integer complement identity") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // days 1-3: a Benford-ish geometric spread; day 4: everything x100
+    // lands on leading digit 5 only (a unit-change signature)
+    val good = for (d <- 1 to 3; k <- 0 until 60)
+      yield (d.toLong * 1000 + k, ts(d), "load", math.pow(1.5, k % 30) * 7.3)
+    val bad = (0 until 60).map(k => (4000L + k, ts(4), "load", 555.0))
+    val out = Analytics.benfordTimeline(
+      (good ++ bad).toDF("event_id", "ts", "event_type", "value"),
+      "event_type", "ts", "value")
+      .collect().map(r => r.getAs[String]("day") ->
+        r.getAs[Long]("tv_micro")).toMap
+    assert(out.size == 4)
+    // conforming days sit well under the degenerate day
+    val goodMax = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+      .map(out).max
+    // all-digit-5 day: TV = 1 - p5 = 1 - 0.079181 = 0.920819
+    assert(out("2024-01-04") == 920819L, s"got ${out("2024-01-04")}")
+    assert(goodMax < 300000L, s"conforming day deviated $goodMax")
+    assert(out("2024-01-04") > 3 * goodMax)
+  }
+
   test("stlDecompose: exact reconstruction identity, planted weekly " +
       "pattern lands in the seasonal component, dow effects constant") {
     import java.sql.Timestamp
