@@ -1090,6 +1090,45 @@ object Stress {
       val oX = (0 until factor).map(_ => o).reduce(_ unionByName _)
       graft.operators.Analytics.benfordAudit(oX, "o_totalprice")
     }
+    time("benford_timeline") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"), col("value"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.benfordTimeline(evX, "event_type",
+        "ts", "value")
+    }
+    // Cox profile: 4 ladder rungs on the bounded grid — the corpus
+    // cost is the one per-user aggregate, shared across rungs.
+    time("cox_profile") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.coxScoreProfile(evX, "user_id", "ts",
+        "purchase")
+    }
+    // Streaming KMV under ×factor staged bytes: offset users keep
+    // distinct values scaling; state stays k hashes per group.
+    time("stream_kmv") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("user_id"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("user_id", col("user_id") + lit(k * 100000000L)))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_kmvsrc"
+      graft.streaming.EventStream.stageTwoPhase(evX,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = spark.readStream.schema(evX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      val rows = stream.select(col("event_type").as("g"),
+        graft.operators.Approx.kmvHash(col("user_id")).as("hc"))
+      graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.kmvRegisterStream(rows, k = 128))
+    }
     // Streaming decay / sampler under ×factor staged bytes — fixed
     // commit machinery, bounded per-user / per-source state.
     time("stream_decay") {
