@@ -3438,6 +3438,14 @@ object SparkEntry {
       Analytics.benfordTimeline(Tables.events(s, dir), "event_type",
         "ts", "value")),
 
+    // §2.63c — forecast-baseline backtest (r16): naive-vs-seasonal MAE
+    // per type over one shared scored-day set, exact integer micro
+    // means, deterministic winner — which alerting baseline each
+    // series should use
+    "q_forecast_backtest" -> ((s, dir) =>
+      Analytics.forecastBacktest(Tables.events(s, dir), "event_type",
+        "ts")),
+
     // §2.63b — classical additive decomposition (r16, STL-lite): each
     // type's daily series splits into centered-7-day trend + centered
     // day-of-week seasonal + remainder, all integer micro with the
@@ -9862,6 +9870,39 @@ object SparkEntry {
         |  CASE WHEN n_total > 0 THEN (n * 1000000) // n_total
         |    ELSE CAST(0 AS BIGINT) END - benford_micro AS dev_micro
         |FROM j ORDER BY digit""".stripMargin,
+
+    // row lags + exact integer micro means over the shared scored-day
+    // set; the winner is an integer compare, no float anywhere
+    "q_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT g, day, y,
+        |    lag(y, 1) OVER (PARTITION BY g ORDER BY day) AS y1,
+        |    lag(y, 7) OVER (PARTITION BY g ORDER BY day) AS y7
+        |  FROM daily),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM lagged GROUP BY g),
+        |sc AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_scored,
+        |    CAST(sum(abs(y - y1)) AS BIGINT) AS ae1,
+        |    CAST(sum(abs(y - y7)) AS BIGINT) AS ae7
+        |  FROM lagged WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+        |  GROUP BY g),
+        |m AS (
+        |  SELECT sc.g AS group_key, n.n_days, sc.n_scored,
+        |    (sc.ae1 * 1000000) // sc.n_scored AS mae_naive_micro,
+        |    (sc.ae7 * 1000000) // sc.n_scored AS mae_seasonal_micro
+        |  FROM sc JOIN n ON sc.g = n.g)
+        |SELECT group_key, n_days, n_scored, mae_naive_micro,
+        |  mae_seasonal_micro,
+        |  CASE WHEN mae_seasonal_micro < mae_naive_micro THEN 'seasonal'
+        |    WHEN mae_naive_micro < mae_seasonal_micro THEN 'naive'
+        |    ELSE 'tie' END AS winner
+        |FROM m ORDER BY group_key""".stripMargin,
 
     // centered 7-row trend window, dow panel means, and the panel-wide
     // centering all replay as window functions; negative integer

@@ -2004,6 +2004,60 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** Forecast-baseline BACKTEST — which alerting baseline should a
+    * monitor use for each series? ([[stlDecompose]] explains the
+    * series; this picks the predictor): over each group's daily-count
+    * panel, score the two classical no-training baselines
+    *
+    *   naive       yhat_t = y_{t−1}        (yesterday)
+    *   seasonal    yhat_t = y_{t−7}        (same weekday last week)
+    *
+    * by mean absolute error over the days where BOTH predictors exist
+    * (one shared scored-day set — the comparison is apples-to-apples
+    * by construction), each MAE an exact integer micro mean
+    * (Σ|err|·10⁶ DIV n — the established integer-mean discipline).
+    * `winner` names the lower-MAE baseline ('tie' on exact equality —
+    * deterministic, no float compare). A series whose seasonal MAE
+    * beats naive has real weekly structure (alert on dow-adjusted
+    * levels); the reverse means yesterday is the better anchor.
+    *
+    * Lag semantics are ROW lags over present days (the stlDecompose
+    * edge convention — a gapless fixture makes them calendar lags).
+    * Output: one row per group — n_days, n_scored, mae_naive_micro,
+    * mae_seasonal_micro, winner. Scale shape: the daily aggregate is
+    * the only data-sized shuffle; lags and means run on the bounded
+    * panel.
+    */
+  def forecastBacktest(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val byDay = Window.partitionBy(col("g")).orderBy(col("day"))
+    val scored = daily
+      .withColumn("y1", lag(col("y"), 1).over(byDay))
+      .withColumn("y7", lag(col("y"), 7).over(byDay))
+      .localCheckpoint() // bounded panel, two consumers
+    val n = scored.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    scored.where(col("y1").isNotNull && col("y7").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("y") - col("y1"))).as("ae1"),
+        sum(abs(col("y") - col("y7"))).as("ae7"))
+      .join(n, "g")
+      .select(col("g").as("group_key"), col("n_days"), col("n_scored"),
+        expr("(ae1 * 1000000) DIV n_scored").as("mae_naive_micro"),
+        expr("(ae7 * 1000000) DIV n_scored").as("mae_seasonal_micro"))
+      .withColumn("winner",
+        when(col("mae_seasonal_micro") < col("mae_naive_micro"),
+          lit("seasonal"))
+          .when(col("mae_naive_micro") < col("mae_seasonal_micro"),
+            lit("naive"))
+          .otherwise(lit("tie")))
+      .orderBy(col("group_key"))
+  }
+
   /** Benford DRIFT TIMELINE — [[benfordAudit]] per (group, day): the
     * audit run once says "this load deviates"; the timeline says
     * "since WHEN and in WHICH feed" (the monitor form every ingest

@@ -1084,6 +1084,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(f.length == 9 && f.count(_.getAs[Long]("n") == 0L) == 8)
   }
 
+  test("forecastBacktest: a planted weekly series crowns the seasonal " +
+      "baseline, a drifting series crowns naive, hand-checked MAEs") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 'weekly': 21 days of 10 + 6 extra on days 7/14/21 (period 7) —
+    // y(t-7) is exact after day 7 while y(t-1) misses the spikes;
+    // 'drift': y grows by 1 daily — naive is off by 1, seasonal by 7
+    val rows =
+      (1 to 21).flatMap { d =>
+        val n = if (d % 7 == 0) 16 else 10
+        (1 to n).map(i => (d.toLong * 1000 + i, ts(d), "weekly"))
+      } ++
+      (1 to 21).flatMap { d =>
+        (1 to (d + 3)).map(i => (d.toLong * 1000 + i, ts(d), "drift"))
+      }
+    val out = Analytics.forecastBacktest(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val wk = out("weekly")
+    assert(wk.getAs[Long]("n_days") == 21L &&
+      wk.getAs[Long]("n_scored") == 14L)
+    // seasonal is EXACT on the periodic series
+    assert(wk.getAs[Long]("mae_seasonal_micro") == 0L)
+    // naive misses a spike edge 4 times in the scored window (day 7's
+    // own miss falls before scoring starts): days 8, 14, 15, 21, each
+    // off by 6 -> 24/14 micro (integer DIV)
+    assert(wk.getAs[Long]("mae_naive_micro") == 24L * 1000000L / 14L)
+    assert(wk.getAs[String]("winner") == "seasonal")
+    val dr = out("drift")
+    assert(dr.getAs[Long]("mae_naive_micro") == 1000000L)
+    assert(dr.getAs[Long]("mae_seasonal_micro") == 7000000L)
+    assert(dr.getAs[String]("winner") == "naive")
+  }
+
   test("benfordTimeline: a planted unit-change day steps the TV series, " +
       "conforming days stay low, pure-integer complement identity") {
     import java.sql.Timestamp
