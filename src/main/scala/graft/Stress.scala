@@ -1060,6 +1060,15 @@ object Stress {
         .reduce(_ unionByName _)
       graft.operators.Analytics.stlDecompose(evX, "event_type", "ts")
     }
+    time("forecast_backtest") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      graft.operators.Analytics.forecastBacktest(evX, "event_type", "ts")
+    }
     // Epoch plan: corpus scan collapses to |sources| totals; per-copy
     // SOURCE names grow the grant frame ×factor.
     time("epoch_plan") {
