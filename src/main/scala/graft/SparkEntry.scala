@@ -3332,6 +3332,22 @@ object SparkEntry {
             .as("score")))
     }),
 
+    // §2.58j2 — Kolmogorov–Smirnov two-sample test (r16): MW's
+    // distribution-level companion off the SAME hash arms + cents
+    // scores — D = max CDF gap as an exact decimal numerator with one
+    // micro division, verdict a pure integer compare vs the quantized
+    // asymptotic critical value
+    "q_ks_test" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      Analytics.ksTest(Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          (pmod(rollingHash(concat(lit("ab:"),
+            col("user_id").cast("string"))), lit(2)) === 1).as("label"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("score")))
+    }),
+
     // §2.58d — N-arm SRM: chi-square over 4 equal-weight arms in exact
     // integer micro-units ((sum of (n_i*A - n)^2)*10^6 DIV (A*n),
     // decimal(38,0) accumulation), flag vs the df=3 95% critical value
@@ -9154,6 +9170,60 @@ object SparkEntry {
         |SELECT n_pos, n_neg, n_scores, u2, tie_t, z_r,
         |  CASE WHEN z_r IS NOT NULL THEN abs(z_r) > 1.96 END AS significant
         |FROM zed""".stripMargin,
+
+    // the same histogram + cumulative windows; D's numerator is exact
+    // HUGEINT, one micro division, and the critical value quantizes
+    // to micro once so the verdict is an integer compare
+    "q_ks_test" ->
+      """WITH v AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS INT) = 1
+        |      AS label,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |hist AS (
+        |  SELECT score,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM v GROUP BY score),
+        |cum AS (
+        |  SELECT score, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnb,
+        |    CAST(coalesce(sum(np) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnpb,
+        |    CAST(sum(np) OVER () AS BIGINT) AS np_tot,
+        |    CAST(sum(nn) OVER () AS BIGINT) AS nn_tot
+        |  FROM hist),
+        |agg AS (
+        |  SELECT max(np_tot) AS n_pos, max(nn_tot) AS n_neg,
+        |    CAST(count(*) AS BIGINT) AS n_scores,
+        |    max(abs(CAST(cnpb + np AS HUGEINT) * nn_tot
+        |      - CAST(cnb + nn AS HUGEINT) * np_tot)) AS num_max
+        |  FROM cum)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg, n_scores,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST((num_max * 1000000)
+        |      // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) END
+        |    AS d_micro,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(floor(1.3581015157406195
+        |      * sqrt(CAST(n_pos + n_neg AS DOUBLE)
+        |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS crit_micro,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST((num_max * 1000000)
+        |      // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        |    > CAST(floor(1.3581015157406195
+        |      * sqrt(CAST(n_pos + n_neg AS DOUBLE)
+        |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS significant
+        |FROM agg""".stripMargin,
 
     "q_srm_check" ->
       """WITH v AS (

@@ -2395,6 +2395,60 @@ object Analytics {
     * Scale shape: identical to [[rocAuc]] — one corpus aggregate to
     * the bounded histogram, everything downstream bounded.
     */
+  /** Kolmogorov–Smirnov two-sample test — the DISTRIBUTION-level
+    * companion of [[mannWhitney]] (MW asks "is one arm shifted?"; KS
+    * asks "do the arms differ ANYWHERE in the CDF?" — variance
+    * changes, bimodality, and tail effects that leave the location
+    * untouched): off the SAME bounded score histogram
+    * ([[scoreHistCum]] — one corpus aggregate, everything downstream
+    * bounded), the statistic at each distinct score is
+    *
+    *   D = max_s |F₊(s) − F₋(s)|
+    *     = max_s |c₊(s)·n₋ − c₋(s)·n₊| / (n₊·n₋)
+    *
+    * with the numerator EXACT DECIMAL (counts to 10¹⁹ before the cast
+    * cliff — the welch discipline) and ONE integer micro division at
+    * the end; the asymptotic critical value c(0.05)·√((n₊+n₋)/(n₊·n₋))
+    * with c(0.05) = √(−ln(0.025)/2) inlined as the double literal
+    * 1.3581015157406195 (the hllC constant discipline) is quantized
+    * to micro ONCE, so `significant` is a pure integer compare —
+    * engine-identical by construction. NULL verdict when either arm
+    * is empty.
+    *
+    * Output: one row — n_pos, n_neg, n_scores, d_micro, crit_micro,
+    * significant.
+    */
+  def ksTest(scored: DataFrame): DataFrame = {
+    val tot = Window.partitionBy(lit(1))
+    val terms = scoreHistCum(scored)
+      .withColumn("np_tot", sum(col("np")).over(tot))
+      .withColumn("nn_tot", sum(col("nn")).over(tot))
+      .withColumn("num", abs(
+        (col("cnpb") + col("np")).cast("decimal(19,0)") *
+          col("nn_tot").cast("decimal(19,0)") -
+        (col("cnb") + col("nn")).cast("decimal(19,0)") *
+          col("np_tot").cast("decimal(19,0)")))
+    terms.agg(
+      max(col("np_tot")).as("n_pos"),
+      max(col("nn_tot")).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      max(col("num")).as("num_max"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, expr(
+          """CAST((num_max * 1000000)
+            |  DIV (CAST(n_pos AS DECIMAL(19,0))
+            |    * CAST(n_neg AS DECIMAL(19,0))) AS BIGINT)""".stripMargin))
+          .as("d_micro"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, expr(
+          """CAST(floor(1.3581015157406195
+            |  * sqrt(CAST(n_pos + n_neg AS DOUBLE)
+            |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+            |  * 1000000.0 + 0.5) AS BIGINT)""".stripMargin))
+          .as("crit_micro"))
+      .withColumn("significant",
+        when(col("d_micro").isNotNull, col("d_micro") > col("crit_micro")))
+  }
+
   def mannWhitney(scored: DataFrame): DataFrame = {
     // the outer CAST keeps the published column DOUBLE: in a SQL-parsed
     // expression 10000.0 is a DECIMAL literal, and BIGINT/DECIMAL would

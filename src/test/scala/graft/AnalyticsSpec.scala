@@ -1084,6 +1084,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(f.length == 9 && f.count(_.getAs[Long]("n") == 0L) == 8)
   }
 
+  test("ksTest: catches a pure variance difference Mann-Whitney cannot " +
+      "see, identical arms stay quiet, empty arm yields NULL") {
+    // same center, different spread: one arm is a point mass at 100,
+    // the other alternates 50/150 — P(X>Y) = P(X<Y), so the location
+    // test is blind while the CDFs gap by 0.5 below the center
+    val spread = (1 to 400).map { i =>
+      if (i % 2 == 0) (true, 100L)
+      else (false, if (i % 4 == 1) 50L else 150L)
+    }
+    val ks = Analytics.ksTest(spread.toDF("label", "score")).collect().head
+    assert(ks.getAs[Long]("n_pos") == 200L &&
+      ks.getAs[Long]("n_neg") == 200L)
+    assert(ks.getAs[Long]("d_micro") == 500000L,
+      s"D=${ks.getAs[Long]("d_micro")}")
+    assert(ks.getAs[Boolean]("significant"))
+    val mw = Analytics.mannWhitney(spread.toDF("label", "score"))
+      .collect().head
+    assert(!mw.getAs[Boolean]("significant"),
+      s"MW should be blind to pure spread: z=${mw.getAs[Double]("z_r")}")
+    // identical arms: D stays under the critical value
+    val same = (1 to 400).map(i => (i % 2 == 0, (i % 7).toLong))
+    val eq = Analytics.ksTest(same.toDF("label", "score")).collect().head
+    assert(!eq.getAs[Boolean]("significant"),
+      s"identical arms flagged: D=${eq.getAs[Long]("d_micro")}")
+    // one empty arm: NULL statistic and verdict, not a crash
+    val solo = (1 to 50).map(i => (true, i.toLong))
+    val r = Analytics.ksTest(solo.toDF("label", "score")).collect().head
+    assert(r.isNullAt(r.fieldIndex("d_micro")) &&
+      r.isNullAt(r.fieldIndex("significant")))
+  }
+
   test("forecastBacktest: a planted weekly series crowns the seasonal " +
       "baseline, a drifting series crowns naive, hand-checked MAEs") {
     import java.sql.Timestamp
