@@ -3454,6 +3454,13 @@ object SparkEntry {
       Analytics.benfordTimeline(Tables.events(s, dir), "event_type",
         "ts", "value")),
 
+    // §2.63d — dow anomaly bands (r16): each day judged against its
+    // OWN dow panel's mean ± 2σ with the whole gate pure integer —
+    // (y·n − s)² > 4·n·(n·q − s²), no sqrt, no division
+    "q_dow_anomaly" -> ((s, dir) =>
+      Analytics.dowAnomalyBands(Tables.events(s, dir), "event_type",
+        "ts")),
+
     // §2.63c — forecast-baseline backtest (r16): naive-vs-seasonal MAE
     // per type over one shared scored-day set, exact integer micro
     // means, deterministic winner — which alerting baseline each
@@ -9940,6 +9947,31 @@ object SparkEntry {
         |  CASE WHEN n_total > 0 THEN (n * 1000000) // n_total
         |    ELSE CAST(0 AS BIGINT) END - benford_micro AS dev_micro
         |FROM j ORDER BY digit""".stripMargin,
+
+    // the pure-integer variance gate replayed with the same exact
+    // HUGEINT squares on both sides of the inequality
+    "q_dow_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT g, day, y, CAST(dayofweek(day) AS BIGINT) AS dow
+        |  FROM daily),
+        |p AS (
+        |  SELECT g, day, y, dow,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_dow,
+        |    CAST(sum(y) OVER w AS BIGINT) AS s_d,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS q_d
+        |  FROM d2 WINDOW w AS (PARTITION BY g, dow))
+        |SELECT g AS group_key, CAST(day AS VARCHAR) AS day, y, dow,
+        |  n_dow, (s_d * 1000000) // n_dow AS mean_micro,
+        |  (CAST(y AS HUGEINT) * n_dow - s_d)
+        |    * (CAST(y AS HUGEINT) * n_dow - s_d)
+        |  > 4 * (CAST(n_dow AS HUGEINT) * q_d
+        |      - CAST(s_d AS HUGEINT) * s_d) AS flagged
+        |FROM p ORDER BY group_key, day""".stripMargin,
 
     // row lags + exact integer micro means over the shared scored-day
     // set; the winner is an integer compare, no float anywhere

@@ -2004,6 +2004,51 @@ object Analytics {
       .orderBy(col("digit"))
   }
 
+  /** Day-of-week anomaly bands — the GATE [[stlDecompose]] informs (the
+    * decomposition says Mondays run low; this says THIS Monday is low
+    * even for a Monday): each day's count is judged against its OWN
+    * dow panel's mean ± 2σ, with the whole comparison PURE INTEGER —
+    * no sqrt, no division:
+    *
+    *   flagged  ⇔  (y·n_d − s_d)² > 4 · (n_d·q_d − s_d²)
+    *
+    * (both sides exact decimal off integer day counts: the left is
+    * (n_d·(y − μ))², the right is 4·n_d²·σ² — the Welch
+    * exact-numerator discipline applied to the variance gate; a
+    * one-day dow panel can never flag — its sole day IS the mean, so
+    * both sides are zero and the strict > stays false; n_dow rides
+    * the row so a consumer can gate on panel depth). mean_micro
+    * publishes the dow mean for the dashboard (Σ·10⁶ DIV n).
+    *
+    * Output: one row per (group, day) — y, dow (0=Sunday), n_dow,
+    * mean_micro, flagged. Scale shape: the daily aggregate is the
+    * only data-sized shuffle; the dow windows run on the bounded
+    * panel.
+    */
+  def dowAnomalyBands(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+    val dowW = Window.partitionBy(col("g"), col("dow"))
+    daily
+      .withColumn("n_dow", count(lit(1)).over(dowW))
+      .withColumn("s_d", sum(col("y")).over(dowW))
+      .withColumn("q_d", sum(col("y") * col("y")).over(dowW))
+      .select(col("g").as("group_key"),
+        col("day").cast("string").as("day"), col("y"), col("dow"),
+        col("n_dow"),
+        expr("(s_d * 1000000) DIV n_dow").as("mean_micro"),
+        expr("""(CAST(y AS DECIMAL(19,0)) * n_dow - s_d)
+          |  * (CAST(y AS DECIMAL(19,0)) * n_dow - s_d)
+          |  > 4 * (CAST(n_dow AS DECIMAL(19,0)) * q_d
+          |      - CAST(s_d AS DECIMAL(19,0)) * s_d)""".stripMargin)
+          .as("flagged"))
+      .orderBy(col("group_key"), col("day"))
+  }
+
   /** Forecast-baseline BACKTEST — which alerting baseline should a
     * monitor use for each series? ([[stlDecompose]] explains the
     * series; this picks the predictor): over each group's daily-count

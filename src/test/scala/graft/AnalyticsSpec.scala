@@ -1084,6 +1084,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(f.length == 9 && f.count(_.getAs[Long]("n") == 0L) == 8)
   }
 
+  test("dowAnomalyBands: a planted dow-local spike flags while the " +
+      "same level on a high dow does not, one-day panels never flag") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 8 weeks: Sundays run at 60, other days at 10 — except ONE
+    // Wednesday (Jan 17) spikes to 60: normal FOR A SUNDAY, anomalous
+    // for its own dow panel. 8 points per panel matter: with n points
+    // the outlier's own inflation of sigma caps any deviation at
+    // (n-1)/sqrt(n) sigma, so a 2-sigma gate needs n >= 6 to be able
+    // to fire at all (the self-masking bound).
+    val day0 = java.time.LocalDate.of(2024, 1, 1)
+    val rows = (0 until 56).flatMap { k =>
+      val date = day0.plusDays(k)
+      val sunday = date.getDayOfWeek.getValue % 7 == 0
+      val n = if (sunday) 60 else if (date.toString == "2024-01-17") 60
+        else 10
+      (1 to n).map(i => (k.toLong * 1000 + i,
+        Timestamp.valueOf(date.atTime(10, 0)), "click"))
+    }
+    val out = Analytics.dowAnomalyBands(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("day") ->
+        r.getAs[Boolean]("flagged")).toMap
+    assert(out.size == 56)
+    // the Wednesday spike flags; the equally-sized Sundays do not
+    assert(out("2024-01-17"), "dow-local spike missed")
+    Seq("2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28")
+      .foreach(d => assert(!out(d), s"normal Sunday $d flagged"))
+    // other Wednesdays sit inside their inflated band (the spike
+    // widens its own panel's variance - the classic masking trade-off,
+    // honest for a 2-sigma gate)
+    assert(!out("2024-01-03"))
+    // a 3-day corpus: every dow panel has one day, nothing can flag
+    val tiny = (1 to 3).flatMap(d =>
+      (1 to d * 5).map(i => (d.toLong * 100 + i, ts(d), "click")))
+    val t = Analytics.dowAnomalyBands(
+      tiny.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect()
+    assert(t.forall(r => !r.getAs[Boolean]("flagged") &&
+      r.getAs[Long]("n_dow") == 1L))
+  }
+
   test("ksTest: catches a pure variance difference Mann-Whitney cannot " +
       "see, identical arms stay quiet, empty arm yields NULL") {
     // same center, different spread: one arm is a point mass at 100,
