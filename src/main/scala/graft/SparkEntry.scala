@@ -3487,6 +3487,14 @@ object SparkEntry {
       Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
         "ts", critZ = 1.96)),
 
+    // §2.60c — Theil–Sen forecast (r16): the FORECAST half of the
+    // robust trend pair — lower-median slope AND intercept (both rank
+    // statistics, pure integer given the quantized slope), one-step-
+    // ahead forecast_micro = intercept + sen·(x_last + 1)
+    "q_theil_sen_forecast" -> ((s, dir) =>
+      Analytics.theilSenForecast(Tables.events(s, dir), "event_type",
+        "ts")),
+
     // §2.61 — time-constrained funnel: view -> click within 24h -> purchase
     // within 24h of the click; chained conditional-min aggregates, one slim
     // row per surviving user per stage
@@ -10107,6 +10115,56 @@ object SparkEntry {
         |    WHEN z_r < -1.96 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM zz ORDER BY group_key""".stripMargin,
+
+    // same daily panel; both medians replay as rank statistics
+    // (position (m+1)//2 under value ASC), the slope quantization is
+    // the one shared double chain, everything else exact integer
+    "q_theil_sen_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT t, min(day) AS day0, max(day) AS day_last,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY t),
+        |xd AS (
+        |  SELECT d.t, CAST(d.day - b.day0 AS BIGINT) AS x, d.y
+        |  FROM daily d JOIN base b ON d.t = b.t),
+        |pairs AS (
+        |  SELECT a.t AS t,
+        |    CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+        |      / CAST(b.x - a.x AS DOUBLE) + 0.5) AS BIGINT)
+        |      AS slope_micro
+        |  FROM xd a JOIN xd b ON a.t = b.t AND a.x < b.x),
+        |m AS (SELECT t, CAST(count(*) AS BIGINT) AS m FROM pairs
+        |  GROUP BY t),
+        |sen AS (
+        |  SELECT p.t, p.slope_micro AS sen_micro
+        |  FROM (SELECT t, slope_micro,
+        |      CAST(row_number() OVER (PARTITION BY t
+        |        ORDER BY slope_micro) AS BIGINT) AS rk
+        |    FROM pairs) p
+        |  JOIN m ON p.t = m.t WHERE p.rk = (m.m + 1) // 2),
+        |resid AS (
+        |  SELECT x.t, x.y * 1000000 - s.sen_micro * x.x AS r
+        |  FROM xd x JOIN sen s ON x.t = s.t),
+        |icept AS (
+        |  SELECT r.t, r.r AS intercept_micro
+        |  FROM (SELECT t, r,
+        |      CAST(row_number() OVER (PARTITION BY t ORDER BY r)
+        |        AS BIGINT) AS rk
+        |    FROM resid) r
+        |  JOIN base b ON r.t = b.t WHERE r.rk = (b.n_days + 1) // 2)
+        |SELECT b.t AS group_key, b.n_days,
+        |  CAST(b.day_last AS VARCHAR) AS day_last, s.sen_micro,
+        |  i.intercept_micro,
+        |  CAST(b.day_last - b.day0 AS BIGINT) + 1 AS x_next,
+        |  i.intercept_micro + s.sen_micro
+        |    * (CAST(b.day_last - b.day0 AS BIGINT) + 1) AS forecast_micro
+        |FROM base b JOIN sen s ON b.t = s.t JOIN icept i ON b.t = i.t
+        |ORDER BY group_key""".stripMargin,
 
     "q_funnel_windowed" -> {
       val w = 24L * 3600 * 1000000

@@ -1957,6 +1957,86 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Theil–Sen line + one-step-ahead forecast — the FORECAST half of
+    * [[mannKendallTrend]] (MK says the trend is REAL; this says what
+    * tomorrow should look like under it — the robust trending-series
+    * baseline [[forecastBacktest]]'s naive/seasonal candidates both
+    * miss, because each of those predicts a PAST value, never the
+    * line's next point): over the same daily-count panel, with
+    * x_i = days since the group's FIRST day (an exact integer),
+    *
+    *   sen_micro       = lower median of the pairwise slopes
+    *                     (mannKendallTrend's statistic, re-derived on
+    *                     the same quantization so the row is
+    *                     self-contained)
+    *   intercept_micro = lower median of (y_i·10⁶ − sen_micro·x_i)
+    *                     — the standard Theil–Sen intercept, each
+    *                     residual PURE INTEGER once sen_micro is fixed
+    *   forecast_micro  = intercept_micro + sen_micro·(x_last + 1)
+    *
+    * Both medians are rank statistics — position (m+1) DIV 2 under
+    * value ASC, row_number ties irrelevant because the SELECTED value
+    * is order-invariant (the q_ppl_buckets rule: never interpolate).
+    * The only doubles are mannKendallTrend's single slope-quantization
+    * chain, written operation-identically in the oracle. Products
+    * sen_micro·x stay exact in BIGINT through |slope|·span < 10¹⁹
+    * (slope ≤ 10⁶·max daily count, span = the day axis — the welch
+    * cast-cliff discipline; a 10⁹-events/day series with a 30-day
+    * panel sits at 10¹⁷). Single-day groups have no pairs and drop
+    * (a one-point series has no line — same contract as
+    * mannKendallTrend's inner sen join).
+    *
+    * Output: one row per group — n_days, day_last, sen_micro,
+    * intercept_micro, x_next, forecast_micro. Scale shape: the daily
+    * aggregate is the only data-sized shuffle; the pair frame is
+    * C(days, 2) per group (day-span bounded, never corpus) and both
+    * median windows run on bounded frames.
+    */
+  def theilSenForecast(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // bounded (type, day) panel, two consumers
+    val base = daily.groupBy(col("t"))
+      .agg(min(col("day")).as("day0"), max(col("day")).as("day_last"),
+        count(lit(1)).as("n_days"))
+    val xd = daily.join(broadcast(base.select(col("t"), col("day0"))), "t")
+      .select(col("t"), datediff(col("day"), col("day0")).cast("long")
+        .as("x"), col("y"))
+      .localCheckpoint() // bounded integer-x panel, two consumers
+    val pairs = xd.as("a").join(xd.as("b"),
+        col("a.t") === col("b.t") && col("a.x") < col("b.x"))
+      .select(col("a.t").as("t"),
+        expr("""CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000.0
+          |  / CAST(b.x - a.x AS DOUBLE) + 0.5) AS BIGINT)"""
+          .stripMargin).as("slope_micro"))
+    val m = pairs.groupBy(col("t")).agg(count(lit(1)).as("m"))
+    val wS = Window.partitionBy(col("t")).orderBy(col("slope_micro"))
+    val sen = pairs.withColumn("rk", row_number().over(wS))
+      .join(m, "t")
+      .where(col("rk").cast("long") === expr("(m + 1) DIV 2"))
+      .select(col("t"), col("slope_micro").as("sen_micro"))
+    val resid = xd.join(broadcast(sen), "t")
+      .select(col("t"),
+        (col("y") * 1000000L - col("sen_micro") * col("x")).as("r"))
+    val wI = Window.partitionBy(col("t")).orderBy(col("r"))
+    val icept = resid.withColumn("rk", row_number().over(wI))
+      .join(base.select(col("t"), col("n_days")), "t")
+      .where(col("rk").cast("long") === expr("(n_days + 1) DIV 2"))
+      .select(col("t"), col("r").as("intercept_micro"))
+    base.join(sen, "t").join(icept, "t")
+      .select(col("t").as("group_key"), col("n_days"),
+        col("day_last").cast("string").as("day_last"), col("sen_micro"),
+        col("intercept_micro"),
+        (datediff(col("day_last"), col("day0")).cast("long") + 1L)
+          .as("x_next"))
+      .withColumn("forecast_micro",
+        col("intercept_micro") + col("sen_micro") * col("x_next"))
+      .orderBy(col("group_key"))
+  }
+
   /** Benford first-digit audit — the classic scale-invariant
     * data-quality / fraud screen (naturally-grown magnitude data
     * follows P(d) = log₁₀(1 + 1/d); fabricated, capped, or

@@ -1282,4 +1282,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.isNullAt(flat.fieldIndex("trend")))
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
+
+  test("theilSenForecast: exact line on a clean ramp, outlier day cannot " +
+      "move slope, intercept, or the one-step forecast") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 'up': y = x+1 (counts 1..5 over days 1..5); 'spike': same ramp
+    // with day 4 replaced by a 100-event outlier
+    val rows =
+      (1 to 5).flatMap(d => (1 to d).map(i =>
+        (d.toLong * 1000 + i, ts(d), "up"))) ++
+      (1 to 5).flatMap { d =>
+        val y = if (d == 4) 100 else d
+        (1 to y).map(i => (d.toLong * 1000 + i, ts(d), "spike"))
+      }
+    val out = Analytics.theilSenForecast(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val up = out("up")
+    // every pairwise slope is exactly 1/day; every residual is 1e6
+    assert(up.getAs[Long]("sen_micro") == 1000000L)
+    assert(up.getAs[Long]("intercept_micro") == 1000000L)
+    assert(up.getAs[Long]("x_next") == 5L)
+    // the line predicts y = 6 tomorrow, exactly
+    assert(up.getAs[Long]("forecast_micro") == 6000000L)
+    val sp = out("spike")
+    // lower-median slope: sorted slopes [-95e6, 1e6 x6, 33e6, 49e6,
+    // 97e6], position (10+1) DIV 2 = 5 -> 1e6; lower-median residual:
+    // [1e6 x4, 97e6], position 3 -> 1e6 — the spike owns neither
+    assert(sp.getAs[Long]("sen_micro") == 1000000L)
+    assert(sp.getAs[Long]("intercept_micro") == 1000000L)
+    assert(sp.getAs[Long]("forecast_micro") == 6000000L)
+    // a single-day group has no pairs, hence no line — absent
+    val solo = Analytics.theilSenForecast(
+      Seq((1L, ts(3), "one")).toDF("event_id", "ts", "event_type"),
+      "event_type", "ts")
+    assert(solo.count() == 0L)
+  }
 }
