@@ -3348,6 +3348,22 @@ object SparkEntry {
             .as("score")))
     }),
 
+    // §2.58j3 — Anderson–Darling two-sample test (r16 cont.): the
+    // TAIL-WEIGHTED companion of q_ks_test on the same hash arms +
+    // cents scores — every CDF gap integrated with the 1/(F(1−F))
+    // weight, each term an exact-integer floor, verdict vs the
+    // asymptotic 2.492 quantized once to micro
+    "q_ad_test" -> ((s, dir) => {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      Analytics.adTest(Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(
+          (pmod(rollingHash(concat(lit("ab:"),
+            col("user_id").cast("string"))), lit(2)) === 1).as("label"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("score")))
+    }),
+
     // §2.58d — N-arm SRM: chi-square over 4 equal-weight arms in exact
     // integer micro-units ((sum of (n_i*A - n)^2)*10^6 DIV (A*n),
     // decimal(38,0) accumulation), flag vs the df=3 95% critical value
@@ -9238,6 +9254,63 @@ object SparkEntry {
         |      * sqrt(CAST(n_pos + n_neg AS DOUBLE)
         |        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
         |      * 1000000.0 + 0.5) AS BIGINT) END AS significant
+        |FROM agg""".stripMargin,
+
+    // same histogram + cumulative windows as q_ks_test; every AD term
+    // is an exact HUGEINT floor (numerator a square — non-negative, so
+    // DuckDB's flooring // and Spark's truncating DIV agree), summed
+    // order-independently
+    "q_ad_test" ->
+      """WITH v AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS INT) = 1
+        |      AS label,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |hist AS (
+        |  SELECT score,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM v GROUP BY score),
+        |cum AS (
+        |  SELECT score, np, nn,
+        |    CAST(coalesce(sum(nn) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnb,
+        |    CAST(coalesce(sum(np) OVER (ORDER BY score ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnpb,
+        |    CAST(sum(np) OVER () AS BIGINT) AS np_tot,
+        |    CAST(sum(nn) OVER () AS BIGINT) AS nn_tot
+        |  FROM hist),
+        |terms AS (
+        |  SELECT np_tot, nn_tot,
+        |    CASE WHEN cnb + cnpb + np + nn < np_tot + nn_tot
+        |        AND np_tot > 0 AND nn_tot > 0 THEN
+        |      CAST((CAST(np + nn AS HUGEINT)
+        |          * (CAST(np_tot + nn_tot AS HUGEINT) * (cnpb + np)
+        |             - CAST(np_tot AS HUGEINT) * (cnb + cnpb + np + nn))
+        |          * (CAST(np_tot + nn_tot AS HUGEINT) * (cnpb + np)
+        |             - CAST(np_tot AS HUGEINT) * (cnb + cnpb + np + nn))
+        |          * 1000000)
+        |        // (CAST(cnb + cnpb + np + nn AS HUGEINT)
+        |          * (np_tot + nn_tot - cnb - cnpb - np - nn)
+        |          * np_tot * nn_tot) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS term
+        |  FROM cum),
+        |agg AS (
+        |  SELECT max(np_tot) AS n_pos, max(nn_tot) AS n_neg,
+        |    CAST(count(*) AS BIGINT) AS n_scores,
+        |    CAST(sum(term) AS BIGINT) AS a2_sum
+        |  FROM terms)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n_neg AS BIGINT) AS n_neg, n_scores,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN a2_sum END AS a2_micro,
+        |  CAST(2492000 AS BIGINT) AS crit_micro,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN a2_sum > 2492000 END
+        |    AS significant
         |FROM agg""".stripMargin,
 
     "q_srm_check" ->

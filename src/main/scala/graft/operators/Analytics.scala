@@ -2574,6 +2574,70 @@ object Analytics {
         when(col("d_micro").isNotNull, col("d_micro") > col("crit_micro")))
   }
 
+  /** Anderson–Darling two-sample test — the TAIL-WEIGHTED companion of
+    * [[ksTest]] (KS reads only the single worst CDF gap, so a
+    * difference spread thinly across the tails can hide under its
+    * max; AD integrates EVERY gap weighted by 1/(F(1−F)), which blows
+    * up exactly in the tails — the test that catches "same median,
+    * same max-gap, fatter tails"): off the SAME bounded score
+    * histogram ([[scoreHistCum]] — one corpus aggregate, everything
+    * downstream bounded), Pettitt's two-sample statistic evaluated on
+    * distinct-value bins,
+    *
+    *   A² = (1/(n₊·n₋)) Σ_{j: B_j<N} l_j · (N·M_j − n₊·B_j)²
+    *                                / (B_j·(N−B_j))
+    *
+    * (B_j = inclusive pooled count through bin j, M_j = inclusive
+    * positive count, l_j = bin size) with EVERY term an exact-integer
+    * floor — l·d²·10⁶ DIV (B·(N−B)·n₊·n₋) in decimal(38,0)/HUGEINT,
+    * each term exact before the order-independent sum (the q_kruskal
+    * floored-term discipline; the total floor bias is < n_bins micro,
+    * far below the verdict scale). The decimal(38,0) window holds
+    * l·d²·10⁶ exactly through N ≈ 4·10⁶ pooled rows — aggregate to
+    * entities first at scale (the [[mannWhitney]] independence caveat
+    * already requires exactly that). Verdict vs the asymptotic 5%
+    * point of the A² limit law (Pettitt 1976: the two-sample statistic
+    * shares the one-sample limit), 2.492 quantized once as the micro
+    * literal 2492000 — a pure integer compare, engine-identical by
+    * construction. NULL a2/verdict when either arm is empty; an
+    * all-tied frame has no B_j < N bin and reads a2 = 0.
+    *
+    * Output: one row — n_pos, n_neg, n_scores, a2_micro, crit_micro,
+    * significant.
+    */
+  def adTest(scored: DataFrame): DataFrame = {
+    val tot = Window.partitionBy(lit(1))
+    val terms = scoreHistCum(scored)
+      .withColumn("np_tot", sum(col("np")).over(tot))
+      .withColumn("nn_tot", sum(col("nn")).over(tot))
+      .withColumn("term", expr(
+        """CASE WHEN cnb + cnpb + np + nn < np_tot + nn_tot
+          |    AND np_tot > 0 AND nn_tot > 0 THEN
+          |  CAST((CAST(np + nn AS DECIMAL(38,0))
+          |      * (CAST(np_tot + nn_tot AS DECIMAL(38,0)) * (cnpb + np)
+          |         - CAST(np_tot AS DECIMAL(38,0))
+          |           * (cnb + cnpb + np + nn))
+          |      * (CAST(np_tot + nn_tot AS DECIMAL(38,0)) * (cnpb + np)
+          |         - CAST(np_tot AS DECIMAL(38,0))
+          |           * (cnb + cnpb + np + nn))
+          |      * 1000000)
+          |    DIV (CAST(cnb + cnpb + np + nn AS DECIMAL(38,0))
+          |      * (np_tot + nn_tot - cnb - cnpb - np - nn)
+          |      * np_tot * nn_tot) AS BIGINT)
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    terms.agg(
+      max(col("np_tot")).as("n_pos"),
+      max(col("nn_tot")).as("n_neg"),
+      count(lit(1)).as("n_scores"),
+      sum(col("term")).as("a2_sum"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, col("a2_sum"))
+          .as("a2_micro"),
+        lit(2492000L).as("crit_micro"))
+      .withColumn("significant",
+        when(col("a2_micro").isNotNull, col("a2_micro") > col("crit_micro")))
+  }
+
   def mannWhitney(scored: DataFrame): DataFrame = {
     // the outer CAST keeps the published column DOUBLE: in a SQL-parsed
     // expression 10000.0 is a DECIMAL literal, and BIGINT/DECIMAL would

@@ -1157,6 +1157,41 @@ class AnalyticsSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("significant")))
   }
 
+  test("adTest: exact hand-checked terms, variance difference flags, " +
+      "identical arms read zero, empty arm yields NULL") {
+    // pos = {1, 4}, neg = {2, 3}: bins at 1 and 3 each contribute
+    // floor(1*4*1e6 / (B*(N-B)*2*2)) = 333333; bins at 2 (d=0) and 4
+    // (B=N) contribute nothing
+    val tiny = Seq((true, 1L), (true, 4L), (false, 2L), (false, 3L))
+    val t = Analytics.adTest(tiny.toDF("label", "score")).collect().head
+    assert(t.getAs[Long]("a2_micro") == 666666L,
+      s"a2=${t.getAs[Long]("a2_micro")}")
+    assert(!t.getAs[Boolean]("significant"))
+    // the ksTest spread fixture: point mass at 100 vs alternating
+    // 50/150 — the location test is blind, the CDF-integral is not
+    val spread = (1 to 400).map { i =>
+      if (i % 2 == 0) (true, 100L)
+      else (false, if (i % 4 == 1) 50L else 150L)
+    }
+    val ad = Analytics.adTest(spread.toDF("label", "score")).collect().head
+    assert(ad.getAs[Long]("n_pos") == 200L &&
+      ad.getAs[Long]("n_neg") == 200L)
+    assert(ad.getAs[Boolean]("significant"),
+      s"spread should flag: a2=${ad.getAs[Long]("a2_micro")}")
+    // identical arm multisets: every bin has M = B/2, so d = 0 and
+    // the statistic is exactly 0
+    val same = (0 until 200).flatMap(k =>
+      Seq((true, (k % 7).toLong), (false, (k % 7).toLong)))
+    val eq = Analytics.adTest(same.toDF("label", "score")).collect().head
+    assert(eq.getAs[Long]("a2_micro") == 0L)
+    assert(!eq.getAs[Boolean]("significant"))
+    // one empty arm: NULL statistic and verdict, not a crash
+    val solo = (1 to 50).map(i => (true, i.toLong))
+    val r = Analytics.adTest(solo.toDF("label", "score")).collect().head
+    assert(r.isNullAt(r.fieldIndex("a2_micro")) &&
+      r.isNullAt(r.fieldIndex("significant")))
+  }
+
   test("forecastBacktest: a planted weekly series crowns the seasonal " +
       "baseline, a drifting series crowns naive, hand-checked MAEs") {
     import java.sql.Timestamp
