@@ -3967,6 +3967,38 @@ object SparkEntry {
         .orderBy(col("g"))
     }),
 
+    // §2.58u3 — streaming Benford drift monitor (r16 cont. — the
+    // first-digit AUDIT becomes continuous: the data-quality screen a
+    // live ingest gate runs per feed-day as rows arrive): per (type,
+    // day, leading digit) ADDITIVE counters maintained in a
+    // complete-mode aggregate across two staged micro-batches
+    // (exactly-once file source = the dedup gate, the CMS promotion
+    // law; state bounded at types × days × 9 tiny rows forever), the
+    // drained cell file fed through the SAME
+    // Analytics.benfordTimelineFromCells half the batch row uses.
+    // Counters are a pure function of the row MULTISET, so the batch
+    // q_benford_timeline oracle certifies the stream verbatim.
+    "q_stream_benford" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select(col("event_type"), col("ts"), col("value"))
+      val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
+      val base = stagingDir("graft_benfsrc", tag)
+      graft.streaming.EventStream.stageTwoPhase(ev,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+      val cells = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.benfordCellStream(stream,
+          "event_type", "ts", "value"),
+        outputMode = "complete")
+      // bounded cell file; materialized so the shared half's self-join
+      // resolves (and the drained state is read once, not re-planned)
+      Analytics.benfordTimelineFromCells(cells.localCheckpoint())
+    }),
+
     "q_stream_ohlc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -9974,6 +10006,38 @@ object SparkEntry {
     // per-(type, day) TV vs the nine literals, pure integer with the
     // absent-digit complement identity; one truncating DIV 2 publish
     "q_benford_timeline" ->
+      """WITH b(digit, bm) AS (VALUES
+        |  (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)),
+        |  (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |cells AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(substring(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_d
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND value >= 1
+        |  GROUP BY 1, 2, 3),
+        |byday AS (
+        |  SELECT g, day, CAST(sum(n_d) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |dev AS (
+        |  SELECT c.g, c.day, d.n,
+        |    CAST(sum(abs((c.n_d * 1000000) // d.n - b.bm)) AS BIGINT)
+        |      AS present_dev,
+        |    CAST(sum(b.bm) AS BIGINT) AS present_b
+        |  FROM cells c JOIN b ON c.digit = b.digit
+        |  JOIN byday d ON c.g = d.g AND c.day = d.day
+        |  GROUP BY 1, 2, 3)
+        |SELECT g AS group_key, CAST(day AS VARCHAR) AS day, n,
+        |  (present_dev + (1000000 - present_b)) // 2 AS tv_micro
+        |FROM dev ORDER BY group_key, day""".stripMargin,
+
+    // the streaming twin replays the BATCH timeline: additive cell
+    // counters are a pure function of the row multiset, so the staged
+    // two-batch drain must equal the one-shot SQL exactly
+    "q_stream_benford" ->
       """WITH b(digit, bm) AS (VALUES
         |  (CAST(1 AS BIGINT), CAST(301030 AS BIGINT)),
         |  (2, 176091), (3, 124939), (4, 96910), (5, 79181),

@@ -2201,22 +2201,42 @@ object Analytics {
     * frame; everything after is bounded arithmetic.
     */
   def benfordTimeline(events: DataFrame, groupCol: String, tsCol: String,
-      valueCol: String): DataFrame = {
-    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
-      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
-      9 -> 45757L)
-    val spark = events.sparkSession
-    import spark.implicits._
-    val lits = broadcast(benford.toDF("digit", "b")
-      .select(col("digit").cast("long"), col("b")))
-    val cells = events
+      valueCol: String): DataFrame =
+    benfordTimelineFromCells(events
       .where(col(groupCol).isNotNull && col(tsCol).isNotNull &&
         col(valueCol).isNotNull && col(valueCol) >= 1)
       .select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
-        substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
-          .cast("long").as("digit"))
+        benfordDigit(col(valueCol)).as("digit"))
       .groupBy(col("g"), col("day"), col("digit"))
-      .agg(count(lit(1)).as("n_d"))
+      .agg(count(lit(1)).as("n_d")))
+
+  /** Leading decimal digit of floor(v) — the ONE extraction both the
+    * batch timeline and its streaming twin fold on (callers must
+    * pre-filter v ≥ 1). */
+  def benfordDigit(v: Column): Column =
+    substring(floor(v).cast("long").cast("string"), 1, 1).cast("long")
+
+  /** The cells → timeline half of [[benfordTimeline]], shared verbatim
+    * with the streaming twin (q_stream_benford drains the SAME
+    * (g, day, digit, n_d) cell frame from a complete-mode counter
+    * stream — additive counters are a pure function of the row
+    * multiset, so batching cannot matter and the batch oracle
+    * certifies the stream). Everything here is bounded: cells are
+    * groups × days × 9. */
+  def benfordTimelineFromCells(cellsIn: DataFrame): DataFrame = {
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L)
+    val spark = cellsIn.sparkSession
+    import spark.implicits._
+    val lits = broadcast(benford.toDF("digit", "b")
+      .select(col("digit").cast("long"), col("b")))
+    // batch callers pass the raw cell aggregate (Catalyst reuses the
+    // exchange for the two consumers — no checkpoint barrier on the
+    // benched path); STREAM callers must pass an already-materialized
+    // frame (localCheckpoint) or the byDay/cells self-join cannot
+    // resolve against a memory-table view
+    val cells = cellsIn
     val byDay = cells.groupBy(col("g"), col("day"))
       .agg(sum(col("n_d")).as("n"))
     cells.join(lits, "digit")

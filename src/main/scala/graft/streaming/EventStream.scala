@@ -84,6 +84,27 @@ object EventStream {
       .agg(count(lit(1)).as("v"))
   }
 
+  /** Streaming Benford cell counters — the continuous dual of
+    * Analytics.benfordTimeline's cell build: per (group, day, leading
+    * digit) arrival counts through the SAME Analytics.benfordDigit
+    * extraction the batch fold uses. ADDITIVE counters, so the
+    * exactly-once file source is the dedup gate (the CMS promotion
+    * law: an at-least-once source would double-count re-deliveries),
+    * and the counts are a pure function of the row MULTISET — batching
+    * cannot matter, so the batch timeline oracle certifies the stream
+    * verbatim. State is bounded at groups × days × 9 tiny rows; the
+    * complete-mode snapshot is the final-state selection law.
+    */
+  def benfordCellStream(events: DataFrame, groupCol: String,
+      tsCol: String, valueCol: String): DataFrame =
+    events
+      .where(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull && col(valueCol) >= 1)
+      .select(col(groupCol).as("g"), col(tsCol).cast("date").as("day"),
+        graft.operators.Analytics.benfordDigit(col(valueCol)).as("digit"))
+      .groupBy(col("g"), col("day"), col("digit"))
+      .agg(count(lit(1)).as("n_d"))
+
   /** Streaming exact dedup: drop re-deliveries of the same content key
     * inside the watermark horizon — the continuous dual of
     * Dedup.exactDedup, and the standard front gate of a streaming

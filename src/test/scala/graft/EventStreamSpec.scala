@@ -241,6 +241,55 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.size <= 3 * 64)
   }
 
+  test("benfordCellStream: streamed digit cells equal the batch timeline's " +
+      "across microbatches, sub-1 and NULL values drop") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val out = EventStream.benfordCellStream(input.toDF(),
+      "event_type", "ts", "value")
+
+    val chk = Files.createTempDirectory("graft-benford-stream").toString
+    val query = out.writeStream
+      .format("memory").queryName("benfcells")
+      .outputMode("complete")
+      .option("checkpointLocation", chk)
+      .start()
+
+    // values spanning digits 1..9 plus sub-1 rows that must drop
+    val mk = (i: Int, day: Int, t: String) => EventStream.Event(
+      i.toLong, ts(f"2024-01-$day%02d 10:00:00"), i.toLong, t,
+      if (i % 10 == 0) 0.5 else (i % 9 + 1) * math.pow(10, i % 3))
+    val evs = (1 to 60).map(i => mk(i, 1 + i % 2, if (i % 3 == 0) "a" else "b"))
+    input.addData(evs.take(35): _*)
+    query.processAllAvailable()
+    input.addData(evs.drop(35): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("benfcells").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("digit")) -> r.getAs[Long]("n_d")).toMap
+    val batch = evs.toDF()
+      .where($"value" >= 1)
+      .select($"event_type".as("g"), $"ts".cast("date").as("day"),
+        graft.operators.Analytics.benfordDigit($"value").as("digit"))
+      .groupBy($"g", $"day", $"digit")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_d"))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("digit")) -> r.getAs[Long]("n_d")).toMap
+    assert(streamed == batch)
+    // bounded state: never more than groups x days x 9 cells
+    assert(streamed.size <= 2 * 2 * 9)
+    // and the shared downstream half turns the cells into the timeline
+    val tl = graft.operators.Analytics.benfordTimelineFromCells(
+      spark.table("benfcells").localCheckpoint())
+      .collect().map(r => (r.getAs[String]("group_key"),
+        r.getAs[String]("day")) -> r.getAs[Long]("tv_micro")).toMap
+    assert(tl.nonEmpty && tl.values.forall(v => v >= 0L && v <= 1000000L))
+  }
+
   test("heavyHittersStream: SpaceSaving guarantees hold against exact counts " +
       "across microbatches, state bounded at m") {
     implicit val sq = spark.sqlContext
