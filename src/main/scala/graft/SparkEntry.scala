@@ -3503,6 +3503,22 @@ object SparkEntry {
       Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
         "ts", critZ = 1.96)),
 
+    // §2.66b — Spearman daily rank correlation (r16 cont.): are
+    // high-traffic days also high-revenue days, monotonically? 2×
+    // midranks exact integer, Pearson-on-ranks certificates exact,
+    // one 4-dp double chain for rho (58k's q_spearman ranks customer
+    // metrics; THIS ranks the day axis)
+    "q_spearman_daily" -> ((s, dir) =>
+      Analytics.spearmanDaily(Tables.events(s, dir), "event_type",
+        "ts", "value")),
+
+    // §2.66c — Kendall τ-b on the same daily pair (r16 cont.): pair-
+    // order agreement, S pure integer over the C(days,2) frame, tie
+    // terms exact, one 4-dp double chain for τ
+    "q_kendall_tau" -> ((s, dir) =>
+      Analytics.kendallTauDaily(Tables.events(s, dir), "event_type",
+        "ts", "value")),
+
     // §2.60c — Theil–Sen forecast (r16): the FORECAST half of the
     // robust trend pair — lower-median slope AND intercept (both rank
     // statistics, pure integer given the quantized slope), one-step-
@@ -10252,6 +10268,83 @@ object SparkEntry {
         |    WHEN z_r < -1.96 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM zz ORDER BY group_key""".stripMargin,
+
+    // 2x midranks (2*rank + tiecount - 1) replay exactly; the
+    // certificates are integer and rho is the one shared double chain
+    "q_spearman_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS ya,
+        |    CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)), 0) AS BIGINT) AS yb
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT t,
+        |    CAST(rank() OVER (PARTITION BY t ORDER BY ya) AS BIGINT) * 2
+        |      + CAST(count(*) OVER (PARTITION BY t, ya) AS BIGINT) - 1
+        |      AS ra,
+        |    CAST(rank() OVER (PARTITION BY t ORDER BY yb) AS BIGINT) * 2
+        |      + CAST(count(*) OVER (PARTITION BY t, yb) AS BIGINT) - 1
+        |      AS rb
+        |  FROM daily),
+        |agg AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+        |    CAST(sum(ra * rb) AS BIGINT) AS sab,
+        |    CAST(sum(ra * ra) AS BIGINT) AS saa,
+        |    CAST(sum(rb * rb) AS BIGINT) AS sbb
+        |  FROM ranked GROUP BY t),
+        |certs AS (
+        |  SELECT t AS group_key, n AS n_days,
+        |    n * sab - sa * sb AS num,
+        |    n * saa - sa * sa AS dena,
+        |    n * sbb - sb * sb AS denb
+        |  FROM agg)
+        |SELECT group_key, n_days, num, dena, denb,
+        |  CASE WHEN dena > 0 AND denb > 0 THEN
+        |    CAST(floor(CAST(num AS DOUBLE)
+        |      / sqrt(CAST(dena AS DOUBLE) * CAST(denb AS DOUBLE))
+        |      * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS rho_r
+        |FROM certs ORDER BY group_key""".stripMargin,
+
+    // S and the tie terms are pure integer; tau is the one shared
+    // double chain, NULL when either series is all-tied
+    "q_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS ya,
+        |    CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)), 0) AS BIGINT) AS yb
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.t AS t,
+        |    CAST(CASE WHEN b.ya > a.ya THEN 1 WHEN b.ya < a.ya THEN -1
+        |      ELSE 0 END AS BIGINT)
+        |    * CAST(CASE WHEN b.yb > a.yb THEN 1 WHEN b.yb < a.yb THEN -1
+        |      ELSE 0 END AS BIGINT) AS sgn
+        |  FROM daily a JOIN daily b ON a.t = b.t AND a.day < b.day),
+        |sagg AS (SELECT t, CAST(sum(sgn) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n0
+        |  FROM pairs GROUP BY t),
+        |ta AS (SELECT t, CAST(sum(tk * (tk - 1)) // 2 AS BIGINT) AS n1
+        |  FROM (SELECT t, ya, CAST(count(*) AS BIGINT) AS tk
+        |    FROM daily GROUP BY t, ya) GROUP BY t),
+        |tb AS (SELECT t, CAST(sum(tk * (tk - 1)) // 2 AS BIGINT) AS n2
+        |  FROM (SELECT t, yb, CAST(count(*) AS BIGINT) AS tk
+        |    FROM daily GROUP BY t, yb) GROUP BY t),
+        |n AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days FROM daily
+        |  GROUP BY t)
+        |SELECT n.t AS group_key, n.n_days, sagg.s, sagg.n0, ta.n1, tb.n2,
+        |  CASE WHEN sagg.n0 > ta.n1 AND sagg.n0 > tb.n2 THEN
+        |    CAST(floor(CAST(sagg.s AS DOUBLE)
+        |      / sqrt(CAST(sagg.n0 - ta.n1 AS DOUBLE)
+        |        * CAST(sagg.n0 - tb.n2 AS DOUBLE))
+        |      * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS tau_r
+        |FROM n JOIN sagg ON n.t = sagg.t JOIN ta ON n.t = ta.t
+        |JOIN tb ON n.t = tb.t
+        |ORDER BY group_key""".stripMargin,
 
     // same daily panel; both medians replay as rank statistics
     // (position (m+1)//2 under value ASC), the slope quantization is

@@ -2037,6 +2037,113 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Spearman rank correlation between each group's daily event COUNT
+    * and daily value MASS — "are high-traffic days also high-revenue
+    * days, monotonically?" (Pearson on levels is owned by whale days;
+    * the rank correlation is the version a dashboard can trust): over
+    * the bounded (group, day) panel, midranks in 2× units so ties stay
+    * EXACT INTEGER — rank2 = 2·rank + t − 1 (= twice the average rank:
+    * rank() = c_below + 1 and t = the tie-group size), then Pearson on
+    * the integer rank pairs:
+    *
+    *   num  = n·Σab − Σa·Σb
+    *   dena = n·Σa² − (Σa)²,  denb = n·Σb² − (Σb)²   (all exact)
+    *   rho  = num / √(dena·denb)                      (4 dp, one
+    *          double chain written operation-identically in the oracle)
+    *
+    * NULL rho when either series is constant (den = 0 — surfacing it
+    * beats dividing by zero). The integer accumulators hold exactly
+    * through 4·n_days⁴ < 2⁶³ (a decade of days sits at ~10¹⁵).
+    *
+    * Output: one row per group — n_days, num, dena, denb (the exact
+    * certificates), rho_r. Scale shape: the daily aggregate is the
+    * only data-sized shuffle; ranks and sums run on the bounded panel.
+    */
+  def spearmanDaily(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("ya"),
+        coalesce(sum((col(valueCol).cast("decimal(18,2)") * 100)
+          .cast("long")), lit(0L)).as("yb"))
+    val ranked = daily
+      .withColumn("ra", rank().over(Window.partitionBy(col("t"))
+        .orderBy(col("ya"))).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy(col("t"), col("ya"))) - 1)
+      .withColumn("rb", rank().over(Window.partitionBy(col("t"))
+        .orderBy(col("yb"))).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy(col("t"), col("yb"))) - 1)
+    ranked.groupBy(col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("ra")).as("sa"),
+        sum(col("rb")).as("sb"), sum(col("ra") * col("rb")).as("sab"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"))
+      .select(col("t").as("group_key"), col("n").as("n_days"),
+        (col("n") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("n") * col("saa") - col("sa") * col("sa")).as("dena"),
+        (col("n") * col("sbb") - col("sb") * col("sb")).as("denb"))
+      .withColumn("rho_r",
+        when(col("dena") > 0 && col("denb") > 0, expr(
+          """CAST(floor(CAST(num AS DOUBLE)
+            |  / sqrt(CAST(dena AS DOUBLE) * CAST(denb AS DOUBLE))
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .orderBy(col("group_key"))
+  }
+
+  /** Kendall τ-b between the same two daily series [[spearmanDaily]]
+    * ranks — the pair-counting view of the same question (Spearman
+    * reads rank DISTANCE, τ reads pair ORDER agreement; τ's nearer-
+    * Gaussian small-n null makes it the robustness cross-check):
+    *
+    *   S  = Σ_{i<j} sign(a_j−a_i)·sign(b_j−b_i)     (PURE INTEGER)
+    *   n0 = n(n−1)/2,  n1 = Σ tₐ(tₐ−1)/2,  n2 = Σ t_b(t_b−1)/2
+    *   τ_b = S / √((n0−n1)·(n0−n2))                 (4 dp, one
+    *         double chain written operation-identically in the oracle)
+    *
+    * NULL τ when either series is all-tied (n0 = n1 or n0 = n2). The
+    * pair frame is C(days, 2) per group — day-span bounded, never
+    * corpus (the mannKendallTrend contract).
+    *
+    * Output: one row per group — n_days, s, n0, n1, n2, tau_r.
+    */
+  def kendallTauDaily(events: DataFrame, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("ya"),
+        coalesce(sum((col(valueCol).cast("decimal(18,2)") * 100)
+          .cast("long")), lit(0L)).as("yb"))
+      .localCheckpoint() // bounded panel, three consumers
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.t") === col("b.t") && col("a.day") < col("b.day"))
+      .select(col("a.t").as("t"),
+        (signum((col("b.ya") - col("a.ya")).cast("double")).cast("long") *
+          signum((col("b.yb") - col("a.yb")).cast("double")).cast("long"))
+          .as("sgn"))
+    val s = pairs.groupBy(col("t"))
+      .agg(sum(col("sgn")).as("s"), count(lit(1)).as("n0"))
+    val tiesA = daily.groupBy(col("t"), col("ya"))
+      .agg(count(lit(1)).as("tk"))
+      .groupBy(col("t"))
+      .agg(expr("CAST(sum(tk * (tk - 1)) DIV 2 AS BIGINT)").as("n1"))
+    val tiesB = daily.groupBy(col("t"), col("yb"))
+      .agg(count(lit(1)).as("tk"))
+      .groupBy(col("t"))
+      .agg(expr("CAST(sum(tk * (tk - 1)) DIV 2 AS BIGINT)").as("n2"))
+    val n = daily.groupBy(col("t")).agg(count(lit(1)).as("n_days"))
+    n.join(s, "t").join(tiesA, "t").join(tiesB, "t")
+      .select(col("t").as("group_key"), col("n_days"), col("s"),
+        col("n0"), col("n1"), col("n2"))
+      .withColumn("tau_r",
+        when(col("n0") > col("n1") && col("n0") > col("n2"), expr(
+          """CAST(floor(CAST(s AS DOUBLE)
+            |  / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .orderBy(col("group_key"))
+  }
+
   /** Benford first-digit audit — the classic scale-invariant
     * data-quality / fraud screen (naturally-grown magnitude data
     * follows P(d) = log₁₀(1 + 1/d); fabricated, capped, or

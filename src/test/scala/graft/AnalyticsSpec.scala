@@ -1318,6 +1318,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
 
+  test("spearmanDaily + kendallTauDaily: perfect monotone pairs read " +
+      "exactly +/-1, constant series read NULL") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 'mono': day d has d events of value d -> count up, cents up;
+    // 'anti': day d has d events of value 12(10-d)/d -> count up,
+    // cents 1200*(10-d) strictly DOWN (all exact 2-dp values);
+    // 'flat': one event of value 5 every day -> both constant
+    val rows =
+      (1 to 4).flatMap(d => (1 to d).map(i =>
+        (d.toLong * 1000 + i, ts(d), "mono", d.toDouble))) ++
+      (1 to 4).flatMap(d => (1 to d).map(i =>
+        (d.toLong * 1000 + i, ts(d), "anti", 12.0 * (10 - d) / d))) ++
+      (1 to 4).map(d => (d.toLong * 1000, ts(d), "flat", 5.0))
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val sp = Analytics.spearmanDaily(df, "event_type", "ts", "value")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(sp("mono").getAs[Double]("rho_r") == 1.0)
+    assert(sp("anti").getAs[Double]("rho_r") == -1.0)
+    assert(sp("flat").isNullAt(sp("flat").fieldIndex("rho_r")))
+    assert(sp("flat").getAs[Long]("dena") == 0L)
+    val kt = Analytics.kendallTauDaily(df, "event_type", "ts", "value")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    // every one of the C(4,2)=6 pairs agrees / disagrees in order
+    assert(kt("mono").getAs[Long]("s") == 6L &&
+      kt("mono").getAs[Double]("tau_r") == 1.0)
+    assert(kt("anti").getAs[Long]("s") == -6L &&
+      kt("anti").getAs[Double]("tau_r") == -1.0)
+    // all-tied series: n1 = n0, the variance term dies -> NULL tau
+    assert(kt("flat").getAs[Long]("n1") == kt("flat").getAs[Long]("n0"))
+    assert(kt("flat").isNullAt(kt("flat").fieldIndex("tau_r")))
+  }
+
   test("theilSenForecast: exact line on a clean ramp, outlier day cannot " +
       "move slope, intercept, or the one-step forecast") {
     import java.sql.Timestamp
