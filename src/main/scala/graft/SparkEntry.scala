@@ -3503,6 +3503,21 @@ object SparkEntry {
       Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
         "ts", critZ = 1.96)),
 
+    // §2.66d — Wald–Wolfowitz runs test (r16 cont.): is each type's
+    // daily series random around its median level, or does it
+    // cluster/oscillate? Integer numerator, one double chain for z,
+    // verdict off the rounded value
+    "q_runs_test" -> ((s, dir) =>
+      Analytics.runsTestDaily(Tables.events(s, dir), "event_type",
+        "ts")),
+
+    // §2.66e — daily autocorrelation at lags 1 and 7 (r16 cont.): the
+    // two numbers that justify the seasonal model before it runs;
+    // exact-integer num/den certificates, one 4-dp double quotient
+    "q_autocorr" -> ((s, dir) =>
+      Analytics.autocorrDaily(Tables.events(s, dir), "event_type",
+        "ts", lags = Seq(1, 7))),
+
     // §2.66b — Spearman daily rank correlation (r16 cont.): are
     // high-traffic days also high-revenue days, monotonically? 2×
     // midranks exact integer, Pearson-on-ranks certificates exact,
@@ -10268,6 +10283,98 @@ object SparkEntry {
         |    WHEN z_r < -1.96 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM zz ORDER BY group_key""".stripMargin,
+
+    // lower median by rank position, lag() run boundaries, the integer
+    // numerator and one double chain replayed; ties sit BELOW by the
+    // documented > med convention
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |n AS (SELECT t, CAST(count(*) AS BIGINT) AS n_days FROM daily
+        |  GROUP BY t),
+        |med AS (
+        |  SELECT r.t, r.y AS med FROM (
+        |    SELECT t, y, CAST(row_number() OVER (PARTITION BY t
+        |      ORDER BY y) AS BIGINT) AS rk
+        |    FROM daily) r
+        |  JOIN n ON r.t = n.t WHERE r.rk = (n.n_days + 1) // 2),
+        |lagged AS (
+        |  SELECT f.t, f.ab,
+        |    lag(f.ab) OVER (PARTITION BY f.t ORDER BY f.day) AS prev
+        |  FROM (SELECT d.t, d.day, d.y > m.med AS ab
+        |    FROM daily d JOIN med m ON d.t = m.t) f),
+        |agg AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN ab THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_above,
+        |    CAST(sum(CASE WHEN NOT ab THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_below,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> ab THEN 1
+        |      ELSE 0 END) AS BIGINT) AS runs
+        |  FROM lagged GROUP BY t),
+        |z AS (
+        |  SELECT n.t AS group_key, n.n_days, agg.n_above, agg.n_below,
+        |    agg.runs, 2 * agg.n_above * agg.n_below AS p
+        |  FROM n JOIN agg ON n.t = agg.t),
+        |zz AS (
+        |  SELECT group_key, n_days, n_above, n_below, runs,
+        |    CASE WHEN p > n_days THEN
+        |      CAST(floor(CAST(n_days * (runs - 1) - p AS DOUBLE)
+        |        / sqrt(CAST(p AS DOUBLE) * CAST(p - n_days AS DOUBLE)
+        |          / CAST(n_days - 1 AS DOUBLE))
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
+        |  FROM z)
+        |SELECT group_key, n_days, n_above, n_below, runs, z_r,
+        |  CASE WHEN z_r IS NULL THEN NULL
+        |    WHEN z_r < -1.96 THEN 'clustered'
+        |    WHEN z_r > 1.96 THEN 'oscillating'
+        |    ELSE 'random' END AS verdict
+        |FROM zz ORDER BY group_key""".stripMargin,
+
+    // HUGEINT centered products; per-lag linear lag() windows, NULL
+    // num when the series is shorter than the lag, one double quotient
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT t,
+        |    CAST(row_number() OVER (PARTITION BY t ORDER BY day)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS n_days,
+        |    CAST(count(*) OVER (PARTITION BY t) AS HUGEINT) * y
+        |      - CAST(sum(y) OVER (PARTITION BY t) AS HUGEINT) AS d
+        |  FROM daily),
+        |den AS (
+        |  SELECT t, max(n_days) AS n_days,
+        |    CAST(sum(d * d) AS BIGINT) AS den
+        |  FROM base GROUP BY t),
+        |lagged AS (
+        |  SELECT t, lag, CAST(sum(d * dk) AS BIGINT) AS num
+        |  FROM (
+        |    SELECT t, CAST(1 AS BIGINT) AS lag, d,
+        |      lag(d, 1) OVER (PARTITION BY t ORDER BY i) AS dk
+        |    FROM base
+        |    UNION ALL
+        |    SELECT t, CAST(7 AS BIGINT) AS lag, d,
+        |      lag(d, 7) OVER (PARTITION BY t ORDER BY i) AS dk
+        |    FROM base)
+        |  GROUP BY t, lag)
+        |SELECT den.t AS group_key, l.lag AS lag, den.n_days, lg.num,
+        |  den.den,
+        |  CASE WHEN lg.num IS NOT NULL AND den.den > 0 THEN
+        |    CAST(floor(CAST(lg.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+        |      * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS ac_r
+        |FROM den
+        |CROSS JOIN (SELECT CAST(1 AS BIGINT) AS lag
+        |  UNION ALL SELECT CAST(7 AS BIGINT)) l
+        |LEFT JOIN lagged lg ON den.t = lg.t AND l.lag = lg.lag
+        |ORDER BY group_key, l.lag""".stripMargin,
 
     // 2x midranks (2*rank + tiecount - 1) replay exactly; the
     // certificates are integer and rho is the one shared double chain

@@ -2037,6 +2037,139 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Wald–Wolfowitz runs test on each group's daily series — IS the
+    * series random around its level, or does it cluster/oscillate?
+    * (the one-number check that catches both a regime shift — long
+    * runs, too FEW run changes — and a sawtooth ingest artifact — too
+    * MANY; [[mannKendallTrend]] asks "monotone?", this asks "random at
+    * all?"): each day flags above (y > med) or below (ties BELOW by
+    * convention — documented, deterministic) its group's LOWER-MEDIAN
+    * daily count (rank statistic at position (n+1) DIV 2 — the
+    * q_ppl_buckets rule), R = the number of maximal same-flag runs in
+    * day order, and with p = 2·n₁·n₂ the standardized statistic is
+    *
+    *   z = (n·(R−1) − p) / √(p·(p−n)/(n−1))
+    *
+    * (algebraically (R−μ)/σ with μ = 1 + p/n, σ² = p(p−n)/(n²(n−1)) —
+    * rearranged so the NUMERATOR is an exact integer and the only
+    * doubles are one product/quotient/sqrt chain written operation-
+    * identically in the oracle, 4 dp). NULL z when σ² = 0 (p ≤ n —
+    * covers an empty side and the 1-vs-1 degenerate). The verdict
+    * compares the ROUNDED z to ±1.96: fewer runs than expected
+    * (z < −1.96) reads 'clustered', more reads 'oscillating', else
+    * 'random' — engine-identical by construction.
+    *
+    * Output: one row per group — n_days, n_above, n_below, runs, z_r,
+    * verdict. Scale shape: the daily aggregate is the only data-sized
+    * shuffle; the median rank, lag, and run count run on the bounded
+    * panel.
+    */
+  def runsTestDaily(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // bounded panel, three consumers
+    val n = daily.groupBy(col("t")).agg(count(lit(1)).as("n_days"))
+    val wMed = Window.partitionBy(col("t")).orderBy(col("y"))
+    val med = daily.withColumn("rk", row_number().over(wMed))
+      .join(n, "t")
+      .where(col("rk").cast("long") === expr("(n_days + 1) DIV 2"))
+      .select(col("t"), col("y").as("med"))
+    val wDay = Window.partitionBy(col("t")).orderBy(col("day"))
+    val flagged = daily.join(broadcast(med), "t")
+      .select(col("t"), col("day"), (col("y") > col("med")).as("ab"))
+      .withColumn("prev", lag(col("ab"), 1).over(wDay))
+    val agg = flagged.groupBy(col("t")).agg(
+      sum(when(col("ab"), 1L).otherwise(0L)).as("n_above"),
+      sum(when(!col("ab"), 1L).otherwise(0L)).as("n_below"),
+      sum(when(col("prev").isNull || col("prev") =!= col("ab"), 1L)
+        .otherwise(0L)).as("runs"))
+    n.join(agg, "t")
+      .select(col("t").as("group_key"), col("n_days"), col("n_above"),
+        col("n_below"), col("runs"),
+        (lit(2L) * col("n_above") * col("n_below")).as("p"))
+      .withColumn("z_r",
+        when(col("p") > col("n_days"), expr(
+          """CAST(floor(CAST(n_days * (runs - 1) - p AS DOUBLE)
+            |  / sqrt(CAST(p AS DOUBLE) * CAST(p - n_days AS DOUBLE)
+            |    / CAST(n_days - 1 AS DOUBLE))
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .withColumn("verdict",
+        when(col("z_r").isNull, lit(null).cast("string"))
+          .when(col("z_r") < -1.96, lit("clustered"))
+          .when(col("z_r") > 1.96, lit("oscillating"))
+          .otherwise(lit("random")))
+      .drop("p")
+      .orderBy(col("group_key"))
+  }
+
+  /** Daily-series autocorrelation at the diagnostic lags — lag 1 (does
+    * today echo yesterday?) and lag 7 (is there weekly structure?),
+    * the two numbers that justify [[stlDecompose]]'s seasonal model
+    * and [[forecastBacktest]]'s candidate set before either runs: over
+    * each group's day-ordered panel at ROW positions (present days —
+    * the 63b edge convention),
+    *
+    *   r_k = Σ_{t≤n−k} (n·y_t − S)(n·y_{t+k} − S)
+    *       / Σ_{t≤n}   (n·y_t − S)²
+    *
+    * — the standard ACF with the mean cleared by n-scaling, so BOTH
+    * sums are EXACT integers (decimal(38,0)/HUGEINT — (n·y)² passes
+    * long once n·y_max > 3·10⁹; published certificates cast to BIGINT
+    * with the usual 10¹⁹ cliff) and the only double is the final
+    * 4-dp quotient written operation-identically in the oracle. NULL
+    * num and r when the series is shorter than the lag; NULL r when
+    * the series is constant (den = 0).
+    *
+    * Output: one row per (group, lag) — lag, n_days, num, den, ac_r.
+    * Scale shape: the daily aggregate is the only data-sized shuffle;
+    * the position self-join runs on the bounded panel.
+    */
+  def autocorrDaily(events: DataFrame, typeCol: String, tsCol: String,
+      lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags $lags")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val wDay = Window.partitionBy(col("t")).orderBy(col("day"))
+    val stats = Window.partitionBy(col("t"))
+    val base = daily
+      .withColumn("i", row_number().over(wDay).cast("long"))
+      .withColumn("n_days", count(lit(1)).over(stats))
+      .withColumn("s", sum(col("y")).over(stats))
+      .select(col("t"), col("i"), col("n_days"),
+        (col("n_days") * col("y") - col("s")).cast("decimal(38,0)")
+          .as("d"))
+      .localCheckpoint() // bounded centered panel, three consumers
+    val den = base.groupBy(col("t"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(col("d") * col("d")).cast("long").as("den"))
+    val spine = den.crossJoin(
+      broadcast(lags.toDF("lag").select(col("lag").cast("long"))))
+    // one linear lag window per k on the bounded panel (no pair
+    // frame); a series shorter than k lags to all-NULL -> NULL num
+    val wPos = Window.partitionBy(col("t")).orderBy(col("i"))
+    val nums = lags.map { k =>
+      base.withColumn("dk", lag(col("d"), k).over(wPos))
+        .groupBy(col("t"))
+        .agg(sum(col("d") * col("dk")).cast("long").as("num"))
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    spine.join(nums, Seq("t", "lag"), "left")
+      .select(col("t").as("group_key"), col("lag"), col("n_days"),
+        col("num"), col("den"))
+      .withColumn("ac_r",
+        when(col("num").isNotNull && col("den") > 0, expr(
+          """CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .orderBy(col("group_key"), col("lag"))
+  }
+
   /** Spearman rank correlation between each group's daily event COUNT
     * and daily value MASS — "are high-traffic days also high-revenue
     * days, monotonically?" (Pearson on levels is owned by whale days;

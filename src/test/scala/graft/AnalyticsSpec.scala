@@ -1318,6 +1318,75 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
 
+  test("runsTestDaily: a level shift reads clustered, a sawtooth reads " +
+      "oscillating, a constant series reads NULL") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 'shift': 6 low days then 6 high days (2 runs); 'flip': low/high
+    // alternating (12 runs); 'flat': constant
+    val mk = (d: Int, t: String, y: Int) =>
+      (1 to y).map(i => (d.toLong * 1000 + i, ts(d), t))
+    val rows =
+      (1 to 12).flatMap(d => mk(d, "shift", if (d <= 6) 1 else 3)) ++
+      (1 to 12).flatMap(d => mk(d, "flip", if (d % 2 == 0) 3 else 1)) ++
+      (1 to 12).flatMap(d => mk(d, "flat", 2))
+    val out = Analytics.runsTestDaily(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val sh = out("shift")
+    // lower median = 1 (6th of 12 sorted) -> 6 below (ties below), 6
+    // above, 2 runs; z = (12*1 - 72)/sqrt(72*60/11) = -3.0277
+    assert(sh.getAs[Long]("runs") == 2L)
+    assert(sh.getAs[Long]("n_above") == 6L &&
+      sh.getAs[Long]("n_below") == 6L)
+    val zExp = math.floor(-60.0 / math.sqrt(72.0 * 60.0 / 11.0)
+      * 10000.0 + 0.5) / 10000.0
+    assert(sh.getAs[Double]("z_r") == zExp)
+    assert(sh.getAs[String]("verdict") == "clustered")
+    val fl = out("flip")
+    assert(fl.getAs[Long]("runs") == 12L)
+    assert(fl.getAs[String]("verdict") == "oscillating")
+    val ft = out("flat")
+    // constant: nothing above the median -> p = 0 -> NULL z + verdict
+    assert(ft.getAs[Long]("n_above") == 0L)
+    assert(ft.isNullAt(ft.fieldIndex("z_r")) &&
+      ft.isNullAt(ft.fieldIndex("verdict")))
+  }
+
+  test("autocorrDaily: exact hand-computed lag-1/lag-7 on a planted " +
+      "weekly series, NULL num when the series is shorter than the lag") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 'weekly': 21 days, 8 events on days 1/8/15, 1 otherwise ->
+    // exact period 7; 'short': 5 varying days
+    val mk = (d: Int, t: String, y: Int) =>
+      (1 to y).map(i => (d.toLong * 1000 + i, ts(d), t))
+    val rows =
+      (1 to 21).flatMap(d => mk(d, "weekly", if (d % 7 == 1) 8 else 1)) ++
+      (1 to 5).flatMap(d => mk(d, "short", d))
+    val out = Analytics.autocorrDaily(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("group_key"), r.getAs[Long]("lag")) -> r)
+      .toMap
+    // d = 21y - 42: spikes 126, others -21; den = 3*126^2 + 18*21^2
+    // = 55566; num_7 = sum over 14 periodic products = 37044 ->
+    // 0.6667; num_1 = 15*441 - 5*2646 = -6615 -> -0.1190
+    val w7 = out(("weekly", 7L))
+    assert(w7.getAs[Long]("den") == 55566L)
+    assert(w7.getAs[Long]("num") == 37044L)
+    assert(w7.getAs[Double]("ac_r") == 0.6667)
+    val w1 = out(("weekly", 1L))
+    assert(w1.getAs[Long]("num") == -6615L)
+    assert(w1.getAs[Double]("ac_r") == -0.1190)
+    // 5-day series: lag 7 has no pairs -> NULL num and NULL r, but
+    // the row still publishes (the spine is den x lags)
+    val s7 = out(("short", 7L))
+    assert(s7.isNullAt(s7.fieldIndex("num")) &&
+      s7.isNullAt(s7.fieldIndex("ac_r")))
+    assert(out(("short", 1L)).getAs[Long]("num") != 0L)
+  }
+
   test("spearmanDaily + kendallTauDaily: perfect monotone pairs read " +
       "exactly +/-1, constant series read NULL") {
     import java.sql.Timestamp
