@@ -3493,6 +3493,15 @@ object SparkEntry {
     "q_stl_decompose" -> ((s, dir) =>
       Analytics.stlDecompose(Tables.events(s, dir), "event_type", "ts")),
 
+    // §2.63e — seasonal/trend strength (r16 cont.): the two variance-
+    // explained numbers summarizing the decomposition per series —
+    // which of my 400 series are strongly weekly / strongly trending?
+    // n-scaled exact variances, one non-negative DIV, integer-compare
+    // clamp so the quotient always fits BIGINT
+    "q_seasonal_strength" -> ((s, dir) =>
+      Analytics.seasonalStrength(Tables.events(s, dir), "event_type",
+        "ts")),
+
     // §2.60b — Mann–Kendall + Theil–Sen: the ROBUST twin of q_trend's
     // OLS line (one outlier day owns an OLS slope; the rank test and
     // the median slope shrug it off): pure-integer S statistic,
@@ -10227,6 +10236,76 @@ object SparkEntry {
         |  trend_micro, seasonal_micro,
         |  y * 1000000 - trend_micro - seasonal_micro AS remainder_micro
         |FROM s4 ORDER BY group_key, day""".stripMargin,
+
+    // the full decomposition replayed, then n-scaled HUGEINT variances
+    // and the integer-compare clamp before the single division
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT g, day, y,
+        |    CAST(sum(y) OVER w7 AS BIGINT) AS tsum,
+        |    CAST(count(*) OVER w7 AS BIGINT) AS tcnt
+        |  FROM daily WINDOW w7 AS (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT g, day, y, (tsum * 1000000) // tcnt AS trend_micro,
+        |    CAST(dayofweek(day) AS BIGINT) AS dow,
+        |    y * 1000000 - (tsum * 1000000) // tcnt AS det_micro
+        |  FROM t),
+        |s AS (
+        |  SELECT g, day, y, dow, trend_micro, det_micro,
+        |    CAST(sum(det_micro) OVER (PARTITION BY g, dow) AS BIGINT)
+        |      AS dsum,
+        |    CAST(count(*) OVER (PARTITION BY g, dow) AS BIGINT) AS dcnt
+        |  FROM t2),
+        |s2 AS (
+        |  SELECT g, day, y, dow, trend_micro,
+        |    CAST(CASE WHEN dsum >= 0 THEN dsum // dcnt
+        |      ELSE -((-dsum) // dcnt) END AS BIGINT) AS s_raw
+        |  FROM s),
+        |s3 AS (
+        |  SELECT g, day, y, dow, trend_micro, s_raw,
+        |    CAST(sum(s_raw) OVER (PARTITION BY g) AS BIGINT) AS smn,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS smd
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT g, day, y, trend_micro,
+        |    s_raw - CAST(CASE WHEN smn >= 0 THEN smn // smd
+        |      ELSE -((-smn) // smd) END AS BIGINT) AS seasonal_micro
+        |  FROM s3),
+        |comp AS (
+        |  SELECT g,
+        |    CAST(y * 1000000 - trend_micro - seasonal_micro AS HUGEINT)
+        |      AS r,
+        |    CAST(y * 1000000 - trend_micro AS HUGEINT) AS sr,
+        |    CAST(y * 1000000 - seasonal_micro AS HUGEINT) AS tr
+        |  FROM s4),
+        |agg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(r) AS s_r, sum(r * r) AS q_r,
+        |    sum(sr) AS s_sr, sum(sr * sr) AS q_sr,
+        |    sum(tr) AS s_tr, sum(tr * tr) AS q_tr
+        |  FROM comp GROUP BY g),
+        |v AS (
+        |  SELECT g AS group_key, n_days,
+        |    n_days * q_r - s_r * s_r AS nvar_r,
+        |    n_days * q_sr - s_sr * s_sr AS nvar_sr,
+        |    n_days * q_tr - s_tr * s_tr AS nvar_tr
+        |  FROM agg)
+        |SELECT group_key, n_days,
+        |  CASE WHEN nvar_sr > 0 THEN
+        |    CASE WHEN nvar_r >= nvar_sr THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(1000000 - (nvar_r * 1000000) // nvar_sr
+        |        AS BIGINT) END END AS fs_micro,
+        |  CASE WHEN nvar_tr > 0 THEN
+        |    CASE WHEN nvar_r >= nvar_tr THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(1000000 - (nvar_r * 1000000) // nvar_tr
+        |        AS BIGINT) END END AS ft_micro
+        |FROM v ORDER BY group_key""".stripMargin,
 
     // pure-integer S and 18*Var with the tie correction, the
     // continuity-corrected z through one double chain, and the lower

@@ -2563,6 +2563,69 @@ object Analytics {
       .orderBy(col("group_key"), col("day"))
   }
 
+  /** Trend / seasonal STRENGTH of each daily series — the two
+    * variance-explained numbers (Hyndman's tsfeatures convention) that
+    * SUMMARIZE [[stlDecompose]]'s frame for a fleet dashboard (the
+    * decomposition is per-day; "which of my 400 series are strongly
+    * weekly?" needs one row per series):
+    *
+    *   F_s = max(0, 1 − Var(R) / Var(S+R))     (seasonal strength)
+    *   F_t = max(0, 1 − Var(R) / Var(T+R))     (trend strength)
+    *
+    * computed off the decomposition's EXACT integer micro components
+    * (S+R = y·10⁶ − T and T+R = y·10⁶ − S, both by the reconstruction
+    * identity), each variance n-scaled so it is an exact
+    * decimal(38,0)/HUGEINT — nVar = n·Σv² − (Σv)² — and the ratio ONE
+    * non-negative integer DIV: the clamp-at-zero branches on the
+    * INTEGER compare nVar_R ≥ nVar_den first, so the published
+    * quotient always fits BIGINT and no engine ever overflows the
+    * division (the degenerate tiny-denominator case short-circuits to
+    * 0). NULL strength when the matching variance is 0 (a flat series
+    * has no structure to measure — surfaced, not divided). Exactness
+    * holds through n²·v²·10⁶ < 10³⁸ (v = micro components; a
+    * 1000-day panel at 10⁸ events/day sits inside).
+    *
+    * Output: one row per group — n_days, fs_micro, ft_micro. Scale
+    * shape: inherits stlDecompose's (daily aggregate = the one
+    * data-sized shuffle); the strength aggregate runs on the bounded
+    * panel.
+    */
+  def seasonalStrength(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val stl = stlDecompose(events, groupCol, tsCol)
+    val comp = stl.select(col("group_key"),
+      col("remainder_micro").cast("decimal(38,0)").as("r"),
+      (col("y") * 1000000L - col("trend_micro")).cast("decimal(38,0)")
+        .as("sr"),
+      (col("y") * 1000000L - col("seasonal_micro")).cast("decimal(38,0)")
+        .as("tr"))
+    comp.groupBy(col("group_key")).agg(
+      count(lit(1)).as("n_days"),
+      sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("q_r"),
+      sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("q_sr"),
+      sum(col("tr")).as("s_tr"), sum(col("tr") * col("tr")).as("q_tr"))
+      .select(col("group_key"), col("n_days"),
+        (col("n_days") * col("q_r") - col("s_r") * col("s_r"))
+          .as("nvar_r"),
+        (col("n_days") * col("q_sr") - col("s_sr") * col("s_sr"))
+          .as("nvar_sr"),
+        (col("n_days") * col("q_tr") - col("s_tr") * col("s_tr"))
+          .as("nvar_tr"))
+      .withColumn("fs_micro", expr(
+        """CASE WHEN nvar_sr > 0 THEN
+          |  CASE WHEN nvar_r >= nvar_sr THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(1000000 - (nvar_r * 1000000) DIV nvar_sr
+          |      AS BIGINT) END END""".stripMargin))
+      .withColumn("ft_micro", expr(
+        """CASE WHEN nvar_tr > 0 THEN
+          |  CASE WHEN nvar_r >= nvar_tr THEN CAST(0 AS BIGINT)
+          |    ELSE CAST(1000000 - (nvar_r * 1000000) DIV nvar_tr
+          |      AS BIGINT) END END""".stripMargin))
+      .select(col("group_key"), col("n_days"), col("fs_micro"),
+        col("ft_micro"))
+      .orderBy(col("group_key"))
+  }
+
   def ewmaDaily(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     // NULL day/group rows are dropped, not folded: a NULL day would

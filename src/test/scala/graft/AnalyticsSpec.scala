@@ -1318,6 +1318,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
 
+  test("seasonalStrength: planted weekly series reads strongly seasonal, " +
+      "a clean ramp reads strongly trending, flat reads NULL") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val mk = (d: Int, t: String, y: Int) =>
+      (1 to y).map(i => (d.toLong * 1000 + i, ts(d), t))
+    // 'weekly': 28 days, 10 events when day%7==1 else 2 (pure dow
+    // structure); 'trendy': y = d (pure ramp); 'flat': constant 3
+    val rows =
+      (1 to 28).flatMap(d => mk(d, "weekly", if (d % 7 == 1) 10 else 2)) ++
+      (1 to 28).flatMap(d => mk(d, "trendy", d)) ++
+      (1 to 28).flatMap(d => mk(d, "flat", 3))
+    val out = Analytics.seasonalStrength(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val w = out("weekly")
+    assert(w.getAs[Long]("fs_micro") > 500000L,
+      s"weekly fs=${w.getAs[Long]("fs_micro")}")
+    assert(w.getAs[Long]("fs_micro") <= 1000000L)
+    val t = out("trendy")
+    assert(t.getAs[Long]("ft_micro") > 900000L,
+      s"trendy ft=${t.getAs[Long]("ft_micro")}")
+    // the ramp's seasonal strength sits far below the weekly series'
+    assert(t.getAs[Long]("fs_micro") < w.getAs[Long]("fs_micro"))
+    val f = out("flat")
+    // flat: every component variance is 0 -> nothing to measure
+    assert(f.isNullAt(f.fieldIndex("fs_micro")) &&
+      f.isNullAt(f.fieldIndex("ft_micro")))
+  }
+
   test("runsTestDaily: a level shift reads clustered, a sawtooth reads " +
       "oscillating, a constant series reads NULL") {
     import java.sql.Timestamp
