@@ -1559,6 +1559,14 @@ object SparkEntry {
     "q_vocab_richness" -> ((s, dir) =>
       TextAnalysis.vocabRichness(Tables.documents(s, dir))),
 
+    // §2.24v2 — Heaps vocabulary-growth curve (r16 cont.): how fast
+    // does the corpus still discover NEW token types as docs arrive —
+    // keep crawling this source or is it saturated? value-wise id
+    // batches (no global sort), first-seen token semantics, bounded
+    // cumulative curve
+    "q_heaps_curve" -> ((s, dir) =>
+      TextAnalysis.heapsCurve(Tables.documents(s, dir), buckets = 10)),
+
     // §2.24f4 — feature-hashing text embeddings (hashing trick): a
     // deterministic, training-free 64-dim embedding per doc — the
     // bridge that runs the ANN/semantic family on a text-only corpus.
@@ -3432,6 +3440,14 @@ object SparkEntry {
       Observability.sessionPaths(Tables.events(s, dir),
         gapUs = 1800000000L, maxLen = 5, topN = 20)),
 
+    // §2.65f — Markov stationary mix (r16 cont.): where does traffic
+    // settle if behavior is really first-order — and how far is
+    // today's mix from that equilibrium? quantized integer power
+    // iteration on the bounded transition matrix, dangling self-loops
+    "q_markov_stationary" -> ((s, dir) =>
+      Observability.markovStationary(Tables.events(s, dir), "user_id",
+        "ts", "event_id", "event_type", iters = 12)),
+
     // §2.65c — last-touch attribution: each purchase credited to the
     // latest preceding click/view of the same user within 24h, found in
     // ONE per-user window pass (no stream self-join); exact integer
@@ -3511,6 +3527,37 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) =>
       Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
         "ts", critZ = 1.96)),
+
+    // §2.58w — sample L-moments (r16 cont.): the robust (mean, L-CV,
+    // L-skew) shape summary of each type's value distribution — the
+    // shape alarm a whale row cannot own; rank-weighted sums exact per
+    // tie block off the bounded cents histogram
+    "q_lmoments" -> ((s, dir) =>
+      Analytics.lmomentsValues(Tables.events(s, dir), "event_type",
+        "value")),
+
+    // §2.66h — Fano factor (r16 cont.): is each type's daily series
+    // Poisson-like or bursty? Var/mean in exact integer micro — the
+    // overdispersion screen q_poisson_rate's null depends on
+    "q_fano" -> ((s, dir) =>
+      Analytics.fanoDaily(Tables.events(s, dir), "event_type", "ts")),
+
+    // §2.66f — two-window Poisson rate test (r16 cont.): did each
+    // type's weekly rate change SIGNIFICANTLY (the significance half
+    // of q_period_movers' share shift)? one range-pruned scan,
+    // conditional counts, one sqrt chain
+    "q_poisson_rate" -> ((s, dir) =>
+      Analytics.poissonRateTest(Tables.events(s, dir), "event_type",
+        "ts", p1Start = "2024-01-08", p2Start = "2024-01-15",
+        p2EndExcl = "2024-01-22")),
+
+    // §2.66g — Chapman capture-recapture (r16 cont.): how many
+    // distinct users does each type REALLY have, counting the unseen?
+    // pure-integer mark-recapture off one per-(type, user) aggregate
+    "q_capture_recapture" -> ((s, dir) =>
+      Analytics.captureRecapture(Tables.events(s, dir), "event_type",
+        "user_id", "ts", p1Start = "2024-01-08", p2Start = "2024-01-15",
+        p2EndExcl = "2024-01-22")),
 
     // §2.66d — Wald–Wolfowitz runs test (r16 cont.): is each type's
     // daily series random around its median level, or does it
@@ -6385,6 +6432,42 @@ object SparkEntry {
         |  vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1_est,
         |  (f1 * 10000) // vocab AS singleton_bp
         |FROM s ORDER BY source""".stripMargin,
+
+    // value-wise id batches, first-seen min-batch per token, bounded
+    // cumulative windows; all integer
+    "q_heaps_curve" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |d AS (
+        |  SELECT (doc_id * 10) // (max_id + 1) AS b, text
+        |  FROM documents, mx
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |tok AS (SELECT b, unnest(string_split(text, ' ')) AS token
+        |  FROM d),
+        |perb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_docs FROM d
+        |  GROUP BY b),
+        |tokb AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY b),
+        |firstb AS (
+        |  SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM (SELECT token, min(b) AS fb FROM tok GROUP BY token)
+        |  GROUP BY fb),
+        |cur AS (
+        |  SELECT perb.b AS batch, perb.n_docs, tokb.n_tokens,
+        |    CAST(coalesce(firstb.new_types, 0) AS BIGINT) AS new_types
+        |  FROM perb JOIN tokb ON perb.b = tokb.b
+        |  LEFT JOIN firstb ON perb.b = firstb.b),
+        |cum AS (
+        |  SELECT batch, n_docs, n_tokens, new_types,
+        |    CAST(sum(n_docs) OVER wc AS BIGINT) AS docs_cum,
+        |    CAST(sum(n_tokens) OVER wc AS BIGINT) AS tokens_cum,
+        |    CAST(sum(new_types) OVER wc AS BIGINT) AS vocab_cum
+        |  FROM cur WINDOW wc AS (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT batch, n_docs, n_tokens, new_types, docs_cum,
+        |  tokens_cum, vocab_cum,
+        |  CASE WHEN tokens_cum > 0 THEN (vocab_cum * 10000) // tokens_cum
+        |    END AS ttr_bp
+        |FROM cum ORDER BY batch""".stripMargin,
 
     "q_token_windows" ->
       """WITH t AS (
@@ -9891,6 +9974,64 @@ object SparkEntry {
         |  CAST(floor(n * 10000.0 / n_from + 0.5) AS BIGINT) AS p_bp
         |FROM pairs JOIN tot USING (from_type)""".stripMargin,
 
+    // the quantized power iteration unrolled: each step is
+    // sum-then-DIV on the micro matrix, so every iterate replays
+    // bit-identically; dangling rows self-loop at 1.0
+    "q_markov_stationary" -> {
+      val steps = (1 to 12).map(i =>
+        s"""s$i AS (
+           |  SELECT p.to_t AS t,
+           |    CAST(sum(s${i - 1}.pi * p.p_micro) // 1000000 AS BIGINT)
+           |      AS pi
+           |  FROM s${i - 1} JOIN pmat p ON s${i - 1}.t = p.f
+           |  GROUP BY 1)""".stripMargin).mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, ts, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+         |p0 AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM base),
+         |pairs AS (
+         |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM p0 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM pairs GROUP BY 1),
+         |types AS (SELECT from_type AS t FROM pairs
+         |  UNION SELECT to_type FROM pairs),
+         |pmat AS (
+         |  SELECT pairs.from_type AS f, pairs.to_type AS to_t,
+         |    CAST((n * 1000000) // n_from AS BIGINT) AS p_micro
+         |  FROM pairs JOIN tot USING (from_type)
+         |  UNION ALL
+         |  SELECT t, t, CAST(1000000 AS BIGINT) FROM types
+         |  WHERE t NOT IN (SELECT from_type FROM tot)),
+         |s0 AS (
+         |  SELECT t, CAST(1000000 // (SELECT count(*) FROM types)
+         |    AS BIGINT) AS pi
+         |  FROM types),
+         |$steps,
+         |obs AS (
+         |  SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM base GROUP BY 1),
+         |obsh AS (
+         |  SELECT t, n_events,
+         |    CAST((n_events * 1000000)
+         |      // (SELECT sum(n_events) FROM obs) AS BIGINT) AS obs_micro
+         |  FROM obs)
+         |SELECT types.t AS group_key,
+         |  CAST(coalesce(obsh.n_events, 0) AS BIGINT) AS n_events,
+         |  CAST(coalesce(obsh.obs_micro, 0) AS BIGINT) AS obs_micro,
+         |  CAST(coalesce(s12.pi, 0) AS BIGINT) AS pi_micro,
+         |  CAST(coalesce(s12.pi, 0) - coalesce(obsh.obs_micro, 0)
+         |    AS BIGINT) AS gap_micro
+         |FROM types LEFT JOIN s12 ON types.t = s12.t
+         |LEFT JOIN obsh ON types.t = obsh.t
+         |ORDER BY group_key""".stripMargin
+    },
+
     // replays the gap sessionization (q_sessions idiom), spells each
     // session's first-5 path, ranks by (count desc, path asc)
     "q_event_paths" ->
@@ -10362,6 +10503,127 @@ object SparkEntry {
         |    WHEN z_r < -1.96 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM zz ORDER BY group_key""".stripMargin,
+
+    // the tie-block rank weights replay off the same histogram; 2x/3x
+    // scaled sums stay HUGEINT products, ratios are guarded //s with
+    // the magnitude-floor-re-sign guard on the signed t3 numerator
+    "q_lmoments" ->
+      """WITH hist AS (
+        |  SELECT event_type AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |blocks AS (
+        |  SELECT t, CAST(v AS HUGEINT) AS v, CAST(c AS HUGEINT) AS c,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY t ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS HUGEINT) AS cb
+        |  FROM hist),
+        |agg AS (
+        |  SELECT t, sum(c) AS n, sum(v * c) AS a,
+        |    sum(v * (2 * c * cb + c * (c - 1))) AS b2,
+        |    sum(v * ((cb + c) * (cb + c - 1) * (cb + c - 2)
+        |      - cb * (cb - 1) * (cb - 2))) AS c3
+        |  FROM blocks GROUP BY t)
+        |SELECT t AS group_key, CAST(n AS BIGINT) AS n,
+        |  CAST((a * 1000000) // n AS BIGINT) AS l1_micro,
+        |  CASE WHEN n >= 2 AND a > 0 THEN
+        |    CAST(((b2 - (n - 1) * a) * 1000000)
+        |      // ((n - 1) * a) AS BIGINT) END AS t2_micro,
+        |  CASE WHEN n >= 3 AND b2 - (n - 1) * a > 0 THEN
+        |    CAST(CASE
+        |      WHEN 2 * c3 - 3 * (n - 2) * b2 + (n - 1) * (n - 2) * a >= 0
+        |      THEN ((2 * c3 - 3 * (n - 2) * b2 + (n - 1) * (n - 2) * a)
+        |        * 1000000) // ((n - 2) * (b2 - (n - 1) * a))
+        |      ELSE -(((-(2 * c3 - 3 * (n - 2) * b2
+        |        + (n - 1) * (n - 2) * a)) * 1000000)
+        |        // ((n - 2) * (b2 - (n - 1) * a)))
+        |    END AS BIGINT) END AS t3_micro
+        |FROM agg ORDER BY group_key""".stripMargin,
+
+    // HUGEINT moments, one non-negative DIV, banded integer verdict
+    "q_fano" ->
+      """WITH daily AS (
+        |  SELECT event_type AS t, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT t AS group_key, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(y) AS HUGEINT) AS s,
+        |    sum(CAST(y AS HUGEINT) * y) AS q
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT group_key, n_days,
+        |    CAST((s * 1000000) // n_days AS BIGINT) AS mean_micro,
+        |    CASE WHEN s > 0 THEN
+        |      CAST(((n_days * q - s * s) * 1000000) // (n_days * s)
+        |        AS BIGINT) END AS fano_micro
+        |  FROM agg)
+        |SELECT group_key, n_days, mean_micro, fano_micro,
+        |  CASE WHEN fano_micro IS NULL THEN NULL
+        |    WHEN fano_micro > 1500000 THEN 'overdispersed'
+        |    WHEN fano_micro < 500000 THEN 'underdispersed'
+        |    ELSE 'poisson-like' END AS verdict
+        |FROM f ORDER BY group_key""".stripMargin,
+
+    // conditional window counts off one pruned scan; z is the one
+    // sqrt chain, verdict off the rounded value
+    "q_poisson_rate" ->
+      """WITH per AS (
+        |  SELECT event_type AS group_key,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |  FROM events
+        |  WHERE event_type IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |  GROUP BY 1),
+        |z AS (
+        |  SELECT group_key, k1, k2,
+        |    CASE WHEN k1 > 0 THEN (k2 * 10000) // k1 END AS ratio_bp,
+        |    CASE WHEN k1 + k2 > 0 THEN
+        |      CAST(floor(CAST(k2 - k1 AS DOUBLE)
+        |        / sqrt(CAST(k1 + k2 AS DOUBLE))
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
+        |  FROM per)
+        |SELECT group_key, k1, k2, ratio_bp, z_r,
+        |  CASE WHEN z_r IS NULL THEN NULL
+        |    WHEN z_r > 1.96 THEN 'up'
+        |    WHEN z_r < -1.96 THEN 'down'
+        |    ELSE 'stable' END AS verdict
+        |FROM z ORDER BY group_key""".stripMargin,
+
+    // per-(type, user) window flags, then pure-integer Chapman; the
+    // +1s make the estimator div-zero-proof on both engines
+    "q_capture_recapture" ->
+      """WITH pu AS (
+        |  SELECT event_type AS group_key, user_id AS u,
+        |    CAST(max(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+        |    CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS in2
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT group_key, CAST(sum(in1) AS BIGINT) AS n1,
+        |    CAST(sum(in2) AS BIGINT) AS n2,
+        |    CAST(sum(in1 * in2) AS BIGINT) AS m
+        |  FROM pu GROUP BY 1)
+        |SELECT group_key, n1, n2, m,
+        |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman,
+        |  n1 + n2 - m AS seen,
+        |  CASE WHEN ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 > 0 THEN
+        |    ((n1 + n2 - m) * 10000)
+        |      // (((n1 + 1) * (n2 + 1)) // (m + 1) - 1) END
+        |    AS coverage_bp
+        |FROM agg ORDER BY group_key""".stripMargin,
 
     // lower median by rank position, lag() run boundaries, the integer
     // numerator and one double chain replayed; ties sit BELOW by the

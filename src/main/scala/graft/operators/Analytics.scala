@@ -2037,6 +2037,221 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Two-window Poisson rate test per group — did this type's event
+    * RATE change significantly window-over-window? ([[periodMovers]]
+    * reports the share shift, THIS says whether the shift clears
+    * noise — the difference between "clicks moved 2%" and "clicks
+    * moved, p < .05"): with k₁, k₂ the exact window counts from ONE
+    * range-pruned scan (conditional aggregation — the scan reads
+    * [p1Start, p2EndExcl) once, predicate pushed to parquet),
+    *
+    *   z = (k₂ − k₁) / √(k₁ + k₂)
+    *
+    * — the classical conditional test (given k₁+k₂ = n, k₂ ~
+    * Binomial(n, ½) under equal rates; this is its normal
+    * approximation, exact integers into one sqrt chain written
+    * operation-identically in the oracle, 4 dp). Windows must be
+    * equal-length for the ½ null — callers pass aligned weeks.
+    * ratio_bp = k₂·10⁴ DIV k₁ rides along (NULL when k₁ = 0). NULL z
+    * when both windows are empty; the verdict compares the ROUNDED z
+    * to ±1.96 ('up' / 'down' / 'stable').
+    *
+    * Output: one row per group — k1, k2, ratio_bp, z_r, verdict.
+    * Scale shape: one aggregate over the pruned range to a
+    * groups-bounded frame.
+    */
+  def poissonRateTest(events: DataFrame, typeCol: String, tsCol: String,
+      p1Start: String, p2Start: String, p2EndExcl: String): DataFrame = {
+    val cut = lit(p2Start).cast("timestamp")
+    events
+      .where(col(typeCol).isNotNull &&
+        col(tsCol) >= lit(p1Start).cast("timestamp") &&
+        col(tsCol) < lit(p2EndExcl).cast("timestamp"))
+      .groupBy(col(typeCol).as("group_key"))
+      .agg(sum(when(col(tsCol) < cut, 1L).otherwise(0L)).as("k1"),
+        sum(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("k2"))
+      .withColumn("ratio_bp",
+        when(col("k1") > 0, expr("(k2 * 10000) DIV k1")))
+      .withColumn("z_r",
+        when(col("k1") + col("k2") > 0, expr(
+          """CAST(floor(CAST(k2 - k1 AS DOUBLE)
+            |  / sqrt(CAST(k1 + k2 AS DOUBLE))
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .withColumn("verdict",
+        when(col("z_r").isNull, lit(null).cast("string"))
+          .when(col("z_r") > 1.96, lit("up"))
+          .when(col("z_r") < -1.96, lit("down"))
+          .otherwise(lit("stable")))
+      .orderBy(col("group_key"))
+  }
+
+  /** Chapman capture–recapture estimate per group — how many distinct
+    * users does this type REALLY have, counting the ones neither
+    * window saw? (every overlap audit here — Jaccard, KMV, HLL —
+    * measures the SEEN; mark–recapture estimates the UNSEEN, the
+    * question behind "is our weekly reach saturating?"): with n₁, n₂
+    * the distinct users in each window and m the users in BOTH (one
+    * per-(group, user) aggregate carrying two window flags — never a
+    * users² join),
+    *
+    *   N̂ = (n₁+1)(n₂+1) DIV (m+1) − 1     (Chapman's estimator —
+    *        PURE INTEGER, the +1s make it div-zero-proof and nearly
+    *        unbiased when n₁+n₂ ≥ N)
+    *
+    * seen = n₁+n₂−m rides along, and coverage_bp = seen·10⁴ DIV N̂
+    * (how much of the estimated population the fortnight actually
+    * touched). The independence assumption is the estimator's usual
+    * one — documented, not hidden: users whose window-2 presence
+    * correlates with window-1 presence bias N̂ low.
+    *
+    * Output: one row per group — n1, n2, m, chapman, seen,
+    * coverage_bp. Scale shape: the per-(group, user) aggregate is the
+    * only data-sized shuffle; everything downstream is groups-bounded.
+    */
+  def captureRecapture(events: DataFrame, typeCol: String,
+      userCol: String, tsCol: String, p1Start: String, p2Start: String,
+      p2EndExcl: String): DataFrame = {
+    val cut = lit(p2Start).cast("timestamp")
+    val perUser = events
+      .where(col(typeCol).isNotNull && col(userCol).isNotNull &&
+        col(tsCol) >= lit(p1Start).cast("timestamp") &&
+        col(tsCol) < lit(p2EndExcl).cast("timestamp"))
+      .groupBy(col(typeCol).as("group_key"), col(userCol).as("u"))
+      .agg(max(when(col(tsCol) < cut, 1L).otherwise(0L)).as("in1"),
+        max(when(col(tsCol) >= cut, 1L).otherwise(0L)).as("in2"))
+    perUser.groupBy(col("group_key"))
+      .agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+        sum(col("in1") * col("in2")).as("m"))
+      .withColumn("chapman",
+        expr("((n1 + 1) * (n2 + 1)) DIV (m + 1) - 1"))
+      .withColumn("seen", col("n1") + col("n2") - col("m"))
+      .withColumn("coverage_bp",
+        when(col("chapman") > 0, expr("(seen * 10000) DIV chapman")))
+      .orderBy(col("group_key"))
+  }
+
+  /** Sample L-moments of each group's value distribution — the ROBUST
+    * shape summary (mean, L-CV, L-skewness) that replaces fragile
+    * classical moments for monitoring ("did the DISTRIBUTION of order
+    * values change shape?" — a σ/skewness alarm is owned by one whale
+    * row, the L-ratios move linearly in the data so they page on real
+    * shape change): from the bounded (group, cents) value histogram
+    * with cb = the count strictly below each distinct value, the three
+    * rank-weighted sums are EXACT per tie-block
+    *
+    *   A  = Σ v·c
+    *   B2 = Σ v·(2·c·cb + c(c−1))            (= 2·Σ (i−1)·x_(i))
+    *   C3 = Σ v·(m₊(m₊−1)(m₊−2) − cb(cb−1)(cb−2)),  m₊ = cb+c
+    *        (= 3·Σ (i−1)(i−2)·x_(i))
+    *
+    * — kept at 2× and 3× scale so every sum is a pure integer PRODUCT
+    * (no mid-plan decimal division to pick up fractional scale); the
+    * factors fold back in the ratio algebra. Ties permute equal values
+    * — the sums cannot see the order. The published ratios are single
+    * guarded integer DIVs: l1_micro = A·10⁶ DIV n,
+    * t2 = (B2 − (n−1)A)/((n−1)A), and
+    * t3 = (2C3 − 3(n−2)B2 + (n−1)(n−2)A)/((n−2)(B2 − (n−1)A)) with
+    * the signed numerator through the magnitude-DIV-re-sign guard (Spark
+    * truncates, DuckDB floors — the stlDecompose rule). t2 needs a
+    * POSITIVE total (L-CV is a non-negative-domain statistic — NULL
+    * when A ≤ 0, documented not hidden); t3 NULL when λ₂ = 0 (a
+    * point mass has no shape). Exact through v_max·n³ < 3·10³⁸ —
+    * aggregate to entities first beyond ~10¹¹ rows per group.
+    *
+    * Output: one row per group — n, l1_micro, t2_micro, t3_micro.
+    * Scale shape: one corpus aggregate to the bounded histogram (the
+    * scoreHistCum discipline); weights and ratios run on the bounded
+    * frame.
+    */
+  def lmomentsValues(events: DataFrame, typeCol: String,
+      valueCol: String): DataFrame = {
+    val hist = events
+      .where(col(typeCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(typeCol).as("t"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .groupBy(col("t"), col("v")).agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy(col("t")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist
+      .withColumn("cb", coalesce(sum(col("c")).over(wb), lit(0L)))
+      .select(col("t"), col("v").cast("decimal(38,0)").as("v"),
+        col("c").cast("decimal(38,0)").as("c"),
+        col("cb").cast("decimal(38,0)").as("cb"))
+    // b2 = 2B and c3 = 3C keep every sum a pure integer PRODUCT (a
+    // decimal division mid-plan would pick up fractional scale); the
+    // 2x/3x factors fold into the ratio algebra below
+    val agg = blocks.groupBy(col("t")).agg(
+      sum(col("c")).as("n"),
+      sum(col("v") * col("c")).as("a"),
+      sum(col("v") * (lit(2) * col("c") * col("cb") +
+        col("c") * (col("c") - 1))).as("b2"),
+      sum(col("v") * (
+        (col("cb") + col("c")) * (col("cb") + col("c") - 1) *
+          (col("cb") + col("c") - 2) -
+        col("cb") * (col("cb") - 1) * (col("cb") - 2))).as("c3"))
+    agg
+      .select(col("t").as("group_key"), col("n").cast("long").as("n"),
+        expr("CAST((a * 1000000) DIV n AS BIGINT)").as("l1_micro"),
+        expr("""CASE WHEN n >= 2 AND a > 0 THEN
+          |  CAST(((b2 - (n - 1) * a) * 1000000)
+          |    DIV ((n - 1) * a) AS BIGINT) END""".stripMargin)
+          .as("t2_micro"),
+        expr("""CASE WHEN n >= 3 AND b2 - (n - 1) * a > 0 THEN
+          |  CAST(CASE
+          |    WHEN 2 * c3 - 3 * (n - 2) * b2 + (n - 1) * (n - 2) * a >= 0
+          |    THEN ((2 * c3 - 3 * (n - 2) * b2 + (n - 1) * (n - 2) * a)
+          |      * 1000000) DIV ((n - 2) * (b2 - (n - 1) * a))
+          |    ELSE -(((-(2 * c3 - 3 * (n - 2) * b2
+          |      + (n - 1) * (n - 2) * a)) * 1000000)
+          |      DIV ((n - 2) * (b2 - (n - 1) * a)))
+          |  END AS BIGINT) END""".stripMargin).as("t3_micro"))
+      .orderBy(col("group_key"))
+  }
+
+  /** Fano factor (index of dispersion) of each group's daily counts —
+    * IS this series Poisson-like, or bursty? (the one number that says
+    * whether [[poissonRateTest]]'s Poisson null is even plausible for
+    * this type, and the standard overdispersion screen before anyone
+    * fits a rate model): with n days, S = Σy, Q = Σy²,
+    *
+    *   Fano = Var/mean = (n·Q − S²) / (n·S)
+    *
+    * — population variance over mean, PURE INTEGER in micro-units via
+    * one non-negative DIV on decimal(38,0)/HUGEINT products (the
+    * numerator is n²·σ², non-negative by Cauchy–Schwarz; exact through
+    * S² ·10⁶ < 10³⁸). mean_micro = S·10⁶ DIV n rides along. A Poisson
+    * process reads ≈ 10⁶; the verdict uses the conventional wide bands
+    * — 'overdispersed' above 1.5, 'underdispersed' below 0.5,
+    * 'poisson-like' between — as pure integer compares. NULL when
+    * S = 0 (no events, no dispersion to measure).
+    *
+    * Output: one row per group — n_days, mean_micro, fano_micro,
+    * verdict. Scale shape: the daily aggregate is the only data-sized
+    * shuffle; the moment aggregate runs on the bounded panel.
+    */
+  def fanoDaily(events: DataFrame, typeCol: String,
+      tsCol: String): DataFrame = {
+    events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(typeCol).as("t"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).cast("decimal(38,0)").as("s"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("q"))
+      .select(col("t").as("group_key"), col("n_days"),
+        expr("CAST((s * 1000000) DIV n_days AS BIGINT)").as("mean_micro"),
+        expr("""CASE WHEN s > 0 THEN
+          |  CAST(((n_days * q - s * s) * 1000000) DIV (n_days * s)
+          |    AS BIGINT) END""".stripMargin).as("fano_micro"))
+      .withColumn("verdict",
+        when(col("fano_micro").isNull, lit(null).cast("string"))
+          .when(col("fano_micro") > 1500000L, lit("overdispersed"))
+          .when(col("fano_micro") < 500000L, lit("underdispersed"))
+          .otherwise(lit("poisson-like")))
+      .orderBy(col("group_key"))
+  }
+
   /** Wald–Wolfowitz runs test on each group's daily series — IS the
     * series random around its level, or does it cluster/oscillate?
     * (the one-number check that catches both a regime shift — long

@@ -292,6 +292,82 @@ object Observability {
         floor(col("n") * 10000.0 / col("n_from") + 0.5).cast("long").as("p_bp"))
   }
 
+  /** Stationary distribution of the event-type transition chain — the
+    * LONG-RUN mix the first-order Markov model of [[transitions]]
+    * predicts, next to the mix actually observed ("if user behavior is
+    * really first-order, where does traffic settle — and how far is
+    * today's mix from that equilibrium?" — a large gap means the chain
+    * is NOT the right model or the mix is still drifting):
+    * π·P iterated `iters` times from the uniform start, entirely in
+    * integer micro-units — P's rows are n·10⁶ DIV n_from, each step is
+    * π'(j) = Σ_i π(i)·p(i,j) DIV 10⁶ (sum-then-divide: exact,
+    * order-independent), so the iterate is bit-identical on any
+    * engine. Types with NO observed outgoing transition self-loop at
+    * 1.0 (the dangling-row convention, documented). Quantization leaks
+    * < k micro of mass per step (k = |types| — bounded, never
+    * renormalized mid-flight so both engines leak identically); after
+    * the default 12 steps a handful-of-types chain is far past mixing
+    * for the 10⁻⁶ grid. NULL-keyed rows are filtered on BOTH engines
+    * before the window (the asc-NULLS divergence guard).
+    *
+    * Output: one row per type — n_events, obs_micro (observed event
+    * share), pi_micro (stationary share), gap_micro. Scale shape: the
+    * per-user lead window is the one data-sized pass (the transitions
+    * cost); every iteration runs on the bounded types² matrix.
+    */
+  def markovStationary(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, iters: Int = 12): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    val ev = events.where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+      col(idCol).isNotNull && col(typeCol).isNotNull)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val counts = ev
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded types^2 matrix, three consumers
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    val types = counts.select(col("from_type").as("t"))
+      .union(counts.select(col("to_type").as("t"))).distinct()
+      .localCheckpoint() // bounded type spine, four consumers
+    val pReal = counts.join(totals, "from_type")
+      .select(col("from_type").as("f"), col("to_type").as("to_t"),
+        expr("(n * 1000000) DIV n_from").as("p_micro"))
+    val dangling = types
+      .join(totals.select(col("from_type").as("t")), Seq("t"), "left_anti")
+      .select(col("t").as("f"), col("t").as("to_t"),
+        lit(1000000L).as("p_micro"))
+    val pmat = pReal.unionByName(dangling).localCheckpoint()
+    val k = types.count() // bounded driver pull: |types| rows
+    var pi = types.select(col("t"), lit(1000000L / math.max(k, 1L)).as("pi"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      pi = pmat.join(pi, pmat("f") === pi("t"))
+        .groupBy(col("to_t"))
+        .agg(expr("CAST(sum(pi * p_micro) DIV 1000000 AS BIGINT)").as("pi"))
+        .select(col("to_t").as("t"), col("pi"))
+        .localCheckpoint() // bounded iterate
+    }
+    val obs = ev.groupBy(col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n_events"))
+    val obsShare = obs.crossJoin(
+      broadcast(obs.agg(sum(col("n_events")).as("n_tot"))))
+      .select(col("t"), col("n_events"),
+        expr("(n_events * 1000000) DIV n_tot").as("obs_micro"))
+    types.join(pi, Seq("t"), "left")
+      .join(obsShare, Seq("t"), "left")
+      .select(col("t").as("group_key"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("obs_micro"), lit(0L)).as("obs_micro"),
+        coalesce(col("pi"), lit(0L)).as("pi_micro"))
+      .withColumn("gap_micro", col("pi_micro") - col("obs_micro"))
+      .orderBy(col("group_key"))
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `z` population standard deviations from their event_type's mean —
     * the sensor-threshold alarm every monitoring pass runs over a metric

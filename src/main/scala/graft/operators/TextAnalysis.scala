@@ -1341,6 +1341,56 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary-growth (Heaps) curve over ingestion order — how fast
+    * does the corpus still discover NEW token types as docs arrive?
+    * ([[vocabRichness]] reports the static per-source richness; THIS
+    * is the growth trajectory an ingest pipeline watches to decide
+    * "keep crawling this source or is it saturated?" — a flattening
+    * curve means new data is mostly old words): the doc_id axis is cut
+    * into `buckets` equal id-range batches VALUE-WISE — b = doc_id·k
+    * DIV (max_id+1), no global sort, no one-task ntile (the q_rfm
+    * rule) — then per batch: docs, token mass, and NEW types (tokens
+    * whose min-batch is b — first-seen semantics from ONE token-keyed
+    * aggregate), with cumulative sums and the type–token ratio over
+    * the bounded k-row frame. All integer; ttr_bp = vocab·10⁴ DIV
+    * tokens.
+    *
+    * Output: one row per batch — batch, n_docs, n_tokens, new_types,
+    * docs_cum, tokens_cum, vocab_cum, ttr_bp. Scale shape: the
+    * token-keyed first-seen aggregate is the one data-sized shuffle
+    * (the vocabRichness cost); the curve windows run on the bounded
+    * k-row frame (the scoreHistCum bounded-global-window idiom).
+    */
+  def heapsCurve(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"bad buckets: $buckets")
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val based = docs
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .crossJoin(broadcast(maxId))
+      .select(expr(s"(doc_id * $buckets) DIV (max_id + 1)").as("b"),
+        col("text"))
+      .localCheckpoint() // consumed by the doc count and the token path
+    val toks = based.select(col("b"), explode(tokens(col("text")))
+      .as("token"))
+      .localCheckpoint() // consumed by the mass count and first-seen
+    val perB = based.groupBy(col("b")).agg(count(lit(1)).as("n_docs"))
+    val tokB = toks.groupBy(col("b")).agg(count(lit(1)).as("n_tokens"))
+    val firstB = toks.groupBy(col("token")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("new_types"))
+    val wc = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perB.join(tokB, "b").join(firstB, Seq("b"), "left")
+      .select(col("b").as("batch"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("docs_cum", sum(col("n_docs")).over(wc))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(wc))
+      .withColumn("vocab_cum", sum(col("new_types")).over(wc))
+      .withColumn("ttr_bp",
+        when(col("tokens_cum") > 0,
+          expr("(vocab_cum * 10000) DIV tokens_cum")))
+      .orderBy(col("batch"))
+  }
+
   /** Per-window language segmentation — code-switching detection over
     * [[languageId]]'s marker heuristic (transform.py:1's per-doc text
     * column, extended to the intra-document structure an LLM-corpus

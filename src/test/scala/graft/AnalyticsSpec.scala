@@ -1318,6 +1318,112 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
 
+  test("lmomentsValues: hand-checked L-ratios — symmetric reads t3=0, " +
+      "planted right skew reads t3=1, point mass reads NULL shape") {
+    // 'sym': cents {0, 100, 200} -> l1 = 1.0, t2 = 2/3, t3 = 0;
+    // 'skew': cents {0, 0, 300} -> t2 = 1, t3 = 1 (max concentration);
+    // 'point': all equal -> lambda2 = 0 -> NULL t3, t2 = 0
+    val rows = Seq(
+      ("sym", 0.00), ("sym", 1.00), ("sym", 2.00),
+      ("skew", 0.00), ("skew", 0.00), ("skew", 3.00),
+      ("point", 2.00), ("point", 2.00), ("point", 2.00))
+    val out = Analytics.lmomentsValues(
+      rows.toDF("event_type", "value"), "event_type", "value")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val sy = out("sym")
+    assert(sy.getAs[Long]("l1_micro") == 100000000L) // 100 cents
+    assert(sy.getAs[Long]("t2_micro") == 666666L)
+    assert(sy.getAs[Long]("t3_micro") == 0L)
+    val sk = out("skew")
+    assert(sk.getAs[Long]("t2_micro") == 1000000L)
+    assert(sk.getAs[Long]("t3_micro") == 1000000L)
+    val pt = out("point")
+    assert(pt.getAs[Long]("t2_micro") == 0L)
+    assert(pt.isNullAt(pt.fieldIndex("t3_micro")))
+  }
+
+  test("fanoDaily: exact Var/mean arithmetic — burst reads over, " +
+      "constant reads under, near-Poisson sits between") {
+    import java.sql.Timestamp
+    val ts = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val mk = (d: Int, t: String, y: Int) =>
+      (1 to y).map(i => (d.toLong * 1000 + i, ts(d), t))
+    // 'bursty': 1,1,1,9 -> fano = 192e6/48 = 4.0; 'flat': 4,4,4 ->
+    // 0; 'mid': 2,5 -> 9e6/14 = 642857
+    val rows =
+      (1 to 4).flatMap(d => mk(d, "bursty", if (d == 4) 9 else 1)) ++
+      (1 to 3).flatMap(d => mk(d, "flat", 4)) ++
+      (1 to 2).flatMap(d => mk(d, "mid", if (d == 1) 2 else 5))
+    val out = Analytics.fanoDaily(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val b = out("bursty")
+    assert(b.getAs[Long]("fano_micro") == 4000000L &&
+      b.getAs[String]("verdict") == "overdispersed")
+    assert(b.getAs[Long]("mean_micro") == 3000000L)
+    assert(out("flat").getAs[Long]("fano_micro") == 0L &&
+      out("flat").getAs[String]("verdict") == "underdispersed")
+    assert(out("mid").getAs[Long]("fano_micro") == 642857L &&
+      out("mid").getAs[String]("verdict") == "poisson-like")
+  }
+
+  test("poissonRateTest: doubling flags up, equal windows stable, " +
+      "zero-baseline ratio NULL but z still fires") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-10 10:00:00")
+    val t2 = Timestamp.valueOf("2024-01-17 10:00:00")
+    val rows =
+      (1 to 100).map(i => (i.toLong, t1, "dbl")) ++
+      (1 to 200).map(i => (1000L + i, t2, "dbl")) ++
+      (1 to 50).map(i => (2000L + i, t1, "same")) ++
+      (1 to 50).map(i => (3000L + i, t2, "same")) ++
+      (1 to 5).map(i => (4000L + i, t2, "new"))
+    val out = Analytics.poissonRateTest(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts",
+      "2024-01-08", "2024-01-15", "2024-01-22")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val d = out("dbl")
+    // z = 100/sqrt(300) = 5.7735; ratio = 2x = 20000 bp
+    assert(d.getAs[Long]("ratio_bp") == 20000L)
+    assert(d.getAs[Double]("z_r") == 5.7735)
+    assert(d.getAs[String]("verdict") == "up")
+    assert(out("same").getAs[Double]("z_r") == 0.0 &&
+      out("same").getAs[String]("verdict") == "stable")
+    val n = out("new")
+    // k1 = 0: no ratio to quote, but z = 5/sqrt(5) = 2.2361 fires
+    assert(n.isNullAt(n.fieldIndex("ratio_bp")))
+    assert(n.getAs[Double]("z_r") == 2.2361 &&
+      n.getAs[String]("verdict") == "up")
+  }
+
+  test("captureRecapture: exact Chapman arithmetic on planted overlap, " +
+      "disjoint windows estimate past the seen set") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-10 10:00:00")
+    val t2 = Timestamp.valueOf("2024-01-17 10:00:00")
+    val rows =
+      (1 to 50).map(u => (u.toLong, t1, u.toLong, "pop")) ++
+      (31 to 70).map(u => (100L + u, t2, u.toLong, "pop")) ++
+      (1 to 5).map(u => (200L + u, t1, u.toLong, "disjoint")) ++
+      (6 to 10).map(u => (300L + u, t2, u.toLong, "disjoint"))
+    val out = Analytics.captureRecapture(
+      rows.toDF("event_id", "ts", "user_id", "event_type"),
+      "event_type", "user_id", "ts",
+      "2024-01-08", "2024-01-15", "2024-01-22")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val p = out("pop")
+    // n1=50, n2=40, m=20: chapman = 51*41 DIV 21 - 1 = 98, seen = 70
+    assert(p.getAs[Long]("n1") == 50L && p.getAs[Long]("n2") == 40L &&
+      p.getAs[Long]("m") == 20L)
+    assert(p.getAs[Long]("chapman") == 98L)
+    assert(p.getAs[Long]("seen") == 70L)
+    assert(p.getAs[Long]("coverage_bp") == 700000L / 98L)
+    val dj = out("disjoint")
+    // zero recapture: chapman = 36 - 1 = 35 >> the 10 seen users
+    assert(dj.getAs[Long]("m") == 0L && dj.getAs[Long]("chapman") == 35L)
+    assert(dj.getAs[Long]("coverage_bp") == 2857L)
+  }
+
   test("seasonalStrength: planted weekly series reads strongly seasonal, " +
       "a clean ramp reads strongly trending, flat reads NULL") {
     import java.sql.Timestamp

@@ -175,6 +175,42 @@ class ObservabilitySpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("markovStationary: hand-traced quantized iteration on a biased " +
+      "2-chain, absorbing dangling type soaks the whole mass") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // one user walks A A A A B A: P(A->A)=3/4, P(A->B)=1/4, P(B->A)=1
+    // -> stationary (0.8, 0.2)
+    val seq1 = Seq("A", "A", "A", "A", "B", "A").zipWithIndex.map {
+      case (t, i) => (i.toLong + 1, ts(f"2024-01-01 00:0$i:00"), 1L, t, 0.0)
+    }
+    val out1 = graft.operators.Observability.markovStationary(
+      seq1.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "user_id", "ts", "event_id", "event_type", iters = 12)
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    assert(math.abs(out1("A").getAs[Long]("pi_micro") - 800000L) <= 1000L,
+      s"piA=${out1("A").getAs[Long]("pi_micro")}")
+    assert(math.abs(out1("B").getAs[Long]("pi_micro") - 200000L) <= 1000L)
+    // observed mix: A 5/6, B 1/6
+    assert(out1("A").getAs[Long]("obs_micro") == 833333L)
+    // absorbing chain: A->B, B->C, C never moves (dangling self-loop)
+    val seq2 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A", 0.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "B", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), 2L, "B", 0.0),
+      (4L, ts("2024-01-01 00:03:00"), 2L, "C", 0.0))
+    val out2 = graft.operators.Observability.markovStationary(
+      seq2.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "user_id", "ts", "event_id", "event_type", iters = 12)
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    // uniform start 333333 each; mass drains A -> B -> C and parks
+    // (999999, not 1e6 — the documented quantization leak)
+    assert(out2("C").getAs[Long]("pi_micro") == 999999L)
+    assert(out2("A").getAs[Long]("pi_micro") == 0L)
+    assert(out2("B").getAs[Long]("pi_micro") == 0L)
+    assert(out2("C").getAs[Long]("gap_micro") == 999999L - 250000L)
+  }
+
   test("sessionPaths: gap splits sessions, path capped at maxLen, ranked") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)

@@ -598,4 +598,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d4.getAs[String]("seg_langs") == "en,es")
     assert(d4.getAs[String]("major_lang") == "en") // 1-1 tie -> marker order
   }
+
+  test("heapsCurve: value-wise batches, first-seen new types, exact " +
+      "cumulative type-token ratio") {
+    import spark.implicits._
+    // ids 0..9 with buckets=2: b = id*2 DIV 10 -> ids 0-4 batch 0,
+    // ids 5-9 batch 1. Batch 0 holds "a b" twice (4 tokens, 2 types);
+    // batch 1 holds "a a" (2 tokens, 0 NEW types)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a b"), (5L, "a a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.heapsCurve(docs, buckets = 2)
+      .collect().map(r => r.getAs[Long]("batch") -> r).toMap
+    val b0 = out(0L)
+    assert(b0.getAs[Long]("n_docs") == 2L &&
+      b0.getAs[Long]("n_tokens") == 4L &&
+      b0.getAs[Long]("new_types") == 2L)
+    assert(b0.getAs[Long]("ttr_bp") == 5000L)
+    val b1 = out(1L)
+    // every batch-1 token was already seen: saturation reads as 0 new
+    assert(b1.getAs[Long]("n_docs") == 1L &&
+      b1.getAs[Long]("n_tokens") == 2L &&
+      b1.getAs[Long]("new_types") == 0L)
+    assert(b1.getAs[Long]("docs_cum") == 3L &&
+      b1.getAs[Long]("tokens_cum") == 6L &&
+      b1.getAs[Long]("vocab_cum") == 2L)
+    // ttr falls as the vocabulary saturates: 2*1e4 DIV 6 = 3333
+    assert(b1.getAs[Long]("ttr_bp") == 3333L)
+  }
 }
