@@ -1187,6 +1187,99 @@ object Stress {
       graft.operators.Etl.partitionCompleteness(
         evX.where(pmod(h, lit(7)) =!= 0), "event_type", "ts")
     }
+
+    // ---- round-16 second-continuation additions: the time-series /
+    // statistics batch. Type-multiplied events grow the GROUP axis
+    // ×factor (more bounded panels, same per-panel size — the
+    // mann_kendall convention); row-multiplied evs grow the corpus the
+    // one data-sized aggregate must chew.
+    def typeX: DataFrame = {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"), col("user_id"), col("value"))
+      (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+    }
+    time("theil_sen_forecast") {
+      graft.operators.Analytics.theilSenForecast(typeX, "event_type", "ts")
+    }
+    time("spearman_daily") {
+      graft.operators.Analytics.spearmanDaily(typeX, "event_type", "ts",
+        "value")
+    }
+    time("kendall_tau") {
+      graft.operators.Analytics.kendallTauDaily(typeX, "event_type", "ts",
+        "value")
+    }
+    time("runs_test") {
+      graft.operators.Analytics.runsTestDaily(typeX, "event_type", "ts")
+    }
+    time("autocorr") {
+      graft.operators.Analytics.autocorrDaily(typeX, "event_type", "ts")
+    }
+    time("seasonal_strength") {
+      graft.operators.Analytics.seasonalStrength(typeX, "event_type", "ts")
+    }
+    time("poisson_rate") {
+      graft.operators.Analytics.poissonRateTest(typeX, "event_type", "ts",
+        "2024-01-08", "2024-01-15", "2024-01-22")
+    }
+    time("capture_recapture") {
+      graft.operators.Analytics.captureRecapture(typeX, "event_type",
+        "user_id", "ts", "2024-01-08", "2024-01-15", "2024-01-22")
+    }
+    time("fano") {
+      graft.operators.Analytics.fanoDaily(typeX, "event_type", "ts")
+    }
+    // L-moments face the row-multiplied corpus: the histogram is
+    // value-bounded, so only the one corpus aggregate grows.
+    time("lmoments") {
+      graft.operators.Analytics.lmomentsValues(evs, "event_type", "value")
+    }
+    // AD test ditto — same scoreHistCum shape as ks/mann-whitney.
+    time("ad_test") {
+      import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+      graft.operators.Analytics.adTest(evs
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select((pmod(rollingHash(concat(lit("ab:"),
+          col("user_id").cast("string"))), lit(2)) === 1).as("label"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("score")))
+    }
+    // Markov stationary: the lead window faces the row-multiplied
+    // corpus; the matrix stays |types|² however large the scan.
+    time("markov_stationary") {
+      graft.operators.Observability.markovStationary(evs, "user_id",
+        "ts", "event_id", "event_type", iters = 12)
+    }
+    // Heaps curve: the token first-seen aggregate faces the ×factor
+    // doc corpus (replica tokens collapse onto the same types — the
+    // saturation worst case: huge mass, near-zero new types).
+    time("heaps_curve") {
+      graft.operators.TextAnalysis.heapsCurve(docs, buckets = 10)
+    }
+    // Streaming Benford under ×factor staged bytes: cell state stays
+    // types × days × 9 however much mass the two commits carry.
+    time("stream_benford") {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts"), col("value"))
+      val evX = (0 until factor).map(k =>
+        ev.withColumn("event_type",
+          concat(col("event_type"), lit("_" + k))))
+        .reduce(_ unionByName _)
+      val base = "/tmp/graft_stress_benfsrc"
+      graft.streaming.EventStream.stageTwoPhase(evX,
+        col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), base)
+      val stream = spark.readStream.schema(evX.schema)
+        .option("maxFilesPerTrigger", 1).parquet(base)
+      val cells = graft.streaming.EventStream.drainAvailableNow(
+        graft.streaming.EventStream.benfordCellStream(stream,
+          "event_type", "ts", "value"),
+        outputMode = "complete")
+      graft.operators.Analytics.benfordTimelineFromCells(
+        cells.localCheckpoint())
+    }
     spark.stop()
   }
 }
