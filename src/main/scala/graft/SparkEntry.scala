@@ -3528,6 +3528,30 @@ object SparkEntry {
       Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
         "ts", critZ = 1.96)),
 
+    // §2.58x — minimum detectable effect (r16 cont.): what rate change
+    // could a 50/50 split of today's users even SEE per metric? the
+    // launch-an-experiment-or-don't design row; 2.8016 = z_.025 + z_.20
+    // inlined once
+    "q_power_mde" -> ((s, dir) =>
+      Analytics.powerMde(Tables.events(s, dir), "event_type",
+        "user_id")),
+
+    // §2.58y — group-sequential A/B monitor (r16 cont.): five daily
+    // looks under the classic K=5 O'Brien-Fleming boundary — the
+    // peeking-safe readout; cumulative enrollment, first-conversion
+    // metric, stop_look riding every row
+    "q_sequential_ab" -> ((s, dir) =>
+      Analytics.sequentialAb(Tables.events(s, dir), "user_id", "ts",
+        "event_type", convType = "purchase", startDay = "2024-01-08",
+        looks = 5)),
+
+    // §2.64b — inter-arrival gap percentiles (r16 cont.): each type's
+    // cadence health — p50/p90/p99/max ms gaps as exact rank
+    // statistics off the bounded gap histogram
+    "q_interarrival" -> ((s, dir) =>
+      Analytics.interarrivalPercentiles(Tables.events(s, dir),
+        "event_type", "ts", "event_id")),
+
     // §2.58w — sample L-moments (r16 cont.): the robust (mean, L-CV,
     // L-skew) shape summary of each type's value distribution — the
     // shape alarm a whale row cannot own; rank-weighted sums exact per
@@ -10503,6 +10527,120 @@ object SparkEntry {
         |    WHEN z_r < -1.96 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM zz ORDER BY group_key""".stripMargin,
+
+    // distinct counts + the one 2.8016 sqrt chain, 4-bp quantized
+    "q_power_mde" ->
+      """WITH u AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (
+        |  SELECT event_type AS group_key,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_t
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT group_key, n_users, n_t,
+        |    (n_t * 10000) // n_users AS rate_bp,
+        |    CASE WHEN n_t > 0 AND n_t < n_users THEN
+        |      CAST(floor(2.8016
+        |        * sqrt(2.0 * (CAST(n_t AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |          * (1.0 - CAST(n_t AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |          / (CAST(n_users AS DOUBLE) / 2.0))
+        |        * 10000.0 + 0.5) AS BIGINT) END AS mde_bp
+        |  FROM t, u)
+        |SELECT group_key, n_users, n_t, rate_bp, mde_bp,
+        |  CASE WHEN mde_bp IS NOT NULL AND rate_bp > 0 THEN
+        |    (mde_bp * 10000) // rate_bp END AS rel_mde_bp
+        |FROM m ORDER BY group_key""".stripMargin,
+
+    // the shared ab: rolling-hash arms, cumulative enrollment by
+    // first-event look, the pooled two-proportion chain, and the five
+    // OBF literals; stop_look = the window-min of crossed looks
+    "q_sequential_ab" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND CAST(ts AS DATE) >= DATE '2024-01-08'
+        |    AND CAST(ts AS DATE) < DATE '2024-01-13'),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(min(CAST(ts AS DATE)) - DATE '2024-01-08' AS BIGINT) + 1
+        |      AS first_look,
+        |    CAST(min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ts AS DATE) END) - DATE '2024-01-08' AS BIGINT)
+        |      + 1 AS conv_look,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('ab:' || CAST(user_id AS VARCHAR), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007) % 2 AS BIGINT)
+        |      AS arm
+        |  FROM ev GROUP BY user_id),
+        |looks(look) AS (VALUES (CAST(1 AS BIGINT)), (2), (3), (4), (5)),
+        |byl AS (
+        |  SELECT l.look,
+        |    CAST(sum(CASE WHEN pu.arm = 0 AND pu.first_look <= l.look
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN pu.arm = 1 AND pu.first_look <= l.look
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN pu.arm = 0 AND pu.conv_look <= l.look
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN pu.arm = 1 AND pu.conv_look <= l.look
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM looks l, pu GROUP BY l.look),
+        |bz AS (
+        |  SELECT look, n0, n1, c0, c1,
+        |    CAST(CASE look WHEN 1 THEN 4.562 WHEN 2 THEN 3.226
+        |      WHEN 3 THEN 2.634 WHEN 4 THEN 2.281 ELSE 2.040 END
+        |      AS DOUBLE) AS bound_r,
+        |    CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+        |        AND c0 + c1 < n0 + n1 THEN
+        |      CAST(floor((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |          - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+        |        / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |          * (1.0 - CAST(c0 + c1 AS DOUBLE)
+        |            / CAST(n0 + n1 AS DOUBLE))
+        |          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+        |        * 10000.0 + 0.5) AS DOUBLE) / 10000.0 END AS z_r
+        |  FROM byl),
+        |bc AS (
+        |  SELECT look, n0, n1, c0, c1, z_r, bound_r,
+        |    CASE WHEN z_r IS NOT NULL THEN abs(z_r) > bound_r END
+        |      AS crossed
+        |  FROM bz)
+        |SELECT look, n0, n1, c0, c1, z_r, bound_r, crossed,
+        |  min(CASE WHEN crossed THEN look END) OVER () AS stop_look
+        |FROM bc ORDER BY look""".stripMargin,
+
+    // per-type lag gaps in ms, exact rank selection off the bounded
+    // gap histogram (cum*100 >= n*q — ceil by cross-compare)
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type AS t,
+        |    (epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY event_type
+        |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+        |          event_id ASC)) // 1000 AS gap_ms
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |hist AS (
+        |  SELECT t, gap_ms, CAST(count(*) AS BIGINT) AS c
+        |  FROM g WHERE gap_ms IS NOT NULL GROUP BY 1, 2),
+        |cumf AS (
+        |  SELECT t, gap_ms, c,
+        |    CAST(sum(c) OVER (PARTITION BY t ORDER BY gap_ms ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY t) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT t AS group_key, max(n) AS n_gaps,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN gap_ms END) AS p50_ms,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN gap_ms END) AS p90_ms,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN gap_ms END) AS p99_ms,
+        |  max(gap_ms) AS max_ms
+        |FROM cumf GROUP BY t ORDER BY group_key""".stripMargin,
 
     // the tie-block rank weights replay off the same histogram; 2x/3x
     // scaled sums stay HUGEINT products, ratios are guarded //s with

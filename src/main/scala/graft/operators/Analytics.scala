@@ -2037,6 +2037,193 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** Minimum detectable effect per candidate metric — "if we split
+    * today's users into two arms, what rate change could this metric
+    * even SEE?" (the experiment-design row a platform publishes so
+    * nobody launches an underpowered test: [[abMetrics]] reads an
+    * experiment that ran, THIS says whether running one is worth it):
+    * with n = all distinct users, n_t = distinct users touching the
+    * metric (rate p = n_t/n), the classical two-proportion MDE at
+    * α = .05 two-sided and 80% power is
+    *
+    *   MDE = (z_{α/2} + z_β)·√(2·p(1−p)/(n/2))
+    *
+    * with (1.96 + 0.8416) inlined once as the double literal 2.8016
+    * (the hllC constant discipline), exact integer counts into ONE
+    * double chain written operation-identically in the oracle, 4-bp
+    * quantized. rel_mde_bp = mde·10⁴ DIV rate says it in relative
+    * terms (the number product teams actually discuss). NULL when the
+    * rate is 0 or 1 (no variance — nothing to power).
+    *
+    * Output: one row per metric type — n_users, n_t, rate_bp, mde_bp,
+    * rel_mde_bp. Scale shape: two distinct aggregates (corpus-sized),
+    * everything downstream groups-bounded.
+    */
+  def powerMde(events: DataFrame, typeCol: String,
+      userCol: String): DataFrame = {
+    val users = events.where(col(userCol).isNotNull)
+      .agg(countDistinct(col(userCol)).as("n_users"))
+    events.where(col(typeCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(col(typeCol).as("group_key"))
+      .agg(countDistinct(col(userCol)).as("n_t"))
+      .crossJoin(broadcast(users))
+      .withColumn("rate_bp", expr("(n_t * 10000) DIV n_users"))
+      .withColumn("mde_bp",
+        when(col("n_t") > 0 && col("n_t") < col("n_users"), expr(
+          """CAST(floor(2.8016
+            |  * sqrt(2.0 * (CAST(n_t AS DOUBLE) / CAST(n_users AS DOUBLE))
+            |    * (1.0 - CAST(n_t AS DOUBLE) / CAST(n_users AS DOUBLE))
+            |    / (CAST(n_users AS DOUBLE) / 2.0))
+            |  * 10000.0 + 0.5) AS BIGINT)""".stripMargin)))
+      .withColumn("rel_mde_bp",
+        when(col("mde_bp").isNotNull && col("rate_bp") > 0,
+          expr("(mde_bp * 10000) DIV rate_bp")))
+      .select(col("group_key"), col("n_users"), col("n_t"),
+        col("rate_bp"), col("mde_bp"), col("rel_mde_bp"))
+      .orderBy(col("group_key"))
+  }
+
+  /** Group-sequential A/B monitor with O'Brien–Fleming boundaries —
+    * the peeking-safe readout ([[abMetrics]] assumes ONE look; a live
+    * dashboard gets looked at daily, and five naive 1.96 looks spend
+    * ~14% α — the OBF schedule is how real platforms let you watch):
+    * users hash into two arms (the shared ab: rolling-hash fold), the
+    * conversion metric is first-`convType`-event by look day, and per
+    * look k = 1..5 the CUMULATIVE two-proportion z
+    *
+    *   z_k = (c₁/n₁ − c₀/n₀) / √(p̂(1−p̂)(1/n₀+1/n₁))
+    *
+    * (exact integer counts into one double chain, 4 dp) compares to
+    * the classic K=5 OBF two-sided-.05 boundary inlined as literals —
+    * 4.562, 3.226, 2.634, 2.281, 2.040 — so `crossed` is an
+    * engine-identical compare of the ROUNDED z. stop_look (the first
+    * crossing, NULL if none) rides every row: everything after it is
+    * the counterfactual a fixed-horizon reader would have seen.
+    * Entry = first event day in the window (cumulative enrollment —
+    * n grows by look, the group-sequential shape). NULL z when an arm
+    * is empty or p̂ ∈ {0, 1}.
+    *
+    * Output: one row per look — look, n0, n1, c0, c1, z_r, bound_r,
+    * crossed, stop_look. Scale shape: ONE per-user aggregate
+    * (data-sized), then per-(arm, day) bounded frames, the look spine,
+    * and bounded windows.
+    */
+  def sequentialAb(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String = "purchase",
+      startDay: String = "2024-01-08", looks: Int = 5): DataFrame = {
+    require(looks == 5, "the inlined OBF boundary table is K = 5")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftnative.RollingHash.rollingHash
+    val start = lit(startDay).cast("date")
+    val perUser = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(tsCol).cast("date") >= start &&
+        col(tsCol).cast("date") < date_add(start, looks))
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        (datediff(min(col(tsCol).cast("date")), start) + 1)
+          .cast("long").as("first_look"),
+        (datediff(min(when(col(typeCol) === convType,
+          col(tsCol).cast("date"))), start) + 1).cast("long")
+          .as("conv_look"))
+      .withColumn("arm",
+        pmod(rollingHash(concat(lit("ab:"), col("u").cast("string"))),
+          lit(2)).cast("long"))
+    val enter = perUser.groupBy(col("arm"), col("first_look"))
+      .agg(count(lit(1)).as("n"))
+    val convs = perUser.where(col("conv_look").isNotNull)
+      .groupBy(col("arm"), col("conv_look")).agg(count(lit(1)).as("c"))
+    val spine = (1 to looks).map(_.toLong).toDF("look")
+    val byLook = spine
+      .join(enter.crossJoin(spine.select(col("look").as("k")))
+        .where(col("first_look") <= col("k"))
+        .groupBy(col("k").as("look"))
+        .agg(sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n1")),
+        Seq("look"), "left")
+      .join(convs.crossJoin(spine.select(col("look").as("k")))
+        .where(col("conv_look") <= col("k"))
+        .groupBy(col("k").as("look"))
+        .agg(sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("c1")),
+        Seq("look"), "left")
+      .select(col("look"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("c0"), lit(0L)).as("c0"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+    val bounds = Seq(1L -> 4.562, 2L -> 3.226, 3L -> 2.634,
+      4L -> 2.281, 5L -> 2.040).toDF("look", "bound_r")
+    val z = byLook.join(broadcast(bounds), "look")
+      .withColumn("z_r",
+        when(col("n0") > 0 && col("n1") > 0 &&
+          col("c0") + col("c1") > 0 &&
+          col("c0") + col("c1") < col("n0") + col("n1"), expr(
+          """CAST(floor((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            |    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+            |  / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+            |    * (1.0 - CAST(c0 + c1 AS DOUBLE)
+            |      / CAST(n0 + n1 AS DOUBLE))
+            |    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+            |  * 10000.0 + 0.5) AS DOUBLE) / 10000.0""".stripMargin)))
+      .withColumn("crossed",
+        when(col("z_r").isNotNull, abs(col("z_r")) > col("bound_r")))
+    val wAll = Window.partitionBy(lit(1))
+    z.withColumn("stop_look",
+      min(when(col("crossed"), col("look"))).over(wAll))
+      .orderBy(col("look"))
+  }
+
+  /** Inter-arrival gap percentiles per group — the event-flow health
+    * read ("is this feed's cadence what it was yesterday?" — a p99 gap
+    * that doubles pages before a missing-data alert ever fires): gaps
+    * between CONSECUTIVE events of the group in (ts, id) order,
+    * quantized to ms, then p50/p90/p99/max as EXACT rank statistics
+    * off the bounded (group, gap_ms) histogram — the smallest gap
+    * whose cumulative count reaches ceil(n·q/100), by the integer
+    * cross-compare cum·100 ≥ n·q (the q_ppl_buckets rule: value
+    * selection, never interpolation).
+    *
+    * Output: one row per group — n_gaps, p50_ms, p90_ms, p99_ms,
+    * max_ms. Scale shape: the per-group ordering window is the one
+    * data-sized pass (partitioned by group — no global sort); the
+    * histogram, cumulative window, and selections are gap-value
+    * bounded.
+    */
+  def interarrivalPercentiles(events: DataFrame, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val gaps = events
+      .where(col(typeCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(typeCol).as("t"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us"),
+        col(idCol).as("id"))
+      .withColumn("gap_ms",
+        expr("(us - lag(us) OVER (PARTITION BY t ORDER BY us ASC, id ASC)) DIV 1000"))
+      .where(col("gap_ms").isNotNull)
+    val hist = gaps.groupBy(col("t"), col("gap_ms"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("t")).orderBy(col("gap_ms").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("t"))
+    hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(tot))
+      .groupBy(col("t"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("gap_ms")))
+          .as("p50_ms"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("gap_ms")))
+          .as("p90_ms"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("gap_ms")))
+          .as("p99_ms"),
+        max(col("gap_ms")).as("max_ms"))
+      .select(col("t").as("group_key"), col("n_gaps"), col("p50_ms"),
+        col("p90_ms"), col("p99_ms"), col("max_ms"))
+      .orderBy(col("group_key"))
+  }
+
   /** Two-window Poisson rate test per group — did this type's event
     * RATE change significantly window-over-window? ([[periodMovers]]
     * reports the share shift, THIS says whether the shift clears

@@ -1318,6 +1318,100 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
 
+  test("powerMde: hand-checked MDE at p=0.5, degenerate full-coverage " +
+      "metric reads NULL") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-10 10:00:00")
+    // 100 users; 'half' touched by users 1..50, 'all' by everyone
+    val rows =
+      (1 to 50).map(u => (u.toLong, t, u.toLong, "half")) ++
+      (1 to 100).map(u => (1000L + u, t, u.toLong, "all"))
+    val out = Analytics.powerMde(
+      rows.toDF("event_id", "ts", "user_id", "event_type"),
+      "event_type", "user_id")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val h = out("half")
+    assert(h.getAs[Long]("n_users") == 100L && h.getAs[Long]("n_t") == 50L)
+    assert(h.getAs[Long]("rate_bp") == 5000L)
+    // 2.8016 * sqrt(2*.25/50) = 0.28016 -> 2802 bp
+    assert(h.getAs[Long]("mde_bp") == 2802L)
+    assert(h.getAs[Long]("rel_mde_bp") == 5604L)
+    val a = out("all")
+    // p = 1: no variance, nothing to power
+    assert(a.isNullAt(a.fieldIndex("mde_bp")) &&
+      a.isNullAt(a.fieldIndex("rel_mde_bp")))
+  }
+
+  test("sequentialAb: planted strong effect crosses the OBF boundary, " +
+      "null effect never stops, counts certified against the shared hash") {
+    import java.sql.Timestamp
+    def armOf(u: Long): Long =
+      ("ab:" + u).foldLeft(0L)((a, c) => (a * 257 + c) % 1000000007L) % 2
+    val day = (d: Int) => Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 400 users all enroll on day 1 (a view); arm-1 users convert 80%
+    // on day 1, arm-0 users 10% on day 2 — a huge planted effect
+    val users = (1L to 400L)
+    val effect = users.flatMap { u =>
+      val enroll = Seq((u * 10, day(8), u, "view"))
+      val conv =
+        if (armOf(u) == 1 && u % 5 != 0) Seq((u * 10 + 1, day(8), u, "purchase"))
+        else if (armOf(u) == 0 && u % 10 == 0) Seq((u * 10 + 1, day(9), u, "purchase"))
+        else Nil
+      enroll ++ conv
+    }
+    val out = Analytics.sequentialAb(
+      effect.toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_type")
+      .collect().map(r => r.getAs[Long]("look") -> r).toMap
+    assert(out.size == 5)
+    val l1 = out(1L)
+    // every user enrolls at look 1; counts match the shared hash split
+    val n1exp = users.count(armOf(_) == 1).toLong
+    assert(l1.getAs[Long]("n1") == n1exp)
+    assert(l1.getAs[Long]("n0") == 400L - n1exp)
+    assert(l1.getAs[Long]("c1") == users.count(u => armOf(u) == 1 && u % 5 != 0).toLong)
+    assert(l1.getAs[Long]("c0") == 0L) // arm-0 conversions land day 2
+    // the effect is enormous: the monitor stops at the FIRST look even
+    // under the 4.562 OBF bar
+    assert(l1.getAs[Boolean]("crossed"))
+    assert(l1.getAs[Long]("stop_look") == 1L)
+    assert(l1.getAs[Double]("z_r") > 4.562)
+    // null effect: both arms convert by the same u-mod rule
+    val flat = users.flatMap { u =>
+      Seq((u * 10, day(8), u, "view")) ++
+        (if (u % 5 == 0) Seq((u * 10 + 1, day(8), u, "purchase")) else Nil)
+    }
+    val out2 = Analytics.sequentialAb(
+      flat.toDF("event_id", "ts", "user_id", "event_type"),
+      "user_id", "ts", "event_type")
+      .collect()
+    assert(out2.forall(r => r.isNullAt(r.fieldIndex("stop_look"))))
+    assert(out2.forall(r => !r.getAs[Boolean]("crossed")))
+  }
+
+  test("interarrivalPercentiles: exact rank selection on hand-built gaps") {
+    import java.sql.Timestamp
+    val t = (s: Int) => new Timestamp(1704067200000L + s * 1000L)
+    // type 'x': events at 0s, 1s, 3s -> gaps 1000 ms and 2000 ms
+    // type 'y': ten events 1s apart -> every percentile reads 1000 ms
+    val rows =
+      Seq((1L, t(0), "x"), (2L, t(1), "x"), (3L, t(3), "x")) ++
+      (0 to 9).map(i => (10L + i, t(100 + i), "y"))
+    val out = Analytics.interarrivalPercentiles(
+      rows.toDF("event_id", "ts", "event_type"), "event_type", "ts",
+      "event_id")
+      .collect().map(r => r.getAs[String]("group_key") -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("n_gaps") == 2L)
+    // rank ceil(2*.5)=1 -> 1000; ceil(2*.9)=2 -> 2000
+    assert(x.getAs[Long]("p50_ms") == 1000L)
+    assert(x.getAs[Long]("p90_ms") == 2000L &&
+      x.getAs[Long]("p99_ms") == 2000L && x.getAs[Long]("max_ms") == 2000L)
+    val y = out("y")
+    assert(y.getAs[Long]("n_gaps") == 9L &&
+      y.getAs[Long]("p50_ms") == 1000L && y.getAs[Long]("p99_ms") == 1000L)
+  }
+
   test("lmomentsValues: hand-checked L-ratios — symmetric reads t3=0, " +
       "planted right skew reads t3=1, point mass reads NULL shape") {
     // 'sym': cents {0, 100, 200} -> l1 = 1.0, t2 = 2/3, t3 = 0;
