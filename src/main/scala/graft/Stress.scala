@@ -1259,6 +1259,20 @@ object Stress {
     time("heaps_curve") {
       graft.operators.TextAnalysis.heapsCurve(docs, buckets = 10)
     }
+    // Power/sequential/cadence rows face the row-multiplied corpus
+    // with FRESH user ids (the distinct-cardinality honest stress);
+    // outputs stay groups/looks bounded at every factor.
+    time("power_mde") {
+      graft.operators.Analytics.powerMde(evs, "event_type", "user_id")
+    }
+    time("sequential_ab") {
+      graft.operators.Analytics.sequentialAb(evs, "user_id", "ts",
+        "event_type")
+    }
+    time("interarrival") {
+      graft.operators.Analytics.interarrivalPercentiles(evs,
+        "event_type", "ts", "event_id")
+    }
     // Streaming Benford under ×factor staged bytes: cell state stays
     // types × days × 9 however much mass the two commits carry.
     time("stream_benford") {
