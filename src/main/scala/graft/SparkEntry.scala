@@ -3528,6 +3528,24 @@ object SparkEntry {
       Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
         "ts", critZ = 1.96)),
 
+    // §2.67 — new-vs-returning daily split (r16 cont.): is today's
+    // traffic NEW users or the same ones coming back? first-day from
+    // one user aggregate, co-partitioned join, bounded day frame
+    "q_new_vs_returning" -> ((s, dir) =>
+      Analytics.newVsReturning(Tables.events(s, dir), "user_id", "ts")),
+
+    // §2.67b — DAU/WAU stickiness (r16 cont.): of everyone active
+    // this week, how many showed up today? 7x fan-out of the COMPACT
+    // (user, day) frame, never raw events
+    "q_stickiness" -> ((s, dir) =>
+      Analytics.stickiness(Tables.events(s, dir), "user_id", "ts")),
+
+    // §2.24x — PII-pattern screen (r16 cont.): which sources carry
+    // email/phone/long-id shaped strings and at what rate — the
+    // route-to-scrubber triage gate; dialect-safe regexes only
+    "q_pii_scan" -> ((s, dir) =>
+      TextAnalysis.piiScan(Tables.documents(s, dir))),
+
     // §2.58x — minimum detectable effect (r16 cont.): what rate change
     // could a 50/50 split of today's users even SEE per metric? the
     // launch-an-experiment-or-don't design row; 2.8016 = z_.025 + z_.20
@@ -10527,6 +10545,83 @@ object SparkEntry {
         |    WHEN z_r < -1.96 THEN 'decreasing'
         |    ELSE 'none' END AS trend
         |FROM zz ORDER BY group_key""".stripMargin,
+
+    // per-(user, day) frame + first-day join replayed; day frame
+    // bounded, shares integer bp
+    "q_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT user_id AS u, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_ev
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |fst AS (SELECT u, min(day) AS d0 FROM ud GROUP BY u)
+        |SELECT CAST(ud.day AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS active_users,
+        |  CAST(sum(CASE WHEN ud.day = fst.d0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS new_users,
+        |  CAST(count(*) - sum(CASE WHEN ud.day = fst.d0 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS returning_users,
+        |  CAST((sum(CASE WHEN ud.day = fst.d0 THEN 1 ELSE 0 END)
+        |    * 10000) // count(*) AS BIGINT) AS new_share_bp,
+        |  CAST(sum(ud.n_ev) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN ud.day = fst.d0 THEN ud.n_ev ELSE 0 END)
+        |    AS BIGINT) AS new_events
+        |FROM ud JOIN fst ON ud.u = fst.u
+        |GROUP BY ud.day ORDER BY day""".stripMargin,
+
+    // the 7x fan-out replays via generate_series over dates; only
+    // observed days publish
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud
+        |  GROUP BY day),
+        |fan AS (
+        |  SELECT DISTINCT u, CAST(f.d AS DATE) AS day
+        |  FROM ud, unnest(generate_series(CAST(ud.day AS TIMESTAMP),
+        |    CAST(ud.day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS f(d)),
+        |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau FROM fan
+        |  GROUP BY day)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+        |  (dau.dau * 10000) // wau.wau AS stickiness_bp
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY day""".stripMargin,
+
+    // contains-match regex screens, dialect-safe patterns; any = the
+    // dedup'd union, rates integer bp
+    "q_pii_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS email_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS phone_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{9,}')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS longid_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+        |    OR regexp_matches(text, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}')
+        |    OR regexp_matches(text, '[0-9]{9,}')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS any_docs,
+        |  CAST((sum(CASE WHEN regexp_matches(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END)
+        |    * 10000) // count(*) AS BIGINT) AS email_bp,
+        |  CAST((sum(CASE WHEN regexp_matches(text,
+        |    '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}') THEN 1 ELSE 0 END)
+        |    * 10000) // count(*) AS BIGINT) AS phone_bp,
+        |  CAST((sum(CASE WHEN regexp_matches(text, '[0-9]{9,}')
+        |    THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT)
+        |    AS longid_bp,
+        |  CAST((sum(CASE WHEN regexp_matches(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+        |    OR regexp_matches(text, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}')
+        |    OR regexp_matches(text, '[0-9]{9,}')
+        |    THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS any_bp
+        |FROM documents
+        |WHERE source IS NOT NULL AND text IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // distinct counts + the one 2.8016 sqrt chain, 4-bp quantized
     "q_power_mde" ->

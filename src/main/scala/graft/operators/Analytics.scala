@@ -2037,6 +2037,82 @@ object Analytics {
       .orderBy(col("group_key"))
   }
 
+  /** New-vs-returning daily split — the growth dashboard's first row
+    * ("is today's traffic NEW users or the same ones coming back?" —
+    * [[cohortRetention]] shows the full matrix, THIS is the one-line
+    * daily read): from the compact per-(user, day) activity frame, a
+    * user is NEW on their first active day (min-day from ONE user
+    * aggregate, joined back on the user key) and returning after;
+    * per day the frame aggregates to active/new/returning users and
+    * event masses, with new_share_bp = new·10⁴ DIV active exact
+    * integer.
+    *
+    * Output: one row per observed day — day, active_users, new_users,
+    * returning_users, new_share_bp, n_events, new_events. Scale
+    * shape: the per-(user, day) aggregate and the user-keyed
+    * first-day join are the two data-sized passes (both on the user
+    * key — co-partitioned); the day frame is bounded.
+    */
+  def newVsReturning(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol).as("u"), col(tsCol).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_ev"))
+      .localCheckpoint() // per-(user, day) frame, two consumers
+    val first = ud.groupBy(col("u")).agg(min(col("day")).as("d0"))
+    ud.join(first, "u")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(col("n_ev")).as("n_events"),
+        sum(when(col("day") === col("d0"), col("n_ev")).otherwise(0L))
+          .as("new_events"))
+      .select(col("day").cast("string").as("day"), col("active_users"),
+        col("new_users"),
+        (col("active_users") - col("new_users")).as("returning_users"),
+        expr("(new_users * 10000) DIV active_users").as("new_share_bp"),
+        col("n_events"), col("new_events"))
+      .orderBy(col("day"))
+  }
+
+  /** DAU/WAU stickiness per day — "of everyone active this week, how
+    * many showed up TODAY?" (the engagement-frequency read the daily
+    * split cannot give: flat DAU can hide a shift from daily habits
+    * to weekly drive-bys): DAU(d) = distinct users on d; WAU(d) =
+    * distinct users in [d−6, d], computed by fanning each (user,
+    * active-day) row out to the 7 windows it supports (sequence +
+    * explode — a bounded 7× expansion of the COMPACT per-(user, day)
+    * frame, never of raw events) and de-duplicating;
+    * stickiness_bp = dau·10⁴ DIV wau. Only observed days publish (a
+    * day with no activity has no DAU row to anchor — the gap IS the
+    * signal, same contract as [[gapFillDaily]]'s input).
+    *
+    * Output: one row per observed day — day, dau, wau,
+    * stickiness_bp. Scale shape: per-(user, day) aggregate (data-
+    * sized), one 7× fan-out + distinct on the compact frame, bounded
+    * day aggregates.
+    */
+  def stickiness(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("date").as("day"))
+      .distinct()
+      .localCheckpoint() // compact per-(user, day) frame, two consumers
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) DIV wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
   /** Minimum detectable effect per candidate metric — "if we split
     * today's users into two arms, what rate change could this metric
     * even SEE?" (the experiment-design row a platform publishes so

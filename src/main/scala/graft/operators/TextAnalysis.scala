@@ -1341,6 +1341,52 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** PII-pattern screen per source — the compliance gate a training-
+    * data pipeline runs before anything ships ("which feeds carry
+    * email addresses / phone numbers / long numeric identifiers, and
+    * at what rate?" — the answer decides whether a source needs a
+    * scrubbing pass, and the RATE trend catches a feed that starts
+    * leaking): three conservative detectors as plain regexes —
+    * email-shaped (`local@domain.tld`), phone-shaped (3-3/4-4 digit
+    * groups with -/. separators), and 9+-digit identifier runs — each
+    * evaluated as a contains-match per doc (Spark `rlike` ≡ DuckDB
+    * `regexp_matches`; the patterns avoid every dialect-divergent
+    * feature — no lookaround, no word-boundary escapes, no case
+    * flags). Per source: doc counts per detector, any-detector count
+    * (a doc can trip several — `any` is the dedup'd union, not the
+    * sum), and rates in bp. Detectors are screens, not extractors —
+    * documented: a hit rate is a TRIAGE signal to route the source to
+    * a real scrubber, never a claim of exhaustiveness.
+    *
+    * Output: one row per source — n_docs, email_docs, phone_docs,
+    * longid_docs, any_docs, email_bp, phone_bp, longid_bp, any_bp.
+    * Scale shape: ONE narrow projection over the scan (regex per row,
+    * codegen'd), one bounded per-source aggregate.
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+    val longid = "[0-9]{9,}"
+    val e = col("text").rlike(email)
+    val p = col("text").rlike(phone)
+    val l = col("text").rlike(longid)
+    docs
+      .where(col("source").isNotNull && col("text").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(e, 1L).otherwise(0L)).as("email_docs"),
+        sum(when(p, 1L).otherwise(0L)).as("phone_docs"),
+        sum(when(l, 1L).otherwise(0L)).as("longid_docs"),
+        sum(when(e || p || l, 1L).otherwise(0L)).as("any_docs"))
+      .select(col("source"), col("n_docs"), col("email_docs"),
+        col("phone_docs"), col("longid_docs"), col("any_docs"),
+        expr("(email_docs * 10000) DIV n_docs").as("email_bp"),
+        expr("(phone_docs * 10000) DIV n_docs").as("phone_bp"),
+        expr("(longid_docs * 10000) DIV n_docs").as("longid_bp"),
+        expr("(any_docs * 10000) DIV n_docs").as("any_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary-growth (Heaps) curve over ingestion order — how fast
     * does the corpus still discover NEW token types as docs arrive?
     * ([[vocabRichness]] reports the static per-source richness; THIS

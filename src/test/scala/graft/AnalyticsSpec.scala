@@ -1318,6 +1318,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(flat.getAs[Long]("sen_micro") == 0L)
   }
 
+  test("newVsReturning + stickiness: first-day split and DAU/WAU " +
+      "hand-checked on a three-day fixture") {
+    import java.sql.Timestamp
+    val d = (day: Int) => Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // day 1: users 1, 2 (both new); day 2: user 1 (returning, 2
+    // events) + user 3 (new); day 3: user 1 only
+    val rows = Seq(
+      (1L, d(1), 1L), (2L, d(1), 2L),
+      (3L, d(2), 1L), (4L, d(2), 1L), (5L, d(2), 3L),
+      (6L, d(3), 1L))
+    val df = rows.toDF("event_id", "ts", "user_id")
+    val nr = Analytics.newVsReturning(df, "user_id", "ts")
+      .collect().map(r => r.getAs[String]("day") -> r).toMap
+    val d1 = nr("2024-01-01")
+    assert(d1.getAs[Long]("active_users") == 2L &&
+      d1.getAs[Long]("new_users") == 2L &&
+      d1.getAs[Long]("new_share_bp") == 10000L)
+    val d2 = nr("2024-01-02")
+    assert(d2.getAs[Long]("active_users") == 2L &&
+      d2.getAs[Long]("new_users") == 1L &&
+      d2.getAs[Long]("returning_users") == 1L &&
+      d2.getAs[Long]("new_share_bp") == 5000L)
+    assert(d2.getAs[Long]("n_events") == 3L &&
+      d2.getAs[Long]("new_events") == 1L)
+    val st = Analytics.stickiness(df, "user_id", "ts")
+      .collect().map(r => r.getAs[String]("day") -> r).toMap
+    // day 1: dau 2, wau 2 (nobody earlier) -> 10000; day 3: dau 1,
+    // wau 3 (users 1, 2, 3 all active within the trailing week)
+    assert(st("2024-01-01").getAs[Long]("dau") == 2L &&
+      st("2024-01-01").getAs[Long]("wau") == 2L &&
+      st("2024-01-01").getAs[Long]("stickiness_bp") == 10000L)
+    assert(st("2024-01-03").getAs[Long]("dau") == 1L &&
+      st("2024-01-03").getAs[Long]("wau") == 3L &&
+      st("2024-01-03").getAs[Long]("stickiness_bp") == 3333L)
+  }
+
   test("powerMde: hand-checked MDE at p=0.5, degenerate full-coverage " +
       "metric reads NULL") {
     import java.sql.Timestamp

@@ -599,6 +599,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d4.getAs[String]("major_lang") == "en") // 1-1 tie -> marker order
   }
 
+  test("piiScan: planted email/phone/long-id patterns flag, any is the " +
+      "dedup'd union, clean docs stay quiet") {
+    import spark.implicits._
+    // docA trips email AND long-id (any must dedup), docB phone only,
+    // docC clean
+    val docs = Seq(
+      (1L, "write to a.b@mail.io ref 999999999 thanks", "web"),
+      (2L, "call 010-123-4567 now", "web"),
+      (3L, "perfectly clean text", "web"),
+      (4L, "also clean", "books"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.piiScan(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val w = out("web")
+    assert(w.getAs[Long]("n_docs") == 3L)
+    assert(w.getAs[Long]("email_docs") == 1L &&
+      w.getAs[Long]("phone_docs") == 1L &&
+      w.getAs[Long]("longid_docs") == 1L)
+    // docA trips two detectors but counts ONCE in any
+    assert(w.getAs[Long]("any_docs") == 2L)
+    assert(w.getAs[Long]("any_bp") == 6666L)
+    val b = out("books")
+    assert(b.getAs[Long]("any_docs") == 0L && b.getAs[Long]("any_bp") == 0L)
+  }
+
   test("heapsCurve: value-wise batches, first-seen new types, exact " +
       "cumulative type-token ratio") {
     import spark.implicits._
