@@ -1273,6 +1273,19 @@ object Stress {
       graft.operators.Analytics.interarrivalPercentiles(evs,
         "event_type", "ts", "event_id")
     }
+    // Growth metrics on the fresh-user row-multiplied corpus: the
+    // per-(user, day) frame grows ×factor and so does the user-keyed
+    // first-day join / 7× fan-out it feeds.
+    time("new_vs_returning") {
+      graft.operators.Analytics.newVsReturning(evs, "user_id", "ts")
+    }
+    time("stickiness") {
+      graft.operators.Analytics.stickiness(evs, "user_id", "ts")
+    }
+    // PII screen: pure regex projection over the ×factor doc corpus.
+    time("pii_scan") {
+      graft.operators.TextAnalysis.piiScan(docs)
+    }
     // Streaming Benford under ×factor staged bytes: cell state stays
     // types × days × 9 however much mass the two commits carry.
     time("stream_benford") {
