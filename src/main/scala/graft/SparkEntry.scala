@@ -100,7 +100,15 @@ object SparkEntry {
     * with zero node-bounded broadcasts — and the bucketing write is the
     * amortized one-off layout cost, paid on first use per (session, sf).
     */
-  private def gredgesTable(s: SparkSession, dir: String): String = {
+  // Lazily-built substrate tables are now reachable from OVERLAPPED fold
+  // threads (Par, guide §2.6): every builder body holds this monitor so
+  // two threads cannot both observe a missing table and race the write.
+  // Builds are once-per-(session, sf) and Bench prebuilds them all, so on
+  // the hit path the lock guards only a catalog probe (sub-ms); the
+  // monitor is reentrant, so a build that calls another builder
+  // (gskel → gcosup) re-enters safely.
+  private val substrateBuildLock = new Object
+  private def gredgesTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gredges_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -108,7 +116,7 @@ object SparkEntry {
         Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
   }
-  private def gwedgesTable(s: SparkSession, dir: String): String = {
+  private def gwedgesTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gwedges_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -118,7 +126,7 @@ object SparkEntry {
   }
   // the co-supply projection + its k-NN skeleton, same amortized one-off
   // layout contract (r11: the whole graph family now runs bucketed)
-  private def gcosupTable(s: SparkSession, dir: String): String = {
+  private def gcosupTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gcosup_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -126,7 +134,7 @@ object SparkEntry {
         tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
   }
-  private def gskelTable(s: SparkSession, dir: String): String = {
+  private def gskelTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gskel_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -137,7 +145,7 @@ object SparkEntry {
   // the trade graph as of the incremental cut — the "yesterday" substrate
   // q_pagerank_incr warm-starts from
   private val incrCut = "2001-06-01"
-  private def gredgesBaseTable(s: SparkSession, dir: String): String = {
+  private def gredgesBaseTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gredges_base_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -148,7 +156,7 @@ object SparkEntry {
   }
   // the pre-cut co-supply projection — the "yesterday" substrate the
   // incremental LPA warm-starts from
-  private def gcosupBaseTable(s: SparkSession, dir: String): String = {
+  private def gcosupBaseTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gcosup_base_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -178,7 +186,7 @@ object SparkEntry {
   }
   // the pre-cut skeleton (with keep-attribution flags) — the stored
   // feature-store table q_knn_graph_incr refreshes
-  private def gskelBaseTable(s: SparkSession, dir: String): String = {
+  private def gskelBaseTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gskel_base_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -188,7 +196,7 @@ object SparkEntry {
   }
   // yesterday's rank vector at rest — the stored state the recurring
   // warm refresh (q_pagerank_decide) reads instead of recomputing
-  private def gprVectorTable(s: SparkSession, dir: String): String = {
+  private def gprVectorTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gprvec_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -198,7 +206,7 @@ object SparkEntry {
     tbl
   }
   // yesterday's label vector at rest — the q_communities_decide state
-  private def glpaVectorTable(s: SparkSession, dir: String): String = {
+  private def glpaVectorTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_glpavec_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -221,7 +229,7 @@ object SparkEntry {
   // the day-axis close's third cut: d1 = [incrCut, midCut), d2 =
   // [midCut, cut3), d3 = [cut3, ∞) — q_daily_close3's day slices
   private val cut3 = "2001-07-15"
-  private def gredgesMidTable(s: SparkSession, dir: String): String = {
+  private def gredgesMidTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gredges_mid_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -230,7 +238,7 @@ object SparkEntry {
         Tables.lineitem(s, dir), tbl, s"/tmp/graft_graph_$tag", buckets = 32)
     tbl
   }
-  private def gcosupMidTable(s: SparkSession, dir: String): String = {
+  private def gcosupMidTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gcosup_mid_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -242,7 +250,7 @@ object SparkEntry {
   // day-1's refreshed skeleton at rest — the incremental refresh is
   // EXACT (== the full rebuild on the mid graph, GraphSpec), so the
   // rebuild writer IS the persisted day-1 output, keep flags included
-  private def gskelMidTable(s: SparkSession, dir: String): String = {
+  private def gskelMidTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gskel_mid_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -252,7 +260,7 @@ object SparkEntry {
   }
   // day-1's post-warm rank vector at rest (full (node, pr, deg), not
   // the top-K face) — what close 1 wrote, what close 2 warm-starts from
-  private def gprvecD1Table(s: SparkSession, dir: String): String = {
+  private def gprvecD1Table(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gprvec_d1_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -265,7 +273,7 @@ object SparkEntry {
   }
   // day-1's post-warm label vector at rest (raw (node, label) — the
   // canonical rollup is the published face only)
-  private def glpavecD1Table(s: SparkSession, dir: String): String = {
+  private def glpavecD1Table(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_glpavec_d1_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -283,7 +291,7 @@ object SparkEntry {
     * pays — the batch-side work against an in-place index scan — with
     * the index build amortized exactly like the graph edge tables.
     */
-  private def ingestIndexTables(s: SparkSession, dir: String): String = {
+  private def ingestIndexTables(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val name = s"graft_ingestidx_$tag"
     // guard on BOTH tables (the q_bucketed_join idiom): a build that
@@ -303,7 +311,7 @@ object SparkEntry {
 
   // the BFS node + seed tables, same amortized one-off layout contract
   // (r12: the traversal's per-run fixed costs move to the warehouse)
-  private def bfsSeedTables(s: SparkSession, dir: String): (String, String) = {
+  private def bfsSeedTables(s: SparkSession, dir: String): (String, String) = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val (nodesT, seedT) = (s"graft_gnodes_$tag", s"graft_bfs_seeds_$tag")
     if (!s.catalog.tableExists(nodesT) || !s.catalog.tableExists(seedT))
@@ -315,7 +323,7 @@ object SparkEntry {
 
   // yesterday's BFS layer vector at rest — the stored traversal state
   // the recurring q_bfs_decide refresh reads (base-graph layers)
-  private def gbfsVecTable(s: SparkSession, dir: String): String = {
+  private def gbfsVecTable(s: SparkSession, dir: String): String = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val tbl = s"graft_gbfsvec_$tag"
     if (!s.catalog.tableExists(tbl))
@@ -401,7 +409,7 @@ object SparkEntry {
     * append cannot re-run the decide against the post-append index),
     * so a partially-built warehouse rebuilds instead of wedging.
     * Returns (indexName, decisionTable). */
-  private def ingestIndex2Tables(s: SparkSession, dir: String): (String, String) = {
+  private def ingestIndex2Tables(s: SparkSession, dir: String): (String, String) = substrateBuildLock.synchronized {
     val tag = dir.replaceAll("[^0-9A-Za-z]", "_")
     val name = s"graft_ingestidx2_$tag"
     val decT = s"graft_ingdec1_$tag"
@@ -443,29 +451,35 @@ object SparkEntry {
   private def close3Folds(s: SparkSession, dir: String)
       : (DataFrame, Seq[DataFrame], Seq[DataFrame], Seq[DataFrame]) = {
     val G = graft.operators.Graph
-    val chain = graft.operators.Ingest.ingestChain(
-      graft.operators.Ingest.signatureIndex(ingestCorpusSlice(s, dir), 64),
-      Seq(ingestBatch1(s, dir), ingestBatch2a(s, dir),
-        ingestBatch3a(s, dir))).localCheckpoint()
     val cuts: Seq[Option[String]] = Seq(Some(midCut), Some(cut3), None)
-    val prVecs = G.pageRankWarmFold(s, gredgesBaseTable(s, dir),
-      gprVectorTable(s, dir),
-      cuts.map { c =>
-        (Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut) &&
-          c.map(t => col("o_orderdate") < lit(t)).getOrElse(lit(true))),
-          Tables.lineitem(s, dir))
-      })
-    val lpaVecs = G.labelPropagationWarmFold(s, gcosupBaseTable(s, dir),
-      glpaVectorTable(s, dir),
-      cuts.map(c => G.coSupplyEdges(
-        rangeCutLineitem(s, dir, Some(incrCut), c))))
     val dayBounds = Seq(Some(incrCut) -> Some(midCut),
       Some(midCut) -> Some(cut3), Some(cut3) -> None)
-    val skels = G.knnSkeletonFold(s, gcosupBaseTable(s, dir),
-      gskelBaseTable(s, dir),
-      dayBounds.map { case (f, t) =>
-        G.coSupplyEdges(rangeCutLineitem(s, dir, f, t)) }, k = 5)
-    (chain, prVecs, lpaVecs, skels)
+    // The four folds are mutually independent (each day's state seeds the
+    // NEXT day of the SAME fold, never another fold), but every fold is a
+    // chain of small eager staged rounds — run sequentially the driver
+    // serializes ~30 mostly-idle jobs. Overlap them (guide §2.6, Par):
+    // identical frames per fold, same per-fold round order, byte-equal
+    // digests.
+    graft.operators.Par.run4(
+      () => graft.operators.Ingest.ingestChain(
+        graft.operators.Ingest.signatureIndex(ingestCorpusSlice(s, dir), 64),
+        Seq(ingestBatch1(s, dir), ingestBatch2a(s, dir),
+          ingestBatch3a(s, dir))).localCheckpoint(),
+      () => G.pageRankWarmFold(s, gredgesBaseTable(s, dir),
+        gprVectorTable(s, dir),
+        cuts.map { c =>
+          (Tables.orders(s, dir).where(col("o_orderdate") >= lit(incrCut) &&
+            c.map(t => col("o_orderdate") < lit(t)).getOrElse(lit(true))),
+            Tables.lineitem(s, dir))
+        }),
+      () => G.labelPropagationWarmFold(s, gcosupBaseTable(s, dir),
+        glpaVectorTable(s, dir),
+        cuts.map(c => G.coSupplyEdges(
+          rangeCutLineitem(s, dir, Some(incrCut), c)))),
+      () => G.knnSkeletonFold(s, gcosupBaseTable(s, dir),
+        gskelBaseTable(s, dir),
+        dayBounds.map { case (f, t) =>
+          G.coSupplyEdges(rangeCutLineitem(s, dir, f, t)) }, k = 5))
   }
   /** The held-out eval frame behind q_nb_auc / q_nb_pr: the q_nb_quality
     * Naive-Bayes model (same seeds — %5==0 curated, %5==1 junk-planted)
@@ -2945,13 +2959,17 @@ object SparkEntry {
     // between the stages are exactly what no single query exercises.
     "q_daily_close" -> ((s, dir) => {
       val dig = graft.validation.Reconcile.digestStage _
-      val ing = ingestDecideFrame(s, dir)
-      val pr = pagerankDecideFrame(s, dir)
-      val lpa = communitiesDecideFrame(s, dir)
-      // the skeleton feeds TWO consumers (its own digest + the census):
-      // checkpoint it once so the refresh's unstaged tail (keep ranks,
-      // union-keep reassembly) doesn't execute per consumer
-      val skel = skeletonIncrFrame(s, dir).localCheckpoint()
+      // the four stage chains are mutually independent and each fronts a
+      // run of eager staged rounds — overlap their construction (Par,
+      // guide §2.6); frames and digests are byte-identical
+      val (ing, pr, lpa, skel) = graft.operators.Par.run4(
+        () => ingestDecideFrame(s, dir),
+        () => pagerankDecideFrame(s, dir),
+        () => communitiesDecideFrame(s, dir),
+        // the skeleton feeds TWO consumers (its own digest + the census):
+        // checkpoint it once so the refresh's unstaged tail (keep ranks,
+        // union-keep reassembly) doesn't execute per consumer
+        () => skeletonIncrFrame(s, dir).localCheckpoint())
       val census = graft.operators.Graph.triangleStatsOriented(
         skel, byDegree = true)
       dig("ingest", ing, pmod(col("doc_id"), lit(8)),
@@ -2990,15 +3008,17 @@ object SparkEntry {
         .orderBy(col("rank_micro").desc, col("node_id").asc).limit(20)
       val lpa1 = graft.operators.Graph.communityRollup(
         s.table(glpavecD1Table(s, dir)))
-      val skel1 = s.table(gskelMidTable(s, dir))
-        .select(col("src"), col("dst"), col("w")).localCheckpoint()
+      // day-1 republish + day 2's four warm chains are mutually
+      // independent eager runs — overlap them (Par, guide §2.6)
+      val (skel1, ing2, pr2, lpa2, skel2) = graft.operators.Par.run5(
+        () => s.table(gskelMidTable(s, dir))
+          .select(col("src"), col("dst"), col("w")).localCheckpoint(),
+        () => ingestDecide2Frame(s, dir),
+        () => pagerankDecide2Frame(s, dir),
+        () => communitiesDecide2Frame(s, dir),
+        () => skeletonIncr2Frame(s, dir).localCheckpoint())
       val cen1 = graft.operators.Graph.triangleStatsOriented(
         skel1, byDegree = true)
-      // day 2 warm off day 1's stored outputs
-      val ing2 = ingestDecide2Frame(s, dir)
-      val pr2 = pagerankDecide2Frame(s, dir)
-      val lpa2 = communitiesDecide2Frame(s, dir)
-      val skel2 = skeletonIncr2Frame(s, dir).localCheckpoint()
       val cen2 = graft.operators.Graph.triangleStatsOriented(
         skel2, byDegree = true)
       def day(d: String, ing: DataFrame, pr: DataFrame, lpa: DataFrame,
@@ -3036,10 +3056,12 @@ object SparkEntry {
     "q_daily_close_plain" -> ((s, dir) => {
       val dig = graft.validation.Reconcile.digestStage _
       val (_, decT) = ingestIndex2Tables(s, dir)
-      val ing = ingestDecide2Frame(s, dir)
-      val pr = pagerankDecide2Frame(s, dir)
-      val lpa = communitiesDecide2Frame(s, dir)
-      val skel = skeletonIncr2Frame(s, dir)
+      // four independent warm chains — overlap them (Par, guide §2.6)
+      val (ing, pr, lpa, skel) = graft.operators.Par.run4(
+        () => ingestDecide2Frame(s, dir),
+        () => pagerankDecide2Frame(s, dir),
+        () => communitiesDecide2Frame(s, dir),
+        () => skeletonIncr2Frame(s, dir))
       dig("ingest", ing, pmod(col("doc_id"), lit(8)),
           Seq(col("doc_id"), col("verdict"), col("matched_id")))
         .unionByName(dig("ingest_stored",

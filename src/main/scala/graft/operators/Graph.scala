@@ -688,35 +688,42 @@ object Graph {
     // deterministic computation, so the two modes are byte-equal
     // (spec-proven) and the table path drops `baseRounds` staged rounds
     // — the r11 verdict's certifier-cost item.
-    val stored = storedLabelTable
-      // (node, label) projection: symmetric with the rank path's stored
-      // read — a stored table carrying extra columns must not leak them
-      // into the vote rounds
-      .map(t => spark.table(t).select(col("node"), col("label")))
-      .getOrElse {
-      var st = stager(base.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label")), "ilpa_b0")
-      for (i <- 1 to baseRounds)
-        st = stager(lpaRound(base, st, mergeHint = true), s"ilpa_b$i")
-      st
-    }
-
-    val delta = stager(deltaEdges, "ilpa_delta")
-    val nodes = stager(base.select(col("src").as("node")).distinct()
-      .unionByName(delta.select(col("src").as("node")))
-      .distinct(), "ilpa_nodes")
-    var labels = stager(nodes.join(stored, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("label"), col("node")).as("label")), "ilpa_w0")
-    for (i <- 1 to incrRounds)
-      labels = stager(lpaIncrRound(base, delta, labels), s"ilpa_w$i")
-
-    // from-scratch certifier at the same total round count
-    val full = spark.table(fullTable)
-    var scratch = stager(full.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")), "ilpa_s0")
-    for (i <- 1 to baseRounds + incrRounds)
-      scratch = stager(lpaRound(full, scratch, mergeHint = true), s"ilpa_s$i")
+    // the warm chain and the from-scratch certifier (same total round
+    // count) are independent eager chains — overlap them (Par, guide
+    // §2.6); per-chain round order and frames unchanged, byte-equal rows
+    val (labels, scratch) = Par.run2(
+      () => {
+        val stored = storedLabelTable
+          // (node, label) projection: symmetric with the rank path's
+          // stored read — a stored table carrying extra columns must not
+          // leak them into the vote rounds
+          .map(t => spark.table(t).select(col("node"), col("label")))
+          .getOrElse {
+          var st = stager(base.select(col("src").as("node")).distinct()
+            .select(col("node"), col("node").as("label")), "ilpa_b0")
+          for (i <- 1 to baseRounds)
+            st = stager(lpaRound(base, st, mergeHint = true), s"ilpa_b$i")
+          st
+        }
+        val delta = stager(deltaEdges, "ilpa_delta")
+        val nodes = stager(base.select(col("src").as("node")).distinct()
+          .unionByName(delta.select(col("src").as("node")))
+          .distinct(), "ilpa_nodes")
+        var w = stager(nodes.join(stored, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("label"), col("node")).as("label")), "ilpa_w0")
+        for (i <- 1 to incrRounds)
+          w = stager(lpaIncrRound(base, delta, w), s"ilpa_w$i")
+        w
+      },
+      () => {
+        val full = spark.table(fullTable)
+        var sc = stager(full.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label")), "ilpa_s0")
+        for (i <- 1 to baseRounds + incrRounds)
+          sc = stager(lpaRound(full, sc, mergeHint = true), s"ilpa_s$i")
+        sc
+      })
 
     def canonical(l: DataFrame): DataFrame = {
       val canon = l.groupBy(col("label"))
@@ -1278,8 +1285,15 @@ object Graph {
     // degree-free derivation below
     var ranks = stager(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("pr")), "bpr_0")
-    for (i <- 1 to iters)
-      ranks = stager(rankRoundBucketed(edges, ranks), s"bpr_$i")
+    // each round's vector feeds exactly ONE consumer (the next round's
+    // merge join), so stage every third round instead of every round —
+    // the pageRankIncrementalBucketed pyramid discipline: lineage stays
+    // shallow while the job count (and its per-stage barrier) drops ~3x;
+    // identical exact-integer ranks
+    for (i <- 1 to iters) {
+      val next = rankRoundBucketed(edges, ranks)
+      ranks = if (i % 3 == 0 || i == iters) stager(next, s"bpr_$i") else next
+    }
     val degf = edges.groupBy(col("src").as("node"))
       .agg(max(col("src_deg")).as("deg"))
     ranks.join(degf.hint("merge"), "node")
@@ -1300,14 +1314,17 @@ object Graph {
     val edges = spark.table(table)
     var ranks = stager(edges.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("pr")), "bwpr_0")
-    for (i <- 1 to iters)
-      ranks = stager(edges
+    // every-3rd staging (see pageRankBucketed): each round's vector has
+    // exactly one consumer, identical exact-integer ranks
+    for (i <- 1 to iters) {
+      val next = edges
         .join(ranks.select(col("node").as("src"), col("pr")).hint("merge"),
           "src")
         .groupBy(col("dst").as("node"))
         .agg((lit(150000L) +
-          sum(expr("(pr * 85 * w) DIV (100 * src_wdeg)"))).as("pr")),
-        s"bwpr_$i")
+          sum(expr("(pr * 85 * w) DIV (100 * src_wdeg)"))).as("pr"))
+      ranks = if (i % 3 == 0 || i == iters) stager(next, s"bwpr_$i") else next
+    }
     val degf = edges.groupBy(col("src").as("node"))
       .agg(max(col("src_deg")).as("deg"),
         max(col("src_wdeg")).as("w_total"))
@@ -1388,19 +1405,23 @@ object Graph {
     // pageRankDaily routes the SAME table through both arms (r13
     // review finding: the certify day would crash on ambiguous `deg`
     // while plain days work).
-    val stored = storedVectorTable
-      .map(t => spark.table(t).select(col("node"), col("pr")))
-      .getOrElse(pyramid(base, baseIters, "ipr_b"))
-
-    val warm = warmRankLoop(base, stored, deltaOrders, deltaLineitem,
-      incrIters, stager)
-
-    // from-scratch certifier over the persisted full graph, at the SAME
-    // total round count (baseIters + incrIters) — the drift then measures
-    // only what the warm start missed (the first baseIters rounds ran on
-    // yesterday's graph), not a round-count artifact
-    val scratch = pyramid(spark.table(fullTable), baseIters + incrIters,
-      "ipr_s")
+    // the warm chain (stored vector + incrIters staged rounds) and the
+    // from-scratch certifier (baseIters + incrIters rounds over the full
+    // table, at the SAME total round count so the drift measures only
+    // what the warm start missed, not a round-count artifact) are
+    // independent eager chains — overlap them (Par, guide §2.6); each
+    // chain's round order and frames are unchanged, so the certified
+    // drift rows are byte-identical
+    val (warm, scratch) = Par.run2(
+      () => {
+        val stored = storedVectorTable
+          .map(t => spark.table(t).select(col("node"), col("pr")))
+          .getOrElse(pyramid(base, baseIters, "ipr_b"))
+        warmRankLoop(base, stored, deltaOrders, deltaLineitem,
+          incrIters, stager)
+      },
+      () => pyramid(spark.table(fullTable), baseIters + incrIters,
+        "ipr_s"))
 
     // top-K FIRST, then certify: the published rows are the warm top-K
     // by (rank_micro DESC, node ASC) — a deterministic total order — and
@@ -1435,8 +1456,11 @@ object Graph {
     val base = spark.table(baseTable)
     var ranks = stager(base.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1000000L).as("pr")), "vpr_0")
-    for (i <- 1 to iters)
-      ranks = stager(rankRoundBucketed(base, ranks), s"vpr_$i")
+    // every-3rd staging (see pageRankBucketed): one consumer per round
+    for (i <- 1 to iters) {
+      val next = rankRoundBucketed(base, ranks)
+      ranks = if (i % 3 == 0 || i == iters) stager(next, s"vpr_$i") else next
+    }
     ranks
       .repartition(buckets, col("node"))
       .write.mode("overwrite").option("path", s"$root/$table")

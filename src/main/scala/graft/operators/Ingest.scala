@@ -197,9 +197,19 @@ object Ingest {
       reliableStagePath: Option[String] = None): DataFrame = {
     val stager = new Dedup.RoundStager(index0.sparkSession, reliableStagePath,
       rootIsArtifact = true)
-    val pieces = scala.collection.mutable.ArrayBuffer(stager(index0, "index_0"))
-    val decided = batches.zipWithIndex.map { case (batch, i) =>
-      val sigs = stager(signatureIndex(batch, k), s"sigs_${i + 1}")
+    // The seed index and every batch's signature pass are mutually
+    // independent (decisions chain batch-over-batch, signatures do not) —
+    // stage them concurrently (Par, guide §2.6) instead of paying the
+    // minhash passes serially inside the decide loop. Same stage names,
+    // same frames; the decide chain below is unchanged.
+    val staged = Par.seq(
+      (() => stager(index0, "index_0")) +:
+        batches.zipWithIndex.map { case (batch, i) =>
+          () => stager(signatureIndex(batch, k), s"sigs_${i + 1}")
+        })
+    val pieces = scala.collection.mutable.ArrayBuffer(staged.head)
+    val decided = batches.indices.map { i =>
+      val sigs = staged(i + 1)
       val idx = pieces.reduce(_ unionByName _)
       // the FINAL batch's decisions have one consumer (the result union)
       // in default mode — staging them is a pure blocking job; durable

@@ -448,6 +448,21 @@ object EventStream {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
     stateStoreProvider.foreach(spark.conf.set(key, _))
+    // State-partition sizing: a stateful streaming query pins ONE state
+    // store per shuffle partition per operator, and every micro-batch
+    // pays an open/commit per store. The registered rows carry keyed
+    // state of at most a few hundred groups, so inheriting the session's
+    // scan-width shuffle partitioning (local[32] → 32 stores × 3
+    // micro-batches) spends more wall-clock on store machinery than on
+    // rows. Size the stream's shuffle width to its STATE, not the scan:
+    // production pins this per stream at checkpoint creation exactly the
+    // same way (the count is frozen into the checkpoint), and raises it
+    // via SPARK_GRAFT_STREAM_SHUFFLE when keyed state outgrows it —
+    // the same escape hatch as the RocksDB provider flip above.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val priorShuffle = spark.conf.getOption(shuffleKey)
+    val streamShuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    spark.conf.set(shuffleKey, streamShuffle)
     try {
       val name = s"graft_drain_${java.lang.System.nanoTime}"
       val chk = java.nio.file.Files.createTempDirectory("graft-drain")
@@ -469,10 +484,14 @@ object EventStream {
       out
     } finally {
       // restore the session conf — the drain must not leak its provider
-      // choice into unrelated streams started later on this session
+      // or shuffle-width choice into unrelated queries on this session
       if (stateStoreProvider.isDefined) prior match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+      priorShuffle match {
+        case Some(v) => spark.conf.set(shuffleKey, v)
+        case None => spark.conf.unset(shuffleKey)
       }
     }
   }
@@ -519,10 +538,14 @@ object EventStream {
       deleteRecursively(tmp) // _SUCCESS/.crc residue per invocation
     }
     // modtimes two minutes in the past, a minute apart: strictly ordered,
-    // and never in the future even on a skewed clock
+    // and never in the future even on a skewed clock. The two slice
+    // writes are independent jobs whose replay order is fixed by the
+    // EXPLICIT modtimes, not by write completion — overlap them
+    // (Par, guide §2.6)
     val t0 = java.lang.System.currentTimeMillis - 120000L
-    writeOne(df.where(earlyCond), "1_early.parquet", t0)
-    writeOne(df.where(!earlyCond), "2_late.parquet", t0 + 60000L)
+    graft.operators.Par.run2(
+      () => writeOne(df.where(earlyCond), "1_early.parquet", t0),
+      () => writeOne(df.where(!earlyCond), "2_late.parquet", t0 + 60000L))
     val early = new java.io.File(d, "1_early.parquet")
     val late = new java.io.File(d, "2_late.parquet")
     assert(early.lastModified < late.lastModified,
